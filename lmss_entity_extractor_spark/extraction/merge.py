@@ -1,0 +1,93 @@
+"""Span resolution — the overlap-merge sequential scan (operator W2).
+
+Semantics replicate the reference's ``merge_entities``
+(/root/reference/app/entity_extraction.py:38-109) rule for rule; this is
+the single most P/R-critical function of the pipeline (SURVEY.md §2.5
+W2).  It is a stateful sequential scan over one turn's sorted span list,
+NOT expressible as a fixed-frame SQL window — so it runs as plain Python
+over the (small) per-turn span list inside the Arrow-batched mention UDF.
+
+Rule set, for spans sorted by (start, -end):
+  * a following span "collides" with the running span when it starts at
+    or before the running span's end, or when it is a NOUN_PHRASE within
+    one character of a running NOUN_PHRASE (adjacency),
+  * a running NER-typed span is frozen: collision resolution stops and
+    the NER span is kept as is,
+  * an NER-typed follower replaces whatever is running,
+  * two colliding/adjacent NOUN_PHRASEs concatenate: texts spliced with a
+    single space (NOT re-sliced from the document — exact reference
+    behavior), span = [min(start), max(end)],
+  * a running KEYWORD yields to a NOUN_PHRASE follower or a strictly
+    longer KEYWORD follower; a shorter/equal KEYWORD follower is consumed
+    with no change,
+  * any other combination stops the scan for the running span,
+  * the winning span is stripped of leading stop words (offset-adjusted),
+  * a winner contained within an already-accepted span is suppressed,
+  * finally, case-insensitive surface-form dedup keeps first occurrence.
+"""
+
+from __future__ import annotations
+
+from ..textproc import STOPWORDS, strip_leading_stopwords
+
+Span = tuple[str, int, int, str]
+
+
+def _collides(running: Span, follower: Span) -> bool:
+    if follower[1] <= running[2]:
+        return True
+    return (
+        follower[1] - running[2] <= 1
+        and running[3] == "NOUN_PHRASE"
+        and follower[3] == "NOUN_PHRASE"
+    )
+
+
+def resolve_spans(spans: list[Span], stopwords: frozenset[str] = STOPWORDS) -> list[Span]:
+    ordered = sorted(spans, key=lambda sp: (sp[1], -sp[2]))
+    n = len(ordered)
+    accepted: list[Span] = []
+    i = 0
+    while i < n:
+        running = ordered[i]
+        j = i + 1
+        while j < n:
+            follower = ordered[j]
+            if not _collides(running, follower):
+                break
+            r_type, f_type = running[3], follower[3]
+            if r_type.startswith("NER_"):
+                break
+            if f_type.startswith("NER_"):
+                running = follower
+            elif r_type == "NOUN_PHRASE" and f_type == "NOUN_PHRASE":
+                running = (
+                    (running[0] + " " + follower[0]).strip(),
+                    min(running[1], follower[1]),
+                    max(running[2], follower[2]),
+                    "NOUN_PHRASE",
+                )
+            elif r_type == "KEYWORD" and f_type in ("NOUN_PHRASE", "KEYWORD"):
+                if f_type == "NOUN_PHRASE" or len(follower[0]) > len(running[0]):
+                    running = follower
+                # else: shorter/equal keyword follower is consumed, no change
+            else:
+                break
+            j += 1
+
+        trimmed, offset = strip_leading_stopwords(running[0], stopwords)
+        running = (trimmed, running[1] + offset, running[2], running[3])
+
+        contained = any(a[1] <= running[1] and a[2] >= running[2] for a in accepted)
+        if not contained:
+            accepted.append(running)
+        i = j
+
+    seen_forms: set[str] = set()
+    result: list[Span] = []
+    for sp in accepted:
+        form = sp[0].lower()
+        if form not in seen_forms:
+            seen_forms.add(form)
+            result.append(sp)
+    return result

@@ -1,0 +1,61 @@
+"""Triple emission: links -> provenance-bearing (subj, pred, obj) rows.
+
+North-rule emission (BASELINE.json): ``(mention_entity,
+lmss:isInstanceOf, lmss_class)`` plus conv/turn provenance edges.  The
+reference's terminal emission is the per-mention match dict
+(/root/reference/app/lmss_classification.py:140-148); the triple families
+here are its graph-table form (SURVEY.md §1.5, §2.7):
+
+  mention --lmss:isInstanceOf--> class IRI     (one per link)
+  mention --prov:mentionedIn--> turn URI       (one per link)
+  turn    --prov:partOf-->      conv URI       (per turn with >=1 link)
+
+Everything is built with narrow column expressions (unionByName of three
+projections — no UDF, no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PRED_IS_INSTANCE_OF = "lmss:isInstanceOf"
+PRED_MENTIONED_IN = "prov:mentionedIn"
+PRED_PART_OF = "prov:partOf"
+
+
+def _turn_uri():
+    return F.concat(F.lit("turn://"), F.col("conv_id"), F.lit("/"), F.col("turn_idx"))
+
+
+def _conv_uri():
+    return F.concat(F.lit("conv://"), F.col("conv_id"))
+
+
+def emit_triples(links: DataFrame) -> DataFrame:
+    """links -> triples(subj, pred, obj, conv_id, turn_idx, score)."""
+    is_instance = links.select(
+        F.col("mention_id").alias("subj"),
+        F.lit(PRED_IS_INSTANCE_OF).alias("pred"),
+        F.col("iri").alias("obj"),
+        "conv_id",
+        "turn_idx",
+        F.col("score").cast("float").alias("score"),
+    )
+    mentioned_in = links.select(
+        F.col("mention_id").alias("subj"),
+        F.lit(PRED_MENTIONED_IN).alias("pred"),
+        _turn_uri().alias("obj"),
+        "conv_id",
+        "turn_idx",
+        F.lit(1.0).cast("float").alias("score"),
+    )
+    part_of = links.select(
+        _turn_uri().alias("subj"),
+        F.lit(PRED_PART_OF).alias("pred"),
+        _conv_uri().alias("obj"),
+        "conv_id",
+        "turn_idx",
+        F.lit(1.0).cast("float").alias("score"),
+    )
+    return is_instance.unionByName(mentioned_in).unionByName(part_of)

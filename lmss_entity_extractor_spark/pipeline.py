@@ -1,0 +1,184 @@
+"""End-to-end KG construction pipeline (SURVEY.md §3.1 Spark form).
+
+  transcripts ──filter P4──▶ detect_mentions (Arrow UDF, narrow)
+              ──link (Arrow UDF + broadcast matrix, narrow)
+              ──emit triples (column ops, narrow)
+              ──salted canonicalize (the pipeline's one keyed shuffle)
+              ──▶ edges / nodes, partitioned + sorted on write
+
+Stage boundaries materialize to parquet tables under a warehouse
+directory with checkpoint manifests (checkpoints.py): a rerun skips
+every stage whose (input, config, code) key is unchanged, and output
+writes are deterministic — fixed partition count, hash partitioning on
+stable keys, ``sortWithinPartitions`` stable ordering (T5) — so resumed
+runs reproduce byte-identical row sets at any parallelism level.
+
+The ontology build stage (SURVEY.md §3.2) additionally persists the
+reference's "catalog" as real tables: lmss_index, ontology_closure,
+top_classes, ontology_embeddings.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schemas
+from .checkpoints import CheckpointManager, config_hash, file_fingerprint, sha256_file
+from .extraction.stage import detect_mentions
+from .graph.canonicalize import build_nodes, canonicalize_triples
+from .graph.triples import emit_triples
+from .linking.scorer import LinkerConfig
+from .linking.stage import link_mentions
+from .ontology.artifacts import OntologyArtifacts, build_artifacts
+from .ontology.owl import parse_owl_classes
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    similarity_threshold: float = 0.7          # API profile (app/main.py:106-108)
+    high_confidence_threshold: float = 0.9
+    salt_buckets: int = 16
+    output_partitions: int = 32                # fixed for deterministic layout
+    materialize_intermediate: bool = True      # write mentions/links stages
+
+    def linker(self) -> LinkerConfig:
+        return LinkerConfig(self.similarity_threshold, self.high_confidence_threshold)
+
+
+class KGPipeline:
+    STAGES = ("mentions", "links", "edges", "nodes")
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        owl_path: str | Path,
+        warehouse: str | Path,
+        config: PipelineConfig = PipelineConfig(),
+    ):
+        self.spark = spark
+        self.owl_path = Path(owl_path)
+        self.warehouse = Path(warehouse)
+        self.config = config
+        self.ckpt = CheckpointManager(self.warehouse)
+        self.ontology_hash = sha256_file(self.owl_path)
+        self._cfg_hash = config_hash({**asdict(config), "ontology": self.ontology_hash})
+
+        self.index_rows = parse_owl_classes(self.owl_path)
+        self.artifacts: OntologyArtifacts = build_artifacts(self.index_rows)
+        self.bc_artifacts = spark.sparkContext.broadcast(self.artifacts)
+        self.metrics: dict = {}
+
+    # ------------------------------------------------------------------ util
+
+    def _write(self, df: DataFrame, stage: str, part_cols: list[str], sort_cols: list[str]) -> None:
+        n = self.config.output_partitions
+        out = str(self.ckpt.output_path(stage))
+        (
+            df.repartition(n, *part_cols)
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+
+    def _read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(str(self.ckpt.output_path(stage)))
+
+    def _stage(self, stage: str, input_fp: str, build, part_cols, sort_cols) -> DataFrame:
+        """Run one checkpointed stage: skip when current, else build+write."""
+        if input_fp != "<volatile>" and self.ckpt.is_current(stage, input_fp, self._cfg_hash):
+            self.metrics[f"{stage}_skipped"] = True
+            return self._read(stage)
+        df = build()
+        self._write(df, stage, part_cols, sort_cols)
+        materialized = self._read(stage)
+        rows = materialized.count()
+        self.metrics[f"{stage}_rows"] = rows
+        self.ckpt.record(stage, input_fp, self._cfg_hash, rows=rows)
+        return materialized
+
+    # --------------------------------------------------------------- ontology
+
+    def write_ontology_tables(self) -> None:
+        """Materialize the build-stage catalog (SURVEY.md §3.2): the
+        reference's JSON/Turtle artifacts as real tables."""
+        fp = self.ontology_hash
+        if self.ckpt.is_current("ontology", fp, self._cfg_hash):
+            return
+        spark = self.spark
+        arts = self.artifacts
+        spark.createDataFrame(self.index_rows, schema=schemas.LMSS_INDEX).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(self.ckpt.output_path("ontology") / "lmss_index"))
+        spark.createDataFrame(arts.closure, schema=schemas.ONTOLOGY_CLOSURE).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(self.ckpt.output_path("ontology") / "ontology_closure"))
+        spark.createDataFrame(arts.top_classes, schema=schemas.TOP_CLASSES).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(self.ckpt.output_path("ontology") / "top_classes"))
+        spark.createDataFrame(arts.field_embeddings, schema=schemas.ONTOLOGY_EMBEDDINGS).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(self.ckpt.output_path("ontology") / "ontology_embeddings"))
+        # top-level _SUCCESS marker for the manifest check
+        (self.ckpt.output_path("ontology") / "_SUCCESS").write_text("")
+        self.ckpt.record("ontology", fp, self._cfg_hash, extra={"classes": arts.size})
+
+    # ------------------------------------------------------------------- run
+
+    def run(self, transcripts: DataFrame, input_fingerprint: str | None = None) -> dict[str, DataFrame]:
+        """Run all stages over a transcripts DataFrame.
+
+        ``input_fingerprint`` keys the checkpoint manifests; pass a stable
+        fingerprint of the input table (e.g. ``file_fingerprint(path)``)
+        to enable resume. Defaults to "<volatile>", which disables
+        stage-skipping for ad-hoc DataFrames.
+        """
+        fp = input_fingerprint or "<volatile>"
+        cfg = self.config
+        self.write_ontology_tables()
+
+        if cfg.materialize_intermediate:
+            mentions = self._stage(
+                "mentions",
+                fp,
+                lambda: detect_mentions(transcripts, self.bc_artifacts),
+                ["conv_id"],
+                ["conv_id", "turn_idx", "start"],
+            )
+            links = self._stage(
+                "links",
+                fp,
+                lambda: link_mentions(mentions, self.bc_artifacts, cfg.linker()),
+                ["conv_id"],
+                ["conv_id", "turn_idx", "start"],
+            )
+        else:
+            mentions = detect_mentions(transcripts, self.bc_artifacts)
+            links = link_mentions(mentions, self.bc_artifacts, cfg.linker())
+
+        edges = self._stage(
+            "edges",
+            fp,
+            lambda: canonicalize_triples(emit_triples(links), cfg.salt_buckets),
+            ["subj"],
+            ["subj", "pred", "obj"],
+        )
+        nodes = self._stage(
+            "nodes",
+            fp,
+            lambda: build_nodes(links, edges, self.bc_artifacts),
+            ["node_id"],
+            ["node_id"],
+        )
+        return {"mentions": mentions, "links": links, "edges": edges, "nodes": nodes}
+
+    def run_path(self, transcripts_path: str | Path) -> dict[str, DataFrame]:
+        df = self.spark.read.parquet(str(transcripts_path))
+        return self.run(df, input_fingerprint=file_fingerprint(transcripts_path))
+
+    def write_metrics(self) -> None:
+        (self.warehouse / "metrics.json").write_text(json.dumps(self.metrics, indent=2, default=str))

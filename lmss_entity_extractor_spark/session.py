@@ -1,0 +1,57 @@
+"""SparkSession factory with the pipeline's standard configuration.
+
+Tuned for the sandbox (single JVM, local[N]) but expressed the way a
+1000-executor deployment would be: AQE on (runtime partition coalescing +
+skew-join splitting), Arrow-batched Python UDF transfer, bounded Arrow
+batch sizes so the per-batch embedding matrices stay in executor memory
+(SURVEY.md §4 O9/O10), UTC session timezone for deterministic timestamp
+semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_master() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_MASTER",
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+    )
+
+
+def get_spark(
+    app_name: str = "lmss-kg-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or default_master()
+    # shuffle width ~ cores: at cluster scale this would be a multiple of
+    # total executor cores (or left to AQE coalescing from a high initial).
+    if shuffle_partitions is None:
+        try:
+            n = int(master.split("[")[1].rstrip("]").replace("*", str(os.cpu_count() or 8)))
+        except Exception:
+            n = 32
+        shuffle_partitions = max(n, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

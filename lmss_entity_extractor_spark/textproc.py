@@ -1,0 +1,182 @@
+"""Shared text-processing primitives: tokenization, stop words, and
+pure-Python reimplementations of the fuzzy string ratios the reference
+delegates to ``fuzzywuzzy`` + ``python-Levenshtein``
+(/root/reference/app/lmss_classification.py:88,
+/root/reference/app/lmss_search.py:95-96).
+
+These run on both sides of the parity gate: inside the Spark pandas UDFs
+and inside the single-process oracle (``oracle/reference_oracle.py``), so
+they must be deterministic pure functions of their inputs.
+
+Ratio semantics follow python-Levenshtein's ``ratio`` (indel distance,
+substitution cost 2):  ratio(a, b) = 2 * LCS(a, b) / (len(a) + len(b)),
+and fuzzywuzzy's ``token_set_ratio`` / ``partial_ratio`` compositions on
+top of it.  ``partial_ratio`` uses difflib matching blocks to pick the
+candidate alignment windows, as fuzzywuzzy does.
+"""
+
+from __future__ import annotations
+
+import re
+from difflib import SequenceMatcher
+from functools import lru_cache
+from pathlib import Path
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+# fuzzywuzzy's full_process: non-alphanumeric -> space, lower, strip.
+_NON_WORD_RE = re.compile(r"\W+", re.UNICODE)
+
+_STOPWORDS_PATH = Path(__file__).resolve().parent.parent / "fixtures" / "stopwords.txt"
+
+
+def load_stopwords(path: str | Path | None = None) -> frozenset[str]:
+    """Frozen stop-word fixture shared by pipeline and oracle.
+
+    Stands in for spaCy's ``nlp.Defaults.stop_words``
+    (/root/reference/app/entity_extraction.py:12-13).
+    """
+    p = Path(path) if path is not None else _STOPWORDS_PATH
+    words = [w.strip() for w in p.read_text().splitlines()]
+    return frozenset(w for w in words if w)
+
+
+STOPWORDS: frozenset[str] = load_stopwords()
+
+
+def full_process(s: str) -> str:
+    """Normalize a string the way fuzzywuzzy's full_process does:
+    non-alphanumerics to spaces, lowercase, strip."""
+    return _NON_WORD_RE.sub(" ", s).lower().strip()
+
+
+def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
+    """``\\w+`` tokens with (token, start, end) char offsets into *text*."""
+    return [(m.group(0), m.start(), m.end()) for m in _WORD_RE.finditer(text)]
+
+
+def strip_leading_stopwords(text: str, stopwords: frozenset[str] = STOPWORDS) -> tuple[str, int]:
+    """Drop leading stop words from a phrase; return (trimmed, char_offset).
+
+    Mirrors the reference rule (/root/reference/app/entity_extraction.py:28-35):
+    whitespace-split, walk words until the first non-stop word, offset
+    advances by len(word)+1 per dropped word; a phrase made entirely of
+    stop words is returned unchanged with offset 0.
+    """
+    words = text.split()
+    offset = 0
+    for k, w in enumerate(words):
+        if w.lower() not in stopwords:
+            return " ".join(words[k:]), offset
+        offset += len(w) + 1
+    return text, 0
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy ratios
+# ---------------------------------------------------------------------------
+
+
+def _lcs_len(a: str, b: str) -> int:
+    """Length of the longest common subsequence (two-row DP)."""
+    if not a or not b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0]
+        ap = cur.append
+        p = prev
+        best = 0
+        for j, cb in enumerate(b):
+            if ca == cb:
+                v = p[j] + 1
+            else:
+                v = cur[j] if cur[j] >= p[j + 1] else p[j + 1]
+            ap(v)
+        prev = cur
+    return prev[-1]
+
+
+def indel_ratio(a: str, b: str) -> float:
+    """python-Levenshtein-style ratio: 2*LCS / (len(a)+len(b)), in [0,1]."""
+    total = len(a) + len(b)
+    if total == 0:
+        return 1.0
+    return 2.0 * _lcs_len(a, b) / total
+
+
+def simple_ratio(a: str, b: str) -> int:
+    """fuzz.ratio equivalent: rounded percentage of ``indel_ratio``."""
+    return int(round(100 * indel_ratio(a, b)))
+
+
+def token_set_ratio(a: str, b: str) -> int:
+    """fuzzywuzzy ``token_set_ratio``: compare sorted intersection against
+    intersection+remainder strings, take the max pairwise simple ratio.
+
+    Reference call sites: /root/reference/app/lmss_classification.py:88,
+    /root/reference/app/lmss_search.py:95.
+    """
+    ta = set(full_process(a).split())
+    tb = set(full_process(b).split())
+    inter = sorted(ta & tb)
+    rest_a = sorted(ta - tb)
+    rest_b = sorted(tb - ta)
+
+    s_inter = " ".join(inter)
+    s_a = (s_inter + " " + " ".join(rest_a)).strip()
+    s_b = (s_inter + " " + " ".join(rest_b)).strip()
+
+    return max(
+        simple_ratio(s_inter, s_a),
+        simple_ratio(s_inter, s_b),
+        simple_ratio(s_a, s_b),
+    )
+
+
+def partial_ratio(a: str, b: str) -> int:
+    """fuzzywuzzy ``partial_ratio``: best ratio of the shorter string vs
+    same-length windows of the longer, windows chosen from difflib
+    matching blocks (/root/reference/app/lmss_search.py:96)."""
+    if len(a) <= len(b):
+        shorter, longer = a, b
+    else:
+        shorter, longer = b, a
+    if not shorter:
+        return 100 if not longer else 0
+
+    blocks = SequenceMatcher(None, shorter, longer).get_matching_blocks()
+    best = 0.0
+    for block in blocks:
+        start = max(block.b - block.a, 0)
+        window = longer[start : start + len(shorter)]
+        r = indel_ratio(shorter, window)
+        if r > 0.995:
+            return 100
+        if r > best:
+            best = r
+    return int(round(100 * best))
+
+
+@lru_cache(maxsize=65536)
+def cached_token_set_ratio(a: str, b: str) -> int:
+    """Memoized ``token_set_ratio`` for the linker's hot loop (mention
+    surface forms repeat heavily across turns — Zipf-distributed)."""
+    return token_set_ratio(a, b)
+
+
+# full_process output is alphanumeric+space only, so "#" is a safe pad.
+_TRIGRAM_PAD = "#"
+
+
+def char_trigrams(s: str) -> frozenset[str]:
+    """Character trigrams of the normalized string with boundary padding;
+    used by the fuzzy-candidate prefilter in mention detection."""
+    norm = full_process(s)
+    if not norm:
+        return frozenset()
+    padded = _TRIGRAM_PAD + norm + _TRIGRAM_PAD
+    if len(padded) < 3:
+        return frozenset((padded,))
+    return frozenset(padded[i : i + 3] for i in range(len(padded) - 2))
