@@ -36,6 +36,26 @@ def transitive_closure(
     reference's ``transitive_objects`` which yields the subject itself
     first (/root/reference/app/lmss_classification.py:163-165).
     """
+    spark = edges.sparkSession
+    # Spark 4.1 hits a constraint-rewrite NoSuchElementException when
+    # checkpointing a Union over LogicalRDD (checkpointed) legs; constraint
+    # propagation adds nothing to this loop, so disable it for its scope.
+    _CP = "spark.sql.constraintPropagation.enabled"
+    prev_cp = spark.conf.get(_CP, "true")
+    spark.conf.set(_CP, "false")
+    try:
+        return _closure_loop(edges, child_col, parent_col, include_self, max_iterations)
+    finally:
+        spark.conf.set(_CP, prev_cp)
+
+
+def _closure_loop(
+    edges: DataFrame,
+    child_col: str,
+    parent_col: str,
+    include_self: bool,
+    max_iterations: int,
+) -> DataFrame:
     base = (
         edges.select(
             F.col(child_col).alias("desc_iri"),
@@ -86,4 +106,8 @@ def transitive_closure(
         )
         closure = closure.unionByName(self_rows)
 
-    return closure.select("desc_iri", "anc_iri", F.col("depth").cast("int").alias("depth"))
+    # final checkpoint: callers act on this plan after the constraint-
+    # propagation conf is restored, so hand back a clean LogicalRDD root.
+    return closure.select(
+        "desc_iri", "anc_iri", F.col("depth").cast("int").alias("depth")
+    ).localCheckpoint(eager=True)
