@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction dataflow over the
+sf0.001 testdata (documents reshaped to the mandated transcripts schema)
+and returns the canonical edges DataFrame.  ``queries()`` exposes one
+entry per implemented operator family from SURVEY.md §2 over
+``/root/testdata/sf*``; ``oracle_sql()`` provides DuckDB-equivalent ANSI
+SQL for every SQL-expressible query (UDF-backed pipeline operators are
+rows-only by design and say so in their docstrings).
+
+Column-name discipline: every computed column is aliased identically in
+the Spark query and the oracle SQL.
 """
 
 from __future__ import annotations
@@ -12,27 +17,668 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_ENTRY_OWL = "/tmp/lmss_fixture_ontology.owl"
+
+
+def _artifact_owl() -> str:
+    from lmss_entity_extractor_spark.datagen import write_fixture_owl
+
+    write_fixture_owl(_ENTRY_OWL)
+    return _ENTRY_OWL
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lmss_entity_extractor_spark.datagen.transcripts import transcripts_from_documents
+
+    return transcripts_from_documents(_t(spark, sf_dir, "documents"))
+
+
+def _pipeline(spark: SparkSession):
+    import tempfile
+
+    from lmss_entity_extractor_spark.pipeline import KGPipeline, PipelineConfig
+
+    return KGPipeline(
+        spark,
+        _artifact_owl(),
+        tempfile.mkdtemp(prefix="lmss_entry_"),
+        PipelineConfig(similarity_threshold=0.7, materialize_intermediate=False),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: sf0.001 documents -> transcripts -> mention
+    detection -> linking -> canonical (subj, pred, obj) edges."""
+    tdf = _transcripts(spark, "/root/testdata/sf0.001")
+    return _pipeline(spark).dataflow(tdf)["edges"]
+
+
+# ---------------------------------------------------------------------------
+# queries — relational operator inventory (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_filter_project(spark, sf_dir):
+    """P4/pushdown + agg: filtered revenue (TPC-H Q6 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_agg_returnflag(spark, sf_dir):
+    """A1 hash aggregation (TPC-H Q1 shape): partial+final automatic."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    """T1 top-k: TakeOrderedAndProject, deterministic tiebreak."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+def q_window_dedup(spark, sf_dir):
+    """A6 keep-first dedup as row_number window."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    # l_linenumber alone is not unique per order in this dataset — the
+    # ordering must be total or the kept row is engine-dependent.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.asc("l_linenumber"), F.asc("l_partkey"), F.asc("l_suppkey")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_partkey", F.round("l_quantity", 2).alias("first_qty"))
+    )
+
+
+def q_broadcast_join_brand(spark, sf_dir):
+    """J: broadcast hash join on the small dimension."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_semi_join(spark, sf_dir):
+    """P10 semi-join: customers having orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+def q_anti_join(spark, sf_dir):
+    """Anti-join: customers without orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_nationkey")
+
+
+def q_region_revenue(spark, sf_dir):
+    """Multi-way join chain with two broadcast dims."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_pivot_events(spark, sf_dir):
+    """P3 triples->wide pivot shape: conditional aggregation."""
+    e = _t(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 10).alias("user_bucket")
+    return (
+        e.groupBy(bucket)
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+            F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 2).alias("purchase_value"),
+        )
+    )
+
+
+def q_closure(spark, sf_dir):
+    """J4 transitive closure by iterative self-join over the
+    order->customer->nation->region hierarchy (depth 3)."""
+    from lmss_entity_extractor_spark.graph.closure import transitive_closure
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 200 == 0)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    e1 = o.select(
+        F.concat(F.lit("o:"), F.col("o_orderkey")).alias("child"),
+        F.concat(F.lit("c:"), F.col("o_custkey")).alias("parent"),
+    )
+    e2 = c.select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("child"),
+        F.concat(F.lit("n:"), F.col("c_nationkey")).alias("parent"),
+    )
+    e3 = n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey")).alias("child"),
+        F.concat(F.lit("r:"), F.col("n_regionkey")).alias("parent"),
+    )
+    edges = e1.unionByName(e2).unionByName(e3)
+    return transitive_closure(edges, include_self=False).select(
+        F.col("desc_iri").alias("descendant"),
+        F.col("anc_iri").alias("ancestor"),
+        F.col("depth").alias("depth"),
+    )
+
+
+def q_argmax_link(spark, sf_dir):
+    """J1/J2/A5 relational form: crossJoin + per-query argmax by cosine
+    (strict first-max tiebreak on neighbor id)."""
+    from pyspark.sql import Window
+
+    from lmss_entity_extractor_spark.ops.similarity import cosine_expr
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cand = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos", cosine_expr(F.col("qvec"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("cand_id").alias("best_id"))
+    )
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-k similarity search."""
+    from lmss_entity_extractor_spark.ops.similarity import knn_bruteforce
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_bruteforce(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+def q_knn_lsh(spark, sf_dir):
+    """Sign-LSH bucketed approximate top-k."""
+    from lmss_entity_extractor_spark.ops.similarity import knn_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_lsh(e, e.filter(F.col("vec_id") < 5), k=3, bits=2)
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact duplicate groups by text hash."""
+    from lmss_entity_extractor_spark.ops.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """3-gram shingle Jaccard near-duplicate pairs (threshold 0.6)."""
+    from lmss_entity_extractor_spark.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.6, max_shingle_df=50
+    )
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH candidate pairs (md5 hash family, 8 hashes, 4 bands)."""
+    from lmss_entity_extractor_spark.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3, num_hashes=8, bands=4)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within label buckets."""
+    from lmss_entity_extractor_spark.ops.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9, bucket_col="label"
+    )
+
+
+def q_quality_stats(spark, sf_dir):
+    """Per-document quality features."""
+    from lmss_entity_extractor_spark.ops.textstats import quality_stats
+
+    return quality_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_langid(spark, sf_dir):
+    """Stopword-probe language heuristic."""
+    from lmss_entity_extractor_spark.ops.textstats import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    """Normalization fingerprint (md5 of lowercased alphanumerics)."""
+    from lmss_entity_extractor_spark.ops.textstats import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_context_slice(spark, sf_dir):
+    """W3 context slice: ±30 chars around the first 'spark' occurrence."""
+    d = _t(spark, sf_dir, "documents")
+    pos = F.instr(F.col("text"), F.lit("spark"))
+    return (
+        d.filter(pos > 0)
+        .select(
+            "doc_id",
+            F.substring(F.col("text"), F.greatest(pos - 30, F.lit(1)), F.lit(60) + F.least(pos - 31, F.lit(0))).alias("context"),
+        )
+    )
+
+
+def q_source_split(spark, sf_dir):
+    """F11 split-first-token tag: part type family counts."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(F.split(F.col("p_type"), " ").getItem(0).alias("type_family"))
+        .groupBy("type_family")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+def q_coalesce_backfill(spark, sf_dir):
+    """P12 null backfill: nullif + coalesce -> 'Unknown'."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("Unknown")).alias("etype"))
+        .groupBy("etype")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_stable_sort(spark, sf_dir):
+    """T5 stable output ordering on (ts, event_id)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .limit(50)
+        .select("event_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — UDF-backed pipeline operators (rows-only; no SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_mention_type_counts(spark, sf_dir):
+    """A1 over the real extraction stage (Arrow UDF — not SQL-expressible):
+    mention counts per candidate type on synthesized transcripts."""
+    pipe = _pipeline(spark)
+    mentions = pipe.dataflow(_transcripts(spark, sf_dir), strategy="staged")["mentions"]
+    return mentions.groupBy("mtype").agg(F.count(F.lit(1)).alias("n_mentions"))
+
+
+def q_kg_edge_counts(spark, sf_dir):
+    """Full KG pipeline (extract -> link -> canonicalize), edge counts per
+    predicate (UDF-backed; rows-only)."""
+    pipe = _pipeline(spark)
+    edges = pipe.dataflow(_transcripts(spark, sf_dir))["edges"]
+    return edges.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("n_provenances").alias("n_provenances"),
+    )
+
+
+def q_hybrid_search(spark, sf_dir):
+    """J3 hybrid index search (fuzzy UDF; rows-only)."""
+    from lmss_entity_extractor_spark.ontology import build_artifacts, parse_owl_classes
+    from lmss_entity_extractor_spark.search import hybrid_search
+
+    artifacts = build_artifacts(parse_owl_classes(_artifact_owl()))
+    return hybrid_search(spark, artifacts, "patent litigation counsel")
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash signatures (numpy UDF; rows-only)."""
+    from lmss_entity_extractor_spark.ops.dedup import simhash_signatures
+
+    return simhash_signatures(_t(spark, sf_dir, "documents").limit(100))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> Arrow-batched feature
+    extraction (stubbed decode; rows-only)."""
+    from lmss_entity_extractor_spark.ops.multimodal import extract_media_features, make_media_table
+
+    media = make_media_table(_t(spark, sf_dir, "documents").limit(100))
+    feats = extract_media_features(media)
+    return feats.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational inventory (oracle-checked)
+        "filter_project": q_filter_project,
+        "agg_returnflag": q_agg_returnflag,
+        "topk_orders": q_topk_orders,
+        "window_dedup": q_window_dedup,
+        "broadcast_join_brand": q_broadcast_join_brand,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "region_revenue": q_region_revenue,
+        "pivot_events": q_pivot_events,
+        "closure": q_closure,
+        "argmax_link": q_argmax_link,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "embedding_neardup": q_embedding_neardup,
+        "quality_stats": q_quality_stats,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "context_slice": q_context_slice,
+        "source_split": q_source_split,
+        "coalesce_backfill": q_coalesce_backfill,
+        "stable_sort": q_stable_sort,
+        # UDF-backed pipeline operators (rows-only)
+        "mention_type_counts": q_mention_type_counts,
+        "kg_edge_counts": q_kg_edge_counts,
+        "hybrid_search": q_hybrid_search,
+        "simhash": q_simhash,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] FOR i IN range(greatest(len(t)-2, 0))]) AS shingle
+    FROM toks
+),
+sh_nonempty AS (SELECT * FROM sh WHERE length(shingle) > 0)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_project": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.06
+              AND l_quantity < 24
+        """,
+        "agg_returnflag": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "window_dedup": """
+            SELECT l_orderkey, l_partkey, round(l_quantity, 2) AS first_qty
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+                FROM lineitem
+            ) WHERE rn = 1
+        """,
+        "broadcast_join_brand": """
+            SELECT p_brand, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_nationkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "region_revenue": """
+            SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "pivot_events": """
+            SELECT user_id % 10 AS user_bucket,
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
+            FROM events GROUP BY 1
+        """,
+        "closure": """
+            WITH RECURSIVE edges AS (
+                SELECT 'o:' || o_orderkey AS child, 'c:' || o_custkey AS parent
+                FROM orders WHERE o_orderkey % 200 = 0
+                UNION ALL
+                SELECT 'c:' || c_custkey, 'n:' || c_nationkey FROM customer
+                UNION ALL
+                SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+            ),
+            closure AS (
+                SELECT child AS descendant, parent AS ancestor, 1 AS depth FROM edges
+                UNION ALL
+                SELECT c.descendant, e.parent, c.depth + 1
+                FROM closure c JOIN edges e ON c.ancestor = e.child
+            )
+            SELECT DISTINCT descendant, ancestor, depth FROM closure
+        """,
+        "argmax_link": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS cand_id,
+                       list_cosine_similarity(q.qvec, e.embedding) AS cos
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, cand_id AS best_id
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        """,
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qvec, e.embedding) AS cos
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, rn AS rank, neighbor_id
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+                FROM scored
+            ) WHERE rn <= 3
+        """,
+        "knn_lsh": """
+            WITH b AS (
+                SELECT vec_id, embedding,
+                       (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                     + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) AS bucket
+                FROM embeddings
+            ),
+            q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM b WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qvec, e.embedding) AS cos
+                FROM b e JOIN q ON e.bucket = q.bucket
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, rn AS rank, neighbor_id
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+                FROM scored
+            ) WHERE rn <= 3
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            ok AS (SELECT shingle FROM sh_nonempty GROUP BY 1 HAVING count(*) <= 50),
+            shf AS (SELECT s.* FROM sh_nonempty s JOIN ok USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+            shared AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+                FROM shf a JOIN shf b USING (shingle)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_shared, sa.n AS n_a, sb.n AS n_b
+            FROM shared
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE n_shared >= 0.6 * (sa.n + sb.n - n_shared)
+        """,
+        "dedup_minhash": f"""
+            WITH {_SHINGLES_CTE},
+            hashed AS (
+                SELECT doc_id, i.range AS h_idx,
+                       min(md5(i.range || ':' || shingle)) AS minhash
+                FROM sh_nonempty, range(8) i
+                GROUP BY doc_id, i.range
+            ),
+            band_sig AS (
+                SELECT doc_id, CAST(h_idx // 2 AS INT) AS band,
+                       string_agg(h_idx || ':' || minhash, '|' ORDER BY h_idx || ':' || minhash) AS band_sig
+                FROM hashed GROUP BY 1, 2
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band_sig a JOIN band_sig b ON a.band = b.band AND a.band_sig = b.band_sig
+            WHERE a.doc_id < b.doc_id
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.label = b.label
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        """,
+        "quality_stats": """
+            WITH t AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       string_split_regex(trim(text), '\\s+') AS toks,
+                       length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS punct
+                FROM documents
+            )
+            SELECT doc_id, n_chars, len(toks) AS n_tokens,
+                   floor((n_chars - (len(toks) - 1)) / len(toks) * 10000) / 10000 AS mean_token_len,
+                   floor(len(list_distinct(toks)) * 1.0 / len(toks) * 10000) / 10000 AS uniq_token_ratio,
+                   floor(punct * 1.0 / greatest(n_chars, 1) * 10000) / 10000 AS punct_ratio,
+                   floor((least(len(toks) / 64.0, 1.0) * 0.4
+                       + len(list_distinct(toks)) * 1.0 / len(toks) * 0.4
+                       + (1.0 - least(punct * 4.0 / greatest(n_chars, 1), 1.0)) * 0.2) * 10000) / 10000 AS quality_score
+            FROM t
+        """,
+        "langid": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in)\\b')) AS hits_en,
+                       len(regexp_extract_all(lower(text), '\\b(el|la|de|que|los)\\b')) AS hits_es,
+                       len(regexp_extract_all(lower(text), '\\b(le|la|les|des|est)\\b')) AS hits_fr,
+                       len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS hits_de
+                FROM documents
+            )
+            SELECT doc_id, hits_en, hits_es, hits_fr, hits_de,
+                   CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de) = 0 THEN 'und'
+                        WHEN hits_de = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'de'
+                        WHEN hits_en = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'en'
+                        WHEN hits_es = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'es'
+                        WHEN hits_fr = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'fr'
+                   END AS lang_guess
+            FROM t
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+                   length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS n_norm_chars
+            FROM documents
+        """,
+        "context_slice": """
+            SELECT doc_id,
+                   substring(text, greatest(strpos(text, 'spark') - 30, 1),
+                             60 + least(strpos(text, 'spark') - 31, 0)) AS context
+            FROM documents WHERE strpos(text, 'spark') > 0
+        """,
+        "source_split": """
+            SELECT split_part(p_type, ' ', 1) AS type_family, count(*) AS n_parts
+            FROM part GROUP BY 1
+        """,
+        "coalesce_backfill": """
+            SELECT coalesce(nullif(event_type, 'error'), 'Unknown') AS etype,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "stable_sort": """
+            SELECT event_id, event_type FROM events
+            ORDER BY ts ASC, event_id ASC LIMIT 50
+        """,
+    }

@@ -148,6 +148,30 @@ def write_transcripts_parquet(path: str | Path, **kwargs) -> Path:
     return p
 
 
+def transcripts_from_documents(docs, convs: int = 64):
+    """Deterministically reshape the driver-provided ``documents`` table
+    into the mandated transcripts shape (BASELINE.json ``input_hint``):
+    conv_id = doc_id mod ``convs`` (dense turn_idx per conv), role cycled,
+    fixed epoch + doc_id minutes as ts.  Pure column expressions — no UDF,
+    no shuffle — so the flagship entry query runs on driver testdata
+    without external inputs."""
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        F.concat(F.lit("conv-"), F.lpad((F.col("doc_id") % convs).cast("string"), 6, "0")).alias(
+            "conv_id"
+        ),
+        (F.col("doc_id") / convs).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            ((F.col("doc_id") / convs).cast("int") % 3 + 1).cast("int"),
+        ).alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (F.lit("2026-01-01 00:00:00").cast("timestamp") + F.make_interval(mins=F.col("doc_id").cast("int"))).alias("ts"),
+    )
+
+
 def transcripts_spark_df(spark, n_convs: int = 100, seed: int = 42, **kwargs):
     """Distributed generation: parallelize conv ids, generate each
     conversation's turns on executors (scales to bench sizes without a

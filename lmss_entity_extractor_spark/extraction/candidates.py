@@ -71,40 +71,81 @@ def fuzzy_window_spans(
     or end with a stop word (proxy for the reference's stop-root noun
     chunk filter, /root/reference/app/entity_extraction.py:121-125).
     """
+    import numpy as np
+
     toks = tokenize_with_offsets(text)
-    postings = artifacts.trigram_postings
-    label_tris = artifacts.label_trigrams
+    surf_sizes = artifacts.label_tri_sizes
     out: list[Span] = []
     n_toks = len(toks)
-    for i in range(n_toks):
-        if toks[i][0].lower() in STOPWORDS:
+
+    tok_lower = [t[0].lower() for t in toks]
+    tok_stop = [t in STOPWORDS for t in tok_lower]
+    # per-token trigram tallies (shared-count vector over all dictionary
+    # surfaces + trigram count), cached per distinct token per process —
+    # window scoring becomes one vector add per extension instead of a
+    # postings concat + bincount per window
+    tallies = [_token_tally(artifacts, t) for t in tok_lower]
+
+    i = 0
+    while i < n_toks:
+        if tok_stop[i]:
+            i += 1
             continue
+        # evaluate windows starting at i, keep the best-scoring one —
+        # spaCy noun chunks never overlap each other, and emitting every
+        # qualifying sub-window would splice garbage in the merge scan
+        best = None  # (similarity, n)
+        counts = None
+        wsize = 0
         for n in range(1, max_window + 1):
             j = i + n - 1
             if j >= n_toks:
                 break
-            if toks[j][0].lower() in STOPWORDS:
+            tvec, tsize = tallies[j]
+            counts = tvec.copy() if counts is None else counts + tvec
+            wsize += tsize
+            if tok_stop[j]:
                 continue  # window may extend past an inner stop word
-            start, end = toks[i][1], toks[j][2]
-            surface = text[start:end]
-            if len(surface) < 3:
+            if toks[j][2] - toks[i][1] < 3 or wsize == 0:
                 continue
-            win_tris = char_trigrams(surface)
-            if not win_tris:
-                continue
-            shared: Counter[int] = Counter()
-            for g in win_tris:
-                for pos in postings.get(g, ()):
-                    shared[pos] += 1
-            qualifies = False
-            for pos, cnt in shared.items():
-                union = len(win_tris) + len(label_tris[pos]) - cnt
-                if union > 0 and cnt / union >= threshold:
-                    qualifies = True
-                    break
-            if qualifies:
-                out.append((surface, start, end, FUZZY_TYPE))
+            # multiset Jaccard: shared / (window + surface - shared)
+            sim = float((counts / (wsize + surf_sizes - counts)).max())
+            if sim >= threshold and (best is None or (sim, n) > best):
+                best = (sim, n)
+        if best is None:
+            i += 1
+        else:
+            _, n = best
+            start, end = toks[i][1], toks[i + n - 1][2]
+            out.append((text[start:end], start, end, FUZZY_TYPE))
+            i = i + n  # windows never overlap
     return out
+
+
+def _token_tally(artifacts: OntologyArtifacts, token: str):
+    """(shared-count vector over surfaces, n_trigrams) for one token,
+    cached on the (executor-local) artifacts object."""
+    import numpy as np
+
+    cache = getattr(artifacts, "_tok_tally_cache", None)
+    if cache is None:
+        cache = {}
+        artifacts._tok_tally_cache = cache
+    hit = cache.get(token)
+    if hit is None:
+        tris = char_trigrams(token)
+        n_surfaces = len(artifacts.label_tri_sizes)
+        vec = np.zeros(n_surfaces, dtype=np.int64)
+        empty = ()
+        postings = artifacts.trigram_postings
+        for g in tris:
+            p = postings.get(g)
+            if p is not None:
+                vec[p] += 1
+        hit = (vec, len(tris))
+        if len(cache) < 500_000:
+            cache[token] = hit
+    return hit
 
 
 def keyword_spans(text: str, top_k: int = TOP_K_KEYWORDS) -> list[Span]:

@@ -33,29 +33,37 @@ def _conv_uri():
 
 
 def emit_triples(links: DataFrame) -> DataFrame:
-    """links -> triples(subj, pred, obj, conv_id, turn_idx, score)."""
-    is_instance = links.select(
-        F.col("mention_id").alias("subj"),
-        F.lit(PRED_IS_INSTANCE_OF).alias("pred"),
-        F.col("iri").alias("obj"),
+    """links -> triples(subj, pred, obj, conv_id, turn_idx, score).
+
+    Single-pass fan-out: the three triple families are generated as an
+    inline array per link row and exploded — a union of three selects
+    over the same links plan would recompute the (UDF-heavy) upstream
+    three times; this shape computes it once and stays narrow."""
+    fam = F.array(
+        F.struct(
+            F.col("mention_id").alias("subj"),
+            F.lit(PRED_IS_INSTANCE_OF).alias("pred"),
+            F.col("iri").alias("obj"),
+            F.col("score").cast("float").alias("score"),
+        ),
+        F.struct(
+            F.col("mention_id").alias("subj"),
+            F.lit(PRED_MENTIONED_IN).alias("pred"),
+            _turn_uri().alias("obj"),
+            F.lit(1.0).cast("float").alias("score"),
+        ),
+        F.struct(
+            _turn_uri().alias("subj"),
+            F.lit(PRED_PART_OF).alias("pred"),
+            _conv_uri().alias("obj"),
+            F.lit(1.0).cast("float").alias("score"),
+        ),
+    )
+    return links.select("conv_id", "turn_idx", F.explode(fam).alias("_t")).select(
+        F.col("_t.subj").alias("subj"),
+        F.col("_t.pred").alias("pred"),
+        F.col("_t.obj").alias("obj"),
         "conv_id",
         "turn_idx",
-        F.col("score").cast("float").alias("score"),
+        F.col("_t.score").alias("score"),
     )
-    mentioned_in = links.select(
-        F.col("mention_id").alias("subj"),
-        F.lit(PRED_MENTIONED_IN).alias("pred"),
-        _turn_uri().alias("obj"),
-        "conv_id",
-        "turn_idx",
-        F.lit(1.0).cast("float").alias("score"),
-    )
-    part_of = links.select(
-        _turn_uri().alias("subj"),
-        F.lit(PRED_PART_OF).alias("pred"),
-        _conv_uri().alias("obj"),
-        "conv_id",
-        "turn_idx",
-        F.lit(1.0).cast("float").alias("score"),
-    )
-    return is_instance.unionByName(mentioned_in).unionByName(part_of)

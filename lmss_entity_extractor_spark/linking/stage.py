@@ -1,10 +1,17 @@
 """Spark linking stage: mentions -> links (operators J1/J2/J5/P7/P12).
 
-One scalar pandas UDF carrying the vectorized linker; each executor
-holds a single Linker instance per (broadcast, config) pair, so the
-per-surface-form memo cache persists across Arrow batches for the
-lifetime of the executor — the reference's O(mentions x classes) scan
-collapses to ~O(unique surface forms x classes).
+The link result is a pure function of the mention surface form, so the
+default strategy scores each DISTINCT surface exactly once cluster-wide
+(mention text is Zipf-distributed — the distinct set is orders of
+magnitude smaller than the mention stream) and broadcast-joins the
+per-surface results back onto the mention stream.  Without dedup every
+executor re-scores the same hot surfaces: per-worker memo caches don't
+share across processes.
+
+The scoring runs inside ``mapInPandas`` with a FLAT output schema — not
+a struct-returning scalar UDF: Catalyst's projection collapsing
+duplicates a struct-valued Python UDF once per extracted field (plus the
+null filter), silently multiplying the Python work ~5x.
 """
 
 from __future__ import annotations
@@ -12,46 +19,138 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
-from .. import schemas
 from .scorer import Linker, LinkerConfig
 
 # executor-local linker registry: (broadcast_id, config) -> Linker
 _LINKERS: dict = {}
 
+_SURFACE_LINKS_SCHEMA = (
+    "text string, branch string, label string, score float, iri string"
+)
+
 
 def _get_linker(bc_artifacts, config: LinkerConfig) -> Linker:
-    key = (id(bc_artifacts), config)
+    # key by the broadcast VALUE's identity, not the Broadcast handle:
+    # pyspark deserializes a fresh Broadcast handle per task, but
+    # Broadcast.value is cached per worker process — keying on the handle
+    # would silently rebuild the Linker (and throw away its surface-form
+    # memo cache) on every task.
+    artifacts = bc_artifacts.value
+    key = (id(artifacts), config)
     linker = _LINKERS.get(key)
     if linker is None:
-        linker = Linker(bc_artifacts.value, config)
+        linker = Linker(artifacts, config)
         _LINKERS[key] = linker
     return linker
 
 
-def link_mentions(mentions: DataFrame, bc_artifacts, config: LinkerConfig = LinkerConfig()) -> DataFrame:
-    """mentions -> links (unmatched mentions are dropped, P7)."""
+def link_surfaces(surfaces: DataFrame, bc_artifacts, config: LinkerConfig) -> DataFrame:
+    """(text) -> (text, branch, label, score, iri), unmatched rows
+    dropped (P7); branch backfilled to 'Unknown' (P12) by the scorer."""
 
-    @pandas_udf(schemas.LINK_RESULT)
-    def link_udf(texts: pd.Series) -> pd.DataFrame:
+    def run(batches):
         linker = _get_linker(bc_artifacts, config)
-        results = linker.link_batch(texts)
-        return pd.DataFrame(results, columns=["iri", "label", "score", "branch"])
+        for pdf in batches:
+            texts = pdf["text"].tolist()
+            results = linker.link_batch(texts)
+            out = {"text": [], "branch": [], "label": [], "score": [], "iri": []}
+            for t, r in zip(texts, results):
+                if r["iri"] is None:
+                    continue
+                out["text"].append(t)
+                out["branch"].append(r["branch"] if r["branch"] is not None else "Unknown")
+                out["label"].append(r["label"])
+                out["score"].append(r["score"])
+                out["iri"].append(r["iri"])
+            yield pd.DataFrame(out)
 
-    linked = mentions.withColumn("_link", link_udf(F.col("text")))
-    return (
-        linked.filter(F.col("_link.iri").isNotNull())
-        .select(
-            "conv_id",
-            "turn_idx",
-            "mention_id",
-            "start",
-            "end",
-            "text",
-            F.coalesce(F.col("_link.branch"), F.lit("Unknown")).alias("branch"),
-            F.col("_link.label").alias("label"),
-            F.col("_link.score").cast("float").alias("score"),
-            F.col("_link.iri").alias("iri"),
-        )
+    return surfaces.select("text").mapInPandas(run, schema=_SURFACE_LINKS_SCHEMA)
+
+
+def extract_and_link(transcripts: DataFrame, bc_artifacts, config: LinkerConfig = LinkerConfig()) -> DataFrame:
+    """Fused single-pass stage: transcripts -> links.
+
+    Mention detection and linking run in ONE ``mapInPandas`` — no
+    intermediate mention materialization, no distinct shuffle, no join.
+    Each worker memoizes link results per surface form, so the fuzzy
+    scoring cost is O(unique surfaces) per worker (replicated across
+    workers).  Choose this when surfaces repeat heavily and worker count
+    is moderate; choose the staged ``detect_mentions`` +
+    ``link_mentions`` path (global surface dedup + broadcast join) when
+    the distinct-surface set is large or stages are materialized for
+    checkpoint/resume anyway.
+    """
+    from .. import schemas  # noqa: F401  (schema source of truth)
+    from ..extraction.turn import extract_mentions_from_turn
+
+    out_schema = (
+        "conv_id string, turn_idx int, mention_id string, start int, end int, "
+        "text string, branch string, label string, score float, iri string"
+    )
+
+    def run(batches):
+        linker = _get_linker(bc_artifacts, config)
+        artifacts = bc_artifacts.value
+        cols_names = [
+            "conv_id", "turn_idx", "mention_id", "start", "end",
+            "text", "branch", "label", "score", "iri",
+        ]
+        for pdf in batches:
+            cols = {c: [] for c in cols_names}
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(), pdf["text"].tolist()
+            ):
+                for m in extract_mentions_from_turn(text or "", artifacts, with_context=False):
+                    r = linker.link_text(m["text"])
+                    if r["iri"] is None:
+                        continue
+                    cols["conv_id"].append(conv_id)
+                    cols["turn_idx"].append(turn_idx)
+                    cols["mention_id"].append(
+                        f"mention://{conv_id}/{turn_idx}/{m['start']}-{m['end']}"
+                    )
+                    cols["start"].append(m["start"])
+                    cols["end"].append(m["end"])
+                    cols["text"].append(m["text"])
+                    cols["branch"].append(r["branch"] if r["branch"] is not None else "Unknown")
+                    cols["label"].append(r["label"])
+                    cols["score"].append(r["score"])
+                    cols["iri"].append(r["iri"])
+            yield pd.DataFrame(cols)
+
+    filtered = transcripts.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "conv_id", "turn_idx", "text"
+    )
+    target = transcripts.sparkSession.sparkContext.defaultParallelism * 8
+    if filtered.rdd.getNumPartitions() < target:
+        filtered = filtered.repartition(target, "conv_id")
+    return filtered.mapInPandas(run, schema=out_schema)
+
+
+def link_mentions(
+    mentions: DataFrame,
+    bc_artifacts,
+    config: LinkerConfig = LinkerConfig(),
+) -> DataFrame:
+    """mentions -> links (unmatched mentions are dropped, P7)."""
+    # AQE coalesces the (tiny) distinct-surface shuffle down to one
+    # partition, which would serialize the scoring UDF onto one core —
+    # spread it back across the cluster before scoring.
+    par = mentions.sparkSession.sparkContext.defaultParallelism
+    surface_links = link_surfaces(
+        mentions.select("text").distinct().repartition(par), bc_artifacts, config
+    )
+    linked = mentions.join(F.broadcast(surface_links), "text")
+    return linked.select(
+        "conv_id",
+        "turn_idx",
+        "mention_id",
+        "start",
+        "end",
+        "text",
+        "branch",
+        "label",
+        F.col("score").cast("float").alias("score"),
+        "iri",
     )

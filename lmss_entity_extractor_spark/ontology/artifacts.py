@@ -54,8 +54,16 @@ class OntologyArtifacts:
     closure: list[tuple[str, str, int]]        # (desc_iri, anc_iri, depth), depth 0 = self
     field_embeddings: list[tuple[str, str, list[float]]]  # (iri, field, vec)
     surfaces: list[tuple[str, int]]            # (surface_lower, index_pos) dictionary
-    label_trigrams: list[frozenset]            # per index_pos, trigrams of rdfs_label
-    trigram_postings: dict[str, list[int]] = field(default_factory=dict)
+    label_trigrams: list[frozenset]            # per surface id, trigrams of the surface
+    trigram_postings: dict[str, "np.ndarray"] = field(default_factory=dict)
+
+    @property
+    def label_tri_sizes(self) -> np.ndarray:
+        sz = getattr(self, "_label_tri_sizes", None)
+        if sz is None:
+            sz = np.asarray([len(t) for t in self.label_trigrams], dtype=np.int64)
+            object.__setattr__(self, "_label_tri_sizes", sz)
+        return sz
 
     # -- derived, built lazily on executors ---------------------------------
     _surface_regex: "re.Pattern | None" = None
@@ -176,11 +184,17 @@ def build_artifacts(index_rows: list[dict], owl_thing: str = "http://www.w3.org/
                 surfaces.append((s, pos))
     surfaces = sorted(set(surfaces))
 
-    label_trigrams = [char_trigrams(lbl) for lbl in labels]
-    postings: dict[str, list[int]] = {}
-    for pos, tris in enumerate(label_trigrams):
+    # trigram index over EVERY dictionary surface (labels + prefLabels +
+    # altLabels) — typo'd alias mentions must be recoverable too
+    surface_texts = [s for s, _ in surfaces]
+    label_trigrams = [char_trigrams(s) for s in surface_texts]
+    postings_lists: dict[str, list[int]] = {}
+    for sid, tris in enumerate(label_trigrams):
         for g in tris:
-            postings.setdefault(g, []).append(pos)
+            postings_lists.setdefault(g, []).append(sid)
+    # int32 posting arrays: the fuzzy-window prefilter tallies shared
+    # trigram counts with one np.bincount over concatenated postings
+    postings = {g: np.asarray(lst, dtype=np.int32) for g, lst in postings_lists.items()}
 
     return OntologyArtifacts(
         index_rows=index_rows,

@@ -1,0 +1,9 @@
+from .dedup import (  # noqa: F401
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+    embedding_neardup_pairs,
+)
+from .similarity import cosine_expr, knn_bruteforce, knn_lsh  # noqa: F401
+from .textstats import doc_fingerprint, language_id, quality_stats  # noqa: F401

@@ -1,0 +1,203 @@
+"""Deduplication operators for large-scale document/training-data
+pipelines: exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+
+All the relational variants are pure DataFrame compositions (JVM-side,
+whole-stage-codegen'd, shuffle only on the natural keys); SimHash is the
+one Arrow-vectorized numpy UDF.  Hash functions are md5-hex based so the
+same computation is expressible in the DuckDB oracle (portable across
+engines, unlike xxhash64/DuckDB-hash).
+
+Scale notes (100 TB):
+  * exact dedup — one hash-partitioned groupBy on a 32-char digest, fully
+    map-side combinable;
+  * jaccard / minhash — the shingle explode multiplies rows ~O(tokens),
+    but the candidate join keys (shingle, band signature) distribute well;
+    stop-shingles (appearing in > max_df docs) must be dropped BEFORE the
+    self-join or one hot shingle produces a quadratic bucket — that filter
+    is built in here;
+  * pair generation dedups with doc_a < doc_b so each pair exists once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _tokens(text_col: str):
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def _shingles(text_col: str, n: int):
+    """Distinct word n-gram shingles of a text column (array<string>)."""
+    toks = _tokens(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups: (text_hash, n_docs, canonical_id) for
+    groups with >1 member.  Hash-groupBy; canonical = min id."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity:
+    (doc_a, doc_b, n_shared, n_a, n_b) with jaccard >= threshold.
+
+    shared / (|A| + |B| - shared) >= t  — computed by exploding distinct
+    shingles and self-joining on the shingle.  Shingles occurring in more
+    than ``max_shingle_df`` documents are dropped first (stop-shingle
+    guard: a hot shingle would create a quadratic join bucket)."""
+    sh = docs.select(F.col(id_col).alias("doc"), F.explode(_shingles(text_col, n)).alias("shingle"))
+    sh = sh.filter(F.length("shingle") > 0)
+    ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_shingle_df)
+    sh = sh.join(ok.select("shingle"), "shingle")
+
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
+        .filter(
+            F.col("n_shared") >= F.lit(threshold) * (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+        )
+        .select("doc_a", "doc_b", "n_shared", "n_a", "n_b")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + banded LSH.
+
+    Hash family: h_i(s) = md5(i || ':' || s) — lexicographic min of hex
+    digests per (doc, i) is the minhash (portable to any engine with
+    md5).  Signatures are split into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any band signature become a
+    candidate pair.  Returns distinct (doc_a, doc_b)."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+
+    sh = docs.select(F.col(id_col).alias("doc"), F.explode(_shingles(text_col, n)).alias("shingle"))
+    sh = sh.filter(F.length("shingle") > 0)
+
+    hashed = sh.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.struct(
+                    i.alias("h_idx"),
+                    F.md5(F.concat(i.cast("string"), F.lit(":"), F.col("shingle"))).alias("h_val"),
+                ),
+            )
+        ).alias("h"),
+    ).select("doc", F.col("h.h_idx").alias("h_idx"), F.col("h.h_val").alias("h_val"))
+
+    sig = hashed.groupBy("doc", "h_idx").agg(F.min("h_val").alias("minhash"))
+    band_sig = (
+        sig.withColumn("band", (F.col("h_idx") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.col("h_idx"), F.col("minhash"))))).alias("band_sig"))
+    )
+    a = band_sig.alias("a")
+    b = band_sig.alias("b")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document (Arrow-vectorized numpy UDF — bit
+    manipulation is the one piece built-ins don't express well).
+
+    sig bit b = sign of sum over tokens of (+1 if bit b of
+    blake2b64(token) else -1).  Returns (doc_id, simhash:bigint)."""
+    @pandas_udf("long")
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        cache: dict[str, np.ndarray] = {}
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                signs = cache.get(tok)
+                if signs is None:
+                    digest = hashlib.blake2b(tok.encode(), digest_size=8).digest()
+                    bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
+                    signs = bits.astype(np.int64) * 2 - 1
+                    cache[tok] = signs
+                acc += signs
+            sig_bits = (acc > 0).astype(np.uint8)
+            sig = int.from_bytes(np.packbits(sig_bits).tobytes(), "big")
+            # fold to signed int64 for Spark's LongType
+            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    ``bucket_col`` (e.g. a cluster/label/LSH-bucket column) restricts the
+    self-join to same-bucket pairs — the scale path; None compares all
+    pairs (baseline, quadratic)."""
+    from .similarity import cosine_expr
+
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                          *( [F.col(bucket_col).alias("bkt")] if bucket_col else [] ))
+    a, b = e.alias("a"), e.alias("b")
+    on = [F.col("a.bkt") == F.col("b.bkt")] if bucket_col else []
+    joined = a.join(b, on) if on else a.crossJoin(b)
+    return (
+        joined.filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("cos", cosine_expr(F.col("a.vec"), F.col("b.vec")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )

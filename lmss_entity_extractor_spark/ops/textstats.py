@@ -1,0 +1,80 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+Everything here is built-in-function column algebra — JVM-side,
+whole-stage-codegen'd, no UDFs — and each has an equivalent ANSI-SQL
+oracle form (__spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# minimal per-language stopword probes for the n-gram language heuristic
+LANG_PROBES = {
+    "en": r"\b(the|and|of|to|in)\b",
+    "es": r"\b(el|la|de|que|los)\b",
+    "fr": r"\b(le|la|les|des|est)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+}
+
+
+def quality_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features: char/token counts, mean token
+    length, distinct-token ratio, punctuation ratio, and a composite
+    quality score in [0,1]."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_toks = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_toks
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    mean_tok_len = (n_chars - (n_toks - 1)) / n_toks
+    score = (
+        F.least(n_toks / F.lit(64.0), F.lit(1.0)) * 0.4
+        + uniq_ratio * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * 0.2
+    )
+    # floor-truncate instead of round: Spark rounds HALF_UP, DuckDB/other
+    # engines HALF_EVEN — floor on identical doubles is engine-portable.
+    def trunc4(c):
+        return F.floor(c * 10000) / 10000
+
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        trunc4(mean_tok_len).alias("mean_token_len"),
+        trunc4(uniq_ratio).alias("uniq_token_ratio"),
+        trunc4(punct_ratio).alias("punct_ratio"),
+        trunc4(score).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-probe language heuristic: count per-language probe hits,
+    pick the max (ties broken by language code order); no hits -> 'und'."""
+    lowered = F.lower(F.col(text_col))
+    hit_cols = {
+        lang: F.size(F.regexp_extract_all(lowered, F.lit(pat), 0))
+        for lang, pat in LANG_PROBES.items()
+    }
+    best = F.greatest(*hit_cols.values())
+    lang_expr = F.lit("und")
+    for lang in sorted(LANG_PROBES, reverse=True):
+        lang_expr = F.when((hit_cols[lang] == best) & (best > 0), F.lit(lang)).otherwise(lang_expr)
+    sel = [F.col(id_col)] + [c.alias(f"hits_{lang}") for lang, c in hit_cols.items()]
+    return docs.select(*sel, lang_expr.alias("lang_guess"))
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalization fingerprint: md5 of the lowercased text with all
+    non-alphanumerics removed — the canonical 'same content modulo
+    formatting' key (engine-portable, unlike rolling xxhash)."""
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+    return docs.select(
+        F.col(id_col),
+        F.md5(normalized).alias("fingerprint"),
+        F.length(normalized).alias("n_norm_chars"),
+    )

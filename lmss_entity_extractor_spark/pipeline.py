@@ -176,6 +176,38 @@ class KGPipeline:
         )
         return {"mentions": mentions, "links": links, "edges": edges, "nodes": nodes}
 
+    def dataflow(self, transcripts: DataFrame, strategy: str = "fused") -> dict[str, DataFrame]:
+        """The full lazy dataflow (no materialization, no checkpoints):
+        transcripts -> links -> canonical edges.
+
+        ``strategy="fused"``: one mapInPandas does extraction + linking
+        (per-worker surface memoization; no intermediate persist/shuffle)
+        — the minimal-plan path for throughput measurement and entry().
+        ``strategy="staged"``: separate extraction stage (persisted) +
+        global surface-dedup broadcast-join linking — the plan shape the
+        checkpointed run() materializes; exposes the mentions DF.
+        """
+        from .linking.stage import extract_and_link
+
+        cfg = self.config
+        if strategy == "fused":
+            links = extract_and_link(transcripts, self.bc_artifacts, cfg.linker())
+            edges = canonicalize_triples(emit_triples(links), cfg.salt_buckets)
+            return {"links": links, "edges": edges}
+
+        from pyspark import StorageLevel
+
+        # persist: the surface-dedup link strategy consumes mentions twice
+        # (distinct side + join probe side); without persistence the
+        # UDF-heavy extraction subtree would recompute.  The checkpointed
+        # run() achieves the same by materializing the stage to parquet.
+        mentions = detect_mentions(
+            transcripts, self.bc_artifacts, with_context=False
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        links = link_mentions(mentions, self.bc_artifacts, cfg.linker())
+        edges = canonicalize_triples(emit_triples(links), cfg.salt_buckets)
+        return {"mentions": mentions, "links": links, "edges": edges}
+
     def run_path(self, transcripts_path: str | Path) -> dict[str, DataFrame]:
         df = self.spark.read.parquet(str(transcripts_path))
         return self.run(df, input_fingerprint=file_fingerprint(transcripts_path))

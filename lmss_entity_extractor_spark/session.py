@@ -22,12 +22,26 @@ def default_master() -> str:
     )
 
 
+_THREAD_ENV = {
+    # one BLAS/OpenMP thread per Python worker: N workers x 32-thread
+    # pools spin-wait each other into the ground on a shared host (numpy
+    # ops here are tiny — 64-dim vectors — so pools only add contention)
+    "OPENBLAS_NUM_THREADS": "1",
+    "OMP_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "NUMEXPR_NUM_THREADS": "1",
+    "VECLIB_MAXIMUM_THREADS": "1",
+}
+
+
 def get_spark(
     app_name: str = "lmss-kg-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    for k, v in _THREAD_ENV.items():
+        os.environ.setdefault(k, v)
     master = master or default_master()
     # shuffle width ~ cores: at cluster scale this would be a multiple of
     # total executor cores (or left to AQE coalescing from a high initial).
@@ -52,6 +66,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for k, v in _THREAD_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

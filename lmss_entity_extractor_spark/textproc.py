@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import re
 from difflib import SequenceMatcher
+
+import numpy as np
 from functools import lru_cache
 from pathlib import Path
 
@@ -77,25 +79,26 @@ def strip_leading_stopwords(text: str, stopwords: frozenset[str] = STOPWORDS) ->
 
 
 def _lcs_len(a: str, b: str) -> int:
-    """Length of the longest common subsequence (two-row DP)."""
+    """Length of the longest common subsequence.
+
+    Row-vectorized DP: within one row the recurrence
+    cur[j+1] = max(prev[j+1], prev[j] + eq_j, cur[j]) folds into a
+    running max — cur[1:] = cummax(max(prev[1:], prev[:-1] + eq)) — so
+    each row is O(1) numpy calls instead of O(len) Python steps.  This is
+    the linker's hottest function (fuzzy scoring is O(uniq_mentions x
+    classes) ratio evaluations)."""
     if not a or not b:
         return 0
     if len(a) < len(b):
         a, b = b, a
-    prev = [0] * (len(b) + 1)
+    b_arr = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.zeros(len(b) + 1, dtype=np.int32)
+    cur = np.zeros(len(b) + 1, dtype=np.int32)
     for ca in a:
-        cur = [0]
-        ap = cur.append
-        p = prev
-        best = 0
-        for j, cb in enumerate(b):
-            if ca == cb:
-                v = p[j] + 1
-            else:
-                v = cur[j] if cur[j] >= p[j + 1] else p[j + 1]
-            ap(v)
-        prev = cur
-    return prev[-1]
+        np.maximum(prev[1:], prev[:-1] + (b_arr == ord(ca)), out=cur[1:])
+        np.maximum.accumulate(cur[1:], out=cur[1:])
+        prev, cur = cur, prev
+    return int(prev[-1])
 
 
 def indel_ratio(a: str, b: str) -> float:
@@ -120,6 +123,14 @@ def token_set_ratio(a: str, b: str) -> int:
     """
     ta = set(full_process(a).split())
     tb = set(full_process(b).split())
+    # fuzzywuzzy validates processed strings: either side empty -> 0
+    if not ta or not tb:
+        return 0
+    # exact early-out: when one token set contains the other, the sorted
+    # intersection equals one of the combined strings, whose self-ratio
+    # is 100 — the pairwise max is therefore exactly 100.
+    if ta <= tb or tb <= ta:
+        return 100
     inter = sorted(ta & tb)
     rest_a = sorted(ta - tb)
     rest_b = sorted(tb - ta)
@@ -171,12 +182,29 @@ _TRIGRAM_PAD = "#"
 
 
 def char_trigrams(s: str) -> frozenset[str]:
-    """Character trigrams of the normalized string with boundary padding;
-    used by the fuzzy-candidate prefilter in mention detection."""
-    norm = full_process(s)
-    if not norm:
-        return frozenset()
-    padded = _TRIGRAM_PAD + norm + _TRIGRAM_PAD
-    if len(padded) < 3:
-        return frozenset((padded,))
-    return frozenset(padded[i : i + 3] for i in range(len(padded) - 2))
+    """Character trigrams of a phrase: the union of padded per-token
+    trigrams of the normalized string ("#tok#" boundaries).
+
+    Token-level decomposition (rather than one padded string) lets the
+    candidate generator cache trigram sets per token and build window
+    sets as cheap set unions — the mention-detection hot path."""
+    out: set[str] = set()
+    for tok in full_process(s).split():
+        out |= _token_trigrams(tok)
+    return frozenset(out)
+
+
+_token_tri_cache: dict[str, frozenset] = {}
+
+
+def _token_trigrams(tok: str) -> frozenset:
+    tris = _token_tri_cache.get(tok)
+    if tris is None:
+        padded = _TRIGRAM_PAD + tok + _TRIGRAM_PAD
+        if len(padded) < 3:
+            tris = frozenset((padded,))
+        else:
+            tris = frozenset(padded[i : i + 3] for i in range(len(padded) - 2))
+        if len(_token_tri_cache) < 1_000_000:
+            _token_tri_cache[tok] = tris
+    return tris

@@ -1,0 +1,251 @@
+"""Tests for training-data pipeline operators: dedup family, similarity
+search, text stats, multimodal plumbing — on the driver-provided
+sf0.001 tables plus crafted frames."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lmss_entity_extractor_spark.ops import (
+    cosine_expr,
+    doc_fingerprint,
+    embedding_neardup_pairs,
+    exact_duplicates,
+    knn_bruteforce,
+    knn_lsh,
+    language_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_stats,
+    simhash_signatures,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),        # exact dup of 1
+        (3, "alpha beta gamma delta epsilon eta"),          # near dup of 1
+        (4, "totally different content here entirely now"),
+        (5, "ALPHA beta GAMMA delta epsilon zeta"),         # case-variant
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.spark
+class TestDedup:
+    def test_exact(self, dup_docs):
+        groups = exact_duplicates(dup_docs).collect()
+        assert len(groups) == 1
+        assert groups[0].n_docs == 2 and groups[0].canonical_id == 1
+
+    def test_ngram_jaccard(self, dup_docs):
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in ngram_jaccard_pairs(dup_docs, n=2, threshold=0.5).collect()
+        }
+        assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+        # shingling lowercases -> case variant is a jaccard-1 pair
+        assert (1, 5) in pairs
+        assert not any(4 in p for p in pairs)
+
+    def test_minhash_candidates_superset_of_exact(self, dup_docs):
+        pairs = {
+            (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(dup_docs, n=2).collect()
+        }
+        assert (1, 2) in pairs  # identical docs always collide in every band
+        assert not any(4 in p for p in pairs)
+
+    def test_simhash(self, dup_docs):
+        sigs = {r.doc_id: r.simhash for r in simhash_signatures(dup_docs).collect()}
+        assert sigs[1] == sigs[2]  # identical text -> identical signature
+        ham_13 = bin((sigs[1] ^ sigs[3]) & ((1 << 64) - 1)).count("1")
+        ham_14 = bin((sigs[1] ^ sigs[4]) & ((1 << 64) - 1)).count("1")
+        assert ham_13 < ham_14  # near-dup closer than unrelated
+
+    def test_embedding_neardup_bucketed(self, spark):
+        rows = [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.99, 0.1, 0.0], 0),
+            (3, [0.0, 1.0, 0.0], 0),
+            (4, [1.0, 0.0, 0.0], 1),  # same vec as 1, different bucket
+        ]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in embedding_neardup_pairs(e, threshold=0.95, bucket_col="label").collect()
+        }
+        assert pairs == {(1, 2)}
+        pairs_all = {
+            (r.id_a, r.id_b)
+            for r in embedding_neardup_pairs(e, threshold=0.95).collect()
+        }
+        assert (1, 4) in pairs_all
+
+
+@pytest.mark.spark
+class TestSimilarity:
+    def test_cosine_expr_matches_numpy(self, spark, embeddings):
+        rows = embeddings.limit(10).collect()
+        df = spark.createDataFrame(
+            [(a.vec_id, a.embedding, b.vec_id, b.embedding) for a in rows[:3] for b in rows],
+            "ida long, va array<float>, idb long, vb array<float>",
+        ).withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+        for r in df.collect():
+            va, vb = np.array(r.va), np.array(r.vb)
+            want = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            assert r.cos == pytest.approx(want, rel=1e-6)
+
+    def test_knn_bruteforce_topk(self, embeddings):
+        queries = embeddings.filter(F.col("vec_id") < 3)
+        out = knn_bruteforce(embeddings, queries, k=5).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+        assert set(by_q) == {0, 1, 2}
+        for q, lst in by_q.items():
+            assert sorted(r for r, _ in lst) == [1, 2, 3, 4, 5]
+            assert all(n != q for _, n in lst)
+
+    def test_knn_lsh_subset_of_bucket(self, embeddings):
+        queries = embeddings.filter(F.col("vec_id") < 3)
+        out = knn_lsh(embeddings, queries, k=5, bits=2).collect()
+        assert len(out) > 0
+        # every returned neighbor shares the query's sign bucket
+        vecs = {r.vec_id: r.embedding for r in embeddings.collect()}
+
+        def bucket(v, bits=2):
+            return sum((1 << i) for i in range(bits) if v[i] > 0)
+
+        for r in out:
+            assert bucket(vecs[r.query_id]) == bucket(vecs[r.neighbor_id])
+
+
+@pytest.mark.spark
+class TestTextStats:
+    def test_quality_stats(self, spark):
+        df = spark.createDataFrame(
+            [(1, "one two three four"), (2, "dup dup dup dup"), (3, "!!! ??? ...")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in quality_stats(df).collect()}
+        assert rows[1].n_tokens == 4 and rows[1].uniq_token_ratio == 1.0
+        assert rows[2].uniq_token_ratio == 0.25
+        assert rows[3].punct_ratio > 0.5
+        assert rows[1].quality_score > rows[3].quality_score
+
+    def test_language_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat and the dog sat in the yard of the house"),
+                (2, "el gato y la casa de los perros que viven"),
+                (3, "xyzzy plugh"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r.lang_guess for r in language_id(df).collect()}
+        assert rows[1] == "en" and rows[2] == "es" and rows[3] == "und"
+
+    def test_fingerprint_formatting_invariant(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Patent Law!"), (2, "patent  LAW"), (3, "different")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
+        assert rows[1] == rows[2] != rows[3]
+
+    def test_on_real_documents(self, docs):
+        out = quality_stats(docs)
+        assert out.count() == docs.count()
+        assert out.filter(F.col("quality_score").between(0, 1)).count() == out.count()
+
+
+@pytest.mark.spark
+class TestMultimodal:
+    def test_feature_plumbing(self, spark, docs):
+        from lmss_entity_extractor_spark.ops.multimodal import (
+            extract_media_features,
+            make_media_table,
+            sample_frames,
+        )
+
+        media = make_media_table(docs.limit(20))
+        feats = extract_media_features(media).collect()
+        assert len(feats) == 20
+        for r in feats:
+            assert r.feat_dim == 16 and len(r.features) == 16
+            assert abs(sum(v * v for v in r.features) - 1.0) < 1e-4
+        # determinism across runs
+        feats2 = extract_media_features(make_media_table(docs.limit(20))).collect()
+        assert {r.media_id: tuple(r.features) for r in feats} == {
+            r.media_id: tuple(r.features) for r in feats2
+        }
+        frames = sample_frames(media)
+        assert frames.count() >= 20
+        assert frames.groupBy("media_id").count().count() == 20
+
+    def test_real_decode_is_stubbed(self, spark, docs):
+        from lmss_entity_extractor_spark.ops.multimodal import (
+            extract_media_features,
+            make_media_table,
+        )
+
+        media = make_media_table(docs.limit(1))
+        with pytest.raises(Exception) as exc_info:
+            extract_media_features(media, decode_stub=False).collect()
+        assert "NotImplementedError" in str(exc_info.value) or isinstance(
+            exc_info.value, NotImplementedError
+        )
+
+
+@pytest.mark.spark
+class TestHybridSearch:
+    def test_search_matches_loop_oracle(self, spark, artifacts):
+        from lmss_entity_extractor_spark.encoder import encode, cosine
+        from lmss_entity_extractor_spark.search import hybrid_search
+        from lmss_entity_extractor_spark.textproc import partial_ratio, token_set_ratio
+
+        query = "patent law"
+        got = [(r.iri, r.score) for r in hybrid_search(spark, artifacts, query).collect()]
+
+        qv = encode(query)
+        scored = []
+        for pos, iri in enumerate(artifacts.iris):
+            lbl = artifacts.labels[pos].lower()
+            s = (
+                0.3 * token_set_ratio(query, lbl) / 100
+                + 0.3 * partial_ratio(query, lbl) / 100
+                + 0.4 * cosine(qv, artifacts.mean_matrix[pos])
+            )
+            if s > 0:
+                scored.append((iri, s))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        want = [(i, round(s, 6)) for i, s in scored[:10]]
+        assert [i for i, _ in got] == [i for i, _ in want]
+        for (_, g), (_, w) in zip(got, want):
+            assert g == pytest.approx(w, abs=1e-4)
+
+    def test_branch_filter_restricts_results(self, spark, artifacts):
+        from lmss_entity_extractor_spark.datagen.ontology_fixture import BASE
+        from lmss_entity_extractor_spark.search import hybrid_search
+
+        got = hybrid_search(
+            spark, artifacts, "law", selected_branches=[BASE + "Location"]
+        ).collect()
+        location_members = {
+            d for d, a, _ in artifacts.closure if a == BASE + "Location"
+        }
+        assert got and all(r.iri in location_members for r in got)

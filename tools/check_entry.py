@@ -1,0 +1,106 @@
+"""Local pre-flight of the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry and its ``oracle_sql()`` twin on the
+same sf dir, compare row count, column names, and the order-insensitive
+row multiset (floats normalized to 9 significant decimals).
+
+Usage: python tools/check_entry.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import sys
+from collections import Counter
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _norm(v):
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return repr(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entry
+    from lmss_entity_extractor_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(app_name="check-entry")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            spark_cols = df.columns
+            spark_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(spark_rows)} rows (rows-only, no oracle)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            duck_cols = [d[0] for d in rel.description]
+            duck_rows = rel.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            continue
+
+        ok_cols = sorted(spark_cols) == sorted(duck_cols)
+        ok_count = len(spark_rows) == len(duck_rows)
+        s_set = _rowset(spark_cols, spark_rows)
+        d_set = _rowset(duck_cols, duck_rows)
+        ok_vals = s_set == d_set
+        if ok_cols and ok_count and ok_vals:
+            print(f"OK    {name}: {len(spark_rows)} rows")
+        else:
+            failures.append(name)
+            print(f"FAIL  {name}: cols={ok_cols} count={ok_count} ({len(spark_rows)} vs {len(duck_rows)}) vals={ok_vals}")
+            if not ok_cols:
+                print(f"      spark cols: {sorted(spark_cols)}")
+                print(f"      duck  cols: {sorted(duck_cols)}")
+            if not ok_vals:
+                only_s = list((s_set - d_set).items())[:3]
+                only_d = list((d_set - s_set).items())[:3]
+                print(f"      only-spark: {only_s}")
+                print(f"      only-duck : {only_d}")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
