@@ -1,0 +1,70 @@
+"""Structured Streaming incremental mode (SURVEY.md §2.9): AvailableNow
+foreachBatch over a growing transcripts directory, cross-batch
+re-canonicalization parity with the batch dataflow, and a watermarked
+event-time aggregation."""
+
+import shutil
+
+import pytest
+
+from lmss_entity_extractor_spark.datagen import write_transcripts_parquet
+from lmss_entity_extractor_spark.pipeline import KGPipeline, PipelineConfig
+from lmss_entity_extractor_spark.streaming.incremental import (
+    compact_incremental_edges,
+    incremental_edges,
+    streaming_turn_rate,
+)
+
+
+def _edge_set(df):
+    return {
+        (r["subj"], r["pred"], r["obj"], r["n_provenances"], r["first_conv_id"], r["first_turn_idx"])
+        for r in df.collect()
+    }
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    tdir = tmp_path / "transcripts"
+    tdir.mkdir()
+    return tdir, tmp_path / "inc_edges", tmp_path / "stream_ckpt"
+
+
+@pytest.mark.spark
+def test_incremental_matches_batch_and_resumes(spark, owl_path, tmp_path, stream_dirs):
+    tdir, out_dir, ckpt = stream_dirs
+    write_transcripts_parquet(tdir / "part-0.parquet", n_convs=4, seed=11)
+    write_transcripts_parquet(tdir / "part-1.parquet", n_convs=4, seed=22)
+
+    pipe = KGPipeline(spark, owl_path, tmp_path / "wh", PipelineConfig())
+    n1 = incremental_edges(pipe, tdir, out_dir, ckpt)
+    assert n1 >= 1
+
+    # no new files -> no-op
+    n2 = incremental_edges(pipe, tdir, out_dir, ckpt)
+    assert n2 == 0
+
+    # delta file -> processed incrementally
+    write_transcripts_parquet(tdir / "part-2.parquet", n_convs=3, seed=33)
+    n3 = incremental_edges(pipe, tdir, out_dir, ckpt)
+    assert n3 >= 1
+
+    # cross-batch compaction == one-shot batch dataflow over the full input
+    compacted = compact_incremental_edges(spark, out_dir)
+    batch = pipe.dataflow(spark.read.parquet(str(tdir)))["edges"]
+    assert _edge_set(compacted) == _edge_set(batch)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_streaming_turn_rate_windows(spark, tmp_path):
+    tdir = tmp_path / "transcripts"
+    tdir.mkdir()
+    # ts spans n_convs hours -> many 5-minute windows; all but the newest
+    # finalize under the 10-minute watermark
+    write_transcripts_parquet(tdir / "part-0.parquet", n_convs=6, seed=5)
+    q = streaming_turn_rate(spark, tdir)
+    q.awaitTermination()
+    rates = spark.sql("SELECT * FROM turn_rate").collect()
+    assert len(rates) > 0
+    assert all(r["n_turns"] > 0 for r in rates)
