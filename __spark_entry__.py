@@ -299,6 +299,13 @@ def q_langid(spark, sf_dir):
     return language_id(_t(spark, sf_dir, "documents"))
 
 
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counting."""
+    from lmss_entity_extractor_spark.ops.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
 def q_fingerprint(spark, sf_dir):
     """Normalization fingerprint (md5 of lowercased alphanumerics)."""
     from lmss_entity_extractor_spark.ops.textstats import doc_fingerprint
@@ -424,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "quality_stats": q_quality_stats,
         "langid": q_langid,
+        "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "context_slice": q_context_slice,
         "source_split": q_source_split,
@@ -655,6 +663,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN hits_fr = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'fr'
                    END AS lang_guess
             FROM t
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+                   floor(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) * 10000.0
+                         / greatest(len(string_split_regex(trim(text), '\\s+')), 1)) / 10000 AS bpe_per_word
+            FROM documents
         """,
         "fingerprint": """
             SELECT doc_id,

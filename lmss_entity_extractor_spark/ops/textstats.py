@@ -68,6 +68,28 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return docs.select(*sel, lang_expr.alias("lang_guess"))
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, and single
+# punctuation marks — the unit a byte-pair encoder would start from.
+# Plain character classes only, so Java regex (Spark) and RE2 (DuckDB)
+# agree byte-for-byte.
+BPE_TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting both ways a training pipeline needs it: whitespace
+    words (for length filters) and BPE-ish pre-tokens (a deterministic
+    proxy for model-token budgets), plus their ratio — a fragmentation
+    signal (high ratio = code/punctuation-heavy text)."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0))
+    return docs.select(
+        F.col(id_col),
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        (F.floor(bpe * 10000 / F.greatest(ws, F.lit(1))) / 10000).alias("bpe_per_word"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Normalization fingerprint: md5 of the lowercased text with all
     non-alphanumerics removed — the canonical 'same content modulo

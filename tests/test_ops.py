@@ -172,6 +172,22 @@ class TestTextStats:
         assert out.count() == docs.count()
         assert out.filter(F.col("quality_score").between(0, 1)).count() == out.count()
 
+    def test_token_counts(self, spark):
+        from lmss_entity_extractor_spark.ops.textstats import token_counts
+
+        df = spark.createDataFrame(
+            [(1, "plain words here"), (2, "df.filter(x==3)"), (3, "a b-c 12,000")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in token_counts(df).collect()}
+        assert rows[1].n_ws_tokens == 3 and rows[1].n_bpe_tokens == 3
+        # df . filter ( x = = 3 ) -> 1 ws token, 9 bpe tokens
+        # (punctuation is tokenized one char at a time)
+        assert rows[2].n_ws_tokens == 1 and rows[2].n_bpe_tokens == 9
+        # a | b - c | 12 , 000 -> 3 ws, 7 bpe
+        assert rows[3].n_bpe_tokens == 7
+        assert rows[2].bpe_per_word > rows[1].bpe_per_word
+
 
 @pytest.mark.spark
 class TestMultimodal:
