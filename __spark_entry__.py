@@ -356,6 +356,99 @@ def q_stable_sort(spark, sf_dir):
     )
 
 
+def q_array_mean(spark, sf_dir):
+    """A3 element-wise mean embedding per group (the ontology build's
+    mean-of-field-embeddings, `app/lmss_classification.py:50-60`), as
+    posexplode -> groupBy(label, pos) -> avg."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg((F.floor(F.avg("val") * 10000) / 10000).alias("mean_val"))
+    )
+
+
+def q_closure_counts(spark, sf_dir):
+    """A2 descendant counts per ancestor (top-classes entity counts,
+    `app/lmss_parser.py:92-112`) over the J4 closure."""
+    from lmss_entity_extractor_spark.graph.closure import transitive_closure
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    e2 = c.select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("child"),
+        F.concat(F.lit("n:"), F.col("c_nationkey")).alias("parent"),
+    )
+    e3 = n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey")).alias("child"),
+        F.concat(F.lit("r:"), F.col("n_regionkey")).alias("parent"),
+    )
+    closure = transitive_closure(e2.unionByName(e3), include_self=False)
+    return closure.groupBy(F.col("anc_iri").alias("ancestor")).agg(
+        F.countDistinct("desc_iri").alias("n_descendants")
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """§2.7 set operations: INTERSECT / EXCEPT over distinct customer
+    keys of two order-year slices."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    b = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    return a.intersect(b).withColumn("tag", F.lit("both")).unionByName(
+        a.exceptAll(b).withColumn("tag", F.lit("only_1995"))
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Ordered-scan sessionization (training-data pipeline op): lag-gap
+    > 30 min starts a new session; per-user session/event counts."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # ts is TIMESTAMP_NTZ in the parquet; route through TIMESTAMP for epoch
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap_s = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """Grouping sets: ROLLUP(region, nation) revenue with ALL backfill."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+def q_sha256(spark, sf_dir):
+    """F9 sha256 content hash (`app/lmss_parser.py:36-42`) per document."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("sha")
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — UDF-backed pipeline operators (rows-only; no SQL oracle)
 # ---------------------------------------------------------------------------
@@ -437,6 +530,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_split": q_source_split,
         "coalesce_backfill": q_coalesce_backfill,
         "stable_sort": q_stable_sort,
+        "array_mean": q_array_mean,
+        "closure_counts": q_closure_counts,
+        "set_ops": q_set_ops,
+        "sessionize": q_sessionize,
+        "rollup_revenue": q_rollup_revenue,
+        "sha256": q_sha256,
         # UDF-backed pipeline operators (rows-only)
         "mention_type_counts": q_mention_type_counts,
         "kg_edge_counts": q_kg_edge_counts,
@@ -696,5 +795,61 @@ def oracle_sql() -> dict[str, str]:
         "stable_sort": """
             SELECT event_id, event_type FROM events
             ORDER BY ts ASC, event_id ASC LIMIT 50
+        """,
+        "array_mean": """
+            WITH ex AS (
+                SELECT label, unnest(embedding) AS val,
+                       unnest(range(len(embedding))) AS pos
+                FROM embeddings
+            )
+            SELECT label, CAST(pos AS INT) AS pos,
+                   floor(avg(val) * 10000) / 10000 AS mean_val
+            FROM ex GROUP BY 1, 2
+        """,
+        "closure_counts": """
+            WITH RECURSIVE edges AS (
+                SELECT 'c:' || c_custkey AS child, 'n:' || c_nationkey AS parent FROM customer
+                UNION ALL
+                SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+            ),
+            closure AS (
+                SELECT child AS descendant, parent AS ancestor FROM edges
+                UNION ALL
+                SELECT c.descendant, e.parent FROM closure c JOIN edges e ON c.ancestor = e.child
+            )
+            SELECT ancestor, count(DISTINCT descendant) AS n_descendants
+            FROM closure GROUP BY 1
+        """,
+        "set_ops": """
+            WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+                 b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+            SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+            UNION ALL
+            SELECT o_custkey, 'only_1995' AS tag FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                              OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            )
+            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY 1
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(r_name, 'ALL') AS region_name,
+                   coalesce(n_name, 'ALL') AS nation_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "sha256": """
+            SELECT doc_id, sha256(text) AS sha FROM documents
         """,
     }

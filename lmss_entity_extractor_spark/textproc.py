@@ -36,9 +36,23 @@ def load_stopwords(path: str | Path | None = None) -> frozenset[str]:
 
     Stands in for spaCy's ``nlp.Defaults.stop_words``
     (/root/reference/app/entity_extraction.py:12-13).
+
+    Zip-aware: when the package is shipped to executors via
+    ``spark-submit --py-files pkg.zip``, ``fixtures/stopwords.txt`` lives
+    inside the zip (tools/make_pyfiles.py) and is read through zipfile.
     """
-    p = Path(path) if path is not None else _STOPWORDS_PATH
-    words = [w.strip() for w in p.read_text().splitlines()]
+    if path is not None:
+        text = Path(path).read_text()
+    else:
+        try:
+            text = _STOPWORDS_PATH.read_text()
+        except OSError:
+            import zipfile
+
+            parts = str(Path(__file__)).split(".zip")
+            with zipfile.ZipFile(parts[0] + ".zip") as zf:
+                text = zf.read("fixtures/stopwords.txt").decode()
+    words = [w.strip() for w in text.splitlines()]
     return frozenset(w for w in words if w)
 
 
