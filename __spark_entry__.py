@@ -442,6 +442,37 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+def q_collect_pivot(spark, sf_dir):
+    """P3 triples->wide-row pivot form: per-subject ordered multi-value
+    collapse (`app/lmss_parser.py:65-69` get_literals), as a sorted
+    distinct-collect joined to a comma string for determinism."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
+        F.min("ts").alias("first_ts"),
+    )
+
+
+def q_top_terms(spark, sf_dir):
+    """T2 per-document top-k term frequencies (the reference's single-doc
+    TF-IDF keyword channel, `app/entity_extraction.py:128-140`), as
+    explode -> count -> windowed top-3 with deterministic tiebreak."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).filter(F.length("term") >= 6)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
 def q_sha256(spark, sf_dir):
     """F9 sha256 content hash (`app/lmss_parser.py:36-42`) per document."""
     return _t(spark, sf_dir, "documents").select(
@@ -536,6 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "rollup_revenue": q_rollup_revenue,
         "sha256": q_sha256,
+        "collect_pivot": q_collect_pivot,
+        "top_terms": q_top_terms,
         # UDF-backed pipeline operators (rows-only)
         "mention_type_counts": q_mention_type_counts,
         "kg_edge_counts": q_kg_edge_counts,
@@ -851,5 +884,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sha256": """
             SELECT doc_id, sha256(text) AS sha FROM documents
+        """,
+        "collect_pivot": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+                   min(ts) AS first_ts
+            FROM events GROUP BY 1
+        """,
+        "top_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+                FROM documents
+            ),
+            counted AS (
+                SELECT doc_id, term, count(*) AS n FROM toks
+                WHERE length(term) >= 6 GROUP BY 1, 2
+            )
+            SELECT doc_id, term, n, rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, term ASC) AS rank
+                FROM counted
+            ) WHERE rank <= 3
         """,
     }
