@@ -77,14 +77,51 @@ def fuzzy_window_spans(
     surf_sizes = artifacts.label_tri_sizes
     out: list[Span] = []
     n_toks = len(toks)
+    if n_toks == 0:
+        return out
 
     tok_lower = [t[0].lower() for t in toks]
     tok_stop = [t in STOPWORDS for t in tok_lower]
     # per-token trigram tallies (shared-count vector over all dictionary
-    # surfaces + trigram count), cached per distinct token per process —
-    # window scoring becomes one vector add per extension instead of a
-    # postings concat + bincount per window
+    # surfaces + trigram count), cached per distinct token per process
     tallies = [_token_tally(artifacts, t) for t in tok_lower]
+
+    # Batched window scoring: all (start, n) window similarities in
+    # ~max_window ufunc calls via prefix sums over the (token, surface)
+    # tally matrix — the per-window numpy-call form spends its time in
+    # allocator/dispatch overhead on tiny vectors (profiled: ~55% of the
+    # extraction kernel).  sims[n-1][i] = best multiset-Jaccard of the
+    # window of n tokens starting at i; -1 where wsize == 0.  Falls back
+    # to the incremental loop when the matrix would not fit comfortably
+    # (huge ontology x very long turn).
+    S = len(surf_sizes)
+    if n_toks * S <= 16_000_000:
+        T = np.vstack([t[0] for t in tallies]).astype(np.int32, copy=False)
+        P = np.vstack([np.zeros((1, S), np.int32), np.cumsum(T, axis=0, dtype=np.int32)])
+        Z = np.concatenate(([0], np.cumsum([t[1] for t in tallies])))
+        sims = []
+        for n in range(1, max_window + 1):
+            if n > n_toks:
+                break
+            C = P[n:] - P[:-n]
+            W = (Z[n:] - Z[:-n]).astype(np.float64)
+            denom = W[:, None] + surf_sizes[None, :] - C
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim_n = np.where(W > 0, np.max(np.where(denom > 0, C / denom, 0.0), axis=1) if S else 0.0, -1.0)
+            sims.append(sim_n)
+
+        def window_sim(i: int, n: int) -> float:
+            return float(sims[n - 1][i])
+    else:
+        def window_sim(i: int, n: int) -> float:
+            counts = tallies[i][0].copy()
+            wsize = tallies[i][1]
+            for k in range(i + 1, i + n):
+                counts += tallies[k][0]
+                wsize += tallies[k][1]
+            if wsize == 0:
+                return -1.0
+            return float((counts / (wsize + surf_sizes - counts)).max())
 
     i = 0
     while i < n_toks:
@@ -95,21 +132,15 @@ def fuzzy_window_spans(
         # spaCy noun chunks never overlap each other, and emitting every
         # qualifying sub-window would splice garbage in the merge scan
         best = None  # (similarity, n)
-        counts = None
-        wsize = 0
         for n in range(1, max_window + 1):
             j = i + n - 1
             if j >= n_toks:
                 break
-            tvec, tsize = tallies[j]
-            counts = tvec.copy() if counts is None else counts + tvec
-            wsize += tsize
             if tok_stop[j]:
                 continue  # window may extend past an inner stop word
-            if toks[j][2] - toks[i][1] < 3 or wsize == 0:
+            if toks[j][2] - toks[i][1] < 3:
                 continue
-            # multiset Jaccard: shared / (window + surface - shared)
-            sim = float((counts / (wsize + surf_sizes - counts)).max())
+            sim = window_sim(i, n)  # -1 when wsize == 0
             if sim >= threshold and (best is None or (sim, n) > best):
                 best = (sim, n)
         if best is None:
