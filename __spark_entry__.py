@@ -253,6 +253,63 @@ def q_knn_lsh(spark, sf_dir):
     return knn_lsh(e, e.filter(F.col("vec_id") < 5), k=3, bits=2)
 
 
+def q_knn_ivf(spark, sf_dir):
+    """IVF-bucketed approximate top-k: nearest-coarse-centroid cells
+    (4 deterministic seed centroids), nprobe=1."""
+    from lmss_entity_extractor_spark.ops.similarity import knn_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_ivf(e, e.filter(F.col("vec_id") < 5), k=3, n_centroids=4)
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (backward inclusive): each purchase event picks up the
+    most recent prior click by the same user — single keyed shuffle."""
+    from lmss_entity_extractor_spark.ops.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    return asof_join(
+        purchases, clicks, on=["user_id"], ts_col="ts",
+        right_cols=["event_id", "ts"], tie_col="event_id", prefix="click_",
+    ).select("user_id", "purchase_id", F.col("ts").alias("purchase_ts"), "click_event_id", "click_ts")
+
+
+def q_outer_join(spark, sf_dir):
+    """Left outer join with null backfill: suppliers per nation (0 for
+    nations with none)."""
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        n.join(s, n.n_nationkey == s.s_nationkey, "left_outer")
+        .groupBy("n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.round(F.sum(F.coalesce(F.col("s_acctbal"), F.lit(0.0))), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def q_max_by(spark, sf_dir):
+    """A5 max-by aggregate form: best/worst supplier per nation by
+    account balance (balances verified unique per nation at every sf;
+    the tie-safe windowed form is `window_dedup`)."""
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("s_name", "s_acctbal").alias("top_supplier"),
+            F.min_by("s_name", "s_acctbal").alias("bottom_supplier"),
+            F.round(F.max("s_acctbal"), 2).alias("max_acctbal"),
+        )
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact duplicate groups by text hash."""
     from lmss_entity_extractor_spark.ops.dedup import exact_duplicates
@@ -549,6 +606,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmax_link": q_argmax_link,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
+        "asof_join": q_asof_join,
+        "outer_join": q_outer_join,
+        "max_by": q_max_by,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -717,6 +778,67 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
                 FROM scored
             ) WHERE rn <= 3
+        """,
+        "knn_ivf": """
+            WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 4),
+            assign AS (
+                SELECT vec_id, embedding, centroid_id FROM (
+                    SELECT e.vec_id, e.embedding, c.centroid_id,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.centroid_id ASC
+                           ) AS rn
+                    FROM embeddings e CROSS JOIN c
+                ) WHERE rn = 1
+            ),
+            q AS (SELECT vec_id AS query_id, embedding AS qvec, centroid_id FROM assign WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, a.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qvec, a.embedding) AS cos
+                FROM assign a JOIN q ON a.centroid_id = q.centroid_id
+                WHERE a.vec_id <> q.query_id
+            )
+            SELECT query_id, rn AS rank, neighbor_id
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+                FROM scored
+            ) WHERE rn <= 3
+        """,
+        "asof_join": """
+            WITH tagged AS (
+                SELECT user_id, ts, 0 AS side, event_id AS tie,
+                       event_id AS c_event_id, ts AS c_ts,
+                       NULL::BIGINT AS purchase_id
+                FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT user_id, ts, 1 AS side, event_id AS tie,
+                       NULL, NULL, event_id
+                FROM events WHERE event_type = 'purchase'
+            ),
+            swept AS (
+                SELECT *,
+                       last_value(c_event_id IGNORE NULLS) OVER w AS click_event_id,
+                       last_value(c_ts IGNORE NULLS) OVER w AS click_ts
+                FROM tagged
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, tie
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT user_id, purchase_id, ts AS purchase_ts, click_event_id, click_ts
+            FROM swept WHERE side = 1
+        """,
+        "outer_join": """
+            SELECT n_name, count(s_suppkey) AS n_suppliers,
+                   round(sum(coalesce(s_acctbal, 0.0)), 2) AS total_acctbal
+            FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+            GROUP BY 1
+        """,
+        "max_by": """
+            SELECT n_name,
+                   arg_max(s_name, s_acctbal) AS top_supplier,
+                   arg_min(s_name, s_acctbal) AS bottom_supplier,
+                   round(max(s_acctbal), 2) AS max_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_id

@@ -28,6 +28,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def observe_stage(df: DataFrame, stage: str, key_col: str | None = None):
+    """Attach a Spark ``Observation`` to ``df``: row count plus an
+    approximate key cardinality (the skew early-warning — rows >> keys
+    means a hot key is coming for any downstream groupBy on it).
+
+    Returns ``(observed_df, collect)`` where ``collect()`` yields the
+    metric dict after the next action materializes the frame.  Unlike a
+    separate ``count()`` this costs nothing extra: the aggregates ride
+    along with whatever action runs anyway (K4/A4 mapping, SURVEY.md
+    §2.1 — the reference's stats sinks at
+    /root/reference/app/lmss_parser.py:189-193)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(f"{stage}_metrics")
+    exprs = [F.count(F.lit(1)).alias("rows")]
+    if key_col:
+        exprs.append(F.approx_count_distinct(key_col).alias("approx_keys"))
+    observed = df.observe(obs, *exprs)
+    return observed, lambda: dict(obs.get)
+
+
 def partition_lineage(df: DataFrame, stage: str, key_cols: list[str]) -> DataFrame:
     """One row per physical partition of ``df``: row count + key range."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]

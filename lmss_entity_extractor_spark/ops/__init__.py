@@ -5,5 +5,6 @@ from .dedup import (  # noqa: F401
     simhash_signatures,
     embedding_neardup_pairs,
 )
-from .similarity import cosine_expr, knn_bruteforce, knn_lsh  # noqa: F401
+from .asof import asof_join  # noqa: F401
+from .similarity import assign_ivf_cells, cosine_expr, knn_bruteforce, knn_ivf, knn_lsh  # noqa: F401
 from .textstats import doc_fingerprint, language_id, quality_stats  # noqa: F401

@@ -75,6 +75,67 @@ def sign_bucket_expr(vec_col: Column, bits: int = 4) -> Column:
     return b
 
 
+def assign_ivf_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: tag each vector with the id of its
+    nearest centroid (max cosine, asc centroid-id tiebreak).
+
+    Centroids are a tiny broadcast side; assignment is a narrow
+    crossJoin + per-vector argmax — at 100 TB this is one pass over the
+    vectors with no keyed shuffle (the window partitions by the vector's
+    own id, which the crossJoin already co-locates per input row)."""
+    c = centroids.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("centroid_id"))
+    return (
+        vectors.crossJoin(F.broadcast(c))
+        .withColumn("_ccos", cosine_expr(F.col(vec_col), F.col("cvec")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_ccos", "_rn", "cvec")
+    )
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: vectors are bucketed by nearest coarse
+    centroid (deterministic seeds = the first ``n_centroids`` vectors by
+    id), and each query probes only its own cell (nprobe=1).
+
+    The scale path beyond ``knn_lsh``: candidate count per query is
+    ~N/n_centroids regardless of embedding geometry, and the cell join is
+    an equi-join on ``centroid_id`` (broadcastable query side).  Same
+    output shape as ``knn_bruteforce``: (query_id, rank, neighbor_id)."""
+    seeds = embeddings.filter(F.col(id_col) < n_centroids)
+    cells = assign_ivf_cells(embeddings, seeds, id_col, vec_col)
+    q = assign_ivf_cells(queries, seeds, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "centroid_id"
+    )
+    e = cells.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"), "centroid_id"
+    )
+    scored = (
+        e.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_expr(F.col("qvec"), F.col("nvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
 def knn_lsh(
     embeddings: DataFrame,
     queries: DataFrame,

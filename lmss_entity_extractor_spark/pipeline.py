@@ -91,13 +91,15 @@ class KGPipeline:
     def _stage(self, stage: str, input_fp: str, build, part_cols, sort_cols) -> DataFrame:
         """Run one checkpointed stage: skip when current, else build+write
         (+ per-partition lineage, the skew/audit signal)."""
-        from .lineage import write_stage_lineage
+        from .lineage import observe_stage, write_stage_lineage
 
         if input_fp != "<volatile>" and self.ckpt.is_current(stage, input_fp, self._cfg_hash):
             self.metrics[f"{stage}_skipped"] = True
             return self._read(stage)
-        df = build()
+        # observe() aggregates ride the write action for free (K4/A4)
+        df, collect_obs = observe_stage(build(), stage, key_col=part_cols[0])
         self._write(df, stage, part_cols, sort_cols)
+        self.metrics[f"{stage}_observed"] = collect_obs()
         materialized = self._read(stage)
         lineage = write_stage_lineage(
             materialized,

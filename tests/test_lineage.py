@@ -41,3 +41,19 @@ def test_pipeline_records_lineage_per_stage(spark, owl_path, tmp_path):
         lin = pipe.metrics[f"{stage}_lineage"]
         assert lin["rows"] == pipe.metrics[f"{stage}_rows"]
         assert (tmp_path / "wh" / "_lineage" / stage).exists()
+        # observe() aggregates collected during the stage's write action
+        obs = pipe.metrics[f"{stage}_observed"]
+        assert obs["rows"] == lin["rows"]
+        assert obs["approx_keys"] >= 1
+
+
+@pytest.mark.spark
+def test_observe_stage_rides_an_action(spark):
+    from lmss_entity_extractor_spark.lineage import observe_stage
+
+    df = spark.range(0, 40).selectExpr("id", "id % 4 AS k")
+    observed, collect = observe_stage(df, "probe", key_col="k")
+    observed.count()
+    metrics = collect()
+    assert metrics["rows"] == 40
+    assert metrics["approx_keys"] == 4

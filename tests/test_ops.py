@@ -7,7 +7,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from lmss_entity_extractor_spark.ops import (
+    asof_join,
     cosine_expr,
+    knn_ivf,
     doc_fingerprint,
     embedding_neardup_pairs,
     exact_duplicates,
@@ -119,6 +121,24 @@ class TestSimilarity:
         for q, lst in by_q.items():
             assert sorted(r for r, _ in lst) == [1, 2, 3, 4, 5]
             assert all(n != q for _, n in lst)
+
+    def test_knn_ivf_single_cell_equals_bruteforce(self, embeddings):
+        # with one centroid every vector lands in the same cell, so IVF
+        # degenerates to exact brute-force search
+        queries = embeddings.filter(F.col("vec_id") < 3)
+        ivf = sorted(map(tuple, knn_ivf(embeddings, queries, k=5, n_centroids=1).collect()))
+        bf = sorted(map(tuple, knn_bruteforce(embeddings, queries, k=5).collect()))
+        assert ivf == bf
+
+    def test_knn_ivf_cells_partition_vectors(self, embeddings):
+        from lmss_entity_extractor_spark.ops.similarity import assign_ivf_cells
+
+        seeds = embeddings.filter(F.col("vec_id") < 4)
+        cells = assign_ivf_cells(embeddings, seeds)
+        assert cells.count() == embeddings.count()  # exactly one cell each
+        # a seed vector is its own nearest centroid
+        own = {r.vec_id: r.centroid_id for r in cells.filter(F.col("vec_id") < 4).collect()}
+        assert own == {0: 0, 1: 1, 2: 2, 3: 3}
 
     def test_knn_lsh_subset_of_bucket(self, embeddings):
         queries = embeddings.filter(F.col("vec_id") < 3)
@@ -265,3 +285,41 @@ class TestHybridSearch:
             d for d, a, _ in artifacts.closure if a == BASE + "Location"
         }
         assert got and all(r.iri in location_members for r in got)
+
+
+@pytest.mark.spark
+class TestAsofJoin:
+    def test_backward_inclusive_with_ties(self, spark):
+        clicks = spark.createDataFrame(
+            [(1, 10, 100), (1, 30, 101), (1, 30, 102), (2, 50, 200)],
+            "user_id long, t long, event_id long",
+        )
+        purchases = spark.createDataFrame(
+            [(1, 5, 900), (1, 20, 901), (1, 30, 902), (2, 60, 903), (3, 70, 904)],
+            "user_id long, t long, event_id long",
+        )
+        out = {
+            r.event_id: r.asof_event_id
+            for r in asof_join(
+                purchases, clicks, on=["user_id"], ts_col="t",
+                right_cols=["event_id"], tie_col="event_id",
+            ).collect()
+        }
+        assert out == {
+            900: None,   # nothing before t=5
+            901: 100,    # latest click <= 20
+            902: 102,    # equal-ts click matches (inclusive); max event_id wins the tie
+            903: 200,
+            904: None,   # user 3 never clicked
+        }
+
+    def test_left_rows_all_preserved(self, spark):
+        e = spark.read.parquet(f"{SF}/events.parquet")
+        purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+        clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+        joined = asof_join(purchases, clicks, on=["user_id"], ts_col="ts",
+                           right_cols=["event_id", "ts"], tie_col="event_id")
+        assert joined.count() == purchases.count()
+        # every match really is <= the purchase ts
+        bad = joined.filter(F.col("asof_ts") > F.col("ts")).count()
+        assert bad == 0
