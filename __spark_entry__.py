@@ -577,6 +577,57 @@ def q_simhash(spark, sf_dir):
     return simhash_signatures(_t(spark, sf_dir, "documents").limit(100))
 
 
+def q_bucketed_join(spark, sf_dir):
+    """O8 bucketed layout: same-key bucketed tables join with zero
+    shuffle exchanges (plan asserted in tests/test_plans.py); results
+    match the plain equi-join oracle."""
+    from lmss_entity_extractor_spark.catalog import drop_table, write_bucketed
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    drop_table(spark, "q_bkt_customer")
+    drop_table(spark, "q_bkt_orders")
+    write_bucketed(c.select("c_custkey", "c_mktsegment"), "q_bkt_customer", ["c_custkey"], 16)
+    write_bucketed(o.select("o_custkey", "o_totalprice"), "q_bkt_orders", ["o_custkey"], 16)
+    tc, to = spark.table("q_bkt_customer"), spark.table("q_bkt_orders")
+    return (
+        tc.hint("merge")
+        .join(to, tc.c_custkey == to.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_streaming_conv_totals(spark, sf_dir):
+    """§2.9 stateful streaming (applyInPandasWithState): per-conversation
+    running turn totals over an AvailableNow bounded stream (rows-only;
+    streaming state is not SQL-expressible)."""
+    import tempfile
+
+    from lmss_entity_extractor_spark import schemas
+    from lmss_entity_extractor_spark.streaming.stateful import conversation_running_totals
+
+    tmp = tempfile.mkdtemp(prefix="lmss_stream_q_")
+    _transcripts(spark, sf_dir).limit(2000).write.mode("overwrite").parquet(f"{tmp}/turns")
+    stream = spark.readStream.schema(schemas.TRANSCRIPTS).parquet(f"{tmp}/turns")
+    q = (
+        conversation_running_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("q_conv_totals")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        "SELECT conv_id, max(n_turns_total) AS n_turns_total FROM q_conv_totals GROUP BY conv_id"
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> Arrow-batched feature
     extraction (stubbed decode; rows-only)."""
@@ -636,6 +687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "simhash": q_simhash,
         "multimodal_features": q_multimodal_features,
+        "streaming_conv_totals": q_streaming_conv_totals,
+        # oracle-checked: bucketed layout joins
+        "bucketed_join": q_bucketed_join,
     }
 
 
@@ -1006,6 +1060,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sha256": """
             SELECT doc_id, sha256(text) AS sha FROM documents
+        """,
+        "bucketed_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1
         """,
         "collect_pivot": """
             SELECT user_id,

@@ -74,6 +74,7 @@ def run_kg(spark, sf_dir: str, factor: int) -> dict:
         tempfile.mkdtemp(prefix="lmss_bench_"),
         PipelineConfig(materialize_intermediate=False),
     )
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     t0 = time.time()
@@ -85,17 +86,20 @@ def run_kg(spark, sf_dir: str, factor: int) -> dict:
     if "mentions" in flow:
         flow["mentions"].count()
         t_extract = time.time() - t0
-    edges_df = flow["edges"].cache()
-    edges = edges_df.count()
+    # links count rides the edges count as a COUNT-ONLY observe() on the
+    # upstream links frame (link rows == isInstanceOf provenances).
+    # Pitfalls measured at sf0.1 x128 and deliberately avoided here:
+    # caching edges to re-scan pins a non-AQE plan (+13s); a CONDITIONAL
+    # aggregate inside observe() runs interpreted per-row (+25..55s);
+    # a bare count(1) observation is free.
+    from lmss_entity_extractor_spark.graph.canonicalize import canonicalize_triples
+    from lmss_entity_extractor_spark.graph.triples import emit_triples
+
+    obs = Observation("kg_bench_links")
+    links_df = flow["links"].observe(obs, F.count(F.lit(1)).alias("links"))
+    edges = canonicalize_triples(emit_triples(links_df), pipe.config.salt_buckets).count()
     wall = time.time() - t0
-    # link rows == total isInstanceOf provenances (no recompute needed)
-    links = (
-        edges_df.filter(F.col("pred") == "lmss:isInstanceOf")
-        .agg(F.sum("n_provenances"))
-        .collect()[0][0]
-        or 0
-    )
-    edges_df.unpersist()
+    links = obs.get["links"] or 0
     tdf.unpersist()
     # triples = pre-canonicalization emissions (3 families per link turn);
     # throughput reported on canonical edges and on turns for context.

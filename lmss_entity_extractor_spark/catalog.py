@@ -1,0 +1,49 @@
+"""Bucketed-table catalog helpers (SURVEY.md §4 O8).
+
+At 100 TB the biggest repeated cost is re-shuffling fact tables for
+keyed joins and aggregations.  Hive-style bucketing fixes the layout
+once at write time: a table bucketed by the join key into N buckets
+joins (or groups) against any same-key/same-N bucketed table with ZERO
+exchanges — Spark's scan reports the hash partitioning, so the planner
+drops the shuffle on both sides.
+
+The Iceberg-less sandbox fallback (SURVEY.md §7): ``bucketBy`` +
+``saveAsTable`` parquet tables in the session catalog carry the same
+layout semantics as Iceberg's ``bucket(N, col)`` hidden partitioning;
+``pipeline._write``'s repartition+sortWithinPartitions gives the layout
+without the catalog metadata, and this module adds the cataloged form
+that the planner can actually exploit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a parquet table bucketed (and optionally sorted)
+    by ``bucket_cols`` — joins/aggs on those columns against same-N
+    tables plan with no shuffle exchange."""
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def drop_table(spark: SparkSession, table: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

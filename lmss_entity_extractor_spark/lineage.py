@@ -38,7 +38,12 @@ def observe_stage(df: DataFrame, stage: str, key_col: str | None = None):
     separate ``count()`` this costs nothing extra: the aggregates ride
     along with whatever action runs anyway (K4/A4 mapping, SURVEY.md
     §2.1 — the reference's stats sinks at
-    /root/reference/app/lmss_parser.py:189-193)."""
+    /root/reference/app/lmss_parser.py:189-193).
+
+    Measured costs at 12M rows: count(1) and approx_count_distinct are
+    free (<1s); a CONDITIONAL aggregate (sum(when(...))) inside an
+    Observation runs interpreted per-row and cost 25-55s — keep observed
+    expressions unconditional, filter upstream instead."""
     from pyspark.sql import Observation
 
     obs = Observation(f"{stage}_metrics")

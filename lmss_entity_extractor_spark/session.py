@@ -65,6 +65,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let AQE re-optimize plans under a .cache()/persist() — without
+        # this a cached DataFrame pins the non-adaptive physical plan
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # session-catalog warehouse for bucketed tables (catalog.py);
+        # keep it out of the repo working directory
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/lmss_spark_warehouse"),
+        )
     )
     for k, v in _THREAD_ENV.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)

@@ -1,0 +1,88 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY.md §2.9: the idiomatic Spark seam for stateful logic that
+watermarked windows can't express).
+
+``conversation_running_totals`` keeps one state row per conversation
+across micro-batches: cumulative turns seen and the highest turn index,
+emitting an update row per conversation per batch it appears in.  This
+is the streaming twin of the batch pipeline's per-conversation rollups —
+a downstream consumer (e.g. "re-link conversations that grew by >N
+turns") reads the update stream instead of rescanning the table.
+
+Scale shape: state is keyed by ``conv_id`` and lives in the executor
+state store (RocksDB-backed on a real cluster), so the operator
+partitions exactly like every other conv-keyed stage; one shuffle on the
+grouping key per micro-batch, state size O(live conversations).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_turns", LongType()),
+        StructField("max_turn_idx", IntegerType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns_total", LongType()),
+        StructField("n_turns_batch", LongType()),
+        StructField("max_turn_idx", IntegerType()),
+    ]
+)
+
+
+def _update_conv(key, pdf_iter, state: GroupState):
+    n_batch = 0
+    max_idx = -1
+    for pdf in pdf_iter:
+        n_batch += len(pdf)
+        if len(pdf):
+            max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+    if state.exists:
+        n_prev, max_prev = state.get
+        n_total = n_prev + n_batch
+        max_idx = max(max_idx, max_prev)
+    else:
+        n_total = n_batch
+    state.update((n_total, max_idx))
+    yield pd.DataFrame(
+        {
+            "conv_id": [key[0]],
+            "n_turns_total": [n_total],
+            "n_turns_batch": [n_batch],
+            "max_turn_idx": [max_idx],
+        }
+    )
+
+
+def conversation_running_totals(turn_stream: DataFrame) -> DataFrame:
+    """Streaming transcripts -> one update row per (conversation, batch):
+    cumulative turn count, this-batch turn count, max turn index seen.
+
+    ``turn_stream`` must be a streaming DataFrame with at least
+    ``conv_id`` and ``turn_idx`` columns."""
+    return (
+        turn_stream.select("conv_id", "turn_idx")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _update_conv,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,158 @@
+"""Physical-plan regression tests: the plan shapes that make these
+queries survive a 100x scale-up are asserted, not hoped for.
+
+What is pinned and why it matters at 100 TB:
+  * predicate pushdown + column pruning into the parquet scan — a scan
+    that decodes all columns for a 2-column projection reads ~10x the
+    bytes it needs;
+  * broadcast hash joins on the small dimensions — a sort-merge join
+    against `region`/`nation`/`part` would shuffle the fact table;
+  * TakeOrderedAndProject for top-k — a global sort of 100 TB for a
+    LIMIT 10 is the classic planner regression;
+  * narrow extraction dataflow — the KG pipeline's UDF stages must add
+    ZERO exchanges; the only shuffles are the link-dedup join and the
+    salted canonical groupBy.
+
+These assert against `explain("formatted")` of the exact driver-contract
+queries, so a refactor that silently de-broadcasts a join or breaks
+pushdown fails CI rather than the next scale run.
+"""
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def n_exchanges(plan: str) -> int:
+    # count shuffle exchanges only (BroadcastExchange is fine/narrow);
+    # formatted plans print each node once as a "(N) Exchange" detail header
+    return len(re.findall(r"^\(\d+\) Exchange$", plan, re.MULTILINE))
+
+
+@pytest.mark.spark
+class TestScanEfficiency:
+    def test_filter_pushdown_reaches_parquet(self, spark):
+        plan = plan_of(entry.q_filter_project(spark, SF))
+        assert "PushedFilters:" in plan
+        # the range predicates are pushed, not just IsNotNull
+        pushed = plan[plan.index("PushedFilters:"):].splitlines()[0]
+        assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+    def test_column_pruning(self, spark):
+        plan = plan_of(entry.q_filter_project(spark, SF))
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, plan
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        # only the 4 referenced columns are decoded (lineitem has 10+)
+        assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+    def test_topk_is_take_ordered_not_global_sort(self, spark):
+        plan = plan_of(entry.q_topk_orders(spark, SF))
+        assert "TakeOrderedAndProject" in plan
+        assert n_exchanges(plan) == 0
+
+
+@pytest.mark.spark
+class TestJoinStrategies:
+    def test_dimension_joins_broadcast(self, spark):
+        plan = plan_of(entry.q_region_revenue(spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 2  # nation and region
+        # the orders<->customer join may shuffle; region/nation must not
+        assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+    def test_semi_and_anti_join_types(self, spark):
+        assert "LeftSemi" in plan_of(entry.q_semi_join(spark, SF))
+        assert "LeftAnti" in plan_of(entry.q_anti_join(spark, SF))
+
+    def test_ivf_probe_is_broadcast_equijoin(self, spark):
+        plan = plan_of(entry.q_knn_ivf(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "centroid_id" in plan
+        # no cartesian product anywhere in the probe path against the
+        # full vector set (the only crossJoins are vs the tiny centroid
+        # broadcast, which plans as BroadcastNestedLoopJoin)
+        assert "CartesianProduct" not in plan
+
+
+@pytest.mark.spark
+class TestPipelineShuffleBudget:
+    def test_extraction_is_narrow(self, spark, owl_path, tiny_transcripts):
+        from lmss_entity_extractor_spark.extraction.stage import detect_mentions
+        from lmss_entity_extractor_spark.ontology import build_artifacts, parse_owl_classes
+        from lmss_entity_extractor_spark.schemas import TRANSCRIPTS
+
+        arts = spark.sparkContext.broadcast(build_artifacts(parse_owl_classes(owl_path)))
+        # pre-partitioned input, like a real bucketed table: the stage
+        # itself must add ZERO exchanges on top of the input's layout
+        target = spark.sparkContext.defaultParallelism * 8
+        tdf = spark.createDataFrame(tiny_transcripts, schema=TRANSCRIPTS).repartition(
+            target, "conv_id"
+        )
+        plan = plan_of(detect_mentions(tdf, arts))
+        assert n_exchanges(plan) == n_exchanges(plan_of(tdf)) == 1, plan
+
+    def test_fused_dataflow_shuffles_once_per_canonical_phase(
+        self, spark, owl_path, tiny_transcripts, tmp_path
+    ):
+        from lmss_entity_extractor_spark.pipeline import KGPipeline, PipelineConfig
+        from lmss_entity_extractor_spark.schemas import TRANSCRIPTS
+
+        tdf = spark.createDataFrame(tiny_transcripts, schema=TRANSCRIPTS)
+        pipe = KGPipeline(
+            spark, owl_path, tmp_path / "wh", PipelineConfig(materialize_intermediate=False)
+        )
+        edges = pipe.dataflow(tdf, strategy="fused")["edges"]
+        # extraction+linking are fused into one narrow mapInPandas; the
+        # canonicalization is three groupBy phases (hash-agg dedup +
+        # salted merge + final merge) = 3 exchanges, plus one
+        # REPARTITION_BY_NUM because this ad-hoc input is
+        # under-partitioned (a pre-bucketed table skips it)
+        plan = plan_of(edges)
+        assert n_exchanges(plan) == 4, plan
+        assert plan.count("REPARTITION_BY_NUM") == 1
+        # the full-stream phase is a HashAggregate (fixed-width buffers);
+        # only the post-dedup salted merge is sort-based (struct min)
+        assert "HashAggregate" in plan
+
+
+@pytest.mark.spark
+class TestBucketedLayout:
+    def test_bucketed_join_has_no_shuffle(self, spark):
+        """O8: same-key same-N bucketed tables join with zero exchanges —
+        the layout the 100 TB deployment would pin for edges/nodes."""
+        from lmss_entity_extractor_spark.catalog import drop_table, write_bucketed
+
+        a = spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS va")
+        b = spark.range(0, 5000).selectExpr("id AS k", "id * 3 AS vb")
+        drop_table(spark, "bkt_a")
+        drop_table(spark, "bkt_b")
+        write_bucketed(a, "bkt_a", ["k"], n_buckets=8, sort_cols=["k"])
+        write_bucketed(b, "bkt_b", ["k"], n_buckets=8, sort_cols=["k"])
+        ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+        joined = ta.hint("merge").join(tb, "k")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert n_exchanges(plan) == 0, plan
+        assert joined.count() == 5000
+        drop_table(spark, "bkt_a")
+        drop_table(spark, "bkt_b")
+
+    def test_bucketed_groupby_has_no_shuffle(self, spark):
+        from lmss_entity_extractor_spark.catalog import drop_table, write_bucketed
+        from pyspark.sql import functions as F
+
+        df = spark.range(0, 5000).selectExpr("id % 100 AS k", "id AS v")
+        drop_table(spark, "bkt_g")
+        write_bucketed(df, "bkt_g", ["k"], n_buckets=8)
+        agg = spark.table("bkt_g").groupBy("k").agg(F.sum("v").alias("sv"))
+        assert n_exchanges(plan_of(agg)) == 0, plan_of(agg)
+        assert agg.count() == 100
+        drop_table(spark, "bkt_g")

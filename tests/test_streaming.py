@@ -68,3 +68,41 @@ def test_streaming_turn_rate_windows(spark, tmp_path):
     rates = spark.sql("SELECT * FROM turn_rate").collect()
     assert len(rates) > 0
     assert all(r["n_turns"] > 0 for r in rates)
+
+
+@pytest.mark.spark
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-conversation state across
+    micro-batches: a conversation split over two files accumulates."""
+    from lmss_entity_extractor_spark import schemas
+    from lmss_entity_extractor_spark.streaming.stateful import conversation_running_totals
+
+    tdir = tmp_path / "turns"
+    tdir.mkdir()
+    # both files carry turns of the SAME conv_id (conv-000000), so the
+    # second micro-batch must accumulate onto the first batch's state
+    write_transcripts_parquet(tdir / "f1.parquet", n_convs=1, seed=1)
+    write_transcripts_parquet(tdir / "f2.parquet", n_convs=1, seed=2)
+
+    stream = (
+        spark.readStream.schema(schemas.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tdir))
+    )
+    q = (
+        conversation_running_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("conv_totals")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM conv_totals ORDER BY n_turns_total").collect()
+    # same conv_id in both files -> two update rows, cumulative total
+    assert len(rows) == 2
+    assert rows[0].conv_id == rows[1].conv_id
+    assert rows[1].n_turns_total == rows[0].n_turns_total + rows[1].n_turns_batch
+    batch_turns = spark.read.parquet(str(tdir)).count()
+    assert rows[1].n_turns_total == batch_turns
