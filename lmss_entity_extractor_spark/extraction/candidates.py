@@ -29,7 +29,6 @@ oracle, and they are concatenated in the reference's channel order
 from __future__ import annotations
 
 import re
-from collections import Counter
 
 from ..ontology.artifacts import OntologyArtifacts
 from ..textproc import STOPWORDS, char_trigrams, tokenize_with_offsets
@@ -54,7 +53,8 @@ def dictionary_spans(text: str, artifacts: OntologyArtifacts) -> list[Span]:
     """Leftmost-longest non-overlapping dictionary hits."""
     out: list[Span] = []
     for m in artifacts.surface_regex().finditer(text):
-        out.append((text[m.start() : m.end()], m.start(), m.end(), DICT_TYPE))
+        s, e = m.span()
+        out.append((m.group(), s, e, DICT_TYPE))
     return out
 
 
@@ -96,8 +96,11 @@ def fuzzy_window_spans(
     # (huge ontology x very long turn).
     S = len(surf_sizes)
     if n_toks * S <= 16_000_000:
-        T = np.vstack([t[0] for t in tallies]).astype(np.int32, copy=False)
-        P = np.vstack([np.zeros((1, S), np.int32), np.cumsum(T, axis=0, dtype=np.int32)])
+        # row-assign into preallocated prefix matrix: vstack's per-row
+        # atleast_2d and the errstate guards were ~15% of this function
+        P = np.zeros((n_toks + 1, S), np.int32)
+        for k, t in enumerate(tallies):
+            np.add(P[k], t[0], out=P[k + 1])
         Z = np.concatenate(([0], np.cumsum([t[1] for t in tallies])))
         sims = []
         for n in range(1, max_window + 1):
@@ -105,13 +108,16 @@ def fuzzy_window_spans(
                 break
             C = P[n:] - P[:-n]
             W = (Z[n:] - Z[:-n]).astype(np.float64)
-            denom = W[:, None] + surf_sizes[None, :] - C
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sim_n = np.where(W > 0, np.max(np.where(denom > 0, C / denom, 0.0), axis=1) if S else 0.0, -1.0)
-            sims.append(sim_n)
+            # when W > 0: denom = W + surf - C >= max(W, surf) > 0, so the
+            # unguarded divide is safe on every row that survives the mask
+            denom = np.maximum(W[:, None] + surf_sizes[None, :] - C, 1.0)
+            sim_n = np.where(W > 0, np.max(C / denom, axis=1) if S else 0.0, -1.0)
+            # python-list indexing beats per-element ndarray item access
+            # in the scan loop below (hundreds of lookups per turn)
+            sims.append(sim_n.tolist())
 
         def window_sim(i: int, n: int) -> float:
-            return float(sims[n - 1][i])
+            return sims[n - 1][i]
     else:
         def window_sim(i: int, n: int) -> float:
             counts = tallies[i][0].copy()
@@ -190,16 +196,23 @@ def keyword_spans(text: str, top_k: int = TOP_K_KEYWORDS) -> list[Span]:
     keyword as their surface form.
     """
     lowered = text.lower()
-    counts = Counter(
-        t for t in _KEYWORD_TOKEN_RE.findall(lowered) if t not in STOPWORDS
-    )
-    if not counts:
+    # one tokenizing pass collects counts AND positions: a ``\b<kw>\b``
+    # re-scan per keyword matches exactly the token occurrences of kw
+    # (kw is itself a \w\w+ token, and \w-adjacency blocks \b the same
+    # way it extends the token), so the k extra regex passes of the
+    # reference formulation are redundant work
+    positions: dict[str, list[tuple[int, int]]] = {}
+    for m in _KEYWORD_TOKEN_RE.finditer(lowered):
+        t = m.group()
+        if t not in STOPWORDS:
+            positions.setdefault(t, []).append(m.span())
+    if not positions:
         return []
-    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    top = sorted(positions.items(), key=lambda kv: (-len(kv[1]), kv[0]))[:top_k]
     out: list[Span] = []
-    for kw, _ in top:
-        for m in re.finditer(r"\b" + re.escape(kw) + r"\b", lowered):
-            out.append((kw, m.start(), m.end(), KEYWORD_TYPE))
+    for kw, spans_kw in top:
+        for s, e in spans_kw:
+            out.append((kw, s, e, KEYWORD_TYPE))
     return out
 
 

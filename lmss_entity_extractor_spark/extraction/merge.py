@@ -47,6 +47,8 @@ def resolve_spans(spans: list[Span], stopwords: frozenset[str] = STOPWORDS) -> l
     ordered = sorted(spans, key=lambda sp: (sp[1], -sp[2]))
     n = len(ordered)
     accepted: list[Span] = []
+    max_acc_end = -1  # containment pre-check: no accepted span can
+    # contain the winner unless some accepted end reaches its end
     i = 0
     while i < n:
         running = ordered[i]
@@ -78,9 +80,13 @@ def resolve_spans(spans: list[Span], stopwords: frozenset[str] = STOPWORDS) -> l
         trimmed, offset = strip_leading_stopwords(running[0], stopwords)
         running = (trimmed, running[1] + offset, running[2], running[3])
 
-        contained = any(a[1] <= running[1] and a[2] >= running[2] for a in accepted)
+        contained = max_acc_end >= running[2] and any(
+            a[1] <= running[1] and a[2] >= running[2] for a in accepted
+        )
         if not contained:
             accepted.append(running)
+            if running[2] > max_acc_end:
+                max_acc_end = running[2]
         i = j
 
     seen_forms: set[str] = set()
