@@ -475,6 +475,24 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_moving_avg(spark, sf_dir):
+    """Window frame aggregation: per-user 5-row trailing average event
+    value over event time (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return e.filter(F.col("user_id") < 20).select(
+        "user_id",
+        "event_id",
+        F.floor(F.avg("value").over(w) * 10000).cast("long").alias("avg5_e4"),
+    )
+
+
 def q_rollup_revenue(spark, sf_dir):
     """Grouping sets: ROLLUP(region, nation) revenue with ALL backfill."""
     r = _t(spark, sf_dir, "region")
@@ -677,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closure_counts": q_closure_counts,
         "set_ops": q_set_ops,
         "sessionize": q_sessionize,
+        "moving_avg": q_moving_avg,
         "rollup_revenue": q_rollup_revenue,
         "sha256": q_sha256,
         "collect_pivot": q_collect_pivot,
@@ -1046,6 +1065,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
             FROM g GROUP BY 1
+        """,
+        "moving_avg": """
+            SELECT user_id, event_id,
+                   CAST(floor(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 10000) AS BIGINT) AS avg5_e4
+            FROM events WHERE user_id < 20
         """,
         "rollup_revenue": """
             SELECT coalesce(r_name, 'ALL') AS region_name,

@@ -17,6 +17,9 @@ that the planner can actually exploit.
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -46,4 +49,17 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
 
 
 def drop_table(spark: SparkSession, table: str) -> None:
+    """Drop the catalog entry AND its managed location.
+
+    The in-memory session catalog forgets tables between sessions, but
+    their warehouse directories persist — a later ``saveAsTable`` of the
+    same name then fails with LOCATION_ALREADY_EXISTS, so the orphaned
+    location must go too."""
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    for prefix in ("file://", "file:"):
+        if warehouse.startswith(prefix):
+            warehouse = warehouse[len(prefix):]
+            break
+    if warehouse:
+        shutil.rmtree(Path(warehouse) / table.lower(), ignore_errors=True)
