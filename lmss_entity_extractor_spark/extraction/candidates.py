@@ -82,9 +82,6 @@ def fuzzy_window_spans(
 
     tok_lower = [t[0].lower() for t in toks]
     tok_stop = [t in STOPWORDS for t in tok_lower]
-    # per-token trigram tallies (shared-count vector over all dictionary
-    # surfaces + trigram count), cached per distinct token per process
-    tallies = [_token_tally(artifacts, t) for t in tok_lower]
 
     # Batched window scoring: all (start, n) window similarities in
     # ~max_window ufunc calls via prefix sums over the (token, surface)
@@ -96,12 +93,13 @@ def fuzzy_window_spans(
     # (huge ontology x very long turn).
     S = len(surf_sizes)
     if n_toks * S <= 16_000_000:
-        # row-assign into preallocated prefix matrix: vstack's per-row
-        # atleast_2d and the errstate guards were ~15% of this function
+        # per-token tallies live as rows of one cached matrix, so the
+        # whole turn's (token, surface) table is a single fancy-index
+        # gather instead of n_toks small-array adds
+        ids, mat, sizes = _tally_rows(artifacts, tok_lower)
         P = np.zeros((n_toks + 1, S), np.int32)
-        for k, t in enumerate(tallies):
-            np.add(P[k], t[0], out=P[k + 1])
-        Z = np.concatenate(([0], np.cumsum([t[1] for t in tallies])))
+        np.cumsum(mat[ids], axis=0, out=P[1:])
+        Z = np.concatenate(([0], np.cumsum(sizes[ids])))
         sims = []
         for n in range(1, max_window + 1):
             if n > n_toks:
@@ -119,6 +117,8 @@ def fuzzy_window_spans(
         def window_sim(i: int, n: int) -> float:
             return sims[n - 1][i]
     else:
+        tallies = [_token_tally(artifacts, t) for t in tok_lower]
+
         def window_sim(i: int, n: int) -> float:
             counts = tallies[i][0].copy()
             wsize = tallies[i][1]
@@ -157,6 +157,75 @@ def fuzzy_window_spans(
             out.append((text[start:end], start, end, FUZZY_TYPE))
             i = i + n  # windows never overlap
     return out
+
+
+def _tally_rows(artifacts: OntologyArtifacts, tokens: list[str]):
+    """Map tokens to row indices of a process-cached (token, surface)
+    tally matrix; returns (ids array, matrix, trigram-size array).
+
+    The matrix doubles on demand and is capped at ~64M int32 cells so a
+    huge ontology (large S) bounds the cache by memory, not entry count;
+    once full, new tokens are computed into a per-call overflow block
+    stitched after the cached rows (no eviction)."""
+    import numpy as np
+
+    store = getattr(artifacts, "_tally_store", None)
+    S = len(artifacts.label_tri_sizes)
+    if store is None:
+        cap = 1024
+        store = {
+            "ids": {},
+            "mat": np.zeros((cap, S), np.int32),
+            "sizes": np.zeros(cap, np.int64),
+            "n": 0,
+            "max_rows": max(1024, 64_000_000 // max(S, 1)),
+        }
+        artifacts._tally_store = store
+    idmap, n = store["ids"], store["n"]
+    overflow_rows: list = []
+    overflow_sizes: list = []
+    ids = np.empty(len(tokens), np.int64)
+    for k, tok in enumerate(tokens):
+        idx = idmap.get(tok)
+        if idx is None:
+            vec, size = _compute_tally(artifacts, tok, S)
+            if n < store["max_rows"]:
+                if n == len(store["sizes"]):
+                    grow = min(len(store["sizes"]) * 2, store["max_rows"])
+                    store["mat"] = np.resize(store["mat"], (grow, S))
+                    store["mat"][n:] = 0
+                    store["sizes"] = np.resize(store["sizes"], grow)
+                store["mat"][n] = vec
+                store["sizes"][n] = size
+                idx = idmap[tok] = n
+                n += 1
+            else:  # cache full: spill into a per-call overflow block
+                idx = store["max_rows"] + len(overflow_rows)
+                overflow_rows.append(vec)
+                overflow_sizes.append(size)
+        ids[k] = idx
+    store["n"] = n
+    if overflow_rows:
+        import numpy as _np
+
+        mat = _np.vstack([store["mat"][: store["max_rows"]], _np.asarray(overflow_rows, _np.int32)])
+        sizes = _np.concatenate([store["sizes"][: store["max_rows"]], _np.asarray(overflow_sizes, _np.int64)])
+        return ids, mat, sizes
+    return ids, store["mat"], store["sizes"]
+
+
+def _compute_tally(artifacts: OntologyArtifacts, token: str, n_surfaces: int):
+    """(shared-count vector over surfaces, n_trigrams) for one token."""
+    import numpy as np
+
+    tris = char_trigrams(token)
+    vec = np.zeros(n_surfaces, dtype=np.int32)
+    postings = artifacts.trigram_postings
+    for g in tris:
+        p = postings.get(g)
+        if p is not None:
+            vec[p] += 1
+    return vec, len(tris)
 
 
 def _token_tally(artifacts: OntologyArtifacts, token: str):
