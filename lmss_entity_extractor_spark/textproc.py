@@ -98,24 +98,30 @@ def strip_leading_stopwords(text: str, stopwords: frozenset[str] = STOPWORDS) ->
 def _lcs_len(a: str, b: str) -> int:
     """Length of the longest common subsequence.
 
-    Row-vectorized DP: within one row the recurrence
-    cur[j+1] = max(prev[j+1], prev[j] + eq_j, cur[j]) folds into a
-    running max — cur[1:] = cummax(max(prev[1:], prev[:-1] + eq)) — so
-    each row is O(1) numpy calls instead of O(len) Python steps.  This is
-    the linker's hottest function (fuzzy scoring is O(uniq_mentions x
-    classes) ratio evaluations)."""
+    Bit-parallel Allison-Dix/Hyyroe form over Python big ints: one
+    bitmask per distinct char of the shorter string, then per char of
+    the longer string a constant number of word-wide bit operations —
+    O(|a| * |b| / wordsize) with tiny constants.  This is the linker's
+    hottest function (fuzzy scoring is O(uniq_mentions x classes) ratio
+    evaluations); it replaced a numpy row-DP that spent its time in
+    per-row ufunc dispatch (measured ~8x slower)."""
     if not a or not b:
         return 0
     if len(a) < len(b):
         a, b = b, a
-    b_arr = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
-    prev = np.zeros(len(b) + 1, dtype=np.int32)
-    cur = np.zeros(len(b) + 1, dtype=np.int32)
-    for ca in a:
-        np.maximum(prev[1:], prev[:-1] + (b_arr == ord(ca)), out=cur[1:])
-        np.maximum.accumulate(cur[1:], out=cur[1:])
-        prev, cur = cur, prev
-    return int(prev[-1])
+    masks: dict[str, int] = {}
+    bit = 1
+    for c in b:
+        masks[c] = masks.get(c, 0) | bit
+        bit <<= 1
+    width_mask = bit - 1  # len(b) ones
+    v = width_mask
+    get = masks.get
+    for c in a:
+        u = v & get(c, 0)
+        v = ((v + u) | (v - u)) & width_mask
+    # each matched subsequence element clears one bit of v
+    return len(b) - v.bit_count()
 
 
 def indel_ratio(a: str, b: str) -> float:
