@@ -475,6 +475,32 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_above_avg(spark, sf_dir):
+    """Correlated scalar subquery shape: customers with above-average
+    account balance within their nation (decorrelated to a window/join
+    aggregate — the plan Spark and every warehouse engine rewrite to)."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    return (
+        c.withColumn("nation_avg", F.avg("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+def q_quantiles(spark, sf_dir):
+    """Ordered-set aggregate: exact interpolated percentiles of order
+    totals per order priority."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.floor(F.percentile("o_totalprice", 0.5) * 100).cast("long").alias("p50_cents"),
+        F.floor(F.percentile("o_totalprice", 0.9) * 100).cast("long").alias("p90_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def q_moving_avg(spark, sf_dir):
     """Window frame aggregation: per-user 5-row trailing average event
     value over event time (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)."""
@@ -695,6 +721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closure_counts": q_closure_counts,
         "set_ops": q_set_ops,
         "sessionize": q_sessionize,
+        "above_avg": q_above_avg,
+        "quantiles": q_quantiles,
         "moving_avg": q_moving_avg,
         "rollup_revenue": q_rollup_revenue,
         "sha256": q_sha256,
@@ -1065,6 +1093,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
             FROM g GROUP BY 1
+        """,
+        "above_avg": """
+            SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                               WHERE c2.c_nationkey = c.c_nationkey)
+        """,
+        "quantiles": """
+            SELECT o_orderpriority,
+                   CAST(floor(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT) AS p50_cents,
+                   CAST(floor(quantile_cont(o_totalprice, 0.9) * 100) AS BIGINT) AS p90_cents,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
         """,
         "moving_avg": """
             SELECT user_id, event_id,

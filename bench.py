@@ -228,12 +228,16 @@ def run_scaling(sf_dir: str, factor: int) -> None:
     """Two fresh-JVM runs at local[N] and local[4N] on identical input,
     plus a raw-multiprocessing hardware control; write BENCH/BASELINE.md."""
     n_small, n_big = SCALE_N, SCALE_N * 4
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
-    results: dict = {}
-    # alternate widths and keep the best run per width: the sandbox host
-    # shows 20-40% between-run noise (shared-host effects), and min-wall
-    # is the least-interference estimate of each configuration
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+    rounds: list = []
+    # both widths run back-to-back within one round, and efficiency is
+    # computed PER ROUND: the shared sandbox host shows 15-40%
+    # between-run noise, and pairing a lucky-fast local[N] from one
+    # interference epoch with a slow local[4N] from another fabricates
+    # anti-scaling that isn't in the pipeline.  The reported round is the
+    # least-interference one (max combined throughput).
     for r in range(repeats):
+        pair: dict = {}
         for cpus in (n_small, n_big):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
             proc = subprocess.run(
@@ -245,16 +249,26 @@ def run_scaling(sf_dir: str, factor: int) -> None:
             )
             line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
             res = json.loads(line)
-            print(f"run {r} local[{cpus}]: {res['kg']}", file=sys.stderr)
-            if cpus not in results or res["kg"]["sec"] < results[cpus]["kg"]["sec"]:
-                results[cpus] = res
+            print(f"round {r} local[{cpus}]: {res['kg']}", file=sys.stderr)
+            pair[cpus] = res
             time.sleep(5)
+        eff_r = (pair[n_big]["kg"]["triples_per_sec"] / pair[n_small]["kg"]["triples_per_sec"]) / 4
+        print(f"round {r} paired efficiency: {eff_r:.3f}", file=sys.stderr)
+        rounds.append(pair)
 
     ctrl = hardware_control(sf_dir, n_small, n_big)
     print(f"hardware control: {ctrl}", file=sys.stderr)
 
-    ka, kb = results[n_small]["kg"], results[n_big]["kg"]
+    best = max(
+        rounds,
+        key=lambda p: p[n_small]["kg"]["triples_per_sec"] + p[n_big]["kg"]["triples_per_sec"],
+    )
+    ka, kb = best[n_small]["kg"], best[n_big]["kg"]
     eff = (kb["triples_per_sec"] / ka["triples_per_sec"]) / 4
+    all_effs = [
+        round((p[n_big]["kg"]["triples_per_sec"] / p[n_small]["kg"]["triples_per_sec"]) / 4, 3)
+        for p in rounds
+    ]
     rel_eff = (kb["triples_per_sec"] / ka["triples_per_sec"]) / ctrl["ratio"]
     md = f"""# BENCH/BASELINE — measured numbers (scaling protocol)
 
@@ -263,7 +277,10 @@ schema, amplified x{factor} -> {ka['turns']} turns (identical bytes for both
 runs).  Full KG dataflow per run: mention detection (Arrow UDF) ->
 surface-dedup linking (broadcast matrix) -> triple emission -> salted
 canonical groupBy.  Fresh JVM per parallelism level; JVM/session warmup
-and input generation excluded from the timed window.
+and input generation excluded from the timed window.  Both widths run
+back-to-back per round and efficiency is computed per paired round
+(shared-host noise is 15-40% between epochs); reported below is the
+least-interference round of {len(rounds)} (all paired efficiencies: {all_effs}).
 
 | parallelism | wall sec | turns/sec | links | canonical edges | triples/sec |
 |---|---|---|---|---|---|
@@ -302,6 +319,7 @@ both parallelism levels: {'YES' if (ka['links'], ka['edges']) == (kb['links'], k
         "queries": {f"kg_local{n_small}_sec": ka["sec"], f"kg_local{n_big}_sec": kb["sec"]},
         "sf": _sf_of(sf_dir),
         "relative_efficiency_vs_hardware": round(rel_eff, 3),
+        "paired_efficiencies_all_rounds": all_effs,
         "hardware_control_ratio": ctrl["ratio"],
         f"triples_per_sec_local{n_small}": ka["triples_per_sec"],
         f"triples_per_sec_local{n_big}": kb["triples_per_sec"],

@@ -25,6 +25,10 @@ from .turn import extract_mentions_from_turn
 
 _MENTION_COLS = [f.name for f in schemas.MENTIONS.fields]
 _CORE_COLS = [c for c in _MENTION_COLS if c not in ("context", "source", "confidence")]
+# fixed candidate-type vocabulary: transferred from the UDF as a 1-byte
+# code and decoded JVM-side (a ~10-byte string per row otherwise)
+_MTYPES = ["NER_LMSS", "NOUN_PHRASE", "KEYWORD"]
+_MTYPE_CODE = {t: i for i, t in enumerate(_MTYPES)}
 
 
 def detect_mentions(
@@ -39,14 +43,30 @@ def detect_mentions(
     the fused linking dataflow doesn't consume them, and the ±100-char
     context strings dominate the Arrow transfer bytes of the fan-out.
     """
+    from pyspark.sql.types import StructType
+
     if with_context:
-        out_schema = schemas.MENTIONS_WITH_VECTOR if with_vector else schemas.MENTIONS
+        full_schema = schemas.MENTIONS_WITH_VECTOR if with_vector else schemas.MENTIONS
         cols_list = _MENTION_COLS
     else:
-        from pyspark.sql.types import StructType
-
-        out_schema = StructType([f for f in schemas.MENTIONS.fields if f.name in _CORE_COLS])
+        full_schema = StructType([f for f in schemas.MENTIONS.fields if f.name in _CORE_COLS])
         cols_list = _CORE_COLS
+    # mention_id is derived JVM-side after the UDF: building the ~45-byte
+    # URI per row in Python and shipping it through Arrow was the largest
+    # transfer column of the fan-out
+    # mention_id/source/confidence are all derivable JVM-side; only
+    # context (a Python text slice) must cross the Arrow boundary
+    derived = ("mention_id", "source", "confidence")
+    udf_cols = [c for c in cols_list if c not in derived]
+    from pyspark.sql.types import ByteType, StructField
+
+    out_schema = StructType(
+        [
+            StructField("mtype", ByteType()) if f.name == "mtype" else f
+            for f in full_schema.fields
+            if f.name not in derived
+        ]
+    )
 
     def run(batches):
         artifacts = bc_artifacts.value
@@ -54,7 +74,7 @@ def detect_mentions(
             # columnar accumulation: building one list per output column is
             # several times faster than a list-of-tuples DataFrame for the
             # multi-million-row mention fan-out
-            cols: dict[str, list] = {c: [] for c in cols_list}
+            cols: dict[str, list] = {c: [] for c in udf_cols}
             for conv_id, turn_idx, text in zip(
                 pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(), pdf["text"].tolist()
             ):
@@ -63,17 +83,12 @@ def detect_mentions(
                 ):
                     cols["conv_id"].append(conv_id)
                     cols["turn_idx"].append(turn_idx)
-                    cols["mention_id"].append(
-                        f"mention://{conv_id}/{turn_idx}/{m['start']}-{m['end']}"
-                    )
                     cols["text"].append(m["text"])
                     cols["start"].append(m["start"])
                     cols["end"].append(m["end"])
-                    cols["mtype"].append(m["mtype"])
+                    cols["mtype"].append(_MTYPE_CODE[m["mtype"]])
                     if with_context:
-                        cols["source"].append(m["source"])
                         cols["context"].append(m["context"])
-                        cols["confidence"].append(m["confidence"])
             out = pd.DataFrame(cols)
             if with_vector:
                 out["vector"] = (
@@ -93,4 +108,19 @@ def detect_mentions(
     target = transcripts.sparkSession.sparkContext.defaultParallelism * 4
     if filtered.rdd.getNumPartitions() < target:
         filtered = filtered.repartition(target, "conv_id")
-    return filtered.mapInPandas(run, schema=out_schema)
+    fanned = filtered.mapInPandas(run, schema=out_schema)
+    mention_id = F.concat(
+        F.lit("mention://"), F.col("conv_id"),
+        F.lit("/"), F.col("turn_idx").cast("string"),
+        F.lit("/"), F.col("start").cast("string"),
+        F.lit("-"), F.col("end").cast("string"),
+    )
+    decoded_mtype = F.element_at(
+        F.array(*[F.lit(t) for t in _MTYPES]), F.col("mtype").cast("int") + 1
+    )
+    fanned = fanned.withColumn("mention_id", mention_id).withColumn("mtype", decoded_mtype)
+    if with_context:
+        # F11 source tag + the reference's constant confidence placeholder
+        fanned = fanned.withColumn("source", F.split(F.col("mtype"), "_").getItem(0))
+        fanned = fanned.withColumn("confidence", F.lit(1.0).cast("float"))
+    return fanned.select(*(cols_list + (["vector"] if with_vector else [])))

@@ -85,7 +85,7 @@ def extract_and_link(transcripts: DataFrame, bc_artifacts, config: LinkerConfig 
     from ..extraction.turn import extract_mentions_from_turn
 
     out_schema = (
-        "conv_id string, turn_idx int, mention_id string, start int, end int, "
+        "conv_id string, turn_idx int, start int, end int, "
         "text string, branch string, label string, score float, iri string"
     )
 
@@ -93,7 +93,7 @@ def extract_and_link(transcripts: DataFrame, bc_artifacts, config: LinkerConfig 
         linker = _get_linker(bc_artifacts, config)
         artifacts = bc_artifacts.value
         cols_names = [
-            "conv_id", "turn_idx", "mention_id", "start", "end",
+            "conv_id", "turn_idx", "start", "end",
             "text", "branch", "label", "score", "iri",
         ]
         for pdf in batches:
@@ -107,9 +107,6 @@ def extract_and_link(transcripts: DataFrame, bc_artifacts, config: LinkerConfig 
                         continue
                     cols["conv_id"].append(conv_id)
                     cols["turn_idx"].append(turn_idx)
-                    cols["mention_id"].append(
-                        f"mention://{conv_id}/{turn_idx}/{m['start']}-{m['end']}"
-                    )
                     cols["start"].append(m["start"])
                     cols["end"].append(m["end"])
                     cols["text"].append(m["text"])
@@ -125,7 +122,18 @@ def extract_and_link(transcripts: DataFrame, bc_artifacts, config: LinkerConfig 
     target = transcripts.sparkSession.sparkContext.defaultParallelism * 8
     if filtered.rdd.getNumPartitions() < target:
         filtered = filtered.repartition(target, "conv_id")
-    return filtered.mapInPandas(run, schema=out_schema)
+    fanned = filtered.mapInPandas(run, schema=out_schema)
+    # mention_id derived JVM-side (same rationale as detect_mentions)
+    mention_id = F.concat(
+        F.lit("mention://"), F.col("conv_id"),
+        F.lit("/"), F.col("turn_idx").cast("string"),
+        F.lit("/"), F.col("start").cast("string"),
+        F.lit("-"), F.col("end").cast("string"),
+    )
+    return fanned.withColumn("mention_id", mention_id).select(
+        "conv_id", "turn_idx", "mention_id", "start", "end",
+        "text", "branch", "label", "score", "iri",
+    )
 
 
 def link_mentions(
