@@ -685,6 +685,16 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: every-Nth-byte frame extraction over
+    binary payloads (Arrow-batched; decode stubbed — rows-only)."""
+    from lmss_entity_extractor_spark.ops.multimodal import make_media_table, sample_frames
+
+    media = make_media_table(_t(spark, sf_dir, "documents").limit(50))
+    frames = sample_frames(media, every_n_bytes=64)
+    return frames.groupBy("mime").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational inventory (oracle-checked)
@@ -734,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "simhash": q_simhash,
         "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
         "streaming_conv_totals": q_streaming_conv_totals,
         # oracle-checked: bucketed layout joins
         "bucketed_join": q_bucketed_join,
