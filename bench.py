@@ -92,12 +92,9 @@ def run_kg(spark, sf_dir: str, factor: int) -> dict:
     # caching edges to re-scan pins a non-AQE plan (+13s); a CONDITIONAL
     # aggregate inside observe() runs interpreted per-row (+25..55s);
     # a bare count(1) observation is free.
-    from lmss_entity_extractor_spark.graph.canonicalize import canonicalize_triples
-    from lmss_entity_extractor_spark.graph.triples import emit_triples
-
     obs = Observation("kg_bench_links")
     links_df = flow["links"].observe(obs, F.count(F.lit(1)).alias("links"))
-    edges = canonicalize_triples(emit_triples(links_df), pipe.config.salt_buckets).count()
+    edges = pipe.edges_from_links(links_df).count()
     wall = time.time() - t0
     links = obs.get["links"] or 0
     tdf.unpersist()

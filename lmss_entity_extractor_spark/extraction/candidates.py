@@ -96,10 +96,10 @@ def fuzzy_window_spans(
         # per-token tallies live as rows of one cached matrix, so the
         # whole turn's (token, surface) table is a single fancy-index
         # gather instead of n_toks small-array adds
-        ids, mat, sizes = _tally_rows(artifacts, tok_lower)
+        T, z = _tally_rows(artifacts, tok_lower)
         P = np.zeros((n_toks + 1, S), np.int32)
-        np.cumsum(mat[ids], axis=0, out=P[1:])
-        Z = np.concatenate(([0], np.cumsum(sizes[ids])))
+        np.cumsum(T, axis=0, out=P[1:])
+        Z = np.concatenate(([0], np.cumsum(z)))
         sims = []
         for n in range(1, max_window + 1):
             if n > n_toks:
@@ -160,13 +160,16 @@ def fuzzy_window_spans(
 
 
 def _tally_rows(artifacts: OntologyArtifacts, tokens: list[str]):
-    """Map tokens to row indices of a process-cached (token, surface)
-    tally matrix; returns (ids array, matrix, trigram-size array).
+    """Gather this turn's (token, surface) tally table: returns
+    ``(T, z)`` where ``T[k]`` is token k's shared-count row (int32,
+    length S) and ``z[k]`` its trigram count.
 
-    The matrix doubles on demand and is capped at ~64M int32 cells so a
-    huge ontology (large S) bounds the cache by memory, not entry count;
-    once full, new tokens are computed into a per-call overflow block
-    stitched after the cached rows (no eviction)."""
+    Tokens are cached as rows of one process-wide matrix (doubling,
+    capped at ~64M int32 cells so a huge ontology bounds the cache by
+    memory, not entry count; no eviction).  The common case is a single
+    fancy-index gather; tokens that arrive after the cap is reached are
+    computed per call and patched into the gathered block — never a copy
+    of the whole cached matrix."""
     import numpy as np
 
     store = getattr(artifacts, "_tally_store", None)
@@ -182,9 +185,8 @@ def _tally_rows(artifacts: OntologyArtifacts, tokens: list[str]):
         }
         artifacts._tally_store = store
     idmap, n = store["ids"], store["n"]
-    overflow_rows: list = []
-    overflow_sizes: list = []
     ids = np.empty(len(tokens), np.int64)
+    overflow: dict[int, tuple] = {}  # position in `tokens` -> (vec, size)
     for k, tok in enumerate(tokens):
         idx = idmap.get(tok)
         if idx is None:
@@ -199,19 +201,17 @@ def _tally_rows(artifacts: OntologyArtifacts, tokens: list[str]):
                 store["sizes"][n] = size
                 idx = idmap[tok] = n
                 n += 1
-            else:  # cache full: spill into a per-call overflow block
-                idx = store["max_rows"] + len(overflow_rows)
-                overflow_rows.append(vec)
-                overflow_sizes.append(size)
+            else:  # cache full: patch this row into the gathered block
+                overflow[k] = (vec, size)
+                idx = 0  # placeholder; overwritten below
         ids[k] = idx
     store["n"] = n
-    if overflow_rows:
-        import numpy as _np
-
-        mat = _np.vstack([store["mat"][: store["max_rows"]], _np.asarray(overflow_rows, _np.int32)])
-        sizes = _np.concatenate([store["sizes"][: store["max_rows"]], _np.asarray(overflow_sizes, _np.int64)])
-        return ids, mat, sizes
-    return ids, store["mat"], store["sizes"]
+    T = store["mat"][ids]
+    z = store["sizes"][ids]
+    for k, (vec, size) in overflow.items():
+        T[k] = vec
+        z[k] = size
+    return T, z
 
 
 def _compute_tally(artifacts: OntologyArtifacts, token: str, n_surfaces: int):
@@ -230,25 +230,16 @@ def _compute_tally(artifacts: OntologyArtifacts, token: str, n_surfaces: int):
 
 def _token_tally(artifacts: OntologyArtifacts, token: str):
     """(shared-count vector over surfaces, n_trigrams) for one token,
-    cached on the (executor-local) artifacts object."""
-    import numpy as np
-
+    cached on the (executor-local) artifacts object.  Fallback-path twin
+    of ``_tally_rows`` (same ``_compute_tally``, separate small cache —
+    only workers seeing pathologically long turns ever populate it)."""
     cache = getattr(artifacts, "_tok_tally_cache", None)
     if cache is None:
         cache = {}
         artifacts._tok_tally_cache = cache
     hit = cache.get(token)
     if hit is None:
-        tris = char_trigrams(token)
-        n_surfaces = len(artifacts.label_tri_sizes)
-        vec = np.zeros(n_surfaces, dtype=np.int64)
-        empty = ()
-        postings = artifacts.trigram_postings
-        for g in tris:
-            p = postings.get(g)
-            if p is not None:
-                vec[p] += 1
-        hit = (vec, len(tris))
+        hit = _compute_tally(artifacts, token, len(artifacts.label_tri_sizes))
         if len(cache) < 500_000:
             cache[token] = hit
     return hit

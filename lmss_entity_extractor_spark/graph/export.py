@@ -26,15 +26,24 @@ PREFIXES = {
 
 
 def _term(value: str) -> str:
-    """Render one RDF term: full IRIs in angle brackets, short qnames
-    with a known prefix as-is (e.g. "lmss:isInstanceOf"), everything
-    else as an escaped string literal."""
+    """Render one RDF term: full IRIs in angle brackets (illegal IRI-ref
+    characters percent-encoded — a space inside <...> is invalid
+    Turtle), short qnames with a known prefix as-is (e.g.
+    "lmss:isInstanceOf"), everything else as an escaped string literal."""
     if "://" in value:
-        return f"<{value}>"
+        iri = value
+        for ch, enc in ((" ", "%20"), ("<", "%3C"), (">", "%3E"), ('"', "%22"),
+                        ("{", "%7B"), ("}", "%7D"), ("|", "%7C"), ("\\", "%5C"),
+                        ("^", "%5E"), ("`", "%60")):
+            iri = iri.replace(ch, enc)
+        return f"<{iri}>"
     pfx, sep, local = value.partition(":")
     if sep and pfx in PREFIXES and "/" not in local:
         return value
-    escaped = value.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+    escaped = (
+        value.replace("\\", "\\\\").replace('"', '\\"')
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    )
     return f'"{escaped}"'
 
 

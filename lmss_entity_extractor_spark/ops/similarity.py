@@ -115,7 +115,10 @@ def knn_ivf(
     ~N/n_centroids regardless of embedding geometry, and the cell join is
     an equi-join on ``centroid_id`` (broadcastable query side).  Same
     output shape as ``knn_bruteforce``: (query_id, rank, neighbor_id)."""
-    seeds = embeddings.filter(F.col(id_col) < n_centroids)
+    # seeds = the n_centroids smallest ids (NOT `id < n`, which silently
+    # yields zero centroids when ids are sparse or offset); a TakeOrdered
+    # over the id column, deterministic for any id space
+    seeds = embeddings.orderBy(F.asc(id_col)).limit(n_centroids)
     cells = assign_ivf_cells(embeddings, seeds, id_col, vec_col)
     q = assign_ivf_cells(queries, seeds, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "centroid_id"

@@ -140,6 +140,12 @@ class KGPipeline:
         (self.ckpt.output_path("ontology") / "_SUCCESS").write_text("")
         self.ckpt.record("ontology", fp, self._cfg_hash, extra={"classes": arts.size})
 
+    def edges_from_links(self, links: DataFrame) -> DataFrame:
+        """The canonical links -> edges composition (emission + salted
+        canonicalization) — the single definition used by run(),
+        dataflow(), streaming, and the benchmark."""
+        return canonicalize_triples(emit_triples(links), self.config.salt_buckets)
+
     # ------------------------------------------------------------------- run
 
     def run(self, transcripts: DataFrame, input_fingerprint: str | None = None) -> dict[str, DataFrame]:
@@ -176,7 +182,7 @@ class KGPipeline:
         edges = self._stage(
             "edges",
             fp,
-            lambda: canonicalize_triples(emit_triples(links), cfg.salt_buckets),
+            lambda: self.edges_from_links(links),
             ["subj"],
             ["subj", "pred", "obj"],
         )
@@ -209,7 +215,7 @@ class KGPipeline:
         cfg = self.config
         if strategy == "fused":
             links = extract_and_link(transcripts, self.bc_artifacts, cfg.linker())
-            edges = canonicalize_triples(emit_triples(links), cfg.salt_buckets)
+            edges = self.edges_from_links(links)
             return {"links": links, "edges": edges}
 
         from pyspark import StorageLevel
@@ -222,7 +228,7 @@ class KGPipeline:
             transcripts, self.bc_artifacts, with_context=False
         ).persist(StorageLevel.MEMORY_AND_DISK)
         links = link_mentions(mentions, self.bc_artifacts, cfg.linker())
-        edges = canonicalize_triples(emit_triples(links), cfg.salt_buckets)
+        edges = self.edges_from_links(links)
         return {"mentions": mentions, "links": links, "edges": edges}
 
     def run_path(self, transcripts_path: str | Path) -> dict[str, DataFrame]:

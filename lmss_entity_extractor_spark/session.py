@@ -68,11 +68,17 @@ def get_spark(
         # let AQE re-optimize plans under a .cache()/persist() — without
         # this a cached DataFrame pins the non-adaptive physical plan
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-        # session-catalog warehouse for bucketed tables (catalog.py);
-        # keep it out of the repo working directory
+        # session-catalog warehouse for bucketed tables (catalog.py):
+        # per-process by default — a shared fixed path lets one session's
+        # drop_table rmtree a table another live session is scanning
+        # (the in-memory catalog gives no cross-process table sharing
+        # anyway); override via SPARK_GRAFT_WAREHOUSE for a durable
+        # single-tenant warehouse
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/lmss_spark_warehouse"),
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", f"/tmp/lmss_spark_warehouse_{os.getpid()}"
+            ),
         )
     )
     for k, v in _THREAD_ENV.items():

@@ -53,7 +53,7 @@ def incremental_edges(
         # fused per-batch dataflow: micro-batches are small, so the
         # per-worker-memo strategy (no persist/extra shuffle) fits here
         links = extract_and_link(batch_df, pipe.bc_artifacts, pipe.config.linker())
-        edges = canonicalize_triples(emit_triples(links), pipe.config.salt_buckets)
+        edges = pipe.edges_from_links(links)
         (
             edges.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")

@@ -78,13 +78,13 @@ def strip_leading_stopwords(text: str, stopwords: frozenset[str] = STOPWORDS) ->
     advances by len(word)+1 per dropped word; a phrase made entirely of
     stop words is returned unchanged with offset 0.
     """
-    head = text.split(None, 1)
-    if not head or head[0].lower() not in stopwords:
-        return text, 0  # fast path: nothing to strip
     words = text.split()
     offset = 0
     for k, w in enumerate(words):
         if w.lower() not in stopwords:
+            # NOTE: " ".join re-normalizes internal whitespace even when
+            # k == 0 — the reference does the same, and the oracle parity
+            # depends on it, so no verbatim fast path here
             return " ".join(words[k:]), offset
         offset += len(w) + 1
     return text, 0

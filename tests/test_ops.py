@@ -140,6 +140,16 @@ class TestSimilarity:
         own = {r.vec_id: r.centroid_id for r in cells.filter(F.col("vec_id") < 4).collect()}
         assert own == {0: 0, 1: 1, 2: 2, 3: 3}
 
+    def test_knn_ivf_sparse_ids(self, spark):
+        # regression: seed selection must be "n smallest ids", not
+        # `id < n` (which yields zero centroids for offset/sparse ids)
+        rows = [(1000 + i * 7, [float(i == j) for j in range(4)]) for i in range(4)]
+        rows += [(2000 + i, [1.0, float(i) * 0.01, 0.0, 0.0]) for i in range(6)]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = knn_ivf(e, e.filter(F.col("vec_id") >= 2000), k=2, n_centroids=4).collect()
+        assert len(out) > 0
+        assert all(r.neighbor_id != r.query_id for r in out)
+
     def test_knn_lsh_subset_of_bucket(self, embeddings):
         queries = embeddings.filter(F.col("vec_id") < 3)
         out = knn_lsh(embeddings, queries, k=5, bits=2).collect()

@@ -100,3 +100,15 @@ class TestTrigrams:
 
     def test_empty(self):
         assert char_trigrams("") == frozenset()
+
+
+def test_strip_leading_stopwords_normalizes_internal_whitespace():
+    """Regression: the reference's word-join re-normalizes ALL internal
+    whitespace even when nothing is stripped — a verbatim fast path for
+    non-stopword-leading text breaks oracle parity on multi-space or
+    newline-bearing surfaces."""
+    from lmss_entity_extractor_spark.textproc import strip_leading_stopwords
+
+    assert strip_leading_stopwords("foo  bar") == ("foo bar", 0)
+    assert strip_leading_stopwords("contract\nlaw") == ("contract law", 0)
+    assert strip_leading_stopwords("the  contract law") == ("contract law", 4)
