@@ -30,6 +30,35 @@ CORPORA = {
 }
 
 
+def _organic_rows():
+    """Turns built from REAL testdata document text (not template-
+    generated): organic whitespace/punctuation shapes catch semantics
+    drift that clean fixtures miss (e.g. the word-join whitespace
+    renormalization of the stop-word strip), with ontology surfaces
+    spliced in so the linker has work to do."""
+    import datetime as dt
+
+    import duckdb
+
+    from lmss_entity_extractor_spark.datagen.ontology_fixture import FIXTURE_CLASSES
+
+    surfaces = [label for _, label, _, alts in FIXTURE_CLASSES if not label.startswith("ZZZ")]
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT text FROM '/root/testdata/sf0.01/documents.parquet' LIMIT 400"
+        ).fetchall()
+    ]
+    epoch = dt.datetime(2026, 1, 1)
+    rows = []
+    for i, t in enumerate(texts):
+        surf = surfaces[i % len(surfaces)]
+        # splice a known surface mid-text with adversarial whitespace
+        text = f"{t[:120]} {surf}  {surf.lower()}\n{t[120:360]}"
+        rows.append((f"conv-{i % 40:06d}", i // 40, "user", text, None, epoch))
+    return rows
+
+
 def main() -> None:
     from lmss_entity_extractor_spark.datagen import gen_transcript_rows, write_fixture_owl
     from lmss_entity_extractor_spark.datagen.transcripts import rows_to_pandas
@@ -54,8 +83,9 @@ def main() -> None:
         "|---|---|---|---|---|---|",
     ]
     worst = 1.0
-    for cname, ckw in CORPORA.items():
-        rows = gen_transcript_rows(**ckw)
+    all_corpora = {name: gen_transcript_rows(**kw) for name, kw in CORPORA.items()}
+    all_corpora["organic(400 real docs + spliced surfaces)"] = _organic_rows()
+    for cname, rows in all_corpora.items():
         tdf = spark.createDataFrame(rows_to_pandas(rows))
         for pname, profile in PROFILES.items():
             pipe = KGPipeline(
