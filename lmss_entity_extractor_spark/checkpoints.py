@@ -23,23 +23,41 @@ from pathlib import Path
 from . import __version__
 
 
-def file_fingerprint(path: str | Path) -> str:
-    """Fingerprint of a file or directory tree: relative names + sizes.
+_SAMPLE_BYTES = 65536
 
-    Uses names+sizes (not mtimes) so a byte-identical rewrite — e.g. the
-    deterministic datagen regenerating the same input — still hits the
-    cache, mirroring the reference's content-hash gate semantics.
+
+def _update_file(h, f: Path, rel: str) -> None:
+    size = f.stat().st_size
+    h.update(rel.encode())
+    h.update(str(size).encode())
+    # head+tail content samples: a same-size in-place edit must change the
+    # fingerprint (names+sizes alone would silently resume from stale
+    # outputs), while a byte-identical deterministic regeneration still
+    # hits the cache — mtime would break that property
+    with open(f, "rb") as fh:
+        h.update(fh.read(_SAMPLE_BYTES))
+        if size > 2 * _SAMPLE_BYTES:
+            fh.seek(size - _SAMPLE_BYTES)
+            h.update(fh.read(_SAMPLE_BYTES))
+
+
+def file_fingerprint(path: str | Path) -> str:
+    """Fingerprint of a file or directory tree: relative names + sizes +
+    head/tail content samples (64 KiB each end per file).
+
+    Content-based so a byte-identical rewrite — e.g. the deterministic
+    datagen regenerating the same input — still hits the cache, mirroring
+    the reference's content-hash gate semantics; sampled so the driver
+    never reads more than 128 KiB per file at any input scale.
     """
     p = Path(path)
     h = hashlib.sha256()
     if p.is_file():
-        h.update(p.name.encode())
-        h.update(str(p.stat().st_size).encode())
+        _update_file(h, p, p.name)
     elif p.is_dir():
         for f in sorted(p.rglob("*")):
             if f.is_file() and not f.name.startswith("."):
-                h.update(str(f.relative_to(p)).encode())
-                h.update(str(f.stat().st_size).encode())
+                _update_file(h, f, str(f.relative_to(p)))
     else:
         h.update(b"<missing>")
     return h.hexdigest()

@@ -175,13 +175,18 @@ def _tally_rows(artifacts: OntologyArtifacts, tokens: list[str]):
     store = getattr(artifacts, "_tally_store", None)
     S = len(artifacts.label_tri_sizes)
     if store is None:
-        cap = 1024
+        # max_rows bounds the cache by MEMORY (64M int32 cells), so for a
+        # huge ontology (large S) it can drop below the starting capacity
+        # — cap must respect it or the eager allocation itself blows the
+        # budget (np.zeros((1024, S)) at S=1M is 4 GB)
+        max_rows = max(1, 64_000_000 // max(S, 1))
+        cap = min(1024, max_rows)
         store = {
             "ids": {},
             "mat": np.zeros((cap, S), np.int32),
             "sizes": np.zeros(cap, np.int64),
             "n": 0,
-            "max_rows": max(1024, 64_000_000 // max(S, 1)),
+            "max_rows": max_rows,
         }
         artifacts._tally_store = store
     idmap, n = store["ids"], store["n"]
@@ -256,6 +261,11 @@ def keyword_spans(text: str, top_k: int = TOP_K_KEYWORDS) -> list[Span]:
     keyword as their surface form.
     """
     lowered = text.lower()
+    # NOTE: offsets are measured in text.lower(), exactly like the
+    # reference (/root/reference/app/entity_extraction.py:136-140) — for
+    # the rare Unicode chars whose lowercase form changes string length
+    # (e.g. U+0130), downstream offsets inherit the reference's own skew;
+    # faithful by design, do not "fix" without diverging from parity.
     # one tokenizing pass collects counts AND positions: a ``\b<kw>\b``
     # re-scan per keyword matches exactly the token occurrences of kw
     # (kw is itself a \w\w+ token, and \w-adjacency blocks \b the same

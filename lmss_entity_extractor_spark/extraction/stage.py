@@ -45,11 +45,13 @@ def detect_mentions(
     """
     from pyspark.sql.types import StructType
 
+    base = schemas.MENTIONS_WITH_VECTOR if with_vector else schemas.MENTIONS
     if with_context:
-        full_schema = schemas.MENTIONS_WITH_VECTOR if with_vector else schemas.MENTIONS
+        full_schema = base
         cols_list = _MENTION_COLS
     else:
-        full_schema = StructType([f for f in schemas.MENTIONS.fields if f.name in _CORE_COLS])
+        keep = set(_CORE_COLS) | ({"vector"} if with_vector else set())
+        full_schema = StructType([f for f in base.fields if f.name in keep])
         cols_list = _CORE_COLS
     # mention_id is derived JVM-side after the UDF: building the ~45-byte
     # URI per row in Python and shipping it through Arrow was the largest

@@ -31,13 +31,18 @@ _SURFACE_LINKS_SCHEMA = (
 
 
 def _get_linker(bc_artifacts, config: LinkerConfig) -> Linker:
-    # key by the broadcast VALUE's identity, not the Broadcast handle:
-    # pyspark deserializes a fresh Broadcast handle per task, but
-    # Broadcast.value is cached per worker process — keying on the handle
-    # would silently rebuild the Linker (and throw away its surface-form
-    # memo cache) on every task.
+    # key by the BROADCAST ID, not object identity: pyspark deserializes
+    # a fresh Broadcast handle per task (handle identity would rebuild the
+    # Linker every task), while id(value) can collide when a replaced
+    # broadcast's value is GC'd and CPython recycles the address — which
+    # would silently score against a stale ontology.  Broadcast ids are
+    # unique per SparkContext and stable across tasks.
     artifacts = bc_artifacts.value
-    key = (id(artifacts), config)
+    try:
+        bid = bc_artifacts.id
+    except AttributeError:  # plain object in single-process/oracle use
+        bid = id(artifacts)
+    key = (bid, config)
     linker = _LINKERS.get(key)
     if linker is None:
         linker = Linker(artifacts, config)

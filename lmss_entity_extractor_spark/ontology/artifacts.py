@@ -77,7 +77,15 @@ class OntologyArtifacts:
             if not ordered:
                 pattern = r"(?!x)x"  # matches nothing
             else:
-                pattern = r"\b(?:" + "|".join(re.escape(s) for s in ordered) + r")\b"
+                # boundaries are PER SURFACE and only on word-char edges:
+                # a shared \b around the whole alternation makes surfaces
+                # that start/end with punctuation (e.g. "(ADR)") unmatchable
+                def _alt(s: str) -> str:
+                    lb = r"\b" if (s[:1].isalnum() or s[:1] == "_") else ""
+                    rb = r"\b" if (s[-1:].isalnum() or s[-1:] == "_") else ""
+                    return lb + re.escape(s) + rb
+
+                pattern = "(?:" + "|".join(_alt(s) for s in ordered) + ")"
             self._surface_regex = re.compile(pattern, re.IGNORECASE)
         return self._surface_regex
 

@@ -94,7 +94,11 @@ def parse_owl_classes(path: str | Path) -> list[dict]:
     root = ET.fromstring(text)
 
     entities: dict[str, dict] = {}
-    for cls in root.iter(f"{{{OWL_NS}}}Class"):
+    # DIRECT children of rdf:RDF only: a nested <owl:Class rdf:about=.../>
+    # inside e.g. rdfs:subClassOf or owl:equivalentClass is a REFERENCE to
+    # the class, not a (re)definition — root.iter() would let such a
+    # reference overwrite the real record with an empty one
+    for cls in root.findall(f"{{{OWL_NS}}}Class"):
         iri = cls.get(f"{{{RDF_NS}}}about")
         if not iri:
             continue

@@ -117,7 +117,9 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     frames = F.transform(
         F.sequence(
             F.lit(0),
-            F.greatest((F.col("n_bytes") / every_n_bytes).cast("int") - 1, F.lit(0)),
+            # ceil so the trailing partial frame is emitted (floor dropped
+            # the tail for every payload with size % stride != 0)
+            F.greatest(F.ceil(F.col("n_bytes") / every_n_bytes).cast("int") - 1, F.lit(0)),
         ),
         lambda i: F.struct(
             i.cast("int").alias("frame_idx"),

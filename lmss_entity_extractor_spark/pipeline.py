@@ -176,8 +176,15 @@ class KGPipeline:
                 ["conv_id", "turn_idx", "start"],
             )
         else:
+            from pyspark import StorageLevel
+
             mentions = detect_mentions(transcripts, self.bc_artifacts)
-            links = link_mentions(mentions, self.bc_artifacts, cfg.linker())
+            # two downstream consumers (edges stage + build_nodes) — an
+            # unpersisted plan would re-run the UDF-heavy extract+link
+            # subtree end-to-end for each
+            links = link_mentions(mentions, self.bc_artifacts, cfg.linker()).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
 
         edges = self._stage(
             "edges",

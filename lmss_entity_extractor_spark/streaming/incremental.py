@@ -51,14 +51,14 @@ def incremental_edges(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # fused per-batch dataflow: micro-batches are small, so the
-        # per-worker-memo strategy (no persist/extra shuffle) fits here
+        # per-worker-memo strategy (no persist/extra shuffle) fits here.
+        # IDEMPOTENT write: each batch overwrites its own batch_id
+        # partition directory, so a batch replayed after a crash between
+        # the data write and the streaming-checkpoint commit rewrites the
+        # same path instead of appending duplicate edge rows
         links = extract_and_link(batch_df, pipe.bc_artifacts, pipe.config.linker())
         edges = pipe.edges_from_links(links)
-        (
-            edges.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(str(out_dir))
-        )
+        edges.write.mode("overwrite").parquet(str(Path(out_dir) / f"batch_id={batch_id}"))
         n_batches["n"] += 1
 
     query = (

@@ -75,8 +75,10 @@ def test_fingerprint_stability(tmp_path):
     p = tmp_path / "f.txt"
     p.write_text("hello")
     fp1 = file_fingerprint(p)
-    p.write_text("world")  # same size -> same fingerprint (name+size key)
+    p.write_text("hello")  # byte-identical rewrite -> same fingerprint
     assert file_fingerprint(p) == fp1
+    p.write_text("world")  # SAME SIZE, different content -> new fingerprint
+    assert file_fingerprint(p) != fp1  # (head/tail content samples)
     p.write_text("worlds!")  # size change -> new fingerprint
     assert file_fingerprint(p) != fp1
     assert file_fingerprint(tmp_path / "missing") == file_fingerprint(tmp_path / "missing2")

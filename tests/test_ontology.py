@@ -118,3 +118,41 @@ def test_spark_closure_matches_bfs(spark, artifacts, index_rows):
     assert all(d == a and dep == 0 for d, a, dep in orphan_selfs)
     assert got_filtered - bfs_filtered == set()
     assert bfs_filtered - got_filtered == orphan_selfs
+
+
+def test_nested_class_reference_does_not_overwrite_definition(tmp_path):
+    """Regression: <owl:Class rdf:about="X"/> nested inside another
+    class's subClassOf is a REFERENCE, not a redefinition — it must not
+    erase X's parsed record."""
+    from lmss_entity_extractor_spark.ontology import parse_owl_classes
+
+    owl = tmp_path / "nested.owl"
+    owl.write_text("""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#">
+  <owl:Class rdf:about="http://x.org/A">
+    <rdfs:label>Alpha Law</rdfs:label>
+  </owl:Class>
+  <owl:Class rdf:about="http://x.org/B">
+    <rdfs:label>Beta Law</rdfs:label>
+    <rdfs:subClassOf><owl:Class rdf:about="http://x.org/A"/></rdfs:subClassOf>
+  </owl:Class>
+</rdf:RDF>""")
+    rows = {r["rdf_about"]: r for r in parse_owl_classes(owl)}
+    assert rows["http://x.org/A"]["rdfs_label"] == "Alpha Law"
+    assert rows["http://x.org/B"]["rdfs_label"] == "Beta Law"
+
+
+def test_surface_regex_matches_punctuation_edged_surfaces():
+    """Regression: a shared \\b around the whole alternation made
+    surfaces starting/ending with punctuation unmatchable."""
+    from lmss_entity_extractor_spark.ontology.artifacts import OntologyArtifacts
+
+    arts = OntologyArtifacts.__new__(OntologyArtifacts)
+    arts.surfaces = [("(ADR)", "iri1"), ("patent law", "iri2"), ("law.", "iri3")]
+    arts._surface_regex = None
+    rx = arts.surface_regex()
+    assert rx.search("filed an (ADR) claim")
+    assert rx.search("strong patent law here")
+    assert not rx.search("patent lawyer")  # right boundary still enforced

@@ -333,3 +333,31 @@ class TestAsofJoin:
         # every match really is <= the purchase ts
         bad = joined.filter(F.col("asof_ts") > F.col("ts")).count()
         assert bad == 0
+
+
+@pytest.mark.spark
+class TestReviewRegressions:
+    def test_sample_frames_emits_trailing_partial(self, spark):
+        from lmss_entity_extractor_spark.ops.multimodal import sample_frames
+
+        media = spark.createDataFrame(
+            [("m1", "text/plain", b"x" * 65, 65), ("m2", "text/plain", b"y" * 63, 63)],
+            "media_id string, mime string, payload binary, n_bytes long",
+        )
+        counts = {r.media_id: r.n for r in sample_frames(media, every_n_bytes=64)
+                  .groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == {"m1": 2, "m2": 1}  # 65 bytes -> full + partial frame
+
+    def test_detect_mentions_vector_without_context(self, spark):
+        from lmss_entity_extractor_spark.datagen import gen_transcript_rows, write_fixture_owl
+        from lmss_entity_extractor_spark.datagen.transcripts import rows_to_pandas
+        from lmss_entity_extractor_spark.extraction.stage import detect_mentions
+        from lmss_entity_extractor_spark.ontology import build_artifacts, parse_owl_classes
+
+        owl = write_fixture_owl("/tmp/ops_fixture.owl")
+        bc = spark.sparkContext.broadcast(build_artifacts(parse_owl_classes(owl)))
+        tdf = spark.createDataFrame(rows_to_pandas(gen_transcript_rows(n_convs=2, seed=5)))
+        out = detect_mentions(tdf, bc, with_vector=True, with_context=False)
+        assert "vector" in out.columns and "context" not in out.columns
+        row = out.first()
+        assert row is not None and len(row.vector) > 0
