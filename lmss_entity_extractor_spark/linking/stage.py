@@ -145,8 +145,18 @@ def link_mentions(
     mentions: DataFrame,
     bc_artifacts,
     config: LinkerConfig = LinkerConfig(),
+    broadcast_surfaces: bool = True,
 ) -> DataFrame:
-    """mentions -> links (unmatched mentions are dropped, P7)."""
+    """mentions -> links (unmatched mentions are dropped, P7).
+
+    ``broadcast_surfaces=True`` (default) broadcasts the scored
+    distinct-surface table — right whenever the distinct-surface set fits
+    an executor (Zipf-distributed mention text keeps it orders of
+    magnitude below the mention count).  At extreme surface cardinality
+    (e.g. 10^8+ uniques over a 100 TB corpus) pass ``False``: the join
+    becomes a plain equi-join on ``text`` that AQE plans from actual
+    sizes (shuffle hash / sort-merge, with skew splitting) instead of
+    forcing an executor-memory-sized broadcast build."""
     # AQE coalesces the (tiny) distinct-surface shuffle down to one
     # partition, which would serialize the scoring UDF onto one core —
     # spread it back across the cluster before scoring.
@@ -154,7 +164,8 @@ def link_mentions(
     surface_links = link_surfaces(
         mentions.select("text").distinct().repartition(par), bc_artifacts, config
     )
-    linked = mentions.join(F.broadcast(surface_links), "text")
+    join_side = F.broadcast(surface_links) if broadcast_surfaces else surface_links
+    linked = mentions.join(join_side, "text")
     return linked.select(
         "conv_id",
         "turn_idx",

@@ -45,6 +45,8 @@ class PipelineConfig:
     salt_buckets: int = 16
     output_partitions: int = 32                # fixed for deterministic layout
     materialize_intermediate: bool = True      # write mentions/links stages
+    broadcast_surfaces: bool = True            # False: shuffle-join the scored
+                                               # surfaces (10^8+-unique corpora)
 
     def linker(self) -> LinkerConfig:
         return LinkerConfig(self.similarity_threshold, self.high_confidence_threshold)
@@ -171,7 +173,7 @@ class KGPipeline:
             links = self._stage(
                 "links",
                 fp,
-                lambda: link_mentions(mentions, self.bc_artifacts, cfg.linker()),
+                lambda: link_mentions(mentions, self.bc_artifacts, cfg.linker(), cfg.broadcast_surfaces),
                 ["conv_id"],
                 ["conv_id", "turn_idx", "start"],
             )
@@ -182,7 +184,7 @@ class KGPipeline:
             # two downstream consumers (edges stage + build_nodes) — an
             # unpersisted plan would re-run the UDF-heavy extract+link
             # subtree end-to-end for each
-            links = link_mentions(mentions, self.bc_artifacts, cfg.linker()).persist(
+            links = link_mentions(mentions, self.bc_artifacts, cfg.linker(), cfg.broadcast_surfaces).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
 
@@ -234,7 +236,7 @@ class KGPipeline:
         mentions = detect_mentions(
             transcripts, self.bc_artifacts, with_context=False
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        links = link_mentions(mentions, self.bc_artifacts, cfg.linker())
+        links = link_mentions(mentions, self.bc_artifacts, cfg.linker(), cfg.broadcast_surfaces)
         edges = self.edges_from_links(links)
         return {"mentions": mentions, "links": links, "edges": edges}
 

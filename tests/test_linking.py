@@ -110,3 +110,23 @@ def test_semantic_scores_shape(artifacts, linker):
     sem = linker.semantic_scores("patent law")
     assert sem.shape == (artifacts.size,)
     assert float(np.max(sem)) <= 1.0 + 1e-9
+
+
+@pytest.mark.spark
+def test_shuffle_join_surfaces_matches_broadcast(spark, artifacts):
+    """The huge-surface-cardinality fallback (broadcast_surfaces=False)
+    produces exactly the broadcast path's links."""
+    from lmss_entity_extractor_spark.datagen import gen_transcript_rows
+    from lmss_entity_extractor_spark.datagen.transcripts import rows_to_pandas
+    from lmss_entity_extractor_spark.extraction.stage import detect_mentions
+    from lmss_entity_extractor_spark.linking.scorer import LinkerConfig
+    from lmss_entity_extractor_spark.linking.stage import link_mentions
+
+    bc = spark.sparkContext.broadcast(artifacts)
+    tdf = spark.createDataFrame(rows_to_pandas(gen_transcript_rows(n_convs=6, seed=11)))
+    mentions = detect_mentions(tdf, bc, with_context=False).cache()
+    cols = ["mention_id", "iri", "score"]
+    a = sorted(map(tuple, link_mentions(mentions, bc, LinkerConfig(), True).select(*cols).collect()))
+    b = sorted(map(tuple, link_mentions(mentions, bc, LinkerConfig(), False).select(*cols).collect()))
+    mentions.unpersist()
+    assert a == b and len(a) > 0
