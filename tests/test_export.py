@@ -55,3 +55,21 @@ def test_turtle_from_pipeline_edges(spark, owl_path, tmp_path):
     n = edges_to_turtle(flow["edges"], out)
     assert n == flow["edges"].count()
     assert "lmss:isInstanceOf" in out.read_text()
+
+
+@pytest.mark.spark
+def test_turtle_escapes_illegal_iri_chars(spark, tmp_path):
+    """Regression: data-derived URIs with spaces/brackets must be
+    percent-encoded — a raw space inside <...> is invalid Turtle."""
+    e = spark.createDataFrame(
+        [("conv://case 42", "prov:partOf", "turn://a<b>c"),
+         ("mention://x", "lmss:isInstanceOf", 'line\rbreak\ttab')],
+        "subj string, pred string, obj string",
+    )
+    out = tmp_path / "esc.ttl"
+    edges_to_turtle(e, out)
+    text = out.read_text()
+    assert "<conv://case%2042>" in text
+    assert "<turn://a%3Cb%3Ec>" in text
+    assert '"line\\rbreak\\ttab"' in text
+    assert " 42>" not in text  # no raw space survives inside an IRI ref

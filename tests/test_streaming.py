@@ -106,3 +106,22 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert rows[1].n_turns_total == rows[0].n_turns_total + rows[1].n_turns_batch
     batch_turns = spark.read.parquet(str(tdir)).count()
     assert rows[1].n_turns_total == batch_turns
+
+
+@pytest.mark.spark
+def test_incremental_replay_is_idempotent(spark, owl_path, tmp_path, stream_dirs):
+    """Regression: a replayed micro-batch (crash between data write and
+    checkpoint commit, simulated by wiping the checkpoint) must not
+    duplicate edges — per-batch overwrite into batch_id=N dirs."""
+    tdir, out_dir, ckpt = stream_dirs
+    write_transcripts_parquet(tdir / "part-0.parquet", n_convs=3, seed=5)
+    pipe = KGPipeline(spark, owl_path, tmp_path / "wh", PipelineConfig())
+
+    incremental_edges(pipe, tdir, out_dir, ckpt)
+    first = _edge_set(compact_incremental_edges(spark, out_dir))
+
+    shutil.rmtree(ckpt)  # lose the commit -> full replay of the same files
+    incremental_edges(pipe, tdir, out_dir, ckpt)
+    replayed = _edge_set(compact_incremental_edges(spark, out_dir))
+    assert replayed == first  # append-mode would have doubled n_provenances
+    shutil.rmtree(tmp_path, ignore_errors=True)
