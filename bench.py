@@ -123,6 +123,8 @@ def _owl_path() -> str:
 
 HEADLINE = [
     "agg_returnflag",
+    "asof_join",
+    "knn_ivf",
     "broadcast_join_brand",
     "region_revenue",
     "window_dedup",
