@@ -1102,7 +1102,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events
             )
-            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM g GROUP BY 1
         """,
         "above_avg": """

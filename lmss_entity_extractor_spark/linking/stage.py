@@ -31,18 +31,15 @@ _SURFACE_LINKS_SCHEMA = (
 
 
 def _get_linker(bc_artifacts, config: LinkerConfig) -> Linker:
-    # key by the BROADCAST ID, not object identity: pyspark deserializes
-    # a fresh Broadcast handle per task (handle identity would rebuild the
-    # Linker every task), while id(value) can collide when a replaced
-    # broadcast's value is GC'd and CPython recycles the address — which
-    # would silently score against a stale ontology.  Broadcast ids are
-    # unique per SparkContext and stable across tasks.
+    # key by the artifacts' build_token — a uuid stamped at build time that
+    # survives pickling to executors.  Object identity is wrong twice over:
+    # pyspark deserializes a fresh Broadcast handle per task (handle identity
+    # would rebuild the Linker every task), and id(value) can collide when a
+    # replaced broadcast's value is GC'd and CPython recycles the address —
+    # which would silently score against a stale ontology.  (pyspark 4.1.2
+    # Broadcast exposes no stable public id; `.id` raises AttributeError.)
     artifacts = bc_artifacts.value
-    try:
-        bid = bc_artifacts.id
-    except AttributeError:  # plain object in single-process/oracle use
-        bid = id(artifacts)
-    key = (bid, config)
+    key = (artifacts.build_token, config)
     linker = _LINKERS.get(key)
     if linker is None:
         linker = Linker(artifacts, config)

@@ -18,6 +18,7 @@ embeddings are computed exactly once here.
 from __future__ import annotations
 
 import re
+import uuid
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -56,6 +57,12 @@ class OntologyArtifacts:
     surfaces: list[tuple[str, int]]            # (surface_lower, index_pos) dictionary
     label_trigrams: list[frozenset]            # per surface id, trigrams of the surface
     trigram_postings: dict[str, "np.ndarray"] = field(default_factory=dict)
+    # Unique per BUILD, stable through pickling to executors: the linking
+    # stage keys its executor-local Linker cache on this (id() of the value
+    # can collide when a replaced broadcast is GC'd and CPython recycles the
+    # address, silently scoring against a stale ontology; pyspark Broadcast
+    # handles expose no stable public id).
+    build_token: str = field(default_factory=lambda: uuid.uuid4().hex)
 
     @property
     def label_tri_sizes(self) -> np.ndarray:

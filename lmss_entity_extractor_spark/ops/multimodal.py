@@ -64,7 +64,9 @@ def make_media_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     return docs.select(
         F.col(id_col).alias("media_id"),
         mime.alias("mime"),
-        F.length(F.col(text_col)).cast("long").alias("n_bytes"),
+        # byte count of the payload, not the char count of the text —
+        # they diverge on any multibyte corpus
+        F.length(payload).cast("long").alias("n_bytes"),
         payload.alias("payload"),
     )
 
@@ -123,7 +125,10 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         ),
         lambda i: F.struct(
             i.cast("int").alias("frame_idx"),
-            F.substring(F.col("payload").cast("string"), i * every_n_bytes + 1, every_n_bytes).alias("frame_bytes"),
+            # slice the BINARY column directly — substring on BinaryType
+            # returns an exact byte slice.  Never cast payload to string:
+            # real media is not valid UTF-8 and the cast mangles bytes.
+            F.substring(F.col("payload"), i * every_n_bytes + 1, every_n_bytes).alias("frame_bytes"),
         ),
     )
     return media.select(

@@ -130,3 +130,27 @@ def test_shuffle_join_surfaces_matches_broadcast(spark, artifacts):
     b = sorted(map(tuple, link_mentions(mentions, bc, LinkerConfig(), False).select(*cols).collect()))
     mentions.unpersist()
     assert a == b and len(a) > 0
+
+
+def test_linker_cache_key_distinct_across_builds(index_rows):
+    """Two separately built artifacts must key distinct Linkers in the
+    executor-local cache — id()-recycling across a re-broadcast ontology
+    must never resolve to a stale Linker (ADVICE r1)."""
+    from lmss_entity_extractor_spark.linking.stage import _get_linker
+    from lmss_entity_extractor_spark.ontology import build_artifacts
+
+    class _Plain:  # stand-in for a Broadcast handle
+        def __init__(self, value):
+            self.value = value
+
+    a1, a2 = build_artifacts(index_rows), build_artifacts(index_rows)
+    assert a1.build_token != a2.build_token
+    l1 = _get_linker(_Plain(a1), API_PROFILE)
+    l2 = _get_linker(_Plain(a2), API_PROFILE)
+    assert l1 is not l2
+    # same artifacts + same config -> cache hit
+    assert _get_linker(_Plain(a1), API_PROFILE) is l1
+    # pickling (the broadcast transport) preserves the token
+    import pickle
+
+    assert pickle.loads(pickle.dumps(a1)).build_token == a1.build_token

@@ -348,6 +348,37 @@ class TestReviewRegressions:
                   .groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()}
         assert counts == {"m1": 2, "m2": 1}  # 65 bytes -> full + partial frame
 
+    def test_sample_frames_binary_exact_slices(self, spark):
+        """Frame bytes must be EXACT slices of the original payload for
+        non-UTF8 media (real images/audio are not valid UTF-8; a string
+        cast mangles them).  Random bytes round-trip byte-for-byte."""
+        import random
+
+        from pyspark.sql.types import BinaryType
+
+        from lmss_entity_extractor_spark.ops.multimodal import sample_frames
+
+        rng = random.Random(7)
+        payloads = {
+            "m1": bytes(rng.randrange(256) for _ in range(150)),  # 2 full + partial
+            "m2": bytes([0xFF, 0xFE, 0x00, 0x80] * 5),            # invalid UTF-8
+            "m3": b"",                                            # empty payload
+        }
+        media = spark.createDataFrame(
+            [(k, "image/png", v, len(v)) for k, v in payloads.items()],
+            "media_id string, mime string, payload binary, n_bytes long",
+        )
+        frames = sample_frames(media, every_n_bytes=64)
+        assert isinstance(frames.schema["frame_bytes"].dataType, BinaryType)
+        got = {}
+        for r in frames.collect():
+            got.setdefault(r.media_id, {})[r.frame_idx] = bytes(r.frame_bytes)
+        for mid, payload in payloads.items():
+            rebuilt = b"".join(got[mid][i] for i in sorted(got[mid]))
+            assert rebuilt == payload, mid
+            for i, chunk in sorted(got[mid].items()):
+                assert chunk == payload[i * 64 : (i + 1) * 64]
+
     def test_detect_mentions_vector_without_context(self, spark):
         from lmss_entity_extractor_spark.datagen import gen_transcript_rows, write_fixture_owl
         from lmss_entity_extractor_spark.datagen.transcripts import rows_to_pandas
