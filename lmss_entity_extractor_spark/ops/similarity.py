@@ -75,6 +75,98 @@ def sign_bucket_expr(vec_col: Column, bits: int = 4) -> Column:
     return b
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic spherical k-means coarse quantizer.
+
+    Scale shape: training happens on a *deterministic hash sample* of the
+    vectors (``pmod(xxhash64(id), sample_mod) == 0``), collected to the
+    driver and iterated in numpy — at 100 TB you set ``sample_mod`` so the
+    sample is ~10^5 rows (one narrow filtered scan; k-means on 1e5 x dim
+    doubles is milliseconds per iteration).  ``sample_mod=None`` trains on
+    the full table and is only for small/test data.
+
+    Determinism (required by the resume/oracle contract): the sample is
+    sorted by id before use, init = ``n_centroids`` evenly spaced rows of
+    the sorted sample, Lloyd iterations use argmax-dot with
+    lowest-centroid tiebreak, and empty clusters keep their previous
+    centroid.  Same input -> bit-identical centroids at any parallelism.
+
+    Returns ``[(centroid_id, unit_vector)]`` — plain driver-side data,
+    ready for :func:`ivf_cell_expr` (no DataFrame, no shuffle).
+    """
+    import numpy as np
+
+    src = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if sample_mod is not None and sample_mod > 1:
+        src = src.filter(F.pmod(F.xxhash64(F.col("_id")), F.lit(sample_mod)) == 0)
+    rows = sorted(src.collect(), key=lambda r: r["_id"])
+    if not rows:
+        raise ValueError("train_ivf_centroids: empty sample (raise sample coverage)")
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0] / norms[norms > 0, None]  # zero vectors carry no direction
+    n = len(X)
+    k = min(n_centroids, n)
+    # evenly spaced rows of the id-sorted sample: deterministic, spread
+    # across the id space (ids are usually ingestion-ordered)
+    C = X[np.linspace(0, n - 1, k).astype(int)].copy()
+    for _ in range(max(n_iters, 0)):
+        sims = X @ C.T                              # (n, k)
+        assign = np.argmax(sims, axis=1)            # ties -> lowest index
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    C[j] = m / nm
+    return [(j, C[j].tolist()) for j in range(k)]
+
+
+def _centroid_lit(cvec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in cvec])
+
+
+def ivf_cell_expr(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid id as a pure column expression — narrow, JVM-side,
+    zero shuffle: one dot product per (row, centroid) via ``zip_with``/
+    ``aggregate``, argmax as ``array_max`` over (dot, -id) structs.
+
+    Centroids must be unit vectors (``train_ivf_centroids`` guarantees
+    this), so argmax-dot == argmax-cosine per row; ties break to the
+    lowest centroid id, and an all-zero row (cosine undefined) lands in
+    cell 0 — matching the cosine zero-guard convention."""
+    entries = [
+        F.struct(
+            dot_expr(vec_col, _centroid_lit(cvec)).alias("d"),
+            F.lit(-cid).alias("nid"),
+        )
+        for cid, cvec in centroids
+    ]
+    return -F.array_max(F.array(*entries))["nid"]
+
+
+def ivf_probe_cells_expr(vec_col: Column, centroids: list[tuple[int, list[float]]], nprobe: int) -> Column:
+    """The ``nprobe`` nearest centroid ids (desc similarity, asc id
+    tiebreak) as an array column — the query-side multi-cell probe."""
+    entries = [
+        F.struct(
+            dot_expr(vec_col, _centroid_lit(cvec)).alias("d"),
+            F.lit(-cid).alias("nid"),
+        )
+        for cid, cvec in centroids
+    ]
+    ranked = F.reverse(F.array_sort(F.array(*entries)))  # d desc, then -id desc = id asc
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: -s["nid"])
+
+
 def assign_ivf_cells(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -84,47 +176,59 @@ def assign_ivf_cells(
     """IVF coarse quantization: tag each vector with the id of its
     nearest centroid (max cosine, asc centroid-id tiebreak).
 
-    Centroids are a tiny broadcast side; assignment is a narrow
-    crossJoin + per-vector argmax — at 100 TB this is one pass over the
-    vectors with no keyed shuffle (the window partitions by the vector's
-    own id, which the crossJoin already co-locates per input row)."""
-    c = centroids.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("centroid_id"))
-    return (
-        vectors.crossJoin(F.broadcast(c))
-        .withColumn("_ccos", cosine_expr(F.col(vec_col), F.col("cvec")))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_ccos", "_rn", "cvec")
-    )
+    The centroid table is tiny by construction, so it is collected and
+    folded into a literal column expression (:func:`ivf_cell_expr`) —
+    assignment is one narrow projection over the vectors: no crossJoin
+    fan-out, no window, no shuffle, and no uniqueness precondition on
+    ``id_col``.  Centroids are L2-normalized driver-side so argmax-dot
+    equals argmax-cosine."""
+    import numpy as np
+
+    rows = sorted(centroids.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    cents = []
+    for r in rows:
+        v = np.asarray(r[1], dtype=np.float64)
+        nv = np.linalg.norm(v)
+        cents.append((r[0], (v / nv if nv > 0 else v).tolist()))
+    return vectors.withColumn("centroid_id", ivf_cell_expr(F.col(vec_col), cents))
 
 
 def knn_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 3,
-    n_centroids: int = 4,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    train_iters: int = 5,
+    sample_mod: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF approximate top-k: vectors are bucketed by nearest coarse
-    centroid (deterministic seeds = the first ``n_centroids`` vectors by
-    id), and each query probes only its own cell (nprobe=1).
+    centroid from a trained spherical-k-means codebook, and each query
+    probes its ``nprobe`` nearest cells.
 
     The scale path beyond ``knn_lsh``: candidate count per query is
-    ~N/n_centroids regardless of embedding geometry, and the cell join is
-    an equi-join on ``centroid_id`` (broadcastable query side).  Same
-    output shape as ``knn_bruteforce``: (query_id, rank, neighbor_id)."""
-    # seeds = the n_centroids smallest ids (NOT `id < n`, which silently
-    # yields zero centroids when ids are sparse or offset); a TakeOrdered
-    # over the id column, deterministic for any id space
-    seeds = embeddings.orderBy(F.asc(id_col)).limit(n_centroids)
-    cells = assign_ivf_cells(embeddings, seeds, id_col, vec_col)
-    q = assign_ivf_cells(queries, seeds, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "centroid_id"
+    ~``nprobe * N / n_centroids`` regardless of embedding geometry, and
+    the cell join is an equi-join on ``centroid_id`` (broadcastable query
+    side).  Cell assignment is a narrow literal-expression projection
+    (no shuffle); each vector lives in exactly one cell, so probing
+    distinct cells never duplicates a candidate.  ``train_iters=0``
+    degrades to the untrained evenly-spaced-sample codebook.  Same output
+    shape as ``knn_bruteforce``: (query_id, rank, neighbor_id)."""
+    cents = train_ivf_centroids(
+        embeddings, n_centroids, train_iters, id_col, vec_col, sample_mod
     )
-    e = cells.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"), "centroid_id"
+    nprobe = max(1, min(nprobe, len(cents)))
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        ivf_cell_expr(F.col(vec_col), cents).alias("centroid_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(ivf_probe_cells_expr(F.col(vec_col), cents, nprobe)).alias("centroid_id"),
     )
     scored = (
         e.join(F.broadcast(q), "centroid_id")

@@ -150,6 +150,50 @@ class TestSimilarity:
         assert len(out) > 0
         assert all(r.neighbor_id != r.query_id for r in out)
 
+    def test_ivf_trained_recall_on_clustered_data(self, spark):
+        # IVF's contract regime: clustered vectors.  Trained k-means must
+        # recover the blobs, giving >=0.9 recall@5 at nprobe=1 and
+        # monotone recall in nprobe (VERDICT r1 item 4).
+        rng = np.random.default_rng(7)
+        rows = []
+        for c in range(8):
+            center = rng.normal(size=16)
+            center /= np.linalg.norm(center)
+            for i in range(40):
+                v = center + 0.15 * rng.normal(size=16)
+                rows.append((c * 40 + i, [float(x) for x in v]))
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = e.filter(F.col("vec_id") % 40 == 0)  # one query per blob
+        bf = set(map(tuple, knn_bruteforce(e, q, k=5).collect()))
+        recalls = {}
+        for nprobe in (1, 2):
+            ivf = set(map(tuple, knn_ivf(e, q, k=5, n_centroids=8, nprobe=nprobe).collect()))
+            recalls[nprobe] = len(ivf & bf) / len(bf)
+        assert recalls[1] >= 0.9, recalls
+        assert recalls[2] >= recalls[1], recalls
+
+    def test_ivf_full_probe_equals_bruteforce(self, embeddings):
+        # probing every cell covers every candidate: exact by construction,
+        # even on unclustered vectors
+        q = embeddings.filter(F.col("vec_id") < 3)
+        ivf = sorted(map(tuple, knn_ivf(embeddings, q, k=5, n_centroids=4, nprobe=4).collect()))
+        bf = sorted(map(tuple, knn_bruteforce(embeddings, q, k=5).collect()))
+        assert ivf == bf
+
+    def test_ivf_training_deterministic(self, embeddings):
+        from lmss_entity_extractor_spark.ops.similarity import train_ivf_centroids
+
+        c1 = train_ivf_centroids(embeddings, n_centroids=8, n_iters=5)
+        c2 = train_ivf_centroids(embeddings, n_centroids=8, n_iters=5)
+        assert c1 == c2  # bit-identical across runs
+        # hash-sampled training (the 100 TB path) is deterministic too and
+        # yields unit-norm centroids
+        c3 = train_ivf_centroids(embeddings, n_centroids=4, n_iters=3, sample_mod=2)
+        c4 = train_ivf_centroids(embeddings, n_centroids=4, n_iters=3, sample_mod=2)
+        assert c3 == c4
+        for _, v in c3:
+            assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-9
+
     def test_knn_lsh_subset_of_bucket(self, embeddings):
         queries = embeddings.filter(F.col("vec_id") < 3)
         out = knn_lsh(embeddings, queries, k=5, bits=2).collect()
