@@ -602,16 +602,29 @@ def q_sha256(spark, sf_dir):
 
 
 def q_mention_type_counts(spark, sf_dir):
-    """A1 over the real extraction stage (Arrow UDF — not SQL-expressible):
-    mention counts per candidate type on synthesized transcripts."""
+    """A1 over the real extraction stage (Arrow UDF): mention counts per
+    candidate type on the documents-derived transcripts.
+
+    Oracle-checked against the independent single-process loop oracle
+    (oracle/reference_oracle.py — per-turn Python, no Spark, no shared
+    dataflow code beyond the pinned candidate/fuzzy/encoder fixtures),
+    whose tallies are frozen as a parquet fixture the driver's DuckDB
+    reads (tools/make_oracle_fixtures.py; regenerated + compared in
+    tests/test_contract.py so drift fails CI)."""
     pipe = _pipeline(spark)
     mentions = pipe.dataflow(_transcripts(spark, sf_dir), strategy="staged")["mentions"]
     return mentions.groupBy("mtype").agg(F.count(F.lit(1)).alias("n_mentions"))
 
 
 def q_kg_edge_counts(spark, sf_dir):
-    """Full KG pipeline (extract -> link -> canonicalize), edge counts per
-    predicate (UDF-backed; rows-only)."""
+    """Full KG pipeline (extract -> link -> canonicalize), per-predicate
+    canonical edge counts and provenance tallies.
+
+    Oracle-checked against the loop oracle's oracle_edge_counts fixture
+    (see q_mention_type_counts): n_edges = distinct (subj, pred, obj),
+    n_provenances = raw emission count per canonical edge — the same
+    semantics the salted 3-phase canonicalization computes
+    distributed."""
     pipe = _pipeline(spark)
     edges = pipe.dataflow(_transcripts(spark, sf_dir))["edges"]
     return edges.groupBy("pred").agg(
@@ -621,7 +634,16 @@ def q_kg_edge_counts(spark, sf_dir):
 
 
 def q_hybrid_search(spark, sf_dir):
-    """J3 hybrid index search (fuzzy UDF; rows-only)."""
+    """J3 hybrid index search over the ontology catalog.
+
+    Rows-only by necessity: the 0.3/0.3/0.4 score blends fuzzywuzzy-
+    semantics token_set_ratio/partial_ratio (LCS-based algorithms with
+    no ANSI-SQL equivalent) and the pinned hash-encoder cosine — none of
+    the three terms is expressible in DuckDB.  Value-level correctness
+    is covered instead by hand-computed ratio cases + property tests
+    (tests/test_textproc.py) and search ranking tests
+    (tests/test_linking.py), and the same scorer is exercised through
+    the oracle-checked kg_edge_counts pipeline query."""
     from lmss_entity_extractor_spark.ontology import build_artifacts, parse_owl_classes
     from lmss_entity_extractor_spark.search import hybrid_search
 
@@ -630,10 +652,14 @@ def q_hybrid_search(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash signatures (numpy UDF; rows-only)."""
+    """64-bit SimHash signatures (Arrow numpy UDF).
+
+    Oracle-checked bit-for-bit: the md5 token-hash family lets DuckDB
+    recompute every signature from hex-digest nibbles — a full value
+    check of the vectorized bit-twiddling UDF, not just row counts."""
     from lmss_entity_extractor_spark.ops.dedup import simhash_signatures
 
-    return simhash_signatures(_t(spark, sf_dir, "documents").limit(100))
+    return simhash_signatures(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
 
 
 def q_bucketed_join(spark, sf_dir):
@@ -662,16 +688,27 @@ def q_bucketed_join(spark, sf_dir):
 
 def q_streaming_conv_totals(spark, sf_dir):
     """§2.9 stateful streaming (applyInPandasWithState): per-conversation
-    running turn totals over an AvailableNow bounded stream (rows-only;
-    streaming state is not SQL-expressible)."""
+    turn totals over an AvailableNow bounded stream, split into multiple
+    micro-batches (maxFilesPerTrigger=2 over a 4-file input) so
+    cross-batch state merging is genuinely exercised.
+
+    Oracle-checked (VERDICT r1 item 2): the final state per conversation
+    is batching-invariant and equals the plain GROUP BY count DuckDB
+    computes over the same derived transcripts
+    (``transcripts_from_documents`` is pure column math over
+    ``documents``: conv_id = 'conv-' || lpad(doc_id % 64, 6, '0'))."""
     import tempfile
 
     from lmss_entity_extractor_spark import schemas
     from lmss_entity_extractor_spark.streaming.stateful import conversation_running_totals
 
     tmp = tempfile.mkdtemp(prefix="lmss_stream_q_")
-    _transcripts(spark, sf_dir).limit(2000).write.mode("overwrite").parquet(f"{tmp}/turns")
-    stream = spark.readStream.schema(schemas.TRANSCRIPTS).parquet(f"{tmp}/turns")
+    _transcripts(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(f"{tmp}/turns")
+    stream = (
+        spark.readStream.schema(schemas.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{tmp}/turns")
+    )
     q = (
         conversation_running_totals(stream)
         .writeStream.outputMode("update")
@@ -689,10 +726,16 @@ def q_streaming_conv_totals(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> Arrow-batched feature
-    extraction (stubbed decode; rows-only)."""
+    extraction through ``mapInPandas``.
+
+    Oracle-checked on the metadata that round-trips the UDF (mime groups,
+    item counts, payload byte sizes — byte counts, not char counts, so a
+    string-cast regression resurfaces here); the stubbed decode's feature
+    *values* are covered by determinism/round-trip tests in
+    tests/test_ops.py (blake2b is not expressible in SQL)."""
     from lmss_entity_extractor_spark.ops.multimodal import extract_media_features, make_media_table
 
-    media = make_media_table(_t(spark, sf_dir, "documents").limit(100))
+    media = make_media_table(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
     feats = extract_media_features(media)
     return feats.groupBy("mime").agg(
         F.count(F.lit(1)).alias("n_media"),
@@ -701,13 +744,21 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_frame_sample(spark, sf_dir):
-    """Multimodal frame sampling: every-Nth-byte frame extraction over
-    binary payloads (Arrow-batched; decode stubbed — rows-only)."""
+    """Multimodal frame sampling: every-64th-byte frame slicing over
+    binary payloads (executor-side explode; decode stubbed).
+
+    Oracle-checked: per-mime frame counts follow ceil(n_bytes/64) (min 1),
+    and summed frame byte lengths must reassemble the exact payload byte
+    totals — a conservation law that fails if slicing drops the tail,
+    mangles bytes through a string cast, or double-counts."""
     from lmss_entity_extractor_spark.ops.multimodal import make_media_table, sample_frames
 
-    media = make_media_table(_t(spark, sf_dir, "documents").limit(50))
+    media = make_media_table(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50))
     frames = sample_frames(media, every_n_bytes=64)
-    return frames.groupBy("mime").agg(F.count(F.lit(1)).alias("n_frames"))
+    return frames.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame_bytes")).alias("n_payload_bytes"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1162,6 +1213,76 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
                    min(ts) AS first_ts
             FROM events GROUP BY 1
+        """,
+        "simhash": """
+            -- bit-for-bit SimHash twin: sig bit b = sign of the token-sum
+            -- of (2*bit_b(md5(tok)[:8]) - 1), bits pulled from hex nibbles
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            toks AS (
+                SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                FROM d
+            ),
+            bits AS (
+                SELECT doc_id, b.range AS b,
+                       ((strpos('0123456789abcdef', substr(md5(tok), CAST(b.range // 4 AS INT) + 1, 1)) - 1)
+                        >> (3 - CAST(b.range % 4 AS INT))) & 1 AS bit
+                FROM toks, range(64) b
+                WHERE tok <> ''
+            ),
+            sums AS (SELECT doc_id, b, sum(2 * bit - 1) AS s FROM bits GROUP BY 1, 2),
+            sig AS (
+                SELECT doc_id,
+                       sum(CASE WHEN s > 0 THEN CAST(1 AS HUGEINT) << CAST(63 - b AS INT) ELSE 0 END) AS raw
+                FROM sums GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(CASE WHEN raw >= CAST(1 AS HUGEINT) << 63
+                                      THEN raw - (CAST(1 AS HUGEINT) << 64)
+                                      ELSE raw END, 0) AS BIGINT) AS simhash
+            FROM d LEFT JOIN sig ON d.doc_id = sig.doc_id
+        """,
+        "mention_type_counts": """
+            -- frozen single-process loop-oracle tallies over the same
+            -- derived transcripts (tools/make_oracle_fixtures.py); the
+            -- fixture is re-derived from the loop oracle in CI
+            SELECT mtype, n_mentions
+            FROM read_parquet('/root/repo/fixtures/oracle/sf0.01/mention_type_counts.parquet')
+        """,
+        "kg_edge_counts": """
+            SELECT pred, n_edges, n_provenances
+            FROM read_parquet('/root/repo/fixtures/oracle/sf0.01/kg_edge_counts.parquet')
+        """,
+        "streaming_conv_totals": """
+            -- final cross-batch state per conversation == plain GROUP BY
+            -- over the same pure-column-math transcripts derivation
+            SELECT 'conv-' || lpad(CAST(doc_id % 64 AS VARCHAR), 6, '0') AS conv_id,
+                   count(*) AS n_turns_total
+            FROM documents GROUP BY 1
+        """,
+        "multimodal_features": """
+            SELECT CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 'image/png'
+                        WHEN 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS mime,
+                   count(*) AS n_media,
+                   round(avg(strlen(text)), 2) AS avg_bytes
+            FROM documents WHERE doc_id < 100 GROUP BY 1
+        """,
+        "frame_sample": """
+            -- frame counts = ceil(bytes/64) (min 1 per payload); summed
+            -- frame lengths must reassemble the payload byte totals
+            WITH m AS (
+                SELECT CASE CAST(doc_id % 3 AS INT)
+                            WHEN 0 THEN 'image/png'
+                            WHEN 1 THEN 'audio/wav'
+                            ELSE 'video/mp4' END AS mime,
+                       strlen(text) AS n_bytes
+                FROM documents WHERE doc_id < 50
+            )
+            SELECT mime,
+                   CAST(sum(greatest(CAST(ceil(n_bytes / 64.0) AS BIGINT), 1)) AS BIGINT) AS n_frames,
+                   CAST(sum(n_bytes) AS BIGINT) AS n_payload_bytes
+            FROM m GROUP BY 1
         """,
         "top_terms": """
             WITH toks AS (

@@ -176,8 +176,11 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     """64-bit SimHash per document (Arrow-vectorized numpy UDF — bit
     manipulation is the one piece built-ins don't express well).
 
-    sig bit b = sign of sum over tokens of (+1 if bit b of
-    blake2b64(token) else -1).  Returns (doc_id, simhash:bigint)."""
+    sig bit b = sign of sum over tokens of (+1 if bit b of the first 8
+    md5 bytes of the token else -1).  md5 (not blake2b) so the whole
+    signature is reproducible in ANSI SQL — the driver's DuckDB oracle
+    recomputes it bit-for-bit from the hex digest (same family choice as
+    the MinHash oracle).  Returns (doc_id, simhash:bigint)."""
     @pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
@@ -190,7 +193,7 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
             for tok in toks:
                 signs = cache.get(tok)
                 if signs is None:
-                    digest = hashlib.blake2b(tok.encode(), digest_size=8).digest()
+                    digest = hashlib.md5(tok.encode()).digest()[:8]
                     bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
                     signs = bits.astype(np.int64) * 2 - 1
                     cache[tok] = signs

@@ -151,6 +151,65 @@ def _with_branch(match: dict, artifacts: OntologyArtifacts) -> dict:
     return match
 
 
+def oracle_mention_type_counts(transcript_rows, artifacts: OntologyArtifacts) -> list[tuple[str, int]]:
+    """Loop-oracle twin of the Spark contract query
+    ``mention_type_counts``: per-candidate-type mention tallies over
+    (conv_id, turn_idx, text) rows.  Materialized as a parquet fixture
+    (tools/make_oracle_fixtures.py) so the driver's DuckDB can
+    hash-check the Arrow-UDF extraction stage against straight-line
+    semantics."""
+    from collections import Counter
+
+    counts: Counter[str] = Counter()
+    for _conv_id, _turn_idx, text in transcript_rows:
+        for m in oracle_extract(text or "", artifacts):
+            counts[m["mtype"]] += 1
+    return sorted(counts.items())
+
+
+def oracle_edge_counts(
+    transcript_rows,
+    artifacts: OntologyArtifacts,
+    similarity_threshold: float = 0.7,
+    high_confidence_threshold: float = 0.9,
+) -> list[tuple[str, int, int]]:
+    """Loop-oracle twin of the Spark contract query ``kg_edge_counts``:
+    per-predicate (n_edges, n_provenances) over the full extract->link->
+    canonicalize pipeline.
+
+    Replicates emit_triples + canonicalize_triples semantics exactly:
+    each link row emits one isInstanceOf, one mentionedIn, and one
+    turn->conv partOf triple (graph/triples.py:42-61); ``n_edges`` counts
+    distinct (subj, pred, obj) and ``n_provenances`` sums raw emissions
+    per canonical edge (graph/canonicalize.py phase-0 counts summed
+    through phases 1-2)."""
+    from collections import Counter
+
+    tally: Counter[tuple[str, str, str]] = Counter()
+    for conv_id, turn_idx, text in transcript_rows:
+        turn_uri = f"turn://{conv_id}/{turn_idx}"
+        conv_uri = f"conv://{conv_id}"
+        for m in oracle_extract(text or "", artifacts):
+            match = oracle_link(
+                m["text"],
+                artifacts,
+                similarity_threshold=similarity_threshold,
+                high_confidence_threshold=high_confidence_threshold,
+            )
+            if match is None:
+                continue
+            mention_uri = f"mention://{conv_id}/{turn_idx}/{m['start']}-{m['end']}"
+            tally[(mention_uri, "lmss:isInstanceOf", match["iri"])] += 1
+            tally[(mention_uri, "prov:mentionedIn", turn_uri)] += 1
+            tally[(turn_uri, "prov:partOf", conv_uri)] += 1
+    per_pred: dict[str, list[int]] = {}
+    for (_s, p, _o), n in tally.items():
+        agg = per_pred.setdefault(p, [0, 0])
+        agg[0] += 1
+        agg[1] += n
+    return sorted((p, e, pr) for p, (e, pr) in per_pred.items())
+
+
 def oracle_triples(
     transcript_rows,
     artifacts: OntologyArtifacts,

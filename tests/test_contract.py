@@ -28,6 +28,21 @@ def test_oracle_keys_subset_of_queries():
         assert callable(fn), name
 
 
+def test_oracle_fixtures_match_fresh_loop_oracle():
+    """The committed fixtures/oracle/sf0.01 parquet (read by oracle_sql()
+    for the UDF-pipeline queries) must equal a fresh derivation from the
+    single-process loop oracle — a drifted or stale fixture fails here
+    before it reaches the driver."""
+    import pyarrow.parquet as pq
+
+    from tools.make_oracle_fixtures import FIXTURE_ROOT, compute_fixture_tables
+
+    fresh = compute_fixture_tables("/root/testdata/sf0.01")
+    for name, table in fresh.items():
+        committed = pq.read_table(FIXTURE_ROOT / "sf0.01" / f"{name}.parquet")
+        assert committed.equals(table), f"{name}: committed fixture != fresh loop oracle"
+
+
 def test_pyfiles_zip_self_contained(tmp_path):
     out = tmp_path / "pkg.zip"
     subprocess.run(
