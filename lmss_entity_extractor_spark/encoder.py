@@ -106,6 +106,141 @@ def encode_batch(texts) -> np.ndarray:
     return mat[idx]
 
 
+# ---------------------------------------------------------------------------
+# Pluggable encoder seam (SURVEY.md §2.8 F8: "optional real model via
+# mapInPandas with per-executor lazy singleton").
+#
+# Everything that encodes text — artifact build, linker scoring, search,
+# the with_vector extraction path, and the single-process oracle —
+# resolves its encoder through ``get_encoder(spec)``, where ``spec`` is a
+# short string stamped into ``OntologyArtifacts`` at build time.  The
+# spec (not the model!) travels through pickling/broadcast; each executor
+# process materializes the model lazily exactly once per spec.  To plug
+# a real sentence-transformer in on a cluster:
+#
+#     # in a module shipped via --py-files, at import time:
+#     from lmss_entity_extractor_spark.encoder import register_encoder
+#     register_encoder("minilm-l6-v2", _load_minilm)
+#     ...
+#     artifacts = build_artifacts(rows, encoder_spec="minilm-l6-v2")
+#
+# Registration must run at import time in code that reaches executors
+# (the registry is process-local); the built-in specs below are always
+# available because importing this module registers them.
+# ---------------------------------------------------------------------------
+
+from typing import Callable, Protocol, runtime_checkable
+
+
+@runtime_checkable
+class Encoder(Protocol):
+    """What the pipeline needs from a text encoder."""
+
+    dim: int
+
+    def encode(self, text: str) -> np.ndarray:  # unit-norm float32 (dim,)
+        ...
+
+    def encode_batch(self, texts) -> np.ndarray:  # float32 (N, dim)
+        ...
+
+
+class HashedEncoder:
+    """The pinned deterministic hashed encoder (module functions above)."""
+
+    dim = DIM
+
+    def encode(self, text: str) -> np.ndarray:
+        return encode(text)
+
+    def encode_batch(self, texts) -> np.ndarray:
+        return encode_batch(texts)
+
+
+DEFAULT_ENCODER_SPEC = "hashed-v1"
+
+_encoder_registry: dict[str, Callable[[], Encoder]] = {}
+_encoder_singletons: dict[str, Encoder] = {}
+
+
+def register_encoder(spec: str, factory: Callable[[], Encoder]) -> None:
+    """Register an encoder factory under ``spec``.  The factory runs at
+    most once per process (lazy singleton) — the right place to load a
+    heavyweight model.  Must be called at import time in a module that is
+    shipped to executors; re-registering a spec replaces the factory and
+    drops any cached singleton (test/refresh hook)."""
+    _encoder_registry[spec] = factory
+    _encoder_singletons.pop(spec, None)
+
+
+def get_encoder(spec: str = DEFAULT_ENCODER_SPEC) -> Encoder:
+    """Resolve ``spec`` to the process-local encoder singleton."""
+    enc = _encoder_singletons.get(spec)
+    if enc is None:
+        factory = _encoder_registry.get(spec)
+        if factory is None:
+            raise KeyError(
+                f"no encoder registered under {spec!r} in this process; "
+                "register_encoder() must run at import time in code shipped "
+                f"to executors (known: {sorted(_encoder_registry)})"
+            )
+        enc = _encoder_singletons[spec] = factory()
+    return enc
+
+
+def _load_minilm() -> Encoder:
+    """Factory for the reference's real model
+    (/root/reference/app/entity_extraction.py:154).  Resolves lazily so
+    the spec can be *registered* everywhere but only *selected* where
+    sentence-transformers is actually installed."""
+    from sentence_transformers import SentenceTransformer  # not in this sandbox
+
+    model = SentenceTransformer("all-MiniLM-L6-v2")
+
+    class _ST:
+        dim = int(model.get_sentence_embedding_dimension())
+
+        def encode(self, text: str) -> np.ndarray:
+            return model.encode([text], normalize_embeddings=True)[0].astype(np.float32)
+
+        def encode_batch(self, texts) -> np.ndarray:
+            return model.encode(list(texts), normalize_embeddings=True).astype(np.float32)
+
+    return _ST()
+
+
+class Md5BagEncoder:
+    """Second built-in encoder — different hash family (md5), different
+    dimension (32), token-bag only (no trigrams).  Exists to prove the
+    encoder seam end-to-end: artifacts built with this spec must flow
+    through broadcast -> executor-side Linker -> search -> oracle with
+    exact parity and a non-default dim (tests/test_encoder.py)."""
+
+    dim = 32
+
+    def encode(self, text: str) -> np.ndarray:
+        vec = np.zeros(self.dim, dtype=np.float64)
+        norm = full_process(text)
+        for tok in norm.split() if norm else ():
+            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            vec[h % self.dim] += 1.0 if (h >> 62) & 1 else -1.0
+        n = np.linalg.norm(vec)
+        if n > 0:
+            vec /= n
+        return vec.astype(np.float32)
+
+    def encode_batch(self, texts) -> np.ndarray:
+        texts = list(texts)
+        if not texts:
+            return np.empty((0, self.dim), dtype=np.float32)
+        return np.stack([self.encode(t if isinstance(t, str) else "") for t in texts])
+
+
+register_encoder(DEFAULT_ENCODER_SPEC, HashedEncoder)
+register_encoder("hashed-md5-32", Md5BagEncoder)
+register_encoder("minilm-l6-v2", _load_minilm)
+
+
 def cosine(v1: np.ndarray, v2: np.ndarray) -> float:
     """Cosine similarity with the reference's zero-size/zero-norm guard
     (/root/reference/app/lmss_search.py:106-110)."""

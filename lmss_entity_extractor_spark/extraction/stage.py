@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import schemas
-from ..encoder import encode_batch
+from ..encoder import get_encoder
 from .turn import extract_mentions_from_turn
 
 _MENTION_COLS = [f.name for f in schemas.MENTIONS.fields]
@@ -72,6 +72,7 @@ def detect_mentions(
 
     def run(batches):
         artifacts = bc_artifacts.value
+        encoder = get_encoder(artifacts.encoder_spec) if with_vector else None
         for pdf in batches:
             # columnar accumulation: building one list per output column is
             # several times faster than a list-of-tuples DataFrame for the
@@ -94,7 +95,7 @@ def detect_mentions(
             out = pd.DataFrame(cols)
             if with_vector:
                 out["vector"] = (
-                    list(map(list, encode_batch(cols["text"]))) if cols["text"] else []
+                    list(map(list, encoder.encode_batch(cols["text"]))) if cols["text"] else []
                 )
             yield out
 

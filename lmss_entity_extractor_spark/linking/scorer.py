@@ -27,7 +27,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..encoder import encode
+from ..encoder import get_encoder
 from ..ontology.artifacts import OntologyArtifacts
 from ..textproc import cached_token_set_ratio
 
@@ -47,6 +47,9 @@ class Linker:
     def __init__(self, artifacts: OntologyArtifacts, config: LinkerConfig = LinkerConfig(), cache_size: int = 200_000):
         self.artifacts = artifacts
         self.config = config
+        # per-process lazy singleton resolved from the spec stamped at
+        # artifact build time (F8) — same model on every executor
+        self._encoder = get_encoder(artifacts.encoder_spec)
         # float64 scoring on both pipeline and oracle sides for exact parity
         self._matrix = artifacts.mean_matrix.astype(np.float64)
         self._has_emb = artifacts.row_has_embedding
@@ -59,7 +62,7 @@ class Linker:
     def semantic_scores(self, text: str) -> np.ndarray:
         """Cosine of the mention embedding against every class mean
         embedding (rows are pre-normalized; un-embedded rows score 0)."""
-        v = encode(text).astype(np.float64)
+        v = self._encoder.encode(text).astype(np.float64)
         return self._matrix @ v
 
     def link_text(self, text: str) -> dict:

@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..encoder import DIM, encode
+from ..encoder import DEFAULT_ENCODER_SPEC, get_encoder
 from ..textproc import char_trigrams
 
 # Embedded fields, in the reference's order
@@ -63,6 +63,12 @@ class OntologyArtifacts:
     # address, silently scoring against a stale ontology; pyspark Broadcast
     # handles expose no stable public id).
     build_token: str = field(default_factory=lambda: uuid.uuid4().hex)
+    # Which encoder produced mean_matrix/field_embeddings.  The SPEC (a
+    # short string) is what pickles to executors; every consumer (linker,
+    # search, with_vector extraction, oracle) resolves it through
+    # encoder.get_encoder's per-process lazy singleton, so a real model
+    # plugs in cluster-wide by building artifacts with its spec (F8).
+    encoder_spec: str = DEFAULT_ENCODER_SPEC
 
     @property
     def label_tri_sizes(self) -> np.ndarray:
@@ -124,26 +130,34 @@ def _transitive_closure(parents: dict[str, list[str]]) -> list[tuple[str, str, i
     return out
 
 
-def build_artifacts(index_rows: list[dict], owl_thing: str = "http://www.w3.org/2002/07/owl#Thing") -> OntologyArtifacts:
+def build_artifacts(
+    index_rows: list[dict],
+    owl_thing: str = "http://www.w3.org/2002/07/owl#Thing",
+    encoder_spec: str = DEFAULT_ENCODER_SPEC,
+) -> OntologyArtifacts:
     """Build the full artifact bundle from parsed entity rows.
 
     ``index_rows`` must already be in frozen sorted-IRI order with
-    ``index_pos`` (see ontology/owl.py).
+    ``index_pos`` (see ontology/owl.py).  ``encoder_spec`` selects the
+    registered text encoder (encoder.get_encoder) used for every field
+    embedding and is stamped into the bundle so all downstream scoring
+    uses the same model.
     """
+    encoder = get_encoder(encoder_spec)
     iris = [r["rdf_about"] for r in index_rows]
     labels = [r["rdfs_label"] for r in index_rows]
     known = set(iris)
 
     # --- field embeddings + per-iri mean (A3) ------------------------------
     field_embeddings: list[tuple[str, str, list[float]]] = []
-    mean = np.zeros((len(index_rows), DIM), dtype=np.float64)
+    mean = np.zeros((len(index_rows), encoder.dim), dtype=np.float64)
     has_emb = np.zeros(len(index_rows), dtype=bool)
     for pos, row in enumerate(index_rows):
         vecs = []
         for fld in EMBEDDING_FIELDS:
             text = _field_text(row, fld)
             if text:
-                v = encode(text)
+                v = encoder.encode(text)
                 vecs.append(v)
                 field_embeddings.append((row["rdf_about"], fld, v.tolist()))
         if vecs:
@@ -224,4 +238,5 @@ def build_artifacts(index_rows: list[dict], owl_thing: str = "http://www.w3.org/
         surfaces=surfaces,
         label_trigrams=label_trigrams,
         trigram_postings=postings,
+        encoder_spec=encoder_spec,
     )

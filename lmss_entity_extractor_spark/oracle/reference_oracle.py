@@ -20,7 +20,7 @@ independent implementation here.
 
 from __future__ import annotations
 
-from ..encoder import encode
+from ..encoder import get_encoder
 from ..extraction.candidates import generate_candidates
 from ..ontology.artifacts import OntologyArtifacts
 from ..textproc import STOPWORDS, cached_token_set_ratio
@@ -123,7 +123,9 @@ def oracle_link(
     semantically identical formulation — SURVEY.md §7 hard part (6): both
     sides must see bit-identical IEEE results, which per-pair np.dot
     would not guarantee against a BLAS gemv)."""
-    sem_all = artifacts.mean_matrix.astype(np.float64) @ encode(mention_text).astype(np.float64)
+    sem_all = artifacts.mean_matrix.astype(np.float64) @ get_encoder(
+        artifacts.encoder_spec
+    ).encode(mention_text).astype(np.float64)
 
     best = None
     best_score = 0.0

@@ -47,6 +47,9 @@ class PipelineConfig:
     materialize_intermediate: bool = True      # write mentions/links stages
     broadcast_surfaces: bool = True            # False: shuffle-join the scored
                                                # surfaces (10^8+-unique corpora)
+    encoder_spec: str = "hashed-v1"            # registered text encoder (F8);
+                                               # part of the config hash, so a
+                                               # model swap invalidates resume
 
     def linker(self) -> LinkerConfig:
         return LinkerConfig(self.similarity_threshold, self.high_confidence_threshold)
@@ -71,7 +74,9 @@ class KGPipeline:
         self._cfg_hash = config_hash({**asdict(config), "ontology": self.ontology_hash})
 
         self.index_rows = parse_owl_classes(self.owl_path)
-        self.artifacts: OntologyArtifacts = build_artifacts(self.index_rows)
+        self.artifacts: OntologyArtifacts = build_artifacts(
+            self.index_rows, encoder_spec=config.encoder_spec
+        )
         self.bc_artifacts = spark.sparkContext.broadcast(self.artifacts)
         self.metrics: dict = {}
 

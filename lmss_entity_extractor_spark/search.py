@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .encoder import encode
+from .encoder import get_encoder
 from .ontology.artifacts import OntologyArtifacts
 from .textproc import partial_ratio, token_set_ratio
 
@@ -78,7 +78,7 @@ def hybrid_search(
         )
         index = index.join(F.broadcast(member.distinct()), "rdf_about", "left_semi")
 
-    qvec = encode(query).astype("float64")
+    qvec = get_encoder(artifacts.encoder_spec).encode(query).astype("float64")
     q_lower = query.lower()
 
     @pandas_udf("double")
