@@ -30,25 +30,32 @@ def _update_file(h, f: Path, rel: str) -> None:
     size = f.stat().st_size
     h.update(rel.encode())
     h.update(str(size).encode())
-    # head+tail content samples: a same-size in-place edit must change the
-    # fingerprint (names+sizes alone would silently resume from stale
-    # outputs), while a byte-identical deterministic regeneration still
-    # hits the cache — mtime would break that property
+    # Content samples, not mtime: a byte-identical deterministic
+    # regeneration still hits the cache.  Files up to 128 KiB are hashed
+    # IN FULL; larger files hash the first and last 64 KiB only, so a
+    # same-size mid-file edit in a >128 KiB file is NOT detected (for
+    # parquet this is unlikely to matter — row-group offsets and stats
+    # live in the sampled footer — but it is a weaker guarantee than the
+    # reference's full-file sha256; use sha256_file where that matters).
     with open(f, "rb") as fh:
-        h.update(fh.read(_SAMPLE_BYTES))
-        if size > 2 * _SAMPLE_BYTES:
+        if size <= 2 * _SAMPLE_BYTES:
+            h.update(fh.read())
+        else:
+            h.update(fh.read(_SAMPLE_BYTES))
             fh.seek(size - _SAMPLE_BYTES)
             h.update(fh.read(_SAMPLE_BYTES))
 
 
 def file_fingerprint(path: str | Path) -> str:
     """Fingerprint of a file or directory tree: relative names + sizes +
-    head/tail content samples (64 KiB each end per file).
+    content (full for files <= 128 KiB, else 64 KiB head+tail samples —
+    see _update_file for the exact guarantee).
 
     Content-based so a byte-identical rewrite — e.g. the deterministic
-    datagen regenerating the same input — still hits the cache, mirroring
-    the reference's content-hash gate semantics; sampled so the driver
-    never reads more than 128 KiB per file at any input scale.
+    datagen regenerating the same input — still hits the cache, close to
+    the reference's content-hash gate semantics (exact for small files,
+    sampled above 128 KiB); the driver never reads more than 128 KiB per
+    file at any input scale.
     """
     p = Path(path)
     h = hashlib.sha256()
@@ -71,6 +78,50 @@ def sha256_file(path: str | Path) -> str:
         for block in iter(lambda: f.read(4096), b""):
             h.update(block)
     return h.hexdigest()
+
+
+def input_snapshot(path: str | Path) -> dict:
+    """Snapshot of an input directory in the Iceberg-snapshot shape
+    (SURVEY.md §2.9 option (a), sans jars): the exact per-file state plus
+    a content-derived ``snapshot_id``.
+
+    ``files`` maps each relative file name to its individual fingerprint;
+    two snapshots therefore support an exact delta ("which files were
+    ADDED since snapshot N", and whether any existing file changed or
+    vanished — which invalidates incremental processing entirely).
+    """
+    p = Path(path)
+    files: dict[str, str] = {}
+    if p.is_file():
+        candidates = [(p, p.name)]
+    else:
+        candidates = [
+            (f, str(f.relative_to(p)))
+            for f in sorted(p.rglob("*"))
+            if f.is_file() and not f.name.startswith((".", "_"))
+        ]
+    for f, rel in candidates:
+        h = hashlib.sha256()
+        _update_file(h, f, rel)
+        files[rel] = h.hexdigest()
+    sid = hashlib.sha256(json.dumps(files, sort_keys=True).encode()).hexdigest()[:16]
+    return {"snapshot_id": sid, "files": files}
+
+
+def snapshot_delta(prev: dict | None, cur: dict) -> dict:
+    """Compare two input_snapshot dicts.
+
+    Returns ``{"added": [rel...], "changed": [...], "removed": [...]}``.
+    ``added`` alone means incremental processing of just those files is
+    sound; any ``changed``/``removed`` entry means the append-only
+    assumption broke and callers must fall back to a full rebuild."""
+    pf = (prev or {}).get("files", {})
+    cf = cur["files"]
+    return {
+        "added": sorted(set(cf) - set(pf)),
+        "changed": sorted(k for k in set(cf) & set(pf) if cf[k] != pf[k]),
+        "removed": sorted(set(pf) - set(cf)),
+    }
 
 
 def config_hash(config_dict: dict) -> str:
@@ -126,3 +177,23 @@ class CheckpointManager:
         mp = self._manifest_path(stage)
         if mp.exists():
             mp.unlink()
+
+    # -- input snapshots (poor-man's Iceberg snapshot ids) ------------------
+
+    def _snapshot_path(self, name: str) -> Path:
+        return self.dir / f"{name}.snapshot.json"
+
+    def load_snapshot(self, name: str) -> dict | None:
+        sp = self._snapshot_path(name)
+        if not sp.exists():
+            return None
+        try:
+            return json.loads(sp.read_text())
+        except (json.JSONDecodeError, OSError):
+            return None
+
+    def record_snapshot(self, name: str, snapshot: dict, extra: dict | None = None) -> None:
+        payload = dict(snapshot)
+        if extra:
+            payload.update(extra)
+        self._snapshot_path(name).write_text(json.dumps(payload, indent=2, sort_keys=True))

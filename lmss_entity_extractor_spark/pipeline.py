@@ -249,5 +249,16 @@ class KGPipeline:
         df = self.spark.read.parquet(str(transcripts_path))
         return self.run(df, input_fingerprint=file_fingerprint(transcripts_path))
 
+    def run_incremental(self, transcripts_dir: str | Path, out_dir: str | Path) -> dict:
+        """Snapshot-range twin of ``run_path`` for an append-only input
+        dir: processes exactly the files added since the last recorded
+        input snapshot (checkpoints.input_snapshot — the Iceberg-snapshot
+        shape without jars) into an idempotent increment table under
+        ``out_dir``; compact with
+        streaming.incremental.compact_incremental_edges."""
+        from .streaming.incremental import incremental_edges_snapshot
+
+        return incremental_edges_snapshot(self, transcripts_dir, out_dir)
+
     def write_metrics(self) -> None:
         (self.warehouse / "metrics.json").write_text(json.dumps(self.metrics, indent=2, default=str))

@@ -17,12 +17,15 @@ windowed-aggregation form over the ``ts`` column for late-arriving turns.
 
 from __future__ import annotations
 
+import json
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
+from ..checkpoints import input_snapshot, snapshot_delta
 from ..graph.canonicalize import canonicalize_triples
 from ..graph.triples import emit_triples
 from ..linking.stage import extract_and_link
@@ -49,16 +52,35 @@ def incremental_edges(
     )
     n_batches = {"n": 0}
 
+    reg_path = Path(out_dir) / "_batches.json"  # "_"-prefixed: invisible to the parquet reader
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # fused per-batch dataflow: micro-batches are small, so the
         # per-worker-memo strategy (no persist/extra shuffle) fits here.
         # IDEMPOTENT write: each batch overwrites its own batch_id
         # partition directory, so a batch replayed after a crash between
         # the data write and the streaming-checkpoint commit rewrites the
-        # same path instead of appending duplicate edge rows
+        # same path instead of appending duplicate edge rows.
+        #
+        # Replay safety beyond same-files replays (ADVICE r1): a batch id
+        # is only stable while the streaming checkpoint lives.  If the
+        # checkpoint is lost and new files landed, file->batch assignment
+        # shifts, and stale batch_id=N dirs from the earlier incarnation
+        # would duplicate (or orphan) edges in compact_incremental_edges.
+        # _batches.json records each batch's exact input-file list; on a
+        # mismatch every recorded batch >= this id is stale and its dir is
+        # dropped before writing.
+        files = sorted(batch_df.inputFiles())
+        reg: dict = json.loads(reg_path.read_text()) if reg_path.exists() else {}
+        if reg.get(str(batch_id)) not in (None, files):
+            for k in [k for k in reg if int(k) >= batch_id]:
+                shutil.rmtree(Path(out_dir) / f"batch_id={k}", ignore_errors=True)
+                del reg[k]
         links = extract_and_link(batch_df, pipe.bc_artifacts, pipe.config.linker())
         edges = pipe.edges_from_links(links)
         edges.write.mode("overwrite").parquet(str(Path(out_dir) / f"batch_id={batch_id}"))
+        reg[str(batch_id)] = files
+        reg_path.write_text(json.dumps(reg, indent=2, sort_keys=True))
         n_batches["n"] += 1
 
     query = (
@@ -69,6 +91,88 @@ def incremental_edges(
     )
     query.awaitTermination()
     return n_batches["n"]
+
+
+def incremental_edges_snapshot(
+    pipe,
+    transcripts_dir: str | Path,
+    out_dir: str | Path,
+    snapshot_name: str = "transcripts_in",
+) -> dict:
+    """Snapshot-range incremental processing (SURVEY.md §2.9 option (a)
+    without Iceberg jars): process exactly the input files ADDED since the
+    last recorded snapshot, in one batch read.
+
+    The checkpoint manifest records an ``input_snapshot`` — per-file
+    fingerprints plus a content-derived snapshot id, the poor-man's
+    Iceberg snapshot.  On each call:
+
+      * delta vs the recorded snapshot is computed file-exactly;
+      * ``changed``/``removed`` files break the append-only contract ->
+        ValueError (callers fall back to a full ``run_path`` rebuild);
+      * added files are read in ONE batch (no per-file loop; Spark splits
+        them in parallel) through the fused dataflow, written to
+        ``increment=<delta-fingerprint>`` — the dir name derives from the
+        processed file set, so a crash between data write and manifest
+        update replays into the SAME dir (idempotent overwrite), never
+        duplicating edges;
+      * the new snapshot + its increment's file list is recorded last
+        (write-ahead ordering: data, then manifest).
+
+    Returns ``{"processed_files": [...], "increment": <dir-name-or-None>,
+    "snapshot_id": ...}``.  Union of all increments == one batch run over
+    the full dir (tests/test_streaming.py asserts byte-identical edges).
+    """
+    import hashlib
+
+    tdir = Path(transcripts_dir)
+    cur = input_snapshot(tdir)
+    prev = pipe.ckpt.load_snapshot(snapshot_name)
+    delta = snapshot_delta(prev, cur)
+    if delta["changed"] or delta["removed"]:
+        raise ValueError(
+            "incremental read requires an append-only input; "
+            f"changed={delta['changed']} removed={delta['removed']} — run a full rebuild"
+        )
+    added = delta["added"]
+    # The snapshot manifest is the single commit point: it carries the
+    # full list of committed increment ids alongside the input snapshot
+    # (one atomic file write).  An increment dir written by a run that
+    # crashed before that commit is an ORPHAN — if more files landed
+    # before the retry, the retry's (larger) delta gets a different
+    # increment id and the orphan would double-count its edges in
+    # compact_incremental_edges — so any dir the manifest doesn't vouch
+    # for is dropped before processing.
+    committed: list = (prev or {}).get("committed_increments", [])
+    if Path(out_dir).exists():
+        for d in Path(out_dir).glob("increment=*"):
+            if d.name.split("=", 1)[1] not in committed:
+                shutil.rmtree(d, ignore_errors=True)
+    if not added:
+        return {"processed_files": [], "increment": None, "snapshot_id": cur["snapshot_id"]}
+
+    inc_id = hashlib.sha256(
+        json.dumps([(f, cur["files"][f]) for f in added]).encode()
+    ).hexdigest()[:16]
+    inc_dir = Path(out_dir) / f"increment={inc_id}"
+    batch_df = pipe.spark.read.schema(schemas.TRANSCRIPTS).parquet(
+        *[str(tdir / f) for f in added]
+    )
+    links = extract_and_link(batch_df, pipe.bc_artifacts, pipe.config.linker())
+    pipe.edges_from_links(links).write.mode("overwrite").parquet(str(inc_dir))
+    # commit order: data, then the manifest that both records the new
+    # snapshot and vouches for the new dir; a crash between the two
+    # leaves an orphan that the next call removes and re-derives
+    pipe.ckpt.record_snapshot(
+        snapshot_name,
+        cur,
+        extra={
+            "increment": inc_id,
+            "increment_files": added,
+            "committed_increments": committed + [inc_id],
+        },
+    )
+    return {"processed_files": added, "increment": inc_id, "snapshot_id": cur["snapshot_id"]}
 
 
 def compact_incremental_edges(spark: SparkSession, out_dir: str | Path) -> DataFrame:

@@ -57,6 +57,55 @@ def test_incremental_matches_batch_and_resumes(spark, owl_path, tmp_path, stream
 
 
 @pytest.mark.spark
+def test_snapshot_incremental_processes_only_the_delta(spark, owl_path, tmp_path):
+    """VERDICT r1 item 6: snapshot-shaped incremental reads.  Appending
+    files reprocesses only the delta; the union of increments is
+    byte-identical to a one-shot batch run; orphaned (uncommitted)
+    increment dirs are reconciled; a mutated input refuses incremental."""
+    from lmss_entity_extractor_spark.streaming.incremental import incremental_edges_snapshot
+
+    tdir = tmp_path / "transcripts"
+    tdir.mkdir()
+    out_dir = tmp_path / "snap_edges"
+    write_transcripts_parquet(tdir / "part-0.parquet", n_convs=4, seed=11)
+    write_transcripts_parquet(tdir / "part-1.parquet", n_convs=4, seed=22)
+
+    pipe = KGPipeline(spark, owl_path, tmp_path / "wh", PipelineConfig())
+    r1 = pipe.run_incremental(tdir, out_dir)
+    assert sorted(r1["processed_files"]) == ["part-0.parquet", "part-1.parquet"]
+
+    # no new files -> no-op, same snapshot id
+    r2 = pipe.run_incremental(tdir, out_dir)
+    assert r2["processed_files"] == [] and r2["increment"] is None
+
+    # append one file -> ONLY that file is processed
+    write_transcripts_parquet(tdir / "part-2.parquet", n_convs=3, seed=33)
+    r3 = pipe.run_incremental(tdir, out_dir)
+    assert r3["processed_files"] == ["part-2.parquet"]
+    assert r3["snapshot_id"] != r2["snapshot_id"]
+
+    # union of increments == one-shot batch dataflow over the full dir
+    compacted = compact_incremental_edges(spark, out_dir)
+    batch = pipe.dataflow(spark.read.parquet(str(tdir)))["edges"]
+    assert _edge_set(compacted) == _edge_set(batch)
+
+    # an uncommitted (orphan) increment dir is dropped on the next call
+    orphan = out_dir / "increment=deadbeefdeadbeef"
+    orphan.mkdir()
+    (orphan / "junk.parquet").write_bytes(b"not parquet")
+    r4 = pipe.run_incremental(tdir, out_dir)
+    assert r4["processed_files"] == []
+    assert not orphan.exists()
+    assert _edge_set(compact_incremental_edges(spark, out_dir)) == _edge_set(batch)
+
+    # mutating an already-snapshotted file breaks append-only -> refuse
+    write_transcripts_parquet(tdir / "part-0.parquet", n_convs=5, seed=99)
+    with pytest.raises(ValueError, match="append-only"):
+        pipe.run_incremental(tdir, out_dir)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+@pytest.mark.spark
 def test_streaming_turn_rate_windows(spark, tmp_path):
     tdir = tmp_path / "transcripts"
     tdir.mkdir()
