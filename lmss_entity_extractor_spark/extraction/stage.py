@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import schemas
+from ..session import widen_small_input
 from ..encoder import get_encoder
 from .turn import extract_mentions_from_turn
 
@@ -104,13 +105,10 @@ def detect_mentions(
     filtered = transcripts.filter(F.length(F.trim(F.col("text"))) > 0).select(
         "conv_id", "turn_idx", "text"
     )
-    # The UDF stages inherit the scan's split count; a small input (one
-    # parquet file) would serialize the whole CPU-bound extraction onto
-    # one core.  Widen to the session's parallelism when the input is
-    # narrower — on a real cluster reading many splits this is a no-op.
-    target = transcripts.sparkSession.sparkContext.defaultParallelism * 4
-    if filtered.rdd.getNumPartitions() < target:
-        filtered = filtered.repartition(target, "conv_id")
+    # A small input (one parquet file) would serialize the whole
+    # CPU-bound extraction onto one core; widen via the plan-free
+    # file-count check (session.widen_small_input).
+    filtered = widen_small_input(filtered, ["conv_id"], factor=4)
     fanned = filtered.mapInPandas(run, schema=out_schema)
     mention_id = F.concat(
         F.lit("mention://"), F.col("conv_id"),

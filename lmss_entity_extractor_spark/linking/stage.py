@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import widen_small_input
 from .scorer import Linker, LinkerConfig
 
 # executor-local linker registry: (broadcast_id, config) -> Linker
@@ -83,7 +84,7 @@ def extract_and_link(transcripts: DataFrame, bc_artifacts, config: LinkerConfig 
     the distinct-surface set is large or stages are materialized for
     checkpoint/resume anyway.
     """
-    from .. import schemas  # noqa: F401  (schema source of truth)
+    from .. import schemas
     from ..extraction.turn import extract_mentions_from_turn
 
     out_schema = (
@@ -121,9 +122,7 @@ def extract_and_link(transcripts: DataFrame, bc_artifacts, config: LinkerConfig 
     filtered = transcripts.filter(F.length(F.trim(F.col("text"))) > 0).select(
         "conv_id", "turn_idx", "text"
     )
-    target = transcripts.sparkSession.sparkContext.defaultParallelism * 8
-    if filtered.rdd.getNumPartitions() < target:
-        filtered = filtered.repartition(target, "conv_id")
+    filtered = widen_small_input(filtered, ["conv_id"], factor=8)
     fanned = filtered.mapInPandas(run, schema=out_schema)
     # mention_id derived JVM-side (same rationale as detect_mentions)
     mention_id = F.concat(

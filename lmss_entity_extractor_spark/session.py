@@ -86,3 +86,23 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def widen_small_input(df, key_cols: list[str], factor: int = 4):
+    """Hash-repartition ``df`` wider when the input carries fewer splits
+    than the session can use — a small input (one parquet file) would
+    otherwise serialize a CPU-bound mapInPandas stage onto one core.
+
+    The split estimate is ``len(df.inputFiles())`` — a plan-free metadata
+    lookup, unlike ``df.rdd.getNumPartitions()`` which materializes the
+    RDD conversion per call (ADVICE r1).  The file count lower-bounds the
+    split count (one large file may carry many splits), so the check can
+    only over-widen, never under-parallelize; on a real cluster reading
+    many files this is a no-op.  Non-file inputs (in-memory test frames)
+    report zero files and are always widened, which matches their
+    at-most-defaultParallelism partitioning.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if len(df.inputFiles()) < target:
+        return df.repartition(target, *key_cols)
+    return df
