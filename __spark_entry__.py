@@ -357,6 +357,93 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> clusters: connected components (iterative
+    min-label propagation, localCheckpoint-flattened lineage) over the
+    MinHash+LSH candidate pairs, canonical = min doc id.  Oracle: DuckDB
+    recursive CTE computing min-reachable-label over the same pairs."""
+    from lmss_entity_extractor_spark.ops.components import dedup_clusters
+    from lmss_entity_extractor_spark.ops.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3, num_hashes=8, bands=4)
+    return dedup_clusters(pairs)
+
+
+def q_range_join(spark, sf_dir):
+    """Range (interval) join via the bucketed composition: orders priced
+    into half-open price bands — interval explode + equi-join on the
+    coarse bucket + exact containment filter, NOT a θ-join (plan
+    asserted in tests/test_plans.py)."""
+    from lmss_entity_extractor_spark.ops.interval import range_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    bands = spark.range(60).select(
+        F.col("id").cast("int").alias("band"),
+        (F.col("id") * 10000).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 10000).cast("double").alias("hi"),
+    )
+    j = range_join(o, bands, "price", "lo", "hi", bucket_width=10000.0, end_inclusive=False)
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("price"), 2).alias("revenue"),
+    )
+
+
+def q_chunk_docs(spark, sf_dir):
+    """LLM-pretraining document chunking: sliding token windows
+    (32-token chunks, stride 24 -> 8-token overlap), executor-side
+    explode, tails kept."""
+    from lmss_entity_extractor_spark.ops.textprep import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50),
+        chunk_tokens=32,
+        stride=24,
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub with per-category audit counts over documents augmented
+    with deterministic synthetic PII (the raw corpus has none to find);
+    redaction order (SSN before phone) is part of the contract."""
+    from lmss_entity_extractor_spark.ops.textprep import scrub_pii
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example now, SSN 123-45-6789, call 415-555-"),
+            F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(synth)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling (Knuth multiplicative hash on
+    the key): per-label keep-rates, reproducible in pure integer SQL and
+    stable under appends — which row-level rand()/TABLESAMPLE is not."""
+    from lmss_entity_extractor_spark.ops.textprep import stratified_sample
+
+    e = _t(spark, sf_dir, "embeddings")
+    rate = F.lit(100) + F.col("label") * F.lit(50)
+    return stratified_sample(e, "vec_id", "label", rate).select("vec_id", "label")
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (k1=1.2, b=0.75): inverted-index build +
+    broadcast query-term probe + keyed score sum + top-k; whole formula
+    reproduced in the SQL oracle."""
+    from lmss_entity_extractor_spark.ops.bm25 import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), "spark shuffle partition memory", k=10)
+
+
 def q_quality_stats(spark, sf_dir):
     """Per-document quality features."""
     from lmss_entity_extractor_spark.ops.textstats import quality_stats
@@ -784,7 +871,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_neardup": q_embedding_neardup,
+        "range_join": q_range_join,
+        "chunk_docs": q_chunk_docs,
+        "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
+        "bm25": q_bm25,
         "quality_stats": q_quality_stats,
         "langid": q_langid,
         "token_counts": q_token_counts,
@@ -831,6 +924,26 @@ sh AS (
     FROM toks
 ),
 sh_nonempty AS (SELECT * FROM sh WHERE length(shingle) > 0)
+"""
+
+_MINHASH_PAIRS_CTE = f"""
+{_SHINGLES_CTE},
+hashed AS (
+    SELECT doc_id, i.range AS h_idx,
+           min(md5(i.range || ':' || shingle)) AS minhash
+    FROM sh_nonempty, range(8) i
+    GROUP BY doc_id, i.range
+),
+band_sig AS (
+    SELECT doc_id, CAST(h_idx // 2 AS INT) AS band,
+           string_agg(h_idx || ':' || minhash, '|' ORDER BY h_idx || ':' || minhash) AS band_sig
+    FROM hashed GROUP BY 1, 2
+),
+mh_pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band_sig a JOIN band_sig b ON a.band = b.band AND a.band_sig = b.band_sig
+    WHERE a.doc_id < b.doc_id
+)
 """
 
 
@@ -1036,21 +1149,98 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_shared >= 0.6 * (sa.n + sb.n - n_shared)
         """,
         "dedup_minhash": f"""
-            WITH {_SHINGLES_CTE},
-            hashed AS (
-                SELECT doc_id, i.range AS h_idx,
-                       min(md5(i.range || ':' || shingle)) AS minhash
-                FROM sh_nonempty, range(8) i
-                GROUP BY doc_id, i.range
+            WITH {_MINHASH_PAIRS_CTE}
+            SELECT doc_a, doc_b FROM mh_pairs
+        """,
+        "dedup_clusters": f"""
+            -- connected components as min-reachable-label over the same
+            -- MinHash pair relation (symmetric closure, recursive CTE)
+            WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+            und AS (
+                SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                UNION
+                SELECT doc_b, doc_a FROM mh_pairs
             ),
-            band_sig AS (
-                SELECT doc_id, CAST(h_idx // 2 AS INT) AS band,
-                       string_agg(h_idx || ':' || minhash, '|' ORDER BY h_idx || ':' || minhash) AS band_sig
-                FROM hashed GROUP BY 1, 2
+            reach AS (
+                SELECT DISTINCT a AS node, a AS lbl FROM und
+                UNION
+                SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
             )
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM band_sig a JOIN band_sig b ON a.band = b.band AND a.band_sig = b.band_sig
-            WHERE a.doc_id < b.doc_id
+            SELECT node AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY 1
+        """,
+        "range_join": """
+            WITH bands AS (
+                SELECT CAST(i.range AS INT) AS band,
+                       i.range * 10000.0 AS lo, (i.range + 1) * 10000.0 AS hi
+                FROM range(60) i
+            )
+            SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY 1
+        """,
+        "chunk_docs": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents WHERE doc_id < 50
+            )
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
+                   CAST(least(len(toks) - i*24, 32) AS INT) AS n_chunk_tokens
+            FROM t, unnest(range(greatest(CAST(ceil(len(toks)/24.0) AS INT), 1))) AS u(i)
+        """,
+        "pii_scrub": """
+            WITH synth AS (
+                SELECT doc_id,
+                       text || ' Contact user' || doc_id ||
+                       '@mail.example now, SSN 123-45-6789, call 415-555-' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+                FROM documents WHERE doc_id < 100
+            ),
+            s1 AS (  -- SSN first (3-2-4), then phone (3-3-4), then email
+                SELECT doc_id, text,
+                       CAST(len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS INT) AS n_ssn,
+                       regexp_replace(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g') AS t1
+                FROM synth
+            ),
+            s2 AS (
+                SELECT doc_id, n_ssn,
+                       CAST(len(regexp_extract_all(t1, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS INT) AS n_phone,
+                       regexp_replace(t1, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS t2
+                FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed_text,
+                   n_ssn, n_phone,
+                   CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email
+            FROM s2
+        """,
+        "stratified_sample": """
+            -- key folded mod 2^31 before the multiply: product stays in
+            -- int64 for any key (mirrors the ANSI-safe Spark formulation)
+            SELECT vec_id, label FROM embeddings
+            WHERE (((vec_id % 2147483648) * 2654435761) % 4294967296) % 1000
+                  < 100 + label * 50
+        """,
+        "bm25": """
+            WITH q(term) AS (VALUES ('spark'), ('shuffle'), ('partition'), ('memory')),
+            post AS (
+                SELECT doc_id AS doc, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+                      FROM documents)
+                WHERE term <> '' GROUP BY 1, 2
+            ),
+            dlen AS (SELECT doc, sum(tf) AS dl FROM post GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlen),
+            hits AS (SELECT p.* FROM post p JOIN q USING (term)),
+            dft AS (SELECT term, count(DISTINCT doc) AS df FROM hits GROUP BY 1),
+            scored AS (
+                SELECT h.doc,
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS tscore
+                FROM hits h JOIN dft USING (term) JOIN dlen USING (doc) CROSS JOIN stats
+            )
+            SELECT doc AS doc_id, round(sum(tscore), 6) AS score, CAST(count(*) AS INT) AS n_hits
+            FROM scored GROUP BY doc ORDER BY sum(tscore) DESC, doc ASC LIMIT 10
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

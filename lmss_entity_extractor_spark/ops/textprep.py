@@ -1,0 +1,112 @@
+"""Training-data text preparation: chunking, PII scrubbing, stratified
+sampling.  All pure JVM column expressions — no UDF anywhere — so every
+operator whole-stage-codegens and scales as a narrow map over the
+corpus (chunking adds the unavoidable explode fan-out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking: chunk i covers whitespace tokens
+    [i*stride, i*stride + chunk_tokens); with stride < chunk_tokens
+    consecutive chunks overlap by chunk_tokens - stride tokens (the
+    standard LLM-pretraining window).  Tail chunks are shorter, never
+    dropped; every document emits >= 1 chunk (empty text -> one empty
+    chunk).  Returns (id, chunk_idx, chunk_text, n_chunk_tokens).
+
+    Scale shape: tokenization + slicing happen inside one projection and
+    the fan-out is an executor-side explode — one narrow pass, output
+    rows ~ n_tokens/stride per doc.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), _WS)
+    n = F.size(toks)
+    n_chunks = F.greatest(F.ceil(n / F.lit(stride)).cast("int"), F.lit(1))
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * F.lit(stride)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.array_join(
+            F.slice(F.split(F.trim(F.col(text_col)), _WS), F.col("_start") + 1, F.lit(chunk_tokens)),
+            " ",
+        ).alias("chunk_text"),
+        F.least(
+            F.size(F.split(F.trim(F.col(text_col)), _WS)) - F.col("_start"), F.lit(chunk_tokens)
+        ).alias("n_chunk_tokens"),
+    )
+
+
+# Conservative, engine-portable patterns (identical regex semantics in
+# Spark's Java regex and DuckDB's RE2 for these constructs).
+PII_PATTERNS = (
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+)
+
+
+def scrub_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / US phone numbers / SSNs with typed placeholder
+    tokens, and count each category (the audit signal a data-governance
+    pass needs).  Order matters: SSN (3-2-4) before phone (3-3-4) so
+    neither pattern eats the other's digits.  Returns
+    (id, scrubbed_text, n_ssn, n_phone, n_email)."""
+    scrubbed: Column = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))).alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(F.col(id_col), scrubbed.alias("scrubbed_text"), *counts)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    rate_per_mille: Column,
+    modulus: int = 1000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``knuth_hash(key) % modulus < rate_per_mille`` where
+    ``rate_per_mille`` is a per-row column (typically derived from
+    ``label_col``) giving the stratum's keep-rate out of ``modulus``.
+
+    The hash is Knuth's multiplicative hash over the NUMERIC key —
+    chosen over xxhash64/md5 deliberately: it is exactly reproducible in
+    ANSI SQL (pure integer arithmetic), so the sample is verifiable by
+    any engine, and it is a pure function of the key — re-running at any
+    parallelism, or appending new rows, never changes which existing
+    rows are kept (the property "sample(T union D) restricted to T ==
+    sample(T)" that reservoir/fraction sampling lacks).
+
+    The key is folded mod 2^31 before the multiply so the product stays
+    within int64 for ANY long key (2^31 * 2654435761 < 2^63) — Spark
+    runs ANSI mode, where a silent-overflow formulation would error at
+    scale instead of hashing.
+    """
+    folded = F.pmod(F.col(key_col).cast("long"), F.lit(2147483648))
+    h = F.pmod(folded * F.lit(2654435761), F.lit(4294967296))
+    return df.withColumn("_rate", rate_per_mille).filter(
+        F.pmod(h, F.lit(modulus)) < F.col("_rate")
+    ).drop("_rate")

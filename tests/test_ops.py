@@ -209,6 +209,165 @@ class TestSimilarity:
 
 
 @pytest.mark.spark
+class TestRangeAndComponents:
+    def test_range_join_matches_theta_join(self, spark):
+        from lmss_entity_extractor_spark.ops.interval import range_join
+
+        pts = spark.createDataFrame(
+            [(i, float(i * 7 % 100)) for i in range(50)], "pid long, v double"
+        )
+        iv = spark.createDataFrame(
+            [(0, 0.0, 30.0), (1, 25.0, 60.0), (2, 90.0, 99.0), (3, 50.0, 10.0)],
+            "iid long, lo double, hi double",  # iid=3 inverted -> no matches
+        )
+        got = sorted(
+            (r.pid, r.iid)
+            for r in range_join(pts, iv, "v", "lo", "hi", bucket_width=8.0).collect()
+        )
+        want = sorted(
+            (r.pid, r.iid)
+            for r in pts.crossJoin(iv)
+            .filter((F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
+            .collect()
+        )
+        assert got == want and len(got) > 0
+        # overlapping intervals may both match a point; no duplicates ever
+        assert len(got) == len(set(got))
+        # equi-key restriction filters cross-key matches
+        pts_k = pts.withColumn("k", F.col("pid") % 2)
+        iv_k = iv.withColumn("k", F.col("iid") % 2)
+        keyed = range_join(pts_k, iv_k, "v", "lo", "hi", on=["k"], bucket_width=8.0)
+        for r in keyed.collect():
+            assert r.pid % 2 == r.iid % 2
+
+    def test_connected_components_chain_and_islands(self, spark):
+        from lmss_entity_extractor_spark.ops.components import connected_components
+
+        # a 6-node chain (diameter 5 > one propagation round) + a 2-clique
+        edges = [(i, i + 1) for i in range(5)] + [(10, 11), (11, 10)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.component for r in connected_components(df).collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 10: 10, 11: 10}
+
+    def test_dedup_clusters_transitive(self, spark, dup_docs):
+        from lmss_entity_extractor_spark.ops.components import dedup_clusters
+
+        # pairs (1,2), (2,5), (1,3): transitive closure -> one cluster of 4
+        pairs = spark.createDataFrame([(1, 2), (2, 5), (1, 3)], "doc_a long, doc_b long")
+        got = {r.doc_id: r.canonical_id for r in dedup_clusters(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 5: 1}
+
+
+@pytest.mark.spark
+class TestBM25:
+    def test_bm25_matches_hand_computation(self, spark):
+        import math
+
+        from lmss_entity_extractor_spark.ops.bm25 import bm25_topk
+
+        corpus = [
+            (1, "spark shuffle spark join"),
+            (2, "spark memory"),
+            (3, "pandas loop loop loop"),
+            (4, "shuffle"),
+        ]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {r.doc_id: (r.score, r.n_hits) for r in bm25_topk(df, "spark shuffle", k=10).collect()}
+
+        # hand BM25 (k1=1.2, b=0.75): N=4, avgdl=(4+2+4+1)/4
+        def idf(dfreq, n=4):
+            return math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+
+        def term(tf, dl, dfreq, avgdl=11 / 4):
+            return idf(dfreq) * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+        want = {
+            1: round(term(2, 4, 2) + term(1, 4, 2), 6),  # spark x2, shuffle x1
+            2: round(term(1, 2, 2), 6),                   # spark
+            4: round(term(1, 1, 2), 6),                   # shuffle
+        }
+        assert set(got) == set(want)
+        for d in want:
+            assert got[d][0] == pytest.approx(want[d], abs=2e-6), d
+        assert got[1][1] == 2 and got[2][1] == 1 and got[4][1] == 1
+        # doc 1 hits both terms and must rank first
+        top = bm25_topk(df, "spark shuffle", k=1).collect()[0]
+        assert top.doc_id == 1
+
+    def test_bm25_empty_query_raises(self, spark):
+        from lmss_entity_extractor_spark.ops.bm25 import bm25_topk
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            bm25_topk(df, "   ")
+
+
+@pytest.mark.spark
+class TestTextPrep:
+    def test_chunk_documents_overlap_and_tail(self, spark):
+        from lmss_entity_extractor_spark.ops.textprep import chunk_documents
+
+        toks = [f"t{i}" for i in range(10)]
+        df = spark.createDataFrame(
+            [(1, " ".join(toks)), (2, "one"), (3, ""), (4, "   ")],
+            "doc_id long, text string",
+        )
+        rows = {
+            (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_chunk_tokens)
+            for r in chunk_documents(df, chunk_tokens=4, stride=3).collect()
+        }
+        # doc 1: 10 tokens, stride 3 -> ceil(10/3)=4 chunks; windows overlap by 1
+        assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
+        assert rows[(1, 1)] == ("t3 t4 t5 t6", 4)
+        assert rows[(1, 2)] == ("t6 t7 t8 t9", 4)
+        assert rows[(1, 3)] == ("t9", 1)  # tail kept, shorter
+        assert rows[(2, 0)] == ("one", 1)
+        # empty / whitespace-only docs emit exactly one empty chunk
+        assert rows[(3, 0)][0] == "" and rows[(4, 0)][0] == ""
+        assert {k[0] for k in rows} == {1, 2, 3, 4}
+
+    def test_scrub_pii_categories_and_order(self, spark):
+        from lmss_entity_extractor_spark.ops.textprep import scrub_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b+c@x-corp.io or p_2@a.b.co, call 415-555-0199, SSN 123-45-6789"),
+                (2, "clean text, no pii at all"),
+                (3, "edge 999-99-9999 vs 999-999-9999"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in scrub_pii(df).collect()}
+        assert got[1].scrubbed_text == "mail <EMAIL> or <EMAIL>, call <PHONE>, SSN <SSN>"
+        assert (got[1].n_email, got[1].n_phone, got[1].n_ssn) == (2, 1, 1)
+        assert got[2].scrubbed_text == "clean text, no pii at all"
+        assert (got[2].n_email, got[2].n_phone, got[2].n_ssn) == (0, 0, 0)
+        # SSN runs first and must not eat the phone's 3-3-4 shape
+        assert got[3].scrubbed_text == "edge <SSN> vs <PHONE>"
+
+    def test_stratified_sample_deterministic_and_append_stable(self, spark):
+        from lmss_entity_extractor_spark.ops.textprep import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, i % 4) for i in range(2000)], "vec_id long, label int"
+        )
+        rate = F.lit(100) + F.col("label") * F.lit(100)  # 10%/20%/30%/40%
+        a = {r.vec_id for r in stratified_sample(df, "vec_id", "label", rate).collect()}
+        b = {r.vec_id for r in stratified_sample(df.repartition(13), "vec_id", "label", rate).collect()}
+        assert a == b and a  # parallelism-independent
+        # per-stratum rates land near target (hash uniformity)
+        per = {lab: sum(1 for v in a if v % 4 == lab) / 500 for lab in range(4)}
+        for lab in range(4):
+            assert abs(per[lab] - (lab + 1) * 0.1) < 0.06, per
+        # append-stability: sampling a superset keeps the same original rows
+        bigger = spark.createDataFrame(
+            [(i, i % 4) for i in range(3000)], "vec_id long, label int"
+        )
+        c = {r.vec_id for r in stratified_sample(bigger, "vec_id", "label", rate).collect()}
+        assert {v for v in c if v < 2000} == a
+
+
+@pytest.mark.spark
 class TestTextStats:
     def test_quality_stats(self, spark):
         df = spark.createDataFrame(

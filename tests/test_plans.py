@@ -72,6 +72,15 @@ class TestJoinStrategies:
         assert "LeftSemi" in plan_of(entry.q_semi_join(spark, SF))
         assert "LeftAnti" in plan_of(entry.q_anti_join(spark, SF))
 
+    def test_range_join_is_bucketed_equijoin(self, spark):
+        # the θ-join formulation plans as BroadcastNestedLoopJoin (every
+        # point against every interval); the bucketed composition must
+        # plan as a hash/merge EQUI-join on the coarse bucket
+        plan = plan_of(entry.q_range_join(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
     def test_ivf_probe_is_broadcast_equijoin(self, spark):
         plan = plan_of(entry.q_knn_ivf(spark, SF))
         assert "BroadcastHashJoin" in plan
