@@ -131,6 +131,10 @@ HEADLINE = [
     "knn_bruteforce",
     "dedup_jaccard",
     "dedup_minhash",
+    "dedup_clusters",
+    "range_join",
+    "chunk_docs",
+    "bm25",
     "quality_stats",
     "fingerprint",
 ]
