@@ -391,6 +391,87 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_full_outer_join(spark, sf_dir):
+    """Full outer join with disjoint key ranges on both sides — all
+    three row classes (left-only, right-only, both) exercised."""
+    o94 = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1994)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_1994"))
+    )
+    o96 = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1996)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_1996"))
+    )
+    return (
+        o94.join(o96, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            F.coalesce("n_1994", F.lit(0)).alias("n_1994"),
+            F.coalesce("n_1996", F.lit(0)).alias("n_1996"),
+        )
+    )
+
+
+def q_rank_funcs(spark, sf_dir):
+    """Ranking window function family: rank / dense_rank / ntile /
+    percent_rank / cume_dist over suppliers per nation."""
+    from pyspark.sql import Window
+
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_unpivot_long(spark, sf_dir):
+    """UNPIVOT (wide -> long): per-user event-type counts melted back to
+    (user_id, etype, n) rows — the inverse of pivot_events."""
+    e = _t(spark, sf_dir, "events")
+    wide = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("view"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchase"),
+    )
+    return wide.unpivot("user_id", ["click", "view", "purchase"], "etype", "n")
+
+
+def q_explode_outer(spark, sf_dir):
+    """explode_outer (LATERAL VIEW OUTER): rows with empty arrays
+    survive with a null element — the semantics plain explode silently
+    drops."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: F.length(t) >= 12
+    )
+    return d.select("doc_id", F.explode_outer(words).alias("long_word"))
+
+
+def q_time_rollup(spark, sf_dir):
+    """Time-bucketed rollup (hypertable-style continuous-aggregate
+    shape): events into 6-hour buckets x event_type with ROLLUP
+    subtotals."""
+    e = _t(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 21600).cast("long") * 21600
+    )
+    return (
+        e.select(bucket.alias("bucket6h"), "event_type", "value")
+        .rollup("bucket6h", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
 def q_chunk_docs(spark, sf_dir):
     """LLM-pretraining document chunking: sliding token windows
     (32-token chunks, stride 24 -> 8-token overlap), executor-side
@@ -874,6 +955,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "embedding_neardup": q_embedding_neardup,
         "range_join": q_range_join,
+        "full_outer_join": q_full_outer_join,
+        "rank_funcs": q_rank_funcs,
+        "unpivot_long": q_unpivot_long,
+        "explode_outer": q_explode_outer,
+        "time_rollup": q_time_rollup,
         "chunk_docs": q_chunk_docs,
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
@@ -1177,6 +1263,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
             FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
             GROUP BY 1
+        """,
+        "full_outer_join": """
+            WITH o94 AS (
+                SELECT o_custkey, count(*) AS n_1994 FROM orders
+                WHERE year(o_orderdate) = 1994 GROUP BY 1
+            ),
+            o96 AS (
+                SELECT o_custkey, count(*) AS n_1996 FROM orders
+                WHERE year(o_orderdate) = 1996 GROUP BY 1
+            )
+            SELECT coalesce(o94.o_custkey, o96.o_custkey) AS o_custkey,
+                   coalesce(n_1994, 0) AS n_1994,
+                   coalesce(n_1996, 0) AS n_1996
+            FROM o94 FULL OUTER JOIN o96 ON o94.o_custkey = o96.o_custkey
+        """,
+        "rank_funcs": """
+            SELECT s_suppkey, s_nationkey,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   CAST(ntile(4) OVER w AS INT) AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM supplier
+            WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
+        """,
+        "unpivot_long": """
+            WITH wide AS (
+                SELECT user_id,
+                       count(*) FILTER (WHERE event_type = 'click') AS click,
+                       count(*) FILTER (WHERE event_type = 'view') AS view,
+                       count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+                FROM events GROUP BY 1
+            )
+            SELECT user_id, etype, n FROM wide
+            UNPIVOT (n FOR etype IN (click, view, purchase))
+        """,
+        "explode_outer": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   t -> length(t) >= 12) AS words
+                FROM documents WHERE doc_id < 50
+            )
+            SELECT doc_id, CASE WHEN len(words) = 0 THEN NULL ELSE unnest(words) END AS long_word
+            FROM w WHERE len(words) > 0
+            UNION ALL
+            SELECT doc_id, NULL FROM w WHERE len(words) = 0
+        """,
+        "time_rollup": """
+            WITH b AS (
+                SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600) AS bucket6h,
+                       event_type, value
+                FROM events
+            )
+            SELECT bucket6h, event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM b GROUP BY ROLLUP(bucket6h, event_type)
         """,
         "chunk_docs": """
             WITH t AS (
