@@ -273,7 +273,13 @@ def q_knn_ivf(spark, sf_dir):
         F.col("embedding"),
         lambda x, i: x.cast("double") + F.when(i == F.col("label"), F.lit(6.0)).otherwise(F.lit(0.0)),
     )
-    e = e0.select("vec_id", clustered.alias("embedding"))
+    # cache the lift: three consumers (training collect, cell assignment,
+    # query probe) would otherwise each re-evaluate the 64-element array
+    # rebuild per row — Catalyst inlines collapsed projections into every
+    # consumer.  Production corpora read a STORED embedding column, so
+    # this is contract-query bookkeeping, not an operator cost (2000 rows
+    # ~= 1.5 MB cached).
+    e = e0.select("vec_id", clustered.alias("embedding")).cache()
     return knn_ivf(e, e.filter(F.col("vec_id") < 5), k=3, n_centroids=10, nprobe=2)
 
 

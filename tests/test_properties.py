@@ -116,3 +116,118 @@ def test_transitive_closure_matches_reference(spark, int_edges):
     df = spark.createDataFrame(edges, "child string, parent string")
     got = {(r.desc_iri, r.anc_iri) for r in transitive_closure(df, include_self=False).collect()}
     assert got == _closure_python(edges)
+
+
+# --------------------------------------------------------------------------
+# round-2 operator invariants (pure-Python reference models; Spark twins
+# are covered value-for-value by the DuckDB oracle gate)
+# --------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(0, 200), min_size=0, max_size=40),
+    st.integers(1, 8),
+    st.integers(1, 8),
+)
+def test_chunk_window_math_covers_every_token(token_ids, chunk_tokens, stride):
+    """The start/size math used by ops/textprep.chunk_documents: chunk i
+    covers [i*stride, i*stride + chunk_tokens); every token is covered,
+    consecutive chunks overlap by exactly max(chunk_tokens - stride, 0)
+    (when a next chunk exists), and no chunk is empty except the single
+    chunk of an empty doc."""
+    import math
+
+    n = len(token_ids)
+    n_chunks = max(math.ceil(n / stride), 1)
+    covered = set()
+    for i in range(n_chunks):
+        start = i * stride
+        window = token_ids[start : start + chunk_tokens]
+        if n > 0:
+            assert window or start >= n  # only trailing chunks may spill
+        covered.update(range(start, min(start + chunk_tokens, n)))
+    if stride <= chunk_tokens:
+        # contiguous (or overlapping) windows: every token covered
+        assert covered == set(range(n))
+    else:
+        # stride > chunk_tokens subsamples by design: gaps are exactly the
+        # inter-window stretches
+        assert covered == {i for i in range(n) if i % stride < chunk_tokens}
+    if n_chunks > 1 and n >= chunk_tokens:
+        overlap = len(
+            set(range(stride, min(stride + chunk_tokens, n)))
+            & set(range(0, min(chunk_tokens, n)))
+        )
+        assert overlap == max(chunk_tokens - stride, 0)
+
+
+@SETTINGS
+@given(st.lists(st.integers(0, 10_000_000), min_size=1, max_size=200, unique=True))
+def test_knuth_sample_rate_monotone_and_stable(keys):
+    """The stratified-sample predicate: raising the rate only ADDS rows
+    (monotone), and membership of a key is independent of the other keys
+    (append-stable by construction)."""
+
+    def keep(key, rate):
+        return (((key % 2147483648) * 2654435761) % 4294967296) % 1000 < rate
+
+    kept_low = {k for k in keys if keep(k, 100)}
+    kept_high = {k for k in keys if keep(k, 400)}
+    assert kept_low <= kept_high
+    # stability: recomputing per-key gives the same answer regardless of
+    # which other keys exist
+    for k in list(keys)[:20]:
+        assert keep(k, 100) == (k in kept_low)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_union_find_model_matches_min_label_semantics(edges):
+    """Reference model for ops/components.connected_components: min
+    reachable label == union-find component minimum, for any edge list
+    (self-loops and duplicates included)."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for a, b in edges:
+        union(a, b)
+    want = {}
+    for node in parent:
+        root = find(node)
+        want.setdefault(root, []).append(node)
+    comp_min = {n: min(members) for members in want.values() for n in members}
+
+    # min-label propagation to fixpoint (the Spark loop's semantics)
+    labels = {n: n for n in parent}
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in labels:
+            m = min([labels[n]] + [labels[x] for x in adj.get(n, ())])
+            if m != labels[n]:
+                labels[n] = m
+                changed = True
+    assert labels == comp_min
