@@ -86,3 +86,23 @@ def conversation_running_totals(turn_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_dedup(
+    turn_stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication: drop rows whose ``keys`` were
+    already seen within the watermark horizon — the streaming twin of
+    the batch exact-dedup operator (ops/dedup.py), for at-least-once
+    upstreams that redeliver turns.
+
+    Built on ``dropDuplicatesWithinWatermark``: per-key state lives in
+    the state store and is EVICTED once the key ages past the watermark
+    (unbounded-state-free, unlike plain dropDuplicates on a stream);
+    re-deliveries farther apart than the horizon are a documented
+    non-goal at this seam — route those to the batch canonicalization,
+    which is idempotent across the union anyway."""
+    return turn_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

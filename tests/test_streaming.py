@@ -106,6 +106,30 @@ def test_snapshot_incremental_processes_only_the_delta(spark, owl_path, tmp_path
 
 
 @pytest.mark.spark
+def test_incremental_reconciles_after_checkpoint_loss(spark, owl_path, tmp_path, stream_dirs):
+    """ADVICE r1: if the streaming checkpoint is lost AND new files land
+    before the rerun, file->batch assignment shifts; the per-batch
+    input-file registry must drop the stale batch dirs so the compacted
+    table equals one clean batch run (no duplicated or orphaned edges)."""
+    tdir, out_dir, ckpt = stream_dirs
+    write_transcripts_parquet(tdir / "part-0.parquet", n_convs=3, seed=11)
+    write_transcripts_parquet(tdir / "part-1.parquet", n_convs=3, seed=22)
+
+    pipe = KGPipeline(spark, owl_path, tmp_path / "wh", PipelineConfig())
+    assert incremental_edges(pipe, tdir, out_dir, ckpt) >= 1
+
+    # checkpoint loss + growth before the rerun: assignment shifts
+    shutil.rmtree(ckpt)
+    write_transcripts_parquet(tdir / "part-2.parquet", n_convs=2, seed=33)
+    assert incremental_edges(pipe, tdir, out_dir, ckpt) >= 1
+
+    compacted = compact_incremental_edges(spark, out_dir)
+    batch = pipe.dataflow(spark.read.parquet(str(tdir)))["edges"]
+    assert _edge_set(compacted) == _edge_set(batch)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+@pytest.mark.spark
 def test_streaming_turn_rate_windows(spark, tmp_path):
     tdir = tmp_path / "transcripts"
     tdir.mkdir()
@@ -174,3 +198,42 @@ def test_incremental_replay_is_idempotent(spark, owl_path, tmp_path, stream_dirs
     replayed = _edge_set(compact_incremental_edges(spark, out_dir))
     assert replayed == first  # append-mode would have doubled n_provenances
     shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """Redelivered rows (same conv_id/turn_idx, within the watermark)
+    are dropped across micro-batches; distinct rows all survive."""
+    from lmss_entity_extractor_spark import schemas
+    from lmss_entity_extractor_spark.streaming.stateful import streaming_dedup
+
+    tdir = tmp_path / "turns"
+    tdir.mkdir()
+    # identical file content delivered twice = an at-least-once redelivery
+    write_transcripts_parquet(tdir / "f1.parquet", n_convs=2, seed=9)
+    write_transcripts_parquet(tdir / "f2.parquet", n_convs=2, seed=9)
+
+    stream = (
+        spark.readStream.schema(schemas.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tdir))
+    )
+    q = (
+        streaming_dedup(stream, ["conv_id", "turn_idx"], watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT conv_id, turn_idx FROM dedup_stream").collect()
+    keys = [(r.conv_id, r.turn_idx) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicates survived the stream"
+    # exactly the distinct key set of one file's worth of turns
+    import pyarrow.parquet as pq
+
+    one = pq.read_table(tdir / "f1.parquet").to_pydict()
+    want = set(zip(one["conv_id"], one["turn_idx"]))
+    assert set(keys) == want
