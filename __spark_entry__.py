@@ -397,6 +397,33 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_sketch_accuracy(spark, sf_dir):
+    """Sketch operators under an oracle-checkable contract: the query
+    returns exact values PLUS boolean accuracy claims about the sketches
+    (HLL++ approx distinct within 5%, approx percentile within 2% of the
+    exact p50).  DuckDB can't reproduce Spark's sketch values, but it CAN
+    pin the exact sides and assert the claims as literal TRUE — so a
+    sketch drifting out of tolerance fails the value-hash gate."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_nd"),
+        F.approx_count_distinct("user_id", 0.02).alias("_and"),
+        F.expr("percentile(value, 0.5)").alias("_p50"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("_ap50"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_nd",
+        (F.abs(F.col("_and") - F.col("exact_nd")) <= 0.05 * F.col("exact_nd")).alias(
+            "hll_within_5pct"
+        ),
+        F.round("_p50", 4).alias("p50"),
+        (F.abs(F.col("_ap50") - F.col("_p50")) <= 0.02 * F.abs(F.col("_p50"))).alias(
+            "approx_p50_within_2pct"
+        ),
+    )
+
+
 def q_full_outer_join(spark, sf_dir):
     """Full outer join with disjoint key ranges on both sides — all
     three row classes (left-only, right-only, both) exercised."""
@@ -961,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "embedding_neardup": q_embedding_neardup,
         "range_join": q_range_join,
+        "sketch_accuracy": q_sketch_accuracy,
         "full_outer_join": q_full_outer_join,
         "rank_funcs": q_rank_funcs,
         "unpivot_long": q_unpivot_long,
@@ -1269,6 +1297,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
             FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
             GROUP BY 1
+        """,
+        "sketch_accuracy": """
+            -- exact sides computed independently; the sketch-accuracy
+            -- claims are pinned TRUE — Spark must earn them
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_nd,
+                   TRUE AS hll_within_5pct,
+                   round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+                   TRUE AS approx_p50_within_2pct
+            FROM events GROUP BY 1
         """,
         "full_outer_join": """
             WITH o94 AS (
