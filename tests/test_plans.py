@@ -72,6 +72,20 @@ class TestJoinStrategies:
         assert "LeftSemi" in plan_of(entry.q_semi_join(spark, SF))
         assert "LeftAnti" in plan_of(entry.q_anti_join(spark, SF))
 
+    def test_chunking_is_narrow(self, spark):
+        # tokenize + slice + explode must add ZERO exchanges: chunking a
+        # 100 TB corpus is one pass over the scan partitions
+        plan = plan_of(entry.q_chunk_docs(spark, SF))
+        assert n_exchanges(plan) == 0, plan
+
+    def test_bm25_probes_via_broadcast_query_terms(self, spark):
+        # the query-term set joins the postings as a broadcast — only
+        # matching postings flow into scoring (inverted-index access
+        # path), and the top-k is TakeOrdered, not a global sort
+        plan = plan_of(entry.q_bm25(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+
     def test_range_join_is_bucketed_equijoin(self, spark):
         # the θ-join formulation plans as BroadcastNestedLoopJoin (every
         # point against every interval); the bucketed composition must
