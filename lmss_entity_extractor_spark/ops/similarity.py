@@ -243,6 +243,89 @@ def knn_ivf(
     )
 
 
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    n_iters: int = 5,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Train a codebook and materialize the IVF index as a parquet table
+    PARTITIONED BY centroid_id — the persisted-ANN-index pattern: train
+    once, serve many queries.
+
+    Partitioning by cell makes every probe a *partition-pruned* scan:
+    a query reading nprobe of n_centroids cells touches only that
+    fraction of the files on disk (PartitionFilters in the scan, no data
+    read for unprobed cells) — the property that makes IVF pay off at
+    100 TB, where re-deriving cell assignments per query would be a full
+    corpus pass.  The codebook is stored alongside as JSON.  Returns the
+    trained centroids."""
+    import json
+    from pathlib import Path
+
+    cents = train_ivf_centroids(embeddings, n_centroids, n_iters, id_col, vec_col, sample_mod)
+    (
+        embeddings.withColumn("centroid_id", ivf_cell_expr(F.col(vec_col), cents))
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/cells")
+    )
+    p = Path(path) / "centroids.json"
+    p.write_text(json.dumps(cents))
+    return cents
+
+
+def knn_ivf_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a persisted IVF index
+    (:func:`write_ivf_index`): the codebook loads driver-side (tiny), the
+    query side explodes to its nprobe nearest cells, and the cell scan is
+    partition-pruned to exactly those cells.  Same output shape as
+    ``knn_bruteforce``."""
+    import json
+    from pathlib import Path
+
+    cents = [(int(c), v) for c, v in json.loads((Path(path) / "centroids.json").read_text())]
+    nprobe = max(1, min(nprobe, len(cents)))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(ivf_probe_cells_expr(F.col(vec_col), cents, nprobe)).alias("centroid_id"),
+    )
+    # The query batch is small by contract (it broadcasts below), so the
+    # probed cell set is collected driver-side and pushed as a STATIC
+    # partition filter — guaranteed pruning (PartitionFilters in the
+    # scan), not best-effort runtime DPP: unprobed cells contribute zero
+    # scanned bytes.
+    probe_ids = sorted({r[0] for r in q.select("centroid_id").distinct().collect()})
+    cells = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("centroid_id").isin(probe_ids))
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"), "centroid_id")
+    )
+    scored = (
+        cells.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_expr(F.col("qvec"), F.col("nvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
 def knn_lsh(
     embeddings: DataFrame,
     queries: DataFrame,

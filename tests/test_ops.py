@@ -180,6 +180,40 @@ class TestSimilarity:
         bf = sorted(map(tuple, knn_bruteforce(embeddings, q, k=5).collect()))
         assert ivf == bf
 
+    def test_ivf_persisted_index_matches_and_prunes(self, spark, embeddings, tmp_path):
+        """write_ivf_index + knn_ivf_indexed: identical results to the
+        in-line knn_ivf with the same codebook params, and the probe scan
+        is PARTITION-PRUNED to the probed cells only."""
+        from lmss_entity_extractor_spark.ops.similarity import (
+            knn_ivf_indexed,
+            write_ivf_index,
+        )
+
+        idx = str(tmp_path / "ivf_idx")
+        write_ivf_index(embeddings, idx, n_centroids=6, n_iters=5)
+        q = embeddings.filter(F.col("vec_id") < 4)
+        got = sorted(map(tuple, knn_ivf_indexed(spark, idx, q, k=3, nprobe=2).collect()))
+        want = sorted(
+            map(tuple, knn_ivf(embeddings, q, k=3, n_centroids=6, nprobe=2).collect())
+        )
+        assert got == want and len(got) > 0
+
+        # pruning: the scan carries a static IN partition filter over the
+        # probed cells (inputFiles() reports the pre-pruning FileIndex, so
+        # the plan text is the observable), and the on-disk layout is
+        # actually split by cell so the filter has partitions to skip
+        probed = knn_ivf_indexed(spark, idx, q, k=3, nprobe=1)
+        plan = probed._sc._jvm.PythonSQLUtils.explainString(
+            probed._jdf.queryExecution(), "formatted"
+        )
+        import re
+
+        assert re.search(r"PartitionFilters: \[centroid_id#\d+ IN \(", plan), plan
+        from pathlib import Path
+
+        cell_dirs = {p.name for p in Path(idx, "cells").glob("centroid_id=*")}
+        assert len(cell_dirs) > 1, cell_dirs
+
     def test_ivf_training_deterministic(self, embeddings):
         from lmss_entity_extractor_spark.ops.similarity import train_ivf_centroids
 
