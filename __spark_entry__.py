@@ -397,6 +397,44 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_quantize(spark, sf_dir):
+    """int8 embedding quantization, value-checked to the CODE level: the
+    oracle recomputes scale and every int8 code (floor(x/scale + 0.5)
+    half-up — explicit, since Spark round() is half-up and DuckDB's is
+    half-even) and independently re-derives the >=0.999 cosine-fidelity
+    claim from its own dequantization."""
+    from lmss_entity_extractor_spark.ops.quantize import dequantize_expr, quantize_embeddings
+    from lmss_entity_extractor_spark.ops.similarity import cosine_expr
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    qd = quantize_embeddings(e)
+    return qd.select(
+        "vec_id",
+        (F.floor(F.col("q_scale") * 1e6) / 1e6).alias("scale6"),
+        F.array_join(F.transform("q_vec", lambda q: q.cast("string")), ",").alias("codes"),
+        (
+            cosine_expr(dequantize_expr(F.col("q_vec"), F.col("q_scale")), F.col("embedding"))
+            >= 0.999
+        ).alias("cos_ok"),
+    )
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Sequence packing: chunk the documents, then cut each shard's
+    deterministic chunk stream into 64-token bins (window cumsum per
+    shard — shards pack in parallel)."""
+    from lmss_entity_extractor_spark.ops.textprep import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100),
+        chunk_tokens=32,
+        stride=32,
+    ).withColumn("shard", F.pmod(F.col("doc_id"), F.lit(8)).cast("int"))
+    return pack_chunks(
+        chunks, capacity=64, shard_col="shard", order_cols=["doc_id", "chunk_idx"]
+    ).select("doc_id", "chunk_idx", "shard", "tok_offset", "bin_id", "n_chunk_tokens")
+
+
 def q_sketch_accuracy(spark, sf_dir):
     """Sketch operators under an oracle-checkable contract: the query
     returns exact values PLUS boolean accuracy claims about the sketches
@@ -989,6 +1027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "range_join": q_range_join,
         "sketch_accuracy": q_sketch_accuracy,
+        "quantize": q_quantize,
+        "pack_chunks": q_pack_chunks,
         "full_outer_join": q_full_outer_join,
         "rank_funcs": q_rank_funcs,
         "unpivot_long": q_unpivot_long,
@@ -1297,6 +1337,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
             FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
             GROUP BY 1
+        """,
+        "quantize": """
+            WITH q AS (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+                FROM embeddings WHERE vec_id < 200
+            ),
+            c AS (
+                SELECT vec_id, embedding, scale,
+                       CASE WHEN scale = 0
+                            THEN [0 FOR x IN embedding]
+                            ELSE [CAST(greatest(-127.0, least(127.0,
+                                       floor(CAST(x AS DOUBLE) / scale + 0.5))) AS INT)
+                                  FOR x IN embedding] END AS qcodes
+                FROM q
+            )
+            SELECT vec_id,
+                   floor(scale * 1000000) / 1000000 AS scale6,
+                   array_to_string(qcodes, ',') AS codes,
+                   CASE WHEN scale = 0 THEN FALSE
+                        ELSE list_cosine_similarity(
+                                 list_transform(qcodes, cc -> cc * scale), embedding) >= 0.999
+                   END AS cos_ok
+            FROM c
+        """,
+        "pack_chunks": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents WHERE doc_id < 100
+            ),
+            chunks AS (
+                SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                       CAST(doc_id % 8 AS INT) AS shard,
+                       CAST(least(len(toks) - i*32, 32) AS INT) AS n_chunk_tokens
+                FROM t, unnest(range(greatest(CAST(ceil(len(toks)/32.0) AS INT), 1))) AS u(i)
+            )
+            SELECT doc_id, chunk_idx, shard,
+                   CAST(sum(n_chunk_tokens) OVER w - n_chunk_tokens AS BIGINT) AS tok_offset,
+                   CAST(floor((sum(n_chunk_tokens) OVER w - n_chunk_tokens) / 64.0) AS INT) AS bin_id,
+                   n_chunk_tokens
+            FROM chunks
+            WINDOW w AS (PARTITION BY shard ORDER BY doc_id, chunk_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "sketch_accuracy": """
             -- exact sides computed independently; the sketch-accuracy

@@ -6,7 +6,7 @@ corpus (chunking adds the unavoidable explode fan-out).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _WS = r"\s+"
@@ -52,6 +52,44 @@ def chunk_documents(
         F.least(
             F.size(F.split(F.trim(F.col(text_col)), _WS)) - F.col("_start"), F.lit(chunk_tokens)
         ).alias("n_chunk_tokens"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    capacity: int,
+    shard_col: str,
+    order_cols: list[str],
+    token_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Sequence packing for pretraining batches: lay the chunks of each
+    shard end-to-end in a deterministic order and cut the token stream
+    into fixed-``capacity`` bins — ``bin_id`` = the bin containing the
+    chunk's first token (chunks may straddle a boundary, the
+    packed-sequence-with-crossings convention).
+
+    Scale shape: packing is inherently sequential, so it runs as a
+    window cumsum **per shard** — shards pack independently and in
+    parallel (one keyed shuffle); bin ids are (shard, bin).  A global
+    single-stream packing would serialize the world through one
+    partition, which is exactly what the shard key exists to avoid.
+
+    Appends ``tok_offset`` (chunk's start offset in its shard's stream)
+    and ``bin_id``.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    offset = (cum - F.col(token_col)).alias("tok_offset")
+    return chunks.select(
+        "*",
+        offset,
+        F.floor((cum - F.col(token_col)) / F.lit(capacity)).cast("int").alias("bin_id"),
     )
 
 

@@ -379,6 +379,54 @@ class TestTextPrep:
         # SSN runs first and must not eat the phone's 3-3-4 shape
         assert got[3].scrubbed_text == "edge <SSN> vs <PHONE>"
 
+    def test_quantize_roundtrip_fidelity(self, spark, embeddings):
+        from lmss_entity_extractor_spark.ops.quantize import (
+            dequantize_expr,
+            quantize_embeddings,
+        )
+        from lmss_entity_extractor_spark.ops.similarity import cosine_expr
+
+        qd = quantize_embeddings(embeddings.limit(50))
+        rows = qd.select(
+            "embedding",
+            "q_scale",
+            "q_vec",
+            cosine_expr(dequantize_expr(F.col("q_vec"), F.col("q_scale")), F.col("embedding")).alias("fid"),
+        ).collect()
+        assert rows
+        for r in rows:
+            assert all(-127 <= c <= 127 for c in r.q_vec)
+            assert r.fid > 0.999  # int8 keeps cosine geometry
+            # scale reproduces absmax within one quantization step
+            assert abs(max(abs(x) for x in r.embedding) - r.q_scale * 127.0) < 1e-6
+
+    def test_quantize_zero_vector(self, spark):
+        from lmss_entity_extractor_spark.ops.quantize import quantize_embeddings
+
+        df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+        r = quantize_embeddings(df).collect()[0]
+        assert r.q_scale == 0.0 and list(r.q_vec) == [0, 0, 0]
+
+    def test_pack_chunks_bins_and_offsets(self, spark):
+        from lmss_entity_extractor_spark.ops.textprep import pack_chunks
+
+        rows = [
+            # shard 0: token lengths 40, 40, 10 -> offsets 0, 40, 80
+            (1, 0, 0, 40), (1, 1, 0, 40), (2, 0, 0, 10),
+            # shard 1: 64, 1 -> offsets 0, 64
+            (3, 0, 1, 64), (3, 1, 1, 1),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, chunk_idx int, shard int, n_chunk_tokens int")
+        got = {
+            (r.doc_id, r.chunk_idx): (r.tok_offset, r.bin_id)
+            for r in pack_chunks(df, 64, "shard", ["doc_id", "chunk_idx"]).collect()
+        }
+        assert got[(1, 0)] == (0, 0)
+        assert got[(1, 1)] == (40, 0)   # starts inside bin 0, straddles into 1
+        assert got[(2, 0)] == (80, 1)
+        assert got[(3, 0)] == (0, 0)
+        assert got[(3, 1)] == (64, 1)   # exactly at the boundary -> next bin
+
     def test_stratified_sample_deterministic_and_append_stable(self, spark):
         from lmss_entity_extractor_spark.ops.textprep import stratified_sample
 
