@@ -963,6 +963,41 @@ def q_streaming_conv_totals(spark, sf_dir):
     )
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Watermark-bounded streaming dedup: the transcripts are delivered
+    TWICE (at-least-once redelivery, two identical files processed in
+    separate micro-batches) and dropDuplicatesWithinWatermark must emit
+    each (conv_id, turn_idx) exactly once — the oracle is the plain
+    GROUP BY over a single clean copy."""
+    import tempfile
+
+    from lmss_entity_extractor_spark import schemas
+    from lmss_entity_extractor_spark.streaming.stateful import streaming_dedup
+
+    tmp = tempfile.mkdtemp(prefix="lmss_sdedup_q_")
+    t = _transcripts(spark, sf_dir)
+    t.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/turns/copy=a")
+    t.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/turns/copy=b")
+    stream = (
+        spark.readStream.schema(schemas.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/turns/copy=*")
+    )
+    q = (
+        streaming_dedup(stream, ["conv_id", "turn_idx"], watermark="240 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("q_sdedup")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        "SELECT conv_id, count(*) AS n_turns FROM q_sdedup GROUP BY conv_id"
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> Arrow-batched feature
     extraction through ``mapInPandas``.
@@ -1065,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "streaming_conv_totals": q_streaming_conv_totals,
+        "streaming_dedup": q_streaming_dedup,
         # oracle-checked: bucketed layout joins
         "bucketed_join": q_bucketed_join,
     }
@@ -1717,6 +1753,12 @@ def oracle_sql() -> dict[str, str]:
             -- over the same pure-column-math transcripts derivation
             SELECT 'conv-' || lpad(CAST(doc_id % 64 AS VARCHAR), 6, '0') AS conv_id,
                    count(*) AS n_turns_total
+            FROM documents GROUP BY 1
+        """,
+        "streaming_dedup": """
+            -- redelivered stream deduped == one clean copy's GROUP BY
+            SELECT 'conv-' || lpad(CAST(doc_id % 64 AS VARCHAR), 6, '0') AS conv_id,
+                   count(*) AS n_turns
             FROM documents GROUP BY 1
         """,
         "multimodal_features": """
