@@ -1740,7 +1740,9 @@ def oracle_sql() -> dict[str, str]:
         "mention_type_counts": """
             -- frozen single-process loop-oracle tallies over the same
             -- derived transcripts (tools/make_oracle_fixtures.py); the
-            -- fixture is re-derived from the loop oracle in CI
+            -- fixture is re-derived from the loop oracle in CI.  Pinned
+            -- to sf0.01 — the driver's correctness scale (TESTDATA.md);
+            -- comparing at another sf intentionally mismatches.
             SELECT mtype, n_mentions
             FROM read_parquet('/root/repo/fixtures/oracle/sf0.01/mention_type_counts.parquet')
         """,
