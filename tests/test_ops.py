@@ -400,6 +400,33 @@ class TestTextPrep:
             # scale reproduces absmax within one quantization step
             assert abs(max(abs(x) for x in r.embedding) - r.q_scale * 127.0) < 1e-6
 
+    def test_quantized_knn_preserves_neighbors(self, spark, embeddings):
+        """Retrieval over the int8 codes: symmetric quantization cancels
+        the per-vector scale out of cosine (cos(q_a*s_a, q_b*s_b) ==
+        cos(q_a, q_b)), so knn_bruteforce runs DIRECTLY on the code
+        arrays — 4x less scan/broadcast bytes — and must keep high
+        recall vs the float path."""
+        from lmss_entity_extractor_spark.ops.quantize import quantize_embeddings
+        from lmss_entity_extractor_spark.ops.similarity import knn_bruteforce
+
+        qd = quantize_embeddings(embeddings).select("vec_id", "q_vec")
+        q = qd.filter(F.col("vec_id") < 5)
+        # neighbor-SET recall: int8 rounding may swap ranks among the
+        # near-tie cosines of random vectors; what matters is that the
+        # retrieved set survives quantization
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in knn_bruteforce(qd, q, k=5, vec_col="q_vec").collect()
+        }
+        want = {
+            (r.query_id, r.neighbor_id)
+            for r in knn_bruteforce(
+                embeddings, embeddings.filter(F.col("vec_id") < 5), k=5
+            ).collect()
+        }
+        recall = len(got & want) / len(want)
+        assert recall >= 0.85, recall
+
     def test_quantize_zero_vector(self, spark):
         from lmss_entity_extractor_spark.ops.quantize import quantize_embeddings
 
