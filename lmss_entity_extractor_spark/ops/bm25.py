@@ -39,36 +39,13 @@ def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def bm25_topk(
-    docs: DataFrame,
-    query: str,
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _score_hits(
+    hits: DataFrame, stats: DataFrame, k: int, k1: float, b: float, id_col: str
 ) -> DataFrame:
-    """Top-k documents for a whitespace-tokenized query, ranked by BM25
-    (ties break on ascending doc id).  Returns (doc_id, score, n_hits)
-    where n_hits = how many distinct query terms the document contains.
-    """
-    q_terms = sorted({t for t in query.lower().split() if t})
-    if not q_terms:
-        raise ValueError("empty query")
-    spark = docs.sparkSession
-    qdf = spark.createDataFrame([(t,) for t in q_terms], "term string")
-
-    post = _postings(docs, text_col, id_col)
-    dlen = post.groupBy("doc").agg(F.sum("tf").alias("dl"))
-    stats = dlen.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-
-    hits = post.join(F.broadcast(qdf), "term")  # inverted-index probe
+    """(doc, term, tf, dl) hits + 1-row stats -> ranked (id, score, n_hits)."""
     df_t = hits.groupBy("term").agg(F.countDistinct("doc").alias("df"))
     scored = (
         hits.join(F.broadcast(df_t), "term")
-        .join(dlen, "doc")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
@@ -92,3 +69,119 @@ def bm25_topk(
             F.col("n_hits").cast("int").alias("n_hits"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a whitespace-tokenized query, ranked by BM25
+    (ties break on ascending doc id).  Returns (doc_id, score, n_hits)
+    where n_hits = how many distinct query terms the document contains.
+
+    One-shot form: builds the postings in-flight (persisted — doc
+    lengths, the probe, and corpus stats all consume the same explode
+    pass, which would otherwise run three times).  For repeated queries
+    build the index once with :func:`write_bm25_index`.
+    """
+    from pyspark import StorageLevel
+
+    q_terms = sorted({t for t in query.lower().split() if t})
+    if not q_terms:
+        raise ValueError("empty query")
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame([(t,) for t in q_terms], "term string")
+
+    post = _postings(docs, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    dlen = post.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    stats = dlen.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+
+    hits = post.join(F.broadcast(qdf), "term").join(dlen, "doc")  # inverted-index probe
+    return _score_hits(hits, stats, k, k1, b, id_col)
+
+
+def write_bm25_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize a BM25 index: postings parquet PARTITIONED BY a
+    term-hash bucket, document length DENORMALIZED into each posting
+    row, corpus stats as JSON.
+
+    Two scale properties fall out of the layout:
+      * every posting of a term lives in exactly one bucket
+        (pmod(xxhash64(term))), so a query probes only its terms'
+        buckets — a static partition filter, unprobed buckets scan zero
+        bytes — and per-term document frequencies are complete within
+        the probed buckets;
+      * carrying ``dl`` in the posting row removes the query-time join
+        against a doc-length table (index is written once, probed many
+        times — the denormalization trade always wins here).
+    """
+    import json
+    from pathlib import Path
+
+    from pyspark import StorageLevel
+
+    post = _postings(docs, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    dlen = post.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    stats_row = dlen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    (
+        post.join(dlen, "doc")
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    Path(path, "stats.json").write_text(
+        json.dumps({"n_docs": stats_row["n_docs"], "avgdl": stats_row["avgdl"], "n_buckets": n_buckets})
+    )
+    post.unpersist()
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 against a persisted index (:func:`write_bm25_index`): the
+    probe reads ONLY the query terms' hash buckets (static partition
+    filter) with the term equality pushed into the parquet scan, scores
+    in-row (dl is denormalized), and top-ks — no full-corpus pass at
+    query time."""
+    import json
+    from pathlib import Path
+
+    q_terms = sorted({t for t in query.lower().split() if t})
+    if not q_terms:
+        raise ValueError("empty query")
+    meta = json.loads(Path(path, "stats.json").read_text())
+    # bucket ids via the engine's own xxhash64 (must match the writer)
+    qdf = spark.createDataFrame([(t,) for t in q_terms], "term string")
+    buckets = sorted(
+        {r[0] for r in qdf.select(F.pmod(F.xxhash64("term"), F.lit(meta["n_buckets"]))).collect()}
+    )
+    hits = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))      # partition pruning
+        .filter(F.col("term").isin(q_terms))        # row-group pushdown
+        .drop("bucket")
+    )
+    stats = spark.createDataFrame(
+        [(int(meta["n_docs"]), float(meta["avgdl"]))], "n_docs long, avgdl double"
+    )
+    return _score_hits(hits, stats, k, k1, b, id_col)

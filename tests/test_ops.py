@@ -328,6 +328,27 @@ class TestBM25:
         top = bm25_topk(df, "spark shuffle", k=1).collect()[0]
         assert top.doc_id == 1
 
+    def test_bm25_indexed_matches_inline_and_prunes(self, spark, tmp_path):
+        import re
+
+        from lmss_entity_extractor_spark.ops.bm25 import (
+            bm25_topk,
+            bm25_topk_indexed,
+            write_bm25_index,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        idx = str(tmp_path / "bm25_idx")
+        write_bm25_index(docs, idx, n_buckets=8)
+        q = "spark shuffle partition memory"
+        got = [tuple(r) for r in bm25_topk_indexed(spark, idx, q, k=10).collect()]
+        want = [tuple(r) for r in bm25_topk(docs, q, k=10).collect()]
+        assert got == want and len(got) == 10
+        # probe is partition-pruned to the query terms' buckets
+        df = bm25_topk_indexed(spark, idx, q, k=10)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        assert re.search(r"PartitionFilters: \[bucket#\d+ IN \(", plan), plan
+
     def test_bm25_empty_query_raises(self, spark):
         from lmss_entity_extractor_spark.ops.bm25 import bm25_topk
 
