@@ -679,6 +679,41 @@ def q_array_mean(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (10 iters, d=0.85) over the
+    order->customer->nation->region hierarchy — the iterative-algorithm
+    workload beyond closure, joined+aggregated per iteration with
+    localCheckpoint-flattened lineage.  The oracle unrolls the identical
+    recurrence as 10 SQL CTEs; ranks compare on a floor-1e6 grid (the
+    recurrences agree to ~1e-16 relative; the grid absorbs summation-
+    order ulps)."""
+    from lmss_entity_extractor_spark.graph.pagerank import pagerank
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 200 == 0)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        o.select(
+            F.concat(F.lit("o:"), F.col("o_orderkey")).alias("src"),
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("dst"),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
+                F.concat(F.lit("n:"), F.col("c_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n:"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("r:"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+    )
+    pr = pagerank(edges, n_iters=10, damping=0.85)
+    return pr.select("node", (F.floor(F.col("rank") * 1e6) / 1e6).alias("rank6"))
+
+
 def q_closure_counts(spark, sf_dir):
     """A2 descendant counts per ancestor (top-classes entity counts,
     `app/lmss_parser.py:92-112`) over the J4 closure."""
@@ -1083,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stable_sort": q_stable_sort,
         "array_mean": q_array_mean,
         "closure_counts": q_closure_counts,
+        "pagerank": q_pagerank,
         "set_ops": q_set_ops,
         "sessionize": q_sessionize,
         "above_avg": q_above_avg,
@@ -1141,6 +1177,42 @@ mh_pairs AS (
     WHERE a.doc_id < b.doc_id
 )
 """
+
+
+def _pagerank_oracle_sql(n_iters: int = 10) -> str:
+    """The pagerank recurrence unrolled as CTEs (standard SQL forbids
+    aggregation in a recursive term, so fixed iterations unroll)."""
+    base = """
+        WITH edges AS (
+            SELECT 'o:' || o_orderkey AS src, 'c:' || o_custkey AS dst
+            FROM orders WHERE o_orderkey % 200 = 0
+            UNION ALL
+            SELECT 'c:' || c_custkey, 'n:' || c_nationkey FROM customer
+            UNION ALL
+            SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY 1),
+        pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nc.n AS rank FROM nodes, nc)"""
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f""",
+        pr{i} AS (
+            SELECT n.node,
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nc.n
+                   + CAST(0.85 AS DOUBLE) * coalesce(s.inflow, CAST(0 AS DOUBLE)) AS rank
+            FROM nodes n CROSS JOIN nc
+            LEFT JOIN (
+                SELECT e.dst AS node, sum(p.rank / d.outdeg) AS inflow
+                FROM edges e
+                JOIN pr{i - 1} p ON p.node = e.src
+                JOIN deg d ON d.node = e.src
+                GROUP BY 1
+            ) s ON s.node = n.node
+        )""")
+    return base + "".join(iters) + f"""
+        SELECT node, floor(rank * 1000000) / 1000000 AS rank6 FROM pr{n_iters}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1646,6 +1718,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT ancestor, count(DISTINCT descendant) AS n_descendants
             FROM closure GROUP BY 1
         """,
+        "pagerank": _pagerank_oracle_sql(10),
         "set_ops": """
             WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
                  b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)

@@ -725,3 +725,25 @@ class TestReviewRegressions:
         assert "vector" in out.columns and "context" not in out.columns
         row = out.first()
         assert row is not None and len(row.vector) > 0
+
+
+@pytest.mark.spark
+class TestPagerank:
+    def test_pagerank_known_graphs(self, spark):
+        from lmss_entity_extractor_spark.graph.pagerank import pagerank
+
+        # 2-cycle: symmetric stationary distribution -> exactly 1/2 each
+        e = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+        ranks = {r.node: r.rank for r in pagerank(e, n_iters=25).collect()}
+        assert abs(ranks["a"] - 0.5) < 1e-9 and abs(ranks["b"] - 0.5) < 1e-9
+
+        # star into a sink: the center accumulates, leaves stay at the
+        # teleport floor and equal each other; total mass <= 1 (dangling
+        # center absorbs, simple variant)
+        e2 = spark.createDataFrame(
+            [("l1", "c"), ("l2", "c"), ("l3", "c")], "src string, dst string"
+        )
+        r2 = {r.node: r.rank for r in pagerank(e2, n_iters=10).collect()}
+        assert r2["c"] > r2["l1"] > 0
+        assert abs(r2["l1"] - r2["l2"]) < 1e-12
+        assert sum(r2.values()) <= 1.0 + 1e-9
