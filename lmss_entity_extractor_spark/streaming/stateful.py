@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     IntegerType,
@@ -106,3 +107,52 @@ def streaming_dedup(
     non-goal at this seam — route those to the batch canonicalization,
     which is idempotent across the union anyway."""
     return turn_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def pair_turns_with_replies(
+    turn_stream: DataFrame,
+    reply_window: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-STREAM event-time interval join (the advanced §2.9
+    operator beyond stream-static enrichment): each user turn pairs with
+    the assistant turns of the same conversation that arrive within
+    ``reply_window`` after it.
+
+    Both sides are watermarked so the join state is BOUNDED: a buffered
+    user turn can be dropped once the assistant watermark passes
+    ``turn.ts + reply_window``, and vice versa — without the time-range
+    predicate + watermarks a stream-stream join must buffer both sides
+    forever.  Output: (conv_id, user_turn_idx, user_ts, reply_turn_idx,
+    reply_ts).  Batch-parity is pinned in tests (same join as a static
+    range predicate)."""
+    u = (
+        turn_stream.filter(F.col("role") == "user")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("conv_id").alias("u_conv"),
+            F.col("turn_idx").alias("user_turn_idx"),
+            F.col("ts").alias("user_ts"),
+        )
+    )
+    a = (
+        turn_stream.filter(F.col("role") == "assistant")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("conv_id").alias("a_conv"),
+            F.col("turn_idx").alias("reply_turn_idx"),
+            F.col("ts").alias("reply_ts"),
+        )
+    )
+    cond = (
+        (F.col("u_conv") == F.col("a_conv"))
+        & (F.col("reply_ts") > F.col("user_ts"))
+        & (F.col("reply_ts") <= F.col("user_ts") + F.expr(f"INTERVAL {reply_window}"))
+    )
+    return u.join(a, cond, "inner").select(
+        F.col("u_conv").alias("conv_id"),
+        "user_turn_idx",
+        "user_ts",
+        "reply_turn_idx",
+        "reply_ts",
+    )

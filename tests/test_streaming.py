@@ -237,3 +237,53 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     one = pq.read_table(tdir / "f1.parquet").to_pydict()
     want = set(zip(one["conv_id"], one["turn_idx"]))
     assert set(keys) == want
+
+
+@pytest.mark.spark
+def test_stream_stream_reply_join_matches_batch(spark, tmp_path):
+    """Stream-stream event-time interval join == the identical batch
+    range join over the same input (processed across micro-batches, so
+    cross-batch buffering is exercised)."""
+    from lmss_entity_extractor_spark import schemas
+    from lmss_entity_extractor_spark.streaming.stateful import pair_turns_with_replies
+
+    tdir = tmp_path / "turns"
+    tdir.mkdir()
+    write_transcripts_parquet(tdir / "f1.parquet", n_convs=4, seed=3)
+    write_transcripts_parquet(tdir / "f2.parquet", n_convs=4, seed=4)
+
+    stream = (
+        spark.readStream.schema(schemas.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tdir))
+    )
+    q = (
+        pair_turns_with_replies(stream, reply_window="15 minutes", watermark="10 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("replies")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.conv_id, r.user_turn_idx, r.reply_turn_idx)
+        for r in spark.sql("SELECT * FROM replies").collect()
+    }
+
+    t = spark.read.parquet(str(tdir))
+    u = t.filter(t.role == "user").selectExpr("conv_id AS c1", "turn_idx AS ut", "ts AS uts")
+    a = t.filter(t.role == "assistant").selectExpr("conv_id AS c2", "turn_idx AS at", "ts AS ats")
+    import pyspark.sql.functions as F
+
+    want = {
+        (r.c1, r.ut, r.at)
+        for r in u.join(
+            a,
+            (F.col("c1") == F.col("c2"))
+            & (F.col("ats") > F.col("uts"))
+            & (F.col("ats") <= F.col("uts") + F.expr("INTERVAL 15 minutes")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
