@@ -397,6 +397,24 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_curate(spark, sf_dir):
+    """The operators composed into one curation dataflow (dedup clusters
+    -> canonical-only -> quality filter -> chunk -> pack) as a SINGLE
+    lazy plan; the oracle is the corresponding composition of the
+    per-operator SQL twins — the pipeline, not just its pieces, is
+    value-checked."""
+    from lmss_entity_extractor_spark.ops.curate import curate_corpus
+
+    return curate_corpus(
+        _t(spark, sf_dir, "documents"),
+        min_quality=0.7,
+        chunk_tokens=32,
+        stride=24,
+        capacity=64,
+        n_shards=8,
+    )
+
+
 def q_quantize(spark, sf_dir):
     """int8 embedding quantization, value-checked to the CODE level: the
     oracle recomputes scale and every int8 code (floor(x/scale + 0.5)
@@ -1099,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_accuracy": q_sketch_accuracy,
         "quantize": q_quantize,
         "pack_chunks": q_pack_chunks,
+        "curate": q_curate,
         "full_outer_join": q_full_outer_join,
         "rank_funcs": q_rank_funcs,
         "unpivot_long": q_unpivot_long,
@@ -1445,6 +1464,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
             FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
             GROUP BY 1
+        """,
+        "curate": f"""
+            -- the per-operator SQL twins composed end-to-end:
+            -- minhash pairs -> components -> canonical-only -> quality
+            -- filter -> chunk -> pack
+            WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+            und AS (
+                SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+                UNION
+                SELECT doc_b, doc_a FROM mh_pairs
+            ),
+            reach AS (
+                SELECT DISTINCT a AS node, a AS lbl FROM und
+                UNION
+                SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
+            ),
+            dropped AS (
+                SELECT node AS doc_id FROM reach GROUP BY 1
+                HAVING node <> min(lbl)
+            ),
+            q AS (
+                SELECT doc_id,
+                       floor((least(len(string_split_regex(trim(text), '\\s+')) / 64.0, 1.0) * 0.4
+                           + len(list_distinct(string_split_regex(trim(text), '\\s+'))) * 1.0
+                             / len(string_split_regex(trim(text), '\\s+')) * 0.4
+                           + (1.0 - least(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 4.0
+                                          / greatest(length(text), 1), 1.0)) * 0.2) * 10000) / 10000 AS qs
+                FROM documents
+            ),
+            kept AS (
+                SELECT d.doc_id, d.text FROM documents d
+                JOIN q ON q.doc_id = d.doc_id AND q.qs >= 0.7
+                WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+            ),
+            tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM kept),
+            chunks AS (
+                SELECT doc_id, CAST(i AS INT) AS chunk_idx, CAST(doc_id % 8 AS INT) AS shard,
+                       array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
+                       CAST(least(len(toks) - i*24, 32) AS INT) AS n_chunk_tokens
+                FROM tk, unnest(range(greatest(CAST(ceil(len(toks)/24.0) AS INT), 1))) AS u(i)
+            )
+            SELECT doc_id, chunk_idx, shard,
+                   CAST(sum(n_chunk_tokens) OVER w - n_chunk_tokens AS BIGINT) AS tok_offset,
+                   CAST(floor((sum(n_chunk_tokens) OVER w - n_chunk_tokens) / 64.0) AS INT) AS bin_id,
+                   chunk_text, n_chunk_tokens
+            FROM chunks
+            WINDOW w AS (PARTITION BY shard ORDER BY doc_id, chunk_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "quantize": """
             WITH q AS (

@@ -7,6 +7,7 @@ from .dedup import (  # noqa: F401
 )
 from .asof import asof_join  # noqa: F401
 from .bm25 import bm25_topk, bm25_topk_indexed, write_bm25_index  # noqa: F401
+from .curate import curate_corpus  # noqa: F401
 from .components import connected_components, dedup_clusters  # noqa: F401
 from .interval import range_join  # noqa: F401
 from .quantize import dequantize_expr, quantize_embeddings  # noqa: F401

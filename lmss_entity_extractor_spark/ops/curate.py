@@ -1,0 +1,69 @@
+"""End-to-end training-data curation: the individual operators composed
+into ONE lazy dataflow — the shape an LLM-pretraining data pipeline
+actually runs:
+
+    documents
+      └─ MinHash+LSH near-dup pairs  (ops/dedup.py)
+           └─ connected components  -> keep only cluster canonicals
+                └─ quality filter   (ops/textstats.py score)
+                     └─ chunk       (sliding token windows)
+                          └─ pack   (per-shard fixed-capacity bins)
+
+Everything between the two keyed shuffles (dedup-pair generation and the
+final packing cumsum) stays narrow; the drop/keep joins are broadcastable
+(the non-canonical doc set is small relative to the corpus).  The whole
+composition remains a single Catalyst plan — no intermediate
+materialization — and its DuckDB oracle is the corresponding composition
+of the per-operator SQL twins, so the *pipeline*, not just its pieces,
+is value-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .components import dedup_clusters
+from .dedup import minhash_lsh_pairs
+from .textprep import chunk_documents, pack_chunks
+from .textstats import quality_stats
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.7,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    capacity: int = 64,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """documents -> packed training chunks of the deduplicated,
+    quality-filtered corpus.
+
+    Near-dup clusters keep only their canonical (minimum-id) member;
+    docs below ``min_quality`` drop; survivors chunk into sliding token
+    windows and pack into ``capacity``-token bins per shard.  Returns
+    (doc_id, chunk_idx, shard, tok_offset, bin_id, chunk_text,
+    n_chunk_tokens)."""
+    clusters = dedup_clusters(minhash_lsh_pairs(docs, n=n, num_hashes=num_hashes, bands=bands))
+    non_canonical = clusters.filter(F.col("doc_id") != F.col("canonical_id")).select(id_col)
+    quality_keep = quality_stats(docs, text_col=text_col, id_col=id_col).filter(
+        F.col("quality_score") >= min_quality
+    ).select(id_col)
+
+    kept = docs.join(F.broadcast(non_canonical), id_col, "left_anti").join(
+        quality_keep, id_col, "left_semi"
+    )
+    chunks = chunk_documents(
+        kept, chunk_tokens=chunk_tokens, stride=stride, text_col=text_col, id_col=id_col
+    ).withColumn("shard", F.pmod(F.col(id_col), F.lit(n_shards)).cast("int"))
+    return pack_chunks(
+        chunks, capacity=capacity, shard_col="shard", order_cols=[id_col, "chunk_idx"]
+    ).select(
+        id_col, "chunk_idx", "shard", "tok_offset", "bin_id", "chunk_text", "n_chunk_tokens"
+    )
