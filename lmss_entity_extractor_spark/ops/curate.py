@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from .components import dedup_clusters
 from .dedup import minhash_lsh_pairs
 from .textprep import chunk_documents, pack_chunks
-from .textstats import quality_stats
+from .textstats import quality_score_expr
 
 
 def curate_corpus(
@@ -52,12 +52,13 @@ def curate_corpus(
     n_chunk_tokens)."""
     clusters = dedup_clusters(minhash_lsh_pairs(docs, n=n, num_hashes=num_hashes, bands=bands))
     non_canonical = clusters.filter(F.col("doc_id") != F.col("canonical_id")).select(id_col)
-    quality_keep = quality_stats(docs, text_col=text_col, id_col=id_col).filter(
-        F.col("quality_score") >= min_quality
-    ).select(id_col)
 
-    kept = docs.join(F.broadcast(non_canonical), id_col, "left_anti").join(
-        quality_keep, id_col, "left_semi"
+    # the quality gate is a pure function of the text, so it filters the
+    # scan NARROWLY (no stats-table join — at corpus scale that join
+    # would shuffle half the table to drop half the rows); the only join
+    # is the broadcast anti against the (small) non-canonical set
+    kept = docs.join(F.broadcast(non_canonical), id_col, "left_anti").filter(
+        quality_score_expr(text_col) >= min_quality
     )
     chunks = chunk_documents(
         kept, chunk_tokens=chunk_tokens, stride=stride, text_col=text_col, id_col=id_col

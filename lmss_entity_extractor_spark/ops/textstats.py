@@ -20,6 +20,25 @@ LANG_PROBES = {
 }
 
 
+def quality_score_expr(text_col: str = "text"):
+    """The composite quality score as a bare column expression
+    (floor-truncated to 4 decimals) — usable as a narrow filter predicate
+    directly on the corpus scan (ops/curate.py) without materializing the
+    stats table or joining anything."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_toks = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_toks
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    score = (
+        F.least(n_toks / F.lit(64.0), F.lit(1.0)) * 0.4
+        + uniq_ratio * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * 0.2
+    )
+    return F.floor(score * 10000) / 10000
+
+
 def quality_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality features: char/token counts, mean token
     length, distinct-token ratio, punctuation ratio, and a composite
@@ -31,11 +50,6 @@ def quality_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     punct = F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", ""))
     punct_ratio = punct / F.greatest(n_chars, F.lit(1))
     mean_tok_len = (n_chars - (n_toks - 1)) / n_toks
-    score = (
-        F.least(n_toks / F.lit(64.0), F.lit(1.0)) * 0.4
-        + uniq_ratio * 0.4
-        + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * 0.2
-    )
     # floor-truncate instead of round: Spark rounds HALF_UP, DuckDB/other
     # engines HALF_EVEN — floor on identical doubles is engine-portable.
     def trunc4(c):
@@ -48,7 +62,7 @@ def quality_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         trunc4(mean_tok_len).alias("mean_token_len"),
         trunc4(uniq_ratio).alias("uniq_token_ratio"),
         trunc4(punct_ratio).alias("punct_ratio"),
-        trunc4(score).alias("quality_score"),
+        quality_score_expr(text_col).alias("quality_score"),
     )
 
 
