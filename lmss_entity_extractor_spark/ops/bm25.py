@@ -26,11 +26,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import widen_small_input
+
 _WS = r"\s+"
 
 
 def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+    # widen before the tokenize+explode (see ops/dedup.py rationale)
+    docs = widen_small_input(docs, [id_col], factor=2)
     return (
         docs.select(F.col(id_col).alias("doc"), F.explode(toks).alias("term"))
         .filter(F.col("term") != "")

@@ -55,9 +55,13 @@ def curate_corpus(
 
     # the quality gate is a pure function of the text, so it filters the
     # scan NARROWLY (no stats-table join — at corpus scale that join
-    # would shuffle half the table to drop half the rows); the only join
-    # is the broadcast anti against the (small) non-canonical set
-    kept = docs.join(F.broadcast(non_canonical), id_col, "left_anti").filter(
+    # would shuffle half the table to drop half the rows).  The anti join
+    # against the non-canonical set is left UNHINTED on purpose: dup
+    # fractions range from ~0 (curated corpora) to 50%+ (web crawls), so
+    # the right strategy is size-dependent — AQE broadcasts a small set
+    # and shuffle-joins a big one from its measured size, where a forced
+    # broadcast would OOM the high-dup case.
+    kept = docs.join(non_canonical, id_col, "left_anti").filter(
         quality_score_expr(text_col) >= min_quality
     )
     chunks = chunk_documents(

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..session import widen_small_input
+
 
 def _tokens(text_col: str):
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
@@ -77,6 +79,11 @@ def ngram_jaccard_pairs(
     # instead of re-exploding the corpus per consumer.
     from pyspark.sql import Window
 
+    # the shingle explode multiplies a small doc table into a huge
+    # intermediate; widen BEFORE the explode or the tokenize+hash map
+    # work serializes onto the input's (few) splits — measured 1.1x
+    # "scaling" from local[4]->local[16] on a 2-split input until this
+    docs = widen_small_input(docs, [id_col], factor=2)
     sh = docs.select(
         F.col(id_col).alias("doc"), F.explode(_shingles(text_col, n)).alias("shingle")
     ).filter(F.length("shingle") > 0).select("doc", F.xxhash64("shingle").alias("sh_h"))
@@ -130,6 +137,9 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
 
+    # widen before the explode: the 8x md5 per shingle is the heavy map
+    # work and must not inherit a narrow input's split count
+    docs = widen_small_input(docs, [id_col], factor=2)
     sh = docs.select(F.col(id_col).alias("doc"), F.explode(_shingles(text_col, n)).alias("shingle"))
     sh = sh.filter(F.length("shingle") > 0)
 
@@ -204,7 +214,9 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
             out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
         return pd.Series(out)
 
-    return docs.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+    return widen_small_input(docs, [id_col], factor=2).select(
+        F.col(id_col), simhash(F.col(text_col)).alias("simhash")
+    )
 
 
 def embedding_neardup_pairs(
