@@ -1498,12 +1498,17 @@ def oracle_sql() -> dict[str, str]:
                 JOIN q ON q.doc_id = d.doc_id AND q.qs >= 0.7
                 WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
             ),
-            tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM kept),
+            tk AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS nr
+                FROM kept
+            ),
             chunks AS (
                 SELECT doc_id, CAST(i AS INT) AS chunk_idx, CAST(doc_id % 8 AS INT) AS shard,
                        array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
-                       CAST(least(len(toks) - i*24, 32) AS INT) AS n_chunk_tokens
-                FROM tk, unnest(range(greatest(CAST(ceil(len(toks)/24.0) AS INT), 1))) AS u(i)
+                       CAST(greatest(least(nr - i*24, 32), 0) AS INT) AS n_chunk_tokens
+                FROM tk, unnest(range(greatest(CAST(ceil(nr/24.0) AS INT), 1))) AS u(i)
             )
             SELECT doc_id, chunk_idx, shard,
                    CAST(sum(n_chunk_tokens) OVER w - n_chunk_tokens AS BIGINT) AS tok_offset,
@@ -1539,14 +1544,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_chunks": """
             WITH t AS (
-                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS nr
                 FROM documents WHERE doc_id < 100
             ),
             chunks AS (
                 SELECT doc_id, CAST(i AS INT) AS chunk_idx,
                        CAST(doc_id % 8 AS INT) AS shard,
-                       CAST(least(len(toks) - i*32, 32) AS INT) AS n_chunk_tokens
-                FROM t, unnest(range(greatest(CAST(ceil(len(toks)/32.0) AS INT), 1))) AS u(i)
+                       CAST(greatest(least(nr - i*32, 32), 0) AS INT) AS n_chunk_tokens
+                FROM t, unnest(range(greatest(CAST(ceil(nr/32.0) AS INT), 1))) AS u(i)
             )
             SELECT doc_id, chunk_idx, shard,
                    CAST(sum(n_chunk_tokens) OVER w - n_chunk_tokens AS BIGINT) AS tok_offset,
@@ -1625,13 +1632,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chunk_docs": """
             WITH t AS (
-                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS nr
                 FROM documents WHERE doc_id < 50
             )
             SELECT doc_id, CAST(i AS INT) AS chunk_idx,
                    array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
-                   CAST(least(len(toks) - i*24, 32) AS INT) AS n_chunk_tokens
-            FROM t, unnest(range(greatest(CAST(ceil(len(toks)/24.0) AS INT), 1))) AS u(i)
+                   CAST(greatest(least(nr - i*24, 32), 0) AS INT) AS n_chunk_tokens
+            FROM t, unnest(range(greatest(CAST(ceil(nr/24.0) AS INT), 1))) AS u(i)
         """,
         "pii_scrub": """
             WITH synth AS (

@@ -26,6 +26,17 @@ from . import __version__
 _SAMPLE_BYTES = 65536
 
 
+def atomic_write_text(path: Path, text: str) -> None:
+    """Write-then-rename so a crash mid-write never leaves a truncated
+    manifest (readers either see the old complete file or the new one);
+    rename is atomic on POSIX within one filesystem."""
+    import os
+
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_text(text)
+    os.replace(tmp, path)
+
+
 def _update_file(h, f: Path, rel: str) -> None:
     size = f.stat().st_size
     h.update(rel.encode())
@@ -171,7 +182,7 @@ class CheckpointManager:
         }
         if extra:
             manifest.update(extra)
-        self._manifest_path(stage).write_text(json.dumps(manifest, indent=2))
+        atomic_write_text(self._manifest_path(stage), json.dumps(manifest, indent=2))
 
     def invalidate(self, stage: str) -> None:
         mp = self._manifest_path(stage)
@@ -196,4 +207,4 @@ class CheckpointManager:
         payload = dict(snapshot)
         if extra:
             payload.update(extra)
-        self._snapshot_path(name).write_text(json.dumps(payload, indent=2, sort_keys=True))
+        atomic_write_text(self._snapshot_path(name), json.dumps(payload, indent=2, sort_keys=True))

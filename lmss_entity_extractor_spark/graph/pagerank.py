@@ -43,6 +43,10 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge list -> empty, correctly-typed result (not a
+        # ZeroDivisionError from 1/n)
+        return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank")
     outdeg = edges.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
     # keep (node, outdeg, rank) co-partitioned across iterations
     state = nodes.join(outdeg, "node", "left").select(

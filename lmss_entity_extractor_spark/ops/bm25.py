@@ -90,8 +90,11 @@ def bm25_topk(
 
     One-shot form: builds the postings in-flight (persisted — doc
     lengths, the probe, and corpus stats all consume the same explode
-    pass, which would otherwise run three times).  For repeated queries
-    build the index once with :func:`write_bm25_index`.
+    pass, which would otherwise run three times) and EVALUATES EAGERLY so
+    the cache can be released before returning (the result is <= k rows;
+    a lazy return would leak one session-lifetime cached relation per
+    call).  For repeated queries build the index once with
+    :func:`write_bm25_index`.
     """
     from pyspark import StorageLevel
 
@@ -102,11 +105,16 @@ def bm25_topk(
     qdf = spark.createDataFrame([(t,) for t in q_terms], "term string")
 
     post = _postings(docs, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    dlen = post.groupBy("doc").agg(F.sum("tf").alias("dl"))
-    stats = dlen.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
-
-    hits = post.join(F.broadcast(qdf), "term").join(dlen, "doc")  # inverted-index probe
-    return _score_hits(hits, stats, k, k1, b, id_col)
+    try:
+        dlen = post.groupBy("doc").agg(F.sum("tf").alias("dl"))
+        stats = dlen.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+        hits = post.join(F.broadcast(qdf), "term").join(dlen, "doc")  # inverted-index probe
+        ranked = _score_hits(hits, stats, k, k1, b, id_col)
+        rows = ranked.collect()
+        schema = ranked.schema
+    finally:
+        post.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 def write_bm25_index(

@@ -43,6 +43,7 @@ def connected_components(
     labels = und.select(F.col("a").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
+    changed = 1
     for _ in range(max_iter):
         # neighbor minimum in one keyed aggregate, then merge with own label
         neigh_min = (
@@ -64,6 +65,14 @@ def connected_components(
         labels = merged.drop("_chg")
         if changed == 0:
             break
+    if changed != 0:
+        # silent partial convergence would split one logical cluster into
+        # several canonical ids downstream — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} iterations "
+            "(component diameter exceeds the budget); raise max_iter or switch "
+            "to the large-star/small-star variant for long-chain graphs"
+        )
     return labels
 
 

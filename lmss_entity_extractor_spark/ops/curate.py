@@ -50,8 +50,16 @@ def curate_corpus(
     windows and pack into ``capacity``-token bins per shard.  Returns
     (doc_id, chunk_idx, shard, tok_offset, bin_id, chunk_text,
     n_chunk_tokens)."""
-    clusters = dedup_clusters(minhash_lsh_pairs(docs, n=n, num_hashes=num_hashes, bands=bands))
-    non_canonical = clusters.filter(F.col("doc_id") != F.col("canonical_id")).select(id_col)
+    clusters = dedup_clusters(
+        minhash_lsh_pairs(
+            docs, n=n, num_hashes=num_hashes, bands=bands, text_col=text_col, id_col=id_col
+        )
+    )
+    # dedup_clusters emits fixed (doc_id, canonical_id) column names;
+    # realias to the caller's id column for the anti join
+    non_canonical = clusters.filter(F.col("doc_id") != F.col("canonical_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
 
     # the quality gate is a pure function of the text, so it filters the
     # scan NARROWLY (no stats-table join — at corpus scale that join
@@ -64,9 +72,18 @@ def curate_corpus(
     kept = docs.join(non_canonical, id_col, "left_anti").filter(
         quality_score_expr(text_col) >= min_quality
     )
+    # numeric ids shard by value (SQL-reproducible, used by the oracle);
+    # string ids (URLs/UUIDs — supported by the whole dedup family) hash
+    # first, since pmod on a string errors under ANSI mode
+    id_type = dict(docs.dtypes).get(id_col, "")
+    shard_key = (
+        F.col(id_col)
+        if id_type in ("tinyint", "smallint", "int", "bigint")
+        else F.xxhash64(F.col(id_col))
+    )
     chunks = chunk_documents(
         kept, chunk_tokens=chunk_tokens, stride=stride, text_col=text_col, id_col=id_col
-    ).withColumn("shard", F.pmod(F.col(id_col), F.lit(n_shards)).cast("int"))
+    ).withColumn("shard", F.pmod(shard_key, F.lit(n_shards)).cast("int"))
     return pack_chunks(
         chunks, capacity=capacity, shard_col="shard", order_cols=[id_col, "chunk_idx"]
     ).select(

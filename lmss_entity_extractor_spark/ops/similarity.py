@@ -106,6 +106,17 @@ def train_ivf_centroids(
     src = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if sample_mod is not None and sample_mod > 1:
         src = src.filter(F.pmod(F.xxhash64(F.col("_id")), F.lit(sample_mod)) == 0)
+    # refuse a silent full-table collect on big data: training without a
+    # sample_mod is only for small/test tables.  (A deterministic cap via
+    # limit() would pick an arbitrary subset; the caller must choose the
+    # hash-sample rate explicitly.)
+    n_sample = src.count()
+    if n_sample > 500_000:
+        raise ValueError(
+            f"train_ivf_centroids: sample of {n_sample} rows would be collected "
+            "to the driver; pass sample_mod so the deterministic hash sample "
+            "lands in the ~1e5 range"
+        )
     rows = sorted(src.collect(), key=lambda r: r["_id"])
     if not rows:
         raise ValueError("train_ivf_centroids: empty sample (raise sample coverage)")

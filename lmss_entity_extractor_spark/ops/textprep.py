@@ -33,10 +33,16 @@ def chunk_documents(
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
     toks = F.split(F.trim(F.col(text_col)), _WS)
-    n = F.size(toks)
+    # split('') yields [''] — ONE phantom element; count real tokens as 0
+    # for empty/whitespace-only docs so their single empty chunk carries
+    # n_chunk_tokens=0 and contributes nothing to pack_chunks' cumsum
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
     n_chunks = F.greatest(F.ceil(n / F.lit(stride)).cast("int"), F.lit(1))
     starts = F.transform(
         F.sequence(F.lit(0), n_chunks - 1), lambda i: i * F.lit(stride)
+    )
+    n_real = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col(text_col)), _WS))
     )
     return docs.select(
         F.col(id_col),
@@ -49,8 +55,8 @@ def chunk_documents(
             F.slice(F.split(F.trim(F.col(text_col)), _WS), F.col("_start") + 1, F.lit(chunk_tokens)),
             " ",
         ).alias("chunk_text"),
-        F.least(
-            F.size(F.split(F.trim(F.col(text_col)), _WS)) - F.col("_start"), F.lit(chunk_tokens)
+        F.greatest(
+            F.least(n_real - F.col("_start"), F.lit(chunk_tokens)), F.lit(0)
         ).alias("n_chunk_tokens"),
     )
 

@@ -93,16 +93,35 @@ def widen_small_input(df, key_cols: list[str], factor: int = 4):
     than the session can use — a small input (one parquet file) would
     otherwise serialize a CPU-bound mapInPandas stage onto one core.
 
-    The split estimate is ``len(df.inputFiles())`` — a plan-free metadata
-    lookup, unlike ``df.rdd.getNumPartitions()`` which materializes the
-    RDD conversion per call (ADVICE r1).  The file count lower-bounds the
-    split count (one large file may carry many splits), so the check can
-    only over-widen, never under-parallelize; on a real cluster reading
-    many files this is a no-op.  Non-file inputs (in-memory test frames)
-    report zero files and are always widened, which matches their
-    at-most-defaultParallelism partitioning.
+    The split estimate starts from ``df.inputFiles()`` — a plan-free
+    metadata lookup, unlike ``df.rdd.getNumPartitions()`` which
+    materializes the RDD conversion per call (ADVICE r1) — and, for
+    locally stat-able files, adds ceil(size / maxPartitionBytes) so one
+    large multi-split file is not mistaken for one split (which would
+    force a pointless full shuffle ahead of the stage).  Unstat-able
+    files (object stores) count as one split each — a lower bound, so
+    the check can only over-widen, never under-parallelize; on a real
+    cluster reading many files this is a no-op.  Non-file inputs
+    (in-memory test frames) report zero files and are always widened,
+    which matches their at-most-defaultParallelism partitioning.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism * factor
-    if len(df.inputFiles()) < target:
-        return df.repartition(target, *key_cols)
-    return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * factor
+    files = df.inputFiles()
+    if len(files) >= target:
+        return df
+    try:
+        max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+    except ValueError:
+        max_bytes = 128 * 1024 * 1024
+    splits = 0
+    for f in files:
+        path = f[7:] if f.startswith("file:") and f[5:7] == "//" else f
+        try:
+            size = os.stat(path).st_size
+            splits += max(1, -(-size // max_bytes))
+        except OSError:
+            splits += 1
+        if splits >= target:
+            return df
+    return df.repartition(target, *key_cols)

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
-from ..checkpoints import input_snapshot, snapshot_delta
+from ..checkpoints import atomic_write_text, input_snapshot, snapshot_delta
 from ..graph.canonicalize import canonicalize_triples
 from ..graph.triples import emit_triples
 from ..linking.stage import extract_and_link
@@ -71,7 +71,13 @@ def incremental_edges(
         # mismatch every recorded batch >= this id is stale and its dir is
         # dropped before writing.
         files = sorted(batch_df.inputFiles())
-        reg: dict = json.loads(reg_path.read_text()) if reg_path.exists() else {}
+        try:
+            reg: dict = json.loads(reg_path.read_text()) if reg_path.exists() else {}
+        except json.JSONDecodeError:
+            # a corrupt registry (should be impossible with the atomic
+            # write below, but disks happen) degrades to "no recorded
+            # provenance": entries rebuild as batches are (re)played
+            reg = {}
         if reg.get(str(batch_id)) not in (None, files):
             for k in [k for k in reg if int(k) >= batch_id]:
                 shutil.rmtree(Path(out_dir) / f"batch_id={k}", ignore_errors=True)
@@ -80,7 +86,7 @@ def incremental_edges(
         edges = pipe.edges_from_links(links)
         edges.write.mode("overwrite").parquet(str(Path(out_dir) / f"batch_id={batch_id}"))
         reg[str(batch_id)] = files
-        reg_path.write_text(json.dumps(reg, indent=2, sort_keys=True))
+        atomic_write_text(reg_path, json.dumps(reg, indent=2, sort_keys=True))
         n_batches["n"] += 1
 
     query = (

@@ -377,8 +377,10 @@ class TestTextPrep:
         assert rows[(1, 2)] == ("t6 t7 t8 t9", 4)
         assert rows[(1, 3)] == ("t9", 1)  # tail kept, shorter
         assert rows[(2, 0)] == ("one", 1)
-        # empty / whitespace-only docs emit exactly one empty chunk
-        assert rows[(3, 0)][0] == "" and rows[(4, 0)][0] == ""
+        # empty / whitespace-only docs emit exactly one empty chunk with
+        # ZERO tokens (split('') yields [''] — the phantom must not count,
+        # or pack_chunks' bin accounting shifts)
+        assert rows[(3, 0)] == ("", 0) and rows[(4, 0)] == ("", 0)
         assert {k[0] for k in rows} == {1, 2, 3, 4}
 
     def test_scrub_pii_categories_and_order(self, spark):

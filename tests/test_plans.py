@@ -78,11 +78,17 @@ class TestJoinStrategies:
         plan = plan_of(entry.q_chunk_docs(spark, SF))
         assert n_exchanges(plan) == 0, plan
 
-    def test_bm25_probes_via_broadcast_query_terms(self, spark):
-        # the query-term set joins the postings as a broadcast — only
-        # matching postings flow into scoring (inverted-index access
+    def test_bm25_probes_via_broadcast_query_terms(self, spark, tmp_path):
+        # (the one-shot bm25_topk evaluates eagerly to release its cache,
+        # so its returned plan is a LocalTableScan — the lazy indexed
+        # path carries the scoring plan)
+        from lmss_entity_extractor_spark.ops.bm25 import bm25_topk_indexed, write_bm25_index
+
+        idx = str(tmp_path / "bm25_plan_idx")
+        write_bm25_index(spark.read.parquet(f"{SF}/documents.parquet"), idx, n_buckets=8)
+        plan = plan_of(bm25_topk_indexed(spark, idx, "spark shuffle partition memory", k=10))
+        # per-term df broadcast onto the hits (inverted-index access
         # path), and the top-k is TakeOrdered, not a global sort
-        plan = plan_of(entry.q_bm25(spark, SF))
         assert "BroadcastHashJoin" in plan
         assert "TakeOrderedAndProject" in plan
 
