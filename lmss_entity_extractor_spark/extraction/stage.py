@@ -110,12 +110,9 @@ def detect_mentions(
     # file-count check (session.widen_small_input).
     filtered = widen_small_input(filtered, ["conv_id"], factor=4)
     fanned = filtered.mapInPandas(run, schema=out_schema)
-    mention_id = F.concat(
-        F.lit("mention://"), F.col("conv_id"),
-        F.lit("/"), F.col("turn_idx").cast("string"),
-        F.lit("/"), F.col("start").cast("string"),
-        F.lit("-"), F.col("end").cast("string"),
-    )
+    from ..graph.triples import mention_uri_expr
+
+    mention_id = mention_uri_expr()
     decoded_mtype = F.element_at(
         F.array(*[F.lit(t) for t in _MTYPES]), F.col("mtype").cast("int") + 1
     )

@@ -104,7 +104,12 @@ def _closure_loop(
         self_rows = nodes.select(
             F.col("n").alias("desc_iri"), F.col("n").alias("anc_iri"), F.lit(0).alias("depth")
         )
-        closure = closure.unionByName(self_rows)
+        # cyclic inputs (or literal self-loop edges) discover (x, x, d>0)
+        # rows in the loop; with include_self the depth-0 row is THE
+        # representation of self-reachability (one row per pair, like the
+        # reference's transitive_objects yielding the subject first) —
+        # keep exactly one, not one per discovery depth
+        closure = closure.filter(F.col("desc_iri") != F.col("anc_iri")).unionByName(self_rows)
 
     # final checkpoint: callers act on this plan after the constraint-
     # propagation conf is restored, so hand back a clean LogicalRDD root.

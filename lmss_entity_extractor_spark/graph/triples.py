@@ -24,6 +24,22 @@ PRED_MENTIONED_IN = "prov:mentionedIn"
 PRED_PART_OF = "prov:partOf"
 
 
+def mention_uri_expr():
+    """THE mention identity: ``mention://<conv>/<turn>/<start>-<end>``.
+
+    Single definition shared by both extraction paths (staged
+    detect_mentions and fused extract_and_link): batch and incremental
+    runs over the same turn must mint byte-identical mention URIs or
+    canonicalize_triples stops deduplicating across them — keep every
+    producer on this one expression."""
+    return F.concat(
+        F.lit("mention://"), F.col("conv_id"),
+        F.lit("/"), F.col("turn_idx").cast("string"),
+        F.lit("/"), F.col("start").cast("string"),
+        F.lit("-"), F.col("end").cast("string"),
+    )
+
+
 def _turn_uri():
     return F.concat(F.lit("turn://"), F.col("conv_id"), F.lit("/"), F.col("turn_idx"))
 

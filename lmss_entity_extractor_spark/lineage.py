@@ -84,7 +84,10 @@ def write_stage_lineage(
     out = Path(warehouse) / "_lineage" / stage
     lin.coalesce(1).write.mode("overwrite").parquet(str(out))
 
-    rows = lin.agg(
+    # summarize from the just-written (tiny) lineage parquet — re-running
+    # the uncached `lin` plan would scan the full stage table a second
+    # time just to produce four numbers
+    rows = materialized.sparkSession.read.parquet(str(out)).agg(
         F.count(F.lit(1)).alias("partitions"),
         F.sum("n_rows").alias("rows"),
         F.max("n_rows").alias("max_partition_rows"),

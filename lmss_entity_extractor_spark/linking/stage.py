@@ -125,12 +125,9 @@ def extract_and_link(transcripts: DataFrame, bc_artifacts, config: LinkerConfig 
     filtered = widen_small_input(filtered, ["conv_id"], factor=8)
     fanned = filtered.mapInPandas(run, schema=out_schema)
     # mention_id derived JVM-side (same rationale as detect_mentions)
-    mention_id = F.concat(
-        F.lit("mention://"), F.col("conv_id"),
-        F.lit("/"), F.col("turn_idx").cast("string"),
-        F.lit("/"), F.col("start").cast("string"),
-        F.lit("-"), F.col("end").cast("string"),
-    )
+    from ..graph.triples import mention_uri_expr
+
+    mention_id = mention_uri_expr()
     return fanned.withColumn("mention_id", mention_id).select(
         "conv_id", "turn_idx", "mention_id", "start", "end",
         "text", "branch", "label", "score", "iri",

@@ -207,6 +207,11 @@ class KGPipeline:
             ["node_id"],
             ["node_id"],
         )
+        if not cfg.materialize_intermediate:
+            # both consumers (edges + nodes) have materialized; release
+            # the cache instead of leaking one persisted relation per
+            # run() call for the session's lifetime
+            links.unpersist()
         return {"mentions": mentions, "links": links, "edges": edges, "nodes": nodes}
 
     def dataflow(self, transcripts: DataFrame, strategy: str = "staged") -> dict[str, DataFrame]:
@@ -223,6 +228,11 @@ class KGPipeline:
         shuffle) — only wins when the distinct-surface set is tiny
         relative to per-worker work, since every worker re-scores the
         surfaces it encounters.
+
+        The staged strategy's returned ``mentions`` frame is persisted
+        (two lazy consumers); the CALLER owns its lifetime — call
+        ``result["mentions"].unpersist()`` once done to release the
+        executor cache (run() manages this itself).
         """
         from .linking.stage import extract_and_link
 

@@ -60,8 +60,13 @@ STOPWORDS: frozenset[str] = load_stopwords()
 
 
 def full_process(s: str) -> str:
-    """Normalize a string the way fuzzywuzzy's full_process does:
-    non-alphanumerics to spaces, lowercase, strip."""
+    """Normalize a string the way fuzzywuzzy's default full_process does:
+    force_ascii (drop non-ASCII code points — the reference calls every
+    ratio with the default ``force_ascii=True``), non-alphanumerics to
+    spaces, lowercase, strip.  The pinned encoder normalizes through the
+    same function, so both sides of the parity gate fold identically."""
+    if not s.isascii():
+        s = s.encode("ascii", "ignore").decode("ascii")
     return _NON_WORD_RE.sub(" ", s).lower().strip()
 
 
@@ -172,13 +177,23 @@ def token_set_ratio(a: str, b: str) -> int:
 def partial_ratio(a: str, b: str) -> int:
     """fuzzywuzzy ``partial_ratio``: best ratio of the shorter string vs
     same-length windows of the longer, windows chosen from difflib
-    matching blocks (/root/reference/app/lmss_search.py:96)."""
+    matching blocks (/root/reference/app/lmss_search.py:96).
+
+    Known deviation (documented, not silent): the reference environment
+    installs python-Levenshtein, whose fuzzywuzzy backend derives
+    matching blocks from Levenshtein editops rather than difflib's
+    longest-match recursion; for some pairs the two evaluate different
+    candidate windows and return different percentages.  This affects
+    only the 0.3-weighted partial term of hybrid search ranking, never
+    linking (which uses token_set_ratio alone)."""
+    # fuzzywuzzy wraps partial_ratio in @check_empty_string: either input
+    # empty -> 0 (including both empty)
+    if not a or not b:
+        return 0
     if len(a) <= len(b):
         shorter, longer = a, b
     else:
         shorter, longer = b, a
-    if not shorter:
-        return 100 if not longer else 0
 
     blocks = SequenceMatcher(None, shorter, longer).get_matching_blocks()
     best = 0.0

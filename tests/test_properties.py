@@ -57,8 +57,10 @@ def test_fuzzy_ratios_bounded_and_symmetric_enough(a, b):
     assert ts == token_set_ratio(b, a)  # token_set is symmetric
     pr = partial_ratio(a, b)
     assert 0 <= pr <= 100
-    # identity: equal non-empty processed strings score 100
-    if a.strip().isalnum() and a == b and a.strip():
+    # identity: equal non-empty processed strings score 100 (ASCII only:
+    # force_ascii folds non-ASCII alnum like '¹' to the empty string,
+    # which fuzzywuzzy scores 0 — parity behavior, not a bug)
+    if a.strip().isalnum() and a == b and a.strip() and a.isascii():
         assert ts == 100
 
 
@@ -231,3 +233,24 @@ def test_union_find_model_matches_min_label_semantics(edges):
                 labels[n] = m
                 changed = True
     assert labels == comp_min
+
+
+@pytest.mark.spark
+def test_closure_cyclic_input_single_self_row(spark):
+    """Cyclic edges: with include_self=True each node appears exactly
+    once as its own ancestor (depth 0), never duplicated by a
+    cycle-discovered (x, x, depth>0) row (review finding)."""
+    from lmss_entity_extractor_spark.graph.closure import transitive_closure
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "c"), ("c", "d")], "child string, parent string"
+    )
+    rows = transitive_closure(df, include_self=True).collect()
+    pairs = [(r.desc_iri, r.anc_iri) for r in rows]
+    assert len(pairs) == len(set(pairs)), "duplicate (desc, anc) rows"
+    self_rows = {r.desc_iri: r.depth for r in rows if r.desc_iri == r.anc_iri}
+    assert self_rows == {"a": 0, "b": 0, "c": 0, "d": 0}
+    # without include_self, cycle self-reachability IS reported, at its
+    # discovered depth
+    no_self = {(r.desc_iri, r.anc_iri): r.depth for r in transitive_closure(df, include_self=False).collect()}
+    assert no_self[("a", "a")] == 2 and no_self[("c", "c")] == 1

@@ -62,12 +62,23 @@ class TestPartialRatio:
         assert partial_ratio("law", "patent law firm") == 100
 
     def test_empty(self):
-        assert partial_ratio("", "") == 100
+        # fuzzywuzzy wraps partial_ratio in @check_empty_string: either
+        # input empty -> 0 (including both empty)
+        assert partial_ratio("", "") == 0
+        assert partial_ratio("", "law") == 0
+        assert partial_ratio("law", "") == 0
 
 
 class TestFullProcess:
     def test_non_alnum_to_space_lower_strip(self):
         assert full_process("  Patent-Law, (2024)! ") == "patent law 2024"
+
+    def test_force_ascii_fold(self):
+        # the reference calls every ratio with the default
+        # force_ascii=True, which DROPS non-ASCII code points before
+        # tokenizing ('café' -> 'caf') — parity requires the same fold
+        assert full_process("café law") == "caf law"
+        assert full_process("café") == full_process("caf")
 
 
 class TestStripLeadingStopwords:
