@@ -1165,9 +1165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-_SHINGLES_CTE = """
+def _shingles_cte(src: str = "documents") -> str:
+    return f"""
 toks AS (
-    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM {src}
 ),
 sh AS (
     SELECT DISTINCT doc_id,
@@ -1177,8 +1178,10 @@ sh AS (
 sh_nonempty AS (SELECT * FROM sh WHERE length(shingle) > 0)
 """
 
-_MINHASH_PAIRS_CTE = f"""
-{_SHINGLES_CTE},
+
+def _minhash_pairs_cte(src: str = "documents") -> str:
+    return f"""
+{_shingles_cte(src)},
 hashed AS (
     SELECT doc_id, i.range AS h_idx,
            min(md5(i.range || ':' || shingle)) AS minhash
@@ -1196,6 +1199,10 @@ mh_pairs AS (
     WHERE a.doc_id < b.doc_id
 )
 """
+
+
+_SHINGLES_CTE = _shingles_cte()
+_MINHASH_PAIRS_CTE = _minhash_pairs_cte()
 
 
 def _pagerank_oracle_sql(n_iters: int = 10) -> str:
@@ -1466,10 +1473,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "curate": f"""
-            -- the per-operator SQL twins composed end-to-end:
-            -- minhash pairs -> components -> canonical-only -> quality
-            -- filter -> chunk -> pack
-            WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+            -- the per-operator SQL twins composed end-to-end: quality
+            -- gate FIRST (so a junk canonical can't evict clean dups),
+            -- then minhash pairs -> components -> canonical-only ->
+            -- chunk -> pack over the survivors
+            WITH RECURSIVE qkept AS (
+                SELECT doc_id, text FROM documents
+                WHERE floor((least(len(string_split_regex(trim(text), '\\s+')) / 64.0, 1.0) * 0.4
+                          + len(list_distinct(string_split_regex(trim(text), '\\s+'))) * 1.0
+                            / len(string_split_regex(trim(text), '\\s+')) * 0.4
+                          + (1.0 - least(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 4.0
+                                         / greatest(length(text), 1), 1.0)) * 0.2) * 10000) / 10000 >= 0.7
+            ),
+            {_minhash_pairs_cte("qkept")},
             und AS (
                 SELECT doc_a AS a, doc_b AS b FROM mh_pairs
                 UNION
@@ -1484,19 +1500,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT node AS doc_id FROM reach GROUP BY 1
                 HAVING node <> min(lbl)
             ),
-            q AS (
-                SELECT doc_id,
-                       floor((least(len(string_split_regex(trim(text), '\\s+')) / 64.0, 1.0) * 0.4
-                           + len(list_distinct(string_split_regex(trim(text), '\\s+'))) * 1.0
-                             / len(string_split_regex(trim(text), '\\s+')) * 0.4
-                           + (1.0 - least(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 4.0
-                                          / greatest(length(text), 1), 1.0)) * 0.2) * 10000) / 10000 AS qs
-                FROM documents
-            ),
             kept AS (
-                SELECT d.doc_id, d.text FROM documents d
-                JOIN q ON q.doc_id = d.doc_id AND q.qs >= 0.7
-                WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+                SELECT doc_id, text FROM qkept
+                WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
             ),
             tk AS (
                 SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
@@ -1508,7 +1514,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, CAST(i AS INT) AS chunk_idx, CAST(doc_id % 8 AS INT) AS shard,
                        array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
                        CAST(greatest(least(nr - i*24, 32), 0) AS INT) AS n_chunk_tokens
-                FROM tk, unnest(range(greatest(CAST(ceil(nr/24.0) AS INT), 1))) AS u(i)
+                FROM tk, unnest(range(1 + CAST(ceil(greatest(nr - 32, 0)/24.0) AS INT))) AS u(i)
+                WHERE i*24 < greatest(nr, 1)
             )
             SELECT doc_id, chunk_idx, shard,
                    CAST(sum(n_chunk_tokens) OVER w - n_chunk_tokens AS BIGINT) AS tok_offset,
@@ -1553,7 +1560,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, CAST(i AS INT) AS chunk_idx,
                        CAST(doc_id % 8 AS INT) AS shard,
                        CAST(greatest(least(nr - i*32, 32), 0) AS INT) AS n_chunk_tokens
-                FROM t, unnest(range(greatest(CAST(ceil(nr/32.0) AS INT), 1))) AS u(i)
+                FROM t, unnest(range(1 + CAST(ceil(greatest(nr - 32, 0)/32.0) AS INT))) AS u(i)
+                WHERE i*32 < greatest(nr, 1)
             )
             SELECT doc_id, chunk_idx, shard,
                    CAST(sum(n_chunk_tokens) OVER w - n_chunk_tokens AS BIGINT) AS tok_offset,
@@ -1640,7 +1648,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(i AS INT) AS chunk_idx,
                    array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
                    CAST(greatest(least(nr - i*24, 32), 0) AS INT) AS n_chunk_tokens
-            FROM t, unnest(range(greatest(CAST(ceil(nr/24.0) AS INT), 1))) AS u(i)
+            FROM t, unnest(range(1 + CAST(ceil(greatest(nr - 32, 0)/24.0) AS INT))) AS u(i)
+            WHERE i*24 < greatest(nr, 1)
         """,
         "pii_scrub": """
             WITH synth AS (
@@ -1650,22 +1659,22 @@ def oracle_sql() -> dict[str, str]:
                        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
                 FROM documents WHERE doc_id < 100
             ),
-            s1 AS (  -- SSN first (3-2-4), then phone (3-3-4), then email
-                SELECT doc_id, text,
-                       CAST(len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS INT) AS n_ssn,
-                       regexp_replace(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g') AS t1
+            s1 AS (  -- email FIRST (see ops/textprep.PII_PATTERNS), then SSN (3-2-4), then phone (3-3-4)
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+                       regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
                 FROM synth
             ),
             s2 AS (
-                SELECT doc_id, n_ssn,
-                       CAST(len(regexp_extract_all(t1, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS INT) AS n_phone,
-                       regexp_replace(t1, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS t2
+                SELECT doc_id, n_email,
+                       CAST(len(regexp_extract_all(t1, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS INT) AS n_ssn,
+                       regexp_replace(t1, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g') AS t2
                 FROM s1
             )
             SELECT doc_id,
-                   regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed_text,
-                   n_ssn, n_phone,
-                   CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email
+                   regexp_replace(t2, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS scrubbed_text,
+                   n_email, n_ssn,
+                   CAST(len(regexp_extract_all(t2, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS INT) AS n_phone
             FROM s2
         """,
         "stratified_sample": """

@@ -12,5 +12,14 @@ from .components import connected_components, dedup_clusters  # noqa: F401
 from .interval import range_join  # noqa: F401
 from .quantize import dequantize_expr, quantize_embeddings  # noqa: F401
 from .textprep import chunk_documents, pack_chunks, scrub_pii, stratified_sample  # noqa: F401
-from .similarity import assign_ivf_cells, cosine_expr, knn_bruteforce, knn_ivf, knn_lsh  # noqa: F401
+from .similarity import (  # noqa: F401
+    assign_ivf_cells,
+    cosine_expr,
+    knn_bruteforce,
+    knn_ivf,
+    knn_ivf_indexed,
+    knn_lsh,
+    train_ivf_centroids,
+    write_ivf_index,
+)
 from .textstats import doc_fingerprint, language_id, quality_stats  # noqa: F401

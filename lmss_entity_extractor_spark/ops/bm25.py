@@ -31,6 +31,29 @@ from ..session import widen_small_input
 _WS = r"\s+"
 
 
+def _query_terms(spark, query: str) -> list[str]:
+    """Tokenize the query with the SAME engine expressions as the
+    document side (Spark ``lower`` + ``\\s+`` split).  Python's
+    str.lower()/str.split() diverge from the JVM on Unicode case folding
+    (e.g. 'İ') and non-ASCII whitespace, which would make genuinely
+    matching terms silently score zero.  One tiny local job per query."""
+    if not query or not query.strip():
+        raise ValueError("empty query")
+    row = (
+        spark.createDataFrame([(query,)], "q string")
+        .select(
+            F.array_distinct(
+                F.filter(F.split(F.lower(F.trim(F.col("q"))), _WS), lambda t: t != "")
+            ).alias("t")
+        )
+        .collect()[0]
+    )
+    terms = sorted(row["t"])
+    if not terms:
+        raise ValueError("empty query")
+    return terms
+
+
 def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
     # widen before the tokenize+explode (see ops/dedup.py rationale)
@@ -98,10 +121,8 @@ def bm25_topk(
     """
     from pyspark import StorageLevel
 
-    q_terms = sorted({t for t in query.lower().split() if t})
-    if not q_terms:
-        raise ValueError("empty query")
     spark = docs.sparkSession
+    q_terms = _query_terms(spark, query)
     qdf = spark.createDataFrame([(t,) for t in q_terms], "term string")
 
     post = _postings(docs, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
@@ -144,21 +165,24 @@ def write_bm25_index(
     from pyspark import StorageLevel
 
     post = _postings(docs, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    dlen = post.groupBy("doc").agg(F.sum("tf").alias("dl"))
-    stats_row = dlen.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    (
-        post.join(dlen, "doc")
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{path}/postings")
-    )
-    Path(path, "stats.json").write_text(
-        json.dumps({"n_docs": stats_row["n_docs"], "avgdl": stats_row["avgdl"], "n_buckets": n_buckets})
-    )
-    post.unpersist()
+    try:
+        dlen = post.groupBy("doc").agg(F.sum("tf").alias("dl"))
+        stats_row = dlen.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        (
+            post.join(dlen, "doc")
+            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/postings")
+        )
+        Path(path, "stats.json").write_text(
+            json.dumps({"n_docs": stats_row["n_docs"], "avgdl": stats_row["avgdl"], "n_buckets": n_buckets})
+        )
+    finally:
+        # a failed write must not pin a corpus-sized cache for the session
+        post.unpersist()
 
 
 def bm25_topk_indexed(
@@ -178,9 +202,7 @@ def bm25_topk_indexed(
     import json
     from pathlib import Path
 
-    q_terms = sorted({t for t in query.lower().split() if t})
-    if not q_terms:
-        raise ValueError("empty query")
+    q_terms = _query_terms(spark, query)
     meta = json.loads(Path(path, "stats.json").read_text())
     # bucket ids via the engine's own xxhash64 (must match the writer)
     qdf = spark.createDataFrame([(t,) for t in q_terms], "term string")

@@ -50,9 +50,17 @@ def curate_corpus(
     windows and pack into ``capacity``-token bins per shard.  Returns
     (doc_id, chunk_idx, shard, tok_offset, bin_id, chunk_text,
     n_chunk_tokens)."""
+    # QUALITY FIRST, then dedup-cluster the survivors: clustering the
+    # raw corpus and keeping min-id canonicals can evict every member of
+    # a cluster whose canonical happens to be the junk copy (canonical
+    # fails the gate, its clean near-duplicates were already dropped as
+    # non-canonical).  Filtering first also shrinks the (expensive)
+    # shingle explode to the docs that can actually ship.  The gate is a
+    # pure function of the text — a narrow scan predicate, no stats join.
+    quality_docs = docs.filter(quality_score_expr(text_col) >= min_quality)
     clusters = dedup_clusters(
         minhash_lsh_pairs(
-            docs, n=n, num_hashes=num_hashes, bands=bands, text_col=text_col, id_col=id_col
+            quality_docs, n=n, num_hashes=num_hashes, bands=bands, text_col=text_col, id_col=id_col
         )
     )
     # dedup_clusters emits fixed (doc_id, canonical_id) column names;
@@ -61,17 +69,12 @@ def curate_corpus(
         F.col("doc_id").alias(id_col)
     )
 
-    # the quality gate is a pure function of the text, so it filters the
-    # scan NARROWLY (no stats-table join — at corpus scale that join
-    # would shuffle half the table to drop half the rows).  The anti join
-    # against the non-canonical set is left UNHINTED on purpose: dup
-    # fractions range from ~0 (curated corpora) to 50%+ (web crawls), so
-    # the right strategy is size-dependent — AQE broadcasts a small set
-    # and shuffle-joins a big one from its measured size, where a forced
-    # broadcast would OOM the high-dup case.
-    kept = docs.join(non_canonical, id_col, "left_anti").filter(
-        quality_score_expr(text_col) >= min_quality
-    )
+    # The anti join against the non-canonical set is left UNHINTED on
+    # purpose: dup fractions range from ~0 (curated corpora) to 50%+
+    # (web crawls), so the right strategy is size-dependent — AQE
+    # broadcasts a small set and shuffle-joins a big one from its
+    # measured size, where a forced broadcast would OOM the high-dup case.
+    kept = quality_docs.join(non_canonical, id_col, "left_anti")
     # numeric ids shard by value (SQL-reproducible, used by the oracle);
     # string ids (URLs/UUIDs — supported by the whole dedup family) hash
     # first, since pmod on a string errors under ANSI mode

@@ -38,7 +38,15 @@ def quantize_embeddings(
     (array<tinyint>).  All-zero vectors get scale 0 and an all-zero
     code array (dequantizes back to exact zeros)."""
     vec = F.col(vec_col)
-    scale = _absmax(vec) / F.lit(127.0)
+    scale_col = f"{out_prefix}_scale"
+    # Two chained projections, codes referencing the scale COLUMN: the
+    # scale is an O(dim) aggregate, and inlining it into the per-element
+    # transform lambda would re-evaluate it per element — O(dim^2) per
+    # row.  CollapseProject leaves the split alone because the alias is
+    # non-cheap and referenced more than once (when-guard + lambda), so
+    # the aggregate runs once per row.
+    with_scale = df.withColumn(scale_col, _absmax(vec) / F.lit(127.0))
+    scale = F.col(scale_col)
     qvec = F.when(scale == 0, F.transform(vec, lambda x: F.lit(0).cast("tinyint"))).otherwise(
         F.transform(
             vec,
@@ -48,7 +56,7 @@ def quantize_embeddings(
             ).cast("tinyint"),
         )
     )
-    return df.withColumn(f"{out_prefix}_scale", scale).withColumn(f"{out_prefix}_vec", qvec)
+    return with_scale.withColumn(f"{out_prefix}_vec", qvec)
 
 
 def dequantize_expr(qvec: Column, scale: Column) -> Column:

@@ -107,23 +107,31 @@ def train_ivf_centroids(
     if sample_mod is not None and sample_mod > 1:
         src = src.filter(F.pmod(F.xxhash64(F.col("_id")), F.lit(sample_mod)) == 0)
     # refuse a silent full-table collect on big data: training without a
-    # sample_mod is only for small/test tables.  (A deterministic cap via
-    # limit() would pick an arbitrary subset; the caller must choose the
-    # hash-sample rate explicitly.)
-    n_sample = src.count()
-    if n_sample > 500_000:
+    # sample_mod is only for small/test tables.  One pass: collect with a
+    # cap+1 limit and fail if it truncated (the rows are only USED when
+    # under the cap, where limit() returns the complete — hence
+    # deterministic — set; the caller must choose the hash-sample rate
+    # explicitly for larger tables).
+    _CAP = 500_000
+    rows = src.limit(_CAP + 1).collect()
+    if len(rows) > _CAP:
         raise ValueError(
-            f"train_ivf_centroids: sample of {n_sample} rows would be collected "
+            f"train_ivf_centroids: more than {_CAP} rows would be collected "
             "to the driver; pass sample_mod so the deterministic hash sample "
             "lands in the ~1e5 range"
         )
-    rows = sorted(src.collect(), key=lambda r: r["_id"])
+    rows = sorted(rows, key=lambda r: r["_id"])
     if not rows:
         raise ValueError("train_ivf_centroids: empty sample (raise sample coverage)")
     X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(X, axis=1)
     X = X[norms > 0] / norms[norms > 0, None]  # zero vectors carry no direction
     n = len(X)
+    if n == 0:
+        raise ValueError(
+            "train_ivf_centroids: every sampled vector is zero-norm — no "
+            "direction to train on (check the embedding column / encoder)"
+        )
     k = min(n_centroids, n)
     # evenly spaced rows of the id-sorted sample: deterministic, spread
     # across the id space (ids are usually ingestion-ordered)

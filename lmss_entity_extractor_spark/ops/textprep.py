@@ -37,26 +37,38 @@ def chunk_documents(
     # for empty/whitespace-only docs so their single empty chunk carries
     # n_chunk_tokens=0 and contributes nothing to pack_chunks' cumsum
     n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
-    n_chunks = F.greatest(F.ceil(n / F.lit(stride)).cast("int"), F.lit(1))
+    # chunk count = 1 + ceil(max(n - chunk_tokens, 0)/stride): the last
+    # start is the first one whose window reaches the final token.  The
+    # naive ceil(n/stride) emits extra trailing starts whose windows are
+    # FULLY CONTAINED in the previous chunk (n mod stride <=
+    # chunk_tokens - stride), shipping duplicate text into the training
+    # stream — exactly what the dedup stage upstream removed.
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - F.lit(chunk_tokens), F.lit(0)) / F.lit(stride)).cast("int")
+    )
     starts = F.transform(
         F.sequence(F.lit(0), n_chunks - 1), lambda i: i * F.lit(stride)
     )
-    n_real = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(F.col(text_col)), _WS))
-    )
-    return docs.select(
+    exploded = docs.select(
         F.col(id_col),
-        F.col(text_col),
+        n.alias("_n_real"),
+        toks.alias("_toks"),
         F.posexplode(starts).alias("chunk_idx", "_start"),
-    ).select(
+    ).filter(
+        # with stride > chunk_tokens the last computed start can land at
+        # or past the end — drop those empty trailing windows (the
+        # single chunk of an empty doc, start 0, always survives)
+        F.col("_start") < F.greatest(F.col("_n_real"), F.lit(1))
+    )
+    return exploded.select(
         id_col,
         "chunk_idx",
         F.array_join(
-            F.slice(F.split(F.trim(F.col(text_col)), _WS), F.col("_start") + 1, F.lit(chunk_tokens)),
-            " ",
+            F.slice(F.col("_toks"), F.col("_start") + 1, F.lit(chunk_tokens)), " "
         ).alias("chunk_text"),
         F.greatest(
-            F.least(n_real - F.col("_start"), F.lit(chunk_tokens)), F.lit(0)
+            F.least(F.col("_n_real") - F.col("_start"), F.lit(chunk_tokens)), F.lit(0)
         ).alias("n_chunk_tokens"),
     )
 
@@ -102,9 +114,14 @@ def pack_chunks(
 # Conservative, engine-portable patterns (identical regex semantics in
 # Spark's Java regex and DuckDB's RE2 for these constructs).
 PII_PATTERNS = (
+    # email FIRST: an address whose local part contains a phone/SSN-shaped
+    # digit run (john.555-123-4567@x.com) must redact as ONE email —
+    # running a digit pattern first would splice '<PHONE>' into the
+    # address and leave the identifying 'john.'/'@x.com' fragments behind
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # then SSN (3-2-4) before phone (3-3-4) so neither eats the other
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
     ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
 )
 
 
@@ -113,9 +130,8 @@ def scrub_pii(
 ) -> DataFrame:
     """Redact emails / US phone numbers / SSNs with typed placeholder
     tokens, and count each category (the audit signal a data-governance
-    pass needs).  Order matters: SSN (3-2-4) before phone (3-3-4) so
-    neither pattern eats the other's digits.  Returns
-    (id, scrubbed_text, n_ssn, n_phone, n_email)."""
+    pass needs).  Redaction order is part of the contract — see
+    PII_PATTERNS.  Returns (id, scrubbed_text, n_email, n_ssn, n_phone)."""
     scrubbed: Column = F.col(text_col)
     counts = []
     for name, pat, repl in PII_PATTERNS:

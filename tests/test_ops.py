@@ -371,11 +371,14 @@ class TestTextPrep:
             (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_chunk_tokens)
             for r in chunk_documents(df, chunk_tokens=4, stride=3).collect()
         }
-        # doc 1: 10 tokens, stride 3 -> ceil(10/3)=4 chunks; windows overlap by 1
+        # doc 1: 10 tokens, chunk 4, stride 3 -> 1 + ceil((10-4)/3) = 3
+        # chunks; windows overlap by 1 and the last reaches the final
+        # token.  NO 4th chunk: its window ('t9') would be fully
+        # contained in chunk 2 — shipping duplicate text (review finding)
         assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
         assert rows[(1, 1)] == ("t3 t4 t5 t6", 4)
         assert rows[(1, 2)] == ("t6 t7 t8 t9", 4)
-        assert rows[(1, 3)] == ("t9", 1)  # tail kept, shorter
+        assert (1, 3) not in rows
         assert rows[(2, 0)] == ("one", 1)
         # empty / whitespace-only docs emit exactly one empty chunk with
         # ZERO tokens (split('') yields [''] — the phantom must not count,
@@ -399,8 +402,21 @@ class TestTextPrep:
         assert (got[1].n_email, got[1].n_phone, got[1].n_ssn) == (2, 1, 1)
         assert got[2].scrubbed_text == "clean text, no pii at all"
         assert (got[2].n_email, got[2].n_phone, got[2].n_ssn) == (0, 0, 0)
-        # SSN runs first and must not eat the phone's 3-3-4 shape
+        # SSN must not eat the phone's 3-3-4 shape
         assert got[3].scrubbed_text == "edge <SSN> vs <PHONE>"
+
+    def test_scrub_pii_email_with_digit_run_redacts_whole(self, spark):
+        # review finding: email runs FIRST — an address whose local part
+        # contains a phone-shaped digit run must redact as ONE email,
+        # not leak 'john.'/'@mail.com' around a spliced <PHONE>
+        from lmss_entity_extractor_spark.ops.textprep import scrub_pii
+
+        df = spark.createDataFrame(
+            [(1, "reach john.555-123-4567@mail.com today")], "doc_id long, text string"
+        )
+        r = scrub_pii(df).collect()[0]
+        assert r.scrubbed_text == "reach <EMAIL> today"
+        assert (r.n_email, r.n_phone, r.n_ssn) == (1, 0, 0)
 
     def test_quantize_roundtrip_fidelity(self, spark, embeddings):
         from lmss_entity_extractor_spark.ops.quantize import (

@@ -134,29 +134,37 @@ def test_transitive_closure_matches_reference(spark, int_edges):
 )
 def test_chunk_window_math_covers_every_token(token_ids, chunk_tokens, stride):
     """The start/size math used by ops/textprep.chunk_documents: chunk i
-    covers [i*stride, i*stride + chunk_tokens); every token is covered,
-    consecutive chunks overlap by exactly max(chunk_tokens - stride, 0)
-    (when a next chunk exists), and no chunk is empty except the single
-    chunk of an empty doc."""
+    covers [i*stride, i*stride + chunk_tokens); chunk count =
+    1 + ceil(max(n - chunk_tokens, 0)/stride) with empty trailing
+    windows dropped.  Invariants: every token covered when
+    stride <= chunk_tokens; NO chunk's token window is fully contained
+    in the previous chunk's (the duplicate-tail review finding);
+    consecutive chunks overlap by exactly chunk_tokens - stride."""
     import math
 
     n = len(token_ids)
-    n_chunks = max(math.ceil(n / stride), 1)
+    n_chunks = 1 + math.ceil(max(n - chunk_tokens, 0) / stride)
+    starts = [i * stride for i in range(n_chunks) if i * stride < max(n, 1)]
     covered = set()
-    for i in range(n_chunks):
-        start = i * stride
-        window = token_ids[start : start + chunk_tokens]
-        if n > 0:
-            assert window or start >= n  # only trailing chunks may spill
-        covered.update(range(start, min(start + chunk_tokens, n)))
+    prev_end = None
+    for start in starts:
+        lo, hi = start, min(start + chunk_tokens, n)
+        if prev_end is not None:
+            # not fully contained in the previous truncated window
+            assert hi > prev_end, (n, chunk_tokens, stride, start)
+        covered.update(range(lo, hi))
+        prev_end = hi
     if stride <= chunk_tokens:
         # contiguous (or overlapping) windows: every token covered
         assert covered == set(range(n))
     else:
-        # stride > chunk_tokens subsamples by design: gaps are exactly the
-        # inter-window stretches
-        assert covered == {i for i in range(n) if i % stride < chunk_tokens}
-    if n_chunks > 1 and n >= chunk_tokens:
+        # stride > chunk_tokens subsamples by design; the emitted
+        # windows' union is exactly what the formula's starts reach
+        want = set()
+        for start in starts:
+            want.update(range(start, min(start + chunk_tokens, n)))
+        assert covered == want
+    if len(starts) > 1 and n >= chunk_tokens and stride <= chunk_tokens:
         overlap = len(
             set(range(stride, min(stride + chunk_tokens, n)))
             & set(range(0, min(chunk_tokens, n)))
