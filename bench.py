@@ -98,6 +98,10 @@ def run_kg(spark, sf_dir: str, factor: int) -> dict:
     wall = time.time() - t0
     links = obs.get["links"] or 0
     tdf.unpersist()
+    if "mentions" in flow:
+        # dataflow()'s contract: the caller owns the mentions persist —
+        # release it so the cache doesn't distort the headline queries
+        flow["mentions"].unpersist()
     # triples = pre-canonicalization emissions (3 families per link turn);
     # throughput reported on canonical edges and on turns for context.
     return {
@@ -158,7 +162,11 @@ def run_bench(sf_dir: str, kg_only: bool = False, factor: int = AMPLIFY) -> dict
         qmap = entry.queries()
         for name in HEADLINE:
             t0 = time.time()
-            qmap[name](spark, sf_dir).count()
+            # noop sink: evaluates every column of the full plan without
+            # writing — count() lets Catalyst prune projection-only
+            # bodies down to a row-count metadata scan (md5/regex work
+            # would never execute for e.g. `fingerprint`)
+            qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             result_queries[name] = dt
             total += dt
@@ -199,7 +207,10 @@ def _mp_control_worker(args):
     for _ in range(n_iter):
         for t in texts:
             c += len(extract_mentions_from_turn(t, arts, with_context=False))
-    return c
+    assert c >= 0
+    # TURNS processed (the throughput unit); LIMIT 500 may cap below 500
+    # on tiny sf dirs, so report the real count, not the nominal one
+    return n_iter * len(texts)
 
 
 def hardware_control(sf_dir: str, n_small: int, n_big: int, turns_per_proc: int = 4000) -> dict:
@@ -219,9 +230,11 @@ def hardware_control(sf_dir: str, n_small: int, n_big: int, turns_per_proc: int 
             iters = max(1, turns_per_proc // 500)
             with mp.Pool(procs) as pool:
                 t0 = time.time()
-                pool.map(_mp_control_worker, [(iters, sf_dir, owl)] * procs)
+                done = pool.map(_mp_control_worker, [(iters, sf_dir, owl)] * procs)
                 dt = time.time() - t0
-            tput = round(procs * iters * 500 / dt, 1)
+            # divide by the rows actually processed (LIMIT 500 may cap
+            # below 500 on tiny sf dirs; workers report their real count)
+            tput = round(sum(done) / dt, 1)
             out[procs] = max(out.get(procs, 0.0), tput)
     out["ratio"] = round(out[n_big] / out[n_small], 3)
     return out
@@ -250,8 +263,12 @@ def run_scaling(sf_dir: str, factor: int) -> None:
                 env=env,
                 timeout=3600,
             )
-            line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-            res = json.loads(line)
+            json_lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+            if proc.returncode != 0 or not json_lines:
+                print(f"child bench (local[{cpus}]) failed rc={proc.returncode}; stderr tail:\n"
+                      + proc.stderr[-2000:], file=sys.stderr)
+                raise RuntimeError(f"scaling child failed at local[{cpus}] round {r}")
+            res = json.loads(json_lines[-1])
             print(f"round {r} local[{cpus}]: {res['kg']}", file=sys.stderr)
             pair[cpus] = res
             time.sleep(5)

@@ -203,9 +203,19 @@ def transcripts_spark_df(spark, n_convs: int = 100, seed: int = 42, **kwargs):
         hot = c % 50 == 0  # deterministic 2% hot convs
         out = []
         reps = 100 if hot else 1
+        conv_offset = dt.timedelta(hours=c)
         for r in range(reps):
             for (_, t, role, text, tool, ts) in sub:
-                out.append((f"conv-{c:06d}", r * len(sub) + t, role, text, tool, ts))
+                idx = r * len(sub) + t
+                # re-derive ts from the GLOBAL turn index + per-conv
+                # offset: reusing sub's ts verbatim gave every rep the
+                # same timestamps (non-monotonic in turn_idx) and every
+                # conv an identical ts range — degenerate for any
+                # event-time consumer
+                out.append(
+                    (f"conv-{c:06d}", idx, role, text, tool,
+                     ts + conv_offset + dt.timedelta(minutes=r * len(sub)))
+                )
         return out
 
     n_parts = max(spark.sparkContext.defaultParallelism, 8)

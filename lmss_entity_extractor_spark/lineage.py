@@ -89,9 +89,11 @@ def write_stage_lineage(
     # time just to produce four numbers
     rows = materialized.sparkSession.read.parquet(str(out)).agg(
         F.count(F.lit(1)).alias("partitions"),
-        F.sum("n_rows").alias("rows"),
-        F.max("n_rows").alias("max_partition_rows"),
-        F.round(F.avg("n_rows"), 1).alias("mean_partition_rows"),
+        # a legitimately empty stage must record 0, not null — manifest/
+        # metrics consumers do arithmetic on these
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("rows"),
+        F.coalesce(F.max("n_rows"), F.lit(0)).alias("max_partition_rows"),
+        F.coalesce(F.round(F.avg("n_rows"), 1), F.lit(0.0)).alias("mean_partition_rows"),
     ).collect()[0]
     return {
         "partitions": rows["partitions"],

@@ -26,8 +26,6 @@ from pyspark.sql import functions as F
 
 from .. import schemas
 from ..checkpoints import atomic_write_text, input_snapshot, snapshot_delta
-from ..graph.canonicalize import canonicalize_triples
-from ..graph.triples import emit_triples
 from ..linking.stage import extract_and_link
 
 
@@ -149,7 +147,15 @@ def incremental_edges_snapshot(
     # increment id and the orphan would double-count its edges in
     # compact_incremental_edges — so any dir the manifest doesn't vouch
     # for is dropped before processing.
-    committed: list = (prev or {}).get("committed_increments", [])
+    committed = (prev or {}).get("committed_increments")
+    if committed is None and prev is not None:
+        # legacy manifest (predates the committed-increments field): its
+        # increments WERE committed but unrecorded — vouch for every dir
+        # present rather than wiping edges that will never be reprocessed
+        committed = sorted(
+            d.name.split("=", 1)[1] for d in Path(out_dir).glob("increment=*")
+        ) if Path(out_dir).exists() else []
+    committed = committed or []
     if Path(out_dir).exists():
         for d in Path(out_dir).glob("increment=*"):
             if d.name.split("=", 1)[1] not in committed:

@@ -51,8 +51,9 @@ def _update_conv(key, pdf_iter, state: GroupState):
     max_idx = -1
     for pdf in pdf_iter:
         n_batch += len(pdf)
-        if len(pdf):
-            max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+        idx = pdf["turn_idx"].dropna()  # all-null turn_idx -> float NaN max
+        if len(idx):
+            max_idx = max(max_idx, int(idx.max()))
     if state.exists:
         n_prev, max_prev = state.get
         n_total = n_prev + n_batch

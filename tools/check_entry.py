@@ -55,6 +55,12 @@ def main():
     queries = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd name silently matching nothing would exit 0 having
+        # checked nothing — fail loudly instead
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        failures.extend(sorted(unknown))
     for name, fn in queries.items():
         if only and name not in only:
             continue
