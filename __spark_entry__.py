@@ -1630,7 +1630,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "time_rollup": """
             WITH b AS (
-                SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600) AS bucket6h,
+                SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600)
+                            AS TIMESTAMP) AS bucket6h,
                        event_type, value
                 FROM events
             )

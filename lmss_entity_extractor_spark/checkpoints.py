@@ -203,6 +203,11 @@ class CheckpointManager:
         except (json.JSONDecodeError, OSError):
             return None
 
+    def invalidate_snapshot(self, name: str) -> None:
+        sp = self._snapshot_path(name)
+        if sp.exists():
+            sp.unlink()
+
     def record_snapshot(self, name: str, snapshot: dict, extra: dict | None = None) -> None:
         payload = dict(snapshot)
         if extra:

@@ -3,9 +3,10 @@ into ONE lazy dataflow — the shape an LLM-pretraining data pipeline
 actually runs:
 
     documents
-      └─ MinHash+LSH near-dup pairs  (ops/dedup.py)
-           └─ connected components  -> keep only cluster canonicals
-                └─ quality filter   (ops/textstats.py score)
+      └─ quality filter  (ops/textstats.py score — a narrow scan
+         predicate applied FIRST, so junk never feeds the dedup shuffle)
+           └─ MinHash+LSH near-dup pairs  (ops/dedup.py)
+                └─ connected components  -> keep only cluster canonicals
                      └─ chunk       (sliding token windows)
                           └─ pack   (per-shard fixed-capacity bins)
 

@@ -270,5 +270,13 @@ class KGPipeline:
 
         return incremental_edges_snapshot(self, transcripts_dir, out_dir)
 
+    def reset_incremental(self, out_dir: str | Path) -> None:
+        """Recover from a broken append-only contract: drop the input
+        snapshot and all increments so the next ``run_incremental``
+        reprocesses the full input as one increment."""
+        from .streaming.incremental import reset_incremental
+
+        reset_incremental(self, out_dir)
+
     def write_metrics(self) -> None:
         (self.warehouse / "metrics.json").write_text(json.dumps(self.metrics, indent=2, default=str))

@@ -136,7 +136,9 @@ def incremental_edges_snapshot(
     if delta["changed"] or delta["removed"]:
         raise ValueError(
             "incremental read requires an append-only input; "
-            f"changed={delta['changed']} removed={delta['removed']} — run a full rebuild"
+            f"changed={delta['changed']} removed={delta['removed']} — call "
+            "reset_incremental() then rerun (reprocesses the full input as "
+            "one increment)"
         )
     added = delta["added"]
     # The snapshot manifest is the single commit point: it carries the
@@ -185,6 +187,23 @@ def incremental_edges_snapshot(
         },
     )
     return {"processed_files": added, "increment": inc_id, "snapshot_id": cur["snapshot_id"]}
+
+
+def reset_incremental(
+    pipe, out_dir: str | Path, snapshot_name: str = "transcripts_in"
+) -> None:
+    """Restore incremental processing after the append-only contract broke
+    (``incremental_edges_snapshot`` raised on changed/removed files).
+
+    Drops the recorded input snapshot AND every increment dir, so the next
+    ``incremental_edges_snapshot`` call sees the whole input as "added" and
+    rebuilds the increment table in one batch — the documented "fall back
+    to full rebuild", made actually repeatable (ADVICE r2: without this,
+    the stale snapshot manifest kept every subsequent call raising)."""
+    pipe.ckpt.invalidate_snapshot(snapshot_name)
+    if Path(out_dir).exists():
+        for d in Path(out_dir).glob("increment=*"):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def compact_incremental_edges(spark: SparkSession, out_dir: str | Path) -> DataFrame:

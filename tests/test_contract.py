@@ -43,6 +43,56 @@ def test_oracle_fixtures_match_fresh_loop_oracle():
         assert committed.equals(table), f"{name}: committed fixture != fresh loop oracle"
 
 
+def test_check_entry_odd_dtype_guard():
+    """The local pre-flight must flag oracle dtypes whose arrow hash can
+    never match Spark — including TIMESTAMPTZ, the class that slipped
+    through in round 2 (time_rollup) because the normalized compare
+    strftime's tz-aware and naive timestamps identically."""
+    import duckdb
+
+    from tools.check_entry import odd_oracle_dtypes
+
+    con = duckdb.connect()
+    flagged = odd_oracle_dtypes(
+        con.sql(
+            "SELECT sum(x) AS s, to_timestamp(x) AS tz,"
+            "       CAST(to_timestamp(x) AS TIMESTAMP) AS naive,"
+            "       CAST(sum(x) AS BIGINT) AS ok_sum"
+            " FROM (SELECT 1::INTEGER AS x) GROUP BY x"
+        )
+    )
+    assert ("s", "HUGEINT") in flagged
+    assert ("tz", "TIMESTAMP WITH TIME ZONE") in flagged
+    names = [c for c, _ in flagged]
+    assert "naive" not in names and "ok_sum" not in names
+
+
+def test_all_oracles_free_of_odd_dtypes():
+    """Every committed oracle, executed on sf0.001, must emit only dtypes
+    the driver's arrow hash can match — closes the whole class, not just
+    the one query that rotted."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from tools.check_entry import TABLES, odd_oracle_dtypes
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    bad = {}
+    for name, sql in e.oracle_sql().items():
+        try:
+            odd = odd_oracle_dtypes(con.sql(sql))
+        except Exception:
+            # fixture-backed oracles are pinned to sf0.01 paths; dtype
+            # coverage for those comes from the fixture writer itself
+            continue
+        if odd:
+            bad[name] = odd
+    assert not bad, bad
+
+
 def test_pyfiles_zip_self_contained(tmp_path):
     out = tmp_path / "pkg.zip"
     subprocess.run(

@@ -98,10 +98,29 @@ def test_snapshot_incremental_processes_only_the_delta(spark, owl_path, tmp_path
     assert not orphan.exists()
     assert _edge_set(compact_incremental_edges(spark, out_dir)) == _edge_set(batch)
 
-    # mutating an already-snapshotted file breaks append-only -> refuse
+    # mutating an already-snapshotted file breaks append-only -> refuse,
+    # and KEEPS refusing (the stale snapshot persists) ...
     write_transcripts_parquet(tdir / "part-0.parquet", n_convs=5, seed=99)
     with pytest.raises(ValueError, match="append-only"):
         pipe.run_incremental(tdir, out_dir)
+    with pytest.raises(ValueError, match="append-only"):
+        pipe.run_incremental(tdir, out_dir)
+
+    # ... until reset_incremental restores the documented full-rebuild
+    # fallback: the whole (mutated) input reprocesses as one increment and
+    # compaction matches a clean batch run (ADVICE r2)
+    pipe.reset_incremental(out_dir)
+    r5 = pipe.run_incremental(tdir, out_dir)
+    assert sorted(r5["processed_files"]) == sorted(p.name for p in tdir.glob("*.parquet"))
+    # the earlier batch dataflow persisted mentions for this same path;
+    # drop it so the comparison run reads the mutated input, not the cache
+    spark.catalog.clearCache()
+    batch_after = pipe.dataflow(spark.read.parquet(str(tdir)))["edges"]
+    assert _edge_set(compact_incremental_edges(spark, out_dir)) == _edge_set(batch_after)
+    # and incremental processing works again after the reset
+    write_transcripts_parquet(tdir / "part-3.parquet", n_convs=2, seed=44)
+    r6 = pipe.run_incremental(tdir, out_dir)
+    assert r6["processed_files"] == ["part-3.parquet"]
     shutil.rmtree(tmp_path, ignore_errors=True)
 
 

@@ -38,6 +38,32 @@ def _rowset(cols, rows):
     return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+# DuckDB dtypes Spark can never produce: the driver's arrow value-hash is
+# dtype-sensitive (unlike _norm above, which strftime's tz-aware timestamps
+# identically to naive ones — exactly how r2's time_rollup passed locally
+# and went red at the driver). Oracles must CAST these away.
+ODD_ORACLE_DTYPES = frozenset(
+    (
+        "HUGEINT",
+        "UHUGEINT",
+        "UBIGINT",
+        "UINTEGER",
+        "USMALLINT",
+        "UTINYINT",
+        "TIMESTAMP WITH TIME ZONE",
+        "TIME WITH TIME ZONE",
+    )
+)
+
+
+def odd_oracle_dtypes(rel):
+    """(column, dtype) pairs in a DuckDB relation whose dtype can never
+    hash-match a Spark result under the driver's arrow compare."""
+    return [
+        (c, str(t)) for c, t in zip(rel.columns, rel.types) if str(t) in ODD_ORACLE_DTYPES
+    ]
+
+
 def main():
     import duckdb
 
@@ -78,15 +104,7 @@ def main():
         try:
             rel = con.sql(oracles[name])
             duck_cols = [d[0] for d in rel.description]
-            # The driver's value-hash is dtype-sensitive (arrow), unlike the
-            # normalized compare below: flag any DuckDB dtype Spark can never
-            # produce (HUGEINT from un-cast SUM, unsigned ints) as a failure
-            # here so the row doesn't rot until the next driver run.
-            odd = [
-                (c, str(t))
-                for c, t in zip(rel.columns, rel.types)
-                if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
-            ]
+            odd = odd_oracle_dtypes(rel)
             duck_rows = rel.fetchall()
         except Exception as e:
             failures.append(name)

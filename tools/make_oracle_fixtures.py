@@ -41,7 +41,7 @@ def transcript_rows_from_documents(sf_dir: str | Path, convs: int = 64) -> list[
         f"SELECT doc_id, text FROM read_parquet('{Path(sf_dir)}/documents.parquet') ORDER BY doc_id"
     ).fetchall()
     return [
-        (f"conv-{doc_id % convs:06d}", int(doc_id / convs), text)
+        (f"conv-{doc_id % convs:06d}", doc_id // convs, text)
         for doc_id, text in rows
     ]
 
