@@ -46,6 +46,49 @@ def transcript_rows_from_documents(sf_dir: str | Path, convs: int = 64) -> list[
     ]
 
 
+HYBRID_QUERY = "patent litigation counsel"  # pinned to q_hybrid_search
+
+
+def _fold_dot(a, b) -> float:
+    """Sequential left-fold double dot product — the exact accumulation
+    order of similarity.dot_expr's JVM ``aggregate``, so the frozen cosine
+    bit-matches the Spark column expression."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def compute_hybrid_terms(artifacts) -> list[tuple[str, str, int, int, float]]:
+    """Per-(query, entity) score terms for the hybrid_search oracle:
+    (iri, label, token_set_ratio, partial_ratio, cosine).
+
+    The three terms are the non-SQL pieces of the reference's
+    0.3/0.3/0.4 blend (/root/reference/app/lmss_search.py:88-104); they
+    are computed here by the same straight-line functions the parity gate
+    trusts (textproc ratios: hand-computed cases in
+    tests/test_textproc.py) and frozen to parquet, leaving DuckDB to
+    check what IS relational: the weighted blend, the score>0 filter,
+    and the top-10 ranking with the iri tiebreak."""
+    import math
+
+    from lmss_entity_extractor_spark.encoder import get_encoder
+    from lmss_entity_extractor_spark.textproc import partial_ratio, token_set_ratio
+
+    qvec = get_encoder(artifacts.encoder_spec).encode(HYBRID_QUERY).astype("float64")
+    q_lower = HYBRID_QUERY.lower()
+    out = []
+    for r in artifacts.index_rows:
+        label = r["rdfs_label"]
+        ll = (label or "").lower()
+        mv = artifacts.mean_matrix[r["index_pos"]]  # float32, cast per-element
+        na = math.sqrt(_fold_dot(qvec, qvec))
+        nb = math.sqrt(_fold_dot(mv, mv))
+        cos = 0.0 if (na == 0 or nb == 0) else _fold_dot(qvec, mv) / (na * nb)
+        out.append((r["rdf_about"], label, token_set_ratio(q_lower, ll), partial_ratio(q_lower, ll), cos))
+    return out
+
+
 def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
     """Run the loop oracle over the derived transcripts; return pyarrow
     tables keyed by fixture name (column types pinned to what Spark's
@@ -66,8 +109,20 @@ def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
 
     mtype_counts = oracle_mention_type_counts(rows, artifacts)
     edge_counts = oracle_edge_counts(rows, artifacts)  # API profile (0.7/0.9)
+    hybrid_terms = compute_hybrid_terms(artifacts)
 
     return {
+        # sf-independent (hybrid_search ignores sf_dir) but written per-sf
+        # so one regeneration + freshness-test path covers every fixture
+        "hybrid_search_terms": pa.table(
+            {
+                "iri": pa.array([t[0] for t in hybrid_terms], pa.string()),
+                "label": pa.array([t[1] for t in hybrid_terms], pa.string()),
+                "ts_ratio": pa.array([t[2] for t in hybrid_terms], pa.int32()),
+                "p_ratio": pa.array([t[3] for t in hybrid_terms], pa.int32()),
+                "cos": pa.array([t[4] for t in hybrid_terms], pa.float64()),
+            }
+        ),
         "mention_type_counts": pa.table(
             {
                 "mtype": pa.array([m for m, _ in mtype_counts], pa.string()),
