@@ -174,15 +174,35 @@ def register_encoder(spec: str, factory: Callable[[], Encoder]) -> None:
 
 
 def get_encoder(spec: str = DEFAULT_ENCODER_SPEC) -> Encoder:
-    """Resolve ``spec`` to the process-local encoder singleton."""
+    """Resolve ``spec`` to the process-local encoder singleton.
+
+    Two spec forms:
+
+    * bare (``"hashed-v1"``) — must already be registered in this process
+      (built-ins above, or a user module imported on both driver and
+      executors);
+    * qualified (``"my_encoders:my-model"``) — self-registering: the
+      module path before the colon is imported first (it calls
+      ``register_encoder("my_encoders:my-model", ...)`` at import time),
+      then the full spec resolves.  This is how a THIRD-PARTY encoder
+      travels to executors: ship the module via ``spark-submit
+      --py-files`` (or ``sc.addPyFile``) and put its name in the spec —
+      the spec string itself, carried inside broadcast artifacts, then
+      reconstructs the encoder in every fresh worker process."""
     enc = _encoder_singletons.get(spec)
     if enc is None:
         factory = _encoder_registry.get(spec)
+        if factory is None and ":" in spec:
+            import importlib
+
+            importlib.import_module(spec.split(":", 1)[0])
+            factory = _encoder_registry.get(spec)
         if factory is None:
             raise KeyError(
                 f"no encoder registered under {spec!r} in this process; "
                 "register_encoder() must run at import time in code shipped "
-                f"to executors (known: {sorted(_encoder_registry)})"
+                "to executors (qualified 'module:name' specs import their "
+                f"module automatically; known: {sorted(_encoder_registry)})"
             )
         enc = _encoder_singletons[spec] = factory()
     return enc

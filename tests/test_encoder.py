@@ -69,6 +69,35 @@ def test_alternative_encoder_changes_dim_and_vectors():
     assert toy.encode_batch([]).shape == (0, 32)
 
 
+def test_qualified_spec_imports_registering_module():
+    """'module:name' specs self-resolve by importing the module (which
+    registers at import time) — the executor-side path for third-party
+    encoders shipped via --py-files."""
+    import sys
+    from pathlib import Path
+
+    import pytest
+
+    from lmss_entity_extractor_spark import encoder as enc_mod
+    from lmss_entity_extractor_spark.encoder import get_encoder
+
+    tests_dir = str(Path(__file__).resolve().parent)
+    if tests_dir not in sys.path:
+        sys.path.insert(0, tests_dir)
+    # simulate a fresh worker process: module not imported, spec unknown
+    sys.modules.pop("toy_encoder", None)
+    enc_mod._encoder_registry.pop("toy_encoder:test-sha1-24", None)
+    enc_mod._encoder_singletons.pop("toy_encoder:test-sha1-24", None)
+
+    toy = get_encoder("toy_encoder:test-sha1-24")
+    assert toy.dim == 24
+    assert toy is get_encoder("toy_encoder:test-sha1-24")  # singleton
+    with pytest.raises(ModuleNotFoundError):
+        get_encoder("no_such_module:model")
+    with pytest.raises(KeyError, match="qualified"):
+        get_encoder("toy_encoder:wrong-name")  # module imports, name absent
+
+
 def test_artifacts_stamp_encoder_spec_and_dim():
     from lmss_entity_extractor_spark.datagen import write_fixture_owl
     from lmss_entity_extractor_spark.ontology import build_artifacts, parse_owl_classes

@@ -3,10 +3,14 @@ pipeline's canonical triple set vs the single-process oracle's, P/R >=
 0.95, under per-turn text equality and stable (conv_id, turn_idx, start)
 ordering — at both reference threshold profiles."""
 
+import sys
+from pathlib import Path
+
 import pytest
 
 from lmss_entity_extractor_spark.datagen import write_fixture_owl
 from lmss_entity_extractor_spark.datagen.transcripts import rows_to_pandas
+from lmss_entity_extractor_spark.ontology import build_artifacts
 from lmss_entity_extractor_spark.oracle import oracle_extract, oracle_triples
 from lmss_entity_extractor_spark.pipeline import KGPipeline, PipelineConfig
 
@@ -15,9 +19,27 @@ PROFILES = {
     "cli": dict(similarity_threshold=0.3, high_confidence_threshold=0.9),
 }
 
+# Encoder matrix for the parity gate: the pinned default, the built-in md5
+# alternative, and a test-local module shipped to executors through the
+# qualified-spec seam (tests/toy_encoder.py self-registers at import).
+ENCODER_SPECS = ["hashed-v1", "hashed-md5-32", "toy_encoder:test-sha1-24"]
 
-def _spark_triples(spark, tiny_transcripts, owl_path, warehouse, profile):
-    cfg = PipelineConfig(**profile, output_partitions=8)
+_TOY_MODULE = Path(__file__).resolve().parent / "toy_encoder.py"
+
+
+def _ship_toy_encoder(spark):
+    """Driver side: make ``import toy_encoder`` resolvable; executor side:
+    ship the file exactly like ``spark-submit --py-files`` would."""
+    if str(_TOY_MODULE.parent) not in sys.path:
+        sys.path.insert(0, str(_TOY_MODULE.parent))
+    try:
+        spark.sparkContext.addPyFile(str(_TOY_MODULE))
+    except Exception:
+        pass  # already added by an earlier test in this session
+
+
+def _spark_triples(spark, tiny_transcripts, owl_path, warehouse, profile, encoder_spec):
+    cfg = PipelineConfig(**profile, output_partitions=8, encoder_spec=encoder_spec)
     pipe = KGPipeline(spark, owl_path, warehouse, cfg)
     tdf = spark.createDataFrame(rows_to_pandas(tiny_transcripts))
     out = pipe.run(tdf)
@@ -27,13 +49,30 @@ def _spark_triples(spark, tiny_transcripts, owl_path, warehouse, profile):
 
 
 @pytest.mark.spark
+@pytest.mark.parametrize("encoder_spec", ENCODER_SPECS)
 @pytest.mark.parametrize("profile_name", sorted(PROFILES))
-def test_triple_parity(spark, tiny_transcripts, owl_path, artifacts, warehouse, profile_name):
+def test_triple_parity(
+    spark, tiny_transcripts, owl_path, index_rows, warehouse, profile_name, encoder_spec
+):
+    """The parity gate, parameterized over encoder specs (VERDICT r2 item
+    4): the pinned default, the built-in md5 alternative, and a test-local
+    encoder injected through register_encoder — each must flow broadcast
+    -> executor Linker -> canonical edges with exact oracle parity."""
     profile = PROFILES[profile_name]
-    got = _spark_triples(spark, tiny_transcripts, owl_path, warehouse / profile_name, profile)
+    if ":" in encoder_spec:
+        _ship_toy_encoder(spark)
+    got = _spark_triples(
+        spark,
+        tiny_transcripts,
+        owl_path,
+        warehouse / f"{profile_name}_{encoder_spec.replace(':', '_')}",
+        profile,
+        encoder_spec,
+    )
+    arts = build_artifacts(index_rows, encoder_spec=encoder_spec)
     want = oracle_triples(
         [(c, t, x) for c, t, _, x, _, _ in tiny_transcripts],
-        artifacts,
+        arts,
         **profile,
     )
     assert want, "oracle produced no triples — fixture corpus is broken"
@@ -42,7 +81,7 @@ def test_triple_parity(spark, tiny_transcripts, owl_path, artifacts, warehouse, 
     recall = tp / len(want)
     assert precision >= 0.95, f"precision {precision:.4f} (got {len(got)}, want {len(want)})"
     assert recall >= 0.95, f"recall {recall:.4f} (got {len(got)}, want {len(want)})"
-    # with pinned deterministic encoder both sides should in fact be exact
+    # with pinned deterministic encoders both sides should in fact be exact
     assert precision == 1.0 and recall == 1.0
 
 
