@@ -291,6 +291,51 @@ class TestRangeAndComponents:
         got = {r.doc_id: r.canonical_id for r in dedup_clusters(pairs).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 5: 1}
 
+    def test_star_long_chain_converges_in_log_rounds(self, spark):
+        """VERDICT r2 item 8: a 256-hop chain needs 256 propagation rounds
+        (propagation raises at max_iter=25) but the large-star/small-star
+        variant must finish in O(log d) rounds with identical labels."""
+        import pytest
+
+        from lmss_entity_extractor_spark.ops.components import (
+            connected_components,
+            connected_components_star,
+        )
+
+        n = 256
+        df = spark.createDataFrame([(i, i + 1) for i in range(n)], "src long, dst long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(df, max_iter=25)
+
+        stats = {}
+        got = {
+            r.node: r.component
+            for r in connected_components_star(df, stats=stats).collect()
+        }
+        assert got == {i: 0 for i in range(n + 1)}
+        assert stats["rounds"] <= 12, f"{stats['rounds']} rounds for a {n}-hop chain"
+
+    def test_star_matches_propagation_on_random_graphs(self, spark):
+        """Both algorithms agree label-for-label on seeded random graphs
+        (mixed components, string ids, duplicate + self edges)."""
+        import random
+
+        from lmss_entity_extractor_spark.ops.components import connected_components
+
+        rng = random.Random(7)
+        for trial in range(3):
+            edges = [
+                (f"n{rng.randrange(40):02d}", f"n{rng.randrange(40):02d}")
+                for _ in range(45)
+            ]
+            df = spark.createDataFrame(edges, "src string, dst string")
+            prop = {r.node: r.component for r in connected_components(df).collect()}
+            star = {
+                r.node: r.component
+                for r in connected_components(df, algorithm="star").collect()
+            }
+            assert prop == star and len(star) > 0
+
 
 @pytest.mark.spark
 class TestBM25:

@@ -1,0 +1,142 @@
+"""Emit BENCH/IVF.md: the IVF index's recall/latency grid vs exact
+brute force (VERDICT r2 item 7) — the quality-cost tradeoff a real user
+needs before picking (n_centroids, nprobe).
+
+Two corpora over the sf0.1 embeddings (2000 x 64, unit-norm-ish random):
+
+* clustered — the label-indexed +6.0 lift (same space as the knn_ivf
+  contract query): the regime real embedding corpora are in, where a
+  coarse quantizer's cells align with neighbor structure;
+* random    — the raw vectors: no cluster structure, the worst case for
+  ANY coarse quantizer (documented as the adversarial bound, not a
+  target).
+
+Recall@10 = |ivf top-10 ∩ exact top-10| / 10 averaged over 50 queries
+(deterministic vec_id % 40 == 0 set, self-matches excluded both sides).
+Latency is split into train (driver k-means on the full 2000-row table)
+and query (cell assignment + probe join + top-k collect), each measured
+around a full collect.
+
+Run in isolation (bench-noise memo): python tools/ivf_grid.py [sf_dir]
+Exits nonzero if the default config (n_centroids=10, nprobe=2) recalls
+< 0.9 on the clustered corpus.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+GRID_CENTROIDS = [4, 10, 16]
+GRID_NPROBE = [1, 2, 4]
+DEFAULT = (10, 2)
+K = 10
+
+
+def _recall(approx_rows, exact: dict[int, set]) -> float:
+    got: dict[int, set] = {}
+    for r in approx_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return sum(len(got.get(q, set()) & nb) / len(nb) for q, nb in exact.items()) / len(exact)
+
+
+def run_grid(sf_dir: str) -> str:
+    from pyspark.sql import functions as F
+
+    from lmss_entity_extractor_spark.ops.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+        train_ivf_centroids,
+    )
+    from lmss_entity_extractor_spark.session import get_spark
+
+    spark = get_spark(app_name="ivf-grid")
+    e0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lifted = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        + F.when(i == F.col("label"), F.lit(6.0)).otherwise(F.lit(0.0)),
+    )
+    corpora = {
+        "clustered": e0.select("vec_id", lifted.alias("embedding")).cache(),
+        "random": e0.select("vec_id", "embedding").cache(),
+    }
+    lines = [
+        "# IVF recall / latency grid",
+        "",
+        f"Corpus: `{sf_dir}/embeddings.parquet` "
+        f"({e0.count()} x 64), 50 queries (`vec_id % 40 == 0`), recall@{K} vs "
+        "exact brute force, times are single-run wall clock on this host "
+        "(±15-40% epoch noise — see BENCH/BASELINE.md).",
+        "",
+    ]
+    default_clustered_recall = None
+    for name, corpus in corpora.items():
+        corpus.count()  # materialize the cache outside the timings
+        queries = corpus.filter(F.col("vec_id") % 40 == 0)
+        exact: dict[int, set] = {}
+        for r in knn_bruteforce(corpus, queries, k=K).collect():
+            exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        lines += [
+            f"## {name} corpus",
+            "",
+            "| n_centroids | nprobe | recall@10 | train s | query s | scanned candidates/query |",
+            "|---|---|---|---|---|---|",
+        ]
+        for nc in GRID_CENTROIDS:
+            t0 = time.monotonic()
+            cents = train_ivf_centroids(corpus, n_centroids=nc)
+            t_train = time.monotonic() - t0
+            for npb in GRID_NPROBE:
+                if npb > nc:
+                    continue
+                t0 = time.monotonic()
+                rows = knn_ivf(
+                    corpus, queries, k=K, n_centroids=nc, nprobe=npb
+                ).collect()
+                t_query = time.monotonic() - t0
+                rec = _recall(rows, exact)
+                # candidate volume ~ nprobe/n_centroids of the corpus —
+                # the knob's cost side, stated instead of implied
+                frac = min(1.0, npb / nc)
+                lines.append(
+                    f"| {nc} | {npb} | {rec:.3f} | {t_train:.2f} | {t_query:.2f} "
+                    f"| ~{frac * 100:.0f}% of corpus |"
+                )
+                if name == "clustered" and (nc, npb) == DEFAULT:
+                    default_clustered_recall = rec
+        lines.append("")
+        del cents
+    lines += [
+        "Reading: on the clustered corpus (the regime embeddings corpora are "
+        "in) the default (10, 2) keeps recall >= 0.9 while scanning ~20% of "
+        "the corpus per query; raising nprobe buys recall linearly in scan "
+        "cost.  On the random corpus no coarse quantizer can do well "
+        "(neighbors are spread uniformly across cells) — recall there is the "
+        "documented adversarial floor, and brute force / LSH with wider "
+        "buckets is the right tool.  `knn_ivf` trains per call (timed "
+        "separately above); the production path amortizes it via "
+        "`write_ivf_index` + partition-pruned `knn_ivf_indexed` probes "
+        "(cold-probe table in BENCH/BASELINE.md).",
+        "",
+    ]
+    spark.stop()
+    md = "\n".join(lines)
+    assert default_clustered_recall is not None
+    if default_clustered_recall < 0.9:
+        print(md)
+        raise SystemExit(
+            f"default config recall {default_clustered_recall:.3f} < 0.9 on the clustered corpus"
+        )
+    return md
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = REPO / "BENCH" / "IVF.md"
+    out.write_text(run_grid(sf))
+    print(f"wrote {out}")
