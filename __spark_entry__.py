@@ -1073,14 +1073,23 @@ def q_stream_reply_join(spark, sf_dir):
     from lmss_entity_extractor_spark.streaming.stateful import pair_turns_with_replies
 
     tmp = tempfile.mkdtemp(prefix="lmss_replyq_")
-    _transcripts(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(f"{tmp}/turns")
+    t = _transcripts(spark, sf_dir)
+    t.repartition(4).write.mode("overwrite").parquet(f"{tmp}/turns")
+    # The watermark must exceed the full event-time span: repartition(4)
+    # scatters the time range across files, so batch 1 can contain
+    # near-max ts and a too-short horizon would silently DROP batch-2
+    # rows from the stateful join (the oracle keeps them -> red row).
+    # Derive it from the data instead of hard-coding 240h.
+    span = t.agg(
+        F.ceil((F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))) / 3600)
+    ).collect()[0][0]
     stream = (
         spark.readStream.schema(schemas.TRANSCRIPTS)
         .option("maxFilesPerTrigger", 2)
         .parquet(f"{tmp}/turns")
     )
     q = (
-        pair_turns_with_replies(stream, reply_window="2 hours", watermark="240 hours")
+        pair_turns_with_replies(stream, reply_window="2 hours", watermark=f"{int(span) + 24} hours")
         .writeStream.outputMode("append")
         .format("memory")
         .queryName("q_reply_join")
@@ -1678,9 +1687,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, NULL FROM w WHERE len(words) = 0
         """,
         "time_rollup": """
+            -- tz-free bucket reconstruction: epoch arithmetic + a plain
+            -- TIMESTAMP interval add.  (CAST(to_timestamp(..) AS TIMESTAMP)
+            -- would render wall-clock in the HOST's session TimeZone while
+            -- Spark's session tz is pinned UTC — red on any non-UTC host.)
             WITH b AS (
-                SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600)
-                            AS TIMESTAMP) AS bucket6h,
+                SELECT TIMESTAMP '1970-01-01 00:00:00'
+                           + to_seconds(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600)
+                           AS bucket6h,
                        event_type, value
                 FROM events
             )
@@ -1976,16 +1990,22 @@ def oracle_sql() -> dict[str, str]:
             -- scorer (tools/make_oracle_fixtures.py — sf-independent, the
             -- query ignores sf_dir); DuckDB checks the 0.3/0.3/0.4 blend,
             -- the score>0 filter, and the top-10 asc-iri-tiebreak ranking.
-            -- Arithmetic order mirrors search.py exactly so doubles match
-            -- bit-for-bit; ordering/limit use the UNROUNDED score like the
-            -- Spark plan (the driver compare is order-insensitive).
+            -- Arithmetic mirrors search.py exactly — the weights are CAST
+            -- to DOUBLE so DuckDB cannot constant-fold `0.3 * ts` in exact
+            -- DECIMAL (which diverges from the UDF's binary doubles by
+            -- 1 ulp); with the forced-double order the scores match
+            -- bit-for-bit.  Ordering/limit use the UNROUNDED score like
+            -- the Spark plan (the driver compare is order-insensitive).
             SELECT iri, label, round(score, 6) AS score
             FROM (
                 SELECT iri, label,
-                       (0.3 * ts_ratio / 100.0 + 0.3 * p_ratio / 100.0)
-                       + 0.4 * cos AS score
+                       (CAST(0.3 AS DOUBLE) * ts_ratio / 100.0
+                        + CAST(0.3 AS DOUBLE) * p_ratio / 100.0)
+                       + CAST(0.4 AS DOUBLE) * cos AS score
                 FROM read_parquet('/root/repo/fixtures/oracle/sf0.01/hybrid_search_terms.parquet')
-                WHERE (0.3 * ts_ratio / 100.0 + 0.3 * p_ratio / 100.0) + 0.4 * cos > 0
+                WHERE (CAST(0.3 AS DOUBLE) * ts_ratio / 100.0
+                       + CAST(0.3 AS DOUBLE) * p_ratio / 100.0)
+                      + CAST(0.4 AS DOUBLE) * cos > 0
                 ORDER BY score DESC, iri ASC
                 LIMIT 10
             )

@@ -33,7 +33,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 25,
+    max_iter: int | None = None,
     algorithm: str = "propagation",
 ) -> DataFrame:
     """edges(src, dst) -> (node, component), component = min node id of
@@ -43,11 +43,16 @@ def connected_components(
     ``algorithm="propagation"`` (default) converges in diameter rounds —
     right for near-clique dup groups; ``algorithm="star"`` runs
     large-star/small-star (~log d rounds) — right for long-chain graphs.
+    ``max_iter=None`` uses each algorithm's own default (25 / 30).
     """
     if algorithm == "star":
+        if max_iter is None:
+            return connected_components_star(edges, src, dst)
         return connected_components_star(edges, src, dst, max_iter=max_iter)
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm {algorithm!r}: propagation | star")
+    if max_iter is None:
+        max_iter = 25
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -130,7 +135,8 @@ def connected_components_star(
         .localCheckpoint()
     )
     rounds = 0
-    converged = e.isEmpty()
+    prev_n = e.count()
+    converged = prev_n == 0
     while not converged and rounds < max_iter:
         rounds += 1
         # large-star: group the SYMMETRIC neighborhood by u, hook bigger
@@ -162,7 +168,12 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
-        converged = small.count() == e.count() and small.exceptAll(e).isEmpty()
+        # set equality in two actions, not three: both sides are distinct,
+        # so equal counts (prev count carried locally, not recomputed) +
+        # one-direction empty difference imply equality
+        n = small.count()
+        converged = n == prev_n and small.exceptAll(e).isEmpty()
+        prev_n = n
         e = small
     if not converged:
         raise RuntimeError(

@@ -82,12 +82,10 @@ def test_all_oracles_free_of_odd_dtypes():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     bad = {}
     for name, sql in e.oracle_sql().items():
-        try:
-            odd = odd_oracle_dtypes(con.sql(sql))
-        except Exception:
-            # fixture-backed oracles are pinned to sf0.01 paths; dtype
-            # coverage for those comes from the fixture writer itself
-            continue
+        # every oracle must PARSE AND BIND here — the fixture-backed ones
+        # use absolute repo paths, so nothing is exempt; an oracle that
+        # errors would otherwise drop out of the dtype sweep silently
+        odd = odd_oracle_dtypes(con.sql(sql))
         if odd:
             bad[name] = odd
     assert not bad, bad

@@ -34,8 +34,9 @@ def _ship_toy_encoder(spark):
         sys.path.insert(0, str(_TOY_MODULE.parent))
     try:
         spark.sparkContext.addPyFile(str(_TOY_MODULE))
-    except Exception:
-        pass  # already added by an earlier test in this session
+    except Exception as exc:  # re-adding in one session is the only benign case
+        if "already" not in str(exc).lower():
+            raise
 
 
 def _spark_triples(spark, tiny_transcripts, owl_path, warehouse, profile, encoder_spec):
