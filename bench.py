@@ -330,7 +330,16 @@ both parallelism levels: {'YES' if (ka['links'], ka['edges']) == (kb['links'], k
 """
     out = REPO / "BENCH" / "BASELINE.md"
     out.parent.mkdir(exist_ok=True)
-    out.write_text(md)
+    # preserve manually-appended sections (protocol comparisons, operator
+    # probes, indexed-probe tables) — everything from the first "## "
+    # heading of the existing file onward; only the core table is rewritten
+    tail = ""
+    if out.exists():
+        prev = out.read_text()
+        cut = prev.find("\n## ")
+        if cut >= 0:
+            tail = prev[cut:]
+    out.write_text(md.rstrip() + "\n" + tail)
     print(md, file=sys.stderr)
     print(json.dumps({
         "metric": "scaling_efficiency",

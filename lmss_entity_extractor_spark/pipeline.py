@@ -278,5 +278,20 @@ class KGPipeline:
 
         reset_incremental(self, out_dir)
 
+    def snapshots(self) -> list[dict]:
+        """Committed (snapshot_id, increment) log in commit order — the
+        Iceberg ``snapshots()`` shape for ``run_incremental`` outputs."""
+        from .streaming.incremental import snapshots
+
+        return snapshots(self)
+
+    def edges_as_of(self, out_dir: str | Path, snapshot_id: str) -> DataFrame:
+        """Time-travel read (Iceberg ``VERSION AS OF`` shape): compacted
+        canonical edges as of a recorded input snapshot; increments
+        committed later contribute zero scanned bytes."""
+        from .streaming.incremental import edges_as_of
+
+        return edges_as_of(self, out_dir, snapshot_id)
+
     def write_metrics(self) -> None:
         (self.warehouse / "metrics.json").write_text(json.dumps(self.metrics, indent=2, default=str))

@@ -177,6 +177,12 @@ def incremental_edges_snapshot(
     # commit order: data, then the manifest that both records the new
     # snapshot and vouches for the new dir; a crash between the two
     # leaves an orphan that the next call removes and re-derives
+    # history = the snapshot log (the Iceberg snapshot-list shape): one
+    # entry per committed increment, in commit order — what time-travel
+    # reads (edges_as_of) resolve against.  Carried forward inside the
+    # manifest so the whole commit stays ONE atomic file write.
+    history = list((prev or {}).get("history", []))
+    history.append({"snapshot_id": cur["snapshot_id"], "increment": inc_id})
     pipe.ckpt.record_snapshot(
         snapshot_name,
         cur,
@@ -184,6 +190,7 @@ def incremental_edges_snapshot(
             "increment": inc_id,
             "increment_files": added,
             "committed_increments": committed + [inc_id],
+            "history": history,
         },
     )
     return {"processed_files": added, "increment": inc_id, "snapshot_id": cur["snapshot_id"]}
@@ -206,11 +213,52 @@ def reset_incremental(
             shutil.rmtree(d, ignore_errors=True)
 
 
+def snapshots(pipe, snapshot_name: str = "transcripts_in") -> list[dict]:
+    """The snapshot log for time travel: committed (snapshot_id,
+    increment) entries in commit order — the Iceberg ``table.snapshots()``
+    shape over the manifest catalog.  Empty if nothing is recorded."""
+    man = pipe.ckpt.load_snapshot(snapshot_name)
+    return list((man or {}).get("history", []))
+
+
+def edges_as_of(
+    pipe,
+    out_dir: str | Path,
+    snapshot_id: str,
+    snapshot_name: str = "transcripts_in",
+) -> DataFrame:
+    """Time-travel read: the compacted canonical edges AS OF a recorded
+    input snapshot — the Iceberg ``VERSION AS OF`` shape without jars.
+
+    Resolves ``snapshot_id`` against the snapshot log, reads ONLY the
+    increment dirs committed up to and including it (later increments
+    contribute zero scanned bytes — directory selection, the same pruning
+    class as partition filters), and compacts.  Raises ``KeyError`` for
+    an unknown id: an unrecorded snapshot silently resolving to "latest"
+    would be a correctness trap for auditing reads."""
+    history = snapshots(pipe, snapshot_name)
+    incs: list[str] = []
+    for h in history:
+        incs.append(h["increment"])
+        if h["snapshot_id"] == snapshot_id:
+            break
+    else:
+        raise KeyError(
+            f"snapshot {snapshot_id!r} not in the snapshot log "
+            f"(known: {[h['snapshot_id'] for h in history]})"
+        )
+    paths = [str(Path(out_dir) / f"increment={i}") for i in incs]
+    return _compact(pipe.spark.read.parquet(*paths))
+
+
 def compact_incremental_edges(spark: SparkSession, out_dir: str | Path) -> DataFrame:
     """Cross-batch canonicalization: identical (subj, pred, obj) triples
     appended by different micro-batches merge into one row with summed
     provenance counts and min first-seen provenance."""
-    inc = spark.read.parquet(str(out_dir))
+    return _compact(spark.read.parquet(str(out_dir)))
+
+
+def _compact(inc: DataFrame) -> DataFrame:
     return (
         inc.groupBy("subj", "pred", "obj")
         .agg(

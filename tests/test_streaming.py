@@ -89,6 +89,19 @@ def test_snapshot_incremental_processes_only_the_delta(spark, owl_path, tmp_path
     batch = pipe.dataflow(spark.read.parquet(str(tdir)))["edges"]
     assert _edge_set(compacted) == _edge_set(batch)
 
+    # time travel: the snapshot log records both commits in order, and a
+    # VERSION-AS-OF read at the first snapshot sees exactly the first two
+    # files' edges (the later increment contributes nothing)
+    log = pipe.snapshots()
+    assert [h["snapshot_id"] for h in log] == [r1["snapshot_id"], r3["snapshot_id"]]
+    batch_v1 = pipe.dataflow(
+        spark.read.parquet(str(tdir / "part-0.parquet"), str(tdir / "part-1.parquet"))
+    )["edges"]
+    assert _edge_set(pipe.edges_as_of(out_dir, r1["snapshot_id"])) == _edge_set(batch_v1)
+    assert _edge_set(pipe.edges_as_of(out_dir, r3["snapshot_id"])) == _edge_set(batch)
+    with pytest.raises(KeyError, match="not in the snapshot log"):
+        pipe.edges_as_of(out_dir, "deadbeef")
+
     # an uncommitted (orphan) increment dir is dropped on the next call
     orphan = out_dir / "increment=deadbeefdeadbeef"
     orphan.mkdir()
