@@ -279,10 +279,17 @@ def run_scaling(sf_dir: str, factor: int) -> None:
     ctrl = hardware_control(sf_dir, n_small, n_big)
     print(f"hardware control: {ctrl}", file=sys.stderr)
 
-    best = max(
+    # Report the MEDIAN paired round.  The earlier "max combined
+    # throughput = least interference" rule is biased: co-tenant noise
+    # during the local[N] run deflates measured efficiency while a
+    # lucky-quiet local[N] run inflates combined throughput — the rule
+    # systematically selects the round with the LOWEST ratio whenever the
+    # narrow run got lucky.  The median paired round is robust to
+    # interference in either direction; all rounds stay listed.
+    best = sorted(
         rounds,
-        key=lambda p: p[n_small]["kg"]["triples_per_sec"] + p[n_big]["kg"]["triples_per_sec"],
-    )
+        key=lambda p: p[n_big]["kg"]["triples_per_sec"] / p[n_small]["kg"]["triples_per_sec"],
+    )[len(rounds) // 2]
     ka, kb = best[n_small]["kg"], best[n_big]["kg"]
     eff = (kb["triples_per_sec"] / ka["triples_per_sec"]) / 4
     all_effs = [
@@ -300,7 +307,7 @@ canonical groupBy.  Fresh JVM per parallelism level; JVM/session warmup
 and input generation excluded from the timed window.  Both widths run
 back-to-back per round and efficiency is computed per paired round
 (shared-host noise is 15-40% between epochs); reported below is the
-least-interference round of {len(rounds)} (all paired efficiencies: {all_effs}).
+MEDIAN paired round of {len(rounds)} (all paired efficiencies: {all_effs}).
 
 | parallelism | wall sec | turns/sec | links | canonical edges | triples/sec |
 |---|---|---|---|---|---|
