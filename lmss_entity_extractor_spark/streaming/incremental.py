@@ -251,6 +251,96 @@ def edges_as_of(
     return _compact(pipe.spark.read.parquet(*paths))
 
 
+def edges_diff(
+    pipe,
+    out_dir: str | Path,
+    from_snapshot: str,
+    to_snapshot: str,
+    snapshot_name: str = "transcripts_in",
+) -> DataFrame:
+    """Changelog between two recorded snapshots (the Iceberg
+    incremental-read shape): canonical edges that are NEW at
+    ``to_snapshot`` (``_change = 'insert'``) or whose merged provenance
+    changed (``_change = 'update'``, e.g. more provenances observed).
+    Unchanged triples are absent, so a downstream consumer processes
+    only the delta.  Deletes cannot occur under the append-only input
+    contract.  ``from_snapshot`` must precede ``to_snapshot`` in the
+    snapshot log."""
+    ids = [h["snapshot_id"] for h in snapshots(pipe, snapshot_name)]
+    if from_snapshot not in ids or to_snapshot not in ids:
+        raise KeyError(f"unknown snapshot (known: {ids})")
+    if ids.index(from_snapshot) >= ids.index(to_snapshot):
+        raise ValueError(f"{from_snapshot!r} does not precede {to_snapshot!r} in the snapshot log")
+    old = edges_as_of(pipe, out_dir, from_snapshot, snapshot_name)
+    new = edges_as_of(pipe, out_dir, to_snapshot, snapshot_name)
+    key = ["subj", "pred", "obj"]
+    o = old.select(
+        *key,
+        F.struct(*[c for c in old.columns if c not in key]).alias("_old"),
+    )
+    n = new.select(
+        *key,
+        F.struct(*[c for c in new.columns if c not in key]).alias("_new"),
+    )
+    joined = n.join(o, key, "left")  # append-only: new side is a superset
+    return (
+        joined.filter(F.col("_old").isNull() | (F.col("_old") != F.col("_new")))
+        .select(
+            *key,
+            F.col("_new.*"),
+            F.when(F.col("_old").isNull(), F.lit("insert")).otherwise(F.lit("update")).alias("_change"),
+        )
+    )
+
+
+def expire_and_compact(pipe, out_dir: str | Path, snapshot_name: str = "transcripts_in") -> str:
+    """Table maintenance (the Iceberg ``expire_snapshots`` +
+    ``rewrite_data_files`` pair): merge every committed increment into
+    ONE pre-compacted increment and truncate the snapshot log to the
+    latest snapshot.
+
+    After this, reads touch a single merged file set instead of one dir
+    per historical commit (small-file pressure is the real cost of
+    long-running incremental tables), and time travel to pre-compaction
+    snapshots raises KeyError — expiry is the documented trade, exactly
+    as in Iceberg.  Crash-safe by commit ordering: the compacted dir is
+    written first, the manifest commit swaps the vouched set atomically,
+    and stale dirs are removed last (a crash in between leaves dirs the
+    manifest doesn't vouch for, which the next ``run_incremental``
+    reaps).  Returns the compacted increment id."""
+    import hashlib
+
+    man = pipe.ckpt.load_snapshot(snapshot_name)
+    if not man:
+        raise ValueError(f"no snapshot recorded under {snapshot_name!r} — nothing to compact")
+    committed = list(man.get("committed_increments") or [])
+    if not committed:
+        raise ValueError("no committed increments — nothing to compact")
+    inc_id = "compact-" + hashlib.sha256(json.dumps(committed).encode()).hexdigest()[:16]
+    paths = [str(Path(out_dir) / f"increment={i}") for i in committed]
+    _compact(pipe.spark.read.parquet(*paths)).write.mode("overwrite").parquet(
+        str(Path(out_dir) / f"increment={inc_id}")
+    )
+    payload = {
+        k: v
+        for k, v in man.items()
+        if k not in ("increment", "increment_files", "committed_increments", "history")
+    }
+    pipe.ckpt.record_snapshot(
+        snapshot_name,
+        payload,
+        extra={
+            "increment": inc_id,
+            "committed_increments": [inc_id],
+            "history": [{"snapshot_id": man["snapshot_id"], "increment": inc_id}],
+        },
+    )
+    for i in committed:
+        if i != inc_id:
+            shutil.rmtree(Path(out_dir) / f"increment={i}", ignore_errors=True)
+    return inc_id
+
+
 def compact_incremental_edges(spark: SparkSession, out_dir: str | Path) -> DataFrame:
     """Cross-batch canonicalization: identical (subj, pred, obj) triples
     appended by different micro-batches merge into one row with summed

@@ -138,6 +138,65 @@ def test_snapshot_incremental_processes_only_the_delta(spark, owl_path, tmp_path
 
 
 @pytest.mark.spark
+def test_edges_diff_and_expire_compact(spark, owl_path, tmp_path):
+    """Changelog reads between snapshots (insert/update rows only) and
+    the expire+compact maintenance job (single merged increment, log
+    truncated, incremental processing continues)."""
+    from lmss_entity_extractor_spark.streaming.incremental import (
+        edges_diff,
+        expire_and_compact,
+    )
+
+    tdir = tmp_path / "transcripts"
+    tdir.mkdir()
+    out_dir = tmp_path / "snap_edges"
+    write_transcripts_parquet(tdir / "part-0.parquet", n_convs=4, seed=11)
+    pipe = KGPipeline(spark, owl_path, tmp_path / "wh", PipelineConfig())
+    r1 = pipe.run_incremental(tdir, out_dir)
+    write_transcripts_parquet(tdir / "part-1.parquet", n_convs=4, seed=11)  # same convs
+    r2 = pipe.run_incremental(tdir, out_dir)
+
+    def _map(df):
+        return {
+            (r.subj, r.pred, r.obj): (r.n_provenances, r.first_conv_id, r.first_turn_idx)
+            for r in df.collect()
+        }
+
+    old = _map(pipe.edges_as_of(out_dir, r1["snapshot_id"]))
+    new = _map(pipe.edges_as_of(out_dir, r2["snapshot_id"]))
+    assert set(old) <= set(new)
+    diff = edges_diff(pipe, out_dir, r1["snapshot_id"], r2["snapshot_id"])
+    got = {(r.subj, r.pred, r.obj): r._change for r in diff.collect()}
+    want = {
+        k: ("insert" if k not in old else "update")
+        for k, v in new.items()
+        if k not in old or old[k] != v
+    }
+    assert got == want and "update" in set(want.values())
+    with pytest.raises(ValueError, match="does not precede"):
+        edges_diff(pipe, out_dir, r2["snapshot_id"], r1["snapshot_id"])
+
+    # expire + compact: one merged increment, truncated log, same table
+    batch = pipe.dataflow(spark.read.parquet(str(tdir)))["edges"]
+    inc = expire_and_compact(pipe, out_dir)
+    assert [h["increment"] for h in pipe.snapshots()] == [inc]
+    assert [d.name for d in out_dir.glob("increment=*")] == [f"increment={inc}"]
+    assert _edge_set(compact_incremental_edges(spark, out_dir)) == _edge_set(batch)
+    with pytest.raises(KeyError):  # pre-compaction snapshot expired
+        pipe.edges_as_of(out_dir, r1["snapshot_id"])
+    assert _edge_set(pipe.edges_as_of(out_dir, r2["snapshot_id"])) == _edge_set(batch)
+
+    # incremental processing continues on top of the compacted base
+    write_transcripts_parquet(tdir / "part-2.parquet", n_convs=2, seed=33)
+    r3 = pipe.run_incremental(tdir, out_dir)
+    assert r3["processed_files"] == ["part-2.parquet"]
+    spark.catalog.clearCache()
+    batch_all = pipe.dataflow(spark.read.parquet(str(tdir)))["edges"]
+    assert _edge_set(compact_incremental_edges(spark, out_dir)) == _edge_set(batch_all)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+@pytest.mark.spark
 def test_incremental_reconciles_after_checkpoint_loss(spark, owl_path, tmp_path, stream_dirs):
     """ADVICE r1: if the streaming checkpoint is lost AND new files land
     before the rerun, file->batch assignment shifts; the per-batch
