@@ -193,7 +193,7 @@ def _mp_control_worker(args):
     n_iter, sf_dir, owl = args
     import duckdb
 
-    from lmss_entity_extractor_spark.extraction import extract_mentions_from_turn
+    from lmss_entity_extractor_spark.extraction.turn import extract_mentions_from_turns
     from lmss_entity_extractor_spark.ontology import build_artifacts, parse_owl_classes
 
     arts = build_artifacts(parse_owl_classes(owl))
@@ -205,8 +205,9 @@ def _mp_control_worker(args):
     ]
     c = 0
     for _ in range(n_iter):
-        for t in texts:
-            c += len(extract_mentions_from_turn(t, arts, with_context=False))
+        # same batched kernel form the Spark UDF runs — the control must
+        # measure the host, not a different code path
+        c += sum(len(m) for m in extract_mentions_from_turns(texts, arts, with_context=False))
     assert c >= 0
     # TURNS processed (the throughput unit); LIMIT 500 may cap below 500
     # on tiny sf dirs, so report the real count, not the nominal one

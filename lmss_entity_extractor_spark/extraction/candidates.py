@@ -129,14 +129,22 @@ def fuzzy_window_spans(
                 return -1.0
             return float((counts / (wsize + surf_sizes - counts)).max())
 
+    _scan_windows(text, toks, tok_stop, window_sim, threshold, max_window, out)
+    return out
+
+
+def _scan_windows(text, toks, tok_stop, window_sim, threshold, max_window, out) -> None:
+    """The per-turn window scan shared by the per-turn and cross-turn
+    batched fuzzy paths (one body, zero parity drift): evaluate windows
+    starting at each non-stop token, keep the best-scoring one — spaCy
+    noun chunks never overlap each other, and emitting every qualifying
+    sub-window would splice garbage in the merge scan."""
+    n_toks = len(toks)
     i = 0
     while i < n_toks:
         if tok_stop[i]:
             i += 1
             continue
-        # evaluate windows starting at i, keep the best-scoring one —
-        # spaCy noun chunks never overlap each other, and emitting every
-        # qualifying sub-window would splice garbage in the merge scan
         best = None  # (similarity, n)
         for n in range(1, max_window + 1):
             j = i + n - 1
@@ -156,7 +164,99 @@ def fuzzy_window_spans(
             start, end = toks[i][1], toks[i + n - 1][2]
             out.append((text[start:end], start, end, FUZZY_TYPE))
             i = i + n  # windows never overlap
-    return out
+
+
+# cells budget per batched chunk: big enough to amortize ufunc dispatch
+# across tens of turns, SMALL enough that the working set (int32 prefix
+# matrix + two float64 per-n buffers ~ 20 bytes/cell -> ~2 MB at 100k
+# cells) stays cache-resident per worker.  Measured: 100k-500k are
+# equivalent on one core (1.4x over per-turn), but multi-MB chunks turn
+# DRAM-bound and 32 concurrent workers then saturate memory bandwidth —
+# a 4M-cell budget measured 2.6x SLOWER than per-turn at local[32].
+_BATCH_CELL_BUDGET = 100_000
+
+
+def fuzzy_window_spans_batch(
+    texts: list[str],
+    artifacts: OntologyArtifacts,
+    threshold: float = FUZZY_JACCARD_THRESHOLD,
+    max_window: int = FUZZY_MAX_WINDOW,
+) -> list[list[Span]]:
+    """``fuzzy_window_spans`` over a whole Arrow batch of turns at once.
+
+    The per-turn batched form still pays numpy dispatch per turn on tiny
+    (n_toks x S) matrices (~60% of kernel time profiled at ~213 us/turn).
+    Here the prefix-sum/tally machinery runs over the CONCATENATED token
+    stream of many turns (chunked to ``_BATCH_CELL_BUDGET`` cells), so
+    the ufunc cost amortizes across the chunk.  Output is BIT-IDENTICAL
+    to the per-turn form: an in-turn window's counts are sums of exactly
+    the same tally rows whichever prefix matrix they come from, and rows
+    that straddle turn boundaries are simply never queried by the
+    per-turn scan (same ``_scan_windows`` body).
+    """
+    import numpy as np
+
+    surf_sizes = artifacts.label_tri_sizes
+    S = len(surf_sizes)
+    results: list[list[Span]] = [[] for _ in texts]
+    per_turn = []  # (turn_index, toks, tok_lower, tok_stop)
+    for ti, text in enumerate(texts):
+        toks = tokenize_with_offsets(text)
+        if not toks:
+            continue
+        tok_lower = [t[0].lower() for t in toks]
+        per_turn.append((ti, toks, tok_lower, [t in STOPWORDS for t in tok_lower]))
+
+    # chunk turns under the cell budget (a single huge turn falls back to
+    # the per-turn path, which has its own large-input fallback)
+    chunk: list = []
+    chunk_cells = 0
+    max_cells = max(_BATCH_CELL_BUDGET, 1)
+    for entry in per_turn:
+        cells = len(entry[1]) * max(S, 1)
+        if cells > max_cells:
+            results[entry[0]] = fuzzy_window_spans(texts[entry[0]], artifacts, threshold, max_window)
+            continue
+        if chunk and chunk_cells + cells > max_cells:
+            _fuzzy_chunk(texts, chunk, artifacts, threshold, max_window, results)
+            chunk, chunk_cells = [], 0
+        chunk.append(entry)
+        chunk_cells += cells
+    if chunk:
+        _fuzzy_chunk(texts, chunk, artifacts, threshold, max_window, results)
+    return results
+
+
+def _fuzzy_chunk(texts, chunk, artifacts, threshold, max_window, results) -> None:
+    import numpy as np
+
+    surf_sizes = artifacts.label_tri_sizes
+    S = len(surf_sizes)
+    flat_lower: list[str] = []
+    offsets: list[int] = []
+    for _, _, tok_lower, _ in chunk:
+        offsets.append(len(flat_lower))
+        flat_lower.extend(tok_lower)
+    ct = len(flat_lower)
+    T, z = _tally_rows(artifacts, flat_lower)
+    P = np.zeros((ct + 1, S), np.int32)
+    np.cumsum(T, axis=0, out=P[1:])
+    Z = np.concatenate(([0], np.cumsum(z)))
+    sims = []
+    for n in range(1, max_window + 1):
+        if n > ct:
+            break
+        C = P[n:] - P[:-n]
+        W = (Z[n:] - Z[:-n]).astype(np.float64)
+        denom = np.maximum(W[:, None] + surf_sizes[None, :] - C, 1.0)
+        sim_n = np.where(W > 0, np.max(C / denom, axis=1) if S else 0.0, -1.0)
+        sims.append(sim_n.tolist())
+
+    for (ti, toks, _, tok_stop), g0 in zip(chunk, offsets):
+        def window_sim(i: int, n: int, _g0=g0) -> float:
+            return sims[n - 1][_g0 + i]
+
+        _scan_windows(texts[ti], toks, tok_stop, window_sim, threshold, max_window, results[ti])
 
 
 def _tally_rows(artifacts: OntologyArtifacts, tokens: list[str]):
@@ -293,3 +393,15 @@ def generate_candidates(text: str, artifacts: OntologyArtifacts) -> list[Span]:
         + fuzzy_window_spans(text, artifacts)
         + keyword_spans(text)
     )
+
+
+def generate_candidates_batch(texts: list[str], artifacts: OntologyArtifacts) -> list[list[Span]]:
+    """``generate_candidates`` for a whole Arrow batch: the fuzzy channel
+    runs cross-turn batched (the kernel's dominant cost), dictionary and
+    keyword channels stay per-turn (regex-bound, already cheap).  Channel
+    order per turn is identical to the per-turn form."""
+    fuzzy = fuzzy_window_spans_batch(texts, artifacts)
+    return [
+        dictionary_spans(t, artifacts) + fz + keyword_spans(t)
+        for t, fz in zip(texts, fuzzy)
+    ]

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from .. import schemas
 from ..session import widen_small_input
 from ..encoder import get_encoder
-from .turn import extract_mentions_from_turn
+from .turn import extract_mentions_from_turns
 
 _MENTION_COLS = [f.name for f in schemas.MENTIONS.fields]
 _CORE_COLS = [c for c in _MENTION_COLS if c not in ("context", "source", "confidence")]
@@ -79,12 +79,29 @@ def detect_mentions(
             # several times faster than a list-of-tuples DataFrame for the
             # multi-million-row mention fan-out
             cols: dict[str, list] = {c: [] for c in udf_cols}
-            for conv_id, turn_idx, text in zip(
-                pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(), pdf["text"].tolist()
+            texts = pdf["text"].tolist()
+            # cross-turn batched extraction: the fuzzy channel's numpy
+            # work amortizes over cache-sized chunks of the Arrow batch
+            # (1.4x kernel on one core; bit-identical — tests pin it).
+            # SPARK_GRAFT_PER_TURN_EXTRACT=1 forces the per-turn kernel
+            # (A/B lever for saturated-host comparisons; see BENCH notes).
+            import os
+
+            if os.environ.get("SPARK_GRAFT_PER_TURN_EXTRACT") == "1":
+                from .turn import extract_mentions_from_turn
+
+                mention_lists = [
+                    extract_mentions_from_turn(t or "", artifacts, with_context=with_context)
+                    for t in texts
+                ]
+            else:
+                mention_lists = extract_mentions_from_turns(
+                    [t or "" for t in texts], artifacts, with_context=with_context
+                )
+            for conv_id, turn_idx, ms in zip(
+                pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(), mention_lists
             ):
-                for m in extract_mentions_from_turn(
-                    text or "", artifacts, with_context=with_context
-                ):
+                for m in ms:
                     cols["conv_id"].append(conv_id)
                     cols["turn_idx"].append(turn_idx)
                     cols["text"].append(m["text"])

@@ -93,3 +93,30 @@ def test_merge_idempotent_on_resolved_output():
     ]
     once = resolve_spans(spans)
     assert resolve_spans(once) == once
+
+
+def test_batched_extraction_bit_identical_to_per_turn():
+    """The cross-turn batched fuzzy path (extract_mentions_from_turns)
+    must produce bit-identical records to the per-turn form on a corpus
+    with blanks, typos, stop-word phrases, and hot conversations — the
+    in-turn window counts are sums of the same tally rows whichever
+    prefix matrix they come from."""
+    import tempfile
+
+    from lmss_entity_extractor_spark.datagen import gen_transcript_rows, write_fixture_owl
+    from lmss_entity_extractor_spark.extraction.turn import (
+        extract_mentions_from_turn,
+        extract_mentions_from_turns,
+    )
+    from lmss_entity_extractor_spark.ontology import build_artifacts, parse_owl_classes
+
+    owl = tempfile.mktemp(suffix=".owl")
+    write_fixture_owl(owl)
+    arts = build_artifacts(parse_owl_classes(owl))
+    texts = [r[3] for r in gen_transcript_rows(n_convs=12, seed=7, hot_frac=0.1, hot_multiplier=10)]
+    assert "" in texts or any(not t.strip() for t in texts)  # blanks exercised
+    for with_context in (True, False):
+        batch = extract_mentions_from_turns(texts, arts, with_context=with_context)
+        per = [extract_mentions_from_turn(t, arts, with_context=with_context) for t in texts]
+        assert batch == per
+    assert any(batch), "corpus produced no mentions — fixture broken"
