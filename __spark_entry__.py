@@ -1054,6 +1054,41 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+def q_edges_changelog(spark, sf_dir):
+    """Snapshot-incremental + changelog machinery end-to-end, value-
+    oracled: the derived transcripts land in TWO commits (doc_id < 250,
+    then the rest), ``run_incremental`` processes each delta through the
+    real extract->link->canonicalize dataflow, and ``edges_diff``
+    computes the insert/update changelog between the two recorded
+    snapshots.
+
+    Oracle: DuckDB left-joins two frozen loop-oracle edge tables (the
+    doc_id < 250 prefix and the full table —
+    tools/make_oracle_fixtures.py, pinned to sf0.01 like the other
+    loop-oracle fixtures).  Count inequality per triple is
+    diff-completeness: any provenance change implies new emissions,
+    which always bump n_provenances (oracle_edge_rows docstring)."""
+    import tempfile
+
+    from lmss_entity_extractor_spark.datagen.transcripts import transcripts_from_documents
+    from lmss_entity_extractor_spark.streaming.incremental import edges_diff
+
+    tmp = tempfile.mkdtemp(prefix="lmss_chlog_")
+    pipe = _pipeline(spark)
+    docs = _t(spark, sf_dir, "documents")
+    tdir, out = f"{tmp}/turns", f"{tmp}/edges"
+    transcripts_from_documents(docs.filter(F.col("doc_id") < 250)).coalesce(1).write.parquet(
+        f"{tdir}/v1"
+    )
+    r1 = pipe.run_incremental(tdir, out)
+    transcripts_from_documents(docs.filter(F.col("doc_id") >= 250)).coalesce(1).write.parquet(
+        f"{tdir}/v2"
+    )
+    r2 = pipe.run_incremental(tdir, out)
+    diff = edges_diff(pipe, out, r1["snapshot_id"], r2["snapshot_id"])
+    return diff.select("subj", "pred", "obj", "n_provenances", "_change")
+
+
 def q_stream_reply_join(spark, sf_dir):
     """L29 stream-STREAM event-time interval join, driven as a genuine
     multi-micro-batch stream: user turns pair with same-conversation
@@ -1156,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_counts": q_kg_edge_counts,
         "hybrid_search": q_hybrid_search,
         "stream_reply_join": q_stream_reply_join,
+        "edges_changelog": q_edges_changelog,
         # red in round 2 (oracle dtype, fixed r3) — re-check first
         "time_rollup": q_time_rollup,
         # green in round 1 but unsampled in round 2
@@ -2009,6 +2045,19 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY score DESC, iri ASC
                 LIMIT 10
             )
+        """,
+        "edges_changelog": """
+            -- diff of two frozen loop-oracle canonical edge tables
+            -- (doc_id < 250 prefix vs full; tools/make_oracle_fixtures.py,
+            -- pinned to sf0.01): inserts = triples absent at v1, updates =
+            -- provenance-count changes (count inequality is
+            -- diff-completeness — see oracle_edge_rows)
+            SELECT n.subj, n.pred, n.obj, n.n_provenances,
+                   CASE WHEN o.subj IS NULL THEN 'insert' ELSE 'update' END AS _change
+            FROM read_parquet('/root/repo/fixtures/oracle/sf0.01/kg_edges_v2.parquet') n
+            LEFT JOIN read_parquet('/root/repo/fixtures/oracle/sf0.01/kg_edges_v1.parquet') o
+              USING (subj, pred, obj)
+            WHERE o.subj IS NULL OR o.n_provenances <> n.n_provenances
         """,
         "stream_reply_join": """
             -- batch twin of the stream-stream interval join over the same

@@ -1,1 +1,6 @@
-from .reference_oracle import oracle_extract, oracle_link, oracle_triples  # noqa: F401
+from .reference_oracle import (  # noqa: F401
+    oracle_edge_rows,
+    oracle_extract,
+    oracle_link,
+    oracle_triples,
+)

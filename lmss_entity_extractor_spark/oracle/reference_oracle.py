@@ -212,6 +212,41 @@ def oracle_edge_counts(
     return sorted((p, e, pr) for p, (e, pr) in per_pred.items())
 
 
+def oracle_edge_rows(
+    transcript_rows,
+    artifacts: OntologyArtifacts,
+    similarity_threshold: float = 0.7,
+    high_confidence_threshold: float = 0.9,
+) -> list[tuple[str, str, str, int]]:
+    """Full canonical edge ROWS (subj, pred, obj, n_provenances) — the
+    per-triple form of ``oracle_edge_counts``'s tally, frozen to parquet
+    fixtures so DuckDB can value-check the incremental/changelog
+    machinery (``edges_diff``) against straight-line semantics.  Any
+    provenance-bearing column (first_*, max_score) changes only when new
+    emissions arrive, which always bump ``n_provenances`` — so count
+    equality per triple is diff-completeness."""
+    from collections import Counter
+
+    tally: Counter[tuple[str, str, str]] = Counter()
+    for conv_id, turn_idx, text in transcript_rows:
+        turn_uri = f"turn://{conv_id}/{turn_idx}"
+        conv_uri = f"conv://{conv_id}"
+        for m in oracle_extract(text or "", artifacts):
+            match = oracle_link(
+                m["text"],
+                artifacts,
+                similarity_threshold=similarity_threshold,
+                high_confidence_threshold=high_confidence_threshold,
+            )
+            if match is None:
+                continue
+            mention_uri = f"mention://{conv_id}/{turn_idx}/{m['start']}-{m['end']}"
+            tally[(mention_uri, "lmss:isInstanceOf", match["iri"])] += 1
+            tally[(mention_uri, "prov:mentionedIn", turn_uri)] += 1
+            tally[(turn_uri, "prov:partOf", conv_uri)] += 1
+    return sorted((s, p, o, n) for (s, p, o), n in tally.items())
+
+
 def oracle_triples(
     transcript_rows,
     artifacts: OntologyArtifacts,

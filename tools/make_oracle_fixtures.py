@@ -47,6 +47,7 @@ def transcript_rows_from_documents(sf_dir: str | Path, convs: int = 64) -> list[
 
 
 HYBRID_QUERY = "patent litigation counsel"  # pinned to q_hybrid_search
+CHANGELOG_CUT = 250  # doc_id prefix for the changelog v1 fixture (sf0.01: half of 500)
 
 
 def _fold_dot(a, b) -> float:
@@ -99,6 +100,7 @@ def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
     from lmss_entity_extractor_spark.ontology import build_artifacts, parse_owl_classes
     from lmss_entity_extractor_spark.oracle.reference_oracle import (
         oracle_edge_counts,
+        oracle_edge_rows,
         oracle_mention_type_counts,
     )
 
@@ -110,8 +112,27 @@ def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
     mtype_counts = oracle_mention_type_counts(rows, artifacts)
     edge_counts = oracle_edge_counts(rows, artifacts)  # API profile (0.7/0.9)
     hybrid_terms = compute_hybrid_terms(artifacts)
+    # changelog fixtures: canonical edge ROWS for the doc_id < CHANGELOG_CUT
+    # prefix (v1) and the full table (v2) — DuckDB diffs them to oracle the
+    # Spark-side run_incremental + edges_diff machinery (q_edges_changelog)
+    # doc_ids are dense 0..N-1 and rows are ordered by doc_id, so the
+    # prefix slice IS the doc_id < CHANGELOG_CUT filter
+    edges_v1 = oracle_edge_rows(rows[:CHANGELOG_CUT], artifacts)
+    edges_v2 = oracle_edge_rows(rows, artifacts)
+
+    def _edges_table(er):
+        return pa.table(
+            {
+                "subj": pa.array([r[0] for r in er], pa.string()),
+                "pred": pa.array([r[1] for r in er], pa.string()),
+                "obj": pa.array([r[2] for r in er], pa.string()),
+                "n_provenances": pa.array([r[3] for r in er], pa.int64()),
+            }
+        )
 
     return {
+        "kg_edges_v1": _edges_table(edges_v1),
+        "kg_edges_v2": _edges_table(edges_v2),
         # sf-independent (hybrid_search ignores sf_dir) but written per-sf
         # so one regeneration + freshness-test path covers every fixture
         "hybrid_search_terms": pa.table(
