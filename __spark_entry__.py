@@ -1054,6 +1054,12 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+# v1/v2 commit boundary for the changelog query AND its frozen fixtures
+# (tools/make_oracle_fixtures.py imports this — one constant, no drift);
+# sf0.01 (500 docs) splits in half
+CHANGELOG_CUT = 250
+
+
 def q_edges_changelog(spark, sf_dir):
     """Snapshot-incremental + changelog machinery end-to-end, value-
     oracled: the derived transcripts land in TWO commits (doc_id < 250,
@@ -1077,13 +1083,13 @@ def q_edges_changelog(spark, sf_dir):
     pipe = _pipeline(spark)
     docs = _t(spark, sf_dir, "documents")
     tdir, out = f"{tmp}/turns", f"{tmp}/edges"
-    transcripts_from_documents(docs.filter(F.col("doc_id") < 250)).coalesce(1).write.parquet(
-        f"{tdir}/v1"
-    )
+    transcripts_from_documents(
+        docs.filter(F.col("doc_id") < CHANGELOG_CUT)
+    ).coalesce(1).write.parquet(f"{tdir}/v1")
     r1 = pipe.run_incremental(tdir, out)
-    transcripts_from_documents(docs.filter(F.col("doc_id") >= 250)).coalesce(1).write.parquet(
-        f"{tdir}/v2"
-    )
+    transcripts_from_documents(
+        docs.filter(F.col("doc_id") >= CHANGELOG_CUT)
+    ).coalesce(1).write.parquet(f"{tdir}/v2")
     r2 = pipe.run_incremental(tdir, out)
     diff = edges_diff(pipe, out, r1["snapshot_id"], r2["snapshot_id"])
     return diff.select("subj", "pred", "obj", "n_provenances", "_change")

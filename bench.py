@@ -251,8 +251,8 @@ def run_scaling(sf_dir: str, factor: int) -> None:
     # computed PER ROUND: the shared sandbox host shows 15-40%
     # between-run noise, and pairing a lucky-fast local[N] from one
     # interference epoch with a slow local[4N] from another fabricates
-    # anti-scaling that isn't in the pipeline.  The reported round is the
-    # least-interference one (max combined throughput).
+    # anti-scaling that isn't in the pipeline.  The MEDIAN-ratio round is
+    # reported (selection below).
     for r in range(repeats):
         pair: dict = {}
         for cpus in (n_small, n_big):
@@ -287,10 +287,13 @@ def run_scaling(sf_dir: str, factor: int) -> None:
     # systematically selects the round with the LOWEST ratio whenever the
     # narrow run got lucky.  The median paired round is robust to
     # interference in either direction; all rounds stay listed.
+    # (lower-middle for an even round count: a ratio that was actually
+    # measured, and the conservative pick — upper-middle would rebuild
+    # the optimistic bias this rule exists to remove)
     best = sorted(
         rounds,
         key=lambda p: p[n_big]["kg"]["triples_per_sec"] / p[n_small]["kg"]["triples_per_sec"],
-    )[len(rounds) // 2]
+    )[(len(rounds) - 1) // 2]
     ka, kb = best[n_small]["kg"], best[n_big]["kg"]
     eff = (kb["triples_per_sec"] / ka["triples_per_sec"]) / 4
     all_effs = [

@@ -63,6 +63,7 @@ def fuzzy_window_spans(
     artifacts: OntologyArtifacts,
     threshold: float = FUZZY_JACCARD_THRESHOLD,
     max_window: int = FUZZY_MAX_WINDOW,
+    _pre: tuple | None = None,
 ) -> list[Span]:
     """Token n-gram windows that look like some ontology label.
 
@@ -73,15 +74,17 @@ def fuzzy_window_spans(
     """
     import numpy as np
 
-    toks = tokenize_with_offsets(text)
+    if _pre is None:
+        toks = tokenize_with_offsets(text)
+        tok_lower = [t[0].lower() for t in toks]
+        tok_stop = [t in STOPWORDS for t in tok_lower]
+    else:  # batch path hands down its pre-pass (no double tokenization)
+        toks, tok_lower, tok_stop = _pre
     surf_sizes = artifacts.label_tri_sizes
     out: list[Span] = []
     n_toks = len(toks)
     if n_toks == 0:
         return out
-
-    tok_lower = [t[0].lower() for t in toks]
-    tok_stop = [t in STOPWORDS for t in tok_lower]
 
     # Batched window scoring: all (start, n) window similarities in
     # ~max_window ufunc calls via prefix sums over the (token, surface)
@@ -215,7 +218,10 @@ def fuzzy_window_spans_batch(
     for entry in per_turn:
         cells = len(entry[1]) * max(S, 1)
         if cells > max_cells:
-            results[entry[0]] = fuzzy_window_spans(texts[entry[0]], artifacts, threshold, max_window)
+            ti, toks, tok_lower, tok_stop = entry
+            results[ti] = fuzzy_window_spans(
+                texts[ti], artifacts, threshold, max_window, _pre=(toks, tok_lower, tok_stop)
+            )
             continue
         if chunk and chunk_cells + cells > max_cells:
             _fuzzy_chunk(texts, chunk, artifacts, threshold, max_window, results)

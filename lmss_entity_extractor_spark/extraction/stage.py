@@ -44,7 +44,15 @@ def detect_mentions(
     the fused linking dataflow doesn't consume them, and the ±100-char
     context strings dominate the Arrow transfer bytes of the fan-out.
     """
+    import os
+
     from pyspark.sql.types import StructType
+
+    # A/B lever resolved DRIVER-side and captured into the UDF closure:
+    # reading the env var inside the generator would consult the Python
+    # WORKER's environment, which silently differs from the driver shell
+    # on any non-local deployment (the A/B would no-op without error)
+    per_turn_kernel = os.environ.get("SPARK_GRAFT_PER_TURN_EXTRACT") == "1"
 
     base = schemas.MENTIONS_WITH_VECTOR if with_vector else schemas.MENTIONS
     if with_context:
@@ -83,11 +91,9 @@ def detect_mentions(
             # cross-turn batched extraction: the fuzzy channel's numpy
             # work amortizes over cache-sized chunks of the Arrow batch
             # (1.4x kernel on one core; bit-identical — tests pin it).
-            # SPARK_GRAFT_PER_TURN_EXTRACT=1 forces the per-turn kernel
-            # (A/B lever for saturated-host comparisons; see BENCH notes).
-            import os
-
-            if os.environ.get("SPARK_GRAFT_PER_TURN_EXTRACT") == "1":
+            # per_turn_kernel (driver-side env capture above) forces the
+            # per-turn kernel: A/B lever for saturated-host comparisons.
+            if per_turn_kernel:
                 from .turn import extract_mentions_from_turn
 
                 mention_lists = [

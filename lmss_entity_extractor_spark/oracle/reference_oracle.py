@@ -184,28 +184,12 @@ def oracle_edge_counts(
     turn->conv partOf triple (graph/triples.py:42-61); ``n_edges`` counts
     distinct (subj, pred, obj) and ``n_provenances`` sums raw emissions
     per canonical edge (graph/canonicalize.py phase-0 counts summed
-    through phases 1-2)."""
-    from collections import Counter
-
-    tally: Counter[tuple[str, str, str]] = Counter()
-    for conv_id, turn_idx, text in transcript_rows:
-        turn_uri = f"turn://{conv_id}/{turn_idx}"
-        conv_uri = f"conv://{conv_id}"
-        for m in oracle_extract(text or "", artifacts):
-            match = oracle_link(
-                m["text"],
-                artifacts,
-                similarity_threshold=similarity_threshold,
-                high_confidence_threshold=high_confidence_threshold,
-            )
-            if match is None:
-                continue
-            mention_uri = f"mention://{conv_id}/{turn_idx}/{m['start']}-{m['end']}"
-            tally[(mention_uri, "lmss:isInstanceOf", match["iri"])] += 1
-            tally[(mention_uri, "prov:mentionedIn", turn_uri)] += 1
-            tally[(turn_uri, "prov:partOf", conv_uri)] += 1
+    through phases 1-2).  Derived from ``oracle_edge_rows`` so the two
+    oracles can never desynchronize."""
     per_pred: dict[str, list[int]] = {}
-    for (_s, p, _o), n in tally.items():
+    for _s, p, _o, n in oracle_edge_rows(
+        transcript_rows, artifacts, similarity_threshold, high_confidence_threshold
+    ):
         agg = per_pred.setdefault(p, [0, 0])
         agg[0] += 1
         agg[1] += n

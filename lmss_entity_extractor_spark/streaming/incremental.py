@@ -180,8 +180,10 @@ def incremental_edges_snapshot(
     # history = the snapshot log (the Iceberg snapshot-list shape): one
     # entry per committed increment, in commit order — what time-travel
     # reads (edges_as_of) resolve against.  Carried forward inside the
-    # manifest so the whole commit stays ONE atomic file write.
-    history = list((prev or {}).get("history", []))
+    # manifest so the whole commit stays ONE atomic file write; legacy
+    # manifests (pre-history) get their committed increments seeded under
+    # the recorded snapshot id so time travel never under-reads them.
+    history = _seeded_history(prev)
     history.append({"snapshot_id": cur["snapshot_id"], "increment": inc_id})
     pipe.ckpt.record_snapshot(
         snapshot_name,
@@ -213,12 +215,29 @@ def reset_incremental(
             shutil.rmtree(d, ignore_errors=True)
 
 
+def _seeded_history(man: dict | None) -> list[dict]:
+    """The manifest's snapshot log; a legacy manifest (predates the
+    ``history`` field) gets one entry per committed increment under its
+    recorded snapshot id — those increments WERE committed, and omitting
+    them would make ``edges_as_of`` silently under-read the table."""
+    if not man:
+        return []
+    history = list(man.get("history") or [])
+    if not history and man.get("committed_increments"):
+        history = [
+            {"snapshot_id": man["snapshot_id"], "increment": i}
+            for i in man["committed_increments"]
+        ]
+    return history
+
+
 def snapshots(pipe, snapshot_name: str = "transcripts_in") -> list[dict]:
     """The snapshot log for time travel: committed (snapshot_id,
     increment) entries in commit order — the Iceberg ``table.snapshots()``
-    shape over the manifest catalog.  Empty if nothing is recorded."""
-    man = pipe.ckpt.load_snapshot(snapshot_name)
-    return list((man or {}).get("history", []))
+    shape over the manifest catalog.  Empty if nothing is recorded.
+    Multiple entries may share a snapshot id (legacy seeding); as-of
+    reads resolve to the LAST entry of the requested id."""
+    return _seeded_history(pipe.ckpt.load_snapshot(snapshot_name))
 
 
 def edges_as_of(
@@ -237,17 +256,18 @@ def edges_as_of(
     an unknown id: an unrecorded snapshot silently resolving to "latest"
     would be a correctness trap for auditing reads."""
     history = snapshots(pipe, snapshot_name)
-    incs: list[str] = []
-    for h in history:
-        incs.append(h["increment"])
-        if h["snapshot_id"] == snapshot_id:
-            break
-    else:
+    # resolve to the LAST entry carrying the id: legacy-seeded logs list
+    # several increments under one snapshot id, all part of that version
+    cut = max(
+        (k for k, h in enumerate(history) if h["snapshot_id"] == snapshot_id),
+        default=None,
+    )
+    if cut is None:
         raise KeyError(
             f"snapshot {snapshot_id!r} not in the snapshot log "
             f"(known: {[h['snapshot_id'] for h in history]})"
         )
-    paths = [str(Path(out_dir) / f"increment={i}") for i in incs]
+    paths = [str(Path(out_dir) / f"increment={h['increment']}") for h in history[: cut + 1]]
     return _compact(pipe.spark.read.parquet(*paths))
 
 

@@ -95,14 +95,12 @@ def test_merge_idempotent_on_resolved_output():
     assert resolve_spans(once) == once
 
 
-def test_batched_extraction_bit_identical_to_per_turn():
+def test_batched_extraction_bit_identical_to_per_turn(tmp_path):
     """The cross-turn batched fuzzy path (extract_mentions_from_turns)
     must produce bit-identical records to the per-turn form on a corpus
     with blanks, typos, stop-word phrases, and hot conversations — the
     in-turn window counts are sums of the same tally rows whichever
     prefix matrix they come from."""
-    import tempfile
-
     from lmss_entity_extractor_spark.datagen import gen_transcript_rows, write_fixture_owl
     from lmss_entity_extractor_spark.extraction.turn import (
         extract_mentions_from_turn,
@@ -110,7 +108,7 @@ def test_batched_extraction_bit_identical_to_per_turn():
     )
     from lmss_entity_extractor_spark.ontology import build_artifacts, parse_owl_classes
 
-    owl = tempfile.mktemp(suffix=".owl")
+    owl = tmp_path / "fixture.owl"
     write_fixture_owl(owl)
     arts = build_artifacts(parse_owl_classes(owl))
     texts = [r[3] for r in gen_transcript_rows(n_convs=12, seed=7, hot_frac=0.1, hot_multiplier=10)]

@@ -138,6 +138,41 @@ def test_snapshot_incremental_processes_only_the_delta(spark, owl_path, tmp_path
 
 
 @pytest.mark.spark
+def test_time_travel_on_legacy_manifest(spark, owl_path, tmp_path):
+    """A manifest written before the history field existed must still
+    time-travel correctly: its committed increments are seeded under the
+    recorded snapshot id, and post-upgrade commits append on top —
+    without the seeding, edges_as_of silently under-read the table."""
+    import json
+
+    tdir = tmp_path / "transcripts"
+    tdir.mkdir()
+    out_dir = tmp_path / "snap_edges"
+    write_transcripts_parquet(tdir / "part-0.parquet", n_convs=3, seed=11)
+    write_transcripts_parquet(tdir / "part-1.parquet", n_convs=3, seed=22)
+    pipe = KGPipeline(spark, owl_path, tmp_path / "wh", PipelineConfig())
+    r1 = pipe.run_incremental(tdir, out_dir)
+    # simulate the legacy manifest: strip the history field
+    mp = pipe.ckpt._snapshot_path("transcripts_in")
+    man = json.loads(mp.read_text())
+    del man["history"]
+    mp.write_text(json.dumps(man))
+
+    batch_v1 = pipe.dataflow(spark.read.parquet(str(tdir)))["edges"]
+    assert [h["snapshot_id"] for h in pipe.snapshots()] == [r1["snapshot_id"]]
+    assert _edge_set(pipe.edges_as_of(out_dir, r1["snapshot_id"])) == _edge_set(batch_v1)
+
+    # post-upgrade commit: as-of the new snapshot sees legacy + new
+    write_transcripts_parquet(tdir / "part-2.parquet", n_convs=2, seed=33)
+    r2 = pipe.run_incremental(tdir, out_dir)
+    spark.catalog.clearCache()
+    batch_all = pipe.dataflow(spark.read.parquet(str(tdir)))["edges"]
+    assert _edge_set(pipe.edges_as_of(out_dir, r2["snapshot_id"])) == _edge_set(batch_all)
+    assert _edge_set(pipe.edges_as_of(out_dir, r1["snapshot_id"])) == _edge_set(batch_v1)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+@pytest.mark.spark
 def test_edges_diff_and_expire_compact(spark, owl_path, tmp_path):
     """Changelog reads between snapshots (insert/update rows only) and
     the expire+compact maintenance job (single merged increment, log

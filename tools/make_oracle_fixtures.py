@@ -47,7 +47,7 @@ def transcript_rows_from_documents(sf_dir: str | Path, convs: int = 64) -> list[
 
 
 HYBRID_QUERY = "patent litigation counsel"  # pinned to q_hybrid_search
-CHANGELOG_CUT = 250  # doc_id prefix for the changelog v1 fixture (sf0.01: half of 500)
+from __spark_entry__ import CHANGELOG_CUT  # noqa: E402  (one constant, no drift)
 
 
 def _fold_dot(a, b) -> float:
