@@ -87,8 +87,13 @@ def main():
         # checked nothing — fail loudly instead
         print(f"FAIL  unknown query name(s): {sorted(unknown)}")
         failures.extend(sorted(unknown))
+    pinned = getattr(entry, "FIXTURE_PINNED_SF001", frozenset())
+    off_pin_sf = "sf0.01" not in sf_dir
     for name, fn in queries.items():
         if only and name not in only:
+            continue
+        if off_pin_sf and name in pinned:
+            print(f"skip  {name}: oracle fixture pinned to sf0.01 (mismatch by design here)")
             continue
         try:
             df = fn(spark, sf_dir)
