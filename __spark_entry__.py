@@ -283,6 +283,26 @@ def q_knn_ivf(spark, sf_dir):
     return knn_ivf(e, e.filter(F.col("vec_id") < 5), k=3, n_centroids=10, nprobe=2)
 
 
+def q_knn_pq(spark, sf_dir):
+    """Product-quantization ANN (L34): embeddings coded as m=8 x k=16
+    per-subspace centroid ids (narrow JVM argmin expressions), queries
+    scored by ADC — an (m x k) distance-table literal + m lookups and a
+    fold per candidate, no float vectors on the hot path.
+
+    Value-level oracle (pinned to sf0.01 like the other frozen-fixture
+    queries): the codebook is trained by a shared numpy core frozen to
+    parquet (tools/make_oracle_fixtures.py); DuckDB re-derives the code
+    assignment (argmin with lowest-code ties) and the ADC ranking with
+    explicitly left-associated float64 sums that mirror the Spark folds
+    term-for-term."""
+    from lmss_entity_extractor_spark.ops.pq import encode_pq, knn_pq, train_pq_codebooks
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(e, m=8, k=16)
+    codes = encode_pq(e, books)
+    return knn_pq(codes, e.filter(F.col("vec_id") < 5), books, k=10)
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (backward inclusive): each purchase event picks up the
     most recent prior click by the same user — single keyed shuffle."""
@@ -1063,7 +1083,9 @@ CHANGELOG_CUT = 250
 # driver's correctness scale): comparing them at another sf mismatches BY
 # DESIGN.  tools/check_entry.py skips them off-sf0.01 with a note; every
 # other oracle is scale-independent (verified green at sf0.001/0.01/0.1).
-FIXTURE_PINNED_SF001 = frozenset({"mention_type_counts", "kg_edge_counts", "edges_changelog"})
+FIXTURE_PINNED_SF001 = frozenset(
+    {"mention_type_counts", "kg_edge_counts", "edges_changelog", "knn_pq"}
+)
 
 
 def q_edges_changelog(spark, sf_dir):
@@ -1204,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "stream_reply_join": q_stream_reply_join,
         "edges_changelog": q_edges_changelog,
+        "knn_pq": q_knn_pq,
         # red in round 2 (oracle dtype, fixed r3) — re-check first
         "time_rollup": q_time_rollup,
         # green in round 1 but unsampled in round 2
@@ -1309,6 +1332,60 @@ mh_pairs AS (
 
 _SHINGLES_CTE = _shingles_cte()
 _MINHASH_PAIRS_CTE = _minhash_pairs_cte()
+
+
+def _pq_oracle_sql() -> str:
+    """The knn_pq oracle, generated so the float sums are EXPLICITLY
+    left-associated term-for-term with the Spark/Python folds (grouped
+    SQL SUM has unspecified order; a 1-ulp reassociation difference
+    could flip a near-tie in the ranking)."""
+    sub, m, kq = 8, 8, 10
+
+    def dist(vec: str) -> str:
+        acc = f"(CAST({vec}[cb.j * {sub} + 1] AS DOUBLE) - cb.cent[1]) * (CAST({vec}[cb.j * {sub} + 1] AS DOUBLE) - cb.cent[1])"
+        for i in range(1, sub):
+            t = f"(CAST({vec}[cb.j * {sub} + {i} + 1] AS DOUBLE) - cb.cent[{i} + 1]) * (CAST({vec}[cb.j * {sub} + {i} + 1] AS DOUBLE) - cb.cent[{i} + 1])"
+            acc = f"({acc} + {t})"
+        return acc
+
+    adc = f"max(CASE WHEN j = 0 THEN d END)"
+    for j in range(1, m):
+        adc = f"({adc} + max(CASE WHEN j = {j} THEN d END))"
+    return f"""
+        WITH cb AS (SELECT j, code, cent
+                    FROM read_parquet('/root/repo/fixtures/oracle/sf0.01/pq_codebook.parquet')),
+        base AS (SELECT vec_id, embedding FROM embeddings),
+        vdist AS (
+            SELECT b.vec_id, cb.j, cb.code, {dist('b.embedding')} AS d
+            FROM base b CROSS JOIN cb
+        ),
+        codes AS (
+            SELECT vec_id, j, code FROM (
+                SELECT vec_id, j, code,
+                       row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS rn
+                FROM vdist
+            ) WHERE rn = 1
+        ),
+        qtbl AS (
+            SELECT b.vec_id AS query_id, cb.j, cb.code, {dist('b.embedding')} AS d
+            FROM base b CROSS JOIN cb WHERE b.vec_id < 5
+        ),
+        pairs AS (
+            SELECT t.query_id, c.vec_id AS neighbor_id, c.j, t.d
+            FROM codes c JOIN qtbl t ON t.j = c.j AND t.code = c.code
+            WHERE c.vec_id <> t.query_id
+        ),
+        adc AS (
+            SELECT query_id, neighbor_id, {adc} AS adc_dist
+            FROM pairs GROUP BY 1, 2
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+            FROM adc
+        ) WHERE rank <= {kq}
+    """
 
 
 def _pagerank_oracle_sql(n_iters: int = 10) -> str:
@@ -2058,6 +2135,7 @@ def oracle_sql() -> dict[str, str]:
                 LIMIT 10
             )
         """,
+        "knn_pq": _pq_oracle_sql(),
         "edges_changelog": """
             -- diff of two frozen loop-oracle canonical edge tables
             -- (doc_id < 250 prefix vs full; tools/make_oracle_fixtures.py,

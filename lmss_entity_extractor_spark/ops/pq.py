@@ -1,0 +1,190 @@
+"""Product quantization (PQ) for embedding columns: the memory-bound
+half of the ANN suite (ops/similarity.py is the compute-bound half).
+
+A d-dim float vector is split into ``m`` subvectors; each subvector is
+coded as the id of its nearest centroid from a per-subspace codebook of
+``k`` entries (Jegou et al., "Product Quantization for Nearest Neighbor
+Search", TPAMI'11).  A 64-dim float32 vector (256 B) becomes ``m`` small
+ints (m bytes at k<=256) — at 100 TB of embeddings that is the
+difference between scanning 100 TB and scanning ~3 TB per ANN pass.
+
+Query scoring is ADC (asymmetric distance computation): the query stays
+un-quantized; a per-query (m x k) table of subspace distances is built
+driver-side (tiny: m*k doubles) and broadcast as a literal, and each
+candidate's approximate squared L2 distance is ``m`` table lookups + a
+fold — pure JVM column expressions over the codes column, no Python on
+the hot path and no float vectors read at all.
+
+Determinism contract (mirrors train_ivf_centroids): hash-sampled
+id-sorted training set, evenly spaced init, Lloyd with argmin-distance
+(ties -> lowest code), empty clusters keep their centroid.  Same input
+-> bit-identical codebooks at any parallelism.  Code assignment and ADC
+use sequential left-fold float64 arithmetic so the DuckDB oracle can
+reproduce them bit-for-bit (see q_knn_pq).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+Codebooks = "list[list[tuple[int, list[float]]]]"  # m subspaces x k (code, subvector)
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+):
+    """Per-subspace Euclidean k-means codebooks, trained driver-side on a
+    deterministic hash sample (same cap/sampling contract as
+    train_ivf_centroids; dims must divide evenly by ``m``)."""
+    import numpy as np
+
+    src = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if sample_mod is not None and sample_mod > 1:
+        src = src.filter(F.pmod(F.xxhash64(F.col("_id")), F.lit(sample_mod)) == 0)
+    _CAP = 500_000
+    rows = src.limit(_CAP + 1).collect()
+    if len(rows) > _CAP:
+        raise ValueError(
+            f"train_pq_codebooks: more than {_CAP} rows would be collected "
+            "to the driver; pass sample_mod so the hash sample lands in the ~1e5 range"
+        )
+    rows = sorted(rows, key=lambda r: r["_id"])
+    if not rows:
+        raise ValueError("train_pq_codebooks: empty sample")
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    return train_pq_codebooks_local(X, m=m, k=k, n_iters=n_iters)
+
+
+def train_pq_codebooks_local(X, m: int = 8, k: int = 16, n_iters: int = 5):
+    """The numpy training core, shared with the oracle fixture generator
+    (tools/make_oracle_fixtures.py trains from the same id-sorted rows
+    via DuckDB, no Spark) so both sides freeze bit-identical codebooks.
+    ``X`` must be the id-sorted (n, d) float64 sample."""
+    import numpy as np
+
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    kk = min(k, n)
+    books = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        C = S[np.linspace(0, n - 1, kk).astype(int)].copy()
+        for _ in range(max(n_iters, 0)):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (n, kk)
+            assign = np.argmin(d2, axis=1)  # ties -> lowest code
+            for c in range(kk):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append([(c, C[c].tolist()) for c in range(kk)])
+    return books
+
+
+def _sub_dist2(vec_col: Column, j: int, sub: int, cent: list[float]) -> Column:
+    """Sequential-fold squared L2 between subvector j of ``vec_col`` and a
+    centroid literal — the exact accumulation order the oracle mirrors."""
+    sl = F.slice(vec_col, j * sub + 1, sub)
+    cl = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(sl, cl, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_code_expr(vec_col: Column, books) -> Column:
+    """codes array<int> — per subspace, the argmin-distance centroid id
+    (ties -> lowest code) as a pure narrow JVM expression: no shuffle,
+    no Python, exactly like similarity.ivf_cell_expr."""
+    sub = len(books[0][0][1])
+    cols = []
+    for j, book in enumerate(books):
+        entries = [
+            F.struct(_sub_dist2(vec_col, j, sub, cent).alias("d"), F.lit(code).alias("c"))
+            for code, cent in book
+        ]
+        cols.append(F.array_min(F.array(*entries))["c"])
+    return F.array(*cols)
+
+
+def encode_pq(
+    embeddings: DataFrame,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): the stored form — m ints instead of d floats."""
+    return embeddings.select(
+        F.col(id_col), pq_code_expr(F.col(vec_col), books).alias("codes")
+    )
+
+
+def adc_table(qvec, books):
+    """(m x k) per-query subspace distance table, sequential-fold float64
+    — plain Python data ready to broadcast as a literal."""
+    sub = len(books[0][0][1])
+    tbl = []
+    for j, book in enumerate(books):
+        row = []
+        for _code, cent in book:
+            acc = 0.0
+            for x, c in zip(qvec[j * sub : (j + 1) * sub], cent):
+                dxc = float(x) - float(c)
+                acc = acc + dxc * dxc
+            row.append(acc)
+        tbl.append(row)
+    return tbl
+
+
+def knn_pq(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    books,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by ADC distance over the CODES table: for each
+    query (collected driver-side — small by the same contract as the
+    other knn operators), the (m x k) distance table becomes an
+    array<array<double>> literal and each candidate costs m lookups + a
+    fold.  Output shape matches knn_bruteforce: (query_id, rank,
+    neighbor_id); ranking ties break on neighbor id."""
+    q_rows = sorted(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).collect(),
+        key=lambda r: r["qid"],
+    )
+    e = codes_df.select(F.col(id_col).alias("neighbor_id"), "codes")
+    scored = None
+    for r in q_rows:
+        tbl = adc_table(r["qv"], books)
+        tbl_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in tbl])
+        s = e.filter(F.col("neighbor_id") != F.lit(r["qid"])).select(
+            F.lit(r["qid"]).alias("query_id"),
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    tbl_lit,
+                    lambda c, row: F.element_at(row, c.cast("int") + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adc_dist"),
+        )
+        scored = s if scored is None else scored.unionByName(s)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

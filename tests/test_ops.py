@@ -810,3 +810,84 @@ class TestPagerank:
         assert r2["c"] > r2["l1"] > 0
         assert abs(r2["l1"] - r2["l2"]) < 1e-12
         assert sum(r2.values()) <= 1.0 + 1e-9
+
+
+@pytest.mark.spark
+class TestPQ:
+    def _clustered(self, spark, n=300, dim=32, seed=5):
+        import random
+
+        rng = random.Random(seed)
+        rows = []
+        for i in range(n):
+            label = i % 4
+            v = [rng.gauss(0.0, 0.3) + (6.0 if d == label else 0.0) for d in range(dim)]
+            rows.append((i, v))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_codes_match_numpy_twin_and_are_deterministic(self, spark):
+        import numpy as np
+
+        from lmss_entity_extractor_spark.ops.pq import (
+            encode_pq,
+            train_pq_codebooks,
+        )
+
+        e = self._clustered(spark)
+        books = train_pq_codebooks(e, m=4, k=8)
+        assert books == train_pq_codebooks(e, m=4, k=8)  # bit-identical retrain
+        got = {r.vec_id: r.codes for r in encode_pq(e, books).collect()}
+        sub = 32 // 4
+        for r in e.collect():
+            want = []
+            for j, book in enumerate(books):
+                best = None
+                for code, cent in book:
+                    acc = 0.0
+                    for x, c in zip(r.embedding[j * sub : (j + 1) * sub], cent):
+                        dd = float(x) - c
+                        acc = acc + dd * dd
+                    if best is None or (acc, code) < best:
+                        best = (acc, code)
+                want.append(best[1])
+            assert got[r.vec_id] == want, r.vec_id
+
+    def test_adc_preserves_cluster_geometry(self, spark):
+        """PQ's quality contract at a 16-code budget is COARSE geometry:
+        every ADC top-k neighbor must come from the query's true cluster
+        (fine in-cluster ranking is below quantization resolution by
+        design — exactness of the ADC math itself is value-checked by the
+        knn_pq DuckDB oracle, and a duplicate vector must rank first)."""
+        from lmss_entity_extractor_spark.ops.pq import encode_pq, knn_pq, train_pq_codebooks
+
+        e = self._clustered(spark)
+        books = train_pq_codebooks(e, m=4, k=16)
+        codes = encode_pq(e, books)
+        q = e.filter(F.col("vec_id") < 5)
+        out = knn_pq(codes, q, books, k=5).collect()
+        assert {r.query_id for r in out} == {0, 1, 2, 3, 4}
+        for r in out:
+            assert r.neighbor_id % 4 == r.query_id % 4, (r.query_id, r.neighbor_id)
+        # an exact duplicate codes identically -> ADC distance equal to the
+        # query's own reconstruction -> it must appear at rank 1 (id tiebreak)
+        dup = e.filter(F.col("vec_id") == 0).select(
+            (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+        )
+        codes2 = encode_pq(e.unionByName(dup), books)
+        top = [
+            r
+            for r in knn_pq(codes2, q, books, k=3).collect()
+            if r.query_id == 0 and r.rank == 1
+        ]
+        assert len(top) == 1 and top[0].neighbor_id % 1000 == 0
+
+    def test_train_rejects_bad_dim_and_empty(self, spark):
+        import pytest as _pytest
+
+        from lmss_entity_extractor_spark.ops.pq import train_pq_codebooks
+
+        e = self._clustered(spark)
+        with _pytest.raises(ValueError, match="not divisible"):
+            train_pq_codebooks(e, m=5)
+        with _pytest.raises(ValueError, match="empty"):
+            train_pq_codebooks(e.filter("vec_id < 0"), m=4)

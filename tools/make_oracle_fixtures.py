@@ -90,6 +90,25 @@ def compute_hybrid_terms(artifacts) -> list[tuple[str, str, int, int, float]]:
     return out
 
 
+def compute_pq_codebook(sf_dir: str | Path):
+    """Train the PQ codebooks for the knn_pq oracle through the SAME
+    numpy core the Spark operator uses (ops/pq.train_pq_codebooks_local),
+    from the same id-sorted float64 rows — bit-identical by construction;
+    DuckDB then re-derives codes and the ADC ranking from the frozen
+    values alone."""
+    import duckdb
+    import numpy as np
+
+    from lmss_entity_extractor_spark.ops.pq import train_pq_codebooks_local
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM read_parquet('{Path(sf_dir)}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    return train_pq_codebooks_local(X, m=8, k=16)
+
+
 def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
     """Run the loop oracle over the derived transcripts; return pyarrow
     tables keyed by fixture name (column types pinned to what Spark's
@@ -119,6 +138,7 @@ def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
     # prefix slice IS the doc_id < CHANGELOG_CUT filter
     edges_v1 = oracle_edge_rows(rows[:CHANGELOG_CUT], artifacts)
     edges_v2 = oracle_edge_rows(rows, artifacts)
+    pq_books = compute_pq_codebook(sf_dir)
 
     def _edges_table(er):
         return pa.table(
@@ -131,6 +151,20 @@ def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
         )
 
     return {
+        "pq_codebook": pa.table(
+            {
+                "j": pa.array(
+                    [j for j, book in enumerate(pq_books) for _ in book], pa.int32()
+                ),
+                "code": pa.array(
+                    [code for book in pq_books for code, _ in book], pa.int32()
+                ),
+                "cent": pa.array(
+                    [cent for book in pq_books for _, cent in book],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
         "kg_edges_v1": _edges_table(edges_v1),
         "kg_edges_v2": _edges_table(edges_v2),
         # sf-independent (hybrid_search ignores sf_dir) but written per-sf
