@@ -23,4 +23,4 @@ from .similarity import (  # noqa: F401
     write_ivf_index,
 )
 from .textstats import doc_fingerprint, language_id, quality_stats  # noqa: F401
-from .pq import encode_pq, knn_pq, train_pq_codebooks  # noqa: F401
+from .pq import encode_pq, knn_ivfpq, knn_pq, train_pq_codebooks  # noqa: F401

@@ -145,6 +145,83 @@ def adc_table(qvec, books):
     return tbl
 
 
+def knn_ivfpq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    pq_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """IVFADC (Jegou et al. §IV): the compute-bound and memory-bound
+    halves composed — the IVF coarse quantizer prunes to ``nprobe``
+    cells' candidates, then ADC over PQ codes ranks them without reading
+    a float vector.  Candidate cost per query drops to
+    ``nprobe/n_centroids`` of the corpus AND each candidate costs m
+    lookups instead of d multiplies; at 100 TB this is the configuration
+    that serves ANN from a few TB of codes.  Same output shape as
+    knn_bruteforce."""
+    from .similarity import ivf_cell_expr, ivf_probe_cells_expr, train_ivf_centroids
+
+    cents = train_ivf_centroids(
+        embeddings, n_centroids, id_col=id_col, vec_col=vec_col, sample_mod=sample_mod
+    )
+    books = train_pq_codebooks(
+        embeddings, m=m, k=pq_k, id_col=id_col, vec_col=vec_col, sample_mod=sample_mod
+    )
+    nprobe = max(1, min(nprobe, len(cents)))
+    coded = embeddings.select(
+        F.col(id_col),
+        pq_code_expr(F.col(vec_col), books).alias("codes"),
+        ivf_cell_expr(F.col(vec_col), cents).alias("centroid_id"),
+    )
+    q_rows = sorted(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            ivf_probe_cells_expr(F.col(vec_col), cents, nprobe).alias("cells"),
+        ).collect(),
+        key=lambda r: r["qid"],
+    )
+    scored = None
+    for r in q_rows:
+        tbl_lit = F.array(
+            *[F.array(*[F.lit(v) for v in row]) for row in adc_table(r["qv"], books)]
+        )
+        s = (
+            coded.filter(F.col("centroid_id").isin([int(c) for c in r["cells"]]))
+            .filter(F.col(id_col) != F.lit(r["qid"]))
+            .select(
+                F.lit(r["qid"]).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                _adc_dist_expr(tbl_lit).alias("adc_dist"),
+            )
+        )
+        scored = s if scored is None else scored.unionByName(s)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def _adc_dist_expr(tbl_lit: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            tbl_lit,
+            lambda c, row: F.element_at(row, c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def knn_pq(
     codes_df: DataFrame,
     queries: DataFrame,
@@ -171,15 +248,7 @@ def knn_pq(
         s = e.filter(F.col("neighbor_id") != F.lit(r["qid"])).select(
             F.lit(r["qid"]).alias("query_id"),
             "neighbor_id",
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    tbl_lit,
-                    lambda c, row: F.element_at(row, c.cast("int") + 1),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("adc_dist"),
+            _adc_dist_expr(tbl_lit).alias("adc_dist"),
         )
         scored = s if scored is None else scored.unionByName(s)
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))

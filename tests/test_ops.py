@@ -891,3 +891,28 @@ class TestPQ:
             train_pq_codebooks(e, m=5)
         with _pytest.raises(ValueError, match="empty"):
             train_pq_codebooks(e.filter("vec_id < 0"), m=4)
+
+    def test_ivfpq_full_probe_equals_pq(self, spark):
+        """Probing every IVF cell covers every candidate, so IVFADC
+        degenerates to plain ADC over all codes — equality pins the
+        composition (cell pruning never changes scores, only candidates)."""
+        from lmss_entity_extractor_spark.ops.pq import (
+            encode_pq,
+            knn_ivfpq,
+            knn_pq,
+            train_pq_codebooks,
+        )
+
+        e = self._clustered(spark)
+        q = e.filter(F.col("vec_id") < 4)
+        books = train_pq_codebooks(e, m=4, k=16)
+        plain = sorted(map(tuple, knn_pq(encode_pq(e, books), q, books, k=5).collect()))
+        full = sorted(
+            map(tuple, knn_ivfpq(e, q, k=5, n_centroids=4, nprobe=4, m=4, pq_k=16).collect())
+        )
+        assert plain == full
+        # pruned probe stays within the query's cluster on this geometry
+        pruned = knn_ivfpq(e, q, k=5, n_centroids=4, nprobe=1, m=4, pq_k=16).collect()
+        assert {r.query_id for r in pruned} == {0, 1, 2, 3}
+        for r in pruned:
+            assert r.neighbor_id % 4 == r.query_id % 4
