@@ -10,7 +10,7 @@ difference between scanning 100 TB and scanning ~3 TB per ANN pass.
 
 Query scoring is ADC (asymmetric distance computation): the query stays
 un-quantized; a per-query (m x k) table of subspace distances is built
-driver-side (tiny: m*k doubles) and broadcast as a literal, and each
+driver-side (tiny: m*k doubles) and broadcast-joined to the codes, and each
 candidate's approximate squared L2 distance is ``m`` table lookups + a
 fold — pure JVM column expressions over the codes column, no Python on
 the hot path and no float vectors read at all.
@@ -28,8 +28,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-Codebooks = "list[list[tuple[int, list[float]]]]"  # m subspaces x k (code, subvector)
-
 
 def train_pq_codebooks(
     embeddings: DataFrame,
@@ -43,22 +41,9 @@ def train_pq_codebooks(
     """Per-subspace Euclidean k-means codebooks, trained driver-side on a
     deterministic hash sample (same cap/sampling contract as
     train_ivf_centroids; dims must divide evenly by ``m``)."""
-    import numpy as np
+    from .similarity import collect_training_sample
 
-    src = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    if sample_mod is not None and sample_mod > 1:
-        src = src.filter(F.pmod(F.xxhash64(F.col("_id")), F.lit(sample_mod)) == 0)
-    _CAP = 500_000
-    rows = src.limit(_CAP + 1).collect()
-    if len(rows) > _CAP:
-        raise ValueError(
-            f"train_pq_codebooks: more than {_CAP} rows would be collected "
-            "to the driver; pass sample_mod so the hash sample lands in the ~1e5 range"
-        )
-    rows = sorted(rows, key=lambda r: r["_id"])
-    if not rows:
-        raise ValueError("train_pq_codebooks: empty sample")
-    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    X = collect_training_sample(embeddings, id_col, vec_col, sample_mod, "train_pq_codebooks")
     return train_pq_codebooks_local(X, m=m, k=k, n_iters=n_iters)
 
 
@@ -164,21 +149,23 @@ def knn_ivfpq(
     ``nprobe/n_centroids`` of the corpus AND each candidate costs m
     lookups instead of d multiplies; at 100 TB this is the configuration
     that serves ANN from a few TB of codes.  Same output shape as
-    knn_bruteforce."""
-    from .similarity import ivf_cell_expr, ivf_probe_cells_expr, train_ivf_centroids
+    knn_bruteforce.
 
-    cents = train_ivf_centroids(
-        embeddings, n_centroids, id_col=id_col, vec_col=vec_col, sample_mod=sample_mod
+    Plan shape: ONE scan of the coded corpus, equi-joined on
+    ``centroid_id`` against a broadcast (query x probed-cell, ADC-table)
+    frame — query count scales the broadcast, never the scan count.
+    Both quantizers train from a single collected sample."""
+    from .similarity import (
+        collect_training_sample,
+        ivf_cell_expr,
+        ivf_probe_cells_expr,
+        train_ivf_centroids_local,
     )
-    books = train_pq_codebooks(
-        embeddings, m=m, k=pq_k, id_col=id_col, vec_col=vec_col, sample_mod=sample_mod
-    )
+
+    X = collect_training_sample(embeddings, id_col, vec_col, sample_mod, "knn_ivfpq")
+    cents = train_ivf_centroids_local(X, n_centroids)
+    books = train_pq_codebooks_local(X, m=m, k=pq_k)
     nprobe = max(1, min(nprobe, len(cents)))
-    coded = embeddings.select(
-        F.col(id_col),
-        pq_code_expr(F.col(vec_col), books).alias("codes"),
-        ivf_cell_expr(F.col(vec_col), cents).alias("centroid_id"),
-    )
     q_rows = sorted(
         queries.select(
             F.col(id_col).alias("qid"),
@@ -187,27 +174,28 @@ def knn_ivfpq(
         ).collect(),
         key=lambda r: r["qid"],
     )
-    scored = None
-    for r in q_rows:
-        tbl_lit = F.array(
-            *[F.array(*[F.lit(v) for v in row]) for row in adc_table(r["qv"], books)]
-        )
-        s = (
-            coded.filter(F.col("centroid_id").isin([int(c) for c in r["cells"]]))
-            .filter(F.col(id_col) != F.lit(r["qid"]))
-            .select(
-                F.lit(r["qid"]).alias("query_id"),
-                F.col(id_col).alias("neighbor_id"),
-                _adc_dist_expr(tbl_lit).alias("adc_dist"),
-            )
-        )
-        scored = s if scored is None else scored.unionByName(s)
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id")
+    if not q_rows:
+        return _empty_knn(queries, id_col)
+    coded = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_code_expr(F.col(vec_col), books).alias("codes"),
+        ivf_cell_expr(F.col(vec_col), cents).alias("centroid_id"),
     )
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(
+        [
+            (r["qid"], int(c), adc_table(r["qv"], books))
+            for r in q_rows
+            for c in r["cells"]
+        ],
+        ["query_id", "centroid_id", "tbl"],
+    )
+    scored = (
+        coded.join(F.broadcast(qdf), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", _adc_dist_expr(F.col("tbl")))
+    )
+    return _rank_topk(scored, k)
 
 
 def _adc_dist_expr(tbl_lit: Column) -> Column:
@@ -230,30 +218,47 @@ def knn_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k by ADC distance over the CODES table: for each
-    query (collected driver-side — small by the same contract as the
-    other knn operators), the (m x k) distance table becomes an
-    array<array<double>> literal and each candidate costs m lookups + a
-    fold.  Output shape matches knn_bruteforce: (query_id, rank,
-    neighbor_id); ranking ties break on neighbor id."""
+    """Approximate top-k by ADC distance over the CODES table: each
+    query's (m x k) distance table is computed driver-side (queries are
+    small by the same contract as the other knn operators) and shipped
+    in ONE broadcast frame; the codes table is scanned once whatever the
+    query count, and each candidate costs m lookups + a fold.  Output
+    shape matches knn_bruteforce: (query_id, rank, neighbor_id); ranking
+    ties break on neighbor id."""
     q_rows = sorted(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).collect(),
         key=lambda r: r["qid"],
     )
-    e = codes_df.select(F.col(id_col).alias("neighbor_id"), "codes")
-    scored = None
-    for r in q_rows:
-        tbl = adc_table(r["qv"], books)
-        tbl_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in tbl])
-        s = e.filter(F.col("neighbor_id") != F.lit(r["qid"])).select(
-            F.lit(r["qid"]).alias("query_id"),
-            "neighbor_id",
-            _adc_dist_expr(tbl_lit).alias("adc_dist"),
-        )
-        scored = s if scored is None else scored.unionByName(s)
+    if not q_rows:
+        return _empty_knn(queries, id_col)
+    spark = codes_df.sparkSession
+    qdf = spark.createDataFrame(
+        [(r["qid"], adc_table(r["qv"], books)) for r in q_rows], ["query_id", "tbl"]
+    )
+    scored = (
+        codes_df.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", _adc_dist_expr(F.col("tbl")))
+    )
+    return _rank_topk(scored, k)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
     )
+
+
+def _empty_knn(queries: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row (query_id, rank, neighbor_id) frame typed from the query
+    side — the other knn operators return empty results for empty query
+    sets rather than crashing; so do these."""
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.lit(1).cast("int").alias("rank"),
+        F.col(id_col).alias("neighbor_id"),
+    ).limit(0)

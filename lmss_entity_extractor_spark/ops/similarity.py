@@ -75,6 +75,41 @@ def sign_bucket_expr(vec_col: Column, bits: int = 4) -> Column:
     return b
 
 
+def collect_training_sample(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+    op_name: str = "train",
+):
+    """The shared deterministic-training sample contract (IVF and PQ):
+    optional hash sample -> capped driver collect -> id-sorted float64
+    matrix.  One collect can feed both quantizers (knn_ivfpq)."""
+    import numpy as np
+
+    src = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if sample_mod is not None and sample_mod > 1:
+        src = src.filter(F.pmod(F.xxhash64(F.col("_id")), F.lit(sample_mod)) == 0)
+    # refuse a silent full-table collect on big data: training without a
+    # sample_mod is only for small/test tables.  One pass: collect with a
+    # cap+1 limit and fail if it truncated (the rows are only USED when
+    # under the cap, where limit() returns the complete — hence
+    # deterministic — set; the caller must choose the hash-sample rate
+    # explicitly for larger tables).
+    _CAP = 500_000
+    rows = src.limit(_CAP + 1).collect()
+    if len(rows) > _CAP:
+        raise ValueError(
+            f"{op_name}: more than {_CAP} rows would be collected to the "
+            "driver; pass sample_mod so the deterministic hash sample "
+            "lands in the ~1e5 range"
+        )
+    rows = sorted(rows, key=lambda r: r["_id"])
+    if not rows:
+        raise ValueError(f"{op_name}: empty sample (raise sample coverage)")
+    return np.asarray([r["_v"] for r in rows], dtype=np.float64)
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 8,
@@ -101,29 +136,16 @@ def train_ivf_centroids(
     Returns ``[(centroid_id, unit_vector)]`` — plain driver-side data,
     ready for :func:`ivf_cell_expr` (no DataFrame, no shuffle).
     """
+    X = collect_training_sample(embeddings, id_col, vec_col, sample_mod, "train_ivf_centroids")
+    return train_ivf_centroids_local(X, n_centroids, n_iters)
+
+
+def train_ivf_centroids_local(X, n_centroids: int = 8, n_iters: int = 5):
+    """The numpy training core over an id-sorted float64 sample (same
+    split as pq.train_pq_codebooks_local — callers with both quantizers
+    collect the sample once)."""
     import numpy as np
 
-    src = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    if sample_mod is not None and sample_mod > 1:
-        src = src.filter(F.pmod(F.xxhash64(F.col("_id")), F.lit(sample_mod)) == 0)
-    # refuse a silent full-table collect on big data: training without a
-    # sample_mod is only for small/test tables.  One pass: collect with a
-    # cap+1 limit and fail if it truncated (the rows are only USED when
-    # under the cap, where limit() returns the complete — hence
-    # deterministic — set; the caller must choose the hash-sample rate
-    # explicitly for larger tables).
-    _CAP = 500_000
-    rows = src.limit(_CAP + 1).collect()
-    if len(rows) > _CAP:
-        raise ValueError(
-            f"train_ivf_centroids: more than {_CAP} rows would be collected "
-            "to the driver; pass sample_mod so the deterministic hash sample "
-            "lands in the ~1e5 range"
-        )
-    rows = sorted(rows, key=lambda r: r["_id"])
-    if not rows:
-        raise ValueError("train_ivf_centroids: empty sample (raise sample coverage)")
-    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(X, axis=1)
     X = X[norms > 0] / norms[norms > 0, None]  # zero vectors carry no direction
     n = len(X)

@@ -916,3 +916,19 @@ class TestPQ:
         assert {r.query_id for r in pruned} == {0, 1, 2, 3}
         for r in pruned:
             assert r.neighbor_id % 4 == r.query_id % 4
+
+    def test_empty_query_set_returns_empty_frame(self, spark):
+        from lmss_entity_extractor_spark.ops.pq import (
+            encode_pq,
+            knn_ivfpq,
+            knn_pq,
+            train_pq_codebooks,
+        )
+
+        e = self._clustered(spark)
+        books = train_pq_codebooks(e, m=4, k=8)
+        none = e.filter("vec_id < 0")
+        out = knn_pq(encode_pq(e, books), none, books, k=3)
+        assert out.columns == ["query_id", "rank", "neighbor_id"] and out.count() == 0
+        out2 = knn_ivfpq(e, none, k=3, n_centroids=4, m=4)
+        assert out2.columns == ["query_id", "rank", "neighbor_id"] and out2.count() == 0

@@ -88,7 +88,7 @@ def main():
         print(f"FAIL  unknown query name(s): {sorted(unknown)}")
         failures.extend(sorted(unknown))
     pinned = getattr(entry, "FIXTURE_PINNED_SF001", frozenset())
-    off_pin_sf = "sf0.01" not in sf_dir
+    off_pin_sf = Path(sf_dir.rstrip("/")).name != "sf0.01"
     for name, fn in queries.items():
         if only and name not in only:
             continue
