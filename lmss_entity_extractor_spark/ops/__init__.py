@@ -23,4 +23,11 @@ from .similarity import (  # noqa: F401
     write_ivf_index,
 )
 from .textstats import doc_fingerprint, language_id, quality_stats  # noqa: F401
-from .pq import encode_pq, knn_ivfpq, knn_pq, train_pq_codebooks  # noqa: F401
+from .pq import (  # noqa: F401
+    encode_pq,
+    knn_ivfpq,
+    knn_ivfpq_indexed,
+    knn_pq,
+    train_pq_codebooks,
+    write_ivfpq_index,
+)

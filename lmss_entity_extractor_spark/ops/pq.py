@@ -244,6 +244,103 @@ def knn_pq(
     return _rank_topk(scored, k)
 
 
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 8,
+    pq_k: int = 16,
+    n_iters: int = 5,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Materialize the IVFADC serving layout: PQ codes PARTITIONED BY
+    IVF cell, both codebooks as JSON alongside.
+
+    This is THE 100 TB ANN configuration: the corpus's float vectors are
+    read exactly once (at build), the stored table is ~d*4/m times
+    smaller, and every query after that touches only its nprobe cells'
+    code files (static partition filter — unprobed cells scan zero
+    bytes) and reads no floats at all.  Returns (centroids, codebooks).
+    """
+    import json
+    from pathlib import Path
+
+    from .similarity import collect_training_sample, ivf_cell_expr, train_ivf_centroids_local
+
+    X = collect_training_sample(embeddings, id_col, vec_col, sample_mod, "write_ivfpq_index")
+    cents = train_ivf_centroids_local(X, n_centroids, n_iters)
+    books = train_pq_codebooks_local(X, m=m, k=pq_k, n_iters=n_iters)
+    (
+        embeddings.select(
+            F.col(id_col),
+            pq_code_expr(F.col(vec_col), books).alias("codes"),
+            ivf_cell_expr(F.col(vec_col), cents).alias("centroid_id"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/cells")
+    )
+    Path(path, "codebooks.json").write_text(json.dumps({"centroids": cents, "books": books}))
+    return cents, books
+
+
+def knn_ivfpq_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k against a persisted IVFADC index (:func:`write_ivfpq_index`):
+    codebooks load driver-side (tiny), the probed cell ids become a
+    STATIC partition filter, and scoring is the same broadcast
+    table-join as :func:`knn_ivfpq`.  Same output shape as
+    knn_bruteforce."""
+    import json
+    from pathlib import Path
+
+    from .similarity import ivf_probe_cells_expr
+
+    meta = json.loads((Path(path) / "codebooks.json").read_text())
+    cents = [(int(c), v) for c, v in meta["centroids"]]
+    books = [[(int(c), v) for c, v in book] for book in meta["books"]]
+    nprobe = max(1, min(nprobe, len(cents)))
+    q_rows = sorted(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            ivf_probe_cells_expr(F.col(vec_col), cents, nprobe).alias("cells"),
+        ).collect(),
+        key=lambda r: r["qid"],
+    )
+    if not q_rows:
+        return _empty_knn(queries, id_col)
+    probe_ids = sorted({int(c) for r in q_rows for c in r["cells"]})
+    cells = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("centroid_id").isin(probe_ids))
+        .select(F.col(id_col).alias("neighbor_id"), "codes", "centroid_id")
+    )
+    qdf = spark.createDataFrame(
+        [
+            (r["qid"], int(c), adc_table(r["qv"], books))
+            for r in q_rows
+            for c in r["cells"]
+        ],
+        ["query_id", "centroid_id", "tbl"],
+    )
+    scored = (
+        cells.join(F.broadcast(qdf), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", _adc_dist_expr(F.col("tbl")))
+    )
+    return _rank_topk(scored, k)
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (

@@ -932,3 +932,38 @@ class TestPQ:
         assert out.columns == ["query_id", "rank", "neighbor_id"] and out.count() == 0
         out2 = knn_ivfpq(e, none, k=3, n_centroids=4, m=4)
         assert out2.columns == ["query_id", "rank", "neighbor_id"] and out2.count() == 0
+
+    def test_ivfpq_indexed_equals_inline_and_prunes(self, spark, tmp_path):
+        """Persisted IVFADC: probes equal the inline composition (same
+        deterministic training from the same sample) and the cell scan
+        carries a static IN partition filter over real cell dirs."""
+        import re
+        from pathlib import Path
+
+        from lmss_entity_extractor_spark.ops.pq import (
+            knn_ivfpq,
+            knn_ivfpq_indexed,
+            write_ivfpq_index,
+        )
+
+        e = self._clustered(spark)
+        q = e.filter(F.col("vec_id") < 4)
+        idx = str(tmp_path / "ivfpq")
+        write_ivfpq_index(e, idx, n_centroids=4, m=4, pq_k=16)
+        got = sorted(
+            map(tuple, knn_ivfpq_indexed(spark, idx, q, k=5, nprobe=2).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                knn_ivfpq(e, q, k=5, n_centroids=4, nprobe=2, m=4, pq_k=16).collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+
+        probed = knn_ivfpq_indexed(spark, idx, q, k=5, nprobe=1)
+        plan = probed._sc._jvm.PythonSQLUtils.explainString(
+            probed._jdf.queryExecution(), "formatted"
+        )
+        assert re.search(r"PartitionFilters: \[centroid_id#\d+ IN \(", plan), plan
+        assert len({p.name for p in Path(idx, "cells").glob("centroid_id=*")}) > 1

@@ -111,6 +111,75 @@ def run_grid(sf_dir: str) -> str:
                     default_clustered_recall = rec
         lines.append("")
         del cents
+    # PQ / IVFADC section: the memory-bound half — recall vs EXACT-L2
+    # (ADC approximates squared L2; cosine and L2 rank differently on the
+    # unnormalized lifted vectors, so the fair exact reference changes)
+    from pyspark.sql import Window
+
+    from lmss_entity_extractor_spark.ops.pq import encode_pq, knn_ivfpq, knn_pq, train_pq_codebooks
+
+    lines += ["## PQ / IVFADC (memory-bound half; exact-L2 reference)", ""]
+    lines += [
+        "| corpus | op | recall@10 vs exact L2 | query s | stored bytes/vec |",
+        "|---|---|---|---|---|",
+    ]
+    for name, corpus in corpora.items():
+        queries = corpus.filter(F.col("vec_id") % 40 == 0)
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.col("nv"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        qq = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        ee = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+        w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+        exact_l2: dict[int, set] = {}
+        for r in (
+            ee.crossJoin(F.broadcast(qq))
+            .filter("neighbor_id != query_id")
+            .withColumn("d2", d2)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(f"rank <= {K}")
+            .collect()
+        ):
+            exact_l2.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        books = train_pq_codebooks(corpus, m=8, k=16)
+        codes = encode_pq(corpus, books).cache()
+        codes.count()
+        t0 = time.monotonic()
+        pq_rows = knn_pq(codes, queries, books, k=K).collect()
+        t_pq = time.monotonic() - t0
+        t0 = time.monotonic()
+        ivfpq_rows = knn_ivfpq(corpus, queries, k=K, n_centroids=10, nprobe=2).collect()
+        t_ivfpq = time.monotonic() - t0
+        lines.append(
+            f"| {name} | knn_pq (ADC, full scan of codes) | {_recall(pq_rows, exact_l2):.3f} | {t_pq:.2f} | 32 (8 codes) vs 256 float |"
+        )
+        lines.append(
+            f"| {name} | knn_ivfpq (2/10 cells + ADC) | {_recall(ivfpq_rows, exact_l2):.3f} | {t_ivfpq:.2f} | 32 + cell id |"
+        )
+        codes.unpersist()
+    lines += [
+        "",
+        "PQ trades fine-grained ranking for an 8x smaller stored table: at "
+        "the m=8 x k=16 code budget it preserves COARSE geometry (cluster "
+        "membership — pinned in tests) but cannot resolve in-cluster noise "
+        "ordering, which is what recall@10 against exact L2 measures here. "
+        "Recall rises with the code budget (k=256 is the classic setting); "
+        "the literal-expression encoder is sized for small k — large-k "
+        "encoding is the documented numpy-UDF escalation.  `knn_ivfpq` "
+        "trains BOTH quantizers inline (its time above is dominated by "
+        "training); the serving path is `write_ivfpq_index` + "
+        "`knn_ivfpq_indexed`: floats read once at build, probes "
+        "partition-pruned to nprobe cells and scanning only codes.  The "
+        "ADC math itself is exact to the oracle (contract query `knn_pq`).",
+        "",
+    ]
     lines += [
         "Reading: on the clustered corpus (the regime embeddings corpora are "
         "in) the default (10, 2) keeps recall >= 0.9 while scanning ~20% of "
