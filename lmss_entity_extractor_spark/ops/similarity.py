@@ -171,11 +171,33 @@ def train_ivf_centroids_local(X, n_centroids: int = 8, n_iters: int = 5):
     return [(j, C[j].tolist()) for j in range(k)]
 
 
-def _centroid_lit(cvec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in cvec])
+def _dlit(v: float) -> str:
+    """Exact double literal: repr round-trips, the D-suffixed literal
+    parses to the identical IEEE value."""
+    return f"{float(v)!r}D"
 
 
-def ivf_cell_expr(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+def _dot_sql(vec_name: str, cvec: list[float]) -> str:
+    """dot_expr as generated SQL — identical zip_with/left-fold
+    arithmetic, but ONE F.expr parse instead of thousands of py4j Column
+    constructions (profiled: expression BUILD, not execution, dominated
+    the literal-heavy IVF/PQ operators at ~5s per plan)."""
+    arr = ", ".join(_dlit(x) for x in cvec)
+    return (
+        f"aggregate(zip_with(`{vec_name}`, array({arr}), "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+
+
+def _ivf_struct_entries_sql(vec_name: str, centroids) -> str:
+    return ", ".join(
+        f"named_struct('d', {_dot_sql(vec_name, cvec)}, 'nid', {-cid})"
+        for cid, cvec in centroids
+    )
+
+
+def ivf_cell_expr(vec_name: str, centroids: list[tuple[int, list[float]]]) -> Column:
     """Nearest-centroid id as a pure column expression — narrow, JVM-side,
     zero shuffle: one dot product per (row, centroid) via ``zip_with``/
     ``aggregate``, argmax as ``array_max`` over (dot, -id) structs.
@@ -183,29 +205,25 @@ def ivf_cell_expr(vec_col: Column, centroids: list[tuple[int, list[float]]]) -> 
     Centroids must be unit vectors (``train_ivf_centroids`` guarantees
     this), so argmax-dot == argmax-cosine per row; ties break to the
     lowest centroid id, and an all-zero row (cosine undefined) lands in
-    cell 0 — matching the cosine zero-guard convention."""
-    entries = [
-        F.struct(
-            dot_expr(vec_col, _centroid_lit(cvec)).alias("d"),
-            F.lit(-cid).alias("nid"),
-        )
-        for cid, cvec in centroids
-    ]
-    return -F.array_max(F.array(*entries))["nid"]
+    cell 0 — matching the cosine zero-guard convention.  ``vec_name`` is
+    the embedding COLUMN NAME (the expression is generated as one SQL
+    string — see ``_dot_sql``)."""
+    return F.expr(
+        f"-(array_max(array({_ivf_struct_entries_sql(vec_name, centroids)})).nid)"
+    )
 
 
-def ivf_probe_cells_expr(vec_col: Column, centroids: list[tuple[int, list[float]]], nprobe: int) -> Column:
+def ivf_probe_cells_expr(
+    vec_name: str, centroids: list[tuple[int, list[float]]], nprobe: int
+) -> Column:
     """The ``nprobe`` nearest centroid ids (desc similarity, asc id
     tiebreak) as an array column — the query-side multi-cell probe."""
-    entries = [
-        F.struct(
-            dot_expr(vec_col, _centroid_lit(cvec)).alias("d"),
-            F.lit(-cid).alias("nid"),
-        )
-        for cid, cvec in centroids
-    ]
-    ranked = F.reverse(F.array_sort(F.array(*entries)))  # d desc, then -id desc = id asc
-    return F.transform(F.slice(ranked, 1, nprobe), lambda s: -s["nid"])
+    # d desc, then -id desc = id asc
+    return F.expr(
+        "transform(slice(reverse(array_sort(array("
+        f"{_ivf_struct_entries_sql(vec_name, centroids)}"
+        f"))), 1, {int(nprobe)}), s -> -s.nid)"
+    )
 
 
 def assign_ivf_cells(
@@ -231,7 +249,7 @@ def assign_ivf_cells(
         v = np.asarray(r[1], dtype=np.float64)
         nv = np.linalg.norm(v)
         cents.append((r[0], (v / nv if nv > 0 else v).tolist()))
-    return vectors.withColumn("centroid_id", ivf_cell_expr(F.col(vec_col), cents))
+    return vectors.withColumn("centroid_id", ivf_cell_expr(vec_col, cents))
 
 
 def knn_ivf(
@@ -264,12 +282,12 @@ def knn_ivf(
     e = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
-        ivf_cell_expr(F.col(vec_col), cents).alias("centroid_id"),
+        ivf_cell_expr(vec_col, cents).alias("centroid_id"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.explode(ivf_probe_cells_expr(F.col(vec_col), cents, nprobe)).alias("centroid_id"),
+        F.explode(ivf_probe_cells_expr(vec_col, cents, nprobe)).alias("centroid_id"),
     )
     scored = (
         e.join(F.broadcast(q), "centroid_id")
@@ -309,7 +327,7 @@ def write_ivf_index(
 
     cents = train_ivf_centroids(embeddings, n_centroids, n_iters, id_col, vec_col, sample_mod)
     (
-        embeddings.withColumn("centroid_id", ivf_cell_expr(F.col(vec_col), cents))
+        embeddings.withColumn("centroid_id", ivf_cell_expr(vec_col, cents))
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(f"{path}/cells")
@@ -341,7 +359,7 @@ def knn_ivf_indexed(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.explode(ivf_probe_cells_expr(F.col(vec_col), cents, nprobe)).alias("centroid_id"),
+        F.explode(ivf_probe_cells_expr(vec_col, cents, nprobe)).alias("centroid_id"),
     )
     # The query batch is small by contract (it broadcasts below), so the
     # probed cell set is collected driver-side and pushed as a STATIC
