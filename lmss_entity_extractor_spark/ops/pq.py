@@ -78,11 +78,11 @@ def _sub_dist2_sql(vec_name: str, j: int, sub: int, cent: list[float]) -> str:
     """Sequential-fold squared L2 between subvector j of the named column
     and a centroid literal — the exact accumulation order the oracle
     mirrors, generated as SQL (one parse; see similarity._dot_sql)."""
-    from .similarity import _dlit
+    from .similarity import _dlit, _qcol
 
     arr = ", ".join(_dlit(x) for x in cent)
     return (
-        f"aggregate(zip_with(slice(`{vec_name}`, {j * sub + 1}, {sub}), array({arr}), "
+        f"aggregate(zip_with(slice({_qcol(vec_name)}, {j * sub + 1}, {sub}), array({arr}), "
         "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
         "0D, (acc, v) -> acc + v)"
     )
@@ -186,21 +186,7 @@ def knn_ivfpq(
         pq_code_expr(vec_col, books).alias("codes"),
         ivf_cell_expr(vec_col, cents).alias("centroid_id"),
     )
-    spark = embeddings.sparkSession
-    qdf = spark.createDataFrame(
-        [
-            (r["qid"], int(c), adc_table(r["qv"], books))
-            for r in q_rows
-            for c in r["cells"]
-        ],
-        ["query_id", "centroid_id", "tbl"],
-    )
-    scored = (
-        coded.join(F.broadcast(qdf), "centroid_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adc_dist", _adc_dist_expr(F.col("tbl")))
-    )
-    return _rank_topk(scored, k)
+    return _score_probed_cells(coded, q_rows, books, k)
 
 
 def _adc_dist_expr(tbl_lit: Column) -> Column:
@@ -330,16 +316,23 @@ def knn_ivfpq_indexed(
         .filter(F.col("centroid_id").isin(probe_ids))
         .select(F.col(id_col).alias("neighbor_id"), "codes", "centroid_id")
     )
-    qdf = spark.createDataFrame(
-        [
-            (r["qid"], int(c), adc_table(r["qv"], books))
-            for r in q_rows
-            for c in r["cells"]
-        ],
-        ["query_id", "centroid_id", "tbl"],
-    )
+    return _score_probed_cells(cells, q_rows, books, k)
+
+
+def _score_probed_cells(candidates: DataFrame, q_rows, books, k: int) -> DataFrame:
+    """Shared IVFADC scoring tail (inline and persisted paths):
+    broadcast one (query, probed-cell, ADC-table) frame — the table
+    computed ONCE per query, reused across its cells — equi-join on
+    cell, score, rank.  ``candidates`` must carry (neighbor_id, codes,
+    centroid_id)."""
+    spark = candidates.sparkSession
+    data = []
+    for r in q_rows:
+        tbl = adc_table(r["qv"], books)
+        data.extend((r["qid"], int(c), tbl) for c in r["cells"])
+    qdf = spark.createDataFrame(data, ["query_id", "centroid_id", "tbl"])
     scored = (
-        cells.join(F.broadcast(qdf), "centroid_id")
+        candidates.join(F.broadcast(qdf), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("adc_dist", _adc_dist_expr(F.col("tbl")))
     )

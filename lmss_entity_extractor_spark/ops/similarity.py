@@ -173,8 +173,24 @@ def train_ivf_centroids_local(X, n_centroids: int = 8, n_iters: int = 5):
 
 def _dlit(v: float) -> str:
     """Exact double literal: repr round-trips, the D-suffixed literal
-    parses to the identical IEEE value."""
-    return f"{float(v)!r}D"
+    parses to the identical IEEE value.  Non-finite values (a NaN/Inf
+    embedding leaking into a trained centroid) get the CAST spelling —
+    'nanD' would parse as a column reference."""
+    import math
+
+    v = float(v)
+    if not math.isfinite(v):
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        return "CAST('Infinity' AS DOUBLE)" if v > 0 else "CAST('-Infinity' AS DOUBLE)"
+    return f"{v!r}D"
+
+
+def _qcol(name: str) -> str:
+    """Quote a column name for generated SQL with F.col's semantics:
+    dots traverse struct fields (each part backtick-quoted, embedded
+    backticks doubled), so ``s.embedding`` keeps resolving."""
+    return ".".join("`" + part.replace("`", "``") + "`" for part in name.split("."))
 
 
 def _dot_sql(vec_name: str, cvec: list[float]) -> str:
@@ -184,7 +200,7 @@ def _dot_sql(vec_name: str, cvec: list[float]) -> str:
     the literal-heavy IVF/PQ operators at ~5s per plan)."""
     arr = ", ".join(_dlit(x) for x in cvec)
     return (
-        f"aggregate(zip_with(`{vec_name}`, array({arr}), "
+        f"aggregate(zip_with({_qcol(vec_name)}, array({arr}), "
         "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "0D, (acc, v) -> acc + v)"
     )
