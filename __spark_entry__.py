@@ -303,6 +303,21 @@ def q_knn_pq(spark, sf_dir):
     return knn_pq(codes, e.filter(F.col("vec_id") < 5), books, k=10)
 
 
+def q_knn_ivfpq(spark, sf_dir):
+    """IVFADC (L34 composition): IVF cell pruning x ADC code scoring —
+    the configuration that serves ANN at corpus scale (nprobe/n_centroids
+    of the rows, m code lookups per candidate, zero floats read).
+
+    Value-level oracle (pinned to sf0.01): BOTH frozen codebooks (IVF
+    centroids + PQ subspace codebooks, trained by the same shared numpy
+    cores) let DuckDB re-derive every stage — cell assignment, per-query
+    probe cells, candidate restriction, codes, and the ADC ranking."""
+    from lmss_entity_extractor_spark.ops.pq import knn_ivfpq
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_ivfpq(e, e.filter(F.col("vec_id") < 5), k=10, n_centroids=10, nprobe=2)
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (backward inclusive): each purchase event picks up the
     most recent prior click by the same user — single keyed shuffle."""
@@ -1084,7 +1099,7 @@ CHANGELOG_CUT = 250
 # DESIGN.  tools/check_entry.py skips them off-sf0.01 with a note; every
 # other oracle is scale-independent (verified green at sf0.001/0.01/0.1).
 FIXTURE_PINNED_SF001 = frozenset(
-    {"mention_type_counts", "kg_edge_counts", "edges_changelog", "knn_pq"}
+    {"mention_type_counts", "kg_edge_counts", "edges_changelog", "knn_pq", "knn_ivfpq"}
 )
 
 
@@ -1227,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_reply_join": q_stream_reply_join,
         "edges_changelog": q_edges_changelog,
         "knn_pq": q_knn_pq,
+        "knn_ivfpq": q_knn_ivfpq,
         # red in round 2 (oracle dtype, fixed r3) — re-check first
         "time_rollup": q_time_rollup,
         # green in round 1 but unsampled in round 2
@@ -1334,12 +1350,17 @@ _SHINGLES_CTE = _shingles_cte()
 _MINHASH_PAIRS_CTE = _minhash_pairs_cte()
 
 
-def _pq_oracle_sql() -> str:
-    """The knn_pq oracle, generated so the float sums are EXPLICITLY
-    left-associated term-for-term with the Spark/Python folds (grouped
-    SQL SUM has unspecified order; a 1-ulp reassociation difference
-    could flip a near-tie in the ranking)."""
-    sub, m, kq = 8, 8, 10
+def _pq_oracle_sql(ivf_probe: bool = False) -> str:
+    """The knn_pq / knn_ivfpq oracles, generated so the float sums are
+    EXPLICITLY left-associated term-for-term with the Spark/Python folds
+    (grouped SQL SUM has unspecified order; a 1-ulp reassociation
+    difference could flip a near-tie in the ranking).
+
+    ``ivf_probe=True`` adds the IVFADC composition from the frozen IVF
+    centroids: cell assignment (argmax-dot, lowest-cid ties), per-query
+    top-nprobe probe cells, and the candidate restriction to probed
+    cells — every stage of ``knn_ivfpq`` re-derived in SQL."""
+    sub, m, kq, dim, nprobe = 8, 8, 10, 64, 2
 
     def dist(vec: str) -> str:
         acc = f"(CAST({vec}[cb.j * {sub} + 1] AS DOUBLE) - cb.cent[1]) * (CAST({vec}[cb.j * {sub} + 1] AS DOUBLE) - cb.cent[1])"
@@ -1348,13 +1369,54 @@ def _pq_oracle_sql() -> str:
             acc = f"({acc} + {t})"
         return acc
 
+    def dot64(vec: str) -> str:
+        acc = f"(CAST({vec}[1] AS DOUBLE) * ivf.cent[1])"
+        for i in range(1, dim):
+            acc = f"({acc} + (CAST({vec}[{i} + 1] AS DOUBLE) * ivf.cent[{i} + 1]))"
+        return acc
+
     adc = f"max(CASE WHEN j = 0 THEN d END)"
     for j in range(1, m):
         adc = f"({adc} + max(CASE WHEN j = {j} THEN d END))"
+
+    ivf_ctes = f""",
+        ivf AS (SELECT cid, cent
+                FROM read_parquet('/root/repo/fixtures/oracle/sf0.01/ivf_centroids.parquet')),
+        idot AS (
+            SELECT b.vec_id, ivf.cid, {dot64('b.embedding')} AS d
+            FROM base b CROSS JOIN ivf
+        ),
+        cells AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+                FROM idot
+            ) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT vec_id AS query_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+                FROM idot WHERE vec_id < 5
+            ) WHERE rn <= {nprobe}
+        )"""
+    if ivf_probe:
+        pairs = """
+            SELECT t.query_id, c.vec_id AS neighbor_id, c.j, t.d
+            FROM codes c
+            JOIN cells ce ON ce.vec_id = c.vec_id
+            JOIN probe p ON p.cid = ce.cid
+            JOIN qtbl t ON t.query_id = p.query_id AND t.j = c.j AND t.code = c.code
+            WHERE c.vec_id <> t.query_id"""
+    else:
+        pairs = """
+            SELECT t.query_id, c.vec_id AS neighbor_id, c.j, t.d
+            FROM codes c JOIN qtbl t ON t.j = c.j AND t.code = c.code
+            WHERE c.vec_id <> t.query_id"""
     return f"""
         WITH cb AS (SELECT j, code, cent
                     FROM read_parquet('/root/repo/fixtures/oracle/sf0.01/pq_codebook.parquet')),
-        base AS (SELECT vec_id, embedding FROM embeddings),
+        base AS (SELECT vec_id, embedding FROM embeddings){ivf_ctes if ivf_probe else ''},
         vdist AS (
             SELECT b.vec_id, cb.j, cb.code, {dist('b.embedding')} AS d
             FROM base b CROSS JOIN cb
@@ -1370,10 +1432,7 @@ def _pq_oracle_sql() -> str:
             SELECT b.vec_id AS query_id, cb.j, cb.code, {dist('b.embedding')} AS d
             FROM base b CROSS JOIN cb WHERE b.vec_id < 5
         ),
-        pairs AS (
-            SELECT t.query_id, c.vec_id AS neighbor_id, c.j, t.d
-            FROM codes c JOIN qtbl t ON t.j = c.j AND t.code = c.code
-            WHERE c.vec_id <> t.query_id
+        pairs AS ({pairs}
         ),
         adc AS (
             SELECT query_id, neighbor_id, {adc} AS adc_dist
@@ -2136,6 +2195,7 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "knn_pq": _pq_oracle_sql(),
+        "knn_ivfpq": _pq_oracle_sql(ivf_probe=True),
         "edges_changelog": """
             -- diff of two frozen loop-oracle canonical edge tables
             -- (doc_id < 250 prefix vs full; tools/make_oracle_fixtures.py,

@@ -90,23 +90,24 @@ def compute_hybrid_terms(artifacts) -> list[tuple[str, str, int, int, float]]:
     return out
 
 
-def compute_pq_codebook(sf_dir: str | Path):
-    """Train the PQ codebooks for the knn_pq oracle through the SAME
-    numpy core the Spark operator uses (ops/pq.train_pq_codebooks_local),
-    from the same id-sorted float64 rows — bit-identical by construction;
-    DuckDB then re-derives codes and the ADC ranking from the frozen
-    values alone."""
+def compute_ann_codebooks(sf_dir: str | Path):
+    """Train the PQ codebooks AND the IVF centroids for the knn_pq /
+    knn_ivfpq oracles through the SAME numpy cores the Spark operators
+    use, from the same id-sorted float64 rows — bit-identical by
+    construction; DuckDB then re-derives codes, cells, probes and the
+    ADC ranking from the frozen values alone."""
     import duckdb
     import numpy as np
 
     from lmss_entity_extractor_spark.ops.pq import train_pq_codebooks_local
+    from lmss_entity_extractor_spark.ops.similarity import train_ivf_centroids_local
 
     con = duckdb.connect()
     rows = con.execute(
         f"SELECT embedding FROM read_parquet('{Path(sf_dir)}/embeddings.parquet') ORDER BY vec_id"
     ).fetchall()
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
-    return train_pq_codebooks_local(X, m=8, k=16)
+    return train_pq_codebooks_local(X, m=8, k=16), train_ivf_centroids_local(X, 10)
 
 
 def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
@@ -138,7 +139,7 @@ def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
     # prefix slice IS the doc_id < CHANGELOG_CUT filter
     edges_v1 = oracle_edge_rows(rows[:CHANGELOG_CUT], artifacts)
     edges_v2 = oracle_edge_rows(rows, artifacts)
-    pq_books = compute_pq_codebook(sf_dir)
+    pq_books, ivf_cents = compute_ann_codebooks(sf_dir)
 
     def _edges_table(er):
         return pa.table(
@@ -151,6 +152,12 @@ def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
         )
 
     return {
+        "ivf_centroids": pa.table(
+            {
+                "cid": pa.array([c for c, _ in ivf_cents], pa.int32()),
+                "cent": pa.array([v for _, v in ivf_cents], pa.list_(pa.float64())),
+            }
+        ),
         "pq_codebook": pa.table(
             {
                 "j": pa.array(
