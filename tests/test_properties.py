@@ -262,3 +262,42 @@ def test_closure_cyclic_input_single_self_row(spark):
     # discovered depth
     no_self = {(r.desc_iri, r.anc_iri): r.depth for r in transitive_closure(df, include_self=False).collect()}
     assert no_self[("a", "a")] == 2 and no_self[("c", "c")] == 1
+
+
+@pytest.mark.spark
+@settings(max_examples=15, deadline=None, derandomize=True)  # each example runs an iterative Spark job
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_star_components_match_union_find_model(spark, edges):
+    """connected_components_star against the union-find reference model,
+    for arbitrary edge lists (self-loops, duplicates, multi-component)
+    — same contract the propagation variant's model test pins."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in comps.values() for n in members}
+
+    from lmss_entity_extractor_spark.ops.components import connected_components_star
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components_star(df).collect()}
+    assert got == want
