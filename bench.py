@@ -204,10 +204,16 @@ def _mp_control_worker(args):
         ).fetchall()
     ]
     c = 0
+    per_turn = os.environ.get("SPARK_GRAFT_PER_TURN_EXTRACT") == "1"
     for _ in range(n_iter):
-        # same batched kernel form the Spark UDF runs — the control must
-        # measure the host, not a different code path
-        c += sum(len(m) for m in extract_mentions_from_turns(texts, arts, with_context=False))
+        # same kernel form the Spark UDF runs (incl. the A/B lever) — the
+        # control must measure the host, not a different code path
+        if per_turn:
+            from lmss_entity_extractor_spark.extraction import extract_mentions_from_turn
+
+            c += sum(len(extract_mentions_from_turn(t, arts, with_context=False)) for t in texts)
+        else:
+            c += sum(len(m) for m in extract_mentions_from_turns(texts, arts, with_context=False))
     assert c >= 0
     # TURNS processed (the throughput unit); LIMIT 500 may cap below 500
     # on tiny sf dirs, so report the real count, not the nominal one
