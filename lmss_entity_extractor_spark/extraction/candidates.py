@@ -197,8 +197,6 @@ def fuzzy_window_spans_batch(
     that straddle turn boundaries are simply never queried by the
     per-turn scan (same ``_scan_windows`` body).
     """
-    import numpy as np
-
     surf_sizes = artifacts.label_tri_sizes
     S = len(surf_sizes)
     results: list[list[Span]] = [[] for _ in texts]

@@ -177,8 +177,13 @@ def write_bm25_index(
             .partitionBy("bucket")
             .parquet(f"{path}/postings")
         )
-        Path(path, "stats.json").write_text(
-            json.dumps({"n_docs": stats_row["n_docs"], "avgdl": stats_row["avgdl"], "n_buckets": n_buckets})
+        # atomic commit point: a crash mid-write must not leave a readable
+        # dir with truncated stats JSON (ADVICE r3)
+        from ..checkpoints import atomic_write_text
+
+        atomic_write_text(
+            Path(path, "stats.json"),
+            json.dumps({"n_docs": stats_row["n_docs"], "avgdl": stats_row["avgdl"], "n_buckets": n_buckets}),
         )
     finally:
         # a failed write must not pin a corpus-sized cache for the session

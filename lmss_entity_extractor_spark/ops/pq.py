@@ -258,6 +258,7 @@ def write_ivfpq_index(
     import json
     from pathlib import Path
 
+    from ..checkpoints import atomic_write_text
     from .similarity import collect_training_sample, ivf_cell_expr, train_ivf_centroids_local
 
     X = collect_training_sample(embeddings, id_col, vec_col, sample_mod, "write_ivfpq_index")
@@ -273,7 +274,12 @@ def write_ivfpq_index(
         .partitionBy("centroid_id")
         .parquet(f"{path}/cells")
     )
-    Path(path, "codebooks.json").write_text(json.dumps({"centroids": cents, "books": books}))
+    # metadata is the index's commit point: atomic temp+rename so a crash
+    # mid-write can't leave a valid-looking dir with truncated JSON
+    # (ADVICE r3 — mirrors the manifest discipline in streaming/incremental)
+    atomic_write_text(
+        Path(path, "codebooks.json"), json.dumps({"centroids": cents, "books": books})
+    )
     return cents, books
 
 

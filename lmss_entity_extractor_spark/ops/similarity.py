@@ -348,8 +348,11 @@ def write_ivf_index(
         .partitionBy("centroid_id")
         .parquet(f"{path}/cells")
     )
-    p = Path(path) / "centroids.json"
-    p.write_text(json.dumps(cents))
+    # atomic commit point: a crash mid-write must not leave a readable
+    # dir with truncated centroid JSON (ADVICE r3)
+    from ..checkpoints import atomic_write_text
+
+    atomic_write_text(Path(path) / "centroids.json", json.dumps(cents))
     return cents
 
 

@@ -150,11 +150,12 @@ def incremental_edges_snapshot(
     # compact_incremental_edges — so any dir the manifest doesn't vouch
     # for is dropped before processing.
     committed = (prev or {}).get("committed_increments")
+    reconstructed = None
     if committed is None and prev is not None:
         # legacy manifest (predates the committed-increments field): its
         # increments WERE committed but unrecorded — vouch for every dir
         # present rather than wiping edges that will never be reprocessed
-        committed = sorted(
+        committed = reconstructed = sorted(
             d.name.split("=", 1)[1] for d in Path(out_dir).glob("increment=*")
         ) if Path(out_dir).exists() else []
     committed = committed or []
@@ -182,8 +183,10 @@ def incremental_edges_snapshot(
     # reads (edges_as_of) resolve against.  Carried forward inside the
     # manifest so the whole commit stays ONE atomic file write; legacy
     # manifests (pre-history) get their committed increments seeded under
-    # the recorded snapshot id so time travel never under-reads them.
-    history = _seeded_history(prev)
+    # the recorded snapshot id so time travel never under-reads them —
+    # including gen-1 manifests whose committed set itself had to be
+    # reconstructed from on-disk dirs above (ADVICE r3).
+    history = _seeded_history(prev, reconstructed)
     history.append({"snapshot_id": cur["snapshot_id"], "increment": inc_id})
     pipe.ckpt.record_snapshot(
         snapshot_name,
@@ -215,19 +218,27 @@ def reset_incremental(
             shutil.rmtree(d, ignore_errors=True)
 
 
-def _seeded_history(man: dict | None) -> list[dict]:
+def _seeded_history(
+    man: dict | None, reconstructed_committed: list[str] | None = None
+) -> list[dict]:
     """The manifest's snapshot log; a legacy manifest (predates the
     ``history`` field) gets one entry per committed increment under its
     recorded snapshot id — those increments WERE committed, and omitting
-    them would make ``edges_as_of`` silently under-read the table."""
+    them would make ``edges_as_of`` silently under-read the table.
+
+    ``reconstructed_committed`` covers the gen-1 case where the manifest
+    predates even ``committed_increments`` and the caller re-derived the
+    committed set from on-disk increment dirs: seeding must use THAT list,
+    or the gen-1 increments vanish from the log at the next commit."""
     if not man:
         return []
     history = list(man.get("history") or [])
-    if not history and man.get("committed_increments"):
-        history = [
-            {"snapshot_id": man["snapshot_id"], "increment": i}
-            for i in man["committed_increments"]
-        ]
+    if not history:
+        seed = man.get("committed_increments") or reconstructed_committed
+        if seed:
+            history = [
+                {"snapshot_id": man["snapshot_id"], "increment": i} for i in seed
+            ]
     return history
 
 

@@ -138,11 +138,18 @@ def test_snapshot_incremental_processes_only_the_delta(spark, owl_path, tmp_path
 
 
 @pytest.mark.spark
-def test_time_travel_on_legacy_manifest(spark, owl_path, tmp_path):
+@pytest.mark.parametrize("strip", [("history",), ("history", "committed_increments")])
+def test_time_travel_on_legacy_manifest(spark, owl_path, tmp_path, strip):
     """A manifest written before the history field existed must still
     time-travel correctly: its committed increments are seeded under the
     recorded snapshot id, and post-upgrade commits append on top —
-    without the seeding, edges_as_of silently under-read the table."""
+    without the seeding, edges_as_of silently under-read the table.
+
+    The two-field strip is the gen-1 manifest (predates even
+    committed_increments): its committed set is reconstructed from
+    on-disk increment dirs, and the seeding must use THAT reconstructed
+    list (ADVICE r3 — seeding only off the manifest field dropped gen-1
+    increments from the log at the next commit)."""
     import json
 
     tdir = tmp_path / "transcripts"
@@ -152,15 +159,22 @@ def test_time_travel_on_legacy_manifest(spark, owl_path, tmp_path):
     write_transcripts_parquet(tdir / "part-1.parquet", n_convs=3, seed=22)
     pipe = KGPipeline(spark, owl_path, tmp_path / "wh", PipelineConfig())
     r1 = pipe.run_incremental(tdir, out_dir)
-    # simulate the legacy manifest: strip the history field
+    # simulate the legacy manifest: strip the new-generation fields
     mp = pipe.ckpt._snapshot_path("transcripts_in")
     man = json.loads(mp.read_text())
-    del man["history"]
+    for field in strip:
+        del man[field]
     mp.write_text(json.dumps(man))
 
-    batch_v1 = pipe.dataflow(spark.read.parquet(str(tdir)))["edges"]
-    assert [h["snapshot_id"] for h in pipe.snapshots()] == [r1["snapshot_id"]]
-    assert _edge_set(pipe.edges_as_of(out_dir, r1["snapshot_id"])) == _edge_set(batch_v1)
+    # materialize NOW: a lazy directory read would re-list tdir after
+    # part-2 lands below and silently include its edges
+    v1_set = _edge_set(pipe.dataflow(spark.read.parquet(str(tdir)))["edges"])
+    if strip == ("history",):
+        # committed_increments survives, so the log is derivable even
+        # before the next commit; gen-1 manifests only regain their log
+        # at the next commit (snapshots() can't see out_dir)
+        assert [h["snapshot_id"] for h in pipe.snapshots()] == [r1["snapshot_id"]]
+        assert _edge_set(pipe.edges_as_of(out_dir, r1["snapshot_id"])) == v1_set
 
     # post-upgrade commit: as-of the new snapshot sees legacy + new
     write_transcripts_parquet(tdir / "part-2.parquet", n_convs=2, seed=33)
@@ -168,7 +182,7 @@ def test_time_travel_on_legacy_manifest(spark, owl_path, tmp_path):
     spark.catalog.clearCache()
     batch_all = pipe.dataflow(spark.read.parquet(str(tdir)))["edges"]
     assert _edge_set(pipe.edges_as_of(out_dir, r2["snapshot_id"])) == _edge_set(batch_all)
-    assert _edge_set(pipe.edges_as_of(out_dir, r1["snapshot_id"])) == _edge_set(batch_v1)
+    assert _edge_set(pipe.edges_as_of(out_dir, r1["snapshot_id"])) == v1_set
     shutil.rmtree(tmp_path, ignore_errors=True)
 
 
