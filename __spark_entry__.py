@@ -311,10 +311,34 @@ def q_knn_ivfpq(spark, sf_dir):
     Value-level oracle (pinned to sf0.01): BOTH frozen codebooks (IVF
     centroids + PQ subspace codebooks, trained by the same shared numpy
     cores) let DuckDB re-derive every stage — cell assignment, per-query
-    probe cells, candidate restriction, codes, and the ADC ranking."""
+    probe cells, candidate restriction, codes, and the ADC ranking.
+    ``rerank=0`` pins the PURE-ADC ranking this oracle re-derives; the
+    serving default (exact re-rank) is oracled by q_knn_ivfpq_rerank."""
     from lmss_entity_extractor_spark.ops.pq import knn_ivfpq
 
     e = _t(spark, sf_dir, "embeddings")
+    return knn_ivfpq(
+        e, e.filter(F.col("vec_id") < 5), k=10, n_centroids=10, nprobe=2, rerank=0
+    )
+
+
+def q_knn_ivfpq_rerank(spark, sf_dir):
+    """IVFADC + exact re-rank (Jegou §V, the r3 VERDICT's one quality
+    gap): ADC shortlists k'=100 candidates from the probed cells, then
+    a broadcast-shortlist join reads ONLY those float vectors and exact
+    squared L2 orders the final top-10 — recall goes 0.30 -> ~1.0 on
+    clustered corpora (BENCH/IVF.md) while the scan story keeps reading
+    codes, never a full float column.
+
+    Value-level oracle (pinned to sf0.01): the q_knn_ivfpq SQL extended
+    by the re-rank stages — ADC shortlist (rank <= k'), then exact L2
+    re-derived as an explicitly left-associated 64-term float64 sum
+    that mirrors Spark's sequential zip_with/aggregate fold
+    term-for-term."""
+    from lmss_entity_extractor_spark.ops.pq import knn_ivfpq
+
+    e = _t(spark, sf_dir, "embeddings")
+    # library defaults: rerank=None -> auto shortlist max(50, 10k) = 100
     return knn_ivfpq(e, e.filter(F.col("vec_id") < 5), k=10, n_centroids=10, nprobe=2)
 
 
@@ -1099,7 +1123,14 @@ CHANGELOG_CUT = 250
 # DESIGN.  tools/check_entry.py skips them off-sf0.01 with a note; every
 # other oracle is scale-independent (verified green at sf0.001/0.01/0.1).
 FIXTURE_PINNED_SF001 = frozenset(
-    {"mention_type_counts", "kg_edge_counts", "edges_changelog", "knn_pq", "knn_ivfpq"}
+    {
+        "mention_type_counts",
+        "kg_edge_counts",
+        "edges_changelog",
+        "knn_pq",
+        "knn_ivfpq",
+        "knn_ivfpq_rerank",
+    }
 )
 
 
@@ -1241,6 +1272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "stream_reply_join": q_stream_reply_join,
         "edges_changelog": q_edges_changelog,
+        # oracle never yet driver-checked (added r4)
+        "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
         # red in round 2 (oracle dtype, fixed r3) — re-check first
@@ -1350,16 +1383,22 @@ _SHINGLES_CTE = _shingles_cte()
 _MINHASH_PAIRS_CTE = _minhash_pairs_cte()
 
 
-def _pq_oracle_sql(ivf_probe: bool = False) -> str:
-    """The knn_pq / knn_ivfpq oracles, generated so the float sums are
-    EXPLICITLY left-associated term-for-term with the Spark/Python folds
-    (grouped SQL SUM has unspecified order; a 1-ulp reassociation
-    difference could flip a near-tie in the ranking).
+def _pq_oracle_sql(ivf_probe: bool = False, rerank: int = 0) -> str:
+    """The knn_pq / knn_ivfpq / knn_ivfpq_rerank oracles, generated so
+    the float sums are EXPLICITLY left-associated term-for-term with the
+    Spark/Python folds (grouped SQL SUM has unspecified order; a 1-ulp
+    reassociation difference could flip a near-tie in the ranking).
 
     ``ivf_probe=True`` adds the IVFADC composition from the frozen IVF
     centroids: cell assignment (argmax-dot, lowest-cid ties), per-query
     top-nprobe probe cells, and the candidate restriction to probed
-    cells — every stage of ``knn_ivfpq`` re-derived in SQL."""
+    cells — every stage of ``knn_ivfpq`` re-derived in SQL.
+
+    ``rerank=k'`` appends the Jegou-§V exact re-rank: ADC shortlist of
+    k' per query, then exact squared L2 (64 explicitly left-associated
+    float64 terms, both operands CAST from the stored float32) orders
+    the final top-k — mirroring ops.pq._exact_rerank's sequential
+    zip_with/aggregate fold."""
     sub, m, kq, dim, nprobe = 8, 8, 10, 64, 2
 
     def dist(vec: str) -> str:
@@ -1413,6 +1452,38 @@ def _pq_oracle_sql(ivf_probe: bool = False) -> str:
             SELECT t.query_id, c.vec_id AS neighbor_id, c.j, t.d
             FROM codes c JOIN qtbl t ON t.j = c.j AND t.code = c.code
             WHERE c.vec_id <> t.query_id"""
+
+    if rerank:
+
+        def _l2_64(a: str, b: str) -> str:
+            def term(i: int) -> str:
+                d = f"(CAST({a}[{i} + 1] AS DOUBLE) - CAST({b}[{i} + 1] AS DOUBLE))"
+                return f"({d} * {d})"
+
+            acc = term(0)
+            for i in range(1, dim):
+                acc = f"({acc} + {term(i)})"
+            return acc
+
+        rerank_ctes = f""",
+        short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY adc_dist ASC, neighbor_id ASC) AS srn
+                FROM adc
+            ) WHERE srn <= {rerank}
+        ),
+        exact AS (
+            SELECT s.query_id, s.neighbor_id,
+                   {_l2_64('b.embedding', 'q.embedding')} AS xdist
+            FROM short s
+            JOIN base b ON b.vec_id = s.neighbor_id
+            JOIN base q ON q.vec_id = s.query_id
+        )"""
+        final_src, final_dist = "exact", "xdist"
+    else:
+        rerank_ctes, final_src, final_dist = "", "adc", "adc_dist"
     return f"""
         WITH cb AS (SELECT j, code, cent
                     FROM read_parquet('/root/repo/fixtures/oracle/sf0.01/pq_codebook.parquet')),
@@ -1437,12 +1508,12 @@ def _pq_oracle_sql(ivf_probe: bool = False) -> str:
         adc AS (
             SELECT query_id, neighbor_id, {adc} AS adc_dist
             FROM pairs GROUP BY 1, 2
-        )
+        ){rerank_ctes}
         SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
             SELECT query_id, neighbor_id,
                    row_number() OVER (PARTITION BY query_id
-                                      ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
-            FROM adc
+                                      ORDER BY {final_dist} ASC, neighbor_id ASC) AS rank
+            FROM {final_src}
         ) WHERE rank <= {kq}
     """
 
@@ -2196,6 +2267,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_pq": _pq_oracle_sql(),
         "knn_ivfpq": _pq_oracle_sql(ivf_probe=True),
+        # auto shortlist at k=10 -> k' = max(50, 10k) = 100
+        "knn_ivfpq_rerank": _pq_oracle_sql(ivf_probe=True, rerank=100),
         "edges_changelog": """
             -- diff of two frozen loop-oracle canonical edge tables
             -- (doc_id < 250 prefix vs full; tools/make_oracle_fixtures.py,

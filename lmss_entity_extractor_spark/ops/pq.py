@@ -21,10 +21,20 @@ id-sorted training set, evenly spaced init, Lloyd with argmin-distance
 -> bit-identical codebooks at any parallelism.  Code assignment and ADC
 use sequential left-fold float64 arithmetic so the DuckDB oracle can
 reproduce them bit-for-bit (see q_knn_pq).
+
+Re-rank stage (Jegou §V): ADC ranking resolves coarse geometry but not
+in-cluster noise ordering (recall@10 ~0.3 at the m=8 x k=16 budget), so
+the serving-path default shortlists ``rerank`` candidates by ADC and
+re-ranks them by EXACT squared L2 — the float vectors are read only via
+a broadcast-shortlist join against the (partition-pruned, for the
+persisted index) vector source, never a full float scan, so the 100 TB
+story is preserved while recall@10 goes to ~1.0 on clustered corpora
+(BENCH/IVF.md).  ``rerank=0`` keeps the pure-ADC ranking.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -106,15 +116,62 @@ def pq_code_expr(vec_name: str, books) -> Column:
     return F.expr("array(" + ", ".join(per_sub) + ")")
 
 
+def pq_codes_udf(vec_col: str, books) -> Column:
+    """Arrow-batched numpy encoder for LARGE codebooks (pq_k >= ~64),
+    where the literal-expression form outgrows whole-stage codegen
+    (k*d squared-diff terms in one SQL expression).  Vectorized argmin
+    per subspace over the whole Arrow batch; ties -> lowest code
+    (np.argmin), same tie rule as the SQL form.  Not oracle-pinned:
+    numpy's pairwise summation may differ from the sequential fold by
+    an ulp on exact centroid-distance ties — the SQL form remains the
+    bit-contract path for small k."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cents = [np.asarray([c for _code, c in book], dtype=np.float64) for book in books]
+    sub = cents[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def _enc(v: pd.Series) -> pd.Series:
+        X = np.asarray(v.tolist(), dtype=np.float64)
+        out = np.empty((len(X), len(cents)), np.int32)
+        for j, Cj in enumerate(cents):
+            S = X[:, j * sub : (j + 1) * sub]
+            d2 = ((S[:, None, :] - Cj[None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return _enc(F.col(vec_col))
+
+
+# per-subspace codebook size above which the literal-SQL encoder gives
+# way to the Arrow/numpy one (k*d terms stop fitting codegen budgets)
+_SQL_ENCODER_MAX_K = 16
+
+
+def _codes_col(vec_col: str, books, encoder: str = "auto") -> Column:
+    """The codes expression under the encoder policy: ``sql`` (bit-exact
+    oracle contract, small k), ``numpy`` (Arrow-batched, any k), or
+    ``auto`` (sql up to k=16 per subspace, numpy beyond)."""
+    if encoder == "auto":
+        encoder = "sql" if max(len(b) for b in books) <= _SQL_ENCODER_MAX_K else "numpy"
+    if encoder == "sql":
+        return pq_code_expr(vec_col, books)
+    if encoder == "numpy":
+        return pq_codes_udf(vec_col, books)
+    raise ValueError(f"unknown encoder {encoder!r} (sql | numpy | auto)")
+
+
 def encode_pq(
     embeddings: DataFrame,
     books,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    encoder: str = "auto",
 ) -> DataFrame:
     """(id, codes): the stored form — m ints instead of d floats."""
     return embeddings.select(
-        F.col(id_col), pq_code_expr(vec_col, books).alias("codes")
+        F.col(id_col), _codes_col(vec_col, books, encoder).alias("codes")
     )
 
 
@@ -135,6 +192,60 @@ def adc_table(qvec, books):
     return tbl
 
 
+def _resolve_rerank(rerank: int | None, k: int) -> int:
+    """``None`` (the serving default) -> a shortlist an order of magnitude
+    past k (Jegou §V sizes k' >> k); 0 -> pure ADC; explicit ints pass
+    through (floored at k — a shortlist below k can't fill the result)."""
+    if rerank is None:
+        return max(50, 10 * k)
+    return max(rerank, k) if rerank else 0
+
+
+def _exact_rerank(
+    shortlist: DataFrame,
+    vec_src: DataFrame,
+    q_rows,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Re-rank the ADC shortlist by EXACT squared L2 (Jegou §V): the
+    shortlist (n_queries x k' rows — tiny) broadcasts into a join
+    against the float-vector source, so only shortlisted ids' vectors
+    flow into scoring; the fold is sequential left-associated float64,
+    the order the DuckDB oracle unrolls term-for-term
+    (q_knn_ivfpq_rerank)."""
+    spark = shortlist.sparkSession
+    qdf = spark.createDataFrame(
+        [(r["qid"], [float(x) for x in r["qv"]]) for r in q_rows], ["query_id", "qv"]
+    )
+    cand = vec_src.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    scored = (
+        cand.join(F.broadcast(shortlist.select("query_id", "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn(
+            "_xd",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_nv"),
+                    F.col("qv"),
+                    lambda x, q: (x.cast("double") - q) * (x.cast("double") - q),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_xd"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
 def knn_ivfpq(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -146,6 +257,8 @@ def knn_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_mod: int | None = None,
+    rerank: int | None = None,
+    encoder: str = "auto",
 ) -> DataFrame:
     """IVFADC (Jegou et al. §IV): the compute-bound and memory-bound
     halves composed — the IVF coarse quantizer prunes to ``nprobe``
@@ -155,6 +268,11 @@ def knn_ivfpq(
     lookups instead of d multiplies; at 100 TB this is the configuration
     that serves ANN from a few TB of codes.  Same output shape as
     knn_bruteforce.
+
+    ``rerank`` (default auto = max(50, 10k)) adds the §V exact re-rank:
+    ADC shortlists k' candidates, a broadcast-shortlist join reads ONLY
+    those float vectors, exact L2 orders the final top-k.  ``rerank=0``
+    is the pure-ADC ranking (the bit-oracle contract of q_knn_ivfpq).
 
     Plan shape: ONE scan of the coded corpus, equi-joined on
     ``centroid_id`` against a broadcast (query x probed-cell, ADC-table)
@@ -183,10 +301,14 @@ def knn_ivfpq(
         return _empty_knn(queries, id_col)
     coded = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
-        pq_code_expr(vec_col, books).alias("codes"),
+        _codes_col(vec_col, books, encoder).alias("codes"),
         ivf_cell_expr(vec_col, cents).alias("centroid_id"),
     )
-    return _score_probed_cells(coded, q_rows, books, k)
+    return _score_probed_cells(
+        coded, q_rows, books, k,
+        rerank=_resolve_rerank(rerank, k),
+        vec_src=embeddings, id_col=id_col, vec_col=vec_col,
+    )
 
 
 def _adc_dist_expr(tbl_lit: Column) -> Column:
@@ -208,6 +330,8 @@ def knn_pq(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank: int = 0,
+    embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by ADC distance over the CODES table: each
     query's (m x k) distance table is computed driver-side (queries are
@@ -215,7 +339,14 @@ def knn_pq(
     in ONE broadcast frame; the codes table is scanned once whatever the
     query count, and each candidate costs m lookups + a fold.  Output
     shape matches knn_bruteforce: (query_id, rank, neighbor_id); ranking
-    ties break on neighbor id."""
+    ties break on neighbor id.
+
+    ``rerank > 0`` (requires ``embeddings``, the float-vector source)
+    shortlists k' by ADC then re-ranks by exact L2 via a
+    broadcast-shortlist join — the codes-only default stays pure ADC
+    because this operator's input deliberately carries no floats."""
+    if rerank and embeddings is None:
+        raise ValueError("knn_pq(rerank=...) needs the embeddings frame as the exact-vector source")
     q_rows = sorted(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).collect(),
         key=lambda r: r["qid"],
@@ -232,6 +363,9 @@ def knn_pq(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("adc_dist", _adc_dist_expr(F.col("tbl")))
     )
+    if rerank:
+        short = _rank_topk(scored, max(rerank, k))
+        return _exact_rerank(short, embeddings, q_rows, k, id_col, vec_col)
     return _rank_topk(scored, k)
 
 
@@ -245,16 +379,25 @@ def write_ivfpq_index(
     sample_mod: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    store_vectors: bool = True,
+    encoder: str = "auto",
 ):
     """Materialize the IVFADC serving layout: PQ codes PARTITIONED BY
     IVF cell, both codebooks as JSON alongside.
 
     This is THE 100 TB ANN configuration: the corpus's float vectors are
-    read exactly once (at build), the stored table is ~d*4/m times
-    smaller, and every query after that touches only its nprobe cells'
-    code files (static partition filter — unprobed cells scan zero
-    bytes) and reads no floats at all.  Returns (centroids, codebooks).
-    """
+    read exactly once (at build), and every query after that touches only
+    its nprobe cells' code files (static partition filter — unprobed
+    cells scan zero bytes); ADC scans read no float bytes at all.
+
+    ``store_vectors`` (default) keeps the float column IN the cell files
+    for the exact re-rank stage: parquet is columnar, so ADC scans that
+    project only ``codes`` still read zero float bytes, while re-rank
+    reads floats from the probed partitions only — the disk-resident-
+    vector layout of re-ranked ANN serving.  ``store_vectors=False`` is
+    the minimal pure-ADC footprint (~d*4/m smaller than the corpus);
+    probes against such an index must pass ``rerank=0``.  Returns
+    (centroids, codebooks)."""
     import json
     from pathlib import Path
 
@@ -264,12 +407,15 @@ def write_ivfpq_index(
     X = collect_training_sample(embeddings, id_col, vec_col, sample_mod, "write_ivfpq_index")
     cents = train_ivf_centroids_local(X, n_centroids, n_iters)
     books = train_pq_codebooks_local(X, m=m, k=pq_k, n_iters=n_iters)
+    cols = [
+        F.col(id_col),
+        _codes_col(vec_col, books, encoder).alias("codes"),
+        ivf_cell_expr(vec_col, cents).alias("centroid_id"),
+    ]
+    if store_vectors:
+        cols.insert(1, F.col(vec_col))
     (
-        embeddings.select(
-            F.col(id_col),
-            pq_code_expr(vec_col, books).alias("codes"),
-            ivf_cell_expr(vec_col, cents).alias("centroid_id"),
-        )
+        embeddings.select(*cols)
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(f"{path}/cells")
@@ -291,12 +437,19 @@ def knn_ivfpq_indexed(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank: int | None = None,
 ) -> DataFrame:
-    """ADC top-k against a persisted IVFADC index (:func:`write_ivfpq_index`):
+    """Top-k against a persisted IVFADC index (:func:`write_ivfpq_index`):
     codebooks load driver-side (tiny), the probed cell ids become a
     STATIC partition filter, and scoring is the same broadcast
     table-join as :func:`knn_ivfpq`.  Same output shape as
-    knn_bruteforce."""
+    knn_bruteforce.
+
+    ``rerank`` (default auto = max(50, 10k)) re-ranks the ADC shortlist
+    by exact L2 against the float column stored in the SAME probed
+    partitions — float reads stay partition-pruned to nprobe cells.
+    Requires an index written with ``store_vectors=True`` (the default);
+    a vectorless index raises a clear error instead of mis-ranking."""
     import json
     from pathlib import Path
 
@@ -317,20 +470,39 @@ def knn_ivfpq_indexed(
     if not q_rows:
         return _empty_knn(queries, id_col)
     probe_ids = sorted({int(c) for r in q_rows for c in r["cells"]})
-    cells = (
-        spark.read.parquet(f"{path}/cells")
-        .filter(F.col("centroid_id").isin(probe_ids))
-        .select(F.col(id_col).alias("neighbor_id"), "codes", "centroid_id")
+    stored = spark.read.parquet(f"{path}/cells").filter(
+        F.col("centroid_id").isin(probe_ids)
     )
-    return _score_probed_cells(cells, q_rows, books, k)
+    cells = stored.select(F.col(id_col).alias("neighbor_id"), "codes", "centroid_id")
+    rerank = _resolve_rerank(rerank, k)
+    if rerank and vec_col not in stored.columns:
+        raise ValueError(
+            f"index at {path!r} was written with store_vectors=False — "
+            "re-rank has no float source; pass rerank=0 for pure-ADC "
+            "ranking or rebuild the index with store_vectors=True"
+        )
+    return _score_probed_cells(
+        cells, q_rows, books, k,
+        rerank=rerank, vec_src=stored, id_col=id_col, vec_col=vec_col,
+    )
 
 
-def _score_probed_cells(candidates: DataFrame, q_rows, books, k: int) -> DataFrame:
+def _score_probed_cells(
+    candidates: DataFrame,
+    q_rows,
+    books,
+    k: int,
+    rerank: int = 0,
+    vec_src: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
     """Shared IVFADC scoring tail (inline and persisted paths):
     broadcast one (query, probed-cell, ADC-table) frame — the table
     computed ONCE per query, reused across its cells — equi-join on
-    cell, score, rank.  ``candidates`` must carry (neighbor_id, codes,
-    centroid_id)."""
+    cell, score, rank; with ``rerank`` set, ADC produces a k' shortlist
+    that re-ranks exactly against ``vec_src``.  ``candidates`` must
+    carry (neighbor_id, codes, centroid_id)."""
     spark = candidates.sparkSession
     data = []
     for r in q_rows:
@@ -342,6 +514,9 @@ def _score_probed_cells(candidates: DataFrame, q_rows, books, k: int) -> DataFra
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("adc_dist", _adc_dist_expr(F.col("tbl")))
     )
+    if rerank:
+        short = _rank_topk(scored, max(rerank, k))
+        return _exact_rerank(short, vec_src, q_rows, k, id_col, vec_col)
     return _rank_topk(scored, k)
 
 

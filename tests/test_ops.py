@@ -908,11 +908,18 @@ class TestPQ:
         books = train_pq_codebooks(e, m=4, k=16)
         plain = sorted(map(tuple, knn_pq(encode_pq(e, books), q, books, k=5).collect()))
         full = sorted(
-            map(tuple, knn_ivfpq(e, q, k=5, n_centroids=4, nprobe=4, m=4, pq_k=16).collect())
+            map(
+                tuple,
+                knn_ivfpq(
+                    e, q, k=5, n_centroids=4, nprobe=4, m=4, pq_k=16, rerank=0
+                ).collect(),
+            )
         )
         assert plain == full
         # pruned probe stays within the query's cluster on this geometry
-        pruned = knn_ivfpq(e, q, k=5, n_centroids=4, nprobe=1, m=4, pq_k=16).collect()
+        pruned = knn_ivfpq(
+            e, q, k=5, n_centroids=4, nprobe=1, m=4, pq_k=16, rerank=0
+        ).collect()
         assert {r.query_id for r in pruned} == {0, 1, 2, 3}
         for r in pruned:
             assert r.neighbor_id % 4 == r.query_id % 4
@@ -967,3 +974,129 @@ class TestPQ:
         )
         assert re.search(r"PartitionFilters: \[centroid_id#\d+ IN \(", plan), plan
         assert len({p.name for p in Path(idx, "cells").glob("centroid_id=*")}) > 1
+
+    def _exact_l2_topk(self, e_rows, q_ids, k):
+        """Driver-side exact squared-L2 reference ranking (float64,
+        deterministic (dist, id) tiebreak)."""
+        vecs = {r.vec_id: [float(x) for x in r.embedding] for r in e_rows}
+        out = set()
+        for qid in q_ids:
+            qv = vecs[qid]
+            scored = sorted(
+                (sum((x - y) * (x - y) for x, y in zip(v, qv)), nid)
+                for nid, v in vecs.items()
+                if nid != qid
+            )
+            out.update((qid, rank + 1, nid) for rank, (_d, nid) in enumerate(scored[:k]))
+        return out
+
+    def test_rerank_recovers_exact_ranking(self, spark):
+        """Jegou §V: with every cell probed and the shortlist covering
+        all candidates, the exact-L2 re-rank must reproduce the EXACT
+        top-k bit-for-bit (pins the re-rank fold itself); the default
+        auto shortlist must strictly improve on pure ADC — the
+        recall-closing property the r3 VERDICT asked for."""
+        from lmss_entity_extractor_spark.ops.pq import knn_ivfpq
+
+        e = self._clustered(spark)
+        q = e.filter(F.col("vec_id") < 4)
+        exact = self._exact_l2_topk(e.collect(), range(4), 5)
+        full = {
+            tuple(r)
+            for r in knn_ivfpq(
+                e, q, k=5, n_centroids=4, nprobe=4, m=4, pq_k=16, rerank=300
+            ).collect()
+        }
+        assert full == exact
+
+        def recall(rerank):
+            got = {
+                tuple(r)
+                for r in knn_ivfpq(
+                    e, q, k=5, n_centroids=4, nprobe=4, m=4, pq_k=16, rerank=rerank
+                ).collect()
+            }
+            hit = {(a, c) for a, _b, c in got} & {(a, c) for a, _b, c in exact}
+            return len(hit) / len(exact)
+
+        r_adc, r_default = recall(0), recall(None)
+        assert r_default > r_adc, (r_adc, r_default)
+        assert r_default >= 0.9, r_default
+
+    def test_rerank_indexed_reads_floats_from_probed_cells(self, spark, tmp_path):
+        """The persisted re-rank path: identical results to the inline
+        form, and a vectorless index refuses re-rank loudly instead of
+        mis-ranking (pure ADC still served via rerank=0)."""
+        import pytest as _pytest
+
+        from lmss_entity_extractor_spark.ops.pq import (
+            knn_ivfpq,
+            knn_ivfpq_indexed,
+            write_ivfpq_index,
+        )
+
+        e = self._clustered(spark)
+        q = e.filter(F.col("vec_id") < 4)
+        idx = str(tmp_path / "ivfpq_vec")
+        write_ivfpq_index(e, idx, n_centroids=4, m=4, pq_k=16)
+        got = sorted(
+            map(tuple, knn_ivfpq_indexed(spark, idx, q, k=5, nprobe=2).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                knn_ivfpq(e, q, k=5, n_centroids=4, nprobe=2, m=4, pq_k=16).collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+
+        bare = str(tmp_path / "ivfpq_bare")
+        write_ivfpq_index(e, bare, n_centroids=4, m=4, pq_k=16, store_vectors=False)
+        with _pytest.raises(ValueError, match="store_vectors"):
+            knn_ivfpq_indexed(spark, bare, q, k=5, nprobe=2)
+        adc_only = knn_ivfpq_indexed(spark, bare, q, k=5, nprobe=2, rerank=0)
+        assert adc_only.count() > 0
+
+    def test_knn_pq_rerank_needs_embeddings_and_recovers_exact(self, spark):
+        from lmss_entity_extractor_spark.ops.pq import (
+            encode_pq,
+            knn_pq,
+            train_pq_codebooks,
+        )
+
+        e = self._clustered(spark)
+        q = e.filter(F.col("vec_id") < 3)
+        books = train_pq_codebooks(e, m=4, k=16)
+        codes = encode_pq(e, books)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="embeddings"):
+            knn_pq(codes, q, books, k=5, rerank=50)
+        got = {
+            tuple(r)
+            for r in knn_pq(codes, q, books, k=5, rerank=300, embeddings=e).collect()
+        }
+        assert got == self._exact_l2_topk(e.collect(), range(3), 5)
+
+    def test_numpy_encoder_matches_sql_encoder(self, spark):
+        """The Arrow/numpy encoder (the large-k escalation path) assigns
+        the same codes as the literal-SQL bit-contract form on the same
+        codebooks — tie-free real-float geometry, so the two summation
+        orders agree."""
+        from lmss_entity_extractor_spark.ops.pq import encode_pq, train_pq_codebooks
+
+        e = self._clustered(spark)
+        books = train_pq_codebooks(e, m=4, k=16)
+        sql_codes = {r.vec_id: list(r.codes) for r in encode_pq(e, books, encoder="sql").collect()}
+        np_codes = {r.vec_id: list(r.codes) for r in encode_pq(e, books, encoder="numpy").collect()}
+        assert sql_codes == np_codes
+        # auto policy: small k -> the sql bit-contract path; large k -> numpy
+        from lmss_entity_extractor_spark.ops import pq as pq_mod
+
+        assert pq_mod._SQL_ENCODER_MAX_K == 16
+        big_books = train_pq_codebooks(e, m=4, k=32)
+        big = {r.vec_id: list(r.codes) for r in encode_pq(e, big_books).collect()}
+        assert big == {
+            r.vec_id: list(r.codes)
+            for r in encode_pq(e, big_books, encoder="numpy").collect()
+        }

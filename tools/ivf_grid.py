@@ -18,8 +18,9 @@ and query (cell assignment + probe join + top-k collect), each measured
 around a full collect.
 
 Run in isolation (bench-noise memo): python tools/ivf_grid.py [sf_dir]
-Exits nonzero if the default config (n_centroids=10, nprobe=2) recalls
-< 0.9 on the clustered corpus.
+Exits nonzero if the default IVF config (n_centroids=10, nprobe=2) OR
+the default IVFADC+rerank serving config recalls < 0.9 on the clustered
+corpus (the latter is VERDICT r3 #1's done-gate).
 """
 
 from __future__ import annotations
@@ -75,6 +76,7 @@ def run_grid(sf_dir: str) -> str:
         "",
     ]
     default_clustered_recall = None
+    default_rerank_recall = None
     for name, corpus in corpora.items():
         corpus.count()  # materialize the cache outside the timings
         queries = corpus.filter(F.col("vec_id") % 40 == 0)
@@ -156,45 +158,64 @@ def run_grid(sf_dir: str) -> str:
             .collect()
         ):
             exact_l2.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-        t0 = time.monotonic()
-        books = train_pq_codebooks(corpus, m=8, k=16)
-        codes = encode_pq(corpus, books).cache()
-        codes.count()
-        t_pq_build = time.monotonic() - t0
-        t0 = time.monotonic()
-        pq_rows = knn_pq(codes, queries, books, k=K).collect()
-        t_pq = time.monotonic() - t0
+        # code-budget grid (VERDICT r3 #1): pure-ADC recall as the budget
+        # grows — k>16 auto-escalates to the Arrow/numpy encoder
+        for m, pq_k in [(8, 16), (4, 64), (8, 64), (8, 256)]:
+            t0 = time.monotonic()
+            books = train_pq_codebooks(corpus, m=m, k=pq_k)
+            codes = encode_pq(corpus, books).cache()
+            codes.count()
+            t_pq_build = time.monotonic() - t0
+            t0 = time.monotonic()
+            pq_rows = knn_pq(codes, queries, books, k=K).collect()
+            t_pq = time.monotonic() - t0
+            lines.append(
+                f"| {name} | knn_pq ADC, m={m} x k={pq_k} (full code scan) "
+                f"| {_recall(pq_rows, exact_l2):.3f} | {t_pq_build:.2f} | {t_pq:.2f} "
+                f"| {m} codes vs 256 float |"
+            )
+            codes.unpersist()
         # IVFADC through the SERVING path so build (train both quantizers
-        # + write partitioned codes) and query are timed separately — the
-        # inline knn_ivfpq's wall time is training-dominated and would
-        # mislabel the query column
+        # + write partitioned codes + floats) and query are timed
+        # separately — the inline knn_ivfpq's wall time is
+        # training-dominated and would mislabel the query column
         idx = tempfile.mkdtemp(prefix=f"ivfpq_grid_{name}_")
         t0 = time.monotonic()
         write_ivfpq_index(corpus, idx, n_centroids=10, m=8, pq_k=16)
         t_ivfpq_build = time.monotonic() - t0
         t0 = time.monotonic()
-        ivfpq_rows = knn_ivfpq_indexed(spark, idx, queries, k=K, nprobe=2).collect()
-        t_ivfpq = time.monotonic() - t0
+        adc_rows = knn_ivfpq_indexed(spark, idx, queries, k=K, nprobe=2, rerank=0).collect()
+        t_adc = time.monotonic() - t0
+        t0 = time.monotonic()
+        rr_rows = knn_ivfpq_indexed(spark, idx, queries, k=K, nprobe=2).collect()
+        t_rr = time.monotonic() - t0
         lines.append(
-            f"| {name} | knn_pq (ADC, full scan of codes) | {_recall(pq_rows, exact_l2):.3f} | {t_pq_build:.2f} | {t_pq:.2f} | 32 (8 codes) vs 256 float |"
+            f"| {name} | IVFADC COLD probe (2/10 cells), rerank=0 | {_recall(adc_rows, exact_l2):.3f} | {t_ivfpq_build:.2f} | {t_adc:.2f} | 32 + cell id |"
         )
+        rr_rec = _recall(rr_rows, exact_l2)
         lines.append(
-            f"| {name} | write_ivfpq_index + COLD probe (2/10 cells) | {_recall(ivfpq_rows, exact_l2):.3f} | {t_ivfpq_build:.2f} | {t_ivfpq:.2f} | 32 + cell id |"
+            f"| {name} | **IVFADC + exact re-rank (k'=100, DEFAULT)** | {rr_rec:.3f} | {t_ivfpq_build:.2f} | {t_rr:.2f} | 32 + cell id + pruned floats |"
         )
-        codes.unpersist()
+        if name == "clustered":
+            default_rerank_recall = rr_rec
     lines += [
         "",
-        "PQ trades fine-grained ranking for an 8x smaller stored table: at "
-        "the m=8 x k=16 code budget it preserves COARSE geometry (cluster "
-        "membership — pinned in tests) but cannot resolve in-cluster noise "
-        "ordering, which is what recall@10 against exact L2 measures here. "
-        "Recall rises with the code budget (k=256 is the classic setting); "
-        "the literal-expression encoder is sized for small k — large-k "
-        "encoding is the documented numpy-UDF escalation.  The IVFADC row "
-        "is measured through the serving path (`write_ivfpq_index` + "
-        "cold `knn_ivfpq_indexed` probe): floats are read once at build, "
-        "probes partition-prune to nprobe cells and scan only codes.  The "
-        "ADC math itself is exact to the oracle (contract query `knn_pq`).",
+        "PQ trades fine-grained ranking for a much smaller stored table: "
+        "pure ADC preserves COARSE geometry (cluster membership — pinned in "
+        "tests) but blurs in-cluster noise ordering, which is what recall@10 "
+        "against exact L2 measures; the grid shows recall rising with the "
+        "code budget (k>16 auto-escalates encoding to the Arrow/numpy "
+        "kernel; the literal-SQL form stays the bit-oracle contract for "
+        "small k).  The closing move is the DEFAULT serving config "
+        "(Jegou §V): ADC shortlists k'=100 candidates, then exact L2 "
+        "re-ranks them via a broadcast-shortlist join against the float "
+        "column stored in the SAME probed partitions — float reads stay "
+        "partition-pruned to nprobe cells and bounded by the shortlist "
+        "join, never a full float scan.  IVFADC rows are measured through "
+        "the serving path (`write_ivfpq_index` + cold `knn_ivfpq_indexed` "
+        "probe).  The ADC math is pinned by oracle (contract queries "
+        "`knn_pq`, `knn_ivfpq`); the re-ranked default by "
+        "`knn_ivfpq_rerank`.",
         "",
     ]
     lines += [
@@ -217,6 +238,12 @@ def run_grid(sf_dir: str) -> str:
         print(md)
         raise SystemExit(
             f"default config recall {default_clustered_recall:.3f} < 0.9 on the clustered corpus"
+        )
+    if default_rerank_recall < 0.9:
+        print(md)
+        raise SystemExit(
+            f"default IVFADC+rerank recall {default_rerank_recall:.3f} < 0.9 "
+            "on the clustered corpus (VERDICT r3 #1 gate)"
         )
     return md
 
