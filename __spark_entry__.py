@@ -434,6 +434,19 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """The same clusters via large-star/small-star components (Kiveris
+    et al., SoCC'14; L31) — O(log diameter) rounds instead of
+    O(diameter), the variant for long-chain graphs.  Label contract is
+    identical to dedup_clusters, so the SAME recursive-CTE oracle
+    value-checks it (VERDICT r3 #2)."""
+    from lmss_entity_extractor_spark.ops.components import dedup_clusters
+    from lmss_entity_extractor_spark.ops.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3, num_hashes=8, bands=4)
+    return dedup_clusters(pairs, algorithm="star")
+
+
 def q_range_join(spark, sf_dir):
     """Range (interval) join via the bucketed composition: orders priced
     into half-open price bands — interval explode + equi-join on the
@@ -1130,6 +1143,7 @@ FIXTURE_PINNED_SF001 = frozenset(
         "knn_pq",
         "knn_ivfpq",
         "knn_ivfpq_rerank",
+        "edges_as_of",
     }
 )
 
@@ -1167,6 +1181,37 @@ def q_edges_changelog(spark, sf_dir):
     r2 = pipe.run_incremental(tdir, out)
     diff = edges_diff(pipe, out, r1["snapshot_id"], r2["snapshot_id"])
     return diff.select("subj", "pred", "obj", "n_provenances", "_change")
+
+
+def q_edges_as_of(spark, sf_dir):
+    """Time travel (L32, VERDICT r3 #4): two commits land through
+    ``run_incremental`` (doc_id < 250, then the rest) and the VERSION-
+    AS-OF read at the FIRST snapshot must reconstruct exactly the v1
+    canonical edge table — the second commit's increment contributes
+    zero rows (and zero scanned bytes: directory selection prunes it).
+
+    Oracle: the frozen v1 loop-oracle edge table
+    (fixtures/oracle/sf0.01/kg_edges_v1.parquet) read directly — the
+    same fixture family as edges_changelog, pinned to sf0.01."""
+    import tempfile
+
+    from lmss_entity_extractor_spark.datagen.transcripts import transcripts_from_documents
+
+    tmp = tempfile.mkdtemp(prefix="lmss_asof_")
+    pipe = _pipeline(spark)
+    docs = _t(spark, sf_dir, "documents")
+    tdir, out = f"{tmp}/turns", f"{tmp}/edges"
+    transcripts_from_documents(
+        docs.filter(F.col("doc_id") < CHANGELOG_CUT)
+    ).coalesce(1).write.parquet(f"{tdir}/v1")
+    r1 = pipe.run_incremental(tdir, out)
+    transcripts_from_documents(
+        docs.filter(F.col("doc_id") >= CHANGELOG_CUT)
+    ).coalesce(1).write.parquet(f"{tdir}/v2")
+    pipe.run_incremental(tdir, out)
+    return pipe.edges_as_of(out, r1["snapshot_id"]).select(
+        "subj", "pred", "obj", "n_provenances"
+    )
 
 
 def q_stream_reply_join(spark, sf_dir):
@@ -1272,8 +1317,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "stream_reply_join": q_stream_reply_join,
         "edges_changelog": q_edges_changelog,
-        # oracle never yet driver-checked (added r4)
+        # oracles never yet driver-checked (added r4)
         "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "edges_as_of": q_edges_as_of,
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
         # red in round 2 (oracle dtype, fixed r3) — re-check first
@@ -1555,7 +1602,7 @@ def _pagerank_oracle_sql(n_iters: int = 10) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "filter_project": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
                    count(*) AS n_rows
@@ -2345,3 +2392,13 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 3
         """,
     }
+    # the star-components variant shares dedup_clusters' label contract
+    # (same pairs, same min-label semantics), hence the same oracle
+    oracles["dedup_clusters_star"] = oracles["dedup_clusters"]
+    oracles["edges_as_of"] = """
+        -- VERSION AS OF the first commit == the frozen v1 loop-oracle
+        -- canonical edge table (same fixture family as edges_changelog)
+        SELECT subj, pred, obj, n_provenances
+        FROM read_parquet('/root/repo/fixtures/oracle/sf0.01/kg_edges_v1.parquet')
+    """
+    return oracles
