@@ -1,11 +1,14 @@
 """Benchmark entrypoint (driver contract + BASELINE.md scaling protocol).
 
 Default mode: run the headline queries at ``$SPARK_GRAFT_SF_DIR``
-(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and print
-ONE JSON line:
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, each
+query ``--repeats`` times (default 3 — the host swings ±45% between
+interference epochs, so medians, not single runs, are the comparable
+unit), and print ONE JSON line:
 
-    {"metric": "total_sec", "value": N, "unit": "sec",
-     "queries": {...}, "sf": ..., "kg": {...}}
+    {"metric": "total_sec", "value": sum-of-medians, "unit": "sec",
+     "queries": {median...}, "queries_min": {min...}, "sf": ...,
+     "kg": {median run...}, "kg_secs_all": [...], "repeats": 3}
 
 ``--scaling``: run the KG pipeline at local[8] (N) and local[32] (4N) on
 the identical input in fresh JVMs, report triples/sec at both plus
@@ -144,40 +147,66 @@ HEADLINE = [
 ]
 
 
-def run_bench(sf_dir: str, kg_only: bool = False, factor: int = AMPLIFY) -> dict:
+def _median(xs: list[float]) -> float:
+    """Lower-middle median of measured values — always a time that was
+    actually observed (no interpolation); exact median at the default
+    repeats=3."""
+    return sorted(xs)[(len(xs) - 1) // 2]
+
+
+def run_bench(
+    sf_dir: str, kg_only: bool = False, factor: int = AMPLIFY, repeats: int | None = None
+) -> dict:
+    """Default driver protocol.  Every headline query (including the KG
+    pipeline) runs ``repeats`` times (default 3); ``queries`` carries the
+    per-query MEDIAN and ``queries_min`` the per-query minimum — the
+    shared sandbox host swings ±45% between interference epochs
+    (VERDICT r3 adjudicated BENCH_r03's apparent 35% regression as pure
+    host noise from a single-run artifact), and a median-of-3 makes the
+    round-over-round comparison meaningful without manual re-runs."""
     import __spark_entry__ as entry
     from lmss_entity_extractor_spark.session import get_spark
 
+    repeats = repeats or int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     spark = get_spark(app_name="lmss-bench")
     spark.range(1).count()  # JVM warmup outside timings
 
     result_queries: dict[str, float] = {}
+    queries_min: dict[str, float] = {}
     total = 0.0
 
-    kg = run_kg(spark, sf_dir, factor)
+    kg_runs = [run_kg(spark, sf_dir, factor) for _ in range(repeats)]
+    kg = sorted(kg_runs, key=lambda r: r["sec"])[(len(kg_runs) - 1) // 2]
     result_queries["kg_pipeline"] = kg["sec"]
+    queries_min["kg_pipeline"] = min(r["sec"] for r in kg_runs)
     total += kg["sec"]
 
     if not kg_only:
         qmap = entry.queries()
         for name in HEADLINE:
-            t0 = time.time()
-            # noop sink: evaluates every column of the full plan without
-            # writing — count() lets Catalyst prune projection-only
-            # bodies down to a row-count metadata scan (md5/regex work
-            # would never execute for e.g. `fingerprint`)
-            qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.time() - t0, 3)
-            result_queries[name] = dt
-            total += dt
+            times = []
+            for _ in range(repeats):
+                t0 = time.time()
+                # noop sink: evaluates every column of the full plan without
+                # writing — count() lets Catalyst prune projection-only
+                # bodies down to a row-count metadata scan (md5/regex work
+                # would never execute for e.g. `fingerprint`)
+                qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                times.append(round(time.time() - t0, 3))
+            result_queries[name] = _median(times)
+            queries_min[name] = min(times)
+            total += _median(times)
 
     out = {
         "metric": "total_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": result_queries,
+        "queries_min": queries_min,
+        "repeats": repeats,
         "sf": _sf_of(sf_dir),
         "kg": kg,
+        "kg_secs_all": sorted(round(r["sec"], 3) for r in kg_runs),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "amplify": factor,
     }
@@ -263,8 +292,11 @@ def run_scaling(sf_dir: str, factor: int) -> None:
         pair: dict = {}
         for cpus in (n_small, n_big):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+            # children run ONCE each: the scaling protocol repeats whole
+            # paired rounds itself (median paired round below), which is
+            # the right unit — per-child medians would mix epochs
             proc = subprocess.run(
-                [sys.executable, str(REPO / "bench.py"), "--kg-only", "--amplify", str(factor)],
+                [sys.executable, str(REPO / "bench.py"), "--kg-only", "--amplify", str(factor), "--repeats", "1"],
                 capture_output=True,
                 text=True,
                 env=env,
@@ -378,12 +410,19 @@ def main():
     ap.add_argument("--kg-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--amplify", type=int, default=AMPLIFY)
+    ap.add_argument("--repeats", type=int, default=None)
     args = ap.parse_args()
 
     if args.scaling:
         run_scaling(args.sf_dir, args.amplify)
         return
-    print(json.dumps(run_bench(args.sf_dir, kg_only=args.kg_only, factor=args.amplify)))
+    print(
+        json.dumps(
+            run_bench(
+                args.sf_dir, kg_only=args.kg_only, factor=args.amplify, repeats=args.repeats
+            )
+        )
+    )
 
 
 if __name__ == "__main__":
