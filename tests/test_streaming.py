@@ -427,3 +427,156 @@ def test_stream_stream_reply_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def _write_turn_batch(path, batch_idx, base_ts_s: int, n_rows: int = 40, mtime: float | None = None):
+    """One micro-batch worth of transcript turns with fully controlled
+    event time: 4 conversations, alternating user/assistant roles,
+    ``ts`` advancing by seconds within the batch from ``base_ts_s``
+    (epoch seconds).  Keys (conv_id, turn_idx) are globally unique per
+    batch so the dedup operator's state grows by exactly ``n_rows``
+    inserts per batch.  ``mtime`` pins file order for the file source."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([f"conv-{i % 4}" for i in range(n_rows)], pa.string()),
+            "turn_idx": pa.array(
+                [batch_idx * 1000 + i for i in range(n_rows)], pa.int32()
+            ),
+            # alternate roles per CONVERSATION round (i%4 is the conv, so
+            # i%2 would hand each conv a single role and starve the join)
+            "role": pa.array(
+                ["user" if (i // 4) % 2 == 0 else "assistant" for i in range(n_rows)],
+                pa.string(),
+            ),
+            "text": pa.array([f"turn {batch_idx}/{i}" for i in range(n_rows)], pa.string()),
+            "tool": pa.array([None] * n_rows, pa.string()),
+            "ts": pa.array(
+                np.array([(base_ts_s + i) * 1_000_000 for i in range(n_rows)], dtype="datetime64[us]")
+            ),
+        }
+    )
+    pq.write_table(tbl, path)
+    if mtime is not None:
+        os.utime(path, (mtime, mtime))
+
+
+def _state_totals(query):
+    """(numRowsTotal, numRowsRemoved) per micro-batch from the query's
+    progress log, skipping batches with no state operator update."""
+    out = []
+    for p in query.recentProgress:
+        ops = p.get("stateOperators") or []
+        if ops:
+            out.append((ops[0]["numRowsTotal"], ops[0].get("numRowsRemoved", 0)))
+    return out
+
+
+@pytest.mark.spark
+def test_streaming_dedup_state_is_bounded(spark, tmp_path):
+    """VERDICT r3 #5: L26 claims watermark-BOUNDED state — drive 10
+    micro-batches whose event time advances one hour per batch (far past
+    the 10-minute watermark horizon) and assert the state store
+    plateaus at ~a batch or two of keys instead of accumulating all 400:
+    eviction must actually fire, and the final total must not grow with
+    batch count."""
+    from lmss_entity_extractor_spark import schemas
+    from lmss_entity_extractor_spark.streaming.stateful import streaming_dedup
+
+    tdir = tmp_path / "turns"
+    tdir.mkdir()
+    n_batches, rows = 10, 40
+    base = 1_700_000_000
+    for b in range(n_batches):
+        _write_turn_batch(
+            tdir / f"b{b:02d}.parquet", b, base + b * 3600, rows, mtime=1_000_000 + b
+        )
+    stream = (
+        spark.readStream.schema(schemas.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tdir))
+    )
+    q = (
+        streaming_dedup(stream, ["conv_id", "turn_idx"], watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_bounded")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # no keys repeat, so every row survives the dedup itself
+    assert spark.sql("SELECT count(*) FROM dedup_bounded").collect()[0][0] == n_batches * rows
+    totals = _state_totals(q)
+    assert len(totals) >= n_batches - 1, totals
+    # eviction fired...
+    assert sum(rm for _t, rm in totals) > 0, totals
+    # ...and state never holds more than ~2 batches of keys (watermark
+    # lags one batch), far below the 400 an unbounded operator would pin
+    assert max(t for t, _rm in totals) <= 2 * rows, totals
+    assert totals[-1][0] <= 2 * rows, totals
+
+
+@pytest.mark.spark
+def test_stream_stream_join_state_is_bounded(spark, tmp_path):
+    """VERDICT r3 #5 for L29: both sides of the event-time interval join
+    are watermarked, so buffered rows age out once the opposite side's
+    watermark passes their join window — 10 one-hour-apart batches with
+    a 10-minute watermark must plateau at ~2 batches of buffered rows,
+    while every within-batch (user, reply<=5min) pair is still emitted."""
+    from lmss_entity_extractor_spark import schemas
+    from lmss_entity_extractor_spark.streaming.stateful import pair_turns_with_replies
+
+    tdir = tmp_path / "turns"
+    tdir.mkdir()
+    n_batches, rows = 10, 40
+    base = 1_700_000_000
+    for b in range(n_batches):
+        _write_turn_batch(
+            tdir / f"b{b:02d}.parquet", b, base + b * 3600, rows, mtime=1_000_000 + b
+        )
+    stream = (
+        spark.readStream.schema(schemas.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tdir))
+    )
+    q = (
+        pair_turns_with_replies(stream, reply_window="5 minutes", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("replies_bounded")
+        .option("checkpointLocation", str(tmp_path / "ckpt_join"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # each user turn at +i seconds pairs with the same conversation's
+    # assistant turns in (ts, ts+5min] inside its own batch (batches are
+    # an hour apart, so no cross-batch pairs)
+    n_pairs = spark.sql("SELECT count(*) FROM replies_bounded").collect()[0][0]
+    assert n_pairs > 0
+    t = spark.read.parquet(str(tdir))
+    import pyspark.sql.functions as F
+
+    u = t.filter("role = 'user'").selectExpr("conv_id c1", "turn_idx ut", "ts uts")
+    a = t.filter("role = 'assistant'").selectExpr("conv_id c2", "turn_idx at", "ts ats")
+    want = (
+        u.join(
+            a,
+            (F.col("c1") == F.col("c2"))
+            & (F.col("ats") > F.col("uts"))
+            & (F.col("ats") <= F.col("uts") + F.expr("INTERVAL 5 minutes")),
+        ).count()
+    )
+    assert n_pairs == want
+    totals = _state_totals(q)
+    assert sum(rm for _t, rm in totals) > 0, totals
+    # join state buffers both sides: <= ~2 batches of rows, not 10
+    assert max(t for t, _rm in totals) <= 2 * rows, totals
+    assert totals[-1][0] <= 2 * rows, totals
