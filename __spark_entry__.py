@@ -326,9 +326,10 @@ def q_knn_ivfpq_rerank(spark, sf_dir):
     """IVFADC + exact re-rank (Jegou §V, the r3 VERDICT's one quality
     gap): ADC shortlists k'=100 candidates from the probed cells, then
     a broadcast-shortlist join reads ONLY those float vectors and exact
-    squared L2 orders the final top-10 — recall goes 0.30 -> ~1.0 on
-    clustered corpora (BENCH/IVF.md) while the scan story keeps reading
-    codes, never a full float column.
+    squared L2 orders the final top-10 — recall@10 goes 0.30 -> 0.93 at
+    these defaults on the clustered corpus (BENCH/IVF.md; the residue is
+    nprobe probe loss plus shortlist depth) while the scan story keeps
+    reading codes, never a full float column.
 
     Value-level oracle (pinned to sf0.01): the q_knn_ivfpq SQL extended
     by the re-rank stages — ADC shortlist (rank <= k'), then exact L2
@@ -1148,6 +1149,31 @@ FIXTURE_PINNED_SF001 = frozenset(
 )
 
 
+def _two_commit_increments(spark, sf_dir, prefix):
+    """Shared setup for the snapshot-machinery contract queries: derive
+    transcripts from documents in TWO commits (doc_id < CHANGELOG_CUT,
+    then the rest) and run each through ``run_incremental`` — the same
+    v1/v2 split tools/make_oracle_fixtures.py freezes.  Returns
+    (pipe, out_dir, r1, r2)."""
+    import tempfile
+
+    from lmss_entity_extractor_spark.datagen.transcripts import transcripts_from_documents
+
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    pipe = _pipeline(spark)
+    docs = _t(spark, sf_dir, "documents")
+    tdir, out = f"{tmp}/turns", f"{tmp}/edges"
+    transcripts_from_documents(
+        docs.filter(F.col("doc_id") < CHANGELOG_CUT)
+    ).coalesce(1).write.parquet(f"{tdir}/v1")
+    r1 = pipe.run_incremental(tdir, out)
+    transcripts_from_documents(
+        docs.filter(F.col("doc_id") >= CHANGELOG_CUT)
+    ).coalesce(1).write.parquet(f"{tdir}/v2")
+    r2 = pipe.run_incremental(tdir, out)
+    return pipe, out, r1, r2
+
+
 def q_edges_changelog(spark, sf_dir):
     """Snapshot-incremental + changelog machinery end-to-end, value-
     oracled: the derived transcripts land in TWO commits (doc_id < 250,
@@ -1162,23 +1188,9 @@ def q_edges_changelog(spark, sf_dir):
     loop-oracle fixtures).  Count inequality per triple is
     diff-completeness: any provenance change implies new emissions,
     which always bump n_provenances (oracle_edge_rows docstring)."""
-    import tempfile
-
-    from lmss_entity_extractor_spark.datagen.transcripts import transcripts_from_documents
     from lmss_entity_extractor_spark.streaming.incremental import edges_diff
 
-    tmp = tempfile.mkdtemp(prefix="lmss_chlog_")
-    pipe = _pipeline(spark)
-    docs = _t(spark, sf_dir, "documents")
-    tdir, out = f"{tmp}/turns", f"{tmp}/edges"
-    transcripts_from_documents(
-        docs.filter(F.col("doc_id") < CHANGELOG_CUT)
-    ).coalesce(1).write.parquet(f"{tdir}/v1")
-    r1 = pipe.run_incremental(tdir, out)
-    transcripts_from_documents(
-        docs.filter(F.col("doc_id") >= CHANGELOG_CUT)
-    ).coalesce(1).write.parquet(f"{tdir}/v2")
-    r2 = pipe.run_incremental(tdir, out)
+    pipe, out, r1, r2 = _two_commit_increments(spark, sf_dir, "lmss_chlog_")
     diff = edges_diff(pipe, out, r1["snapshot_id"], r2["snapshot_id"])
     return diff.select("subj", "pred", "obj", "n_provenances", "_change")
 
@@ -1193,22 +1205,7 @@ def q_edges_as_of(spark, sf_dir):
     Oracle: the frozen v1 loop-oracle edge table
     (fixtures/oracle/sf0.01/kg_edges_v1.parquet) read directly — the
     same fixture family as edges_changelog, pinned to sf0.01."""
-    import tempfile
-
-    from lmss_entity_extractor_spark.datagen.transcripts import transcripts_from_documents
-
-    tmp = tempfile.mkdtemp(prefix="lmss_asof_")
-    pipe = _pipeline(spark)
-    docs = _t(spark, sf_dir, "documents")
-    tdir, out = f"{tmp}/turns", f"{tmp}/edges"
-    transcripts_from_documents(
-        docs.filter(F.col("doc_id") < CHANGELOG_CUT)
-    ).coalesce(1).write.parquet(f"{tdir}/v1")
-    r1 = pipe.run_incremental(tdir, out)
-    transcripts_from_documents(
-        docs.filter(F.col("doc_id") >= CHANGELOG_CUT)
-    ).coalesce(1).write.parquet(f"{tdir}/v2")
-    pipe.run_incremental(tdir, out)
+    pipe, out, r1, _r2 = _two_commit_increments(spark, sf_dir, "lmss_asof_")
     return pipe.edges_as_of(out, r1["snapshot_id"]).select(
         "subj", "pred", "obj", "n_provenances"
     )

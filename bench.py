@@ -167,7 +167,10 @@ def run_bench(
     import __spark_entry__ as entry
     from lmss_entity_extractor_spark.session import get_spark
 
-    repeats = repeats or int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    if repeats is None:
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    if repeats < 1:
+        raise ValueError(f"repeats must be >= 1, got {repeats}")
     spark = get_spark(app_name="lmss-bench")
     spark.range(1).count()  # JVM warmup outside timings
 

@@ -28,8 +28,11 @@ the serving-path default shortlists ``rerank`` candidates by ADC and
 re-ranks them by EXACT squared L2 — the float vectors are read only via
 a broadcast-shortlist join against the (partition-pruned, for the
 persisted index) vector source, never a full float scan, so the 100 TB
-story is preserved while recall@10 goes to ~1.0 on clustered corpora
-(BENCH/IVF.md).  ``rerank=0`` keeps the pure-ADC ranking.
+story is preserved while recall@10 goes 0.30 -> 0.93 at the serving
+defaults on clustered corpora (BENCH/IVF.md; the residue is shortlist
+depth and nprobe probe loss — candidates outside the probed cells are
+unrecoverable by re-ranking, so raise nprobe/rerank to push higher).
+``rerank=0`` keeps the pure-ADC ranking.
 """
 
 from __future__ import annotations

@@ -27,7 +27,7 @@ Protocol (same discipline as bench.py --scaling):
 Appends/replaces the "## Skew-regime canonicalization" section of
 BENCH/BASELINE.md.  Run in isolation (no concurrent Spark).
 
-Usage: python tools/skew_bench.py [--amplify 16] [--convs 2000]
+Usage: python tools/skew_bench.py [--amplify 8] [--redeliver 8] [--convs 2000]
 """
 
 from __future__ import annotations
@@ -44,6 +44,11 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 SECTION = "## Skew-regime canonicalization"
+
+# hot-conversation share of the profile — the ONE constant both the
+# generator call and the redelivery filter derive from
+HOT_FRAC = 0.02
+HOT_MULTIPLIER = 100
 
 
 def _unsalted_canonicalize(triples):
@@ -88,7 +93,9 @@ def make_links(links_path: str, n_convs: int, amplify: int, redeliver: int) -> N
     from lmss_entity_extractor_spark.session import get_spark
 
     spark = get_spark(app_name="skew-links")
-    rows = gen_transcript_rows(n_convs=n_convs, seed=7, hot_frac=0.02, hot_multiplier=100)
+    rows = gen_transcript_rows(
+        n_convs=n_convs, seed=7, hot_frac=HOT_FRAC, hot_multiplier=HOT_MULTIPLIER
+    )
     tdf = spark.createDataFrame(rows_to_pandas(rows)).repartition(64, "conv_id")
     owl = "/tmp/lmss_fixture_ontology.owl"
     write_fixture_owl(owl)
@@ -98,7 +105,7 @@ def make_links(links_path: str, n_convs: int, amplify: int, redeliver: int) -> N
     amped = links.select("*", reps).withColumn(
         "conv_id", F.concat(F.col("conv_id"), F.lit("-r"), F.col("_rep"))
     ).drop("_rep")
-    n_hot = max(0, int(round(n_convs * 0.02)))
+    n_hot = max(0, int(round(n_convs * HOT_FRAC)))
     if redeliver > 1 and n_hot:
         base_num = F.regexp_extract("conv_id", r"conv-(\d+)", 1).cast("int")
         hot = amped.filter(base_num < n_hot)
@@ -207,8 +214,9 @@ def run(links_path: str, widths=(4, 16), repeats: int = 2) -> None:
     ck, ctk = bal["conv_keyed"], bal["conv_turn_keyed"]
     md = f"""{SECTION}
 
-Profile: 2% of conversations at ~100x turns (`gen_transcript_rows(hot_frac=0.02,
-hot_multiplier=100)`), links materialized once, amplified by conv
+Profile: {HOT_FRAC:.0%} of conversations at ~{HOT_MULTIPLIER}x turns
+(`gen_transcript_rows(hot_frac={HOT_FRAC}, hot_multiplier={HOT_MULTIPLIER})`),
+links materialized once, amplified by conv
 replication (hot/cold shape preserved), and hot conversations' links
 redelivered verbatim (the at-least-once upstream regime — per-key
 multiplicity is skewed, not just per-conversation row counts), so both
