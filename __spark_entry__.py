@@ -343,6 +343,32 @@ def q_knn_ivfpq_rerank(spark, sf_dir):
     return knn_ivfpq(e, e.filter(F.col("vec_id") < 5), k=10, n_centroids=10, nprobe=2)
 
 
+def q_knn_ivfpq_residual(spark, sf_dir):
+    """Residual IVFADC (Jegou §IV proper): PQ quantizes (x - assigned
+    cell MEAN), so the whole m x k code budget resolves in-cluster
+    structure the coarse quantizer already absorbed — same storage, same
+    scan shape; reconstruction MSE drops 28.3 -> 5.9 and ADC recall 8x
+    on the scattered-centers regime (tests), measured neutral on the
+    grid's synthetic corpora whose residual IS the full random vector
+    (BENCH/IVF.md).  Each query builds one ADC table per probed cell
+    from ITS residual against that cell's mean.
+
+    Value-level oracle (pinned to sf0.01): the frozen RESIDUAL codebook
+    (same shared numpy trainer over residuals) lets DuckDB re-derive
+    residual codes — per-term tree ((x - ivfcent) - cbcent) mirroring
+    Spark's residual column then subspace distance — the per-(query,
+    cell) tables, and the ADC ranking.  ``rerank=0`` pins pure ADC (the
+    re-rank stage is oracled separately by q_knn_ivfpq_rerank and is
+    coding-independent)."""
+    from lmss_entity_extractor_spark.ops.pq import knn_ivfpq
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_ivfpq(
+        e, e.filter(F.col("vec_id") < 5),
+        k=10, n_centroids=10, nprobe=2, rerank=0, residual=True,
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (backward inclusive): each purchase event picks up the
     most recent prior click by the same user — single keyed shuffle."""
@@ -1144,6 +1170,7 @@ FIXTURE_PINNED_SF001 = frozenset(
         "knn_pq",
         "knn_ivfpq",
         "knn_ivfpq_rerank",
+        "knn_ivfpq_residual",
         "edges_as_of",
     }
 )
@@ -1316,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_changelog": q_edges_changelog,
         # oracles never yet driver-checked (added r4)
         "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
+        "knn_ivfpq_residual": q_knn_ivfpq_residual,
         "dedup_clusters_star": q_dedup_clusters_star,
         "edges_as_of": q_edges_as_of,
         "knn_pq": q_knn_pq,
@@ -1427,7 +1455,7 @@ _SHINGLES_CTE = _shingles_cte()
 _MINHASH_PAIRS_CTE = _minhash_pairs_cte()
 
 
-def _pq_oracle_sql(ivf_probe: bool = False, rerank: int = 0) -> str:
+def _pq_oracle_sql(ivf_probe: bool = False, rerank: int = 0, residual: bool = False) -> str:
     """The knn_pq / knn_ivfpq / knn_ivfpq_rerank oracles, generated so
     the float sums are EXPLICITLY left-associated term-for-term with the
     Spark/Python folds (grouped SQL SUM has unspecified order; a 1-ulp
@@ -1442,13 +1470,27 @@ def _pq_oracle_sql(ivf_probe: bool = False, rerank: int = 0) -> str:
     k' per query, then exact squared L2 (64 explicitly left-associated
     float64 terms, both operands CAST from the stored float32) orders
     the final top-k — mirroring ops.pq._exact_rerank's sequential
-    zip_with/aggregate fold."""
-    sub, m, kq, dim, nprobe = 8, 8, 10, 64, 2
+    zip_with/aggregate fold.
 
-    def dist(vec: str) -> str:
-        acc = f"(CAST({vec}[cb.j * {sub} + 1] AS DOUBLE) - cb.cent[1]) * (CAST({vec}[cb.j * {sub} + 1] AS DOUBLE) - cb.cent[1])"
+    ``residual=True`` (requires ivf_probe) re-derives the §IV residual
+    coding: codes quantize (x - assigned-cell centroid), and each query
+    builds one ADC table PER PROBED CELL from (q - that cell's
+    centroid); the per-term tree ((x - ivfcent) - cbcent) mirrors
+    Spark's two-stage residual-then-distance computation exactly."""
+    sub, m, kq, dim, nprobe = 8, 8, 10, 64, 2
+    if residual and not ivf_probe:
+        raise ValueError("residual coding is the IVFADC composition; set ivf_probe=True")
+
+    def dist(vec: str, ivfcent: str | None = None) -> str:
+        def x(i: int) -> str:
+            raw = f"CAST({vec}[cb.j * {sub} + {i} + 1] AS DOUBLE)"
+            if ivfcent is None:
+                return raw
+            return f"({raw} - {ivfcent}[cb.j * {sub} + {i} + 1])"
+
+        acc = f"({x(0)} - cb.cent[1]) * ({x(0)} - cb.cent[1])"
         for i in range(1, sub):
-            t = f"(CAST({vec}[cb.j * {sub} + {i} + 1] AS DOUBLE) - cb.cent[{i} + 1]) * (CAST({vec}[cb.j * {sub} + {i} + 1] AS DOUBLE) - cb.cent[{i} + 1])"
+            t = f"({x(i)} - cb.cent[{i} + 1]) * ({x(i)} - cb.cent[{i} + 1])"
             acc = f"({acc} + {t})"
         return acc
 
@@ -1483,7 +1525,22 @@ def _pq_oracle_sql(ivf_probe: bool = False, rerank: int = 0) -> str:
                 FROM idot WHERE vec_id < 5
             ) WHERE rn <= {nprobe}
         )"""
-    if ivf_probe:
+    if residual:
+        ivf_ctes += """,
+        cmeans AS (SELECT cid, cent
+                   FROM read_parquet('/root/repo/fixtures/oracle/sf0.01/ivf_cell_means.parquet'))"""
+    if residual:
+        # qtbl carries a cid: one ADC table per (query, probed cell) —
+        # the pair must match the candidate's OWN cell's table
+        pairs = """
+            SELECT t.query_id, c.vec_id AS neighbor_id, c.j, t.d
+            FROM codes c
+            JOIN cells ce ON ce.vec_id = c.vec_id
+            JOIN probe p ON p.cid = ce.cid
+            JOIN qtbl t ON t.query_id = p.query_id AND t.cid = ce.cid
+                       AND t.j = c.j AND t.code = c.code
+            WHERE c.vec_id <> t.query_id"""
+    elif ivf_probe:
         pairs = """
             SELECT t.query_id, c.vec_id AS neighbor_id, c.j, t.d
             FROM codes c
@@ -1528,13 +1585,37 @@ def _pq_oracle_sql(ivf_probe: bool = False, rerank: int = 0) -> str:
         final_src, final_dist = "exact", "xdist"
     else:
         rerank_ctes, final_src, final_dist = "", "adc", "adc_dist"
+    book = "pq_codebook_residual" if residual else "pq_codebook"
+    if residual:
+        # residual offsets are the frozen per-cell MEANS (the spherical
+        # IVF centroids are unit vectors and would leave the cluster
+        # offset intact) — ml/pm join the means table by assigned /
+        # probed cell respectively
+        vdist = f"""
+            SELECT b.vec_id, cb.j, cb.code, {dist('b.embedding', 'ml.cent')} AS d
+            FROM base b
+            JOIN cells ce ON ce.vec_id = b.vec_id
+            JOIN cmeans ml ON ml.cid = ce.cid
+            CROSS JOIN cb"""
+        qtbl = f"""
+            SELECT b.vec_id AS query_id, p.cid, cb.j, cb.code,
+                   {dist('b.embedding', 'pm.cent')} AS d
+            FROM base b
+            JOIN probe p ON p.query_id = b.vec_id
+            JOIN cmeans pm ON pm.cid = p.cid
+            CROSS JOIN cb"""
+    else:
+        vdist = f"""
+            SELECT b.vec_id, cb.j, cb.code, {dist('b.embedding')} AS d
+            FROM base b CROSS JOIN cb"""
+        qtbl = f"""
+            SELECT b.vec_id AS query_id, cb.j, cb.code, {dist('b.embedding')} AS d
+            FROM base b CROSS JOIN cb WHERE b.vec_id < 5"""
     return f"""
         WITH cb AS (SELECT j, code, cent
-                    FROM read_parquet('/root/repo/fixtures/oracle/sf0.01/pq_codebook.parquet')),
+                    FROM read_parquet('/root/repo/fixtures/oracle/sf0.01/{book}.parquet')),
         base AS (SELECT vec_id, embedding FROM embeddings){ivf_ctes if ivf_probe else ''},
-        vdist AS (
-            SELECT b.vec_id, cb.j, cb.code, {dist('b.embedding')} AS d
-            FROM base b CROSS JOIN cb
+        vdist AS ({vdist}
         ),
         codes AS (
             SELECT vec_id, j, code FROM (
@@ -1543,9 +1624,7 @@ def _pq_oracle_sql(ivf_probe: bool = False, rerank: int = 0) -> str:
                 FROM vdist
             ) WHERE rn = 1
         ),
-        qtbl AS (
-            SELECT b.vec_id AS query_id, cb.j, cb.code, {dist('b.embedding')} AS d
-            FROM base b CROSS JOIN cb WHERE b.vec_id < 5
+        qtbl AS ({qtbl}
         ),
         pairs AS ({pairs}
         ),
@@ -2313,6 +2392,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivfpq": _pq_oracle_sql(ivf_probe=True),
         # auto shortlist at k=10 -> k' = max(50, 10k) = 100
         "knn_ivfpq_rerank": _pq_oracle_sql(ivf_probe=True, rerank=100),
+        "knn_ivfpq_residual": _pq_oracle_sql(ivf_probe=True, residual=True),
         "edges_changelog": """
             -- diff of two frozen loop-oracle canonical edge tables
             -- (doc_id < 250 prefix vs full; tools/make_oracle_fixtures.py,

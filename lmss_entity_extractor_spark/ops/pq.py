@@ -87,6 +87,75 @@ def train_pq_codebooks_local(X, m: int = 8, k: int = 16, n_iters: int = 5):
     return books
 
 
+def assign_cells_np(X, cents):
+    """Numpy twin of similarity.ivf_cell_expr's assignment rule (argmax
+    dot, ties -> lowest cid): used ONLY to compute training residuals
+    driver-side, where an ulp-level tie flip changes nothing observable
+    (both the operator and the oracle fixture generator train through
+    this same function, so the codebooks stay bit-identical)."""
+    import numpy as np
+
+    C = np.asarray([v for _cid, v in cents], dtype=np.float64)
+    return np.argmax(X @ C.T, axis=1)
+
+
+def ivf_cell_means_local(X, cents):
+    """Per-cell MEAN of the training sample under ivf_cell_expr's
+    assignment — the residual offsets.  The spherical IVF centroids are
+    UNIT vectors (cosine cells), so subtracting them would leave the
+    cluster offset almost intact; the cell mean is the actual cluster
+    position the residual must remove.  Empty cells get the zero vector
+    (residual degenerates to the raw vector there — well-defined and
+    harmless, the cell has no candidates).  Returns [(cid, mean)] in cid
+    order."""
+    import numpy as np
+
+    cells = assign_cells_np(X, cents)
+    means = np.zeros((len(cents), X.shape[1]), dtype=np.float64)
+    for cid, _v in cents:
+        members = X[cells == cid]
+        if len(members):
+            means[cid] = members.mean(axis=0)
+    return [(cid, means[cid].tolist()) for cid, _v in cents]
+
+
+def train_pq_codebooks_residual_local(X, cents, m: int = 8, k: int = 16, n_iters: int = 5):
+    """Residual PQ codebooks (Jegou §IV's actual IVFADC): each training
+    vector is replaced by its residual vs its cell's MEAN (see
+    ivf_cell_means_local), and the subspace codebooks quantize THAT —
+    the coarse quantizer absorbs cluster position, so the full m x k
+    code budget resolves in-cluster structure instead of re-encoding it
+    (reconstruction MSE 28.3 -> 5.9 on the scattered test fixture).
+    Returns (books, means)."""
+    import numpy as np
+
+    means = ivf_cell_means_local(X, cents)
+    M = np.asarray([v for _cid, v in means], dtype=np.float64)
+    R = X - M[assign_cells_np(X, cents)]
+    return train_pq_codebooks_local(R, m=m, k=k, n_iters=n_iters), means
+
+
+def residual_expr(vec_name: str, means) -> Column:
+    """array<double> residual of the vector column vs the row's assigned
+    cell MEAN — requires a ``centroid_id`` column (ivf_cell_expr) in
+    scope.  Pure JVM: one element_at into an array-of-arrays literal +
+    zip_with; generated as a single SQL string (see _dot_sql's build-cost
+    note).  Cell ids must be the contiguous 0..n-1 the trainer emits."""
+    from .similarity import _dlit, _qcol
+
+    ordered = sorted(means)
+    if [c for c, _v in ordered] != list(range(len(ordered))):
+        raise ValueError(f"non-contiguous cell ids: {[c for c, _v in ordered]}")
+    arrs = ", ".join(
+        "array(" + ", ".join(_dlit(x) for x in v) + ")" for _cid, v in ordered
+    )
+    return F.expr(
+        f"zip_with({_qcol(vec_name)}, "
+        f"element_at(array({arrs}), CAST(centroid_id AS INT) + 1), "
+        "(x, c) -> CAST(x AS DOUBLE) - c)"
+    )
+
+
 def _sub_dist2_sql(vec_name: str, j: int, sub: int, cent: list[float]) -> str:
     """Sequential-fold squared L2 between subvector j of the named column
     and a centroid literal — the exact accumulation order the oracle
@@ -262,6 +331,7 @@ def knn_ivfpq(
     sample_mod: int | None = None,
     rerank: int | None = None,
     encoder: str = "auto",
+    residual: bool = False,
 ) -> DataFrame:
     """IVFADC (Jegou et al. §IV): the compute-bound and memory-bound
     halves composed — the IVF coarse quantizer prunes to ``nprobe``
@@ -277,6 +347,16 @@ def knn_ivfpq(
     those float vectors, exact L2 orders the final top-k.  ``rerank=0``
     is the pure-ADC ranking (the bit-oracle contract of q_knn_ivfpq).
 
+    ``residual=True`` is §IV's actual encoding: PQ quantizes the residual
+    vs the assigned cell's MEAN instead of the raw vector, spending the
+    whole code budget on in-cluster structure; the ADC table is then
+    built per (query, probed cell) from the query's residual against
+    THAT cell.  Same storage, same scan shape.  The win appears when
+    cluster position dominates vector magnitude (scattered-centers test:
+    reconstruction MSE 28.3 -> 5.9, ADC recall up 8x); on the grid's
+    synthetic corpora — whose in-cluster residual IS the full random
+    vector — it is measured neutral (BENCH/IVF.md).
+
     Plan shape: ONE scan of the coded corpus, equi-joined on
     ``centroid_id`` against a broadcast (query x probed-cell, ADC-table)
     frame — query count scales the broadcast, never the scan count.
@@ -290,7 +370,11 @@ def knn_ivfpq(
 
     X = collect_training_sample(embeddings, id_col, vec_col, sample_mod, "knn_ivfpq")
     cents = train_ivf_centroids_local(X, n_centroids)
-    books = train_pq_codebooks_local(X, m=m, k=pq_k)
+    means = None
+    if residual:
+        books, means = train_pq_codebooks_residual_local(X, cents, m=m, k=pq_k)
+    else:
+        books = train_pq_codebooks_local(X, m=m, k=pq_k)
     nprobe = max(1, min(nprobe, len(cents)))
     q_rows = sorted(
         queries.select(
@@ -302,16 +386,39 @@ def knn_ivfpq(
     )
     if not q_rows:
         return _empty_knn(queries, id_col)
-    coded = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        _codes_col(vec_col, books, encoder).alias("codes"),
-        ivf_cell_expr(vec_col, cents).alias("centroid_id"),
-    )
+    coded = _encode_cells(embeddings, cents, books, encoder, means, id_col, vec_col)
     return _score_probed_cells(
         coded, q_rows, books, k,
         rerank=_resolve_rerank(rerank, k),
         vec_src=embeddings, id_col=id_col, vec_col=vec_col,
+        residual_means=dict(means) if means else None,
     )
+
+
+def _encode_cells(
+    embeddings: DataFrame, cents, books, encoder: str, means,
+    id_col: str, vec_col: str, keep_vec: bool = False,
+) -> DataFrame:
+    """(neighbor_id, codes, centroid_id[, vec]): the shared coding
+    projection of the inline and persisted IVFADC paths — raw-vector
+    codes, or (with ``means`` set) codes over the residual vs the
+    assigned cell's mean.  One narrow scan, no shuffle; ``keep_vec``
+    carries the float column through for store_vectors indexes."""
+    from .similarity import ivf_cell_expr
+
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col),
+        ivf_cell_expr(vec_col, cents).alias("centroid_id"),
+    )
+    src = vec_col
+    if means is not None:
+        base = base.withColumn("_res", residual_expr(vec_col, means))
+        src = "_res"
+    cols = ["neighbor_id", _codes_col(src, books, encoder).alias("codes"), "centroid_id"]
+    if keep_vec:
+        cols.insert(1, F.col(vec_col))
+    return base.select(*cols)
 
 
 def _adc_dist_expr(tbl_lit: Column) -> Column:
@@ -384,6 +491,7 @@ def write_ivfpq_index(
     vec_col: str = "embedding",
     store_vectors: bool = True,
     encoder: str = "auto",
+    residual: bool = False,
 ):
     """Materialize the IVFADC serving layout: PQ codes PARTITIONED BY
     IVF cell, both codebooks as JSON alongside.
@@ -409,16 +517,17 @@ def write_ivfpq_index(
 
     X = collect_training_sample(embeddings, id_col, vec_col, sample_mod, "write_ivfpq_index")
     cents = train_ivf_centroids_local(X, n_centroids, n_iters)
-    books = train_pq_codebooks_local(X, m=m, k=pq_k, n_iters=n_iters)
-    cols = [
-        F.col(id_col),
-        _codes_col(vec_col, books, encoder).alias("codes"),
-        ivf_cell_expr(vec_col, cents).alias("centroid_id"),
-    ]
-    if store_vectors:
-        cols.insert(1, F.col(vec_col))
+    means = None
+    if residual:
+        books, means = train_pq_codebooks_residual_local(X, cents, m=m, k=pq_k, n_iters=n_iters)
+    else:
+        books = train_pq_codebooks_local(X, m=m, k=pq_k, n_iters=n_iters)
+    coded = _encode_cells(
+        embeddings, cents, books, encoder, means, id_col, vec_col,
+        keep_vec=store_vectors,
+    )
     (
-        embeddings.select(*cols)
+        coded.withColumnRenamed("neighbor_id", id_col)
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(f"{path}/cells")
@@ -427,7 +536,10 @@ def write_ivfpq_index(
     # mid-write can't leave a valid-looking dir with truncated JSON
     # (ADVICE r3 — mirrors the manifest discipline in streaming/incremental)
     atomic_write_text(
-        Path(path, "codebooks.json"), json.dumps({"centroids": cents, "books": books})
+        Path(path, "codebooks.json"),
+        json.dumps(
+            {"centroids": cents, "books": books, "residual": residual, "means": means}
+        ),
     )
     return cents, books
 
@@ -461,6 +573,14 @@ def knn_ivfpq_indexed(
     meta = json.loads((Path(path) / "codebooks.json").read_text())
     cents = [(int(c), v) for c, v in meta["centroids"]]
     books = [[(int(c), v) for c, v in book] for book in meta["books"]]
+    # the stored flag is authoritative: codes in the cell files were
+    # produced under it, and scoring must build matching ADC tables
+    # from the SAME frozen cell means
+    means = (
+        [(int(c), v) for c, v in meta["means"]]
+        if meta.get("residual") and meta.get("means")
+        else None
+    )
     nprobe = max(1, min(nprobe, len(cents)))
     q_rows = sorted(
         queries.select(
@@ -487,6 +607,7 @@ def knn_ivfpq_indexed(
     return _score_probed_cells(
         cells, q_rows, books, k,
         rerank=rerank, vec_src=stored, id_col=id_col, vec_col=vec_col,
+        residual_means=dict(means) if means else None,
     )
 
 
@@ -499,18 +620,27 @@ def _score_probed_cells(
     vec_src: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual_means: dict | None = None,
 ) -> DataFrame:
     """Shared IVFADC scoring tail (inline and persisted paths):
     broadcast one (query, probed-cell, ADC-table) frame — the table
-    computed ONCE per query, reused across its cells — equi-join on
-    cell, score, rank; with ``rerank`` set, ADC produces a k' shortlist
-    that re-ranks exactly against ``vec_src``.  ``candidates`` must
-    carry (neighbor_id, codes, centroid_id)."""
+    computed ONCE per query and reused across its cells (or, under
+    residual coding, once per (query, probed cell) from the query's
+    residual vs that cell) — equi-join on cell, score, rank; with
+    ``rerank`` set, ADC produces a k' shortlist that re-ranks exactly
+    against ``vec_src``.  ``candidates`` must carry (neighbor_id, codes,
+    centroid_id)."""
     spark = candidates.sparkSession
     data = []
     for r in q_rows:
-        tbl = adc_table(r["qv"], books)
-        data.extend((r["qid"], int(c), tbl) for c in r["cells"])
+        if residual_means is None:
+            tbl = adc_table(r["qv"], books)
+            data.extend((r["qid"], int(c), tbl) for c in r["cells"])
+        else:
+            for c in r["cells"]:
+                mean = residual_means[int(c)]
+                qres = [float(x) - float(ci) for x, ci in zip(r["qv"], mean)]
+                data.append((r["qid"], int(c), adc_table(qres, books)))
     qdf = spark.createDataFrame(data, ["query_id", "centroid_id", "tbl"])
     scored = (
         candidates.join(F.broadcast(qdf), "centroid_id")

@@ -1078,6 +1078,82 @@ class TestPQ:
         }
         assert got == self._exact_l2_topk(e.collect(), range(3), 5)
 
+    def _scattered(self, spark, n=300, dim=32, seed=13):
+        """Clusters whose CENTERS spread across every dimension — the
+        regime where raw-vector PQ wastes its code budget covering
+        distant cluster positions and residual coding (Jegou §IV) wins.
+        (_clustered's single-dim +6 lift touches one subspace only, so
+        residual is a no-op there — measured, not assumed.)"""
+        import random
+
+        rng = random.Random(seed)
+        centers = [[rng.gauss(0.0, 4.0) for _ in range(dim)] for _ in range(4)]
+        rows = []
+        for i in range(n):
+            c = centers[i % 4]
+            rows.append((i, [x + rng.gauss(0.0, 0.3) for x in c]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_residual_coding_improves_adc_and_roundtrips(self, spark, tmp_path):
+        """Jegou §IV residual coding on scattered cluster centers: at the
+        same code budget, pure-ADC recall must beat raw-vector coding
+        (the budget resolves in-cluster noise instead of re-encoding
+        cluster position); the persisted index stores the residual flag
+        and probes honor it automatically; residual + full-coverage
+        re-rank is still the exact ranking."""
+        from lmss_entity_extractor_spark.ops.pq import (
+            knn_ivfpq,
+            knn_ivfpq_indexed,
+            write_ivfpq_index,
+        )
+
+        e = self._scattered(spark)
+        q = e.filter(F.col("vec_id") < 4)
+        exact = self._exact_l2_topk(e.collect(), range(4), 5)
+
+        def adc_recall(res):
+            got = {
+                tuple(r)
+                for r in knn_ivfpq(
+                    e, q, k=5, n_centroids=4, nprobe=4, m=4, pq_k=16,
+                    rerank=0, residual=res,
+                ).collect()
+            }
+            hit = {(a, c) for a, _b, c in got} & {(a, c) for a, _b, c in exact}
+            return len(hit) / len(exact)
+
+        r_raw, r_res = adc_recall(False), adc_recall(True)
+        assert r_res > r_raw, (r_raw, r_res)
+
+        # persisted residual index: flag read from metadata, probes equal
+        # the inline residual composition
+        idx = str(tmp_path / "ivfpq_res")
+        write_ivfpq_index(e, idx, n_centroids=4, m=4, pq_k=16, residual=True)
+        got = sorted(
+            map(tuple, knn_ivfpq_indexed(spark, idx, q, k=5, nprobe=2, rerank=0).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                knn_ivfpq(
+                    e, q, k=5, n_centroids=4, nprobe=2, m=4, pq_k=16,
+                    rerank=0, residual=True,
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+
+        # re-rank is coding-independent: full probe + full shortlist over
+        # residual codes reproduces the exact ranking bit-for-bit
+        full = {
+            tuple(r)
+            for r in knn_ivfpq(
+                e, q, k=5, n_centroids=4, nprobe=4, m=4, pq_k=16,
+                rerank=300, residual=True,
+            ).collect()
+        }
+        assert full == exact
+
     def test_numpy_encoder_matches_sql_encoder(self, spark):
         """The Arrow/numpy encoder (the large-k escalation path) assigns
         the same codes as the literal-SQL bit-contract form on the same

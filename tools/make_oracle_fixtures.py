@@ -99,7 +99,10 @@ def compute_ann_codebooks(sf_dir: str | Path):
     import duckdb
     import numpy as np
 
-    from lmss_entity_extractor_spark.ops.pq import train_pq_codebooks_local
+    from lmss_entity_extractor_spark.ops.pq import (
+        train_pq_codebooks_local,
+        train_pq_codebooks_residual_local,
+    )
     from lmss_entity_extractor_spark.ops.similarity import train_ivf_centroids_local
 
     con = duckdb.connect()
@@ -107,7 +110,9 @@ def compute_ann_codebooks(sf_dir: str | Path):
         f"SELECT embedding FROM read_parquet('{Path(sf_dir)}/embeddings.parquet') ORDER BY vec_id"
     ).fetchall()
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
-    return train_pq_codebooks_local(X, m=8, k=16), train_ivf_centroids_local(X, 10)
+    cents = train_ivf_centroids_local(X, 10)
+    res_books, cell_means = train_pq_codebooks_residual_local(X, cents, m=8, k=16)
+    return train_pq_codebooks_local(X, m=8, k=16), cents, res_books, cell_means
 
 
 def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
@@ -139,7 +144,18 @@ def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
     # prefix slice IS the doc_id < CHANGELOG_CUT filter
     edges_v1 = oracle_edge_rows(rows[:CHANGELOG_CUT], artifacts)
     edges_v2 = oracle_edge_rows(rows, artifacts)
-    pq_books, ivf_cents = compute_ann_codebooks(sf_dir)
+    pq_books, ivf_cents, pq_books_res, cell_means = compute_ann_codebooks(sf_dir)
+
+    def _codebook_table(books):
+        return pa.table(
+            {
+                "j": pa.array([j for j, book in enumerate(books) for _ in book], pa.int32()),
+                "code": pa.array([code for book in books for code, _ in book], pa.int32()),
+                "cent": pa.array(
+                    [cent for book in books for _, cent in book], pa.list_(pa.float64())
+                ),
+            }
+        )
 
     def _edges_table(er):
         return pa.table(
@@ -158,18 +174,14 @@ def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
                 "cent": pa.array([v for _, v in ivf_cents], pa.list_(pa.float64())),
             }
         ),
-        "pq_codebook": pa.table(
+        "pq_codebook": _codebook_table(pq_books),
+        # residual IVFADC (Jegou §IV proper): same trainer over residuals
+        # vs the assigned cell's MEAN — q_knn_ivfpq_residual's oracle
+        "pq_codebook_residual": _codebook_table(pq_books_res),
+        "ivf_cell_means": pa.table(
             {
-                "j": pa.array(
-                    [j for j, book in enumerate(pq_books) for _ in book], pa.int32()
-                ),
-                "code": pa.array(
-                    [code for book in pq_books for code, _ in book], pa.int32()
-                ),
-                "cent": pa.array(
-                    [cent for book in pq_books for _, cent in book],
-                    pa.list_(pa.float64()),
-                ),
+                "cid": pa.array([c for c, _ in cell_means], pa.int32()),
+                "cent": pa.array([v for _, v in cell_means], pa.list_(pa.float64())),
             }
         ),
         "kg_edges_v1": _edges_table(edges_v1),
