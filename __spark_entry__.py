@@ -347,10 +347,10 @@ def q_knn_ivfpq_residual(spark, sf_dir):
     """Residual IVFADC (Jegou §IV proper): PQ quantizes (x - assigned
     cell MEAN), so the whole m x k code budget resolves in-cluster
     structure the coarse quantizer already absorbed — same storage, same
-    scan shape; reconstruction MSE drops 28.3 -> 5.9 and ADC recall 8x
-    on the scattered-centers regime (tests), measured neutral on the
-    grid's synthetic corpora whose residual IS the full random vector
-    (BENCH/IVF.md).  Each query builds one ADC table per probed cell
+    scan shape; the scattered-centers test pins recall improvement and
+    a >2x reconstruction-MSE reduction (measured point values: MSE 28.3
+    -> 5.9, recall 8x), measured neutral on the grid's synthetic
+    corpora whose residual IS the full random vector (BENCH/IVF.md).  Each query builds one ADC table per probed cell
     from ITS residual against that cell's mean.
 
     Value-level oracle (pinned to sf0.01): the frozen RESIDUAL codebook
@@ -1473,10 +1473,12 @@ def _pq_oracle_sql(ivf_probe: bool = False, rerank: int = 0, residual: bool = Fa
     zip_with/aggregate fold.
 
     ``residual=True`` (requires ivf_probe) re-derives the §IV residual
-    coding: codes quantize (x - assigned-cell centroid), and each query
-    builds one ADC table PER PROBED CELL from (q - that cell's
-    centroid); the per-term tree ((x - ivfcent) - cbcent) mirrors
-    Spark's two-stage residual-then-distance computation exactly."""
+    coding: codes quantize (x - assigned cell's MEAN) — NOT the unit-
+    normalized IVF centroid, which would leave the cluster offset intact
+    (see the cmeans CTE below) — and each query builds one ADC table PER
+    PROBED CELL from (q - that cell's mean); the per-term tree
+    ((x - cellmean) - cbcent) mirrors Spark's two-stage residual-then-
+    distance computation exactly."""
     sub, m, kq, dim, nprobe = 8, 8, 10, 64, 2
     if residual and not ivf_probe:
         raise ValueError("residual coding is the IVFADC composition; set ivf_probe=True")

@@ -92,25 +92,35 @@ def assign_cells_np(X, cents):
     dot, ties -> lowest cid): used ONLY to compute training residuals
     driver-side, where an ulp-level tie flip changes nothing observable
     (both the operator and the oracle fixture generator train through
-    this same function, so the codebooks stay bit-identical)."""
+    this same function, so the codebooks stay bit-identical).
+
+    The returned values are POSITIONAL indexes into the centroid list;
+    they only equal cell ids when cids are the contiguous 0..n-1 the
+    trainer emits — enforced here, since every downstream consumer
+    (means, residuals, residual_expr literals) indexes by cid."""
     import numpy as np
 
+    if [c for c, _v in cents] != list(range(len(cents))):
+        raise ValueError(f"non-contiguous cell ids: {[c for c, _v in cents]}")
     C = np.asarray([v for _cid, v in cents], dtype=np.float64)
     return np.argmax(X @ C.T, axis=1)
 
 
-def ivf_cell_means_local(X, cents):
+def ivf_cell_means_local(X, cents, cells=None):
     """Per-cell MEAN of the training sample under ivf_cell_expr's
     assignment — the residual offsets.  The spherical IVF centroids are
     UNIT vectors (cosine cells), so subtracting them would leave the
     cluster offset almost intact; the cell mean is the actual cluster
-    position the residual must remove.  Empty cells get the zero vector
-    (residual degenerates to the raw vector there — well-defined and
-    harmless, the cell has no candidates).  Returns [(cid, mean)] in cid
+    position the residual must remove.  A cell empty IN THE SAMPLE gets
+    the zero vector: corpus rows the full assignment later lands there
+    degenerate to raw-vector coding — well-defined, and both the
+    operator and the oracle apply the same offset.  ``cells`` accepts a
+    precomputed assign_cells_np result.  Returns [(cid, mean)] in cid
     order."""
     import numpy as np
 
-    cells = assign_cells_np(X, cents)
+    if cells is None:
+        cells = assign_cells_np(X, cents)
     means = np.zeros((len(cents), X.shape[1]), dtype=np.float64)
     for cid, _v in cents:
         members = X[cells == cid]
@@ -125,13 +135,15 @@ def train_pq_codebooks_residual_local(X, cents, m: int = 8, k: int = 16, n_iters
     ivf_cell_means_local), and the subspace codebooks quantize THAT —
     the coarse quantizer absorbs cluster position, so the full m x k
     code budget resolves in-cluster structure instead of re-encoding it
-    (reconstruction MSE 28.3 -> 5.9 on the scattered test fixture).
+    (reconstruction MSE down >2x on the scattered test fixture — pinned
+    by test_residual_coding_improves_adc_and_roundtrips).
     Returns (books, means)."""
     import numpy as np
 
-    means = ivf_cell_means_local(X, cents)
+    cells = assign_cells_np(X, cents)
+    means = ivf_cell_means_local(X, cents, cells=cells)
     M = np.asarray([v for _cid, v in means], dtype=np.float64)
-    R = X - M[assign_cells_np(X, cents)]
+    R = X - M[cells]
     return train_pq_codebooks_local(R, m=m, k=k, n_iters=n_iters), means
 
 
@@ -352,8 +364,9 @@ def knn_ivfpq(
     whole code budget on in-cluster structure; the ADC table is then
     built per (query, probed cell) from the query's residual against
     THAT cell.  Same storage, same scan shape.  The win appears when
-    cluster position dominates vector magnitude (scattered-centers test:
-    reconstruction MSE 28.3 -> 5.9, ADC recall up 8x); on the grid's
+    cluster position dominates vector magnitude — the scattered-centers
+    test PINS recall improvement and a >2x reconstruction-MSE reduction
+    (measured point values: MSE 28.3 -> 5.9, recall 8x); on the grid's
     synthetic corpora — whose in-cluster residual IS the full random
     vector — it is measured neutral (BENCH/IVF.md).
 
@@ -575,12 +588,17 @@ def knn_ivfpq_indexed(
     books = [[(int(c), v) for c, v in book] for book in meta["books"]]
     # the stored flag is authoritative: codes in the cell files were
     # produced under it, and scoring must build matching ADC tables
-    # from the SAME frozen cell means
-    means = (
-        [(int(c), v) for c, v in meta["means"]]
-        if meta.get("residual") and meta.get("means")
-        else None
-    )
+    # from the SAME frozen cell means — a residual index without them
+    # would silently mis-rank, so it raises instead
+    means = None
+    if meta.get("residual"):
+        if not meta.get("means"):
+            raise ValueError(
+                f"index at {path!r} is residual-coded but carries no cell "
+                "means — metadata is damaged or from an incompatible "
+                "writer; rebuild with write_ivfpq_index(residual=True)"
+            )
+        means = [(int(c), v) for c, v in meta["means"]]
     nprobe = max(1, min(nprobe, len(cents)))
     q_rows = sorted(
         queries.select(

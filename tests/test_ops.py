@@ -1125,6 +1125,40 @@ class TestPQ:
         r_raw, r_res = adc_recall(False), adc_recall(True)
         assert r_res > r_raw, (r_raw, r_res)
 
+        # the distortion contract behind the recall win (the number the
+        # docs cite): residual reconstruction MSE must be at least 2x
+        # below raw at the same code budget — numpy twins, no Spark
+        import numpy as np
+
+        from lmss_entity_extractor_spark.ops.pq import (
+            assign_cells_np,
+            train_pq_codebooks_local,
+            train_pq_codebooks_residual_local,
+        )
+        from lmss_entity_extractor_spark.ops.similarity import train_ivf_centroids_local
+
+        X = np.asarray(
+            [r.embedding for r in e.orderBy("vec_id").collect()], dtype=np.float64
+        )
+        cents = train_ivf_centroids_local(X, 4)
+        cells = assign_cells_np(X, cents)
+
+        def mse(Xin, books):
+            m, sub = len(books), Xin.shape[1] // len(books)
+            err = 0.0
+            for j, book in enumerate(books):
+                C = np.asarray([c for _, c in book])
+                S = Xin[:, j * sub : (j + 1) * sub]
+                d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                err += d2.min(axis=1).sum()
+            return err / len(Xin)
+
+        raw_mse = mse(X, train_pq_codebooks_local(X, m=4, k=16))
+        res_books, means = train_pq_codebooks_residual_local(X, cents, m=4, k=16)
+        M = np.asarray([v for _, v in means])
+        res_mse = mse(X - M[cells], res_books)
+        assert res_mse < raw_mse / 2, (raw_mse, res_mse)
+
         # persisted residual index: flag read from metadata, probes equal
         # the inline residual composition
         idx = str(tmp_path / "ivfpq_res")
@@ -1153,6 +1187,21 @@ class TestPQ:
             ).collect()
         }
         assert full == exact
+
+        # a residual index whose metadata lost its means must REFUSE to
+        # probe (raw-query ADC over residual codes would silently
+        # mis-rank every result)
+        import json as _json
+        from pathlib import Path as _Path
+
+        import pytest as _pytest
+
+        meta_path = _Path(idx) / "codebooks.json"
+        meta = _json.loads(meta_path.read_text())
+        del meta["means"]
+        meta_path.write_text(_json.dumps(meta))
+        with _pytest.raises(ValueError, match="residual-coded but carries no cell"):
+            knn_ivfpq_indexed(spark, idx, q, k=5, nprobe=2, rerank=0)
 
     def test_numpy_encoder_matches_sql_encoder(self, spark):
         """The Arrow/numpy encoder (the large-k escalation path) assigns

@@ -247,9 +247,10 @@ def run_grid(sf_dir: str) -> str:
         "one dimension on an otherwise full-magnitude random vector, so "
         "the residual is essentially the raw vector; the regime where it "
         "wins (cluster position dominating vector magnitude) is pinned by "
-        "test instead: reconstruction MSE 28.3 -> 5.9 and 8x ADC recall "
-        "on scattered centers (test_residual_coding_improves_adc_and_"
-        "roundtrips).  The ADC math is pinned by oracle (contract queries "
+        "test instead — recall improvement and a >2x reconstruction-MSE "
+        "reduction asserted on scattered centers, with 28.3 -> 5.9 MSE "
+        "and 8x recall the measured point values "
+        "(test_residual_coding_improves_adc_and_roundtrips).  The ADC math is pinned by oracle (contract queries "
         "`knn_pq`, `knn_ivfpq`, `knn_ivfpq_residual`); the re-ranked "
         "default by `knn_ivfpq_rerank`.",
         "",
