@@ -440,6 +440,21 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3, num_hashes=8, bands=4)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (L35, GPT-3 appendix-C style): training
+    docs sharing any full 5-gram with the "benchmark" (the deterministic
+    doc_id % 97 == 0 subset standing in for an eval set) are flagged
+    with hit and size counts.  Corpus scanned once; the benchmark's
+    distinct n-gram hash set broadcasts.  Oracle: the identical 5-gram
+    derivation and joins in DuckDB (full windows only, so the list
+    comprehension matches the Spark builder exactly)."""
+    from lmss_entity_extractor_spark.ops.decontam import contaminated_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contaminated_docs(docs, bench, n=5, min_hits=1)
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within label buckets."""
     from lmss_entity_extractor_spark.ops.dedup import embedding_neardup_pairs
@@ -1346,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq_residual": q_knn_ivfpq_residual,
         "dedup_clusters_star": q_dedup_clusters_star,
         "edges_as_of": q_edges_as_of,
+        "decontaminate": q_decontaminate,
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
         # red in round 2 (oracle dtype, fixed r3) — re-check first
@@ -2479,5 +2495,30 @@ def oracle_sql() -> dict[str, str]:
         -- canonical edge table (same fixture family as edges_changelog)
         SELECT subj, pred, obj, n_provenances
         FROM read_parquet('/root/repo/fixtures/oracle/sf0.01/kg_edges_v1.parquet')
+    """
+    oracles["decontaminate"] = """
+        -- full-window 5-grams only (docs under 5 tokens have none),
+        -- mirroring ops/decontam._full_ngrams; benchmark = doc_id % 97 == 0
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest([t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                           t[i+4] || ' ' || t[i+5]
+                           FOR i IN range(greatest(len(t) - 4, 0))]) AS shingle
+            FROM toks WHERE len(t) >= 5
+        ),
+        shn AS (SELECT * FROM sh WHERE length(shingle) > 0),
+        bench AS (SELECT DISTINCT shingle FROM shn WHERE doc_id % 97 = 0),
+        sizes AS (SELECT doc_id, count(*) AS n_doc_shingles FROM shn GROUP BY 1),
+        hits AS (
+            SELECT s.doc_id, count(*) AS n_hits
+            FROM shn s JOIN bench b USING (shingle) GROUP BY 1
+        )
+        SELECT h.doc_id, h.n_hits, z.n_doc_shingles
+        FROM hits h JOIN sizes z USING (doc_id)
+        WHERE h.n_hits >= 1
     """
     return oracles

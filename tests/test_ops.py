@@ -99,6 +99,61 @@ class TestDedup:
 
 
 @pytest.mark.spark
+class TestDecontam:
+    def _corpus(self, spark):
+        rows = [
+            # shares the benchmark's exact 5-gram run
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            # 4-token overlap only -> no shared FULL 5-gram
+            (2, "quick brown fox jumps somewhere else entirely new text"),
+            # disjoint
+            (3, "completely unrelated content about spark physical plans"),
+            # under 5 tokens: has NO n-grams at all
+            (4, "four tokens only here"),
+        ]
+        bench = [(100, "benchmark asks the quick brown fox jumps over a fence")]
+        return (
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            spark.createDataFrame(bench, "doc_id long, text string"),
+        )
+
+    def test_flags_and_removes_known_overlap(self, spark):
+        from lmss_entity_extractor_spark.ops.decontam import (
+            contaminated_docs,
+            remove_contaminated,
+        )
+
+        docs, bench = self._corpus(spark)
+        flagged = {r.doc_id: (r.n_hits, r.n_doc_shingles) for r in
+                   contaminated_docs(docs, bench, n=5).collect()}
+        # doc 1 shares exactly "the quick brown fox jumps" and
+        # "quick brown fox jumps over"; docs 2-4 share no full 5-gram
+        assert set(flagged) == {1}, flagged
+        assert flagged[1] == (2, 6), flagged
+        kept = {r.doc_id for r in remove_contaminated(docs, bench, n=5).collect()}
+        assert kept == {2, 3, 4}
+
+    def test_short_docs_have_no_ngrams(self, spark):
+        """A sub-n-token doc must produce zero n-grams (full windows
+        only — the property the DuckDB oracle depends on), even as the
+        BENCHMARK side."""
+        from lmss_entity_extractor_spark.ops.decontam import contaminated_docs
+
+        docs, _ = self._corpus(spark)
+        tiny_bench = docs.filter("doc_id = 4")
+        assert contaminated_docs(docs, tiny_bench, n=5).count() == 0
+
+    def test_benchmark_broadcasts(self, spark):
+        """The corpus-side scan must broadcast the benchmark n-gram set
+        (the corpus is the 100 TB side; a shuffle there is the failure
+        mode), unless explicitly disabled."""
+        from lmss_entity_extractor_spark.ops.decontam import contaminated_docs
+
+        docs, bench = self._corpus(spark)
+        plan = contaminated_docs(docs, bench, n=5)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+
+
 class TestSimilarity:
     def test_cosine_expr_matches_numpy(self, spark, embeddings):
         rows = embeddings.limit(10).collect()
