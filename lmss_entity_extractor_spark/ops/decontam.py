@@ -74,15 +74,24 @@ def contaminated_docs(
         .filter(F.length("shingle") > 0)
         .select(F.xxhash64("shingle").alias("sh_h"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     if broadcast_benchmark:
         bench = F.broadcast(bench)
-    sizes = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_doc_shingles"))
-    hits = d.join(bench, "sh_h").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
-    return (
-        hits.join(sizes, "doc_id")
-        .filter(F.col("n_hits") >= min_hits)
-        .select("doc_id", "n_hits", "n_doc_shingles")
+    # ONE corpus scan: a broadcast LEFT join marks hits inline and a
+    # single map-side-combinable aggregation produces both counts —
+    # splitting sizes and hits into two consumers of the exploded frame
+    # would scan (and re-explode) the 100 TB side twice
+    per_doc = (
+        d.join(bench, "sh_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_doc_shingles"),
+            F.count("_hit").alias("n_hits"),  # count() skips nulls
+        )
+    )
+    return per_doc.filter(F.col("n_hits") >= min_hits).select(
+        "doc_id", "n_hits", "n_doc_shingles"
     )
 
 
