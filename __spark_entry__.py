@@ -440,6 +440,23 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=3, num_hashes=8, bands=4)
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Domain-mixture sampling (L36): select documents hitting the
+    training-recipe proportions 50% en / 25% es / 25% fr exactly, at the
+    largest total the inventory allows — per-stratum quotas from the
+    counts, selection = each stratum's smallest Knuth-hashed keys.
+    Dyadic target fractions (0.5/0.25) keep every division and product
+    exact in binary, so the driver-side float quota math and the
+    oracle's DOUBLE arithmetic agree bit-for-bit.  Oracle: the same
+    quota derivation and ranking in SQL (the hash is pure integer
+    arithmetic by design)."""
+    from lmss_entity_extractor_spark.ops.mixture import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(docs, {"en": 0.5, "es": 0.25, "fr": 0.25})
+    return out.select("doc_id", "lang")
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (L35, GPT-3 appendix-C style): training
     docs sharing any full 5-gram with the "benchmark" (the deterministic
@@ -1362,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "edges_as_of": q_edges_as_of,
         "decontaminate": q_decontaminate,
+        "mixture_sample": q_mixture_sample,
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
         # red in round 2 (oracle dtype, fixed r3) — re-check first
@@ -2520,5 +2538,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT h.doc_id, h.n_hits, z.n_doc_shingles
         FROM hits h JOIN sizes z USING (doc_id)
         WHERE h.n_hits >= 1
+    """
+    oracles["mixture_sample"] = """
+        -- exact-proportion mixture: T = floor(min(n/frac)), quota =
+        -- floor(frac*T), keep each stratum's quota of smallest Knuth
+        -- hashes (dyadic fractions -> exact DOUBLE arithmetic; CAST
+        -- needed because bare 0.5 is DECIMAL in DuckDB)
+        WITH tgt(lang, frac) AS (
+            VALUES ('en', CAST(0.5 AS DOUBLE)),
+                   ('es', CAST(0.25 AS DOUBLE)),
+                   ('fr', CAST(0.25 AS DOUBLE))
+        ),
+        counts AS (
+            SELECT d.lang, count(*) AS n FROM documents d
+            JOIN tgt USING (lang) GROUP BY 1
+        ),
+        feas AS (
+            SELECT CAST(floor(min(c.n / g.frac)) AS BIGINT) AS t_total
+            FROM counts c JOIN tgt g USING (lang)
+        ),
+        quota AS (
+            SELECT g.lang, CAST(floor(g.frac * f.t_total) AS BIGINT) AS k
+            FROM tgt g, feas f
+        ),
+        ranked AS (
+            SELECT d.doc_id, d.lang,
+                   row_number() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY ((d.doc_id % 2147483648) * 2654435761) % 4294967296 ASC,
+                                d.doc_id ASC
+                   ) AS rn
+            FROM documents d JOIN quota USING (lang)
+        )
+        SELECT r.doc_id, r.lang
+        FROM ranked r JOIN quota q USING (lang)
+        WHERE r.rn <= q.k
     """
     return oracles

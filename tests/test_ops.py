@@ -154,6 +154,55 @@ class TestDecontam:
         assert "BroadcastHashJoin" in plan, plan
 
 
+class TestMixture:
+    def _docs(self, spark):
+        rows = [(i, "en" if i < 60 else ("es" if i < 80 else "fr")) for i in range(100)]
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_exact_proportions_at_max_total(self, spark):
+        from lmss_entity_extractor_spark.ops.mixture import mixture_quotas, mixture_sample
+
+        docs = self._docs(spark)  # en 60, es 20, fr 20
+        # targets 50/25/25: T = min(60/.5=120, 20/.25=80, 20/.25=80) = 80
+        q = mixture_quotas({"en": 60, "es": 20, "fr": 20}, {"en": 0.5, "es": 0.25, "fr": 0.25})
+        assert q == {"en": 40, "es": 20, "fr": 20}
+        out = mixture_sample(docs, {"en": 0.5, "es": 0.25, "fr": 0.25}).collect()
+        by = {}
+        for r in out:
+            by.setdefault(r.lang, set()).add(r.doc_id)
+        assert {k: len(v) for k, v in by.items()} == {"en": 40, "es": 20, "fr": 20}
+        # weights need not sum to 1 (normalized internally)
+        from lmss_entity_extractor_spark.ops.mixture import mixture_quotas as mq
+
+        assert mq({"en": 60, "es": 20, "fr": 20}, {"en": 2, "es": 1, "fr": 1}) == q
+
+    def test_deterministic_across_parallelism_and_appends(self, spark):
+        """Same selected ids at any partitioning, and appending rows to
+        an untargeted stratum never changes the selection (the Knuth-
+        hash ranking is a pure function of key and stratum counts)."""
+        from lmss_entity_extractor_spark.ops.mixture import mixture_sample
+
+        docs = self._docs(spark)
+        t = {"en": 0.5, "es": 0.25, "fr": 0.25}
+        a = {r.doc_id for r in mixture_sample(docs.repartition(1), t).collect()}
+        b = {r.doc_id for r in mixture_sample(docs.repartition(17), t).collect()}
+        assert a == b and len(a) == 80
+        extra = spark.createDataFrame([(1000 + i, "zh") for i in range(50)], "doc_id long, lang string")
+        c = {r.doc_id for r in mixture_sample(docs.unionByName(extra), t).collect()}
+        assert c == a
+
+    def test_unsatisfiable_mixture_raises(self, spark):
+        import pytest as _pytest
+
+        from lmss_entity_extractor_spark.ops.mixture import mixture_sample
+
+        docs = self._docs(spark)
+        with _pytest.raises(ValueError, match="zero rows"):
+            mixture_sample(docs, {"en": 0.5, "zh": 0.5})
+        with _pytest.raises(ValueError, match="non-positive"):
+            mixture_sample(docs, {"en": 0.5, "es": -0.1})
+
+
 class TestSimilarity:
     def test_cosine_expr_matches_numpy(self, spark, embeddings):
         rows = embeddings.limit(10).collect()
