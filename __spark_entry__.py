@@ -2157,9 +2157,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stratified_sample": """
             -- key folded mod 2^31 before the multiply: product stays in
-            -- int64 for any key (mirrors the ANSI-safe Spark formulation)
+            -- int64 for any key (mirrors the ANSI-safe Spark formulation);
+            -- the +m wrap makes DuckDB's sign-preserving % match Spark's
+            -- pmod for negative keys too (folded >= 0 keeps the rest >= 0)
             SELECT vec_id, label FROM embeddings
-            WHERE (((vec_id % 2147483648) * 2654435761) % 4294967296) % 1000
+            WHERE ((((vec_id % 2147483648) + 2147483648) % 2147483648)
+                   * 2654435761) % 4294967296 % 1000
                   < 100 + label * 50
         """,
         "bm25": """
@@ -2540,10 +2543,13 @@ def oracle_sql() -> dict[str, str]:
         WHERE h.n_hits >= 1
     """
     oracles["mixture_sample"] = """
-        -- exact-proportion mixture: T = floor(min(n/frac)), quota =
-        -- floor(frac*T), keep each stratum's quota of smallest Knuth
-        -- hashes (dyadic fractions -> exact DOUBLE arithmetic; CAST
-        -- needed because bare 0.5 is DECIMAL in DuckDB)
+        -- exact-proportion mixture: feasible T = floor(min(n/frac)),
+        -- rounded DOWN to the lcm of the fraction denominators (4 for
+        -- 1/2,1/4,1/4) so every quota = frac*T is integral and the
+        -- output shares equal the targets EXACTLY; keep each stratum's
+        -- quota of smallest Knuth hashes.  Dyadic fractions -> exact
+        -- DOUBLE arithmetic (CAST needed: bare 0.5 is DECIMAL in
+        -- DuckDB); the +m wrap mirrors Spark's pmod for negative keys.
         WITH tgt(lang, frac) AS (
             VALUES ('en', CAST(0.5 AS DOUBLE)),
                    ('es', CAST(0.25 AS DOUBLE)),
@@ -2554,18 +2560,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN tgt USING (lang) GROUP BY 1
         ),
         feas AS (
-            SELECT CAST(floor(min(c.n / g.frac)) AS BIGINT) AS t_total
+            SELECT (CAST(floor(min(c.n / g.frac)) AS BIGINT) // 4) * 4 AS t_total
             FROM counts c JOIN tgt g USING (lang)
         ),
         quota AS (
-            SELECT g.lang, CAST(floor(g.frac * f.t_total) AS BIGINT) AS k
+            SELECT g.lang, CAST(g.frac * f.t_total AS BIGINT) AS k
             FROM tgt g, feas f
         ),
         ranked AS (
             SELECT d.doc_id, d.lang,
                    row_number() OVER (
                        PARTITION BY d.lang
-                       ORDER BY ((d.doc_id % 2147483648) * 2654435761) % 4294967296 ASC,
+                       ORDER BY ((((d.doc_id % 2147483648) + 2147483648) % 2147483648)
+                                 * 2654435761) % 4294967296 ASC,
                                 d.doc_id ASC
                    ) AS rn
             FROM documents d JOIN quota USING (lang)

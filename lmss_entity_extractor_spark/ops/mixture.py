@@ -22,37 +22,48 @@ approximate form: ``quota_s / n_s``).
 
 from __future__ import annotations
 
-import math
+from fractions import Fraction
+from math import lcm
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def knuth_hash(key_col: str) -> Column:
-    """Knuth multiplicative hash over a numeric key, folded mod 2^31
-    first so the multiply stays in int64 under ANSI mode — identical
-    formula to stratified_sample's and exactly reproducible in ANSI
-    SQL."""
-    folded = F.pmod(F.col(key_col).cast("long"), F.lit(2147483648))
-    return F.pmod(folded * F.lit(2654435761), F.lit(4294967296))
+from .textprep import knuth_hash
 
 
 def mixture_quotas(counts: dict, targets: dict) -> dict:
-    """Per-stratum quotas hitting ``targets`` proportions at the largest
-    feasible total: T = floor(min_s(n_s / frac_s)), quota_s =
-    floor(frac_s * T).  Raises if a targeted stratum has no rows (the
-    mixture is unsatisfiable, not approximately satisfiable)."""
+    """Per-stratum quotas hitting ``targets`` proportions EXACTLY at the
+    largest feasible total.
+
+    Exact rational arithmetic throughout: weights are read as decimal
+    rationals (``Fraction(str(v))`` — 0.25 means 1/4, 0.29 means
+    29/100), normalized to fractions of the output, and the total is
+    the largest T <= min_s(floor(n_s / frac_s)) divisible by the lcm of
+    the fraction denominators — so every quota_s = frac_s * T is an
+    integer and the output shares equal the targets exactly, not
+    floor-approximately.  Raises if a targeted stratum has no rows, or
+    if no positive exact total exists (pathological denominators — use
+    ops/textprep.stratified_sample when approximate shares suffice)."""
     if not targets:
         raise ValueError("empty target mixture")
-    if any(v <= 0 for v in targets.values()):
+    weights = {s: Fraction(str(v)) for s, v in targets.items()}
+    if any(v <= 0 for v in weights.values()):
         raise ValueError(f"non-positive target fraction in {targets}")
-    total = sum(targets.values())
+    total = sum(weights.values())
     missing = sorted(s for s in targets if not counts.get(s))
     if missing:
         raise ValueError(f"targeted strata with zero rows: {missing}")
-    fracs = {s: v / total for s, v in targets.items()}
-    feasible_total = math.floor(min(counts[s] / fracs[s] for s in targets))
-    return {s: math.floor(fracs[s] * feasible_total) for s in targets}
+    fracs = {s: v / total for s, v in weights.items()}
+    feasible = min(int(Fraction(counts[s]) / fracs[s]) for s in targets)
+    step = lcm(*(f.denominator for f in fracs.values()))
+    exact_total = (feasible // step) * step
+    if exact_total <= 0:
+        raise ValueError(
+            f"no positive total hits {targets} exactly (needs a multiple "
+            f"of {step} <= {feasible}); use stratified_sample for "
+            "approximate shares"
+        )
+    return {s: int(fracs[s] * exact_total) for s in targets}
 
 
 def mixture_sample(

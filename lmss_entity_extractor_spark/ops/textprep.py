@@ -165,8 +165,18 @@ def stratified_sample(
     runs ANSI mode, where a silent-overflow formulation would error at
     scale instead of hashing.
     """
-    folded = F.pmod(F.col(key_col).cast("long"), F.lit(2147483648))
-    h = F.pmod(folded * F.lit(2654435761), F.lit(4294967296))
     return df.withColumn("_rate", rate_per_mille).filter(
-        F.pmod(h, F.lit(modulus)) < F.col("_rate")
+        F.pmod(knuth_hash(key_col), F.lit(modulus)) < F.col("_rate")
     ).drop("_rate")
+
+
+def knuth_hash(key_col: str):
+    """Knuth multiplicative hash over a numeric key column — THE shared
+    cross-engine sampling hash (stratified_sample, mixture_sample, and
+    their DuckDB oracles all derive from this one definition): fold the
+    key mod 2^31 (pmod — non-negative for ANY long, incl. negatives),
+    multiply by 2654435761, take mod 2^32.  Pure integer arithmetic,
+    reproducible in ANSI SQL; the fold keeps the product inside int64
+    under ANSI mode."""
+    folded = F.pmod(F.col(key_col).cast("long"), F.lit(2147483648))
+    return F.pmod(folded * F.lit(2654435761), F.lit(4294967296))

@@ -154,6 +154,7 @@ class TestDecontam:
         assert "BroadcastHashJoin" in plan, plan
 
 
+@pytest.mark.spark
 class TestMixture:
     def _docs(self, spark):
         rows = [(i, "en" if i < 60 else ("es" if i < 80 else "fr")) for i in range(100)]
@@ -203,6 +204,7 @@ class TestMixture:
             mixture_sample(docs, {"en": 0.5, "es": -0.1})
 
 
+@pytest.mark.spark
 class TestSimilarity:
     def test_cosine_expr_matches_numpy(self, spark, embeddings):
         rows = embeddings.limit(10).collect()
