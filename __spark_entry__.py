@@ -472,6 +472,20 @@ def q_decontaminate(spark, sf_dir):
     return contaminated_docs(docs, bench, n=5, min_hits=1)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style intra-document repetition metrics (L37, Rae et al.
+    2021 table A1 shape): duplicate-token/-bigram/-line fractions, top
+    2-gram character coverage — all computed as per-row higher-order
+    folds over sorted token arrays, so the operator is ONE narrow
+    shuffle-free projection riding the scan.  Every fraction is a single
+    IEEE division of exact integer counts (no summation-order caveat).
+    Oracle: an independent relational derivation (unnest + group +
+    argmax window) of the same semantics in DuckDB."""
+    from lmss_entity_extractor_spark.ops.repetition import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), top_n=2, dup_n=3)
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within label buckets."""
     from lmss_entity_extractor_spark.ops.dedup import embedding_neardup_pairs
@@ -1380,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_as_of": q_edges_as_of,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
+        "repetition_stats": q_repetition_stats,
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
         # red in round 2 (oracle dtype, fixed r3) — re-check first
@@ -2541,6 +2556,72 @@ def oracle_sql() -> dict[str, str]:
         SELECT h.doc_id, h.n_hits, z.n_doc_shingles
         FROM hits h JOIN sizes z USING (doc_id)
         WHERE h.n_hits >= 1
+    """
+    oracles["repetition_stats"] = """
+        -- independent relational derivation of the per-row fold
+        -- semantics: full-window n-grams (repeats kept), top 2-gram =
+        -- argmax by (count DESC, gram ASC), duplicated-line chars count
+        -- every occurrence of a line seen > 1x; every fraction is one
+        -- division of exact integers, so doubles match bit-for-bit
+        WITH base AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> t <> '') AS toks,
+                   list_filter(string_split(text, chr(10)),
+                               l -> trim(l) <> '') AS lines
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, text, toks, lines,
+                   CASE WHEN len(toks) >= 2 THEN
+                       [toks[i+1] || ' ' || toks[i+2] FOR i IN range(len(toks)-1)]
+                   ELSE [] END AS g2,
+                   CASE WHEN len(toks) >= 3 THEN
+                       [toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                        FOR i IN range(len(toks)-2)]
+                   ELSE [] END AS g3
+            FROM base
+        ),
+        topg AS (
+            SELECT doc_id, gram, cnt FROM (
+                SELECT doc_id, gram, count(*) AS cnt,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY count(*) DESC, gram ASC) AS rn
+                FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY 1, 2
+            ) WHERE rn = 1
+        ),
+        linestats AS (
+            SELECT doc_id,
+                   coalesce(sum(CASE WHEN cnt > 1 THEN cnt * length(line) END), 0) AS dupchars,
+                   coalesce(sum(cnt * length(line)), 0) AS totchars
+            FROM (
+                SELECT doc_id, line, count(*) AS cnt
+                FROM (SELECT doc_id, unnest(lines) AS line FROM g) GROUP BY 1, 2
+            ) GROUP BY 1
+        )
+        SELECT g.doc_id AS doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct_tokens,
+               CASE WHEN len(toks) > 0 THEN
+                   CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               ELSE 0.0 END AS dup_token_frac,
+               topg.gram AS top_gram,
+               coalesce(topg.cnt, 0) AS top_gram_count,
+               CASE WHEN length(g.text) > 0 AND topg.cnt IS NOT NULL THEN
+                   CAST(topg.cnt * length(topg.gram) AS DOUBLE) / length(g.text)
+               ELSE 0.0 END AS top_gram_char_frac,
+               CASE WHEN len(g3) > 0 THEN
+                   CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+               ELSE 0.0 END AS dup_gram_frac,
+               CASE WHEN len(lines) > 0 THEN
+                   CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+               ELSE 0.0 END AS dup_line_frac,
+               CASE WHEN ls.totchars > 0 THEN
+                   CAST(ls.dupchars AS DOUBLE) / ls.totchars
+               ELSE 0.0 END AS dup_line_char_frac
+        FROM g
+        LEFT JOIN topg ON g.doc_id = topg.doc_id
+        LEFT JOIN linestats ls ON g.doc_id = ls.doc_id
     """
     oracles["mixture_sample"] = """
         -- exact-proportion mixture: feasible T = floor(min(n/frac)),

@@ -1331,3 +1331,73 @@ class TestPQ:
             r.vec_id: list(r.codes)
             for r in encode_pq(e, big_books, encoder="numpy").collect()
         }
+
+
+class TestRepetition:
+    def _docs(self, spark):
+        rows = [
+            # 19 chars; toks = a b a b c d a b; lines (blank/ws dropped):
+            # [a b, a b, c d, a b]
+            (1, "a b\na b\nc d\n\n  \na b"),
+            # two 2-grams tie at count 2 ("z y", "a b") -> lexicographically
+            # smallest must win
+            (2, "z y z y a b a b"),
+            # single token: no 2-grams at all
+            (3, "solo"),
+            # whitespace-only text: zero tokens, zero lines
+            (4, "   "),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hand_computed_metrics(self, spark):
+        from lmss_entity_extractor_spark.ops.repetition import repetition_stats
+
+        out = {r.doc_id: r for r in repetition_stats(self._docs(spark)).collect()}
+        r1 = out[1]
+        assert (r1.n_tokens, r1.n_distinct_tokens) == (8, 4)
+        assert r1.dup_token_frac == 0.5
+        # 2-grams: a b, b a, a b, b c, c d, d a, a b -> "a b" x3; len("a b")=3
+        assert (r1.top_gram, r1.top_gram_count) == ("a b", 3)
+        assert r1.top_gram_char_frac == 3 * 3 / 19
+        # all six 3-grams distinct
+        assert r1.dup_gram_frac == 0.0
+        # 4 non-blank lines, 2 distinct; "a b" x3 = 9 of 12 line chars
+        assert r1.dup_line_frac == 0.5
+        assert r1.dup_line_char_frac == 0.75
+
+    def test_top_gram_tiebreak_is_lexicographic(self, spark):
+        from lmss_entity_extractor_spark.ops.repetition import repetition_stats
+
+        out = {r.doc_id: r for r in repetition_stats(self._docs(spark)).collect()}
+        assert (out[2].top_gram, out[2].top_gram_count) == ("a b", 2)
+
+    def test_degenerate_docs(self, spark):
+        from lmss_entity_extractor_spark.ops.repetition import repetition_stats
+
+        out = {r.doc_id: r for r in repetition_stats(self._docs(spark)).collect()}
+        assert out[3].top_gram is None and out[3].top_gram_count == 0
+        assert out[3].top_gram_char_frac == 0.0 and out[3].dup_gram_frac == 0.0
+        assert out[4].n_tokens == 0 and out[4].dup_token_frac == 0.0
+        assert out[4].dup_line_frac == 0.0 and out[4].dup_line_char_frac == 0.0
+
+    def test_filter_drops_repetitive_keeps_clean(self, spark):
+        from lmss_entity_extractor_spark.ops.repetition import repetition_filter
+
+        rows = [
+            (1, "spam spam spam spam spam spam", "en"),          # top-2-gram coverage ~1
+            # clean: all grams count 1, top-2-gram coverage 10/62 ~ 0.16
+            (2, "one two three four five six seven eight nine ten eleven twelve", "en"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        kept = repetition_filter(docs).collect()
+        assert [r.doc_id for r in kept] == [2]
+        # pass-through of original columns (it is a same-row filter)
+        assert set(kept[0].asDict()) == {"doc_id", "text", "lang"}
+
+    def test_stats_plan_has_no_shuffle(self, spark):
+        """The whole operator must ride the scan: per-row folds only —
+        zero Exchange nodes in the physical plan (the 100 TB claim)."""
+        from lmss_entity_extractor_spark.ops.repetition import repetition_stats
+
+        plan = repetition_stats(self._docs(spark))._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
