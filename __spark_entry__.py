@@ -486,6 +486,40 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"), top_n=2, dup_n=3)
 
 
+def q_corpus_line_dedup(spark, sf_dir):
+    """C4/RefinedWeb corpus-level line dedup (L38): drop every line
+    occurring >= 3 times corpus-wide.  The sf documents are single-line,
+    so the query derives a multi-line corpus DETERMINISTICALLY (split at
+    the token " value ", plus three injected boilerplate lines keyed on
+    doc_id residues) — the oracle constructs the identical input in SQL.
+    Counting is a map-side-combinable groupBy(line); removal is a left
+    anti-style join against the (tiny) frequent-line blocklist;
+    reassembly is a per-doc sort-agg — nothing all-pairs, two keyed
+    shuffles total.  Oracle: same rule via unnest + HAVING + ANTI JOIN +
+    ordered string_agg in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from lmss_entity_extractor_spark.ops.linededup import corpus_line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    derived = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("subscribe to our newsletter\n")
+            ).otherwise(F.lit("")),
+            F.replace(F.col("text"), F.lit(" value "), F.lit("\n")),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\nall rights reserved")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("\nclick here to read more")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return corpus_line_dedup(derived, min_count=3)
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within label buckets."""
     from lmss_entity_extractor_spark.ops.dedup import embedding_neardup_pairs
@@ -1395,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
+        "corpus_line_dedup": q_corpus_line_dedup,
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
         # red in round 2 (oracle dtype, fixed r3) — re-check first
@@ -2556,6 +2591,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT h.doc_id, h.n_hits, z.n_doc_shingles
         FROM hits h JOIN sizes z USING (doc_id)
         WHERE h.n_hits >= 1
+    """
+    oracles["corpus_line_dedup"] = """
+        -- identical deterministic input derivation (boilerplate
+        -- injection by doc_id residue + split at ' value '), then the
+        -- same rule relationally: lines occurring >= 3x corpus-wide are
+        -- dropped, docs reassembled by ordered string_agg; docs with no
+        -- surviving lines resurface via the left joins
+        WITH input AS (
+            SELECT doc_id,
+                   concat(
+                     CASE WHEN doc_id % 5 = 0
+                          THEN 'subscribe to our newsletter' || chr(10) ELSE '' END,
+                     replace(text, ' value ', chr(10)),
+                     CASE WHEN doc_id % 3 = 0
+                          THEN chr(10) || 'all rights reserved' ELSE '' END,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN chr(10) || 'click here to read more' ELSE '' END
+                   ) AS text
+            FROM documents
+        ),
+        l AS (
+            SELECT doc_id, (u).pos AS pos, (u).line AS line FROM (
+                SELECT doc_id,
+                       unnest([{'pos': i, 'line': larr[i+1]}
+                               FOR i IN range(len(larr))]) AS u
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, chr(10)),
+                                         x -> trim(x) <> '') AS larr
+                      FROM input)
+            )
+        ),
+        blk AS (SELECT line FROM l GROUP BY line HAVING count(*) >= 3),
+        kept AS (SELECT l.* FROM l ANTI JOIN blk USING (line)),
+        agg AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, count(*) AS n_total FROM l GROUP BY doc_id)
+        SELECT i.doc_id AS doc_id,
+               coalesce(a.text, '') AS text,
+               coalesce(a.n_kept, 0) AS n_lines_kept,
+               coalesce(t.n_total, 0) - coalesce(a.n_kept, 0) AS n_lines_removed
+        FROM input i
+        LEFT JOIN agg a USING (doc_id)
+        LEFT JOIN tot t USING (doc_id)
     """
     oracles["repetition_stats"] = """
         -- independent relational derivation of the per-row fold

@@ -1401,3 +1401,79 @@ class TestRepetition:
 
         plan = repetition_stats(self._docs(spark))._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+class TestLineDedup:
+    def _docs(self, spark):
+        rows = [
+            (1, "alpha beta\nboiler plate\ngamma"),
+            (2, "boiler plate\ndelta"),
+            (3, "epsilon\nboiler plate"),
+            (4, "zeta eta\n\n   \ntheta"),      # blanks never count
+            (5, "boiler plate"),                  # every line frequent -> ''
+            (6, "   \n  "),                       # no non-blank lines at all
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_drop_all_removes_every_occurrence(self, spark):
+        from lmss_entity_extractor_spark.ops.linededup import corpus_line_dedup
+
+        out = {r.doc_id: r for r in corpus_line_dedup(self._docs(spark), min_count=3).collect()}
+        assert len(out) == 6  # one row per input doc, always
+        assert out[1].text == "alpha beta\ngamma"
+        assert (out[1].n_lines_kept, out[1].n_lines_removed) == (2, 1)
+        assert out[2].text == "delta"
+        assert out[3].text == "epsilon"
+        assert out[4].text == "zeta eta\ntheta"  # blank lines dropped, order kept
+        assert (out[4].n_lines_kept, out[4].n_lines_removed) == (2, 0)
+        assert out[5].text == "" and out[5].n_lines_removed == 1
+        assert out[6].text == "" and (out[6].n_lines_kept, out[6].n_lines_removed) == (0, 0)
+
+    def test_keep_first_keeps_global_first_occurrence(self, spark):
+        from lmss_entity_extractor_spark.ops.linededup import corpus_line_dedup
+
+        out = {
+            r.doc_id: r
+            for r in corpus_line_dedup(self._docs(spark), min_count=3, keep_first=True).collect()
+        }
+        # first occurrence = smallest (doc_id, pos) -> doc 1 keeps it
+        assert out[1].text == "alpha beta\nboiler plate\ngamma"
+        assert out[2].text == "delta" and out[2].n_lines_removed == 1
+        assert out[5].text == "" and out[5].n_lines_removed == 1
+
+    def test_below_threshold_lines_untouched(self, spark):
+        from lmss_entity_extractor_spark.ops.linededup import corpus_line_dedup
+
+        rows = [(1, "dup\nx"), (2, "dup\ny")]  # count 2 < min_count 3
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in corpus_line_dedup(docs, min_count=3).collect()}
+        assert out[1].text == "dup\nx" and out[1].n_lines_removed == 0
+        assert out[2].text == "dup\ny"
+
+    def test_min_count_validation(self, spark):
+        import pytest as _pytest
+
+        from lmss_entity_extractor_spark.ops.linededup import corpus_line_dedup
+
+        with _pytest.raises(ValueError):
+            corpus_line_dedup(self._docs(spark), min_count=1)
+
+    def test_drop_all_plan_is_agg_join_not_window(self, spark):
+        """Boilerplate mode must use the combinable groupBy+join shape —
+        a Window over the full corpus would forfeit map-side combine."""
+        from lmss_entity_extractor_spark.ops.linededup import corpus_line_dedup
+
+        plan = (
+            corpus_line_dedup(self._docs(spark), min_count=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan, plan
+
+    def test_frequent_lines_audit(self, spark):
+        from lmss_entity_extractor_spark.ops.linededup import frequent_lines
+
+        rows = [(1, "b\nb\nu"), (2, "b\nv")]  # 'b': 3 occurrences in 2 docs
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = frequent_lines(docs, min_count=3).collect()
+        assert len(out) == 1
+        assert (out[0].line, out[0].n_occurrences, out[0].n_docs) == ("b", 3, 2)
