@@ -486,6 +486,20 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"), top_n=2, dup_n=3)
 
 
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style unigram-LM quality scoring (L39, Wenzek et al. 2020
+    §3.3): add-0.5-smoothed unigram LM trained on the corpus itself
+    (top-V deterministic vocab), per-doc cross-entropy + perplexity.
+    Training = one combinable groupBy + TakeOrdered; scoring = combinable
+    (doc,token) multiplicities + broadcast LM join + per-doc agg.  The
+    log-prob sum is a left-assoc fold over token-sorted lists on BOTH
+    engines (array_sort+aggregate here, list_sort+list_reduce in DuckDB),
+    so addend order — the usual float-sum caveat — is pinned."""
+    from lmss_entity_extractor_spark.ops.lmscore import lm_quality_score
+
+    return lm_quality_score(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_line_dedup(spark, sf_dir):
     """C4/RefinedWeb corpus-level line dedup (L38): drop every line
     occurring >= 3 times corpus-wide.  The sf documents are single-line,
@@ -1430,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
         "corpus_line_dedup": q_corpus_line_dedup,
+        "lm_quality": q_lm_quality,
         "knn_pq": q_knn_pq,
         "knn_ivfpq": q_knn_ivfpq,
         # red in round 2 (oracle dtype, fixed r3) — re-check first
@@ -2591,6 +2606,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT h.doc_id, h.n_hits, z.n_doc_shingles
         FROM hits h JOIN sizes z USING (doc_id)
         WHERE h.n_hits >= 1
+    """
+    oracles["lm_quality"] = """
+        -- same model re-derived relationally: top-V vocab by (count
+        -- DESC, token ASC), alpha=0.5 smoothing over V+1 classes, and
+        -- the per-doc log-prob sum as a left-assoc list_reduce over the
+        -- token-sorted list — the identical addend order as the Spark
+        -- array_sort+aggregate fold, so doubles match to libm ulps
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> t <> '')) AS token
+            FROM documents
+        ),
+        cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        vocab AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 65536),
+        stats AS (SELECT CAST(sum(c) AS DOUBLE) AS N,
+                         CAST(count(*) AS DOUBLE) AS V FROM vocab),
+        mult AS (SELECT doc_id, token, count(*) AS m FROM toks GROUP BY doc_id, token),
+        scored AS (
+            SELECT doc_id, token, m,
+                   CASE WHEN v.c IS NOT NULL THEN ln(v.c + 0.5) ELSE ln(0.5) END
+                     - ln(s.N + 0.5 * (s.V + 1.0)) AS logp,
+                   v.c IS NULL AS oov
+            FROM mult LEFT JOIN vocab v USING (token), stats s
+        ),
+        per_doc AS (
+            SELECT doc_id, sum(m) AS n_tokens,
+                   sum(CASE WHEN oov THEN m ELSE 0 END) AS n_oov,
+                   list_reduce(
+                       list_prepend(0.0,
+                           [x.m * x.logp FOR x IN
+                            list_sort(list(struct_pack(
+                                token := token,
+                                m := CAST(m AS DOUBLE),
+                                logp := logp)))]),
+                       (acc, v2) -> acc + v2) AS lp
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id AS doc_id,
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+               coalesce(-p.lp / p.n_tokens, 0.0) AS cross_entropy,
+               coalesce(exp(-p.lp / p.n_tokens), 1.0) AS perplexity
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """
     oracles["corpus_line_dedup"] = """
         -- identical deterministic input derivation (boilerplate

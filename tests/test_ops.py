@@ -1477,3 +1477,80 @@ class TestLineDedup:
         out = frequent_lines(docs, min_count=3).collect()
         assert len(out) == 1
         assert (out[0].line, out[0].n_occurrences, out[0].n_docs) == ("b", 3, 2)
+
+
+class TestLMQuality:
+    def _expected(self, per_doc_counts, vocab, alpha=0.5):
+        """Hand/numpy twin: per_doc_counts = {doc: {tok: m}}, vocab = {tok: c}."""
+        import math
+
+        N, V = sum(vocab.values()), len(vocab)
+        denom = math.log(N + alpha * (V + 1))
+        out = {}
+        for doc, toks in per_doc_counts.items():
+            lp = 0.0
+            for tok in sorted(toks):  # same fold order as the operator
+                m = toks[tok]
+                logp = (math.log(vocab[tok] + alpha) if tok in vocab else math.log(alpha)) - denom
+                lp += float(m) * logp
+            n = sum(toks.values())
+            h = -lp / n if n else 0.0
+            out[doc] = (n, sum(m for t, m in toks.items() if t not in vocab), h, math.exp(h) if n else 1.0)
+        return out
+
+    def test_self_scoring_matches_numpy_twin(self, spark):
+        from lmss_entity_extractor_spark.ops.lmscore import lm_quality_score
+
+        docs = spark.createDataFrame(
+            [(1, "a a b"), (2, "b c"), (3, "   ")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in lm_quality_score(docs).collect()}
+        want = self._expected(
+            {1: {"a": 2, "b": 1}, 2: {"b": 1, "c": 1}, 3: {}},
+            {"a": 2, "b": 2, "c": 1},
+        )
+        import math
+
+        for d, (n, oov, h, ppl) in want.items():
+            r = got[d]
+            assert (r.n_tokens, r.n_oov) == (n, oov)
+            # fold order is pinned so cross_entropy matches bit-for-bit;
+            # perplexity goes through exp(), where JVM and libm may
+            # differ in the last ulp
+            assert r.cross_entropy == h
+            assert math.isclose(r.perplexity, ppl, rel_tol=1e-12)
+        assert got[3].perplexity == 1.0  # empty doc resurfaces with the identity score
+
+    def test_oov_against_external_lm(self, spark):
+        from lmss_entity_extractor_spark.ops.lmscore import lm_quality_score, train_unigram_lm
+
+        ref = spark.createDataFrame([(10, "x x y")], "doc_id long, text string")
+        lm = train_unigram_lm(ref)
+        docs = spark.createDataFrame([(1, "x z z")], "doc_id long, text string")
+        r = lm_quality_score(docs, lm=lm).collect()[0]
+        assert (r.n_tokens, r.n_oov) == (3, 2)
+        want = self._expected({1: {"x": 1, "z": 2}}, {"x": 2, "y": 1})
+        assert r.cross_entropy == want[1][2]
+
+    def test_vocab_cap_is_deterministic_and_oovs_the_tail(self, spark):
+        from lmss_entity_extractor_spark.ops.lmscore import lm_quality_score, train_unigram_lm
+
+        docs = spark.createDataFrame([(1, "a a b b c")], "doc_id long, text string")
+        lm = train_unigram_lm(docs, vocab_size=2)
+        assert sorted((r.token, r.c) for r in lm.collect()) == [("a", 2), ("b", 2)]
+        r = lm_quality_score(docs, lm=lm).collect()[0]
+        assert r.n_oov == 1  # 'c' fell outside the cap
+        want = self._expected({1: {"a": 2, "b": 2, "c": 1}}, {"a": 2, "b": 2})
+        assert r.cross_entropy == want[1][2]
+
+    def test_filter_passthrough_and_threshold(self, spark):
+        from lmss_entity_extractor_spark.ops.lmscore import lm_quality_filter, train_unigram_lm
+
+        ref = spark.createDataFrame([(10, "a a a b")], "doc_id long, text string")
+        lm = train_unigram_lm(ref)
+        docs = spark.createDataFrame(
+            [(1, "a a b", "en"), (2, "zz qq ww", "en")], "doc_id long, text string, lang string"
+        )
+        kept = lm_quality_filter(docs, max_perplexity=6.0, lm=lm).collect()
+        assert [r.doc_id for r in kept] == [1]  # all-OOV doc 2 is high-ppl
+        assert set(kept[0].asDict()) == {"doc_id", "text", "lang"}
