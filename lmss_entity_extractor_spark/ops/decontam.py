@@ -27,19 +27,25 @@ from pyspark.sql import functions as F
 from .dedup import _tokens
 
 
+def _full_window_grams(toks: Column, n: int, distinct: bool = False) -> Column:
+    """Full-window word n-grams of a token array (array<string>); empty
+    array for fewer than ``n`` tokens.  ``distinct=True`` dedups the
+    grams (the decontamination shape); ``distinct=False`` keeps repeats
+    (the repetition-counting shape).  The single source of the
+    full-window rule shared by decontam and repetition."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
 def _full_ngrams(text_col: str, n: int) -> Column:
     """Distinct full-window word n-grams (array<string>); empty array
     for texts with fewer than ``n`` tokens."""
-    toks = _tokens(text_col)
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return _full_window_grams(_tokens(text_col), n, distinct=True)
 
 
 def contaminated_docs(

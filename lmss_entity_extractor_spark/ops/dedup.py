@@ -35,6 +35,14 @@ def _tokens(text_col: str):
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 
+def _clean_tokens(text_col: str):
+    """Lowercased whitespace tokens with empties dropped (array<string>);
+    '' and all-whitespace texts produce an empty array.  The single
+    source of truth for the word tokenizer shared by the curation ops
+    (repetition, LM scoring, BM25-style splitting)."""
+    return F.filter(_tokens(text_col), lambda t: t != F.lit(""))
+
+
 def _shingles(text_col: str, n: int):
     """Distinct word n-gram shingles of a text column (array<string>)."""
     toks = _tokens(text_col)

@@ -130,13 +130,14 @@ def frequent_lines(
     docs: DataFrame,
     min_count: int = 3,
     text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """The boilerplate audit view: (line, n_occurrences, n_docs) for every
     line occurring >= ``min_count`` times corpus-wide — one combinable
     aggregation, no join.  ``n_docs`` < ``n_occurrences`` distinguishes
     within-document repetition from cross-document boilerplate."""
     exploded = docs.select(
-        F.col("doc_id"), F.explode(_lines(text_col)).alias("line")
+        F.col(id_col).alias("doc_id"), F.explode(_lines(text_col)).alias("line")
     )
     return (
         exploded.groupBy("line")

@@ -20,11 +20,13 @@ Per document: cross_entropy = -(sum_t m_t * logp(t)) / n_tokens (nats),
 perplexity = exp(cross_entropy); empty documents score (0.0, 1.0).
 
 Scale shape. Training is one map-side-combinable ``groupBy(token)`` plus
-a TakeOrdered top-V — no all-pairs, no collect (the LM stays a
-DataFrame and is broadcast-joined).  Scoring shuffles (doc_id, token)
-multiplicities once (combinable), broadcast-joins the LM, then
-aggregates per document.  The corpus-wide scalars (N, V) ride along via
-a crossJoin with a broadcast 1-row aggregate.
+a TakeOrdered top-V — no all-pairs; the resulting LM is BOUNDED
+(<= vocab_size rows) and is collected exactly once, so the corpus-wide
+scalars (N, V) fold into literals and the training scan runs a single
+time (keeping it lazy would re-run the full-corpus aggregation for the
+stats subtree and again for the join).  Scoring shuffles (doc_id,
+token) multiplicities once (combinable), broadcast-joins the LM, then
+aggregates per document.
 
 Determinism contract (for the DuckDB oracle): the per-document log-prob
 sum is NOT a floating ``SUM()`` (whose addend order is partition-
@@ -41,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lmss_entity_extractor_spark.ops.repetition import _clean_tokens
+from lmss_entity_extractor_spark.ops.dedup import _clean_tokens
 
 
 def train_unigram_lm(
@@ -74,31 +76,35 @@ def lm_quality_score(
     itself (self-scoring — the standard "rank the corpus" mode); pass a
     :func:`train_unigram_lm` table from a clean reference corpus for
     CCNet-style filtering."""
+    # Materialize the LM ONCE: it is bounded (train_unigram_lm caps it
+    # at vocab_size rows; an externally passed lm must be similarly
+    # bounded — it is a vocabulary, not a corpus).  Re-using the lazy
+    # plan instead would re-run the full-corpus training aggregation
+    # for the N/V stats AND again for the scoring join — a doubled
+    # 100 TB scan in self-scoring mode.
     if lm is None:
         lm = train_unigram_lm(docs, vocab_size=vocab_size, text_col=text_col)
-    stats = lm.agg(
-        F.sum("c").cast("double").alias("_N"), F.count(F.lit(1)).cast("double").alias("_V")
-    )
+    vocab = [(r["token"], int(r["c"])) for r in lm.select("token", "c").collect()]
+    n_total = float(sum(c for _, c in vocab))
+    denom = F.log(F.lit(n_total) + F.lit(alpha) * (F.lit(float(len(vocab))) + F.lit(1.0)))
+    spark = docs.sparkSession
+    lm_local = spark.createDataFrame(vocab, "token string, c bigint")
     ids = docs.select(F.col(id_col).alias("doc_id"))
     mult = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(_clean_tokens(text_col)).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("m"))
     )
-    scored = (
-        mult.join(F.broadcast(lm), "token", "left")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            "token",
-            "m",
-            (
-                F.when(F.col("c").isNotNull(), F.log(F.col("c") + F.lit(alpha)))
-                .otherwise(F.log(F.lit(alpha)))
-                - F.log(F.col("_N") + F.lit(alpha) * (F.col("_V") + F.lit(1.0)))
-            ).alias("logp"),
-            F.col("c").isNull().alias("oov"),
-        )
+    scored = mult.join(F.broadcast(lm_local), "token", "left").select(
+        "doc_id",
+        "token",
+        "m",
+        (
+            F.when(F.col("c").isNotNull(), F.log(F.col("c") + F.lit(alpha)))
+            .otherwise(F.log(F.lit(alpha)))
+            - denom
+        ).alias("logp"),
+        F.col("c").isNull().alias("oov"),
     )
     per_doc = scored.groupBy("doc_id").agg(
         F.sum("m").alias("n_tokens"),

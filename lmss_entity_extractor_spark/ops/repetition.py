@@ -34,29 +34,19 @@ Semantics notes:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
-def _clean_tokens(text_col: str) -> Column:
-    """Lowercased whitespace tokens with empties dropped (array<string>);
-    '' and all-whitespace texts produce an empty array."""
-    return F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda t: t != F.lit(""),
-    )
+from lmss_entity_extractor_spark.ops.decontam import _full_window_grams
+from lmss_entity_extractor_spark.ops.dedup import _clean_tokens
 
 
 def _full_grams(toks: Column, n: int) -> Column:
     """All full-window n-grams, repeats kept (array<string>) — counting
     repeats is the point here, unlike ops/dedup.py's distinct shingles."""
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return _full_window_grams(toks, n, distinct=False)
 
 
 def _top_run(arr: Column) -> Column:
@@ -153,7 +143,8 @@ def repetition_stats(
     """
     toks = _clean_tokens(text_col)
     lines = F.filter(
-        F.split(F.col(text_col), F.lit(line_sep), -1), lambda l: F.trim(l) != F.lit("")
+        F.split(F.col(text_col), re.escape(line_sep), -1),
+        lambda l: F.trim(l) != F.lit(""),
     )
     d = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -208,10 +199,13 @@ def repetition_filter(
     dup_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    line_sep: str = "\n",
 ) -> DataFrame:
     """The corpus minus docs breaching any Gopher-style repetition
     threshold (defaults follow Rae et al. table A1's shape, adapted to
-    the n-gram orders exposed here).
+    the n-gram orders exposed here).  ``line_sep`` is the same LITERAL
+    separator ``repetition_stats`` uses (regex-escaped before the
+    split), so filter decisions always match the reported metrics.
 
     The metrics are per-row expressions, so this is a plain same-row
     ``filter`` — no join, no shuffle, and (unlike a semi-join on a
@@ -219,7 +213,8 @@ def repetition_filter(
     100 TB side back at itself.  All original columns pass through."""
     toks = _clean_tokens(text_col)
     lines = F.filter(
-        F.split(F.col(text_col), F.lit("\n"), -1), lambda l: F.trim(l) != F.lit("")
+        F.split(F.col(text_col), re.escape(line_sep), -1),
+        lambda l: F.trim(l) != F.lit(""),
     )
     top = _top_run(_full_grams(toks, top_n))
     dupg = _full_grams(toks, dup_n)
