@@ -283,6 +283,30 @@ def q_knn_ivf(spark, sf_dir):
     return knn_ivf(e, e.filter(F.col("vec_id") < 5), k=3, n_centroids=10, nprobe=2)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic near-dup flagging (L40, Abbas et al. 2023):
+    coarse-cluster the embedding space, compare pairs only within a
+    cluster, and drop the MORE prototypical member of every pair with
+    cosine >= threshold (keep order = centroid_sim ASC, id ASC).
+
+    The coarse codebook is the frozen sf0.01 IVF centroid fixture
+    (tools/make_oracle_fixtures.py) — the same file the oracle reads, so
+    both engines derive identical cells/sims at ANY sf (the fixture is
+    an input, not a per-sf artifact; this query is NOT sf-pinned).
+    threshold=0.375 sits at ~the 99.7th percentile of the within-cell
+    pair-cosine distribution of the random test vectors (max 0.493), so
+    the contract exercises both keep=true and keep=false rows.  Every
+    float (cell dot, norm, pair cosine) is a left-associated fold on
+    both engines — see _semdedup_oracle_sql."""
+    from lmss_entity_extractor_spark.ops.semdedup import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = spark.read.parquet(
+        "/root/repo/fixtures/oracle/sf0.01/ivf_centroids.parquet"
+    )
+    return semdedup(e, centroids=cents, threshold=0.375)
+
+
 def q_knn_pq(spark, sf_dir):
     """Product-quantization ANN (L34): embeddings coded as m=8 x k=16
     per-subspace centroid ids (narrow JVM argmin expressions), queries
@@ -1424,7 +1448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-checked come first, then rows red/unsampled in round 2, then
     # the round-1-green remainder.
     return {
-        # oracles never yet driver-checked (added r2/r3)
+        # oracles never yet driver-checked (added r2/r3/r4)
+        "semdedup": q_semdedup,
         "simhash": q_simhash,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
@@ -1739,6 +1764,80 @@ def _pq_oracle_sql(ivf_probe: bool = False, rerank: int = 0, residual: bool = Fa
                                       ORDER BY {final_dist} ASC, neighbor_id ASC) AS rank
             FROM {final_src}
         ) WHERE rank <= {kq}
+    """
+
+
+def _semdedup_oracle_sql(threshold: str = "0.375", dim: int = 64) -> str:
+    """The semdedup oracle: cells, centroid sims, the within-cell pair
+    scan, and the keep rule re-derived in SQL from the same frozen IVF
+    centroid fixture the Spark query reads.
+
+    Float discipline (the same contract as _pq_oracle_sql): every sum is
+    EXPLICITLY left-associated term-for-term with the Spark
+    zip_with/aggregate folds (``ops/similarity.py dot_expr/norm_expr``),
+    both operands CAST from the stored float32, so cell dots, norms, and
+    pair cosines are bit-identical and the >= threshold / sim-order
+    comparisons flip on neither engine.  threshold must be a dyadic
+    rational spelled in decimal (0.375 = 3/8) so the DECIMAL->DOUBLE
+    conversion is exact on both engines."""
+
+    def dot(a: str, b: str) -> str:
+        acc = f"(CAST({a}[1] AS DOUBLE) * CAST({b}[1] AS DOUBLE))"
+        for i in range(1, dim):
+            acc = (
+                f"({acc} + (CAST({a}[{i} + 1] AS DOUBLE)"
+                f" * CAST({b}[{i} + 1] AS DOUBLE)))"
+            )
+        return acc
+
+    def dotc(vec: str) -> str:
+        # vector x centroid: the centroid fixture is already DOUBLE[]
+        acc = f"(CAST({vec}[1] AS DOUBLE) * ivf.cent[1])"
+        for i in range(1, dim):
+            acc = f"({acc} + (CAST({vec}[{i} + 1] AS DOUBLE) * ivf.cent[{i} + 1]))"
+        return acc
+
+    return f"""
+        WITH ivf AS (SELECT cid, cent
+                     FROM read_parquet('/root/repo/fixtures/oracle/sf0.01/ivf_centroids.parquet')),
+        base AS (
+            SELECT vec_id, embedding,
+                   sqrt({dot('embedding', 'embedding')}) AS nv
+            FROM embeddings
+        ),
+        idot AS (
+            SELECT b.vec_id, ivf.cid, {dotc('b.embedding')} AS d
+            FROM base b CROSS JOIN ivf
+        ),
+        assigned AS (
+            SELECT i.vec_id, i.cid AS cell,
+                   CASE WHEN b.nv > 0 THEN i.d / b.nv ELSE 0.0 END AS centroid_sim
+            FROM (
+                SELECT vec_id, cid, d,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d DESC, cid ASC) AS rn
+                FROM idot
+            ) i
+            JOIN base b ON b.vec_id = i.vec_id
+            WHERE i.rn = 1
+        ),
+        dropped AS (
+            SELECT DISTINCT b2.vec_id
+            FROM assigned a
+            JOIN assigned b2 ON a.cell = b2.cell AND a.vec_id <> b2.vec_id
+            JOIN base ba ON ba.vec_id = a.vec_id
+            JOIN base bb ON bb.vec_id = b2.vec_id
+            WHERE (CASE WHEN ba.nv = 0 OR bb.nv = 0 THEN 0.0
+                        ELSE {dot('ba.embedding', 'bb.embedding')}
+                             / (ba.nv * bb.nv) END)
+                  >= CAST({threshold} AS DOUBLE)
+              AND (a.centroid_sim < b2.centroid_sim
+                   OR (a.centroid_sim = b2.centroid_sim
+                       AND a.vec_id < b2.vec_id))
+        )
+        SELECT s.vec_id, s.cell, s.centroid_sim,
+               (d.vec_id IS NULL) AS keep
+        FROM assigned s LEFT JOIN dropped d ON d.vec_id = s.vec_id
     """
 
 
@@ -2803,4 +2902,5 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked r JOIN quota q USING (lang)
         WHERE r.rn <= q.k
     """
+    oracles["semdedup"] = _semdedup_oracle_sql()
     return oracles

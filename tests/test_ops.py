@@ -1558,3 +1558,67 @@ class TestLMQuality:
         kept = lm_quality_filter(docs, max_perplexity=6.0, lm=lm).collect()
         assert [r.doc_id for r in kept] == [1]  # all-OOV doc 2 is high-ppl
         assert set(kept[0].asDict()) == {"doc_id", "text", "lang"}
+
+
+class TestSemDeDup:
+    """SemDeDup (L40, ops/semdedup.py): within-cell near-dup flagging
+    with the keep-the-least-prototypical rule (centroid_sim ASC, id ASC
+    keep order; the later member of every >= threshold pair drops)."""
+
+    CENTS = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+
+    def _vecs(self, spark):
+        from lmss_entity_extractor_spark.ops.semdedup import semdedup  # noqa: F401
+
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),   # cell 0, sim 1.0
+            (2, [0.8, 0.6, 0.0, 0.0]),   # cell 0, sim 0.8; cos(1,2)=0.8
+            (3, [0.0, 1.0, 0.0, 0.0]),   # cell 1, alone
+            (4, [1.0, 0.0, 0.0, 0.0]),   # exact dup of 1
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_hand_computed_keep_flags(self, spark):
+        from lmss_entity_extractor_spark.ops.semdedup import semdedup
+
+        out = {
+            r.vec_id: r
+            for r in semdedup(self._vecs(spark), centroids=self.CENTS, threshold=0.75).collect()
+        }
+        assert {i: out[i].cell for i in (1, 2, 3, 4)} == {1: 0, 2: 0, 3: 1, 4: 0}
+        assert out[2].centroid_sim == pytest.approx(0.8)
+        # keep order in cell 0 is 2 (0.8) -> 1 (1.0, id) -> 4; both 1 and
+        # 4 pair with 2 at cos 0.8 >= 0.75, so only 2 survives cell 0
+        assert {i: out[i].keep for i in (1, 2, 3, 4)} == {1: False, 2: True, 3: True, 4: False}
+
+    def test_tie_drops_larger_id(self, spark):
+        from lmss_entity_extractor_spark.ops.semdedup import semdedup
+
+        out = {
+            r.vec_id: r.keep
+            for r in semdedup(self._vecs(spark), centroids=self.CENTS, threshold=0.9).collect()
+        }
+        # only the exact-dup pair (1,4) clears 0.9; equal sims tie-break
+        # on id, so 4 (the larger) drops
+        assert out == {1: True, 2: True, 3: True, 4: False}
+
+    def test_trained_path_drops_exactly_the_injected_dups(self, spark, embeddings):
+        from lmss_entity_extractor_spark.ops.semdedup import semdedup
+
+        base = embeddings.select("vec_id", "embedding").limit(60)
+        dups = base.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        out = semdedup(base.unionByName(dups), threshold=0.9999, n_centroids=4)
+        dropped = sorted(r.vec_id for r in out.filter(~F.col("keep")).collect())
+        # identical vectors share a cell and tie on centroid_sim, so the
+        # larger id of each injected pair drops -- and nothing else does
+        assert dropped == [100000 + i for i in range(10)]
+
+    def test_centroid_df_and_list_agree(self, spark):
+        from lmss_entity_extractor_spark.ops.semdedup import semdedup
+
+        cdf = spark.createDataFrame(self.CENTS, "cid long, cent array<double>")
+        a = sorted(map(tuple, semdedup(self._vecs(spark), centroids=self.CENTS).collect()))
+        b = sorted(map(tuple, semdedup(self._vecs(spark), centroids=cdf).collect()))
+        assert a == b
