@@ -524,6 +524,26 @@ def q_lm_quality(spark, sf_dir):
     return lm_quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (L41, Xie et al. 2023): the 100 most
+    French-like documents of the whole corpus, scored by hashed
+    uni+bigram bucket models (m=512, add-1 smoothing) — target model
+    trained on the lang='fr' slice, raw model on everything.
+
+    Oracle: the full pipeline re-derived relationally in DuckDB —
+    identical md5-prefix bucket hash, identical smoothing arithmetic,
+    and the per-doc log-weight folded over bucket-sorted structs with a
+    0.0-prepended left-assoc list_reduce (the L39 float discipline), so
+    log_weights match bit-for-bit and the top-100 cut (log_weight DESC,
+    doc_id ASC — exact-dup texts tie) falls identically."""
+    from lmss_entity_extractor_spark.ops.dsir import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_select(d, d.filter(F.col("lang") == "fr"), k=100, m=512).select(
+        "doc_id", "lang", "n_grams", "log_weight"
+    )
+
+
 def q_corpus_line_dedup(spark, sf_dir):
     """C4/RefinedWeb corpus-level line dedup (L38): drop every line
     occurring >= 3 times corpus-wide.  The sf documents are single-line,
@@ -1450,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # oracles never yet driver-checked (added r2/r3/r4)
         "semdedup": q_semdedup,
+        "dsir_select": q_dsir_select,
         "simhash": q_simhash,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
@@ -2903,4 +2924,57 @@ def oracle_sql() -> dict[str, str]:
         WHERE r.rn <= q.k
     """
     oracles["semdedup"] = _semdedup_oracle_sql()
+    oracles["dsir_select"] = """
+        -- DSIR re-derived: same md5-prefix bucket hash (collisions are
+        -- part of the model), same add-1 smoothing parenthesization,
+        -- and the per-doc fold over bucket-sorted structs with a
+        -- 0.0-prepended left-assoc list_reduce — the lm_quality float
+        -- discipline, so the top-100 cut falls identically
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> t <> '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, lang,
+                   unnest([t[i+1] FOR i IN range(len(t))]
+                          || [t[i+1] || ' ' || t[i+2]
+                              FOR i IN range(greatest(len(t) - 1, 0))]) AS g
+            FROM toks
+        ),
+        b AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || substring(md5(g), 1, 8) AS BIGINT) % 512 AS bucket
+            FROM grams
+        ),
+        p AS (SELECT bucket, count(*) AS p_cnt FROM b WHERE lang = 'fr' GROUP BY 1),
+        q AS (SELECT bucket, count(*) AS q_cnt FROM b GROUP BY 1),
+        ptot AS (SELECT CAST(sum(p_cnt) AS DOUBLE) AS p_tot FROM p),
+        qtot AS (SELECT CAST(sum(q_cnt) AS DOUBLE) AS q_tot FROM q),
+        db AS (SELECT doc_id, bucket, count(*) AS cb FROM b GROUP BY 1, 2),
+        scored AS (
+            SELECT db.doc_id, db.bucket, db.cb,
+                   (ln(coalesce(p.p_cnt, 0) + 1.0) - ln(ptot.p_tot + 512.0))
+                 - (ln(coalesce(q.q_cnt, 0) + 1.0) - ln(qtot.q_tot + 512.0)) AS lam
+            FROM db LEFT JOIN p USING (bucket) LEFT JOIN q USING (bucket), ptot, qtot
+        ),
+        per_doc AS (
+            SELECT doc_id, sum(cb) AS n_grams,
+                   list_reduce(
+                       list_prepend(0.0,
+                           [x.cb * x.lam FOR x IN
+                            list_sort(list(struct_pack(
+                                bucket := bucket,
+                                cb := CAST(cb AS DOUBLE),
+                                lam := lam)))]),
+                       (acc, v2) -> acc + v2) AS log_weight
+            FROM scored GROUP BY 1
+        )
+        SELECT d.doc_id, d.lang,
+               CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+               coalesce(pd.log_weight, 0.0) AS log_weight
+        FROM documents d LEFT JOIN per_doc pd USING (doc_id)
+        ORDER BY log_weight DESC, d.doc_id ASC LIMIT 100
+    """
     return oracles

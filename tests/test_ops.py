@@ -1622,3 +1622,137 @@ class TestSemDeDup:
         a = sorted(map(tuple, semdedup(self._vecs(spark), centroids=self.CENTS).collect()))
         b = sorted(map(tuple, semdedup(self._vecs(spark), centroids=cdf).collect()))
         assert a == b
+
+
+class TestDSIR:
+    """DSIR importance resampling (L41, ops/dsir.py): hashed uni+bigram
+    bucket models, per-doc log importance weights, deterministic top-k."""
+
+    @staticmethod
+    def _np_logweight(text, target_texts, raw_texts, m=64, alpha=1.0):
+        import hashlib
+        from collections import Counter
+
+        def buckets(t):
+            toks = [w for w in t.strip().lower().split() if w]
+            grams = list(toks)
+            grams += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            return [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % m for g in grams]
+
+        p = Counter(b for t in target_texts for b in buckets(t))
+        q = Counter(b for t in raw_texts for b in buckets(t))
+        pt, qt = float(sum(p.values())), float(sum(q.values()))
+        cb = Counter(buckets(text))
+        import math
+
+        acc = 0.0
+        for b in sorted(cb):
+            lam = (math.log(p.get(b, 0) + alpha) - math.log(pt + alpha * m)) - (
+                math.log(q.get(b, 0) + alpha) - math.log(qt + alpha * m)
+            )
+            acc += cb[b] * lam
+        return acc
+
+    def _corpora(self, spark):
+        raw = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat"),
+                (2, "le chat noir dort sur le tapis"),
+                (3, "the dog barked at the mailman"),
+                (4, "le chien noir dort sur le lit"),
+                (5, ""),
+            ],
+            "doc_id long, text string",
+        )
+        target = spark.createDataFrame(
+            [(100, "le chat et le chien dorment"), (101, "le tapis noir du chat")],
+            "doc_id long, text string",
+        )
+        return raw, target
+
+    def test_logweights_match_numpy_twin(self, spark):
+        from lmss_entity_extractor_spark.ops.dsir import (
+            dsir_logweights,
+            train_hashed_ngram_counts,
+        )
+
+        raw, target = self._corpora(spark)
+        out = {
+            r.doc_id: r
+            for r in dsir_logweights(
+                raw,
+                train_hashed_ngram_counts(target, m=64),
+                train_hashed_ngram_counts(raw, m=64),
+                m=64,
+            ).collect()
+        }
+        raw_texts = [r.text for r in raw.orderBy("doc_id").collect()]
+        tgt_texts = [r.text for r in target.orderBy("doc_id").collect()]
+        for r in raw.collect():
+            want = self._np_logweight(r.text, tgt_texts, raw_texts, m=64)
+            assert out[r.doc_id].log_weight == pytest.approx(want, rel=1e-12, abs=1e-12)
+        # empty doc: no grams, weight exactly 0
+        assert out[5].n_grams == 0 and out[5].log_weight == 0.0
+
+    def test_select_prefers_target_like_docs(self, spark):
+        from lmss_entity_extractor_spark.ops.dsir import dsir_logweights, dsir_select, train_hashed_ngram_counts
+
+        raw, target = self._corpora(spark)
+        w = {
+            r.doc_id: r.log_weight
+            for r in dsir_logweights(
+                raw,
+                train_hashed_ngram_counts(target, m=64),
+                train_hashed_ngram_counts(raw, m=64),
+                m=64,
+            ).collect()
+        }
+        # both French docs outrank both English docs (the paper's core
+        # claim at toy scale); the zero-gram doc sits at exactly 0.0 —
+        # between mildly-negative off-target docs and positive on-target
+        # ones, the documented short-doc artifact
+        assert min(w[2], w[4]) > max(w[1], w[3])
+        # select over the non-degenerate corpus: the two French docs are
+        # the top-2 (the empty doc's exact-0.0 weight would outrank the
+        # self-penalized toy-scale weights, so it is excluded here; the
+        # twin test above pins its 0.0)
+        nonempty = raw.filter(F.length("text") > 0)
+        top2 = dsir_select(nonempty, target, k=2, m=64).collect()
+        assert sorted(r.doc_id for r in top2) == [2, 4]
+        assert set(top2[0].asDict()) == {"doc_id", "text", "n_grams", "log_weight"}
+
+    def test_duplicate_texts_tie_and_select_validates(self, spark):
+        from lmss_entity_extractor_spark.ops.dsir import dsir_logweights, dsir_select, train_hashed_ngram_counts
+
+        raw, target = self._corpora(spark)
+        dup = raw.unionByName(
+            spark.createDataFrame([(6, "le chat noir dort sur le tapis")], "doc_id long, text string")
+        )
+        w = {
+            r.doc_id: r.log_weight
+            for r in dsir_logweights(
+                dup,
+                train_hashed_ngram_counts(target, m=64),
+                train_hashed_ngram_counts(dup, m=64),
+                m=64,
+            ).collect()
+        }
+        assert w[2] == w[6]  # identical text -> identical weight, bit-for-bit
+        with pytest.raises(ValueError):
+            dsir_select(raw, target, k=0)
+
+    def test_scoring_plan_broadcasts_the_models(self, spark):
+        from lmss_entity_extractor_spark.ops.dsir import dsir_logweights, train_hashed_ngram_counts
+
+        raw, target = self._corpora(spark)
+        plan = dsir_logweights(
+            raw,
+            train_hashed_ngram_counts(target, m=64),
+            train_hashed_ngram_counts(raw, m=64),
+            m=64,
+        )._jdf.queryExecution().executedPlan().toString()
+        # both <=m-row count tables must come in as broadcasts; the only
+        # allowed sort-merge join is the final corpus-sized id reattach
+        # (per_doc is already hash-partitioned on doc_id by its groupBy)
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert plan.count("SortMergeJoin") <= 1
