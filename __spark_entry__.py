@@ -524,6 +524,20 @@ def q_lm_quality(spark, sf_dir):
     return lm_quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_substr_spans(spark, sf_dir):
+    """Exact-substring dedup spans (L42, Lee et al. 2021 ExactSubstr,
+    window-covering approximation): maximal token runs whose 5-token
+    windows occur >= 2 times corpus-wide, merged per doc.
+
+    Integer-only arithmetic (positions and counts), so the oracle is a
+    direct relational re-derivation; Spark counts windows by
+    xxhash64(gram) while the oracle groups the gram strings themselves —
+    identical absent a 64-bit collision (the ops/dedup.py caveat)."""
+    from lmss_entity_extractor_spark.ops.substr import duplicated_substring_spans
+
+    return duplicated_substring_spans(_t(spark, sf_dir, "documents"), min_len=5)
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance resampling (L41, Xie et al. 2023): the 100 most
     French-like documents of the whole corpus, scored by hashed
@@ -1471,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracles never yet driver-checked (added r2/r3/r4)
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
+        "substr_spans": q_substr_spans,
         "simhash": q_simhash,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
@@ -2976,5 +2991,38 @@ def oracle_sql() -> dict[str, str]:
                coalesce(pd.log_weight, 0.0) AS log_weight
         FROM documents d LEFT JOIN per_doc pd USING (doc_id)
         ORDER BY log_weight DESC, d.doc_id ASC LIMIT 100
+    """
+    oracles["substr_spans"] = """
+        -- ExactSubstr window-covering spans, integer-only: duplicated
+        -- 5-token windows (grouped by gram STRING where Spark groups
+        -- xxhash64 -- identical absent collisions), merged per doc via
+        -- gaps-and-islands
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> t <> '') AS t
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, i AS pos, array_to_string(t[i+1:i+5], ' ') AS gram
+            FROM toks, unnest(range(greatest(len(t) - 4, 0))) AS u(i)
+        ),
+        c AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+        f AS (SELECT g.doc_id, g.pos AS s, g.pos + 5 AS e FROM g JOIN c USING (gram)),
+        m AS (
+            SELECT doc_id, s, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+            FROM f
+        ),
+        isl AS (
+            SELECT doc_id, s, e,
+                   sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s) AS grp
+            FROM m
+        )
+        SELECT doc_id, min(s) AS tok_start, max(e) AS tok_end,
+               count(*) AS n_windows
+        FROM isl GROUP BY doc_id, grp
     """
     return oracles

@@ -1756,3 +1756,76 @@ class TestDSIR:
         # (per_doc is already hash-partitioned on doc_id by its groupBy)
         assert plan.count("BroadcastHashJoin") >= 2
         assert plan.count("SortMergeJoin") <= 1
+
+
+class TestExactSubstr:
+    """Exact-substring dedup (L42, ops/substr.py): duplicated-window
+    covering spans + removal."""
+
+    def _docs(self, spark):
+        shared = "one two three four five six seven eight"  # 8-token shared run
+        return spark.createDataFrame(
+            [
+                (1, f"intro alpha {shared} outro beta", "en"),
+                (2, f"prefix gamma delta {shared} suffix", "en"),
+                (3, "totally unique words nothing here repeats at all", "en"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+
+    def test_shared_run_spans_merge_windows(self, spark):
+        from lmss_entity_extractor_spark.ops.substr import duplicated_substring_spans
+
+        spans = {
+            r.doc_id: (r.tok_start, r.tok_end, r.n_windows)
+            for r in duplicated_substring_spans(self._docs(spark), min_len=4).collect()
+        }
+        # doc 1: shared run at tokens 2..10; 5 overlapping 4-windows merge
+        assert spans[1] == (2, 10, 5)
+        # doc 2: same run at tokens 3..11
+        assert spans[2] == (3, 11, 5)
+        assert 3 not in spans
+
+    def test_self_repetition_counts(self, spark):
+        from lmss_entity_extractor_spark.ops.substr import duplicated_substring_spans
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d x y z a b c d")], "doc_id long, text string"
+        )
+        spans = sorted(
+            (r.tok_start, r.tok_end)
+            for r in duplicated_substring_spans(docs, min_len=4).collect()
+        )
+        assert spans == [(0, 4), (7, 11)]  # the repeated 'a b c d', both sites
+
+    def test_min_count_threshold(self, spark):
+        from lmss_entity_extractor_spark.ops.substr import duplicated_substring_spans
+
+        out = duplicated_substring_spans(self._docs(spark), min_len=4, min_count=3)
+        assert out.count() == 0  # the run only occurs twice
+
+    def test_removal_cuts_runs_and_passes_columns(self, spark):
+        from lmss_entity_extractor_spark.ops.substr import remove_duplicated_substrings
+
+        out = {
+            r.doc_id: r
+            for r in remove_duplicated_substrings(self._docs(spark), min_len=4).collect()
+        }
+        assert out[1].text == "intro alpha outro beta"
+        assert out[2].text == "prefix gamma delta suffix"
+        assert out[3].text == self._docs(spark).collect()[2].text  # untouched
+        assert out[1].lang == "en"
+        # a doc that IS a duplicated run comes back empty, not dropped
+        twin = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+        )
+        cleaned = {r.doc_id: r.text for r in remove_duplicated_substrings(twin, min_len=5).collect()}
+        assert cleaned == {1: "", 2: ""}
+
+    def test_validation(self, spark):
+        from lmss_entity_extractor_spark.ops.substr import duplicated_substring_spans
+
+        with pytest.raises(ValueError):
+            duplicated_substring_spans(self._docs(spark), min_len=0)
+        with pytest.raises(ValueError):
+            duplicated_substring_spans(self._docs(spark), min_count=1)
