@@ -524,6 +524,21 @@ def q_lm_quality(spark, sf_dir):
     return lm_quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val split (L43): side = knuth_hash of the
+    MinHash near-dup cluster canonical, so no cluster straddles the
+    split.  Oracle: the dedup_clusters recursive CTE + the shared
+    ANSI knuth-hash spelling — all integer arithmetic."""
+    from lmss_entity_extractor_spark.ops.dedup import minhash_lsh_pairs
+    from lmss_entity_extractor_spark.ops.split import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, n=3, num_hashes=8, bands=4)
+    return leakage_safe_split(d, pairs, val_per_mille=250).select(
+        "doc_id", "split_key", "split"
+    )
+
+
 def q_substr_spans(spark, sf_dir):
     """Exact-substring dedup spans (L42, Lee et al. 2021 ExactSubstr,
     window-covering approximation): maximal token runs whose 5-token
@@ -1486,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
+        "leakage_split": q_leakage_split,
         "simhash": q_simhash,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
@@ -3025,4 +3041,29 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_windows
         FROM isl GROUP BY doc_id, grp
     """
+    oracles["leakage_split"] = f"""
+        -- cluster canonicals via the dedup_clusters recursive CTE over
+        -- the same MinHash pairs; side = the shared ANSI knuth-hash
+        -- spelling (fold mod 2^31 with +m wrap, * 2654435761, mod 2^32)
+        -- of coalesce(canonical, doc_id) -- integer-only
+        WITH RECURSIVE {{mh}},
+        und AS (
+            SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+            UNION
+            SELECT doc_b, doc_a FROM mh_pairs
+        ),
+        reach AS (
+            SELECT DISTINCT a AS node, a AS lbl FROM und
+            UNION
+            SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
+        ),
+        canon AS (SELECT node AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(c.canonical_id, d.doc_id) AS split_key,
+               CASE WHEN ((((coalesce(c.canonical_id, d.doc_id) % 2147483648)
+                            + 2147483648) % 2147483648)
+                          * 2654435761) % 4294967296 % 1000 < 250
+                    THEN 'val' ELSE 'train' END AS split
+        FROM documents d LEFT JOIN canon c USING (doc_id)
+    """.format(mh=_MINHASH_PAIRS_CTE)
     return oracles

@@ -1829,3 +1829,56 @@ class TestExactSubstr:
             duplicated_substring_spans(self._docs(spark), min_len=0)
         with pytest.raises(ValueError):
             duplicated_substring_spans(self._docs(spark), min_count=1)
+
+
+class TestLeakageSplit:
+    """Leakage-safe split (L43, ops/split.py): near-dup clusters never
+    straddle the train/val boundary."""
+
+    def test_clusters_share_a_side_and_singletons_self_key(self, spark, dup_docs):
+        from lmss_entity_extractor_spark.ops.dedup import minhash_lsh_pairs
+        from lmss_entity_extractor_spark.ops.split import leakage_safe_split
+
+        pairs = minhash_lsh_pairs(dup_docs, n=3, num_hashes=8, bands=4)
+        out = leakage_safe_split(dup_docs, pairs, val_per_mille=500).collect()
+        rows = {r.doc_id: r for r in out}
+        assert len(rows) == dup_docs.count()
+        pair_rows = pairs.collect()
+        assert pair_rows  # fixture must actually produce near-dup pairs
+        for p in pair_rows:
+            assert rows[p.doc_a].split_key == rows[p.doc_b].split_key
+            assert rows[p.doc_a].split == rows[p.doc_b].split
+        clustered = {p.doc_a for p in pair_rows} | {p.doc_b for p in pair_rows}
+        for d, r in rows.items():
+            if d not in clustered:
+                assert r.split_key == d
+            assert r.split in ("val", "train")
+
+    def test_append_stability(self, spark, dup_docs):
+        from lmss_entity_extractor_spark.ops.dedup import minhash_lsh_pairs
+        from lmss_entity_extractor_spark.ops.split import leakage_safe_split
+
+        pairs = minhash_lsh_pairs(dup_docs, n=3, num_hashes=8, bands=4)
+        before = {
+            r.doc_id: r.split
+            for r in leakage_safe_split(dup_docs, pairs, val_per_mille=300).collect()
+        }
+        extra = spark.createDataFrame(
+            [(999, "an entirely new never seen document body")],
+            "doc_id long, text string",
+        )
+        bigger = dup_docs.select("doc_id", "text").unionByName(extra)
+        after = {
+            r.doc_id: r.split
+            for r in leakage_safe_split(bigger, pairs, val_per_mille=300).collect()
+        }
+        # appending an unclustered doc flips no existing assignment
+        assert all(after[d] == s for d, s in before.items())
+
+    def test_validation(self, spark, dup_docs):
+        from lmss_entity_extractor_spark.ops.dedup import minhash_lsh_pairs
+        from lmss_entity_extractor_spark.ops.split import leakage_safe_split
+
+        pairs = minhash_lsh_pairs(dup_docs)
+        with pytest.raises(ValueError):
+            leakage_safe_split(dup_docs, pairs, val_per_mille=1001)
