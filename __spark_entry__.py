@@ -998,6 +998,34 @@ def q_pagerank(spark, sf_dir):
     return pr.select("node", (F.floor(F.col("rank") * 1e6) / 1e6).alias("rank6"))
 
 
+def q_triangles(spark, sf_dir):
+    """Triangle counting + local clustering coefficient (L44) over the
+    part co-occurrence graph (parts sharing an order): degree-ordered
+    orientation (Suri & Vassilvitskii WWW'11) generates each triangle
+    exactly once at its min-rank apex — wedge fan-out bounded O(sqrt m)
+    regardless of hub skew.  The oracle enumerates triangles the NAIVE
+    independent way (three-way canonical-edge join a<b<c), so the
+    orientation machinery itself is value-checked."""
+    from lmss_entity_extractor_spark.graph.triangles import triangle_counts
+
+    po = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = po.alias("a"), po.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return triangle_counts(edges)
+
+
 def q_closure_counts(spark, sf_dir):
     """A2 descendant counts per ancestor (top-classes entity counts,
     `app/lmss_parser.py:92-112`) over the J4 closure."""
@@ -1517,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq_residual": q_knn_ivfpq_residual,
         "dedup_clusters_star": q_dedup_clusters_star,
         "edges_as_of": q_edges_as_of,
+        "triangles": q_triangles,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -3066,4 +3095,39 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'val' ELSE 'train' END AS split
         FROM documents d LEFT JOIN canon c USING (doc_id)
     """.format(mh=_MINHASH_PAIRS_CTE)
+    oracles["triangles"] = """
+        -- independent derivation: triangles enumerated the naive way
+        -- (three-way join over canonical u<v edges, a<b<c), NOT via the
+        -- degree orientation the Spark operator uses
+        WITH po AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 4 = 0
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM po a JOIN po b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e
+            ) GROUP BY 1
+        ),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        pn AS (
+            SELECT node, count(*) AS nt
+            FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1
+        )
+        SELECT d.node, d.deg,
+               coalesce(pn.nt, 0) AS n_triangles,
+               CASE WHEN d.deg >= 2
+                    THEN 2.0 * coalesce(pn.nt, 0) / (d.deg * (d.deg - 1))
+                    ELSE 0.0 END AS clustering
+        FROM deg d LEFT JOIN pn USING (node)
+    """
     return oracles

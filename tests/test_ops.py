@@ -1882,3 +1882,82 @@ class TestLeakageSplit:
         pairs = minhash_lsh_pairs(dup_docs)
         with pytest.raises(ValueError):
             leakage_safe_split(dup_docs, pairs, val_per_mille=1001)
+
+
+class TestTriangles:
+    def test_hand_computed_k4_plus_pendant(self, spark):
+        """K4 on {0,1,2,3} (4 triangles, clustering 1.0 inside) plus a
+        pendant node 5 hanging off 0 (deg(0) -> 4, clustering 0.5)."""
+        from lmss_entity_extractor_spark.graph.triangles import (
+            triangle_counts,
+            triangles,
+        )
+
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        df = spark.createDataFrame(k4 + [(0, 5)], "src long, dst long")
+        tris = {(r.a, r.b, r.c) for r in triangles(df).collect()}
+        assert tris == {(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)}
+        got = {r.node: (r.deg, r.n_triangles, r.clustering) for r in triangle_counts(df).collect()}
+        assert got == {
+            0: (4, 3, 0.5),
+            1: (3, 3, 1.0),
+            2: (3, 3, 1.0),
+            3: (3, 3, 1.0),
+            5: (1, 0, 0.0),
+        }
+
+    def test_direction_duplicate_selfloop_invariance(self, spark):
+        """Triangles of the induced SIMPLE undirected graph: reversed
+        duplicates and self-loops change nothing."""
+        from lmss_entity_extractor_spark.graph.triangles import triangle_counts
+
+        clean = spark.createDataFrame(
+            [(0, 1), (1, 2), (0, 2)], "src long, dst long"
+        )
+        noisy = spark.createDataFrame(
+            [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (0, 2), (2, 2)],
+            "src long, dst long",
+        )
+        want = sorted(map(tuple, triangle_counts(clean).collect()))
+        got = sorted(map(tuple, triangle_counts(noisy).collect()))
+        assert got == want == [(0, 2, 1, 1.0), (1, 2, 1, 1.0), (2, 2, 1, 1.0)]
+
+    def test_triangle_free_cycle(self, spark):
+        from lmss_entity_extractor_spark.graph.triangles import triangle_counts, triangles
+
+        cyc = spark.createDataFrame(
+            [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+        )
+        assert triangles(cyc).count() == 0
+        got = {r.node: (r.deg, r.n_triangles, r.clustering) for r in triangle_counts(cyc).collect()}
+        assert got == {i: (2, 0, 0.0) for i in range(5)}
+
+    def test_matches_bruteforce_on_random_graph(self, spark):
+        """Degree-oriented enumeration agrees with itertools brute force
+        on a seeded random graph (skewed: node 0 is a hub)."""
+        import itertools
+        import random
+
+        from lmss_entity_extractor_spark.graph.triangles import triangle_counts
+
+        rng = random.Random(7)
+        nodes = list(range(24))
+        # hub: the "last reducer" shape the orientation exists for
+        edges = {(0, n) for n in nodes[1:18]}
+        for _ in range(80):
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+        adj = {n: set() for n in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        want_tri = {
+            frozenset(t)
+            for t in itertools.combinations(nodes, 3)
+            if t[1] in adj[t[0]] and t[2] in adj[t[0]] and t[2] in adj[t[1]]
+        }
+        per_node = {n: sum(1 for t in want_tri if n in t) for n in nodes}
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+        want = {n: c for n, c in per_node.items() if adj[n]}
+        assert got == want
