@@ -1026,6 +1026,39 @@ def q_triangles(spark, sf_dir):
     return triangle_counts(edges)
 
 
+def q_shortest_hops(spark, sf_dir):
+    """Bounded-hop BFS (L45): minimal hop counts from nation n:0 over
+    the undirected order->customer->nation->region hierarchy, 3-hop
+    horizon — frontier expansion, one keyed join + one anti-join per
+    round, one row per REACHED node (not per reachable pair, unlike the
+    closure).  Oracle: DuckDB recursive CTE walking (node, hops) states
+    with the same bound, min(hops) per node."""
+    from lmss_entity_extractor_spark.graph.paths import shortest_hops
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        o.select(
+            F.concat(F.lit("o:"), F.col("o_orderkey")).alias("src"),
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("dst"),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
+                F.concat(F.lit("n:"), F.col("c_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n:"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("r:"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+    )
+    return shortest_hops(edges, ["n:0"], max_hops=3, directed=False)
+
+
 def q_closure_counts(spark, sf_dir):
     """A2 descendant counts per ancestor (top-classes entity counts,
     `app/lmss_parser.py:92-112`) over the J4 closure."""
@@ -1546,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "edges_as_of": q_edges_as_of,
         "triangles": q_triangles,
+        "shortest_hops": q_shortest_hops,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -3129,5 +3163,31 @@ def oracle_sql() -> dict[str, str]:
                     THEN 2.0 * coalesce(pn.nt, 0) / (d.deg * (d.deg - 1))
                     ELSE 0.0 END AS clustering
         FROM deg d LEFT JOIN pn USING (node)
+    """
+    oracles["shortest_hops"] = """
+        -- bounded BFS as a recursive CTE over (node, hops) states:
+        -- UNION dedup terminates cycles, the hop bound caps the walk,
+        -- min(hops) per node is the BFS distance
+        WITH RECURSIVE eo AS (
+            SELECT 'o:' || o_orderkey AS src, 'c:' || o_custkey AS dst
+            FROM orders WHERE o_orderkey % 20 = 0
+            UNION ALL
+            SELECT 'c:' || c_custkey, 'n:' || c_nationkey FROM customer
+            UNION ALL
+            SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+        ),
+        und AS (
+            SELECT src AS a, dst AS b FROM eo
+            UNION
+            SELECT dst, src FROM eo
+        ),
+        walk AS (
+            SELECT 'n:0' AS node, 0 AS hops
+            UNION
+            SELECT u.b, w.hops + 1
+            FROM walk w JOIN und u ON u.a = w.node
+            WHERE w.hops < 3
+        )
+        SELECT node, min(hops) AS hops FROM walk GROUP BY 1
     """
     return oracles

@@ -1961,3 +1961,77 @@ class TestTriangles:
         got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
         want = {n: c for n, c in per_node.items() if adj[n]}
         assert got == want
+
+
+class TestShortestHops:
+    def test_directed_chain_and_bound(self, spark):
+        from lmss_entity_extractor_spark.graph.paths import shortest_hops
+
+        e = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+        )
+        got = {r.node: r.hops for r in shortest_hops(e, [0], max_hops=3).collect()}
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+        # the hop budget truncates the wave; direction is respected
+        assert {r.node: r.hops for r in shortest_hops(e, [0], max_hops=2).collect()} == {
+            0: 0, 1: 1, 2: 2
+        }
+        assert {r.node: r.hops for r in shortest_hops(e, [3], max_hops=3).collect()} == {3: 0}
+
+    def test_undirected_cycle_min_of_both_ways(self, spark):
+        from lmss_entity_extractor_spark.graph.paths import shortest_hops
+
+        e = spark.createDataFrame(
+            [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+        )
+        got = {
+            r.node: r.hops
+            for r in shortest_hops(e, [0], max_hops=5, directed=False).collect()
+        }
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2, 5: 1}
+
+    def test_multi_source_and_isolated_source(self, spark):
+        from lmss_entity_extractor_spark.graph.paths import shortest_hops
+
+        e = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+        )
+        # node 99 touches no edge but is contractually present at hops 0
+        got = {r.node: r.hops for r in shortest_hops(e, [0, 3, 99], max_hops=9).collect()}
+        assert got == {0: 0, 3: 0, 99: 0, 1: 1, 4: 1, 2: 2}
+
+    def test_matches_bruteforce_bfs_on_random_digraph(self, spark):
+        import random
+        from collections import deque
+
+        from lmss_entity_extractor_spark.graph.paths import shortest_hops
+
+        rng = random.Random(11)
+        edges = {(rng.randrange(30), rng.randrange(30)) for _ in range(120)}
+        edges = {(a, b) for a, b in edges if a != b}
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+        dist = {5: 0}
+        q = deque([5])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        want = {n: d for n, d in dist.items() if d <= 4}
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        got = {r.node: r.hops for r in shortest_hops(df, [5], max_hops=4).collect()}
+        assert got == want
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from lmss_entity_extractor_spark.graph.paths import shortest_hops
+
+        e = spark.createDataFrame([(0, 1)], "src long, dst long")
+        with _pytest.raises(ValueError):
+            shortest_hops(e, [0], max_hops=-1)
+        with _pytest.raises(ValueError):
+            shortest_hops(e, e, max_hops=1)
