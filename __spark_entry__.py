@@ -1059,6 +1059,33 @@ def q_shortest_hops(spark, sf_dir):
     return shortest_hops(edges, ["n:0"], max_hops=3, directed=False)
 
 
+def q_link_predict(spark, sf_dir):
+    """Neighborhood-overlap link prediction (L46) on the part
+    co-occurrence graph: non-adjacent part pairs sharing >= 2 co-order
+    neighbors, scored by common-neighbor count and neighborhood Jaccard
+    (Liben-Nowell & Kleinberg CIKM'03).  Jaccard is a single division
+    of exact integers — engine-reproducible.  Oracle: the same wedge
+    count re-derived with a plain SQL self-join + NOT EXISTS."""
+    from lmss_entity_extractor_spark.graph.linkpred import link_prediction_scores
+
+    po = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 8 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = po.alias("a"), po.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return link_prediction_scores(edges, min_common=2)
+
+
 def q_closure_counts(spark, sf_dir):
     """A2 descendant counts per ancestor (top-classes entity counts,
     `app/lmss_parser.py:92-112`) over the J4 closure."""
@@ -1580,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_as_of": q_edges_as_of,
         "triangles": q_triangles,
         "shortest_hops": q_shortest_hops,
+        "link_predict": q_link_predict,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -3189,5 +3217,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE w.hops < 3
         )
         SELECT node, min(hops) AS hops FROM walk GROUP BY 1
+    """
+    oracles["link_predict"] = """
+        WITH po AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 8 = 0
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM po a JOIN po b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e
+            ) GROUP BY 1
+        ),
+        sym AS (
+            SELECT u AS center, v AS nbr FROM e
+            UNION ALL
+            SELECT v, u FROM e
+        ),
+        pairs AS (
+            SELECT x.nbr AS a, y.nbr AS b, count(*) AS common
+            FROM sym x JOIN sym y
+              ON x.center = y.center AND x.nbr < y.nbr
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ),
+        fresh AS (
+            SELECT p.* FROM pairs p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e WHERE e.u = p.a AND e.v = p.b
+            )
+        )
+        SELECT f.a, f.b, f.common, da.deg AS deg_a, db.deg AS deg_b,
+               f.common / (da.deg + db.deg - f.common) AS jaccard
+        FROM fresh f
+        JOIN deg da ON da.node = f.a
+        JOIN deg db ON db.node = f.b
     """
     return oracles

@@ -2035,3 +2035,82 @@ class TestShortestHops:
             shortest_hops(e, [0], max_hops=-1)
         with _pytest.raises(ValueError):
             shortest_hops(e, e, max_hops=1)
+
+
+class TestLinkPrediction:
+    def test_hand_computed_square(self, spark):
+        """4-cycle 0-1-2-3-0: the two diagonals are the only predicted
+        links, each with both opposite corners as common neighbors."""
+        from lmss_entity_extractor_spark.graph.linkpred import link_prediction_scores
+
+        e = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+        )
+        got = {(r.a, r.b): (r.common, r.deg_a, r.deg_b, r.jaccard)
+               for r in link_prediction_scores(e).collect()}
+        assert got == {(0, 2): (2, 2, 2, 1.0), (1, 3): (2, 2, 2, 1.0)}
+
+    def test_include_existing_triangle(self, spark):
+        """In a triangle every pair is adjacent: the prediction set is
+        empty, the similarity view scores each edge 1/(2+2-1)."""
+        from lmss_entity_extractor_spark.graph.linkpred import link_prediction_scores
+
+        e = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "src long, dst long")
+        assert link_prediction_scores(e).count() == 0
+        got = {(r.a, r.b): (r.common, r.jaccard)
+               for r in link_prediction_scores(e, include_existing=True).collect()}
+        assert got == {(0, 1): (1, 1 / 3), (0, 2): (1, 1 / 3), (1, 2): (1, 1 / 3)}
+
+    def test_hub_cap_drops_wedges_through_hubs(self, spark):
+        """A degree-5 star center excluded by max_degree stops producing
+        wedges; pairs seen only through it disappear, others survive."""
+        from lmss_entity_extractor_spark.graph.linkpred import link_prediction_scores
+
+        star = [(0, n) for n in range(1, 6)] + [(1, 2)]
+        e = spark.createDataFrame(star, "src long, dst long")
+        exact = {(r.a, r.b) for r in link_prediction_scores(e).collect()}
+        assert (3, 4) in exact and (1, 3) in exact
+        # with hub 0 dropped the only wedges run through nodes 1 and 2,
+        # and those close existing edges — the prediction set empties
+        capped = {(r.a, r.b)
+                  for r in link_prediction_scores(e, max_degree=3).collect()}
+        assert capped == set()
+        got = {(r.a, r.b): r.common
+               for r in link_prediction_scores(e, max_degree=3, include_existing=True).collect()}
+        assert got == {(0, 2): 1, (0, 1): 1}
+
+    def test_matches_bruteforce_on_random_graph(self, spark):
+        import itertools
+        import random
+
+        from lmss_entity_extractor_spark.graph.linkpred import link_prediction_scores
+
+        rng = random.Random(13)
+        nodes = list(range(20))
+        edges = set()
+        for _ in range(60):
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+        adj = {n: set() for n in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {}
+        for a, b in itertools.combinations(nodes, 2):
+            cn = len(adj[a] & adj[b])
+            if cn >= 1 and (a, b) not in edges:
+                want[(a, b)] = (cn, len(adj[a]), len(adj[b]),
+                                cn / (len(adj[a]) + len(adj[b]) - cn))
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        got = {(r.a, r.b): (r.common, r.deg_a, r.deg_b, r.jaccard)
+               for r in link_prediction_scores(df).collect()}
+        assert got == want
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from lmss_entity_extractor_spark.graph.linkpred import link_prediction_scores
+
+        e = spark.createDataFrame([(0, 1)], "src long, dst long")
+        with _pytest.raises(ValueError):
+            link_prediction_scores(e, min_common=0)
