@@ -1086,6 +1086,19 @@ def q_link_predict(spark, sf_dir):
     return link_prediction_scores(edges, min_common=2)
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
+    documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
+    hashes, window 4 — all per-row folds, zero shuffles (plan-asserted).
+    The hash family is engine-identical (ops/dsir.py spelling), so the
+    oracle re-derives the SELECTION itself: DuckDB window-function minima
+    vs Spark's higher-order-function folds — two independent mechanisms,
+    same fingerprint set."""
+    from lmss_entity_extractor_spark.ops.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, window=4)
+
+
 def q_closure_counts(spark, sf_dir):
     """A2 descendant counts per ancestor (top-classes entity counts,
     `app/lmss_parser.py:92-112`) over the J4 closure."""
@@ -1608,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "shortest_hops": q_shortest_hops,
         "link_predict": q_link_predict,
+        "winnow": q_winnow,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -3256,5 +3270,33 @@ def oracle_sql() -> dict[str, str]:
         FROM fresh f
         JOIN deg da ON da.node = f.a
         JOIN deg db ON db.node = f.b
+    """
+    oracles["winnow"] = """
+        -- independent mechanism: window-function minima over exploded
+        -- gram rows (Spark side uses per-row higher-order folds); the
+        -- md5-prefix hash is engine-identical so the selection matches
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> t <> '') AS t
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, i AS pos,
+                   CAST('0x' || substring(
+                       md5(array_to_string(t[i+1:i+3], ' ')), 1, 12) AS BIGINT) AS gh
+            FROM toks, unnest(range(greatest(len(t) - 2, 0))) AS u(i)
+            WHERE len(t) >= 3
+        ),
+        w AS (
+            SELECT doc_id, pos,
+                   min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                   count(*) OVER (PARTITION BY doc_id) AS ng
+            FROM g
+        )
+        SELECT doc_id, fp AS fingerprint, min(pos) AS first_window
+        FROM w WHERE pos <= greatest(ng - 4, 0)
+        GROUP BY 1, 2
     """
     return oracles

@@ -2114,3 +2114,95 @@ class TestLinkPrediction:
         e = spark.createDataFrame([(0, 1)], "src long, dst long")
         with _pytest.raises(ValueError):
             link_prediction_scores(e, min_common=0)
+
+
+class TestWinnow:
+    @staticmethod
+    def _h(gram):
+        import hashlib
+
+        return int(hashlib.md5(gram.encode()).hexdigest()[:12], 16)
+
+    def test_hand_computed_fingerprints(self, spark):
+        """k=2, window=2 over 'a b c d e f': five 2-gram hashes, four
+        windows, fingerprints = distinct window minima with the first
+        selecting window — recomputed in pure Python."""
+        from lmss_entity_extractor_spark.ops.winnow import winnow_fingerprints
+
+        text = "a b c d e f"
+        toks = text.split()
+        hs = [self._h(" ".join(toks[i:i + 2])) for i in range(5)]
+        want = {}
+        for s in range(4):
+            m = min(hs[s:s + 2])
+            if m not in want:
+                want[m] = s
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = {r.fingerprint: r.first_window
+               for r in winnow_fingerprints(docs, k=2, window=2).collect()}
+        assert got == want
+
+    def test_short_and_empty_docs(self, spark):
+        """< k tokens -> no rows; 1..window-1 grams -> exactly the
+        global-min fingerprint at window 0."""
+        from lmss_entity_extractor_spark.ops.winnow import winnow_fingerprints
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "only four little words"), (3, "a b c d e f g")],
+            "doc_id long, text string",
+        )
+        rows = winnow_fingerprints(docs, k=5, window=4).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append((r.fingerprint, r.first_window))
+        assert 1 not in by_doc and 2 not in by_doc  # 0 and 0 grams
+        # doc 3: three 5-grams, one truncated window -> min of all three
+        toks = "a b c d e f g".split()
+        hs = [self._h(" ".join(toks[i:i + 5])) for i in range(3)]
+        assert by_doc[3] == [(min(hs), 0)]
+
+    def test_shared_run_guarantee_and_overlap_pairs(self, spark):
+        """Winnowing guarantee: a shared run of >= window + k - 1 tokens
+        forces >= 1 shared fingerprint; overlap pairs surface it."""
+        from lmss_entity_extractor_spark.ops.winnow import (
+            fingerprint_overlap_pairs,
+            winnow_fingerprints,
+        )
+
+        shared = "the quick brown fox jumps over the lazy dog tonight"
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta " + shared + " gamma delta"),
+                (2, "omega " + shared + " psi chi phi"),
+                (3, "completely different words about unrelated things here now"),
+            ],
+            "doc_id long, text string",
+        )
+        fp = winnow_fingerprints(docs, k=3, window=4)
+        pairs = {(r.doc_a, r.doc_b): r.n_shared
+                 for r in fingerprint_overlap_pairs(fp).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+        assert all(p == (1, 2) for p in pairs)
+
+    def test_fingerprints_plan_has_no_shuffle(self, spark):
+        """Selection is per-row folds riding the scan: zero Exchange
+        nodes (the 100 TB claim; the pair join is the only shuffle)."""
+        from lmss_entity_extractor_spark.ops.winnow import winnow_fingerprints
+
+        docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+        plan = winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from lmss_entity_extractor_spark.ops.winnow import (
+            fingerprint_overlap_pairs,
+            winnow_fingerprints,
+        )
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            winnow_fingerprints(docs, k=0)
+        with _pytest.raises(ValueError):
+            fingerprint_overlap_pairs(winnow_fingerprints(docs), min_shared=0)
