@@ -1086,6 +1086,40 @@ def q_link_predict(spark, sf_dir):
     return link_prediction_scores(edges, min_common=2)
 
 
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank (L48, Jeh & Widom WWW'03) from sources
+    {n:0, n:1} over the order->customer->nation->region hierarchy:
+    teleport restarts at the source set, measuring graph proximity —
+    the KG candidate-ranking signal.  Oracle: the identical recurrence
+    unrolled as 10 SQL CTEs (the `pagerank` discipline); ranks compare
+    on the floor-1e6 grid that absorbs summation-order ulps."""
+    from lmss_entity_extractor_spark.graph.pagerank import personalized_pagerank
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 200 == 0)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        o.select(
+            F.concat(F.lit("o:"), F.col("o_orderkey")).alias("src"),
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("dst"),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
+                F.concat(F.lit("n:"), F.col("c_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n:"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("r:"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+    )
+    pr = personalized_pagerank(edges, ["n:0", "n:1"], n_iters=10)
+    return pr.select("node", (F.floor(F.col("rank") * 1e6) / 1e6).alias("rank6"))
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -1622,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_hops": q_shortest_hops,
         "link_predict": q_link_predict,
         "winnow": q_winnow,
+        "ppr": q_ppr,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -2029,6 +2064,53 @@ def _pagerank_oracle_sql(n_iters: int = 10) -> str:
                 JOIN deg d ON d.node = e.src
                 GROUP BY 1
             ) s ON s.node = n.node
+        )""")
+    return base + "".join(iters) + f"""
+        SELECT node, floor(rank * 1000000) / 1000000 AS rank6 FROM pr{n_iters}"""
+
+
+def _ppr_oracle_sql(n_iters: int = 10) -> str:
+    """Personalized-PageRank recurrence (restart mass on {n:0, n:1})
+    unrolled as CTEs — the `_pagerank_oracle_sql` discipline with the
+    teleport term personalized to the source set."""
+    base = """
+        WITH edges AS (
+            SELECT 'o:' || o_orderkey AS src, 'c:' || o_custkey AS dst
+            FROM orders WHERE o_orderkey % 200 = 0
+            UNION ALL
+            SELECT 'c:' || c_custkey, 'n:' || c_nationkey FROM customer
+            UNION ALL
+            SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+        ),
+        srcs AS (SELECT 'n:0' AS node UNION ALL SELECT 'n:1'),
+        nodes AS (
+            SELECT src AS node FROM edges
+            UNION SELECT dst FROM edges
+            UNION SELECT node FROM srcs
+        ),
+        deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY 1),
+        rst AS (
+            SELECT a.node,
+                   CASE WHEN s.node IS NOT NULL
+                        THEN CAST(1.0 AS DOUBLE) / 2 ELSE CAST(0 AS DOUBLE) END AS restart
+            FROM nodes a LEFT JOIN srcs s ON s.node = a.node
+        ),
+        pr0 AS (SELECT node, restart AS rank FROM rst)"""
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f""",
+        pr{i} AS (
+            SELECT r.node,
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * r.restart
+                   + CAST(0.85 AS DOUBLE) * coalesce(s.inflow, CAST(0 AS DOUBLE)) AS rank
+            FROM rst r
+            LEFT JOIN (
+                SELECT e.dst AS node, sum(p.rank / d.outdeg) AS inflow
+                FROM edges e
+                JOIN pr{i - 1} p ON p.node = e.src
+                JOIN deg d ON d.node = e.src
+                GROUP BY 1
+            ) s ON s.node = r.node
         )""")
     return base + "".join(iters) + f"""
         SELECT node, floor(rank * 1000000) / 1000000 AS rank6 FROM pr{n_iters}"""
@@ -3299,4 +3381,5 @@ def oracle_sql() -> dict[str, str]:
         FROM w WHERE pos <= greatest(ng - 4, 0)
         GROUP BY 1, 2
     """
+    oracles["ppr"] = _ppr_oracle_sql(10)
     return oracles

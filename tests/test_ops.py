@@ -917,6 +917,82 @@ class TestPagerank:
         assert abs(r2["l1"] - r2["l2"]) < 1e-12
         assert sum(r2.values()) <= 1.0 + 1e-9
 
+    def test_ppr_matches_numpy_twin(self, spark):
+        """Personalized PageRank agrees with a dense numpy power
+        iteration of the identical recurrence on a seeded digraph."""
+        import random
+
+        import numpy as np
+
+        from lmss_entity_extractor_spark.graph.pagerank import personalized_pagerank
+
+        rng = random.Random(3)
+        n = 12
+        edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(40)
+                        if True})
+        edges = [(a, b) for a, b in edges if a != b]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        sources = [0, 5]
+        got = {r.node: r.rank
+               for r in personalized_pagerank(e, sources, n_iters=15).collect()}
+
+        outdeg = np.zeros(n)
+        for a, _ in edges:
+            outdeg[a] += 1
+        restart = np.zeros(n)
+        restart[sources] = 1 / len(sources)
+        rank = restart.copy()
+        for _ in range(15):
+            inflow = np.zeros(n)
+            for a, b in edges:
+                inflow[b] += rank[a] / outdeg[a]
+            rank = 0.15 * restart + 0.85 * inflow
+        present = {i for a, b in edges for i in (a, b)} | set(sources)
+        for i in present:
+            assert abs(got[i] - rank[i]) < 1e-9, (i, got[i], rank[i])
+
+    def test_ppr_proximity_and_isolated_source(self, spark):
+        """On a directed chain from the source, rank decays with
+        distance; a source absent from the edge list keeps its restart
+        mass and nothing else."""
+        from lmss_entity_extractor_spark.graph.pagerank import personalized_pagerank
+
+        e = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+        )
+        got = {r.node: r.rank
+               for r in personalized_pagerank(e, [0, 99], n_iters=20).collect()}
+        assert got[0] > got[1] > got[2] > got[3] > 0
+        # node 99 has no edges: it holds exactly its restart share
+        assert abs(got[99] - 0.15 * 0.5) < 1e-12
+
+    def test_ppr_uniform_sources_reduces_to_pagerank(self, spark):
+        """Sources = all nodes -> uniform restart -> bit-for-bit the
+        standard pagerank recurrence."""
+        from lmss_entity_extractor_spark.graph.pagerank import (
+            pagerank,
+            personalized_pagerank,
+        )
+
+        e = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0)], "src long, dst long"
+        )
+        pr = {r.node: r.rank for r in pagerank(e, n_iters=8).collect()}
+        ppr = {r.node: r.rank
+               for r in personalized_pagerank(e, [0, 1, 2, 3], n_iters=8).collect()}
+        assert ppr == pr
+
+    def test_ppr_validation(self, spark):
+        import pytest as _pytest
+
+        from lmss_entity_extractor_spark.graph.pagerank import personalized_pagerank
+
+        e = spark.createDataFrame([(0, 1)], "src long, dst long")
+        with _pytest.raises(ValueError):
+            personalized_pagerank(e, [])
+        with _pytest.raises(ValueError):
+            personalized_pagerank(e, e)
+
 
 @pytest.mark.spark
 class TestPQ:
