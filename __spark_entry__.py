@@ -1120,6 +1120,37 @@ def q_ppr(spark, sf_dir):
     return pr.select("node", (F.floor(F.col("rank") * 1e6) / 1e6).alias("rank6"))
 
 
+def q_random_walks(spark, sf_dir):
+    """Deterministic random walks (L49, the DeepWalk corpus generator)
+    over the symmetrized part co-occurrence graph: 3 steps from every
+    node, neighbor choice = engine-portable md5-prefix hash of
+    (cur, step, walk, seed) mod degree — reproducible corpus artifacts,
+    no RNG.  Oracle: the identical recurrence unrolled as 3 CTE steps
+    with the same hash and the same dense-rank adjacency ordering."""
+    from lmss_entity_extractor_spark.graph.walks import random_walks
+
+    po = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = po.alias("a"), po.alias("b")
+    pairs = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    sym = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    return random_walks(sym, walk_len=3, walks_per_node=1, seed=0)
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -1657,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_predict": q_link_predict,
         "winnow": q_winnow,
         "ppr": q_ppr,
+        "random_walks": q_random_walks,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -3382,4 +3414,52 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
     """
     oracles["ppr"] = _ppr_oracle_sql(10)
+    walk_steps = []
+    for i in (1, 2, 3):
+        walk_steps.append(f""",
+        s{i} AS (
+            SELECT s.start_node, s.walk, r.nbr AS cur
+            FROM s{i - 1} s
+            JOIN deg d ON d.node = s.cur
+            JOIN rk r ON r.node = s.cur
+             AND r.rk = CAST('0x' || substring(
+                     md5(s.cur || ':' || {i} || ':' || s.walk || ':' || 0),
+                     1, 12) AS BIGINT) % d.deg
+        )""")
+    oracles["random_walks"] = (
+        """
+        -- identical hash recurrence unrolled: dense-rank adjacency,
+        -- md5-prefix pick hash, one CTE per step
+        WITH po AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 4 = 0
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM po a JOIN po b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        adj AS (
+            SELECT u AS node, v AS nbr FROM e
+            UNION
+            SELECT v, u FROM e
+        ),
+        rk AS (
+            SELECT node, nbr,
+                   row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS rk
+            FROM adj
+        ),
+        deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+        s0 AS (
+            SELECT node AS start_node, 0 AS walk, node AS cur
+            FROM (SELECT DISTINCT node FROM adj)
+        )"""
+        + "".join(walk_steps)
+        + """
+        SELECT start_node, walk, 0 AS step, cur AS node FROM s0
+        UNION ALL SELECT start_node, walk, 1, cur FROM s1
+        UNION ALL SELECT start_node, walk, 2, cur FROM s2
+        UNION ALL SELECT start_node, walk, 3, cur FROM s3
+    """
+    )
     return oracles

@@ -2282,3 +2282,71 @@ class TestWinnow:
             winnow_fingerprints(docs, k=0)
         with _pytest.raises(ValueError):
             fingerprint_overlap_pairs(winnow_fingerprints(docs), min_shared=0)
+
+
+class TestRandomWalks:
+    @staticmethod
+    def _pick(cur, step, walk, seed, deg):
+        import hashlib
+
+        key = f"{cur}:{step}:{walk}:{seed}"
+        return int(hashlib.md5(key.encode()).hexdigest()[:12], 16) % deg
+
+    def test_matches_python_twin(self, spark):
+        """Walks equal a pure-Python replay of the identical hash
+        recurrence on a seeded digraph (with a dangling sink)."""
+        import random
+
+        from lmss_entity_extractor_spark.graph.walks import random_walks
+
+        rng = random.Random(5)
+        edges = sorted({(rng.randrange(10), rng.randrange(10)) for _ in range(25)})
+        edges = [(a, b) for a, b in edges if a != b and a != 9]  # 9 dangles
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {(r.start_node, r.walk, r.step): r.node
+               for r in random_walks(df, walk_len=4, walks_per_node=2, seed=7).collect()}
+
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+        for a in adj:
+            adj[a].sort()
+        nodes = {n for e in edges for n in e}
+        want = {}
+        for start in nodes:
+            for w in range(2):
+                cur = start
+                want[(start, w, 0)] = cur
+                for step in range(1, 5):
+                    if cur not in adj:
+                        break
+                    cur = adj[cur][self._pick(cur, step, w, 7, len(adj[cur]))]
+                    want[(start, w, step)] = cur
+        assert got == want
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        from lmss_entity_extractor_spark.graph.walks import random_walks
+
+        e = spark.createDataFrame(
+            [(a, b) for a in range(5) for b in range(5) if a != b],
+            "src long, dst long",
+        )
+        r1 = sorted(map(tuple, random_walks(e, walk_len=3, seed=1).collect()))
+        r2 = sorted(map(tuple, random_walks(e, walk_len=3, seed=1).collect()))
+        r3 = sorted(map(tuple, random_walks(e, walk_len=3, seed=2).collect()))
+        assert r1 == r2
+        assert r1 != r3  # K5 has real choices, a different seed must diverge
+
+    def test_dangling_and_validation(self, spark):
+        import pytest as _pytest
+
+        from lmss_entity_extractor_spark.graph.walks import random_walks
+
+        e = spark.createDataFrame([(0, 1)], "src long, dst long")
+        got = {(r.start_node, r.step): r.node for r in random_walks(e, walk_len=3).collect()}
+        # 0 -> 1 then stop (1 dangles); 1 contributes only its step-0 row
+        assert got == {(0, 0): 0, (0, 1): 1, (1, 0): 1}
+        with _pytest.raises(ValueError):
+            random_walks(e, walk_len=-1)
+        with _pytest.raises(ValueError):
+            random_walks(e, walks_per_node=0)
