@@ -1151,6 +1151,37 @@ def q_random_walks(spark, sf_dir):
     return random_walks(sym, walk_len=3, walks_per_node=1, seed=0)
 
 
+def q_cooccur_pmi(spark, sf_dir):
+    """PMI/NPMI co-occurrence edge mining (L50) over (order, part)
+    observations — the statistical association-edge builder a KG runs
+    after entity linking.  Counts are exact; scores land on the half-up
+    1e-6 grid (floor(x*1e6 + 0.5) — explicit, since Spark round() is
+    half-up and DuckDB's is half-even, and JVM/libm ln may differ by
+    1 ulp per term).  Oracle: identical counts + identical fixed log
+    expression tree + identical grid in DuckDB."""
+    from lmss_entity_extractor_spark.graph.cooccur import cooccurrence_edges
+
+    obs = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    ed = cooccurrence_edges(obs, "l_orderkey", "l_partkey", min_count=2)
+
+    def grid(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    return ed.select(
+        "item_a",
+        "item_b",
+        "n_co",
+        "n_a",
+        "n_b",
+        grid(F.col("pmi")).alias("pmi6"),
+        grid(F.col("npmi")).alias("npmi6"),
+    )
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -1689,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "ppr": q_ppr,
         "random_walks": q_random_walks,
+        "cooccur_pmi": q_cooccur_pmi,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -3462,4 +3494,37 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT start_node, walk, 3, cur FROM s3
     """
     )
+    oracles["cooccur_pmi"] = """
+        -- identical exact counts, identical fixed log expression tree
+        -- ((ln n_co + ln N) - ln n_a - ln n_b), identical half-up grid
+        WITH obs AS (
+            SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+            WHERE l_orderkey % 4 = 0
+        ),
+        nc AS (SELECT CAST(count(DISTINCT g) AS DOUBLE) AS n FROM obs),
+        ic AS (SELECT item, count(*) AS n_item FROM obs GROUP BY 1),
+        pairs AS (
+            SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+            FROM obs a JOIN obs b ON a.g = b.g AND a.item < b.item
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ),
+        scored AS (
+            SELECT p.item_a, p.item_b, p.n_co,
+                   ia.n_item AS n_a, ib.n_item AS n_b, nc.n,
+                   (ln(CAST(p.n_co AS DOUBLE)) + ln(nc.n))
+                   - ln(CAST(ia.n_item AS DOUBLE))
+                   - ln(CAST(ib.n_item AS DOUBLE)) AS pmi
+            FROM pairs p
+            JOIN ic ia ON ia.item = p.item_a
+            JOIN ic ib ON ib.item = p.item_b
+            CROSS JOIN nc
+        )
+        SELECT item_a, item_b, n_co, n_a, n_b,
+               floor(pmi * 1000000 + 0.5) / 1000000 AS pmi6,
+               floor(CASE WHEN CAST(n_co AS DOUBLE) = n THEN 1.0
+                          ELSE pmi / (ln(n) - ln(CAST(n_co AS DOUBLE)))
+                     END * 1000000 + 0.5) / 1000000 AS npmi6
+        FROM scored
+    """
     return oracles

@@ -2350,3 +2350,68 @@ class TestRandomWalks:
             random_walks(e, walk_len=-1)
         with _pytest.raises(ValueError):
             random_walks(e, walks_per_node=0)
+
+
+class TestCooccurrence:
+    def test_hand_computed_pmi(self, spark):
+        """3 groups: {x,y}, {x,y}, {x,z}.  n(x)=3, n(y)=2, n(z)=1,
+        co(x,y)=2, co(x,z)=1 — PMI/NPMI recomputed in pure Python with
+        the identical expression tree."""
+        import math
+
+        from lmss_entity_extractor_spark.graph.cooccur import cooccurrence_edges
+
+        rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z")]
+        obs = spark.createDataFrame(rows, "g long, item string")
+        got = {(r.item_a, r.item_b): r for r in cooccurrence_edges(obs, "g", "item").collect()}
+
+        def tree(n_co, n, n_a, n_b):
+            return (math.log(n_co) + math.log(n)) - math.log(n_a) - math.log(n_b)
+
+        assert set(got) == {("x", "y"), ("x", "z")}
+        xy = got[("x", "y")]
+        assert (xy.n_co, xy.n_a, xy.n_b) == (2, 3, 2)
+        # JVM Math.log and libm may disagree by 1 ulp per term (measured
+        # here: pmi +-1.1e-16 around the true 0) — tolerance, not ==
+        assert abs(xy.pmi - tree(2, 3.0, 3, 2)) < 1e-12
+        assert abs(xy.npmi - tree(2, 3.0, 3, 2) / (math.log(3.0) - math.log(2.0))) < 1e-12
+        xz = got[("x", "z")]
+        assert (xz.n_co, xz.n_a, xz.n_b) == (1, 3, 1)
+        assert xz.pmi == 0.0  # (ln1 + ln3) - ln3 - ln1 is exact in any libm
+
+    def test_perfect_cooccurrence_npmi_is_one(self, spark):
+        from lmss_entity_extractor_spark.graph.cooccur import cooccurrence_edges
+
+        rows = [(g, i) for g in (1, 2) for i in ("a", "b")]
+        obs = spark.createDataFrame(rows, "g long, item string")
+        r = cooccurrence_edges(obs, "g", "item").collect()[0]
+        assert r.n_co == 2 and r.npmi == 1.0
+
+    def test_set_semantics_min_count_and_group_cap(self, spark):
+        from lmss_entity_extractor_spark.graph.cooccur import cooccurrence_edges
+
+        rows = [(1, "x"), (1, "x"), (1, "y"),          # dup membership collapses
+                (2, "x"), (2, "y"),
+                (3, "p"), (3, "q"), (3, "r")]           # size-3 group
+        obs = spark.createDataFrame(rows, "g long, item string")
+        got = {(r.item_a, r.item_b): r.n_co
+               for r in cooccurrence_edges(obs, "g", "item", min_count=2).collect()}
+        assert got == {("x", "y"): 2}
+        capped = {(r.item_a, r.item_b)
+                  for r in cooccurrence_edges(obs, "g", "item", max_group_size=2).collect()}
+        # the size-3 group's pairs are dropped; x-y survives
+        assert capped == {("x", "y")}
+        # but item counts stay GLOBAL: n_a for x is still 2
+        rows2 = cooccurrence_edges(obs, "g", "item", max_group_size=2).collect()
+        assert {r.n_a for r in rows2} == {2}
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from lmss_entity_extractor_spark.graph.cooccur import cooccurrence_edges
+
+        obs = spark.createDataFrame([(1, "x")], "g long, item string")
+        with _pytest.raises(ValueError):
+            cooccurrence_edges(obs, "g", "item", min_count=0)
+        with _pytest.raises(ValueError):
+            cooccurrence_edges(obs.filter("g < 0"), "g", "item")
