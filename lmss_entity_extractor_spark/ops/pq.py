@@ -103,7 +103,10 @@ def assign_cells_np(X, cents):
     if [c for c, _v in cents] != list(range(len(cents))):
         raise ValueError(f"non-contiguous cell ids: {[c for c, _v in cents]}")
     C = np.asarray([v for _cid, v in cents], dtype=np.float64)
-    return np.argmax(X @ C.T, axis=1)
+    # einsum (optimize=False) sums in fixed index order regardless of the
+    # host's BLAS threading — dgemm reassociates with thread count, which
+    # drifted trained centroids by 1 ulp between driver sessions
+    return np.argmax(np.einsum("nd,kd->nk", X, C), axis=1)
 
 
 def ivf_cell_means_local(X, cents, cells=None):

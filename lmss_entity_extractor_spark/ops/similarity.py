@@ -159,7 +159,11 @@ def train_ivf_centroids_local(X, n_centroids: int = 8, n_iters: int = 5):
     # across the id space (ids are usually ingestion-ordered)
     C = X[np.linspace(0, n - 1, k).astype(int)].copy()
     for _ in range(max(n_iters, 0)):
-        sims = X @ C.T                              # (n, k)
+        # einsum (optimize=False) keeps a fixed summation order independent
+        # of BLAS threading — `X @ C.T` reassociated across driver sessions
+        # and drifted the trained centroids by 1 ulp (caught by the fixture
+        # freshness gate in test_contract.py)
+        sims = np.einsum("nd,kd->nk", X, C)         # (n, k)
         assign = np.argmax(sims, axis=1)            # ties -> lowest index
         for j in range(k):
             members = X[assign == j]
