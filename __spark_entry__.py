@@ -1182,6 +1182,45 @@ def q_cooccur_pmi(spark, sf_dir):
     )
 
 
+def q_rdfs_entail(spark, sf_dir):
+    """RDFS entailment materialization (L51, graph/rdfs.py): close an
+    instance graph drawn from customer→nation under the ρdf fragment
+    (rules rdfs2/3/5/7/9/11) against a six-row literal schema that
+    exercises every rule — subPropertyOf chain (located_in ⊑ within ⊑
+    part_of), subClassOf chain (Nation ⊑ Territory ⊑ Geo), a domain and
+    a range declaration.  Oracle: the same stratified derivation in
+    DuckDB — recursive CTEs for the two sub-hierarchy closures, then the
+    lift/domain/range/type joins — so every derived triple is re-earned
+    by an independent engine."""
+    from lmss_entity_extractor_spark.graph.rdfs import rdfs_entail
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    n = _t(spark, sf_dir, "nation")
+    inst = c.select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("s"),
+        F.lit("located_in").alias("p"),
+        F.concat(F.lit("n:"), F.col("c_nationkey")).alias("o"),
+    ).unionByName(
+        n.select(
+            F.concat(F.lit("n:"), F.col("n_nationkey")).alias("s"),
+            F.lit("rdf:type").alias("p"),
+            F.lit("Nation").alias("o"),
+        )
+    )
+    schema = spark.createDataFrame(
+        [
+            ("located_in", "rdfs:subPropertyOf", "within"),
+            ("within", "rdfs:subPropertyOf", "part_of"),
+            ("Nation", "rdfs:subClassOf", "Territory"),
+            ("Territory", "rdfs:subClassOf", "Geo"),
+            ("located_in", "rdfs:domain", "Customer"),
+            ("within", "rdfs:range", "Territory"),
+        ],
+        "s string, p string, o string",
+    )
+    return rdfs_entail(inst, schema)
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -1721,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr": q_ppr,
         "random_walks": q_random_walks,
         "cooccur_pmi": q_cooccur_pmi,
+        "rdfs_entail": q_rdfs_entail,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -3526,5 +3566,80 @@ def oracle_sql() -> dict[str, str]:
                           ELSE pmi / (ln(n) - ln(CAST(n_co AS DOUBLE)))
                      END * 1000000 + 0.5) / 1000000 AS npmi6
         FROM scored
+    """
+    oracles["rdfs_entail"] = """
+        -- ρdf stratified derivation, independently in SQL: recursive
+        -- closures for the two hierarchies, then lift / domain / range /
+        -- type-propagation joins (rules rdfs5,11,7,2,3,9), then distinct
+        WITH RECURSIVE
+        inst AS (
+            SELECT 'c:' || c_custkey AS s, 'located_in' AS p,
+                   'n:' || c_nationkey AS o
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT 'n:' || n_nationkey, 'rdf:type', 'Nation' FROM nation
+        ),
+        schema_rows AS (
+            SELECT * FROM (VALUES
+                ('located_in', 'rdfs:subPropertyOf', 'within'),
+                ('within', 'rdfs:subPropertyOf', 'part_of'),
+                ('Nation', 'rdfs:subClassOf', 'Territory'),
+                ('Territory', 'rdfs:subClassOf', 'Geo'),
+                ('located_in', 'rdfs:domain', 'Customer'),
+                ('within', 'rdfs:range', 'Territory')
+            ) AS t(s, p, o)
+        ),
+        prop_clo AS (
+            SELECT s AS sub, o AS sup FROM schema_rows
+            WHERE p = 'rdfs:subPropertyOf'
+            UNION
+            SELECT pc.sub, e.o FROM prop_clo pc
+            JOIN schema_rows e
+              ON e.p = 'rdfs:subPropertyOf' AND pc.sup = e.s
+        ),
+        class_clo AS (
+            SELECT s AS sub, o AS sup FROM schema_rows
+            WHERE p = 'rdfs:subClassOf'
+            UNION
+            SELECT cc.sub, e.o FROM class_clo cc
+            JOIN schema_rows e
+              ON e.p = 'rdfs:subClassOf' AND cc.sup = e.s
+        ),
+        lifted AS (
+            SELECT i.s, pc.sup AS p, i.o FROM inst i
+            JOIN prop_clo pc ON i.p = pc.sub
+        ),
+        g1 AS (SELECT * FROM inst UNION ALL SELECT * FROM lifted),
+        typed_dom AS (
+            SELECT g.s, 'rdf:type' AS p, d.o FROM g1 g
+            JOIN schema_rows d ON d.p = 'rdfs:domain' AND g.p = d.s
+        ),
+        typed_rng AS (
+            SELECT g.o AS s, 'rdf:type' AS p, r.o FROM g1 g
+            JOIN schema_rows r ON r.p = 'rdfs:range' AND g.p = r.s
+        ),
+        types AS (
+            SELECT s, p, o FROM g1 WHERE p = 'rdf:type'
+            UNION ALL SELECT * FROM typed_dom
+            UNION ALL SELECT * FROM typed_rng
+        ),
+        super_types AS (
+            SELECT t.s, t.p, cc.sup AS o FROM types t
+            JOIN class_clo cc ON t.o = cc.sub
+        ),
+        closed_schema AS (
+            SELECT sub AS s, 'rdfs:subPropertyOf' AS p, sup AS o FROM prop_clo
+            UNION ALL
+            SELECT sub, 'rdfs:subClassOf', sup FROM class_clo
+        )
+        SELECT DISTINCT s, p, o FROM (
+            SELECT * FROM inst
+            UNION ALL SELECT * FROM schema_rows
+            UNION ALL SELECT * FROM lifted
+            UNION ALL SELECT * FROM typed_dom
+            UNION ALL SELECT * FROM typed_rng
+            UNION ALL SELECT * FROM super_types
+            UNION ALL SELECT * FROM closed_schema
+        )
     """
     return oracles
