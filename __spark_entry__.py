@@ -1221,6 +1221,78 @@ def q_rdfs_entail(spark, sf_dir):
     return rdfs_entail(inst, schema)
 
 
+def q_sameas_resolve(spark, sf_dir):
+    """owl:sameAs smushing (L52, graph/sameas.py): connected-component
+    canonical-IRI election over the sameAs graph, then subject+object
+    rewrite of the fact table.  The fixture exercises chains of length
+    3 (dup2 ~ dup ~ c), object-position aliases (nname ~ n), fact
+    collapse (dup facts merging into asserted canonical facts) and
+    novel derived facts (type/located_near rows that only exist after
+    rewriting).  Oracle: reachability via recursive CTE + min election
+    + the same two left-join rewrites in DuckDB."""
+    from lmss_entity_extractor_spark.graph.sameas import SAMEAS_PRED, sameas_resolve
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("nk")
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("name")
+    )
+    cn = c.filter(F.col("k") % 20 == 0).join(n, "nk")
+    inst = (
+        c.filter(F.col("k") % 10 == 0)
+        .select(
+            F.concat(F.lit("c:"), "k").alias("s"),
+            F.lit("located_in").alias("p"),
+            F.concat(F.lit("n:"), "nk").alias("o"),
+        )
+        .unionByName(
+            cn.select(
+                F.concat(F.lit("dup:"), "k").alias("s"),
+                F.lit("located_in").alias("p"),
+                F.concat(F.lit("nname:"), "name").alias("o"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("k") % 20 == 0).select(
+                F.concat(F.lit("dup:"), "k").alias("s"),
+                F.lit("type").alias("p"),
+                F.lit("Customer").alias("o"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("hq:"), "nk").alias("s"),
+                F.lit("located_near").alias("p"),
+                F.concat(F.lit("nname:"), "name").alias("o"),
+            )
+        )
+    )
+    sameas = (
+        c.filter(F.col("k") % 20 == 0)
+        .select(
+            F.concat(F.lit("dup:"), "k").alias("s"),
+            F.lit(SAMEAS_PRED).alias("p"),
+            F.concat(F.lit("c:"), "k").alias("o"),
+        )
+        .unionByName(
+            c.filter(F.col("k") % 40 == 0).select(
+                F.concat(F.lit("dup2:"), "k").alias("s"),
+                F.lit(SAMEAS_PRED).alias("p"),
+                F.concat(F.lit("dup:"), "k").alias("o"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("nname:"), "name").alias("s"),
+                F.lit(SAMEAS_PRED).alias("p"),
+                F.concat(F.lit("n:"), "nk").alias("o"),
+            )
+        )
+    )
+    return sameas_resolve(inst.unionByName(sameas))
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -1761,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "cooccur_pmi": q_cooccur_pmi,
         "rdfs_entail": q_rdfs_entail,
+        "sameas_resolve": q_sameas_resolve,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -3641,5 +3714,55 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM super_types
             UNION ALL SELECT * FROM closed_schema
         )
+    """
+    oracles["sameas_resolve"] = """
+        -- identity groups = reachability over the symmetric sameAs
+        -- graph (recursive CTE), canonical = component min, rewrite =
+        -- two left joins against the non-identity mapping slice
+        WITH RECURSIVE
+        cust AS (SELECT c_custkey AS k, c_nationkey AS nk FROM customer),
+        nat AS (SELECT n_nationkey AS nk, n_name AS name FROM nation),
+        inst AS (
+            SELECT 'c:' || k AS s, 'located_in' AS p, 'n:' || nk AS o
+            FROM cust WHERE k % 10 = 0
+            UNION ALL
+            SELECT 'dup:' || c.k, 'located_in', 'nname:' || n.name
+            FROM cust c JOIN nat n ON c.nk = n.nk WHERE c.k % 20 = 0
+            UNION ALL
+            SELECT 'dup:' || k, 'type', 'Customer' FROM cust WHERE k % 20 = 0
+            UNION ALL
+            SELECT 'hq:' || nk, 'located_near', 'nname:' || name FROM nat
+        ),
+        sameas AS (
+            SELECT 'dup:' || k AS src, 'c:' || k AS dst
+            FROM cust WHERE k % 20 = 0
+            UNION ALL
+            SELECT 'dup2:' || k, 'dup:' || k FROM cust WHERE k % 40 = 0
+            UNION ALL
+            SELECT 'nname:' || name, 'n:' || nk FROM nat
+        ),
+        und AS (
+            SELECT src AS a, dst AS b FROM sameas
+            UNION
+            SELECT dst, src FROM sameas
+        ),
+        reach AS (
+            SELECT a AS node, b AS r FROM und
+            UNION
+            SELECT reach.node, e.b FROM reach JOIN und e ON reach.r = e.a
+        ),
+        m AS (
+            SELECT node, canonical FROM (
+                SELECT node, least(node, min(r)) AS canonical
+                FROM reach GROUP BY node
+            ) WHERE node <> canonical
+        )
+        SELECT DISTINCT
+            coalesce(ms.canonical, i.s) AS s,
+            i.p,
+            coalesce(mo.canonical, i.o) AS o
+        FROM inst i
+        LEFT JOIN m ms ON i.s = ms.node
+        LEFT JOIN m mo ON i.o = mo.node
     """
     return oracles
