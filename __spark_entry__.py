@@ -1293,6 +1293,75 @@ def q_sameas_resolve(spark, sf_dir):
     return sameas_resolve(inst.unionByName(sameas))
 
 
+def q_shacl_violations(spark, sf_dir):
+    """SHACL-lite validation (L53, graph/shacl.py) over a triple fixture
+    seeded with every violation kind: missing located_in (minCount,
+    including the zero-count case), doubled located_in (maxCount),
+    malformed emails (pattern), and edges to untyped nodes (class).
+    Oracle: the same focus/count/value derivation in plain SQL — counts
+    via GROUP BY, pattern via anchored regexp_matches, class via NOT
+    EXISTS against the type slice."""
+    from lmss_entity_extractor_spark.graph.shacl import validate_shapes
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("nk")
+    )
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nk"))
+    triples = (
+        c.select(
+            F.concat(F.lit("c:"), "k").alias("s"),
+            F.lit("rdf:type").alias("p"),
+            F.lit("Customer").alias("o"),
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n:"), "nk").alias("s"),
+                F.lit("rdf:type").alias("p"),
+                F.lit("Nation").alias("o"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("k") % 30 != 0).select(
+                F.concat(F.lit("c:"), "k").alias("s"),
+                F.lit("located_in").alias("p"),
+                F.concat(F.lit("n:"), "nk").alias("o"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("k") % 40 == 0).select(
+                F.concat(F.lit("c:"), "k").alias("s"),
+                F.lit("located_in").alias("p"),
+                F.concat(F.lit("n:"), (F.col("nk") + 1) % 25).alias("o"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("k") % 50 == 0).select(
+                F.concat(F.lit("c:"), "k").alias("s"),
+                F.lit("located_in").alias("p"),
+                F.concat(F.lit("x:"), "k").alias("o"),
+            )
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("c:"), "k").alias("s"),
+                F.lit("email").alias("p"),
+                F.when(F.col("k") % 20 == 0, F.lit("bad"))
+                .otherwise(F.concat(F.lit("u"), "k", F.lit("@ex.com")))
+                .alias("o"),
+            )
+        )
+    )
+    shapes = spark.createDataFrame(
+        [
+            ("CustShape", "Customer", "located_in", 1, 1, None, "Nation"),
+            ("CustShape", "Customer", "email", None, None, "^[^@]+@[^@]+$", None),
+        ],
+        "shape_id string, target_class string, path string, min_count int, "
+        "max_count int, pattern string, value_class string",
+    )
+    return validate_shapes(triples, shapes)
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -1834,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccur_pmi": q_cooccur_pmi,
         "rdfs_entail": q_rdfs_entail,
         "sameas_resolve": q_sameas_resolve,
+        "shacl_violations": q_shacl_violations,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -3764,5 +3834,81 @@ def oracle_sql() -> dict[str, str]:
         FROM inst i
         LEFT JOIN m ms ON i.s = ms.node
         LEFT JOIN m mo ON i.o = mo.node
+    """
+    oracles["shacl_violations"] = """
+        -- same focus/count/value derivation in plain SQL: GROUP BY for
+        -- cardinalities, anchored regexp for sh:pattern, NOT EXISTS
+        -- against the type slice for sh:class
+        WITH cust AS (
+            SELECT c_custkey AS k, c_nationkey AS nk FROM customer
+            WHERE c_custkey % 10 = 0
+        ),
+        nat AS (SELECT n_nationkey AS nk FROM nation),
+        triples AS (
+            SELECT 'c:' || k AS s, 'rdf:type' AS p, 'Customer' AS o FROM cust
+            UNION ALL SELECT 'n:' || nk, 'rdf:type', 'Nation' FROM nat
+            UNION ALL
+            SELECT 'c:' || k, 'located_in', 'n:' || nk FROM cust WHERE k % 30 <> 0
+            UNION ALL
+            SELECT 'c:' || k, 'located_in', 'n:' || ((nk + 1) % 25)
+            FROM cust WHERE k % 40 = 0
+            UNION ALL
+            SELECT 'c:' || k, 'located_in', 'x:' || k FROM cust WHERE k % 50 = 0
+            UNION ALL
+            SELECT 'c:' || k, 'email',
+                   CASE WHEN k % 20 = 0 THEN 'bad'
+                        ELSE 'u' || k || '@ex.com' END
+            FROM cust
+        ),
+        shapes AS (
+            SELECT * FROM (VALUES
+                ('CustShape', 'Customer', 'located_in',
+                 1, 1, CAST(NULL AS VARCHAR), 'Nation'),
+                ('CustShape', 'Customer', 'email',
+                 CAST(NULL AS INT), CAST(NULL AS INT),
+                 '^[^@]+@[^@]+$', CAST(NULL AS VARCHAR))
+            ) AS t(shape_id, target_class, path,
+                   min_count, max_count, pattern, value_class)
+        ),
+        focus AS (
+            SELECT t.s AS focus, sh.shape_id, sh.path, sh.min_count,
+                   sh.max_count, sh.pattern, sh.value_class
+            FROM triples t JOIN shapes sh
+              ON t.p = 'rdf:type' AND t.o = sh.target_class
+        ),
+        counts AS (
+            SELECT s AS focus, p AS path, count(*) AS n
+            FROM triples GROUP BY 1, 2
+        ),
+        carded AS (
+            SELECT f.focus, f.shape_id, f.path, f.min_count, f.max_count,
+                   coalesce(c.n, 0) AS n
+            FROM focus f
+            LEFT JOIN counts c ON c.focus = f.focus AND c.path = f.path
+            WHERE f.min_count IS NOT NULL OR f.max_count IS NOT NULL
+        ),
+        vals AS (
+            SELECT DISTINCT f.focus, f.shape_id, f.path, f.pattern,
+                   f.value_class, t.o
+            FROM focus f
+            JOIN triples t ON t.s = f.focus AND t.p = f.path
+            WHERE f.pattern IS NOT NULL OR f.value_class IS NOT NULL
+        )
+        SELECT focus, shape_id, path, 'minCount' AS "constraint",
+               CAST(n AS VARCHAR) AS actual
+        FROM carded WHERE min_count IS NOT NULL AND n < min_count
+        UNION ALL
+        SELECT focus, shape_id, path, 'maxCount', CAST(n AS VARCHAR)
+        FROM carded WHERE max_count IS NOT NULL AND n > max_count
+        UNION ALL
+        SELECT focus, shape_id, path, 'pattern', o
+        FROM vals WHERE pattern IS NOT NULL AND NOT regexp_matches(o, pattern)
+        UNION ALL
+        SELECT v.focus, v.shape_id, v.path, 'class', v.o
+        FROM vals v
+        WHERE v.value_class IS NOT NULL AND NOT EXISTS (
+            SELECT 1 FROM triples t
+            WHERE t.s = v.o AND t.p = 'rdf:type' AND t.o = v.value_class
+        )
     """
     return oracles
