@@ -1362,6 +1362,48 @@ def q_shacl_violations(spark, sf_dir):
     return validate_shapes(triples, shapes)
 
 
+def q_bgp_match(spark, sf_dir):
+    """SPARQL BGP matching (L54, graph/bgp.py): a 3-pattern chain query
+    (?o placed_by ?c)(?c located_in ?n)(?n rdf:type Nation) compiled to
+    DataFrame joins over an order→customer→nation triple graph where
+    only regions 0-2 nations are typed — the type pattern genuinely
+    filters.  Oracle: the equivalent 3-way SQL join."""
+    from lmss_entity_extractor_spark.graph.bgp import bgp_match
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    triples = (
+        o.select(
+            F.concat(F.lit("o:"), "o_orderkey").alias("s"),
+            F.lit("placed_by").alias("p"),
+            F.concat(F.lit("c:"), "o_custkey").alias("o"),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("c:"), "c_custkey").alias("s"),
+                F.lit("located_in").alias("p"),
+                F.concat(F.lit("n:"), "c_nationkey").alias("o"),
+            )
+        )
+        .unionByName(
+            n.filter(F.col("n_regionkey") < 3).select(
+                F.concat(F.lit("n:"), "n_nationkey").alias("s"),
+                F.lit("rdf:type").alias("p"),
+                F.lit("Nation").alias("o"),
+            )
+        )
+    )
+    return bgp_match(
+        triples,
+        [
+            ("?o", "placed_by", "?c"),
+            ("?c", "located_in", "?n"),
+            ("?n", "rdf:type", "Nation"),
+        ],
+    )
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -1904,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_entail": q_rdfs_entail,
         "sameas_resolve": q_sameas_resolve,
         "shacl_violations": q_shacl_violations,
+        "bgp_match": q_bgp_match,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -3910,5 +3953,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1 FROM triples t
             WHERE t.s = v.o AND t.p = 'rdf:type' AND t.o = v.value_class
         )
+    """
+    oracles["bgp_match"] = """
+        -- the BGP chain as a plain 3-way join; columns sorted by
+        -- variable name (c, n, o) to match the matcher's contract
+        SELECT 'c:' || c.c_custkey AS c,
+               'n:' || n.n_nationkey AS n,
+               'o:' || o.o_orderkey AS o
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderkey % 100 = 0 AND n.n_regionkey < 3
     """
     return oracles

@@ -1,0 +1,125 @@
+"""SPARQL basic-graph-pattern (BGP) matching over a triple table:
+compile a list of triple patterns with shared variables into a
+DataFrame join plan and return the solution mappings — the read-side
+query surface of a KG engine (SPARQL 1.1 §18.3.1, restricted to BGPs;
+FILTER/OPTIONAL/UNION compose on top as plain DataFrame ops).
+
+Pattern syntax: each pattern is a (s, p, o) string triple; a term
+starting with ``?`` is a variable, anything else is a constant.  The
+result has ONE COLUMN PER DISTINCT VARIABLE (named without the ``?``)
+and one row per solution mapping.  Because an RDF graph is a SET of
+triples, every per-pattern relation is duplicate-free over its
+variable columns, and inner-joining on the shared variables keeps the
+result duplicate-free — SPARQL's multiset semantics degenerates to
+set semantics here, with multiplicity 1 (documented; no distinct is
+spent enforcing it).
+
+Compilation, Spark-first:
+
+- each pattern = one filter of the SAME scan by its constants (+ an
+  equality filter when a variable repeats inside the pattern), then a
+  rename-projection of its variable positions — Catalyst pushes the
+  constant filters into the parquet scan and prunes to s/p/o columns;
+- patterns are folded left-to-right with inner equi-joins on the
+  variables shared with everything already folded (the caller's
+  pattern order is the join order — selective patterns first is the
+  classic BGP heuristic; AQE still re-plans sides at runtime);
+- a pattern sharing NO variable with the prefix is a genuine cross
+  product (SPARQL allows it); it is built with an explicit crossJoin
+  so the plan says what the query says;
+- a pattern with NO variables is an existence gate: the result keeps
+  all other solutions if the triple is present, else is empty —
+  compiled as a crossJoin with a ``limit(1)`` probe.
+
+Scale shape (100 TB triples): every join is a hash equi-join on
+binding columns; nothing driver-side.  For star queries (shared
+subject variable) the folds chain on one key — a single shuffle
+partitioning is reused across stages.  Predicate-constant patterns
+benefit from a table PARTITIONED BY predicate (partition pruning);
+that layout choice belongs to the caller's sink.
+
+Reference counterpart: the reference answers fixed questions with
+hand-written Python loops over its JSON graph (`app/lmss_search.py`);
+a declarative BGP surface is part of the beyond-reference mandate
+(SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_POSITIONS = ("s", "p", "o")
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _var_name(term: str) -> str:
+    name = term[1:]
+    if not name:
+        raise ValueError("bare '?' is not a valid variable name")
+    return name
+
+
+def bgp_match(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    *,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """Match ``patterns`` against ``triples`` and return the solution
+    mappings, one column per distinct variable."""
+    if not patterns:
+        raise ValueError("bgp_match: empty pattern list")
+    for pat in patterns:
+        if len(pat) != 3:
+            raise ValueError(f"pattern must have 3 terms, got {pat!r}")
+
+    g = triples.select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
+    )
+
+    result: DataFrame | None = None
+    bound: set[str] = set()
+    gates: list[DataFrame] = []
+    for i, pat in enumerate(patterns):
+        rel = g
+        # constant filters first — these reach the scan
+        for pos, term in zip(_POSITIONS, pat):
+            if not _is_var(term):
+                rel = rel.filter(F.col(pos) == term)
+        # repeated-variable equality inside one pattern (?x p ?x)
+        seen: dict[str, str] = {}
+        for pos, term in zip(_POSITIONS, pat):
+            if _is_var(term):
+                v = _var_name(term)
+                if v in seen:
+                    rel = rel.filter(F.col(seen[v]) == F.col(pos))
+                else:
+                    seen[v] = pos
+        if not seen:
+            # variable-free pattern: existence gate, applied at the end
+            gates.append(rel.limit(1).select(F.lit(1).alias(f"_exists_{i}")))
+            continue
+        rel = rel.select(*(F.col(pos).alias(v) for v, pos in seen.items()))
+        if result is None:
+            result = rel
+        else:
+            keys = sorted(bound & set(seen))
+            result = result.join(rel, keys) if keys else result.crossJoin(rel)
+        bound |= set(seen)
+
+    if result is None:
+        # all patterns were existence gates: one row iff every gated
+        # triple is present, surfaced as a single constant column
+        out = gates[0]
+        for gate in gates[1:]:
+            out = out.crossJoin(gate)
+        return out.select(F.lit(1).alias("matched"))
+    for gate in gates:
+        result = result.crossJoin(gate)
+    return result.select(*sorted(bound))
