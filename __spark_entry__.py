@@ -1404,6 +1404,48 @@ def q_bgp_match(spark, sf_dir):
     )
 
 
+def q_property_path(spark, sf_dir):
+    """SPARQL property paths (L55, graph/proppath.py): the expression
+    placed_by / (located_in | in_state) / within*  — sequence,
+    alternative, and zero-or-more in one query — over an order→customer
+    →nation→region triple graph where customers split between two
+    location predicates.  The star's zero-length arm keeps the (order,
+    nation) pairs; its one-hop arm adds (order, region).  Oracle: both
+    arms derived by plain joins and UNION'd."""
+    from lmss_entity_extractor_spark.graph.proppath import property_path
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    triples = (
+        o.select(
+            F.concat(F.lit("o:"), "o_orderkey").alias("s"),
+            F.lit("placed_by").alias("p"),
+            F.concat(F.lit("c:"), "o_custkey").alias("o"),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("c:"), "c_custkey").alias("s"),
+                F.when(F.col("c_custkey") % 2 == 0, F.lit("located_in"))
+                .otherwise(F.lit("in_state"))
+                .alias("p"),
+                F.concat(F.lit("n:"), "c_nationkey").alias("o"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n:"), "n_nationkey").alias("s"),
+                F.lit("within").alias("p"),
+                F.concat(F.lit("r:"), "n_regionkey").alias("o"),
+            )
+        )
+    )
+    return property_path(
+        triples,
+        ("seq", "placed_by", ("alt", "located_in", "in_state"), ("star", "within")),
+    )
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -1947,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sameas_resolve": q_sameas_resolve,
         "shacl_violations": q_shacl_violations,
         "bgp_match": q_bgp_match,
+        "property_path": q_property_path,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -3964,5 +4007,26 @@ def oracle_sql() -> dict[str, str]:
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         WHERE o.o_orderkey % 100 = 0 AND n.n_regionkey < 3
+    """
+    oracles["property_path"] = """
+        -- placed_by / (located_in | in_state) / within* — the star's
+        -- zero-length arm is the base pairs, its one-hop arm joins the
+        -- nation->region slice; UNION gives the distinct path relation
+        WITH oc AS (
+            SELECT 'o:' || o_orderkey AS subj, 'c:' || o_custkey AS c
+            FROM orders WHERE o_orderkey % 100 = 0
+        ),
+        cn AS (
+            SELECT 'c:' || c_custkey AS c, 'n:' || c_nationkey AS n
+            FROM customer
+        ),
+        nr AS (
+            SELECT 'n:' || n_nationkey AS n, 'r:' || n_regionkey AS r
+            FROM nation
+        ),
+        base AS (SELECT DISTINCT oc.subj, cn.n FROM oc JOIN cn ON oc.c = cn.c)
+        SELECT subj, n AS obj FROM base
+        UNION
+        SELECT b.subj, nr.r FROM base b JOIN nr ON b.n = nr.n
     """
     return oracles
