@@ -109,10 +109,16 @@ def validate_shapes(
         "value_class",
     )
 
-    # one combinable count per (subject, predicate) — shared by both
-    # cardinality constraints
-    counts = g.groupBy(F.col("s").alias("focus"), F.col("p").alias("path")).agg(
-        F.count(F.lit(1)).alias("_n")
+    # one combinable count per (subject, predicate), over ONLY the
+    # shape-referenced predicates (broadcast semi-join keeps the 100 TB
+    # aggregate proportional to the validated slice; zero-counts still
+    # come from the left join below) — shared by both cardinality
+    # constraints
+    shape_paths = F.broadcast(shapes.select(F.col("path")).distinct())
+    counts = (
+        g.join(shape_paths, g["p"] == shape_paths["path"], "left_semi")
+        .groupBy(F.col("s").alias("focus"), F.col("p").alias("path"))
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
     carded = (
         focus.filter(F.col("min_count").isNotNull() | F.col("max_count").isNotNull())
