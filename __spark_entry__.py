@@ -1446,6 +1446,41 @@ def q_property_path(spark, sf_dir):
     )
 
 
+def q_ntriples_roundtrip(spark, sf_dir):
+    """N-Triples I/O (L56, graph/ntriples.py): format part-table facts
+    as NT lines — literals deliberately seeded with quotes, a
+    backslash, a newline and a tab, plus @en tags and plain IRIs —
+    then PARSE the lines back.  The oracle derives the expected parsed
+    rows directly from the table, so any escaping or grammar defect in
+    either direction breaks the hash."""
+    from lmss_entity_extractor_spark.graph.ntriples import (
+        parse_ntriples,
+        to_ntriples,
+    )
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    trips = part.select(
+        F.concat(F.lit("part:"), "p_partkey").alias("s"),
+        F.lit("hasName").alias("p"),
+        F.concat(F.lit('say "'), F.col("p_name"), F.lit('"\\\n\tend')).alias("o"),
+        F.lit("literal").alias("o_kind"),
+        F.when(F.col("p_partkey") % 40 == 0, F.lit("en"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("lang"),
+        F.lit(None).cast("string").alias("datatype"),
+    ).unionByName(
+        part.select(
+            F.concat(F.lit("part:"), "p_partkey").alias("s"),
+            F.lit("hasBrand").alias("p"),
+            F.concat(F.lit("brand:"), "p_brand").alias("o"),
+            F.lit("iri").alias("o_kind"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("datatype"),
+        )
+    )
+    return parse_ntriples(to_ntriples(trips))
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -1990,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_violations": q_shacl_violations,
         "bgp_match": q_bgp_match,
         "property_path": q_property_path,
+        "ntriples_roundtrip": q_ntriples_roundtrip,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -4028,5 +4064,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT subj, n AS obj FROM base
         UNION
         SELECT b.subj, nr.r FROM base b JOIN nr ON b.n = nr.n
+    """
+    oracles["ntriples_roundtrip"] = """
+        -- the expected parse of the formatted lines IS the source
+        -- relation: identity derivation, no NT machinery in the oracle
+        SELECT 'part:' || p_partkey AS s,
+               'hasName' AS p,
+               'say "' || p_name || '"\\' || chr(10) || chr(9) || 'end' AS o,
+               'literal' AS o_kind,
+               CASE WHEN p_partkey % 40 = 0 THEN 'en' END AS lang,
+               CAST(NULL AS VARCHAR) AS datatype
+        FROM part WHERE p_partkey % 20 = 0
+        UNION ALL
+        SELECT 'part:' || p_partkey, 'hasBrand', 'brand:' || p_brand,
+               'iri', NULL, NULL
+        FROM part WHERE p_partkey % 20 = 0
     """
     return oracles
