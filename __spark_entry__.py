@@ -1481,6 +1481,43 @@ def q_ntriples_roundtrip(spark, sf_dir):
     return parse_ntriples(to_ntriples(trips))
 
 
+def q_resolve_entities(spark, sf_dir):
+    """Entity resolution (L57, graph/er.py) over name-variant records
+    seeded from the customer table: base / 4-of-5-token variant /
+    distractor per key.  Exercises the stop-token guard (shared tokens
+    like 'cust'/'alpha' exceed the block cap at sf0.01 but not all do
+    at sf0.001 — the Jaccard still rejects cross-key pairs either
+    way), the exact-rational 0.8 boundary (4/5 MUST match), and
+    cluster totality.  Oracle: the whole pipeline re-derived in SQL —
+    token lists, block counts, pair join, list_intersect Jaccard with
+    the same integer cross-multiplication, recursive-CTE components."""
+    from lmss_entity_extractor_spark.graph.er import resolve_entities
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    recs = (
+        c.filter(F.col("k") % 10 == 0)
+        .select(
+            F.concat(F.lit("b:"), "k").alias("node_id"),
+            F.concat(F.lit("cust "), "k", F.lit(" alpha beta")).alias("name"),
+        )
+        .unionByName(
+            c.filter(F.col("k") % 20 == 0).select(
+                F.concat(F.lit("v:"), "k").alias("node_id"),
+                F.concat(F.lit("cust "), "k", F.lit(" alpha beta gamma")).alias(
+                    "name"
+                ),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("k") % 30 == 0).select(
+                F.concat(F.lit("d:"), "k").alias("node_id"),
+                F.concat(F.lit("cust "), "k", F.lit(" delta")).alias("name"),
+            )
+        )
+    )
+    return resolve_entities(recs, threshold=0.8, max_block_size=50)
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -2026,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_match": q_bgp_match,
         "property_path": q_property_path,
         "ntriples_roundtrip": q_ntriples_roundtrip,
+        "resolve_entities": q_resolve_entities,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -4079,5 +4117,58 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'part:' || p_partkey, 'hasBrand', 'brand:' || p_brand,
                'iri', NULL, NULL
         FROM part WHERE p_partkey % 20 = 0
+    """
+    oracles["resolve_entities"] = """
+        -- the ER pipeline re-derived: token lists, stop-token-capped
+        -- blocks, pair join, EXACT Jaccard (i*5 >= 4*u — same integer
+        -- cross-multiplication as the engine), recursive components,
+        -- totality via left join
+        WITH RECURSIVE
+        recs AS (
+            SELECT 'b:' || c_custkey AS id,
+                   'cust ' || c_custkey || ' alpha beta' AS name
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT 'v:' || c_custkey,
+                   'cust ' || c_custkey || ' alpha beta gamma'
+            FROM customer WHERE c_custkey % 20 = 0
+            UNION ALL
+            SELECT 'd:' || c_custkey, 'cust ' || c_custkey || ' delta'
+            FROM customer WHERE c_custkey % 30 = 0
+        ),
+        toks AS (
+            SELECT id, list_distinct(string_split(name, ' ')) AS t FROM recs
+        ),
+        blocks AS (SELECT id, unnest(t) AS tok FROM toks),
+        keep AS (SELECT tok FROM blocks GROUP BY tok HAVING count(*) <= 50),
+        kb AS (SELECT b.id, b.tok FROM blocks b JOIN keep k ON b.tok = k.tok),
+        pairs AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM kb a JOIN kb b ON a.tok = b.tok AND a.id < b.id
+        ),
+        scored AS (
+            SELECT p.id_a, p.id_b,
+                   len(list_intersect(ta.t, tb.t)) AS i,
+                   len(list_distinct(list_concat(ta.t, tb.t))) AS u
+            FROM pairs p
+            JOIN toks ta ON ta.id = p.id_a
+            JOIN toks tb ON tb.id = p.id_b
+        ),
+        edges AS (SELECT id_a, id_b FROM scored WHERE i * 5 >= 4 * u),
+        und AS (
+            SELECT id_a AS a, id_b AS b FROM edges
+            UNION SELECT id_b, id_a FROM edges
+        ),
+        reach AS (
+            SELECT a AS node, b AS r FROM und
+            UNION
+            SELECT reach.node, e.b FROM reach JOIN und e ON reach.r = e.a
+        ),
+        canon AS (
+            SELECT node, least(node, min(r)) AS canonical
+            FROM reach GROUP BY node
+        )
+        SELECT r.id AS node_id, coalesce(c.canonical, r.id) AS canonical_id
+        FROM recs r LEFT JOIN canon c ON c.node = r.id
     """
     return oracles
