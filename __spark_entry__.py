@@ -1221,16 +1221,11 @@ def q_rdfs_entail(spark, sf_dir):
     return rdfs_entail(inst, schema)
 
 
-def q_sameas_resolve(spark, sf_dir):
-    """owl:sameAs smushing (L52, graph/sameas.py): connected-component
-    canonical-IRI election over the sameAs graph, then subject+object
-    rewrite of the fact table.  The fixture exercises chains of length
-    3 (dup2 ~ dup ~ c), object-position aliases (nname ~ n), fact
-    collapse (dup facts merging into asserted canonical facts) and
-    novel derived facts (type/located_near rows that only exist after
-    rewriting).  Oracle: reachability via recursive CTE + min election
-    + the same two left-join rewrites in DuckDB."""
-    from lmss_entity_extractor_spark.graph.sameas import SAMEAS_PRED, sameas_resolve
+def _sameas_fixture(spark, sf_dir):
+    """Shared identity-graph fixture for `sameas_resolve` and
+    `kg_publish`: instance facts asserted on canonical AND alias ids
+    (both positions), plus sameAs chains of length 3."""
+    from lmss_entity_extractor_spark.graph.sameas import SAMEAS_PRED
 
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("nk")
@@ -1290,7 +1285,46 @@ def q_sameas_resolve(spark, sf_dir):
             )
         )
     )
-    return sameas_resolve(inst.unionByName(sameas))
+    return inst.unionByName(sameas)
+
+
+def q_sameas_resolve(spark, sf_dir):
+    """owl:sameAs smushing (L52, graph/sameas.py): connected-component
+    canonical-IRI election over the sameAs graph, then subject+object
+    rewrite of the fact table.  The fixture exercises chains of length
+    3 (dup2 ~ dup ~ c), object-position aliases (nname ~ n), fact
+    collapse (dup facts merging into asserted canonical facts) and
+    novel derived facts (type/located_near rows that only exist after
+    rewriting).  Oracle: reachability via recursive CTE + min election
+    + the same two left-join rewrites in DuckDB."""
+    from lmss_entity_extractor_spark.graph.sameas import sameas_resolve
+
+    return sameas_resolve(_sameas_fixture(spark, sf_dir))
+
+
+def q_kg_publish(spark, sf_dir):
+    """Composed KG publish (L52∘L51): sameAs smushing, then RDFS
+    entailment over the resolved graph (type_pred='type', a 4-rule
+    schema with a domain declared on the SUPERPROPERTY so rdfs2 only
+    fires through rdfs7's lifting — the stratification is load-
+    bearing), then a per-predicate profile of the published graph.
+    One lazy plan end-to-end.  Oracle: the L52 resolution CTEs feeding
+    the rule arms and the same GROUP BY."""
+    from lmss_entity_extractor_spark.graph.rdfs import rdfs_entail
+    from lmss_entity_extractor_spark.graph.sameas import sameas_resolve
+
+    resolved = sameas_resolve(_sameas_fixture(spark, sf_dir))
+    schema = spark.createDataFrame(
+        [
+            ("located_in", "rdfs:subPropertyOf", "within"),
+            ("within", "rdfs:domain", "Customer"),
+            ("within", "rdfs:range", "Place"),
+            ("Customer", "rdfs:subClassOf", "Party"),
+        ],
+        "s string, p string, o string",
+    )
+    entailed = rdfs_entail(resolved, schema, type_pred="type")
+    return entailed.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
 
 
 def q_shacl_violations(spark, sf_dir):
@@ -2064,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_path": q_property_path,
         "ntriples_roundtrip": q_ntriples_roundtrip,
         "resolve_entities": q_resolve_entities,
+        "kg_publish": q_kg_publish,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -4170,5 +4205,94 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT r.id AS node_id, coalesce(c.canonical, r.id) AS canonical_id
         FROM recs r LEFT JOIN canon c ON c.node = r.id
+    """
+    oracles["kg_publish"] = """
+        -- L52 resolution CTEs feeding the rdfs rule arms (the schema's
+        -- two hierarchies are single edges, so their strict closures
+        -- are the schema rows themselves), then the predicate profile
+        WITH RECURSIVE
+        cust AS (SELECT c_custkey AS k, c_nationkey AS nk FROM customer),
+        nat AS (SELECT n_nationkey AS nk, n_name AS name FROM nation),
+        inst AS (
+            SELECT 'c:' || k AS s, 'located_in' AS p, 'n:' || nk AS o
+            FROM cust WHERE k % 10 = 0
+            UNION ALL
+            SELECT 'dup:' || c.k, 'located_in', 'nname:' || n.name
+            FROM cust c JOIN nat n ON c.nk = n.nk WHERE c.k % 20 = 0
+            UNION ALL
+            SELECT 'dup:' || k, 'type', 'Customer' FROM cust WHERE k % 20 = 0
+            UNION ALL
+            SELECT 'hq:' || nk, 'located_near', 'nname:' || name FROM nat
+        ),
+        sameas AS (
+            SELECT 'dup:' || k AS src, 'c:' || k AS dst
+            FROM cust WHERE k % 20 = 0
+            UNION ALL
+            SELECT 'dup2:' || k, 'dup:' || k FROM cust WHERE k % 40 = 0
+            UNION ALL
+            SELECT 'nname:' || name, 'n:' || nk FROM nat
+        ),
+        und AS (
+            SELECT src AS a, dst AS b FROM sameas
+            UNION
+            SELECT dst, src FROM sameas
+        ),
+        reach AS (
+            SELECT a AS node, b AS r FROM und
+            UNION
+            SELECT reach.node, e.b FROM reach JOIN und e ON reach.r = e.a
+        ),
+        m AS (
+            SELECT node, canonical FROM (
+                SELECT node, least(node, min(r)) AS canonical
+                FROM reach GROUP BY node
+            ) WHERE node <> canonical
+        ),
+        resolved AS (
+            SELECT DISTINCT
+                coalesce(ms.canonical, i.s) AS s,
+                i.p,
+                coalesce(mo.canonical, i.o) AS o
+            FROM inst i
+            LEFT JOIN m ms ON i.s = ms.node
+            LEFT JOIN m mo ON i.o = mo.node
+        ),
+        schema_rows AS (
+            SELECT * FROM (VALUES
+                ('located_in', 'rdfs:subPropertyOf', 'within'),
+                ('within', 'rdfs:domain', 'Customer'),
+                ('within', 'rdfs:range', 'Place'),
+                ('Customer', 'rdfs:subClassOf', 'Party')
+            ) AS t(s, p, o)
+        ),
+        lifted AS (
+            SELECT s, 'within' AS p, o FROM resolved WHERE p = 'located_in'
+        ),
+        g1 AS (SELECT * FROM resolved UNION ALL SELECT * FROM lifted),
+        typed_dom AS (
+            SELECT s, 'type' AS p, 'Customer' AS o FROM g1 WHERE p = 'within'
+        ),
+        typed_rng AS (
+            SELECT o AS s, 'type' AS p, 'Place' AS o FROM g1 WHERE p = 'within'
+        ),
+        types AS (
+            SELECT s, p, o FROM g1 WHERE p = 'type'
+            UNION ALL SELECT * FROM typed_dom
+            UNION ALL SELECT * FROM typed_rng
+        ),
+        super_types AS (
+            SELECT s, p, 'Party' AS o FROM types WHERE o = 'Customer'
+        ),
+        entailed AS (
+            SELECT DISTINCT s, p, o FROM (
+                SELECT * FROM resolved
+                UNION ALL SELECT * FROM schema_rows
+                UNION ALL SELECT * FROM lifted
+                UNION ALL SELECT * FROM typed_dom
+                UNION ALL SELECT * FROM typed_rng
+                UNION ALL SELECT * FROM super_types
+            )
+        )
+        SELECT p, count(*) AS n FROM entailed GROUP BY p
     """
     return oracles
