@@ -1552,6 +1552,23 @@ def q_resolve_entities(spark, sf_dir):
     return resolve_entities(recs, threshold=0.8, max_block_size=50)
 
 
+def q_negative_samples(spark, sf_dir):
+    """Deterministic KG negative sampling (L58, graph/negsample.py):
+    k=2 filtered corruptions per side over customer→nation positives.
+    Oracle: identical md5-prefix pick hash, identical md5-ordered pool
+    ranking, identical original-entity and filtered-positive drops —
+    the negatives are re-minted entity-for-entity in DuckDB."""
+    from lmss_entity_extractor_spark.graph.negsample import negative_samples
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    pos = c.select(
+        F.concat(F.lit("c:"), "c_custkey").alias("s"),
+        F.lit("located_in").alias("p"),
+        F.concat(F.lit("n:"), "c_nationkey").alias("o"),
+    )
+    return negative_samples(pos, k=2, corrupt="both", seed=0)
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -2099,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples_roundtrip": q_ntriples_roundtrip,
         "resolve_entities": q_resolve_entities,
         "kg_publish": q_kg_publish,
+        "negative_samples": q_negative_samples,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -4294,5 +4312,47 @@ def oracle_sql() -> dict[str, str]:
             )
         )
         SELECT p, count(*) AS n FROM entailed GROUP BY p
+    """
+    oracles["negative_samples"] = """
+        -- negatives re-minted: md5-ordered pool ranks, md5-prefix pick
+        -- hash per (triple, i, side), original-entity drop, filtered
+        -- anti-join — entity-for-entity identical to the engine
+        WITH pos AS (
+            SELECT DISTINCT 'c:' || c_custkey AS s, 'located_in' AS p,
+                   'n:' || c_nationkey AS o
+            FROM customer WHERE c_custkey % 10 = 0
+        ),
+        pool AS (
+            SELECT ent, row_number() OVER (ORDER BY md5(ent), ent) - 1 AS rk
+            FROM (SELECT s AS ent FROM pos UNION SELECT o FROM pos)
+        ),
+        nn AS (SELECT count(*) AS n FROM pool),
+        arms AS (
+            SELECT * FROM (VALUES
+                ('subject', 0), ('subject', 1), ('object', 0), ('object', 1)
+            ) AS t(side, i)
+        ),
+        picked AS (
+            SELECT pos.s, pos.p, pos.o, a.side, a.i, pl.ent AS repl
+            FROM pos CROSS JOIN arms a CROSS JOIN nn
+            JOIN pool pl ON pl.rk = CAST('0x' || substring(
+                md5(pos.s || ':' || pos.p || ':' || pos.o || ':'
+                    || a.i || ':' || a.side || ':' || 0),
+                1, 12) AS BIGINT) % nn.n
+        ),
+        cand AS (
+            SELECT CASE WHEN side = 'subject' THEN repl ELSE s END AS s,
+                   p,
+                   CASE WHEN side = 'object' THEN repl ELSE o END AS o,
+                   i AS neg_idx, side AS corrupted
+            FROM picked
+            WHERE (side = 'subject' AND repl <> s)
+               OR (side = 'object' AND repl <> o)
+        )
+        SELECT c.s, c.p, c.o, c.neg_idx, c.corrupted FROM cand c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pos p2
+            WHERE p2.s = c.s AND p2.p = c.p AND p2.o = c.o
+        )
     """
     return oracles
