@@ -2,3 +2,11 @@ from .closure import transitive_closure  # noqa: F401
 from .triples import emit_triples  # noqa: F401
 from .canonicalize import canonicalize_triples, build_nodes  # noqa: F401
 from .export import edges_to_turtle  # noqa: F401
+from .rdfs import rdfs_entail  # noqa: F401
+from .sameas import sameas_mapping, sameas_resolve  # noqa: F401
+from .shacl import validate_shapes  # noqa: F401
+from .bgp import bgp_match  # noqa: F401
+from .proppath import property_path  # noqa: F401
+from .ntriples import parse_ntriples, to_ntriples  # noqa: F401
+from .er import match_pairs, resolve_entities  # noqa: F401
+from .negsample import negative_samples  # noqa: F401
