@@ -119,8 +119,22 @@ def rdfs_entail(
         sch = g.filter(F.col("p").isin(*_SCHEMA_PREDS))
         inst = g.filter(~F.col("p").isin(*_SCHEMA_PREDS))
     else:
+        # a separately-passed schema may use the triples' column names
+        # or the plain s/p/o spelling (the usual literal-DataFrame case
+        # when the fact table has renamed columns like subj/pred/obj)
+        if s_col in schema.columns:
+            cols = (s_col, p_col, o_col)
+        elif "s" in schema.columns:
+            cols = ("s", "p", "o")
+        else:
+            raise ValueError(
+                f"schema must carry columns ({s_col}, {p_col}, {o_col}) or "
+                f"(s, p, o); got {schema.columns}"
+            )
         sch = schema.select(
-            F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
+            F.col(cols[0]).alias("s"),
+            F.col(cols[1]).alias("p"),
+            F.col(cols[2]).alias("o"),
         )
         inst = g
     _reject_meta_schema(sch, type_pred)
