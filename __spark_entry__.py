@@ -1396,14 +1396,10 @@ def q_shacl_violations(spark, sf_dir):
     return validate_shapes(triples, shapes)
 
 
-def q_bgp_match(spark, sf_dir):
-    """SPARQL BGP matching (L54, graph/bgp.py): a 3-pattern chain query
-    (?o placed_by ?c)(?c located_in ?n)(?n rdf:type Nation) compiled to
-    DataFrame joins over an order→customer→nation triple graph where
-    only regions 0-2 nations are typed — the type pattern genuinely
-    filters.  Oracle: the equivalent 3-way SQL join."""
-    from lmss_entity_extractor_spark.graph.bgp import bgp_match
-
+def _bgp_fixture(spark, sf_dir):
+    """Order→customer→nation triple graph where only regions 0-2
+    nations carry rdf:type — shared by the BGP chain and OPTIONAL
+    contract queries."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -1428,13 +1424,40 @@ def q_bgp_match(spark, sf_dir):
             )
         )
     )
+    return triples
+
+
+def q_bgp_match(spark, sf_dir):
+    """SPARQL BGP matching (L54, graph/bgp.py): a 3-pattern chain query
+    (?o placed_by ?c)(?c located_in ?n)(?n rdf:type Nation) compiled to
+    DataFrame joins over an order→customer→nation triple graph where
+    only regions 0-2 nations are typed — the type pattern genuinely
+    filters.  Oracle: the equivalent 3-way SQL join."""
+    from lmss_entity_extractor_spark.graph.bgp import bgp_match
+
     return bgp_match(
-        triples,
+        _bgp_fixture(spark, sf_dir),
         [
             ("?o", "placed_by", "?c"),
             ("?c", "located_in", "?n"),
             ("?n", "rdf:type", "Nation"),
         ],
+    )
+
+
+def q_bgp_optional(spark, sf_dir):
+    """SPARQL OPTIONAL + FILTER (graph/bgp.py bgp_query): the chain
+    WHERE with an OPTIONAL type group — untyped nations (regions 3-4)
+    survive with a NULL ?t — and a FILTER referencing the optional
+    variable (the spec-mandated filter-after-LeftJoin placement).
+    Oracle: LEFT JOIN + IS-NULL-or-match in SQL."""
+    from lmss_entity_extractor_spark.graph.bgp import bgp_query
+
+    return bgp_query(
+        _bgp_fixture(spark, sf_dir),
+        [("?o", "placed_by", "?c"), ("?c", "located_in", "?n")],
+        optional=[[("?n", "rdf:type", "?t")]],
+        filters=["t IS NULL OR t = 'Nation'"],
     )
 
 
@@ -2117,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_entities": q_resolve_entities,
         "kg_publish": q_kg_publish,
         "negative_samples": q_negative_samples,
+        "bgp_optional": q_bgp_optional,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -4354,5 +4378,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1 FROM pos p2
             WHERE p2.s = c.s AND p2.p = c.p AND p2.o = c.o
         )
+    """
+    oracles["bgp_optional"] = """
+        -- OPTIONAL = LEFT JOIN of the type slice onto the chain;
+        -- the filter keeps nulls or the matching type
+        SELECT 'c:' || c.c_custkey AS c,
+               'n:' || c.c_nationkey AS n,
+               'o:' || o.o_orderkey AS o,
+               t.t AS t
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN (
+            SELECT n_nationkey, 'Nation' AS t FROM nation WHERE n_regionkey < 3
+        ) t ON c.c_nationkey = t.n_nationkey
+        WHERE o.o_orderkey % 100 = 0
+          AND (t.t IS NULL OR t.t = 'Nation')
     """
     return oracles

@@ -123,3 +123,37 @@ def bgp_match(
     for gate in gates:
         result = result.crossJoin(gate)
     return result.select(*sorted(bound))
+
+
+def bgp_query(
+    triples: DataFrame,
+    where: list[tuple[str, str, str]],
+    *,
+    optional: list[list[tuple[str, str, str]]] = (),
+    filters: list[str] = (),
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """SPARQL SELECT-fragment evaluation: a required BGP (``where``),
+    zero or more OPTIONAL groups (each its own BGP, attached by LEFT
+    OUTER join on the variables shared with everything already bound —
+    SPARQL 1.1 §18.5 LeftJoin), then FILTER expressions (SQL strings
+    over the variable columns, applied last — the safe placement for
+    filters that reference optional variables).
+
+    Each OPTIONAL group introduces its unshared variables as nullable
+    columns.  An OPTIONAL group sharing no variable with the required
+    part extends every solution (crossJoin), matching the spec's
+    join-on-empty-domain behavior.  Result columns are all variables,
+    sorted by name."""
+    result = bgp_match(triples, where, s_col=s_col, p_col=p_col, o_col=o_col)
+    bound = set(result.columns)
+    for group in optional:
+        rel = bgp_match(triples, group, s_col=s_col, p_col=p_col, o_col=o_col)
+        keys = sorted(bound & set(rel.columns))
+        result = result.join(rel, keys, "left") if keys else result.crossJoin(rel)
+        bound |= set(rel.columns)
+    for f in filters:
+        result = result.filter(F.expr(f))
+    return result.select(*sorted(bound))

@@ -114,3 +114,58 @@ class TestBgpMatch:
             .toString()
         )
         assert "PushedFilters: [IsNotNull(p), EqualTo(p,located_in)" in plan
+
+class TestBgpQuery:
+    def test_optional_keeps_unmatched_with_nulls(self, spark, graph):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_query
+
+        out = bgp_query(
+            graph,
+            [("?c", "located_in", "?n")],
+            optional=[[("?n", "rdf:type", "?t")]],
+        )
+        rows = {(r["c"], r["n"], r["t"]) for r in out.collect()}
+        assert rows == {("c1", "n1", "Nation"), ("c2", "n2", None)}
+
+    def test_filter_after_optional(self, spark, graph):
+        from pyspark.sql import functions as F
+
+        from lmss_entity_extractor_spark.graph.bgp import bgp_query
+
+        out = bgp_query(
+            graph,
+            [("?c", "located_in", "?n")],
+            optional=[[("?n", "rdf:type", "?t")]],
+            filters=["t IS NULL"],
+        )
+        assert {(r["c"], r["n"]) for r in out.select("c", "n").collect()} == {
+            ("c2", "n2")
+        }
+
+    def test_two_optional_groups(self, spark, graph):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_query
+
+        out = bgp_query(
+            graph,
+            [("?o", "placed_by", "?c")],
+            optional=[
+                [("?c", "located_in", "?n")],
+                [("?n", "rdf:type", "?t")],
+            ],
+        )
+        rows = {(r["o"], r["c"], r["n"], r["t"]) for r in out.collect()}
+        assert rows == {
+            ("o1", "c1", "n1", "Nation"),
+            ("o2", "c1", "n1", "Nation"),
+            ("o3", "c2", "n2", None),
+        }
+
+    def test_disjoint_optional_extends_all(self, spark, graph):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_query
+
+        out = bgp_query(
+            graph,
+            [("?n", "rdf:type", "Nation")],
+            optional=[[("?x", "likes", "?y")]],
+        )
+        assert out.count() == 2  # one base solution x two optional rows

@@ -146,3 +146,20 @@ class TestRdfsEntail:
     def test_broadcast_in_plan(self, spark, small_graph):
         plan = rdfs_entail(small_graph)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+    def test_entailment_distributes_over_instance_union(self, spark, small_graph):
+        """Given a FIXED schema, every ρdf rule is per-instance-triple
+        local (the closures live on the schema side), so
+        entail(A ∪ B) == entail(A) ∪ entail(B) — the property that
+        makes 100 TB entailment embarrassingly incremental: entail only
+        the delta (include_asserted=False on the new batch) and union
+        it onto the already-published graph."""
+        schema = small_graph.filter(
+            F.col("p").isin(SUBPROP_PRED, SUBCLASS_PRED, DOMAIN_PRED, RANGE_PRED)
+        )
+        inst = small_graph.subtract(schema)
+        a = inst.filter(F.col("s") == "p1")   # the hasBrand triple
+        b = inst.subtract(a)                  # the type triple
+        whole = _tset(rdfs_entail(inst, schema))
+        parts = _tset(rdfs_entail(a, schema)) | _tset(rdfs_entail(b, schema))
+        assert whole == parts
