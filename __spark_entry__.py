@@ -1592,6 +1592,32 @@ def q_negative_samples(spark, sf_dir):
     return negative_samples(pos, k=2, corrupt="both", seed=0)
 
 
+def q_label_propagation(spark, sf_dir):
+    """Sync label propagation (L59, graph/lpa.py): 3 deterministic
+    rounds over the part co-purchase graph (the random_walks fixture
+    graph).  Oracle: the identical recurrence unrolled — one count CTE
+    + one window-argmax CTE per round, same (count desc, label asc)
+    tie-break."""
+    from lmss_entity_extractor_spark.graph.lpa import label_propagation
+
+    po = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = po.alias("a"), po.alias("b")
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return label_propagation(e, iterations=3)
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -2141,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_publish": q_kg_publish,
         "negative_samples": q_negative_samples,
         "bgp_optional": q_bgp_optional,
+        "label_propagation": q_label_propagation,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -4394,4 +4421,44 @@ def oracle_sql() -> dict[str, str]:
         WHERE o.o_orderkey % 100 = 0
           AND (t.t IS NULL OR t.t = 'Nation')
     """
+    lpa_rounds = []
+    for i in (1, 2, 3):
+        lpa_rounds.append(f""",
+        c{i} AS (
+            SELECT e2.b AS node, l.label, count(*) AS c
+            FROM und e2 JOIN l{i - 1} l ON e2.a = l.node
+            GROUP BY 1, 2
+        ),
+        l{i} AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (
+                           PARTITION BY node ORDER BY c DESC, label
+                       ) AS rn
+                FROM c{i}
+            ) WHERE rn = 1
+        )""")
+    oracles["label_propagation"] = (
+        """
+        -- identical sync recurrence unrolled, same total tie-break
+        WITH po AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 4 = 0
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM po a JOIN po b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        und AS (
+            SELECT u AS a, v AS b FROM e
+            UNION
+            SELECT v, u FROM e
+        ),
+        l0 AS (SELECT DISTINCT a AS node, a AS label FROM und)"""
+        + "".join(lpa_rounds)
+        + """
+        SELECT node, label FROM l3
+    """
+    )
     return oracles
