@@ -10,3 +10,4 @@ from .proppath import property_path  # noqa: F401
 from .ntriples import parse_ntriples, to_ntriples  # noqa: F401
 from .er import match_pairs, resolve_entities  # noqa: F401
 from .negsample import negative_samples  # noqa: F401
+from .lpa import label_propagation  # noqa: F401
