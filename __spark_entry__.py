@@ -1618,6 +1618,38 @@ def q_label_propagation(spark, sf_dir):
     return label_propagation(e, iterations=3)
 
 
+def q_charsets(spark, sf_dir):
+    """Characteristic sets (L60, graph/charsets.py) over a customer
+    triple fixture with four entity shapes ({nation}, {nation,segment},
+    {nation,phone}, {nation,segment,phone}) and duplicated nation
+    triples for every 10th customer — n_triples must diverge from
+    per-set predicate counts.  Oracle: list(DISTINCT)/list_sort +
+    the same two GROUP BYs in DuckDB."""
+    from lmss_entity_extractor_spark.graph.charsets import characteristic_sets
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    subj = F.concat(F.lit("c:"), "k").alias("s")
+    trips = (
+        c.select(subj, F.lit("nation").alias("p"), F.lit("x").alias("o"))
+        .unionByName(
+            c.filter(F.col("k") % 2 == 0).select(
+                subj, F.lit("segment").alias("p"), F.lit("x").alias("o")
+            )
+        )
+        .unionByName(
+            c.filter(F.col("k") % 5 == 0).select(
+                subj, F.lit("phone").alias("p"), F.lit("x").alias("o")
+            )
+        )
+        .unionByName(
+            c.filter(F.col("k") % 10 == 0).select(
+                subj, F.lit("nation").alias("p"), F.lit("y").alias("o")
+            )
+        )
+    )
+    return characteristic_sets(trips)
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -2168,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "bgp_optional": q_bgp_optional,
         "label_propagation": q_label_propagation,
+        "charsets": q_charsets,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -4420,6 +4453,30 @@ def oracle_sql() -> dict[str, str]:
         ) t ON c.c_nationkey = t.n_nationkey
         WHERE o.o_orderkey % 100 = 0
           AND (t.t IS NULL OR t.t = 'Nation')
+    """
+    oracles["charsets"] = """
+        -- same two-level aggregation: per-subject sorted predicate
+        -- set + triple count, then per-set subject/triple totals
+        WITH t AS (
+            SELECT 'c:' || c_custkey AS s, 'nation' AS p FROM customer
+            UNION ALL
+            SELECT 'c:' || c_custkey, 'segment' FROM customer
+            WHERE c_custkey % 2 = 0
+            UNION ALL
+            SELECT 'c:' || c_custkey, 'phone' FROM customer
+            WHERE c_custkey % 5 = 0
+            UNION ALL
+            SELECT 'c:' || c_custkey, 'nation' FROM customer
+            WHERE c_custkey % 10 = 0
+        ),
+        per_s AS (
+            SELECT s, list_sort(list(DISTINCT p)) AS predicates,
+                   count(*) AS nt
+            FROM t GROUP BY s
+        )
+        SELECT predicates, count(*) AS n_subjects,
+               CAST(sum(nt) AS BIGINT) AS n_triples
+        FROM per_s GROUP BY predicates
     """
     lpa_rounds = []
     for i in (1, 2, 3):
