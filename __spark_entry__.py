@@ -1650,6 +1650,34 @@ def q_charsets(spark, sf_dir):
     return characteristic_sets(trips)
 
 
+def q_dict_encode(spark, sf_dir):
+    """Dictionary-encoded triples (L61, graph/dictenc.py) over a
+    customer/nation triple fixture whose object terms ("n:<key>") are
+    also subjects — the shared term universe is the point of a global
+    dictionary.  Oracle: row_number over sorted distinct terms + three
+    joins, re-deriving every id."""
+    from lmss_entity_extractor_spark.graph.dictenc import (
+        encode_triples,
+        term_dictionary,
+    )
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    subj = F.concat(F.lit("c:"), "c_custkey").alias("s")
+    nsub = F.concat(F.lit("n:"), "c_nationkey").alias("s")
+    trips = (
+        c.select(subj, F.lit("nation").alias("p"), F.concat(F.lit("n:"), "c_nationkey").alias("o"))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 3 == 0).select(
+                subj, F.lit("segment").alias("p"), F.col("c_mktsegment").alias("o")
+            )
+        )
+        .unionByName(
+            c.select(nsub, F.lit("type").alias("p"), F.lit("Nation").alias("o")).distinct()
+        )
+    )
+    return encode_triples(trips, term_dictionary(trips))
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -2201,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_optional": q_bgp_optional,
         "label_propagation": q_label_propagation,
         "charsets": q_charsets,
+        "dict_encode": q_dict_encode,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -4477,6 +4506,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT predicates, count(*) AS n_subjects,
                CAST(sum(nt) AS BIGINT) AS n_triples
         FROM per_s GROUP BY predicates
+    """
+    oracles["dict_encode"] = """
+        -- same id contract: dense rank of each term in the sorted
+        -- distinct-term universe, then three dictionary joins
+        WITH t AS (
+            SELECT 'c:' || c_custkey AS s, 'nation' AS p,
+                   'n:' || c_nationkey AS o
+            FROM customer
+            UNION ALL
+            SELECT 'c:' || c_custkey, 'segment', c_mktsegment
+            FROM customer WHERE c_custkey % 3 = 0
+            UNION ALL
+            SELECT DISTINCT 'n:' || c_nationkey, 'type', 'Nation'
+            FROM customer
+        ),
+        terms AS (
+            SELECT DISTINCT term FROM (
+                SELECT s AS term FROM t
+                UNION ALL SELECT p FROM t
+                UNION ALL SELECT o FROM t
+            )
+        ),
+        dict AS (
+            SELECT term, row_number() OVER (ORDER BY term) - 1 AS id
+            FROM terms
+        )
+        SELECT ds.id AS s_id, dp.id AS p_id, do_.id AS o_id
+        FROM t
+        JOIN dict ds ON t.s = ds.term
+        JOIN dict dp ON t.p = dp.term
+        JOIN dict do_ ON t.o = do_.term
     """
     lpa_rounds = []
     for i in (1, 2, 3):

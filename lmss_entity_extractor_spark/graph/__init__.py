@@ -11,3 +11,5 @@ from .ntriples import parse_ntriples, to_ntriples  # noqa: F401
 from .er import match_pairs, resolve_entities  # noqa: F401
 from .negsample import negative_samples  # noqa: F401
 from .lpa import label_propagation  # noqa: F401
+from .charsets import characteristic_sets  # noqa: F401
+from .dictenc import term_dictionary, encode_triples, decode_triples  # noqa: F401
