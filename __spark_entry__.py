@@ -1678,6 +1678,27 @@ def q_dict_encode(spark, sf_dir):
     return encode_triples(trips, term_dictionary(trips))
 
 
+def q_conflict_resolution(spark, sf_dir):
+    """Truth discovery / conflict resolution (L62, graph/fusion.py):
+    clerk buckets (sources, o_orderkey % 7) assert an order priority
+    (object) for each customer (subject) — naturally conflicting
+    multi-source claims, with repeated same-source assertions that
+    exercise the set semantics.  Elect one priority per customer by
+    majority vote with ascending-object tie-break.  Oracle: the same
+    two-level aggregation + window argmax in DuckDB over DISTINCT
+    (s,p,o,source) claims."""
+    from lmss_entity_extractor_spark.graph.fusion import resolve_conflicts
+
+    o = _t(spark, sf_dir, "orders")
+    claims = o.select(
+        F.concat(F.lit("c:"), "o_custkey").alias("s"),
+        F.lit("priority").alias("p"),
+        F.col("o_orderpriority").alias("o"),
+        F.concat(F.lit("clerk:"), F.col("o_orderkey") % 7).alias("source"),
+    )
+    return resolve_conflicts(claims)
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -2230,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "charsets": q_charsets,
         "dict_encode": q_dict_encode,
+        "conflict_resolution": q_conflict_resolution,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -4537,6 +4559,33 @@ def oracle_sql() -> dict[str, str]:
         JOIN dict ds ON t.s = ds.term
         JOIN dict dp ON t.p = dp.term
         JOIN dict do_ ON t.o = do_.term
+    """
+    oracles["conflict_resolution"] = """
+        -- same election: set-semantics claims, summed support per
+        -- (s,p,o), window argmax with ascending-object tie-break
+        WITH claims AS (
+            SELECT DISTINCT 'c:' || o_custkey AS s, 'priority' AS p,
+                   o_orderpriority AS o,
+                   'clerk:' || (o_orderkey % 7) AS source
+            FROM orders
+        ),
+        support AS (
+            SELECT s, p, o, CAST(count(*) AS DOUBLE) AS support
+            FROM claims GROUP BY s, p, o
+        ),
+        slot AS (
+            SELECT s, p, o, support,
+                   sum(support) OVER (PARTITION BY s, p) AS total_support,
+                   count(*) OVER (PARTITION BY s, p) AS n_values,
+                   row_number() OVER (
+                       PARTITION BY s, p
+                       ORDER BY support DESC, o ASC
+                   ) AS rk
+            FROM support
+        )
+        SELECT s, p, o, support, total_support, n_values,
+               support / total_support AS confidence
+        FROM slot WHERE rk = 1
     """
     lpa_rounds = []
     for i in (1, 2, 3):

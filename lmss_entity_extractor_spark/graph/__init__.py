@@ -13,3 +13,4 @@ from .negsample import negative_samples  # noqa: F401
 from .lpa import label_propagation  # noqa: F401
 from .charsets import characteristic_sets  # noqa: F401
 from .dictenc import term_dictionary, encode_triples, decode_triples  # noqa: F401
+from .fusion import resolve_conflicts  # noqa: F401
