@@ -998,6 +998,44 @@ def q_pagerank(spark, sf_dir):
     return pr.select("node", (F.floor(F.col("rank") * 1e6) / 1e6).alias("rank6"))
 
 
+def q_hits(spark, sf_dir):
+    """Fixed-iteration HITS (L63, Kleinberg JACM'99; 5 iters,
+    max-normalized) over the order->customer->nation->region hierarchy
+    — hubs and authorities per node, the companion ranking to
+    `pagerank`.  Max-normalization keeps the only global reduction
+    order-independent, so the oracle (identical recurrence unrolled as
+    CTEs) agrees to ulps; scores compare on the floor-1e6 grid."""
+    from lmss_entity_extractor_spark.graph.hits import hits
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 200 == 0)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        o.select(
+            F.concat(F.lit("o:"), F.col("o_orderkey")).alias("src"),
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("dst"),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
+                F.concat(F.lit("n:"), F.col("c_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n:"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("r:"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+    )
+    out = hits(edges, n_iters=5)
+    return out.select(
+        "node",
+        (F.floor(F.col("hub") * 1e6) / 1e6).alias("hub6"),
+        (F.floor(F.col("auth") * 1e6) / 1e6).alias("auth6"),
+    )
+
+
 def q_triangles(spark, sf_dir):
     """Triangle counting + local clustering coefficient (L44) over the
     part co-occurrence graph (parts sharing an order): degree-ordered
@@ -1699,6 +1737,113 @@ def q_conflict_resolution(spark, sf_dir):
     return resolve_conflicts(claims)
 
 
+def q_kcore(spark, sf_dir):
+    """3-core of the part co-occurrence graph (L65, graph/kcore.py):
+    iterative peel to fixpoint — parts kept only while ≥3 co-purchase
+    neighbors survive.  The fixpoint is round-count-independent, so the
+    oracle unrolls the same peel rule for 8 rounds (≥ the fixture's
+    peel depth; idempotent past convergence) and must land on the same
+    node set and in-core degrees."""
+    from lmss_entity_extractor_spark.graph.kcore import kcore
+
+    po = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = po.alias("a"), po.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return kcore(edges, k=3)
+
+
+def q_void_stats(spark, sf_dir):
+    """VoID property partitions (L64, graph/void.py) over a typed
+    customer/nation triple fixture — per-predicate triple counts plus
+    distinct-subject/object counts, the dataset description a KG
+    publisher emits.  Oracle: the same GROUP BY with COUNT(DISTINCT)
+    in DuckDB."""
+    from lmss_entity_extractor_spark.graph.void import void_property_partitions
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    subj = F.concat(F.lit("c:"), "c_custkey").alias("s")
+    trips = (
+        c.select(subj, F.lit("nation").alias("p"), F.concat(F.lit("n:"), "c_nationkey").alias("o"))
+        .unionByName(c.select(subj, F.lit("rdf:type").alias("p"), F.lit("Customer").alias("o")))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 3 == 0).select(
+                subj, F.lit("segment").alias("p"), F.col("c_mktsegment").alias("o")
+            )
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("n:"), "c_nationkey").alias("s"),
+                F.lit("rdf:type").alias("p"),
+                F.lit("Nation").alias("o"),
+            ).distinct()
+        )
+    )
+    return void_property_partitions(trips)
+
+
+def q_quotient_graph(spark, sf_dir):
+    """Characteristic-set quotient graph (L66, graph/quotient.py) over
+    the typed customer/nation triple fixture: customers split into
+    {nation, rdf:type} / {nation, rdf:type, segment} shapes, nations
+    into {rdf:type}, literals into the empty leaf class — summary
+    edges with triple counts.  Oracle: per-subject list(DISTINCT)
+    classes + two endpoint joins + the same GROUP BY in DuckDB."""
+    from lmss_entity_extractor_spark.graph.quotient import quotient_graph
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    subj = F.concat(F.lit("c:"), "c_custkey").alias("s")
+    trips = (
+        c.select(subj, F.lit("nation").alias("p"), F.concat(F.lit("n:"), "c_nationkey").alias("o"))
+        .unionByName(c.select(subj, F.lit("rdf:type").alias("p"), F.lit("Customer").alias("o")))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 3 == 0).select(
+                subj, F.lit("segment").alias("p"), F.col("c_mktsegment").alias("o")
+            )
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("n:"), "c_nationkey").alias("s"),
+                F.lit("rdf:type").alias("p"),
+                F.lit("Nation").alias("o"),
+            ).distinct()
+        )
+    )
+    return quotient_graph(trips)
+
+
+def q_coalesce_intervals(spark, sf_dir):
+    """Valid-time interval coalescing (L67, graph/temporal.py): each
+    order asserts its customer's priority valid for 30 days from the
+    order date; chains of orders within 30 days merge into one maximal
+    validity interval per (customer, priority) — gaps-and-islands with
+    a running-max end.  Oracle: the identical two-window recurrence in
+    DuckDB on integer day offsets (no float drift)."""
+    from lmss_entity_extractor_spark.graph.temporal import coalesce_intervals
+
+    o = _t(spark, sf_dir, "orders")
+    day0 = F.lit("1990-01-01")
+    iv = o.select(
+        F.concat(F.lit("c:"), "o_custkey").alias("s"),
+        F.lit("active").alias("p"),
+        F.col("o_orderpriority").alias("o"),
+        F.datediff("o_orderdate", day0).cast("long").alias("valid_from"),
+        (F.datediff("o_orderdate", day0) + 30).cast("long").alias("valid_to"),
+    )
+    return coalesce_intervals(iv)
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -2252,6 +2397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charsets": q_charsets,
         "dict_encode": q_dict_encode,
         "conflict_resolution": q_conflict_resolution,
+        "void_stats": q_void_stats,
+        "kcore": q_kcore,
+        "quotient_graph": q_quotient_graph,
+        "coalesce_intervals": q_coalesce_intervals,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -2316,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_mean": q_array_mean,
         "closure_counts": q_closure_counts,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "set_ops": q_set_ops,
         "sessionize": q_sessionize,
         "above_avg": q_above_avg,
@@ -2662,6 +2812,86 @@ def _pagerank_oracle_sql(n_iters: int = 10) -> str:
         )""")
     return base + "".join(iters) + f"""
         SELECT node, floor(rank * 1000000) / 1000000 AS rank6 FROM pr{n_iters}"""
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
+    """The k-core peel rule unrolled for ``rounds`` rounds — correct as
+    long as rounds ≥ the fixture's peel depth (idempotent thereafter,
+    the fixpoint argument in graph/kcore.py)."""
+    base = """
+        WITH po AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 4 = 0
+        ),
+        e0 AS (
+            SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM po a JOIN po b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+        )"""
+    steps = []
+    # AS MATERIALIZED: each round references the previous one twice;
+    # DuckDB's default CTE inlining would re-evaluate the whole chain
+    # per reference (2^rounds blowup)
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+        n{i} AS MATERIALIZED (
+            SELECT a AS node FROM e{i - 1} GROUP BY a
+            HAVING count(*) >= {k}
+        ),
+        e{i} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e{i - 1} e
+            JOIN n{i} x ON e.a = x.node
+            JOIN n{i} y ON e.b = y.node
+        )""")
+    return base + "".join(steps) + f"""
+        SELECT a AS node, count(*) AS degree FROM e{rounds} GROUP BY a"""
+
+
+def _hits_oracle_sql(n_iters: int = 5) -> str:
+    """The max-normalized HITS recurrence unrolled as CTEs — the
+    `_pagerank_oracle_sql` discipline (standard SQL forbids aggregation
+    in a recursive term, so fixed iterations unroll)."""
+    base = """
+        WITH edges AS (
+            SELECT 'o:' || o_orderkey AS src, 'c:' || o_custkey AS dst
+            FROM orders WHERE o_orderkey % 200 = 0
+            UNION ALL
+            SELECT 'c:' || c_custkey, 'n:' || c_nationkey FROM customer
+            UNION ALL
+            SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)"""
+    iters = []
+    # AS MATERIALIZED: each normalization references its raw CTE twice
+    # (FROM + scalar max); DuckDB's default inlining would re-evaluate
+    # the full recurrence per reference (exponential across iterations)
+    for i in range(1, n_iters + 1):
+        iters.append(f""",
+        ar{i} AS MATERIALIZED (
+            SELECT e.dst AS node, sum(h.hub) AS a
+            FROM edges e JOIN h{i - 1} h ON h.node = e.src
+            GROUP BY 1
+        ),
+        a{i} AS MATERIALIZED (
+            SELECT node, a / (SELECT max(a) FROM ar{i}) AS auth FROM ar{i}
+        ),
+        hr{i} AS MATERIALIZED (
+            SELECT e.src AS node, sum(a.auth) AS h
+            FROM edges e JOIN a{i} a ON a.node = e.dst
+            GROUP BY 1
+        ),
+        h{i} AS MATERIALIZED (
+            SELECT node, h / (SELECT max(h) FROM hr{i}) AS hub FROM hr{i}
+        )""")
+    return base + "".join(iters) + f"""
+        SELECT n.node,
+               floor(coalesce(h.hub, 0) * 1000000) / 1000000 AS hub6,
+               floor(coalesce(a.auth, 0) * 1000000) / 1000000 AS auth6
+        FROM nodes n
+        LEFT JOIN h{n_iters} h ON h.node = n.node
+        LEFT JOIN a{n_iters} a ON a.node = n.node"""
 
 
 def _ppr_oracle_sql(n_iters: int = 10) -> str:
@@ -3283,6 +3513,8 @@ def oracle_sql() -> dict[str, str]:
             FROM closure GROUP BY 1
         """,
         "pagerank": _pagerank_oracle_sql(10),
+        "hits": _hits_oracle_sql(5),
+        "kcore": _kcore_oracle_sql(3, 8),
         "set_ops": """
             WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
                  b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
@@ -4559,6 +4791,88 @@ def oracle_sql() -> dict[str, str]:
         JOIN dict ds ON t.s = ds.term
         JOIN dict dp ON t.p = dp.term
         JOIN dict do_ ON t.o = do_.term
+    """
+    oracles["void_stats"] = """
+        -- same per-predicate partition statistics
+        WITH t AS (
+            SELECT 'c:' || c_custkey AS s, 'nation' AS p,
+                   'n:' || c_nationkey AS o
+            FROM customer
+            UNION ALL
+            SELECT 'c:' || c_custkey, 'rdf:type', 'Customer' FROM customer
+            UNION ALL
+            SELECT 'c:' || c_custkey, 'segment', c_mktsegment
+            FROM customer WHERE c_custkey % 3 = 0
+            UNION ALL
+            SELECT DISTINCT 'n:' || c_nationkey, 'rdf:type', 'Nation'
+            FROM customer
+        )
+        SELECT p, count(*) AS n_triples,
+               count(DISTINCT s) AS n_subjects,
+               count(DISTINCT o) AS n_objects
+        FROM t GROUP BY p
+    """
+    oracles["quotient_graph"] = """
+        -- same quotient: per-subject charset classes, endpoint joins,
+        -- empty leaf class, summary-edge counts
+        WITH t AS (
+            SELECT 'c:' || c_custkey AS s, 'nation' AS p,
+                   'n:' || c_nationkey AS o
+            FROM customer
+            UNION ALL
+            SELECT 'c:' || c_custkey, 'rdf:type', 'Customer' FROM customer
+            UNION ALL
+            SELECT 'c:' || c_custkey, 'segment', c_mktsegment
+            FROM customer WHERE c_custkey % 3 = 0
+            UNION ALL
+            SELECT DISTINCT 'n:' || c_nationkey, 'rdf:type', 'Nation'
+            FROM customer
+        ),
+        cs AS (
+            SELECT s, list_sort(list(DISTINCT p)) AS cset FROM t GROUP BY s
+        )
+        SELECT c1.cset AS src_set, t.p,
+               coalesce(c2.cset, CAST([] AS VARCHAR[])) AS dst_set,
+               count(*) AS n_triples
+        FROM t
+        JOIN cs c1 ON t.s = c1.s
+        LEFT JOIN cs c2 ON t.o = c2.s
+        GROUP BY 1, 2, 3
+    """
+    oracles["coalesce_intervals"] = """
+        -- identical gaps-and-islands: running-max end over strictly
+        -- preceding rows, island = running count of openings
+        WITH iv AS (
+            SELECT 'c:' || o_custkey AS s, 'active' AS p,
+                   o_orderpriority AS o,
+                   date_diff('day', TIMESTAMP '1990-01-01', o_orderdate)
+                       AS vf,
+                   date_diff('day', TIMESTAMP '1990-01-01', o_orderdate)
+                       + 30 AS vt
+            FROM orders
+        ),
+        m AS (
+            SELECT s, p, o, vf, vt,
+                   max(vt) OVER (
+                       PARTITION BY s, p, o ORDER BY vf, vt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS pme
+            FROM iv
+        ),
+        isl AS (
+            SELECT s, p, o, vf, vt,
+                   sum(CASE WHEN pme IS NULL OR vf > pme THEN 1 ELSE 0 END)
+                       OVER (
+                           PARTITION BY s, p, o ORDER BY vf, vt
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW
+                       ) AS island
+            FROM m
+        )
+        SELECT s, p, o,
+               min(vf) AS valid_from, max(vt) AS valid_to,
+               count(*) AS n_merged
+        FROM isl GROUP BY s, p, o, island
     """
     oracles["conflict_resolution"] = """
         -- same election: set-semantics claims, summed support per

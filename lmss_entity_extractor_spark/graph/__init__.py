@@ -14,3 +14,12 @@ from .lpa import label_propagation  # noqa: F401
 from .charsets import characteristic_sets  # noqa: F401
 from .dictenc import term_dictionary, encode_triples, decode_triples  # noqa: F401
 from .fusion import resolve_conflicts  # noqa: F401
+from .hits import hits  # noqa: F401
+from .void import (  # noqa: F401
+    void_class_partitions,
+    void_property_partitions,
+    void_summary,
+)
+from .kcore import kcore  # noqa: F401
+from .quotient import quotient_graph  # noqa: F401
+from .temporal import coalesce_intervals  # noqa: F401
