@@ -1844,6 +1844,91 @@ def q_coalesce_intervals(spark, sf_dir):
     return coalesce_intervals(iv)
 
 
+def q_shortest_paths(spark, sf_dir):
+    """Hop-bounded weighted shortest paths (L68, graph/sssp.py) from
+    region r:0 down the reversed region->nation->customer->order
+    hierarchy with key-derived integer weights — Bellman-Ford rounds on
+    the min-plus semiring; min is order-independent, so integer
+    distances match the oracle exactly (no float grid needed).
+    Oracle: the identical 3-round recurrence unrolled as MATERIALIZED
+    CTEs."""
+    from lmss_entity_extractor_spark.graph.sssp import shortest_paths
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        n.select(
+            F.concat(F.lit("r:"), F.col("n_regionkey")).alias("src"),
+            F.concat(F.lit("n:"), F.col("n_nationkey")).alias("dst"),
+            (F.col("n_nationkey") % 3 + 1).alias("w"),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("n:"), F.col("c_nationkey")).alias("src"),
+                F.concat(F.lit("c:"), F.col("c_custkey")).alias("dst"),
+                (F.col("c_custkey") % 7 + 1).alias("w"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("o:"), F.col("o_orderkey")).alias("dst"),
+                (F.col("o_orderkey") % 11 + 1).alias("w"),
+            )
+        )
+    )
+    return shortest_paths(edges, ["r:0"], n_rounds=3)
+
+
+def q_closure_insert(spark, sf_dir):
+    """Incremental closure maintenance (L69, graph/incclosure.py): the
+    o->c->n->r hierarchy closure is materialized first, then a batch of
+    o->n SHORTCUT edges (o_orderkey % 400) is inserted via the
+    semi-naive delta loop — new pairs appear and existing o->n / o->r
+    depths shorten, with C never shuffled inside the loop.  Oracle: a
+    full recursive-CTE recompute over E ∪ ΔE at min depth — recompute
+    equality IS the maintenance contract."""
+    from lmss_entity_extractor_spark.graph.closure import transitive_closure
+    from lmss_entity_extractor_spark.graph.incclosure import closure_insert
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 200 == 0)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    base_edges = (
+        o.select(
+            F.concat(F.lit("o:"), F.col("o_orderkey")).alias("child"),
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("parent"),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("c:"), F.col("c_custkey")).alias("child"),
+                F.concat(F.lit("n:"), F.col("c_nationkey")).alias("parent"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n:"), F.col("n_nationkey")).alias("child"),
+                F.concat(F.lit("r:"), F.col("n_regionkey")).alias("parent"),
+            )
+        )
+    )
+    delta = (
+        o.filter(F.col("o_orderkey") % 400 == 0)
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.concat(F.lit("o:"), F.col("o_orderkey")).alias("child"),
+            F.concat(F.lit("n:"), F.col("c_nationkey")).alias("parent"),
+        )
+    )
+    base = transitive_closure(base_edges, include_self=False)
+    return closure_insert(base, delta).select(
+        F.col("desc_iri").alias("descendant"),
+        F.col("anc_iri").alias("ancestor"),
+        "depth",
+    )
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -2401,6 +2486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "quotient_graph": q_quotient_graph,
         "coalesce_intervals": q_coalesce_intervals,
+        "shortest_paths": q_shortest_paths,
+        "closure_insert": q_closure_insert,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -2812,6 +2899,39 @@ def _pagerank_oracle_sql(n_iters: int = 10) -> str:
         )""")
     return base + "".join(iters) + f"""
         SELECT node, floor(rank * 1000000) / 1000000 AS rank6 FROM pr{n_iters}"""
+
+
+def _sssp_oracle_sql(rounds: int = 3) -> str:
+    """The min-plus Bellman-Ford recurrence unrolled — each round
+    references the previous twice (carry + relax), so MATERIALIZED."""
+    base = """
+        WITH e AS MATERIALIZED (
+            SELECT 'r:' || n_regionkey AS src, 'n:' || n_nationkey AS dst,
+                   n_nationkey % 3 + 1 AS w
+            FROM nation
+            UNION ALL
+            SELECT 'n:' || c_nationkey, 'c:' || c_custkey,
+                   c_custkey % 7 + 1
+            FROM customer
+            UNION ALL
+            SELECT 'c:' || o_custkey, 'o:' || o_orderkey,
+                   o_orderkey % 11 + 1
+            FROM orders WHERE o_orderkey % 50 = 0
+        ),
+        d0 AS (SELECT 'r:0' AS node, CAST(0 AS BIGINT) AS dist)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+        d{i} AS MATERIALIZED (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d{i - 1}
+                UNION ALL
+                SELECT e.dst AS node, d.dist + e.w AS dist
+                FROM d{i - 1} d JOIN e ON d.node = e.src
+            ) GROUP BY node
+        )""")
+    return base + "".join(steps) + f"""
+        SELECT node, dist FROM d{rounds}"""
 
 
 def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
@@ -3515,6 +3635,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle_sql(10),
         "hits": _hits_oracle_sql(5),
         "kcore": _kcore_oracle_sql(3, 8),
+        "shortest_paths": _sssp_oracle_sql(3),
         "set_ops": """
             WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
                  b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
@@ -4838,6 +4959,31 @@ def oracle_sql() -> dict[str, str]:
         JOIN cs c1 ON t.s = c1.s
         LEFT JOIN cs c2 ON t.o = c2.s
         GROUP BY 1, 2, 3
+    """
+    oracles["closure_insert"] = """
+        -- recompute equality: full recursive closure over E ∪ ΔE,
+        -- grouped to min depth (shortcuts shorten existing pairs)
+        WITH RECURSIVE edges AS (
+            SELECT 'o:' || o_orderkey AS child, 'c:' || o_custkey AS parent
+            FROM orders WHERE o_orderkey % 200 = 0
+            UNION ALL
+            SELECT 'c:' || c_custkey, 'n:' || c_nationkey FROM customer
+            UNION ALL
+            SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+            UNION ALL
+            SELECT 'o:' || o.o_orderkey, 'n:' || c.c_nationkey
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_orderkey % 400 = 0
+        ),
+        closure AS (
+            SELECT child AS descendant, parent AS ancestor, 1 AS depth
+            FROM edges
+            UNION ALL
+            SELECT cl.descendant, e.parent, cl.depth + 1
+            FROM closure cl JOIN edges e ON cl.ancestor = e.child
+        )
+        SELECT descendant, ancestor, CAST(min(depth) AS INT) AS depth
+        FROM closure GROUP BY 1, 2
     """
     oracles["coalesce_intervals"] = """
         -- identical gaps-and-islands: running-max end over strictly

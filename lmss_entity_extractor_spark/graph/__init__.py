@@ -23,3 +23,5 @@ from .void import (  # noqa: F401
 from .kcore import kcore  # noqa: F401
 from .quotient import quotient_graph  # noqa: F401
 from .temporal import coalesce_intervals  # noqa: F401
+from .sssp import shortest_paths  # noqa: F401
+from .incclosure import closure_insert  # noqa: F401
