@@ -1929,6 +1929,49 @@ def q_closure_insert(spark, sf_dir):
     )
 
 
+def q_flatten_lists(spark, sf_dir):
+    """rdf:List flattening (L70, graph/rdflist.py): each order's
+    lineitems become a cons-cell chain (rdf:first = part, rdf:rest =
+    next cell or rdf:nil, ordered by linenumber); the frontier walk
+    must decode every chain back to (head, pos, item).  Oracle: the
+    same walk as a recursive CTE in DuckDB over identically minted
+    cells."""
+    from pyspark.sql.window import Window
+
+    from lmss_entity_extractor_spark.graph.rdflist import flatten_lists
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    cells = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_orderkey")).alias("cnt"),
+    )
+    node = F.concat(F.lit("cons:"), "ok", F.lit(":"), "rn")
+    trips = cells.select(
+        node.alias("s"),
+        F.lit("rdf:first").alias("p"),
+        F.concat(F.lit("p:"), "l_partkey").alias("o"),
+    ).unionByName(
+        cells.select(
+            node.alias("s"),
+            F.lit("rdf:rest").alias("p"),
+            F.when(
+                F.col("rn") < F.col("cnt"),
+                F.concat(F.lit("cons:"), "ok", F.lit(":"), F.col("rn") + 1),
+            )
+            .otherwise(F.lit("rdf:nil"))
+            .alias("o"),
+        )
+    )
+    return flatten_lists(trips)
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -2488,6 +2531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coalesce_intervals": q_coalesce_intervals,
         "shortest_paths": q_shortest_paths,
         "closure_insert": q_closure_insert,
+        "flatten_lists": q_flatten_lists,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -4959,6 +5003,43 @@ def oracle_sql() -> dict[str, str]:
         JOIN cs c1 ON t.s = c1.s
         LEFT JOIN cs c2 ON t.o = c2.s
         GROUP BY 1, 2, 3
+    """
+    oracles["flatten_lists"] = """
+        -- same cells, same walk as a recursive CTE
+        WITH RECURSIVE li AS (
+            SELECT l_orderkey AS ok, l_partkey,
+                   row_number() OVER (
+                       PARTITION BY l_orderkey ORDER BY l_linenumber
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY l_orderkey) AS cnt
+            FROM lineitem WHERE l_orderkey % 100 = 0
+        ),
+        f AS (
+            SELECT 'cons:' || ok || ':' || rn AS node,
+                   'p:' || l_partkey AS item
+            FROM li
+        ),
+        r AS (
+            SELECT 'cons:' || ok || ':' || rn AS node,
+                   CASE WHEN rn < cnt
+                        THEN 'cons:' || ok || ':' || (rn + 1)
+                        ELSE 'rdf:nil' END AS nxt
+            FROM li
+        ),
+        heads AS (
+            SELECT node FROM (
+                SELECT node FROM f UNION SELECT node FROM r
+            ) WHERE node NOT IN (SELECT nxt FROM r)
+        ),
+        walk AS (
+            SELECT node AS head, node, 0 AS pos FROM heads
+            UNION ALL
+            SELECT w.head, r.nxt, w.pos + 1
+            FROM walk w JOIN r ON w.node = r.node
+            WHERE r.nxt <> 'rdf:nil'
+        )
+        SELECT w.head, w.pos, f.item
+        FROM walk w JOIN f ON w.node = f.node
     """
     oracles["closure_insert"] = """
         -- recompute equality: full recursive closure over E ∪ ΔE,

@@ -25,3 +25,4 @@ from .quotient import quotient_graph  # noqa: F401
 from .temporal import coalesce_intervals  # noqa: F401
 from .sssp import shortest_paths  # noqa: F401
 from .incclosure import closure_insert  # noqa: F401
+from .rdflist import flatten_lists  # noqa: F401
