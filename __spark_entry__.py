@@ -1972,6 +1972,41 @@ def q_flatten_lists(spark, sf_dir):
     return flatten_lists(trips)
 
 
+def q_owl_entail(spark, sf_dir):
+    """OWL property-rule entailment (L71, graph/owlprops.py): `within`
+    is transitive with inverse `contains` over the customer->nation->
+    region containment chain — the closure materializes c->r hops and
+    every triple mirrors under `contains`.  Oracle: recursive-CTE
+    closure + orientation flip + schema rows, DISTINCT."""
+    from lmss_entity_extractor_spark.graph.owlprops import owl_entail
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 4 == 0)
+    n = _t(spark, sf_dir, "nation")
+    schema = spark.createDataFrame(
+        [
+            ("within", "rdf:type", "owl:TransitiveProperty"),
+            ("within", "owl:inverseOf", "contains"),
+        ],
+        "s string, p string, o string",
+    )
+    trips = (
+        c.select(
+            F.concat(F.lit("c:"), "c_custkey").alias("s"),
+            F.lit("within").alias("p"),
+            F.concat(F.lit("n:"), "c_nationkey").alias("o"),
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n:"), "n_nationkey").alias("s"),
+                F.lit("within").alias("p"),
+                F.concat(F.lit("r:"), "n_regionkey").alias("o"),
+            )
+        )
+        .unionByName(schema)
+    )
+    return owl_entail(trips)
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -2532,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths": q_shortest_paths,
         "closure_insert": q_closure_insert,
         "flatten_lists": q_flatten_lists,
+        "owl_entail": q_owl_entail,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -5003,6 +5039,30 @@ def oracle_sql() -> dict[str, str]:
         JOIN cs c1 ON t.s = c1.s
         LEFT JOIN cs c2 ON t.o = c2.s
         GROUP BY 1, 2, 3
+    """
+    oracles["owl_entail"] = """
+        -- same fragment: transitive closure of `within`, every pair
+        -- mirrored under `contains`, schema rows kept, DISTINCT
+        WITH RECURSIVE base AS (
+            SELECT 'c:' || c_custkey AS s, 'n:' || c_nationkey AS o
+            FROM customer WHERE c_custkey % 4 = 0
+            UNION ALL
+            SELECT DISTINCT 'n:' || n_nationkey, 'r:' || n_regionkey
+            FROM nation
+        ),
+        clo AS (
+            SELECT s, o FROM base
+            UNION ALL
+            SELECT c.s, b.o FROM clo c JOIN base b ON c.o = b.s
+        ),
+        pairs AS (SELECT DISTINCT s, o FROM clo)
+        SELECT s, 'within' AS p, o FROM pairs
+        UNION
+        SELECT o, 'contains', s FROM pairs
+        UNION
+        SELECT 'within', 'rdf:type', 'owl:TransitiveProperty'
+        UNION
+        SELECT 'within', 'owl:inverseOf', 'contains'
     """
     oracles["flatten_lists"] = """
         -- same cells, same walk as a recursive CTE

@@ -26,3 +26,4 @@ from .temporal import coalesce_intervals  # noqa: F401
 from .sssp import shortest_paths  # noqa: F401
 from .incclosure import closure_insert  # noqa: F401
 from .rdflist import flatten_lists  # noqa: F401
+from .owlprops import owl_entail  # noqa: F401
