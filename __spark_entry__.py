@@ -2007,6 +2007,53 @@ def q_owl_entail(spark, sf_dir):
     return owl_entail(trips)
 
 
+def q_bgp_construct(spark, sf_dir):
+    """SPARQL CONSTRUCT (L72, graph/bgp.py bgp_construct): rewrite the
+    customer->nation graph into (nation hasMember customer) plus an
+    OPTIONAL-fed (customer inRegion region) — only even nations carry
+    region triples, so odd-nation customers must omit the inRegion
+    instantiation but keep hasMember (spec §16.2 per-triple omission).
+    Oracle: join + LEFT JOIN + two projections under UNION."""
+    from lmss_entity_extractor_spark.graph.bgp import bgp_construct
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    trips = c.select(
+        F.concat(F.lit("c:"), "c_custkey").alias("s"),
+        F.lit("nation").alias("p"),
+        F.concat(F.lit("n:"), "c_nationkey").alias("o"),
+    ).unionByName(
+        n.filter(F.col("n_nationkey") % 2 == 0).select(
+            F.concat(F.lit("n:"), "n_nationkey").alias("s"),
+            F.lit("region").alias("p"),
+            F.concat(F.lit("r:"), "n_regionkey").alias("o"),
+        )
+    )
+    return bgp_construct(
+        trips,
+        [("?c", "nation", "?n")],
+        [("?n", "hasMember", "?c"), ("?c", "inRegion", "?r")],
+        optional=[[("?n", "region", "?r")]],
+    )
+
+
+def q_reify(spark, sf_dir):
+    """RDF reification (L73, graph/reify.py) of the customer->nation
+    triples: four rows per triple under content-addressed statement
+    nodes (md5 over unit-separator-joined terms).  Oracle: DuckDB
+    re-mints every node id with the same md5 recipe and rebuilds the
+    same four projections."""
+    from lmss_entity_extractor_spark.graph.reify import reify
+
+    c = _t(spark, sf_dir, "customer")
+    trips = c.select(
+        F.concat(F.lit("c:"), "c_custkey").alias("s"),
+        F.lit("nation").alias("p"),
+        F.concat(F.lit("n:"), "c_nationkey").alias("o"),
+    )
+    return reify(trips)
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -2568,6 +2615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closure_insert": q_closure_insert,
         "flatten_lists": q_flatten_lists,
         "owl_entail": q_owl_entail,
+        "bgp_construct": q_bgp_construct,
+        "reify": q_reify,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -5039,6 +5088,47 @@ def oracle_sql() -> dict[str, str]:
         JOIN cs c1 ON t.s = c1.s
         LEFT JOIN cs c2 ON t.o = c2.s
         GROUP BY 1, 2, 3
+    """
+    oracles["reify"] = """
+        -- same mint: md5 over unit-separator-joined terms, same four
+        -- projections, DISTINCT
+        WITH t AS (
+            SELECT 'c:' || c_custkey AS s, 'nation' AS p,
+                   'n:' || c_nationkey AS o
+            FROM customer
+        ),
+        b AS (
+            SELECT 'stmt:' || md5(s || chr(31) || p || chr(31) || o)
+                       AS node,
+                   s, p, o
+            FROM t
+        )
+        SELECT DISTINCT s, p, o FROM (
+            SELECT node AS s, 'rdf:type' AS p, 'rdf:Statement' AS o FROM b
+            UNION ALL
+            SELECT node, 'rdf:subject', s FROM b
+            UNION ALL
+            SELECT node, 'rdf:predicate', p FROM b
+            UNION ALL
+            SELECT node, 'rdf:object', o FROM b
+        )
+    """
+    oracles["bgp_construct"] = """
+        -- same CONSTRUCT: solutions via join + LEFT JOIN, template
+        -- fan-out as UNION of projections, null instantiations dropped
+        WITH sol AS (
+            SELECT 'c:' || c.c_custkey AS cc,
+                   'n:' || c.c_nationkey AS nn,
+                   CASE WHEN n.n_nationkey IS NOT NULL
+                        THEN 'r:' || n.n_regionkey END AS rr
+            FROM customer c
+            LEFT JOIN nation n
+              ON n.n_nationkey = c.c_nationkey
+             AND n.n_nationkey % 2 = 0
+        )
+        SELECT nn AS s, 'hasMember' AS p, cc AS o FROM sol
+        UNION
+        SELECT cc, 'inRegion', rr FROM sol WHERE rr IS NOT NULL
     """
     oracles["owl_entail"] = """
         -- same fragment: transitive closure of `within`, every pair

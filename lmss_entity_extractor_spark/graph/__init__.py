@@ -5,7 +5,7 @@ from .export import edges_to_turtle  # noqa: F401
 from .rdfs import rdfs_entail  # noqa: F401
 from .sameas import sameas_mapping, sameas_resolve  # noqa: F401
 from .shacl import validate_shapes  # noqa: F401
-from .bgp import bgp_match, bgp_query  # noqa: F401
+from .bgp import bgp_match, bgp_query, bgp_construct  # noqa: F401
 from .proppath import property_path  # noqa: F401
 from .ntriples import parse_ntriples, to_ntriples  # noqa: F401
 from .er import match_pairs, resolve_entities  # noqa: F401
@@ -27,3 +27,4 @@ from .sssp import shortest_paths  # noqa: F401
 from .incclosure import closure_insert  # noqa: F401
 from .rdflist import flatten_lists  # noqa: F401
 from .owlprops import owl_entail  # noqa: F401
+from .reify import reify, unreify  # noqa: F401

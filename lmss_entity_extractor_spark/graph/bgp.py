@@ -157,3 +157,57 @@ def bgp_query(
     for f in filters:
         result = result.filter(F.expr(f))
     return result.select(*sorted(bound))
+
+
+def bgp_construct(
+    triples: DataFrame,
+    where: list[tuple[str, str, str]],
+    template: list[tuple[str, str, str]],
+    *,
+    optional: list[list[tuple[str, str, str]]] = (),
+    filters: list[str] = (),
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """SPARQL CONSTRUCT (SPARQL 1.1 §16.2): evaluate the SELECT
+    fragment (``bgp_query`` semantics — required BGP, OPTIONAL groups,
+    FILTERs), then instantiate every ``template`` triple once per
+    solution.  Per the spec, an instantiation with ANY unbound position
+    (a template variable fed by an unmatched OPTIONAL) is silently
+    omitted — that triple, not the whole solution.  Output is (s, p, o),
+    distinct (CONSTRUCT builds a GRAPH, i.e. a set).
+
+    Plan shape: the solution relation is computed once and fanned out
+    through K narrow projections (one per template triple) — the
+    template union is projection-only, so CONSTRUCT costs exactly one
+    BGP evaluation plus the set-semantics distinct."""
+    if not template:
+        raise ValueError("bgp_construct: empty template")
+    sols = bgp_query(
+        triples, where, optional=optional, filters=filters,
+        s_col=s_col, p_col=p_col, o_col=o_col,
+    )
+    bound = set(sols.columns)
+    out: DataFrame | None = None
+    for pat in template:
+        if len(pat) != 3:
+            raise ValueError(f"template triple must have 3 terms, got {pat!r}")
+        cols = []
+        for term in pat:
+            if _is_var(term):
+                name = _var_name(term)
+                if name not in bound:
+                    raise ValueError(
+                        f"template variable ?{name} is not bound by the query"
+                    )
+                cols.append(F.col(name))
+            else:
+                cols.append(F.lit(term))
+        t = sols.select(
+            cols[0].alias("s"), cols[1].alias("p"), cols[2].alias("o")
+        ).filter(
+            F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull()
+        )
+        out = t if out is None else out.unionByName(t)
+    return out.distinct()
