@@ -2054,6 +2054,35 @@ def q_reify(spark, sf_dir):
     return reify(trips)
 
 
+def q_bisim(spark, sf_dir):
+    """A(2) bisimulation classes (L74, graph/bisim.py) over the typed
+    customer/nation triple fixture: depth-2 refinement separates
+    customers by segment-edge presence AND by their nation's own
+    structure.  Oracle: the identical two-round refinement in DuckDB —
+    md5 over the same canonical signature serialization, so every
+    class id matches byte-for-byte."""
+    from lmss_entity_extractor_spark.graph.bisim import bisimulation_classes
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    subj = F.concat(F.lit("c:"), "c_custkey").alias("s")
+    trips = (
+        c.select(subj, F.lit("nation").alias("p"), F.concat(F.lit("n:"), "c_nationkey").alias("o"))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 3 == 0).select(
+                subj, F.lit("segment").alias("p"), F.col("c_mktsegment").alias("o")
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_nationkey") % 2 == 0).select(
+                F.concat(F.lit("n:"), "c_nationkey").alias("s"),
+                F.lit("rdf:type").alias("p"),
+                F.lit("Nation").alias("o"),
+            ).distinct()
+        )
+    )
+    return bisimulation_classes(trips, k=2)
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (L47, Schleimer et al. SIGMOD'03) over the
     documents corpus: per-doc sliding-window minima of md5-prefix 3-gram
@@ -2617,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_entail": q_owl_entail,
         "bgp_construct": q_bgp_construct,
         "reify": q_reify,
+        "bisim": q_bisim,
         "decontaminate": q_decontaminate,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
@@ -5088,6 +5118,45 @@ def oracle_sql() -> dict[str, str]:
         JOIN cs c1 ON t.s = c1.s
         LEFT JOIN cs c2 ON t.o = c2.s
         GROUP BY 1, 2, 3
+    """
+    oracles["bisim"] = """
+        -- identical two-round refinement, identical canonical
+        -- serialization (US-joined records, RS-joined sorted sets)
+        WITH t AS MATERIALIZED (
+            SELECT 'c:' || c_custkey AS s, 'nation' AS p,
+                   'n:' || c_nationkey AS o
+            FROM customer
+            UNION ALL
+            SELECT 'c:' || c_custkey, 'segment', c_mktsegment
+            FROM customer WHERE c_custkey % 3 = 0
+            UNION ALL
+            SELECT DISTINCT 'n:' || c_nationkey, 'rdf:type', 'Nation'
+            FROM customer WHERE c_nationkey % 2 = 0
+        ),
+        nodes AS MATERIALIZED (
+            SELECT s AS node FROM t UNION SELECT o FROM t
+        ),
+        c0 AS (SELECT node, md5('') AS cls FROM nodes),
+        s1 AS (
+            SELECT t.s,
+                   md5(array_to_string(
+                       list_sort(list(DISTINCT t.p || chr(31) || c.cls)),
+                       chr(30))) AS cls
+            FROM t JOIN c0 c ON t.o = c.node GROUP BY t.s
+        ),
+        c1 AS MATERIALIZED (
+            SELECT n.node, coalesce(s1.cls, md5('')) AS cls
+            FROM nodes n LEFT JOIN s1 ON n.node = s1.s
+        ),
+        s2 AS (
+            SELECT t.s,
+                   md5(array_to_string(
+                       list_sort(list(DISTINCT t.p || chr(31) || c.cls)),
+                       chr(30))) AS cls
+            FROM t JOIN c1 c ON t.o = c.node GROUP BY t.s
+        )
+        SELECT n.node, coalesce(s2.cls, md5('')) AS cls
+        FROM nodes n LEFT JOIN s2 ON n.node = s2.s
     """
     oracles["reify"] = """
         -- same mint: md5 over unit-separator-joined terms, same four

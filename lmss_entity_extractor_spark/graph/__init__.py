@@ -28,3 +28,4 @@ from .incclosure import closure_insert  # noqa: F401
 from .rdflist import flatten_lists  # noqa: F401
 from .owlprops import owl_entail  # noqa: F401
 from .reify import reify, unreify  # noqa: F401
+from .bisim import bisimulation_classes  # noqa: F401
