@@ -51,6 +51,31 @@ class TestBisimulation:
         with pytest.raises(ValueError):
             bisimulation_classes(_t(spark, [("a", "p", "b")]), k=-1)
 
+    def test_k1_refines_exactly_like_charsets(self, spark):
+        # class_0 is constant, so the depth-1 signature reduces to the
+        # predicate SET — A(1) must induce the same partition of
+        # subjects as characteristic sets (graph/charsets.py, L60)
+        rows = [
+            ("s%d" % (i % 8), "p%d" % ((i * 3) % 4), "o%d" % (i % 5))
+            for i in range(40)
+        ]
+        t = _t(spark, rows)
+        k1 = _cls(bisimulation_classes(t, k=1))
+        from pyspark.sql import functions as F
+
+        psets = {
+            r["s"]: tuple(r["ps"])
+            for r in t.groupBy("s")
+            .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+            .collect()
+        }
+        # same partition: bisim class equality <=> predicate-set equality
+        by_cls = {}
+        for s, ps in psets.items():
+            by_cls.setdefault(k1[s], set()).add(ps)
+        assert all(len(v) == 1 for v in by_cls.values())
+        assert len(by_cls) == len({ps for ps in psets.values()})
+
     def test_parallelism_independent(self, spark):
         rows = [
             ("n%d" % (i % 9), "p%d" % (i % 2), "n%d" % ((i * 5 + 2) % 9))
