@@ -49,7 +49,7 @@ def hits(
         .distinct()
         .localCheckpoint()
     )
-    if nodes.rdd.isEmpty():
+    if nodes.limit(1).count() == 0:
         # empty edge list -> empty, correctly-typed result
         return nodes.select(
             "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")

@@ -51,6 +51,7 @@ def kcore(
         .distinct()
         .localCheckpoint()
     )
+    n_edges = und.count()
     for _ in range(max_rounds):
         deg = und.groupBy(F.col("a").alias("node")).agg(
             F.count(F.lit(1)).alias("degree")
@@ -62,11 +63,12 @@ def kcore(
             .select("a", "b")
             .localCheckpoint()
         )
-        if pruned.count() == und.count():
+        n_pruned = pruned.count()
+        if n_pruned == n_edges:
             return und.groupBy(F.col("a").alias("node")).agg(
                 F.count(F.lit(1)).alias("degree")
             )
-        und = pruned
+        und, n_edges = pruned, n_pruned
     raise RuntimeError(
         f"kcore did not converge within {max_rounds} peel rounds — "
         "raise max_rounds (peel depth exceeds the bound)"
