@@ -211,3 +211,191 @@ def bgp_construct(
         )
         out = t if out is None else out.unionByName(t)
     return out.distinct()
+
+def bgp_union(
+    triples: DataFrame,
+    groups: list[list[tuple[str, str, str]]],
+    *,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """SPARQL UNION (SPARQL 1.1 §18.5 Union): evaluate each ``groups``
+    entry as its own BGP and take the union of the solution sequences.
+    Branches may bind DIFFERENT variable sets — the result carries the
+    sorted union of all branch variables, and a variable a branch does
+    not bind surfaces as NULL (unbound) in that branch's rows, exactly
+    the spec's differing-domain behavior.
+
+    Set semantics, consistent with the module contract: each branch is
+    duplicate-free (see ``bgp_match``), but the SAME solution can arise
+    from two branches, so one ``distinct`` lands the result back in set
+    form (documented divergence from SPARQL's multiset counting — this
+    engine never reports multiplicities).
+
+    Plan shape: K independent BGP plans + a union + one distinct; the
+    distinct is the only cross-branch shuffle, keyed on the full
+    solution row.  Branches are evaluated against the same scan, so a
+    cached/persisted triple table is read once per pattern, never per
+    branch-combination."""
+    if not groups:
+        raise ValueError("bgp_union: empty group list")
+    rels = [
+        bgp_match(triples, g, s_col=s_col, p_col=p_col, o_col=o_col)
+        for g in groups
+    ]
+    all_vars = sorted({c for rel in rels for c in rel.columns})
+    out: DataFrame | None = None
+    for rel in rels:
+        padded = rel.select(
+            *(
+                F.col(v) if v in rel.columns
+                else F.lit(None).cast("string").alias(v)
+                for v in all_vars
+            )
+        )
+        out = padded if out is None else out.unionByName(padded)
+    return out.distinct()
+
+
+def bgp_minus(
+    solutions: DataFrame,
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    *,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """SPARQL MINUS (SPARQL 1.1 §8.3): remove from ``solutions`` every
+    mapping that is COMPATIBLE with some solution of the MINUS-side BGP
+    on a NON-EMPTY shared domain.  ``solutions`` is any solution
+    relation (``bgp_match``/``bgp_query``/``bgp_union`` output — one
+    column per variable, NULL = unbound).
+
+    Spec corners honored:
+
+    - the MINUS pattern sharing NO variable with ``solutions`` removes
+      nothing (dom(mu) ∩ dom(mu') = ∅ for every pair — §8.3's famous
+      "MINUS with disjoint patterns is a no-op");
+    - a NULL (unbound) shared variable in a solution drops out of ITS
+      domain: compatibility then only constrains the remaining shared
+      variables, and if ALL shared variables are NULL the domains are
+      disjoint again and the row survives.
+
+    Scale shape — TWO anti-joins, not one nested loop.  The MINUS-side
+    BGP binds every shared variable (BGP solutions are total over their
+    variables), so compatibility for a FULLY-BOUND solution row is plain
+    equality on the shared columns — a hash anti-join.  Only rows with
+    at least one NULL shared variable (OPTIONAL-miss rows fed through
+    ``bgp_query``/``bgp_union``) need the general subset-compatibility
+    condition, and those get their own anti-join against the SAME
+    minus relation with the ``AND_v (v IS NULL OR v = minus.v) AND
+    OR_v (v IS NOT NULL)`` condition (a broadcast nested loop — priced
+    only by the null-carrying slice, which is empty for pure-BGP input
+    and small whenever OPTIONAL misses are the exception).  The two
+    slices are disjoint by the null predicate, so their union is exact."""
+    rel = bgp_match(triples, patterns, s_col=s_col, p_col=p_col, o_col=o_col)
+    shared = sorted(set(solutions.columns) & set(rel.columns))
+    if not shared:
+        return solutions
+    for v in shared:
+        if f"_minus_{v}" in solutions.columns:
+            raise ValueError(f"column _minus_{v} collides with the rename scheme")
+    right = rel.select(*(F.col(v).alias(f"_minus_{v}") for v in shared))
+
+    all_bound = None
+    for v in shared:
+        nn = F.col(v).isNotNull()
+        all_bound = nn if all_bound is None else all_bound & nn
+    bound_part = solutions.filter(all_bound).join(
+        right,
+        on=_conj(F.col(v) == F.col(f"_minus_{v}") for v in shared),
+        how="left_anti",
+    )
+    null_part = solutions.filter(~all_bound)
+    compat = _conj(
+        F.col(v).isNull() | (F.col(v) == F.col(f"_minus_{v}")) for v in shared
+    )
+    nonempty = None
+    for v in shared:
+        ne = F.col(v).isNotNull()
+        nonempty = ne if nonempty is None else nonempty | ne
+    null_part = null_part.join(right, on=compat & nonempty, how="left_anti")
+    return bound_part.unionByName(null_part)
+
+
+def _conj(conds):
+    out = None
+    for c in conds:
+        out = c if out is None else out & c
+    return out
+
+
+_AGG_FNS = {
+    "count": lambda c: F.count(c),
+    "count_distinct": lambda c: F.countDistinct(c),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "avg": lambda c: F.avg(c),
+    # SPARQL SAMPLE picks an arbitrary value; this engine pins it to
+    # MIN so the same query gives the same answer on any engine and at
+    # any parallelism — determinism over spec freedom
+    "sample": lambda c: F.min(c),
+}
+
+
+def bgp_aggregate(
+    triples: DataFrame,
+    where: list[tuple[str, str, str]],
+    *,
+    group_by: list[str] = (),
+    aggs: list[tuple[str, str, str]],
+    optional: list[list[tuple[str, str, str]]] = (),
+    filters: list[str] = (),
+    having: list[str] = (),
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """SPARQL aggregates (SPARQL 1.1 §11): GROUP BY over the solution
+    mappings of a ``bgp_query`` evaluation, with HAVING applied after
+    aggregation.  ``aggs`` entries are ``(fn, var, out_name)`` where fn
+    is one of count / count_distinct / sum / min / max / avg / sample
+    and var is a bound variable name (or ``*`` for count).  An empty
+    ``group_by`` is the spec's implicit single group (one output row,
+    even over zero solutions — COUNT(*) = 0, other aggregates NULL).
+
+    SPARQL corners honored:
+
+    - COUNT(?v) skips rows where ?v is unbound (NULL) — free, because
+      Spark's count(col) has exactly that semantics;
+    - SAMPLE is deterministic here (MIN), documented above;
+    - grouping on a variable an OPTIONAL left NULL forms the spec's
+      "error key" group — Spark groups NULLs together, same behavior.
+
+    Scale shape: the whole thing is the BGP join plan + ONE combinable
+    hash aggregate (count_distinct rewrites to Spark's two-phase
+    distinct-expand, so a hot group does not funnel one reducer).
+    HAVING lands after the agg as a plain filter on the aggregated
+    relation — nothing re-scans."""
+    if not aggs:
+        raise ValueError("bgp_aggregate: empty aggs list")
+    sols = bgp_query(
+        triples, where, optional=optional, filters=filters,
+        s_col=s_col, p_col=p_col, o_col=o_col,
+    )
+    exprs = []
+    for fn, var, out in aggs:
+        if fn not in _AGG_FNS:
+            raise ValueError(f"unknown aggregate {fn!r}; have {sorted(_AGG_FNS)}")
+        col = F.lit(1) if var == "*" else F.col(var)
+        if var == "*" and fn != "count":
+            raise ValueError(f"'*' is only valid with count, got {fn!r}")
+        exprs.append(_AGG_FNS[fn](col).alias(out))
+    grouped = sols.groupBy(*[F.col(g) for g in group_by]) if group_by else sols.groupBy()
+    out_df = grouped.agg(*exprs)
+    for h in having:
+        out_df = out_df.filter(F.expr(h))
+    return out_df

@@ -169,3 +169,144 @@ class TestBgpQuery:
             optional=[[("?x", "likes", "?y")]],
         )
         assert out.count() == 2  # one base solution x two optional rows
+
+
+class TestBgpUnion:
+    def test_differing_domains_pad_null(self, spark, graph):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_union
+
+        out = bgp_union(
+            graph,
+            [
+                [("?c", "located_in", "?n"), ("?n", "rdf:type", "Nation")],
+                [("?o", "placed_by", "?c")],
+            ],
+        )
+        assert out.columns == ["c", "n", "o"]
+        assert _rows(out) == {
+            ("c1", "n1", None),
+            ("c1", None, "o1"),
+            ("c1", None, "o2"),
+            ("c2", None, "o3"),
+        }
+
+    def test_cross_branch_duplicates_collapse(self, spark, graph):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_union
+
+        out = bgp_union(
+            graph,
+            [[("?c", "located_in", "?n")], [("?c", "located_in", "?n")]],
+        )
+        # same solutions from both branches -> set semantics, counted once
+        assert _rows(out) == {("c1", "n1"), ("c2", "n2")}
+
+    def test_empty_groups_rejected(self, spark, graph):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_union
+
+        with pytest.raises(ValueError):
+            bgp_union(graph, [])
+
+
+class TestBgpMinus:
+    def test_removes_compatible_solutions(self, spark, graph):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_match, bgp_minus
+
+        sols = bgp_match(
+            graph, [("?o", "placed_by", "?c"), ("?c", "located_in", "?n")]
+        )
+        out = bgp_minus(sols, graph, [("?n", "rdf:type", "Nation")])
+        # n1 is typed -> o1/o2 removed; n2 untyped -> o3 survives
+        assert _rows(out) == {("c2", "n2", "o3")}
+
+    def test_disjoint_domain_is_noop(self, spark, graph):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_match, bgp_minus
+
+        sols = bgp_match(graph, [("?o", "placed_by", "?c")])
+        out = bgp_minus(sols, graph, [("?a", "likes", "?b")])
+        assert _rows(out) == _rows(sols)
+
+    def test_null_shared_var_drops_out_of_domain(self, spark, graph):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_minus, bgp_query
+
+        # OPTIONAL type: n1 rows bind ?t='Nation', n2 rows leave ?t NULL
+        sols = bgp_query(
+            graph,
+            [("?c", "located_in", "?n")],
+            optional=[[("?n", "rdf:type", "?t")]],
+        )
+        # MINUS {?n rdf:type ?t}: the (c1,n1,'Nation') row is compatible
+        # and dies; (c2,n2,NULL) has dom = {n} on the shared side, and no
+        # minus solution carries n=n2, so it survives
+        out = bgp_minus(sols, graph, [("?n", "rdf:type", "?t")])
+        assert _rows(out) == {("c2", "n2", None)}
+
+    def test_all_null_shared_vars_survive(self, spark, graph):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_minus
+
+        sols = spark.createDataFrame(
+            [("k1", None), ("k2", "n1")], "keep string, n string"
+        )
+        # shared = {n}; the NULL-n row has disjoint domain -> survives;
+        # the n1 row is compatible with (n1 rdf:type Nation) -> removed
+        out = bgp_minus(sols, graph, [("?n", "rdf:type", "?x")])
+        assert _rows(out) == {("k1", None)}
+
+
+class TestBgpAggregate:
+    def test_group_by_counts(self, spark, graph):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_aggregate
+
+        out = bgp_aggregate(
+            graph,
+            [("?o", "placed_by", "?c"), ("?c", "located_in", "?n")],
+            group_by=["n"],
+            aggs=[
+                ("count", "*", "n_orders"),
+                ("count_distinct", "c", "n_cust"),
+                ("min", "o", "first_o"),
+            ],
+        )
+        assert _rows(out) == {("n1", 2, 1, "o1"), ("n2", 1, 1, "o3")}
+
+    def test_implicit_single_group(self, spark, graph):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_aggregate
+
+        out = bgp_aggregate(
+            graph,
+            [("?o", "placed_by", "?c")],
+            aggs=[("count", "*", "n"), ("sample", "c", "some_c")],
+        )
+        # SAMPLE pinned to MIN -> deterministic
+        assert _rows(out) == {(3, "c1")}
+
+    def test_count_var_skips_unbound(self, spark, graph):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_aggregate
+
+        out = bgp_aggregate(
+            graph,
+            [("?c", "located_in", "?n")],
+            optional=[[("?n", "rdf:type", "?t")]],
+            aggs=[("count", "*", "rows"), ("count", "t", "typed")],
+        )
+        # 2 solutions, only n1 typed -> COUNT(?t) = 1
+        assert _rows(out) == {(2, 1)}
+
+    def test_having_filters_groups(self, spark, graph):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_aggregate
+
+        out = bgp_aggregate(
+            graph,
+            [("?o", "placed_by", "?c"), ("?c", "located_in", "?n")],
+            group_by=["n"],
+            aggs=[("count", "*", "n_orders")],
+            having=["n_orders >= 2"],
+        )
+        assert _rows(out) == {("n1", 2)}
+
+    def test_star_only_valid_for_count(self, spark, graph):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_aggregate
+
+        with pytest.raises(ValueError):
+            bgp_aggregate(
+                graph, [("?o", "placed_by", "?c")], aggs=[("min", "*", "x")]
+            )
