@@ -2589,6 +2589,209 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_bgp_union(spark, sf_dir):
+    """SPARQL UNION (graph/bgp.py bgp_union): a chain branch binding
+    (o, c, n) unioned with a type-only branch binding just n — the
+    branches have DIFFERING variable domains, so the result pads the
+    unbound columns with NULL per SPARQL 1.1 §18.5 (this engine's set
+    semantics: one distinct).  Oracle: the two joins UNION ALL'd with
+    explicit NULL casts + DISTINCT."""
+    from lmss_entity_extractor_spark.graph.bgp import bgp_union
+
+    return bgp_union(
+        _bgp_fixture(spark, sf_dir),
+        [
+            [("?o", "placed_by", "?c"), ("?c", "located_in", "?n")],
+            [("?n", "rdf:type", "Nation")],
+        ],
+    )
+
+
+def q_bgp_minus(spark, sf_dir):
+    """SPARQL MINUS (graph/bgp.py bgp_minus) with BOTH compatibility
+    slices live: solutions come from a UNION whose second branch binds
+    only ?n2, so its rows carry NULL in every MINUS-shared variable
+    (disjoint domain → must SURVIVE, §8.3), while the fully-bound chain
+    rows are removed exactly when their (c, n) matches a typed-nation
+    customer.  Survivors: untyped-region chain rows + all type-only
+    rows.  Oracle: NOT EXISTS with the spec's subset-compatibility
+    predicate (NULL drops out of the domain; at least one shared var
+    non-NULL)."""
+    from lmss_entity_extractor_spark.graph.bgp import bgp_minus, bgp_union
+
+    fix = _bgp_fixture(spark, sf_dir)
+    sols = bgp_union(
+        fix,
+        [
+            [("?o", "placed_by", "?c"), ("?c", "located_in", "?n")],
+            [("?n2", "rdf:type", "Nation")],
+        ],
+    )
+    return bgp_minus(
+        sols, fix, [("?c", "located_in", "?n"), ("?n", "rdf:type", "Nation")]
+    )
+
+
+def q_bgp_aggregate(spark, sf_dir):
+    """SPARQL aggregates (graph/bgp.py bgp_aggregate): GROUP BY ?n over
+    the chain solutions extended with an OPTIONAL type pattern —
+    COUNT(?t) must skip the unbound (NULL) ?t rows of untyped nations
+    while COUNT(*) counts them, SAMPLE is pinned to MIN, and HAVING
+    prunes small groups after aggregation.  Oracle: LEFT JOIN + the
+    same grouped aggregates (SQL count(col) shares the skip-NULL
+    semantics)."""
+    from lmss_entity_extractor_spark.graph.bgp import bgp_aggregate
+
+    return bgp_aggregate(
+        _bgp_fixture(spark, sf_dir),
+        [("?o", "placed_by", "?c"), ("?c", "located_in", "?n")],
+        group_by=["n"],
+        aggs=[
+            ("count", "*", "n_sols"),
+            ("count", "t", "n_typed"),
+            ("count_distinct", "c", "n_custs"),
+            ("sample", "c", "sample_c"),
+        ],
+        optional=[[("?n", "rdf:type", "?t")]],
+        having=["n_sols >= 3"],
+    )
+
+
+def q_describe(spark, sf_dir):
+    """SPARQL DESCRIBE / Concise Bounded Description (graph/describe.py):
+    seeds are every 10th customer; each customer's out-triples include a
+    blank-node address (``_:a<k>``) and, for k % 3 = 0, a second-level
+    blank geo node (``_:g<k>``) — the CBD must follow blank nodes
+    transitively (depth-3 frontier) and must NOT pull in the IRI-object
+    neighbors (nations).  Oracle: recursive reachability CTE restricted
+    to blank-node objects, then one join for the triple payload."""
+    from lmss_entity_extractor_spark.graph.describe import describe_cbd
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    triples = (
+        c.select(
+            F.concat(F.lit("c:"), k).alias("s"),
+            F.lit("located_in").alias("p"),
+            F.concat(F.lit("n:"), F.col("c_nationkey")).alias("o"),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("c:"), k).alias("s"),
+                F.lit("address").alias("p"),
+                F.concat(F.lit("_:a"), k).alias("o"),
+            )
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("_:a"), k).alias("s"),
+                F.lit("street").alias("p"),
+                F.concat(F.lit("street "), k).alias("o"),
+            )
+        )
+        .unionByName(
+            c.filter(k % 3 == 0).select(
+                F.concat(F.lit("_:a"), k).alias("s"),
+                F.lit("geo").alias("p"),
+                F.concat(F.lit("_:g"), k).alias("o"),
+            )
+        )
+        .unionByName(
+            c.filter(k % 3 == 0).select(
+                F.concat(F.lit("_:g"), k).alias("s"),
+                F.lit("lat").alias("p"),
+                F.concat(F.lit("lat"), k).alias("o"),
+            )
+        )
+    )
+    seeds = c.filter(k % 10 == 0).select(F.concat(F.lit("c:"), k).alias("node"))
+    return describe_cbd(triples, seeds)
+
+
+def q_wu_palmer(spark, sf_dir):
+    """Wu-Palmer taxonomic similarity (graph/taxsim.py): a 4-level
+    hierarchy root(1) → region(2) → nation(3) → customer(4) built from
+    the TPC-H geography; pairs mix customer×customer and
+    customer×nation, so the LCA lands at every level (self, nation,
+    region, root) and wup spans {1, 3/4, 1/2, 1/4, 6/7, 4/7, 2/7}.
+    wup is a division of small exact ints — bit-identical cross-engine,
+    no rounding grid needed.  Oracle: the same ancestor relation in SQL
+    with the LCA elected by row_number ORDER BY depth DESC, anc DESC
+    (the max(struct) tie-break, spelled relationally)."""
+    from lmss_entity_extractor_spark.graph.taxsim import wu_palmer
+
+    cn = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 100 == 0)
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_nationkey", "n_regionkey")
+    )
+    n = _t(spark, sf_dir, "nation")
+    ck = F.concat(F.lit("c:"), F.col("c_custkey"))
+    nk = F.concat(F.lit("n:"), F.col("c_nationkey"))
+    rk = F.concat(F.lit("r:"), F.col("n_regionkey"))
+    cust_anc = (
+        cn.select(ck.alias("node"), ck.alias("anc"), F.lit(4).alias("anc_depth"))
+        .unionByName(cn.select(ck.alias("node"), nk.alias("anc"), F.lit(3).alias("anc_depth")))
+        .unionByName(cn.select(ck.alias("node"), rk.alias("anc"), F.lit(2).alias("anc_depth")))
+        .unionByName(cn.select(ck.alias("node"), F.lit("root").alias("anc"), F.lit(1).alias("anc_depth")))
+    )
+    nn = F.concat(F.lit("n:"), F.col("n_nationkey"))
+    nr = F.concat(F.lit("r:"), F.col("n_regionkey"))
+    nat_anc = (
+        n.select(nn.alias("node"), nn.alias("anc"), F.lit(3).alias("anc_depth"))
+        .unionByName(n.select(nn.alias("node"), nr.alias("anc"), F.lit(2).alias("anc_depth")))
+        .unionByName(n.select(nn.alias("node"), F.lit("root").alias("anc"), F.lit(1).alias("anc_depth")))
+    )
+    ancestors = cust_anc.unionByName(nat_anc)
+    ca = cn.select(ck.alias("a"))
+    pairs = (
+        ca.crossJoin(cn.select(ck.alias("b")))
+        .unionByName(ca.crossJoin(cn.select(nk.alias("b"))))
+        .distinct()
+    )
+    return wu_palmer(ancestors, pairs)
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """BPE pair statistics (ops/bpe.py): ONE corpus pass builds the
+    word-frequency table, then weighted adjacent-symbol-pair counts over
+    the vocabulary — the no-merge path is pure JVM column algebra
+    (split + zip_with over two slices), which is exactly the slice this
+    oracle re-derives: per-word character positions via
+    generate_series, the terminal symbol forced to </w>, counts
+    weighted by word frequency."""
+    from lmss_entity_extractor_spark.ops.bpe import bpe_pair_counts, word_counts
+
+    return bpe_pair_counts(word_counts(_t(spark, sf_dir, "documents"), "text"))
+
+
+def q_pca_covariance(spark, sf_dir):
+    """Distributed covariance via per-partition moment matrices
+    (ops/pca.py collect_moments): the only cross-cluster traffic is one
+    (n, Σx, Σxxᵀ) row per partition; the driver combines and forms the
+    population covariance.  Contract slice: the 16×16 leading block on
+    the half-up 1e-6 grid (floor(x·1e6 + 0.5) — the repo-standard
+    cross-engine float discipline; eigh itself is never oracled, per
+    the module docstring).  Oracle: E[xy] − E[x]E[y] per coordinate
+    pair in DuckDB with values CAST to double BEFORE the product, same
+    as the kernel's float64 widening."""
+    import math
+
+    from lmss_entity_extractor_spark.ops.pca import collect_moments
+
+    _n, _mean, cov = collect_moments(_t(spark, sf_dir, "embeddings"), "embedding")
+    rows = [
+        (i, j, math.floor(cov[i, j] * 1e6 + 0.5) / 1e6)
+        for i in range(16)
+        for j in range(16)
+    ]
+    return spark.createDataFrame(rows, "i int, j int, cov6 double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -2611,6 +2814,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_reply_join": q_stream_reply_join,
         "edges_changelog": q_edges_changelog,
         # oracles never yet driver-checked (added r4)
+        "bgp_union": q_bgp_union,
+        "bgp_minus": q_bgp_minus,
+        "bgp_aggregate": q_bgp_aggregate,
+        "describe": q_describe,
+        "wu_palmer": q_wu_palmer,
+        "bpe_pairs": q_bpe_pairs,
+        "pca_covariance": q_pca_covariance,
         "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
         "knn_ivfpq_residual": q_knn_ivfpq_residual,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -5387,4 +5597,181 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, label FROM l3
     """
     )
+    oracles["bgp_union"] = """
+        -- two BGP branches with differing domains: NULL-padded UNION,
+        -- then DISTINCT (the engine's set semantics)
+        SELECT DISTINCT * FROM (
+            SELECT 'c:' || c.c_custkey AS c,
+                   'n:' || n.n_nationkey AS n,
+                   'o:' || o.o_orderkey AS o
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderkey % 100 = 0
+            UNION ALL
+            SELECT CAST(NULL AS VARCHAR), 'n:' || n_nationkey,
+                   CAST(NULL AS VARCHAR)
+            FROM nation WHERE n_regionkey < 3
+        )
+    """
+    oracles["bgp_minus"] = """
+        -- SPARQL MINUS semantics spelled out: remove a solution iff some
+        -- minus-solution is compatible on a NON-EMPTY shared domain
+        -- (NULL shared vars drop out of the domain)
+        WITH b1 AS (
+            SELECT 'c:' || c.c_custkey AS c, 'n:' || n.n_nationkey AS n,
+                   CAST(NULL AS VARCHAR) AS n2, 'o:' || o.o_orderkey AS o
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderkey % 100 = 0
+        ),
+        b2 AS (
+            SELECT CAST(NULL AS VARCHAR) AS c, CAST(NULL AS VARCHAR) AS n,
+                   'n:' || n_nationkey AS n2, CAST(NULL AS VARCHAR) AS o
+            FROM nation WHERE n_regionkey < 3
+        ),
+        sols AS (
+            SELECT DISTINCT * FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+        ),
+        minus_rel AS (
+            SELECT 'c:' || c_custkey AS mc, 'n:' || c_nationkey AS mn
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_regionkey < 3
+        )
+        SELECT c, n, n2, o FROM sols s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM minus_rel m
+            WHERE (s.c IS NULL OR s.c = m.mc)
+              AND (s.n IS NULL OR s.n = m.mn)
+              AND (s.c IS NOT NULL OR s.n IS NOT NULL)
+        )
+    """
+    oracles["bgp_aggregate"] = """
+        -- chain + OPTIONAL type as LEFT JOIN; count(t) skips NULLs like
+        -- SPARQL COUNT(?t); SAMPLE pinned to MIN; HAVING after the agg
+        SELECT 'n:' || n.n_nationkey AS n,
+               count(*) AS n_sols,
+               count(t.o) AS n_typed,
+               count(DISTINCT 'c:' || c.c_custkey) AS n_custs,
+               min('c:' || c.c_custkey) AS sample_c
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN (
+            SELECT 'n:' || n_nationkey AS s, 'Nation' AS o
+            FROM nation WHERE n_regionkey < 3
+        ) t ON t.s = 'n:' || n.n_nationkey
+        WHERE o.o_orderkey % 100 = 0
+        GROUP BY 1 HAVING count(*) >= 3
+    """
+    oracles["describe"] = """
+        -- CBD = seed out-triples + transitive blank-node closure:
+        -- recursive reachability restricted to '_:' objects, then one
+        -- join for the payload
+        WITH RECURSIVE triples AS (
+            SELECT 'c:' || c_custkey AS s, 'located_in' AS p,
+                   'n:' || c_nationkey AS o FROM customer
+            UNION ALL
+            SELECT 'c:' || c_custkey, 'address', '_:a' || c_custkey FROM customer
+            UNION ALL
+            SELECT '_:a' || c_custkey, 'street', 'street ' || c_custkey FROM customer
+            UNION ALL
+            SELECT '_:a' || c_custkey, 'geo', '_:g' || c_custkey
+            FROM customer WHERE c_custkey % 3 = 0
+            UNION ALL
+            SELECT '_:g' || c_custkey, 'lat', 'lat' || c_custkey
+            FROM customer WHERE c_custkey % 3 = 0
+        ),
+        reach AS (
+            SELECT 'c:' || c_custkey AS node FROM customer WHERE c_custkey % 10 = 0
+            UNION
+            SELECT t.o FROM reach r JOIN triples t ON t.s = r.node
+            WHERE starts_with(t.o, '_:')
+        )
+        SELECT t.s, t.p, t.o FROM triples t JOIN reach r ON t.s = r.node
+    """
+    oracles["wu_palmer"] = """
+        -- LCA elected by row_number over (depth DESC, anc DESC) — the
+        -- relational spelling of the engine's max(struct) aggregate;
+        -- wup = 2*lca_depth / (depth_a + depth_b), exact small-int
+        -- division (bit-identical cross-engine)
+        WITH cn AS (
+            SELECT c_custkey AS k, c_nationkey AS nk, n_regionkey AS rk
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_custkey % 100 = 0
+        ),
+        anc AS (
+            SELECT 'c:' || k AS node, 'c:' || k AS anc, 4 AS d FROM cn
+            UNION ALL SELECT 'c:' || k, 'n:' || nk, 3 FROM cn
+            UNION ALL SELECT 'c:' || k, 'r:' || rk, 2 FROM cn
+            UNION ALL SELECT 'c:' || k, 'root', 1 FROM cn
+            UNION ALL SELECT 'n:' || n_nationkey, 'n:' || n_nationkey, 3 FROM nation
+            UNION ALL SELECT 'n:' || n_nationkey, 'r:' || n_regionkey, 2 FROM nation
+            UNION ALL SELECT 'n:' || n_nationkey, 'root', 1 FROM nation
+        ),
+        pairs AS (
+            SELECT DISTINCT * FROM (
+                SELECT 'c:' || x.k AS a, 'c:' || y.k AS b FROM cn x, cn y
+                UNION ALL
+                SELECT 'c:' || x.k, 'n:' || y.nk FROM cn x, cn y
+            )
+        ),
+        common AS (
+            SELECT p.a, p.b, aa.anc, aa.d,
+                   row_number() OVER (
+                       PARTITION BY p.a, p.b ORDER BY aa.d DESC, aa.anc DESC
+                   ) AS rn
+            FROM pairs p
+            JOIN anc aa ON aa.node = p.a
+            JOIN anc ab ON ab.node = p.b AND ab.anc = aa.anc
+        ),
+        self_d AS (SELECT node, d FROM anc WHERE node = anc)
+        SELECT cm.a, cm.b, cm.anc AS lca, cm.d AS lca_depth,
+               sa.d AS depth_a, sb.d AS depth_b,
+               2.0 * cm.d / (sa.d + sb.d) AS wup
+        FROM common cm
+        JOIN self_d sa ON sa.node = cm.a
+        JOIN self_d sb ON sb.node = cm.b
+        WHERE cm.rn = 1
+    """
+    oracles["bpe_pairs"] = """
+        -- weighted adjacent-symbol pairs over the word-frequency table:
+        -- per-word char positions via generate_series, terminal symbol
+        -- forced to </w> (the paper's end-of-word marker)
+        WITH words AS (
+            SELECT w AS word, count(*) AS cnt FROM (
+                SELECT unnest(string_split_regex(text, '\\s+')) AS w
+                FROM documents
+            ) WHERE w <> '' GROUP BY w
+        ),
+        sym AS (
+            SELECT word, cnt,
+                   unnest(generate_series(1, length(word))) AS i
+            FROM words
+        )
+        SELECT substr(word, i, 1) AS "left",
+               CASE WHEN i < length(word) THEN substr(word, i + 1, 1)
+                    ELSE '</w>' END AS "right",
+               CAST(sum(cnt) AS BIGINT) AS pair_count
+        FROM sym GROUP BY 1, 2
+    """
+    oracles["pca_covariance"] = """
+        -- population covariance E[xy] - E[x]E[y] per coordinate pair,
+        -- values CAST to double BEFORE the product (the kernel's
+        -- float64 widening), half-up 1e-6 grid
+        WITH ex AS (
+            SELECT vec_id, CAST(pos AS INT) AS pos, CAST(val AS DOUBLE) AS val
+            FROM (
+                SELECT vec_id, unnest(embedding) AS val,
+                       unnest(range(len(embedding))) AS pos
+                FROM embeddings
+            ) WHERE pos < 16
+        )
+        SELECT a.pos AS i, b.pos AS j,
+               floor((sum(a.val * b.val) / count(*)
+                      - avg(a.val) * avg(b.val)) * 1e6 + 0.5) / 1e6 AS cov6
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2
+    """
     return oracles
