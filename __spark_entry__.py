@@ -2792,6 +2792,137 @@ def q_pca_covariance(spark, sf_dir):
     return spark.createDataFrame(rows, "i int, j int, cov6 double")
 
 
+def _minted_urls(spark, sf_dir):
+    """Deterministic URL corpus over documents: doc_id mods drive
+    scheme/host case, www, default/kept ports, empty paths, query
+    permutations, fragments, and a garbage slice — every normalization
+    rule of ops/urls.py fires.  The oracle mints the identical strings
+    (and derives the expected canonical form from the CASE arms, not by
+    re-running a regexp — an independent derivation)."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    url = F.when(k % 13 == 0, F.lit("not a url")).otherwise(
+        F.concat(
+            F.when(k % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://")),
+            F.when(k % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.when(k % 2 == 0, F.lit(".Example.COM")).otherwise(F.lit(".example.org")),
+            F.when(k % 4 == 0, F.lit(":443"))
+            .when(k % 4 == 1, F.lit(":80"))
+            .when(k % 4 == 2, F.lit(":8080"))
+            .otherwise(F.lit("")),
+            F.when(k % 11 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("/p/"), (k % 50).cast("string"))
+            ),
+            F.when(k % 5 == 0, F.lit("?b=2&a=1"))
+            .when(k % 5 == 1, F.lit("?a=1&b=2"))
+            .when(k % 5 == 2, F.lit("?"))
+            .otherwise(F.lit("")),
+            F.when(k % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+        )
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization (ops/urls.py): scheme/host case-fold, www
+    strip, default-port drop, empty-path /, fragment drop, bare-?
+    drop, query-param sort; garbage rows surface as NULL.  Pure JVM
+    regexp/array algebra — the normalization fuses into the scan
+    projection.  Oracle: the expected canonical string derived
+    independently from the minting arms."""
+    from lmss_entity_extractor_spark.ops.urls import normalize_urls
+
+    return normalize_urls(_minted_urls(spark, sf_dir)).select(
+        "doc_id", "url_norm", "domain"
+    )
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-registered-domain curation stats (ops/urls.py): row count,
+    distinct canonical URLs, duplicate surplus — ONE combinable hash
+    aggregate; unparseable URLs stay visible under the NULL domain.
+    Oracle: the same counts over the independently-derived canonical
+    forms."""
+    from lmss_entity_extractor_spark.ops.urls import domain_stats
+
+    return domain_stats(_minted_urls(spark, sf_dir))
+
+
+def q_bpe_merged_pairs(spark, sf_dir):
+    """BPE merge application (ops/bpe.py _symbols, the Arrow-UDF seam):
+    pair counts AFTER applying the fixed merge chain
+    (e,</w>) → (t,h) → (th,e</w>) — the third merge consumes symbols
+    PRODUCED by the first two, so the training-order replay is what is
+    being checked, not just independent substitutions.  Oracle: each
+    merge as one string replace over a separator-fenced symbol
+    serialization (single separator at the ends, double between
+    symbols), which makes SQL's left-to-right non-overlapping replace
+    EXACTLY the paper's simultaneous merge scan."""
+    from lmss_entity_extractor_spark.ops.bpe import bpe_pair_counts, word_counts
+
+    return bpe_pair_counts(
+        word_counts(_t(spark, sf_dir, "documents"), "text"),
+        merges=[("e", "</w>"), ("t", "h"), ("th", "e</w>")],
+    )
+
+
+def q_zorder_key(spark, sf_dir):
+    """Z-order / Morton layout keys (ops/zorder.py): interleave
+    (l_partkey, l_suppkey) into one long — a single JVM
+    shift/and/or expression tree (whole-stage codegen, zero shuffle);
+    range-partitioning on this key is what makes 2-D min/max file
+    skipping work at 100 TB.  Oracle: the same 32-term bit arithmetic
+    spelled out in SQL."""
+    from lmss_entity_extractor_spark.ops.zorder import zorder_key
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            zorder_key(["l_partkey", "l_suppkey"], bits=16).alias("zkey"),
+        )
+    )
+
+
+def q_cube_revenue(spark, sf_dir):
+    """CUBE grouping (relational surface): all four grouping sets of
+    (l_returnflag, l_linestatus) in one pass with grouping_id
+    distinguishing subtotal NULLs from data NULLs — Spark expands the
+    cube BEFORE the hash aggregate, so it is still one combinable agg.
+    Oracle: GROUP BY CUBE + GROUPING() in DuckDB (same bit order:
+    first column most significant)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def q_edit_join(spark, sf_dir):
+    """Blocked edit-distance self-join (ops/fuzzyjoin.py): distinct
+    part names within 3 edits sharing a 2-char lowercase prefix block —
+    prefix equi-join + length band + built-in levenshtein, no cross
+    join (plan-asserted in tests).  Oracle: the same block/band/
+    distance ladder with DuckDB's levenshtein."""
+    from lmss_entity_extractor_spark.ops.fuzzyjoin import edit_distance_join
+
+    return edit_distance_join(
+        _t(spark, sf_dir, "part").select("p_name"),
+        None,
+        "p_name",
+        max_dist=3,
+        block_prefix=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -2821,6 +2952,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wu_palmer": q_wu_palmer,
         "bpe_pairs": q_bpe_pairs,
         "pca_covariance": q_pca_covariance,
+        "url_normalize": q_url_normalize,
+        "domain_stats": q_domain_stats,
+        "bpe_merged_pairs": q_bpe_merged_pairs,
+        "zorder_key": q_zorder_key,
+        "cube_revenue": q_cube_revenue,
+        "edit_join": q_edit_join,
         "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
         "knn_ivfpq_residual": q_knn_ivfpq_residual,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -5773,5 +5910,115 @@ def oracle_sql() -> dict[str, str]:
                       - avg(a.val) * avg(b.val)) * 1e6 + 0.5) / 1e6 AS cov6
         FROM ex a JOIN ex b ON a.vec_id = b.vec_id
         GROUP BY 1, 2
+    """
+    # minted-URL fixture shared by url_normalize / domain_stats: the
+    # oracle mints the same raw strings but derives the CANONICAL form
+    # independently from the CASE arms (no regexp re-implementation)
+    minted_urls_cte = """
+        minted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL ELSE
+                     (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+                     || '://' || source
+                     || (CASE WHEN doc_id % 2 = 0 THEN '.example.com'
+                              ELSE '.example.org' END)
+                     || (CASE WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+                     || (CASE WHEN doc_id % 11 = 0 THEN '/'
+                              ELSE '/p/' || (doc_id % 50) END)
+                     || (CASE WHEN doc_id % 5 IN (0, 1) THEN '?a=1&b=2'
+                              ELSE '' END)
+                   END AS url_norm,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        WHEN doc_id % 2 = 0 THEN 'example.com'
+                        ELSE 'example.org' END AS domain
+            FROM documents
+        )
+    """
+    oracles["url_normalize"] = f"""
+        WITH {minted_urls_cte}
+        SELECT doc_id, url_norm, domain FROM minted
+    """
+    oracles["domain_stats"] = f"""
+        WITH {minted_urls_cte}
+        SELECT domain,
+               count(*) AS n_rows,
+               count(DISTINCT url_norm) AS n_urls,
+               count(*) - count(DISTINCT url_norm) AS n_dup_rows
+        FROM minted GROUP BY 1
+    """
+    # BPE merge replay: symbols serialized with a single chr(31) fence
+    # at each end and a DOUBLE fence between symbols, so SQL replace's
+    # left-to-right non-overlapping scan IS the paper's simultaneous
+    # merge pass (adjacent and overlapping occurrences included)
+    _s = "chr(31)"
+    _d = "chr(31) || chr(31)"
+
+    def _merge_step(prev: str, left: str, right: str) -> str:
+        pat = f"{_s} || '{left}' || {_d} || '{right}' || {_s}"
+        rep = f"{_s} || '{left}{right}' || {_s}"
+        return f"SELECT cnt, replace(s, {pat}, {rep}) AS s FROM {prev}"
+
+    oracles["bpe_merged_pairs"] = f"""
+        WITH words AS (
+            SELECT w AS word, count(*) AS cnt FROM (
+                SELECT unnest(string_split_regex(text, '\\s+')) AS w
+                FROM documents
+            ) WHERE w <> '' GROUP BY w
+        ),
+        enc AS (
+            SELECT cnt,
+                   {_s} || array_to_string(
+                       list_append(
+                           [substr(word, i + 1, 1) FOR i IN range(length(word))],
+                           '</w>'
+                       ), {_d}
+                   ) || {_s} AS s
+            FROM words
+        ),
+        m1 AS ({_merge_step('enc', 'e', '</w>')}),
+        m2 AS ({_merge_step('m1', 't', 'h')}),
+        m3 AS ({_merge_step('m2', 'th', 'e</w>')}),
+        syms AS (
+            SELECT cnt,
+                   string_split(substr(s, 2, length(s) - 2), {_d}) AS t
+            FROM m3
+        ),
+        pairs AS (
+            SELECT cnt,
+                   unnest([t[i + 1] FOR i IN range(greatest(len(t) - 1, 0))]) AS l,
+                   unnest([t[i + 2] FOR i IN range(greatest(len(t) - 1, 0))]) AS r
+            FROM syms
+        )
+        SELECT l AS "left", r AS "right", CAST(sum(cnt) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY 1, 2
+    """
+    zterms = " + ".join(
+        f"((l_partkey >> {b}) & 1) * {1 << (2 * b)} + "
+        f"((l_suppkey >> {b}) & 1) * {1 << (2 * b + 1)}"
+        for b in range(16)
+    )
+    oracles["zorder_key"] = f"""
+        -- Morton interleave as explicit bit arithmetic (32 terms)
+        SELECT l_orderkey, l_partkey, l_suppkey,
+               CAST({zterms} AS BIGINT) AS zkey
+        FROM lineitem WHERE l_orderkey % 50 = 0
+    """
+    oracles["cube_revenue"] = """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               count(*) AS n_rows,
+               CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+    oracles["edit_join"] = """
+        WITH v AS (SELECT DISTINCT p_name AS a FROM part)
+        SELECT x.a AS a, y.a AS b,
+               CAST(levenshtein(x.a, y.a) AS INT) AS dist
+        FROM v x JOIN v y
+          ON lower(substr(x.a, 1, 2)) = lower(substr(y.a, 1, 2))
+        WHERE x.a < y.a
+          AND abs(length(x.a) - length(y.a)) <= 3
+          AND levenshtein(x.a, y.a) <= 3
     """
     return oracles
