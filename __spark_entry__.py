@@ -2906,6 +2906,33 @@ def q_cube_revenue(spark, sf_dir):
     )
 
 
+def q_ktruss(spark, sf_dir):
+    """4-truss of the part co-purchase graph (graph/ktruss.py): edges
+    kept only while they close ≥ 2 triangles among surviving edges —
+    support peeling to a fixpoint (5 rounds on this fixture; the
+    result is round-count-independent, so the oracle unrolls the same
+    peel rule for 7 rounds — ≥ fixture depth, idempotent past
+    convergence — the kcore oracle argument applied to edges)."""
+    from lmss_entity_extractor_spark.graph.ktruss import ktruss
+
+    po = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = po.alias("a"), po.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return ktruss(edges, k=4)
+
+
 def q_edit_join(spark, sf_dir):
     """Blocked edit-distance self-join (ops/fuzzyjoin.py): distinct
     part names within 3 edits sharing a 2-char lowercase prefix block —
@@ -2958,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "cube_revenue": q_cube_revenue,
         "edit_join": q_edit_join,
+        "ktruss": q_ktruss,
         "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
         "knn_ivfpq_residual": q_knn_ivfpq_residual,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -3472,6 +3500,46 @@ def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
         )""")
     return base + "".join(steps) + f"""
         SELECT a AS node, count(*) AS degree FROM e{rounds} GROUP BY a"""
+
+
+def _ktruss_oracle_sql(k: int = 4, rounds: int = 7) -> str:
+    """The k-truss support-peel rule unrolled for ``rounds`` rounds —
+    correct once rounds ≥ the fixture's peel depth (fixpoint argument
+    in graph/ktruss.py; the kcore oracle discipline on edges).  Each
+    round enumerates ORIENTED triangles (x < y < z), explodes them to
+    their three edges, and keeps edges with support ≥ k−2."""
+    base = """
+        WITH po AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 4 = 0
+        ),
+        e0 AS (
+            SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM po a JOIN po b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        )"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+        t{i} AS MATERIALIZED (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e{i - 1} e1
+            JOIN e{i - 1} e2 ON e1.a = e2.a AND e1.b < e2.b
+            JOIN e{i - 1} e3 ON e3.a = e1.b AND e3.b = e2.b
+        ),
+        s{i} AS MATERIALIZED (
+            SELECT a, b, count(*) AS sup FROM (
+                SELECT x AS a, y AS b FROM t{i}
+                UNION ALL SELECT x, z FROM t{i}
+                UNION ALL SELECT y, z FROM t{i}
+            ) GROUP BY 1, 2
+        ),
+        e{i} AS MATERIALIZED (
+            SELECT a, b FROM s{i} WHERE sup >= {k - 2}
+        )""")
+    return base + "".join(steps) + f"""
+        SELECT a, b, sup AS support FROM s{rounds} WHERE sup >= {k - 2}"""
 
 
 def _hits_oracle_sql(n_iters: int = 5) -> str:
@@ -4141,6 +4209,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle_sql(10),
         "hits": _hits_oracle_sql(5),
         "kcore": _kcore_oracle_sql(3, 8),
+        "ktruss": _ktruss_oracle_sql(4, 7),
         "shortest_paths": _sssp_oracle_sql(3),
         "set_ops": """
             WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
