@@ -2906,6 +2906,42 @@ def q_cube_revenue(spark, sf_dir):
     )
 
 
+def q_session_window(spark, sf_dir):
+    """Native session windows (F.session_window — Spark's built-in
+    gap-merging window operator, the same machinery streaming session
+    aggregation uses) over transcripts with a MINTED burst/lull rhythm:
+    turn t of a conversation fires at epoch + (t·10 + ⌊t/5⌋·120)
+    minutes, so 10-minute bursts of five turns are separated by
+    130-minute lulls — a 60-minute gap closes each burst into one
+    session.  Oracle: independent relational derivation (lag → gap
+    flag → running session id → min/max + gap), NOT session_window
+    re-spelled; window.end = last event + gap per the operator's
+    contract."""
+    t = _transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        (
+            F.lit("2026-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(
+                mins=(
+                    F.col("turn_idx") * 10
+                    + F.floor(F.col("turn_idx") / 5) * 120
+                ).cast("int")
+            )
+        ).alias("ts"),
+    )
+    return (
+        t.groupBy(F.session_window("ts", "60 minutes").alias("w"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_turns",
+        )
+    )
+
+
 def q_ktruss(spark, sf_dir):
     """4-truss of the part co-purchase graph (graph/ktruss.py): edges
     kept only while they close ≥ 2 triangles among surviving edges —
@@ -2986,6 +3022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": q_cube_revenue,
         "edit_join": q_edit_join,
         "ktruss": q_ktruss,
+        "session_window": q_session_window,
         "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
         "knn_ivfpq_residual": q_knn_ivfpq_residual,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -6079,6 +6116,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+    oracles["session_window"] = """
+        -- independent gap-sessionization: lag -> strict-gap flag ->
+        -- running session id; window end = last event + gap ([start,
+        -- end) half-open, so a gap of EXACTLY 60min would split --
+        -- hence the strict <, matching the operator's contract)
+        WITH t AS (
+            SELECT 'conv-' || lpad(CAST(doc_id % 64 AS VARCHAR), 6, '0') AS conv_id,
+                   TIMESTAMP '2026-01-01 00:00:00'
+                     + INTERVAL ((doc_id // 64) * 10
+                                 + ((doc_id // 64) // 5) * 120) MINUTE AS ts
+            FROM documents
+        ),
+        flagged AS (
+            SELECT conv_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY conv_id ORDER BY ts)
+                             < INTERVAL 60 MINUTE
+                        THEN 0 ELSE 1 END AS new_sess
+            FROM t
+        ),
+        sess AS (
+            SELECT conv_id, ts,
+                   sum(new_sess) OVER (
+                       PARTITION BY conv_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM flagged
+        )
+        SELECT conv_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 60 MINUTE AS session_end,
+               count(*) AS n_turns
+        FROM sess GROUP BY conv_id, sid
     """
     oracles["edit_join"] = """
         WITH v AS (SELECT DISTINCT p_name AS a FROM part)
