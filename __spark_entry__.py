@@ -2906,6 +2906,72 @@ def q_cube_revenue(spark, sf_dir):
     )
 
 
+def q_histogram(spark, sf_dir):
+    """Feature binning / histogram: fixed-width buckets over
+    l_extendedprice per return flag — the SAME floor((x−lo)/w)
+    expression tree on both engines, so bucket-edge floats take
+    identical IEEE paths (no width_bucket builtin whose internal
+    rounding could differ by an ulp).  Out-of-range clamps to the
+    sentinel buckets 0 and n+1, the ANSI width_bucket convention."""
+    lo, w, n = 0.0, 5000.0, 20
+    x = F.col("l_extendedprice")
+    bucket = (
+        F.when(x < lo, F.lit(0))
+        .when(x >= lo + w * n, F.lit(n + 1))
+        .otherwise(F.floor((x - lo) / w) + 1)
+    ).cast("int")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_corr_stats(spark, sf_dir):
+    """Grouped second-moment statistics: Pearson correlation, sample
+    covariance, and sample stddev of (quantity, extendedprice) per
+    return flag — engines aggregate co-moments in different orders, so
+    values land on the repo-standard half-up 1e-6 grid."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def grid(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    return li.groupBy("l_returnflag").agg(
+        grid(F.corr("l_quantity", "l_extendedprice")).alias("corr6"),
+        grid(F.covar_samp("l_quantity", "l_extendedprice")).alias("covar6"),
+        grid(F.stddev("l_quantity")).alias("sd_qty6"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_json_roundtrip(spark, sf_dir):
+    """JSON ingest surface: each order is serialized to a JSON document
+    (to_json over a nested struct with an array field), then parsed
+    back with from_json + an explicit schema and the fields projected
+    out — the lossless-roundtrip law.  Oracle: the original columns
+    straight from the table (the oracle never touches JSON — identity
+    is the contract)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    js = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("c"),
+            F.struct(F.col("o_totalprice").alias("p")).alias("m"),
+            F.array(F.col("o_orderkey") % 7, F.col("o_orderkey") % 3).alias("tags"),
+        )
+    )
+    schema = "k bigint, c bigint, m struct<p: double>, tags array<bigint>"
+    parsed = o.select(F.from_json(js, schema).alias("j"))
+    return parsed.select(
+        F.col("j.k").alias("o_orderkey"),
+        F.col("j.c").alias("o_custkey"),
+        F.col("j.m.p").alias("o_totalprice"),
+        F.element_at("j.tags", 1).alias("tag7"),
+        F.element_at("j.tags", 2).alias("tag3"),
+    )
+
+
 def q_session_window(spark, sf_dir):
     """Native session windows (F.session_window — Spark's built-in
     gap-merging window operator, the same machinery streaming session
@@ -3023,6 +3089,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_join": q_edit_join,
         "ktruss": q_ktruss,
         "session_window": q_session_window,
+        "histogram": q_histogram,
+        "corr_stats": q_corr_stats,
+        "json_roundtrip": q_json_roundtrip,
         "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
         "knn_ivfpq_residual": q_knn_ivfpq_residual,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -6149,6 +6218,31 @@ def oracle_sql() -> dict[str, str]:
                max(ts) + INTERVAL 60 MINUTE AS session_end,
                count(*) AS n_turns
         FROM sess GROUP BY conv_id, sid
+    """
+    oracles["histogram"] = """
+        -- identical floor((x - lo)/w) expression tree, sentinel
+        -- buckets 0 / n+1 for out-of-range
+        SELECT l_returnflag,
+               CAST(CASE WHEN l_extendedprice < 0.0 THEN 0
+                         WHEN l_extendedprice >= 0.0 + 5000.0 * 20 THEN 21
+                         ELSE floor((l_extendedprice - 0.0) / 5000.0) + 1
+                    END AS INT) AS bucket,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY 1, 2
+    """
+    oracles["corr_stats"] = """
+        SELECT l_returnflag,
+               floor(corr(l_extendedprice, l_quantity) * 1e6 + 0.5) / 1e6 AS corr6,
+               floor(covar_samp(l_extendedprice, l_quantity) * 1e6 + 0.5) / 1e6 AS covar6,
+               floor(stddev_samp(l_quantity) * 1e6 + 0.5) / 1e6 AS sd_qty6,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY 1
+    """
+    oracles["json_roundtrip"] = """
+        -- the lossless-roundtrip law: the oracle is the source relation
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               o_orderkey % 7 AS tag7, o_orderkey % 3 AS tag3
+        FROM orders WHERE o_orderkey % 20 = 0
     """
     oracles["edit_join"] = """
         WITH v AS (SELECT DISTINCT p_name AS a FROM part)
