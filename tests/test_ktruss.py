@@ -62,6 +62,51 @@ def test_direction_and_duplicates_canonicalized(spark):
     assert out == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
 
 
+def test_truss_is_subgraph_of_kminus1_core(spark):
+    # theorem (Cohen '08 §3): the k-truss is contained in the
+    # (k-1)-core — every truss node has >= k-1 truss neighbors.
+    # Cross-operator check against graph/kcore.py on a seeded
+    # pseudo-random graph (deterministic: edges from modular arithmetic).
+    from pyspark.sql import functions as F
+
+    from lmss_entity_extractor_spark.graph.kcore import kcore
+
+    n = 40
+    noise = {
+        (min(a, b), max(a, b))
+        for i in range(400)
+        for a, b in [((i * 7) % n, (i * i * 3 + i) % n)]
+        if a != b
+    }
+    cliques = {
+        (a, b) for grp in (range(5), range(10, 15)) for a in grp for b in grp if a < b
+    }
+    pairs = sorted(noise | cliques)
+    edges = spark.createDataFrame(
+        [(f"v{a}", f"v{b}") for a, b in pairs], "src string, dst string"
+    )
+    truss = ktruss(edges, k=4).localCheckpoint()
+    truss_nodes = {
+        r["n"]
+        for r in truss.select(F.col("a").alias("n"))
+        .union(truss.select(F.col("b").alias("n")))
+        .distinct()
+        .collect()
+    }
+    assert truss_nodes, "fixture must have a non-empty 4-truss"
+    core_nodes = {r["node"] for r in kcore(edges, k=3).collect()}
+    assert truss_nodes <= core_nodes
+    # and inside the truss itself every node has degree >= k-1 = 3
+    deg = (
+        truss.select(F.col("a").alias("n"))
+        .union(truss.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .count()
+        .collect()
+    )
+    assert min(r["count"] for r in deg) >= 3
+
+
 def test_k_validation_and_loud_bound(spark):
     with pytest.raises(ValueError, match=">= 3"):
         ktruss(_edges(spark, [("a", "b")]), k=2)
