@@ -2906,6 +2906,101 @@ def q_cube_revenue(spark, sf_dir):
     )
 
 
+def q_recursive_cte(spark, sf_dir):
+    """Native recursive CTE (Spark 4 WITH RECURSIVE) computing the same
+    ancestor closure as the `closure` query — the iterative-join
+    operator (graph/closure.py) and the engine's native recursion now
+    certify each other against one oracle fixture.  Oracle: the
+    identical recursion in DuckDB."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_rc_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_rc_customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_rc_nation")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+            SELECT 'o:' || o_orderkey AS child, 'c:' || o_custkey AS parent
+            FROM v_rc_orders WHERE o_orderkey % 200 = 0
+            UNION ALL
+            SELECT 'c:' || c_custkey, 'n:' || c_nationkey FROM v_rc_customer
+            UNION ALL
+            SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM v_rc_nation
+        ),
+        closure(descendant, ancestor, depth) AS (
+            SELECT child, parent, 1 FROM edges
+            UNION ALL
+            SELECT c.descendant, e.parent, c.depth + 1
+            FROM closure c JOIN edges e ON c.ancestor = e.child
+        )
+        SELECT DISTINCT descendant, ancestor, depth FROM closure
+        """
+    )
+
+
+def q_variant_extract(spark, sf_dir):
+    """Spark 4 VARIANT ingest: order rows serialized to JSON, parsed
+    with parse_json into VARIANT, then path-extracted with variant_get
+    (nested object + array index + typed casts) — the semi-structured
+    fast path that replaces schema-on-write for ragged inputs.  Oracle:
+    the source columns (extraction must be the identity on what was
+    serialized)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    js = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.struct(F.col("o_totalprice").alias("p")).alias("m"),
+            F.array(F.col("o_orderkey") % 7, F.col("o_orderkey") % 3).alias("tags"),
+        )
+    )
+    v = o.select(F.parse_json(js).alias("v"))
+    return v.select(
+        F.variant_get("v", "$.k", "bigint").alias("o_orderkey"),
+        F.variant_get("v", "$.m.p", "double").alias("o_totalprice"),
+        F.variant_get("v", "$.tags[0]", "bigint").alias("tag7"),
+        F.variant_get("v", "$.tags[1]", "bigint").alias("tag3"),
+    )
+
+
+def q_xml_roundtrip(spark, sf_dir):
+    """XML ingest surface: to_xml over a struct, parsed back with
+    from_xml + an explicit schema — the roundtrip identity law, same
+    contract as json_roundtrip but through the XML reader.  Oracle:
+    the source columns."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 40 == 0)
+    xml = F.to_xml(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("c"),
+            F.col("o_totalprice").alias("p"),
+        )
+    )
+    parsed = o.select(F.from_xml(xml, "k bigint, c bigint, p double").alias("x"))
+    return parsed.select(
+        F.col("x.k").alias("o_orderkey"),
+        F.col("x.c").alias("o_custkey"),
+        F.col("x.p").alias("o_totalprice"),
+    )
+
+
+def q_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT: each
+    sampled customer's top-2 orders by price — the SQL-native spelling
+    of grouped top-k.  Oracle: an INDEPENDENT mechanism (row_number
+    window + filter) in DuckDB, so the lateral decorrelation is checked
+    against plain window semantics, not itself."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_lt_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_lt_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM v_lt_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM v_lt_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey % 10 = 0
+        """
+    )
+
+
 def q_histogram(spark, sf_dir):
     """Feature binning / histogram: fixed-width buckets over
     l_extendedprice per return flag — the SAME floor((x−lo)/w)
@@ -3092,6 +3187,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "corr_stats": q_corr_stats,
         "json_roundtrip": q_json_roundtrip,
+        "recursive_cte": q_recursive_cte,
+        "variant_extract": q_variant_extract,
+        "xml_roundtrip": q_xml_roundtrip,
+        "lateral_topk": q_lateral_topk,
         "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
         "knn_ivfpq_residual": q_knn_ivfpq_residual,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -6218,6 +6317,32 @@ def oracle_sql() -> dict[str, str]:
                max(ts) + INTERVAL 60 MINUTE AS session_end,
                count(*) AS n_turns
         FROM sess GROUP BY conv_id, sid
+    """
+    # the native-recursion query shares the closure fixture: same
+    # recursion in DuckDB (and the iterative operator checks against
+    # the same rows via the `closure` oracle)
+    oracles["recursive_cte"] = oracles["closure"]
+    oracles["variant_extract"] = """
+        -- extraction must be the identity on what was serialized
+        SELECT o_orderkey, o_totalprice,
+               o_orderkey % 7 AS tag7, o_orderkey % 3 AS tag3
+        FROM orders WHERE o_orderkey % 20 = 0
+    """
+    oracles["xml_roundtrip"] = """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 40 = 0
+    """
+    oracles["lateral_topk"] = """
+        -- independent mechanism: window row_number, not LATERAL
+        SELECT c_custkey, o_orderkey, o_totalprice FROM (
+            SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY c.c_custkey
+                       ORDER BY o.o_totalprice DESC, o.o_orderkey
+                   ) AS rn
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey % 10 = 0
+        ) WHERE rn <= 2
     """
     oracles["histogram"] = """
         -- identical floor((x - lo)/w) expression tree, sentinel
