@@ -110,6 +110,41 @@ def streaming_dedup(
     return turn_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def session_counts(
+    turn_stream: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming session windows: per-conversation turn counts per
+    gap-separated activity burst (``F.session_window`` — the engine
+    merges a conversation's partial session ACROSS micro-batches in the
+    state store until a gap exceeds ``gap``).
+
+    Append-mode semantics, stated because they are the whole contract:
+    a session is EMITTED exactly once, when the watermark passes its
+    end (last event + gap) — sessions still open at watermark, or at
+    the end of a bounded run, stay in state and never emit.  An
+    upstream that needs every trailing session flushed sends a late
+    punctuation event (any event past the horizon) — the standard
+    flush pattern, exercised in tests.
+
+    Scale: state per conversation is ONE merged window, not the events
+    (counts fold incrementally), and eviction rides the watermark —
+    bounded like L26/L29."""
+    return (
+        turn_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_turns",
+        )
+    )
+
+
 def pair_turns_with_replies(
     turn_stream: DataFrame,
     reply_window: str = "15 minutes",

@@ -580,3 +580,56 @@ def test_stream_stream_join_state_is_bounded(spark, tmp_path):
     # join state buffers both sides: <= ~2 batches of rows, not 10
     assert max(t for t, _rm in totals) <= 2 * rows, totals
     assert totals[-1][0] <= 2 * rows, totals
+
+
+@pytest.mark.spark
+def test_streaming_session_windows_merge_and_finalize(spark, tmp_path):
+    """L85's streaming twin (stateful.session_counts): five micro-batches
+    over 4 conversations — batches 0 and 1 land 10 minutes apart (inside
+    the 30-minute gap, so the engine must MERGE batch 1's turns into
+    batch 0's still-open session in the state store), batches 2-4 land
+    hours apart (own sessions).  A trailing punctuation batch advances
+    the watermark so every real session finalizes; the punctuation's own
+    sessions stay open and must NOT emit — the append-mode contract."""
+    from lmss_entity_extractor_spark import schemas
+    from lmss_entity_extractor_spark.streaming.stateful import session_counts
+
+    tdir = tmp_path / "turns"
+    tdir.mkdir()
+    base = 1_700_000_000
+    rows = 40  # 10 per conversation per batch
+    starts = [0, 600, 8 * 3600, 16 * 3600, 24 * 3600]
+    for b, off in enumerate(starts):
+        _write_turn_batch(
+            tdir / f"b{b:02d}.parquet", b, base + off, rows, mtime=1_000_000 + b
+        )
+    # punctuation far past every session end: flushes the real sessions
+    _write_turn_batch(
+        tdir / "zz_flush.parquet", 9, base + 100 * 3600, 4, mtime=1_000_100
+    )
+    stream = (
+        spark.readStream.schema(schemas.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tdir))
+    )
+    q = (
+        session_counts(stream, gap="30 minutes", watermark="5 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["conv_id"], r["session_start"].timestamp(), r["n_turns"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    expected = set()
+    for c in range(4):
+        # batches 0+1 merged: 20 turns, starting at batch 0's first turn
+        expected.add((f"conv-{c}", float(base + c), 20))
+        for off in starts[2:]:
+            expected.add((f"conv-{c}", float(base + off + c), 10))
+    assert got == expected  # punctuation sessions absent: never finalized
