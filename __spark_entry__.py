@@ -3001,6 +3001,52 @@ def q_lateral_topk(spark, sf_dir):
     )
 
 
+def q_property_path_neg(spark, sf_dir):
+    """SPARQL 1.1 §9.2 negated property sets (graph/proppath.py
+    ("neg", ...)): placed_by / !(in_state) / within — the negation
+    slices out the odd-custkey customers whose location edge uses the
+    in_state predicate — ALT'd with !(^(located_in|within|placed_by)),
+    the inverse-negation composition (a column swap over the
+    complementary slice, exactly the spec's !(^p) decomposition).
+    Oracle: the two arms derived by plain predicate-complement joins."""
+    from lmss_entity_extractor_spark.graph.proppath import property_path
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    triples = (
+        o.select(
+            F.concat(F.lit("o:"), "o_orderkey").alias("s"),
+            F.lit("placed_by").alias("p"),
+            F.concat(F.lit("c:"), "o_custkey").alias("o"),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("c:"), "c_custkey").alias("s"),
+                F.when(F.col("c_custkey") % 2 == 0, F.lit("located_in"))
+                .otherwise(F.lit("in_state"))
+                .alias("p"),
+                F.concat(F.lit("n:"), "c_nationkey").alias("o"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n:"), "n_nationkey").alias("s"),
+                F.lit("within").alias("p"),
+                F.concat(F.lit("r:"), "n_regionkey").alias("o"),
+            )
+        )
+    )
+    return property_path(
+        triples,
+        (
+            "alt",
+            ("seq", "placed_by", ("neg", "in_state"), "within"),
+            ("inv", ("neg", "located_in", "within", "placed_by")),
+        ),
+    )
+
+
 def q_histogram(spark, sf_dir):
     """Feature binning / histogram: fixed-width buckets over
     l_extendedprice per return flag — the SAME floor((x−lo)/w)
@@ -3187,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "corr_stats": q_corr_stats,
         "json_roundtrip": q_json_roundtrip,
+        "property_path_neg": q_property_path_neg,
         "recursive_cte": q_recursive_cte,
         "variant_extract": q_variant_extract,
         "xml_roundtrip": q_xml_roundtrip,
@@ -6322,6 +6369,20 @@ def oracle_sql() -> dict[str, str]:
     # recursion in DuckDB (and the iterative operator checks against
     # the same rows via the `closure` oracle)
     oracles["recursive_cte"] = oracles["closure"]
+    oracles["property_path_neg"] = """
+        -- arm 1: placed_by / !(in_state) / within (even-custkey slice);
+        -- arm 2: !(^(located_in|within|placed_by)) = reversed in_state
+        SELECT DISTINCT subj, obj FROM (
+            SELECT 'o:' || o.o_orderkey AS subj, 'r:' || n.n_regionkey AS obj
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderkey % 100 = 0 AND c.c_custkey % 2 = 0
+            UNION ALL
+            SELECT 'n:' || c_nationkey, 'c:' || c_custkey
+            FROM customer WHERE c_custkey % 2 = 1
+        )
+    """
     oracles["variant_extract"] = """
         -- extraction must be the identity on what was serialized
         SELECT o_orderkey, o_totalprice,

@@ -10,6 +10,7 @@ Python, tuples compose fine):
     ("seq", p1, p2, ...)        p1 / p2      sequence
     ("alt", p1, p2, ...)        p1 | p2      alternative
     ("inv", p)                  ^p           inverse
+    ("neg", "p1", "p2", ...)    !(p1|...)    negated property set
     ("plus", p)                 p+           one-or-more
     ("star", p)                 p*           zero-or-more
     ("opt", p)                  p?           zero-or-one
@@ -54,7 +55,7 @@ from pyspark.sql import functions as F
 
 from .closure import transitive_closure
 
-_COMBINATORS = ("seq", "alt", "inv", "plus", "star", "opt")
+_COMBINATORS = ("seq", "alt", "inv", "plus", "star", "opt", "neg")
 
 
 def _terms(g: DataFrame) -> DataFrame:
@@ -101,6 +102,19 @@ def _eval(g: DataFrame, path, max_iterations: int) -> DataFrame:
     if op == "inv":
         inner = _eval(g, args[0], max_iterations)
         return inner.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    if op == "neg":
+        # SPARQL 1.1 §9.2 negated property set, forward form !(p1|...|pn):
+        # every triple whose predicate is OUTSIDE the set.  The spec's
+        # mixed form with inverse members decomposes onto this:
+        # !(^p) == ("inv", ("neg", "p")) — a column swap over the same
+        # slice — so one combinator covers the grammar.
+        if not args or not all(isinstance(a, str) for a in args):
+            raise ValueError("neg takes one or more predicate strings")
+        return (
+            g.filter(~F.col("p").isin(list(args)))
+            .select(F.col("s").alias("subj"), F.col("o").alias("obj"))
+            .distinct()
+        )
     if op == "plus":
         edges = _eval(g, args[0], max_iterations).distinct()
         return (

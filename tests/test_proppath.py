@@ -106,3 +106,38 @@ class TestPropertyPath:
             property_path(graph, ("seq", "in"))
         with pytest.raises(ValueError, match="bad path expression"):
             property_path(graph, 42)
+
+
+class TestNegatedPropertySet:
+    def test_neg_single(self, spark, graph):
+        # !(in) = via + alt_p triples
+        assert _pairs(property_path(graph, ("neg", "in"))) == {
+            ("a", "c"),
+            ("x", "y"),
+        }
+
+    def test_neg_multi(self, spark, graph):
+        assert _pairs(property_path(graph, ("neg", "in", "via"))) == {("x", "y")}
+
+    def test_neg_of_everything_is_empty(self, spark, graph):
+        assert (
+            property_path(graph, ("neg", "in", "via", "alt_p")).count() == 0
+        )
+
+    def test_inv_neg_composition(self, spark, graph):
+        # !(^in) == ("inv", ("neg", "in")): reversed via/alt_p pairs
+        assert _pairs(property_path(graph, ("inv", ("neg", "in")))) == {
+            ("c", "a"),
+            ("y", "x"),
+        }
+
+    def test_neg_in_seq(self, spark, graph):
+        # in / !(in): pairs (s, o2) with s -in-> m -(non-in)-> o2; the
+        # 'in' targets b and c have no non-'in' out-edges, so: empty
+        assert _pairs(property_path(graph, ("seq", "in", ("neg", "in")))) == set()
+
+    def test_neg_validation(self, spark, graph):
+        with pytest.raises(ValueError, match="predicate strings"):
+            property_path(graph, ("neg",))
+        with pytest.raises(ValueError, match="predicate strings"):
+            property_path(graph, ("neg", ("inv", "in")))
