@@ -3001,6 +3001,33 @@ def q_lateral_topk(spark, sf_dir):
     )
 
 
+def q_text_normalize(spark, sf_dir):
+    """Unicode normalization trio (ops/textnorm.py): part names wrapped
+    in HTML tags and decorated with DECOMPOSED diacritics (combining
+    acute/diaeresis/ring) — strip_html (JVM regexp) must drop only real
+    tags, nfc must compose the combining marks, strip_accents must fold
+    them without recomposition.  Oracle: DuckDB's regexp_replace(…,'g')
+    + nfc_normalize + strip_accents — an independent Unicode
+    implementation (utf8proc vs Python unicodedata) agreeing
+    byte-for-byte."""
+    from lmss_entity_extractor_spark.ops.textnorm import (
+        nfc,
+        strip_accents,
+        strip_html,
+    )
+
+    # decomposed on purpose: combining acute / diaeresis / ring
+    deco = "\u0301 <b>Zu\u0308rich</b> A\u030A</p>"
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    raw = F.concat(F.lit("<p>"), F.col("p_name"), F.lit(" Cafe"), F.lit(deco))
+    clean = nfc(strip_html(raw))
+    return p.select(
+        "p_partkey",
+        clean.alias("nfc_text"),
+        strip_accents(clean).alias("folded"),
+    )
+
+
 def q_property_path_neg(spark, sf_dir):
     """SPARQL 1.1 §9.2 negated property sets (graph/proppath.py
     ("neg", ...)): placed_by / !(in_state) / within — the negation
@@ -3234,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_stats": q_corr_stats,
         "json_roundtrip": q_json_roundtrip,
         "property_path_neg": q_property_path_neg,
+        "text_normalize": q_text_normalize,
         "recursive_cte": q_recursive_cte,
         "variant_extract": q_variant_extract,
         "xml_roundtrip": q_xml_roundtrip,
@@ -6369,6 +6397,26 @@ def oracle_sql() -> dict[str, str]:
     # recursion in DuckDB (and the iterative operator checks against
     # the same rows via the `closure` oracle)
     oracles["recursive_cte"] = oracles["closure"]
+    oracles["text_normalize"] = (
+        """
+        -- independent Unicode implementation: utf8proc (DuckDB) vs
+        -- Python unicodedata must agree byte-for-byte
+        WITH raw AS (
+            SELECT p_partkey,
+                   '<p>' || p_name || ' Café <b>Zürich</b> Å</p>' AS t
+            FROM part WHERE p_partkey % 10 = 0
+        ),
+        clean AS (
+            SELECT p_partkey,
+                   nfc_normalize(
+                       regexp_replace(t, '</?[A-Za-z][^>]*>', '', 'g')
+                   ) AS nfc_text
+            FROM raw
+        )
+        SELECT p_partkey, nfc_text, strip_accents(nfc_text) AS folded
+        FROM clean
+    """
+    )
     oracles["property_path_neg"] = """
         -- arm 1: placed_by / !(in_state) / within (even-custkey slice);
         -- arm 2: !(^(located_in|within|placed_by)) = reversed in_state
