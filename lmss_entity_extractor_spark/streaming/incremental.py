@@ -372,6 +372,71 @@ def expire_and_compact(pipe, out_dir: str | Path, snapshot_name: str = "transcri
     return inc_id
 
 
+def delete_rows(
+    pipe,
+    out_dir: str | Path,
+    predicate: str,
+    snapshot_name: str = "transcripts_in",
+) -> str:
+    """Keyed deletion over the incremental edge table (the Iceberg
+    ``DELETE FROM`` / GDPR right-to-be-forgotten shape): rewrite every
+    committed increment WITHOUT the rows matching ``predicate`` (a SQL
+    boolean over the edge columns, e.g.
+    ``first_conv_id = 'conv-000007'``), committed as one compacted
+    increment.
+
+    Semantics stated, not implied:
+
+    - the rewrite is also a compaction — deletion already touches every
+      data file, so merging them costs nothing extra and the log
+      truncates to one vouched increment (same trade as
+      ``expire_and_compact``: pre-deletion snapshots become
+      unreachable, which for a deletion request is the POINT — time
+      travel must not resurrect the deleted rows);
+    - crash-safe by the same commit ordering: new dir, then manifest,
+      then reap;
+    - returns the new increment id; the caller re-reads via
+      ``compact_incremental_edges`` as usual.
+
+    Scale: one filtered scan + the compaction aggregate — no driver
+    materialization; the predicate pushes into the parquet scan."""
+    import hashlib
+
+    man = pipe.ckpt.load_snapshot(snapshot_name)
+    if not man:
+        raise ValueError(f"no snapshot recorded under {snapshot_name!r} — nothing to delete from")
+    committed = list(man.get("committed_increments") or [])
+    if not committed:
+        raise ValueError("no committed increments — nothing to delete from")
+    inc_id = (
+        "delete-"
+        + hashlib.sha256(json.dumps([committed, predicate]).encode()).hexdigest()[:16]
+    )
+    paths = [str(Path(out_dir) / f"increment={i}") for i in committed]
+    kept = pipe.spark.read.parquet(*paths).filter(f"NOT ({predicate})")
+    _compact(kept).write.mode("overwrite").parquet(
+        str(Path(out_dir) / f"increment={inc_id}")
+    )
+    payload = {
+        k: v
+        for k, v in man.items()
+        if k not in ("increment", "increment_files", "committed_increments", "history")
+    }
+    pipe.ckpt.record_snapshot(
+        snapshot_name,
+        payload,
+        extra={
+            "increment": inc_id,
+            "committed_increments": [inc_id],
+            "history": [{"snapshot_id": man["snapshot_id"], "increment": inc_id}],
+        },
+    )
+    for i in committed:
+        if i != inc_id:
+            shutil.rmtree(Path(out_dir) / f"increment={i}", ignore_errors=True)
+    return inc_id
+
+
 def compact_incremental_edges(spark: SparkSession, out_dir: str | Path) -> DataFrame:
     """Cross-batch canonicalization: identical (subj, pred, obj) triples
     appended by different micro-batches merge into one row with summed

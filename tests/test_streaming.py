@@ -633,3 +633,48 @@ def test_streaming_session_windows_merge_and_finalize(spark, tmp_path):
         for off in starts[2:]:
             expected.add((f"conv-{c}", float(base + off + c), 10))
     assert got == expected  # punctuation sessions absent: never finalized
+
+
+@pytest.mark.spark
+def test_delete_rows_gdpr(spark, owl_path, tmp_path):
+    """Keyed deletion over the incremental edge table (delete_rows):
+    every edge first seen in the target conversation vanishes, every
+    other edge survives byte-identically, pre-deletion snapshots become
+    unreachable (time travel must not resurrect deleted rows), and
+    incremental processing continues on the rewritten base."""
+    from pyspark.sql import functions as F
+
+    from lmss_entity_extractor_spark.streaming.incremental import delete_rows
+
+    tdir = tmp_path / "transcripts"
+    tdir.mkdir()
+    out_dir = tmp_path / "snap_edges"
+    write_transcripts_parquet(tdir / "part-0.parquet", n_convs=4, seed=11)
+    pipe = KGPipeline(spark, owl_path, tmp_path / "wh", PipelineConfig())
+    r1 = pipe.run_incremental(tdir, out_dir)
+    write_transcripts_parquet(tdir / "part-1.parquet", n_convs=2, seed=33)
+    pipe.run_incremental(tdir, out_dir)
+
+    before = compact_incremental_edges(spark, out_dir)
+    victim = before.select("first_conv_id").distinct().orderBy("first_conv_id").limit(1).collect()[0][0]
+    keep_expected = _edge_set(before.filter(F.col("first_conv_id") != victim))
+    assert keep_expected and len(keep_expected) < len(_edge_set(before))
+
+    with pytest.raises(ValueError, match="nothing to delete"):
+        delete_rows(pipe, tmp_path / "empty", "1=1", snapshot_name="missing")
+
+    inc = delete_rows(pipe, out_dir, f"first_conv_id = '{victim}'")
+    # one rewritten increment vouched; old dirs reaped
+    assert [d.name for d in out_dir.glob("increment=*")] == [f"increment={inc}"]
+    after = compact_incremental_edges(spark, out_dir)
+    assert _edge_set(after) == keep_expected
+    assert after.filter(F.col("first_conv_id") == victim).count() == 0
+    # pre-deletion snapshots expired -> no resurrection via time travel
+    with pytest.raises(KeyError):
+        pipe.edges_as_of(out_dir, r1["snapshot_id"])
+
+    # incremental processing continues over the rewritten base
+    write_transcripts_parquet(tdir / "part-2.parquet", n_convs=2, seed=55)
+    r3 = pipe.run_incremental(tdir, out_dir)
+    assert r3["processed_files"] == ["part-2.parquet"]
+    shutil.rmtree(tmp_path, ignore_errors=True)
