@@ -360,6 +360,41 @@ def write_ivf_index(
     return cents
 
 
+def ivf_index_add(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted IVF index
+    (:func:`write_ivf_index`) WITHOUT retraining: new rows are assigned
+    to cells by the FROZEN codebook and appended into the existing
+    cell partitions — the serving-path ingest (an index over 100 TB is
+    rebuilt rarely and appended to constantly).
+
+    Contract (and its honest limit): queries over the grown index are
+    EXACTLY what a fresh build with the same frozen centroids over
+    old ∪ new would return — pinned by test.  What appends do NOT do is
+    re-center the codebook; if the new data drifts far from the trained
+    cells, recall decays and the fix is a rebuild (monitor cell-size
+    skew — the same signal Faiss users watch).  Append atomicity is
+    parquet-file-level: a crashed append leaves whole files missing,
+    never torn rows."""
+    import json
+    from pathlib import Path
+
+    cents = [
+        (int(c), v)
+        for c, v in json.loads((Path(path) / "centroids.json").read_text())
+    ]
+    (
+        embeddings.withColumn("centroid_id", ivf_cell_expr(vec_col, cents))
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/cells")
+    )
+
+
 def knn_ivf_indexed(
     spark,
     path: str,

@@ -320,6 +320,45 @@ class TestSimilarity:
         cell_dirs = {p.name for p in Path(idx, "cells").glob("centroid_id=*")}
         assert len(cell_dirs) > 1, cell_dirs
 
+    def test_ivf_index_add_matches_rebuild(self, spark, embeddings, tmp_path):
+        """ivf_index_add: appending vectors through the FROZEN codebook
+        must answer queries exactly like a fresh index whose cells were
+        assigned by the same centroids over old ∪ new — and the append
+        must not disturb results for pre-existing vectors' cells."""
+        import json
+        from pathlib import Path
+
+        from lmss_entity_extractor_spark.ops.similarity import (
+            ivf_cell_expr,
+            ivf_index_add,
+            knn_ivf_indexed,
+            write_ivf_index,
+        )
+
+        old = embeddings.filter(F.col("vec_id") % 3 != 0)
+        new = embeddings.filter(F.col("vec_id") % 3 == 0)
+        idx = str(tmp_path / "ivf_grow")
+        write_ivf_index(old, idx, n_centroids=6, n_iters=5)
+        ivf_index_add(new, idx)
+
+        # reference: same frozen centroids, fresh single-shot layout
+        cents = [
+            (int(c), v)
+            for c, v in json.loads((Path(idx) / "centroids.json").read_text())
+        ]
+        ref = str(tmp_path / "ivf_ref")
+        (
+            embeddings.withColumn("centroid_id", ivf_cell_expr("embedding", cents))
+            .write.partitionBy("centroid_id")
+            .parquet(f"{ref}/cells")
+        )
+        (Path(ref) / "centroids.json").write_text(json.dumps(cents))
+
+        q = embeddings.filter(F.col("vec_id") < 6)
+        got = sorted(map(tuple, knn_ivf_indexed(spark, idx, q, k=3, nprobe=2).collect()))
+        want = sorted(map(tuple, knn_ivf_indexed(spark, ref, q, k=3, nprobe=2).collect()))
+        assert got == want and len(got) > 0
+
     def test_ivf_training_deterministic(self, embeddings):
         from lmss_entity_extractor_spark.ops.similarity import train_ivf_centroids
 
