@@ -181,13 +181,73 @@ def write_bm25_index(
         # dir with truncated stats JSON (ADVICE r3)
         from ..checkpoints import atomic_write_text
 
+        # sum_dl is kept as an EXACT integer so avgdl can be re-derived
+        # as one division at read time: incremental appends
+        # (bm25_index_add) then update integer counters and the grown
+        # index scores BIT-IDENTICALLY to a rebuild (a running float
+        # avgdl would drift in the last ulp and flip score ties)
+        sum_dl_row = dlen.agg(F.sum("dl").alias("sum_dl")).collect()[0]
         atomic_write_text(
             Path(path, "stats.json"),
-            json.dumps({"n_docs": stats_row["n_docs"], "avgdl": stats_row["avgdl"], "n_buckets": n_buckets}),
+            json.dumps(
+                {
+                    "n_docs": stats_row["n_docs"],
+                    "avgdl": stats_row["avgdl"],
+                    "sum_dl": int(sum_dl_row["sum_dl"]),
+                    "n_buckets": n_buckets,
+                }
+            ),
         )
     finally:
         # a failed write must not pin a corpus-sized cache for the session
         post.unpersist()
+
+
+def bm25_index_add(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incrementally add documents to a persisted BM25 index
+    (:func:`write_bm25_index`) without a rebuild: new postings land in
+    the same term-hash buckets (append), and the corpus stats update by
+    EXACT integer arithmetic (n_docs, sum_dl), so queries over the
+    grown index score bit-identically to a fresh build over old ∪ new —
+    pinned by test.
+
+    Doc ids must be NEW — re-adding an existing id would double its
+    postings (the store is append-only; dedup belongs upstream, same
+    contract as the incremental edge table)."""
+    import json
+    from pathlib import Path
+
+    from ..checkpoints import atomic_write_text
+
+    meta = json.loads(Path(path, "stats.json").read_text())
+    if "sum_dl" not in meta:
+        raise ValueError(
+            "bm25_index_add needs an index written with exact-integer "
+            "stats (sum_dl) — rebuild once with write_bm25_index"
+        )
+    post = _postings(docs, text_col, id_col)
+    dlen = post.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    add_row = dlen.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    if not add_row["n"]:
+        return
+    (
+        post.join(dlen, "doc")
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(meta["n_buckets"])))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    meta["n_docs"] = int(meta["n_docs"]) + int(add_row["n"])
+    meta["sum_dl"] = int(meta["sum_dl"]) + int(add_row["s"])
+    meta["avgdl"] = meta["sum_dl"] / meta["n_docs"]
+    atomic_write_text(Path(path, "stats.json"), json.dumps(meta))
 
 
 def bm25_topk_indexed(
@@ -220,7 +280,12 @@ def bm25_topk_indexed(
         .filter(F.col("term").isin(q_terms))        # row-group pushdown
         .drop("bucket")
     )
+    # exact-integer stats (see write_bm25_index): one division here means
+    # appended and rebuilt indexes score bit-identically
+    avgdl = (
+        meta["sum_dl"] / meta["n_docs"] if "sum_dl" in meta else float(meta["avgdl"])
+    )
     stats = spark.createDataFrame(
-        [(int(meta["n_docs"]), float(meta["avgdl"]))], "n_docs long, avgdl double"
+        [(int(meta["n_docs"]), float(avgdl))], "n_docs long, avgdl double"
     )
     return _score_hits(hits, stats, k, k1, b, id_col)

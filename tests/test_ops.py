@@ -539,6 +539,40 @@ class TestBM25:
         plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
         assert re.search(r"PartitionFilters: \[bucket#\d+ IN \(", plan), plan
 
+    def test_bm25_index_add_matches_rebuild_bit_identically(self, spark, tmp_path):
+        """bm25_index_add: grown index == fresh build over old ∪ new,
+        score-bit-for-score-bit — the exact-integer stats (n_docs,
+        sum_dl) make avgdl one identical division in both paths."""
+        from lmss_entity_extractor_spark.ops.bm25 import (
+            bm25_index_add,
+            bm25_topk_indexed,
+            write_bm25_index,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        old = docs.filter(F.col("doc_id") % 4 != 0)
+        new = docs.filter(F.col("doc_id") % 4 == 0)
+        grown = str(tmp_path / "bm25_grown")
+        write_bm25_index(old, grown, n_buckets=8)
+        bm25_index_add(new, grown)
+        fresh = str(tmp_path / "bm25_fresh")
+        write_bm25_index(docs, fresh, n_buckets=8)
+        q = "spark shuffle partition memory"
+        got = [tuple(r) for r in bm25_topk_indexed(spark, grown, q, k=10).collect()]
+        want = [tuple(r) for r in bm25_topk_indexed(spark, fresh, q, k=10).collect()]
+        assert got == want and len(got) == 10
+        # legacy index without integer stats refuses loudly
+        import json
+        from pathlib import Path
+
+        meta = json.loads(Path(fresh, "stats.json").read_text())
+        del meta["sum_dl"]
+        Path(fresh, "stats.json").write_text(json.dumps(meta))
+        with pytest.raises(ValueError, match="sum_dl"):
+            bm25_index_add(new, fresh)
+        # ...but still serves reads via the stored avgdl fallback
+        assert [tuple(r) for r in bm25_topk_indexed(spark, fresh, q, k=10).collect()] == want
+
     def test_bm25_empty_query_raises(self, spark):
         from lmss_entity_extractor_spark.ops.bm25 import bm25_topk
 
