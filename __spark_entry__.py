@@ -3001,6 +3001,24 @@ def q_lateral_topk(spark, sf_dir):
     )
 
 
+def q_ewma(spark, sf_dir):
+    """Per-conversation EWMA of turn length (ops/timeseries.py): the
+    sequential recurrence e_t = (e_{t−1} + x_t)/2 computed as ONE
+    window expression via its prefix-sum closed form
+    (P_t + x_0)/2^{t+1} — at α = 1/2 every term is dyadic, so the
+    operator is float-EXACT and needs no rounding grid.  Oracle: the
+    same closed form spelled as a window sum in DuckDB (bit-identical
+    doubles)."""
+    from lmss_entity_extractor_spark.ops.timeseries import ewma
+
+    t = _transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.length("text").cast("double").alias("chars")
+    )
+    return ewma(t, "conv_id", "turn_idx", "chars", alpha=0.5).select(
+        "conv_id", "turn_idx", "chars", "ewma"
+    )
+
+
 def q_text_normalize(spark, sf_dir):
     """Unicode normalization trio (ops/textnorm.py): part names wrapped
     in HTML tags and decorated with DECOMPOSED diacritics (combining
@@ -3262,6 +3280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_roundtrip": q_json_roundtrip,
         "property_path_neg": q_property_path_neg,
         "text_normalize": q_text_normalize,
+        "ewma": q_ewma,
         "recursive_cte": q_recursive_cte,
         "variant_extract": q_variant_extract,
         "xml_roundtrip": q_xml_roundtrip,
@@ -6397,6 +6416,38 @@ def oracle_sql() -> dict[str, str]:
     # recursion in DuckDB (and the iterative operator checks against
     # the same rows via the `closure` oracle)
     oracles["recursive_cte"] = oracles["closure"]
+    oracles["ewma"] = """
+        -- same dyadic closed form: e_t = (P_t + x_0) / 2^(t+1),
+        -- P_t = running sum of x_i * 2^i — exact doubles, no grid
+        WITH t AS (
+            SELECT 'conv-' || lpad(CAST(doc_id % 64 AS VARCHAR), 6, '0') AS conv_id,
+                   CAST(doc_id // 64 AS INT) AS turn_idx,
+                   CAST(length(text) AS DOUBLE) AS chars
+            FROM documents
+        ),
+        idx AS (
+            SELECT conv_id, turn_idx, chars,
+                   CAST(row_number() OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                   ) - 1 AS INT) AS i
+            FROM t
+        ),
+        pre AS (
+            SELECT conv_id, turn_idx, chars, i,
+                   sum(chars * pow(2.0, i)) OVER (
+                       PARTITION BY conv_id ORDER BY i
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS p,
+                   first_value(chars) OVER (
+                       PARTITION BY conv_id ORDER BY i
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS x0
+            FROM idx
+        )
+        SELECT conv_id, turn_idx, chars,
+               (p + x0) / pow(2.0, i + 1) AS ewma
+        FROM pre
+    """
     oracles["text_normalize"] = (
         """
         -- independent Unicode implementation: utf8proc (DuckDB) vs
