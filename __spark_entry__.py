@@ -3001,6 +3001,76 @@ def q_lateral_topk(spark, sf_dir):
     )
 
 
+def q_robust_outliers(spark, sf_dir):
+    """Robust per-group anomaly statistics: median + MAD (median
+    absolute deviation) of extended price per return flag, and the
+    count of rows beyond the 3-MAD fence — the data-quality screen
+    that, unlike mean/stddev, is not dragged by the outliers it hunts.
+    Exact interpolating percentile on both engines (same (a+b)/2
+    arithmetic); values on the 1e-6 grid for cross-engine safety."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("x")
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(x, 0.5)").alias("med")
+    )
+    j = li.join(med, "l_returnflag")
+    mad = (
+        j.withColumn("absdev", F.abs(F.col("x") - F.col("med")))
+        .groupBy("l_returnflag")
+        .agg(F.expr("percentile(absdev, 0.5)").alias("mad"), F.first("med").alias("med"))
+    )
+    out = (
+        j.join(mad.select("l_returnflag", "mad"), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                (F.abs(F.col("x") - F.col("med")) > 3 * F.col("mad")).cast("long")
+            ).alias("n_outliers")
+        )
+    )
+
+    def grid(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    return mad.join(out, "l_returnflag").select(
+        "l_returnflag",
+        grid(F.col("med")).alias("med6"),
+        grid(F.col("mad")).alias("mad6"),
+        "n_outliers",
+    )
+
+
+def q_skew_stats(spark, sf_dir):
+    """Key-skew diagnosis (the pre-flight a 100 TB join/agg runs before
+    choosing salting): per-key-cardinality profile of the orders→
+    customer key — n_keys, max/mean multiplicity ratio (the hot-key
+    factor), and the top-3 heaviest keys — one combinable count + one
+    tiny agg.  The engine's own canonicalization stage keys its salting
+    decision on exactly this shape.  Oracle: same two-level aggregation
+    (ratio = division of exact counts — bit-identical)."""
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "o_custkey").limit(3)
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        (F.max("n") * F.count(F.lit(1)) / F.sum("n")).alias("hot_factor"),
+    )
+    return top.crossJoin(summary).select(
+        F.col("o_custkey").alias("hot_key"),
+        F.col("n").alias("hot_n"),
+        "n_keys",
+        "n_rows",
+        "max_n",
+        "hot_factor",
+    )
+
+
 def q_ewma(spark, sf_dir):
     """Per-conversation EWMA of turn length (ops/timeseries.py): the
     sequential recurrence e_t = (e_{t−1} + x_t)/2 computed as ONE
@@ -3281,6 +3351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_path_neg": q_property_path_neg,
         "text_normalize": q_text_normalize,
         "ewma": q_ewma,
+        "robust_outliers": q_robust_outliers,
+        "skew_stats": q_skew_stats,
         "recursive_cte": q_recursive_cte,
         "variant_extract": q_variant_extract,
         "xml_roundtrip": q_xml_roundtrip,
@@ -6416,6 +6488,49 @@ def oracle_sql() -> dict[str, str]:
     # recursion in DuckDB (and the iterative operator checks against
     # the same rows via the `closure` oracle)
     oracles["recursive_cte"] = oracles["closure"]
+    oracles["robust_outliers"] = """
+        -- median/MAD with the same interpolating percentile; fence
+        -- count over exact comparisons
+        WITH med AS (
+            SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+            FROM lineitem GROUP BY 1
+        ),
+        mad AS (
+            SELECT li.l_returnflag,
+                   quantile_cont(abs(li.l_extendedprice - m.med), 0.5) AS mad,
+                   any_value(m.med) AS med
+            FROM lineitem li JOIN med m USING (l_returnflag)
+            GROUP BY 1
+        ),
+        fence AS (
+            SELECT li.l_returnflag,
+                   CAST(sum(CASE WHEN abs(li.l_extendedprice - d.med) > 3 * d.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM lineitem li JOIN mad d USING (l_returnflag)
+            GROUP BY 1
+        )
+        SELECT d.l_returnflag,
+               floor(d.med * 1e6 + 0.5) / 1e6 AS med6,
+               floor(d.mad * 1e6 + 0.5) / 1e6 AS mad6,
+               f.n_outliers
+        FROM mad d JOIN fence f USING (l_returnflag)
+    """
+    oracles["skew_stats"] = """
+        WITH counts AS (
+            SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+        ),
+        summary AS (
+            SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows, max(n) AS max_n,
+                   max(n) * count(*) / CAST(sum(n) AS DOUBLE) AS hot_factor
+            FROM counts
+        ),
+        top AS (
+            SELECT o_custkey AS hot_key, n AS hot_n FROM counts
+            ORDER BY n DESC, o_custkey LIMIT 3
+        )
+        SELECT hot_key, hot_n, n_keys, n_rows, max_n, hot_factor
+        FROM top, summary
+    """
     oracles["ewma"] = """
         -- same dyadic closed form: e_t = (P_t + x_0) / 2^(t+1),
         -- P_t = running sum of x_i * 2^i — exact doubles, no grid
