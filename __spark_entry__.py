@@ -3001,6 +3001,36 @@ def q_lateral_topk(spark, sf_dir):
     )
 
 
+def q_bgp_quads(spark, sf_dir):
+    """Named graphs / SPARQL GRAPH clause (graph/bgp.py
+    bgp_match_quads): customers are spread across three tenant graphs
+    (c_custkey mod 3) and only tenant t0 carries rdf:type rows — the
+    shared ?g variable forces both patterns into the SAME graph, so
+    solutions surface only where the chain AND the typing coexist.
+    Oracle: the same two-pattern join with graph-name equality in SQL."""
+    from lmss_entity_extractor_spark.graph.bgp import bgp_match_quads
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    quads = c.select(
+        F.concat(F.lit("t"), F.col("c_custkey") % 3).alias("g"),
+        F.concat(F.lit("c:"), "c_custkey").alias("s"),
+        F.lit("located_in").alias("p"),
+        F.concat(F.lit("n:"), "c_nationkey").alias("o"),
+    ).unionByName(
+        n.filter(F.col("n_regionkey") < 3).select(
+            F.lit("t0").alias("g"),
+            F.concat(F.lit("n:"), "n_nationkey").alias("s"),
+            F.lit("rdf:type").alias("p"),
+            F.lit("Nation").alias("o"),
+        )
+    )
+    return bgp_match_quads(
+        quads,
+        [("?g", "?c", "located_in", "?n"), ("?g", "?n", "rdf:type", "Nation")],
+    )
+
+
 def q_robust_outliers(spark, sf_dir):
     """Robust per-group anomaly statistics: median + MAD (median
     absolute deviation) of extended price per return flag, and the
@@ -3353,6 +3383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "robust_outliers": q_robust_outliers,
         "skew_stats": q_skew_stats,
+        "bgp_quads": q_bgp_quads,
         "recursive_cte": q_recursive_cte,
         "variant_extract": q_variant_extract,
         "xml_roundtrip": q_xml_roundtrip,
@@ -6488,6 +6519,16 @@ def oracle_sql() -> dict[str, str]:
     # recursion in DuckDB (and the iterative operator checks against
     # the same rows via the `closure` oracle)
     oracles["recursive_cte"] = oracles["closure"]
+    oracles["bgp_quads"] = """
+        -- GRAPH ?g { ?c located_in ?n . ?n rdf:type Nation }: both
+        -- patterns in the SAME graph; only t0 carries type rows
+        SELECT 'c:' || c.c_custkey AS c,
+               't' || (c.c_custkey % 3) AS g,
+               'n:' || n.n_nationkey AS n
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_custkey % 3 = 0 AND n.n_regionkey < 3
+    """
     oracles["robust_outliers"] = """
         -- median/MAD with the same interpolating percentile; fence
         -- count over exact comparisons

@@ -73,15 +73,49 @@ def bgp_match(
 ) -> DataFrame:
     """Match ``patterns`` against ``triples`` and return the solution
     mappings, one column per distinct variable."""
-    if not patterns:
-        raise ValueError("bgp_match: empty pattern list")
-    for pat in patterns:
-        if len(pat) != 3:
-            raise ValueError(f"pattern must have 3 terms, got {pat!r}")
-
     g = triples.select(
         F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
     )
+    return _match(g, patterns, _POSITIONS, "bgp_match")
+
+
+def bgp_match_quads(
+    quads: DataFrame,
+    patterns: list[tuple[str, str, str, str]],
+    *,
+    g_col: str = "g",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """SPARQL GRAPH clause over a QUAD table (named graphs, SPARQL 1.1
+    §13): each pattern is (g, s, p, o); a variable graph term binds the
+    graph name into the solutions (``GRAPH ?g { ... }`` = repeat ?g in
+    each pattern of the group), a constant pins the group to one named
+    graph.  Same compilation as ``bgp_match`` with the graph name as a
+    fourth position — constant graph terms push into the scan, which is
+    the partition filter when the quad table is PARTITIONED BY graph
+    (the natural 100 TB layout for multi-tenant KGs)."""
+    q = quads.select(
+        F.col(g_col).alias("g"),
+        F.col(s_col).alias("s"),
+        F.col(p_col).alias("p"),
+        F.col(o_col).alias("o"),
+    )
+    return _match(q, patterns, ("g",) + _POSITIONS, "bgp_match_quads")
+
+
+def _match(g: DataFrame, patterns, positions, who: str) -> DataFrame:
+    """Shared BGP fold over an n-position term table (docstring at the
+    module head; ``positions`` is ("s","p","o") for triples, prefixed
+    with "g" for quads)."""
+    if not patterns:
+        raise ValueError(f"{who}: empty pattern list")
+    for pat in patterns:
+        if len(pat) != len(positions):
+            raise ValueError(
+                f"{who}: pattern must have {len(positions)} terms, got {pat!r}"
+            )
 
     result: DataFrame | None = None
     bound: set[str] = set()
@@ -89,12 +123,12 @@ def bgp_match(
     for i, pat in enumerate(patterns):
         rel = g
         # constant filters first — these reach the scan
-        for pos, term in zip(_POSITIONS, pat):
+        for pos, term in zip(positions, pat):
             if not _is_var(term):
                 rel = rel.filter(F.col(pos) == term)
         # repeated-variable equality inside one pattern (?x p ?x)
         seen: dict[str, str] = {}
-        for pos, term in zip(_POSITIONS, pat):
+        for pos, term in zip(positions, pat):
             if _is_var(term):
                 v = _var_name(term)
                 if v in seen:

@@ -310,3 +310,59 @@ class TestBgpAggregate:
             bgp_aggregate(
                 graph, [("?o", "placed_by", "?c")], aggs=[("min", "*", "x")]
             )
+
+
+class TestQuads:
+    @pytest.fixture(scope="class")
+    def quads(self, spark):
+        rows = [
+            ("g1", "a", "knows", "b"),
+            ("g1", "b", "knows", "c"),
+            ("g2", "a", "knows", "b"),
+            ("g2", "b", "type", "Person"),
+            ("g3", "x", "knows", "y"),
+        ]
+        return spark.createDataFrame(rows, "g string, s string, p string, o string")
+
+    def test_constant_graph_pins_group(self, spark, quads):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_match_quads
+
+        out = bgp_match_quads(quads, [("g1", "?x", "knows", "?y")])
+        got = {(r["x"], r["y"]) for r in out.collect()}
+        assert got == {("a", "b"), ("b", "c")}
+
+    def test_variable_graph_binds_name(self, spark, quads):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_match_quads
+
+        out = bgp_match_quads(quads, [("?g", "a", "knows", "?y")])
+        got = {(r["g"], r["y"]) for r in out.collect()}
+        assert got == {("g1", "b"), ("g2", "b")}
+
+    def test_shared_graph_variable_joins_within_one_graph(self, spark, quads):
+        # GRAPH ?g { ?x knows ?y . ?y type Person }: both patterns must
+        # hold in the SAME graph -> only g2 qualifies
+        from lmss_entity_extractor_spark.graph.bgp import bgp_match_quads
+
+        out = bgp_match_quads(
+            quads,
+            [("?g", "?x", "knows", "?y"), ("?g", "?y", "type", "Person")],
+        )
+        got = {(r["g"], r["x"], r["y"]) for r in out.collect()}
+        assert got == {("g2", "a", "b")}
+
+    def test_cross_graph_join_when_graphs_differ(self, spark, quads):
+        # different graph variables: the chain may span graphs
+        from lmss_entity_extractor_spark.graph.bgp import bgp_match_quads
+
+        out = bgp_match_quads(
+            quads,
+            [("?g1", "?x", "knows", "?y"), ("?g2", "?y", "type", "Person")],
+        )
+        got = {(r["g1"], r["g2"], r["x"]) for r in out.collect()}
+        assert got == {("g1", "g2", "a"), ("g2", "g2", "a")}
+
+    def test_arity_validated(self, spark, quads):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_match_quads
+
+        with pytest.raises(ValueError, match="4 terms"):
+            bgp_match_quads(quads, [("?x", "knows", "?y")])
