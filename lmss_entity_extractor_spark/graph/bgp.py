@@ -433,3 +433,65 @@ def bgp_aggregate(
     for h in having:
         out_df = out_df.filter(F.expr(h))
     return out_df
+
+
+def reorder_patterns(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    *,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> list[tuple[str, str, str]]:
+    """Selectivity-greedy BGP join ordering — the classic optimizer
+    move ``bgp_match`` deliberately leaves to the caller (its docstring
+    contract: caller order IS the join order).
+
+    Estimate, one tiny aggregation: per-predicate triple counts (the
+    predicate vocabulary of a real KG is small — collected driver-side
+    like every other broadcast-sized stat in this repo).  Each
+    pattern's cost = its predicate's count (whole-graph count for a
+    variable predicate), discounted 100× per additional constant
+    position (s/o constants are point lookups within the predicate
+    slice).  Order: start at the cheapest pattern, then repeatedly take
+    the cheapest pattern CONNECTED to the bound variable set —
+    disconnected patterns only when nothing connects (they are cross
+    products whichever way you order them, so they go last at their
+    cost rank).
+
+    Result-invariant by construction (inner joins commute); tests pin
+    row-set equality against the unordered fold.  At 100 TB the
+    difference is the intermediate-result size of the first two joins —
+    exactly what a selectivity-first order minimizes."""
+    if not patterns:
+        raise ValueError("reorder_patterns: empty pattern list")
+    freq = {
+        r["p"]: r["n"]
+        for r in triples.groupBy(F.col(p_col).alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(freq.values()) or 1
+
+    def cost(pat):
+        s, p, o = pat
+        est = float(freq.get(p, 0) if not _is_var(p) else total)
+        for term in (s, o):
+            if not _is_var(term):
+                est /= 100.0
+        return est
+
+    def pat_vars(pat):
+        return {_var_name(t) for t in pat if _is_var(t)}
+
+    remaining = list(patterns)
+    ordered: list[tuple[str, str, str]] = []
+    bound: set[str] = set()
+    while remaining:
+        connected = [q for q in remaining if not bound or (pat_vars(q) & bound)]
+        pool = connected or remaining
+        nxt = min(pool, key=lambda q: (cost(q), patterns.index(q)))
+        ordered.append(nxt)
+        remaining.remove(nxt)
+        bound |= pat_vars(nxt)
+    return ordered

@@ -366,3 +366,64 @@ class TestQuads:
 
         with pytest.raises(ValueError, match="4 terms"):
             bgp_match_quads(quads, [("?x", "knows", "?y")])
+
+
+class TestReorder:
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # 'common' predicate: 200 triples; 'rare': 2; 'type': 1
+        rows = (
+            [(f"s{i}", "common", f"o{i % 10}") for i in range(200)]
+            + [("s1", "rare", "m"), ("s2", "rare", "m")]
+            + [("m", "type", "T")]
+        )
+        return spark.createDataFrame(rows, "s string, p string, o string")
+
+    def test_orders_by_selectivity_then_connectivity(self, spark, skewed):
+        from lmss_entity_extractor_spark.graph.bgp import reorder_patterns
+
+        pats = [
+            ("?a", "common", "?b"),      # 200 rows
+            ("?c", "rare", "?m"),        # 2 rows
+            ("?m", "type", "T"),         # 1 row, 1 extra constant
+        ]
+        got = reorder_patterns(skewed, pats)
+        # cheapest first (type w/ constant), then its connected 'rare',
+        # then the fat disconnected-until-now 'common'... which shares
+        # no variable and lands last
+        assert got == [("?m", "type", "T"), ("?c", "rare", "?m"), ("?a", "common", "?b")]
+
+    def test_result_set_invariant_under_reorder(self, spark, skewed):
+        from lmss_entity_extractor_spark.graph.bgp import (
+            bgp_match,
+            reorder_patterns,
+        )
+
+        pats = [
+            ("?a", "common", "?b"),
+            ("?c", "rare", "?m"),
+            ("?m", "type", "T"),
+        ]
+        plain = {tuple(r) for r in bgp_match(skewed, pats).collect()}
+        opt = {tuple(r) for r in bgp_match(skewed, reorder_patterns(skewed, pats)).collect()}
+        assert plain == opt and plain
+
+    def test_connected_preferred_over_cheaper_disconnected(self, spark, skewed):
+        from lmss_entity_extractor_spark.graph.bgp import reorder_patterns
+
+        pats = [
+            ("?x", "common", "?y"),     # fat but first
+            ("?y", "common", "?z"),     # fat, connected to ?y
+            ("?c", "rare", "?m"),       # cheap but DISCONNECTED from ?x/?y
+        ]
+        got = reorder_patterns(skewed, pats)
+        # rare is globally cheapest -> starts; nothing connects to it, so
+        # the fold falls back to the fat pair (stable input order)
+        assert got[0] == ("?c", "rare", "?m")
+        assert set(got[1:]) == {("?x", "common", "?y"), ("?y", "common", "?z")}
+
+    def test_empty_rejected(self, spark, skewed):
+        from lmss_entity_extractor_spark.graph.bgp import reorder_patterns
+
+        with pytest.raises(ValueError, match="empty"):
+            reorder_patterns(skewed, [])
