@@ -3001,6 +3001,23 @@ def q_lateral_topk(spark, sf_dir):
     )
 
 
+def q_bgp_reordered(spark, sf_dir):
+    """Join-order optimization end-to-end (graph/bgp.py
+    reorder_patterns): the bgp_match chain submitted in the WORST order
+    (fattest pattern first, most selective last) is reordered by the
+    per-predicate histogram and must produce the identical solution
+    set — the oracle is byte-for-byte the `bgp_match` oracle."""
+    from lmss_entity_extractor_spark.graph.bgp import bgp_match, reorder_patterns
+
+    fix = _bgp_fixture(spark, sf_dir)
+    worst = [
+        ("?c", "located_in", "?n"),      # fattest first
+        ("?o", "placed_by", "?c"),
+        ("?n", "rdf:type", "Nation"),    # most selective last
+    ]
+    return bgp_match(fix, reorder_patterns(fix, worst))
+
+
 def q_bgp_quads(spark, sf_dir):
     """Named graphs / SPARQL GRAPH clause (graph/bgp.py
     bgp_match_quads): customers are spread across three tenant graphs
@@ -3384,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": q_robust_outliers,
         "skew_stats": q_skew_stats,
         "bgp_quads": q_bgp_quads,
+        "bgp_reordered": q_bgp_reordered,
         "recursive_cte": q_recursive_cte,
         "variant_extract": q_variant_extract,
         "xml_roundtrip": q_xml_roundtrip,
@@ -6519,6 +6537,7 @@ def oracle_sql() -> dict[str, str]:
     # recursion in DuckDB (and the iterative operator checks against
     # the same rows via the `closure` oracle)
     oracles["recursive_cte"] = oracles["closure"]
+    oracles["bgp_reordered"] = oracles["bgp_match"]
     oracles["bgp_quads"] = """
         -- GRAPH ?g { ?c located_in ?n . ?n rdf:type Nation }: both
         -- patterns in the SAME graph; only t0 carries type rows
