@@ -3001,6 +3001,34 @@ def q_lateral_topk(spark, sf_dir):
     )
 
 
+def q_bgp_exists(spark, sf_dir):
+    """SPARQL FILTER NOT EXISTS (graph/bgp.py bgp_filter_exists): the
+    chain solutions minus those whose ?n carries an rdf:type row —
+    compiled to ONE anti-join on the shared variable, never a per-row
+    subquery.  (Deliberately distinct from MINUS — the disjoint-domain
+    divergence is pinned in unit tests.)  Oracle: NOT EXISTS in SQL."""
+    from lmss_entity_extractor_spark.graph.bgp import bgp_filter_exists, bgp_match
+
+    fix = _bgp_fixture(spark, sf_dir)
+    sols = bgp_match(fix, [("?o", "placed_by", "?c"), ("?c", "located_in", "?n")])
+    return bgp_filter_exists(
+        sols, fix, [("?n", "rdf:type", "Nation")], negate=True
+    )
+
+
+def q_bgp_values(spark, sf_dir):
+    """SPARQL VALUES (graph/bgp.py bgp_values): the chain solutions
+    constrained by an inline two-row binding table — row 1 pins ?n
+    with ?c UNDEF, row 2 pins ?c with ?n UNDEF — one broadcast
+    semi-join with the spec's UNDEF-passes-through compatibility.
+    Oracle: the equivalent OR of the two rows' constraints."""
+    from lmss_entity_extractor_spark.graph.bgp import bgp_match, bgp_values
+
+    fix = _bgp_fixture(spark, sf_dir)
+    sols = bgp_match(fix, [("?o", "placed_by", "?c"), ("?c", "located_in", "?n")])
+    return bgp_values(sols, {"n": ["n:1", None], "c": [None, "c:10"]})
+
+
 def q_bgp_reordered(spark, sf_dir):
     """Join-order optimization end-to-end (graph/bgp.py
     reorder_patterns): the bgp_match chain submitted in the WORST order
@@ -3402,6 +3430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_stats": q_skew_stats,
         "bgp_quads": q_bgp_quads,
         "bgp_reordered": q_bgp_reordered,
+        "bgp_exists": q_bgp_exists,
+        "bgp_values": q_bgp_values,
         "recursive_cte": q_recursive_cte,
         "variant_extract": q_variant_extract,
         "xml_roundtrip": q_xml_roundtrip,
@@ -6538,6 +6568,31 @@ def oracle_sql() -> dict[str, str]:
     # the same rows via the `closure` oracle)
     oracles["recursive_cte"] = oracles["closure"]
     oracles["bgp_reordered"] = oracles["bgp_match"]
+    oracles["bgp_exists"] = """
+        SELECT 'c:' || c.c_custkey AS c,
+               'n:' || n.n_nationkey AS n,
+               'o:' || o.o_orderkey AS o
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderkey % 100 = 0
+          AND NOT EXISTS (
+              SELECT 1 FROM nation t
+              WHERE t.n_regionkey < 3
+                AND 'n:' || t.n_nationkey = 'n:' || n.n_nationkey
+          )
+    """
+    oracles["bgp_values"] = """
+        -- VALUES rows: (n = n:1, c UNDEF) OR (c = c:10, n UNDEF)
+        SELECT 'c:' || c.c_custkey AS c,
+               'n:' || n.n_nationkey AS n,
+               'o:' || o.o_orderkey AS o
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderkey % 100 = 0
+          AND ('n:' || n.n_nationkey = 'n:1' OR 'c:' || c.c_custkey = 'c:10')
+    """
     oracles["bgp_quads"] = """
         -- GRAPH ?g { ?c located_in ?n . ?n rdf:type Nation }: both
         -- patterns in the SAME graph; only t0 carries type rows

@@ -495,3 +495,69 @@ def reorder_patterns(
         remaining.remove(nxt)
         bound |= pat_vars(nxt)
     return ordered
+
+
+def bgp_filter_exists(
+    solutions: DataFrame,
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    *,
+    negate: bool = False,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """SPARQL FILTER EXISTS / NOT EXISTS (SPARQL 1.1 §8.1.1): keep a
+    solution iff substituting its bindings into ``patterns`` leaves a
+    non-empty (resp. empty) match.
+
+    Deliberately NOT the same operator as ``bgp_minus`` — the spec's
+    teaching case is a pattern sharing NO variable with the solutions:
+    MINUS removes nothing (disjoint domains are never compatible),
+    while NOT EXISTS evaluates the pattern once and removes EVERY row
+    if it matches at all.  Both corners are honored here and pinned by
+    test.
+
+    Plan shape: one semi-join (EXISTS) or anti-join (NOT EXISTS) on the
+    shared variables; with no shared variables the pattern collapses to
+    a 1-row existence probe crossed against the solutions — never a
+    per-row subquery."""
+    rel = bgp_match(triples, patterns, s_col=s_col, p_col=p_col, o_col=o_col)
+    shared = sorted(set(solutions.columns) & set(rel.columns))
+    how = "left_anti" if negate else "left_semi"
+    if shared:
+        return solutions.join(rel.select(*shared), on=shared, how=how)
+    probe = rel.limit(1).count() > 0
+    keep = probe != negate
+    return solutions if keep else solutions.limit(0)
+
+
+def bgp_values(
+    solutions: DataFrame,
+    values: dict[str, list],
+) -> DataFrame:
+    """SPARQL VALUES (SPARQL 1.1 §10.2): constrain solutions by an
+    inline table of bindings — one broadcast-sized inner join.  Keys of
+    ``values`` are variable names (columns of ``solutions``); the lists
+    are positional rows of equal length; a ``None`` entry is UNDEF
+    (that variable unconstrained in that row), honored by the spec's
+    compatibility rule (NULL joins through on the remaining columns)."""
+    if not values:
+        raise ValueError("bgp_values: empty values block")
+    cols = sorted(values)
+    n = {len(values[c]) for c in cols}
+    if len(n) != 1:
+        raise ValueError(f"bgp_values: ragged value lists (lengths {sorted(n)})")
+    missing = [c for c in cols if c not in solutions.columns]
+    if missing:
+        raise ValueError(f"bgp_values: unknown variable(s) {missing}")
+    spark = solutions.sparkSession
+    rows = list(zip(*(values[c] for c in cols)))
+    schema = ", ".join(f"{c} string" for c in cols)
+    inline = spark.createDataFrame(rows, schema)
+    cond = None
+    for c in cols:
+        eq = inline[c].isNull() | (solutions[c] == inline[c])
+        cond = eq if cond is None else cond & eq
+    out = solutions.join(F.broadcast(inline), on=cond, how="left_semi")
+    return out

@@ -427,3 +427,73 @@ class TestReorder:
 
         with pytest.raises(ValueError, match="empty"):
             reorder_patterns(skewed, [])
+
+
+class TestExistsAndValues:
+    @pytest.fixture(scope="class")
+    def g2(self, spark):
+        rows = [
+            ("a", "knows", "b"),
+            ("b", "knows", "c"),
+            ("b", "type", "Person"),
+            ("z", "flag", "on"),
+        ]
+        return spark.createDataFrame(rows, "s string, p string, o string")
+
+    def _sols(self, g2):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_match
+
+        return bgp_match(g2, [("?x", "knows", "?y")])  # (a,b), (b,c)
+
+    def test_exists_keeps_matching_rows(self, spark, g2):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_filter_exists
+
+        out = bgp_filter_exists(self._sols(g2), g2, [("?y", "type", "Person")])
+        assert {(r["x"], r["y"]) for r in out.collect()} == {("a", "b")}
+
+    def test_not_exists_removes_matching_rows(self, spark, g2):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_filter_exists
+
+        out = bgp_filter_exists(
+            self._sols(g2), g2, [("?y", "type", "Person")], negate=True
+        )
+        assert {(r["x"], r["y"]) for r in out.collect()} == {("b", "c")}
+
+    def test_disjoint_not_exists_differs_from_minus(self, spark, g2):
+        # THE spec teaching case: pattern shares no variable.
+        # NOT EXISTS: pattern matches somewhere -> removes EVERYTHING.
+        # MINUS: disjoint domains -> removes NOTHING.
+        from lmss_entity_extractor_spark.graph.bgp import (
+            bgp_filter_exists,
+            bgp_minus,
+        )
+
+        sols = self._sols(g2)
+        ne = bgp_filter_exists(sols, g2, [("?q", "flag", "on")], negate=True)
+        assert ne.count() == 0
+        mi = bgp_minus(sols, g2, [("?q", "flag", "on")])
+        assert mi.count() == 2
+        # and EXISTS with a disjoint non-matching pattern keeps nothing
+        ex = bgp_filter_exists(sols, g2, [("?q", "flag", "off")])
+        assert ex.count() == 0
+
+    def test_values_constrains_and_undef_passes(self, spark, g2):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_values
+
+        sols = self._sols(g2)
+        out = bgp_values(sols, {"x": ["a", "zzz"]})
+        assert {(r["x"], r["y"]) for r in out.collect()} == {("a", "b")}
+        # UNDEF row: x=None means "any x" with y pinned
+        out2 = bgp_values(sols, {"x": [None], "y": ["c"]})
+        assert {(r["x"], r["y"]) for r in out2.collect()} == {("b", "c")}
+
+    def test_values_validation(self, spark, g2):
+        from lmss_entity_extractor_spark.graph.bgp import bgp_values
+
+        sols = self._sols(g2)
+        with pytest.raises(ValueError, match="empty"):
+            bgp_values(sols, {})
+        with pytest.raises(ValueError, match="ragged"):
+            bgp_values(sols, {"x": ["a"], "y": ["b", "c"]})
+        with pytest.raises(ValueError, match="unknown"):
+            bgp_values(sols, {"nope": ["a"]})
