@@ -3001,6 +3001,29 @@ def q_lateral_topk(spark, sf_dir):
     )
 
 
+def q_scc(spark, sf_dir):
+    """Strongly connected components (graph/scc.py): customers point
+    into a nation graph that carries five minted 5-cycles
+    (n → (n+5) mod 25) — each ring must collapse to one component
+    (min-id labeled) while every customer stays a singleton (one-way
+    edges into a cycle don't join it).  Oracle: recursive-CTE closure +
+    the same mutual-reachability min rule."""
+    from lmss_entity_extractor_spark.graph.scc import strongly_connected
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    n = _t(spark, sf_dir, "nation")
+    edges = c.select(
+        F.concat(F.lit("c:"), "c_custkey").alias("src"),
+        F.concat(F.lit("n:"), "c_nationkey").alias("dst"),
+    ).unionByName(
+        n.select(
+            F.concat(F.lit("n:"), "n_nationkey").alias("src"),
+            F.concat(F.lit("n:"), (F.col("n_nationkey") + 5) % 25).alias("dst"),
+        )
+    )
+    return strongly_connected(edges)
+
+
 def q_bgp_exists(spark, sf_dir):
     """SPARQL FILTER NOT EXISTS (graph/bgp.py bgp_filter_exists): the
     chain solutions minus those whose ?n carries an rdf:type row —
@@ -3432,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_reordered": q_bgp_reordered,
         "bgp_exists": q_bgp_exists,
         "bgp_values": q_bgp_values,
+        "scc": q_scc,
         "recursive_cte": q_recursive_cte,
         "variant_extract": q_variant_extract,
         "xml_roundtrip": q_xml_roundtrip,
@@ -6568,6 +6592,31 @@ def oracle_sql() -> dict[str, str]:
     # the same rows via the `closure` oracle)
     oracles["recursive_cte"] = oracles["closure"]
     oracles["bgp_reordered"] = oracles["bgp_match"]
+    oracles["scc"] = """
+        -- mutual reachability over the reflexive closure, min-labeled
+        WITH RECURSIVE e AS (
+            SELECT 'c:' || c_custkey AS u, 'n:' || c_nationkey AS v
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT 'n:' || n_nationkey, 'n:' || ((n_nationkey + 5) % 25)
+            FROM nation
+        ),
+        r AS (
+            SELECT u, v FROM e
+            UNION
+            SELECT r.u, e.v FROM r JOIN e ON r.v = e.u
+        ),
+        nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+        refl AS (
+            SELECT u, v FROM r
+            UNION
+            SELECT n, n FROM nodes
+        ),
+        mutual AS (
+            SELECT a.u, a.v FROM refl a JOIN refl b ON a.u = b.v AND a.v = b.u
+        )
+        SELECT u AS node, min(v) AS component FROM mutual GROUP BY u
+    """
     oracles["bgp_exists"] = """
         SELECT 'c:' || c.c_custkey AS c,
                'n:' || n.n_nationkey AS n,
