@@ -3001,6 +3001,47 @@ def q_lateral_topk(spark, sf_dir):
     )
 
 
+def q_dag_levels(spark, sf_dir):
+    """Topological levels (graph/toposort.py): the customer→nation→
+    region→root hierarchy with SHORTCUT edges (customer→region for
+    every other sampled customer) — the shortcut must LOSE to the
+    longer path (longest-path leveling, not BFS): regions still level
+    at 2 and root at 3.  Oracle: recursive CTE over all source-rooted
+    paths, max length per node."""
+    from lmss_entity_extractor_spark.graph.toposort import dag_levels
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    cn = c.join(
+        _t(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        c.select(
+            F.concat(F.lit("c:"), "c_custkey").alias("src"),
+            F.concat(F.lit("n:"), "c_nationkey").alias("dst"),
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n:"), "n_nationkey").alias("src"),
+                F.concat(F.lit("r:"), "n_regionkey").alias("dst"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("r:"), "n_regionkey").alias("src"),
+                F.lit("root").alias("dst"),
+            )
+        )
+        .unionByName(
+            cn.filter(F.col("c_custkey") % 20 == 0).select(
+                F.concat(F.lit("c:"), "c_custkey").alias("src"),
+                F.concat(F.lit("r:"), "n_regionkey").alias("dst"),
+            )
+        )
+    )
+    return dag_levels(edges)
+
+
 def q_scc(spark, sf_dir):
     """Strongly connected components (graph/scc.py): customers point
     into a nation graph that carries five minted 5-cycles
@@ -3456,6 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_exists": q_bgp_exists,
         "bgp_values": q_bgp_values,
         "scc": q_scc,
+        "dag_levels": q_dag_levels,
         "recursive_cte": q_recursive_cte,
         "variant_extract": q_variant_extract,
         "xml_roundtrip": q_xml_roundtrip,
@@ -6592,6 +6634,31 @@ def oracle_sql() -> dict[str, str]:
     # the same rows via the `closure` oracle)
     oracles["recursive_cte"] = oracles["closure"]
     oracles["bgp_reordered"] = oracles["bgp_match"]
+    oracles["dag_levels"] = """
+        -- longest path from any source, via all source-rooted walks
+        WITH RECURSIVE e AS (
+            SELECT 'c:' || c_custkey AS u, 'n:' || c_nationkey AS v
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+            UNION ALL
+            SELECT 'r:' || n_regionkey, 'root' FROM nation GROUP BY 1
+            UNION ALL
+            SELECT 'c:' || c.c_custkey, 'r:' || n.n_regionkey
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_custkey % 20 = 0
+        ),
+        nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+        sources AS (
+            SELECT n FROM nodes WHERE n NOT IN (SELECT v FROM e)
+        ),
+        walk AS (
+            SELECT n AS node, 0 AS lvl FROM sources
+            UNION ALL
+            SELECT e.v, w.lvl + 1 FROM walk w JOIN e ON e.u = w.node
+        )
+        SELECT node, CAST(max(lvl) AS INT) AS level FROM walk GROUP BY node
+    """
     oracles["scc"] = """
         -- mutual reachability over the reflexive closure, min-labeled
         WITH RECURSIVE e AS (
