@@ -678,3 +678,47 @@ def test_delete_rows_gdpr(spark, owl_path, tmp_path):
     r3 = pipe.run_incremental(tdir, out_dir)
     assert r3["processed_files"] == ["part-2.parquet"]
     shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+@pytest.mark.spark
+def test_incremental_view_maintenance(spark, owl_path, tmp_path):
+    """IVM (maintain_pred_view): the per-predicate aggregate view folded
+    forward with ONLY the changelog contribution must equal the view
+    recomputed from the v2 table — exactly, not approximately (integer
+    counts).  The v1->v2 delta includes genuine updates (same convs
+    redelivered -> provenance growth), so both the insert and the
+    update arm of the fold are exercised."""
+    from lmss_entity_extractor_spark.streaming.incremental import (
+        maintain_pred_view,
+        pred_view,
+    )
+
+    tdir = tmp_path / "transcripts"
+    tdir.mkdir()
+    out_dir = tmp_path / "snap_edges"
+    write_transcripts_parquet(tdir / "part-0.parquet", n_convs=4, seed=11)
+    pipe = KGPipeline(spark, owl_path, tmp_path / "wh", PipelineConfig())
+    r1 = pipe.run_incremental(tdir, out_dir)
+    write_transcripts_parquet(tdir / "part-1.parquet", n_convs=4, seed=11)  # same convs
+    write_transcripts_parquet(tdir / "part-2.parquet", n_convs=2, seed=77)  # new convs
+    r2 = pipe.run_incremental(tdir, out_dir)
+
+    v1 = pred_view(pipe.edges_as_of(out_dir, r1["snapshot_id"]))
+    maintained = maintain_pred_view(
+        pipe, out_dir, v1, r1["snapshot_id"], r2["snapshot_id"]
+    )
+    recomputed = pred_view(pipe.edges_as_of(out_dir, r2["snapshot_id"]))
+
+    def _m(df):
+        return {r["pred"]: (r["n_edges"], r["total_prov"]) for r in df.collect()}
+
+    got, want = _m(maintained), _m(recomputed)
+    assert got == want and want
+    # the fixture genuinely exercised the update arm (provenance grew)
+    v1m = _m(v1)
+    assert any(
+        want[p][1] > v1m.get(p, (0, 0))[1] and want[p][0] == v1m.get(p, (0, 0))[0]
+        for p in want
+        if p in v1m
+    ) or any(want[p][1] > v1m[p][1] for p in v1m)
+    shutil.rmtree(tmp_path, ignore_errors=True)
