@@ -496,6 +496,29 @@ def q_decontaminate(spark, sf_dir):
     return contaminated_docs(docs, bench, n=5, min_hits=1)
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Distributed exact heavy hitters (L101, Misra-Gries two-pass):
+    document bigrams occurring in strictly more than 1/700 of all bigram
+    occurrences, with exact counts.  Pass 1 prunes the shuffle domain to
+    a per-partition-summary candidate superset (guaranteed by the MG
+    eviction bound); pass 2 is an exact count over candidates only with
+    an integer-rational cut (n * 700 > N) — so the oracle is a plain
+    GROUP BY + HAVING in DuckDB over the identical bigram derivation."""
+    from lmss_entity_extractor_spark.ops.heavyhitters import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    bigrams = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(lower(trim(text)), '\\\\s+')) - 1, 0)), "
+                "i -> concat(element_at(split(lower(trim(text)), '\\\\s+'), i), ' ', "
+                "element_at(split(lower(trim(text)), '\\\\s+'), i + 1)))"
+            )
+        ).alias("term")
+    ).filter(F.length("term") > 1)
+    return heavy_hitters(bigrams, "term", 1, 700).withColumnRenamed("item", "term")
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style intra-document repetition metrics (L37, Rae et al.
     2021 table A1 shape): duplicate-token/-bigram/-line fractions, top
@@ -3539,6 +3562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reify": q_reify,
         "bisim": q_bisim,
         "decontaminate": q_decontaminate,
+        "heavy_hitters": q_heavy_hitters,
         "mixture_sample": q_mixture_sample,
         "repetition_stats": q_repetition_stats,
         "corpus_line_dedup": q_corpus_line_dedup,
@@ -5074,6 +5098,25 @@ def oracle_sql() -> dict[str, str]:
         FROM input i
         LEFT JOIN agg a USING (doc_id)
         LEFT JOIN tot t USING (doc_id)
+    """
+    oracles["heavy_hitters"] = """
+        -- exact heavy hitters: the MG candidate pass is an internal
+        -- pruning detail -- the contract is the exact integer cut over
+        -- the identical bigram derivation (1-based slots both engines)
+        WITH d AS (
+            SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        bg AS (
+            SELECT unnest([t[i+1] || ' ' || t[i+2]
+                           FOR i IN range(greatest(len(t) - 1, 0))]) AS term
+            FROM d
+        ),
+        t2 AS (SELECT term FROM bg WHERE length(term) > 1)
+        SELECT term, count(*) AS n
+        FROM t2
+        GROUP BY term
+        HAVING count(*) * 700 > (SELECT count(*) FROM t2)
     """
     oracles["repetition_stats"] = """
         -- independent relational derivation of the per-row fold
