@@ -171,6 +171,28 @@ def q_region_revenue(spark, sf_dir):
     )
 
 
+def q_salted_join(spark, sf_dir):
+    """Generic salted skew join (L102): lineitem as the skewed probe
+    side, part replicated 8x as the build side, joined on (partkey,
+    salt) then aggregated per container.  The salt is a physical
+    redistribution only — the contract (and the oracle) is the PLAIN
+    join: identical rows, identical multiplicities."""
+    from lmss_entity_extractor_spark.ops.skewjoin import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        salted_join(li, p, on="p_partkey", salt=8)
+        .groupBy("p_type")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_pivot_events(spark, sf_dir):
     """P3 triples->wide pivot shape: conditional aggregation."""
     e = _t(spark, sf_dir, "events")
@@ -3588,6 +3610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "region_revenue": q_region_revenue,
+        "salted_join": q_salted_join,
         "pivot_events": q_pivot_events,
         "closure": q_closure,
         "argmax_link": q_argmax_link,
@@ -4223,6 +4246,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "salted_join": """
+            -- the salt is physical only: the oracle is the PLAIN join
+            SELECT p_type,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY 1
         """,
         "pivot_events": """
