@@ -171,6 +171,20 @@ def q_region_revenue(spark, sf_dir):
     )
 
 
+def q_profile_table(spark, sf_dir):
+    """One-pass table profiling (L103): per-column n_rows / n_nulls /
+    exact n_distinct / native-typed min+max (as strings) for four
+    int/string columns of orders — all computed inside ONE aggregate
+    over one scan (exact distincts via Spark's Expand rewrite).  Oracle:
+    a UNION ALL of the per-column aggregates in DuckDB."""
+    from lmss_entity_extractor_spark.ops.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
 def q_salted_join(spark, sf_dir):
     """Generic salted skew join (L102): lineitem as the skewed probe
     side, part replicated 8x as the build side, joined on (partkey,
@@ -3611,6 +3625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "region_revenue": q_region_revenue,
         "salted_join": q_salted_join,
+        "profile_table": q_profile_table,
         "pivot_events": q_pivot_events,
         "closure": q_closure,
         "argmax_link": q_argmax_link,
@@ -4247,6 +4262,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1
+        """,
+        "profile_table": """
+            -- one UNION ALL arm per profiled column, mirroring the
+            -- single-agg profile row-for-row (n_distinct excludes NULLs)
+            SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+                   count(*) - count(o_orderkey) AS n_nulls,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_value
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+                   count(DISTINCT o_custkey),
+                   CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus),
+                   min(o_orderstatus), max(o_orderstatus)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority),
+                   min(o_orderpriority), max(o_orderpriority)
+            FROM orders
         """,
         "salted_join": """
             -- the salt is physical only: the oracle is the PLAIN join
