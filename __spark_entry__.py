@@ -171,6 +171,19 @@ def q_region_revenue(spark, sf_dir):
     )
 
 
+def q_scd2(spark, sf_dir):
+    """SCD Type-2 change-history collapse (L104): each user's
+    event_type observation log becomes versioned half-open intervals
+    with change-point dedup (null-safe lag comparison), valid_to
+    chaining via lead, and is_current on the open tail — both windows
+    riding one keyed shuffle.  Oracle: identical lag/lead derivation
+    with IS DISTINCT FROM in DuckDB."""
+    from lmss_entity_extractor_spark.ops.scd import scd2_collapse
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return scd2_collapse(ev, ["user_id"], "ts", ["event_type"])
+
+
 def q_profile_table(spark, sf_dir):
     """One-pass table profiling (L103): per-column n_rows / n_nulls /
     exact n_distinct / native-typed min+max (as strings) for four
@@ -3626,6 +3639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "salted_join": q_salted_join,
         "profile_table": q_profile_table,
+        "scd2": q_scd2,
         "pivot_events": q_pivot_events,
         "closure": q_closure,
         "argmax_link": q_argmax_link,
@@ -4262,6 +4276,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1
+        """,
+        "scd2": """
+            -- change-point detection + interval chaining, (ts, attr)
+            -- tiebreak order matching ops/scd.scd2_collapse exactly
+            WITH m AS (
+                SELECT user_id, ts, event_type,
+                       row_number() OVER w = 1
+                       OR event_type IS DISTINCT FROM lag(event_type) OVER w AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+            ),
+            p AS (SELECT user_id, ts AS valid_from, event_type FROM m WHERE chg)
+            SELECT user_id, valid_from, event_type,
+                   lead(valid_from) OVER w2 AS valid_to,
+                   lead(valid_from) OVER w2 IS NULL AS is_current
+            FROM p
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_type)
         """,
         "profile_table": """
             -- one UNION ALL arm per profiled column, mirroring the
