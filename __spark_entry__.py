@@ -171,6 +171,37 @@ def q_region_revenue(spark, sf_dir):
     )
 
 
+def q_merge_upsert(spark, sf_dir):
+    """Keyed MERGE / upsert (L105, the Iceberg MERGE INTO shape as
+    anti-join + union): a deterministic update delta — every 13th
+    customer re-observed with a bumped balance and a changed segment,
+    plus brand-new keys minted from every 41st — merged into customer.
+    Matched keys take the update, new keys insert, the rest survive.
+    Oracle: updates UNION ALL base-NOT-EXISTS in DuckDB."""
+    from lmss_entity_extractor_spark.ops.upsert import merge_upsert
+
+    c = _t(spark, sf_dir, "customer")
+    changed = c.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 1000.0, 2).alias("c_acctbal"),
+        F.lit("UPSERTED").alias("c_mktsegment"),
+    )
+    inserted = c.filter(F.col("c_custkey") % 41 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    merged = merge_upsert(c, changed.unionByName(inserted), ["c_custkey"])
+    return merged.select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment",
+    )
+
+
 def q_scd2(spark, sf_dir):
     """SCD Type-2 change-history collapse (L104): each user's
     event_type observation log becomes versioned half-open intervals
@@ -3640,6 +3671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "profile_table": q_profile_table,
         "scd2": q_scd2,
+        "merge_upsert": q_merge_upsert,
         "pivot_events": q_pivot_events,
         "closure": q_closure,
         "argmax_link": q_argmax_link,
@@ -4276,6 +4308,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1
+        """,
+        "merge_upsert": """
+            -- MERGE INTO as relational algebra: the update delta wins
+            -- on matched keys, base survives only where no update key
+            WITH upd AS (
+                SELECT c_custkey, c_name, c_nationkey,
+                       round(c_acctbal + 1000.0, 2) AS c_acctbal,
+                       'UPSERTED' AS c_mktsegment
+                FROM customer WHERE c_custkey % 13 = 0
+                UNION ALL
+                SELECT c_custkey + 1000000, 'new-' || c_name, c_nationkey,
+                       0.0, 'NEW'
+                FROM customer WHERE c_custkey % 41 = 0
+            )
+            SELECT c_custkey, c_name, c_nationkey,
+                   round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+            FROM upd
+            UNION ALL
+            SELECT b.c_custkey, b.c_name, b.c_nationkey,
+                   round(b.c_acctbal, 2), b.c_mktsegment
+            FROM customer b
+            WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = b.c_custkey)
         """,
         "scd2": """
             -- change-point detection + interval chaining, (ts, attr)
