@@ -2486,6 +2486,44 @@ def q_streaming_conv_totals(spark, sf_dir):
     )
 
 
+def q_streaming_heavy_hitters(spark, sf_dir):
+    """Streaming heavy hitters (L106, sharded Misra-Gries in the state
+    store): document unigram tokens streamed in multiple micro-batches;
+    k=64 exceeds the corpus vocabulary, so NO eviction happens and the
+    final per-item state is the EXACT count — which is the oracle-able
+    regime (plain GROUP BY count in DuckDB).  The eviction regime's MG
+    bounds are pinned by tests/test_streaming_hh.py."""
+    import tempfile
+
+    from lmss_entity_extractor_spark.streaming.stateful import streaming_heavy_hitters
+
+    tmp = tempfile.mkdtemp(prefix="lmss_stream_hh_")
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    toks.repartition(4).write.mode("overwrite").parquet(f"{tmp}/toks")
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{tmp}/toks")
+    )
+    q = (
+        streaming_heavy_hitters(stream, "tok", k=64, shards=4)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("q_stream_hh")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        "SELECT item AS term, max(count_est) AS n FROM q_stream_hh GROUP BY item"
+    )
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Watermark-bounded streaming dedup: the transcripts are delivered
     TWICE (at-least-once redelivery, two identical files processed in
@@ -3672,6 +3710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "scd2": q_scd2,
         "merge_upsert": q_merge_upsert,
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "pivot_events": q_pivot_events,
         "closure": q_closure,
         "argmax_link": q_argmax_link,
@@ -4308,6 +4347,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1
+        """,
+        "streaming_heavy_hitters": """
+            -- k=64 > vocab: zero evictions, streaming MG state == exact
+            -- counts, so the oracle is the plain unigram GROUP BY
+            WITH toks AS (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+                FROM documents
+            )
+            SELECT term, count(*) AS n FROM toks WHERE length(term) > 0 GROUP BY term
         """,
         "merge_upsert": """
             -- MERGE INTO as relational algebra: the update delta wins

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StringType,
@@ -191,4 +192,91 @@ def pair_turns_with_replies(
         "user_ts",
         "reply_turn_idx",
         "reply_ts",
+    )
+
+
+HH_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("err", LongType()),
+        StructField("n_shard", LongType()),
+    ]
+)
+
+HH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("item", StringType()),
+        StructField("count_est", LongType()),
+        StructField("max_undercount", LongType()),
+        StructField("n_shard", LongType()),
+    ]
+)
+
+
+def streaming_heavy_hitters(
+    token_stream: DataFrame, col: str, k: int = 64, shards: int = 8
+) -> DataFrame:
+    """Streaming heavy hitters (L106): the streaming twin of the batch
+    two-pass operator (`ops/heavyhitters.py`) — a sharded Misra-Gries
+    summary maintained in the state store across micro-batches.
+
+    Items hash to EXACTLY ONE shard (``pmod(xxhash64(item), shards)``),
+    so a shard's MG summary sees an item's complete stream: the per-item
+    MG invariant ``count_est <= true <= count_est + max_undercount``
+    holds GLOBALLY, and any item whose true count exceeds the shard's
+    ``max_undercount`` is guaranteed present (the same eviction bound as
+    the batch pass 1).  Each batch emits the shard's current survivors
+    in update mode — a monitoring stream, exactly the rows pass 2 of
+    the batch operator would verify.
+
+    Scale shape: state is O(shards * k) REGARDLESS of stream length —
+    the bounded-state answer to "top tokens so far" that an exact
+    streaming groupBy-count (unbounded keys in the state store) is not;
+    ``shards`` spreads both the shuffle and the per-task update cost.
+    """
+    if k < 1 or shards < 1:
+        raise ValueError(f"k and shards must be >= 1, got k={k} shards={shards}")
+
+    def update(key, pdf_iter, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            items, counts, err, n_shard = state.get
+            counters = dict(zip(items, counts))
+        else:
+            counters, err, n_shard = {}, 0, 0
+        for pdf in pdf_iter:
+            vals = pdf["item"].dropna()
+            n_shard += len(vals)
+            for item, c in vals.value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                cnts = np.fromiter(counters.values(), dtype=np.int64)
+                m = int(np.partition(cnts, len(cnts) - k - 1)[len(cnts) - k - 1])
+                counters = {i: c - m for i, c in counters.items() if c - m > 0}
+                err += m
+        state.update((list(counters.keys()), list(counters.values()), err, n_shard))
+        yield pd.DataFrame(
+            {
+                "shard": key[0],
+                "item": list(counters.keys()),
+                "count_est": list(counters.values()),
+                "max_undercount": err,
+                "n_shard": n_shard,
+            }
+        )
+
+    toks = (
+        token_stream.select(F.col(col).cast("string").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .withColumn("shard", F.pmod(F.xxhash64(F.col("item")), F.lit(shards)).cast("int"))
+    )
+    return toks.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
