@@ -171,6 +171,25 @@ def q_region_revenue(spark, sf_dir):
     )
 
 
+def q_pit_join(spark, sf_dir):
+    """Point-in-time dimension join (L107) composed with the SCD2
+    collapse (L104): every event enriched with the user's event_type
+    REGIME effective at the event's own timestamp — as-of sweep + expiry
+    check, never a range theta-join.  Oracle: relational interval join
+    (valid_from <= ts < valid_to, open tail) against the same lag/lead
+    dimension derivation."""
+    from lmss_entity_extractor_spark.ops.scd import pit_join, scd2_collapse
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_collapse(
+        ev.select("user_id", "ts", "event_type"), ["user_id"], "ts", ["event_type"]
+    )
+    facts = ev.select("event_id", "user_id", "ts")
+    return pit_join(facts, dim, ["user_id"], "ts", ["event_type"], prefix="regime_").select(
+        "event_id", "user_id", F.col("regime_event_type").alias("regime")
+    )
+
+
 def q_merge_upsert(spark, sf_dir):
     """Keyed MERGE / upsert (L105, the Iceberg MERGE INTO shape as
     anti-join + union): a deterministic update delta — every 13th
@@ -3711,6 +3730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": q_scd2,
         "merge_upsert": q_merge_upsert,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
+        "pit_join": q_pit_join,
         "pivot_events": q_pivot_events,
         "closure": q_closure,
         "argmax_link": q_argmax_link,
@@ -4347,6 +4367,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1
+        """,
+        "pit_join": """
+            -- SCD2 dimension re-derived (same as the scd2 oracle), then
+            -- the relational point-in-time interval join
+            WITH m AS (
+                SELECT user_id, ts, event_type,
+                       row_number() OVER w = 1
+                       OR event_type IS DISTINCT FROM lag(event_type) OVER w AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+            ),
+            p AS (SELECT user_id, ts AS valid_from, event_type FROM m WHERE chg),
+            dim AS (
+                SELECT user_id, valid_from, event_type,
+                       lead(valid_from) OVER (PARTITION BY user_id
+                                              ORDER BY valid_from, event_type) AS valid_to
+                FROM p
+            )
+            SELECT e.event_id, e.user_id, d.event_type AS regime
+            FROM events e
+            LEFT JOIN dim d
+              ON e.user_id = d.user_id
+             AND e.ts >= d.valid_from
+             AND (d.valid_to IS NULL OR e.ts < d.valid_to)
         """,
         "streaming_heavy_hitters": """
             -- k=64 > vocab: zero evictions, streaming MG state == exact

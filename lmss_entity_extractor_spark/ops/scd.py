@@ -64,3 +64,59 @@ def scd2_collapse(
         .withColumnRenamed(ts_col, "valid_from")
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    prefix: str = "pit_",
+) -> DataFrame:
+    """Point-in-time dimension join (L107): enrich each fact row with
+    the dimension version EFFECTIVE at the fact's timestamp — i.e. the
+    version with ``valid_from <= ts < valid_to`` (open tail: NULL
+    valid_to), against an SCD2 history like ``scd2_collapse`` output.
+
+    Spark-first shape: this is NOT a range theta-join (quadratic per
+    key) — it composes the as-of sweep (`ops/asof.py`: one keyed
+    shuffle of |facts| + |versions| rows) with an expiry check.  The
+    as-of match is the latest version starting at or before the fact;
+    it is the effective one unless the history has a GAP and the match
+    already expired (``valid_to <= ts``) — those facts get NULL attrs,
+    exactly like the relational interval join.  Zero-length versions
+    (``valid_to == valid_from``, produced by same-timestamp observation
+    collisions upstream) match nothing by half-open semantics and are
+    dropped before the sweep.  Versions must be non-overlapping per key
+    (SCD2 output is, by construction).
+    """
+    for c in list(on) + ["valid_from", "valid_to"] + list(attr_cols):
+        if c not in dim.columns:
+            raise ValueError(f"dimension column {c!r} missing")
+    if ts_col not in facts.columns:
+        raise ValueError(f"fact column {ts_col!r} missing")
+    versions = dim.filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") != F.col("valid_from"))
+    ).select(
+        *on, F.col("valid_from").alias(ts_col), "valid_to", *attr_cols
+    )
+    from .asof import asof_join
+
+    out = asof_join(
+        facts,
+        versions,
+        on=list(on),
+        ts_col=ts_col,
+        right_cols=list(attr_cols) + ["valid_to"],
+        tie_col="valid_to",
+        prefix=prefix,
+    )
+    expired = F.col(f"{prefix}valid_to").isNotNull() & (
+        F.col(f"{prefix}valid_to") <= F.col(ts_col)
+    )
+    for c in attr_cols:
+        out = out.withColumn(
+            f"{prefix}{c}", F.when(expired, F.lit(None)).otherwise(F.col(f"{prefix}{c}"))
+        )
+    return out.drop(f"{prefix}valid_to")

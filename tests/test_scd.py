@@ -1,6 +1,7 @@
 """SCD Type-2 change-history collapse (L104)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from lmss_entity_extractor_spark.ops.scd import scd2_collapse
 
@@ -74,3 +75,58 @@ class TestScd2Collapse:
             scd2_collapse(ev, ["k"], "ts", ["missing"])
         with pytest.raises(ValueError, match="non-empty"):
             scd2_collapse(ev, ["k"], "ts", [])
+
+
+class TestPitJoin:
+    def _dim(self, spark):
+        from lmss_entity_extractor_spark.ops.scd import pit_join  # noqa
+
+        # u: [1,3) A, [3,7) B, gap, [9, null) C   (gap: 7 <= ts < 9)
+        return spark.createDataFrame(
+            [("u", 1, 3, "A"), ("u", 3, 7, "B"), ("u", 9, None, "C")],
+            "k string, valid_from long, valid_to long, a string",
+        )
+
+    def test_effective_version_boundaries_and_gap(self, spark):
+        from lmss_entity_extractor_spark.ops.scd import pit_join
+
+        facts = spark.createDataFrame(
+            [(0,), (1,), (2,), (3,), (6,), (7,), (8,), (9,), (100,)], "ts long"
+        ).withColumn("k", F.lit("u"))
+        out = pit_join(facts, self._dim(spark), ["k"], "ts", ["a"])
+        got = {r["ts"]: r["pit_a"] for r in out.collect()}
+        assert got == {0: None, 1: "A", 2: "A", 3: "B", 6: "B",
+                       7: None, 8: None, 9: "C", 100: "C"}
+
+    def test_zero_length_versions_ignored(self, spark):
+        from lmss_entity_extractor_spark.ops.scd import pit_join
+
+        dim = spark.createDataFrame(
+            [("u", 5, 5, "ghost"), ("u", 5, None, "real")],
+            "k string, valid_from long, valid_to long, a string",
+        )
+        facts = spark.createDataFrame([(5,), (6,)], "ts long").withColumn("k", F.lit("u"))
+        got = {r["ts"]: r["pit_a"] for r in pit_join(facts, dim, ["k"], "ts", ["a"]).collect()}
+        assert got == {5: "real", 6: "real"}
+
+    def test_composes_with_scd2_collapse(self, spark):
+        ev = _mk(spark, [("u", 1, "A"), ("u", 2, "A"), ("u", 4, "B"), ("u", 9, "A")])
+        from lmss_entity_extractor_spark.ops.scd import pit_join
+
+        dim = scd2_collapse(ev, ["k"], "ts", ["a"])
+        facts = spark.createDataFrame([(1,), (3,), (4,), (8,), (9,)], "ts long").withColumn(
+            "k", F.lit("u")
+        )
+        got = {r["ts"]: r["pit_a"] for r in pit_join(facts, dim, ["k"], "ts", ["a"]).collect()}
+        # chained history: every fact at/after the first observation matches
+        assert got == {1: "A", 3: "A", 4: "B", 8: "B", 9: "A"}
+
+    def test_validation(self, spark):
+        from lmss_entity_extractor_spark.ops.scd import pit_join
+
+        dim = self._dim(spark)
+        facts = spark.createDataFrame([(1,)], "ts long")
+        with pytest.raises(ValueError, match="missing"):
+            pit_join(facts, dim.drop("valid_to"), ["k"], "ts", ["a"])
+        with pytest.raises(ValueError, match="missing"):
+            pit_join(facts.withColumnRenamed("ts", "zz"), dim, ["k"], "ts", ["a"])
