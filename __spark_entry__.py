@@ -171,6 +171,46 @@ def q_region_revenue(spark, sf_dir):
     )
 
 
+def q_table_diff(spark, sf_dir):
+    """Keyed table diff / reconciliation (L108) composed with the L105
+    upsert: diff customer against its upserted snapshot — the %13 keys
+    classify as changed (with per-column change flags), the minted %41
+    keys as added, nothing removed.  One full outer join; all change
+    detection is null-safe projection.  Oracle: FULL OUTER JOIN +
+    IS DISTINCT FROM CASE arms in DuckDB."""
+    from lmss_entity_extractor_spark.ops.upsert import merge_upsert
+    from lmss_entity_extractor_spark.ops.tablediff import table_diff
+
+    c = _t(spark, sf_dir, "customer")
+    changed = c.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        F.lit("UPSERTED").alias("c_mktsegment"),
+    )
+    inserted = c.filter(F.col("c_custkey") % 41 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    merged = merge_upsert(
+        c, changed.unionByName(inserted), ["c_custkey"], check_unique=False
+    )
+    d = table_diff(c, merged, ["c_custkey"])
+    return d.select(
+        "c_custkey",
+        "diff_kind",
+        "changed_cols",
+        "left_c_mktsegment",
+        "right_c_mktsegment",
+        F.round("left_c_acctbal", 2).alias("left_bal"),
+        F.round("right_c_acctbal", 2).alias("right_bal"),
+    )
+
+
 def q_pit_join(spark, sf_dir):
     """Point-in-time dimension join (L107) composed with the SCD2
     collapse (L104): every event enriched with the user's event_type
@@ -3731,6 +3771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "pit_join": q_pit_join,
+        "table_diff": q_table_diff,
         "pivot_events": q_pivot_events,
         "closure": q_closure,
         "argmax_link": q_argmax_link,
@@ -4367,6 +4408,58 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1
+        """,
+        "table_diff": """
+            -- upserted snapshot re-derived, then FULL OUTER JOIN +
+            -- null-safe per-column comparison mirroring ops/tablediff
+            WITH upd AS (
+                SELECT c_custkey, c_name, c_nationkey,
+                       c_acctbal + 1000.0 AS c_acctbal,
+                       'UPSERTED' AS c_mktsegment
+                FROM customer WHERE c_custkey % 13 = 0
+                UNION ALL
+                SELECT c_custkey + 1000000, 'new-' || c_name, c_nationkey,
+                       0.0, 'NEW'
+                FROM customer WHERE c_custkey % 41 = 0
+            ),
+            merged AS (
+                SELECT * FROM upd
+                UNION ALL
+                SELECT b.* FROM customer b
+                WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = b.c_custkey)
+            ),
+            j AS (
+                SELECT coalesce(l.c_custkey, r.c_custkey) AS c_custkey,
+                       l.c_custkey IS NOT NULL AS in_l,
+                       r.c_custkey IS NOT NULL AS in_r,
+                       l.c_name IS DISTINCT FROM r.c_name AS d_name,
+                       l.c_nationkey IS DISTINCT FROM r.c_nationkey AS d_nk,
+                       l.c_acctbal IS DISTINCT FROM r.c_acctbal AS d_bal,
+                       l.c_mktsegment IS DISTINCT FROM r.c_mktsegment AS d_seg,
+                       l.c_mktsegment AS left_c_mktsegment,
+                       r.c_mktsegment AS right_c_mktsegment,
+                       round(l.c_acctbal, 2) AS left_bal,
+                       round(r.c_acctbal, 2) AS right_bal
+                FROM customer l FULL OUTER JOIN merged r USING (c_custkey)
+            ),
+            k AS (
+                SELECT *,
+                       CASE WHEN NOT in_l THEN 'added'
+                            WHEN NOT in_r THEN 'removed'
+                            WHEN d_name OR d_nk OR d_bal OR d_seg THEN 'changed'
+                            ELSE 'unchanged' END AS diff_kind
+                FROM j
+            )
+            SELECT c_custkey, diff_kind,
+                   CASE WHEN diff_kind = 'changed' THEN list_sort(list_filter([
+                            CASE WHEN d_bal THEN 'c_acctbal' END,
+                            CASE WHEN d_seg THEN 'c_mktsegment' END,
+                            CASE WHEN d_name THEN 'c_name' END,
+                            CASE WHEN d_nk THEN 'c_nationkey' END
+                        ], x -> x IS NOT NULL))
+                        ELSE CAST([] AS VARCHAR[]) END AS changed_cols,
+                   left_c_mktsegment, right_c_mktsegment, left_bal, right_bal
+            FROM k WHERE diff_kind <> 'unchanged'
         """,
         "pit_join": """
             -- SCD2 dimension re-derived (same as the scd2 oracle), then
