@@ -171,6 +171,41 @@ def q_region_revenue(spark, sf_dir):
     )
 
 
+def q_sketch_rollup(spark, sf_dir):
+    """Persistable/mergeable HLL distinct sketches (L109): per-nation
+    customer sketches built in one scan, UNIONED up to region grain
+    (hll_union_agg over sketch rows — the base table is not rescanned)
+    and compared against the exact distinct count.  The oracle is the
+    L23 pattern: DuckDB recomputes the exact counts and expects the
+    published tolerance flag to be true (estimates are approximate and
+    topology-dependent by design — the module docstring pins why)."""
+    from lmss_entity_extractor_spark.ops.sketches import (
+        build_distinct_sketches,
+        rollup_distinct_estimate,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cn = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", "c_custkey")
+    )
+    sk = build_distinct_sketches(cn, ["r_name", "n_name"], "c_custkey")
+    up = rollup_distinct_estimate(sk, ["r_name"])
+    exact = cn.groupBy("r_name").agg(F.count_distinct("c_custkey").alias("exact_distinct"))
+    return up.join(exact, "r_name").select(
+        "r_name",
+        "n_groups_merged",
+        "exact_distinct",
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * 0.02
+        ).alias("within_2pct"),
+    )
+
+
 def q_table_diff(spark, sf_dir):
     """Keyed table diff / reconciliation (L108) composed with the L105
     upsert: diff customer against its upserted snapshot — the %13 keys
@@ -3772,6 +3807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "pit_join": q_pit_join,
         "table_diff": q_table_diff,
+        "sketch_rollup": q_sketch_rollup,
         "pivot_events": q_pivot_events,
         "closure": q_closure,
         "argmax_link": q_argmax_link,
@@ -4408,6 +4444,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1
+        """,
+        "sketch_rollup": """
+            -- exact side recomputed; the sketch estimate is asserted
+            -- only through its tolerance flag (L23 oracle pattern)
+            SELECT r_name,
+                   count(DISTINCT n_name) AS n_groups_merged,
+                   count(DISTINCT c_custkey) AS exact_distinct,
+                   TRUE AS within_2pct
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "table_diff": """
             -- upserted snapshot re-derived, then FULL OUTER JOIN +

@@ -1,0 +1,74 @@
+"""Persistable, mergeable distinct-count sketches (L109): HLL sketch
+COLUMNS as data — the mergeable-summaries pattern (Agarwal et al.
+PODS'12) that makes incremental distinct-count analytics possible at
+100 TB.
+
+``approx_count_distinct`` (the L23 sketch contract) answers one query
+and throws the summary away; here the summary IS the output:
+
+* ``build_distinct_sketches`` — one scan → per-group Apache DataSketches
+  HLL sketches (Spark 4 ``hll_sketch_agg``), a BINARY column you persist
+  like any other (daily partitions of per-domain sketches, a few KB per
+  group at lg_k=12 regardless of input size);
+* ``rollup_distinct_estimate`` — re-aggregate PERSISTED sketches to any
+  coarser grain with ``hll_union_agg`` (register-wise max: associative,
+  commutative, idempotent — re-delivered sketches cannot double-count)
+  and estimate.  The month-over-domains rollup reads 30 sketch rows per
+  domain, NEVER the 100 TB base table again.
+
+Estimates are approximate (~2% at lg_k=12, exact in the sparse
+regime), and NOT bit-stable across merge topologies: the union is
+register-idempotent (re-delivered sketches cannot inflate registers),
+but the datasketches estimator takes a different path after a union
+(HIP vs composite), so the same logical union reached via different
+groupings/partitionings can move the estimate WITHIN the error bound.
+Tests pin the tolerance, never bitwise equality; the contract query
+publishes tolerance FLAGS against the exact count (the L23 oracle
+pattern).  For a fixed plan on fixed input the result is
+deterministic run-to-run.
+
+No reference counterpart; generalizes the reference's one-shot global
+stats (`app/main.py` index stats) to incrementally maintainable ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def build_distinct_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """One scan → ``(group_cols..., n_rows, sketch)``: a persistable
+    partial aggregate for COUNT(DISTINCT value) per group."""
+    if not 4 <= lg_k <= 21:
+        raise ValueError(f"lg_k must be in [4, 21], got {lg_k}")
+    for c in list(group_cols) + [value_col]:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(f"hll_sketch_agg({value_col}, {lg_k})").alias("sketch"),
+    )
+
+
+def rollup_distinct_estimate(
+    sketches: DataFrame,
+    rollup_cols: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Union persisted sketches up to ``rollup_cols`` grain and
+    estimate: ``(rollup_cols..., n_groups_merged, distinct_est)`` —
+    the base table is never rescanned."""
+    for c in list(rollup_cols) + [sketch_col]:
+        if c not in sketches.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    return sketches.groupBy(*rollup_cols).agg(
+        F.count(F.lit(1)).alias("n_groups_merged"),
+        F.expr(f"hll_sketch_estimate(hll_union_agg({sketch_col}))").alias(
+            "distinct_est"
+        ),
+    )

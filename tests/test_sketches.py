@@ -1,0 +1,95 @@
+"""Persistable, mergeable HLL distinct sketches (L109)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lmss_entity_extractor_spark.ops.sketches import (
+    build_distinct_sketches,
+    rollup_distinct_estimate,
+)
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    # 3 regions x 4 domains; per-domain and per-region distinct counts known
+    return spark.range(6000).selectExpr(
+        "CAST(id % 3 AS STRING) AS region",
+        "CAST(id % 12 AS STRING) AS domain",
+        "id % 700 AS user",  # 700 distinct overall
+    )
+
+
+class TestDistinctSketches:
+    def test_per_group_estimates_close_to_exact(self, spark, src):
+        sk = build_distinct_sketches(src, ["region", "domain"], "user")
+        est = {
+            (r["region"], r["domain"]): r["e"]
+            for r in sk.selectExpr("region", "domain", "hll_sketch_estimate(sketch) AS e").collect()
+        }
+        exact = {
+            (r["region"], r["domain"]): r["n"]
+            for r in src.groupBy("region", "domain")
+            .agg(F.countDistinct("user").alias("n"))
+            .collect()
+        }
+        assert est.keys() == exact.keys()
+        for k in exact:
+            assert abs(est[k] - exact[k]) / exact[k] <= 0.03
+
+    def test_rollup_never_rescans_and_matches_exact(self, spark, src, tmp_path):
+        sk = build_distinct_sketches(src, ["region", "domain"], "user")
+        # persistence: the sketch column survives a parquet round-trip
+        sk.write.mode("overwrite").parquet(str(tmp_path / "sk"))
+        persisted = spark.read.parquet(str(tmp_path / "sk"))
+        up = rollup_distinct_estimate(persisted, ["region"])
+        exact = {
+            r["region"]: r["n"]
+            for r in src.groupBy("region").agg(F.countDistinct("user").alias("n")).collect()
+        }
+        got = {r["region"]: (r["n_groups_merged"], r["distinct_est"]) for r in up.collect()}
+        assert set(got) == set(exact)
+        for reg, (n_merged, est) in got.items():
+            assert n_merged == 4
+            assert abs(est - exact[reg]) / exact[reg] <= 0.03
+
+    def test_union_idempotent_on_redelivery(self, spark, src):
+        # re-delivered sketch rows must not double-count: registers are
+        # max-merged, so the doubled union stays within tolerance of the
+        # exact count (the estimate may move WITHIN the bound - the
+        # estimator path changes after union, documented in the module)
+        sk = build_distinct_sketches(src, ["region", "domain"], "user")
+        doubled = sk.unionByName(sk)
+        exact = {
+            r["region"]: r["n"]
+            for r in src.groupBy("region").agg(F.countDistinct("user").alias("n")).collect()
+        }
+        for frame in (sk, doubled):
+            for r in rollup_distinct_estimate(frame, ["region"]).collect():
+                assert abs(r["distinct_est"] - exact[r["region"]]) / exact[r["region"]] <= 0.05
+
+    def test_parallelism_tolerant_estimates(self, spark, src):
+        e1 = {
+            r["region"]: r["distinct_est"]
+            for r in rollup_distinct_estimate(
+                build_distinct_sketches(src.repartition(1), ["region", "domain"], "user"), ["region"]
+            ).collect()
+        }
+        e13 = {
+            r["region"]: r["distinct_est"]
+            for r in rollup_distinct_estimate(
+                build_distinct_sketches(src.repartition(13), ["region", "domain"], "user"), ["region"]
+            ).collect()
+        }
+        # partitioning changes the merge topology; estimates stay within
+        # the documented bound of each other (5% slack over 3%+3%)
+        assert e1.keys() == e13.keys()
+        for k in e1:
+            assert abs(e1[k] - e13[k]) / max(e1[k], e13[k]) <= 0.05
+
+    def test_validation(self, spark, src):
+        with pytest.raises(ValueError, match="lg_k"):
+            build_distinct_sketches(src, ["region"], "user", lg_k=2)
+        with pytest.raises(ValueError, match="not in DataFrame"):
+            build_distinct_sketches(src, ["region"], "nope")
+        with pytest.raises(ValueError, match="not in DataFrame"):
+            rollup_distinct_estimate(src, ["region"], sketch_col="sketch")
