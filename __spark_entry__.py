@@ -206,6 +206,27 @@ def q_sketch_rollup(spark, sf_dir):
     )
 
 
+def q_bloom_semi_join(spark, sf_dir):
+    """Bloom-filter join pruning (L110): lineitem semi-joined against
+    the Brand#23 slice of part, with the bloom bit array built from the
+    dim side and pushed into the fact scan as a codegen filter — rows
+    that cannot match never reach the join exchange (the explicit form
+    of Spark's runtime bloom filter).  The exact LEFT SEMI join after
+    the probe removes false positives, so the oracle is the plain
+    EXISTS semi-join, row-for-row."""
+    from lmss_entity_extractor_spark.ops.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    return bloom_semi_join(
+        li.select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity"),
+        p,
+        "l_partkey",
+        "p_partkey",
+        num_bits=1 << 16,
+    )
+
+
 def q_table_diff(spark, sf_dir):
     """Keyed table diff / reconciliation (L108) composed with the L105
     upsert: diff customer against its upserted snapshot — the %13 keys
@@ -3808,6 +3829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join": q_pit_join,
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
+        "bloom_semi_join": q_bloom_semi_join,
         "pivot_events": q_pivot_events,
         "closure": q_closure,
         "argmax_link": q_argmax_link,
@@ -4444,6 +4466,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1
+        """,
+        "bloom_semi_join": """
+            -- bloom pruning is exact after the final semi join: the
+            -- oracle is the plain EXISTS form, row-for-row
+            SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE EXISTS (
+                SELECT 1 FROM part
+                WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+            )
         """,
         "sketch_rollup": """
             -- exact side recomputed; the sketch estimate is asserted
