@@ -206,6 +206,56 @@ def q_sketch_rollup(spark, sf_dir):
     )
 
 
+def _hyperball_edges(spark, sf_dir):
+    """Shared L111 fixture graph: customer chains (c:k → c:k+100 where
+    both exist, keys % 100 == 0) feeding into the nation ring
+    (n → (n+1) % 25) via each customer's nation edge — ball sizes vary
+    by chain position, so the radius sweep is non-trivial."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 100 == 0)
+    n = _t(spark, sf_dir, "nation")
+    keys = c.select(F.col("c_custkey").alias("nk"))
+    chain = (
+        c.join(keys, c.c_custkey + 100 == keys.nk)
+        .select(
+            F.concat(F.lit("c:"), "c_custkey").alias("src"),
+            F.concat(F.lit("c:"), "nk").alias("dst"),
+        )
+    )
+    return (
+        c.select(
+            F.concat(F.lit("c:"), "c_custkey").alias("src"),
+            F.concat(F.lit("n:"), "c_nationkey").alias("dst"),
+        )
+        .unionByName(chain)
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n:"), "n_nationkey").alias("src"),
+                F.concat(F.lit("n:"), (F.col("n_nationkey") + 1) % 25).alias("dst"),
+            )
+        )
+    )
+
+
+def q_hyperball(spark, sf_dir):
+    """HyperBall radius sweep (L111): per-node ball-size estimates at
+    t = 0..3 over the chain+ring graph.  Ball sizes at this scale sit
+    in the datasketches sparse regime, so the HLL estimates are EXACT
+    integers and the oracle is a recursive-CTE BFS counting nodes
+    within t hops — integer equality, not a tolerance flag."""
+    from lmss_entity_extractor_spark.graph.hyperball import hyperball
+
+    return hyperball(_hyperball_edges(spark, sf_dir), max_t=3)
+
+
+def q_harmonic_centrality(spark, sf_dir):
+    """Truncated harmonic centrality (L111) from the same sweep:
+    Σ 1/d over nodes within 3 hops, computed as the telescoping
+    per-radius fold.  Oracle: min-distance BFS then SUM(1.0/d)."""
+    from lmss_entity_extractor_spark.graph.hyperball import harmonic_centrality
+
+    return harmonic_centrality(_hyperball_edges(spark, sf_dir), max_t=3)
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -3830,6 +3880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "hyperball": q_hyperball,
+        "harmonic_centrality": q_harmonic_centrality,
         "pivot_events": q_pivot_events,
         "closure": q_closure,
         "argmax_link": q_argmax_link,
@@ -4466,6 +4518,60 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1
+        """,
+        "hyperball": """
+            -- recursive-CTE BFS min-distances, then count nodes within
+            -- each radius; HLL is exact in the sparse regime at this
+            -- scale so integer equality holds
+            WITH RECURSIVE e AS (
+                SELECT 'c:' || c_custkey AS src, 'n:' || c_nationkey AS dst
+                FROM customer WHERE c_custkey % 100 = 0
+                UNION ALL
+                SELECT 'c:' || a.c_custkey, 'c:' || b.c_custkey
+                FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 100
+                WHERE a.c_custkey % 100 = 0 AND b.c_custkey % 100 = 0
+                UNION ALL
+                SELECT 'n:' || n_nationkey, 'n:' || ((n_nationkey + 1) % 25)
+                FROM nation
+            ),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            reach(node, dest, d) AS (
+                SELECT node, node, 0 FROM nodes
+                UNION
+                SELECT r.node, e.dst, r.d + 1
+                FROM reach r JOIN e ON e.src = r.dest WHERE r.d < 3
+            ),
+            mind AS (SELECT node, dest, min(d) AS d FROM reach GROUP BY 1, 2)
+            SELECT m.node, g.t, count(*) AS ball_est
+            FROM mind m CROSS JOIN (VALUES (0),(1),(2),(3)) g(t)
+            WHERE m.d <= g.t
+            GROUP BY 1, 2
+        """,
+        "harmonic_centrality": """
+            WITH RECURSIVE e AS (
+                SELECT 'c:' || c_custkey AS src, 'n:' || c_nationkey AS dst
+                FROM customer WHERE c_custkey % 100 = 0
+                UNION ALL
+                SELECT 'c:' || a.c_custkey, 'c:' || b.c_custkey
+                FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 100
+                WHERE a.c_custkey % 100 = 0 AND b.c_custkey % 100 = 0
+                UNION ALL
+                SELECT 'n:' || n_nationkey, 'n:' || ((n_nationkey + 1) % 25)
+                FROM nation
+            ),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            reach(node, dest, d) AS (
+                SELECT node, node, 0 FROM nodes
+                UNION
+                SELECT r.node, e.dst, r.d + 1
+                FROM reach r JOIN e ON e.src = r.dest WHERE r.d < 3
+            ),
+            mind AS (SELECT node, dest, min(d) AS d FROM reach GROUP BY 1, 2)
+            SELECT node,
+                   round(coalesce(sum(CASE WHEN d > 0 THEN 1.0 / d END), 0), 6)
+                       AS harmonic
+            FROM mind
+            GROUP BY node
         """,
         "bloom_semi_join": """
             -- bloom pruning is exact after the final semi join: the
