@@ -256,6 +256,22 @@ def q_harmonic_centrality(spark, sf_dir):
     return harmonic_centrality(_hyperball_edges(spark, sf_dir), max_t=3)
 
 
+def q_gap_fill(spark, sf_dir):
+    """Regular-grid resampling + linear interpolation (L112): two
+    sparse user series from events onto an hourly epoch-aligned spine,
+    in-bucket max (order-free, float-exact), gaps linearly interpolated
+    between the surrounding observed buckets.  Oracle: generate_series
+    spine + IGNORE NULLS window sweep with the identical interpolation
+    arithmetic."""
+    from lmss_entity_extractor_spark.ops.timeseries import resample_gap_fill
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 97 == 0)
+    out = resample_gap_fill(ev, "user_id", "ts", "value", 3600, agg="max")
+    return out.select(
+        "user_id", "bucket_ts", F.round("value", 6).alias("value"), "is_observed"
+    )
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -3880,6 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "gap_fill": q_gap_fill,
         "hyperball": q_hyperball,
         "harmonic_centrality": q_harmonic_centrality,
         "pivot_events": q_pivot_events,
@@ -4518,6 +4535,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1
+        """,
+        "gap_fill": """
+            -- spine via generate_series, fill via IGNORE NULLS window
+            -- sweep with the identical interpolation arithmetic
+            WITH obs AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS b,
+                       max(value) AS v
+                FROM events
+                WHERE user_id % 97 = 0 AND ts IS NOT NULL AND value IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            span AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM obs GROUP BY 1),
+            spine AS (
+                SELECT user_id, unnest(generate_series(b0, b1, 3600)) AS b FROM span
+            ),
+            g AS (
+                SELECT s.user_id, s.b, o.v
+                FROM spine s LEFT JOIN obs o USING (user_id, b)
+            ),
+            w AS (
+                SELECT user_id, b, v,
+                    last_value(v IGNORE NULLS) OVER back AS pv,
+                    last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+                        OVER back AS pt,
+                    first_value(v IGNORE NULLS) OVER fwd AS nv,
+                    first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+                        OVER fwd AS nt
+                FROM g
+                WINDOW back AS (PARTITION BY user_id ORDER BY b
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       fwd AS (PARTITION BY user_id ORDER BY b
+                               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT user_id,
+                   CAST(to_timestamp(b) AS TIMESTAMP) AS bucket_ts,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pt IS NULL THEN nv
+                              WHEN nt IS NULL THEN pv
+                              ELSE pv + (nv - pv) * ((b - pt) / (nt - pt))
+                         END, 6) AS value,
+                   v IS NOT NULL AS is_observed
+            FROM w
         """,
         "hyperball": """
             -- recursive-CTE BFS min-distances, then count nodes within

@@ -1,6 +1,6 @@
-"""Per-key time-series smoothing: exponentially weighted moving
-average (EWMA) as ONE window expression — no recursion, no UDF, no
-iterative loop.
+"""Per-key time-series operators: EWMA smoothing, regular-grid
+resampling with gap-fill, and linear interpolation — all window/
+sequence expressions, no recursion, no UDF, no iterative loop.
 
 The recurrence e_t = (1−α)·e_{t−1} + α·x_t looks inherently
 sequential, but it has a prefix-sum closed form: with r = 1−α and the
@@ -75,3 +75,117 @@ def ewma(
     # at t the closed form counts x_0 via BOTH terms: α·r^t·x_0 + r^{t+1}·x_0
     # = r^t·x_0·(α + r) = r^t·x_0 — matching e_0 = x_0 exactly
     return df.withColumn(out_col, e)
+
+
+def resample_gap_fill(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    step_seconds: int,
+    agg: str = "avg",
+    fill: str = "linear",
+    max_buckets_per_key: int = 1_000_000,
+) -> DataFrame:
+    """Regular-grid resampling with gap-fill (L112): per ``key``, bucket
+    observations onto an epoch-aligned grid of ``step_seconds``, emit
+    ONE row per grid slot between the key's first and last observation,
+    and fill empty slots.
+
+    Output: ``(key, bucket_ts timestamp, value double, is_observed
+    boolean)``.
+
+    * ``agg`` — in-bucket reducer for multiple observations: ``avg``
+      (natural) or ``max``/``min`` (order-free and float-exact — the
+      value-oracle-able choice, used by the contract query).
+    * ``fill`` — ``linear`` (time-weighted interpolation between the
+      surrounding observed buckets; ends extend flat), ``ffill``
+      (last observation carried forward; leading gaps backfilled from
+      the first observation), or ``null`` (gaps stay NULL).
+
+    Shape for 100 TB: one keyed aggregation (map-side combinable) to
+    buckets, one per-key ``sequence``/``explode`` to mint the spine
+    (bounded LOUDLY by ``max_buckets_per_key`` — a key spanning years
+    at 1s steps is a config error, not an OOM), one left join back on
+    (key, bucket), and two frame-bounded window passes for the fill.
+    Everything whole-stage codegen; the only shuffles are the keyed
+    agg/join/window on the same key — co-partitioned, so AQE folds
+    them onto one exchange.
+    """
+    if step_seconds <= 0:
+        raise ValueError(f"step_seconds must be positive, got {step_seconds}")
+    if agg not in ("avg", "max", "min"):
+        raise ValueError(f"agg must be avg|max|min, got {agg!r}")
+    if fill not in ("linear", "ffill", "null"):
+        raise ValueError(f"fill must be linear|ffill|null, got {fill!r}")
+    for c in (key, time_col, value_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+
+    step = F.lit(step_seconds).cast("long")
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(time_col)) / step) * step_seconds
+    ).cast("long")
+    reducer = {"avg": F.avg, "max": F.max, "min": F.min}[agg]
+    obs = (
+        df.filter(F.col(time_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(F.col(key), bucket.alias("b"), F.col(value_col).alias("v"))
+        .groupBy(key, "b")
+        .agg(reducer("v").alias("v"))
+    )
+    span = obs.groupBy(key).agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    n_slots = (F.col("b1") - F.col("b0")) / step_seconds + 1
+    guard = F.when(
+        n_slots > max_buckets_per_key,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"resample_gap_fill: key spans more than {max_buckets_per_key} "
+                    f"slots at step={step_seconds}s — raise step_seconds or "
+                    "max_buckets_per_key: "
+                ),
+                F.col(key).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("b1"))
+    spine = span.select(
+        key, F.explode(F.sequence(F.col("b0"), guard, step)).alias("b")
+    )
+    g = spine.join(obs, [key, "b"], "left")
+
+    if fill == "null":
+        filled = F.col("v")
+    else:
+        back = (
+            Window.partitionBy(key)
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fwd = (
+            Window.partitionBy(key)
+            .orderBy("b")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        t_obs = F.when(F.col("v").isNotNull(), F.col("b"))
+        pv = F.last("v", ignorenulls=True).over(back)
+        pt = F.last(t_obs, ignorenulls=True).over(back)
+        nv = F.first("v", ignorenulls=True).over(fwd)
+        nt = F.first(t_obs, ignorenulls=True).over(fwd)
+        if fill == "ffill":
+            filled = F.coalesce(F.col("v"), pv, nv)
+        else:
+            frac = (F.col("b") - pt) / (nt - pt)
+            interp = pv + (nv - pv) * frac
+            filled = (
+                F.when(F.col("v").isNotNull(), F.col("v"))
+                .when(pt.isNull(), nv)
+                .when(nt.isNull(), pv)
+                .otherwise(interp)
+            )
+
+    return g.select(
+        F.col(key),
+        F.timestamp_seconds(F.col("b")).alias("bucket_ts"),
+        filled.cast("double").alias("value"),
+        F.col("v").isNotNull().alias("is_observed"),
+    )
