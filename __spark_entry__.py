@@ -272,6 +272,48 @@ def q_gap_fill(spark, sf_dir):
     )
 
 
+def q_expectations_summary(spark, sf_dir):
+    """Data-quality expectations (L113): a six-rule contract over
+    customer — all four row-local rules fused into ONE scan, uniqueness
+    as one keyed count, referential integrity as one broadcast
+    anti-count against nation.  Oracle: UNION ALL of per-rule SQL
+    counts with identical rule ids."""
+    from lmss_entity_extractor_spark.ops.expectations import validate_expectations
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rules = [
+        ("not_null", "c_name"),
+        ("in_range", "c_acctbal", 0.0, 5000.0),
+        ("regex", "c_name", "^Customer#[0-9]{9}$"),
+        ("in_set", "c_mktsegment", ["AUTOMOBILE", "BUILDING", "FURNITURE"]),
+        ("unique", ["c_custkey"]),
+        ("ref", "c_nationkey", n, "n_nationkey"),
+    ]
+    return validate_expectations(c, rules)
+
+
+def q_quarantine(spark, sf_dir):
+    """Row-level quarantine split (L113): customers violating the
+    range/segment rules, with the sorted violated-rule array published
+    as a CSV column (rule ids are index-ordered = lexically sorted).
+    Oracle: concat_ws over per-rule CASE arms (NULL-skipping)."""
+    from lmss_entity_extractor_spark.ops.expectations import quarantine
+
+    c = _t(spark, sf_dir, "customer")
+    rules = [
+        ("in_range", "c_acctbal", 0.0, 5000.0),
+        ("in_set", "c_mktsegment", ["AUTOMOBILE", "BUILDING", "FURNITURE"]),
+    ]
+    _, bad = quarantine(c, rules)
+    return bad.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.array_join("violated", ",").alias("violated_csv"),
+    )
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -3896,6 +3938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "expectations_summary": q_expectations_summary,
+        "quarantine": q_quarantine,
         "gap_fill": q_gap_fill,
         "hyperball": q_hyperball,
         "harmonic_centrality": q_harmonic_centrality,
@@ -4535,6 +4579,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1
+        """,
+        "expectations_summary": """
+            SELECT 'r00_not_null_c_name' AS rule_id, 'not_null' AS kind,
+                   'c_name' AS target,
+                   count(*) FILTER (WHERE c_name IS NULL) AS n_violations
+            FROM customer
+            UNION ALL
+            SELECT 'r01_in_range_c_acctbal', 'in_range', 'c_acctbal',
+                   count(*) FILTER (WHERE c_acctbal IS NOT NULL
+                                    AND (c_acctbal < 0.0 OR c_acctbal > 5000.0))
+            FROM customer
+            UNION ALL
+            SELECT 'r02_regex_c_name', 'regex', 'c_name',
+                   count(*) FILTER (WHERE c_name IS NOT NULL
+                                    AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$'))
+            FROM customer
+            UNION ALL
+            SELECT 'r03_in_set_c_mktsegment', 'in_set', 'c_mktsegment',
+                   count(*) FILTER (WHERE c_mktsegment IS NOT NULL
+                                    AND c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE'))
+            FROM customer
+            UNION ALL
+            SELECT 'r04_unique_c_custkey', 'unique', 'c_custkey',
+                   CAST(coalesce(sum(n), 0) AS BIGINT)
+            FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey HAVING count(*) > 1)
+            UNION ALL
+            SELECT 'r05_ref_c_nationkey', 'ref', 'c_nationkey',
+                   count(*) FILTER (WHERE c_nationkey IS NOT NULL AND NOT EXISTS (
+                       SELECT 1 FROM nation WHERE n_nationkey = c_nationkey))
+            FROM customer
+        """,
+        "quarantine": """
+            -- concat_ws skips the NULL CASE arms; rule ids are
+            -- index-ordered which equals the sorted-array order
+            SELECT c_custkey, c_acctbal, c_mktsegment,
+                   concat_ws(',',
+                       CASE WHEN c_acctbal IS NOT NULL
+                                 AND (c_acctbal < 0.0 OR c_acctbal > 5000.0)
+                            THEN 'r00_in_range_c_acctbal' END,
+                       CASE WHEN c_mktsegment IS NOT NULL
+                                 AND c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE')
+                            THEN 'r01_in_set_c_mktsegment' END
+                   ) AS violated_csv
+            FROM customer
+            WHERE (c_acctbal IS NOT NULL AND (c_acctbal < 0.0 OR c_acctbal > 5000.0))
+               OR (c_mktsegment IS NOT NULL
+                   AND c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE'))
         """,
         "gap_fill": """
             -- spine via generate_series, fill via IGNORE NULLS window
