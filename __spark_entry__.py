@@ -314,6 +314,37 @@ def q_quarantine(spark, sf_dir):
     )
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (L114): daily first-activity cohorts
+    over the high-value event slice (sparse activity → a real matrix:
+    many cohorts, varied offsets and ratios), distinct active users per
+    (cohort, offset), retention as the exact ratio against the
+    offset-0 base.  Oracle: the same two-window derivation in SQL."""
+    from lmss_entity_extractor_spark.ops.cohort import cohort_retention
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 190)
+    return cohort_retention(ev, "user_id", "ts", period_seconds=24 * 3600)
+
+
+def q_funnel(spark, sf_dir):
+    """Strict ordered funnel (L114): signup → view → click → purchase
+    within a 3-day horizon of the user's FIRST signup, evaluated as one
+    sorted-array higher-order fold per user (single keyed exchange).
+    Oracle: the chain re-derived as sequential conditional-min joins —
+    the textbook self-join form the fold replaces."""
+    from lmss_entity_extractor_spark.ops.cohort import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        ["signup", "view", "click", "purchase"],
+        horizon_seconds=3 * 24 * 3600,
+    )
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -3938,6 +3969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "cohort_retention": q_cohort_retention,
+        "funnel": q_funnel,
         "expectations_summary": q_expectations_summary,
         "quarantine": q_quarantine,
         "gap_fill": q_gap_fill,
@@ -4579,6 +4612,71 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1
+        """,
+        "cohort_retention": """
+            WITH ev AS (
+                SELECT DISTINCT user_id AS u,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS p
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value > 190
+            ),
+            o AS (
+                SELECT u,
+                       min(p) OVER (PARTITION BY u) AS cohort_p,
+                       CAST((p - min(p) OVER (PARTITION BY u)) / 86400 AS INT)
+                           AS "offset"
+                FROM ev
+            ),
+            c AS (
+                SELECT cohort_p, "offset", count(DISTINCT u) AS n_active
+                FROM o GROUP BY 1, 2
+            )
+            SELECT CAST(to_timestamp(cohort_p) AS TIMESTAMP) AS cohort_period,
+                   "offset", n_active,
+                   round(n_active / max(CASE WHEN "offset" = 0 THEN n_active END)
+                             OVER (PARTITION BY cohort_p), 6) AS retention
+            FROM c
+        """,
+        "funnel": """
+            -- the fold's greedy-first chain as sequential
+            -- conditional-min joins; epoch floored to whole seconds to
+            -- mirror Spark's unix_timestamp truncation
+            WITH f AS (
+                SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                       event_type AS s
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_type IN ('signup', 'view', 'click', 'purchase')
+            ),
+            s0 AS (SELECT u, min(t) AS t0 FROM f WHERE s = 'signup' GROUP BY u),
+            s1 AS (
+                SELECT f.u, min(t) AS t1 FROM f JOIN s0 USING (u)
+                WHERE s = 'view' AND t > t0 AND t - t0 <= 259200 GROUP BY f.u
+            ),
+            s2 AS (
+                SELECT f.u, min(t) AS t2
+                FROM f JOIN s1 USING (u) JOIN s0 USING (u)
+                WHERE s = 'click' AND t > t1 AND t - t0 <= 259200 GROUP BY f.u
+            ),
+            s3 AS (
+                SELECT f.u, min(t) AS t3
+                FROM f JOIN s2 USING (u) JOIN s0 USING (u)
+                WHERE s = 'purchase' AND t > t2 AND t - t0 <= 259200 GROUP BY f.u
+            ),
+            d AS (
+                SELECT u,
+                       CASE WHEN u IN (SELECT u FROM s3) THEN 4
+                            WHEN u IN (SELECT u FROM s2) THEN 3
+                            WHEN u IN (SELECT u FROM s1) THEN 2
+                            WHEN u IN (SELECT u FROM s0) THEN 1
+                            ELSE 0 END AS depth
+                FROM (SELECT DISTINCT u FROM f)
+            )
+            SELECT g.k AS steps_completed,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n_users
+            FROM (VALUES (0), (1), (2), (3), (4)) g(k)
+            LEFT JOIN (SELECT depth, count(*) AS n FROM d GROUP BY depth) c
+                   ON c.depth = g.k
         """,
         "expectations_summary": """
             SELECT 'r00_not_null_c_name' AS rule_id, 'not_null' AS kind,

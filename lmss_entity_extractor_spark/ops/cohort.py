@@ -1,0 +1,167 @@
+"""Cohort retention and ordered funnel analysis (L114): the two
+product-analytics queries every event warehouse answers daily,
+expressed so each is a fixed number of keyed exchanges regardless of
+input size.
+
+``cohort_retention`` — assign each user to the period of their FIRST
+activity (epoch-aligned buckets, the gap-fill grid discipline), then
+count distinct users active at each offset from their cohort:
+
+    one window min over user (keyed exchange #1)
+    → distinct (user, cohort, offset)
+    → count per (cohort, offset) + cohort-size window (exchange #2)
+
+Retention is an exact integer ratio published as ``n_active`` and
+``retention`` (n_active / cohort size at offset 0 — offset 0 is 1.0 by
+construction since every user is active in their cohort period).
+
+``funnel`` — strict ordered-step completion within a horizon: a user
+completes step i at the EARLIEST event of step i that is strictly
+after their step-(i-1) completion (and within ``horizon_seconds`` of
+step 0).  The textbook formulation is a chain of self-joins; here each
+user's events collapse to ONE sorted array and the step chain is a
+single JVM higher-order ``aggregate`` fold over it (state = (next step
+index, last completion time)) — no UDF, no per-step shuffle, ONE keyed
+exchange total.  Per-user event counts bound the array (the sessionize
+assumption; a user with millions of events is an upstream bug —
+``max_events_per_user`` guards loudly).
+
+Both are value-oracle-able: the fold is deterministic (array sorted by
+(ts, step) with a total tie-break) and the oracle re-derives the chain
+as sequential conditional-min joins.
+
+No reference counterpart; events-table analytics belong to the
+beyond-reference training-pipeline mandate (SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """``(cohort_period timestamp, offset int, n_active long,
+    retention double)`` — distinct users active ``offset`` periods
+    after their first-activity period."""
+    if period_seconds <= 0:
+        raise ValueError(f"period_seconds must be positive, got {period_seconds}")
+    for c in (user_col, ts_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / period_seconds) * period_seconds
+    ).cast("long")
+    ev = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("u"), bucket.alias("p"))
+        .distinct()
+    )
+    w = Window.partitionBy("u")
+    offs = ev.select(
+        "u",
+        F.min("p").over(w).alias("cohort_p"),
+        ((F.col("p") - F.min("p").over(w)) / period_seconds).cast("int").alias("offset"),
+    )
+    base = Window.partitionBy("cohort_p")
+    counts = offs.groupBy("cohort_p", "offset").agg(
+        F.count_distinct("u").alias("n_active")
+    )
+    cohort_size = F.max(
+        F.when(F.col("offset") == 0, F.col("n_active"))
+    ).over(base)
+    return counts.select(
+        F.timestamp_seconds("cohort_p").alias("cohort_period"),
+        "offset",
+        "n_active",
+        F.round(F.col("n_active") / cohort_size, 6).alias("retention"),
+    )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: list[str],
+    horizon_seconds: int | None = None,
+    max_events_per_user: int = 100_000,
+) -> DataFrame:
+    """Strict ordered funnel: ``(steps_completed int, n_users long)``
+    for 0..len(steps) — how many users got exactly k steps deep, each
+    step strictly after the previous, all within ``horizon_seconds``
+    of their step-0 completion (None = unbounded)."""
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError("steps must be a non-empty list of distinct step names")
+    for c in (user_col, ts_col, step_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+
+    mapping = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )
+    ev = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("u"),
+            F.unix_timestamp(F.col(ts_col)).alias("t"),
+            F.element_at(mapping, F.col(step_col)).alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+    )
+    per_user = ev.groupBy("u").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.array_sort(F.collect_list(F.struct("t", "s"))).alias("evs"),
+    )
+    guard = F.when(
+        F.col("n_ev") > max_events_per_user,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"funnel: user exceeds max_events_per_user={max_events_per_user}: "
+                ),
+                F.col("u").cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+
+    horizon = F.lit(-1 if horizon_seconds is None else int(horizon_seconds)).cast(
+        "long"
+    )
+    n_steps = len(steps)
+    # fold state: (next step index to complete, t0 = step-0 time, tprev)
+    fold = F.aggregate(
+        F.col("evs"),
+        F.struct(
+            F.lit(0).alias("nxt"),
+            F.lit(-1).cast("long").alias("t0"),
+            F.lit(-9223372036854775808).alias("tprev"),
+        ),
+        lambda acc, e: F.when(
+            (acc["nxt"] < n_steps)
+            & (e["s"] == acc["nxt"])
+            & (e["t"] > acc["tprev"])
+            & ((acc["nxt"] == 0) | (horizon < 0) | (e["t"] - acc["t0"] <= horizon)),
+            F.struct(
+                (acc["nxt"] + 1).alias("nxt"),
+                F.when(acc["nxt"] == 0, e["t"]).otherwise(acc["t0"]).alias("t0"),
+                e["t"].alias("tprev"),
+            ),
+        ).otherwise(acc),
+    )
+    depth = per_user.select((fold["nxt"] + guard).alias("steps_completed"))
+    counts = depth.groupBy("steps_completed").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    grid = df.sparkSession.range(0, n_steps + 1).select(
+        F.col("id").cast("int").alias("steps_completed")
+    )
+    return grid.join(counts, "steps_completed", "left").select(
+        "steps_completed",
+        F.coalesce(F.col("n_users"), F.lit(0)).cast("long").alias("n_users"),
+    )
