@@ -345,6 +345,23 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling (L115): 5 documents per language
+    with inclusion odds proportional to n_chars — A-ES priorities from
+    the shared Knuth hash, one window exchange.  Oracle: the identical
+    priority formula and (priority, key) tie-break in SQL."""
+    from lmss_entity_extractor_spark.ops.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        d.select("doc_id", "lang", "n_chars"),
+        "doc_id",
+        "n_chars",
+        5,
+        group_cols=["lang"],
+    )
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -3969,6 +3986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "weighted_sample": q_weighted_sample,
         "cohort_retention": q_cohort_retention,
         "funnel": q_funnel,
         "expectations_summary": q_expectations_summary,
@@ -4612,6 +4630,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1
+        """,
+        "weighted_sample": """
+            -- identical A-ES priority: -ln((knuth(key)+0.5)/2^32)/w,
+            -- (priority, key) tie-break, row_number <= k per lang
+            WITH pri AS (
+                SELECT doc_id, lang, n_chars,
+                       -ln((((doc_id % 2147483648) * 2654435761)
+                             % 4294967296 + 0.5) / 4294967296.0)
+                           / CAST(n_chars AS DOUBLE) AS p
+                FROM documents
+            )
+            SELECT doc_id, lang, n_chars
+            FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (PARTITION BY lang ORDER BY p, doc_id) AS rn
+                FROM pri
+            )
+            WHERE rn <= 5
         """,
         "cohort_retention": """
             WITH ev AS (
