@@ -362,6 +362,47 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+def q_cdc_apply(spark, sf_dir):
+    """CDC changelog apply (L116): a minted I/U/D feed folded into
+    customer — %13 keys get two ordered updates (last wins), %29 keys a
+    later delete (shadowing any earlier update on overlap), %41 keys
+    mint inserts; the result is the next snapshot.  Oracle: window
+    winner + NOT EXISTS survival in SQL."""
+    from lmss_entity_extractor_spark.ops.cdc import apply_changelog
+
+    c = _t(spark, sf_dir, "customer")
+    u1 = c.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey", "c_name", "c_nationkey",
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        F.lit("CDC_V1").alias("c_mktsegment"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    u2 = c.filter(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey", "c_name", "c_nationkey",
+        (F.col("c_acctbal") + 2000.0).alias("c_acctbal"),
+        F.lit("CDC_V2").alias("c_mktsegment"),
+        F.lit("U").alias("op"), F.lit(2).alias("seq"),
+    )
+    d = c.filter(F.col("c_custkey") % 29 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit("D").alias("op"), F.lit(3).alias("seq"),
+    )
+    ins = c.filter(F.col("c_custkey") % 41 == 0).select(
+        (F.col("c_custkey") + 2000000).alias("c_custkey"),
+        F.concat(F.lit("cdc-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+    )
+    changes = u1.unionByName(u2).unionByName(d).unionByName(ins)
+    return apply_changelog(c, changes, ["c_custkey"], "seq")
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -3986,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "cdc_apply": q_cdc_apply,
         "weighted_sample": q_weighted_sample,
         "cohort_retention": q_cohort_retention,
         "funnel": q_funnel,
@@ -4630,6 +4672,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1
+        """,
+        "cdc_apply": """
+            WITH ch AS (
+                SELECT c_custkey AS k, c_name, c_nationkey,
+                       c_acctbal + 1000.0 AS c_acctbal,
+                       'CDC_V1' AS c_mktsegment, 'U' AS op, 1 AS seq
+                FROM customer WHERE c_custkey % 13 = 0
+                UNION ALL
+                SELECT c_custkey, c_name, c_nationkey, c_acctbal + 2000.0,
+                       'CDC_V2', 'U', 2
+                FROM customer WHERE c_custkey % 13 = 0
+                UNION ALL
+                SELECT c_custkey, NULL, NULL, NULL, NULL, 'D', 3
+                FROM customer WHERE c_custkey % 29 = 0
+                UNION ALL
+                SELECT c_custkey + 2000000, 'cdc-' || c_name, c_nationkey,
+                       0.0, 'NEW', 'I', 1
+                FROM customer WHERE c_custkey % 41 = 0
+            ),
+            win AS (
+                SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+                FROM ch
+            )
+            SELECT k AS c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM win WHERE rn = 1 AND op <> 'D'
+            UNION ALL
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM customer b
+            WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.k = b.c_custkey)
         """,
         "weighted_sample": """
             -- identical A-ES priority: -ln((knuth(key)+0.5)/2^32)/w,
