@@ -403,6 +403,16 @@ def q_cdc_apply(spark, sf_dir):
     return apply_changelog(c, changes, ["c_custkey"], "seq")
 
 
+def q_neighborhood_function(spark, sf_dir):
+    """HyperANF global distance profile (L117): N(t) = Σ_v |B(v,t)|
+    over the chain+ring graph, exact in the sparse regime, with the
+    fraction-of-final column the effective-diameter quantile reads.
+    Oracle: the BFS CTE summed per radius."""
+    from lmss_entity_extractor_spark.graph.hyperball import neighborhood_function
+
+    return neighborhood_function(_hyperball_edges(spark, sf_dir), max_t=3)
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -4027,6 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "neighborhood_function": q_neighborhood_function,
         "cdc_apply": q_cdc_apply,
         "weighted_sample": q_weighted_sample,
         "cohort_retention": q_cohort_retention,
@@ -4672,6 +4683,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1
+        """,
+        "neighborhood_function": """
+            WITH RECURSIVE e AS (
+                SELECT 'c:' || c_custkey AS src, 'n:' || c_nationkey AS dst
+                FROM customer WHERE c_custkey % 100 = 0
+                UNION ALL
+                SELECT 'c:' || a.c_custkey, 'c:' || b.c_custkey
+                FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 100
+                WHERE a.c_custkey % 100 = 0 AND b.c_custkey % 100 = 0
+                UNION ALL
+                SELECT 'n:' || n_nationkey, 'n:' || ((n_nationkey + 1) % 25)
+                FROM nation
+            ),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            reach(node, dest, d) AS (
+                SELECT node, node, 0 FROM nodes
+                UNION
+                SELECT r.node, e.dst, r.d + 1
+                FROM reach r JOIN e ON e.src = r.dest WHERE r.d < 3
+            ),
+            mind AS (SELECT node, dest, min(d) AS d FROM reach GROUP BY 1, 2),
+            nf AS (
+                SELECT g.t, count(*) AS n_pairs
+                FROM mind m CROSS JOIN (VALUES (0),(1),(2),(3)) g(t)
+                WHERE m.d <= g.t
+                GROUP BY g.t
+            )
+            SELECT t, n_pairs,
+                   round(n_pairs / (SELECT max(n_pairs) FROM nf), 6) AS frac
+            FROM nf
         """,
         "cdc_apply": """
             WITH ch AS (

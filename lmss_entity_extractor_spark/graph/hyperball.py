@@ -46,7 +46,7 @@ per-class mention counts (`app/main.py` stats).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _MAX_RADIUS = 64
 
@@ -125,3 +125,55 @@ def harmonic_centrality(edges: DataFrame, max_t: int, lg_k: int = 12) -> DataFra
         .groupBy("node")
         .agg(F.round(F.sum("c"), 6).alias("harmonic"))
     )
+
+
+def neighborhood_function(
+    edges: DataFrame, max_t: int, lg_k: int = 12
+) -> DataFrame:
+    """HyperANF's global distance profile (Boldi-Vigna-Rosa WWW'11):
+    ``(t, n_pairs, frac)`` where n_pairs = N(t) = Σ_v |B(v,t)| counts
+    reachable (source, dest) pairs within t hops and frac = N(t) /
+    N(max_t).  One combinable sum over the radius sweep — the graph's
+    distance distribution for the price of ``hyperball``."""
+    balls = hyperball(edges, max_t, lg_k=lg_k)
+    n = balls.groupBy("t").agg(F.sum("ball_est").alias("n_pairs"))
+    total = Window.partitionBy()
+    return n.select(
+        "t",
+        "n_pairs",
+        F.round(F.col("n_pairs") / F.max("n_pairs").over(total), 6).alias("frac"),
+    )
+
+
+def effective_diameter(
+    edges: DataFrame, max_t: int, q: float = 0.9, lg_k: int = 12
+) -> DataFrame:
+    """One-row ``(effective_diameter double)``: the smallest t where
+    N(t) >= q·N(max_t), linearly interpolated between the straddling
+    radii (the HyperANF convention).  ``max_t`` must exceed the true
+    diameter for the textbook definition (N(max_t) = N(∞)); with a
+    smaller horizon this is the q-quantile of the TRUNCATED profile
+    (documented, same stance as harmonic_centrality truncation)."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    nf = neighborhood_function(edges, max_t, lg_k=lg_k)
+    w = Window.partitionBy()
+    target = F.lit(q) * F.max("n_pairs").over(w)
+    lagw = Window.partitionBy().orderBy("t")
+    prev = F.lag("n_pairs").over(lagw)
+    # first t where N(t) >= target; interpolate inside the (t-1, t] step
+    hit = (
+        nf.select("t", "n_pairs", target.alias("target"), prev.alias("prev_pairs"))
+        .filter(F.col("n_pairs") >= F.col("target"))
+        .orderBy("t")
+        .limit(1)
+    )
+    interp = F.when(
+        F.col("prev_pairs").isNull() | (F.col("n_pairs") == F.col("prev_pairs")),
+        F.col("t").cast("double"),
+    ).otherwise(
+        F.col("t") - 1
+        + (F.col("target") - F.col("prev_pairs"))
+        / (F.col("n_pairs") - F.col("prev_pairs"))
+    )
+    return hit.select(F.round(interp, 6).alias("effective_diameter"))

@@ -80,3 +80,32 @@ class TestHarmonic:
     def test_truncation(self, spark, chain):
         got = {r["node"]: r["harmonic"] for r in harmonic_centrality(chain, 1).collect()}
         assert got["a"] == 1.0  # c, d beyond the horizon contribute 0
+
+
+class TestNeighborhoodFunction:
+    def test_chain_profile(self, spark, chain):
+        from lmss_entity_extractor_spark.graph.hyperball import neighborhood_function
+
+        got = {r["t"]: (r["n_pairs"], r["frac"]) for r in
+               neighborhood_function(chain, 3).collect()}
+        # chain a->b->c->d: N(0)=4, N(1)=4+3, N(2)=4+3+2, N(3)=4+3+2+1
+        assert got[0] == (4, pytest.approx(0.4, abs=1e-6))
+        assert got[1] == (7, pytest.approx(0.7, abs=1e-6))
+        assert got[2] == (9, pytest.approx(0.9, abs=1e-6))
+        assert got[3] == (10, 1.0)
+
+    def test_effective_diameter_interpolated(self, spark, chain):
+        from lmss_entity_extractor_spark.graph.hyperball import effective_diameter
+
+        # q=0.9 hits exactly at N(2)=9 -> boundary t where the target is met
+        d = effective_diameter(chain, 3, q=0.9).collect()[0]["effective_diameter"]
+        assert d == pytest.approx(2.0, abs=1e-6)
+        # q=0.95 -> target 9.5 sits halfway inside the (2, 3] step
+        d2 = effective_diameter(chain, 3, q=0.95).collect()[0]["effective_diameter"]
+        assert d2 == pytest.approx(2.5, abs=1e-6)
+
+    def test_effective_diameter_validation(self, spark, chain):
+        from lmss_entity_extractor_spark.graph.hyperball import effective_diameter
+
+        with pytest.raises(ValueError, match="q must be"):
+            effective_diameter(chain, 3, q=0.0)
