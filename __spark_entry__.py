@@ -413,6 +413,18 @@ def q_neighborhood_function(spark, sf_dir):
     return neighborhood_function(_hyperball_edges(spark, sf_dir), max_t=3)
 
 
+def q_textrank(spark, sf_dir):
+    """TextRank keywords (L118): PageRank over the window-2 word
+    co-occurrence graph of a documents slice, top-15 on the floor-1e6
+    grid with lexicographic tie-break.  Oracle: tokenization + pair
+    mint replicated relationally, the PageRank recurrence unrolled as
+    10 CTEs (the L28 discipline)."""
+    from lmss_entity_extractor_spark.ops.textrank import textrank_keywords
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return textrank_keywords(d, "text", k=15, window=2, n_iters=10)
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -4037,6 +4049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "textrank": q_textrank,
         "neighborhood_function": q_neighborhood_function,
         "cdc_apply": q_cdc_apply,
         "weighted_sample": q_weighted_sample,
@@ -4396,6 +4409,59 @@ def _semdedup_oracle_sql(threshold: str = "0.375", dim: int = 64) -> str:
                (d.vec_id IS NULL) AS keep
         FROM assigned s LEFT JOIN dropped d ON d.vec_id = s.vec_id
     """
+
+
+def _textrank_oracle_sql(n_iters: int = 10, k: int = 15) -> str:
+    """Tokenize + window-2 pair mint relationally, then the pagerank
+    recurrence unrolled (same iteration body as _pagerank_oracle_sql)."""
+    base = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> length(x) >= 2) AS t
+            FROM documents WHERE doc_id % 20 = 0
+        ),
+        pos AS (
+            SELECT doc_id, t[i] AS w, i
+            FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+        ),
+        und AS (
+            SELECT DISTINCT least(a.w, b.w) AS word_a,
+                            greatest(a.w, b.w) AS word_b
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id AND b.i - a.i IN (1, 2)
+            WHERE a.w <> b.w
+        ),
+        edges AS (
+            SELECT word_a AS src, word_b AS dst FROM und
+            UNION ALL
+            SELECT word_b, word_a FROM und
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY 1),
+        pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nc.n AS rank FROM nodes, nc)"""
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f""",
+        pr{i} AS (
+            SELECT n.node,
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nc.n
+                   + CAST(0.85 AS DOUBLE) * coalesce(s.inflow, CAST(0 AS DOUBLE)) AS rank
+            FROM nodes n CROSS JOIN nc
+            LEFT JOIN (
+                SELECT e.dst AS node, sum(p.rank / d.outdeg) AS inflow
+                FROM edges e
+                JOIN pr{i - 1} p ON p.node = e.src
+                JOIN deg d ON d.node = e.src
+                GROUP BY 1
+            ) s ON s.node = n.node
+        )""")
+    return base + "".join(iters) + f"""
+        SELECT node AS word, floor(rank * 1000000) / 1000000 AS rank6
+        FROM pr{n_iters}
+        ORDER BY rank6 DESC, word
+        LIMIT {k}"""
 
 
 def _pagerank_oracle_sql(n_iters: int = 10) -> str:
@@ -5671,6 +5737,7 @@ def oracle_sql() -> dict[str, str]:
             FROM closure GROUP BY 1
         """,
         "pagerank": _pagerank_oracle_sql(10),
+        "textrank": _textrank_oracle_sql(10, 15),
         "hits": _hits_oracle_sql(5),
         "kcore": _kcore_oracle_sql(3, 8),
         "ktruss": _ktruss_oracle_sql(4, 7),
