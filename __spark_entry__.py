@@ -425,6 +425,34 @@ def q_textrank(spark, sf_dir):
     return textrank_keywords(d, "text", k=15, window=2, n_iters=10)
 
 
+def q_schema_evolution(spark, sf_dir):
+    """Schema-drift union (L119): three customer 'generations' — gen 1
+    without balance/segment, gen 2 adds balance and carries a widened
+    nationkey, gen 3 adds segment — unioned under the evolved schema
+    (missing columns typed NULL, int→bigint widened, first-seen column
+    order).  Oracle: explicit UNION ALL with NULL/CAST arms."""
+    from lmss_entity_extractor_spark.ops.evolve import union_evolved
+
+    c = _t(spark, sf_dir, "customer")
+    g1 = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_name", F.col("c_nationkey").cast("int").alias("c_nationkey")
+    )
+    g2 = c.filter(F.col("c_custkey") % 3 == 1).select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        "c_acctbal",
+    )
+    g3 = c.filter(F.col("c_custkey") % 3 == 2).select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return union_evolved([g1, g2, g3])
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -4049,6 +4077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "schema_evolution": q_schema_evolution,
         "textrank": q_textrank,
         "neighborhood_function": q_neighborhood_function,
         "cdc_apply": q_cdc_apply,
@@ -4749,6 +4778,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1
+        """,
+        "schema_evolution": """
+            SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(NULL AS DOUBLE) AS c_acctbal,
+                   CAST(NULL AS VARCHAR) AS c_mktsegment
+            FROM customer WHERE c_custkey % 3 = 0
+            UNION ALL
+            SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT),
+                   c_acctbal, CAST(NULL AS VARCHAR)
+            FROM customer WHERE c_custkey % 3 = 1
+            UNION ALL
+            SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT),
+                   c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey % 3 = 2
         """,
         "neighborhood_function": """
             WITH RECURSIVE e AS (
