@@ -453,6 +453,36 @@ def q_schema_evolution(spark, sf_dir):
     return union_evolved([g1, g2, g3])
 
 
+def q_cms_estimate(spark, sf_dir):
+    """Count-min sketch (L120): per-returnflag part-frequency sketches
+    over lineitem (depth 4 × width 2048), probed for the %50 part keys
+    and published next to the exact count (est >= true always; equal
+    when the probed cells are collision-free).  The sketch hashing is
+    exact integer arithmetic, so the oracle recomputes the IDENTICAL
+    cells, estimates, and margins in SQL — cell-level value parity, not
+    a tolerance flag."""
+    from lmss_entity_extractor_spark.ops.cms import cms_build, cms_estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = cms_build(li, ["l_returnflag"], "l_partkey", depth=4, width=2048)
+    probes = li.filter(F.col("l_partkey") % 50 == 0).select(
+        "l_returnflag", "l_partkey"
+    )
+    est = cms_estimate(sk, probes, ["l_returnflag"], "l_partkey", depth=4, width=2048)
+    true = (
+        li.filter(F.col("l_partkey") % 50 == 0)
+        .groupBy("l_returnflag", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt_true"))
+    )
+    return est.join(true, ["l_returnflag", "l_partkey"]).select(
+        "l_returnflag",
+        "l_partkey",
+        "est",
+        "cnt_true",
+        (F.col("est") - F.col("cnt_true")).alias("over_by"),
+    )
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -4077,6 +4107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "cms_estimate": q_cms_estimate,
         "schema_evolution": q_schema_evolution,
         "textrank": q_textrank,
         "neighborhood_function": q_neighborhood_function,
@@ -4438,6 +4469,48 @@ def _semdedup_oracle_sql(threshold: str = "0.375", dim: int = 64) -> str:
                (d.vec_id IS NULL) AS keep
         FROM assigned s LEFT JOIN dropped d ON d.vec_id = s.vec_id
     """
+
+
+def _cms_oracle_sql(depth: int = 4, width: int = 2048) -> str:
+    """The CMS build/probe recomputed cell-for-cell: same integer hash
+    constants (generated from the same Python definitions as ops/cms)."""
+    p = 2147483647
+    rows = ", ".join(
+        f"({r}, {(2654435761 + r * 40503) % p}, {(97 + r * 1009) % p})"
+        for r in range(depth)
+    )
+    return f"""
+        WITH rs(r, a, b) AS (VALUES {rows}),
+        src AS (
+            SELECT l_returnflag AS g, l_partkey AS x
+            FROM lineitem WHERE l_partkey IS NOT NULL
+        ),
+        sketch AS (
+            SELECT g, r, ((a * (x % {p}) + b) % {p}) % {width} AS c,
+                   count(*) AS cnt
+            FROM src CROSS JOIN rs
+            GROUP BY 1, 2, 3
+        ),
+        probes AS (
+            SELECT DISTINCT l_returnflag AS g, l_partkey AS x
+            FROM lineitem WHERE l_partkey % 50 = 0
+        ),
+        est AS (
+            SELECT p.g, p.x, min(coalesce(s.cnt, 0)) AS est
+            FROM probes p CROSS JOIN rs
+            LEFT JOIN sketch s
+              ON s.g = p.g AND s.r = rs.r
+             AND s.c = ((rs.a * (p.x % {p}) + rs.b) % {p}) % {width}
+            GROUP BY 1, 2
+        ),
+        truec AS (
+            SELECT l_returnflag AS g, l_partkey AS x, count(*) AS cnt_true
+            FROM lineitem WHERE l_partkey % 50 = 0
+            GROUP BY 1, 2
+        )
+        SELECT e.g AS l_returnflag, e.x AS l_partkey, e.est,
+               t.cnt_true, e.est - t.cnt_true AS over_by
+        FROM est e JOIN truec t ON t.g = e.g AND t.x = e.x"""
 
 
 def _textrank_oracle_sql(n_iters: int = 10, k: int = 15) -> str:
@@ -5781,6 +5854,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle_sql(10),
         "textrank": _textrank_oracle_sql(10, 15),
+        "cms_estimate": _cms_oracle_sql(4, 2048),
         "hits": _hits_oracle_sql(5),
         "kcore": _kcore_oracle_sql(3, 8),
         "ktruss": _ktruss_oracle_sql(4, 7),
