@@ -483,6 +483,35 @@ def q_cms_estimate(spark, sf_dir):
     )
 
 
+def q_zone_pruned_read(spark, sf_dir):
+    """Zone-map data skipping (L121): orders written range-clustered on
+    o_orderkey with a per-file min/max manifest, then a range read that
+    opens ONLY the overlapping files (pruning asserted — the plan must
+    touch a strict subset).  Result is exact, so the oracle is the
+    plain BETWEEN scan."""
+    import tempfile
+
+    from lmss_entity_extractor_spark.ops.zonemap import (
+        prune_files,
+        read_zone_pruned,
+        write_with_zonemap,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="lmss_zonemap_q_")
+    path = f"{tmp}/orders_zoned"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_with_zonemap(o, path, "o_orderkey", n_files=10)
+    lo, hi = 2000, 5999
+    keep, total = prune_files(path, lo, hi)
+    if not len(keep) < total:
+        raise AssertionError(
+            f"zone map failed to prune: {len(keep)}/{total} files for [{lo},{hi}]"
+        )
+    return read_zone_pruned(spark, path, lo, hi)
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -4107,6 +4136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "zone_pruned_read": q_zone_pruned_read,
         "cms_estimate": q_cms_estimate,
         "schema_evolution": q_schema_evolution,
         "textrank": q_textrank,
@@ -5855,6 +5885,11 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle_sql(10),
         "textrank": _textrank_oracle_sql(10, 15),
         "cms_estimate": _cms_oracle_sql(4, 2048),
+        "zone_pruned_read": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_orderkey BETWEEN 2000 AND 5999
+        """,
         "hits": _hits_oracle_sql(5),
         "kcore": _kcore_oracle_sql(3, 8),
         "ktruss": _ktruss_oracle_sql(4, 7),
