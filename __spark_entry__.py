@@ -512,6 +512,27 @@ def q_zone_pruned_read(spark, sf_dir):
     return read_zone_pruned(spark, path, lo, hi)
 
 
+def q_curate_sampled(spark, sf_dir):
+    """Composed curation v2 (L113 × L115): documents gated by a
+    declarative expectation list (quarantine keeps only clean rows),
+    then a weighted per-language sample (odds ∝ n_chars) — the
+    training-mixture construction step after quality control, one lazy
+    plan.  Oracle: the rule predicates + the A-ES formula composed in
+    SQL."""
+    from lmss_entity_extractor_spark.ops.expectations import quarantine
+    from lmss_entity_extractor_spark.ops.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        ("not_null", "text"),
+        ("in_range", "n_chars", 60, 520),
+        ("in_set", "lang", ["en", "es", "de", "fr"]),
+    ]
+    clean, _ = quarantine(docs, rules)
+    samp = weighted_sample(clean, "doc_id", "n_chars", 6, group_cols=["lang"])
+    return samp.select("doc_id", "lang", "n_chars")
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -4136,6 +4157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "curate_sampled": q_curate_sampled,
         "zone_pruned_read": q_zone_pruned_read,
         "cms_estimate": q_cms_estimate,
         "schema_evolution": q_schema_evolution,
@@ -5889,6 +5911,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders
             WHERE o_orderkey BETWEEN 2000 AND 5999
+        """,
+        "curate_sampled": """
+            -- expectation predicates then the A-ES sample, composed
+            WITH clean AS (
+                SELECT doc_id, lang, n_chars
+                FROM documents
+                WHERE text IS NOT NULL
+                  AND (n_chars IS NULL OR n_chars BETWEEN 60 AND 520)
+                  AND (lang IS NULL OR lang IN ('en', 'es', 'de', 'fr'))
+            ),
+            pri AS (
+                SELECT doc_id, lang, n_chars,
+                       -ln((((doc_id % 2147483648) * 2654435761)
+                             % 4294967296 + 0.5) / 4294967296.0)
+                           / CAST(n_chars AS DOUBLE) AS p
+                FROM clean
+            )
+            SELECT doc_id, lang, n_chars
+            FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (PARTITION BY lang ORDER BY p, doc_id) AS rn
+                FROM pri
+            )
+            WHERE rn <= 6
         """,
         "hits": _hits_oracle_sql(5),
         "kcore": _kcore_oracle_sql(3, 8),
