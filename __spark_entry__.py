@@ -533,6 +533,41 @@ def q_curate_sampled(spark, sf_dir):
     return samp.select("doc_id", "lang", "n_chars")
 
 
+def q_golden_records(spark, sf_dir):
+    """Golden-record survivorship (L122): three minted observation
+    versions per %11 customer collapse to one canonical record —
+    latest-non-null name (v3's null must NOT erase v2), max balance,
+    majority segment (2-of-3 beats v2's GOLD).  Oracle: ordered
+    list-agg / counts-CTE twins of the same elections."""
+    from lmss_entity_extractor_spark.ops.survivorship import golden_records
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 11 == 0)
+    v1 = c.select(
+        F.col("c_custkey").alias("cid"), F.lit(1).alias("ts"),
+        F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    v2 = c.select(
+        F.col("c_custkey").alias("cid"), F.lit(2).alias("ts"),
+        F.upper("c_name").alias("name"),
+        (F.col("c_acctbal") + 500.0).alias("bal"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("GOLD"))
+        .otherwise(F.col("c_mktsegment")).alias("seg"),
+    )
+    v3 = c.select(
+        F.col("c_custkey").alias("cid"), F.lit(3).alias("ts"),
+        F.lit(None).cast("string").alias("name"),
+        (F.col("c_acctbal") - 100.0).alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    obs = v1.unionByName(v2).unionByName(v3)
+    return golden_records(
+        obs,
+        "cid",
+        [("latest", "name", "ts"), ("max", "bal"), ("majority", "seg")],
+    )
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -4157,6 +4192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "golden_records": q_golden_records,
         "curate_sampled": q_curate_sampled,
         "zone_pruned_read": q_zone_pruned_read,
         "cms_estimate": q_cms_estimate,
@@ -5911,6 +5947,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders
             WHERE o_orderkey BETWEEN 2000 AND 5999
+        """,
+        "golden_records": """
+            WITH obs AS (
+                SELECT c_custkey AS cid, 1 AS ts, c_name AS name,
+                       c_acctbal AS bal, c_mktsegment AS seg
+                FROM customer WHERE c_custkey % 11 = 0
+                UNION ALL
+                SELECT c_custkey, 2, upper(c_name), c_acctbal + 500.0,
+                       CASE WHEN c_custkey % 2 = 0 THEN 'GOLD'
+                            ELSE c_mktsegment END
+                FROM customer WHERE c_custkey % 11 = 0
+                UNION ALL
+                SELECT c_custkey, 3, NULL, c_acctbal - 100.0, c_mktsegment
+                FROM customer WHERE c_custkey % 11 = 0
+            ),
+            latest AS (
+                SELECT cid, count(*) AS n_members,
+                       (list(name ORDER BY ts DESC, name DESC)
+                            FILTER (WHERE name IS NOT NULL))[1] AS name,
+                       max(bal) AS bal
+                FROM obs GROUP BY cid
+            ),
+            segc AS (
+                SELECT cid, seg, count(*) AS n
+                FROM obs WHERE seg IS NOT NULL GROUP BY 1, 2
+            ),
+            maj AS (
+                SELECT cid, (list(seg ORDER BY n DESC, seg ASC))[1] AS seg
+                FROM segc GROUP BY cid
+            )
+            SELECT l.cid, l.n_members, l.name, l.bal, m.seg
+            FROM latest l LEFT JOIN maj m USING (cid)
         """,
         "curate_sampled": """
             -- expectation predicates then the A-ES sample, composed
