@@ -568,6 +568,33 @@ def q_golden_records(spark, sf_dir):
     )
 
 
+def q_attribution(spark, sf_dir):
+    """Last-touch attribution (L123, an L10 as-of composition): every
+    purchase event attributes its value to the user's latest click at
+    or before the purchase (none → NULL = organic).  One as-of sweep —
+    no per-purchase scan.  Oracle: correlated latest-click subquery."""
+    from lmss_entity_extractor_spark.ops.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts_col="ts",
+        right_cols=["click_id"],
+        tie_col="click_id",
+    )
+    return out.select(
+        "event_id", "user_id", "value", F.col("asof_click_id").alias("touch_id")
+    )
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -4192,6 +4219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "attribution": q_attribution,
         "golden_records": q_golden_records,
         "curate_sampled": q_curate_sampled,
         "zone_pruned_read": q_zone_pruned_read,
@@ -5947,6 +5975,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders
             WHERE o_orderkey BETWEEN 2000 AND 5999
+        """,
+        "attribution": """
+            WITH p AS (
+                SELECT event_id, user_id, ts, value
+                FROM events WHERE event_type = 'purchase'
+            ),
+            c AS (
+                SELECT event_id AS click_id, user_id, ts
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT p.event_id, p.user_id, p.value,
+                   (SELECT c.click_id FROM c
+                    WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                    ORDER BY c.ts DESC, c.click_id DESC LIMIT 1) AS touch_id
+            FROM p
         """,
         "golden_records": """
             WITH obs AS (
