@@ -595,6 +595,30 @@ def q_attribution(spark, sf_dir):
     )
 
 
+def q_equidepth_bins(spark, sf_dir):
+    """Equi-depth binning (L124): 8 exact quantile buckets fit on
+    o_totalprice (percentile_disc — verified to agree with DuckDB's
+    quantile_disc), frozen boundaries applied back, per-bucket count
+    and range published.  Oracle: the same discrete quantiles + the
+    same strictly-below counting rule."""
+    from lmss_entity_extractor_spark.ops.binning import (
+        apply_bins,
+        fit_equidepth_bins,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    bounds = fit_equidepth_bins(o, "o_totalprice", 8)
+    return (
+        apply_bins(o.filter(F.col("o_totalprice").isNotNull()), "o_totalprice", bounds)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -4219,6 +4243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "equidepth_bins": q_equidepth_bins,
         "attribution": q_attribution,
         "golden_records": q_golden_records,
         "curate_sampled": q_curate_sampled,
@@ -5975,6 +6000,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders
             WHERE o_orderkey BETWEEN 2000 AND 5999
+        """,
+        "equidepth_bins": """
+            WITH bl AS (
+                SELECT quantile_disc(o_totalprice,
+                    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+                FROM orders WHERE o_totalprice IS NOT NULL
+            ),
+            assigned AS (
+                SELECT o_totalprice AS v,
+                       CAST(len(list_filter((SELECT bs FROM bl),
+                                            x -> v > x)) AS INT) AS bucket
+                FROM orders WHERE o_totalprice IS NOT NULL
+            )
+            SELECT bucket, count(*) AS n, min(v) AS lo, max(v) AS hi
+            FROM assigned GROUP BY bucket
         """,
         "attribution": """
             WITH p AS (
