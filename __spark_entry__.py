@@ -619,6 +619,29 @@ def q_equidepth_bins(spark, sf_dir):
     )
 
 
+def q_cms_join_size(spark, sf_dir):
+    """CMS join-cardinality estimate (L125): |lineitem ⋈ orders| on
+    orderkey predicted from two KB-sized sketches (min-of-inner-
+    products, est >= true always), published next to the exact join
+    count.  Deterministic integer arithmetic end-to-end, so the oracle
+    recomputes sketches, estimate, and margin cell-for-cell."""
+    from lmss_entity_extractor_spark.ops.cms import cms_build, cms_join_size
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ska = cms_build(li, [], "l_orderkey", depth=4, width=4096)
+    skb = cms_build(o, [], "o_orderkey", depth=4, width=4096)
+    est = cms_join_size(ska, skb, depth=4)
+    true = li.join(
+        o, li.l_orderkey == o.o_orderkey
+    ).agg(F.count(F.lit(1)).alias("true_size"))
+    return est.crossJoin(true).select(
+        "join_size_est",
+        "true_size",
+        (F.col("join_size_est") - F.col("true_size")).alias("over_by"),
+    )
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -4243,6 +4266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "cms_join_size": q_cms_join_size,
         "equidepth_bins": q_equidepth_bins,
         "attribution": q_attribution,
         "golden_records": q_golden_records,
@@ -4652,6 +4676,45 @@ def _cms_oracle_sql(depth: int = 4, width: int = 2048) -> str:
         SELECT e.g AS l_returnflag, e.x AS l_partkey, e.est,
                t.cnt_true, e.est - t.cnt_true AS over_by
         FROM est e JOIN truec t ON t.g = e.g AND t.x = e.x"""
+
+
+def _cms_join_oracle_sql(depth: int = 4, width: int = 4096) -> str:
+    """Both sketches + the min-of-inner-products estimate recomputed."""
+    p = 2147483647
+    rows = ", ".join(
+        f"({r}, {(2654435761 + r * 40503) % p}, {(97 + r * 1009) % p})"
+        for r in range(depth)
+    )
+    return f"""
+        WITH rs(r, a, b) AS (VALUES {rows}),
+        ska AS (
+            SELECT r, ((a * (l_orderkey % {p}) + b) % {p}) % {width} AS c,
+                   count(*) AS cnt
+            FROM lineitem CROSS JOIN rs
+            WHERE l_orderkey IS NOT NULL GROUP BY 1, 2
+        ),
+        skb AS (
+            SELECT r, ((a * (o_orderkey % {p}) + b) % {p}) % {width} AS c,
+                   count(*) AS cnt
+            FROM orders CROSS JOIN rs
+            WHERE o_orderkey IS NOT NULL GROUP BY 1, 2
+        ),
+        ip AS (
+            SELECT rs.r,
+                   CAST(coalesce(sum(ska.cnt * skb.cnt), 0) AS BIGINT) AS ip
+            FROM rs
+            LEFT JOIN ska ON ska.r = rs.r
+            LEFT JOIN skb ON skb.r = ska.r AND skb.c = ska.c
+            GROUP BY rs.r
+        ),
+        est AS (SELECT min(ip) AS join_size_est FROM ip),
+        truec AS (
+            SELECT count(*) AS true_size
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT join_size_est, true_size,
+               join_size_est - true_size AS over_by
+        FROM est CROSS JOIN truec"""
 
 
 def _textrank_oracle_sql(n_iters: int = 10, k: int = 15) -> str:
@@ -5996,6 +6059,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle_sql(10),
         "textrank": _textrank_oracle_sql(10, 15),
         "cms_estimate": _cms_oracle_sql(4, 2048),
+        "cms_join_size": _cms_join_oracle_sql(4, 4096),
         "zone_pruned_read": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders

@@ -140,3 +140,40 @@ def cms_estimate(
         *group_cols, item_col, "r", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
     return joined.groupBy(*group_cols, item_col).agg(F.min("cnt").alias("est"))
+
+
+def cms_join_size(
+    sk_a: DataFrame,
+    sk_b: DataFrame,
+    depth: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-join cardinality estimate from two sketches built on the
+    JOIN KEY with the same (depth, width): ``min_r Σ_c cntA(r,c) ·
+    cntB(r,c)`` (the AMS/CMS inner-product estimator, Cormode &
+    Muthukrishnan §4.2) — est >= |A ⋈ B| always (collision cross-terms
+    only add), within eps·|A|·|B| w.h.p.  The planner's question
+    ("how big is this join") answered from KB-sized summaries without
+    touching either table.
+
+    Rows of the depth grid with no common cells contribute a true 0
+    (disjoint key sets) — filled explicitly so the min sees them.
+    """
+    _check(depth, 2)
+    g = list(group_cols or [])
+    a = sk_a.select(*g, "r", "c", F.col("cnt").alias("cnt_a"))
+    b = sk_b.select(*g, "r", "c", F.col("cnt").alias("cnt_b"))
+    ip = (
+        a.join(b, [*g, "r", "c"])
+        .groupBy(*g, "r")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
+    )
+    spark = sk_a.sparkSession
+    grid = spark.range(0, depth).select(F.col("id").cast("int").alias("r"))
+    if g:
+        groups = sk_a.select(*g).distinct()
+        grid = groups.crossJoin(grid)
+    filled = grid.join(ip, [*g, "r"], "left").select(
+        *g, "r", F.coalesce("ip", F.lit(0)).alias("ip")
+    )
+    return filled.groupBy(*g).agg(F.min("ip").alias("join_size_est"))

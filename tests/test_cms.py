@@ -73,3 +73,38 @@ class TestCms:
             cms_build(items, ["g"], "nope")
         with pytest.raises(ValueError, match="at least one"):
             cms_merge([], ["g"])
+
+
+class TestJoinSize:
+    def test_exact_when_wide_and_clean(self, spark):
+        from lmss_entity_extractor_spark.ops.cms import cms_join_size
+
+        a = spark.createDataFrame([("g", k) for k in [1, 1, 2, 3]], "g string, item long")
+        b = spark.createDataFrame([("g", k) for k in [1, 2, 2, 9]], "g string, item long")
+        ska = cms_build(a, ["g"], "item", depth=4, width=4096)
+        skb = cms_build(b, ["g"], "item", depth=4, width=4096)
+        est = cms_join_size(ska, skb, depth=4, group_cols=["g"]).collect()[0]
+        # true join size: key1 2x1 + key2 1x2 = 4
+        assert est["join_size_est"] == 4
+
+    def test_disjoint_keys_estimate_zero(self, spark):
+        from lmss_entity_extractor_spark.ops.cms import cms_join_size
+
+        a = spark.createDataFrame([("g", 1)], "g string, item long")
+        b = spark.createDataFrame([("g", 2)], "g string, item long")
+        ska = cms_build(a, ["g"], "item", depth=4, width=4096)
+        skb = cms_build(b, ["g"], "item", depth=4, width=4096)
+        assert cms_join_size(ska, skb, 4, ["g"]).collect()[0]["join_size_est"] == 0
+
+    def test_never_underestimates_when_narrow(self, spark):
+        from lmss_entity_extractor_spark.ops.cms import cms_join_size
+
+        rows_a = [("g", i % 13) for i in range(200)]
+        rows_b = [("g", i % 9) for i in range(150)]
+        a = spark.createDataFrame(rows_a, "g string, item long")
+        b = spark.createDataFrame(rows_b, "g string, item long")
+        true = a.join(b, ["g", "item"]).count()
+        ska = cms_build(a, ["g"], "item", depth=3, width=8)
+        skb = cms_build(b, ["g"], "item", depth=3, width=8)
+        est = cms_join_size(ska, skb, 3, ["g"]).collect()[0]["join_size_est"]
+        assert est >= true
