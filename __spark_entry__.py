@@ -642,6 +642,57 @@ def q_cms_join_size(spark, sf_dir):
     )
 
 
+def q_distinct_overlap(spark, sf_dir):
+    """HLL set algebra (L126): per region, how many distinct customers
+    are shared between the positive-balance segment and the has-orders
+    segment — estimated from two persisted sketch tables (union via
+    hll_union, intersection by inclusion-exclusion), never rescanning
+    the base.  Oracle: exact distinct counts + tolerance flags (the
+    L109 stance — inclusion-exclusion error is bounded relative to the
+    UNION, so the flag budget is 5% of it, floor 3)."""
+    from lmss_entity_extractor_spark.ops.sketches import (
+        build_distinct_sketches,
+        distinct_overlap_estimate,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    o = _t(spark, sf_dir, "orders")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    seg_a = cn.filter(F.col("c_acctbal") > 0).select("r_name", "c_custkey")
+    seg_b = cn.join(o, cn.c_custkey == o.o_custkey).select("r_name", "c_custkey")
+    ska = build_distinct_sketches(seg_a, ["r_name"], "c_custkey")
+    skb = build_distinct_sketches(seg_b, ["r_name"], "c_custkey")
+    est = distinct_overlap_estimate(ska, skb, ["r_name"])
+
+    ex_a = seg_a.groupBy("r_name").agg(F.count_distinct("c_custkey").alias("exact_a"))
+    ex_b = seg_b.groupBy("r_name").agg(F.count_distinct("c_custkey").alias("exact_b"))
+    ex_i = (
+        seg_a.join(seg_b.select("r_name", "c_custkey").distinct(), ["r_name", "c_custkey"])
+        .groupBy("r_name")
+        .agg(F.count_distinct("c_custkey").alias("exact_i"))
+    )
+    ex_u = (
+        seg_a.unionByName(seg_b)
+        .groupBy("r_name")
+        .agg(F.count_distinct("c_custkey").alias("exact_u"))
+    )
+    j = est.join(ex_a, "r_name").join(ex_b, "r_name").join(ex_i, "r_name").join(ex_u, "r_name")
+    budget = F.greatest(F.lit(3.0), F.col("exact_u") * 0.05)
+    return j.select(
+        "r_name",
+        "exact_a",
+        "exact_b",
+        "exact_i",
+        (F.abs(F.col("n_a") - F.col("exact_a")) <= budget).alias("ok_a"),
+        (F.abs(F.col("n_b") - F.col("exact_b")) <= budget).alias("ok_b"),
+        (F.abs(F.col("n_intersect") - F.col("exact_i")) <= budget).alias("ok_i"),
+    )
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -4266,6 +4317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "distinct_overlap": q_distinct_overlap,
         "cms_join_size": q_cms_join_size,
         "equidepth_bins": q_equidepth_bins,
         "attribution": q_attribution,
@@ -6060,6 +6112,31 @@ def oracle_sql() -> dict[str, str]:
         "textrank": _textrank_oracle_sql(10, 15),
         "cms_estimate": _cms_oracle_sql(4, 2048),
         "cms_join_size": _cms_join_oracle_sql(4, 4096),
+        "distinct_overlap": """
+            -- exact sides recomputed; sketch estimates asserted via
+            -- tolerance flags (the L109 pattern)
+            WITH cn AS (
+                SELECT r_name, c_custkey, c_acctbal
+                FROM customer
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+            ),
+            a AS (SELECT DISTINCT r_name, c_custkey FROM cn WHERE c_acctbal > 0),
+            b AS (
+                SELECT DISTINCT r_name, c_custkey
+                FROM cn JOIN orders ON c_custkey = o_custkey
+            )
+            SELECT a.r_name,
+                   count(DISTINCT a.c_custkey) AS exact_a,
+                   (SELECT count(*) FROM b WHERE b.r_name = a.r_name) AS exact_b,
+                   count(DISTINCT CASE WHEN EXISTS (
+                       SELECT 1 FROM b WHERE b.r_name = a.r_name
+                         AND b.c_custkey = a.c_custkey)
+                       THEN a.c_custkey END) AS exact_i,
+                   TRUE AS ok_a, TRUE AS ok_b, TRUE AS ok_i
+            FROM a
+            GROUP BY a.r_name
+        """,
         "zone_pruned_read": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders

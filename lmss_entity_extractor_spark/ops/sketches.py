@@ -72,3 +72,49 @@ def rollup_distinct_estimate(
             "distinct_est"
         ),
     )
+
+
+def distinct_overlap_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    join_cols: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Set-operation estimates from PERSISTED distinct sketches (L126):
+    per joined group, ``(n_a, n_b, n_union, n_intersect, jaccard)`` —
+    union via register-max ``hll_union``, intersection by inclusion-
+    exclusion (|A∩B| = |A| + |B| − |A∪B|, clamped at 0), Jaccard from
+    the two.  The question "how many users/documents do these two
+    segments share" answered WITHOUT rescanning either base table —
+    the rollup story of ``rollup_distinct_estimate`` extended to set
+    algebra.
+
+    Honesty: inclusion-exclusion SUBTRACTS estimates, so the relative
+    error on a small intersection of two large sets blows up (absolute
+    error stays ~2%·|A∪B| at lg_k=12; exact in the sparse regime) —
+    same tolerance-flag stance as the L109 rollup, pinned by the
+    contract query.  Inner join on ``join_cols``: groups present on
+    only one side have no defined overlap.
+    """
+    for c in list(join_cols) + [sketch_col]:
+        if c not in a.columns:
+            raise ValueError(f"column {c!r} not in left sketches")
+        if c not in b.columns:
+            raise ValueError(f"column {c!r} not in right sketches")
+    sa = a.select(*join_cols, F.col(sketch_col).alias("__sa"))
+    sb = b.select(*join_cols, F.col(sketch_col).alias("__sb"))
+    j = sa.join(sb, join_cols)
+    n_a = F.expr("round(hll_sketch_estimate(__sa))").cast("long")
+    n_b = F.expr("round(hll_sketch_estimate(__sb))").cast("long")
+    n_u = F.expr("round(hll_sketch_estimate(hll_union(__sa, __sb)))").cast("long")
+    n_i = F.greatest(n_a + n_b - n_u, F.lit(0).cast("long"))
+    return j.select(
+        *join_cols,
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        n_u.alias("n_union"),
+        n_i.alias("n_intersect"),
+        F.round(
+            F.when(n_u == 0, F.lit(0.0)).otherwise(n_i / n_u), 6
+        ).alias("jaccard"),
+    )

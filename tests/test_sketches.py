@@ -93,3 +93,51 @@ class TestDistinctSketches:
             build_distinct_sketches(src, ["region"], "nope")
         with pytest.raises(ValueError, match="not in DataFrame"):
             rollup_distinct_estimate(src, ["region"], sketch_col="sketch")
+
+
+class TestOverlapEstimate:
+    def test_sparse_regime_exact(self, spark):
+        from lmss_entity_extractor_spark.ops.sketches import (
+            build_distinct_sketches,
+            distinct_overlap_estimate,
+        )
+        from pyspark.sql import functions as F
+
+        # A = {0..199}, B = {100..299} per one group: overlap 100
+        a = spark.range(0, 200).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+        b = spark.range(100, 300).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+        ska = build_distinct_sketches(a, ["g"], "v")
+        skb = build_distinct_sketches(b, ["g"], "v")
+        got = distinct_overlap_estimate(ska, skb, ["g"]).collect()[0]
+        assert (got["n_a"], got["n_b"], got["n_union"], got["n_intersect"]) == (
+            200, 200, 300, 100
+        )
+        assert got["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+
+    def test_disjoint_clamps_at_zero(self, spark):
+        from lmss_entity_extractor_spark.ops.sketches import (
+            build_distinct_sketches,
+            distinct_overlap_estimate,
+        )
+        from pyspark.sql import functions as F
+
+        a = spark.range(0, 50).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+        b = spark.range(1000, 1050).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+        got = distinct_overlap_estimate(
+            build_distinct_sketches(a, ["g"], "v"),
+            build_distinct_sketches(b, ["g"], "v"),
+            ["g"],
+        ).collect()[0]
+        assert got["n_intersect"] == 0 and got["jaccard"] == 0.0
+
+    def test_validation(self, spark):
+        from lmss_entity_extractor_spark.ops.sketches import (
+            build_distinct_sketches,
+            distinct_overlap_estimate,
+        )
+        from pyspark.sql import functions as F
+
+        a = spark.range(5).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+        sk = build_distinct_sketches(a, ["g"], "v")
+        with pytest.raises(ValueError, match="not in right"):
+            distinct_overlap_estimate(sk, sk.withColumnRenamed("sketch", "s2"), ["g"])
