@@ -301,3 +301,112 @@ def test_star_components_match_union_find_model(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.component for r in connected_components_star(df).collect()}
     assert got == want
+
+
+# ---- round-4 additions: pure-Python twins of new-operator invariants ----
+
+
+def _bin_of(v, bounds):
+    """Python twin of ops/binning.bin_expr: boundaries strictly below."""
+    return sum(1 for b in bounds if v > b)
+
+
+@SETTINGS
+@given(
+    st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=50),
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=8, unique=True
+    ),
+)
+def test_bin_assignment_monotone_and_total(values, raw_bounds):
+    bounds = sorted(raw_bounds)
+    got = [_bin_of(v, bounds) for v in values]
+    # totality: every value lands in [0, len(bounds)]
+    assert all(0 <= g <= len(bounds) for g in got)
+    # monotonicity: larger value -> same or larger bucket
+    pairs = sorted(zip(values, got))
+    for (v1, g1), (v2, g2) in zip(pairs, pairs[1:]):
+        assert g1 <= g2
+    # boundary values are right-inclusive: v == bound stays below it
+    for b in bounds:
+        assert _bin_of(b, bounds) == bounds.index(b)
+
+
+def _cms_cells(x, depth, width):
+    """Python twin of ops/cms._cell."""
+    p = 2147483647
+    out = []
+    for r in range(depth):
+        a = (2654435761 + r * 40503) % p
+        b = (97 + r * 1009) % p
+        out.append(((a * (x % p) + b) % p) % width)
+    return out
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=120),
+    st.integers(0, 10_000),
+)
+def test_cms_model_never_underestimates(items, probe):
+    depth, width = 3, 16
+    cells = {}
+    for x in items:
+        for r, c in enumerate(_cms_cells(x, depth, width)):
+            cells[(r, c)] = cells.get((r, c), 0) + 1
+    est = min(cells.get((r, c), 0) for r, c in enumerate(_cms_cells(probe, depth, width)))
+    assert est >= items.count(probe)
+
+
+def _apply_changelog_model(base, changes):
+    """Python twin of ops/cdc.apply_changelog (unique (k, seq) input)."""
+    latest = {}
+    for k, v, op, seq in changes:
+        if k not in latest or seq > latest[k][2]:
+            latest[k] = (v, op, seq)
+    out = dict(base)
+    for k, (v, op, _) in latest.items():
+        if op == "D":
+            out.pop(k, None)
+        else:
+            out[k] = v
+    return out
+
+
+@st.composite
+def changelogs(draw):
+    keys = st.integers(0, 8)
+    base = {k: draw(st.integers(0, 99)) for k in draw(st.lists(keys, unique=True, max_size=6))}
+    n = draw(st.integers(0, 10))
+    seen = set()
+    changes = []
+    for _ in range(n):
+        k = draw(keys)
+        seq = draw(st.integers(0, 5))
+        if (k, seq) in seen:
+            continue
+        seen.add((k, seq))
+        changes.append((k, draw(st.integers(0, 99)), draw(st.sampled_from(["I", "U", "D"])), seq))
+    return base, changes
+
+
+@SETTINGS
+@given(changelogs())
+def test_cdc_model_fold_invariants(data):
+    base, changes = data
+    out = _apply_changelog_model(base, changes)
+    changed = {k for k, *_ in changes}
+    # untouched keys survive verbatim
+    for k, v in base.items():
+        if k not in changed:
+            assert out[k] == v
+    # per-key result depends only on that key's highest-seq change
+    for k in changed:
+        its = [c for c in changes if c[0] == k]
+        winner = max(its, key=lambda c: c[3])
+        if winner[2] == "D":
+            assert k not in out
+        else:
+            assert out[k] == winner[1]
+    # idempotent replay: applying the same changelog again is a no-op
+    assert _apply_changelog_model(out, changes) == out
