@@ -106,11 +106,17 @@ def bloom_might_contain(
     set.  NULL keys test false (they cannot equi-join)."""
     num_bits = len(bloom_words) * 64
     arr = F.lit(bloom_words)
-    cond = key.isNotNull()
-    for pos in _positions(key, num_bits, num_hashes):
-        word = F.element_at(arr, (pos / 64).cast("int") + 1)
-        cond = cond & (F.getbit(word, F.pmod(pos, F.lit(64))) == 1)
-    return cond
+    positions = F.array(*_positions(key, num_bits, num_hashes))
+    # one transform over the positions array so the (large) word-array
+    # literal is embedded in the plan ONCE, not once per hash
+    bits = F.transform(
+        positions,
+        lambda pos: F.getbit(
+            F.element_at(arr, (pos / 64).cast("int") + 1), F.pmod(pos, F.lit(64))
+        )
+        == 1,
+    )
+    return key.isNotNull() & F.forall(bits, lambda b: b)
 
 
 def bloom_probe(

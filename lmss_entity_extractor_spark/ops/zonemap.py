@@ -65,8 +65,7 @@ def write_with_zonemap(
         .parquet(path)
     )
     stats = (
-        SparkSession.getActiveSession()
-        .read.parquet(path)
+        df.sparkSession.read.parquet(path)
         .groupBy(F.input_file_name().alias("file"))
         .agg(
             F.min(zone_col).alias("zmin"),
