@@ -693,6 +693,47 @@ def q_distinct_overlap(spark, sf_dir):
     )
 
 
+def _event_intervals(spark, sf_dir, etype):
+    """Shared L127/L128 fixture: half-open activity intervals
+    [ts, ts + value*60 + 1) in epoch seconds for one event type —
+    minutes-scaled so the sparse per-user streams genuinely overlap."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 5 == 0) & (F.col("event_type") == etype)
+    )
+    s = F.unix_timestamp("ts")
+    return ev.select(
+        "user_id",
+        s.alias("s"),
+        (s + (F.col("value") * 60.0).cast("long") + 1).alias("e"),
+    )
+
+
+def q_concurrency_peak(spark, sf_dir):
+    """Sweep-line peak concurrency (L127): max simultaneous click
+    intervals per user and the earliest boundary reaching the peak —
+    one keyed window over ±1 boundary events, never a θ-join.
+    Oracle: the same sweep in SQL (trunc() mirrors Spark's
+    double→long truncation)."""
+    from lmss_entity_extractor_spark.ops.sweep import max_concurrency
+
+    return max_concurrency(
+        _event_intervals(spark, sf_dir, "click"), "user_id", "s", "e"
+    )
+
+
+def q_interval_intersect(spark, sf_dir):
+    """Interval-set intersection (L128): per user, the coalesced time
+    segments where click activity and view activity overlap — two
+    coverage sums over one merged boundary stream (coverage, not
+    multiplicity), gaps-and-islands merged.  Oracle: the identical
+    sweep as SQL windows."""
+    from lmss_entity_extractor_spark.ops.sweep import interval_intersect
+
+    a = _event_intervals(spark, sf_dir, "click")
+    b = _event_intervals(spark, sf_dir, "view")
+    return interval_intersect(a, b, "user_id", "s", "e")
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -4317,6 +4358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "concurrency_peak": q_concurrency_peak,
+        "interval_intersect": q_interval_intersect,
         "distinct_overlap": q_distinct_overlap,
         "cms_join_size": q_cms_join_size,
         "equidepth_bins": q_equidepth_bins,
@@ -6112,6 +6155,81 @@ def oracle_sql() -> dict[str, str]:
         "textrank": _textrank_oracle_sql(10, 15),
         "cms_estimate": _cms_oracle_sql(4, 2048),
         "cms_join_size": _cms_join_oracle_sql(4, 4096),
+        "concurrency_peak": """
+            WITH iv AS (
+                SELECT user_id AS k,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                       CAST(floor(epoch(ts)) AS BIGINT)
+                           + CAST(trunc(value * 60.0) AS BIGINT) + 1 AS e
+                FROM events
+                WHERE user_id % 5 = 0 AND event_type = 'click'
+                  AND ts IS NOT NULL AND value IS NOT NULL
+            ),
+            ev AS (
+                SELECT k, s AS t, 1 AS d FROM iv WHERE e > s
+                UNION ALL
+                SELECT k, e, -1 FROM iv WHERE e > s
+            ),
+            g AS (SELECT k, t, sum(d) AS d FROM ev GROUP BY 1, 2),
+            c AS (
+                SELECT k, t,
+                       CAST(sum(d) OVER (PARTITION BY k ORDER BY t) AS BIGINT) AS n
+                FROM g
+            )
+            SELECT k AS user_id, max(n) AS peak,
+                   (list(t ORDER BY n DESC, t ASC))[1] AS at_t
+            FROM c GROUP BY k
+        """,
+        "interval_intersect": """
+            WITH iva AS (
+                SELECT user_id AS k,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                       CAST(floor(epoch(ts)) AS BIGINT)
+                           + CAST(trunc(value * 60.0) AS BIGINT) + 1 AS e
+                FROM events
+                WHERE user_id % 5 = 0 AND event_type = 'click'
+                  AND ts IS NOT NULL AND value IS NOT NULL
+            ),
+            ivb AS (
+                SELECT user_id AS k,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                       CAST(floor(epoch(ts)) AS BIGINT)
+                           + CAST(trunc(value * 60.0) AS BIGINT) + 1 AS e
+                FROM events
+                WHERE user_id % 5 = 0 AND event_type = 'view'
+                  AND ts IS NOT NULL AND value IS NOT NULL
+            ),
+            ev AS (
+                SELECT k, s AS t, 1 AS da, 0 AS db FROM iva WHERE e > s
+                UNION ALL SELECT k, e, -1, 0 FROM iva WHERE e > s
+                UNION ALL SELECT k, s, 0, 1 FROM ivb WHERE e > s
+                UNION ALL SELECT k, e, 0, -1 FROM ivb WHERE e > s
+            ),
+            g AS (SELECT k, t, sum(da) AS da, sum(db) AS db FROM ev GROUP BY 1, 2),
+            c AS (
+                SELECT k, t,
+                       sum(da) OVER w AS ca, sum(db) OVER w AS cb,
+                       lead(t) OVER w AS tn
+                FROM g WINDOW w AS (PARTITION BY k ORDER BY t)
+            ),
+            seg AS (
+                SELECT k, t, tn FROM c
+                WHERE ca > 0 AND cb > 0 AND tn IS NOT NULL AND tn > t
+            ),
+            fl AS (
+                SELECT k, t, tn,
+                       CASE WHEN lag(tn) OVER w2 IS NULL
+                                 OR lag(tn) OVER w2 < t THEN 1 ELSE 0 END AS ni
+                FROM seg WINDOW w2 AS (PARTITION BY k ORDER BY t)
+            ),
+            isl AS (
+                SELECT k, t, tn,
+                       sum(ni) OVER (PARTITION BY k ORDER BY t) AS island
+                FROM fl
+            )
+            SELECT k AS user_id, min(t) AS s, max(tn) AS e
+            FROM isl GROUP BY k, island
+        """,
         "distinct_overlap": """
             -- exact sides recomputed; sketch estimates asserted via
             -- tolerance flags (the L109 pattern)
