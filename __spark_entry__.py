@@ -734,6 +734,41 @@ def q_interval_intersect(spark, sf_dir):
     return interval_intersect(a, b, "user_id", "s", "e")
 
 
+def q_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank (L129): the pagerank hierarchy with
+    key-derived integer weights (the _sssp fixture discipline) — rank
+    flows ∝ w/W_out.  Oracle: the recurrence unrolled as 10 CTEs with
+    the same weight ratios; floor-1e6 grid."""
+    from lmss_entity_extractor_spark.graph.pagerank import pagerank_weighted
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 200 == 0)
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        o.select(
+            F.concat(F.lit("o:"), F.col("o_orderkey")).alias("src"),
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("dst"),
+            (F.col("o_orderkey") % 7 + 1).cast("double").alias("weight"),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
+                F.concat(F.lit("n:"), F.col("c_nationkey")).alias("dst"),
+                (F.col("c_custkey") % 5 + 1).cast("double").alias("weight"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n:"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("r:"), F.col("n_regionkey")).alias("dst"),
+                (F.col("n_nationkey") % 3 + 1).cast("double").alias("weight"),
+            )
+        )
+    )
+    pr = pagerank_weighted(edges, n_iters=10, damping=0.85)
+    return pr.select("node", (F.floor(F.col("rank") * 1e6) / 1e6).alias("rank6"))
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -4358,6 +4393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "pagerank_weighted": q_pagerank_weighted,
         "concurrency_peak": q_concurrency_peak,
         "interval_intersect": q_interval_intersect,
         "distinct_overlap": q_distinct_overlap,
@@ -4863,6 +4899,47 @@ def _textrank_oracle_sql(n_iters: int = 10, k: int = 15) -> str:
         FROM pr{n_iters}
         ORDER BY rank6 DESC, word
         LIMIT {k}"""
+
+
+def _pagerank_weighted_oracle_sql(n_iters: int = 10) -> str:
+    """The weighted recurrence unrolled — identical to the unweighted
+    oracle with per-edge w / W_out ratios."""
+    base = """
+        WITH edges AS (
+            SELECT 'o:' || o_orderkey AS src, 'c:' || o_custkey AS dst,
+                   CAST(o_orderkey % 7 + 1 AS DOUBLE) AS w
+            FROM orders WHERE o_orderkey % 200 = 0
+            UNION ALL
+            SELECT 'c:' || c_custkey, 'n:' || c_nationkey,
+                   CAST(c_custkey % 5 + 1 AS DOUBLE)
+            FROM customer
+            UNION ALL
+            SELECT 'n:' || n_nationkey, 'r:' || n_regionkey,
+                   CAST(n_nationkey % 3 + 1 AS DOUBLE)
+            FROM nation
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT src AS node, sum(w) AS outw FROM edges GROUP BY 1),
+        pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nc.n AS rank FROM nodes, nc)"""
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f""",
+        pr{i} AS (
+            SELECT n.node,
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nc.n
+                   + CAST(0.85 AS DOUBLE) * coalesce(s.inflow, CAST(0 AS DOUBLE)) AS rank
+            FROM nodes n CROSS JOIN nc
+            LEFT JOIN (
+                SELECT e.dst AS node, sum(p.rank * e.w / d.outw) AS inflow
+                FROM edges e
+                JOIN pr{i - 1} p ON p.node = e.src
+                JOIN deg d ON d.node = e.src
+                GROUP BY 1
+            ) s ON s.node = n.node
+        )""")
+    return base + "".join(iters) + f"""
+        SELECT node, floor(rank * 1000000) / 1000000 AS rank6 FROM pr{n_iters}"""
 
 
 def _pagerank_oracle_sql(n_iters: int = 10) -> str:
@@ -6152,6 +6229,7 @@ def oracle_sql() -> dict[str, str]:
             FROM closure GROUP BY 1
         """,
         "pagerank": _pagerank_oracle_sql(10),
+        "pagerank_weighted": _pagerank_weighted_oracle_sql(10),
         "textrank": _textrank_oracle_sql(10, 15),
         "cms_estimate": _cms_oracle_sql(4, 2048),
         "cms_join_size": _cms_join_oracle_sql(4, 4096),

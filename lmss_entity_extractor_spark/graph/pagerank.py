@@ -156,3 +156,84 @@ def personalized_pagerank(
             .localCheckpoint()
         )
     return state.select("node", "rank")
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    n_iters: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Weighted PageRank (L129): rank flows in proportion to edge
+    weight — rank = (1-d)/N + d · Σ_in rank(u) · w(u,v) / W_out(u),
+    the natural centrality over PMI/co-occurrence/confidence-weighted
+    KG edges (compose with `graph/cooccur.py`: salience = weighted
+    rank over association strength, not raw link counts).
+
+    Same discipline as :func:`pagerank`: synchronous iterations, one
+    join + one combinable sum per round, localCheckpoint-flattened
+    lineage, dangling nodes keep their mass out of circulation, and
+    the oracle unrolls the identical recurrence (weights enter as
+    fixed per-edge ratios, so the float story is unchanged —
+    floor-1e6 grid).
+
+    Weights must be strictly positive and non-null (zero-weight edges
+    are a modeling error, not a 0-contribution edge — drop them
+    upstream); refused loudly with a bounded sample.
+    """
+    bad = (
+        edges.filter(F.col(weight).isNull() | (F.col(weight) <= 0))
+        .limit(5)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"pagerank_weighted: non-positive/NULL weights on {len(bad)}+ edges "
+            f"(sample src/dst: {[(r[src], r[dst]) for r in bad]})"
+        )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank")
+    outw = edges.groupBy(F.col(src).alias("node")).agg(
+        F.sum(F.col(weight).cast("double")).alias("outw")
+    )
+    state = nodes.join(outw, "node", "left").select(
+        "node", "outw", F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint()
+
+    e = edges.select(
+        F.col(src).alias("node"),
+        F.col(dst).alias("_dst"),
+        F.col(weight).cast("double").alias("_w"),
+    ).localCheckpoint()
+    for _ in range(n_iters):
+        contrib = (
+            e.join(state.filter(F.col("outw").isNotNull()), "node")
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("rank") * F.col("_w") / F.col("outw")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        state = (
+            state.join(contrib, "node", "left")
+            .select(
+                "node",
+                "outw",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return state.select("node", "rank")
