@@ -769,6 +769,18 @@ def q_pagerank_weighted(spark, sf_dir):
     return pr.select("node", (F.floor(F.col("rank") * 1e6) / 1e6).alias("rank6"))
 
 
+def q_skyline(spark, sf_dir):
+    """Distributed skyline (L130): the Pareto frontier of parts on
+    (size, retailprice), both maximized — per-batch BNL prune then one
+    bounded merge, never the full NOT-EXISTS self-join.  The oracle IS
+    that quadratic NOT-EXISTS form (which this operator exists to
+    avoid running at scale)."""
+    from lmss_entity_extractor_spark.ops.skyline import skyline
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    return skyline(p, ["p_size", "p_retailprice"])
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -4393,6 +4405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
         "concurrency_peak": q_concurrency_peak,
         "interval_intersect": q_interval_intersect,
@@ -6233,6 +6246,19 @@ def oracle_sql() -> dict[str, str]:
         "textrank": _textrank_oracle_sql(10, 15),
         "cms_estimate": _cms_oracle_sql(4, 2048),
         "cms_join_size": _cms_join_oracle_sql(4, 4096),
+        "skyline": """
+            SELECT p_partkey, p_size, p_retailprice
+            FROM part p
+            WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+              AND NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_size IS NOT NULL AND q.p_retailprice IS NOT NULL
+                  AND q.p_size >= p.p_size
+                  AND q.p_retailprice >= p.p_retailprice
+                  AND (q.p_size > p.p_size
+                       OR q.p_retailprice > p.p_retailprice)
+            )
+        """,
         "concurrency_peak": """
             WITH iv AS (
                 SELECT user_id AS k,
