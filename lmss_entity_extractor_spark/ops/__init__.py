@@ -31,3 +31,28 @@ from .pq import (  # noqa: F401
     train_pq_codebooks,
     write_ivfpq_index,
 )
+from .heavyhitters import heavy_hitters  # noqa: F401
+from .skewjoin import salted_join  # noqa: F401
+from .profile import profile_table  # noqa: F401
+from .scd import pit_join, scd2_collapse  # noqa: F401
+from .upsert import assert_unique_keys, merge_upsert  # noqa: F401
+from .tablediff import table_diff  # noqa: F401
+from .sketches import (  # noqa: F401
+    build_distinct_sketches,
+    distinct_overlap_estimate,
+    rollup_distinct_estimate,
+)
+from .bloom import bloom_build, bloom_might_contain, bloom_probe, bloom_semi_join  # noqa: F401
+from .timeseries import ewma, resample_gap_fill  # noqa: F401
+from .expectations import quarantine, validate_expectations  # noqa: F401
+from .cohort import cohort_retention, funnel  # noqa: F401
+from .sampling import weighted_sample  # noqa: F401
+from .cdc import apply_changelog  # noqa: F401
+from .evolve import evolved_schema, union_evolved  # noqa: F401
+from .cms import cms_build, cms_estimate, cms_join_size, cms_merge  # noqa: F401
+from .zonemap import prune_files, read_zone_pruned, write_with_zonemap  # noqa: F401
+from .survivorship import golden_records  # noqa: F401
+from .textrank import cooccurrence_word_edges, textrank_keywords  # noqa: F401
+from .binning import apply_bins, bin_expr, fit_equidepth_bins  # noqa: F401
+from .sweep import concurrency, interval_intersect, max_concurrency  # noqa: F401
+from .skyline import skyline  # noqa: F401
