@@ -781,6 +781,45 @@ def q_skyline(spark, sf_dir):
     return skyline(p, ["p_size", "p_retailprice"])
 
 
+def q_part_salience(spark, sf_dir):
+    """Entity-salience composition (L50 × L129): the co-purchase graph
+    (parts sharing an order, exact n_co counts, min_count=2) ranked by
+    WEIGHTED PageRank with n_co as flow — the 'which entities matter'
+    query a KG answers after edge mining, as ONE lazy plan.  Top-20 on
+    the floor-1e6 grid with (rank, part) tie-break.  Oracle: pair
+    counts + the weighted recurrence unrolled (integer weights, so the
+    float story is exactly L129's)."""
+    from lmss_entity_extractor_spark.graph.cooccur import cooccurrence_edges
+    from lmss_entity_extractor_spark.graph.pagerank import pagerank_weighted
+
+    obs = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    ed = cooccurrence_edges(obs, "l_orderkey", "l_partkey", min_count=2)
+    edges = ed.select(
+        F.col("item_a").cast("string").alias("src"),
+        F.col("item_b").cast("string").alias("dst"),
+        F.col("n_co").cast("double").alias("weight"),
+    ).unionByName(
+        ed.select(
+            F.col("item_b").cast("string").alias("src"),
+            F.col("item_a").cast("string").alias("dst"),
+            F.col("n_co").cast("double").alias("weight"),
+        )
+    )
+    pr = pagerank_weighted(edges, n_iters=8, damping=0.85)
+    return (
+        pr.select(
+            F.col("node").alias("part"),
+            (F.floor(F.col("rank") * 1e6) / 1e6).alias("rank6"),
+        )
+        .orderBy(F.col("rank6").desc(), F.col("part").asc())
+        .limit(20)
+    )
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -4405,6 +4444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
         "concurrency_peak": q_concurrency_peak,
@@ -4911,6 +4951,54 @@ def _textrank_oracle_sql(n_iters: int = 10, k: int = 15) -> str:
         SELECT node AS word, floor(rank * 1000000) / 1000000 AS rank6
         FROM pr{n_iters}
         ORDER BY rank6 DESC, word
+        LIMIT {k}"""
+
+
+def _part_salience_oracle_sql(n_iters: int = 8, k: int = 20) -> str:
+    """Pair counts (the L50 derivation) + the L129 weighted recurrence
+    unrolled, composed."""
+    base = """
+        WITH obs AS (
+            SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+            FROM lineitem WHERE l_orderkey % 4 = 0
+        ),
+        und AS (
+            SELECT a.item AS item_a, b.item AS item_b,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM obs a JOIN obs b ON a.g = b.g AND a.item < b.item
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ),
+        edges AS (
+            SELECT CAST(item_a AS VARCHAR) AS src,
+                   CAST(item_b AS VARCHAR) AS dst, w FROM und
+            UNION ALL
+            SELECT CAST(item_b AS VARCHAR), CAST(item_a AS VARCHAR), w FROM und
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT src AS node, sum(w) AS outw FROM edges GROUP BY 1),
+        pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nc.n AS rank FROM nodes, nc)"""
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f""",
+        pr{i} AS (
+            SELECT n.node,
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nc.n
+                   + CAST(0.85 AS DOUBLE) * coalesce(s.inflow, CAST(0 AS DOUBLE)) AS rank
+            FROM nodes n CROSS JOIN nc
+            LEFT JOIN (
+                SELECT e.dst AS node, sum(p.rank * e.w / d.outw) AS inflow
+                FROM edges e
+                JOIN pr{i - 1} p ON p.node = e.src
+                JOIN deg d ON d.node = e.src
+                GROUP BY 1
+            ) s ON s.node = n.node
+        )""")
+    return base + "".join(iters) + f"""
+        SELECT node AS part, floor(rank * 1000000) / 1000000 AS rank6
+        FROM pr{n_iters}
+        ORDER BY rank6 DESC, part
         LIMIT {k}"""
 
 
@@ -6243,6 +6331,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle_sql(10),
         "pagerank_weighted": _pagerank_weighted_oracle_sql(10),
+        "part_salience": _part_salience_oracle_sql(8, 20),
         "textrank": _textrank_oracle_sql(10, 15),
         "cms_estimate": _cms_oracle_sql(4, 2048),
         "cms_join_size": _cms_join_oracle_sql(4, 4096),
