@@ -820,6 +820,23 @@ def q_part_salience(spark, sf_dir):
     )
 
 
+def q_psi_drift(spark, sf_dir):
+    """Distribution-drift monitor (L131, composing the L124 bins):
+    PSI of order totals between the even-key half (reference) and the
+    odd-key half shifted +20% (current) on the REFERENCE's own
+    equi-depth grid — per-bucket terms on the half-up 1e-6 grid, total
+    rounded to 4 decimals (verdict thresholds live at 0.1/0.25).
+    Oracle: the same quantiles, floors, log tree, and grids in SQL."""
+    from lmss_entity_extractor_spark.ops.drift import psi_drift
+
+    o = _t(spark, sf_dir, "orders")
+    ref = o.filter(F.col("o_orderkey") % 2 == 0).select("o_totalprice")
+    cur = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        (F.col("o_totalprice") * 1.2).alias("o_totalprice")
+    )
+    return psi_drift(ref, cur, "o_totalprice", n_bins=5)
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -4444,6 +4461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
+        "psi_drift": q_psi_drift,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -6335,6 +6353,55 @@ def oracle_sql() -> dict[str, str]:
         "textrank": _textrank_oracle_sql(10, 15),
         "cms_estimate": _cms_oracle_sql(4, 2048),
         "cms_join_size": _cms_join_oracle_sql(4, 4096),
+        "psi_drift": """
+            WITH bl AS (
+                SELECT quantile_disc(o_totalprice, [0.2, 0.4, 0.6, 0.8]) AS bs
+                FROM orders
+                WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+            ),
+            refb AS (
+                SELECT CAST(CAST(len(list_filter((SELECT bs FROM bl),
+                                 x -> o_totalprice > x)) AS INT) AS VARCHAR) AS bucket
+                FROM orders
+                WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+            ),
+            curb AS (
+                SELECT CAST(CAST(len(list_filter((SELECT bs FROM bl),
+                                 x -> v > x)) AS INT) AS VARCHAR) AS bucket
+                FROM (
+                    SELECT o_totalprice * 1.2 AS v FROM orders
+                    WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+                )
+            ),
+            rc AS (SELECT bucket, count(*) AS n_ref FROM refb GROUP BY 1),
+            cc AS (SELECT bucket, count(*) AS n_cur FROM curb GROUP BY 1),
+            j AS (
+                SELECT coalesce(rc.bucket, cc.bucket) AS bucket,
+                       coalesce(n_ref, 0) AS n_ref,
+                       coalesce(n_cur, 0) AS n_cur
+                FROM rc FULL OUTER JOIN cc USING (bucket)
+            ),
+            tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM j),
+            terms AS (
+                SELECT bucket, n_ref, n_cur,
+                       greatest(n_ref / t_ref, 0.0001) AS p_ref,
+                       greatest(n_cur / t_cur, 0.0001) AS p_cur,
+                       (greatest(n_cur / t_cur, 0.0001)
+                            - greatest(n_ref / t_ref, 0.0001))
+                       * ln(greatest(n_cur / t_cur, 0.0001)
+                            / greatest(n_ref / t_ref, 0.0001)) AS raw_term
+                FROM j CROSS JOIN tot
+            ),
+            total AS (SELECT round(sum(raw_term), 4) AS psi_total FROM terms)
+            SELECT bucket, n_ref, n_cur,
+                   round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+                   floor(raw_term * 1000000 + 0.5) / 1000000 AS term,
+                   psi_total,
+                   CASE WHEN psi_total < 0.1 THEN 'stable'
+                        WHEN psi_total < 0.25 THEN 'moderate_shift'
+                        ELSE 'major_shift' END AS verdict
+            FROM terms CROSS JOIN total
+        """,
         "skyline": """
             SELECT p_partkey, p_size, p_retailprice
             FROM part p

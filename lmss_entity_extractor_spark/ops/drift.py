@@ -1,0 +1,111 @@
+"""Distribution-drift detection (L131): Population Stability Index
+between a REFERENCE table and a CURRENT table — the ML-ops monitor
+("did this column's distribution move since training") as two
+aggregates and a fixed-expression score.
+
+    PSI = Σ_buckets (p_cur − p_ref) · ln(p_cur / p_ref)
+
+* numeric columns — buckets come from the L124 equi-depth fit ON THE
+  REFERENCE (frozen boundaries applied to both sides: drift must be
+  measured on the reference's own grid, not a per-side re-fit that
+  hides the movement);
+* categorical columns — buckets are the observed category union.
+
+Empty buckets are Laplace-floored (configurable ``epsilon`` fraction)
+before the log — the standard finite-PSI convention, documented
+rather than silently clamped.  Conventional reading: < 0.1 stable,
+0.1–0.25 moderate shift, > 0.25 major shift; published as ``verdict``
+next to the number.
+
+Float discipline (the L50 stance): counts are exact integers; the
+score is a FIXED expression tree per bucket folded by a sum over
+bucket index order… which Spark cannot pin across partitions — so the
+contract query publishes the PER-BUCKET terms on the half-up 1e-6
+grid (exact comparison) plus the total rounded to 4 decimals (the
+drift decision needs one digit; 1-ulp summation wiggle is 12 orders
+of magnitude below the verdict thresholds).
+
+Scale: one combinable count per side (map-side combinable), a
+buckets-sized join, a buckets-sized score — the 100 TB tables are
+each scanned once.
+
+No reference counterpart; pipeline monitoring per SURVEY §2.11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .binning import bin_expr, fit_equidepth_bins
+
+
+def _bucket_shares(df: DataFrame, bucket, name: str) -> DataFrame:
+    counts = (
+        df.select(bucket.alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias(f"n_{name}"))
+    )
+    return counts
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    categorical: bool = False,
+    epsilon: float = 1e-4,
+) -> DataFrame:
+    """Per-bucket PSI terms + the total: ``(bucket, n_ref, n_cur,
+    p_ref, p_cur, term, psi_total, verdict)`` — bucket is the bin id
+    (numeric) or the category value cast to string (categorical)."""
+    if col not in ref.columns or col not in cur.columns:
+        raise ValueError(f"column {col!r} must exist in both tables")
+    if not 0 < epsilon < 0.1:
+        raise ValueError(f"epsilon must be in (0, 0.1), got {epsilon}")
+
+    if categorical:
+        bucket = F.col(col).cast("string")
+    else:
+        bounds = fit_equidepth_bins(ref, col, n_bins)
+        bucket = bin_expr(F.col(col), bounds).cast("string")
+
+    r = _bucket_shares(ref, bucket, "ref")
+    c = _bucket_shares(cur, bucket, "cur")
+    j = r.join(c, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = j.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    w = j.crossJoin(F.broadcast(tot))
+    p_ref = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(epsilon))
+    p_cur = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(epsilon))
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    scored = w.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        (F.floor(term * 1e6 + F.lit(0.5)) / 1e6).alias("term"),
+    )
+    total = F.round(F.sum("term").over(Window.partitionBy()), 4)
+    verdict = (
+        F.when(total < 0.1, "stable")
+        .when(total < 0.25, "moderate_shift")
+        .otherwise("major_shift")
+    )
+    return scored.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        "p_ref",
+        "p_cur",
+        "term",
+        total.alias("psi_total"),
+        verdict.alias("verdict"),
+    )
