@@ -837,6 +837,37 @@ def q_psi_drift(spark, sf_dir):
     return psi_drift(ref, cur, "o_totalprice", n_bins=5)
 
 
+def q_markov_transitions(spark, sf_dir):
+    """Empirical Markov transition matrix (L132): consecutive event_type
+    pairs within each user's event_id-ordered stream — one lag window +
+    one combinable groupBy; probabilities are exact integer ratios (a
+    single IEEE division, bit-identical across engines, emitted raw).
+    Oracle: the same lead window + window-sum normalization in SQL."""
+    from lmss_entity_extractor_spark.ops.markov import markov_transitions
+
+    e = _t(spark, sf_dir, "events")
+    return markov_transitions(e, "user_id", "event_type", "event_id")
+
+
+def q_markov_stationary(spark, sf_dir):
+    """Markov stationary distribution (L132): 12 synchronous power
+    iterations x' = Pᵀx from the uniform start over the user-journey
+    transition matrix — the pagerank discipline (fixed iterations,
+    localCheckpoint), chain-closure guarded.  Oracle: the identical
+    recurrence unrolled as 12 CTEs; floor-1e6 grid absorbs
+    summation-order ulps."""
+    from lmss_entity_extractor_spark.ops.markov import (
+        markov_transitions,
+        stationary_distribution,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    pi = stationary_distribution(
+        markov_transitions(e, "user_id", "event_type", "event_id"), n_iters=12
+    )
+    return pi.select("state", (F.floor(F.col("pi") * 1e6) / 1e6).alias("pi6"))
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -4462,6 +4493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup": q_sketch_rollup,
         "bloom_semi_join": q_bloom_semi_join,
         "psi_drift": q_psi_drift,
+        "markov_transitions": q_markov_transitions,
+        "markov_stationary": q_markov_stationary,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -5059,6 +5092,47 @@ def _pagerank_weighted_oracle_sql(n_iters: int = 10) -> str:
         )""")
     return base + "".join(iters) + f"""
         SELECT node, floor(rank * 1000000) / 1000000 AS rank6 FROM pr{n_iters}"""
+
+
+_MARKOV_TRANS_SQL = """
+        WITH pairs AS (
+            SELECT src, dst FROM (
+                SELECT event_type AS src,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY event_id) AS dst
+                FROM events
+            ) WHERE src IS NOT NULL AND dst IS NOT NULL
+        ),
+        c AS (SELECT src, dst, count(*) AS n FROM pairs GROUP BY 1, 2),
+        trans AS (
+            SELECT src, dst, n,
+                   CAST(n AS DOUBLE)
+                       / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) AS prob
+            FROM c
+        )"""
+
+
+def _markov_stationary_oracle_sql(n_iters: int = 12) -> str:
+    """The power method unrolled (the L129 pagerank oracle shape): each
+    iteration is one join + one grouped sum over the state-space-sized
+    transition table."""
+    base = (
+        _MARKOV_TRANS_SQL
+        + """,
+        states AS (SELECT DISTINCT src AS state FROM trans),
+        nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM states),
+        x0 AS (SELECT state, CAST(1.0 AS DOUBLE) / nc.n AS pi FROM states, nc)"""
+    )
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f""",
+        x{i} AS (
+            SELECT t.dst AS state, sum(x.pi * t.prob) AS pi
+            FROM trans t JOIN x{i - 1} x ON x.state = t.src
+            GROUP BY 1
+        )""")
+    return base + "".join(iters) + f"""
+        SELECT state, floor(pi * 1000000) / 1000000 AS pi6 FROM x{n_iters}"""
 
 
 def _pagerank_oracle_sql(n_iters: int = 10) -> str:
@@ -6353,6 +6427,10 @@ def oracle_sql() -> dict[str, str]:
         "textrank": _textrank_oracle_sql(10, 15),
         "cms_estimate": _cms_oracle_sql(4, 2048),
         "cms_join_size": _cms_join_oracle_sql(4, 4096),
+        "markov_transitions": _MARKOV_TRANS_SQL
+        + """
+        SELECT src, dst, n, prob FROM trans""",
+        "markov_stationary": _markov_stationary_oracle_sql(12),
         "psi_drift": """
             WITH bl AS (
                 SELECT quantile_disc(o_totalprice, [0.2, 0.4, 0.6, 0.8]) AS bs
