@@ -868,6 +868,26 @@ def q_markov_stationary(spark, sf_dir):
     return pi.select("state", (F.floor(F.col("pi") * 1e6) / 1e6).alias("pi6"))
 
 
+def q_frequent_sequences(spark, sf_dir):
+    """GSP sequential pattern mining (L133): frequent gapped event-type
+    journeys (length <= 3) over each user's first 12 events, majority
+    support — level-wise Apriori with greedy-fold containment as pure
+    codegen expressions over broadcast candidates.  Oracle: the same
+    lattice with containment as nested-EXISTS self-joins (the
+    quadratic/cubic relational twin the operator avoids at scale)."""
+    from pyspark.sql import Window
+
+    from lmss_entity_extractor_spark.ops.seqmine import frequent_sequences
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    first12 = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 12)
+    n_users = first12.select("user_id").distinct().count()
+    return frequent_sequences(
+        first12, "user_id", "event_type", "event_id", n_users // 2 + 1, max_len=3
+    )
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -4495,6 +4515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "markov_transitions": q_markov_transitions,
         "markov_stationary": q_markov_stationary,
+        "frequent_sequences": q_frequent_sequences,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -6431,6 +6452,51 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT src, dst, n, prob FROM trans""",
         "markov_stationary": _markov_stationary_oracle_sql(12),
+        "frequent_sequences": """
+            WITH ev AS (
+                SELECT user_id AS k, event_id AS o, event_type AS s,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY event_id) AS rn
+                FROM events WHERE event_type IS NOT NULL
+            ),
+            e AS (SELECT k, o, s FROM ev WHERE rn <= 12),
+            ms AS (SELECT count(DISTINCT k) // 2 + 1 AS m FROM e),
+            l1 AS (
+                SELECT s, count(DISTINCT k) AS support FROM e GROUP BY 1
+                HAVING count(DISTINCT k) >= (SELECT m FROM ms)
+            ),
+            p2 AS (
+                SELECT DISTINCT e1.k, e1.s AS s1, e2.s AS s2
+                FROM e e1 JOIN e e2 ON e1.k = e2.k AND e1.o < e2.o
+            ),
+            l2 AS (
+                SELECT c.s1, c.s2, count(*) AS support
+                FROM (SELECT a.s AS s1, b.s AS s2
+                      FROM l1 a CROSS JOIN l1 b) c
+                JOIN p2 p ON p.s1 = c.s1 AND p.s2 = c.s2
+                GROUP BY 1, 2
+                HAVING count(*) >= (SELECT m FROM ms)
+            ),
+            p3 AS (
+                SELECT DISTINCT e1.k, e1.s AS s1, e2.s AS s2, e3.s AS s3
+                FROM e e1
+                JOIN e e2 ON e1.k = e2.k AND e1.o < e2.o
+                JOIN e e3 ON e2.k = e3.k AND e2.o < e3.o
+            ),
+            l3 AS (
+                SELECT c.s1, c.s2, c.s3, count(*) AS support
+                FROM (SELECT l.s1, l.s2, i.s AS s3
+                      FROM l2 l CROSS JOIN l1 i) c
+                JOIN p3 p ON p.s1 = c.s1 AND p.s2 = c.s2 AND p.s3 = c.s3
+                GROUP BY 1, 2, 3
+                HAVING count(*) >= (SELECT m FROM ms)
+            )
+            SELECT s AS pattern, 1 AS length, support FROM l1
+            UNION ALL
+            SELECT s1 || ' -> ' || s2, 2, support FROM l2
+            UNION ALL
+            SELECT s1 || ' -> ' || s2 || ' -> ' || s3, 3, support FROM l3
+        """,
         "psi_drift": """
             WITH bl AS (
                 SELECT quantile_disc(o_totalprice, [0.2, 0.4, 0.6, 0.8]) AS bs
