@@ -888,6 +888,39 @@ def q_frequent_sequences(spark, sf_dir):
     )
 
 
+def _brand_baskets(spark, sf_dir):
+    """Per-order DISTINCT brand baskets — the L134 input shape."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("it")
+    )
+
+
+def q_frequent_itemsets(spark, sf_dir):
+    """Apriori frequent-itemset mining (L134): brand baskets per order,
+    itemsets up to length 3 at 0.5% support — level-wise lattice with
+    set containment as codegen `forall`/`array_contains` over broadcast
+    candidates.  Oracle: the same lattice with containment as
+    self-joins on the exploded basket table."""
+    from lmss_entity_extractor_spark.ops.itemsets import frequent_itemsets
+
+    b = _brand_baskets(spark, sf_dir)
+    n = b.select("k").distinct().count()
+    return frequent_itemsets(b, "k", "it", n // 200 + 1, max_len=3)
+
+
+def q_assoc_rules(spark, sf_dir):
+    """Association rules (L134) from frequent brand pairs: confidence =
+    supp(pair)/supp(antecedent), lift = supp·N/(supp_a·supp_c) — exact
+    integer products, single IEEE divisions, no rounding grid needed."""
+    from lmss_entity_extractor_spark.ops.itemsets import association_rules
+
+    b = _brand_baskets(spark, sf_dir)
+    n = b.select("k").distinct().count()
+    return association_rules(b, "k", "it", n // 200 + 1, max_len=2)
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter join pruning (L110): lineitem semi-joined against
     the Brand#23 slice of part, with the bloom bit array built from the
@@ -4516,6 +4549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "markov_stationary": q_markov_stationary,
         "frequent_sequences": q_frequent_sequences,
+        "frequent_itemsets": q_frequent_itemsets,
+        "assoc_rules": q_assoc_rules,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -6496,6 +6531,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT s1 || ' -> ' || s2, 2, support FROM l2
             UNION ALL
             SELECT s1 || ' -> ' || s2 || ' -> ' || s3, 3, support FROM l3
+        """,
+        "frequent_itemsets": """
+            WITH b AS (
+                SELECT DISTINCT l_orderkey AS k, p_brand AS it
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            ),
+            ms AS (SELECT count(DISTINCT k) // 200 + 1 AS m FROM b),
+            l1 AS (
+                SELECT it, count(*) AS support FROM b GROUP BY 1
+                HAVING count(*) >= (SELECT m FROM ms)
+            ),
+            l2 AS (
+                SELECT b1.it AS i1, b2.it AS i2, count(*) AS support
+                FROM b b1 JOIN b b2 ON b1.k = b2.k AND b1.it < b2.it
+                GROUP BY 1, 2
+                HAVING count(*) >= (SELECT m FROM ms)
+            ),
+            l3 AS (
+                SELECT b1.it AS i1, b2.it AS i2, b3.it AS i3,
+                       count(*) AS support
+                FROM b b1
+                JOIN b b2 ON b1.k = b2.k AND b1.it < b2.it
+                JOIN b b3 ON b2.k = b3.k AND b2.it < b3.it
+                GROUP BY 1, 2, 3
+                HAVING count(*) >= (SELECT m FROM ms)
+            )
+            SELECT it AS itemset, 1 AS length, support FROM l1
+            UNION ALL
+            SELECT i1 || ' + ' || i2, 2, support FROM l2
+            UNION ALL
+            SELECT i1 || ' + ' || i2 || ' + ' || i3, 3, support FROM l3
+        """,
+        "assoc_rules": """
+            WITH b AS (
+                SELECT DISTINCT l_orderkey AS k, p_brand AS it
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            ),
+            nb AS (SELECT count(DISTINCT k) AS n FROM b),
+            ms AS (SELECT n // 200 + 1 AS m FROM nb),
+            l1 AS (
+                SELECT it, count(*) AS support FROM b GROUP BY 1
+                HAVING count(*) >= (SELECT m FROM ms)
+            ),
+            l2 AS (
+                SELECT b1.it AS i1, b2.it AS i2, count(*) AS support
+                FROM b b1 JOIN b b2 ON b1.k = b2.k AND b1.it < b2.it
+                GROUP BY 1, 2
+                HAVING count(*) >= (SELECT m FROM ms)
+            ),
+            both_dirs AS (
+                SELECT i1 AS antecedent, i2 AS consequent, support FROM l2
+                UNION ALL
+                SELECT i2, i1, support FROM l2
+            )
+            SELECT r.antecedent, r.consequent, r.support,
+                   CAST(r.support AS DOUBLE) / fa.support AS confidence,
+                   CAST(r.support * (SELECT n FROM nb) AS DOUBLE)
+                       / (fa.support * fc.support) AS lift
+            FROM both_dirs r
+            JOIN l1 fa ON fa.it = r.antecedent
+            JOIN l1 fc ON fc.it = r.consequent
         """,
         "psi_drift": """
             WITH bl AS (

@@ -56,3 +56,7 @@ from .textrank import cooccurrence_word_edges, textrank_keywords  # noqa: F401
 from .binning import apply_bins, bin_expr, fit_equidepth_bins  # noqa: F401
 from .sweep import concurrency, interval_intersect, max_concurrency  # noqa: F401
 from .skyline import skyline  # noqa: F401
+from .drift import psi_drift  # noqa: F401
+from .markov import markov_transitions, stationary_distribution  # noqa: F401
+from .seqmine import frequent_sequences, keyed_sequences  # noqa: F401
+from .itemsets import association_rules, frequent_itemsets, keyed_baskets  # noqa: F401
