@@ -888,6 +888,20 @@ def q_frequent_sequences(spark, sf_dir):
     )
 
 
+def q_grouped_ols(spark, sf_dir):
+    """Grouped OLS trendlines (L135): extendedprice regressed on
+    quantity per returnflag — exact DECIMAL sufficient statistics
+    (order-insensitive sums) cast to double through ONE fixed IEEE
+    expression tree, so slope/intercept/r2 hash-match the oracle with
+    no rounding grid."""
+    from lmss_entity_extractor_spark.ops.regression import grouped_linreg
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_linreg(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+
+
 def _brand_baskets(spark, sf_dir):
     """Per-order DISTINCT brand baskets — the L134 input shape."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -4551,6 +4565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_sequences": q_frequent_sequences,
         "frequent_itemsets": q_frequent_itemsets,
         "assoc_rules": q_assoc_rules,
+        "grouped_ols": q_grouped_ols,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -6531,6 +6546,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT s1 || ' -> ' || s2, 2, support FROM l2
             UNION ALL
             SELECT s1 || ' -> ' || s2 || ' -> ' || s3, 3, support FROM l3
+        """,
+        "grouped_ols": """
+            WITH s AS (
+                SELECT l_returnflag,
+                       count(*) AS n,
+                       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                       sum(CAST(l_quantity AS DECIMAL(18,2))
+                           * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+                       sum(CAST(l_quantity AS DECIMAL(18,2))
+                           * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                GROUP BY 1
+            ),
+            d AS (
+                SELECT l_returnflag, n,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(sx AS DOUBLE) AS sxd,
+                       CAST(sy AS DOUBLE) AS syd,
+                       CAST(sxx AS DOUBLE) AS sxxd,
+                       CAST(sxy AS DOUBLE) AS sxyd,
+                       CAST(syy AS DOUBLE) AS syyd
+                FROM s
+            ),
+            t AS (
+                SELECT l_returnflag, n, nd, sxd, syd,
+                       nd * sxyd - sxd * syd AS covn,
+                       nd * sxxd - sxd * sxd AS varxn,
+                       nd * syyd - syd * syd AS varyn
+                FROM d
+            )
+            SELECT l_returnflag, n,
+                   CASE WHEN varxn <> 0 THEN covn / varxn END AS slope,
+                   CASE WHEN varxn <> 0
+                        THEN (syd - (covn / varxn) * sxd) / nd END
+                       AS intercept,
+                   CASE WHEN varxn <> 0 AND varyn <> 0
+                        THEN (covn * covn) / (varxn * varyn) END AS r2
+            FROM t
         """,
         "frequent_itemsets": """
             WITH b AS (
