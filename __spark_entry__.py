@@ -888,6 +888,30 @@ def q_frequent_sequences(spark, sf_dir):
     )
 
 
+def q_nb_lang_scores(spark, sf_dir):
+    """Multinomial Naive Bayes (L136), scoring surface: per-(doc,
+    class) log-posteriors under per-lang unigram class models — train
+    is one combinable pass, scoring one broadcast join; the per-cell
+    sum is the L39 ordered fold so the oracle reproduces the doubles
+    to libm ulps."""
+    from lmss_entity_extractor_spark.ops.nbayes import nb_score, train_nb
+
+    docs = _t(spark, sf_dir, "documents")
+    model, classes = train_nb(docs, "lang", alpha=0.5)
+    return nb_score(docs, model, classes)
+
+
+def q_nb_predict_lang(spark, sf_dir):
+    """Naive Bayes argmax prediction (L136): the class with the highest
+    log-posterior per document, ties on label ASC.  Count-driven score
+    margins (≫ libm ulp) keep the argmax engine-stable."""
+    from lmss_entity_extractor_spark.ops.nbayes import nb_predict, train_nb
+
+    docs = _t(spark, sf_dir, "documents")
+    model, classes = train_nb(docs, "lang", alpha=0.5)
+    return nb_predict(docs, model, classes)
+
+
 def q_grouped_ols(spark, sf_dir):
     """Grouped OLS trendlines (L135): extendedprice regressed on
     quantity per returnflag — exact DECIMAL sufficient statistics
@@ -4566,6 +4590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_itemsets": q_frequent_itemsets,
         "assoc_rules": q_assoc_rules,
         "grouped_ols": q_grouped_ols,
+        "nb_lang_scores": q_nb_lang_scores,
+        "nb_predict_lang": q_nb_predict_lang,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -7210,6 +7236,83 @@ def oracle_sql() -> dict[str, str]:
                coalesce(exp(-p.lp / p.n_tokens), 1.0) AS perplexity
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """
+    # Naive Bayes (L136): shared lattice — same tokenizer as lm_quality,
+    # same alpha=0.5 / V+1 smoothing, per-(doc,class) sums as the
+    # 0.0-prepended token-sorted left-assoc fold (addend order pinned).
+    _nb_prefix = """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> t <> '')) AS token
+            FROM documents
+        ),
+        cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        vocab AS (SELECT token FROM cnt ORDER BY c DESC, token LIMIT 65536),
+        vs AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+        pc AS (SELECT lang AS label, token, count(*) AS c_tc
+               FROM toks JOIN vocab USING (token) GROUP BY 1, 2),
+        ct AS (SELECT label, CAST(sum(c_tc) AS DOUBLE) AS n_c
+               FROM pc GROUP BY 1),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        classes AS (
+            SELECT dc.label,
+                   ln(CAST(dc.docs_c AS DOUBLE)) - ln((SELECT n FROM nd))
+                       AS prior_lp,
+                   ln(0.5) - ln(coalesce(ct.n_c, 0.0)
+                                + 0.5 * ((SELECT v FROM vs) + 1.0))
+                       AS oov_lp
+            FROM (SELECT lang AS label, count(*) AS docs_c
+                  FROM documents GROUP BY 1) dc
+            LEFT JOIN ct USING (label)
+        ),
+        model AS (
+            SELECT pc.label, pc.token,
+                   ln(pc.c_tc + 0.5) - ln(ct.n_c
+                       + 0.5 * ((SELECT v FROM vs) + 1.0)) AS logp
+            FROM pc JOIN ct USING (label)
+        ),
+        mult AS (SELECT doc_id, token, count(*) AS m
+                 FROM toks GROUP BY 1, 2),
+        terms AS (
+            SELECT mult.doc_id, c.label, mult.token,
+                   CAST(mult.m AS DOUBLE)
+                       * coalesce(model.logp, c.oov_lp) AS term
+            FROM mult CROSS JOIN classes c
+            LEFT JOIN model
+              ON model.label = c.label AND model.token = mult.token
+        ),
+        folded AS (
+            SELECT doc_id, label,
+                   list_reduce(
+                       list_prepend(0.0,
+                           [x.term FOR x IN list_sort(list(struct_pack(
+                               token := token, term := term)))]),
+                       (acc, v2) -> acc + v2) AS lp
+            FROM terms GROUP BY doc_id, label
+        ),
+        scored AS (
+            SELECT d.doc_id, c.label,
+                   c.prior_lp + coalesce(f.lp, 0.0) AS score
+            FROM documents d
+            CROSS JOIN classes c
+            LEFT JOIN folded f
+              ON f.doc_id = d.doc_id AND f.label = c.label
+        )
+    """
+    oracles["nb_lang_scores"] = (
+        _nb_prefix + "SELECT doc_id, label, score FROM scored"
+    )
+    oracles["nb_predict_lang"] = (
+        _nb_prefix
+        + """
+        SELECT doc_id, label, score FROM (
+            SELECT doc_id, label, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, label) AS rn
+            FROM scored
+        ) WHERE rn = 1"""
+    )
     oracles["corpus_line_dedup"] = """
         -- identical deterministic input derivation (boilerplate
         -- injection by doc_id residue + split at ' value '), then the
