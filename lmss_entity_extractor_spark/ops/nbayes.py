@@ -85,7 +85,7 @@ def train_nb(
         F.count(F.lit(1)).alias("docs_c")
     )
     classes = (
-        doc_counts.join(class_tok, "label", "left")
+        doc_counts.join(F.broadcast(class_tok), "label", "left")
         .withColumn("n_c", F.coalesce(F.col("n_c"), F.lit(0.0)))
         .select(
             "label",
@@ -96,7 +96,7 @@ def train_nb(
             (F.log(F.lit(float(alpha))) - denom).alias("oov_lp"),
         )
     )
-    model = per_class.join(class_tok, "label").select(
+    model = per_class.join(F.broadcast(class_tok), "label").select(
         "label",
         "token",
         (F.log(F.col("c_tc") + F.lit(float(alpha))) - denom).alias("logp"),
@@ -112,11 +112,14 @@ def nb_score(
     text_col: str = "text",
 ) -> DataFrame:
     """``(doc_id, label, score)`` — ln P(c) + Σ m_t·ln P(t|c) for every
-    (document × class); token-less documents score the prior alone."""
+    (document × class); token-less documents score the prior alone
+    (they flow through the fold as a single NULL-token 0.0 term via
+    ``explode_outer``, so NO doc×class spine join is needed — the
+    result is one broadcast prior join instead of a wide sort-merge)."""
     mult = (
         docs.select(
             F.col(doc_id_col).alias("doc_id"),
-            F.explode(_clean_tokens(text_col)).alias("token"),
+            F.explode_outer(_clean_tokens(text_col)).alias("token"),
         )
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("m"))
@@ -128,10 +131,12 @@ def nb_score(
             "doc_id",
             "label",
             "token",
-            (
+            F.when(F.col("token").isNull(), F.lit(0.0))
+            .otherwise(
                 F.col("m").cast("double")
                 * F.coalesce(F.col("logp"), F.col("oov_lp"))
-            ).alias("term"),
+            )
+            .alias("term"),
         )
     )
     folded = terms.groupBy("doc_id", "label").agg(
@@ -141,17 +146,12 @@ def nb_score(
             lambda acc, x: acc + x["term"],
         ).alias("lp")
     )
-    return (
-        docs.select(F.col(doc_id_col).alias("doc_id"))
-        .crossJoin(F.broadcast(classes.select("label", "prior_lp")))
-        .join(folded, ["doc_id", "label"], "left")
-        .select(
-            "doc_id",
-            "label",
-            (F.col("prior_lp") + F.coalesce(F.col("lp"), F.lit(0.0))).alias(
-                "score"
-            ),
-        )
+    return folded.join(
+        F.broadcast(classes.select("label", "prior_lp")), "label"
+    ).select(
+        "doc_id",
+        "label",
+        (F.col("prior_lp") + F.col("lp")).alias("score"),
     )
 
 

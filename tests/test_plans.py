@@ -249,3 +249,64 @@ class TestBucketedLayout:
         assert n_exchanges(plan_of(agg)) == 0, plan_of(agg)
         assert agg.count() == 100
         drop_table(spark, "bkt_g")
+
+
+@pytest.mark.spark
+class TestRound4PatternMiningPlans:
+    def test_grouped_ols_is_one_exchange_and_pruned(self, spark):
+        # six combinable sums -> exactly the one groupBy shuffle, and
+        # the scan decodes only the 3 referenced lineitem columns
+        plan = plan_of(entry.q_grouped_ols(spark, SF))
+        assert n_exchanges(plan) == 1, plan
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {"l_returnflag", "l_quantity", "l_extendedprice"}
+
+    def test_itemset_level_pass_is_broadcast(self, spark):
+        # the per-level support count must broadcast the candidate table,
+        # never shuffle the baskets against it
+        from pyspark.sql import functions as F
+
+        from lmss_entity_extractor_spark.ops.itemsets import (
+            _contains_set,
+            keyed_baskets,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "it%d" % (i % 3)) for i in range(30)], "k int, it string"
+        )
+        baskets = keyed_baskets(df, "k", "it")
+        cand = F.broadcast(
+            spark.createDataFrame([(["it0", "it1"],)], "pat array<string>")
+        )
+        level = (
+            baskets.crossJoin(cand)
+            .filter(_contains_set(F.col("items"), F.col("pat")))
+            .groupBy("pat")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        plan = plan_of(level)
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        # baskets were localCheckpointed, so the only exchange is the
+        # bounded candidate-support aggregation
+        assert n_exchanges(plan) <= 1, plan
+
+    def test_nb_scoring_broadcasts_model_and_classes(self, spark):
+        # scoring a 100 TB corpus must broadcast the bounded model, not
+        # shuffle the (doc, token) table against it
+        from lmss_entity_extractor_spark.ops.nbayes import nb_score, train_nb
+
+        docs = spark.createDataFrame(
+            [(i, "tok%d tok%d" % (i % 5, i % 3), "c%d" % (i % 2))
+             for i in range(40)],
+            "doc_id long, text string, lang string",
+        )
+        model, classes = train_nb(docs, "lang")
+        # serving shape: model/classes are precomputed bounded tables
+        model, classes = model.localCheckpoint(), classes.localCheckpoint()
+        plan = plan_of(nb_score(docs, model, classes))
+        assert "BroadcastHashJoin" in plan  # model + prior joins
+        assert "SortMergeJoin" not in plan, plan
+        # exactly two corpus-sized shuffles: the (doc, token)
+        # multiplicities and the per-(doc, class) ordered fold
+        assert n_exchanges(plan) == 2, plan
