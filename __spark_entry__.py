@@ -888,6 +888,34 @@ def q_frequent_sequences(spark, sf_dir):
     )
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust MAD anomaly flags (L137): per-event-type discrete
+    median/MAD over event values (users < 100 slice), Hampel k=3 —
+    order statistics are engine-exact, so med/mad/flags hash-match
+    ungridded."""
+    from lmss_entity_extractor_spark.ops.anomaly import mad_outliers
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    out = mad_outliers(e, ["event_type"], "value", k=3.0)
+    return out.select(
+        "event_id", "event_type", "value", "med", "mad", "is_outlier"
+    )
+
+
+def q_target_encode(spark, sf_dir):
+    """Leave-one-out target encoding (L138): order priority encoded
+    against total price — exact decimal sums, one IEEE division,
+    bit-identical with no grid."""
+    from lmss_entity_extractor_spark.ops.encoding import target_encode_loo
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return target_encode_loo(o, "o_orderpriority", "o_totalprice").select(
+        "o_orderkey", "o_orderpriority", "te"
+    )
+
+
 def q_nb_lang_scores(spark, sf_dir):
     """Multinomial Naive Bayes (L136), scoring surface: per-(doc,
     class) log-posteriors under per-lang unigram class models — train
@@ -4592,6 +4620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_ols": q_grouped_ols,
         "nb_lang_scores": q_nb_lang_scores,
         "nb_predict_lang": q_nb_predict_lang,
+        "mad_outliers": q_mad_outliers,
+        "target_encode": q_target_encode,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -6572,6 +6602,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT s1 || ' -> ' || s2, 2, support FROM l2
             UNION ALL
             SELECT s1 || ' -> ' || s2 || ' -> ' || s3, 3, support FROM l3
+        """,
+        "mad_outliers": """
+            WITH vals AS (
+                SELECT event_id, event_type, value FROM events
+                WHERE user_id < 100 AND value IS NOT NULL
+            ),
+            med AS (
+                SELECT event_type, quantile_disc(value, 0.5) AS med
+                FROM vals GROUP BY 1
+            ),
+            dev AS (
+                SELECT v.event_id, v.event_type, v.value, m.med,
+                       abs(v.value - m.med) AS d
+                FROM vals v JOIN med m USING (event_type)
+            ),
+            mad AS (
+                SELECT event_type, quantile_disc(d, 0.5) AS mad
+                FROM dev GROUP BY 1
+            )
+            SELECT dev.event_id, dev.event_type, dev.value, dev.med,
+                   mad.mad, dev.d > 3.0 * mad.mad AS is_outlier
+            FROM dev JOIN mad USING (event_type)
+        """,
+        "target_encode": """
+            WITH vals AS (
+                SELECT o_orderkey, o_orderpriority,
+                       CAST(o_totalprice AS DECIMAL(18,2)) AS yd
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL
+                  AND o_totalprice IS NOT NULL
+            ),
+            stats AS (
+                SELECT o_orderpriority, sum(yd) AS s, count(*) AS n
+                FROM vals GROUP BY 1
+            ),
+            gstats AS (SELECT sum(yd) AS gs, count(*) AS gn FROM vals)
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   CASE
+                     WHEN o.o_totalprice IS NULL
+                          OR o.o_orderpriority IS NULL THEN NULL
+                     WHEN st.n > 1 THEN
+                       CAST(st.s - CAST(o.o_totalprice AS DECIMAL(18,2))
+                            AS DOUBLE) / CAST(st.n - 1 AS DOUBLE)
+                     ELSE CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE)
+                   END AS te
+            FROM orders o
+            LEFT JOIN stats st USING (o_orderpriority)
+            CROSS JOIN gstats g
         """,
         "grouped_ols": """
             WITH s AS (

@@ -62,3 +62,5 @@ from .seqmine import frequent_sequences, keyed_sequences  # noqa: F401
 from .itemsets import association_rules, frequent_itemsets, keyed_baskets  # noqa: F401
 from .regression import grouped_linreg  # noqa: F401
 from .nbayes import nb_predict, nb_score, train_nb  # noqa: F401
+from .anomaly import mad_outliers  # noqa: F401
+from .encoding import target_encode_loo  # noqa: F401
