@@ -888,6 +888,28 @@ def q_frequent_sequences(spark, sf_dir):
     )
 
 
+def q_welch_ab(spark, sf_dir):
+    """Welch's t-test (L139): order totals, open ('O') vs finished
+    ('F') orders per priority — exact decimal sufficient stats through
+    one fixed IEEE tree (sqrt is exactly rounded), ungridded."""
+    from lmss_entity_extractor_spark.ops.stattests import welch_ttest
+
+    o = _t(spark, sf_dir, "orders")
+    return welch_ttest(
+        o, ["o_orderpriority"], "o_orderstatus", "O", "F", "o_totalprice"
+    )
+
+
+def q_chi2_assoc(spark, sf_dir):
+    """Chi-squared independence (L140): returnflag × linestatus
+    association on lineitem — exact integer cells, ordered-fold cell
+    sum, engine-stable double."""
+    from lmss_entity_extractor_spark.ops.stattests import chi2_independence
+
+    li = _t(spark, sf_dir, "lineitem")
+    return chi2_independence(li, "l_returnflag", "l_linestatus")
+
+
 def q_mad_outliers(spark, sf_dir):
     """Robust MAD anomaly flags (L137): per-event-type discrete
     median/MAD over event values (users < 100 slice), Hampel k=3 —
@@ -4622,6 +4644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_predict_lang": q_nb_predict_lang,
         "mad_outliers": q_mad_outliers,
         "target_encode": q_target_encode,
+        "welch_ab": q_welch_ab,
+        "chi2_assoc": q_chi2_assoc,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -6602,6 +6626,94 @@ def oracle_sql() -> dict[str, str]:
             SELECT s1 || ' -> ' || s2, 2, support FROM l2
             UNION ALL
             SELECT s1 || ' -> ' || s2 || ' -> ' || s3, 3, support FROM l3
+        """,
+        "welch_ab": """
+            WITH flt AS (
+                SELECT o_orderpriority AS g, o_orderstatus AS v,
+                       CAST(o_totalprice AS DECIMAL(18,2)) AS yd
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+                  AND o_orderstatus IN ('O', 'F')
+            ),
+            a AS (SELECT g, count(*) AS n_a, sum(yd) AS s_a,
+                         sum(yd * yd) AS sxx_a
+                  FROM flt WHERE v = 'O' GROUP BY 1),
+            b AS (SELECT g, count(*) AS n_b, sum(yd) AS s_b,
+                         sum(yd * yd) AS sxx_b
+                  FROM flt WHERE v = 'F' GROUP BY 1),
+            j AS (SELECT coalesce(a.g, b.g) AS g,
+                         n_a, s_a, sxx_a, n_b, s_b, sxx_b
+                  FROM a FULL OUTER JOIN b ON a.g = b.g),
+            d AS (
+                SELECT g, n_a, n_b,
+                       CAST(n_a AS DOUBLE) AS nad,
+                       CAST(s_a AS DOUBLE) AS sad,
+                       CAST(sxx_a AS DOUBLE) AS sxxad,
+                       CAST(n_b AS DOUBLE) AS nbd,
+                       CAST(s_b AS DOUBLE) AS sbd,
+                       CAST(sxx_b AS DOUBLE) AS sxxbd
+                FROM j
+            ),
+            s AS (
+                SELECT g, n_a, n_b,
+                       sad / nad AS ma, sbd / nbd AS mb,
+                       (nad * sxxad - sad * sad)
+                           / (nad * (nad - 1.0)) AS va,
+                       (nbd * sxxbd - sbd * sbd)
+                           / (nbd * (nbd - 1.0)) AS vb,
+                       nad, nbd
+                FROM d
+            ),
+            e AS (SELECT *, va / nad + vb / nbd AS se2 FROM s)
+            SELECT g AS o_orderpriority, n_a, n_b,
+                   CASE WHEN n_a IS NOT NULL THEN ma END AS mean_a,
+                   CASE WHEN n_b IS NOT NULL THEN mb END AS mean_b,
+                   CASE WHEN n_a IS NOT NULL AND n_b IS NOT NULL
+                             AND n_a > 1 AND n_b > 1 AND se2 > 0.0
+                        THEN (ma - mb) / sqrt(se2) END AS t,
+                   CASE WHEN n_a IS NOT NULL AND n_b IS NOT NULL
+                             AND n_a > 1 AND n_b > 1 AND se2 > 0.0
+                        THEN (se2 * se2) /
+                             ((va / nad) * (va / nad) / (nad - 1.0)
+                              + (vb / nbd) * (vb / nbd) / (nbd - 1.0))
+                   END AS dof
+            FROM e
+        """,
+        "chi2_assoc": """
+            WITH flt AS (
+                SELECT l_returnflag AS x, l_linestatus AS y
+                FROM lineitem
+                WHERE l_returnflag IS NOT NULL
+                  AND l_linestatus IS NOT NULL
+            ),
+            cells AS (SELECT x, y, count(*) AS o FROM flt GROUP BY 1, 2),
+            r AS (SELECT x, sum(o) AS rt FROM cells GROUP BY 1),
+            c AS (SELECT y, sum(o) AS ct FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                           count(DISTINCT x) AS nr,
+                           count(DISTINCT y) AS nc
+                    FROM cells),
+            terms AS (
+                SELECT t.n, t.nr, t.nc, cells.x, cells.y,
+                       (CAST(cells.o AS DOUBLE)
+                          - CAST(r.rt * c.ct AS DOUBLE)
+                              / CAST(t.n AS DOUBLE))
+                       * (CAST(cells.o AS DOUBLE)
+                          - CAST(r.rt * c.ct AS DOUBLE)
+                              / CAST(t.n AS DOUBLE))
+                       / (CAST(r.rt * c.ct AS DOUBLE)
+                              / CAST(t.n AS DOUBLE)) AS term
+                FROM cells JOIN r USING (x) JOIN c USING (y)
+                CROSS JOIN tot t
+            )
+            SELECT list_reduce(
+                       list_prepend(0.0,
+                           [s.term FOR s IN list_sort(list(struct_pack(
+                               x := x, y := y, term := term)))]),
+                       (acc, v2) -> acc + v2) AS chi2,
+                   CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+                   n
+            FROM terms GROUP BY n, nr, nc
         """,
         "mad_outliers": """
             WITH vals AS (
