@@ -888,6 +888,74 @@ def q_frequent_sequences(spark, sf_dir):
     )
 
 
+def q_corr_matrix(spark, sf_dir):
+    """Pearson correlation matrix (L141): all pairs over four lineitem
+    measures from ONE combinable aggregation — exact decimal sufficient
+    stats, fixed IEEE trees, ungridded."""
+    from lmss_entity_extractor_spark.ops.correlation import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q_spearman(spark, sf_dir):
+    """Spearman rank correlation (L142): quantity vs discount —
+    average-tie ranks minted from value-count tables (the ordered pass
+    touches only DISTINCT values, never the rows), then the decimal-
+    exact Pearson machinery on doubled integer ranks."""
+    from lmss_entity_extractor_spark.ops.correlation import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_corr(li, ["l_quantity", "l_discount"])
+
+
+def _corr_oracle_sql(cols: list[str], scale: int, src_sql: str) -> str:
+    """DuckDB twin of corr_matrix: same decimal sums, same IEEE tree,
+    one pair-SELECT per unordered column pair over ``src_sql``."""
+    cols = sorted(cols)
+    dec = f"DECIMAL(18,{scale})"
+    sums = ["count(*) AS n"]
+    for i, a in enumerate(cols):
+        sums.append(f"sum(CAST({a} AS {dec})) AS s_{a}")
+        sums.append(
+            f"sum(CAST({a} AS {dec}) * CAST({a} AS {dec})) AS ss_{a}_{a}"
+        )
+        for b in cols[i + 1 :]:
+            sums.append(
+                f"sum(CAST({a} AS {dec}) * CAST({b} AS {dec})) AS ss_{a}_{b}"
+            )
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    pair_sql = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            pair_sql.append(
+                f"""
+            SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+                   CASE WHEN CAST(n AS DOUBLE) * CAST(ss_{a}_{a} AS DOUBLE)
+                             - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE)
+                             > 0.0
+                         AND CAST(n AS DOUBLE) * CAST(ss_{b}_{b} AS DOUBLE)
+                             - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)
+                             > 0.0
+                   THEN (CAST(n AS DOUBLE) * CAST(ss_{a}_{b} AS DOUBLE)
+                         - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+                        / (sqrt(CAST(n AS DOUBLE) * CAST(ss_{a}_{a} AS DOUBLE)
+                                - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+                           * sqrt(CAST(n AS DOUBLE) * CAST(ss_{b}_{b} AS DOUBLE)
+                                  - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))
+                   END AS corr
+            FROM stats"""
+            )
+    return (
+        f"WITH src AS ({src_sql}), stats AS (SELECT "
+        + ", ".join(sums)
+        + f" FROM src WHERE {notnull})"
+        + " UNION ALL ".join(pair_sql)
+    )
+
+
 def q_welch_ab(spark, sf_dir):
     """Welch's t-test (L139): order totals, open ('O') vs finished
     ('F') orders per priority — exact decimal sufficient stats through
@@ -4646,6 +4714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "welch_ab": q_welch_ab,
         "chi2_assoc": q_chi2_assoc,
+        "corr_matrix": q_corr_matrix,
+        "spearman": q_spearman,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -6627,6 +6697,36 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT s1 || ' -> ' || s2 || ' -> ' || s3, 3, support FROM l3
         """,
+        "corr_matrix": _corr_oracle_sql(
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            2,
+            "SELECT l_quantity, l_extendedprice, l_discount, l_tax"
+            " FROM lineitem",
+        ),
+        "spearman": _corr_oracle_sql(
+            ["rk2_l_quantity", "rk2_l_discount"],
+            0,
+            """
+            WITH vals AS (
+                SELECT l_quantity AS a, l_discount AS b FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+            ),
+            ca AS (SELECT a AS v, count(*) AS cnt FROM vals GROUP BY 1),
+            ra AS (SELECT v, 2 * sum(cnt) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - cnt + 1 AS rk
+                   FROM ca),
+            cb AS (SELECT b AS v, count(*) AS cnt FROM vals GROUP BY 1),
+            rb AS (SELECT v, 2 * sum(cnt) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - cnt + 1 AS rk
+                   FROM cb)
+            SELECT CAST(ra.rk AS BIGINT) AS rk2_l_quantity,
+                   CAST(rb.rk AS BIGINT) AS rk2_l_discount
+            FROM vals JOIN ra ON vals.a = ra.v JOIN rb ON vals.b = rb.v
+            """,
+        ).replace("'rk2_l_discount' AS col_a", "'l_discount' AS col_a")
+        .replace("'rk2_l_quantity' AS col_b", "'l_quantity' AS col_b"),
         "welch_ab": """
             WITH flt AS (
                 SELECT o_orderpriority AS g, o_orderstatus AS v,

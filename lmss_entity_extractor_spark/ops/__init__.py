@@ -65,3 +65,4 @@ from .nbayes import nb_predict, nb_score, train_nb  # noqa: F401
 from .anomaly import mad_outliers  # noqa: F401
 from .encoding import target_encode_loo  # noqa: F401
 from .stattests import chi2_independence, welch_ttest  # noqa: F401
+from .correlation import corr_matrix, doubled_ranks, spearman_corr  # noqa: F401

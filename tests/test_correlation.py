@@ -1,0 +1,108 @@
+"""Pearson correlation matrix (L141) + Spearman (L142)."""
+
+import math
+
+import pytest
+
+from lmss_entity_extractor_spark.ops.correlation import (
+    corr_matrix,
+    doubled_ranks,
+    spearman_corr,
+)
+
+
+def _pearson_py(xs, ys):
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    return (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+
+
+def _ranks_py(vs):
+    order = sorted(vs)
+    return [(order.index(v) + 1 + (len(vs) - 1 - order[::-1].index(v) + 1)) / 2
+            for v in vs]
+
+
+class TestPearson:
+    def test_perfect_and_inverse(self, spark):
+        rows = [(float(i), 2.0 * i, -3.0 * i + 10) for i in range(1, 8)]
+        df = spark.createDataFrame(rows, "a double, b double, c double")
+        out = {(r["col_a"], r["col_b"]): r["corr"]
+               for r in corr_matrix(df, ["a", "b", "c"]).collect()}
+        assert out[("a", "b")] == pytest.approx(1.0, abs=1e-12)
+        assert out[("a", "c")] == pytest.approx(-1.0, abs=1e-12)
+        assert out[("b", "c")] == pytest.approx(-1.0, abs=1e-12)
+
+    def test_matches_python_reference(self, spark):
+        rows = [
+            (float((i * 7) % 13), float((i * 5) % 11) + 0.25, float(i % 4))
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "a double, b double, c double")
+        out = {(r["col_a"], r["col_b"]): r for r in corr_matrix(df, ["a", "b", "c"]).collect()}
+        assert len(out) == 3 and all(r["n"] == 50 for r in out.values())
+        cols = {"a": [r[0] for r in rows], "b": [r[1] for r in rows], "c": [r[2] for r in rows]}
+        for (a, b), r in out.items():
+            assert r["corr"] == pytest.approx(_pearson_py(cols[a], cols[b]), rel=1e-12)
+
+    def test_zero_variance_null(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "a double, b double"
+        )
+        out = corr_matrix(df, ["a", "b"]).collect()[0]
+        assert out["corr"] is None
+
+    def test_listwise_null_deletion(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 1.0), (2.0, None), (3.0, 3.0), (4.0, 4.0)],
+            "a double, b double",
+        )
+        out = corr_matrix(df, ["a", "b"]).collect()[0]
+        assert out["n"] == 3
+
+    def test_requires_two_columns(self, spark):
+        df = spark.createDataFrame([(1.0,)], "a double")
+        with pytest.raises(ValueError, match="need >= 2"):
+            corr_matrix(df, ["a"])
+
+    def test_parallelism_invariance_bitwise(self, spark):
+        rows = [(0.25 * ((i * 7) % 40), 0.5 * ((i * 11) % 30)) for i in range(200)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        x = corr_matrix(df, ["a", "b"]).collect()[0]["corr"]
+        y = corr_matrix(df.repartition(17), ["a", "b"]).collect()[0]["corr"]
+        assert x == y
+
+
+class TestSpearman:
+    def test_monotone_nonlinear_is_one(self, spark):
+        # y = x^3 is monotone: spearman 1, pearson < 1
+        rows = [(float(i), float(i) ** 3) for i in range(1, 10)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        sp = spearman_corr(df, ["a", "b"]).collect()[0]
+        assert sp["corr"] == pytest.approx(1.0, abs=1e-12)
+        pe = corr_matrix(df, ["a", "b"]).collect()[0]
+        assert pe["corr"] < 0.95
+
+    def test_doubled_ranks_average_ties(self, spark):
+        # values [10, 20, 20, 30]: avg ranks [1, 2.5, 2.5, 4] -> rk2 [2, 5, 5, 8]
+        df = spark.createDataFrame([(10.0,), (20.0,), (20.0,), (30.0,)], "a double")
+        got = sorted(r["rk2_a"] for r in doubled_ranks(df, ["a"]).collect())
+        assert got == [2, 5, 5, 8]
+
+    def test_matches_python_reference_with_ties(self, spark):
+        rows = [(float((i * 3) % 5), float((i * 7) % 4) + 0.5) for i in range(30)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        out = spearman_corr(df, ["a", "b"]).collect()[0]
+        ra = _ranks_py([r[0] for r in rows])
+        rb = _ranks_py([r[1] for r in rows])
+        assert out["corr"] == pytest.approx(_pearson_py(ra, rb), rel=1e-12)
+
+    def test_column_names_restored(self, spark):
+        df = spark.createDataFrame([(1.0, 2.0), (2.0, 1.0)], "a double, b double")
+        out = spearman_corr(df, ["a", "b"]).collect()[0]
+        assert (out["col_a"], out["col_b"]) == ("a", "b")
