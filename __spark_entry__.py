@@ -888,6 +888,32 @@ def q_frequent_sequences(spark, sf_dir):
     )
 
 
+def q_feature_scale(spark, sf_dir):
+    """Feature scaling (L143): z-score quantity, min-max price, and
+    winsorized discount on one lineitem slice, composed in ONE lazy
+    plan — decimal-exact fit stats broadcast onto per-row codegen
+    expressions, ungridded."""
+    from lmss_entity_extractor_spark.ops.scaling import (
+        minmax_scale,
+        standardize,
+        winsorize,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 37 == 0
+    )
+    out = standardize(li, ["l_quantity"])
+    out = minmax_scale(out, ["l_extendedprice"])
+    out = winsorize(out, ["l_discount"], lo=0.05, hi=0.95)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "z_l_quantity",
+        "mm_l_extendedprice",
+        "w_l_discount",
+    )
+
+
 def q_corr_matrix(spark, sf_dir):
     """Pearson correlation matrix (L141): all pairs over four lineitem
     measures from ONE combinable aggregation — exact decimal sufficient
@@ -4716,6 +4742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_assoc": q_chi2_assoc,
         "corr_matrix": q_corr_matrix,
         "spearman": q_spearman,
+        "feature_scale": q_feature_scale,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -6696,6 +6723,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT s1 || ' -> ' || s2, 2, support FROM l2
             UNION ALL
             SELECT s1 || ' -> ' || s2 || ' -> ' || s3, 3, support FROM l3
+        """,
+        "feature_scale": """
+            WITH src AS (
+                SELECT * FROM lineitem WHERE l_orderkey % 37 = 0
+            ),
+            st AS (
+                SELECT count(l_quantity) AS n,
+                       sum(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+                       sum(CAST(l_quantity AS DECIMAL(18,2))
+                           * CAST(l_quantity AS DECIMAL(18,2))) AS ss,
+                       min(l_extendedprice) AS lo_p,
+                       max(l_extendedprice) AS hi_p,
+                       quantile_disc(l_discount, 0.05) AS lo_d,
+                       quantile_disc(l_discount, 0.95) AS hi_d
+                FROM src
+            ),
+            d AS (
+                SELECT *, CAST(n AS DOUBLE) AS nd,
+                       CAST(s AS DOUBLE) AS sd,
+                       CAST(ss AS DOUBLE) AS ssd
+                FROM st
+            )
+            SELECT src.l_orderkey, src.l_linenumber,
+                   CASE WHEN d.n > 1
+                             AND d.nd * d.ssd - d.sd * d.sd > 0.0
+                        THEN (src.l_quantity - d.sd / d.nd)
+                             / sqrt((d.nd * d.ssd - d.sd * d.sd)
+                                    / (d.nd * (d.nd - 1.0)))
+                   END AS z_l_quantity,
+                   CASE WHEN d.hi_p > d.lo_p
+                        THEN (src.l_extendedprice - d.lo_p)
+                             / (d.hi_p - d.lo_p)
+                   END AS mm_l_extendedprice,
+                   least(greatest(src.l_discount, d.lo_d), d.hi_d)
+                       AS w_l_discount
+            FROM src CROSS JOIN d
         """,
         "corr_matrix": _corr_oracle_sql(
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
