@@ -888,6 +888,52 @@ def q_frequent_sequences(spark, sf_dir):
     )
 
 
+def q_rolling_active_users(spark, sf_dir):
+    """Rolling 7-day distinct active users (L127×L72 composition):
+    EXACT rolling distinct — the classic can't-do-with-a-window metric
+    (COUNT(DISTINCT) OVER RANGE isn't supported anywhere) — via
+    per-user coverage islands (each event day covers [d, d+6]; merged
+    by `coalesce_intervals`) swept globally by `concurrency`: one step
+    row per boundary, no per-day fan-out, nothing quadratic.  The
+    oracle IS the quadratic definition (per-boundary correlated
+    COUNT(DISTINCT) over [t−6, t]) — the relational twin this
+    composition avoids at row scale."""
+    from lmss_entity_extractor_spark.graph.temporal import coalesce_intervals
+    from lmss_entity_extractor_spark.ops.sweep import concurrency
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        # thin the stream so per-user gaps exceed the window and the
+        # island/boundary structure is actually exercised (the raw
+        # fixture has every user active every week)
+        & (F.col("event_id") % 29 == 0)
+    )
+    ud = e.select(
+        F.col("user_id").alias("u"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).distinct()
+    iv = ud.select(
+        "u",
+        F.col("d").alias("valid_from"),
+        (F.col("d") + 6).alias("valid_to"),
+    )
+    merged = coalesce_intervals(
+        iv, key_cols=("u",), start_col="valid_from", end_col="valid_to"
+    )
+    glob = merged.select(
+        F.lit(1).alias("g"),
+        "valid_from",
+        (F.col("valid_to") + 1).alias("vend"),
+    )
+    steps = concurrency(glob, "g", "valid_from", "vend")
+    return steps.select(
+        F.col("t").alias("day"), F.col("n_active").alias("active_users")
+    )
+
+
 def q_feature_scale(spark, sf_dir):
     """Feature scaling (L143): z-score quantity, min-max price, and
     winsorized discount on one lineitem slice, composed in ONE lazy
@@ -4743,6 +4789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "spearman": q_spearman,
         "feature_scale": q_feature_scale,
+        "rolling_active_users": q_rolling_active_users,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -6723,6 +6770,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT s1 || ' -> ' || s2, 2, support FROM l2
             UNION ALL
             SELECT s1 || ' -> ' || s2 || ' -> ' || s3, 3, support FROM l3
+        """,
+        "rolling_active_users": """
+            -- the quadratic DEFINITION the sweep composition avoids:
+            -- boundaries = island starts / island-ends+7 (same break
+            -- rule: events <= 6 days apart chain), value at t = exact
+            -- COUNT(DISTINCT user) with an event in [t-6, t]
+            WITH ud AS (
+                SELECT DISTINCT user_id AS u,
+                       date_diff('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) AS d
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                  AND event_id % 29 = 0
+            ),
+            starts AS (
+                SELECT DISTINCT d AS t FROM ud a
+                WHERE NOT EXISTS (SELECT 1 FROM ud b
+                                  WHERE b.u = a.u
+                                    AND b.d BETWEEN a.d - 6 AND a.d - 1)
+            ),
+            ends AS (
+                SELECT DISTINCT d + 7 AS t FROM ud a
+                WHERE NOT EXISTS (SELECT 1 FROM ud b
+                                  WHERE b.u = a.u
+                                    AND b.d BETWEEN a.d + 1 AND a.d + 6)
+            ),
+            bounds AS (SELECT t FROM starts UNION SELECT t FROM ends)
+            SELECT t AS day,
+                   (SELECT count(DISTINCT u) FROM ud
+                    WHERE ud.d BETWEEN bounds.t - 6 AND bounds.t)
+                       AS active_users
+            FROM bounds
         """,
         "feature_scale": """
             WITH src AS (
