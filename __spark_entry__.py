@@ -3375,6 +3375,39 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+def q_share_of_total(spark, sf_dir):
+    """Ratio-to-report: each nation's share of its region's revenue —
+    DECIMAL window sums (exact, order-insensitive) with ONE IEEE
+    division per row, ungridded."""
+    from pyspark.sql import Window
+
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "rev_d"
+            )
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return nat.select(
+        F.col("r_name").alias("region_name"),
+        F.col("n_name").alias("nation_name"),
+        F.col("rev_d").cast("double").alias("revenue"),
+        (
+            F.col("rev_d").cast("double")
+            / F.sum("rev_d").over(w).cast("double")
+        ).alias("share"),
+    )
+
+
 def q_collect_pivot(spark, sf_dir):
     """P3 triples->wide-row pivot form: per-subject ordered multi-value
     collapse (`app/lmss_parser.py:65-69` get_literals), as a sorted
@@ -4790,6 +4823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": q_spearman,
         "feature_scale": q_feature_scale,
         "rolling_active_users": q_rolling_active_users,
+        "share_of_total": q_share_of_total,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -7414,6 +7448,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "share_of_total": """
+            WITH nat AS (
+                SELECT r_name, n_name,
+                       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                GROUP BY 1, 2
+            )
+            SELECT r_name AS region_name, n_name AS nation_name,
+                   CAST(rev_d AS DOUBLE) AS revenue,
+                   CAST(rev_d AS DOUBLE)
+                       / CAST(sum(rev_d) OVER (PARTITION BY r_name)
+                              AS DOUBLE) AS share
+            FROM nat
         """,
         "sha256": """
             SELECT doc_id, sha256(text) AS sha FROM documents

@@ -109,3 +109,20 @@ def test_pyfiles_zip_self_contained(tmp_path):
         for p in (REPO / "lmss_entity_extractor_spark").rglob("*.py")
     }
     assert pkg_files == on_disk
+
+
+def test_no_duplicate_definitions_in_entry_module():
+    """Duplicate top-level defs (or duplicate dict keys built from
+    them) silently shadow earlier ones — a later q_x would replace an
+    earlier q_x in queries()/oracle_sql() with no error anywhere."""
+    import ast
+    import collections
+    from pathlib import Path
+
+    import __spark_entry__ as entry
+
+    src = Path(entry.__file__).read_text()
+    tree = ast.parse(src)
+    names = [n.name for n in tree.body if isinstance(n, ast.FunctionDef)]
+    dupes = [k for k, v in collections.Counter(names).items() if v > 1]
+    assert not dupes, f"duplicate top-level defs shadow each other: {dupes}"
