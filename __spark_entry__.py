@@ -3375,6 +3375,16 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+def q_benford(spark, sf_dir):
+    """Benford's-law conformance (L144): leading-digit forensics on
+    order totals — exact digit tally (string path, floor not round),
+    libm-expected shares, fixed-tree chi² terms, ungridded."""
+    from lmss_entity_extractor_spark.ops.benford import benford_digits
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_digits(o, "o_totalprice")
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -4824,6 +4834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_scale": q_feature_scale,
         "rolling_active_users": q_rolling_active_users,
         "share_of_total": q_share_of_total,
+        "benford": q_benford,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -7448,6 +7459,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "benford": """
+            WITH lead AS (
+                SELECT CAST(substring(CAST(CAST(floor(abs(o_totalprice))
+                           AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+                       AS digit
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+                  AND abs(o_totalprice) >= 1
+            ),
+            counts AS (SELECT digit, count(*) AS n FROM lead GROUP BY 1),
+            tot AS (SELECT sum(n) AS total FROM counts),
+            dig AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit)
+            SELECT dig.digit,
+                   coalesce(c.n, 0) AS n,
+                   CAST(coalesce(c.n, 0) AS DOUBLE)
+                       / CAST(t.total AS DOUBLE) AS share,
+                   log10(1.0 + 1.0 / CAST(dig.digit AS DOUBLE)) AS expected,
+                   abs(CAST(coalesce(c.n, 0) AS DOUBLE)
+                           / CAST(t.total AS DOUBLE)
+                       - log10(1.0 + 1.0 / CAST(dig.digit AS DOUBLE)))
+                       AS abs_dev,
+                   (CAST(coalesce(c.n, 0) AS DOUBLE)
+                    - log10(1.0 + 1.0 / CAST(dig.digit AS DOUBLE))
+                      * CAST(t.total AS DOUBLE))
+                   * (CAST(coalesce(c.n, 0) AS DOUBLE)
+                      - log10(1.0 + 1.0 / CAST(dig.digit AS DOUBLE))
+                        * CAST(t.total AS DOUBLE))
+                   / (log10(1.0 + 1.0 / CAST(dig.digit AS DOUBLE))
+                      * CAST(t.total AS DOUBLE)) AS chi2_term
+            FROM dig LEFT JOIN counts c USING (digit) CROSS JOIN tot t
         """,
         "share_of_total": """
             WITH nat AS (
