@@ -3385,6 +3385,28 @@ def q_benford(spark, sf_dir):
     return benford_digits(o, "o_totalprice")
 
 
+def q_power_law(spark, sf_dir):
+    """Power-law degree fit (L145): is the order→customer graph
+    scale-free?  Degree histogram → ln/ln OLS over the BOUNDED
+    distinct-degree point list, five sums as 0.0-prepended
+    k-sorted left folds (the L39 ordered-fold discipline), fixed
+    IEEE fit tree — alpha = −slope, plus R².  Oracle: same sorted
+    folds via list_reduce, same tree."""
+    from lmss_entity_extractor_spark.graph.powerlaw import power_law_fit
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("o:"), F.col("o_orderkey")).alias("src"),
+        F.concat(F.lit("c:"), F.col("o_custkey")).alias("dst"),
+    )
+    return power_law_fit(edges).select(
+        F.col("n_points").cast("long").alias("n_points"),
+        "alpha",
+        "intercept",
+        "r2",
+    )
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -4835,6 +4857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": q_rolling_active_users,
         "share_of_total": q_share_of_total,
         "benford": q_benford,
+        "power_law": q_power_law,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -7490,6 +7513,67 @@ def oracle_sql() -> dict[str, str]:
                    / (log10(1.0 + 1.0 / CAST(dig.digit AS DOUBLE))
                       * CAST(t.total AS DOUBLE)) AS chi2_term
             FROM dig LEFT JOIN counts c USING (digit) CROSS JOIN tot t
+        """,
+        "power_law": """
+            -- distinct-degree points sorted by k; five sums as
+            -- 0.0-prepended left-assoc list_reduce folds (the L39
+            -- float discipline); fixed IEEE fit tree mirrors Spark's
+            WITH edges AS (
+                SELECT 'o:' || CAST(o_orderkey AS VARCHAR) AS src,
+                       'c:' || CAST(o_custkey AS VARCHAR) AS dst
+                FROM orders
+            ),
+            ends AS (
+                SELECT src AS node FROM edges
+                UNION ALL
+                SELECT dst AS node FROM edges
+            ),
+            deg AS (SELECT node, count(*) AS k FROM ends GROUP BY 1),
+            dist AS (
+                SELECT k, count(*) AS n_k FROM deg WHERE k >= 1 GROUP BY 1
+            ),
+            pts AS (
+                SELECT list_sort(list(struct_pack(
+                           k := k,
+                           x := ln(CAST(k AS DOUBLE)),
+                           y := ln(CAST(n_k AS DOUBLE))))) AS a
+                FROM dist
+            ),
+            sums AS (
+                SELECT CAST(len(a) AS BIGINT) AS n_points,
+                       CAST(len(a) AS DOUBLE) AS n,
+                       list_reduce(list_prepend(0.0, [p.x FOR p IN a]),
+                                   (acc, v) -> acc + v) AS sx,
+                       list_reduce(list_prepend(0.0, [p.y FOR p IN a]),
+                                   (acc, v) -> acc + v) AS sy,
+                       list_reduce(list_prepend(0.0,
+                                       [p.x * p.x FOR p IN a]),
+                                   (acc, v) -> acc + v) AS sxx,
+                       list_reduce(list_prepend(0.0,
+                                       [p.x * p.y FOR p IN a]),
+                                   (acc, v) -> acc + v) AS sxy,
+                       list_reduce(list_prepend(0.0,
+                                       [p.y * p.y FOR p IN a]),
+                                   (acc, v) -> acc + v) AS syy
+                FROM pts
+            ),
+            t AS (
+                SELECT n_points, n, sx, sy,
+                       n * sxy - sx * sy AS covn,
+                       n * sxx - sx * sx AS varxn,
+                       n * syy - sy * sy AS varyn
+                FROM sums
+            )
+            SELECT n_points,
+                   CASE WHEN n_points > 1 AND varxn > 0.0
+                        THEN -(covn / varxn) END AS alpha,
+                   CASE WHEN n_points > 1 AND varxn > 0.0
+                        THEN (sy - (covn / varxn) * sx) / n END
+                       AS intercept,
+                   CASE WHEN n_points > 1 AND varxn > 0.0
+                            AND varyn > 0.0
+                        THEN (covn * covn) / (varxn * varyn) END AS r2
+            FROM t
         """,
         "share_of_total": """
             WITH nat AS (
