@@ -3407,6 +3407,37 @@ def q_power_law(spark, sf_dir):
     )
 
 
+def q_roc_auc(spark, sf_dir):
+    """ROC-AUC / Mann-Whitney U (L146): per-priority AUC of the
+    bucketed order total as a 'key divisible by 3' classifier —
+    doubled average-rank sums are exact DECIMAL integers, ONE IEEE
+    division at the end, bit-identical, ungridded.  Bucketing the
+    score (floor/100) forces real tie groups."""
+    from lmss_entity_extractor_spark.ops.rankeval import roc_auc
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_orderkey") % 3 == 0).cast("int").alias("label"),
+        F.floor(F.col("o_totalprice") / F.lit(100.0)).alias("s"),
+    )
+    return roc_auc(o, ["priority"], "label", "s")
+
+
+def q_ks_2samp(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov (L147): click-vs-view value
+    drift per user bucket — per distinct value the scaled ECDF gap
+    |cum_a·n_b − cum_b·n_a| is an exact integer; D = max gap over
+    n_a·n_b, ONE IEEE division, ungridded."""
+    from lmss_entity_extractor_spark.ops.rankeval import ks_2samp
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("bucket"),
+        "event_type",
+        "value",
+    )
+    return ks_2samp(e, ["bucket"], "event_type", "click", "view", "value")
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -4858,6 +4889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "share_of_total": q_share_of_total,
         "benford": q_benford,
         "power_law": q_power_law,
+        "roc_auc": q_roc_auc,
+        "ks_2samp": q_ks_2samp,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -7574,6 +7607,106 @@ def oracle_sql() -> dict[str, str]:
                             AND varyn > 0.0
                         THEN (covn * covn) / (varxn * varyn) END AS r2
             FROM t
+        """,
+        "roc_auc": """
+            -- doubled average-rank sums are exact integers
+            -- (2·avg_rank = 2·before + cnt + 1); DECIMAL(38,0)
+            -- accumulation, one final IEEE division — Spark's tree
+            WITH base AS (
+                SELECT o_orderpriority AS priority,
+                       CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END
+                           AS label,
+                       floor(o_totalprice / 100.0) AS s
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+            ),
+            pts AS (
+                SELECT priority, s, count(*) AS cnt, sum(label) AS pos
+                FROM base GROUP BY 1, 2
+            ),
+            wnd AS (
+                SELECT priority, cnt, pos,
+                       coalesce(sum(cnt) OVER (
+                           PARTITION BY priority ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS bef
+                FROM pts
+            ),
+            agg AS (
+                SELECT priority,
+                       CAST(sum(pos) AS BIGINT) AS n_pos,
+                       CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
+                       sum(CAST(pos AS DECIMAL(38,0))
+                           * CAST(2 * bef + cnt + 1 AS DECIMAL(38,0)))
+                           AS r2pos
+                FROM wnd GROUP BY 1
+            ),
+            fit AS (
+                SELECT priority, n_pos, n_neg,
+                       r2pos - CAST(n_pos AS DECIMAL(38,0))
+                               * (CAST(n_pos AS DECIMAL(38,0))
+                                  + CAST(1 AS DECIMAL(38,0))) AS u2
+                FROM agg
+            )
+            SELECT priority, n_pos, n_neg,
+                   CASE WHEN n_pos > 0 AND n_neg > 0
+                        THEN CAST(u2 AS DOUBLE) / 2.0 END AS u,
+                   CASE WHEN n_pos > 0 AND n_neg > 0
+                        THEN CAST(u2 AS DOUBLE)
+                             / CAST(CAST(2 AS DECIMAL(38,0))
+                                    * CAST(n_pos AS DECIMAL(38,0))
+                                    * CAST(n_neg AS DECIMAL(38,0))
+                                    AS DOUBLE) END AS auc
+            FROM fit
+        """,
+        "ks_2samp": """
+            -- per distinct value the scaled ECDF gap
+            -- |cum_a·n_b − cum_b·n_a| is an exact integer;
+            -- D = max gap / (n_a·n_b), one IEEE division
+            WITH base AS (
+                SELECT user_id % 4 AS bucket, event_type, value
+                FROM events
+                WHERE value IS NOT NULL
+                  AND event_type IN ('click', 'view')
+            ),
+            pts AS (
+                SELECT bucket, value AS v,
+                       sum(CASE WHEN event_type = 'click'
+                                THEN 1 ELSE 0 END) AS ca,
+                       sum(CASE WHEN event_type = 'view'
+                                THEN 1 ELSE 0 END) AS cb
+                FROM base GROUP BY 1, 2
+            ),
+            wnd AS (
+                SELECT bucket,
+                       sum(ca) OVER (PARTITION BY bucket ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cuma,
+                       sum(cb) OVER (PARTITION BY bucket ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cumb,
+                       sum(ca) OVER (PARTITION BY bucket) AS na,
+                       sum(cb) OVER (PARTITION BY bucket) AS nb
+                FROM pts
+            ),
+            agg AS (
+                SELECT bucket,
+                       CAST(max(na) AS BIGINT) AS n_a,
+                       CAST(max(nb) AS BIGINT) AS n_b,
+                       max(abs(CAST(cuma AS DECIMAL(38,0))
+                                   * CAST(nb AS DECIMAL(38,0))
+                               - CAST(cumb AS DECIMAL(38,0))
+                                   * CAST(na AS DECIMAL(38,0))))
+                           AS maxgap
+                FROM wnd GROUP BY 1
+            )
+            SELECT bucket, n_a, n_b,
+                   CASE WHEN n_a > 0 AND n_b > 0
+                        THEN CAST(maxgap AS DOUBLE)
+                             / CAST(CAST(n_a AS DECIMAL(38,0))
+                                    * CAST(n_b AS DECIMAL(38,0))
+                                    AS DOUBLE) END AS d
+            FROM agg
         """,
         "share_of_total": """
             WITH nat AS (

@@ -68,3 +68,4 @@ from .stattests import chi2_independence, welch_ttest  # noqa: F401
 from .correlation import corr_matrix, doubled_ranks, spearman_corr  # noqa: F401
 from .scaling import minmax_scale, standardize, winsorize  # noqa: F401
 from .benford import benford_digits  # noqa: F401
+from .rankeval import roc_auc, ks_2samp  # noqa: F401

@@ -1,0 +1,146 @@
+"""Rank-based evaluation statistics (L146/L147): ROC-AUC via the
+Mann-Whitney U statistic and the exact two-sample Kolmogorov-Smirnov
+distance — the classifier-evaluation and distribution-drift workhorses,
+re-expressed so every intermediate is EXACT integer/decimal arithmetic
+and the only IEEE operation is one final division.
+
+L146 — ROC-AUC (Mann-Whitney): AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻).
+With average-rank tie handling, U = R⁺ − n⁺(n⁺+1)/2 where R⁺ is the
+sum of average ranks of positives under ascending score order.  Ranks
+are rationals with denominator 2, so DOUBLED rank sums are integers:
+for a tie group of ``cnt`` rows starting after ``before`` rows,
+2·avg_rank = 2·before + cnt + 1, hence
+
+    2·R⁺ = Σ_groups pos_cnt · (2·before + cnt + 1)        (exact int)
+    AUC  = (2·R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻)                  (one division)
+
+L147 — two-sample KS: D = max_x |F_a(x) − F_b(x)|.  At each distinct
+value, |cum_a·n_b − cum_b·n_a| is an exact integer; D is the max of
+those over n_a·n_b — again one division at the very end.
+
+Exactness: sums run in DECIMAL(38,0) (order-insensitive, combinable,
+no 64-bit overflow at 10¹² rows where rank·count products reach
+10²⁴); the single final divide of exactly-representable integers is
+correctly rounded by IEEE, so both statistics are bit-identical across
+engines and parallelism — NO grid.
+
+Scale shape: one combinable groupBy per (keys, value) — the distinct-
+value table is ≤ input and usually far smaller; ONE window pass per
+group ordered by value (a single keyed exchange; the sort is the
+semantics); one final combinable agg.  A 100 TB fact table is scanned
+once; no collect, no crossJoin.
+
+No reference counterpart; model-evaluation analytics per SURVEY §2.11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def roc_auc(
+    df: DataFrame,
+    by: list[str],
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """``(by..., n_pos, n_neg, u, auc)`` — average-rank-tied ROC-AUC
+    per group.  ``label_col`` must be 0/1 (cast to int); NULL labels
+    or scores are ignored.  Groups missing a class yield NULL u/auc."""
+    lab = F.col(label_col).cast("int")
+    pts = (
+        df.filter(F.col(label_col).isNotNull() & F.col(score_col).isNotNull())
+        .groupBy(*by, F.col(score_col).alias("_s"))
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum(lab).alias("_pos"),
+        )
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pts = pts.withColumn("_before", F.coalesce(F.sum("_cnt").over(w), F.lit(0)))
+    # doubled average rank of the tie group, an exact integer
+    two_rank = (
+        F.lit(2) * F.col("_before") + F.col("_cnt") + F.lit(1)
+    ).cast(_DEC)
+    agg = pts.groupBy(*by).agg(
+        F.sum("_pos").alias("n_pos"),
+        F.sum(F.col("_cnt") - F.col("_pos")).alias("n_neg"),
+        F.sum(F.col("_pos").cast(_DEC) * two_rank).alias("_2rpos"),
+    )
+    np_, nn = F.col("n_pos").cast(_DEC), F.col("n_neg").cast(_DEC)
+    u2 = F.col("_2rpos") - np_ * (np_ + F.lit(1).cast(_DEC))  # = 2·U
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return agg.select(
+        *by,
+        "n_pos",
+        "n_neg",
+        F.when(ok, u2.cast("double") / F.lit(2.0)).alias("u"),
+        F.when(
+            ok,
+            u2.cast("double") / (F.lit(2).cast(_DEC) * np_ * nn).cast("double"),
+        ).alias("auc"),
+    )
+
+
+def ks_2samp(
+    df: DataFrame,
+    by: list[str],
+    sample_col: str,
+    sample_a: str,
+    sample_b: str,
+    value_col: str,
+) -> DataFrame:
+    """``(by..., n_a, n_b, d)`` — exact two-sample KS distance per
+    group: max_x |F_a(x) − F_b(x)| over the pooled distinct values.
+    Rows of other samples are ignored; a group missing either sample
+    yields NULL d."""
+    flt = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(sample_col).isin([sample_a, sample_b])
+    )
+    is_a = (F.col(sample_col) == sample_a).cast("long")
+    pts = flt.groupBy(*by, F.col(value_col).alias("_v")).agg(
+        F.sum(is_a).alias("_ca"),
+        F.sum(F.lit(1) - is_a).alias("_cb"),
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy(*by)
+    pts = (
+        pts.withColumn("_cuma", F.sum("_ca").over(w))
+        .withColumn("_cumb", F.sum("_cb").over(w))
+        .withColumn("_na", F.sum("_ca").over(tot))
+        .withColumn("_nb", F.sum("_cb").over(tot))
+    )
+    gap = F.abs(
+        F.col("_cuma").cast(_DEC) * F.col("_nb").cast(_DEC)
+        - F.col("_cumb").cast(_DEC) * F.col("_na").cast(_DEC)
+    )
+    agg = pts.groupBy(*by).agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.max(gap).alias("_maxgap"),
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        *by,
+        "n_a",
+        "n_b",
+        F.when(
+            ok,
+            F.col("_maxgap").cast("double")
+            / (F.col("n_a").cast(_DEC) * F.col("n_b").cast(_DEC)).cast(
+                "double"
+            ),
+        ).alias("d"),
+    )
