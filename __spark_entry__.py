@@ -3438,6 +3438,49 @@ def q_ks_2samp(spark, sf_dir):
     return ks_2samp(e, ["bucket"], "event_type", "click", "view", "value")
 
 
+def q_modularity(spark, sf_dir):
+    """Newman modularity (L148): does the region partition explain the
+    customer→nation graph?  Q = (4m·Σe_c − Σd_c²)/(4m²) — exact
+    integer statistics, ONE IEEE division, ungridded."""
+    from lmss_entity_extractor_spark.graph.metrics import modularity
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    edges = c.select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("n:"), F.col("c_nationkey")).alias("dst"),
+    )
+    comm = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"),
+            F.col("n_regionkey").alias("community"),
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n:"), F.col("n_nationkey")).alias("node"),
+                F.col("n_regionkey").alias("community"),
+            )
+        )
+    )
+    return modularity(edges, comm)
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (L149): endpoint-degree Pearson over both
+    orientations of the order→customer graph — all sums exact
+    integers, r = ONE IEEE division, ungridded (strongly negative:
+    hub customers attach to degree-1 orders)."""
+    from lmss_entity_extractor_spark.graph.metrics import degree_assortativity
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("o:"), F.col("o_orderkey")).alias("src"),
+        F.concat(F.lit("c:"), F.col("o_custkey")).alias("dst"),
+    )
+    return degree_assortativity(edges)
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -4891,6 +4934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "power_law": q_power_law,
         "roc_auc": q_roc_auc,
         "ks_2samp": q_ks_2samp,
+        "modularity": q_modularity,
+        "assortativity": q_assortativity,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -7658,6 +7703,97 @@ def oracle_sql() -> dict[str, str]:
                                     * CAST(n_neg AS DECIMAL(38,0))
                                     AS DOUBLE) END AS auc
             FROM fit
+        """,
+        "modularity": """
+            -- Q = (4m·Σe_c − Σd_c²)/(4m²): exact integer statistics,
+            -- one final IEEE division — Spark's tree
+            WITH edges AS (
+                SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS src,
+                       'n:' || CAST(c_nationkey AS VARCHAR) AS dst
+                FROM customer
+            ),
+            comm AS (
+                SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS node,
+                       n_regionkey AS c
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                UNION ALL
+                SELECT 'n:' || CAST(n_nationkey AS VARCHAR), n_regionkey
+                FROM nation
+            ),
+            mm AS (SELECT count(*) AS m FROM edges),
+            intra AS (
+                SELECT cu.c AS c,
+                       sum(CASE WHEN cu.c = cv.c THEN 1 ELSE 0 END) AS e_c
+                FROM edges
+                JOIN comm cu ON edges.src = cu.node
+                JOIN comm cv ON edges.dst = cv.node
+                GROUP BY 1
+            ),
+            deg AS (
+                SELECT node, count(*) AS deg
+                FROM (SELECT src AS node FROM edges
+                      UNION ALL SELECT dst FROM edges)
+                GROUP BY 1
+            ),
+            dc AS (
+                SELECT comm.c, sum(deg.deg) AS d_c
+                FROM deg JOIN comm ON deg.node = comm.node
+                GROUP BY 1
+            ),
+            stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_communities,
+                       sum(CAST(coalesce(intra.e_c, 0) AS BIGINT)) AS se,
+                       sum(CAST(dc.d_c AS BIGINT)
+                           * CAST(dc.d_c AS BIGINT)) AS sd2
+                FROM dc LEFT JOIN intra ON dc.c = intra.c
+            )
+            SELECT CAST(mm.m AS BIGINT) AS m,
+                   stats.n_communities,
+                   CASE WHEN mm.m > 0 THEN
+                       CAST(4 * mm.m * stats.se - stats.sd2 AS DOUBLE)
+                       / CAST(4 * mm.m * mm.m AS DOUBLE)
+                   END AS q
+            FROM stats CROSS JOIN mm
+        """,
+        "assortativity": """
+            -- endpoint-degree Pearson over both edge orientations:
+            -- r = (N·Σxy − (Σx)²)/(N·Σxx − (Σx)²), all sums exact
+            WITH edges AS (
+                SELECT 'o:' || CAST(o_orderkey AS VARCHAR) AS src,
+                       'c:' || CAST(o_custkey AS VARCHAR) AS dst
+                FROM orders
+            ),
+            deg AS (
+                SELECT node, count(*) AS deg
+                FROM (SELECT src AS node FROM edges
+                      UNION ALL SELECT dst FROM edges)
+                GROUP BY 1
+            ),
+            boths AS (
+                SELECT src AS u, dst AS v FROM edges
+                UNION ALL
+                SELECT dst AS u, src AS v FROM edges
+            ),
+            paired AS (
+                SELECT CAST(du.deg AS BIGINT) AS x,
+                       CAST(dv.deg AS BIGINT) AS y
+                FROM boths
+                JOIN deg du ON boths.u = du.node
+                JOIN deg dv ON boths.v = dv.node
+            ),
+            s AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx
+                FROM paired
+            )
+            SELECT CAST(n / 2 AS BIGINT) AS m,
+                   CASE WHEN n * sxx - sx * sx <> 0 THEN
+                       CAST(n * sxy - sx * sx AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)
+                   END AS r
+            FROM s
         """,
         "ks_2samp": """
             -- per distinct value the scaled ECDF gap

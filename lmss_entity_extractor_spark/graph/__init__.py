@@ -30,3 +30,4 @@ from .owlprops import owl_entail  # noqa: F401
 from .reify import reify, unreify  # noqa: F401
 from .bisim import bisimulation_classes  # noqa: F401
 from .powerlaw import degree_distribution, power_law_fit  # noqa: F401
+from .metrics import modularity, degree_assortativity  # noqa: F401

@@ -1,0 +1,150 @@
+"""Graph partition/mixing diagnostics (L148/L149): Newman modularity
+of a community assignment and the degree-assortativity coefficient —
+the two numbers that tell you whether a constructed KG has real
+community structure and whether hubs attach to hubs (assortative) or
+to leaves (disassortative, the usual KG/BA shape).  Both are exact
+rationals of integer edge/degree statistics, so each is ONE final
+IEEE division over DECIMAL(38,0) sums — bit-identical, no grid.
+
+L148 — modularity (Newman 2004): for undirected edges and a node →
+community map,
+
+    Q = Σ_c e_c/m − (d_c/2m)²  =  (4m·Σ e_c − Σ d_c²) / (4m²)
+
+with m = |edges|, e_c = intra-community edge count, d_c = total degree
+of community c.  Self-loops follow the multigraph convention: degree
++2, intra-edge +1.  Nodes missing from the community map are refused
+loudly (a silent drop would inflate Q).
+
+L149 — degree assortativity (Newman 2002, full-degree convention as
+in networkx): Pearson correlation of endpoint degrees over DIRECTED
+edge copies (each undirected edge counted both ways, so Σx = Σy):
+
+    r = (N·Σxy − (Σx)²) / (N·Σxx − (Σx)²),   N = 2m
+
+Degenerate variance (all endpoints same degree) → NULL.
+
+Scale shape: degrees are one combinable groupBy over endpoints; the
+community/degree lookups are keyed equi-joins against node-sized
+tables (broadcast when small); the statistics are single combinable
+aggregations.  The 100 TB edge list is scanned a constant number of
+times; nothing is quadratic, nothing is collected.
+
+No reference counterpart; graph diagnostics per SURVEY §2.11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def _degrees(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    ends = edges.select(F.col(src).alias("node")).unionAll(
+        edges.select(F.col(dst).alias("node"))
+    )
+    return ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """One row ``(m, n_communities, q)``.  ``communities`` maps every
+    node appearing in ``edges`` to exactly one community; unmapped
+    endpoints raise (LEFT-join-then-assert, not a silent inner drop)."""
+    comm = communities.select(
+        F.col(node_col).alias("node"), F.col(community_col).alias("_c")
+    )
+    e = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .join(comm.withColumnRenamed("_c", "_cu"), F.col("_u") == F.col("node"), "left")
+        .drop("node")
+        .join(comm.withColumnRenamed("_c", "_cv"), F.col("_v") == F.col("node"), "left")
+        .drop("node")
+    )
+    n_unmapped = e.filter(
+        F.col("_cu").isNull() | F.col("_cv").isNull()
+    ).count()
+    if n_unmapped:
+        raise ValueError(
+            f"modularity: {n_unmapped} edge(s) touch nodes missing from "
+            "the community map — fix the assignment; a silent drop "
+            "would bias Q"
+        )
+    m_intra = e.groupBy("_cu").agg(
+        F.sum((F.col("_cu") == F.col("_cv")).cast("long")).alias("e_c")
+    )
+    # community total degree: degree-weighted membership
+    d_c = (
+        _degrees(edges, src, dst)
+        .join(comm, "node")
+        .groupBy("_c")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    stats = (
+        d_c.join(m_intra, d_c["_c"] == m_intra["_cu"], "left")
+        .select(
+            F.coalesce(F.col("e_c"), F.lit(0)).cast(_DEC).alias("e_c"),
+            F.col("d_c").cast(_DEC).alias("d_c"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum("e_c").alias("se"),
+            F.sum(F.col("d_c") * F.col("d_c")).alias("sd2"),
+        )
+    )
+    m_cnt = edges.count()
+    m4 = F.lit(4 * m_cnt).cast(_DEC)
+    num = m4 * F.col("se") - F.col("sd2")
+    den = F.lit(4 * m_cnt * m_cnt).cast(_DEC)
+    return stats.select(
+        F.lit(m_cnt).cast("long").alias("m"),
+        "n_communities",
+        F.when(
+            F.lit(m_cnt) > 0, num.cast("double") / den.cast("double")
+        ).alias("q"),
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One row ``(m, r)`` — full-degree Pearson assortativity over both
+    orientations of every edge.  Zero degree variance → NULL r."""
+    deg = _degrees(edges, src, dst)
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    both = e.unionAll(e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
+    dx = deg.select(F.col("node").alias("_nu"), F.col("deg").alias("_dx"))
+    dy = deg.select(F.col("node").alias("_nv"), F.col("deg").alias("_dy"))
+    paired = (
+        both.join(dx, F.col("_u") == F.col("_nu"))
+        .join(dy, F.col("_v") == F.col("_nv"))
+        .select(
+            F.col("_dx").cast(_DEC).alias("x"),
+            F.col("_dy").cast(_DEC).alias("y"),
+        )
+    )
+    s = paired.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        (F.col("n") / F.lit(2).cast(_DEC)).cast("long").alias("m"),
+        F.when(
+            den != F.lit(0).cast(_DEC),
+            num.cast("double") / den.cast("double"),
+        ).alias("r"),
+    )
