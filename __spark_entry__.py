@@ -3481,6 +3481,37 @@ def q_assortativity(spark, sf_dir):
     return degree_assortativity(edges)
 
 
+def q_gini(spark, sf_dir):
+    """Gini concentration (L150): how unevenly is order revenue
+    distributed within each priority — G = (2Σi·xᵢ − (n+1)Σxᵢ)/(nΣxᵢ)
+    over decimal-exact rank-value sums, ONE IEEE division,
+    ungridded."""
+    from lmss_entity_extractor_spark.ops.concentration import gini
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"), "o_totalprice"
+    )
+    out = gini(o, ["priority"], "o_totalprice")
+    return out.select(
+        "priority", "n", F.col("total").cast("double").alias("total"), "gini"
+    )
+
+
+def q_acf(spark, sf_dir):
+    """Autocorrelation function (L151): lags 1..3 of the event-value
+    series per user bucket, ordered by (ts, event_id) — mean-centred
+    as cₜ = n·xₜ − S so sums stay exact decimals; r = ONE IEEE
+    division per lag, ungridded."""
+    from lmss_entity_extractor_spark.ops.concentration import acf
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select((F.col("user_id") % 4).alias("bucket"), "ts", "event_id", "value")
+    )
+    return acf(e, ["bucket"], ["ts", "event_id"], "value", max_lag=3)
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -4936,6 +4967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_2samp": q_ks_2samp,
         "modularity": q_modularity,
         "assortativity": q_assortativity,
+        "gini": q_gini,
+        "acf": q_acf,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -7794,6 +7827,87 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(n * sxx - sx * sx AS DOUBLE)
                    END AS r
             FROM s
+        """,
+        "gini": """
+            -- G = (2·Σi·x − (n+1)·Σx)/(n·Σx): decimal-exact
+            -- rank-value sums (row_number ties are safe: equal
+            -- values give the same Σi·x), one final IEEE division
+            WITH ranked AS (
+                SELECT o_orderpriority AS priority,
+                       CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY CAST(o_totalprice AS DECIMAL(18,2))
+                       ) AS i
+                FROM orders WHERE o_totalprice IS NOT NULL
+            ),
+            agg AS (
+                SELECT priority,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS DECIMAL(18,2)) AS total,
+                       CAST(sum(CAST(i AS DECIMAL(19,0)) * x)
+                            AS DECIMAL(25,2)) AS six
+                FROM ranked GROUP BY 1
+            )
+            SELECT priority, n,
+                   CAST(total AS DOUBLE) AS total,
+                   CASE WHEN total <> 0 THEN
+                       CAST(six + six - CAST(n + 1 AS DECIMAL(19,0))
+                                * CAST(total AS DECIMAL(19,2)) AS DOUBLE)
+                       / CAST(CAST(n AS DECIMAL(19,0))
+                              * CAST(total AS DECIMAL(19,2)) AS DOUBLE)
+                   END AS gini
+            FROM agg
+        """,
+        "acf": """
+            -- mean-centred without dividing: c = n·x − S (exact
+            -- decimal), r_h = Σ c·lag_h(c) / Σ c² — the n² cancels;
+            -- one IEEE division per lag
+            WITH base AS (
+                SELECT user_id % 4 AS bucket, ts, event_id,
+                       CAST(value AS DECIMAL(18,2)) AS x
+                FROM events WHERE value IS NOT NULL
+            ),
+            stats AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS DECIMAL(18,2)) AS s
+                FROM base GROUP BY 1
+            ),
+            centred AS (
+                SELECT b.bucket, st.n,
+                       CAST(CAST(st.n AS DECIMAL(10,0)) * b.x
+                            - st.s AS DECIMAL(19,2)) AS c,
+                       b.ts, b.event_id
+                FROM base b JOIN stats st ON b.bucket = st.bucket
+            ),
+            lagged AS (
+                SELECT bucket, n, c,
+                       lag(c, 1) OVER w AS l1,
+                       lag(c, 2) OVER w AS l2,
+                       lag(c, 3) OVER w AS l3
+                FROM centred
+                WINDOW w AS (PARTITION BY bucket ORDER BY ts, event_id)
+            ),
+            sums AS (
+                SELECT bucket, n,
+                       sum(c * c) AS den,
+                       sum(c * l1) AS num1,
+                       sum(c * l2) AS num2,
+                       sum(c * l3) AS num3
+                FROM lagged GROUP BY 1, 2
+            )
+            SELECT bucket, CAST(lag AS INTEGER) AS lag, n,
+                   CASE WHEN den IS NOT NULL AND den <> 0
+                            AND num IS NOT NULL
+                        THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                   END AS r
+            FROM (
+                SELECT bucket, n, den, 1 AS lag, num1 AS num FROM sums
+                UNION ALL
+                SELECT bucket, n, den, 2, num2 FROM sums
+                UNION ALL
+                SELECT bucket, n, den, 3, num3 FROM sums
+            )
         """,
         "ks_2samp": """
             -- per distinct value the scaled ECDF gap

@@ -69,3 +69,4 @@ from .correlation import corr_matrix, doubled_ranks, spearman_corr  # noqa: F401
 from .scaling import minmax_scale, standardize, winsorize  # noqa: F401
 from .benford import benford_digits  # noqa: F401
 from .rankeval import roc_auc, ks_2samp  # noqa: F401
+from .concentration import gini, acf  # noqa: F401

@@ -1,0 +1,154 @@
+"""Concentration + serial-dependence statistics (L150/L151): the Gini
+coefficient (how unevenly is value distributed over a key — revenue
+concentration, token-ownership skew, the budget-planning twin of the
+L94 key-skew diagnosis) and the sample autocorrelation function (is a
+per-key series trending/cyclic — the pre-model question of every
+time-series pipeline).  Both re-derived so every accumulated quantity
+is EXACT decimal/integer arithmetic and the only IEEE operation is
+one final division per output row — bit-identical, no grid.
+
+L150 — Gini over DECIMAL(18,s) values x₁≤…≤xₙ (row_number ranks;
+ties are safe because equal values contribute the same Σi·xᵢ under
+any tie order):
+
+    G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)
+
+Negative values are REFUSED (Gini is undefined there); zero total →
+NULL.  One keyed window pass (row_number) + one combinable agg.
+
+L151 — ACF at lags 1..L, mean-centred without ever dividing by n
+until the end: with S = Σx and per-row centred value cₜ = n·xₜ − S
+(exact decimal),
+
+    r_h = Σ_{t>h} cₜ·cₜ₋ₕ / Σₜ cₜ²
+
+— the n² factors cancel, so numerator and denominator are exact
+decimal sums and r_h is one division.  Row order is pinned by an
+explicit (order_cols...) tuple — the caller must make it a total
+order (ties would make lag() nondeterministic).
+
+Scale shape: Gini = one keyed exchange (window sort) + combinable
+agg.  ACF = one combinable agg for (n, S), a broadcast join back,
+one keyed window pass computing all L lags in a single sort, one
+combinable agg — a 100 TB fact table is scanned twice, shuffled once
+by key.  DECIMAL(38) bounds the exact range; ANSI mode fails loudly
+on overflow rather than silently wrapping.
+
+No reference counterpart; analytics per SURVEY §2.11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,6)"
+
+
+def gini(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, total, gini)`` — Gini coefficient per group over
+    non-negative values exactly representable at DECIMAL(18, scale).
+    NULL values are ignored; negatives raise; zero total → NULL."""
+    dec = f"decimal(18,{scale})"
+    x = F.col(value_col).cast(dec)
+    flt = df.filter(F.col(value_col).isNotNull()).select(*by, x.alias("_x"))
+    n_neg = flt.filter(F.col("_x") < 0).count()
+    if n_neg:
+        raise ValueError(
+            f"gini: {n_neg} negative value(s) in {value_col!r} — the "
+            "Gini coefficient is undefined for negative values"
+        )
+    w = Window.partitionBy(*by).orderBy("_x")
+    ranked = flt.withColumn("_i", F.row_number().over(w))
+    agg = ranked.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("total"),
+        # decimal(19,0) × decimal(18,s) = precision exactly 38: no
+        # precision-cap scale adjustment, product stays exact
+        F.sum(F.col("_i").cast("decimal(19,0)") * F.col("_x")).alias("_six"),
+    )
+    nd = F.col("n").cast(_DEC)
+    sx = F.col("total").cast(_DEC)
+    num = F.lit(2).cast(_DEC) * F.col("_six") - (nd + F.lit(1).cast(_DEC)) * sx
+    den = nd * sx
+    return agg.select(
+        *by,
+        "n",
+        "total",
+        F.when(
+            den != F.lit(0).cast(_DEC), num.cast("double") / den.cast("double")
+        ).alias("gini"),
+    )
+
+
+def acf(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+    max_lag: int,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., lag, n, r)`` for lag = 1..max_lag — sample ACF per
+    key, mean-centred via cₜ = n·xₜ − S so every sum is exact.  NULL
+    values are refused (they would silently shift the lag lattice);
+    series shorter than lag+1, or zero variance, yield NULL r."""
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"acf: {n_null} NULL value(s) in {value_col!r} — drop or "
+            "impute first; silently skipping rows would shift lags"
+        )
+    dec = f"decimal(18,{scale})"
+    base = df.select(
+        *by, *[c for c in order_cols if c not in by], F.col(value_col).cast(dec).alias("_x")
+    )
+    stats = base.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_x").alias("_s")
+    )
+    joined = base.join(F.broadcast(stats), by)
+    c = (
+        F.col("_n").cast(_DEC) * F.col("_x").cast(_DEC)
+        - F.col("_s").cast(_DEC)
+    ).alias("_c")
+    w = Window.partitionBy(*by).orderBy(*[F.col(c_) for c_ in order_cols])
+    centred = joined.select(*by, "_n", *order_cols, c)
+    lag_cols = [
+        F.lag("_c", h).over(w).alias(f"_l{h}") for h in range(1, max_lag + 1)
+    ]
+    lagged = centred.select(*by, "_n", "_c", *lag_cols)
+    aggs = [F.sum(F.col("_c") * F.col("_c")).alias("_den")] + [
+        F.sum(F.col("_c") * F.col(f"_l{h}")).alias(f"_num{h}")
+        for h in range(1, max_lag + 1)
+    ]
+    per_key = lagged.groupBy(*by, "_n").agg(*aggs)
+    lags = F.explode(
+        F.array(*[F.lit(h) for h in range(1, max_lag + 1)])
+    ).alias("lag")
+    long = per_key.select(*by, F.col("_n").alias("n"), "_den", lags, *[
+        F.col(f"_num{h}") for h in range(1, max_lag + 1)
+    ])
+    num = F.coalesce(
+        *[
+            F.when(F.col("lag") == h, F.col(f"_num{h}"))
+            for h in range(1, max_lag + 1)
+        ]
+    )
+    ok = (
+        F.col("_den").isNotNull()
+        & (F.col("_den") != F.lit(0).cast(_DEC))
+        & num.isNotNull()
+    )
+    return long.select(
+        *by,
+        "lag",
+        "n",
+        F.when(ok, num.cast("double") / F.col("_den").cast("double")).alias(
+            "r"
+        ),
+    )
