@@ -3512,6 +3512,33 @@ def q_acf(spark, sf_dir):
     return acf(e, ["bucket"], ["ts", "event_id"], "value", max_lag=3)
 
 
+def q_mutual_info(spark, sf_dir):
+    """Mutual information + NMI (L152): does order priority carry
+    information about order status — exact integer cell counts,
+    fixed-tree terms, ordered cell fold (the L140 discipline),
+    ungridded."""
+    from lmss_entity_extractor_spark.ops.infotheory import mutual_information
+
+    o = _t(spark, sf_dir, "orders")
+    return mutual_information(o, "o_orderpriority", "o_orderstatus")
+
+
+def q_jsd(spark, sf_dir):
+    """Jensen-Shannon divergence (L153): event-type distribution drift
+    between even and odd user cohorts — zero-count categories
+    contribute exactly 0 (the x·ln x limit), ordered category fold,
+    ONE final halving, ungridded."""
+    from lmss_entity_extractor_spark.ops.infotheory import js_divergence
+
+    e = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("cohort"),
+        "event_type",
+    )
+    return js_divergence(e, "cohort", "a", "b", "event_type")
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -4969,6 +4996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "gini": q_gini,
         "acf": q_acf,
+        "mutual_info": q_mutual_info,
+        "jsd": q_jsd,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -7908,6 +7937,126 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT bucket, n, den, 3, num3 FROM sums
             )
+        """,
+        "mutual_info": """
+            -- MI = Σ (o/N)·ln(o·N/(rt·ct)); entropies over margins;
+            -- bounded sums as 0.0-prepended sorted list_reduce folds
+            -- (the L140 float discipline), NMI = MI/sqrt(Hx·Hy)
+            WITH flt AS (
+                SELECT o_orderpriority AS x, o_orderstatus AS y
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL
+                  AND o_orderstatus IS NOT NULL
+            ),
+            cells AS (SELECT x, y, count(*) AS o FROM flt GROUP BY 1, 2),
+            r AS (SELECT x, sum(o) AS rt FROM cells GROUP BY 1),
+            c AS (SELECT y, sum(o) AS ct FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+            terms AS (
+                SELECT t.n, cells.x, cells.y,
+                       CAST(cells.o AS DOUBLE) / CAST(t.n AS DOUBLE)
+                       * ln(CAST(cells.o AS DOUBLE)
+                                * CAST(t.n AS DOUBLE)
+                            / CAST(r.rt * c.ct AS DOUBLE)) AS term
+                FROM cells JOIN r USING (x) JOIN c USING (y)
+                CROSS JOIN tot t
+            ),
+            mi AS (
+                SELECT n,
+                       list_reduce(list_prepend(0.0,
+                           [s.t FOR s IN list_sort(list(struct_pack(
+                               x := x, y := y, t := term)))]),
+                           (a, v) -> a + v) AS mi
+                FROM terms GROUP BY n
+            ),
+            hx AS (
+                SELECT t.n,
+                       list_reduce(list_prepend(0.0,
+                           [s.t FOR s IN list_sort(list(struct_pack(
+                               x := r.x,
+                               t := -(CAST(r.rt AS DOUBLE)
+                                          / CAST(t.n AS DOUBLE)
+                                      * ln(CAST(r.rt AS DOUBLE)
+                                           / CAST(t.n AS DOUBLE))))))]),
+                           (a, v) -> a + v) AS h_x
+                FROM r CROSS JOIN tot t GROUP BY t.n
+            ),
+            hy AS (
+                SELECT t.n,
+                       list_reduce(list_prepend(0.0,
+                           [s.t FOR s IN list_sort(list(struct_pack(
+                               y := c.y,
+                               t := -(CAST(c.ct AS DOUBLE)
+                                          / CAST(t.n AS DOUBLE)
+                                      * ln(CAST(c.ct AS DOUBLE)
+                                           / CAST(t.n AS DOUBLE))))))]),
+                           (a, v) -> a + v) AS h_y
+                FROM c CROSS JOIN tot t GROUP BY t.n
+            )
+            SELECT mi.n, mi.mi, hx.h_x, hy.h_y,
+                   CASE WHEN hx.h_x > 0.0 AND hy.h_y > 0.0
+                        THEN mi.mi / sqrt(hx.h_x * hy.h_y) END AS nmi
+            FROM mi JOIN hx USING (n) JOIN hy USING (n)
+        """,
+        "jsd": """
+            -- JSD = ½Σ[p·ln(2p/(p+q)) + q·ln(2q/(p+q))] with the
+            -- x·ln x → 0 limit pinned to exactly 0; ordered category
+            -- fold; Spark's exact term tree mirrored
+            WITH flt AS (
+                SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END
+                           AS cohort,
+                       event_type AS cat
+                FROM events WHERE event_type IS NOT NULL
+            ),
+            cats AS (
+                SELECT cat,
+                       sum(CASE WHEN cohort = 'a' THEN 1 ELSE 0 END)
+                           AS ca,
+                       sum(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END)
+                           AS cb
+                FROM flt GROUP BY 1
+            ),
+            tot AS (
+                SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                       CAST(sum(cb) AS BIGINT) AS n_b
+                FROM cats
+            ),
+            terms AS (
+                SELECT t.n_a, t.n_b, cat,
+                       (CASE WHEN ca > 0 THEN
+                            CAST(ca AS DOUBLE) / CAST(t.n_a AS DOUBLE)
+                            * ln(CAST(ca AS DOUBLE)
+                                     / CAST(t.n_a AS DOUBLE)
+                                 + CAST(ca AS DOUBLE)
+                                     / CAST(t.n_a AS DOUBLE))
+                            - CAST(ca AS DOUBLE) / CAST(t.n_a AS DOUBLE)
+                              * ln(CAST(ca AS DOUBLE)
+                                       / CAST(t.n_a AS DOUBLE)
+                                   + CAST(cb AS DOUBLE)
+                                       / CAST(t.n_b AS DOUBLE))
+                        ELSE 0.0 END)
+                       + (CASE WHEN cb > 0 THEN
+                            CAST(cb AS DOUBLE) / CAST(t.n_b AS DOUBLE)
+                            * ln(CAST(cb AS DOUBLE)
+                                     / CAST(t.n_b AS DOUBLE)
+                                 + CAST(cb AS DOUBLE)
+                                     / CAST(t.n_b AS DOUBLE))
+                            - CAST(cb AS DOUBLE) / CAST(t.n_b AS DOUBLE)
+                              * ln(CAST(ca AS DOUBLE)
+                                       / CAST(t.n_a AS DOUBLE)
+                                   + CAST(cb AS DOUBLE)
+                                       / CAST(t.n_b AS DOUBLE))
+                        ELSE 0.0 END) AS term
+                FROM cats CROSS JOIN tot t
+            )
+            SELECT n_a, n_b,
+                   CASE WHEN n_a > 0 AND n_b > 0 THEN
+                       list_reduce(list_prepend(0.0,
+                           [s.t FOR s IN list_sort(list(struct_pack(
+                               cat := cat, t := term)))]),
+                           (a, v) -> a + v) / 2.0
+                   END AS jsd
+            FROM terms GROUP BY n_a, n_b
         """,
         "ks_2samp": """
             -- per distinct value the scaled ECDF gap

@@ -70,3 +70,4 @@ from .scaling import minmax_scale, standardize, winsorize  # noqa: F401
 from .benford import benford_digits  # noqa: F401
 from .rankeval import roc_auc, ks_2samp  # noqa: F401
 from .concentration import gini, acf  # noqa: F401
+from .infotheory import mutual_information, js_divergence  # noqa: F401

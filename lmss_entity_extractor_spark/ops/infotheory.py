@@ -1,0 +1,155 @@
+"""Information-theoretic dependence/divergence (L152/L153): mutual
+information between two categoricals (the feature-selection ranking
+statistic) and the Jensen-Shannon divergence between two samples of a
+categorical (the bounded, symmetric drift distance that — unlike KL —
+is finite when a category is missing on one side).  Same cross-engine
+discipline as χ² (L140): all counts are EXACT integers, each term is
+a fixed IEEE tree, and the bounded cell/category sum runs as a
+0.0-prepended left-associative fold over the SORTED keys — addend
+order pinned, remaining cross-engine delta is libm-ulp in ``ln``.
+
+L152 — MI (nats) with marginal entropies and the sqrt-normalized NMI:
+
+    MI  = Σ_cells (o/N)·ln(o·N/(rt·ct))       (o>0 cells only)
+    H(X) = −Σ_rows (rt/N)·ln(rt/N),  NMI = MI/√(H(X)·H(Y))
+
+NMI is NULL when either marginal entropy is zero (a constant column
+carries no information to normalize by).
+
+L153 — JSD (nats) between samples a/b over the category union:
+
+    JSD = ½·Σ p·ln(2p/(p+q)) + ½·Σ q·ln(2q/(p+q))
+
+with p = cnt_a/n_a, q = cnt_b/n_b; zero-count terms contribute 0 (the
+x·ln x → 0 limit), so missing categories are handled exactly.  Bounded
+by ln 2; 0 ⇔ identical distributions.
+
+Scale shape: one combinable groupBy over the fact table per operator;
+margins are tiny broadcast joins; the fold runs over the BOUNDED
+distinct-category/cell list (thousands at worst).  A 100 TB table is
+scanned once; nothing is quadratic or collected beyond the bounded
+cell list.
+
+No reference counterpart; feature-selection/drift analytics per
+SURVEY §2.11 (composes with L131 PSI and L147 KS for drift on
+categoricals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _fold(struct_cols: list, term: Column) -> Column:
+    """0.0-prepended left-assoc fold over key-sorted structs."""
+    return F.aggregate(
+        F.sort_array(F.collect_list(F.struct(*struct_cols, term.alias("_t")))),
+        F.lit(0.0),
+        lambda acc, v: acc + v["_t"],
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """One row ``(n, mi, h_x, h_y, nmi)`` — MI in nats between two
+    categorical columns (NULL categories excluded), plus marginal
+    entropies and sqrt-normalized NMI (NULL if either entropy is 0)."""
+    flt = df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+    cells = flt.groupBy(
+        F.col(col_x).alias("x"), F.col(col_y).alias("y")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("x").agg(F.sum("o").alias("rt"))
+    cols = cells.groupBy("y").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    nd = F.col("n").cast("double")
+    mi_term = (
+        F.col("o").cast("double")
+        / nd
+        * F.log(
+            F.col("o").cast("double")
+            * nd
+            / (F.col("rt") * F.col("ct")).cast("double")
+        )
+    )
+    mi = (
+        cells.join(F.broadcast(rows), "x")
+        .join(F.broadcast(cols), "y")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(_fold([F.col("x"), F.col("y")], mi_term).alias("mi"))
+    )
+    h_term_x = -(
+        F.col("rt").cast("double") / nd * F.log(F.col("rt").cast("double") / nd)
+    )
+    hx = (
+        rows.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(_fold([F.col("x")], h_term_x).alias("h_x"))
+    )
+    h_term_y = -(
+        F.col("ct").cast("double") / nd * F.log(F.col("ct").cast("double") / nd)
+    )
+    hy = (
+        cols.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(_fold([F.col("y")], h_term_y).alias("h_y"))
+    )
+    out = mi.join(hx, "n").join(hy, "n")
+    ok = (F.col("h_x") > 0.0) & (F.col("h_y") > 0.0)
+    return out.select(
+        "n",
+        "mi",
+        "h_x",
+        "h_y",
+        F.when(ok, F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y"))).alias(
+            "nmi"
+        ),
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    sample_col: str,
+    sample_a: str,
+    sample_b: str,
+    category_col: str,
+) -> DataFrame:
+    """One row ``(n_a, n_b, jsd)`` — Jensen-Shannon divergence (nats)
+    between the category distributions of two named samples; rows of
+    other samples are ignored; either sample empty → NULL jsd."""
+    flt = df.filter(
+        F.col(category_col).isNotNull()
+        & F.col(sample_col).isin([sample_a, sample_b])
+    )
+    is_a = (F.col(sample_col) == sample_a).cast("long")
+    cats = flt.groupBy(F.col(category_col).alias("cat")).agg(
+        F.sum(is_a).alias("ca"), F.sum(F.lit(1) - is_a).alias("cb")
+    )
+    tot = cats.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    # NULL-safe denominators: ANSI mode raises on x/0 even for
+    # doubles; an empty sample must flow to NULL jsd instead
+    na_d = F.when(F.col("n_a") > 0, F.col("n_a").cast("double"))
+    nb_d = F.when(F.col("n_b") > 0, F.col("n_b").cast("double"))
+    p = F.col("ca").cast("double") / na_d
+    q = F.col("cb").cast("double") / nb_d
+    # x·ln(2x/(x+y)) with the x→0 limit pinned to exactly 0
+    term = F.when(F.col("ca") > 0, p * F.log(p + p) - p * F.log(p + q)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("cb") > 0, q * F.log(q + q) - q * F.log(p + q)).otherwise(
+        F.lit(0.0)
+    )
+    agg = (
+        cats.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(_fold([F.col("cat")], term).alias("_s"))
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(ok, F.col("_s") / F.lit(2.0)).alias("jsd"),
+    )
