@@ -3539,6 +3539,29 @@ def q_jsd(spark, sf_dir):
     return js_divergence(e, "cohort", "a", "b", "event_type")
 
 
+def q_cusum(spark, sf_dir):
+    """CUSUM changepoint chart (L154): per-bucket two-sided control
+    statistics via the prefix-sum/running-min closed form — all
+    arithmetic DECIMAL-exact (no division, no grid), one keyed window
+    sort."""
+    from lmss_entity_extractor_spark.ops.changepoint import cusum
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select((F.col("user_id") % 4).alias("bucket"), "ts", "event_id", "value")
+    )
+    return cusum(
+        e,
+        ["bucket"],
+        ["ts", "event_id"],
+        "value",
+        target="50.00",
+        slack="5.00",
+        threshold="500.00",
+    )
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -4998,6 +5021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf": q_acf,
         "mutual_info": q_mutual_info,
         "jsd": q_jsd,
+        "cusum": q_cusum,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -8057,6 +8081,54 @@ def oracle_sql() -> dict[str, str]:
                            (a, v) -> a + v) / 2.0
                    END AS jsd
             FROM terms GROUP BY n_a, n_b
+        """,
+        "cusum": """
+            -- S_t = P_t − min(0, min_{k≤t} P_k): the CUSUM recurrence
+            -- as prefix-sum + running-min; every value DECIMAL-exact
+            WITH base AS (
+                SELECT user_id % 4 AS bucket, ts, event_id,
+                       CAST(value AS DECIMAL(18,2)) AS x
+                FROM events WHERE value IS NOT NULL
+            ),
+            staged AS (
+                SELECT bucket, ts, event_id, x,
+                       CAST(x - CAST('50.00' AS DECIMAL(18,2))
+                              - CAST('5.00' AS DECIMAL(18,2))
+                            AS DECIMAL(30,2)) AS dh,
+                       CAST(CAST('50.00' AS DECIMAL(18,2)) - x
+                              - CAST('5.00' AS DECIMAL(18,2))
+                            AS DECIMAL(30,2)) AS dl
+                FROM base
+            ),
+            pre AS (
+                SELECT bucket, ts, event_id, x,
+                       CAST(sum(dh) OVER w AS DECIMAL(30,2)) AS ph,
+                       CAST(sum(dl) OVER w AS DECIMAL(30,2)) AS pl
+                FROM staged
+                WINDOW w AS (PARTITION BY bucket ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+            ),
+            cum AS (
+                SELECT bucket, ts, event_id, x, ph, pl,
+                       CAST(min(ph) OVER w AS DECIMAL(30,2)) AS mh,
+                       CAST(min(pl) OVER w AS DECIMAL(30,2)) AS ml
+                FROM pre
+                WINDOW w AS (PARTITION BY bucket ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+            )
+            SELECT bucket, ts, event_id,
+                   CAST(x AS DOUBLE) AS value,
+                   CAST(ph - least(CAST(0 AS DECIMAL(30,2)), mh)
+                        AS DOUBLE) AS s_hi,
+                   CAST(pl - least(CAST(0 AS DECIMAL(30,2)), ml)
+                        AS DOUBLE) AS s_lo,
+                   ph - least(CAST(0 AS DECIMAL(30,2)), mh)
+                       > CAST('500.00' AS DECIMAL(30,2)) AS alarm_hi,
+                   pl - least(CAST(0 AS DECIMAL(30,2)), ml)
+                       > CAST('500.00' AS DECIMAL(30,2)) AS alarm_lo
+            FROM cum
         """,
         "ks_2samp": """
             -- per distinct value the scaled ECDF gap
