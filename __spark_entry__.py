@@ -3562,6 +3562,55 @@ def q_cusum(spark, sf_dir):
     )
 
 
+def q_kmeans(spark, sf_dir):
+    """Euclidean k-means (L155): deterministic Lloyd trainer (id-sorted
+    sample, fixed-order einsum, lowest-id ties) + zero-shuffle literal-
+    expression assignment — argmax(x·c − ‖c‖²/2).
+
+    Value-level oracle (pinned to sf0.01 like the other frozen-fixture
+    queries): the trained (center, halfnorm) pairs are frozen to parquet
+    by tools/make_oracle_fixtures.py through the SAME numpy core; DuckDB
+    re-derives every cluster label with explicitly left-associated
+    float64 dots mirroring the Spark fold term-for-term."""
+    from lmss_entity_extractor_spark.ops.kmeans import assign_kmeans, train_kmeans
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = train_kmeans(e, k=6, n_iters=5)
+    return assign_kmeans(e, cents).select("vec_id", "cluster")
+
+
+def _kmeans_oracle_sql(dim: int = 64) -> str:
+    """q_kmeans's oracle, generated so the per-dimension float64 dot is
+    EXPLICITLY left-associated term-for-term with the Spark zip_with/
+    aggregate fold (SQL SUM order is unspecified; a 1-ulp reassociation
+    could flip a near-tie assignment)."""
+
+    def dot(vec: str) -> str:
+        acc = f"(CAST({vec}[1] AS DOUBLE) * km.cent[1])"
+        for i in range(1, dim):
+            acc = f"({acc} + (CAST({vec}[{i} + 1] AS DOUBLE) * km.cent[{i} + 1]))"
+        return acc
+
+    return f"""
+        WITH km AS (
+            SELECT cid, cent, halfn
+            FROM read_parquet(
+                '/root/repo/fixtures/oracle/sf0.01/kmeans_centroids.parquet')
+        ),
+        scored AS (
+            SELECT e.vec_id, km.cid,
+                   ({dot('e.embedding')} - km.halfn) AS d
+            FROM embeddings e CROSS JOIN km
+        )
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, cid ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    """
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5022,6 +5071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": q_mutual_info,
         "jsd": q_jsd,
         "cusum": q_cusum,
+        "kmeans": q_kmeans,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -8290,6 +8340,7 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "knn_pq": _pq_oracle_sql(),
+        "kmeans": _kmeans_oracle_sql(),
         "knn_ivfpq": _pq_oracle_sql(ivf_probe=True),
         # auto shortlist at k=10 -> k' = max(50, 10k) = 100
         "knn_ivfpq_rerank": _pq_oracle_sql(ivf_probe=True, rerank=100),

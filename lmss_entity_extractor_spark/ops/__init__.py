@@ -72,3 +72,4 @@ from .rankeval import roc_auc, ks_2samp  # noqa: F401
 from .concentration import gini, acf  # noqa: F401
 from .infotheory import mutual_information, js_divergence  # noqa: F401
 from .changepoint import cusum  # noqa: F401
+from .kmeans import train_kmeans, assign_kmeans  # noqa: F401

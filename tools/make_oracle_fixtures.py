@@ -112,7 +112,16 @@ def compute_ann_codebooks(sf_dir: str | Path):
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     cents = train_ivf_centroids_local(X, 10)
     res_books, cell_means = train_pq_codebooks_residual_local(X, cents, m=8, k=16)
-    return train_pq_codebooks_local(X, m=8, k=16), cents, res_books, cell_means
+    from lmss_entity_extractor_spark.ops.kmeans import train_kmeans_local
+
+    km_cents = train_kmeans_local(X, k=6, n_iters=5)
+    return (
+        train_pq_codebooks_local(X, m=8, k=16),
+        cents,
+        res_books,
+        cell_means,
+        km_cents,
+    )
 
 
 def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
@@ -144,7 +153,9 @@ def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
     # prefix slice IS the doc_id < CHANGELOG_CUT filter
     edges_v1 = oracle_edge_rows(rows[:CHANGELOG_CUT], artifacts)
     edges_v2 = oracle_edge_rows(rows, artifacts)
-    pq_books, ivf_cents, pq_books_res, cell_means = compute_ann_codebooks(sf_dir)
+    pq_books, ivf_cents, pq_books_res, cell_means, km_cents = compute_ann_codebooks(
+        sf_dir
+    )
 
     def _codebook_table(books):
         return pa.table(
@@ -182,6 +193,15 @@ def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
             {
                 "cid": pa.array([c for c, _ in cell_means], pa.int32()),
                 "cent": pa.array([v for _, v in cell_means], pa.list_(pa.float64())),
+            }
+        ),
+        # Euclidean k-means (L155, q_kmeans): frozen (center, ‖c‖²/2) —
+        # DuckDB re-derives the cluster labels bit-for-bit
+        "kmeans_centroids": pa.table(
+            {
+                "cid": pa.array([c for c, _, _ in km_cents], pa.int32()),
+                "cent": pa.array([v for _, v, _ in km_cents], pa.list_(pa.float64())),
+                "halfn": pa.array([h for _, _, h in km_cents], pa.float64()),
             }
         ),
         "kg_edges_v1": _edges_table(edges_v1),
