@@ -3611,6 +3611,148 @@ def _kmeans_oracle_sql(dim: int = 64) -> str:
     """
 
 
+def q_silhouette(spark, sf_dir):
+    """Simplified silhouette (L156): per-point clustering quality
+    against the L155 centroids only (never the O(n²) pairwise matrix)
+    — a/b distances as generated left-fold expressions, zero shuffle;
+    oracle re-derives every value from the frozen fixture."""
+    from lmss_entity_extractor_spark.ops.clustereval import silhouette_simplified
+    from lmss_entity_extractor_spark.ops.kmeans import assign_kmeans, train_kmeans
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = train_kmeans(e, k=6, n_iters=5)
+    out = silhouette_simplified(assign_kmeans(e, cents), cents)
+    return out.select("vec_id", "cluster", "a", "b", "silhouette")
+
+
+def q_ari(spark, sf_dir):
+    """Adjusted Rand Index (L157): agreement between the L155 k-means
+    labels and the embeddings table's ground-truth label — all pair
+    counts exact integers, ONE final IEEE division, ungridded."""
+    from lmss_entity_extractor_spark.ops.clustereval import adjusted_rand_index
+    from lmss_entity_extractor_spark.ops.kmeans import assign_kmeans, train_kmeans
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = train_kmeans(e, k=6, n_iters=5)
+    return adjusted_rand_index(assign_kmeans(e, cents), "cluster", "label")
+
+
+def _km_oracle_dots(dim: int = 64):
+    """Left-assoc float64 dot expansions shared by the kmeans-fixture
+    oracles (mirror the Spark zip_with/aggregate folds term-for-term)."""
+
+    def dot(vec: str) -> str:
+        acc = f"(CAST({vec}[1] AS DOUBLE) * km.cent[1])"
+        for i in range(1, dim):
+            acc = f"({acc} + (CAST({vec}[{i} + 1] AS DOUBLE) * km.cent[{i} + 1]))"
+        return acc
+
+    def selfdot(vec: str) -> str:
+        acc = f"(CAST({vec}[1] AS DOUBLE) * CAST({vec}[1] AS DOUBLE))"
+        for i in range(1, dim):
+            acc = (
+                f"({acc} + (CAST({vec}[{i} + 1] AS DOUBLE)"
+                f" * CAST({vec}[{i} + 1] AS DOUBLE)))"
+            )
+        return acc
+
+    return dot, selfdot
+
+
+def _silhouette_oracle_sql(dim: int = 64) -> str:
+    """q_silhouette's oracle: frozen-fixture assignment + the identical
+    sqrt(greatest(0, (x·x − 2·x·c) + ‖c‖²)) distance tree per centroid."""
+    dot, selfdot = _km_oracle_dots(dim)
+    return f"""
+        WITH km AS (
+            SELECT cid, cent, halfn
+            FROM read_parquet(
+                '/root/repo/fixtures/oracle/sf0.01/kmeans_centroids.parquet')
+        ),
+        scored AS (
+            SELECT e.vec_id, km.cid,
+                   ({dot('e.embedding')} - km.halfn) AS assign_d,
+                   sqrt(greatest(CAST(0 AS DOUBLE),
+                        (({selfdot('e.embedding')}
+                          - (CAST(2.0 AS DOUBLE) * {dot('e.embedding')}))
+                         + (km.halfn + km.halfn)))) AS dist
+            FROM embeddings e CROSS JOIN km
+        ),
+        assigned AS (
+            SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY assign_d DESC, cid ASC)
+                           AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        ab AS (
+            SELECT s.vec_id, a2.cluster,
+                   max(CASE WHEN s.cid = a2.cluster THEN s.dist END) AS a,
+                   min(CASE WHEN s.cid <> a2.cluster THEN s.dist END) AS b
+            FROM scored s JOIN assigned a2 ON s.vec_id = a2.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT vec_id, cluster, a, b,
+               CASE WHEN greatest(a, b) > 0.0
+                    THEN (b - a) / greatest(a, b) END AS silhouette
+        FROM ab
+    """
+
+
+def _ari_oracle_sql(dim: int = 64) -> str:
+    """q_ari's oracle: frozen-fixture assignment, then the rescaled
+    pair-counting identity in exact BIGINT arithmetic."""
+    dot, _ = _km_oracle_dots(dim)
+    return f"""
+        WITH km AS (
+            SELECT cid, cent, halfn
+            FROM read_parquet(
+                '/root/repo/fixtures/oracle/sf0.01/kmeans_centroids.parquet')
+        ),
+        idot AS (
+            SELECT e.vec_id, km.cid,
+                   ({dot('e.embedding')} - km.halfn) AS d,
+                   e.label
+            FROM embeddings e CROSS JOIN km
+        ),
+        assigned AS (
+            SELECT vec_id, cid AS x, label AS y FROM (
+                SELECT vec_id, cid, label,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d DESC, cid ASC) AS rn
+                FROM idot
+            ) WHERE rn = 1 AND label IS NOT NULL
+        ),
+        cells AS (SELECT x, y, count(*) AS o FROM assigned GROUP BY 1, 2),
+        sij AS (
+            SELECT CAST(sum(CAST(o AS BIGINT) * (CAST(o AS BIGINT) - 1))
+                        AS BIGINT) AS p_ij,
+                   CAST(sum(o) AS BIGINT) AS n
+            FROM cells
+        ),
+        sa AS (
+            SELECT CAST(sum(CAST(a AS BIGINT) * (CAST(a AS BIGINT) - 1))
+                        AS BIGINT) AS p_a
+            FROM (SELECT CAST(sum(o) AS BIGINT) AS a FROM cells GROUP BY x)
+        ),
+        sb AS (
+            SELECT CAST(sum(CAST(b AS BIGINT) * (CAST(b AS BIGINT) - 1))
+                        AS BIGINT) AS p_b
+            FROM (SELECT CAST(sum(o) AS BIGINT) AS b FROM cells GROUP BY y)
+        )
+        SELECT n,
+               CASE WHEN n * (n - 1) * (p_a + p_b) - 2 * p_a * p_b <> 0
+                    THEN CAST(2 * (n * (n - 1) * p_ij - p_a * p_b)
+                              AS DOUBLE)
+                         / CAST(n * (n - 1) * (p_a + p_b)
+                                - 2 * p_a * p_b AS DOUBLE)
+               END AS ari
+        FROM sij CROSS JOIN sa CROSS JOIN sb
+    """
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5072,6 +5214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd": q_jsd,
         "cusum": q_cusum,
         "kmeans": q_kmeans,
+        "silhouette": q_silhouette,
+        "ari": q_ari,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -8341,6 +8485,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_pq": _pq_oracle_sql(),
         "kmeans": _kmeans_oracle_sql(),
+        "silhouette": _silhouette_oracle_sql(),
+        "ari": _ari_oracle_sql(),
         "knn_ivfpq": _pq_oracle_sql(ivf_probe=True),
         # auto shortlist at k=10 -> k' = max(50, 10k) = 100
         "knn_ivfpq_rerank": _pq_oracle_sql(ivf_probe=True, rerank=100),

@@ -1,0 +1,138 @@
+"""Clustering evaluation (L156/L157): simplified silhouette (how well
+does each point sit in its cluster) and the Adjusted Rand Index (how
+well do two labelings agree) — the quality gates that close the L155
+k-means / L6 near-dup-cluster loop.
+
+L156 — simplified silhouette (Hruschka 2004; what sklearn calls the
+"centroid" variant): against trained centroids only, never the O(n²)
+pairwise matrix —
+
+    a = ‖x − c_own‖,  b = min_{j≠own} ‖x − c_j‖,  s = (b − a)/max(a, b)
+
+Each distance is one generated literal expression (√(x·x − 2·x·c +
+‖c‖²) via the left-fold dot the assignment already uses; sqrt is
+IEEE-exactly-rounded), so the whole evaluation is a narrow zero-
+shuffle projection over 100 TB and every s is bit-stable given the
+frozen centroids.  s is NULL when both distances are 0 (a point ON a
+duplicated centroid — undefined by convention).
+
+L157 — ARI (Hubert-Arabie 1985): over the contingency table of two
+label columns, with all pair counts EXACT integers,
+
+    ARI = (Σᵢⱼ C(nᵢⱼ,2) − E) / (½(Σᵢ C(aᵢ,2) + Σⱼ C(bⱼ,2)) − E),
+    E = Σᵢ C(aᵢ,2)·Σⱼ C(bⱼ,2) / C(n,2)
+
+Rescaled by 2·C(n,2) to clear the inner division: every accumulated
+quantity becomes an exact DECIMAL(38,0) integer and ARI is ONE final
+IEEE division — bit-identical, no grid.  Degenerate denominators
+(both labelings trivial) → NULL; identical labelings → exactly 1.0.
+The cross products bound n at ~10⁹ rows for DECIMAL(38,0); beyond
+that ANSI mode fails LOUDLY (sample the labeling first — agreement
+statistics stabilize long before 10⁹ pairs anyway).
+
+Scale shape: silhouette is a projection; ARI is one combinable
+groupBy per margin + the contingency groupBy — bounded outputs, one
+scan of the fact table each.
+
+No reference counterpart; clustering/evaluation analytics per
+SURVEY §2.11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _dlit, _dot_sql
+
+_DEC = "decimal(38,0)"
+
+
+def silhouette_simplified(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float], float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Adds ``a`` (distance to own centroid), ``b`` (distance to the
+    nearest other centroid) and ``silhouette`` columns.  ``centroids``
+    is the `train_kmeans` output: ``[(cid, center, half_sqnorm)]``."""
+    self_dot = (
+        f"aggregate(zip_with(`{vec_col}`, `{vec_col}`, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+    dists = {
+        cid: (
+            f"sqrt(greatest(0D, (({self_dot} - "
+            f"(2.0D * {_dot_sql(vec_col, cvec)})) + {_dlit(2.0 * h)})))"
+        )
+        for cid, cvec, h in centroids
+    }
+    a = "CASE " + " ".join(
+        f"WHEN `{cluster_col}` = {cid} THEN {d}" for cid, d in dists.items()
+    ) + " END"
+    b_entries = ", ".join(
+        f"named_struct('d', CASE WHEN `{cluster_col}` = {cid} THEN NULL "
+        f"ELSE {d} END, 'cid', {cid})"
+        for cid, d in dists.items()
+    )
+    b = (
+        f"array_min(transform(filter(array({b_entries}), "
+        "s -> s.d IS NOT NULL), s -> s.d))"
+    )
+    out = df.withColumn("a", F.expr(a)).withColumn("b", F.expr(b))
+    mx = F.greatest(F.col("a"), F.col("b"))
+    return out.withColumn(
+        "silhouette",
+        F.when(mx > 0.0, (F.col("b") - F.col("a")) / mx),
+    )
+
+
+def adjusted_rand_index(
+    df: DataFrame,
+    label_a: str,
+    label_b: str,
+) -> DataFrame:
+    """One row ``(n, ari)`` — ARI between two label columns (NULL
+    labels excluded).  All pair counts exact; one final division."""
+    flt = df.filter(F.col(label_a).isNotNull() & F.col(label_b).isNotNull())
+    cells = flt.groupBy(
+        F.col(label_a).alias("x"), F.col(label_b).alias("y")
+    ).agg(F.count(F.lit(1)).alias("o"))
+
+    def pairs2(c: Column) -> Column:
+        # 2·C(c,2) = c·(c−1), exact decimal
+        cd = c.cast(_DEC)
+        return cd * (cd - F.lit(1).cast(_DEC))
+
+    sij = cells.agg(
+        F.sum(pairs2(F.col("o"))).alias("p_ij"),
+        F.sum("o").alias("n"),
+    )
+    sa = (
+        cells.groupBy("x")
+        .agg(F.sum("o").alias("a"))
+        .agg(F.sum(pairs2(F.col("a"))).alias("p_a"))
+    )
+    sb = (
+        cells.groupBy("y")
+        .agg(F.sum("o").alias("b"))
+        .agg(F.sum(pairs2(F.col("b"))).alias("p_b"))
+    )
+    j = sij.crossJoin(sa).crossJoin(sb)
+    nd = F.col("n").cast(_DEC)
+    n2 = nd * (nd - F.lit(1).cast(_DEC))  # 2·C(n,2)
+    # ARI = (p_ij − p_a·p_b/n2) / (½(p_a+p_b) − p_a·p_b/n2); multiply
+    # num and den by 2·n2: every term below is an exact integer
+    num = F.lit(2).cast(_DEC) * (n2 * F.col("p_ij") - F.col("p_a") * F.col("p_b"))
+    den = n2 * (F.col("p_a") + F.col("p_b")) - F.lit(2).cast(_DEC) * (
+        F.col("p_a") * F.col("p_b")
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            den != F.lit(0).cast(_DEC),
+            num.cast("double") / den.cast("double"),
+        ).alias("ari"),
+    )
