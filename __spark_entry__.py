@@ -3753,6 +3753,62 @@ def _ari_oracle_sql(dim: int = 64) -> str:
     """
 
 
+def q_fps(spark, sf_dir):
+    """Farthest-point sampling (L158): k=4 maximally-diverse vectors —
+    greedy k-center (Gonzalez), lowest-id seed, exact squared-distance
+    trees, id tiebreaks; each round one narrow projection + top-1.
+    Oracle: the 4 rounds unrolled as CTEs re-deriving the same picks."""
+    from lmss_entity_extractor_spark.ops.coreset import farthest_point_sample
+
+    e = _t(spark, sf_dir, "embeddings")
+    picks = farthest_point_sample(e, k=4)
+    return spark.createDataFrame(
+        picks, "round int, vec_id bigint, sq_radius double"
+    )
+
+
+def _fps_oracle_sql(dim: int = 64, k: int = 4) -> str:
+    """q_fps's oracle: each greedy round as a CTE; distances are the
+    identical greatest(0, (x·x − 2·x·c) + c·c) left-fold trees."""
+
+    def fold(ea: str, eb: str) -> str:
+        acc = f"(CAST({ea}[1] AS DOUBLE) * CAST({eb}[1] AS DOUBLE))"
+        for i in range(1, dim):
+            acc = (
+                f"({acc} + (CAST({ea}[{i} + 1] AS DOUBLE)"
+                f" * CAST({eb}[{i} + 1] AS DOUBLE)))"
+            )
+        return acc
+
+    def sq(e: str, s: str) -> str:
+        return (
+            f"greatest(CAST(0 AS DOUBLE), (({fold(e, e)}"
+            f" - (CAST(2.0 AS DOUBLE) * {fold(e, s)})) + {fold(s, s)}))"
+        )
+
+    ctes = [
+        "r0 AS (SELECT vec_id AS id0, embedding AS v0 FROM embeddings"
+        " ORDER BY vec_id LIMIT 1)"
+    ]
+    for r in range(1, k):
+        dists = [sq("e.embedding", f"v{j}") for j in range(r)]
+        mind = f"least({', '.join(dists)})" if len(dists) > 1 else dists[0]
+        joins = " ".join(f"CROSS JOIN r{j}" for j in range(r))
+        ctes.append(
+            f"r{r} AS (SELECT e.vec_id AS id{r}, e.embedding AS v{r}, "
+            f"{mind} AS d{r} FROM embeddings e {joins} "
+            f"ORDER BY d{r} DESC, e.vec_id ASC LIMIT 1)"
+        )
+    selects = [
+        "SELECT CAST(0 AS INTEGER) AS round, id0 AS vec_id, "
+        "CAST(0.0 AS DOUBLE) AS sq_radius FROM r0"
+    ] + [
+        f"SELECT CAST({r} AS INTEGER), id{r}, d{r} FROM r{r}"
+        for r in range(1, k)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5216,6 +5272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "silhouette": q_silhouette,
         "ari": q_ari,
+        "fps": q_fps,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -8487,6 +8544,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": _kmeans_oracle_sql(),
         "silhouette": _silhouette_oracle_sql(),
         "ari": _ari_oracle_sql(),
+        "fps": _fps_oracle_sql(),
         "knn_ivfpq": _pq_oracle_sql(ivf_probe=True),
         # auto shortlist at k=10 -> k' = max(50, 10k) = 100
         "knn_ivfpq_rerank": _pq_oracle_sql(ivf_probe=True, rerank=100),

@@ -74,3 +74,4 @@ from .infotheory import mutual_information, js_divergence  # noqa: F401
 from .changepoint import cusum  # noqa: F401
 from .kmeans import train_kmeans, assign_kmeans  # noqa: F401
 from .clustereval import silhouette_simplified, adjusted_rand_index  # noqa: F401
+from .coreset import farthest_point_sample, cover_assign  # noqa: F401
