@@ -3809,6 +3809,56 @@ def _fps_oracle_sql(dim: int = 64, k: int = 4) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def _survival_input(spark, sf_dir, as_string_cohort=False):
+    """Shared L159/L160 fixture: per-user duration on a bounded 30-day
+    grid + a deterministic censoring flag."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        ((F.max("event_id") - F.min("event_id")) % 30).alias("dur")
+    )
+    if as_string_cohort:
+        cohort = (
+            F.when(F.col("user_id") % 2 == 0, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("cohort")
+        )
+    else:
+        cohort = (F.col("user_id") % 2).alias("cohort")
+    return u.select(
+        cohort,
+        "dur",
+        (F.col("user_id") % 5 != 0).cast("int").alias("event"),
+    )
+
+
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival (L159): per-cohort product-limit curve
+    with right-censoring — exact integer risk sets (window cumsum),
+    survival as a 1.0-prepended t-sorted prefix fold of (n−d)/n
+    factors over the BOUNDED day grid, ungridded."""
+    from lmss_entity_extractor_spark.ops.survival import kaplan_meier
+
+    return kaplan_meier(
+        _survival_input(spark, sf_dir), ["cohort"], "dur", "event"
+    )
+
+
+def q_logrank(spark, sf_dir):
+    """Two-sample log-rank test (L160): does cohort a outlive cohort b
+    — O−E and hypergeometric V folded over the pooled bounded grid in
+    t order, χ² = (O−E)²/V as fixed IEEE trees, ungridded."""
+    from lmss_entity_extractor_spark.ops.survival import logrank_test
+
+    return logrank_test(
+        _survival_input(spark, sf_dir, as_string_cohort=True),
+        "cohort",
+        "a",
+        "b",
+        "dur",
+        "event",
+    )
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5273,6 +5323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silhouette": q_silhouette,
         "ari": q_ari,
         "fps": q_fps,
+        "kaplan_meier": q_kaplan_meier,
+        "logrank": q_logrank,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -8380,6 +8432,122 @@ def oracle_sql() -> dict[str, str]:
                    pl - least(CAST(0 AS DECIMAL(30,2)), ml)
                        > CAST('500.00' AS DECIMAL(30,2)) AS alarm_lo
             FROM cum
+        """,
+        "kaplan_meier": """
+            -- S(t) = Π_{s≤t} (n−d)/n as a 1.0-prepended t-sorted
+            -- prefix fold; risk sets exact integer cumsums
+            WITH u AS (
+                SELECT user_id,
+                       (max(event_id) - min(event_id)) % 30 AS dur
+                FROM events GROUP BY 1
+            ),
+            d AS (
+                SELECT user_id % 2 AS cohort, dur,
+                       CASE WHEN user_id % 5 <> 0 THEN 1 ELSE 0 END AS ev
+                FROM u
+            ),
+            pts AS (
+                SELECT cohort, CAST(dur AS BIGINT) AS t,
+                       CAST(sum(ev) AS BIGINT) AS d,
+                       CAST(sum(1 - ev) AS BIGINT) AS c
+                FROM d WHERE dur IS NOT NULL GROUP BY 1, 2
+            ),
+            risk AS (
+                SELECT cohort, t, d, c,
+                       CAST(sum(d + c) OVER (PARTITION BY cohort)
+                            - coalesce(sum(d + c) OVER (
+                                  PARTITION BY cohort ORDER BY t
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0)
+                            AS BIGINT) AS n
+                FROM pts
+            ),
+            packed AS (
+                SELECT cohort,
+                       list_sort(list(struct_pack(
+                           t := t, d := d, c := c, n := n))) AS a
+                FROM risk GROUP BY 1
+            ),
+            rws AS (SELECT cohort, a, unnest(a) AS s FROM packed)
+            SELECT cohort, s.t AS t, s.n AS n_risk, s.d AS n_events,
+                   s.c AS n_censored,
+                   list_reduce(list_prepend(1.0,
+                       [CAST(x.n - x.d AS DOUBLE) / CAST(x.n AS DOUBLE)
+                        FOR x IN list_filter(a, x -> x.t <= s.t)]),
+                       (acc, v) -> acc * v) AS survival
+            FROM rws
+        """,
+        "logrank": """
+            -- O−E and hypergeometric V folded over the pooled grid in
+            -- t order; χ² = (O−E)²/V — Spark's fixed trees mirrored
+            WITH u AS (
+                SELECT user_id,
+                       (max(event_id) - min(event_id)) % 30 AS dur
+                FROM events GROUP BY 1
+            ),
+            d AS (
+                SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ga,
+                       dur,
+                       CASE WHEN user_id % 5 <> 0 THEN 1 ELSE 0 END AS ev
+                FROM u
+            ),
+            pts AS (
+                SELECT CAST(dur AS BIGINT) AS t,
+                       CAST(sum(ev * ga) AS BIGINT) AS d1,
+                       CAST(sum(ev * (1 - ga)) AS BIGINT) AS d2,
+                       CAST(sum((1 - ev) * ga) AS BIGINT) AS c1,
+                       CAST(sum((1 - ev) * (1 - ga)) AS BIGINT) AS c2
+                FROM d WHERE dur IS NOT NULL GROUP BY 1
+            ),
+            risk AS (
+                SELECT t, d1, d2, c1, c2,
+                       CAST(sum(d1 + c1) OVER ()
+                            - coalesce(sum(d1 + c1) OVER (
+                                  ORDER BY t ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND 1 PRECEDING), 0)
+                            AS BIGINT) AS n1,
+                       CAST(sum(d2 + c2) OVER ()
+                            - coalesce(sum(d2 + c2) OVER (
+                                  ORDER BY t ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND 1 PRECEDING), 0)
+                            AS BIGINT) AS n2
+                FROM pts
+            ),
+            terms AS (
+                SELECT t,
+                       CAST(d1 AS DOUBLE)
+                       - CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                         / CAST(n1 + n2 AS DOUBLE) AS oe,
+                       CASE WHEN n1 + n2 > 1 THEN
+                           CAST(d1 + d2 AS DOUBLE)
+                           * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                           * (CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                           * ((CAST(n1 + n2 AS DOUBLE)
+                               - CAST(d1 + d2 AS DOUBLE))
+                              / (CAST(n1 + n2 AS DOUBLE) - 1.0))
+                       ELSE 0.0 END AS v,
+                       d1, d2, c1, c2
+                FROM risk
+            ),
+            folded AS (
+                SELECT CAST(sum(d1 + c1) AS BIGINT) AS n_a,
+                       CAST(sum(d2 + c2) AS BIGINT) AS n_b,
+                       CAST(sum(d1) AS BIGINT) AS o1,
+                       list_reduce(list_prepend(0.0,
+                           [s.oe FOR s IN list_sort(list(struct_pack(
+                               t := t, oe := oe)))]),
+                           (a, x) -> a + x) AS oe,
+                       list_reduce(list_prepend(0.0,
+                           [s.v FOR s IN list_sort(list(struct_pack(
+                               t := t, v := v)))]),
+                           (a, x) -> a + x) AS v
+                FROM terms
+            )
+            SELECT n_a, n_b, o1,
+                   CAST(o1 AS DOUBLE) - oe AS e1,
+                   v,
+                   CASE WHEN v > 0.0 THEN (oe * oe) / v END AS chi2
+            FROM folded
         """,
         "ks_2samp": """
             -- per distinct value the scaled ECDF gap

@@ -75,3 +75,4 @@ from .changepoint import cusum  # noqa: F401
 from .kmeans import train_kmeans, assign_kmeans  # noqa: F401
 from .clustereval import silhouette_simplified, adjusted_rand_index  # noqa: F401
 from .coreset import farthest_point_sample, cover_assign  # noqa: F401
+from .survival import kaplan_meier, logrank_test  # noqa: F401

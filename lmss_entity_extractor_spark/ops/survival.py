@@ -1,0 +1,181 @@
+"""Survival / retention analysis (L159/L160): the Kaplan-Meier
+product-limit estimator and the two-sample log-rank test — how user
+retention, document lifetime, and churn are actually analyzed, with
+right-censoring handled correctly (dropping censored rows biases the
+curve; so does treating them as events).
+
+Determinism discipline: durations live on a BOUNDED grid (days,
+weeks — the practical retention shape; thousands of distinct values
+at worst, REFUSED loudly beyond ``max_points``), so every per-group
+time series fits a collected sorted list.  Risk sets are EXACT
+integers (a window cumsum); the running product
+
+    S(t) = Π_{s ≤ t} (n_s − d_s)/n_s
+
+is a 1.0-prepended left-assoc fold over the t-sorted prefix — addend
+(factor) order pinned, each factor one IEEE division, no-event times
+contribute exactly 1.0.  The log-rank statistic folds the bounded
+grid the same way:
+
+    O₁−E₁ = Σ_t (d₁ − d·n₁/n),
+    V     = Σ_t d·(n₁/n)·(n₂/n)·(n−d)/(n−1),   χ² = (O₁−E₁)²/V
+
+Scale shape: one combinable groupBy over the fact table → a bounded
+per-group grid; the cumsum/fold work is grid-sized.  100 TB of events
+is scanned once; nothing quadratic in ROWS (the per-t prefix fold is
+quadratic in the bounded GRID — ≤10⁶ fold steps at the 10³ cap).
+
+No reference counterpart; cohort/retention analytics per SURVEY §2.11
+(composes with L114 cohort retention and L147/L131 drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _grid(df, by, duration_col, event_col, max_points):
+    """(by..., t, d, c, n) — events/censored per distinct duration plus
+    the exact integer at-risk count; refuses an unbounded grid."""
+    flt = df.filter(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    )
+    ev = F.col(event_col).cast("int")
+    pts = flt.groupBy(*by, F.col(duration_col).cast("long").alias("t")).agg(
+        F.sum(ev).alias("d"),
+        F.sum(F.lit(1) - ev).alias("c"),
+    )
+    n_pts = pts.groupBy(*by).count()
+    too_big = n_pts.filter(F.col("count") > max_points).count()
+    if too_big:
+        raise ValueError(
+            f"survival grid exceeds max_points={max_points} distinct "
+            "durations in at least one group — bucket durations to a "
+            "coarser grid (days/weeks) first; an unbounded grid breaks "
+            "the ordered-fold determinism contract"
+        )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = Window.partitionBy(*by)
+    return pts.withColumn(
+        "n",
+        F.sum(F.col("d") + F.col("c")).over(tot)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0)),
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    by: list[str],
+    duration_col: str,
+    event_col: str,
+    max_points: int = 1000,
+) -> DataFrame:
+    """``(by..., t, n_risk, n_events, n_censored, survival)`` — the KM
+    curve per group.  ``event_col`` is 1 = event observed, 0 = right-
+    censored at t.  NULLs excluded; grids above ``max_points`` distinct
+    durations per group are refused (bucket first)."""
+    grid = _grid(df, by, duration_col, event_col, max_points)
+    arr = F.sort_array(
+        F.collect_list(F.struct("t", "d", "c", "n"))
+    ).alias("_a")
+    packed = grid.groupBy(*by).agg(arr)
+    s = F.explode("_a").alias("_s")
+    rows = packed.select(*by, "_a", s)
+    surv = F.aggregate(
+        F.filter("_a", lambda x: x["t"] <= F.col("_s.t")),
+        F.lit(1.0),
+        lambda acc, x: acc
+        * ((x["n"] - x["d"]).cast("double") / x["n"].cast("double")),
+    )
+    return rows.select(
+        *by,
+        F.col("_s.t").alias("t"),
+        F.col("_s.n").alias("n_risk"),
+        F.col("_s.d").alias("n_events"),
+        F.col("_s.c").alias("n_censored"),
+        surv.alias("survival"),
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    duration_col: str,
+    event_col: str,
+    max_points: int = 1000,
+) -> DataFrame:
+    """One row ``(n_a, n_b, o1, e1, v, chi2)`` — two-sample log-rank
+    over the pooled duration grid; rows of other groups are ignored.
+    chi2 is NULL when V = 0 (no events, or one arm empty at every
+    event time)."""
+    flt = df.filter(F.col(group_col).isin([group_a, group_b]))
+    tagged = flt.select(
+        (F.col(group_col) == group_a).cast("int").alias("_ga"),
+        F.col(duration_col).alias("_t"),
+        F.col(event_col).alias("_e"),
+    )
+    # per-arm grids on the pooled time axis, then the fold
+    ev = F.col("_e").cast("int")
+    pts = tagged.filter(F.col("_t").isNotNull() & F.col("_e").isNotNull()).groupBy(
+        F.col("_t").cast("long").alias("t")
+    ).agg(
+        F.sum(ev * F.col("_ga")).alias("d1"),
+        F.sum(ev * (F.lit(1) - F.col("_ga"))).alias("d2"),
+        F.sum((F.lit(1) - ev) * F.col("_ga")).alias("c1"),
+        F.sum((F.lit(1) - ev) * (F.lit(1) - F.col("_ga"))).alias("c2"),
+    )
+    n_pts = pts.count()
+    if n_pts > max_points:
+        raise ValueError(
+            f"logrank grid has {n_pts} distinct durations > "
+            f"max_points={max_points} — bucket durations first"
+        )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    out1 = F.col("d1") + F.col("c1")
+    out2 = F.col("d2") + F.col("c2")
+    risk = pts.withColumn(
+        "n1",
+        F.sum(out1).over(tot) - F.coalesce(F.sum(out1).over(w), F.lit(0)),
+    ).withColumn(
+        "n2",
+        F.sum(out2).over(tot) - F.coalesce(F.sum(out2).over(w), F.lit(0)),
+    )
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    dd = (F.col("d1") + F.col("d2")).cast("double")
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    oe_term = F.col("d1").cast("double") - dd * n1d / nd
+    v_term = F.when(
+        (F.col("n1") + F.col("n2")) > 1,
+        dd * (n1d / nd) * (n2d / nd)
+        * ((nd - dd) / (nd - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    # fold the bounded grid in t order for the float sums
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("t"), oe_term.alias("oe"), v_term.alias("v")))
+    )
+    stats = risk.agg(
+        F.sum(F.col("d1") + F.col("c1")).alias("n_a"),
+        F.sum(F.col("d2") + F.col("c2")).alias("n_b"),
+        F.sum("d1").alias("o1"),
+        F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["oe"]).alias("_oe"),
+        F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["v"]).alias("v"),
+    )
+    return stats.select(
+        "n_a",
+        "n_b",
+        "o1",
+        (F.col("o1").cast("double") - F.col("_oe")).alias("e1"),
+        "v",
+        F.when(
+            F.col("v") > 0.0, (F.col("_oe") * F.col("_oe")) / F.col("v")
+        ).alias("chi2"),
+    )
