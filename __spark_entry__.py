@@ -3859,6 +3859,36 @@ def q_logrank(spark, sf_dir):
     )
 
 
+def _trend_input(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select("user_id", "event_id", "value")
+    )
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test (L161): per-user monotonic-trend S over
+    the bounded pair lattice — S and the tie-corrected variance exact
+    integers, Z a fixed IEEE tree, ungridded."""
+    from lmss_entity_extractor_spark.ops.trend import mann_kendall
+
+    return mann_kendall(
+        _trend_input(spark, sf_dir), ["user_id"], "event_id", "value"
+    )
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust slope (L162): median pairwise slope per user —
+    each slope ONE division, median an exact order statistic over the
+    sorted bounded slope list, ungridded."""
+    from lmss_entity_extractor_spark.ops.trend import theil_sen
+
+    return theil_sen(
+        _trend_input(spark, sf_dir), ["user_id"], "event_id", "value"
+    )
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5325,6 +5355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fps": q_fps,
         "kaplan_meier": q_kaplan_meier,
         "logrank": q_logrank,
+        "mann_kendall": q_mann_kendall,
+        "theil_sen": q_theil_sen,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -8548,6 +8580,87 @@ def oracle_sql() -> dict[str, str]:
                    v,
                    CASE WHEN v > 0.0 THEN (oe * oe) / v END AS chi2
             FROM folded
+        """,
+        "mann_kendall": """
+            -- S = Σ sgn over the t-ordered pair lattice (exact int),
+            -- tie-corrected Var·18 exact int, Z = (S∓1)/sqrt(Var)
+            WITH base AS (
+                SELECT user_id, CAST(event_id AS DOUBLE) AS t,
+                       CAST(value AS DOUBLE) AS x
+                FROM events
+                WHERE user_id < 40 AND value IS NOT NULL
+                  AND event_id IS NOT NULL
+            ),
+            s_tbl AS (
+                SELECT a.user_id,
+                       CAST(sum(CAST(sign(b.x - a.x) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM base a JOIN base b
+                  ON a.user_id = b.user_id
+                 AND (a.t < b.t OR (a.t = b.t AND a.x < b.x))
+                GROUP BY 1
+            ),
+            nn AS (
+                SELECT user_id, CAST(count(*) AS INTEGER) AS n
+                FROM base GROUP BY 1
+            ),
+            ties AS (
+                SELECT user_id,
+                       CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT)
+                           AS tie_term
+                FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS tc
+                      FROM base GROUP BY user_id, x)
+                GROUP BY 1
+            ),
+            j AS (
+                SELECT s_tbl.user_id, nn.n, s_tbl.s,
+                       CAST(nn.n AS BIGINT) * (CAST(nn.n AS BIGINT) - 1)
+                           * (2 * CAST(nn.n AS BIGINT) + 5)
+                           - ties.tie_term AS var18
+                FROM s_tbl
+                JOIN nn ON s_tbl.user_id = nn.user_id
+                JOIN ties ON s_tbl.user_id = ties.user_id
+            )
+            SELECT user_id, n, s,
+                   CAST(var18 AS DOUBLE) / 18.0 AS var_s,
+                   CASE WHEN var18 > 0 THEN
+                       CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                                / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                            WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                                / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                            ELSE 0.0 END
+                   END AS z
+            FROM j
+        """,
+        "theil_sen": """
+            -- median of pairwise slopes: each ONE division, median an
+            -- exact order statistic over the sorted slope list
+            WITH base AS (
+                SELECT user_id, CAST(event_id AS DOUBLE) AS t,
+                       CAST(value AS DOUBLE) AS x
+                FROM events
+                WHERE user_id < 40 AND value IS NOT NULL
+                  AND event_id IS NOT NULL
+            ),
+            slopes AS (
+                SELECT a.user_id,
+                       list_sort(list((b.x - a.x) / (b.t - a.t))) AS s
+                FROM base a JOIN base b
+                  ON a.user_id = b.user_id
+                 AND (a.t < b.t OR (a.t = b.t AND a.x < b.x))
+                WHERE b.t <> a.t
+                GROUP BY 1
+            )
+            SELECT user_id,
+                   CAST(len(s) AS INTEGER) AS n_slopes,
+                   CASE WHEN len(s) > 0 THEN
+                       CASE WHEN len(s) % 2 = 1
+                            THEN s[CAST(floor(len(s) / 2) + 1 AS INTEGER)]
+                            ELSE (s[CAST(floor((len(s) + 1) / 2) AS INTEGER)]
+                                  + s[CAST(floor(len(s) / 2) + 1 AS INTEGER)])
+                                 / 2.0 END
+                   END AS slope
+            FROM slopes
         """,
         "ks_2samp": """
             -- per distinct value the scaled ECDF gap

@@ -76,3 +76,4 @@ from .kmeans import train_kmeans, assign_kmeans  # noqa: F401
 from .clustereval import silhouette_simplified, adjusted_rand_index  # noqa: F401
 from .coreset import farthest_point_sample, cover_assign  # noqa: F401
 from .survival import kaplan_meier, logrank_test  # noqa: F401
+from .trend import mann_kendall, theil_sen  # noqa: F401

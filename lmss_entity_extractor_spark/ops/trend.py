@@ -1,0 +1,147 @@
+"""Robust trend detection (L161/L162): the Mann-Kendall test (is this
+series monotonically trending — the nonparametric workhorse of metric
+monitoring) and the Theil-Sen estimator (the robust slope that one
+outlier can't move) — both defined over ALL pairs of observations, so
+they are computed over an explicit bounded pair lattice.
+
+Boundedness contract (the L159 discipline): per-key series length is
+capped (``max_len``, REFUSED loudly beyond) because both statistics
+are pairwise by definition — n² pairs at n=10³ is 10⁶ rows per key,
+fine; unbounded would be quadratic in the fact table.  Long series
+should be bucketed/resampled first (L112); the statistics stabilize
+long before 10³ points.
+
+L161 — Mann-Kendall: S = Σ_{i<j} sgn(x_j − x_i) over time order —
+an EXACT integer; the tie-corrected variance
+
+    Var = [n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)] / 18
+
+is exact integer arithmetic over value-tie groups, and
+Z = (S∓1)/√Var (continuity-corrected, 0 at S=0) is a fixed IEEE
+tree — bit-identical, ungridded.
+
+L162 — Theil-Sen: median of the (y_j−y_i)/(t_j−t_i) pairwise slopes
+(distinct t only).  Each slope is ONE IEEE division; the median is an
+exact order statistic over the sorted slope list (even counts average
+the two middle values — one add + one halving).
+
+Scale shape: per-key collect_list (bounded by contract) → posexplode
+pair lattice inside the row (no shuffle beyond the key groupBy) →
+combinable aggregation.  100 TB of series tables = one keyed exchange.
+
+No reference counterpart; monitoring/trend analytics per SURVEY §2.11
+(composes with L93 EWMA, L151 ACF, L154 CUSUM as the series-health
+family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MAX_LEN_DEFAULT = 1000
+
+
+def _packed(df, by, order_col, value_col, max_len):
+    flt = df.filter(F.col(value_col).isNotNull() & F.col(order_col).isNotNull())
+    base = flt.select(
+        *by,
+        F.col(order_col).cast("double").alias("_t"),
+        F.col(value_col).cast("double").alias("_x"),
+    )
+    sizes = base.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > max_len).count()
+    if over:
+        raise ValueError(
+            f"trend: at least one series exceeds max_len={max_len} — "
+            "resample/bucket first (the statistics are pairwise; an "
+            "unbounded series is quadratic by definition)"
+        )
+    arr = F.sort_array(F.collect_list(F.struct("_t", "_x"))).alias("_a")
+    return base.groupBy(*by).agg(arr)
+
+
+def _pairs(packed, by):
+    """One row per (i < j) pair of the sorted series."""
+    e1 = packed.select(*by, "_a", F.posexplode("_a").alias("_i", "_p"))
+    e2 = e1.select(*by, "_i", "_p", F.posexplode("_a").alias("_j", "_q"))
+    return e2.filter(F.col("_i") < F.col("_j"))
+
+
+def mann_kendall(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    max_len: int = _MAX_LEN_DEFAULT,
+) -> DataFrame:
+    """``(by..., n, s, var_s, z)`` — Mann-Kendall trend per key.  S and
+    Var are exact; Z uses the standard continuity correction (NULL when
+    Var = 0 — all values tied or n < 2)."""
+    packed = _packed(df, by, order_col, value_col, max_len)
+    sgn = F.signum(F.col("_q._x") - F.col("_p._x")).cast("long")
+    s_tbl = _pairs(packed, by).groupBy(*by).agg(
+        F.sum(sgn).alias("s"),
+    )
+    # tie groups over values; n from the packed array
+    base = packed.select(*by, F.size("_a").alias("n"), F.explode("_a").alias("_e"))
+    ties = (
+        base.groupBy(*by, "n", F.col("_e._x").alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_tc"))
+        .groupBy(*by, "n")
+        .agg(
+            F.sum(
+                F.col("_tc")
+                * (F.col("_tc") - 1)
+                * (F.lit(2) * F.col("_tc") + 5)
+            ).alias("_tie_term")
+        )
+    )
+    j = s_tbl.join(ties, by)
+    nn = F.col("n").cast("long")
+    var18 = nn * (nn - 1) * (F.lit(2) * nn + 5) - F.col("_tie_term")
+    var_s = var18.cast("double") / F.lit(18.0)
+    z = F.when(
+        F.col("s") > 0, (F.col("s") - F.lit(1)).cast("double") / F.sqrt(var_s)
+    ).when(
+        F.col("s") < 0, (F.col("s") + F.lit(1)).cast("double") / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        *by,
+        "n",
+        "s",
+        var_s.alias("var_s"),
+        F.when(var18 > 0, z).alias("z"),
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    max_len: int = _MAX_LEN_DEFAULT,
+) -> DataFrame:
+    """``(by..., n_slopes, slope)`` — median pairwise slope per key
+    (pairs with equal t excluded).  NULL when no valid pair exists."""
+    packed = _packed(df, by, order_col, value_col, max_len)
+    pairs = _pairs(packed, by).filter(F.col("_q._t") != F.col("_p._t"))
+    slope = (F.col("_q._x") - F.col("_p._x")) / (
+        F.col("_q._t") - F.col("_p._t")
+    )
+    slopes = pairs.groupBy(*by).agg(
+        F.sort_array(F.collect_list(slope)).alias("_s")
+    )
+    k = F.size("_s")
+    # explicit floor: DuckDB's double->int CAST rounds half-up while
+    # Spark's truncates — an 827.5 index must be 827 on both engines
+    mid_hi = F.element_at("_s", (F.floor(k / 2) + 1).cast("int"))
+    mid_lo = F.element_at("_s", F.floor((k + 1) / 2).cast("int"))
+    median = F.when(k % 2 == 1, mid_hi).otherwise(
+        (mid_lo + mid_hi) / F.lit(2.0)
+    )
+    return slopes.select(
+        *by,
+        k.alias("n_slopes"),
+        F.when(k > 0, median).alias("slope"),
+    )
