@@ -3889,6 +3889,21 @@ def q_theil_sen(spark, sf_dir):
     )
 
 
+def q_seasonal(spark, sf_dir):
+    """Classical seasonal decomposition (L163): x = trend + seasonal +
+    remainder per user series at period 7 — decimal-exact moving-sum
+    numerators, one division per row, phase indices centered by a
+    bounded fold, ungridded."""
+    from lmss_entity_extractor_spark.ops.seasonal import seasonal_decompose
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("user_id") < 8) & F.col("value").isNotNull())
+        .select("user_id", "event_id", "value")
+    )
+    return seasonal_decompose(e, ["user_id"], "event_id", "value", period=7)
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5357,6 +5372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank": q_logrank,
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
+        "seasonal": q_seasonal,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -8661,6 +8677,68 @@ def oracle_sql() -> dict[str, str]:
                                  / 2.0 END
                    END AS slope
             FROM slopes
+        """,
+        "seasonal": """
+            -- trend = W/p (decimal window sum, one division); raw
+            -- seasonal index from exact p·x − W numerators; centered
+            -- by the phase-sorted fold; remainder = (x−trend)−seasonal
+            WITH base AS (
+                SELECT user_id, event_id AS o,
+                       CAST(value AS DECIMAL(18,2)) AS x
+                FROM events WHERE user_id < 8 AND value IS NOT NULL
+            ),
+            idx AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY o) - 1 AS i
+                FROM base
+            ),
+            st AS (
+                SELECT user_id, o, x, i % 7 AS phase,
+                       sum(x) OVER w AS wsum,
+                       count(x) OVER w AS wc
+                FROM idx
+                WINDOW w AS (PARTITION BY user_id ORDER BY o
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            ),
+            st2 AS (
+                SELECT user_id, o, x, phase,
+                       CASE WHEN wc = 7
+                            THEN CAST(wsum AS DOUBLE) / 7.0 END AS trend,
+                       CASE WHEN wc = 7
+                            THEN CAST(7 AS DECIMAL(9,0)) * x - wsum
+                       END AS dn
+                FROM st
+            ),
+            raw AS (
+                SELECT user_id, phase,
+                       CAST(sum(dn) AS DOUBLE)
+                       / (7.0 * CAST(count(*) AS DOUBLE)) AS r
+                FROM st2 WHERE dn IS NOT NULL GROUP BY 1, 2
+            ),
+            packed AS (
+                SELECT user_id,
+                       list_sort(list(struct_pack(phase := phase, r := r)))
+                           AS a
+                FROM raw GROUP BY 1
+            ),
+            centered AS (
+                SELECT user_id, s.phase AS phase,
+                       s.r - list_reduce(list_prepend(0.0,
+                                 [q.r FOR q IN a]), (acc, v) -> acc + v)
+                             / CAST(len(a) AS DOUBLE) AS seasonal
+                FROM (SELECT user_id, a, unnest(a) AS s FROM packed)
+            )
+            SELECT st2.user_id, st2.o AS event_id,
+                   CAST(st2.x AS DOUBLE) AS value,
+                   CAST(st2.phase AS INTEGER) AS phase,
+                   st2.trend,
+                   c.seasonal,
+                   CASE WHEN st2.trend IS NOT NULL
+                            AND c.seasonal IS NOT NULL
+                        THEN (CAST(st2.x AS DOUBLE) - st2.trend)
+                             - c.seasonal END AS remainder
+            FROM st2 LEFT JOIN centered c
+              ON st2.user_id = c.user_id AND st2.phase = c.phase
         """,
         "ks_2samp": """
             -- per distinct value the scaled ECDF gap
