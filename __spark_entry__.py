@@ -3904,6 +3904,34 @@ def q_seasonal(spark, sf_dir):
     return seasonal_decompose(e, ["user_id"], "event_id", "value", period=7)
 
 
+def q_retrieval_metrics(spark, sf_dir):
+    """Retrieval metrics (L164): per-query precision/recall@3 and
+    reciprocal rank of sign-LSH ANN (L8) against the brute-force truth
+    (L7) — exact integer counts, one division per metric, ungridded.
+    Oracle: BOTH pipelines' existing oracle SQL nested as CTEs."""
+    from lmss_entity_extractor_spark.ops.evalmetrics import retrieval_metrics
+
+    pred = q_knn_lsh(spark, sf_dir)
+    truth = q_knn_bruteforce(spark, sf_dir)
+    return retrieval_metrics(pred, truth, k=3)
+
+
+def q_classification_report(spark, sf_dir):
+    """Classification report (L165): per-class precision/recall/F1 of
+    the 'previous event type predicts the next' baseline — exact
+    integer cells, F1 = 2tp/(n_true+n_pred) single-division form,
+    ungridded."""
+    from pyspark.sql import Window
+
+    from lmss_entity_extractor_spark.ops.evalmetrics import classification_report
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.lead("event_type").over(w).alias("pred")
+    )
+    return classification_report(e, "event_type", "pred")
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5373,6 +5401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
         "seasonal": q_seasonal,
+        "retrieval_metrics": q_retrieval_metrics,
+        "classification_report": q_classification_report,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -11004,6 +11034,74 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderkey, o_custkey, o_totalprice,
                o_orderkey % 7 AS tag7, o_orderkey % 3 AS tag3
         FROM orders WHERE o_orderkey % 20 = 0
+    """
+    # L164: both retrieval pipelines' own oracle SQL nested verbatim as
+    # CTEs — the metrics layer is checked on top of already-checked rows
+    oracles["retrieval_metrics"] = f"""
+        WITH pred AS ({oracles['knn_lsh']}),
+        truth AS ({oracles['knn_bruteforce']}),
+        t AS (SELECT query_id AS q, neighbor_id AS i
+              FROM truth WHERE rank <= 3),
+        nrel AS (SELECT q, CAST(count(*) AS BIGINT) AS n_rel
+                 FROM t GROUP BY 1),
+        p AS (SELECT query_id AS q, neighbor_id AS i, rank AS r
+              FROM pred WHERE rank <= 3),
+        hit AS (SELECT p.q, CAST(count(*) AS BIGINT) AS hits,
+                       min(p.r) AS first
+                FROM p JOIN t ON p.q = t.q AND p.i = t.i GROUP BY 1)
+        SELECT nrel.q AS query_id, nrel.n_rel,
+               coalesce(hit.hits, 0) AS hits,
+               CAST(coalesce(hit.hits, 0) AS DOUBLE) / 3.0
+                   AS "precision",
+               CASE WHEN nrel.n_rel > 0 THEN
+                   CAST(coalesce(hit.hits, 0) AS DOUBLE)
+                   / CAST(nrel.n_rel AS DOUBLE) END AS recall,
+               CASE WHEN hit.first IS NOT NULL THEN
+                   1.0 / CAST(hit.first AS DOUBLE) END AS rr
+        FROM nrel LEFT JOIN hit ON nrel.q = hit.q
+    """
+    oracles["classification_report"] = """
+        WITH e AS (
+            SELECT event_type AS y,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS p
+            FROM events
+        ),
+        cells AS (
+            SELECT y, p, count(*) AS o FROM e
+            WHERE y IS NOT NULL AND p IS NOT NULL GROUP BY 1, 2
+        ),
+        classes AS (
+            SELECT y AS label FROM cells
+            UNION
+            SELECT p FROM cells
+        ),
+        nt AS (SELECT y AS label, CAST(sum(o) AS BIGINT) AS n_true
+               FROM cells GROUP BY 1),
+        np_ AS (SELECT p AS label, CAST(sum(o) AS BIGINT) AS n_pred
+                FROM cells GROUP BY 1),
+        tp AS (SELECT y AS label, CAST(o AS BIGINT) AS tp
+               FROM cells WHERE y = p)
+        SELECT c.label,
+               coalesce(nt.n_true, 0) AS n_true,
+               coalesce(np_.n_pred, 0) AS n_pred,
+               coalesce(tp.tp, 0) AS tp,
+               CASE WHEN coalesce(np_.n_pred, 0) > 0 THEN
+                   CAST(coalesce(tp.tp, 0) AS DOUBLE)
+                   / CAST(np_.n_pred AS DOUBLE) END AS "precision",
+               CASE WHEN coalesce(nt.n_true, 0) > 0 THEN
+                   CAST(coalesce(tp.tp, 0) AS DOUBLE)
+                   / CAST(nt.n_true AS DOUBLE) END AS recall,
+               CASE WHEN coalesce(nt.n_true, 0)
+                        + coalesce(np_.n_pred, 0) > 0 THEN
+                   CAST(2 * coalesce(tp.tp, 0) AS DOUBLE)
+                   / CAST(coalesce(nt.n_true, 0)
+                          + coalesce(np_.n_pred, 0) AS DOUBLE)
+               END AS f1
+        FROM classes c
+        LEFT JOIN nt ON c.label = nt.label
+        LEFT JOIN np_ ON c.label = np_.label
+        LEFT JOIN tp ON c.label = tp.label
     """
     oracles["edit_join"] = """
         WITH v AS (SELECT DISTINCT p_name AS a FROM part)

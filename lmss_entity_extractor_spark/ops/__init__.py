@@ -78,3 +78,4 @@ from .coreset import farthest_point_sample, cover_assign  # noqa: F401
 from .survival import kaplan_meier, logrank_test  # noqa: F401
 from .trend import mann_kendall, theil_sen  # noqa: F401
 from .seasonal import seasonal_decompose  # noqa: F401
+from .evalmetrics import retrieval_metrics, classification_report  # noqa: F401
