@@ -3932,6 +3932,48 @@ def q_classification_report(spark, sf_dir):
     return classification_report(e, "event_type", "pred")
 
 
+def _calibration_input(spark, sf_dir):
+    """Decimal-exact probability fixture: p = (key % 100)·0.01."""
+    o = _t(spark, sf_dir, "orders")
+    p = (F.col("o_orderkey") % 100).cast("decimal(9,2)") * F.lit("0.01").cast(
+        "decimal(9,2)"
+    )
+    return o.select(
+        p.alias("p"), (F.col("o_orderkey") % 3 == 0).cast("int").alias("y")
+    )
+
+
+def q_brier(spark, sf_dir):
+    """Brier score (L166): mean squared probability error — exact
+    decimal (p−y)² sum, ONE division, ungridded."""
+    from lmss_entity_extractor_spark.ops.calibration import brier_score
+
+    return brier_score(_calibration_input(spark, sf_dir), "p", "y")
+
+
+def q_calibration(spark, sf_dir):
+    """Reliability table (L166): 10 probability bins with exact
+    decimal Σp/Σy, one division per output value, ungridded."""
+    from lmss_entity_extractor_spark.ops.calibration import calibration_bins
+
+    return calibration_bins(_calibration_input(spark, sf_dir), "p", "y")
+
+
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar + resource allocation (L167): degree-weighted
+    common-neighbor scores over the order—part bipartite slice — per-
+    pair sorted neighbor folds (the L39 discipline), one division per
+    term, ungridded."""
+    from lmss_entity_extractor_spark.graph.linkpred import adamic_adar
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    edges = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+    )
+    return adamic_adar(edges)
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5403,6 +5445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal": q_seasonal,
         "retrieval_metrics": q_retrieval_metrics,
         "classification_report": q_classification_report,
+        "brier": q_brier,
+        "calibration": q_calibration,
+        "adamic_adar": q_adamic_adar,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -8769,6 +8814,88 @@ def oracle_sql() -> dict[str, str]:
                              - c.seasonal END AS remainder
             FROM st2 LEFT JOIN centered c
               ON st2.user_id = c.user_id AND st2.phase = c.phase
+        """,
+        "brier": """
+            WITH base AS (
+                SELECT CAST(CAST(o_orderkey % 100 AS DECIMAL(9,2))
+                            * CAST('0.01' AS DECIMAL(9,2))
+                            AS DECIMAL(12,4)) AS p,
+                       CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS y
+                FROM orders
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum((p - CAST(y AS DECIMAL(12,4)))
+                            * (p - CAST(y AS DECIMAL(12,4)))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS brier
+            FROM base
+        """,
+        "calibration": """
+            WITH base AS (
+                SELECT CAST(CAST(o_orderkey % 100 AS DECIMAL(9,2))
+                            * CAST('0.01' AS DECIMAL(9,2))
+                            AS DECIMAL(12,4)) AS p,
+                       CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS y
+                FROM orders
+            )
+            SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(p) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS mean_pred,
+                   CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS frac_pos
+            FROM base GROUP BY 1
+        """,
+        "adamic_adar": """
+            -- degree-weighted overlap: AA/RA as 0.0-prepended folds
+            -- over the z-sorted common-neighbor list
+            WITH raw AS (
+                SELECT 'o:' || CAST(l_orderkey AS VARCHAR) AS s,
+                       'p:' || CAST(l_partkey AS VARCHAR) AS d
+                FROM lineitem WHERE l_orderkey % 50 = 0
+            ),
+            e AS (
+                SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+                FROM raw WHERE s <> d
+            ),
+            deg AS (
+                SELECT node, count(*) AS deg
+                FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                GROUP BY 1
+            ),
+            sym AS (
+                SELECT u AS center, v AS nbr FROM e
+                UNION ALL
+                SELECT v AS center, u AS nbr FROM e
+            ),
+            symd AS (
+                SELECT sym.center, sym.nbr, deg.deg AS deg_c
+                FROM sym JOIN deg ON sym.center = deg.node
+            ),
+            wedges AS (
+                SELECT x.nbr AS a, y.nbr AS b, x.center AS z,
+                       CAST(x.deg_c AS BIGINT) AS deg_z
+                FROM symd x JOIN symd y ON x.center = y.center
+                WHERE x.nbr < y.nbr
+            ),
+            packed AS (
+                SELECT a, b,
+                       list_sort(list(struct_pack(z := z, deg_z := deg_z)))
+                           AS zs
+                FROM wedges GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT packed.a, packed.b, packed.zs FROM packed
+                LEFT JOIN e ON packed.a = e.u AND packed.b = e.v
+                WHERE e.u IS NULL
+            )
+            SELECT a, b, CAST(len(zs) AS INTEGER) AS common,
+                   list_reduce(list_prepend(0.0,
+                       [1.0 / ln(CAST(s.deg_z AS DOUBLE)) FOR s IN zs]),
+                       (acc, v) -> acc + v) AS aa,
+                   list_reduce(list_prepend(0.0,
+                       [1.0 / CAST(s.deg_z AS DOUBLE) FOR s IN zs]),
+                       (acc, v) -> acc + v) AS ra
+            FROM pairs
         """,
         "ks_2samp": """
             -- per distinct value the scaled ECDF gap

@@ -79,3 +79,4 @@ from .survival import kaplan_meier, logrank_test  # noqa: F401
 from .trend import mann_kendall, theil_sen  # noqa: F401
 from .seasonal import seasonal_decompose  # noqa: F401
 from .evalmetrics import retrieval_metrics, classification_report  # noqa: F401
+from .calibration import brier_score, calibration_bins  # noqa: F401

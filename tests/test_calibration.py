@@ -1,0 +1,85 @@
+"""Brier/calibration (L166) + Adamic-Adar link prediction (L167)."""
+
+import math
+
+import pytest
+
+from lmss_entity_extractor_spark.graph.linkpred import adamic_adar
+from lmss_entity_extractor_spark.ops.calibration import (
+    brier_score,
+    calibration_bins,
+)
+
+
+def _probs(spark, rows):
+    return spark.createDataFrame(rows, "p double, y int")
+
+
+class TestBrier:
+    def test_hand_computed(self, spark):
+        rows = [(0.8, 1), (0.8, 0), (0.25, 0), (1.0, 1)]
+        r = brier_score(_probs(spark, rows), "p", "y").collect()[0]
+        exp = (0.2**2 + 0.8**2 + 0.25**2 + 0.0) / 4
+        assert r["n"] == 4
+        assert r["brier"] == pytest.approx(exp, rel=1e-12)
+
+    def test_perfect_zero(self, spark):
+        rows = [(1.0, 1), (0.0, 0)]
+        r = brier_score(_probs(spark, rows), "p", "y").collect()[0]
+        assert r["brier"] == 0.0
+
+    def test_out_of_range_refused(self, spark):
+        with pytest.raises(ValueError, match="outside"):
+            brier_score(_probs(spark, [(1.5, 1)]), "p", "y").collect()
+
+    def test_nonbinary_label_refused(self, spark):
+        with pytest.raises(ValueError, match="non-binary"):
+            brier_score(_probs(spark, [(0.5, 2)]), "p", "y").collect()
+
+
+class TestCalibrationBins:
+    def test_bins_and_rates(self, spark):
+        rows = [(0.05, 0), (0.05, 0), (0.05, 1), (0.95, 1), (0.95, 1), (1.0, 1)]
+        out = {
+            r["bin"]: r
+            for r in calibration_bins(_probs(spark, rows), "p", "y").collect()
+        }
+        assert set(out) == {0, 9}
+        assert out[0]["n"] == 3
+        assert out[0]["frac_pos"] == pytest.approx(1 / 3, abs=0)
+        assert out[0]["mean_pred"] == pytest.approx(0.05, rel=1e-12)
+        assert out[9]["n"] == 3  # p = 1.0 clamps into the last bin
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "src string, dst string"
+    )
+
+
+class TestAdamicAdar:
+    def test_hand_computed(self, spark):
+        # a-z1, b-z1, a-z2, b-z2, z1-z2: pair (a,b) shares z1 (deg 3)
+        # and z2 (deg 3); a-b not an edge
+        pairs = [("a", "z1"), ("b", "z1"), ("a", "z2"), ("b", "z2"), ("z1", "z2")]
+        rows = adamic_adar(_edges(spark, pairs)).collect()
+        ab = [r for r in rows if {r["a"], r["b"]} == {"a", "b"}][0]
+        assert ab["common"] == 2
+        assert ab["aa"] == pytest.approx(2 / math.log(3), rel=1e-12)
+        assert ab["ra"] == pytest.approx(2 / 3, rel=1e-12)
+
+    def test_existing_edges_excluded(self, spark):
+        pairs = [("a", "z"), ("b", "z"), ("a", "b")]
+        rows = adamic_adar(_edges(spark, pairs)).collect()
+        assert not any({r["a"], r["b"]} == {"a", "b"} for r in rows)
+        rows2 = adamic_adar(_edges(spark, pairs), include_existing=True).collect()
+        assert any({r["a"], r["b"]} == {"a", "b"} for r in rows2)
+
+    def test_rare_hub_weighs_more(self, spark):
+        # (a,b) share rare z (deg 2); (c,d) share hub h (deg 5)
+        pairs = [("a", "z"), ("b", "z")] + [
+            (n, "h") for n in ("c", "d", "e", "f", "g")
+        ]
+        rows = {frozenset((r["a"], r["b"])): r for r in
+                adamic_adar(_edges(spark, pairs)).collect()}
+        assert rows[frozenset(("a", "b"))]["aa"] > rows[frozenset(("c", "d"))]["aa"]
