@@ -3974,6 +3974,79 @@ def q_adamic_adar(spark, sf_dir):
     return adamic_adar(edges)
 
 
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient (L168): φ(k) over the order→customer
+    graph's distinct-degree grid — exact integer N_k/E_k suffix
+    counts, one division per k, ungridded."""
+    from lmss_entity_extractor_spark.graph.richclub import rich_club
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("o:"), F.col("o_orderkey")).alias("src"),
+        F.concat(F.lit("c:"), F.col("o_custkey")).alias("dst"),
+    )
+    return rich_club(edges)
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity audit (L169): customers by
+    (nation, segment) quasi-identifiers with account balance as the
+    sensitive value — exact integer group sizes/diversities plus a
+    release-gate summary joined in one row per group."""
+    from lmss_entity_extractor_spark.ops.privacy import k_anonymity_audit
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    return k_anonymity_audit(c, ["nation", "segment"], "bal", k_min=10, l_min=5)
+
+
+def q_random_projection(spark, sf_dir):
+    """Sparse random projection (L170): 64-d embeddings → 8-d via the
+    SHA-derived Achlioptas sign matrix, long format — every value
+    bit-checked against the oracle's identical generated literals."""
+    from lmss_entity_extractor_spark.ops.randproj import rp_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = rp_project(e, dim=64, out_dim=8, seed=7)
+    return out.select("vec_id", F.posexplode("rp").alias("dim", "value"))
+
+
+def _random_projection_oracle_sql(dim: int = 64, out_dim: int = 8, seed: int = 7) -> str:
+    """q_random_projection's oracle: the SAME sign matrix (shared
+    derivation) expanded as explicitly left-associated float64 dots."""
+    import math
+
+    from lmss_entity_extractor_spark.ops.randproj import jl_sign_matrix
+
+    signs = jl_sign_matrix(dim, out_dim, seed)
+    scale = math.sqrt(3.0 / out_dim)
+
+    def lit(v: float) -> str:
+        # repr round-trips: DuckDB parses the shortest decimal form to
+        # the identical IEEE double (Spark's _dlit D-suffix is not
+        # DuckDB syntax)
+        return f"CAST({v!r} AS DOUBLE)"
+
+    def dot(row) -> str:
+        acc = f"(CAST(e.embedding[1] AS DOUBLE) * {lit(row[0])})"
+        for i in range(1, dim):
+            acc = (
+                f"({acc} + (CAST(e.embedding[{i} + 1] AS DOUBLE)"
+                f" * {lit(row[i])}))"
+            )
+        return acc
+
+    selects = [
+        f"SELECT vec_id, CAST({j} AS INTEGER) AS dim, "
+        f"({dot(row)} * {lit(scale)}) AS value FROM embeddings e"
+        for j, row in enumerate(signs)
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5448,6 +5521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier": q_brier,
         "calibration": q_calibration,
         "adamic_adar": q_adamic_adar,
+        "rich_club": q_rich_club,
+        "k_anonymity": q_k_anonymity,
+        "random_projection": q_random_projection,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -8897,6 +8973,57 @@ def oracle_sql() -> dict[str, str]:
                        (acc, v) -> acc + v) AS ra
             FROM pairs
         """,
+        "rich_club": """
+            -- φ(k) = 2·E_k/(N_k(N_k−1)) over the distinct-degree grid;
+            -- E_k via per-edge min endpoint degree, exact suffix counts
+            WITH edges AS (
+                SELECT 'o:' || CAST(o_orderkey AS VARCHAR) AS src,
+                       'c:' || CAST(o_custkey AS VARCHAR) AS dst
+                FROM orders
+            ),
+            deg AS (
+                SELECT node, count(*) AS deg
+                FROM (SELECT src AS node FROM edges
+                      UNION ALL SELECT dst FROM edges)
+                GROUP BY 1
+            ),
+            grid AS (SELECT DISTINCT deg AS k FROM deg),
+            em AS (
+                SELECT least(du.deg, dv.deg) AS m, count(*) AS em
+                FROM edges
+                JOIN deg du ON edges.src = du.node
+                JOIN deg dv ON edges.dst = dv.node
+                WHERE edges.src <> edges.dst
+                GROUP BY 1
+            ),
+            nk AS (SELECT deg, count(*) AS nd FROM deg GROUP BY 1),
+            n_k AS (
+                SELECT grid.k, CAST(sum(nk.nd) AS BIGINT) AS n_k
+                FROM grid JOIN nk ON grid.k < nk.deg GROUP BY 1
+            ),
+            e_k AS (
+                SELECT grid.k, CAST(sum(em.em) AS BIGINT) AS e_k
+                FROM grid JOIN em ON grid.k < em.m GROUP BY 1
+            )
+            SELECT grid.k,
+                   coalesce(n_k.n_k, 0) AS n_k,
+                   coalesce(e_k.e_k, 0) AS e_k,
+                   CASE WHEN coalesce(n_k.n_k, 0) > 1 THEN
+                       CAST(2 * coalesce(e_k.e_k, 0) AS DOUBLE)
+                       / CAST(n_k.n_k * (n_k.n_k - 1) AS DOUBLE)
+                   END AS phi
+            FROM grid
+            LEFT JOIN n_k ON grid.k = n_k.k
+            LEFT JOIN e_k ON grid.k = e_k.k
+        """,
+        "k_anonymity": """
+            SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l,
+                   count(*) >= 10 AS ok_k,
+                   count(DISTINCT c_acctbal) >= 5 AS ok_l
+            FROM customer GROUP BY 1, 2
+        """,
         "ks_2samp": """
             -- per distinct value the scaled ECDF gap
             -- |cum_a·n_b − cum_b·n_a| is an exact integer;
@@ -9058,6 +9185,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_pq": _pq_oracle_sql(),
         "kmeans": _kmeans_oracle_sql(),
+        "random_projection": _random_projection_oracle_sql(),
         "silhouette": _silhouette_oracle_sql(),
         "ari": _ari_oracle_sql(),
         "fps": _fps_oracle_sql(),

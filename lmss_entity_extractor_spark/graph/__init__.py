@@ -32,3 +32,4 @@ from .bisim import bisimulation_classes  # noqa: F401
 from .powerlaw import degree_distribution, power_law_fit  # noqa: F401
 from .metrics import modularity, degree_assortativity  # noqa: F401
 from .linkpred import link_prediction_scores, adamic_adar  # noqa: F401
+from .richclub import rich_club  # noqa: F401
