@@ -4047,6 +4047,57 @@ def _random_projection_oracle_sql(dim: int = 64, out_dim: int = 8, seed: int = 7
     return "\nUNION ALL\n".join(selects)
 
 
+def q_containment(spark, sf_dir):
+    """Shingle containment near-dup (L171): the 'document swallowed a
+    document' case Jaccard misses — integer-exact n_shared ≥ t·n
+    filter on EITHER side, one division per emitted ratio."""
+    from lmss_entity_extractor_spark.ops.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, max_shingle_df=50
+    )
+
+
+def q_ccf(spark, sf_dir):
+    """Cross-correlation function (L172): does the event value lead the
+    (event_id mod 7) cycle — lags 0..3 per user, exact decimal
+    centring, sqrt·sqrt denominator, one division per lag."""
+    from lmss_entity_extractor_spark.ops.concentration import ccf
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("user_id") < 40) & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("value").alias("x"),
+            (F.col("event_id") % 7).cast("double").alias("y"),
+        )
+    )
+    return ccf(e, ["user_id"], ["ts", "event_id"], "x", "y", max_lag=3)
+
+
+def q_srm(spark, sf_dir):
+    """Sample-ratio-mismatch check (L140 composition): is the 50/50
+    even/odd user split actually 50/50 — χ² = (n_a−n_b)²/(n_a+n_b),
+    exact integers, one division."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.agg(
+        F.sum((F.col("user_id") % 2 == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("user_id") % 2 != 0).cast("long")).alias("n_b"),
+    )
+    d = F.col("n_a") - F.col("n_b")
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") + F.col("n_b")) > 0,
+            (d * d).cast("double") / (F.col("n_a") + F.col("n_b")).cast("double"),
+        ).alias("chi2"),
+    )
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5524,6 +5575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": q_rich_club,
         "k_anonymity": q_k_anonymity,
         "random_projection": q_random_projection,
+        "containment": q_containment,
+        "ccf": q_ccf,
+        "srm": q_srm,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -7079,6 +7133,96 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE n_shared >= 0.6 * (sa.n + sb.n - n_shared)
+        """,
+        "containment": f"""
+            WITH {_SHINGLES_CTE},
+            ok AS (SELECT shingle FROM sh_nonempty GROUP BY 1
+                   HAVING count(*) <= 50),
+            shf AS (SELECT s.* FROM sh_nonempty s JOIN ok USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+            shared AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_shared
+                FROM shf a JOIN shf b USING (shingle)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+                   CAST(n_shared AS DOUBLE) / CAST(sa.n AS DOUBLE)
+                       AS cont_a,
+                   CAST(n_shared AS DOUBLE) / CAST(sb.n AS DOUBLE)
+                       AS cont_b
+            FROM shared
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE n_shared >= 0.5 * sa.n OR n_shared >= 0.5 * sb.n
+        """,
+        "ccf": """
+            -- cross-correlation: exact decimal centring, the n²
+            -- cancels; r = num / (sqrt(dx)·sqrt(dy)) — Spark's trees
+            WITH base AS (
+                SELECT user_id, ts, event_id,
+                       CAST(value AS DECIMAL(18,2)) AS x,
+                       CAST(event_id % 7 AS DECIMAL(18,2)) AS y
+                FROM events WHERE user_id < 40 AND value IS NOT NULL
+            ),
+            stats AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS DECIMAL(19,2)) AS sx,
+                       CAST(sum(y) AS DECIMAL(19,2)) AS sy
+                FROM base GROUP BY 1
+            ),
+            centred AS (
+                SELECT b.user_id, st.n, b.ts, b.event_id,
+                       CAST(CAST(st.n AS DECIMAL(10,0)) * b.x - st.sx
+                            AS DECIMAL(19,2)) AS cx,
+                       CAST(CAST(st.n AS DECIMAL(10,0)) * b.y - st.sy
+                            AS DECIMAL(19,2)) AS cy
+                FROM base b JOIN stats st ON b.user_id = st.user_id
+            ),
+            lagged AS (
+                SELECT user_id, n, cx, cy,
+                       lag(cy, 0) OVER w AS l0,
+                       lag(cy, 1) OVER w AS l1,
+                       lag(cy, 2) OVER w AS l2,
+                       lag(cy, 3) OVER w AS l3
+                FROM centred
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sums AS (
+                SELECT user_id, n,
+                       sum(cx * cx) AS dx, sum(cy * cy) AS dy,
+                       sum(cx * l0) AS n0, sum(cx * l1) AS n1,
+                       sum(cx * l2) AS n2, sum(cx * l3) AS n3
+                FROM lagged GROUP BY 1, 2
+            )
+            SELECT user_id, CAST(lag AS INTEGER) AS lag, n,
+                   CASE WHEN dx > 0 AND dy > 0 AND num IS NOT NULL
+                        THEN CAST(num AS DOUBLE)
+                             / (sqrt(CAST(dx AS DOUBLE))
+                                * sqrt(CAST(dy AS DOUBLE)))
+                   END AS r
+            FROM (
+                SELECT user_id, n, dx, dy, 0 AS lag, n0 AS num FROM sums
+                UNION ALL
+                SELECT user_id, n, dx, dy, 1, n1 FROM sums
+                UNION ALL
+                SELECT user_id, n, dx, dy, 2, n2 FROM sums
+                UNION ALL
+                SELECT user_id, n, dx, dy, 3, n3 FROM sums
+            )
+        """,
+        "srm": """
+            SELECT n_a, n_b,
+                   CASE WHEN n_a + n_b > 0 THEN
+                       CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE) END AS chi2
+            FROM (
+                SELECT CAST(sum(CASE WHEN user_id % 2 = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                       CAST(sum(CASE WHEN user_id % 2 <> 0
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+                FROM events
+            )
         """,
         "dedup_minhash": f"""
             WITH {_MINHASH_PAIRS_CTE}

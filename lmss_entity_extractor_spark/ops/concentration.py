@@ -152,3 +152,93 @@ def acf(
             "r"
         ),
     )
+
+
+def ccf(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    x_col: str,
+    y_col: str,
+    max_lag: int,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., lag, n, r)`` for lag = 0..max_lag — sample cross-
+    correlation of x with y lagged h steps behind (does x LEAD y);
+    swap the columns for the other direction.  Same exact-centring
+    trick as :func:`acf` (cₜ = n·xₜ − S, the n² cancels between
+    numerator and the √(ΣcX²·ΣcY²) denominator — computed as
+    sqrt·sqrt to stay in the decimal-exact range), one sqrt pair and
+    one division per lag.  NULLs refused."""
+    n_null = df.filter(
+        F.col(x_col).isNull() | F.col(y_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"ccf: {n_null} NULL value(s) in {x_col!r}/{y_col!r} — drop "
+            "or impute first; silently skipping rows would shift lags"
+        )
+    dec = f"decimal(18,{scale})"
+    base = df.select(
+        *by,
+        *order_cols,
+        F.col(x_col).cast(dec).alias("_x"),
+        F.col(y_col).cast(dec).alias("_y"),
+    )
+    stats = base.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+    )
+    joined = base.join(F.broadcast(stats), by)
+    cx = (
+        F.col("_n").cast(_DEC) * F.col("_x").cast(_DEC) - F.col("_sx").cast(_DEC)
+    ).alias("_cx")
+    cy = (
+        F.col("_n").cast(_DEC) * F.col("_y").cast(_DEC) - F.col("_sy").cast(_DEC)
+    ).alias("_cy")
+    w = Window.partitionBy(*by).orderBy(*[F.col(c) for c in order_cols])
+    centred = joined.select(*by, "_n", *order_cols, cx, cy)
+    lag_cols = [
+        F.lag("_cy", h).over(w).alias(f"_l{h}") for h in range(0, max_lag + 1)
+    ]
+    lagged = centred.select(*by, "_n", "_cx", "_cy", *lag_cols)
+    aggs = [
+        F.sum(F.col("_cx") * F.col("_cx")).alias("_dx"),
+        F.sum(F.col("_cy") * F.col("_cy")).alias("_dy"),
+    ] + [
+        F.sum(F.col("_cx") * F.col(f"_l{h}")).alias(f"_n{h}")
+        for h in range(0, max_lag + 1)
+    ]
+    per_key = lagged.groupBy(*by, "_n").agg(*aggs)
+    lags = F.explode(
+        F.array(*[F.lit(h) for h in range(0, max_lag + 1)])
+    ).alias("lag")
+    long = per_key.select(
+        *by,
+        F.col("_n").alias("n"),
+        "_dx",
+        "_dy",
+        lags,
+        *[F.col(f"_n{h}") for h in range(0, max_lag + 1)],
+    )
+    num = F.coalesce(
+        *[
+            F.when(F.col("lag") == h, F.col(f"_n{h}"))
+            for h in range(0, max_lag + 1)
+        ]
+    )
+    den = F.sqrt(F.col("_dx").cast("double")) * F.sqrt(
+        F.col("_dy").cast("double")
+    )
+    ok = (
+        (F.col("_dx") > F.lit(0).cast(_DEC))
+        & (F.col("_dy") > F.lit(0).cast(_DEC))
+        & num.isNotNull()
+    )
+    return long.select(
+        *by,
+        "lag",
+        "n",
+        F.when(ok, num.cast("double") / den).alias("r"),
+    )

@@ -252,3 +252,70 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared, n_a, n_b, cont_a, cont_b) — shingle
+    CONTAINMENT near-duplicates (Broder's other resemblance measure):
+    cont_a = |Sa∩Sb|/|Sa| is ~1 when A is quoted/embedded inside B even
+    though Jaccard is tiny — the "document swallowed a document" case
+    exact dedup and Jaccard both miss.  Pairs kept when EITHER side's
+    containment >= threshold; the filter is integer-exact
+    (n_shared >= t·n) and each emitted ratio is one IEEE division.
+
+    Same scale discipline as `ngram_jaccard_pairs`: 64-bit shingle-hash
+    join keys, stop-shingle guard before the self-join."""
+    from pyspark.sql import Window
+
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(_shingles(text_col, n)).alias("shingle")
+    ).filter(F.length("shingle") > 0).select("doc", F.xxhash64("shingle").alias("sh_h"))
+    sh = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh_h"))).filter(
+        F.col("df") <= max_shingle_df
+    ).select("doc", "sh_h")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, "sh_h")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        shared.join(
+            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed(
+                "n_shingles", "n_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed(
+                "n_shingles", "n_b"
+            ),
+            "doc_b",
+        )
+        .filter(
+            (F.col("n_shared") >= F.lit(threshold) * F.col("n_a"))
+            | (F.col("n_shared") >= F.lit(threshold) * F.col("n_b"))
+        )
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        (F.col("n_shared").cast("double") / F.col("n_a").cast("double")).alias(
+            "cont_a"
+        ),
+        (F.col("n_shared").cast("double") / F.col("n_b").cast("double")).alias(
+            "cont_b"
+        ),
+    )
