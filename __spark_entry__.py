@@ -4098,6 +4098,36 @@ def q_srm(spark, sf_dir):
     )
 
 
+def q_weighted_quantiles(spark, sf_dir):
+    """Weighted quantiles (L173): per-priority weighted p25/p50/p75 of
+    order totals — decimal-exact cumW ≥ q·W threshold (no float
+    boundary wobble), one window sort for all quantiles."""
+    from lmss_entity_extractor_spark.ops.rankeval import weighted_quantiles
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderkey") % 5 + 1).alias("w"),
+    )
+    return weighted_quantiles(
+        o, ["priority"], "v", "w", qs=["0.25", "0.5", "0.75"]
+    )
+
+
+def q_kruskal(spark, sf_dir):
+    """Kruskal-Wallis (L174): do event types differ in (floored) value
+    — doubled-rank integer sums, bounded group/tie folds, fixed IEEE H
+    tree with tie correction, ungridded."""
+    from lmss_entity_extractor_spark.ops.rankeval import kruskal_wallis
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.floor("value").alias("v"))
+    )
+    return kruskal_wallis(e, "event_type", "v")
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5578,6 +5608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "ccf": q_ccf,
         "srm": q_srm,
+        "weighted_quantiles": q_weighted_quantiles,
+        "kruskal": q_kruskal,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -9167,6 +9199,106 @@ def oracle_sql() -> dict[str, str]:
                    count(*) >= 10 AS ok_k,
                    count(DISTINCT c_acctbal) >= 5 AS ok_l
             FROM customer GROUP BY 1, 2
+        """,
+        "weighted_quantiles": """
+            -- lower weighted quantile: smallest v with cumW >= q·W,
+            -- all-decimal threshold comparison
+            WITH base AS (
+                SELECT o_orderpriority AS priority, o_totalprice AS v,
+                       CAST(o_orderkey % 5 + 1 AS DECIMAL(18,2)) AS w
+                FROM orders WHERE o_totalprice IS NOT NULL
+            ),
+            st AS (
+                SELECT priority, v,
+                       sum(w) OVER (PARTITION BY priority ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cw,
+                       CAST(sum(w) OVER (PARTITION BY priority)
+                            AS DECIMAL(19,2)) AS tw
+                FROM base
+            ),
+            agg AS (
+                SELECT priority,
+                       min(CASE WHEN cw >= CAST('0.25' AS DECIMAL(9,6))
+                                         * tw THEN v END) AS q25,
+                       min(CASE WHEN cw >= CAST('0.5' AS DECIMAL(9,6))
+                                         * tw THEN v END) AS q50,
+                       min(CASE WHEN cw >= CAST('0.75' AS DECIMAL(9,6))
+                                         * tw THEN v END) AS q75
+                FROM st GROUP BY 1
+            )
+            SELECT priority, '0.25' AS q, q25 AS value FROM agg
+            UNION ALL
+            SELECT priority, '0.5', q50 FROM agg
+            UNION ALL
+            SELECT priority, '0.75', q75 FROM agg
+        """,
+        "kruskal": """
+            -- doubled average ranks (exact ints), per-group R²/4n and
+            -- tie terms folded over bounded sorted lists, fixed H tree
+            WITH base AS (
+                SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS v
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ),
+            pts AS (SELECT v, g, count(*) AS c FROM base GROUP BY 1, 2),
+            vals AS (
+                SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM pts GROUP BY 1
+            ),
+            vals2 AS (
+                SELECT v, cv,
+                       CAST(coalesce(sum(cv) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS bef
+                FROM vals
+            ),
+            pg AS (
+                SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+                       CAST(sum(CAST(c AS DECIMAL(19,0))
+                                * CAST(2 * bef + cv + 1 AS DECIMAL(19,0)))
+                            AS DECIMAL(19,0)) AS r2
+                FROM pts JOIN vals2 USING (v) GROUP BY 1
+            ),
+            gs AS (
+                SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS n_groups,
+                       list_reduce(list_prepend(0.0,
+                           [CAST(s.r2 * s.r2 AS DOUBLE)
+                            / CAST(4 * s.n_g AS DOUBLE)
+                            FOR s IN list_sort(list(struct_pack(
+                                g := g, n_g := n_g, r2 := r2)))]),
+                           (a, x) -> a + x) AS sr
+                FROM pg
+            ),
+            ts AS (
+                SELECT list_reduce(list_prepend(0.0,
+                           [CAST(s.cv * s.cv * s.cv - s.cv AS DOUBLE)
+                            FOR s IN list_sort(list(struct_pack(
+                                v := v, cv := cv)))]),
+                           (a, x) -> a + x) AS tt
+                FROM vals
+            )
+            SELECT n, n_groups,
+                   CASE WHEN n_groups > 1 AND n > 1
+                            AND 1.0 - tt / (CAST(n AS DOUBLE)
+                                * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                - CAST(n AS DOUBLE)) > 0.0
+                        THEN (12.0 * sr) / (CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) + 1.0))
+                             - 3.0 * (CAST(n AS DOUBLE) + 1.0)
+                   END AS h,
+                   CASE WHEN n_groups > 1 AND n > 1
+                            AND 1.0 - tt / (CAST(n AS DOUBLE)
+                                * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                - CAST(n AS DOUBLE)) > 0.0
+                        THEN ((12.0 * sr) / (CAST(n AS DOUBLE)
+                                  * (CAST(n AS DOUBLE) + 1.0))
+                              - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                             / (1.0 - tt / (CAST(n AS DOUBLE)
+                                 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                 - CAST(n AS DOUBLE)))
+                   END AS h_tie_corrected
+            FROM gs CROSS JOIN ts
         """,
         "ks_2samp": """
             -- per distinct value the scaled ECDF gap

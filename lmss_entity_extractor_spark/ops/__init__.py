@@ -84,3 +84,4 @@ from .privacy import k_anonymity_audit, k_anonymity_summary  # noqa: F401
 from .randproj import rp_project, jl_sign_matrix  # noqa: F401
 from .dedup import containment_pairs  # noqa: F401
 from .concentration import ccf  # noqa: F401
+from .rankeval import weighted_quantiles, kruskal_wallis  # noqa: F401

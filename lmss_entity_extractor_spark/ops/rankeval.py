@@ -144,3 +144,141 @@ def ks_2samp(
             ),
         ).alias("d"),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    weight_col: str,
+    qs: list[str],
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., q, value)`` — lower weighted quantiles: the smallest
+    value whose cumulative weight reaches q·W.  ``qs`` are decimal
+    STRINGS ("0.5") so the threshold comparison cumW ≥ q·W is exact
+    decimal arithmetic — no float boundary wobble on exact-hit
+    quantiles.  Weights must be non-negative decimals (refused
+    otherwise); NULL values/weights ignored.  One keyed window sort +
+    one combinable agg for ALL requested quantiles."""
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    ).select(*by, F.col(value_col).alias("_v"), F.col(weight_col).cast(dec).alias("_w"))
+    n_neg = flt.filter(F.col("_w") < 0).count()
+    if n_neg:
+        raise ValueError(
+            f"weighted_quantiles: {n_neg} negative weight(s) in "
+            f"{weight_col!r} — weights must be non-negative"
+        )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy(*by)
+    staged = flt.select(
+        *by,
+        "_v",
+        F.sum("_w").over(w).alias("_cw"),
+        F.sum("_w").over(tot).alias("_tw"),
+    )
+    picks = []
+    for q in qs:
+        q_dec = F.lit(q).cast("decimal(9,6)")
+        thr = q_dec * F.col("_tw")
+        picks.append(
+            F.min(F.when(F.col("_cw") >= thr, F.col("_v"))).alias(f"_q{q}")
+        )
+    agg = staged.groupBy(*by).agg(*picks)
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(q).alias("q"), F.col(f"`_q{q}`").alias("value")
+                )
+                for q in qs
+            ]
+        )
+    ).alias("_s")
+    return agg.select(*by, stack).select(
+        *by, F.col("_s.q").alias("q"), F.col("_s.value").alias("value")
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One row ``(n, n_groups, h, h_tie_corrected)`` — the k-sample
+    rank ANOVA (Kruskal-Wallis).  Doubled average ranks keep every
+    rank sum an exact integer (the L146 trick); the per-group
+    R²/n terms and the tie correction fold over the BOUNDED sorted
+    group/value lists, so H is a fixed IEEE tree — ungridded.  All
+    values tied, or fewer than 2 groups → NULL.
+
+    Scale note: the rank sweep is a single global window over the
+    DISTINCT-VALUE grid — bucket/floor continuous values first so the
+    grid stays bounded (the L159 discipline); the test's verdict is
+    insensitive to reasonable bucketing."""
+    flt = df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+    pts = flt.groupBy(
+        F.col(value_col).alias("_v"), F.col(group_col).alias("_g")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    vals = pts.groupBy("_v").agg(F.sum("_c").alias("_cv"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    vals = vals.withColumn(
+        "_before", F.coalesce(F.sum("_cv").over(w), F.lit(0))
+    )
+    two_rank = (
+        F.lit(2) * F.col("_before") + F.col("_cv") + F.lit(1)
+    ).cast(_DEC)
+    per_group = (
+        pts.join(vals, "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").alias("_n_g"),
+            F.sum(F.col("_c").cast(_DEC) * two_rank).alias("_r2"),
+        )
+    )
+    # bounded folds: per-group R2²/(4n_g) terms, sorted by group
+    garr = F.sort_array(
+        F.collect_list(F.struct(F.col("_g"), F.col("_n_g"), F.col("_r2")))
+    )
+    gstats = per_group.agg(
+        F.sum("_n_g").alias("n"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.aggregate(
+            garr,
+            F.lit(0.0),
+            lambda a, s: a
+            + (s["_r2"] * s["_r2"]).cast("double")
+            / (F.lit(4).cast(_DEC) * s["_n_g"].cast(_DEC)).cast("double"),
+        ).alias("_sr"),
+    )
+    tarr = F.sort_array(F.collect_list(F.struct(F.col("_v"), F.col("_cv"))))
+    tstats = vals.agg(
+        F.aggregate(
+            tarr,
+            F.lit(0.0),
+            lambda a, s: a
+            + (
+                s["_cv"].cast(_DEC) * s["_cv"].cast(_DEC) * s["_cv"].cast(_DEC)
+                - s["_cv"].cast(_DEC)
+            ).cast("double"),
+        ).alias("_tt")
+    )
+    j = gstats.crossJoin(F.broadcast(tstats))
+    nd = F.col("n").cast("double")
+    h = (F.lit(12.0) * F.col("_sr")) / (nd * (nd + F.lit(1.0))) - F.lit(
+        3.0
+    ) * (nd + F.lit(1.0))
+    denom = F.lit(1.0) - F.col("_tt") / (nd * nd * nd - nd)
+    ok = (F.col("n_groups") > 1) & (F.col("n") > 1) & (denom > 0.0)
+    return j.select(
+        "n",
+        "n_groups",
+        F.when(ok, h).alias("h"),
+        F.when(ok, h / denom).alias("h_tie_corrected"),
+    )
