@@ -4128,6 +4128,28 @@ def q_kruskal(spark, sf_dir):
     return kruskal_wallis(e, "event_type", "v")
 
 
+def q_readability(spark, sf_dir):
+    """Flesch / Flesch-Kincaid readability (L175): regex-only counting
+    conventions (vowel-group syllables, terminator-run sentences),
+    exact integer counts, two divisions per score, ungridded."""
+    from lmss_entity_extractor_spark.ops.textstats import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Compaction planning (L176): documents-as-files packed into
+    ≈8 KiB merge buckets — size-desc total order, exact integer
+    running totals; summary shape per bucket."""
+    from lmss_entity_extractor_spark.ops.compaction import compaction_summary
+
+    files = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("file_id"),
+        F.length("text").cast("long").alias("bytes"),
+    )
+    return compaction_summary(files, target_bytes=8192)
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5610,6 +5632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srm": q_srm,
         "weighted_quantiles": q_weighted_quantiles,
         "kruskal": q_kruskal,
+        "readability": q_readability,
+        "compaction_plan": q_compaction_plan,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -9299,6 +9323,78 @@ def oracle_sql() -> dict[str, str]:
                                  - CAST(n AS DOUBLE)))
                    END AS h_tie_corrected
             FROM gs CROSS JOIN ts
+        """,
+        "readability": """
+            -- the same regex counting conventions: letter-bearing
+            -- whitespace tokens, terminator-run sentences (min 1),
+            -- vowel-group syllables with a floor of 1 per word
+            WITH base AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS t,
+                       lower(coalesce(text, '')) AS lt
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(
+                           string_split_regex(trim(t), '\\s+'),
+                           w -> regexp_matches(w, '[A-Za-z]')))
+                           AS INTEGER) AS n_words,
+                       CAST(len(list_filter(
+                           string_split_regex(t, '[.!?]+'),
+                           s -> regexp_matches(s, '[A-Za-z0-9]')))
+                           AS INTEGER) AS n_sent_raw,
+                       CAST(len(list_filter(
+                           string_split_regex(lt, '[^aeiouy]+'),
+                           s -> s <> '')) AS INTEGER) AS vg,
+                       CAST(len(list_filter(list_filter(
+                           string_split_regex(trim(lt), '\\s+'),
+                           w -> regexp_matches(w, '[a-z]')),
+                           w -> NOT regexp_matches(w, '[aeiouy]')))
+                           AS INTEGER) AS nvw
+                FROM base
+            )
+            SELECT doc_id, n_words,
+                   CASE WHEN n_words > 0
+                        THEN greatest(n_sent_raw, 1) ELSE 0 END
+                       AS n_sentences,
+                   CASE WHEN n_words > 0 THEN vg + nvw ELSE 0 END
+                       AS n_syllables,
+                   CASE WHEN n_words > 0 THEN
+                       206.835
+                       - 1.015 * (CAST(n_words AS DOUBLE)
+                           / CAST(greatest(n_sent_raw, 1) AS DOUBLE))
+                       - 84.6 * (CAST(vg + nvw AS DOUBLE)
+                           / CAST(n_words AS DOUBLE))
+                   END AS flesch,
+                   CASE WHEN n_words > 0 THEN
+                       0.39 * (CAST(n_words AS DOUBLE)
+                           / CAST(greatest(n_sent_raw, 1) AS DOUBLE))
+                       + 11.8 * (CAST(vg + nvw AS DOUBLE)
+                           / CAST(n_words AS DOUBLE))
+                       - 15.59
+                   END AS fk_grade
+            FROM c
+        """,
+        "compaction_plan": """
+            -- size-desc total order, bucket = floor(cum_before/target)
+            WITH files AS (
+                SELECT doc_id AS file_id,
+                       CAST(length(text) AS BIGINT) AS bytes
+                FROM documents
+            ),
+            plan AS (
+                SELECT file_id, bytes,
+                       CAST(floor(coalesce(sum(bytes) OVER (
+                           ORDER BY bytes DESC, file_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) / 8192)
+                           AS BIGINT) AS bucket
+                FROM files
+            )
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(bytes) AS BIGINT) AS bucket_bytes
+            FROM plan GROUP BY 1
         """,
         "ks_2samp": """
             -- per distinct value the scaled ECDF gap

@@ -85,3 +85,5 @@ from .randproj import rp_project, jl_sign_matrix  # noqa: F401
 from .dedup import containment_pairs  # noqa: F401
 from .concentration import ccf  # noqa: F401
 from .rankeval import weighted_quantiles, kruskal_wallis  # noqa: F401
+from .textstats import readability  # noqa: F401
+from .compaction import compaction_plan, compaction_summary  # noqa: F401

@@ -114,3 +114,75 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.md5(normalized).alias("fingerprint"),
         F.length(normalized).alias("n_norm_chars"),
     )
+
+
+def readability(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_sentences, n_words, n_syllables, flesch, fk_grade) —
+    Flesch reading ease + Flesch-Kincaid grade (L175), the curation
+    heuristic for "is this text prose or table soup".
+
+    Counting conventions (pinned, regex-only — pure JVM expressions):
+      * sentences: maximal runs of [.!?]+ acting as terminators, min 1
+        for non-empty text (a fragment is one sentence);
+      * words: whitespace-delimited tokens containing a letter;
+      * syllables: vowel GROUPS ([aeiouy]+) per word, min 1 per word —
+        the standard regex approximation (exact hyphenation needs a
+        dictionary; the approximation is deterministic and documented).
+
+    Scores are fixed IEEE trees over exact integer counts (two
+    divisions each) — bit-identical, ungridded.  Empty/wordless text
+    → NULL scores.
+
+    Scale: one narrow projection; 100 TB scanned once, zero shuffle.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lower = F.lower(t)
+    # words with at least one ASCII letter
+    n_words = F.size(
+        F.filter(
+            F.split(F.trim(t), r"\s+"),
+            lambda w: w.rlike("[A-Za-z]"),
+        )
+    )
+    # handle the empty-string split artifact ([""] -> no letter, ok)
+    n_sent_raw = F.size(
+        F.filter(
+            F.split(t, r"[.!?]+"),
+            lambda s: s.rlike("[A-Za-z0-9]"),
+        )
+    )
+    n_sentences = F.when(n_words > 0, F.greatest(n_sent_raw, F.lit(1)))
+    # vowel groups across the text counted per word floor of 1:
+    # total = vowel groups + number of words with NO vowel group
+    vowel_groups = F.size(
+        F.filter(
+            F.split(lower, "[^aeiouy]+"),
+            lambda s: s != F.lit(""),
+        )
+    )
+    wordlike = F.filter(
+        F.split(F.trim(lower), r"\s+"), lambda w: w.rlike("[a-z]")
+    )
+    no_vowel_words = F.size(
+        F.filter(wordlike, lambda w: ~w.rlike("[aeiouy]"))
+    )
+    n_syll = F.when(n_words > 0, vowel_groups + no_vowel_words)
+    wd = n_words.cast("double")
+    sd = n_sentences.cast("double")
+    yd = n_syll.cast("double")
+    flesch = (
+        F.lit(206.835) - F.lit(1.015) * (wd / sd) - F.lit(84.6) * (yd / wd)
+    )
+    fk = (
+        F.lit(0.39) * (wd / sd) + F.lit(11.8) * (yd / wd) - F.lit(15.59)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.coalesce(n_sentences, F.lit(0)).alias("n_sentences"),
+        F.coalesce(n_syll, F.lit(0)).alias("n_syllables"),
+        F.when(n_words > 0, flesch).alias("flesch"),
+        F.when(n_words > 0, fk).alias("fk_grade"),
+    )
