@@ -4150,6 +4150,36 @@ def q_compaction_plan(spark, sf_dir):
     return compaction_summary(files, target_bytes=8192)
 
 
+def q_sorted_neighborhood(spark, sf_dir):
+    """Blocked sorted-neighborhood ER blocking (L177): part names
+    sorted within 2-char prefix blocks, pairs within a 3-position
+    window — exact integer positions, one keyed exchange."""
+    from lmss_entity_extractor_spark.ops.blocking import sorted_neighborhood_pairs
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pid"),
+        F.col("p_name").alias("name"),
+        F.substring("p_name", 1, 2).alias("blk"),
+    )
+    return sorted_neighborhood_pairs(p, "blk", "name", "pid", window=3)
+
+
+def q_cuped(spark, sf_dir):
+    """CUPED adjustment (L178): order totals adjusted by the key-mod
+    covariate per priority — θ from exact decimal OLS stats, fixed
+    per-row tree, ungridded."""
+    from lmss_entity_extractor_spark.ops.cuped import cuped_adjust
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_orderkey") % 100).cast("double").alias("x"),
+    )
+    out = cuped_adjust(o, ["priority"], "y", "x")
+    return out.select("priority", "o_orderkey", "theta", "metric_adj")
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5634,6 +5664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal": q_kruskal,
         "readability": q_readability,
         "compaction_plan": q_compaction_plan,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "cuped": q_cuped,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -9395,6 +9427,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, CAST(count(*) AS BIGINT) AS n_files,
                    CAST(sum(bytes) AS BIGINT) AS bucket_bytes
             FROM plan GROUP BY 1
+        """,
+        "sorted_neighborhood": """
+            -- pairs within w positions of the (key, id) sort inside
+            -- each prefix block; exact integer row positions
+            WITH base AS (
+                SELECT p_partkey AS pid, p_name AS name,
+                       substring(p_name, 1, 2) AS blk,
+                       row_number() OVER (
+                           PARTITION BY substring(p_name, 1, 2)
+                           ORDER BY p_name, p_partkey) AS rn
+                FROM part
+            ),
+            offs AS (SELECT CAST(unnest(range(1, 3)) AS INTEGER) AS d)
+            SELECT a.pid AS id_a, b.pid AS id_b, a.blk AS block,
+                   offs.d AS dist
+            FROM base a
+            CROSS JOIN offs
+            JOIN base b ON a.blk = b.blk AND b.rn = a.rn + offs.d
+        """,
+        "cuped": """
+            -- θ = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) from exact decimal
+            -- stats; y' = y − θ·(x − x̄) as Spark's fixed tree
+            WITH base AS (
+                SELECT o_orderpriority AS priority, o_orderkey,
+                       CAST(o_totalprice AS DECIMAL(18,2)) AS y,
+                       CAST(o_orderkey % 100 AS DECIMAL(18,2)) AS x
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+            ),
+            fit AS (
+                SELECT priority,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS DECIMAL(19,2)) AS sx,
+                       CAST(sum(y) AS DECIMAL(19,2)) AS sy,
+                       CAST(sum(CAST(x AS DECIMAL(19,2))
+                                * CAST(x AS DECIMAL(19,2)))
+                            AS DECIMAL(30,4)) AS sxx,
+                       CAST(sum(CAST(x AS DECIMAL(19,2))
+                                * CAST(y AS DECIMAL(19,2)))
+                            AS DECIMAL(30,4)) AS sxy
+                FROM base GROUP BY 1
+            ),
+            stats AS (
+                SELECT priority,
+                       CASE WHEN CAST(n AS DECIMAL(8,0)) * sxx - sx * sx
+                                <> 0 THEN
+                           CAST(CAST(n AS DECIMAL(8,0)) * sxy - sx * sy
+                                AS DOUBLE)
+                           / CAST(CAST(n AS DECIMAL(8,0)) * sxx - sx * sx
+                                  AS DOUBLE)
+                       END AS theta,
+                       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+                FROM fit
+            )
+            SELECT b.priority, b.o_orderkey, s.theta,
+                   CASE WHEN s.theta IS NOT NULL THEN
+                       CAST(b.y AS DOUBLE)
+                       - s.theta * (CAST(b.x AS DOUBLE) - s.xbar)
+                   ELSE CAST(b.y AS DOUBLE) END AS metric_adj
+            FROM base b JOIN stats s ON b.priority = s.priority
         """,
         "ks_2samp": """
             -- per distinct value the scaled ECDF gap

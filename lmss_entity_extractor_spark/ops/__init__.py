@@ -87,3 +87,5 @@ from .concentration import ccf  # noqa: F401
 from .rankeval import weighted_quantiles, kruskal_wallis  # noqa: F401
 from .textstats import readability  # noqa: F401
 from .compaction import compaction_plan, compaction_summary  # noqa: F401
+from .blocking import sorted_neighborhood_pairs  # noqa: F401
+from .cuped import cuped_adjust  # noqa: F401
