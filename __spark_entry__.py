@@ -4180,6 +4180,23 @@ def q_cuped(spark, sf_dir):
     return out.select("priority", "o_orderkey", "theta", "metric_adj")
 
 
+def q_heaps(spark, sf_dir):
+    """Heaps'-law vocabulary growth (L179): ln V on ln N over per-doc
+    cumulative points — first-occurrence cumsums (no running COUNT
+    DISTINCT), ordered-fold OLS, fixed fit tree."""
+    from lmss_entity_extractor_spark.ops.corpuslaws import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"))
+
+
+def q_zipf(spark, sf_dir):
+    """Zipf rank-frequency fit (L180): ln f on ln rank over the top-200
+    terms (count DESC, term ASC ranks), ordered-fold OLS."""
+    from lmss_entity_extractor_spark.ops.corpuslaws import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), top_k=200)
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5666,6 +5683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "sorted_neighborhood": q_sorted_neighborhood,
         "cuped": q_cuped,
+        "heaps": q_heaps,
+        "zipf": q_zipf,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -9487,6 +9506,129 @@ def oracle_sql() -> dict[str, str]:
                        - s.theta * (CAST(b.x AS DOUBLE) - s.xbar)
                    ELSE CAST(b.y AS DOUBLE) END AS metric_adj
             FROM base b JOIN stats s ON b.priority = s.priority
+        """,
+        "heaps": """
+            -- V(N) ~ K·N^beta: first-occurrence cumsums, then the L145
+            -- ordered-fold ln/ln OLS with the identical fit tree
+            WITH toks AS (
+                SELECT doc_id AS d,
+                       unnest(list_filter(string_split_regex(
+                           lower(coalesce(text, '')), '\\s+'),
+                           w -> w <> '')) AS t
+                FROM documents
+            ),
+            per_doc AS (SELECT d, count(*) AS nt FROM toks GROUP BY 1),
+            firsts AS (
+                SELECT d, count(*) AS nv
+                FROM (SELECT t, min(d) AS d FROM toks GROUP BY 1)
+                GROUP BY 1
+            ),
+            pts AS (
+                SELECT p.d,
+                       sum(p.nt) OVER w AS N,
+                       sum(coalesce(f.nv, 0)) OVER w AS V
+                FROM per_doc p LEFT JOIN firsts f ON p.d = f.d
+                WINDOW w AS (ORDER BY p.d ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW)
+            ),
+            flt AS (SELECT d, N, V FROM pts WHERE N > 0 AND V > 0),
+            sums AS (
+                SELECT CAST(len(a) AS BIGINT) AS n_points,
+                       CAST(len(a) AS DOUBLE) AS n,
+                       list_reduce(list_prepend(0.0, [p.x FOR p IN a]),
+                                   (acc, v) -> acc + v) AS sx,
+                       list_reduce(list_prepend(0.0, [p.y FOR p IN a]),
+                                   (acc, v) -> acc + v) AS sy,
+                       list_reduce(list_prepend(0.0,
+                                       [p.x * p.x FOR p IN a]),
+                                   (acc, v) -> acc + v) AS sxx,
+                       list_reduce(list_prepend(0.0,
+                                       [p.x * p.y FOR p IN a]),
+                                   (acc, v) -> acc + v) AS sxy,
+                       list_reduce(list_prepend(0.0,
+                                       [p.y * p.y FOR p IN a]),
+                                   (acc, v) -> acc + v) AS syy
+                FROM (
+                    SELECT list_sort(list(struct_pack(
+                               o := d,
+                               x := ln(CAST(N AS DOUBLE)),
+                               y := ln(CAST(V AS DOUBLE))))) AS a
+                    FROM flt
+                )
+            ),
+            t AS (
+                SELECT n_points, n, sx, sy,
+                       n * sxy - sx * sy AS covn,
+                       n * sxx - sx * sx AS varxn,
+                       n * syy - sy * sy AS varyn
+                FROM sums
+            )
+            SELECT CAST(n_points AS INTEGER) AS n_points,
+                   CASE WHEN n_points > 1 AND varxn > 0.0
+                        THEN covn / varxn END AS beta,
+                   CASE WHEN n_points > 1 AND varxn > 0.0
+                        THEN (sy - (covn / varxn) * sx) / n END AS log_k,
+                   CASE WHEN n_points > 1 AND varxn > 0.0
+                            AND varyn > 0.0
+                        THEN (covn * covn) / (varxn * varyn) END AS r2
+            FROM t
+        """,
+        "zipf": """
+            -- f(r) ~ C·r^{-s}: top-200 ranks (count DESC, term ASC),
+            -- same ordered-fold OLS / fit tree
+            WITH counts AS (
+                SELECT t, count(*) AS f
+                FROM (
+                    SELECT unnest(list_filter(string_split_regex(
+                               lower(coalesce(text, '')), '\\s+'),
+                               w -> w <> '')) AS t
+                    FROM documents
+                ) GROUP BY 1
+            ),
+            ranked AS (
+                SELECT f, row_number() OVER (ORDER BY f DESC, t ASC) AS r
+                FROM counts QUALIFY r <= 200
+            ),
+            sums AS (
+                SELECT CAST(len(a) AS BIGINT) AS n_points,
+                       CAST(len(a) AS DOUBLE) AS n,
+                       list_reduce(list_prepend(0.0, [p.x FOR p IN a]),
+                                   (acc, v) -> acc + v) AS sx,
+                       list_reduce(list_prepend(0.0, [p.y FOR p IN a]),
+                                   (acc, v) -> acc + v) AS sy,
+                       list_reduce(list_prepend(0.0,
+                                       [p.x * p.x FOR p IN a]),
+                                   (acc, v) -> acc + v) AS sxx,
+                       list_reduce(list_prepend(0.0,
+                                       [p.x * p.y FOR p IN a]),
+                                   (acc, v) -> acc + v) AS sxy,
+                       list_reduce(list_prepend(0.0,
+                                       [p.y * p.y FOR p IN a]),
+                                   (acc, v) -> acc + v) AS syy
+                FROM (
+                    SELECT list_sort(list(struct_pack(
+                               o := r,
+                               x := ln(CAST(r AS DOUBLE)),
+                               y := ln(CAST(f AS DOUBLE))))) AS a
+                    FROM ranked
+                )
+            ),
+            t AS (
+                SELECT n_points, n, sx, sy,
+                       n * sxy - sx * sy AS covn,
+                       n * sxx - sx * sx AS varxn,
+                       n * syy - sy * sy AS varyn
+                FROM sums
+            )
+            SELECT CAST(n_points AS INTEGER) AS n_points,
+                   CASE WHEN n_points > 1 AND varxn > 0.0
+                        THEN -(covn / varxn) END AS s,
+                   CASE WHEN n_points > 1 AND varxn > 0.0
+                        THEN (sy - (covn / varxn) * sx) / n END AS log_c,
+                   CASE WHEN n_points > 1 AND varxn > 0.0
+                            AND varyn > 0.0
+                        THEN (covn * covn) / (varxn * varyn) END AS r2
+            FROM t
         """,
         "ks_2samp": """
             -- per distinct value the scaled ECDF gap

@@ -89,3 +89,4 @@ from .textstats import readability  # noqa: F401
 from .compaction import compaction_plan, compaction_summary  # noqa: F401
 from .blocking import sorted_neighborhood_pairs  # noqa: F401
 from .cuped import cuped_adjust  # noqa: F401
+from .corpuslaws import heaps_fit, zipf_fit  # noqa: F401
