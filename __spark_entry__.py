@@ -4197,6 +4197,18 @@ def q_zipf(spark, sf_dir):
     return zipf_fit(_t(spark, sf_dir, "documents"), top_k=200)
 
 
+def q_wasserstein(spark, sf_dir):
+    """1-D Wasserstein distance (L181): click-vs-view value drift per
+    user bucket — the integral ECDF gap (KS's companion), exact
+    decimal gap×width terms, ONE division."""
+    from lmss_entity_extractor_spark.ops.rankeval import wasserstein_1d
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("bucket"), "event_type", "value"
+    )
+    return wasserstein_1d(e, ["bucket"], "event_type", "click", "view", "value")
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5685,6 +5697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped": q_cuped,
         "heaps": q_heaps,
         "zipf": q_zipf,
+        "wasserstein": q_wasserstein,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -9629,6 +9642,60 @@ def oracle_sql() -> dict[str, str]:
                             AND varyn > 0.0
                         THEN (covn * covn) / (varxn * varyn) END AS r2
             FROM t
+        """,
+        "wasserstein": """
+            -- W1 = Σ |cumA·n_b − cumB·n_a|·Δv / (n_a·n_b): exact
+            -- decimal gap×width terms, one final IEEE division
+            WITH base AS (
+                SELECT user_id % 4 AS bucket, event_type,
+                       CAST(value AS DECIMAL(18,2)) AS v
+                FROM events
+                WHERE value IS NOT NULL
+                  AND event_type IN ('click', 'view')
+            ),
+            pts AS (
+                SELECT bucket, v,
+                       sum(CASE WHEN event_type = 'click'
+                                THEN 1 ELSE 0 END) AS ca,
+                       sum(CASE WHEN event_type = 'view'
+                                THEN 1 ELSE 0 END) AS cb
+                FROM base GROUP BY 1, 2
+            ),
+            wnd AS (
+                SELECT bucket, v,
+                       CAST(sum(ca) OVER cw AS BIGINT) AS cuma,
+                       CAST(sum(cb) OVER cw AS BIGINT) AS cumb,
+                       CAST(sum(ca) OVER (PARTITION BY bucket)
+                            AS BIGINT) AS na,
+                       CAST(sum(cb) OVER (PARTITION BY bucket)
+                            AS BIGINT) AS nb,
+                       lead(v) OVER (PARTITION BY bucket ORDER BY v)
+                           AS nextv
+                FROM pts
+                WINDOW cw AS (PARTITION BY bucket ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
+            ),
+            agg AS (
+                SELECT bucket,
+                       max(na) AS n_a, max(nb) AS n_b,
+                       sum(CASE WHEN nextv IS NOT NULL THEN
+                           CAST(abs(CAST(cuma AS DECIMAL(19,0))
+                                        * CAST(nb AS DECIMAL(19,0))
+                                    - CAST(cumb AS DECIMAL(19,0))
+                                        * CAST(na AS DECIMAL(19,0)))
+                                AS DECIMAL(19,0))
+                           * CAST(nextv - v AS DECIMAL(19,2))
+                       ELSE CAST(0 AS DECIMAL(19,2)) END) AS num
+                FROM wnd GROUP BY 1
+            )
+            SELECT bucket, n_a, n_b,
+                   CASE WHEN n_a > 0 AND n_b > 0 THEN
+                       CAST(num AS DOUBLE)
+                       / CAST(CAST(n_a AS DECIMAL(19,0))
+                              * CAST(n_b AS DECIMAL(19,0)) AS DOUBLE)
+                   END AS w1
+            FROM agg
         """,
         "ks_2samp": """
             -- per distinct value the scaled ECDF gap

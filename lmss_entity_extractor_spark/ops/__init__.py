@@ -90,3 +90,4 @@ from .compaction import compaction_plan, compaction_summary  # noqa: F401
 from .blocking import sorted_neighborhood_pairs  # noqa: F401
 from .cuped import cuped_adjust  # noqa: F401
 from .corpuslaws import heaps_fit, zipf_fit  # noqa: F401
+from .rankeval import wasserstein_1d  # noqa: F401

@@ -282,3 +282,81 @@ def kruskal_wallis(
         F.when(ok, h).alias("h"),
         F.when(ok, h / denom).alias("h_tie_corrected"),
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    by: list[str],
+    sample_col: str,
+    sample_a: str,
+    sample_b: str,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n_a, n_b, w1)`` — the exact 1-D Wasserstein-1 (earth
+    mover's) distance between two samples: W₁ = ∫|F_a − F_b| dx, the
+    INTEGRAL companion to the KS max-gap (L147) — KS sees the worst
+    point, W₁ sees total transported mass, the drift metric that
+    respects distance between values.
+
+    Over the pooled sorted distinct values vᵢ with leads vᵢ₊₁:
+
+        W₁ = Σᵢ |cumAᵢ·n_b − cumBᵢ·n_a| · (vᵢ₊₁ − vᵢ)  /  (n_a·n_b)
+
+    Every numerator term is an exact decimal (integer gap × decimal
+    width, values contract-quantized at DECIMAL(18, scale)), the sum
+    is an order-insensitive decimal sum, and W₁ is ONE final IEEE
+    division — bit-identical, no grid, no fold needed.  Same one-
+    groupBy + one-window shape as L146/L147."""
+    flt = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(sample_col).isin([sample_a, sample_b])
+    )
+    dec = f"decimal(18,{scale})"
+    is_a = (F.col(sample_col) == sample_a).cast("long")
+    pts = flt.groupBy(*by, F.col(value_col).cast(dec).alias("_v")).agg(
+        F.sum(is_a).alias("_ca"),
+        F.sum(F.lit(1) - is_a).alias("_cb"),
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ww = Window.partitionBy(*by).orderBy("_v")
+    tot = Window.partitionBy(*by)
+    pts = (
+        pts.withColumn("_cuma", F.sum("_ca").over(w))
+        .withColumn("_cumb", F.sum("_cb").over(w))
+        .withColumn("_na", F.sum("_ca").over(tot))
+        .withColumn("_nb", F.sum("_cb").over(tot))
+        .withColumn("_nextv", F.lead("_v").over(ww))
+    )
+    gap = F.abs(
+        F.col("_cuma").cast(_DEC) * F.col("_nb").cast(_DEC)
+        - F.col("_cumb").cast(_DEC) * F.col("_na").cast(_DEC)
+    ).cast("decimal(19,0)")
+    # width keeps the value scale — a scale-0 cast would TRUNCATE
+    # fractional widths (caught by the oracle on first run)
+    width = (F.col("_nextv") - F.col("_v")).cast(f"decimal(19,{scale})")
+    term = F.when(F.col("_nextv").isNotNull(), gap * width).otherwise(
+        F.lit(0).cast(f"decimal(19,{scale})")
+    )
+    agg = pts.groupBy(*by).agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.sum(term).alias("_num"),
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        *by,
+        "n_a",
+        "n_b",
+        F.when(
+            ok,
+            F.col("_num").cast("double")
+            / (F.col("n_a").cast(_DEC) * F.col("n_b").cast(_DEC)).cast(
+                "double"
+            ),
+        ).alias("w1"),
+    )
