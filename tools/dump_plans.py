@@ -44,6 +44,12 @@ SHOWCASE = [
     ("funnel", "the ordered step chain is one sorted-array aggregate fold per user — a single keyed exchange replaces the per-step self-join ladder"),
     ("cms_join_size", "join cardinality from two KB-sized sketch tables: neither base table is scanned at estimate time"),
     ("gap_fill", "bucket agg, spine mint, fill windows all share the key partitioning — explode happens executor-side, fills are frame-bounded windows"),
+    ("kmeans", "trained centroids fold into ONE literal argmax expression — cluster assignment is a zero-shuffle narrow projection over the vector scan"),
+    ("random_projection", "the SHA-derived sign matrix is d_out literal dot folds — JL projection is a zero-shuffle projection, no crossJoin, no UDF"),
+    ("cusum", "the CUSUM recurrence as prefix-sum + running-min: both sides of the chart ride ONE exchange + ONE sort (plan-asserted in tests)"),
+    ("roc_auc", "doubled-rank AUC: one combinable (key,score) groupBy, one keyed window sweep, one combinable agg — no crossJoin over label pairs"),
+    ("silhouette", "per-point a/b distances are literal expression columns — clustering quality over 100 TB without the O(n^2) pairwise matrix"),
+    ("cuped", "fit stats aggregate combinably, broadcast back, adjustment is a narrow per-row tree — fit-small/apply-wide with zero shuffles"),
 ]
 
 
