@@ -4209,6 +4209,34 @@ def q_wasserstein(spark, sf_dir):
     return wasserstein_1d(e, ["bucket"], "event_type", "click", "view", "value")
 
 
+def q_twap(spark, sf_dir):
+    """Time-weighted average (L182): per-user TWAP of event values —
+    exact integer microsecond intervals, exact decimal v·Δt terms,
+    ONE division; the mean row-weighted AVG gets wrong on irregular
+    sampling."""
+    from lmss_entity_extractor_spark.ops.timeseries import time_weighted_avg
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("user_id") < 40) & F.col("value").isNotNull())
+        .select("user_id", "ts", "value")
+    )
+    return time_weighted_avg(e, ["user_id"], "ts", "value")
+
+
+def q_ohlc(spark, sf_dir):
+    """OHLC resample bars (L183): per-user daily bars — open/close via
+    min_by/max_by on exact microsecond order, exact min/max."""
+    from lmss_entity_extractor_spark.ops.timeseries import ohlc_bars
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("user_id") < 40) & F.col("value").isNotNull())
+        .select("user_id", "ts", "value")
+    )
+    return ohlc_bars(e, ["user_id"], "ts", "value", bucket_seconds=86400)
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5698,6 +5726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps": q_heaps,
         "zipf": q_zipf,
         "wasserstein": q_wasserstein,
+        "twap": q_twap,
+        "ohlc": q_ohlc,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -9696,6 +9726,56 @@ def oracle_sql() -> dict[str, str]:
                               * CAST(n_b AS DECIMAL(19,0)) AS DOUBLE)
                    END AS w1
             FROM agg
+        """,
+        "twap": """
+            -- TWAP = Σ v·Δt / Σ Δt over exact microsecond intervals
+            WITH base AS (
+                SELECT user_id, epoch_us(ts) AS t,
+                       CAST(value AS DECIMAL(18,2)) AS v
+                FROM events
+                WHERE user_id < 40 AND value IS NOT NULL
+                  AND ts IS NOT NULL
+            ),
+            staged AS (
+                SELECT user_id, v, t,
+                       lead(t) OVER (PARTITION BY user_id ORDER BY t)
+                           AS nt
+                FROM base
+            ),
+            agg AS (
+                SELECT user_id,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN nt IS NOT NULL
+                                     THEN nt - t END) AS BIGINT) AS span,
+                       sum(CASE WHEN nt IS NOT NULL THEN
+                           v * CAST(nt - t AS DECIMAL(19,0)) END) AS num
+                FROM staged GROUP BY 1
+            )
+            SELECT user_id, n,
+                   coalesce(span, 0) AS span_micros,
+                   CASE WHEN span IS NOT NULL AND span > 0 THEN
+                       CAST(num AS DOUBLE) / CAST(span AS DOUBLE)
+                   END AS twap
+            FROM agg
+        """,
+        "ohlc": """
+            -- daily bars: open/close by exact microsecond arg-min/max
+            WITH base AS (
+                SELECT user_id,
+                       CAST(floor(epoch_us(ts) / 86400000000)
+                            * 86400000000 AS BIGINT) AS bucket_start,
+                       epoch_us(ts) AS t, value AS v
+                FROM events
+                WHERE user_id < 40 AND value IS NOT NULL
+                  AND ts IS NOT NULL
+            )
+            SELECT user_id, bucket_start,
+                   min_by(v, t) AS open,
+                   max(v) AS high,
+                   min(v) AS low,
+                   max_by(v, t) AS close,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM base GROUP BY 1, 2
         """,
         "ks_2samp": """
             -- per distinct value the scaled ECDF gap

@@ -91,3 +91,4 @@ from .blocking import sorted_neighborhood_pairs  # noqa: F401
 from .cuped import cuped_adjust  # noqa: F401
 from .corpuslaws import heaps_fit, zipf_fit  # noqa: F401
 from .rankeval import wasserstein_1d  # noqa: F401
+from .timeseries import time_weighted_avg, ohlc_bars  # noqa: F401

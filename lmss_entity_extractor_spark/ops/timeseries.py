@@ -189,3 +189,106 @@ def resample_gap_fill(
         filled.cast("double").alias("value"),
         F.col("v").isNotNull().alias("is_observed"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """(by..., n, span_micros, twap) — the time-weighted average
+    (L182): each observation holds until the next one, so
+
+        TWAP = Σ vᵢ·Δtᵢ / Σ Δtᵢ      (Δtᵢ = tᵢ₊₁ − tᵢ, last obs excluded)
+
+    — the telemetry/finance mean that row-weighted AVG gets wrong on
+    irregular sampling.  Values contract-quantized at DECIMAL(18,
+    scale); Δt in exact integer MICROseconds (no truncation — truncated
+    seconds can collide and lose weight), every v·Δt term an exact
+    decimal, ONE final IEEE division.  Keys with < 2 observations →
+    NULL (no interval to weight).  One keyed window sort + one
+    combinable agg; ties in ts are refused (holding order undefined).
+    """
+    flt = df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+    n_dup = (
+        flt.groupBy(*by, ts_col).count().filter(F.col("count") > 1).count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"time_weighted_avg: {n_dup} duplicate timestamp(s) within a "
+            "key — the holding order is undefined; dedup or bucket first"
+        )
+    dec = f"decimal(18,{scale})"
+    staged = flt.select(
+        *by,
+        F.col(value_col).cast(dec).alias("_v"),
+        # parquet timestamps load as NTZ; the session timezone is pinned
+        # UTC (session.py), so the NTZ->TZ cast is value-preserving
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
+    ).withColumn("_nt", F.lead("_t").over(Window.partitionBy(*by).orderBy("_t")))
+    dt = (F.col("_nt") - F.col("_t")).cast("decimal(19,0)")
+    term = F.when(F.col("_nt").isNotNull(), F.col("_v") * dt)
+    agg = staged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_nt").isNotNull(), F.col("_nt") - F.col("_t"))).alias(
+            "_span"
+        ),
+        F.sum(term).alias("_num"),
+    )
+    return agg.select(
+        *by,
+        "n",
+        F.coalesce(F.col("_span"), F.lit(0)).alias("span_micros"),
+        F.when(
+            F.col("_span").isNotNull() & (F.col("_span") > 0),
+            F.col("_num").cast("double") / F.col("_span").cast("double"),
+        ).alias("twap"),
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """(by..., bucket_start, open, high, low, close, n) — OHLC resample
+    bars (L183): first/last by time via min_by/max_by on the exact
+    (epoch-second, tiebreak-free) ordering — duplicate timestamps
+    within a (key, bucket) are refused for open/close determinism.
+    One combinable groupBy; 100 TB scanned once, shuffled once."""
+    if bucket_seconds < 1:
+        raise ValueError("ohlc_bars: bucket_seconds must be >= 1")
+    flt = df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket = (
+        F.floor(t / F.lit(bucket_seconds * 1_000_000))
+        * (bucket_seconds * 1_000_000)
+    ).cast("long")
+    base = flt.select(
+        *by,
+        bucket.alias("bucket_start"),
+        t.alias("_t"),
+        F.col(value_col).alias("_v"),
+    )
+    n_dup = (
+        base.groupBy(*by, "bucket_start", "_t")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"ohlc_bars: {n_dup} duplicate timestamp(s) within a bar — "
+            "open/close would be nondeterministic; dedup first"
+        )
+    return base.groupBy(*by, "bucket_start").agg(
+        F.min_by("_v", "_t").alias("open"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.max_by("_v", "_t").alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
