@@ -4237,6 +4237,21 @@ def q_ohlc(spark, sf_dir):
     return ohlc_bars(e, ["user_id"], "ts", "value", bucket_seconds=86400)
 
 
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's κ (L184): chance-corrected agreement between an event
+    type and its successor — exact integer contingency/margin products,
+    ONE division, ungridded."""
+    from pyspark.sql import Window
+
+    from lmss_entity_extractor_spark.ops.evalmetrics import cohens_kappa
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    )
+    return cohens_kappa(e, "event_type", "nxt")
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5728,6 +5743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein": q_wasserstein,
         "twap": q_twap,
         "ohlc": q_ohlc,
+        "cohens_kappa": q_cohens_kappa,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -9776,6 +9792,38 @@ def oracle_sql() -> dict[str, str]:
                    max_by(v, t) AS close,
                    CAST(count(*) AS BIGINT) AS n
             FROM base GROUP BY 1, 2
+        """,
+        "cohens_kappa": """
+            -- kappa = (n·Σtp − Σ na·nb)/(n² − Σ na·nb): exact ints
+            WITH e AS (
+                SELECT event_type AS a,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS b
+                FROM events
+            ),
+            cells AS (
+                SELECT a, b, count(*) AS o FROM e
+                WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2
+            ),
+            diag AS (SELECT CAST(coalesce(sum(o), 0) AS BIGINT) AS tp
+                     FROM cells WHERE a = b),
+            ma AS (SELECT a, CAST(sum(o) AS BIGINT) AS na
+                   FROM cells GROUP BY 1),
+            mb AS (SELECT b, CAST(sum(o) AS BIGINT) AS nb
+                   FROM cells GROUP BY 1),
+            pe AS (SELECT CAST(coalesce(sum(ma.na * mb.nb), 0) AS BIGINT)
+                       AS pe
+                   FROM ma JOIN mb ON ma.a = mb.b),
+            tot AS (SELECT CAST(coalesce(sum(o), 0) AS BIGINT) AS n
+                    FROM cells)
+            SELECT tot.n,
+                   CAST(tot.n * diag.tp - pe.pe AS DOUBLE) AS po_num,
+                   CAST(pe.pe AS DOUBLE) AS pe_num,
+                   CASE WHEN tot.n * tot.n - pe.pe <> 0 THEN
+                       CAST(tot.n * diag.tp - pe.pe AS DOUBLE)
+                       / CAST(tot.n * tot.n - pe.pe AS DOUBLE)
+                   END AS kappa
+            FROM tot CROSS JOIN diag CROSS JOIN pe
         """,
         "ks_2samp": """
             -- per distinct value the scaled ECDF gap

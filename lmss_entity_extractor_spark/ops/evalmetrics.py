@@ -113,3 +113,56 @@ def classification_report(
             (F.lit(2) * tp0).cast("double") / (nt + np_).cast("double"),
         ).alias("f1"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """One row ``(n, po_num, pe_num, kappa)`` — Cohen's κ (L184), the
+    chance-corrected agreement between two label columns (two raters,
+    model-vs-model, annotation QA):
+
+        κ = (p_o − p_e)/(1 − p_e)
+          = (n·Σ_c tp_c − Σ_c n_a,c·n_b,c) / (n² − Σ_c n_a,c·n_b,c)
+
+    — the rescale clears both inner divisions, so every accumulated
+    term is an EXACT DECIMAL integer and κ is ONE final IEEE division:
+    bit-identical, ungridded.  Perfect agreement → exactly 1.0;
+    p_e = 1 (both raters constant) → NULL.  One contingency groupBy +
+    two margin aggs — the L165 shape."""
+    flt = df.filter(
+        F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+    )
+    cells = flt.groupBy(
+        F.col(rater_a_col).alias("_a"), F.col(rater_b_col).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    dec = "decimal(38,0)"
+    diag = cells.filter(F.col("_a") == F.col("_b")).agg(
+        F.coalesce(F.sum("_o"), F.lit(0)).alias("_tp")
+    )
+    ma = cells.groupBy("_a").agg(F.sum("_o").alias("_na"))
+    mb = cells.groupBy("_b").agg(F.sum("_o").alias("_nb"))
+    pe = (
+        ma.join(mb, ma["_a"] == mb["_b"])
+        .agg(
+            F.coalesce(
+                F.sum(F.col("_na").cast(dec) * F.col("_nb").cast(dec)),
+                F.lit(0).cast(dec),
+            ).alias("_pe")
+        )
+    )
+    tot = cells.agg(F.coalesce(F.sum("_o"), F.lit(0)).alias("n"))
+    j = tot.crossJoin(diag).crossJoin(pe)
+    nd = F.col("n").cast(dec)
+    num = nd * F.col("_tp").cast(dec) - F.col("_pe")
+    den = nd * nd - F.col("_pe")
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        num.cast("double").alias("po_num"),
+        F.col("_pe").cast("double").alias("pe_num"),
+        F.when(
+            den != F.lit(0).cast(dec), num.cast("double") / den.cast("double")
+        ).alias("kappa"),
+    )

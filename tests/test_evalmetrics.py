@@ -79,3 +79,43 @@ class TestClassificationReport:
         pairs = [("a", "a"), ("b", "b"), ("b", "b")]
         out = classification_report(_labeled(spark, pairs), "y", "p").collect()
         assert all(r["f1"] == 1.0 for r in out)
+
+
+class TestCohensKappa:
+    def test_hand_computed(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import cohens_kappa
+
+        # classic 2x2 example: tp sums 20+15=35 of n=50,
+        # pe = (25*30 + 25*20)/50^2 -> kappa = (0.7-0.5)/(1-0.5) = 0.4
+        rows = (
+            [("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15
+        )
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = cohens_kappa(df, "a", "b").collect()[0]
+        assert r["n"] == 50
+        assert r["kappa"] == pytest.approx(0.4, abs=0)
+
+    def test_perfect_agreement_one(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import cohens_kappa
+
+        rows = [("a", "a"), ("b", "b"), ("c", "c"), ("a", "a")]
+        df = spark.createDataFrame(rows, "a string, b string")
+        assert cohens_kappa(df, "a", "b").collect()[0]["kappa"] == 1.0
+
+    def test_constant_raters_null(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import cohens_kappa
+
+        rows = [("x", "x")] * 5
+        df = spark.createDataFrame(rows, "a string, b string")
+        assert cohens_kappa(df, "a", "b").collect()[0]["kappa"] is None
+
+    def test_chance_level_zero(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import cohens_kappa
+
+        # independent balanced raters: agreement exactly at chance
+        rows = [
+            ("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"),
+        ] * 3
+        df = spark.createDataFrame(rows, "a string, b string")
+        assert cohens_kappa(df, "a", "b").collect()[0]["kappa"] == 0.0
