@@ -4252,6 +4252,33 @@ def q_cohens_kappa(spark, sf_dir):
     return cohens_kappa(e, "event_type", "nxt")
 
 
+def q_wilson(spark, sf_dir):
+    """Wilson score interval (L185): per-event-type success-rate CI —
+    fixed IEEE tree over exact (k, n), pinned z literal, ungridded."""
+    from lmss_entity_extractor_spark.ops.effectsize import wilson_interval
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 3 == 0).cast("int").alias("success")
+    )
+    return wilson_interval(e, ["event_type"], "success")
+
+
+def q_cohens_d(spark, sf_dir):
+    """Cohen's d + Hedges' g (L186): even-vs-odd order totals per
+    priority — exact decimal sufficient stats, fixed trees,
+    ungridded."""
+    from lmss_entity_extractor_spark.ops.effectsize import cohens_d
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("variant"),
+        F.col("o_totalprice").alias("y"),
+    )
+    return cohens_d(o, ["priority"], "variant", "a", "b", "y")
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5744,6 +5771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap": q_twap,
         "ohlc": q_ohlc,
         "cohens_kappa": q_cohens_kappa,
+        "wilson": q_wilson,
+        "cohens_d": q_cohens_d,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -9824,6 +9853,101 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(tot.n * tot.n - pe.pe AS DOUBLE)
                    END AS kappa
             FROM tot CROSS JOIN diag CROSS JOIN pe
+        """,
+        "wilson": """
+            -- Wilson score interval: fixed tree over exact (k, n)
+            WITH agg AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN user_id % 3 = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS k
+                FROM events GROUP BY 1
+            ),
+            t AS (
+                SELECT event_type, n, k,
+                       CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                       (1.959963984540054 * 1.959963984540054)
+                           / CAST(n AS DOUBLE) AS z2n
+                FROM agg
+            )
+            SELECT event_type, n, k,
+                   CASE WHEN n > 0 THEN p END AS p,
+                   CASE WHEN n > 0 THEN greatest(
+                       ((p + z2n / 2.0) / (1.0 + z2n))
+                       - (1.959963984540054
+                          * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+                                 + z2n / (4.0 * CAST(n AS DOUBLE)))
+                          / (1.0 + z2n)), 0.0) END AS lo,
+                   CASE WHEN n > 0 THEN least(
+                       ((p + z2n / 2.0) / (1.0 + z2n))
+                       + (1.959963984540054
+                          * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+                                 + z2n / (4.0 * CAST(n AS DOUBLE)))
+                          / (1.0 + z2n)), 1.0) END AS hi
+            FROM t
+        """,
+        "cohens_d": """
+            -- d = (m_a − m_b)/s_pooled from exact decimal stats;
+            -- g = d·(1 − 3/(4N−9)) — Spark's fixed trees
+            WITH base AS (
+                SELECT o_orderpriority AS priority,
+                       CASE WHEN o_orderkey % 2 = 0
+                            THEN 'a' ELSE 'b' END AS variant,
+                       CAST(o_totalprice AS DECIMAL(18,2)) AS y
+                FROM orders WHERE o_totalprice IS NOT NULL
+            ),
+            agg AS (
+                SELECT priority,
+                       CAST(sum(CASE WHEN variant = 'a'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                       CAST(sum(CASE WHEN variant = 'b'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                       CAST(sum(CASE WHEN variant = 'a' THEN y END)
+                            AS DECIMAL(19,2)) AS sa,
+                       CAST(sum(CASE WHEN variant = 'b' THEN y END)
+                            AS DECIMAL(19,2)) AS sb,
+                       CAST(sum(CASE WHEN variant = 'a' THEN
+                                CAST(y AS DECIMAL(19,2))
+                                * CAST(y AS DECIMAL(19,2)) END)
+                            AS DECIMAL(30,4)) AS ssa,
+                       CAST(sum(CASE WHEN variant = 'b' THEN
+                                CAST(y AS DECIMAL(19,2))
+                                * CAST(y AS DECIMAL(19,2)) END)
+                            AS DECIMAL(30,4)) AS ssb
+                FROM base GROUP BY 1
+            ),
+            t AS (
+                SELECT priority, n_a, n_b,
+                       CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+                       CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+                       CAST(CAST(CAST(n_a AS DECIMAL(8,0)) * ssa
+                                 AS DECIMAL(38,4))
+                            - CAST(sa * sa AS DECIMAL(38,4)) AS DOUBLE)
+                           / CAST(n_a AS DOUBLE) AS va,
+                       CAST(CAST(CAST(n_b AS DECIMAL(8,0)) * ssb
+                                 AS DECIMAL(38,4))
+                            - CAST(sb * sb AS DECIMAL(38,4)) AS DOUBLE)
+                           / CAST(n_b AS DOUBLE) AS vb
+                FROM agg
+            )
+            SELECT priority, n_a, n_b,
+                   CASE WHEN n_a > 0 THEN ma END AS mean_a,
+                   CASE WHEN n_b > 0 THEN mb END AS mean_b,
+                   CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 2
+                            AND va + vb > 0.0 THEN
+                       (ma - mb) / sqrt((va + vb)
+                           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                              - 2.0))
+                   END AS d,
+                   CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 2
+                            AND va + vb > 0.0 THEN
+                       ((ma - mb) / sqrt((va + vb)
+                           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                              - 2.0)))
+                       * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE)
+                              + CAST(n_b AS DOUBLE)) - 9.0))
+                   END AS hedges_g
+            FROM t
         """,
         "ks_2samp": """
             -- per distinct value the scaled ECDF gap

@@ -81,6 +81,7 @@ from .seasonal import seasonal_decompose  # noqa: F401
 from .evalmetrics import retrieval_metrics, classification_report  # noqa: F401
 from .calibration import brier_score, calibration_bins  # noqa: F401
 from .evalmetrics import cohens_kappa  # noqa: F401
+from .effectsize import wilson_interval, cohens_d  # noqa: F401
 from .privacy import k_anonymity_audit, k_anonymity_summary  # noqa: F401
 from .randproj import rp_project, jl_sign_matrix  # noqa: F401
 from .dedup import containment_pairs  # noqa: F401

@@ -1,0 +1,131 @@
+"""Experiment effect sizing (L185/L186): Wilson score intervals for
+proportions and Cohen's d / Hedges' g for metric differences — the
+numbers that turn L139/L140/L178's "is it significant" into "is it
+big enough to matter".
+
+L185 — Wilson interval (the proportion CI that behaves at p≈0/1 and
+small n, unlike the naive Wald interval):
+
+    center = (p̂ + z²/2n) / (1 + z²/n),
+    half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+computed as a FIXED IEEE tree over exact integer (k, n) — p̂ = k/n is
+one division, z is a caller literal (1.959963984540054 for 95%) —
+bit-identical, ungridded.
+
+L186 — standardized mean difference from the L135 exact-decimal
+sufficient statistics: pooled variance via n·Σx² − (Σx)² integers,
+d = (m_a − m_b)/s_pooled, Hedges' g = d·(1 − 3/(4(n_a+n_b)−9)) —
+fixed trees, one division per factor.
+
+Scale shape: one combinable aggregation each; 100 TB scanned once.
+
+No reference counterpart; experimentation family per SURVEY §2.11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Z95 = "1.959963984540054"
+
+
+def wilson_interval(
+    df: DataFrame,
+    by: list[str],
+    success_col: str,
+    z: str = Z95,
+) -> DataFrame:
+    """``(by..., n, k, p, lo, hi)`` — Wilson score interval per group;
+    ``success_col`` is 0/1; ``z`` is a decimal-string literal so the
+    tree is pinned.  n = 0 → NULLs."""
+    s = F.col(success_col).cast("int")
+    agg = df.filter(F.col(success_col).isNotNull()).groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(s).alias("k")
+    )
+    zd = F.lit(float(z))
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    z2n = zd * zd / nd
+    denom = F.lit(1.0) + z2n
+    center = (p + z2n / F.lit(2.0)) / denom
+    half = (
+        zd
+        * F.sqrt(p * (F.lit(1.0) - p) / nd + z2n / (F.lit(4.0) * nd))
+        / denom
+    )
+    ok = F.col("n") > 0
+    return agg.select(
+        *by,
+        "n",
+        "k",
+        F.when(ok, p).alias("p"),
+        F.when(ok, F.greatest(center - half, F.lit(0.0))).alias("lo"),
+        F.when(ok, F.least(center + half, F.lit(1.0))).alias("hi"),
+    )
+
+
+def cohens_d(
+    df: DataFrame,
+    by: list[str],
+    variant_col: str,
+    variant_a: str,
+    variant_b: str,
+    metric_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n_a, n_b, mean_a, mean_b, d, hedges_g)`` — pooled-SD
+    standardized mean difference per group (Cohen's d) and the
+    small-sample-corrected Hedges' g.  Metrics contract-quantized at
+    DECIMAL(18, scale); groups needing n_a+n_b < 3 or zero pooled
+    variance → NULL d/g."""
+    dec = f"decimal(18,{scale})"
+    wide = "decimal(38,6)"
+    y = F.col(metric_col).cast(dec)
+    flt = df.filter(
+        F.col(metric_col).isNotNull()
+        & F.col(variant_col).isin([variant_a, variant_b])
+    )
+    is_a = (F.col(variant_col) == variant_a).cast("int")
+    agg = flt.groupBy(*by).agg(
+        F.sum(is_a).alias("n_a"),
+        F.sum(F.lit(1) - is_a).alias("n_b"),
+        F.sum(F.when(is_a == 1, y)).alias("_sa"),
+        F.sum(F.when(is_a == 0, y)).alias("_sb"),
+        F.sum(F.when(is_a == 1, y.cast(wide) * y.cast(wide))).alias("_ssa"),
+        F.sum(F.when(is_a == 0, y.cast(wide) * y.cast(wide))).alias("_ssb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("_sa").cast("double") / na
+    mb = F.col("_sb").cast("double") / nb
+    # n·Σx² − (Σx)² exact decimal; SS = that / n (one division each)
+    ssa = (
+        F.col("n_a").cast(wide) * F.col("_ssa")
+        - F.col("_sa").cast(wide) * F.col("_sa").cast(wide)
+    ).cast("double") / na
+    ssb = (
+        F.col("n_b").cast(wide) * F.col("_ssb")
+        - F.col("_sb").cast(wide) * F.col("_sb").cast(wide)
+    ).cast("double") / nb
+    dof = na + nb - F.lit(2.0)
+    s_pooled = F.sqrt((ssa + ssb) / dof)
+    d = (ma - mb) / s_pooled
+    g = d * (
+        F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (na + nb) - F.lit(9.0))
+    )
+    ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & ((F.col("n_a") + F.col("n_b")) > 2)
+    )
+    okv = ok & ((ssa + ssb) > 0.0)
+    return agg.select(
+        *by,
+        "n_a",
+        "n_b",
+        F.when(F.col("n_a") > 0, ma).alias("mean_a"),
+        F.when(F.col("n_b") > 0, mb).alias("mean_b"),
+        F.when(okv, d).alias("d"),
+        F.when(okv, g).alias("hedges_g"),
+    )
