@@ -4279,6 +4279,51 @@ def q_cohens_d(spark, sf_dir):
     return cohens_d(o, ["priority"], "variant", "a", "b", "y")
 
 
+def q_reciprocity(spark, sf_dir):
+    """Directed reciprocity (L187): customer→nation edges with a
+    one-third back-edge subset — r = |E∩Eᵀ|/|E| exact, one division."""
+    from lmss_entity_extractor_spark.graph.metrics import reciprocity
+
+    c = _t(spark, sf_dir, "customer")
+    fwd = c.select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("n:"), F.col("c_nationkey")).alias("dst"),
+    )
+    back = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.concat(F.lit("n:"), F.col("c_nationkey")).alias("src"),
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("dst"),
+    )
+    return reciprocity(fwd.unionByName(back))
+
+
+def q_conductance(spark, sf_dir):
+    """Community conductance (L188): does the region partition cut few
+    customer→nation edges — exact integer cut/volume, one division per
+    community."""
+    from lmss_entity_extractor_spark.graph.metrics import conductance
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    edges = c.select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("n:"), F.col("c_nationkey")).alias("dst"),
+    )
+    comm = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"),
+            F.col("n_regionkey").alias("community"),
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n:"), F.col("n_nationkey")).alias("node"),
+                F.col("n_regionkey").alias("community"),
+            )
+        )
+    )
+    return conductance(edges, comm)
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5773,6 +5818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_kappa": q_cohens_kappa,
         "wilson": q_wilson,
         "cohens_d": q_cohens_d,
+        "reciprocity": q_reciprocity,
+        "conductance": q_conductance,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -9948,6 +9995,78 @@ def oracle_sql() -> dict[str, str]:
                               + CAST(n_b AS DOUBLE)) - 9.0))
                    END AS hedges_g
             FROM t
+        """,
+        "reciprocity": """
+            WITH fwd AS (
+                SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS u,
+                       'n:' || CAST(c_nationkey AS VARCHAR) AS v
+                FROM customer
+            ),
+            back AS (
+                SELECT 'n:' || CAST(c_nationkey AS VARCHAR) AS u,
+                       'c:' || CAST(c_custkey AS VARCHAR) AS v
+                FROM customer WHERE c_custkey % 3 = 0
+            ),
+            e AS (
+                SELECT DISTINCT u, v
+                FROM (SELECT * FROM fwd UNION ALL SELECT * FROM back)
+                WHERE u <> v
+            ),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+            r AS (
+                SELECT CAST(count(*) AS BIGINT) AS m_reciprocated
+                FROM e a JOIN e b ON a.u = b.v AND a.v = b.u
+            )
+            SELECT m.m, r.m_reciprocated,
+                   CASE WHEN m.m > 0 THEN
+                       CAST(r.m_reciprocated AS DOUBLE)
+                       / CAST(m.m AS DOUBLE) END AS r
+            FROM m CROSS JOIN r
+        """,
+        "conductance": """
+            -- phi(S) = cut/min(vol, total − vol): exact integers
+            WITH edges AS (
+                SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS u,
+                       'n:' || CAST(c_nationkey AS VARCHAR) AS v
+                FROM customer
+            ),
+            comm AS (
+                SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS node,
+                       n_regionkey AS c
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                UNION ALL
+                SELECT 'n:' || CAST(n_nationkey AS VARCHAR), n_regionkey
+                FROM nation
+            ),
+            tagged AS (
+                SELECT cu.c AS cu, cv.c AS cv
+                FROM edges
+                JOIN comm cu ON edges.u = cu.node
+                JOIN comm cv ON edges.v = cv.node
+            ),
+            vol AS (
+                SELECT c, CAST(count(*) AS BIGINT) AS vol
+                FROM (SELECT cu AS c FROM tagged
+                      UNION ALL SELECT cv FROM tagged)
+                GROUP BY 1
+            ),
+            cut AS (
+                SELECT c, CAST(count(*) AS BIGINT) AS cut
+                FROM (
+                    SELECT cu AS c FROM tagged WHERE cu <> cv
+                    UNION ALL
+                    SELECT cv FROM tagged WHERE cu <> cv
+                ) GROUP BY 1
+            ),
+            tot AS (SELECT CAST(count(*) * 2 AS BIGINT) AS total
+                    FROM tagged)
+            SELECT vol.c AS community, vol.vol,
+                   coalesce(cut.cut, 0) AS cut,
+                   CASE WHEN least(vol.vol, tot.total - vol.vol) > 0 THEN
+                       CAST(coalesce(cut.cut, 0) AS DOUBLE)
+                       / CAST(least(vol.vol, tot.total - vol.vol)
+                              AS DOUBLE) END AS phi
+            FROM vol LEFT JOIN cut ON vol.c = cut.c CROSS JOIN tot
         """,
         "ks_2samp": """
             -- per distinct value the scaled ECDF gap

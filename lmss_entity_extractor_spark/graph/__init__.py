@@ -30,6 +30,11 @@ from .owlprops import owl_entail  # noqa: F401
 from .reify import reify, unreify  # noqa: F401
 from .bisim import bisimulation_classes  # noqa: F401
 from .powerlaw import degree_distribution, power_law_fit  # noqa: F401
-from .metrics import modularity, degree_assortativity  # noqa: F401
+from .metrics import (  # noqa: F401
+    modularity,
+    degree_assortativity,
+    reciprocity,
+    conductance,
+)
 from .linkpred import link_prediction_scores, adamic_adar  # noqa: F401
 from .richclub import rich_club  # noqa: F401

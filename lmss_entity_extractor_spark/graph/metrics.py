@@ -148,3 +148,102 @@ def degree_assortativity(
             num.cast("double") / den.cast("double"),
         ).alias("r"),
     )
+
+
+def reciprocity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One row ``(m, m_reciprocated, r)`` — directed-graph reciprocity
+    (L187): the fraction of distinct non-loop directed edges whose
+    reverse edge also exists (r = |E ∩ Eᵀ| / |E|, exact integers, ONE
+    division).  High reciprocity on a KG predicate usually means the
+    predicate should have been modeled symmetric (or its inverse is
+    being materialized twice) — a schema smell detector.  Self-loops
+    excluded; multi-edges collapsed.  Two scans + one self-join on the
+    node-pair key."""
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .distinct()
+    )
+    rev = e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+    recip = e.join(rev, ["_u", "_v"]).count()
+    m = e.count()
+    out = e.sparkSession.createDataFrame(
+        [(m, recip)], "m bigint, m_reciprocated bigint"
+    )
+    return out.select(
+        "m",
+        "m_reciprocated",
+        F.when(
+            F.col("m") > 0,
+            F.col("m_reciprocated").cast("double") / F.col("m").cast("double"),
+        ).alias("r"),
+    )
+
+
+def conductance(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """``(community, vol, cut, phi)`` — per-community conductance
+    (L188), the cut-quality companion to modularity (L148): φ(S) =
+    cut(S, S̄) / min(vol(S), vol(G)−vol(S)) over the undirected
+    multigraph (degree volumes; self-loops add 2 to volume, never to
+    the cut).  Exact integers, ONE division; min-side volume 0 → NULL.
+    Unmapped endpoints REFUSED (the L148 guard).  Two keyed joins
+    against the community map + combinable aggs."""
+    comm = communities.select(
+        F.col(node_col).alias("node"), F.col(community_col).alias("_c")
+    )
+    e = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .join(
+            comm.select(F.col("node").alias("_u"), F.col("_c").alias("_cu")),
+            "_u",
+            "left",
+        )
+        .join(
+            comm.select(F.col("node").alias("_v"), F.col("_c").alias("_cv")),
+            "_v",
+            "left",
+        )
+    )
+    n_unmapped = e.filter(F.col("_cu").isNull() | F.col("_cv").isNull()).count()
+    if n_unmapped:
+        raise ValueError(
+            f"conductance: {n_unmapped} edge(s) touch nodes missing from "
+            "the community map — fix the assignment (the L148 guard)"
+        )
+    # volume: degree mass per community (self-loop counts 2)
+    vol = (
+        e.select(F.col("_cu").alias("_c"))
+        .unionAll(e.select(F.col("_cv").alias("_c")))
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("vol"))
+    )
+    cut = (
+        e.filter(F.col("_cu") != F.col("_cv"))
+        .select(F.explode(F.array("_cu", "_cv")).alias("_c"))
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("cut"))
+    )
+    total = e.count() * 2
+    out = vol.join(cut, "_c", "left")
+    cut0 = F.coalesce(F.col("cut"), F.lit(0))
+    other = F.lit(total) - F.col("vol")
+    min_vol = F.least(F.col("vol"), other)
+    return out.select(
+        F.col("_c").alias("community"),
+        "vol",
+        cut0.alias("cut"),
+        F.when(
+            min_vol > 0, cut0.cast("double") / min_vol.cast("double")
+        ).alias("phi"),
+    )
