@@ -4324,6 +4324,22 @@ def q_conductance(spark, sf_dir):
     return conductance(edges, comm)
 
 
+def q_wilcoxon(spark, sf_dir):
+    """Wilcoxon signed-rank (L189): paired discount-vs-tax per
+    lineitem row, grouped by return flag — doubled-rank integer sums,
+    exact tie correction, one fixed IEEE z tree, ungridded."""
+    from lmss_entity_extractor_spark.ops.rankeval import (
+        wilcoxon_signed_rank,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_discount").alias("x"),
+        F.col("l_tax").alias("y"),
+    )
+    return wilcoxon_signed_rank(li, ["flag"], "x", "y", scale=2)
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5820,6 +5836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_d": q_cohens_d,
         "reciprocity": q_reciprocity,
         "conductance": q_conductance,
+        "wilcoxon": q_wilcoxon,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -9509,6 +9526,51 @@ def oracle_sql() -> dict[str, str]:
                                  - CAST(n AS DOUBLE)))
                    END AS h_tie_corrected
             FROM gs CROSS JOIN ts
+        """,
+        "wilcoxon": """
+            -- paired d = discount - tax (exact cents), zeros dropped,
+            -- doubled average ranks of |d|, exact tie correction,
+            -- one fixed IEEE z tree (subtract in BIGINT, then divide)
+            WITH base AS (
+                SELECT l_returnflag AS flag,
+                       CAST(l_discount AS DECIMAL(18,2))
+                       - CAST(l_tax AS DECIMAL(18,2)) AS d
+                FROM lineitem
+                WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+            ),
+            nz AS (
+                SELECT flag, abs(d) AS a,
+                       CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+                FROM base WHERE d <> 0
+            ),
+            pts AS (
+                SELECT flag, a, CAST(count(*) AS BIGINT) AS cv,
+                       CAST(sum(pos) AS BIGINT) AS cpos
+                FROM nz GROUP BY 1, 2
+            ),
+            rk AS (
+                SELECT flag, a, cv, cpos,
+                       CAST(coalesce(sum(cv) OVER (PARTITION BY flag
+                           ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS bef
+                FROM pts
+            ),
+            st AS (
+                SELECT flag,
+                       CAST(sum(cv) AS BIGINT) AS n,
+                       CAST(sum(cpos * (2 * bef + cv + 1)) AS BIGINT)
+                           AS w2,
+                       CAST(sum(cv * cv * cv - cv) AS BIGINT) AS tt
+                FROM rk GROUP BY 1
+            )
+            SELECT flag, n,
+                   CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+                   CASE WHEN 2 * n * (n + 1) * (2 * n + 1) - tt > 0
+                        THEN CAST(w2 - n * (n + 1) / 2 AS DOUBLE)
+                             / sqrt(CAST(2 * n * (n + 1) * (2 * n + 1)
+                                         - tt AS DOUBLE) / 12.0)
+                   END AS z
+            FROM st
         """,
         "readability": """
             -- the same regex counting conventions: letter-bearing

@@ -360,3 +360,85 @@ def wasserstein_1d(
             ),
         ).alias("w1"),
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    by: list[str],
+    x_col: str,
+    y_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, w_plus, z)`` — the Wilcoxon signed-rank test for
+    PAIRED samples (the nonparametric companion to Welch's t, L139:
+    same-row before/after or metric-vs-metric comparisons where the
+    difference distribution is non-normal).
+
+    Per group: d = x − y at DECIMAL(18, scale) (exact), zero
+    differences dropped (Wilcoxon's original zero-handling), |d|
+    ranked ascending with average ranks.  The L146 doubled-rank trick
+    keeps every rank sum an exact integer:
+
+        2·W⁺  = Σ_groups pos_cnt · (2·before + cnt + 1)    (exact int)
+        E[2W⁺] = n(n+1)/2                                  (exact int)
+        12·Var(2W⁺) = 2n(n+1)(2n+1) − Σ(t³−t)              (exact int)
+        z = (2W⁺ − n(n+1)/2) / sqrt(12Var/12.0)            (fixed tree)
+
+    so z is one subtraction, one division, one sqrt over exactly-
+    representable integers — bit-identical, NO grid.  ``w_plus`` is
+    2W⁺/2.0 (ties make W⁺ half-integral; the halving is exact in
+    IEEE).  Groups need n ≥ 1 nonzero pairs to appear and Var > 0 for
+    a non-NULL z (all-tied |d| still has Var > 0; only n = 0 drops).
+
+    Scale shape: identical to L146/L174 — one combinable groupBy on
+    (keys, |d|), ONE keyed window over the bounded distinct-|d| grid,
+    one final combinable agg.  100 TB scans once; sums in
+    DECIMAL(38,0) survive 10¹² rows.
+    """
+    dec = f"decimal(18,{scale})"
+    d = F.col(x_col).cast(dec) - F.col(y_col).cast(dec)
+    base = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(*by, d.alias("_d"))
+        .filter(F.col("_d") != 0)
+        .select(
+            *by,
+            F.abs(F.col("_d")).alias("_a"),
+            (F.col("_d") > 0).cast("long").alias("_pos"),
+        )
+    )
+    pts = base.groupBy(*by, "_a").agg(
+        F.count(F.lit(1)).alias("_cv"),
+        F.sum("_pos").alias("_cpos"),
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_a")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pts = pts.withColumn(
+        "_bef", F.coalesce(F.sum("_cv").over(w), F.lit(0))
+    )
+    two_rank = (
+        F.lit(2) * F.col("_bef") + F.col("_cv") + F.lit(1)
+    ).cast(_DEC)
+    cvd = F.col("_cv").cast(_DEC)
+    agg = pts.groupBy(*by).agg(
+        F.sum("_cv").alias("n"),
+        F.sum(F.col("_cpos").cast(_DEC) * two_rank).alias("_w2"),
+        F.sum(cvd * cvd * cvd - cvd).alias("_tt"),
+    )
+    nd = F.col("n").cast(_DEC)
+    mu2 = (nd * (nd + 1) / 2).cast(_DEC)
+    var12 = (
+        F.lit(2).cast(_DEC) * nd * (nd + 1) * (2 * nd + 1) - F.col("_tt")
+    ).cast(_DEC)
+    z = (F.col("_w2") - mu2).cast("double") / F.sqrt(
+        var12.cast("double") / F.lit(12.0)
+    )
+    return agg.select(
+        *by,
+        "n",
+        (F.col("_w2").cast("double") / F.lit(2.0)).alias("w_plus"),
+        F.when(var12 > 0, z).alias("z"),
+    )

@@ -121,3 +121,105 @@ class TestKruskalWallis:
             _kdf(spark, {"a": [1.0, 2.0]}), "g", "v"
         ).collect()[0]
         assert r["h"] is None
+
+
+class TestWilcoxonSignedRank:
+    def _df(self, spark, pairs, grp="g"):
+        return spark.createDataFrame(
+            [(grp, float(x), float(y)) for x, y in pairs],
+            "g string, x double, y double",
+        )
+
+    def test_no_ties_hand_computed(self, spark):
+        # d = 1,-2,3,-4,5 -> ranks of |d| 1..5, W+ = 1+3+5 = 9,
+        # z = (9 - 7.5)/sqrt(5*6*11/24) = 0.4045199...
+        from lmss_entity_extractor_spark.ops.rankeval import (
+            wilcoxon_signed_rank,
+        )
+
+        pairs = [(1, 0), (0, 2), (3, 0), (0, 4), (5, 0)]
+        row = wilcoxon_signed_rank(
+            self._df(spark, pairs), ["g"], "x", "y"
+        ).collect()[0]
+        assert row["n"] == 5
+        assert row["w_plus"] == 9.0
+        assert abs(row["z"] - 1.5 / 13.75**0.5) < 1e-12
+
+    def test_ties_average_ranks(self, spark):
+        # d = 1,1,-1,2: |d|=1 avg rank 2 (x3), |d|=2 rank 4
+        # W+ = 2+2+4 = 8; Var = 4*5*9/24 - 24/48 = 7; z = 3/sqrt(7)
+        from lmss_entity_extractor_spark.ops.rankeval import (
+            wilcoxon_signed_rank,
+        )
+
+        pairs = [(1, 0), (1, 0), (0, 1), (2, 0)]
+        row = wilcoxon_signed_rank(
+            self._df(spark, pairs), ["g"], "x", "y"
+        ).collect()[0]
+        assert row["n"] == 4
+        assert row["w_plus"] == 8.0
+        assert abs(row["z"] - 3.0 / 7**0.5) < 1e-12
+
+    def test_zero_diffs_dropped(self, spark):
+        from lmss_entity_extractor_spark.ops.rankeval import (
+            wilcoxon_signed_rank,
+        )
+
+        pairs = [(2, 2), (3, 3), (4, 1)]
+        row = wilcoxon_signed_rank(
+            self._df(spark, pairs), ["g"], "x", "y"
+        ).collect()[0]
+        assert row["n"] == 1 and row["w_plus"] == 1.0
+
+    def test_all_zero_group_vanishes(self, spark):
+        from lmss_entity_extractor_spark.ops.rankeval import (
+            wilcoxon_signed_rank,
+        )
+
+        pairs = [(2, 2), (5, 5)]
+        assert (
+            wilcoxon_signed_rank(
+                self._df(spark, pairs), ["g"], "x", "y"
+            ).count()
+            == 0
+        )
+
+    def test_python_reference(self, spark):
+        from lmss_entity_extractor_spark.ops.rankeval import (
+            wilcoxon_signed_rank,
+        )
+
+        # deterministic pseudo-random pairs with many ties
+        pairs = [
+            (((7 * i) % 11) / 4.0, ((5 * i) % 9) / 4.0) for i in range(60)
+        ]
+        diffs = [
+            round(x * 4) / 4 - round(y * 4) / 4 for x, y in pairs
+        ]
+        diffs = [d for d in diffs if d != 0]
+        n = len(diffs)
+        sa = sorted(abs(d) for d in diffs)
+        # average ranks
+        rank = {}
+        i = 0
+        while i < len(sa):
+            j = i
+            while j < len(sa) and sa[j] == sa[i]:
+                j += 1
+            rank[sa[i]] = (i + 1 + j) / 2.0
+            i = j
+        w_plus = sum(rank[abs(d)] for d in diffs if d > 0)
+        tie = sum(
+            c**3 - c
+            for c in __import__("collections")
+            .Counter(sa)
+            .values()
+        )
+        var = n * (n + 1) * (2 * n + 1) / 24.0 - tie / 48.0
+        z_ref = (w_plus - n * (n + 1) / 4.0) / var**0.5
+        row = wilcoxon_signed_rank(
+            self._df(spark, pairs), ["g"], "x", "y"
+        ).collect()[0]
+        assert row["n"] == n
+        assert row["w_plus"] == w_plus
+        assert abs(row["z"] - z_ref) < 1e-9
