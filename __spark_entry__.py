@@ -4340,6 +4340,23 @@ def q_wilcoxon(spark, sf_dir):
     return wilcoxon_signed_rank(li, ["flag"], "x", "y", scale=2)
 
 
+def q_friedman(spark, sf_dir):
+    """Friedman test (L190): blocks = orders, treatments = line
+    numbers, values = extended price — complete blocks only (orders
+    carrying every line number seen in the group), doubled within-
+    block average ranks, tie-corrected Q as one division of exact
+    DECIMAL integers."""
+    from lmss_entity_extractor_spark.ops.rankeval import friedman
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 3).alias("grp"),
+        F.col("l_orderkey").alias("b"),
+        F.col("l_linenumber").alias("t"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+    )
+    return friedman(li, ["grp"], "b", "t", "v")
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5837,6 +5854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "conductance": q_conductance,
         "wilcoxon": q_wilcoxon,
+        "friedman": q_friedman,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -9570,6 +9588,71 @@ def oracle_sql() -> dict[str, str]:
                              / sqrt(CAST(2 * n * (n + 1) * (2 * n + 1)
                                          - tt AS DOUBLE) / 12.0)
                    END AS z
+            FROM st
+        """,
+        "friedman": """
+            -- complete-block Friedman: duplicate cells collapse with
+            -- max, k = distinct treatments per group, blocks with
+            -- fewer than k cells drop, doubled within-block average
+            -- ranks (2*cum - eq + 1), tie-corrected Q as one division
+            WITH cell AS (
+                SELECT CAST(l_orderkey % 3 AS BIGINT) AS grp,
+                       l_orderkey AS b, l_linenumber AS t,
+                       max(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+                  AND l_linenumber IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                GROUP BY 1, 2, 3
+            ),
+            kdf AS (
+                SELECT grp, CAST(count(DISTINCT t) AS BIGINT) AS k
+                FROM cell GROUP BY 1
+            ),
+            bs AS (
+                SELECT grp, b, CAST(count(*) AS BIGINT) AS bc
+                FROM cell GROUP BY 1, 2
+            ),
+            keep AS (
+                SELECT c.grp, c.b, c.t, c.v, kdf.k
+                FROM cell c
+                JOIN bs USING (grp, b) JOIN kdf USING (grp)
+                WHERE bs.bc = kdf.k AND kdf.k >= 2
+            ),
+            ndf AS (
+                SELECT grp, CAST(count(DISTINCT b) AS BIGINT) AS n
+                FROM keep GROUP BY 1
+            ),
+            ranked AS (
+                SELECT grp, b, t, k,
+                       CAST(2 * count(*) OVER (PARTITION BY grp, b
+                                ORDER BY v RANGE BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW)
+                            - count(*) OVER (PARTITION BY grp, b, v)
+                            + 1 AS BIGINT) AS r2
+                FROM keep
+            ),
+            tr AS (
+                SELECT grp, k, t,
+                       CAST(sum(r2) AS BIGINT) AS rj2,
+                       CAST(sum(r2 * r2) AS BIGINT) AS sq
+                FROM ranked GROUP BY 1, 2, 3
+            ),
+            st AS (
+                SELECT tr.grp, tr.k, ndf.n AS n_blocks,
+                       CAST(sum(tr.sq) AS BIGINT) AS sumsq,
+                       CAST(sum((tr.rj2 - ndf.n * (tr.k + 1))
+                                * (tr.rj2 - ndf.n * (tr.k + 1)))
+                            AS BIGINT) AS dev2
+                FROM tr JOIN ndf USING (grp)
+                GROUP BY 1, 2, 3
+            )
+            SELECT grp, k, n_blocks,
+                   CASE WHEN sumsq - n_blocks * k * (k+1) * (k+1) > 0
+                        THEN CAST((k - 1) * dev2 AS DOUBLE)
+                             / CAST(sumsq - n_blocks * k * (k+1)
+                                    * (k+1) AS DOUBLE)
+                   END AS q
             FROM st
         """,
         "readability": """

@@ -442,3 +442,109 @@ def wilcoxon_signed_rank(
         (F.col("_w2").cast("double") / F.lit(2.0)).alias("w_plus"),
         F.when(var12 > 0, z).alias("z"),
     )
+
+
+def friedman(
+    df: DataFrame,
+    by: list[str],
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+) -> DataFrame:
+    """``(by..., k, n_blocks, q)`` — the Friedman test for a
+    RANDOMIZED COMPLETE BLOCK design (the k-treatment companion to
+    Wilcoxon signed-rank, L189: within-subject comparisons of k
+    variants where each block sees every treatment).
+
+    Per group: duplicate (block, treatment) cells collapse with
+    ``max`` (deterministic, documented); k = distinct treatments in
+    the group; blocks with fewer than k cells drop (incomplete
+    blocks — classical Friedman is defined on complete blocks only).
+    Within each surviving block, values rank with average ranks.  The
+    L146 doubled-rank trick keeps every intermediate an exact integer:
+    for a tie group of ``eq`` cells whose cumulative count-through is
+    ``cum``, 2·avg_rank = 2·cum − eq + 1, so with 2R_j = Σ_blocks 2r:
+
+        Q = (k−1)·Σ_j (2R_j − n(k+1))² / (Σ_cells (2r)² − n·k·(k+1)²)
+
+    — the tie-corrected Friedman statistic as ONE division of two
+    exactly-representable DECIMAL integers (classical check: k=3,
+    n=2, untied ranks → Q = 4 both ways).  Denominator 0 (all cells
+    tied within every block) or k < 2 yields NULL q.
+
+    Scale shape: one combinable cell groupBy; one (keys) agg + one
+    (keys, block) agg joined back on their keys (both shuffles are
+    combinable and co-partitioned); ONE keyed window over (keys,
+    block) — blocks are tiny (k cells) but numerous, so the window
+    partition key is high-cardinality and spreads evenly; one final
+    combinable agg.  100 TB scans once; sums in DECIMAL(38,0) survive
+    10¹² rows.
+    """
+    cell = (
+        df.filter(
+            F.col(block_col).isNotNull()
+            & F.col(treat_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            *by,
+            F.col(block_col).alias("_b"),
+            F.col(treat_col).alias("_t"),
+        )
+        .agg(F.max(value_col).alias("_v"))
+    )
+    kdf = cell.groupBy(*by).agg(F.countDistinct("_t").alias("k"))
+    bs = cell.groupBy(*by, "_b").agg(F.count(F.lit(1)).alias("_bc"))
+    joined = cell.join(bs, [*by, "_b"])
+    full = (
+        joined.join(F.broadcast(kdf), list(by))
+        if by
+        else joined.crossJoin(F.broadcast(kdf))
+    )
+    full = full.filter((F.col("_bc") == F.col("k")) & (F.col("k") >= 2))
+    wb = [*by, "_b"]
+    w_cum = (
+        Window.partitionBy(*wb)
+        .orderBy("_v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_eq = Window.partitionBy(*wb, "_v")
+    ranked = full.withColumn(
+        "_2r",
+        (
+            F.lit(2) * F.count(F.lit(1)).over(w_cum)
+            - F.count(F.lit(1)).over(w_eq)
+            + F.lit(1)
+        ).cast(_DEC),
+    )
+    # per-treatment doubled rank sums + per-group cell-level sums
+    tr = ranked.groupBy(*by, "k", "_t").agg(
+        F.sum("_2r").alias("_2rj"),
+        F.sum(F.col("_2r") * F.col("_2r")).alias("_sq"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    kd = F.col("k").cast(_DEC)
+    nd = F.col("n_blocks").cast(_DEC)
+    agg = tr.groupBy(*by, "k").agg(
+        F.max("_nb").alias("n_blocks"),
+        F.sum("_sq").alias("_sumsq"),
+        F.collect_list("_2rj").alias("_rjs"),
+    )
+    num = (kd - 1) * F.aggregate(
+        F.transform(
+            F.col("_rjs"),
+            lambda r: (r.cast(_DEC) - nd * (kd + 1))
+            * (r.cast(_DEC) - nd * (kd + 1)),
+        ),
+        F.lit(0).cast(_DEC),
+        lambda acc, x: acc + x,
+    )
+    den = F.col("_sumsq") - nd * kd * (kd + 1) * (kd + 1)
+    return agg.select(
+        *by,
+        "k",
+        "n_blocks",
+        F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        ).alias("q"),
+    )

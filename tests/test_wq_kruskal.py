@@ -223,3 +223,98 @@ class TestWilcoxonSignedRank:
         assert row["n"] == n
         assert row["w_plus"] == w_plus
         assert abs(row["z"] - z_ref) < 1e-9
+
+
+class TestFriedman:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            [("g", b, t, float(v)) for b, t, v in rows],
+            "g string, b string, t string, v double",
+        )
+
+    def test_classical_no_ties(self, spark):
+        # 2 complete blocks, ranks a<b<c in both -> Q = 4 (hand-derived
+        # both via the doubled-rank form and the classical
+        # 12/(nk(k+1))*sum(R^2) - 3n(k+1) formula)
+        from lmss_entity_extractor_spark.ops.rankeval import friedman
+
+        rows = [
+            ("b1", "a", 1), ("b1", "b", 2), ("b1", "c", 3),
+            ("b2", "a", 10), ("b2", "b", 20), ("b2", "c", 30),
+        ]
+        r = friedman(self._df(spark, rows), ["g"], "b", "t", "v").collect()[0]
+        assert r["k"] == 3 and r["n_blocks"] == 2
+        assert abs(r["q"] - 4.0) < 1e-12
+
+    def test_ties_hand_computed(self, spark):
+        # block1 values (1,1,2): 2r = 3,3,6; block2 (1,2,3): 2r=2,4,6
+        # 2R = (5,7,12); num = 2*26 = 52; den = 110-96 = 14; Q = 26/7
+        from lmss_entity_extractor_spark.ops.rankeval import friedman
+
+        rows = [
+            ("b1", "a", 1), ("b1", "b", 1), ("b1", "c", 2),
+            ("b2", "a", 1), ("b2", "b", 2), ("b2", "c", 3),
+        ]
+        r = friedman(self._df(spark, rows), ["g"], "b", "t", "v").collect()[0]
+        assert abs(r["q"] - 26.0 / 7.0) < 1e-12
+
+    def test_incomplete_block_dropped(self, spark):
+        from lmss_entity_extractor_spark.ops.rankeval import friedman
+
+        rows = [
+            ("b1", "a", 1), ("b1", "b", 2), ("b1", "c", 3),
+            ("b2", "a", 10), ("b2", "b", 20), ("b2", "c", 30),
+            ("b3", "a", 5), ("b3", "b", 6),  # incomplete
+        ]
+        r = friedman(self._df(spark, rows), ["g"], "b", "t", "v").collect()[0]
+        assert r["n_blocks"] == 2
+        assert abs(r["q"] - 4.0) < 1e-12
+
+    def test_all_tied_null_q(self, spark):
+        from lmss_entity_extractor_spark.ops.rankeval import friedman
+
+        rows = [
+            ("b1", "a", 7), ("b1", "b", 7), ("b1", "c", 7),
+            ("b2", "a", 1), ("b2", "b", 1), ("b2", "c", 1),
+        ]
+        r = friedman(self._df(spark, rows), ["g"], "b", "t", "v").collect()[0]
+        assert r["q"] is None
+
+    def test_python_reference(self, spark):
+        from lmss_entity_extractor_spark.ops.rankeval import friedman
+
+        # 12 complete blocks x 4 treatments, deterministic values with
+        # plenty of within-block ties
+        k, n = 4, 12
+        rows = [
+            (f"b{b}", f"t{t}", ((3 * b + 5 * t + b * t) % 7) / 2.0)
+            for b in range(n)
+            for t in range(k)
+        ]
+        # python reference: average ranks per block
+        import collections
+
+        two_rj = collections.Counter()
+        sumsq = 0
+        for b in range(n):
+            vals = sorted(
+                (((3 * b + 5 * t + b * t) % 7) / 2.0, t) for t in range(k)
+            )
+            i = 0
+            while i < k:
+                j = i
+                while j < k and vals[j][0] == vals[i][0]:
+                    j += 1
+                r2 = (i + 1) + j  # 2*avg rank = min_rank + max_rank
+                for m in range(i, j):
+                    two_rj[vals[m][1]] += r2
+                    sumsq += r2 * r2
+                i = j
+        num = (k - 1) * sum(
+            (two_rj[t] - n * (k + 1)) ** 2 for t in range(k)
+        )
+        den = sumsq - n * k * (k + 1) ** 2
+        q_ref = num / den
+        r = friedman(self._df(spark, rows), ["g"], "b", "t", "v").collect()[0]
+        assert r["k"] == k and r["n_blocks"] == n
+        assert abs(r["q"] - q_ref) < 1e-12
