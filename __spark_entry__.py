@@ -4357,6 +4357,34 @@ def q_friedman(spark, sf_dir):
     return friedman(li, ["grp"], "b", "t", "v")
 
 
+def q_mcnemar(spark, sf_dir):
+    """McNemar's test (L191): paired binary indicators (deep discount
+    vs high tax) per lineitem row, by return flag — discordant-pair
+    counts, plain and Edwards-corrected chi2, one exact division."""
+    from lmss_entity_extractor_spark.ops.evalmetrics import mcnemar
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_discount") > 0.05).cast("int").alias("x"),
+        (F.col("l_tax") > 0.04).cast("int").alias("y"),
+    )
+    return mcnemar(li, ["flag"], "x", "y")
+
+
+def q_fleiss(spark, sf_dir):
+    """Fleiss' kappa (L192): orders as subjects, their lineitem
+    return flags as m=4 ratings (other order sizes drop loudly) —
+    rescaled so kappa is one division of exact DECIMAL integers."""
+    from lmss_entity_extractor_spark.ops.evalmetrics import fleiss_kappa
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 2).alias("grp"),
+        F.col("l_orderkey").alias("s"),
+        F.col("l_returnflag").alias("c"),
+    )
+    return fleiss_kappa(li, ["grp"], "s", "c", m=4)
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5855,6 +5883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance": q_conductance,
         "wilcoxon": q_wilcoxon,
         "friedman": q_friedman,
+        "mcnemar": q_mcnemar,
+        "fleiss_kappa": q_fleiss,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -9654,6 +9684,77 @@ def oracle_sql() -> dict[str, str]:
                                     * (k+1) AS DOUBLE)
                    END AS q
             FROM st
+        """,
+        "mcnemar": """
+            -- paired binary indicators; discordant counts b/c, plain
+            -- and Edwards continuity-corrected chi2, one division
+            WITH p AS (
+                SELECT l_returnflag AS flag,
+                       CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END
+                           AS x,
+                       CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END AS y
+                FROM lineitem
+                WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+            ),
+            a AS (
+                SELECT flag,
+                       CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1
+                                ELSE 0 END) AS BIGINT) AS b,
+                       CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1
+                                ELSE 0 END) AS BIGINT) AS c
+                FROM p GROUP BY 1
+            )
+            SELECT flag, b, c,
+                   CASE WHEN b + c > 0
+                        THEN CAST((b-c)*(b-c) AS DOUBLE)
+                             / CAST(b + c AS DOUBLE) END AS chi2,
+                   CASE WHEN b + c > 0
+                        THEN CAST((abs(b-c)-1)*(abs(b-c)-1) AS DOUBLE)
+                             / CAST(b + c AS DOUBLE) END AS chi2_cc
+            FROM a
+        """,
+        "fleiss_kappa": """
+            -- Fleiss' kappa, m=4 ratings per subject (orders with
+            -- exactly 4 lineitems; others drop): rescaled to one
+            -- division of exact integers
+            WITH cells AS (
+                SELECT CAST(l_orderkey % 2 AS BIGINT) AS grp,
+                       l_orderkey AS s, l_returnflag AS c,
+                       CAST(count(*) AS BIGINT) AS nij
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+                  AND l_returnflag IS NOT NULL
+                GROUP BY 1, 2, 3
+            ),
+            kept AS (
+                SELECT grp, s FROM cells
+                GROUP BY grp, s HAVING sum(nij) = 4
+            ),
+            kc AS (
+                SELECT cells.* FROM cells JOIN kept USING (grp, s)
+            ),
+            per_cat AS (
+                SELECT grp, c,
+                       CAST(sum(nij) AS BIGINT) AS tj,
+                       CAST(sum(nij * nij) AS BIGINT) AS sq
+                FROM kc GROUP BY 1, 2
+            ),
+            ag AS (
+                SELECT grp,
+                       CAST(sum(tj) / 4 AS BIGINT) AS n_subjects,
+                       CAST(sum(sq) AS BIGINT) AS sumsq,
+                       CAST(sum(tj * tj) AS BIGINT) AS cc
+                FROM per_cat GROUP BY 1
+            )
+            SELECT grp, n_subjects,
+                   CASE WHEN 3 * (n_subjects * n_subjects * 16 - cc)
+                             <> 0
+                        THEN CAST((sumsq - n_subjects * 4)
+                                  * n_subjects * 4 - 3 * cc AS DOUBLE)
+                             / CAST(3 * (n_subjects * n_subjects * 16
+                                         - cc) AS DOUBLE)
+                   END AS kappa
+            FROM ag WHERE n_subjects > 0
         """,
         "readability": """
             -- the same regex counting conventions: letter-bearing

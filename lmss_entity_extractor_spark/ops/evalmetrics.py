@@ -166,3 +166,127 @@ def cohens_kappa(
             den != F.lit(0).cast(dec), num.cast("double") / den.cast("double")
         ).alias("kappa"),
     )
+
+
+def mcnemar(
+    df: DataFrame,
+    by: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """``(by..., b, c, chi2, chi2_cc)`` — McNemar's test for PAIRED
+    binary outcomes (did classifier x beat classifier y on the same
+    rows — the binary companion to Wilcoxon signed-rank, L189).
+
+    b = #(x=1, y=0), c = #(x=0, y=1); concordant pairs carry no
+    information and drop out.  χ² = (b−c)²/(b+c), and the Edwards
+    continuity-corrected form (|b−c|−1)²/(b+c).  Both are ONE IEEE
+    division of exact integers — bit-identical, ungridded.  b+c = 0
+    (no discordant pairs) yields NULL for both statistics.
+
+    Scale shape: a single combinable groupBy over the keys — two
+    conditional sums, no shuffle beyond the one keyed exchange.
+    """
+    x = F.col(x_col).cast("int")
+    y = F.col(y_col).cast("int")
+    agg = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(*by)
+        .agg(
+            F.sum(((x == 1) & (y == 0)).cast("long")).alias("b"),
+            F.sum(((x == 0) & (y == 1)).cast("long")).alias("c"),
+        )
+    )
+    b, c = F.col("b"), F.col("c")
+    d = b - c
+    dc = F.abs(d) - F.lit(1)
+    return agg.select(
+        *by,
+        "b",
+        "c",
+        F.when(
+            b + c > 0, (d * d).cast("double") / (b + c).cast("double")
+        ).alias("chi2"),
+        F.when(
+            b + c > 0, (dc * dc).cast("double") / (b + c).cast("double")
+        ).alias("chi2_cc"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    by: list[str],
+    subject_col: str,
+    category_col: str,
+    m: int,
+) -> DataFrame:
+    """``(by..., n_subjects, kappa)`` — Fleiss' κ, the multi-rater
+    generalization of Cohen's κ (L184): each input row is ONE rating
+    (subject, category); every subject must carry exactly ``m``
+    ratings — subjects with any other count drop (classical Fleiss is
+    defined for constant rater count; the drop is loud via
+    ``n_subjects``).
+
+    With n_ij = ratings of subject i into category j, T_j = Σ_i n_ij,
+    A = Σ_ij n_ij² − n·m, C = Σ_j T_j²:
+
+        P̄  = A / (n·m·(m−1)),   P̄_e = C / (n·m)²,
+        κ  = (P̄ − P̄_e)/(1 − P̄_e)
+           = (A·n·m − (m−1)·C) / ((m−1)·(n²m² − C))
+
+    — the common factor n·m·(m−1) cleared so κ is ONE IEEE division
+    of exact DECIMAL(38,0) integers (worst case n=10¹², m≈10 keeps
+    every term under 10²⁸): bit-identical, ungridded.  Denominator 0
+    (P̄_e = 1: all kept ratings in one category) yields NULL.
+
+    Scale shape: one combinable (keys, subject, category) groupBy;
+    one (keys, subject) agg for the m-filter semi-join (co-partitioned
+    on its prefix); one (keys, category) agg; one final combinable
+    agg per group.  100 TB scans once; no collect, no crossJoin.
+    """
+    dec = "decimal(38,0)"
+    cells = (
+        df.filter(
+            F.col(subject_col).isNotNull() & F.col(category_col).isNotNull()
+        )
+        .groupBy(
+            *by,
+            F.col(subject_col).alias("_s"),
+            F.col(category_col).alias("_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("_nij"))
+    )
+    kept = (
+        cells.groupBy(*by, "_s")
+        .agg(F.sum("_nij").alias("_tot"))
+        .filter(F.col("_tot") == m)
+        .select(*by, "_s")
+    )
+    cells = cells.join(kept, [*by, "_s"], "left_semi")
+    nij = F.col("_nij").cast(dec)
+    per_cat = cells.groupBy(*by, "_c").agg(
+        F.sum("_nij").alias("_tj"),
+        F.sum(nij * nij).alias("_sq"),
+    )
+    tj = F.col("_tj").cast(dec)
+    agg = per_cat.groupBy(*by).agg(
+        (F.sum("_tj").cast(dec) / F.lit(m).cast(dec))
+        .cast("long")
+        .alias("n_subjects"),
+        F.sum(F.col("_sq")).alias("_sumsq"),
+        F.sum(tj * tj).alias("_cc"),
+    )
+    nd = F.col("n_subjects").cast(dec)
+    md = F.lit(m).cast(dec)
+    a = F.col("_sumsq") - nd * md
+    cterm = F.col("_cc")
+    num = a * nd * md - (md - 1) * cterm
+    den = (md - 1) * (nd * nd * md * md - cterm)
+    return agg.filter(F.col("n_subjects") > 0).select(
+        *by,
+        "n_subjects",
+        F.when(
+            den != F.lit(0).cast(dec),
+            num.cast("double") / den.cast("double"),
+        ).alias("kappa"),
+    )

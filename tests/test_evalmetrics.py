@@ -119,3 +119,104 @@ class TestCohensKappa:
         ] * 3
         df = spark.createDataFrame(rows, "a string, b string")
         assert cohens_kappa(df, "a", "b").collect()[0]["kappa"] == 0.0
+
+
+class TestMcNemar:
+    def _df(self, spark, pairs):
+        return spark.createDataFrame(
+            [("g", int(x), int(y)) for x, y in pairs],
+            "g string, x int, y int",
+        )
+
+    def test_hand_computed(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import mcnemar
+
+        # b=3 (1,0), c=1 (0,1), concordant pairs ignored
+        pairs = [(1, 0)] * 3 + [(0, 1)] + [(1, 1)] * 5 + [(0, 0)] * 2
+        r = mcnemar(self._df(spark, pairs), ["g"], "x", "y").collect()[0]
+        assert r["b"] == 3 and r["c"] == 1
+        assert abs(r["chi2"] - 4.0 / 4.0) < 1e-12
+        assert abs(r["chi2_cc"] - 1.0 / 4.0) < 1e-12
+
+    def test_no_discordant_null(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import mcnemar
+
+        pairs = [(1, 1), (0, 0)]
+        r = mcnemar(self._df(spark, pairs), ["g"], "x", "y").collect()[0]
+        assert r["chi2"] is None and r["chi2_cc"] is None
+
+    def test_equal_discordant(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import mcnemar
+
+        # b = c = 2: chi2 = 0, Edwards correction gives 1/(b+c)
+        pairs = [(1, 0)] * 2 + [(0, 1)] * 2
+        r = mcnemar(self._df(spark, pairs), ["g"], "x", "y").collect()[0]
+        assert r["chi2"] == 0.0
+        assert abs(r["chi2_cc"] - 0.25) < 1e-12
+
+
+class TestFleissKappa:
+    # the canonical worked example (Fleiss 1971 / the one every
+    # textbook reprints): n=10 subjects, m=14 raters, 5 categories,
+    # kappa ~= 0.2099
+    TABLE = [
+        [0, 0, 0, 0, 14],
+        [0, 2, 6, 4, 2],
+        [0, 0, 3, 5, 6],
+        [0, 3, 9, 2, 0],
+        [2, 2, 8, 1, 1],
+        [7, 7, 0, 0, 0],
+        [3, 2, 6, 3, 0],
+        [2, 5, 3, 2, 2],
+        [6, 5, 2, 1, 0],
+        [0, 2, 2, 3, 7],
+    ]
+
+    def _ratings(self, spark, table, m=14):
+        rows = []
+        for i, counts in enumerate(table):
+            for j, c in enumerate(counts):
+                rows += [("g", f"s{i}", f"c{j}")] * c
+        return spark.createDataFrame(
+            rows, "g string, s string, c string"
+        )
+
+    def test_textbook_example(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import fleiss_kappa
+
+        n, m = len(self.TABLE), 14
+        a = sum(v * v for row in self.TABLE for v in row) - n * m
+        cterm = sum(
+            sum(row[j] for row in self.TABLE) ** 2 for j in range(5)
+        )
+        k_ref = (a * n * m - (m - 1) * cterm) / (
+            (m - 1) * (n * n * m * m - cterm)
+        )
+        assert abs(k_ref - 0.20993) < 5e-5  # sanity vs the textbook
+        r = fleiss_kappa(
+            self._ratings(spark, self.TABLE), ["g"], "s", "c", m=14
+        ).collect()[0]
+        assert r["n_subjects"] == 10
+        assert abs(r["kappa"] - k_ref) < 1e-12
+
+    def test_wrong_m_subjects_dropped(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import fleiss_kappa
+
+        rows = (
+            [("g", "s0", "a")] * 3
+            + [("g", "s1", "b")] * 3
+            + [("g", "s2", "a")] * 2  # only 2 ratings -> dropped
+        )
+        df = spark.createDataFrame(rows, "g string, s string, c string")
+        r = fleiss_kappa(df, ["g"], "s", "c", m=3).collect()[0]
+        assert r["n_subjects"] == 2
+        # perfect agreement on the kept subjects
+        assert abs(r["kappa"] - 1.0) < 1e-12
+
+    def test_single_category_null(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import fleiss_kappa
+
+        rows = [("g", "s0", "a")] * 2 + [("g", "s1", "a")] * 2
+        df = spark.createDataFrame(rows, "g string, s string, c string")
+        r = fleiss_kappa(df, ["g"], "s", "c", m=2).collect()[0]
+        assert r["kappa"] is None
