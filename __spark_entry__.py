@@ -4385,6 +4385,34 @@ def q_fleiss(spark, sf_dir):
     return fleiss_kappa(li, ["grp"], "s", "c", m=4)
 
 
+def q_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe (L193): do event types have equal value
+    variance — discrete per-level medians, exact decimal deviation
+    stats, ordered-fold ANOVA on |value - median|."""
+    from lmss_entity_extractor_spark.ops.stattests import brown_forsythe
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.col("event_type").alias("lvl"),
+            F.floor("value").alias("v"),
+        )
+    )
+    return brown_forsythe(e, [], "lvl", "v")
+
+
+def q_cramers_v(spark, sf_dir):
+    """Cramér's V (L194): effect size of the priority × status
+    association on orders — ordered-fold chi2, plain and
+    Bergsma-corrected V as fixed IEEE trees."""
+    from lmss_entity_extractor_spark.ops.stattests import cramers_v
+
+    return cramers_v(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
 def q_share_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of its region's revenue —
     DECIMAL window sums (exact, order-insensitive) with ONE IEEE
@@ -5885,6 +5913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "friedman": q_friedman,
         "mcnemar": q_mcnemar,
         "fleiss_kappa": q_fleiss,
+        "brown_forsythe": q_brown_forsythe,
+        "cramers_v": q_cramers_v,
         "part_salience": q_part_salience,
         "skyline": q_skyline,
         "pagerank_weighted": q_pagerank_weighted,
@@ -9755,6 +9785,144 @@ def oracle_sql() -> dict[str, str]:
                                          - cc) AS DOUBLE)
                    END AS kappa
             FROM ag WHERE n_subjects > 0
+        """,
+        "brown_forsythe": """
+            -- ANOVA on |v - discrete median| per level: exact decimal
+            -- deviation stats, sorted-level list_reduce folds, fixed
+            -- IEEE F tree
+            WITH vals AS (
+                SELECT event_type AS lvl,
+                       CAST(floor(value) AS BIGINT) AS v
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ),
+            med AS (
+                SELECT lvl, quantile_disc(v, 0.5) AS m
+                FROM vals GROUP BY 1
+            ),
+            z AS (
+                SELECT vals.lvl,
+                       CAST(abs(vals.v - med.m) AS DECIMAL(18,4)) AS z
+                FROM vals JOIN med USING (lvl)
+            ),
+            per AS (
+                SELECT lvl,
+                       CAST(count(*) AS BIGINT) AS nj,
+                       CAST(sum(z) AS DOUBLE) AS sj,
+                       CAST(sum(z * z) AS DOUBLE) AS qj,
+                       sum(z) AS sj_dec
+                FROM z GROUP BY 1
+            ),
+            tot AS (
+                SELECT CAST(sum(nj) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS k,
+                       CAST(sum(sj_dec) AS DOUBLE) AS stot,
+                       list_sort(list(struct_pack(
+                           g := lvl, nj := nj, sj := sj, qj := qj
+                       ))) AS lv
+                FROM per
+            ),
+            folds AS (
+                SELECT n, k,
+                       list_reduce(
+                           list_prepend(0.0,
+                               [CAST(s.nj AS DOUBLE)
+                                * (s.sj / CAST(s.nj AS DOUBLE)
+                                   - stot / CAST(n AS DOUBLE))
+                                * (s.sj / CAST(s.nj AS DOUBLE)
+                                   - stot / CAST(n AS DOUBLE))
+                                FOR s IN lv]),
+                           (acc, t) -> acc + t) AS ssb,
+                       list_reduce(
+                           list_prepend(0.0,
+                               [s.qj - s.sj * s.sj
+                                       / CAST(s.nj AS DOUBLE)
+                                FOR s IN lv]),
+                           (acc, t) -> acc + t) AS ssw
+                FROM tot
+            )
+            SELECT k, n,
+                   CASE WHEN k >= 2 AND n > k AND ssw > 0
+                        THEN (ssb / (CAST(k AS DOUBLE) - 1.0))
+                             / (ssw / (CAST(n AS DOUBLE)
+                                       - CAST(k AS DOUBLE)))
+                   END AS f
+            FROM folds
+        """,
+        "cramers_v": """
+            -- ordered-fold chi2 (the L140 discipline) + plain and
+            -- Bergsma-Wicher bias-corrected V as fixed IEEE trees
+            WITH flt AS (
+                SELECT o_orderpriority AS x, o_orderstatus AS y
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL
+                  AND o_orderstatus IS NOT NULL
+            ),
+            cells AS (SELECT x, y, count(*) AS o FROM flt GROUP BY 1, 2),
+            r AS (SELECT x, sum(o) AS rt FROM cells GROUP BY 1),
+            c AS (SELECT y, sum(o) AS ct FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                           CAST(count(DISTINCT x) AS BIGINT) AS nr,
+                           CAST(count(DISTINCT y) AS BIGINT) AS nc
+                    FROM cells),
+            terms AS (
+                SELECT t.n, t.nr, t.nc, cells.x, cells.y,
+                       (CAST(cells.o AS DOUBLE)
+                          - CAST(r.rt * c.ct AS DOUBLE)
+                              / CAST(t.n AS DOUBLE))
+                       * (CAST(cells.o AS DOUBLE)
+                          - CAST(r.rt * c.ct AS DOUBLE)
+                              / CAST(t.n AS DOUBLE))
+                       / (CAST(r.rt * c.ct AS DOUBLE)
+                              / CAST(t.n AS DOUBLE)) AS term
+                FROM cells JOIN r USING (x) JOIN c USING (y)
+                CROSS JOIN tot t
+            ),
+            folded AS (
+                SELECT n, nr, nc,
+                       list_reduce(
+                           list_prepend(0.0,
+                               [s.term FOR s IN list_sort(list(
+                                   struct_pack(x := x, y := y,
+                                               term := term)))]),
+                           (acc, v2) -> acc + v2) AS chi2
+                FROM terms GROUP BY n, nr, nc
+            )
+            SELECT n, nr AS r, nc AS c, chi2,
+                   CASE WHEN least(nr, nc) >= 2
+                        THEN sqrt(chi2 / (CAST(n AS DOUBLE)
+                             * (least(CAST(nr AS DOUBLE),
+                                      CAST(nc AS DOUBLE)) - 1.0)))
+                   END AS v,
+                   CASE WHEN n > 1
+                             AND (least(
+                                 CAST(nr AS DOUBLE)
+                                 - (CAST(nr AS DOUBLE) - 1)
+                                   * (CAST(nr AS DOUBLE) - 1)
+                                   / (CAST(n AS DOUBLE) - 1.0),
+                                 CAST(nc AS DOUBLE)
+                                 - (CAST(nc AS DOUBLE) - 1)
+                                   * (CAST(nc AS DOUBLE) - 1)
+                                   / (CAST(n AS DOUBLE) - 1.0))
+                                 - 1.0) > 0
+                        THEN sqrt(
+                             greatest(0.0,
+                                 chi2 / CAST(n AS DOUBLE)
+                                 - (CAST(nr AS DOUBLE) - 1)
+                                   * (CAST(nc AS DOUBLE) - 1)
+                                   / (CAST(n AS DOUBLE) - 1.0))
+                             / (least(
+                                 CAST(nr AS DOUBLE)
+                                 - (CAST(nr AS DOUBLE) - 1)
+                                   * (CAST(nr AS DOUBLE) - 1)
+                                   / (CAST(n AS DOUBLE) - 1.0),
+                                 CAST(nc AS DOUBLE)
+                                 - (CAST(nc AS DOUBLE) - 1)
+                                   * (CAST(nc AS DOUBLE) - 1)
+                                   / (CAST(n AS DOUBLE) - 1.0))
+                                 - 1.0))
+                   END AS v_corrected
+            FROM folded
         """,
         "readability": """
             -- the same regex counting conventions: letter-bearing

@@ -152,14 +152,193 @@ def chi2_independence(
             ).alias("term"),
         )
     )
+    return _chi2_fold(terms).select(
+        "chi2",
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        F.col("n"),
+    )
+
+
+def _chi2_fold(terms: DataFrame) -> DataFrame:
+    """Collapse a per-cell ``(n, r, c, x, y, term)`` frame into one
+    row ``(n, r, c, chi2)`` via the sorted-cell ordered fold."""
     return terms.groupBy("n", "r", "c").agg(
         F.aggregate(
             F.sort_array(F.collect_list(F.struct("x", "y", "term"))),
             F.lit(0.0),
             lambda acc, v: acc + v["term"],
         ).alias("chi2")
-    ).select(
-        "chi2",
-        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
-        F.col("n"),
     )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """One row ``(n, r, c, chi2, v, v_corrected)`` — Cramér's V, the
+    [0,1]-normalized effect size of the L140 χ² association (how
+    strongly two categoricals co-vary, comparable across tables of
+    different shape — the categorical companion to Cohen's d, L186):
+
+        V = sqrt(χ² / (n·(min(r,c) − 1)))
+
+    plus the Bergsma-Wicher bias-corrected form: φ²₊ = max(0,
+    χ²/n − (r−1)(c−1)/(n−1)), r̃ = r − (r−1)²/(n−1) (likewise c̃),
+    Ṽ = sqrt(φ²₊ / min(r̃−1, c̃−1)).  Both are fixed IEEE trees over
+    the ordered-fold χ² and exact integer margins — bit-identical,
+    ungridded.  min(r,c) < 2 (a 1×c table) yields NULL v; n ≤ 1 or a
+    non-positive corrected denominator yields NULL v_corrected.
+
+    Scale shape: identical to L140 — one combinable cell groupBy,
+    broadcast margins, a bounded-cardinality fold."""
+    flt = df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+    cells = flt.groupBy(
+        F.col(col_x).alias("x"), F.col(col_y).alias("y")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("x").agg(F.sum("o").alias("rt"))
+    cols = cells.groupBy("y").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct(F.col("x")).alias("r"),
+        F.count_distinct(F.col("y")).alias("c"),
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    terms = (
+        cells.join(F.broadcast(rows), "x")
+        .join(F.broadcast(cols), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "r",
+            "c",
+            "x",
+            "y",
+            (
+                (F.col("o").cast("double") - e)
+                * (F.col("o").cast("double") - e)
+                / e
+            ).alias("term"),
+        )
+    )
+    out = _chi2_fold(terms)
+    nd = F.col("n").cast("double")
+    rd = F.col("r").cast("double")
+    cd = F.col("c").cast("double")
+    mind = F.least(rd, cd) - F.lit(1.0)
+    v = F.sqrt(F.col("chi2") / (nd * mind))
+    phi2p = F.greatest(
+        F.lit(0.0),
+        F.col("chi2") / nd
+        - (rd - 1) * (cd - 1) / (nd - F.lit(1.0)),
+    )
+    rt_ = rd - (rd - 1) * (rd - 1) / (nd - F.lit(1.0))
+    ct_ = cd - (cd - 1) * (cd - 1) / (nd - F.lit(1.0))
+    mcorr = F.least(rt_, ct_) - F.lit(1.0)
+    vc = F.sqrt(phi2p / mcorr)
+    return out.select(
+        "n",
+        "r",
+        "c",
+        "chi2",
+        F.when(F.least(F.col("r"), F.col("c")) >= 2, v).alias("v"),
+        F.when(
+            (F.col("n") > 1) & (mcorr > 0), vc
+        ).alias("v_corrected"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """``(by..., k, n, f)`` — the Brown-Forsythe test of equal
+    variances across the k levels of ``group_col`` (the robust Levene
+    variant: one-way ANOVA on absolute deviations from each level's
+    median).  The companion diagnostic to Welch's t (L139): Welch
+    compares means without assuming equal variances; Brown-Forsythe
+    tests that variance assumption itself.
+
+    Per level j: med_j = the DISCRETE median (``percentile_disc`` —
+    the L137 convention: an actual data value, engine-exact), then
+    z = |value − med_j| and the exact sufficient statistics
+    (n_j, Σz, Σz²) in DECIMAL.  With k bounded (treatment levels),
+    the F statistic is the repo's ordered-fold discipline — grand
+    mean from exact sums, then
+
+        SSB = Σ_j n_j·(z̄_j − z̄)²   (sorted-level left fold)
+        SSW = Σ_j (Σz²_j − (Σz_j)²/n_j)
+        F   = (SSB/(k−1)) / (SSW/(N−k))
+
+    — each per-level term a fixed IEEE tree over exact decimals, the
+    level sums ordered folds (bounded length), so F is bit-identical
+    across engines and parallelism, NO grid.  k < 2, N ≤ k, or
+    SSW ≤ 0 (all levels constant) yields NULL f.
+
+    Scale shape: one order-statistic agg + one co-partitioned join
+    back (the L137 shape) + one combinable stats agg; the fold runs
+    over a k-length array per analysis group.  100 TB scans twice
+    (median pass + deviation pass), both full-parallel.
+    """
+    keys = [*by, group_col]
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    med = vals.groupBy(*keys).agg(
+        F.expr(
+            f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias("_med")
+    )
+    dec = "decimal(18,4)"
+    z = F.abs(
+        F.col(value_col).cast(dec) - F.col("_med").cast(dec)
+    )
+    per = (
+        vals.join(med, keys)
+        .select(*keys, z.alias("_z"))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_z").alias("_s"),
+            F.sum(F.col("_z") * F.col("_z")).alias("_q"),
+        )
+    )
+    arr = per.groupBy(*by).agg(
+        F.sum("_n").alias("n"),
+        F.sum("_s").alias("_stot"),
+        F.count(F.lit(1)).alias("k"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(group_col).alias("g"),
+                    F.col("_n").alias("nj"),
+                    F.col("_s").cast("double").alias("sj"),
+                    F.col("_q").cast("double").alias("qj"),
+                )
+            )
+        ).alias("_lv"),
+    )
+    grand = F.col("_stot").cast("double") / F.col("n").cast("double")
+    ssb = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, v: acc
+        + v["nj"].cast("double")
+        * (v["sj"] / v["nj"].cast("double") - grand)
+        * (v["sj"] / v["nj"].cast("double") - grand),
+    )
+    ssw = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, v: acc
+        + (v["qj"] - v["sj"] * v["sj"] / v["nj"].cast("double")),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    fstat = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    ok = (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0)
+    return arr.select(*by, "k", "n", F.when(ok, fstat).alias("f"))

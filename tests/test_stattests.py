@@ -118,3 +118,115 @@ class TestChi2:
         a = chi2_independence(df, "u", "v").collect()[0]
         b = chi2_independence(df.repartition(17), "u", "v").collect()[0]
         assert a["chi2"] == b["chi2"]  # ordered fold pins the sum
+
+
+class TestBrownForsythe:
+    def _df(self, spark, groups):
+        rows = [
+            ("g", lvl, float(v)) for lvl, vals in groups.items() for v in vals
+        ]
+        return spark.createDataFrame(rows, "g string, lvl string, v double")
+
+    @staticmethod
+    def _ref(groups):
+        # python reference with the DISCRETE (lower-middle) median
+        def med(vs):
+            s = sorted(vs)
+            return s[(len(s) - 1) // 2]
+
+        zs = {g: [abs(v - med(vs)) for v in vs] for g, vs in groups.items()}
+        n = sum(len(z) for z in zs.values())
+        k = len(zs)
+        grand = sum(sum(z) for z in zs.values()) / n
+        ssb = sum(
+            len(z) * (sum(z) / len(z) - grand) ** 2 for z in zs.values()
+        )
+        ssw = sum(
+            sum(x * x for x in z) - sum(z) ** 2 / len(z)
+            for z in zs.values()
+        )
+        return (ssb / (k - 1)) / (ssw / (n - k))
+
+    def test_python_reference(self, spark):
+        from lmss_entity_extractor_spark.ops.stattests import brown_forsythe
+
+        groups = {
+            "a": [1.0, 2.0, 3.0, 4.0, 100.0],
+            "b": [10.0, 10.5, 11.0, 10.25, 10.75],
+            "c": [5.0, 6.0, 5.5, 4.5, 6.5],
+        }
+        r = brown_forsythe(
+            self._df(spark, groups), ["g"], "lvl", "v"
+        ).collect()[0]
+        assert r["k"] == 3 and r["n"] == 15
+        assert abs(r["f"] - self._ref(groups)) < 1e-9
+
+    def test_constant_groups_null(self, spark):
+        from lmss_entity_extractor_spark.ops.stattests import brown_forsythe
+
+        groups = {"a": [1.0, 1.0, 1.0], "b": [2.0, 2.0, 2.0]}
+        r = brown_forsythe(
+            self._df(spark, groups), ["g"], "lvl", "v"
+        ).collect()[0]
+        assert r["f"] is None
+
+    def test_single_group_null(self, spark):
+        from lmss_entity_extractor_spark.ops.stattests import brown_forsythe
+
+        groups = {"a": [1.0, 2.0, 3.0]}
+        r = brown_forsythe(
+            self._df(spark, groups), ["g"], "lvl", "v"
+        ).collect()[0]
+        assert r["k"] == 1 and r["f"] is None
+
+
+class TestCramersV:
+    def test_python_reference(self, spark):
+        from lmss_entity_extractor_spark.ops.stattests import cramers_v
+
+        # 3x2 contingency table with clear association
+        table = {("a", "x"): 30, ("a", "y"): 5, ("b", "x"): 10,
+                 ("b", "y"): 25, ("c", "x"): 7, ("c", "y"): 8}
+        rows = [(x, y) for (x, y), c in table.items() for _ in range(c)]
+        df = spark.createDataFrame(rows, "cx string, cy string")
+        n = sum(table.values())
+        rt = {x: sum(c for (a, _), c in table.items() if a == x)
+              for x in "abc"}
+        ct = {y: sum(c for (_, b), c in table.items() if b == y)
+              for y in "xy"}
+        chi2 = sum(
+            (o - rt[x] * ct[y] / n) ** 2 / (rt[x] * ct[y] / n)
+            for (x, y), o in table.items()
+        )
+        r_, c_ = 3, 2
+        v_ref = (chi2 / (n * (min(r_, c_) - 1))) ** 0.5
+        phi2p = max(0.0, chi2 / n - (r_ - 1) * (c_ - 1) / (n - 1))
+        rt_ = r_ - (r_ - 1) ** 2 / (n - 1)
+        ct_ = c_ - (c_ - 1) ** 2 / (n - 1)
+        vc_ref = (phi2p / (min(rt_, ct_) - 1)) ** 0.5
+        row = cramers_v(df, "cx", "cy").collect()[0]
+        assert row["n"] == n and row["r"] == 3 and row["c"] == 2
+        assert abs(row["chi2"] - chi2) < 1e-9
+        assert abs(row["v"] - v_ref) < 1e-12
+        assert abs(row["v_corrected"] - vc_ref) < 1e-12
+
+    def test_independent_near_zero(self, spark):
+        from lmss_entity_extractor_spark.ops.stattests import cramers_v
+
+        # perfectly proportional table -> chi2 = 0, v = 0, corrected 0
+        rows = (
+            [("a", "x")] * 20 + [("a", "y")] * 10
+            + [("b", "x")] * 40 + [("b", "y")] * 20
+        )
+        df = spark.createDataFrame(rows, "cx string, cy string")
+        row = cramers_v(df, "cx", "cy").collect()[0]
+        assert abs(row["v"]) < 1e-12
+        assert abs(row["v_corrected"]) < 1e-12
+
+    def test_degenerate_single_column(self, spark):
+        from lmss_entity_extractor_spark.ops.stattests import cramers_v
+
+        rows = [("a", "x")] * 5 + [("b", "x")] * 5
+        df = spark.createDataFrame(rows, "cx string, cy string")
+        row = cramers_v(df, "cx", "cy").collect()[0]
+        assert row["v"] is None
