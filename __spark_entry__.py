@@ -4385,6 +4385,22 @@ def q_fleiss(spark, sf_dir):
     return fleiss_kappa(li, ["grp"], "s", "c", m=4)
 
 
+def q_cochran(spark, sf_dir):
+    """Cochran's Q (L195): did the k line positions of an order get
+    deep discounts at different rates — complete blocks (orders
+    carrying every line number in the group), /k-cleared exact
+    integer form, one division."""
+    from lmss_entity_extractor_spark.ops.evalmetrics import cochran_q
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 3).alias("grp"),
+        F.col("l_orderkey").alias("b"),
+        F.col("l_linenumber").alias("t"),
+        (F.col("l_discount") > 0.05).cast("int").alias("y"),
+    )
+    return cochran_q(li, ["grp"], "b", "t", "y")
+
+
 def q_brown_forsythe(spark, sf_dir):
     """Brown-Forsythe (L193): do event types have equal value
     variance — discrete per-level medians, exact decimal deviation
@@ -5913,6 +5929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "friedman": q_friedman,
         "mcnemar": q_mcnemar,
         "fleiss_kappa": q_fleiss,
+        "cochran_q": q_cochran,
         "brown_forsythe": q_brown_forsythe,
         "cramers_v": q_cramers_v,
         "part_salience": q_part_salience,
@@ -9785,6 +9802,61 @@ def oracle_sql() -> dict[str, str]:
                                          - cc) AS DOUBLE)
                    END AS kappa
             FROM ag WHERE n_subjects > 0
+        """,
+        "cochran_q": """
+            -- complete-block Cochran's Q: duplicate cells collapse
+            -- with max, incomplete blocks drop, /k-cleared exact
+            -- integer numerator/denominator, one division
+            WITH cell AS (
+                SELECT CAST(l_orderkey % 3 AS BIGINT) AS grp,
+                       l_orderkey AS b, l_linenumber AS t,
+                       max(CASE WHEN l_discount > 0.05 THEN 1
+                           ELSE 0 END) AS y
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+                  AND l_linenumber IS NOT NULL
+                  AND l_discount IS NOT NULL
+                GROUP BY 1, 2, 3
+            ),
+            kdf AS (
+                SELECT grp, CAST(count(DISTINCT t) AS BIGINT) AS k
+                FROM cell GROUP BY 1
+            ),
+            perb AS (
+                SELECT grp, b, CAST(count(*) AS BIGINT) AS bc,
+                       CAST(sum(y) AS BIGINT) AS r
+                FROM cell GROUP BY 1, 2
+            ),
+            keep AS (
+                SELECT c.grp, c.b, c.t, c.y, kdf.k, perb.r
+                FROM cell c
+                JOIN perb USING (grp, b) JOIN kdf USING (grp)
+                WHERE perb.bc = kdf.k AND kdf.k >= 2
+            ),
+            pert AS (
+                SELECT grp, k, t, CAST(sum(y) AS BIGINT) AS c,
+                       CAST(count(*) AS BIGINT) AS nb
+                FROM keep GROUP BY 1, 2, 3
+            ),
+            aggt AS (
+                SELECT grp, k, max(nb) AS n_blocks,
+                       CAST(sum(c * c) AS BIGINT) AS sumc2,
+                       CAST(sum(c) AS BIGINT) AS n
+                FROM pert GROUP BY 1, 2
+            ),
+            aggb AS (
+                SELECT grp, CAST(sum(r * r) AS BIGINT) AS sumr2
+                FROM (SELECT grp, b, max(r) AS r FROM keep
+                      GROUP BY 1, 2)
+                GROUP BY 1
+            )
+            SELECT grp, k, n_blocks,
+                   CASE WHEN k * n - sumr2 <> 0
+                        THEN CAST((k - 1) * (k * sumc2 - n * n)
+                                  AS DOUBLE)
+                             / CAST(k * n - sumr2 AS DOUBLE)
+                   END AS q
+            FROM aggt JOIN aggb USING (grp)
         """,
         "brown_forsythe": """
             -- ANOVA on |v - discrete median| per level: exact decimal

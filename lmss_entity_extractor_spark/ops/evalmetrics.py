@@ -290,3 +290,93 @@ def fleiss_kappa(
             num.cast("double") / den.cast("double"),
         ).alias("kappa"),
     )
+
+
+def cochran_q(
+    df: DataFrame,
+    by: list[str],
+    block_col: str,
+    treat_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """``(by..., k, n_blocks, q)`` — Cochran's Q: did k binary
+    treatments succeed at different rates on the SAME blocks (the
+    k-variant generalization of McNemar, L191 — at k = 2 it equals
+    McNemar's uncorrected χ² exactly, pinned by test).
+
+    Rows are (block, treatment, outcome∈{0,1}); duplicate cells
+    collapse with ``max`` (a success counts once); k = distinct
+    treatments per group; incomplete blocks drop (loud via
+    ``n_blocks``).  With C_j = per-treatment successes, R_i =
+    per-block successes, N = ΣC_j:
+
+        Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)
+
+    — the /k cleared from the classical Σ(C_j − N/k)² form, so both
+    sides are exact DECIMAL(38,0) integers (N ≤ 10¹³ at 10¹² blocks
+    → N² ≤ 10²⁶) and Q is ONE IEEE division: bit-identical,
+    ungridded.  Denominator 0 (every block all-0 or all-1) yields
+    NULL q.
+
+    Scale shape: one combinable cell groupBy; (keys, block) and
+    (keys, treatment) aggs both co-partitioned on their prefix; one
+    final combinable agg.  100 TB scans once.
+    """
+    dec = "decimal(38,0)"
+    cell = (
+        df.filter(
+            F.col(block_col).isNotNull()
+            & F.col(treat_col).isNotNull()
+            & F.col(outcome_col).isNotNull()
+        )
+        .groupBy(
+            *by,
+            F.col(block_col).alias("_b"),
+            F.col(treat_col).alias("_t"),
+        )
+        .agg(F.max(F.col(outcome_col).cast("int")).alias("_y"))
+    )
+    kdf = cell.groupBy(*by).agg(F.countDistinct("_t").alias("k"))
+    per_b = cell.groupBy(*by, "_b").agg(
+        F.count(F.lit(1)).alias("_bc"), F.sum("_y").alias("_r")
+    )
+    joined = cell.join(per_b, [*by, "_b"])
+    full = (
+        joined.join(F.broadcast(kdf), list(by))
+        if by
+        else joined.crossJoin(F.broadcast(kdf))
+    )
+    full = full.filter((F.col("_bc") == F.col("k")) & (F.col("k") >= 2))
+    per_t = full.groupBy(*by, "k", "_t").agg(
+        F.sum("_y").alias("_c"), F.count(F.lit(1)).alias("_nb")
+    )
+    cd = F.col("_c").cast(dec)
+    aggt = per_t.groupBy(*by, "k").agg(
+        F.max("_nb").alias("n_blocks"),
+        F.sum(cd * cd).alias("_sumc2"),
+        F.sum("_c").alias("_n"),
+    )
+    # per-block success sums over the SAME kept blocks
+    kept_b = full.groupBy(*by, "_b").agg(
+        F.max("_r").alias("_rk")
+    )
+    rd = F.col("_rk").cast(dec)
+    aggb = kept_b.groupBy(*by).agg(F.sum(rd * rd).alias("_sumr2"))
+    out = (
+        aggt.join(aggb, list(by))
+        if by
+        else aggt.crossJoin(aggb)
+    )
+    kd = F.col("k").cast(dec)
+    nd = F.col("_n").cast(dec)
+    num = (kd - 1) * (kd * F.col("_sumc2") - nd * nd)
+    den = kd * nd - F.col("_sumr2")
+    return out.select(
+        *by,
+        "k",
+        "n_blocks",
+        F.when(
+            den != F.lit(0).cast(dec),
+            num.cast("double") / den.cast("double"),
+        ).alias("q"),
+    )

@@ -220,3 +220,74 @@ class TestFleissKappa:
         df = spark.createDataFrame(rows, "g string, s string, c string")
         r = fleiss_kappa(df, ["g"], "s", "c", m=2).collect()[0]
         assert r["kappa"] is None
+
+
+class TestCochranQ:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            [("g", b, t, int(y)) for b, t, y in rows],
+            "g string, b string, t string, y int",
+        )
+
+    def test_python_reference(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import cochran_q
+
+        # 3 treatments x 8 blocks, deterministic 0/1 pattern
+        k, n = 3, 8
+        out = {
+            (b, t): 1 if ((3 * b + 7 * t + b * t) % 5) < 2 else 0
+            for b in range(n)
+            for t in range(k)
+        }
+        rows = [(f"b{b}", f"t{t}", out[(b, t)]) for b, t in out]
+        cj = [sum(out[(b, t)] for b in range(n)) for t in range(k)]
+        ri = [sum(out[(b, t)] for t in range(k)) for b in range(n)]
+        ntot = sum(cj)
+        q_ref = (
+            (k - 1)
+            * (k * sum(c * c for c in cj) - ntot * ntot)
+            / (k * ntot - sum(r * r for r in ri))
+        )
+        r = cochran_q(self._df(spark, rows), ["g"], "b", "t", "y").collect()[0]
+        assert r["k"] == k and r["n_blocks"] == n
+        assert abs(r["q"] - q_ref) < 1e-12
+
+    def test_k2_equals_mcnemar(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import (
+            cochran_q,
+            mcnemar,
+        )
+
+        # paired binary data as 2 treatments over blocks
+        pairs = [(1, 0)] * 5 + [(0, 1)] * 2 + [(1, 1)] * 4 + [(0, 0)] * 3
+        rows = []
+        pair_rows = []
+        for i, (x, y) in enumerate(pairs):
+            rows += [(f"b{i}", "x", x), (f"b{i}", "y", y)]
+            pair_rows.append(("g", x, y))
+        q = cochran_q(self._df(spark, rows), ["g"], "b", "t", "y").collect()[0]
+        mdf = spark.createDataFrame(pair_rows, "g string, x int, y int")
+        m = mcnemar(mdf, ["g"], "x", "y").collect()[0]
+        assert abs(q["q"] - m["chi2"]) < 1e-12
+
+    def test_incomplete_blocks_drop(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import cochran_q
+
+        rows = [
+            ("b0", "a", 1), ("b0", "b", 0),
+            ("b1", "a", 1), ("b1", "b", 1),
+            ("b2", "a", 0),  # incomplete
+        ]
+        r = cochran_q(self._df(spark, rows), ["g"], "b", "t", "y").collect()[0]
+        assert r["n_blocks"] == 2
+
+    def test_degenerate_null(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import cochran_q
+
+        # every block all-1 or all-0: denominator kN - sum R^2 = 0
+        rows = [
+            ("b0", "a", 1), ("b0", "b", 1),
+            ("b1", "a", 0), ("b1", "b", 0),
+        ]
+        r = cochran_q(self._df(spark, rows), ["g"], "b", "t", "y").collect()[0]
+        assert r["q"] is None
