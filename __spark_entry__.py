@@ -3959,6 +3959,15 @@ def q_calibration(spark, sf_dir):
     return calibration_bins(_calibration_input(spark, sf_dir), "p", "y")
 
 
+def q_isotonic(spark, sf_dir):
+    """Isotonic calibration (L196): pool-adjacent-violators via the
+    parallel minimax identity over 10 probability bins — exact prefix
+    integers, one division per interval mean, deterministic min/max."""
+    from lmss_entity_extractor_spark.ops.calibration import isotonic_fit
+
+    return isotonic_fit(_calibration_input(spark, sf_dir), "p", "y", n_bins=10)
+
+
 def q_adamic_adar(spark, sf_dir):
     """Adamic-Adar + resource allocation (L167): degree-weighted
     common-neighbor scores over the order—part bipartite slice — per-
@@ -5902,6 +5911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classification_report": q_classification_report,
         "brier": q_brier,
         "calibration": q_calibration,
+        "isotonic": q_isotonic,
         "adamic_adar": q_adamic_adar,
         "rich_club": q_rich_club,
         "k_anonymity": q_k_anonymity,
@@ -9402,6 +9412,51 @@ def oracle_sql() -> dict[str, str]:
                             * (p - CAST(y AS DECIMAL(12,4)))) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS brier
             FROM base
+        """,
+        "isotonic": """
+            -- PAV via the minimax identity over 10 occupied bins:
+            -- exact prefix integers, one division per interval mean,
+            -- min/max of identical doubles
+            WITH base AS (
+                SELECT CAST(CAST(o_orderkey % 100 AS DECIMAL(9,2))
+                            * CAST('0.01' AS DECIMAL(9,2))
+                            AS DECIMAL(12,4)) AS p,
+                       CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS y
+                FROM orders
+            ),
+            agg AS (
+                SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin,
+                       CAST(count(*) AS BIGINT) AS n,
+                       sum(p) AS sp,
+                       CAST(sum(y) AS BIGINT) AS sy
+                FROM base GROUP BY 1
+            ),
+            pre AS (
+                SELECT bin, n, sp, sy,
+                       CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cw,
+                       CAST(sum(sy) OVER (ORDER BY bin) AS BIGINT) AS cs
+                FROM agg
+            ),
+            pairs AS (
+                SELECT l.bin AS j, h.bin AS k,
+                       CAST(h.cs - (l.cs - l.sy) AS DOUBLE)
+                       / CAST(h.cw - (l.cw - l.n) AS DOUBLE) AS m
+                FROM pre l, pre h WHERE l.bin <= h.bin
+            ),
+            inner_ AS (
+                SELECT i.bin AS bin, p2.j, min(p2.m) AS im
+                FROM pre i JOIN pairs p2
+                  ON p2.j <= i.bin AND p2.k >= i.bin
+                GROUP BY 1, 2
+            ),
+            iso AS (SELECT bin, max(im) AS iso FROM inner_ GROUP BY 1)
+            SELECT pre.bin, pre.n,
+                   CAST(pre.sp AS DOUBLE) / CAST(pre.n AS DOUBLE)
+                       AS mean_pred,
+                   CAST(pre.sy AS DOUBLE) / CAST(pre.n AS DOUBLE)
+                       AS frac_pos,
+                   iso.iso
+            FROM pre JOIN iso USING (bin)
         """,
         "calibration": """
             WITH base AS (

@@ -83,3 +83,80 @@ class TestAdamicAdar:
         rows = {frozenset((r["a"], r["b"])): r for r in
                 adamic_adar(_edges(spark, pairs)).collect()}
         assert rows[frozenset(("a", "b"))]["aa"] > rows[frozenset(("c", "d"))]["aa"]
+
+
+class TestIsotonicFit:
+    @staticmethod
+    def _pav(ws, ys):
+        """Classic pool-adjacent-violators stack: ws = weights,
+        ys = success counts per bin (ordered)."""
+        stack = []  # (w, s)
+        for w, s in zip(ws, ys):
+            stack.append((w, s))
+            while (
+                len(stack) > 1
+                and stack[-2][1] * stack[-1][0] >= stack[-1][1] * stack[-2][0]
+            ):
+                w2, s2 = stack.pop()
+                w1, s1 = stack.pop()
+                stack.append((w1 + w2, s1 + s2))
+        # expand back to per-bin values
+        vals = []
+        for w, s in stack:
+            vals.append((w, s / w))
+        expanded = []
+        i = 0
+        for w, v in vals:
+            cnt = 0
+            acc = 0
+            while acc < w:
+                acc += ws[i + cnt]
+                cnt += 1
+            expanded += [v] * cnt
+            i += cnt
+        return expanded
+
+    def _make(self, spark, rates, per_bin=20, n_bins=10):
+        # rates[i] = success rate of bin i; p placed mid-bin, exactly
+        # representable at scale 4
+        rows = []
+        for i, r in enumerate(rates):
+            p = (i * 10 + 5) / 100.0  # 0.05, 0.15, ...
+            k = int(r * per_bin)
+            rows += [(p, 1)] * k + [(p, 0)] * (per_bin - k)
+        return spark.createDataFrame(rows, "p double, y int")
+
+    def test_matches_pav_stack(self, spark):
+        from lmss_entity_extractor_spark.ops.calibration import isotonic_fit
+
+        rates = [0.1, 0.3, 0.2, 0.5, 0.4, 0.4, 0.8, 0.6, 0.9, 0.95]
+        df = self._make(spark, rates)
+        got = {
+            r["bin"]: r["iso"]
+            for r in isotonic_fit(df, "p", "y", n_bins=10).collect()
+        }
+        ws = [20] * 10
+        ys = [int(r * 20) for r in rates]
+        ref = self._pav(ws, ys)
+        for i in range(10):
+            assert abs(got[i] - ref[i]) < 1e-12, (i, got[i], ref[i])
+
+    def test_monotone_output(self, spark):
+        from lmss_entity_extractor_spark.ops.calibration import isotonic_fit
+
+        rates = [0.9, 0.1, 0.8, 0.2, 0.7, 0.3, 0.6, 0.4, 0.5, 0.5]
+        df = self._make(spark, rates)
+        rows = sorted(
+            isotonic_fit(df, "p", "y", n_bins=10).collect(),
+            key=lambda r: r["bin"],
+        )
+        isos = [r["iso"] for r in rows]
+        assert all(a <= b + 1e-12 for a, b in zip(isos, isos[1:]))
+
+    def test_already_monotone_identity(self, spark):
+        from lmss_entity_extractor_spark.ops.calibration import isotonic_fit
+
+        rates = [0.05, 0.2, 0.35, 0.5, 0.65, 0.8, 0.9, 0.95, 1.0, 1.0]
+        df = self._make(spark, rates)
+        for r in isotonic_fit(df, "p", "y", n_bins=10).collect():
+            assert abs(r["iso"] - r["frac_pos"]) < 1e-12
