@@ -3959,6 +3959,23 @@ def q_calibration(spark, sf_dir):
     return calibration_bins(_calibration_input(spark, sf_dir), "p", "y")
 
 
+def q_jaro_join(spark, sf_dir):
+    """Blocked Jaro-Winkler self-join (L197): distinct part names
+    scoring >= 0.9 within a 2-char lowercase prefix block — the
+    record-linkage scorer; the Arrow-batched kernel is pinned BIT FOR
+    BIT against DuckDB's jaro_winkler_similarity by a fuzz test, so
+    the threshold filter cannot knife-edge across engines."""
+    from lmss_entity_extractor_spark.ops.fuzzyjoin import jaro_winkler_join
+
+    return jaro_winkler_join(
+        _t(spark, sf_dir, "part").select("p_name"),
+        None,
+        "p_name",
+        min_sim=0.9,
+        block_prefix=2,
+    )
+
+
 def q_isotonic(spark, sf_dir):
     """Isotonic calibration (L196): pool-adjacent-violators via the
     parallel minimax identity over 10 probability bins — exact prefix
@@ -5912,6 +5929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier": q_brier,
         "calibration": q_calibration,
         "isotonic": q_isotonic,
+        "jaro_join": q_jaro_join,
         "adamic_adar": q_adamic_adar,
         "rich_club": q_rich_club,
         "k_anonymity": q_k_anonymity,
@@ -12952,5 +12970,14 @@ def oracle_sql() -> dict[str, str]:
         WHERE x.a < y.a
           AND abs(length(x.a) - length(y.a)) <= 3
           AND levenshtein(x.a, y.a) <= 3
+    """
+    oracles["jaro_join"] = """
+        WITH v AS (SELECT DISTINCT p_name AS a FROM part)
+        SELECT x.a AS a, y.a AS b,
+               jaro_winkler_similarity(x.a, y.a) AS sim
+        FROM v x JOIN v y
+          ON lower(substr(x.a, 1, 2)) = lower(substr(y.a, 1, 2))
+        WHERE x.a < y.a
+          AND jaro_winkler_similarity(x.a, y.a) >= 0.9
     """
     return oracles

@@ -65,3 +65,88 @@ def test_validation(spark):
         edit_distance_join(_df(spark, ["a"]), None, "v", max_dist=-1)
     with pytest.raises(ValueError):
         edit_distance_join(_df(spark, ["a"]), None, "v", block_prefix=0)
+
+
+class TestJaroWinklerKernel:
+    def test_textbook_values(self):
+        from lmss_entity_extractor_spark.ops.fuzzyjoin import jaro_winkler
+
+        assert abs(jaro_winkler("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-15
+        assert abs(jaro_winkler("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-15
+        assert abs(jaro_winkler("DWAYNE", "DUANE") - 0.8400000000000001) < 1e-15
+        assert jaro_winkler("abc", "abc") == 1.0
+        assert jaro_winkler("", "") == 0.0  # DuckDB convention
+        assert jaro_winkler("abc", "") == 0.0
+        assert jaro_winkler("ab", "ba") == 0.0  # window 0, no matches
+
+    def test_boost_threshold(self):
+        from lmss_entity_extractor_spark.ops.fuzzyjoin import jaro_winkler
+
+        # jaro = 2/3 <= 0.7 with a 3-char common prefix: no boost
+        assert abs(jaro_winkler("aaabbb", "aaaxxx") - 2.0 / 3.0) < 1e-15
+
+    def test_duckdb_bit_parity_fuzz(self):
+        """The engine-parity pin: the kernel must equal DuckDB's
+        jaro_winkler_similarity BIT FOR BIT (the oracle for the
+        jaro_join contract query runs on DuckDB)."""
+        import random
+
+        import duckdb
+
+        from lmss_entity_extractor_spark.ops.fuzzyjoin import jaro_winkler
+
+        con = duckdb.connect()
+        rng = random.Random(20260819)
+        for _ in range(1500):
+            a = "".join(
+                rng.choice("abcdef") for _ in range(rng.randint(0, 13))
+            )
+            b = "".join(
+                rng.choice("abcdef") for _ in range(rng.randint(0, 13))
+            )
+            d = con.execute(
+                "select jaro_winkler_similarity(?, ?)", [a, b]
+            ).fetchone()[0]
+            assert jaro_winkler(a, b) == d, (a, b)
+
+
+class TestJaroWinklerJoin:
+    def test_self_join_blocked(self, spark):
+        from lmss_entity_extractor_spark.ops.fuzzyjoin import (
+            jaro_winkler,
+            jaro_winkler_join,
+        )
+
+        names = [
+            "shackleford", "shackelford", "cunningham", "cunnigham",
+            "johnson", "jonson", "zebra",
+        ]
+        df = spark.createDataFrame([(n,) for n in names], "name string")
+        got = {
+            (r["a"], r["b"]): r["sim"]
+            for r in jaro_winkler_join(
+                df, None, "name", min_sim=0.9, block_prefix=2
+            ).collect()
+        }
+        # expected: all same-2-prefix pairs with kernel sim >= 0.9
+        exp = {}
+        for i, x in enumerate(names):
+            for y in names[i + 1:]:
+                a, b = min(x, y), max(x, y)
+                if a[:2] == b[:2]:
+                    s = jaro_winkler(a, b)
+                    if s >= 0.9:
+                        exp[(a, b)] = s
+        assert got == exp
+        assert ("shackelford", "shackleford") in got
+
+    def test_two_sided_join(self, spark):
+        from lmss_entity_extractor_spark.ops.fuzzyjoin import jaro_winkler_join
+
+        l = spark.createDataFrame([("martha",), ("dwayne",)], "x string")
+        r = spark.createDataFrame([("marhta",), ("duane",)], "y string")
+        rows = jaro_winkler_join(
+            l, r, "x", "y", min_sim=0.8, block_prefix=1
+        ).collect()
+        got = {(r2["a"], r2["b"]) for r2 in rows}
+        assert got == {("martha", "marhta"), ("dwayne", "duane")}
