@@ -3959,6 +3959,29 @@ def q_calibration(spark, sf_dir):
     return calibration_bins(_calibration_input(spark, sf_dir), "p", "y")
 
 
+def q_jonckheere(spark, sf_dir):
+    """Jonckheere-Terpstra (L198): does order value rise with
+    priority rank — doubled pair counts over the bounded
+    (priority × price-bucket) grid, tie-corrected variance from
+    exact integer polynomials, fixed IEEE z tree."""
+    from lmss_entity_extractor_spark.ops.rankeval import (
+        jonckheere_terpstra,
+    )
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderpriority").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .select(
+            F.col("o_orderpriority").alias("lvl"),
+            F.floor(F.col("o_totalprice") / 10000).alias("v"),
+        )
+    )
+    return jonckheere_terpstra(o, [], "lvl", "v")
+
+
 def q_jaro_join(spark, sf_dir):
     """Blocked Jaro-Winkler self-join (L197): distinct part names
     scoring >= 0.9 within a 2-char lowercase prefix block — the
@@ -5930,6 +5953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "isotonic": q_isotonic,
         "jaro_join": q_jaro_join,
+        "jonckheere": q_jonckheere,
         "adamic_adar": q_adamic_adar,
         "rich_club": q_rich_club,
         "k_anonymity": q_k_anonymity,
@@ -9804,6 +9828,97 @@ def oracle_sql() -> dict[str, str]:
                                     * (k+1) AS DOUBLE)
                    END AS q
             FROM st
+        """,
+        "jonckheere": """
+            -- JT over the (group x distinct-value) grid: two window
+            -- prefixes, exact HUGEINT polynomials, fixed IEEE z tree
+            WITH base AS (
+                SELECT o_orderpriority AS g,
+                       CAST(floor(o_totalprice / 10000) AS BIGINT) AS v
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL
+                  AND o_totalprice IS NOT NULL
+            ),
+            pts AS (
+                SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                FROM base GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT dg.g, dv.v, coalesce(p.c, 0) AS c
+                FROM (SELECT DISTINCT g FROM pts) dg
+                CROSS JOIN (SELECT DISTINCT v FROM pts) dv
+                LEFT JOIN pts p ON p.g = dg.g AND p.v = dv.v
+            ),
+            w1 AS (
+                SELECT g, v, c,
+                       coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS lt
+                FROM grid
+            ),
+            w2 AS (
+                SELECT g, v, c, lt,
+                       coalesce(sum(lt) OVER (PARTITION BY v ORDER BY g
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS slt,
+                       coalesce(sum(c) OVER (PARTITION BY v ORDER BY g
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS seq
+                FROM w1
+            ),
+            jt2 AS (
+                SELECT CAST(sum(CAST(c AS HUGEINT)
+                           * (2 * CAST(slt AS HUGEINT)
+                              + CAST(seq AS HUGEINT))) AS HUGEINT)
+                       AS jt2
+                FROM w2
+            ),
+            gi AS (SELECT g, CAST(sum(c) AS BIGINT) AS ni
+                   FROM pts GROUP BY 1),
+            gs AS (
+                SELECT CAST(sum(ni) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS k,
+                       CAST(sum(CAST(ni AS HUGEINT) * ni) AS HUGEINT)
+                           AS sn2,
+                       CAST(sum(CAST(ni AS HUGEINT) * (ni - 1)
+                                * (2 * ni + 5)) AS HUGEINT) AS sag,
+                       CAST(sum(CAST(ni AS HUGEINT) * (ni - 1)
+                                * (ni - 2)) AS HUGEINT) AS sbg,
+                       CAST(sum(CAST(ni AS HUGEINT) * (ni - 1))
+                            AS HUGEINT) AS scg
+                FROM gi
+            ),
+            tvt AS (SELECT v, CAST(sum(c) AS BIGINT) AS t
+                    FROM pts GROUP BY 1),
+            ts2 AS (
+                SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1)
+                                * (2 * t + 5)) AS HUGEINT) AS sat,
+                       CAST(sum(CAST(t AS HUGEINT) * (t - 1)
+                                * (t - 2)) AS HUGEINT) AS sbt,
+                       CAST(sum(CAST(t AS HUGEINT) * (t - 1))
+                            AS HUGEINT) AS sct
+                FROM tvt
+            ),
+            fin AS (
+                SELECT n, k,
+                       CAST(jt2 AS DOUBLE) / 2.0 AS jt,
+                       CAST(CAST(n AS HUGEINT) * n - sn2 AS DOUBLE)
+                           / 4.0 AS mean,
+                       CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+                            - sag - sat AS DOUBLE) / 72.0
+                       + CAST(sbg * sbt AS DOUBLE)
+                         / (36.0 * CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1)
+                            * (CAST(n AS DOUBLE) - 2))
+                       + CAST(scg * sct AS DOUBLE)
+                         / (8.0 * CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1)) AS var
+                FROM jt2 CROSS JOIN gs CROSS JOIN ts2
+            )
+            SELECT n, k, jt,
+                   CASE WHEN k >= 2 AND var > 0
+                        THEN (jt - mean) / sqrt(var) END AS z
+            FROM fin
         """,
         "mcnemar": """
             -- paired binary indicators; discordant counts b/c, plain

@@ -548,3 +548,121 @@ def friedman(
             den > 0, num.cast("double") / den.cast("double")
         ).alias("q"),
     )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """``(by..., n, k, jt, z)`` — the Jonckheere-Terpstra test for an
+    ORDERED alternative across k groups (dose-response / severity
+    trends: Kruskal-Wallis, L174, asks "do groups differ"; JT asks
+    "do values RISE with the group order", ordering groups by
+    ``group_col``'s natural sort).
+
+    JT = Σ_{i<j} [#(a < b) + ½·#(a = b)] over pairs a∈group_i,
+    b∈group_j.  Doubled (the L189 discipline), over the bounded
+    (group × distinct-value) grid — callers pre-bucket continuous
+    values, the L174 convention:
+
+        2·JT = Σ_{(g,v)} c_g(v) · (2·Σ_{i<g} LT_i(v) + Σ_{i<g} c_i(v))
+
+    with LT_i(v) = #rows of group i below v — per-group value prefix
+    (ONE keyed window), then a per-value group prefix (ONE more
+    window over the k-bounded axis), every term an exact
+    DECIMAL(38,0) integer.  The null mean and the tie-corrected
+    variance (Hollander & Wolfe) are fixed IEEE trees over exact
+    integer tie/group sums:
+
+        E[JT]   = (n² − Σ n_i²)/4
+        Var(JT) = A/72 + B/(36·n(n−1)(n−2)) + C/(8·n(n−1))
+
+    (A, B, C the standard group-size / tie-count polynomials) — so
+    jt and z are bit-identical across engines, NO grid beyond the
+    caller's own value bucketing.  k < 2 or Var ≤ 0 yields NULL z.
+
+    Scale shape: one combinable (keys, group, value) groupBy; the
+    grid is (distinct groups × distinct values) per key — bounded —
+    built with a broadcast cross join; two keyed windows over the
+    grid; one final combinable agg.  100 TB scans once.
+    """
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(*by, F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
+    pts = base.groupBy(*by, "_g", "_v").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    dg = pts.select(*by, "_g").distinct()
+    dv = pts.select(*by, "_v").distinct()
+    grid = (
+        dg.join(dv, list(by)) if by else dg.crossJoin(dv)
+    ).join(pts, [*by, "_g", "_v"], "left").select(
+        *by, "_g", "_v", F.coalesce(F.col("_c"), F.lit(0)).alias("_c")
+    )
+    w_val = (
+        Window.partitionBy(*by, "_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = grid.withColumn(
+        "_lt", F.coalesce(F.sum("_c").over(w_val), F.lit(0))
+    )
+    w_grp = (
+        Window.partitionBy(*by, "_v")
+        .orderBy("_g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = grid.withColumn(
+        "_slt", F.coalesce(F.sum("_lt").over(w_grp), F.lit(0))
+    ).withColumn(
+        "_seq", F.coalesce(F.sum("_c").over(w_grp), F.lit(0))
+    )
+    cd = F.col("_c").cast(_DEC)
+    jt2_term = cd * (
+        F.lit(2).cast(_DEC) * F.col("_slt").cast(_DEC)
+        + F.col("_seq").cast(_DEC)
+    )
+    # group-size and tie-count polynomials (exact integers)
+    gi = pts.groupBy(*by, "_g").agg(F.sum("_c").alias("_ni"))
+    nid = F.col("_ni").cast(_DEC)
+    gstats = gi.groupBy(*by).agg(
+        F.sum("_ni").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(nid * nid).alias("_sn2"),
+        F.sum(nid * (nid - 1) * (2 * nid + 5)).alias("_sa_g"),
+        F.sum(nid * (nid - 1) * (nid - 2)).alias("_sb_g"),
+        F.sum(nid * (nid - 1)).alias("_sc_g"),
+    )
+    tv = pts.groupBy(*by, "_v").agg(F.sum("_c").alias("_tv"))
+    tvd = F.col("_tv").cast(_DEC)
+    tstats = tv.groupBy(*by).agg(
+        F.sum(tvd * (tvd - 1) * (2 * tvd + 5)).alias("_sa_t"),
+        F.sum(tvd * (tvd - 1) * (tvd - 2)).alias("_sb_t"),
+        F.sum(tvd * (tvd - 1)).alias("_sc_t"),
+    )
+    jt2 = grid.groupBy(*by).agg(F.sum(jt2_term).alias("_jt2"))
+    out = jt2
+    for other in (gstats, tstats):
+        out = out.join(other, list(by)) if by else out.crossJoin(other)
+    nd = F.col("n").cast(_DEC)
+    a_term = (
+        nd * (nd - 1) * (2 * nd + 5) - F.col("_sa_g") - F.col("_sa_t")
+    ).cast("double")
+    b_term = (F.col("_sb_g") * F.col("_sb_t")).cast("double")
+    c_term = (F.col("_sc_g") * F.col("_sc_t")).cast("double")
+    ndd = F.col("n").cast("double")
+    var = (
+        a_term / F.lit(72.0)
+        + b_term
+        / (F.lit(36.0) * ndd * (ndd - 1) * (ndd - 2))
+        + c_term / (F.lit(8.0) * ndd * (ndd - 1))
+    )
+    jt = F.col("_jt2").cast("double") / F.lit(2.0)
+    mean = (nd * nd - F.col("_sn2")).cast("double") / F.lit(4.0)
+    z = (jt - mean) / F.sqrt(var)
+    ok = (F.col("k") >= 2) & (var > 0)
+    return out.select(
+        *by, "n", "k", jt.alias("jt"), F.when(ok, z).alias("z")
+    )

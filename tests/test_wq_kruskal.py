@@ -318,3 +318,116 @@ class TestFriedman:
         r = friedman(self._df(spark, rows), ["g"], "b", "t", "v").collect()[0]
         assert r["k"] == k and r["n_blocks"] == n
         assert abs(r["q"] - q_ref) < 1e-12
+
+
+class TestJonckheereTerpstra:
+    def _df(self, spark, groups):
+        rows = [
+            ("g", lvl, float(v)) for lvl, vals in groups.items() for v in vals
+        ]
+        return spark.createDataFrame(rows, "g string, lvl string, v double")
+
+    @staticmethod
+    def _brute_jt(groups):
+        keys = sorted(groups)
+        jt = 0.0
+        for i, ki in enumerate(keys):
+            for kj in keys[i + 1:]:
+                for a in groups[ki]:
+                    for b in groups[kj]:
+                        jt += (a < b) + 0.5 * (a == b)
+        return jt
+
+    @staticmethod
+    def _ref_z(groups):
+        import collections
+
+        keys = sorted(groups)
+        ns = [len(groups[k]) for k in keys]
+        n = sum(ns)
+        allv = [v for k in keys for v in groups[k]]
+        tv = list(collections.Counter(allv).values())
+        jt = TestJonckheereTerpstra._brute_jt(groups)
+        mean = (n * n - sum(x * x for x in ns)) / 4.0
+        a = (
+            n * (n - 1) * (2 * n + 5)
+            - sum(x * (x - 1) * (2 * x + 5) for x in ns)
+            - sum(t * (t - 1) * (2 * t + 5) for t in tv)
+        )
+        b = sum(x * (x - 1) * (x - 2) for x in ns) * sum(
+            t * (t - 1) * (t - 2) for t in tv
+        )
+        c = sum(x * (x - 1) for x in ns) * sum(t * (t - 1) for t in tv)
+        var = (
+            a / 72.0
+            + b / (36.0 * n * (n - 1) * (n - 2))
+            + c / (8.0 * n * (n - 1))
+        )
+        return jt, (jt - mean) / var**0.5
+
+    def test_brute_force_with_ties(self, spark):
+        from lmss_entity_extractor_spark.ops.rankeval import (
+            jonckheere_terpstra,
+        )
+
+        groups = {
+            "a": [1, 2, 2, 3, 5],
+            "b": [2, 3, 3, 4, 6, 6],
+            "c": [3, 5, 6, 7, 7, 8, 9],
+        }
+        jt_ref, z_ref = self._ref_z(groups)
+        r = jonckheere_terpstra(
+            self._df(spark, groups), ["g"], "lvl", "v"
+        ).collect()[0]
+        assert r["n"] == 18 and r["k"] == 3
+        assert abs(r["jt"] - jt_ref) < 1e-12
+        assert abs(r["z"] - z_ref) < 1e-9
+
+    def test_no_ties_classical_variance(self, spark):
+        from lmss_entity_extractor_spark.ops.rankeval import (
+            jonckheere_terpstra,
+        )
+
+        groups = {
+            "a": [1, 4, 7, 10],
+            "b": [2, 5, 8, 11, 13],
+            "c": [3, 6, 9, 12, 14, 15],
+        }
+        jt_ref = self._brute_jt(groups)
+        ns = [4, 5, 6]
+        n = 15
+        mean = (n * n - sum(x * x for x in ns)) / 4.0
+        var0 = (
+            n * n * (2 * n + 3) - sum(x * x * (2 * x + 3) for x in ns)
+        ) / 72.0
+        r = jonckheere_terpstra(
+            self._df(spark, groups), ["g"], "lvl", "v"
+        ).collect()[0]
+        assert abs(r["jt"] - jt_ref) < 1e-12
+        assert abs(r["z"] - (jt_ref - mean) / var0**0.5) < 1e-9
+
+    def test_trend_sign(self, spark):
+        from lmss_entity_extractor_spark.ops.rankeval import (
+            jonckheere_terpstra,
+        )
+
+        up = {"a": [1, 2, 3], "b": [4, 5, 6], "c": [7, 8, 9]}
+        down = {"a": [7, 8, 9], "b": [4, 5, 6], "c": [1, 2, 3]}
+        ru = jonckheere_terpstra(
+            self._df(spark, up), ["g"], "lvl", "v"
+        ).collect()[0]
+        rd = jonckheere_terpstra(
+            self._df(spark, down), ["g"], "lvl", "v"
+        ).collect()[0]
+        assert ru["z"] >= 3 and rd["z"] <= -3
+        assert abs(ru["z"] + rd["z"]) < 1e-12
+
+    def test_single_group_null(self, spark):
+        from lmss_entity_extractor_spark.ops.rankeval import (
+            jonckheere_terpstra,
+        )
+
+        r = jonckheere_terpstra(
+            self._df(spark, {"a": [1, 2, 3]}), ["g"], "lvl", "v"
+        ).collect()[0]
+        assert r["z"] is None
