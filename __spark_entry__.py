@@ -3959,6 +3959,27 @@ def q_calibration(spark, sf_dir):
     return calibration_bins(_calibration_input(spark, sf_dir), "p", "y")
 
 
+def q_kendall(spark, sf_dir):
+    """Kendall's tau-b (L199): quantity vs price-bucket concordance
+    per return flag — 2-D prefix pair counts over the bounded grid,
+    tie-normalized, one fixed IEEE tree."""
+    from lmss_entity_extractor_spark.ops.correlation import kendall_tau_b
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.floor("l_quantity").alias("x"),
+            F.floor(F.col("l_extendedprice") / 5000).alias("y"),
+        )
+    )
+    return kendall_tau_b(li, ["flag"], "x", "y")
+
+
 def q_jonckheere(spark, sf_dir):
     """Jonckheere-Terpstra (L198): does order value rise with
     priority rank — doubled pair counts over the bounded
@@ -5954,6 +5975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic": q_isotonic,
         "jaro_join": q_jaro_join,
         "jonckheere": q_jonckheere,
+        "kendall_tau": q_kendall,
         "adamic_adar": q_adamic_adar,
         "rich_club": q_rich_club,
         "k_anonymity": q_k_anonymity,
@@ -9828,6 +9850,98 @@ def oracle_sql() -> dict[str, str]:
                                     * (k+1) AS DOUBLE)
                    END AS q
             FROM st
+        """,
+        "kendall_tau": """
+            -- tau-b via 2-D prefixes over the bounded grid: exact
+            -- integer pair counts, tie-normalized, one IEEE tree
+            WITH base AS (
+                SELECT l_returnflag AS flag,
+                       CAST(floor(l_quantity) AS BIGINT) AS x,
+                       CAST(floor(l_extendedprice / 5000) AS BIGINT)
+                           AS y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            ),
+            pts AS (
+                SELECT flag, x, y, CAST(count(*) AS BIGINT) AS c
+                FROM base GROUP BY 1, 2, 3
+            ),
+            grid AS (
+                SELECT dx.flag, dx.x, dy.y, coalesce(p.c, 0) AS c
+                FROM (SELECT DISTINCT flag, x FROM pts) dx
+                JOIN (SELECT DISTINCT flag, y FROM pts) dy
+                  USING (flag)
+                LEFT JOIN pts p
+                  ON p.flag = dx.flag AND p.x = dx.x AND p.y = dy.y
+            ),
+            g1 AS (
+                SELECT flag, x, y, c,
+                       sum(c) OVER (PARTITION BY flag, x ORDER BY y
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS r
+                FROM grid
+            ),
+            g2 AS (
+                SELECT flag, x, y, c, r,
+                       sum(r) OVER (PARTITION BY flag, y ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS p,
+                       sum(c) OVER (PARTITION BY flag, y ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cy
+                FROM g1
+            ),
+            rowtot AS (
+                SELECT flag, x,
+                       coalesce(sum(tx) OVER (PARTITION BY flag
+                           ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS txb
+                FROM (SELECT flag, x, max(r) AS tx FROM g1
+                      GROUP BY 1, 2)
+            ),
+            sums AS (
+                SELECT g2.flag,
+                       CAST(sum(g2.c) AS BIGINT) AS n,
+                       CAST(sum(g2.c * (g2.p - g2.r - g2.cy + g2.c))
+                            AS BIGINT) AS conc,
+                       CAST(sum(g2.c * (rowtot.txb - (g2.p - g2.r)))
+                            AS BIGINT) AS disc
+                FROM g2 JOIN rowtot USING (flag, x)
+                GROUP BY 1
+            ),
+            n1 AS (
+                SELECT flag,
+                       CAST(sum(t * (t - 1)) AS BIGINT) / 2 AS n1
+                FROM (SELECT flag, x, CAST(sum(c) AS BIGINT) AS t
+                      FROM pts GROUP BY 1, 2)
+                GROUP BY 1
+            ),
+            n2 AS (
+                SELECT flag,
+                       CAST(sum(t * (t - 1)) AS BIGINT) / 2 AS n2
+                FROM (SELECT flag, y, CAST(sum(c) AS BIGINT) AS t
+                      FROM pts GROUP BY 1, 2)
+                GROUP BY 1
+            )
+            SELECT s.flag, s.n,
+                   CAST(s.conc AS DOUBLE) AS concordant,
+                   CAST(s.disc AS DOUBLE) AS discordant,
+                   CASE WHEN CAST(s.n AS DOUBLE)
+                             * (CAST(s.n AS DOUBLE) - 1) / 2
+                             - n1.n1 > 0
+                         AND CAST(s.n AS DOUBLE)
+                             * (CAST(s.n AS DOUBLE) - 1) / 2
+                             - n2.n2 > 0
+                        THEN CAST(s.conc - s.disc AS DOUBLE)
+                             / sqrt((CAST(s.n AS DOUBLE)
+                                     * (CAST(s.n AS DOUBLE) - 1) / 2
+                                     - n1.n1)
+                                    * (CAST(s.n AS DOUBLE)
+                                       * (CAST(s.n AS DOUBLE) - 1) / 2
+                                       - n2.n2))
+                   END AS tau_b
+            FROM sums s JOIN n1 USING (flag) JOIN n2 USING (flag)
         """,
         "jonckheere": """
             -- JT over the (group x distinct-value) grid: two window

@@ -151,3 +151,113 @@ def spearman_corr(
     return out.select(
         strip.alias("col_a"), strip_b.alias("col_b"), "n", "corr"
     )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    by: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """``(by..., n, concordant, discordant, tau_b)`` — Kendall's τ-b
+    rank correlation with the standard tie normalization (the
+    pair-counting companion to Spearman: Spearman squares rank gaps,
+    Kendall counts inversions — more robust to single wild ranks, and
+    its pair counts are the same machinery as Mann-Kendall's S but
+    against a second VARIABLE instead of time).
+
+    Callers pre-bucket continuous values (the L174/L198 convention) so
+    both axes have bounded distinct values.  Over the (distinct-x ×
+    distinct-y) grid, concordant/discordant pair totals come from the
+    2-D inclusive prefix P and the axis prefixes R (within-x) and
+    C (within-y):
+
+        S≺(cell) = P − R − C + c            (both strictly below)
+        S⊀(cell) = Tx(<x) − (P − R)          (x below, y above)
+        concordant = Σ c·S≺,  discordant = Σ c·S⊀
+
+    — each unordered pair counted exactly once (at its higher-x cell),
+    every term an exact DECIMAL(38,0) integer via TWO keyed windows
+    (y-prefix within x, then x-prefix at fixed y).  With n₀ = n(n−1)/2
+    and the tie terms n₁ = Σ tx(tx−1)/2, n₂ = Σ ty(ty−1)/2:
+
+        τ_b = (concordant − discordant) / sqrt((n₀−n₁)·(n₀−n₂))
+
+    — one fixed IEEE tree over exact integers, bit-identical.  A group
+    where either axis is constant (n₀ = n₁ or n₀ = n₂) yields NULL.
+
+    Scale shape: one combinable (keys, x, y) groupBy; the bounded grid
+    is a broadcast cross join; two keyed windows; one final combinable
+    agg.  100 TB scans once.
+    """
+    dec = "decimal(38,0)"
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*by, F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+    pts = base.groupBy(*by, "_x", "_y").agg(F.count(F.lit(1)).alias("_c"))
+    dx = pts.select(*by, "_x").distinct()
+    dy = pts.select(*by, "_y").distinct()
+    grid = (
+        (dx.join(dy, list(by)) if by else dx.crossJoin(dy))
+        .join(pts, [*by, "_x", "_y"], "left")
+        .select(
+            *by, "_x", "_y", F.coalesce(F.col("_c"), F.lit(0)).alias("_c")
+        )
+    )
+    w_incol = (
+        Window.partitionBy(*by, "_x")
+        .orderBy("_y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grid = grid.withColumn("_r", F.sum("_c").over(w_incol))
+    w_x = (
+        Window.partitionBy(*by, "_y")
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # P = inclusive 2-D prefix: x-prefix of the within-x y-prefixes
+    grid = grid.withColumn("_p", F.sum("_r").over(w_x)).withColumn(
+        "_cy", F.sum("_c").over(w_x)
+    )
+    # total rows of strictly-lower x rows: Tx(<x) via row totals
+    rowtot = grid.groupBy(*by, "_x").agg(F.max("_r").alias("_tx"))
+    w_tx = (
+        Window.partitionBy(*by)
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rowtot = rowtot.withColumn(
+        "_txb", F.coalesce(F.sum("_tx").over(w_tx), F.lit(0))
+    ).select(*by, "_x", "_txb")
+    grid = grid.join(rowtot, [*by, "_x"])
+    cd_ = F.col("_c").cast(dec)
+    s_conc = (
+        F.col("_p") - F.col("_r") - F.col("_cy") + F.col("_c")
+    ).cast(dec)
+    s_disc = (F.col("_txb") - (F.col("_p") - F.col("_r"))).cast(dec)
+    sums = grid.groupBy(*by).agg(
+        F.sum("_c").alias("n"),
+        F.sum(cd_ * s_conc).alias("_conc"),
+        F.sum(cd_ * s_disc).alias("_disc"),
+    )
+    tx = pts.groupBy(*by, "_x").agg(F.sum("_c").alias("_t"))
+    ty = pts.groupBy(*by, "_y").agg(F.sum("_c").alias("_t"))
+    td = F.col("_t").cast(dec)
+    n1 = tx.groupBy(*by).agg((F.sum(td * (td - 1)) / 2).alias("_n1"))
+    n2 = ty.groupBy(*by).agg((F.sum(td * (td - 1)) / 2).alias("_n2"))
+    out = sums
+    for other in (n1, n2):
+        out = out.join(other, list(by)) if by else out.crossJoin(other)
+    nd = F.col("n").cast(dec)
+    n0 = nd * (nd - 1) / 2
+    da = (n0 - F.col("_n1")).cast("double")
+    db = (n0 - F.col("_n2")).cast("double")
+    diff = (F.col("_conc") - F.col("_disc")).cast("double")
+    ok = (da > 0) & (db > 0)
+    return out.select(
+        *by,
+        "n",
+        F.col("_conc").cast("double").alias("concordant"),
+        F.col("_disc").cast("double").alias("discordant"),
+        F.when(ok, diff / F.sqrt(da * db)).alias("tau_b"),
+    )

@@ -106,3 +106,76 @@ class TestSpearman:
         df = spark.createDataFrame([(1.0, 2.0), (2.0, 1.0)], "a double, b double")
         out = spearman_corr(df, ["a", "b"]).collect()[0]
         assert (out["col_a"], out["col_b"]) == ("a", "b")
+
+
+class TestKendallTauB:
+    @staticmethod
+    def _brute(pairs):
+        import itertools
+
+        conc = disc = 0
+        for (x1, y1), (x2, y2) in itertools.combinations(pairs, 2):
+            s = (x1 - x2) * (y1 - y2)
+            if s > 0:
+                conc += 1
+            elif s < 0:
+                disc += 1
+        n = len(pairs)
+        n0 = n * (n - 1) / 2
+        import collections
+
+        n1 = sum(
+            t * (t - 1) / 2
+            for t in collections.Counter(x for x, _ in pairs).values()
+        )
+        n2 = sum(
+            t * (t - 1) / 2
+            for t in collections.Counter(y for _, y in pairs).values()
+        )
+        tau = (conc - disc) / ((n0 - n1) * (n0 - n2)) ** 0.5
+        return conc, disc, tau
+
+    def _df(self, spark, pairs):
+        return spark.createDataFrame(
+            [("g", int(x), int(y)) for x, y in pairs],
+            "g string, x int, y int",
+        )
+
+    def test_brute_force_with_ties(self, spark):
+        from lmss_entity_extractor_spark.ops.correlation import kendall_tau_b
+
+        pairs = [
+            (1, 2), (1, 3), (2, 2), (2, 5), (3, 1), (3, 3), (3, 3),
+            (4, 6), (4, 2), (5, 7), (5, 5), (6, 6), (6, 8), (7, 7),
+        ]
+        conc, disc, tau = self._brute(pairs)
+        r = kendall_tau_b(self._df(spark, pairs), ["g"], "x", "y").collect()[0]
+        assert r["n"] == len(pairs)
+        assert r["concordant"] == conc
+        assert r["discordant"] == disc
+        assert abs(r["tau_b"] - tau) < 1e-12
+
+    def test_perfect_orders(self, spark):
+        from lmss_entity_extractor_spark.ops.correlation import kendall_tau_b
+
+        up = [(i, i * 2) for i in range(10)]
+        dn = [(i, -i) for i in range(10)]
+        ru = kendall_tau_b(self._df(spark, up), ["g"], "x", "y").collect()[0]
+        rd = kendall_tau_b(self._df(spark, dn), ["g"], "x", "y").collect()[0]
+        assert ru["tau_b"] == 1.0 and rd["tau_b"] == -1.0
+
+    def test_constant_axis_null(self, spark):
+        from lmss_entity_extractor_spark.ops.correlation import kendall_tau_b
+
+        pairs = [(1, 5), (2, 5), (3, 5)]
+        r = kendall_tau_b(self._df(spark, pairs), ["g"], "x", "y").collect()[0]
+        assert r["tau_b"] is None
+
+    def test_pseudo_random_reference(self, spark):
+        from lmss_entity_extractor_spark.ops.correlation import kendall_tau_b
+
+        pairs = [((7 * i * i + 3 * i) % 13, (5 * i + 11) % 9) for i in range(80)]
+        conc, disc, tau = self._brute(pairs)
+        r = kendall_tau_b(self._df(spark, pairs), ["g"], "x", "y").collect()[0]
+        assert r["concordant"] == conc and r["discordant"] == disc
+        assert abs(r["tau_b"] - tau) < 1e-12
