@@ -3959,6 +3959,33 @@ def q_calibration(spark, sf_dir):
     return calibration_bins(_calibration_input(spark, sf_dir), "p", "y")
 
 
+def q_rbo(spark, sf_dir):
+    """Rank-biased overlap (L200): per-customer top-10 order lists
+    ranked by price vs by key — depth-decayed overlap with weights
+    embedded as identical double literals in both engines, ordered
+    depth fold."""
+    from pyspark.sql import Window
+
+    from lmss_entity_extractor_spark.ops.evalmetrics import rbo_overlap
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    wa = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    wb = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    a = o.select(
+        F.col("o_custkey").alias("query_id"),
+        F.col("o_orderkey").alias("item"),
+        F.row_number().over(wa).alias("rank"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("query_id"),
+        F.col("o_orderkey").alias("item"),
+        F.row_number().over(wb).alias("rank"),
+    )
+    return rbo_overlap(a, b, k=10, p=0.9)
+
+
 def q_kendall(spark, sf_dir):
     """Kendall's tau-b (L199): quantity vs price-bucket concordance
     per return flag — 2-D prefix pair counts over the bounded grid,
@@ -5976,6 +6003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaro_join": q_jaro_join,
         "jonckheere": q_jonckheere,
         "kendall_tau": q_kendall,
+        "rbo": q_rbo,
         "adamic_adar": q_adamic_adar,
         "rich_club": q_rich_club,
         "k_anonymity": q_k_anonymity,
@@ -9850,6 +9878,67 @@ def oracle_sql() -> dict[str, str]:
                                     * (k+1) AS DOUBLE)
                    END AS q
             FROM st
+        """,
+        "rbo": """
+            -- RBO: identical embedded depth weights, ordered fold
+            WITH av AS (
+                SELECT o_custkey AS q, o_orderkey AS i,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey)
+                           AS ra
+                FROM orders WHERE o_custkey % 10 = 0
+            ),
+            bv AS (
+                SELECT o_custkey AS q, o_orderkey AS i,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderkey) AS rb
+                FROM orders WHERE o_custkey % 10 = 0
+            ),
+            a10 AS (SELECT * FROM av WHERE ra <= 10),
+            b10 AS (SELECT * FROM bv WHERE rb <= 10),
+            common AS (
+                SELECT a10.q, greatest(a10.ra, b10.rb) AS d0
+                FROM a10 JOIN b10
+                  ON a10.q = b10.q AND a10.i = b10.i
+            ),
+            qs AS (
+                SELECT q FROM a10 UNION SELECT q FROM b10
+            ),
+            ncommon AS (
+                SELECT qs.q,
+                       CAST(count(common.d0) AS BIGINT) AS n_common
+                FROM qs LEFT JOIN common USING (q) GROUP BY 1
+            ),
+            depths(d, w) AS (VALUES (1, CAST(0.09999999999999998 AS DOUBLE)), (2, CAST(0.08999999999999998 AS DOUBLE)), (3, CAST(0.08099999999999999 AS DOUBLE)), (4, CAST(0.07289999999999999 AS DOUBLE)), (5, CAST(0.06560999999999999 AS DOUBLE)), (6, CAST(0.059049 AS DOUBLE)), (7, CAST(0.05314409999999999 AS DOUBLE)), (8, CAST(0.047829689999999994 AS DOUBLE)), (9, CAST(0.043046721 AS DOUBLE)), (10, CAST(0.0387420489 AS DOUBLE))),
+            xd AS (
+                SELECT qs.q, dep.d, dep.w,
+                       CAST(count(c.d0) AS BIGINT) AS x
+                FROM qs CROSS JOIN depths dep
+                LEFT JOIN common c
+                  ON c.q = qs.q AND c.d0 <= dep.d
+                GROUP BY 1, 2, 3
+            ),
+            terms AS (
+                SELECT q, d, x,
+                       w * (CAST(x AS DOUBLE) / CAST(d AS DOUBLE))
+                           AS term
+                FROM xd
+            ),
+            folded AS (
+                SELECT q,
+                       list_reduce(
+                           list_prepend(0.0,
+                               [s.term FOR s IN list_sort(list(
+                                   struct_pack(d := d,
+                                               term := term)))]),
+                           (acc, v) -> acc + v) AS rbo,
+                       max(CASE WHEN d = 10 THEN x END) AS xk
+                FROM terms GROUP BY q
+            )
+            SELECT f.q AS query_id, n.n_common, f.rbo,
+                   f.rbo + CAST(0.3486784401000001 AS DOUBLE)
+                           * (CAST(f.xk AS DOUBLE) / 10.0) AS rbo_ext
+            FROM folded f JOIN ncommon n USING (q)
         """,
         "kendall_tau": """
             -- tau-b via 2-D prefixes over the bounded grid: exact

@@ -380,3 +380,99 @@ def cochran_q(
             num.cast("double") / den.cast("double"),
         ).alias("q"),
     )
+
+
+def rbo_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+    query_col: str = "query_id",
+    item_col: str = "item",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """``(query_col, n_common, rbo, rbo_ext)`` — Rank-Biased Overlap
+    (Webber, Moffat & Zobel 2010) between two top-k rankings per
+    query: the top-weighted list-similarity that retrieval_metrics
+    (L164) can't express — set precision@k ignores ORDER, RBO decays
+    each depth by p so agreement near rank 1 dominates.
+
+        rbo     = Σ_{d=1..k} (1−p)·p^{d−1} · X_d / d
+        rbo_ext = rbo + p^k · X_k / k
+
+    with X_d = |A_{1..d} ∩ B_{1..d}| (an item joins the overlap at
+    depth max(rank_a, rank_b)).  The depth weights (1−p)·p^{d−1} and
+    the p^k extrapolation constant are computed ONCE in Python and
+    embedded as double literals — both engines then fold the SAME
+    constants in the same d order (bounded k), so the score is
+    bit-identical with no pow() cross-engine wobble.  Queries missing
+    from either side simply have those items non-overlapping; a query
+    with no common items scores 0.0 only if it appears in BOTH inputs
+    (inner join on query is NOT taken — the overlap join is per item,
+    and queries with zero overlap are emitted from the union of
+    query ids).
+
+    Scale shape: one equi-join on (query, item); per-query depth
+    counts are a bounded k-row expansion; the fold is an ordered
+    in-row array aggregate.  100 TB of rankings scan once.
+    """
+    if not 0 < p < 1 or k < 1:
+        raise ValueError("rbo_overlap: need 0 < p < 1 and k >= 1")
+    weights = [(1.0 - p) * p ** (d - 1) for d in range(1, k + 1)]
+    pk = p**k
+    av = a.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(item_col).alias("_i"),
+        F.col(rank_col).alias("_ra"),
+    )
+    bv = b.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(item_col).alias("_i"),
+        F.col(rank_col).alias("_rb"),
+    )
+    common = av.join(bv, ["_q", "_i"]).select(
+        "_q", F.greatest("_ra", "_rb").alias("_d0")
+    )
+    queries = (
+        av.select("_q").union(bv.select("_q")).distinct()
+    )
+    per_d0 = common.groupBy("_q", "_d0").agg(
+        F.count(F.lit(1)).alias("_m")
+    )
+    counts = queries.join(per_d0, "_q", "left").groupBy("_q").agg(
+        F.coalesce(F.sum("_m"), F.lit(0)).alias("n_common"),
+        F.collect_list(F.struct("_d0", "_m")).alias("_entries"),
+    )
+    # X_d for d = 1..k as an in-row fold over the bounded entry list
+    xd = F.transform(
+        F.sequence(F.lit(1), F.lit(k)),
+        lambda d: F.aggregate(
+            F.col("_entries"),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc
+            + F.when(e["_d0"] <= d, e["_m"]).otherwise(F.lit(0)),
+        ),
+    )
+    warr = F.array(*[F.lit(w) for w in weights])
+    staged = counts.select(
+        "_q", "n_common", xd.alias("_xd")
+    )
+    rbo = F.aggregate(
+        F.sequence(F.lit(1), F.lit(k)),
+        F.lit(0.0),
+        lambda acc, d: acc
+        + F.element_at(warr, d.cast("int"))
+        * (
+            F.element_at(F.col("_xd"), d.cast("int")).cast("double")
+            / d.cast("double")
+        ),
+    )
+    ext = rbo + F.lit(pk) * (
+        F.element_at(F.col("_xd"), k).cast("double") / F.lit(float(k))
+    )
+    return staged.select(
+        F.col("_q").alias(query_col),
+        "n_common",
+        rbo.alias("rbo"),
+        ext.alias("rbo_ext"),
+    )

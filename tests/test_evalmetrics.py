@@ -291,3 +291,65 @@ class TestCochranQ:
         ]
         r = cochran_q(self._df(spark, rows), ["g"], "b", "t", "y").collect()[0]
         assert r["q"] is None
+
+
+class TestRboOverlap:
+    @staticmethod
+    def _ref(la, lb, k, p):
+        rbo = 0.0
+        for d in range(1, k + 1):
+            xd = len(set(la[:d]) & set(lb[:d]))
+            rbo += (1.0 - p) * p ** (d - 1) * xd / d
+        xk = len(set(la[:k]) & set(lb[:k]))
+        return rbo, rbo + p**k * xk / k
+
+    def _df(self, spark, lists):
+        rows = [
+            (q, item, r + 1)
+            for q, items in lists.items()
+            for r, item in enumerate(items)
+        ]
+        return spark.createDataFrame(rows, "query_id string, item string, rank int")
+
+    def test_reference_values(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import rbo_overlap
+
+        la = {"q1": ["a", "b", "c", "d", "e"], "q2": ["x", "y", "z"]}
+        lb = {"q1": ["b", "a", "c", "f", "g"], "q2": ["p", "q", "r"]}
+        out = {
+            r["query_id"]: r
+            for r in rbo_overlap(
+                self._df(spark, la), self._df(spark, lb), k=5, p=0.9
+            ).collect()
+        }
+        for q in ("q1", "q2"):
+            rbo, ext = self._ref(la[q], lb[q], 5, 0.9)
+            assert abs(out[q]["rbo"] - rbo) < 1e-12, q
+            assert abs(out[q]["rbo_ext"] - ext) < 1e-12, q
+        assert out["q2"]["n_common"] == 0 and out["q2"]["rbo"] == 0.0
+
+    def test_identical_lists_near_one(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import rbo_overlap
+
+        la = {"q": list("abcdefghij")}
+        out = rbo_overlap(
+            self._df(spark, la), self._df(spark, la), k=10, p=0.9
+        ).collect()[0]
+        # identical lists: X_d = d, so rbo = 1 - p^k and ext = 1.0
+        assert abs(out["rbo"] - (1 - 0.9**10)) < 1e-12
+        assert abs(out["rbo_ext"] - 1.0) < 1e-12
+
+    def test_top_weighting(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import rbo_overlap
+
+        # agreement at the TOP scores higher than at the bottom
+        base = {"q": ["a", "b", "c", "d"]}
+        top = {"q": ["a", "b", "x", "y"]}
+        bot = {"q": ["x", "y", "c", "d"]}
+        r_top = rbo_overlap(
+            self._df(spark, base), self._df(spark, top), k=4
+        ).collect()[0]["rbo"]
+        r_bot = rbo_overlap(
+            self._df(spark, base), self._df(spark, bot), k=4
+        ).collect()[0]["rbo"]
+        assert r_top > r_bot
