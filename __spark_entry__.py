@@ -4100,6 +4100,21 @@ def q_k_anonymity(spark, sf_dir):
     return k_anonymity_audit(c, ["nation", "segment"], "bal", k_min=10, l_min=5)
 
 
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (L201): per (nation, segment) class, ordered
+    EMD and TVD of the balance-bucket distribution vs the global one —
+    cross-multiplied exact integer gaps (the KS discipline), one
+    division per statistic."""
+    from lmss_entity_extractor_spark.ops.privacy import t_closeness
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000).alias("bal"),
+    )
+    return t_closeness(c, ["nation", "segment"], "bal")
+
+
 def q_random_projection(spark, sf_dir):
     """Sparse random projection (L170): 64-d embeddings → 8-d via the
     SHA-derived Achlioptas sign matrix, long format — every value
@@ -6007,6 +6022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": q_adamic_adar,
         "rich_club": q_rich_club,
         "k_anonymity": q_k_anonymity,
+        "t_closeness": q_t_closeness,
         "random_projection": q_random_projection,
         "containment": q_containment,
         "ccf": q_ccf,
@@ -10031,6 +10047,73 @@ def oracle_sql() -> dict[str, str]:
                                        - n2.n2))
                    END AS tau_b
             FROM sums s JOIN n1 USING (flag) JOIN n2 USING (flag)
+        """,
+        "t_closeness": """
+            -- ordered EMD + TVD to the global sensitive distribution:
+            -- cross-multiplied exact integer gaps, one division each
+            WITH base AS (
+                SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                       CAST(floor(c_acctbal / 1000) AS BIGINT) AS v
+                FROM customer WHERE c_acctbal IS NOT NULL
+            ),
+            cells AS (
+                SELECT nation, segment, v,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM base GROUP BY 1, 2, 3
+            ),
+            gl AS (
+                SELECT v, CAST(sum(c) AS BIGINT) AS g
+                FROM cells GROUP BY 1
+            ),
+            gl2 AS (
+                SELECT v, g,
+                       CAST(sum(g) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cumg,
+                       CAST(sum(g) OVER () AS BIGINT) AS ntot,
+                       CAST(count(*) OVER () AS BIGINT) AS m
+                FROM gl
+            ),
+            classes AS (
+                SELECT nation, segment, CAST(sum(c) AS BIGINT) AS n
+                FROM cells GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT cl.nation, cl.segment, cl.n, gl2.m, gl2.v,
+                       gl2.g, gl2.cumg, gl2.ntot,
+                       coalesce(ce.c, 0) AS c
+                FROM classes cl CROSS JOIN gl2
+                LEFT JOIN cells ce
+                  ON ce.nation = cl.nation
+                 AND ce.segment = cl.segment AND ce.v = gl2.v
+            ),
+            g2 AS (
+                SELECT nation, segment, n, m, ntot, g, cumg, c,
+                       CAST(sum(c) OVER (PARTITION BY nation, segment
+                           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cumc
+                FROM grid
+            ),
+            agg AS (
+                SELECT nation, segment, n, m, ntot,
+                       CAST(sum(abs(CAST(cumc AS HUGEINT) * ntot
+                                    - CAST(cumg AS HUGEINT) * n))
+                            AS HUGEINT) AS semd,
+                       CAST(sum(abs(CAST(c AS HUGEINT) * ntot
+                                    - CAST(g AS HUGEINT) * n))
+                            AS HUGEINT) AS stvd
+                FROM g2 GROUP BY 1, 2, 3, 4, 5
+            )
+            SELECT nation, segment, n, m,
+                   CASE WHEN m >= 2
+                        THEN CAST(semd AS DOUBLE)
+                             / CAST(CAST(n AS HUGEINT) * ntot * (m - 1)
+                                    AS DOUBLE)
+                   END AS emd_ordered,
+                   CAST(stvd AS DOUBLE)
+                   / CAST(2 * CAST(n AS HUGEINT) * ntot AS DOUBLE)
+                       AS tvd
+            FROM agg
         """,
         "jonckheere": """
             -- JT over the (group x distinct-value) grid: two window
