@@ -4056,6 +4056,33 @@ def q_isotonic(spark, sf_dir):
     return isotonic_fit(_calibration_input(spark, sf_dir), "p", "y", n_bins=10)
 
 
+def q_conformal(spark, sf_dir):
+    """Split-conformal quantile (L202): per event type, the
+    ceil((n+1)(1-alpha))-th smallest value — exact decimal threshold
+    arithmetic, engine-exact order statistic."""
+    from lmss_entity_extractor_spark.ops.calibration import (
+        conformal_quantile,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("etype"), F.col("value").alias("s")
+    )
+    return conformal_quantile(e, ["etype"], "s", alpha="0.1")
+
+
+def q_ece(spark, sf_dir):
+    """Expected/maximum calibration error (L203): scalar roll-up of
+    the L166 reliability table — ece collapses to sum|Σy−Σp|/n over
+    exact decimal bin sums, one division; mce one division per bin."""
+    from lmss_entity_extractor_spark.ops.calibration import (
+        expected_calibration_error,
+    )
+
+    return expected_calibration_error(
+        _calibration_input(spark, sf_dir), "p", "y", n_bins=10
+    )
+
+
 def q_adamic_adar(spark, sf_dir):
     """Adamic-Adar + resource allocation (L167): degree-weighted
     common-neighbor scores over the order—part bipartite slice — per-
@@ -6015,6 +6042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier": q_brier,
         "calibration": q_calibration,
         "isotonic": q_isotonic,
+        "conformal": q_conformal,
+        "ece": q_ece,
         "jaro_join": q_jaro_join,
         "jonckheere": q_jonckheere,
         "kendall_tau": q_kendall,
@@ -9520,6 +9549,59 @@ def oracle_sql() -> dict[str, str]:
                             * (p - CAST(y AS DECIMAL(12,4)))) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS brier
             FROM base
+        """,
+        "conformal": """
+            -- split-conformal: exact decimal ceil((n+1)(1-a)), k-th
+            -- order statistic per group, NULL when vacuous (k > n)
+            WITH flt AS (
+                SELECT event_type AS etype, value AS s
+                FROM events WHERE value IS NOT NULL
+            ),
+            sizes AS (
+                SELECT etype, CAST(count(*) AS BIGINT) AS n,
+                       CAST(ceil(CAST(count(*) + 1 AS DECIMAL(20,0))
+                                 * (CAST(1 AS DECIMAL(9,6))
+                                    - CAST('0.1' AS DECIMAL(9,6))))
+                            AS BIGINT) AS k
+                FROM flt GROUP BY 1
+            ),
+            ranked AS (
+                SELECT etype, s,
+                       row_number() OVER (PARTITION BY etype
+                           ORDER BY s) AS rn
+                FROM flt
+            ),
+            hit AS (
+                SELECT r.etype, max(r.s) AS qhat
+                FROM ranked r JOIN sizes USING (etype)
+                WHERE r.rn = sizes.k GROUP BY 1
+            )
+            SELECT sizes.etype, sizes.n, sizes.k, hit.qhat
+            FROM sizes LEFT JOIN hit USING (etype)
+        """,
+        "ece": """
+            -- ECE = sum|sy-sp|/n over exact decimal bin sums; MCE =
+            -- max per-bin one-division gap
+            WITH base AS (
+                SELECT CAST(CAST(o_orderkey % 100 AS DECIMAL(9,2))
+                            * CAST('0.01' AS DECIMAL(9,2))
+                            AS DECIMAL(12,4)) AS p,
+                       CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS y
+                FROM orders
+            ),
+            agg AS (
+                SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin,
+                       CAST(count(*) AS BIGINT) AS nb,
+                       sum(p) AS sp,
+                       sum(CAST(y AS DECIMAL(12,4))) AS sy
+                FROM base GROUP BY 1
+            )
+            SELECT CAST(sum(nb) AS BIGINT) AS n,
+                   CAST(sum(abs(sy - sp)) AS DOUBLE)
+                   / CAST(sum(nb) AS DOUBLE) AS ece,
+                   max(CAST(abs(sy - sp) AS DOUBLE)
+                       / CAST(nb AS DOUBLE)) AS mce
+            FROM agg
         """,
         "isotonic": """
             -- PAV via the minimax identity over 10 occupied bins:

@@ -24,7 +24,7 @@ No reference counterpart; evaluation analytics per SURVEY §2.11
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -198,4 +198,100 @@ def isotonic_fit(
             (F.col("_sy").cast("double") / nd).alias("frac_pos"),
             "iso",
         )
+    )
+
+
+def conformal_quantile(
+    df: DataFrame,
+    by: list[str],
+    score_col: str,
+    alpha: str = "0.1",
+) -> DataFrame:
+    """``(by..., n, k, qhat)`` — the split-conformal calibration
+    quantile (Vovk et al.; Angelopoulos & Bates 2023 tutorial form):
+    given a calibration set of nonconformity scores per group,
+
+        k = ⌈(n + 1)·(1 − α)⌉,   q̂ = the k-th smallest score
+
+    — predicting with threshold q̂ then guarantees ≥ 1−α marginal
+    coverage on exchangeable data.  ``alpha`` is a decimal STRING
+    (the L172 weighted-quantile convention) so the (n+1)(1−α)
+    threshold is computed in EXACT decimal and the ceiling cannot
+    wobble across engines; q̂ is an order statistic — engine-exact,
+    no float summation at all.  k > n (α too small for the
+    calibration size — the finite-sample guarantee is vacuous)
+    yields NULL q̂, loudly.
+
+    Scale shape: one keyed window sort (the semantics) + a broadcast
+    of per-group k; 100 TB of scores scans once."""
+    a = F.lit(alpha).cast("decimal(9,6)")
+    flt = df.filter(F.col(score_col).isNotNull()).select(
+        *by, F.col(score_col).alias("_s")
+    )
+    sizes = flt.groupBy(*by).agg(F.count(F.lit(1)).alias("n"))
+    sizes = sizes.select(
+        *by,
+        "n",
+        F.ceil(
+            (F.col("n").cast("decimal(20,0)") + 1)
+            * (F.lit(1).cast("decimal(9,6)") - a)
+        ).alias("k"),
+    )
+    w = Window.partitionBy(*by).orderBy("_s")
+    ranked = flt.withColumn("_rn", F.row_number().over(w))
+    hit = ranked.join(
+        F.broadcast(sizes), list(by)
+    ).filter(F.col("_rn") == F.col("k"))
+    picked = hit.groupBy(*by).agg(F.max("_s").alias("qhat"))
+    return (
+        sizes.join(picked, list(by), "left")
+        .select(*by, "n", "k", "qhat")
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 4,
+) -> DataFrame:
+    """One row ``(n, ece, mce)`` — Expected / Maximum Calibration
+    Error, the scalar roll-ups of the L166 reliability table (Naeini
+    et al. 2015): ECE = Σ_b (n_b/n)·|acc_b − conf_b|, which with
+    conf = mean predicted probability collapses EXACTLY to
+
+        ece = Σ_b |Σy_b − Σp_b| / n
+
+    — a sum of absolute differences of exact decimal bin sums, ONE
+    IEEE division: bit-identical, ungridded.  MCE is the max per-bin
+    gap |Σy_b − Σp_b|/n_b — a max over one-division doubles of exact
+    decimals, equally deterministic.  Binning and input validation
+    follow ``calibration_bins`` exactly."""
+    if n_bins < 1:
+        raise ValueError("expected_calibration_error: n_bins must be >= 1")
+    base = _prepared(df, prob_col, label_col, scale)
+    dec = f"decimal(12,{scale})"
+    bin_ = F.least(
+        F.floor(F.col("_p") * F.lit(n_bins)).cast("int"), F.lit(n_bins - 1)
+    )
+    agg = base.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.sum("_p").alias("_sp"),
+        F.sum(F.col("_y").cast(dec)).alias("_sy"),
+    )
+    gap = F.abs(F.col("_sy") - F.col("_sp"))
+    out = agg.agg(
+        F.sum("_nb").alias("n"),
+        F.sum(gap).alias("_sgap"),
+        F.max(
+            gap.cast("double") / F.col("_nb").cast("double")
+        ).alias("mce"),
+    )
+    return out.select(
+        "n",
+        (F.col("_sgap").cast("double") / F.col("n").cast("double")).alias(
+            "ece"
+        ),
+        "mce",
     )

@@ -160,3 +160,85 @@ class TestIsotonicFit:
         df = self._make(spark, rates)
         for r in isotonic_fit(df, "p", "y", n_bins=10).collect():
             assert abs(r["iso"] - r["frac_pos"]) < 1e-12
+
+
+class TestConformalQuantile:
+    def _df(self, spark, scores):
+        return spark.createDataFrame(
+            [("g", float(s)) for s in scores], "g string, s double"
+        )
+
+    def test_textbook_indexing(self, spark):
+        from lmss_entity_extractor_spark.ops.calibration import (
+            conformal_quantile,
+        )
+
+        # n=9, alpha=0.1: k = ceil(10*0.9) = 9 -> the 9th smallest
+        scores = [0.1, 0.5, 0.3, 0.9, 0.7, 0.2, 0.8, 0.4, 0.6]
+        r = conformal_quantile(
+            self._df(spark, scores), ["g"], "s", alpha="0.1"
+        ).collect()[0]
+        assert r["n"] == 9 and r["k"] == 9
+        assert r["qhat"] == 0.9
+
+    def test_exact_boundary(self, spark):
+        from lmss_entity_extractor_spark.ops.calibration import (
+            conformal_quantile,
+        )
+
+        # n=19, alpha=0.05: k = ceil(20*0.95) = 19 exactly (decimal
+        # arithmetic must not wobble the ceiling)
+        scores = [i / 100.0 for i in range(1, 20)]
+        r = conformal_quantile(
+            self._df(spark, scores), ["g"], "s", alpha="0.05"
+        ).collect()[0]
+        assert r["k"] == 19 and r["qhat"] == 0.19
+
+    def test_vacuous_guarantee_null(self, spark):
+        from lmss_entity_extractor_spark.ops.calibration import (
+            conformal_quantile,
+        )
+
+        # n=3, alpha=0.1: k = ceil(4*0.9) = 4 > n -> NULL
+        r = conformal_quantile(
+            self._df(spark, [0.1, 0.2, 0.3]), ["g"], "s", alpha="0.1"
+        ).collect()[0]
+        assert r["k"] == 4 and r["qhat"] is None
+
+
+class TestExpectedCalibrationError:
+    def test_python_reference(self, spark):
+        from lmss_entity_extractor_spark.ops.calibration import (
+            expected_calibration_error,
+        )
+
+        rows = []
+        for i in range(200):
+            p = (i % 100) / 100.0
+            y = 1 if (i * 7) % 100 < i % 100 else 0
+            rows.append((p, y))
+        df = spark.createDataFrame(rows, "p double, y int")
+        # reference over 10 bins
+        bins = {}
+        for p, y in rows:
+            b = min(int(p * 10), 9)
+            nb, sp, sy = bins.get(b, (0, 0.0, 0))
+            bins[b] = (nb + 1, sp + p, sy + y)
+        n = len(rows)
+        ece_ref = sum(abs(sy - sp) for _, sp, sy in bins.values()) / n
+        mce_ref = max(abs(sy - sp) / nb for nb, sp, sy in bins.values())
+        r = expected_calibration_error(df, "p", "y", n_bins=10).collect()[0]
+        assert r["n"] == n
+        assert abs(r["ece"] - ece_ref) < 1e-9
+        assert abs(r["mce"] - mce_ref) < 1e-9
+
+    def test_perfectly_calibrated_zero(self, spark):
+        from lmss_entity_extractor_spark.ops.calibration import (
+            expected_calibration_error,
+        )
+
+        # bin mean prob 0.5, empirical rate 0.5 -> ece = mce = 0
+        rows = [(0.5, 1), (0.5, 0)] * 10
+        df = spark.createDataFrame(rows, "p double, y int")
+        r = expected_calibration_error(df, "p", "y").collect()[0]
+        assert r["ece"] == 0.0 and r["mce"] == 0.0
