@@ -4056,6 +4056,47 @@ def q_isotonic(spark, sf_dir):
     return isotonic_fit(_calibration_input(spark, sf_dir), "p", "y", n_bins=10)
 
 
+def q_trimmed(spark, sf_dir):
+    """Trimmed/winsorized means (L204): 5%-trimmed extended price per
+    return flag — exact decimal floor(a*n) cut, engine-exact rank
+    slice, one division per mean."""
+    from lmss_entity_extractor_spark.ops.rankeval import trimmed_stats
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    return trimmed_stats(li, ["flag"], "v", trim="0.05")
+
+
+def q_ratio_metric(spark, sf_dir):
+    """Delta-method ratio metric (L205): revenue-per-unit-quantity
+    with ORDERS as analysis units, per return flag — exact decimal
+    sufficient statistics, fixed IEEE ratio/SE tree."""
+    from lmss_entity_extractor_spark.ops.effectsize import ratio_metric
+
+    units = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_quantity").isNotNull()
+        )
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_orderkey").alias("ok"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("y"),
+        )
+    )
+    return ratio_metric(units, ["flag"], "x", "y")
+
+
 def q_conformal(spark, sf_dir):
     """Split-conformal quantile (L202): per event type, the
     ceil((n+1)(1-alpha))-th smallest value — exact decimal threshold
@@ -6042,6 +6083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier": q_brier,
         "calibration": q_calibration,
         "isotonic": q_isotonic,
+        "trimmed_mean": q_trimmed,
+        "ratio_metric": q_ratio_metric,
         "conformal": q_conformal,
         "ece": q_ece,
         "jaro_join": q_jaro_join,
@@ -9549,6 +9592,107 @@ def oracle_sql() -> dict[str, str]:
                             * (p - CAST(y AS DECIMAL(12,4)))) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS brier
             FROM base
+        """,
+        "trimmed_mean": """
+            -- exact decimal g = floor(a*n); rank-slice sums; one
+            -- division per mean
+            WITH flt AS (
+                SELECT l_returnflag AS flag,
+                       CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ),
+            st AS (
+                SELECT flag, v,
+                       row_number() OVER (PARTITION BY flag
+                           ORDER BY v) AS rn,
+                       CAST(count(*) OVER (PARTITION BY flag)
+                            AS BIGINT) AS n
+                FROM flt
+            ),
+            st2 AS (
+                SELECT *,
+                       CAST(floor(CAST('0.05' AS DECIMAL(9,6))
+                                  * CAST(n AS DECIMAL(20,0)))
+                            AS BIGINT) AS g
+                FROM st
+            ),
+            agg AS (
+                SELECT flag, max(n) AS n, max(g) AS gg,
+                       sum(CASE WHEN rn > g AND rn <= n - g
+                           THEN v END) AS skept,
+                       CAST(sum(CASE WHEN rn > g AND rn <= n - g
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_used,
+                       max(CASE WHEN rn = g + 1 THEN v END) AS vlo,
+                       max(CASE WHEN rn = n - g THEN v END) AS vhi
+                FROM st2 GROUP BY 1
+            )
+            SELECT flag, n, n_used,
+                   CASE WHEN n_used > 0
+                        THEN CAST(skept AS DOUBLE)
+                             / CAST(n_used AS DOUBLE)
+                   END AS trimmed_mean,
+                   CASE WHEN n_used > 0
+                        THEN CAST(skept + gg * vlo + gg * vhi
+                                  AS DOUBLE) / CAST(n AS DOUBLE)
+                   END AS winsorized_mean
+            FROM agg
+        """,
+        "ratio_metric": """
+            -- delta-method ratio SE over order-level units: exact
+            -- decimal sufficient stats, fixed IEEE tree
+            WITH units AS (
+                SELECT l_returnflag AS flag, l_orderkey,
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                            AS DECIMAL(18,2)) AS x,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                            AS DECIMAL(18,2)) AS y
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND l_quantity IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(y * y) AS syy,
+                       sum(x * y) AS sxy
+                FROM units GROUP BY 1
+            ),
+            fin AS (
+                SELECT flag, n,
+                       CAST(sx AS DOUBLE) AS sxd,
+                       CAST(sy AS DOUBLE) AS syd,
+                       CAST(sxx AS DOUBLE) AS sxxd,
+                       CAST(syy AS DOUBLE) AS syyd,
+                       CAST(sxy AS DOUBLE) AS sxyd,
+                       CAST(n AS DOUBLE) AS nd
+                FROM agg
+            )
+            SELECT flag, n,
+                   CASE WHEN n > 1 AND syd <> 0
+                        THEN sxd / syd END AS ratio,
+                   CASE WHEN n > 1 AND syd <> 0
+                             AND ((nd * sxxd - sxd * sxd)
+                                  / (nd * (nd - 1.0))
+                                  + (sxd / syd) * (sxd / syd)
+                                    * ((nd * syyd - syd * syd)
+                                       / (nd * (nd - 1.0)))
+                                  - 2.0 * (sxd / syd)
+                                    * ((nd * sxyd - sxd * syd)
+                                       / (nd * (nd - 1.0))))
+                                 / (nd * (syd / nd) * (syd / nd)) >= 0
+                        THEN sqrt(((nd * sxxd - sxd * sxd)
+                                   / (nd * (nd - 1.0))
+                                   + (sxd / syd) * (sxd / syd)
+                                     * ((nd * syyd - syd * syd)
+                                        / (nd * (nd - 1.0)))
+                                   - 2.0 * (sxd / syd)
+                                     * ((nd * sxyd - sxd * syd)
+                                        / (nd * (nd - 1.0))))
+                                  / (nd * (syd / nd) * (syd / nd)))
+                   END AS se
+            FROM fin
         """,
         "conformal": """
             -- split-conformal: exact decimal ceil((n+1)(1-a)), k-th

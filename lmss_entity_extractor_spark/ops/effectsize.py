@@ -129,3 +129,64 @@ def cohens_d(
         F.when(okv, d).alias("d"),
         F.when(okv, g).alias("hedges_g"),
     )
+
+
+def ratio_metric(
+    df: DataFrame,
+    by: list[str],
+    num_col: str,
+    den_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, ratio, se)`` — a ratio metric R = Σx/Σy with its
+    DELTA-METHOD standard error over analysis units (Deng, Knoblich &
+    Lu 2018 — the experimentation workhorse for per-user ratios like
+    revenue/session where naive row-level variance is wrong because
+    the denominator is random too):
+
+        R      = Σx / Σy
+        var(R) = (s_x² + R²·s_y² − 2R·s_xy) / (n·ȳ²)
+
+    with unit-level sample (co)variances from EXACT DECIMAL sufficient
+    statistics (n, Σx, Σy, Σx², Σy², Σxy — the L135/L139 discipline)
+    and then one fixed IEEE tree: bit-identical, ungridded.  n < 2 or
+    Σy = 0 yields NULL ratio/se; a negative variance estimate (the
+    delta approximation can go below 0 in degenerate corners) yields
+    NULL se rather than a NaN sqrt.
+
+    Scale shape: ONE combinable groupBy over the unit table; 100 TB
+    scans once."""
+    dec = f"decimal(18,{scale})"
+    xd = F.col(num_col).cast(dec)
+    yd = F.col(den_col).cast(dec)
+    agg = (
+        df.filter(F.col(num_col).isNotNull() & F.col(den_col).isNotNull())
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xd).alias("_sx"),
+            F.sum(yd).alias("_sy"),
+            F.sum(xd * xd).alias("_sxx"),
+            F.sum(yd * yd).alias("_syy"),
+            F.sum(xd * yd).alias("_sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    r = sx / sy
+    ybar = sy / nd
+    vx = (nd * sxx - sx * sx) / (nd * (nd - F.lit(1.0)))
+    vy = (nd * syy - sy * sy) / (nd * (nd - F.lit(1.0)))
+    cxy = (nd * sxy - sx * sy) / (nd * (nd - F.lit(1.0)))
+    var = (vx + r * r * vy - F.lit(2.0) * r * cxy) / (nd * ybar * ybar)
+    ok = (F.col("n") > 1) & (F.col("_sy") != F.lit(0).cast(dec))
+    return agg.select(
+        *by,
+        "n",
+        F.when(ok, r).alias("ratio"),
+        F.when(ok & (var >= 0), F.sqrt(var)).alias("se"),
+    )

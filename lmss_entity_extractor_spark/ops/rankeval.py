@@ -666,3 +666,80 @@ def jonckheere_terpstra(
     return out.select(
         *by, "n", "k", jt.alias("jt"), F.when(ok, z).alias("z")
     )
+
+
+def trimmed_stats(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    trim: str = "0.05",
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, n_used, trimmed_mean, winsorized_mean)`` — the
+    α-trimmed and α-winsorized means, the robust location estimates
+    between the mean (efficient, fragile) and the median (robust,
+    wasteful): drop — or clamp to the cut values — the lowest and
+    highest g = ⌊α·n⌋ observations per group.
+
+    ``trim`` is a decimal STRING (the L172/L202 convention) so
+    g = ⌊α·n⌋ is exact decimal arithmetic — no float wobble at exact
+    multiples.  Values are summed at DECIMAL(18,scale) (exact); with
+    rank positions from ONE keyed window sort,
+
+        trimmed    = Σ_{g < rn ≤ n−g} v / (n − 2g)
+        winsorized = (Σ_kept + g·v_(g+1) + g·v_(n−g)) / n
+
+    — order statistics are engine-exact and the kept MULTISET is
+    determined by rank positions alone (boundary ties drop
+    interchangeable copies), so both means are exact-sum-then-ONE-
+    division: bit-identical, ungridded.  Groups where trimming
+    consumes everything (n ≤ 2g) yield NULLs.
+
+    Scale shape: one keyed window sort (the semantics) + one
+    combinable conditional agg.  100 TB scans once."""
+    dec = f"decimal(18,{scale})"
+    a = F.lit(trim).cast("decimal(9,6)")
+    flt = df.filter(F.col(value_col).isNotNull()).select(
+        *by, F.col(value_col).cast(dec).alias("_v")
+    )
+    w = Window.partitionBy(*by).orderBy("_v")
+    tot = Window.partitionBy(*by)
+    staged = flt.select(
+        *by,
+        "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(tot).alias("_n"),
+    ).withColumn(
+        "_g",
+        F.floor(a * F.col("_n").cast("decimal(20,0)")).cast("long"),
+    )
+    kept = (F.col("_rn") > F.col("_g")) & (
+        F.col("_rn") <= F.col("_n") - F.col("_g")
+    )
+    agg = staged.groupBy(*by).agg(
+        F.max("_n").alias("n"),
+        F.max("_g").alias("_gg"),
+        F.sum(F.when(kept, F.col("_v"))).alias("_skept"),
+        F.sum(kept.cast("long")).alias("n_used"),
+        F.max(
+            F.when(F.col("_rn") == F.col("_g") + 1, F.col("_v"))
+        ).alias("_vlo"),
+        F.max(
+            F.when(F.col("_rn") == F.col("_n") - F.col("_g"), F.col("_v"))
+        ).alias("_vhi"),
+    )
+    gd = F.col("_gg").cast(dec)
+    wsum = F.col("_skept") + gd * F.col("_vlo") + gd * F.col("_vhi")
+    ok = F.col("n_used") > 0
+    return agg.select(
+        *by,
+        "n",
+        "n_used",
+        F.when(
+            ok,
+            F.col("_skept").cast("double") / F.col("n_used").cast("double"),
+        ).alias("trimmed_mean"),
+        F.when(
+            ok, wsum.cast("double") / F.col("n").cast("double")
+        ).alias("winsorized_mean"),
+    )

@@ -230,3 +230,49 @@ class TestCramersV:
         df = spark.createDataFrame(rows, "cx string, cy string")
         row = cramers_v(df, "cx", "cy").collect()[0]
         assert row["v"] is None
+
+
+class TestRatioMetric:
+    def test_python_reference(self, spark):
+        from lmss_entity_extractor_spark.ops.effectsize import ratio_metric
+
+        units = [
+            (3.0, 2.0), (5.0, 4.0), (1.0, 1.0), (7.0, 3.0), (2.0, 2.0),
+            (4.0, 5.0), (6.0, 2.0), (0.0, 1.0),
+        ]
+        df = spark.createDataFrame(
+            [("g", x, y) for x, y in units], "g string, x double, y double"
+        )
+        n = len(units)
+        sx = sum(x for x, _ in units)
+        sy = sum(y for _, y in units)
+        r_ref = sx / sy
+        mx, my = sx / n, sy / n
+        vx = sum((x - mx) ** 2 for x, _ in units) / (n - 1)
+        vy = sum((y - my) ** 2 for _, y in units) / (n - 1)
+        cxy = sum((x - mx) * (y - my) for x, y in units) / (n - 1)
+        var = (vx + r_ref**2 * vy - 2 * r_ref * cxy) / (n * my**2)
+        r = ratio_metric(df, ["g"], "x", "y").collect()[0]
+        assert r["n"] == n
+        assert abs(r["ratio"] - r_ref) < 1e-12
+        assert abs(r["se"] - var**0.5) < 1e-9
+
+    def test_constant_ratio_zero_se(self, spark):
+        from lmss_entity_extractor_spark.ops.effectsize import ratio_metric
+
+        # x = 2y exactly for every unit: delta variance is 0
+        df = spark.createDataFrame(
+            [("g", 2.0 * y, y) for y in (1.0, 2.0, 3.0, 4.0)],
+            "g string, x double, y double",
+        )
+        r = ratio_metric(df, ["g"], "x", "y").collect()[0]
+        assert r["ratio"] == 2.0 and abs(r["se"]) < 1e-12
+
+    def test_degenerate_null(self, spark):
+        from lmss_entity_extractor_spark.ops.effectsize import ratio_metric
+
+        df = spark.createDataFrame(
+            [("g", 1.0, 1.0)], "g string, x double, y double"
+        )
+        r = ratio_metric(df, ["g"], "x", "y").collect()[0]
+        assert r["ratio"] is None and r["se"] is None

@@ -431,3 +431,53 @@ class TestJonckheereTerpstra:
             self._df(spark, {"a": [1, 2, 3]}), ["g"], "lvl", "v"
         ).collect()[0]
         assert r["z"] is None
+
+
+class TestTrimmedStats:
+    def _df(self, spark, vals):
+        return spark.createDataFrame(
+            [("g", float(v)) for v in vals], "g string, v double"
+        )
+
+    def test_hand_computed(self, spark):
+        from lmss_entity_extractor_spark.ops.rankeval import trimmed_stats
+
+        # n=10, trim=0.1 -> g=1: drop 1 and 100
+        vals = [100, 1, 5, 6, 7, 8, 9, 10, 11, 12]
+        r = trimmed_stats(
+            self._df(spark, vals), ["g"], "v", trim="0.1"
+        ).collect()[0]
+        kept = [5, 6, 7, 8, 9, 10, 11, 12]
+        assert r["n"] == 10 and r["n_used"] == 8
+        assert abs(r["trimmed_mean"] - sum(kept) / 8) < 1e-12
+        # winsorized: 1 -> 5, 100 -> 12
+        wref = (sum(kept) + 5 + 12) / 10
+        assert abs(r["winsorized_mean"] - wref) < 1e-12
+
+    def test_no_trim_equals_mean(self, spark):
+        from lmss_entity_extractor_spark.ops.rankeval import trimmed_stats
+
+        vals = [1, 2, 3, 4]
+        r = trimmed_stats(
+            self._df(spark, vals), ["g"], "v", trim="0.0"
+        ).collect()[0]
+        assert r["trimmed_mean"] == 2.5 and r["winsorized_mean"] == 2.5
+
+    def test_exact_multiple_boundary(self, spark):
+        from lmss_entity_extractor_spark.ops.rankeval import trimmed_stats
+
+        # n=20, trim=0.05 -> g = floor(1.0) = 1 EXACTLY (decimal)
+        vals = list(range(1, 21))
+        r = trimmed_stats(
+            self._df(spark, vals), ["g"], "v", trim="0.05"
+        ).collect()[0]
+        assert r["n_used"] == 18
+        assert abs(r["trimmed_mean"] - sum(range(2, 20)) / 18) < 1e-12
+
+    def test_overtrimmed_null(self, spark):
+        from lmss_entity_extractor_spark.ops.rankeval import trimmed_stats
+
+        r = trimmed_stats(
+            self._df(spark, [1, 2]), ["g"], "v", trim="0.5"
+        ).collect()[0]
+        assert r["trimmed_mean"] is None and r["winsorized_mean"] is None
