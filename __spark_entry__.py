@@ -4056,6 +4056,42 @@ def q_isotonic(spark, sf_dir):
     return isotonic_fit(_calibration_input(spark, sf_dir), "p", "y", n_bins=10)
 
 
+def q_forecast_acc(spark, sf_dir):
+    """Forecast accuracy (L206): persistence forecast of event values
+    per type scored with MAE/RMSE/WAPE and season-7 MASE — exact
+    decimal error sums, one fixed tree per metric."""
+    from pyspark.sql import Window
+
+    from lmss_entity_extractor_spark.ops.timeseries import forecast_accuracy
+
+    w = Window.partitionBy("g").orderBy("t")
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            F.col("event_id").alias("t"),
+            F.floor("value").alias("y"),
+        )
+        .withColumn("p", F.lag("y").over(w))
+    )
+    return forecast_accuracy(e, ["g"], "t", "y", "p", season=7)
+
+
+def q_gains(spark, sf_dir):
+    """Cumulative gains / lift table (L207): orders ranked by total
+    price with a divisible-by-3 key as the positive label — exact
+    ntile buckets via integer arithmetic, one division per rate."""
+    from lmss_entity_extractor_spark.ops.evalmetrics import gains_table
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderkey") % 3 == 0).cast("int").alias("y"),
+    )
+    return gains_table(o, "score", "y", "id", n_buckets=10)
+
+
 def q_trimmed(spark, sf_dir):
     """Trimmed/winsorized means (L204): 5%-trimmed extended price per
     return flag — exact decimal floor(a*n) cut, engine-exact rank
@@ -6083,6 +6119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier": q_brier,
         "calibration": q_calibration,
         "isotonic": q_isotonic,
+        "forecast_acc": q_forecast_acc,
+        "gains": q_gains,
         "trimmed_mean": q_trimmed,
         "ratio_metric": q_ratio_metric,
         "conformal": q_conformal,
@@ -9592,6 +9630,103 @@ def oracle_sql() -> dict[str, str]:
                             * (p - CAST(y AS DECIMAL(12,4)))) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS brier
             FROM base
+        """,
+        "forecast_acc": """
+            -- persistence forecast scored with exact decimal sums;
+            -- MASE vs the season-7 naive over the SAME filtered rows
+            WITH base AS (
+                SELECT event_type AS g, event_id AS t,
+                       CAST(floor(value) AS BIGINT) AS y
+                FROM events
+                WHERE value IS NOT NULL AND event_id IS NOT NULL
+            ),
+            wp AS (
+                SELECT g, t, y,
+                       lag(y) OVER (PARTITION BY g ORDER BY t) AS p
+                FROM base
+            ),
+            flt AS (SELECT * FROM wp WHERE p IS NOT NULL),
+            st AS (
+                SELECT g,
+                       CAST(y AS DECIMAL(18,2)) AS yd,
+                       CAST(y AS DECIMAL(18,2))
+                       - CAST(p AS DECIMAL(18,2)) AS e,
+                       CAST(y AS DECIMAL(18,2))
+                       - lag(CAST(y AS DECIMAL(18,2)), 7)
+                         OVER (PARTITION BY g ORDER BY t) AS nv
+                FROM flt
+            ),
+            agg AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n,
+                       sum(abs(e)) AS sae, sum(e * e) AS sse,
+                       sum(abs(yd)) AS say, sum(abs(nv)) AS snv,
+                       CAST(sum(CASE WHEN nv IS NOT NULL THEN 1
+                                ELSE 0 END) AS BIGINT) AS nn
+                FROM st GROUP BY 1
+            )
+            SELECT g, n,
+                   CAST(sae AS DOUBLE) / CAST(n AS DOUBLE) AS mae,
+                   sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS rmse,
+                   CASE WHEN say > 0
+                        THEN CAST(sae AS DOUBLE)
+                             / CAST(say AS DOUBLE) END AS wape,
+                   CASE WHEN snv > 0 AND nn > 0
+                        THEN (CAST(sae AS DOUBLE) / CAST(n AS DOUBLE))
+                             / (CAST(snv AS DOUBLE)
+                                / CAST(nn AS DOUBLE)) END AS mase
+            FROM agg
+        """,
+        "gains": """
+            -- exact integer ntile buckets over (score DESC, id) with
+            -- one division per rate
+            WITH flt AS (
+                SELECT o_orderkey AS id, o_totalprice AS score,
+                       CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END
+                           AS y
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+                  AND o_orderkey IS NOT NULL
+            ),
+            ranked AS (
+                SELECT y,
+                       row_number() OVER (ORDER BY score DESC, id)
+                           AS rn,
+                       CAST(count(*) OVER () AS BIGINT) AS n
+                FROM flt
+            ),
+            per AS (
+                SELECT (rn * 10 + n - 1) // n AS bucket,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(y) AS BIGINT) AS pos
+                FROM ranked GROUP BY 1
+            ),
+            staged AS (
+                SELECT bucket, n, pos,
+                       CAST(sum(pos) OVER (ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum_pos,
+                       CAST(sum(n) OVER (ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum_n,
+                       CAST(sum(pos) OVER () AS BIGINT) AS p,
+                       CAST(sum(n) OVER () AS BIGINT) AS nt
+                FROM per
+            )
+            SELECT bucket, n, pos, cum_pos,
+                   CASE WHEN p > 0
+                        THEN CAST(cum_pos AS DOUBLE)
+                             / CAST(p AS DOUBLE) END AS capture,
+                   CASE WHEN p > 0
+                        THEN (CAST(pos AS DOUBLE) * CAST(nt AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(p AS DOUBLE))
+                   END AS lift,
+                   CASE WHEN p > 0
+                        THEN (CAST(cum_pos AS DOUBLE)
+                              * CAST(nt AS DOUBLE))
+                             / (CAST(cum_n AS DOUBLE)
+                                * CAST(p AS DOUBLE)) END AS cum_lift
+            FROM staged
         """,
         "trimmed_mean": """
             -- exact decimal g = floor(a*n); rank-slice sums; one

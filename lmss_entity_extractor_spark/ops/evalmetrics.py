@@ -20,7 +20,7 @@ No reference counterpart; evaluation analytics per SURVEY §2.11.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -475,4 +475,96 @@ def rbo_overlap(
         "n_common",
         rbo.alias("rbo"),
         ext.alias("rbo_ext"),
+    )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """``(bucket, n, pos, cum_pos, capture, lift, cum_lift)`` — the
+    cumulative gains / lift table: rank rows by model score
+    descending, cut into ``n_buckets`` equal-count buckets, and ask
+    of each "how many of all positives has the top-X% captured, and
+    at what multiple of the base rate" — the targeting-economics view
+    of a ranking model that ROC-AUC (L146) summarizes away.
+
+    Ordering is (score DESC, id ASC) — the explicit tiebreak makes
+    bucket assignment deterministic (ntile over an under-specified
+    sort would shuffle ties between buckets per run; the id column is
+    the contract).  Bucket b gets rows with ⌈rn·B/n⌉ = b (the exact
+    ntile partition, computed as (rn·B + n − 1) DIV n in INTEGER
+    arithmetic — no float boundary).  Per bucket, with P total
+    positives and N total rows:
+
+        capture  = cum_pos / P          lift     = pos·N / (n_b·P)
+        cum_lift = cum_pos·N / (cum_n·P)
+
+    — exact integer counts, one IEEE division per output value:
+    bit-identical, ungridded.  P = 0 yields NULL rates.
+
+    Scale shape: one global window sort (the semantics — same cost
+    class as any top-k ranking) + one combinable bucket agg + a
+    bounded B-row cumulative window."""
+    if n_buckets < 1:
+        raise ValueError("gains_table: n_buckets must be >= 1")
+    flt = df.filter(
+        F.col(score_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    )
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    ranked = flt.select(
+        F.col(label_col).cast("int").alias("_y"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    bucket = (
+        (F.col("_rn") * n_buckets + F.col("_n") - 1) / F.col("_n")
+    ).cast("long")
+    per = ranked.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("pos"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = per.select(
+        "bucket",
+        "n",
+        "pos",
+        F.sum("pos").over(wc).alias("cum_pos"),
+        F.sum("n").over(wc).alias("_cum_n"),
+        F.sum("pos").over(wt).alias("_p"),
+        F.sum("n").over(wt).alias("_nt"),
+    )
+    pd_ = F.col("_p").cast("double")
+    ntd = F.col("_nt").cast("double")
+    ok = F.col("_p") > 0
+    return staged.select(
+        "bucket",
+        "n",
+        "pos",
+        "cum_pos",
+        F.when(ok, F.col("cum_pos").cast("double") / pd_).alias("capture"),
+        F.when(
+            ok,
+            (F.col("pos").cast("double") * ntd)
+            / (F.col("n").cast("double") * pd_),
+        ).alias("lift"),
+        F.when(
+            ok,
+            (F.col("cum_pos").cast("double") * ntd)
+            / (F.col("_cum_n").cast("double") * pd_),
+        ).alias("cum_lift"),
     )

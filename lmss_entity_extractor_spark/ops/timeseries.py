@@ -292,3 +292,87 @@ def ohlc_bars(
         F.max_by("_v", "_t").alias("close"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def forecast_accuracy(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    actual_col: str,
+    pred_col: str,
+    season: int = 1,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, mae, rmse, wape, mase)`` — the forecasting
+    scoreboard per series: mean absolute error, root-mean-square
+    error, weighted absolute percentage error, and the mean absolute
+    SCALED error (Hyndman & Koehler 2006 — MAE relative to the
+    in-sample seasonal-naive forecast, the only one of the four that
+    is unit-free AND defined when actuals cross zero):
+
+        mae  = Σ|e| / n                 rmse = sqrt(Σe² / n)
+        wape = Σ|e| / Σ|y|
+        mase = (Σ|e| / n) / (Σ|y_t − y_{t−season}| / n_naive)
+
+    All sums are exact DECIMAL (values contract-quantized at
+    DECIMAL(18,scale), the L182 discipline); each metric is one fixed
+    IEEE tree over exact sums — bit-identical, ungridded.  The naive
+    denominator walks each series in ``order_col`` order (ONE keyed
+    window lag); duplicate order keys are REFUSED (the lag would be
+    nondeterministic — same rule as TWAP/OHLC).  Σ|y| = 0 → NULL
+    wape; Σ|naive| = 0 (constant/short series) → NULL mase.
+
+    Scale shape: one keyed window sort + one combinable agg; 100 TB
+    scans once."""
+    if season < 1:
+        raise ValueError("forecast_accuracy: season must be >= 1")
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(
+        F.col(order_col).isNotNull()
+        & F.col(actual_col).isNotNull()
+        & F.col(pred_col).isNotNull()
+    )
+    n_dup = (
+        flt.groupBy(*by, order_col).count().filter(F.col("count") > 1).count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"forecast_accuracy: {n_dup} duplicate order key(s) within a "
+            "series — the seasonal-naive lag is undefined; dedup first"
+        )
+    y = F.col(actual_col).cast(dec)
+    p = F.col(pred_col).cast(dec)
+    w = Window.partitionBy(*by).orderBy(order_col)
+    staged = flt.select(
+        *by,
+        y.alias("_y"),
+        (y - p).alias("_e"),
+        (y - F.lag(y, season).over(w)).alias("_nv"),
+    )
+    agg = staged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(F.col("_e"))).alias("_sae"),
+        F.sum(F.col("_e") * F.col("_e")).alias("_sse"),
+        F.sum(F.abs(F.col("_y"))).alias("_say"),
+        F.sum(F.abs(F.col("_nv"))).alias("_snv"),
+        F.sum(F.col("_nv").isNotNull().cast("long")).alias("_nn"),
+    )
+    nd = F.col("n").cast("double")
+    sae = F.col("_sae").cast("double")
+    return agg.select(
+        *by,
+        "n",
+        (sae / nd).alias("mae"),
+        F.sqrt(F.col("_sse").cast("double") / nd).alias("rmse"),
+        F.when(
+            F.col("_say") > 0, sae / F.col("_say").cast("double")
+        ).alias("wape"),
+        F.when(
+            (F.col("_snv") > 0) & (F.col("_nn") > 0),
+            (sae / nd)
+            / (
+                F.col("_snv").cast("double")
+                / F.col("_nn").cast("double")
+            ),
+        ).alias("mase"),
+    )

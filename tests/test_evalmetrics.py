@@ -353,3 +353,60 @@ class TestRboOverlap:
             self._df(spark, base), self._df(spark, bot), k=4
         ).collect()[0]["rbo"]
         assert r_top > r_bot
+
+
+class TestGainsTable:
+    def test_python_reference(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import gains_table
+
+        rows = [
+            (i, (97 * i) % 100 / 100.0, 1 if (i * 13) % 7 < 2 else 0)
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "id int, score double, y int")
+        # python reference: sort by (-score, id), 10 buckets
+        ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+        n = len(ordered)
+        buckets = {}
+        for rn, (_, _, y) in enumerate(ordered, 1):
+            b = (rn * 10 + n - 1) // n
+            nb, pb = buckets.get(b, (0, 0))
+            buckets[b] = (nb + 1, pb + y)
+        p_tot = sum(p for _, p in buckets.values())
+        got = {
+            r["bucket"]: r
+            for r in gains_table(df, "score", "y", "id", 10).collect()
+        }
+        cum_p = cum_n = 0
+        for b in sorted(buckets):
+            nb, pb = buckets[b]
+            cum_p += pb
+            cum_n += nb
+            r = got[b]
+            assert r["n"] == nb and r["pos"] == pb and r["cum_pos"] == cum_p
+            assert abs(r["capture"] - cum_p / p_tot) < 1e-12
+            assert abs(r["lift"] - (pb * n) / (nb * p_tot)) < 1e-12
+            assert abs(r["cum_lift"] - (cum_p * n) / (cum_n * p_tot)) < 1e-12
+
+    def test_perfect_model_front_loads(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import gains_table
+
+        # scores equal to labels: all positives land in the top bucket
+        rows = [(i, 1.0 if i < 10 else 0.0, 1 if i < 10 else 0)
+                for i in range(100)]
+        df = spark.createDataFrame(rows, "id int, score double, y int")
+        got = {
+            r["bucket"]: r
+            for r in gains_table(df, "score", "y", "id", 10).collect()
+        }
+        assert got[1]["pos"] == 10 and abs(got[1]["capture"] - 1.0) < 1e-12
+        assert abs(got[1]["lift"] - 10.0) < 1e-12
+        assert got[10]["pos"] == 0 and abs(got[10]["cum_lift"] - 1.0) < 1e-12
+
+    def test_no_positives_null(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import gains_table
+
+        rows = [(i, float(i), 0) for i in range(20)]
+        df = spark.createDataFrame(rows, "id int, score double, y int")
+        for r in gains_table(df, "score", "y", "id", 4).collect():
+            assert r["capture"] is None and r["lift"] is None

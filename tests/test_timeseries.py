@@ -54,3 +54,76 @@ def test_alpha_validated_and_length_guard_loud(spark):
     long = _series(spark, range(30))
     with pytest.raises(Exception, match="max_len"):
         ewma(long, "k", "t", "x", max_len=10).collect()
+
+
+class TestForecastAccuracy:
+    def _df(self, spark, series):
+        rows = [
+            ("g", t, float(y), float(p))
+            for t, (y, p) in enumerate(series)
+        ]
+        return spark.createDataFrame(
+            rows, "g string, t int, y double, p double"
+        )
+
+    def test_python_reference(self, spark):
+        from lmss_entity_extractor_spark.ops.timeseries import (
+            forecast_accuracy,
+        )
+
+        ys = [3, 5, 4, 6, 8, 7, 9, 12, 10, 11]
+        ps = [2, 4, 5, 5, 7, 8, 8, 11, 11, 10]
+        series = list(zip(ys, ps))
+        r = forecast_accuracy(
+            self._df(spark, series), ["g"], "t", "y", "p", season=1
+        ).collect()[0]
+        n = len(ys)
+        es = [y - p for y, p in series]
+        mae = sum(abs(e) for e in es) / n
+        rmse = (sum(e * e for e in es) / n) ** 0.5
+        wape = sum(abs(e) for e in es) / sum(abs(y) for y in ys)
+        naive = [abs(ys[i] - ys[i - 1]) for i in range(1, n)]
+        mase = mae / (sum(naive) / len(naive))
+        assert r["n"] == n
+        assert abs(r["mae"] - mae) < 1e-12
+        assert abs(r["rmse"] - rmse) < 1e-12
+        assert abs(r["wape"] - wape) < 1e-12
+        assert abs(r["mase"] - mase) < 1e-12
+
+    def test_seasonal_naive(self, spark):
+        from lmss_entity_extractor_spark.ops.timeseries import (
+            forecast_accuracy,
+        )
+
+        ys = [10, 20, 30, 11, 21, 31, 12, 22, 32]
+        ps = ys  # perfect forecast: mae = 0, mase = 0
+        r = forecast_accuracy(
+            self._df(spark, list(zip(ys, ps))), ["g"], "t", "y", "p",
+            season=3,
+        ).collect()[0]
+        assert r["mae"] == 0.0 and r["mase"] == 0.0
+
+    def test_constant_series_null_mase(self, spark):
+        from lmss_entity_extractor_spark.ops.timeseries import (
+            forecast_accuracy,
+        )
+
+        series = [(5, 4)] * 6
+        r = forecast_accuracy(
+            self._df(spark, series), ["g"], "t", "y", "p"
+        ).collect()[0]
+        assert r["mase"] is None and r["mae"] == 1.0
+
+    def test_duplicate_order_refused(self, spark):
+        import pytest
+
+        from lmss_entity_extractor_spark.ops.timeseries import (
+            forecast_accuracy,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 1, 1.0, 1.0), ("g", 1, 2.0, 2.0)],
+            "g string, t int, y double, p double",
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            forecast_accuracy(df, ["g"], "t", "y", "p").collect()
