@@ -506,25 +506,54 @@ def gains_table(
     — exact integer counts, one IEEE division per output value:
     bit-identical, ungridded.  P = 0 yields NULL rates.
 
-    Scale shape: one global window sort (the semantics — same cost
-    class as any top-k ranking) + one combinable bucket agg + a
-    bounded B-row cumulative window."""
+    Scale shape: global ranks come from the TWO-PHASE distributed
+    ranking, not a single-partition window — range-repartition on
+    (score DESC, id), per-partition local row_number (parallel keyed
+    windows), then partition row-counts (one tiny driver collect,
+    bounded by partition count) broadcast back as rank offsets.  The
+    result is identical to a global row_number for ANY partition
+    boundary choice, and every heavy stage is partition-parallel; the
+    final cumulative pass runs on the bounded B-row bucket table."""
     if n_buckets < 1:
         raise ValueError("gains_table: n_buckets must be >= 1")
     flt = df.filter(
         F.col(score_col).isNotNull()
         & F.col(label_col).isNotNull()
         & F.col(id_col).isNotNull()
-    )
-    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
-    ranked = flt.select(
+    ).select(
+        F.col(score_col).alias("_s"),
+        F.col(id_col).alias("_id"),
         F.col(label_col).cast("int").alias("_y"),
-        F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("_n"),
+    )
+    parts = flt.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    ranged = flt.repartitionByRange(
+        int(parts), F.col("_s").desc(), F.col("_id").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=False)
+    pc = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
+    rows = sorted((r["_pid"], r["_pc"]) for r in pc.collect())
+    offsets, acc = {}, 0
+    for pid, cnt in rows:
+        offsets[pid] = acc
+        acc += cnt
+    total = acc
+    off = F.element_at(
+        F.create_map(
+            *[
+                F.lit(v)
+                for kv in offsets.items()
+                for v in kv
+            ]
+        ),
+        F.col("_pid"),
+    ) if offsets else F.lit(0)
+    w_local = Window.partitionBy("_pid").orderBy(
+        F.col("_s").desc(), F.col("_id").asc()
+    )
+    ranked = ranged.select(
+        "_y",
+        (F.row_number().over(w_local) + off).alias("_rn"),
+        F.lit(total).alias("_n"),
     )
     bucket = (
         (F.col("_rn") * n_buckets + F.col("_n") - 1) / F.col("_n")
