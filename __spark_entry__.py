@@ -4056,6 +4056,26 @@ def q_isotonic(spark, sf_dir):
     return isotonic_fit(_calibration_input(spark, sf_dir), "p", "y", n_bins=10)
 
 
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS surface (§2.6 companion to rollup/cube): three
+    explicit grouping levels with grouping_id disambiguating the NULL
+    rows — exact decimal revenue, one cast per output."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gsets"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, grouping_id() AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem_gsets
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
 def q_forecast_acc(spark, sf_dir):
     """Forecast accuracy (L206): persistence forecast of event values
     per type scored with MAE/RMSE/WAPE and season-7 MASE — exact
@@ -6119,6 +6139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier": q_brier,
         "calibration": q_calibration,
         "isotonic": q_isotonic,
+        "grouping_sets": q_grouping_sets,
         "forecast_acc": q_forecast_acc,
         "gains": q_gains,
         "trimmed_mean": q_trimmed,
@@ -9630,6 +9651,16 @@ def oracle_sql() -> dict[str, str]:
                             * (p - CAST(y AS DECIMAL(12,4)))) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS brier
             FROM base
+        """,
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   GROUPING(l_returnflag, l_linestatus) AS gid,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
         """,
         "forecast_acc": """
             -- persistence forecast scored with exact decimal sums;
