@@ -10409,36 +10409,39 @@ def oracle_sql() -> dict[str, str]:
             ),
             n1 AS (
                 SELECT flag,
-                       CAST(sum(t * (t - 1)) AS BIGINT) / 2 AS n1
+                       CAST(sum(CAST(t AS HUGEINT) * (t - 1))
+                            AS HUGEINT) // 2 AS n1
                 FROM (SELECT flag, x, CAST(sum(c) AS BIGINT) AS t
                       FROM pts GROUP BY 1, 2)
                 GROUP BY 1
             ),
             n2 AS (
                 SELECT flag,
-                       CAST(sum(t * (t - 1)) AS BIGINT) / 2 AS n2
+                       CAST(sum(CAST(t AS HUGEINT) * (t - 1))
+                            AS HUGEINT) // 2 AS n2
                 FROM (SELECT flag, y, CAST(sum(c) AS BIGINT) AS t
                       FROM pts GROUP BY 1, 2)
                 GROUP BY 1
+            ),
+            dens AS (
+                -- exact integer n0 - n1 / n0 - n2 (mirrors the op's
+                -- DECIMAL arithmetic: subtract exactly, cast ONCE)
+                SELECT s.flag, s.n, s.conc, s.disc,
+                       (CAST(s.n AS HUGEINT) * (s.n - 1)) // 2
+                           - n1.n1 AS da,
+                       (CAST(s.n AS HUGEINT) * (s.n - 1)) // 2
+                           - n2.n2 AS db
+                FROM sums s JOIN n1 USING (flag) JOIN n2 USING (flag)
             )
-            SELECT s.flag, s.n,
-                   CAST(s.conc AS DOUBLE) AS concordant,
-                   CAST(s.disc AS DOUBLE) AS discordant,
-                   CASE WHEN CAST(s.n AS DOUBLE)
-                             * (CAST(s.n AS DOUBLE) - 1) / 2
-                             - n1.n1 > 0
-                         AND CAST(s.n AS DOUBLE)
-                             * (CAST(s.n AS DOUBLE) - 1) / 2
-                             - n2.n2 > 0
-                        THEN CAST(s.conc - s.disc AS DOUBLE)
-                             / sqrt((CAST(s.n AS DOUBLE)
-                                     * (CAST(s.n AS DOUBLE) - 1) / 2
-                                     - n1.n1)
-                                    * (CAST(s.n AS DOUBLE)
-                                       * (CAST(s.n AS DOUBLE) - 1) / 2
-                                       - n2.n2))
+            SELECT flag, n,
+                   CAST(conc AS DOUBLE) AS concordant,
+                   CAST(disc AS DOUBLE) AS discordant,
+                   CASE WHEN da > 0 AND db > 0
+                        THEN CAST(conc - disc AS DOUBLE)
+                             / sqrt(CAST(da AS DOUBLE)
+                                    * CAST(db AS DOUBLE))
                    END AS tau_b
-            FROM sums s JOIN n1 USING (flag) JOIN n2 USING (flag)
+            FROM dens
         """,
         "t_closeness": """
             -- ordered EMD + TVD to the global sensitive distribution:

@@ -143,8 +143,6 @@ def isotonic_fit(
         F.sum("_p").alias("_sp"),
         F.sum("_y").alias("_sy"),
     )
-    from pyspark.sql import Window
-
     w = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -224,6 +222,18 @@ def conformal_quantile(
 
     Scale shape: one keyed window sort (the semantics) + a broadcast
     of per-group k; 100 TB of scores scans once."""
+    import decimal
+
+    try:
+        a_val = decimal.Decimal(alpha)
+    except decimal.InvalidOperation as exc:
+        raise ValueError(
+            f"conformal_quantile: unparseable alpha {alpha!r}"
+        ) from exc
+    if not 0 < a_val < 1:
+        raise ValueError(
+            f"conformal_quantile: alpha must be in (0,1), got {alpha!r}"
+        )
     a = F.lit(alpha).cast("decimal(9,6)")
     flt = df.filter(F.col(score_col).isNotNull()).select(
         *by, F.col(score_col).alias("_s")

@@ -189,9 +189,16 @@ def mcnemar(
     """
     x = F.col(x_col).cast("int")
     y = F.col(y_col).cast("int")
+    flt = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    n_bad = flt.filter(~x.isin([0, 1]) | ~y.isin([0, 1])).count()
+    if n_bad:
+        raise ValueError(
+            f"mcnemar: {n_bad} row(s) with non-binary outcome — both "
+            "columns must be 0/1; treating them as concordant would "
+            "silently shrink the discordant set"
+        )
     agg = (
-        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-        .groupBy(*by)
+        flt.groupBy(*by)
         .agg(
             F.sum(((x == 1) & (y == 0)).cast("long")).alias("b"),
             F.sum(((x == 0) & (y == 1)).cast("long")).alias("c"),
@@ -244,6 +251,8 @@ def fleiss_kappa(
     on its prefix); one (keys, category) agg; one final combinable
     agg per group.  100 TB scans once; no collect, no crossJoin.
     """
+    if m < 1:
+        raise ValueError("fleiss_kappa: m must be >= 1")
     dec = "decimal(38,0)"
     cells = (
         df.filter(
@@ -323,18 +332,25 @@ def cochran_q(
     final combinable agg.  100 TB scans once.
     """
     dec = "decimal(38,0)"
-    cell = (
-        df.filter(
-            F.col(block_col).isNotNull()
-            & F.col(treat_col).isNotNull()
-            & F.col(outcome_col).isNotNull()
+    flt = df.filter(
+        F.col(block_col).isNotNull()
+        & F.col(treat_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+    )
+    yv = F.col(outcome_col).cast("int")
+    n_bad = flt.filter(~yv.isin([0, 1])).count()
+    if n_bad:
+        raise ValueError(
+            f"cochran_q: {n_bad} row(s) with non-binary outcome — "
+            "outcomes must be 0/1"
         )
-        .groupBy(
+    cell = (
+        flt.groupBy(
             *by,
             F.col(block_col).alias("_b"),
             F.col(treat_col).alias("_t"),
         )
-        .agg(F.max(F.col(outcome_col).cast("int")).alias("_y"))
+        .agg(F.max(yv).alias("_y"))
     )
     kdf = cell.groupBy(*by).agg(F.countDistinct("_t").alias("k"))
     per_b = cell.groupBy(*by, "_b").agg(
@@ -407,10 +423,10 @@ def rbo_overlap(
     constants in the same d order (bounded k), so the score is
     bit-identical with no pow() cross-engine wobble.  Queries missing
     from either side simply have those items non-overlapping; a query
-    with no common items scores 0.0 only if it appears in BOTH inputs
-    (inner join on query is NOT taken — the overlap join is per item,
-    and queries with zero overlap are emitted from the union of
-    query ids).
+    with no common items scores 0.0 — output rows come from the UNION
+    of both sides' query ids (the overlap join is per item, so a
+    query present in only one input is also emitted, with
+    n_common = 0).
 
     Scale shape: one equi-join on (query, item); per-query depth
     counts are a bounded k-row expansion; the fold is an ordered
@@ -555,9 +571,7 @@ def gains_table(
         (F.row_number().over(w_local) + off).alias("_rn"),
         F.lit(total).alias("_n"),
     )
-    bucket = (
-        (F.col("_rn") * n_buckets + F.col("_n") - 1) / F.col("_n")
-    ).cast("long")
+    bucket = F.expr(f"(_rn * {n_buckets} + _n - 1) div _n")
     per = ranked.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("_y").alias("pos"),

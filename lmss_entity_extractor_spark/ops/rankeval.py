@@ -697,6 +697,16 @@ def trimmed_stats(
 
     Scale shape: one keyed window sort (the semantics) + one
     combinable conditional agg.  100 TB scans once."""
+    import decimal
+
+    try:
+        t_val = decimal.Decimal(trim)
+    except decimal.InvalidOperation as exc:
+        raise ValueError(f"trimmed_stats: unparseable trim {trim!r}") from exc
+    if not 0 <= t_val < decimal.Decimal("0.5"):
+        raise ValueError(
+            f"trimmed_stats: trim must be in [0, 0.5), got {trim!r}"
+        )
     dec = f"decimal(18,{scale})"
     a = F.lit(trim).cast("decimal(9,6)")
     flt = df.filter(F.col(value_col).isNotNull()).select(

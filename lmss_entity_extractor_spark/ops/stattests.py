@@ -113,6 +113,20 @@ def chi2_independence(
     """One row ``(chi2, dof, n)`` — Pearson's χ² of independence
     between two categorical columns (NULL categories excluded).
     The cell sum is an ordered fold, so the double is engine-stable."""
+    return _chi2_fold(_chi2_terms(df, col_x, col_y)).select(
+        "chi2",
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        F.col("n"),
+    )
+
+
+def _chi2_terms(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Shared χ² cell pipeline: contingency cells, broadcast margins,
+    and the per-cell (o − e)²/e term with e = rt·ct/n computed once —
+    value-identical to the inline-e form the L140 oracle mirrors
+    (the same double is produced however many times the expression is
+    written).  Both chi2_independence and cramers_v consume this, so
+    the expression tree can never silently diverge between them."""
     flt = df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
     cells = flt.groupBy(
         F.col(col_x).alias("x"), F.col(col_y).alias("y")
@@ -124,7 +138,10 @@ def chi2_independence(
         F.count_distinct(F.col("x")).alias("r"),
         F.count_distinct(F.col("y")).alias("c"),
     )
-    terms = (
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    return (
         cells.join(F.broadcast(rows), "x")
         .join(F.broadcast(cols), "y")
         .crossJoin(F.broadcast(tot))
@@ -135,27 +152,11 @@ def chi2_independence(
             "x",
             "y",
             (
-                (
-                    F.col("o").cast("double")
-                    - (F.col("rt") * F.col("ct")).cast("double")
-                    / F.col("n").cast("double")
-                )
-                * (
-                    F.col("o").cast("double")
-                    - (F.col("rt") * F.col("ct")).cast("double")
-                    / F.col("n").cast("double")
-                )
-                / (
-                    (F.col("rt") * F.col("ct")).cast("double")
-                    / F.col("n").cast("double")
-                )
+                (F.col("o").cast("double") - e)
+                * (F.col("o").cast("double") - e)
+                / e
             ).alias("term"),
         )
-    )
-    return _chi2_fold(terms).select(
-        "chi2",
-        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
-        F.col("n"),
     )
 
 
@@ -192,38 +193,7 @@ def cramers_v(
 
     Scale shape: identical to L140 — one combinable cell groupBy,
     broadcast margins, a bounded-cardinality fold."""
-    flt = df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
-    cells = flt.groupBy(
-        F.col(col_x).alias("x"), F.col(col_y).alias("y")
-    ).agg(F.count(F.lit(1)).alias("o"))
-    rows = cells.groupBy("x").agg(F.sum("o").alias("rt"))
-    cols = cells.groupBy("y").agg(F.sum("o").alias("ct"))
-    tot = cells.agg(
-        F.sum("o").alias("n"),
-        F.count_distinct(F.col("x")).alias("r"),
-        F.count_distinct(F.col("y")).alias("c"),
-    )
-    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast(
-        "double"
-    )
-    terms = (
-        cells.join(F.broadcast(rows), "x")
-        .join(F.broadcast(cols), "y")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "n",
-            "r",
-            "c",
-            "x",
-            "y",
-            (
-                (F.col("o").cast("double") - e)
-                * (F.col("o").cast("double") - e)
-                / e
-            ).alias("term"),
-        )
-    )
-    out = _chi2_fold(terms)
+    out = _chi2_fold(_chi2_terms(df, col_x, col_y))
     nd = F.col("n").cast("double")
     rd = F.col("r").cast("double")
     cd = F.col("c").cast("double")

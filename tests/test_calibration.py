@@ -242,3 +242,20 @@ class TestExpectedCalibrationError:
         df = spark.createDataFrame(rows, "p double, y int")
         r = expected_calibration_error(df, "p", "y").collect()[0]
         assert r["ece"] == 0.0 and r["mce"] == 0.0
+
+
+class TestConformalValidation:
+    def test_bad_alpha_refused(self, spark):
+        import pytest
+
+        from lmss_entity_extractor_spark.ops.calibration import (
+            conformal_quantile,
+        )
+
+        df = spark.createDataFrame([("g", 1.0)], "g string, s double")
+        with pytest.raises(ValueError, match="unparseable"):
+            conformal_quantile(df, ["g"], "s", alpha="0.1%")
+        with pytest.raises(ValueError, match="in \\(0,1\\)"):
+            conformal_quantile(df, ["g"], "s", alpha="-0.5")
+        with pytest.raises(ValueError, match="in \\(0,1\\)"):
+            conformal_quantile(df, ["g"], "s", alpha="1.0")

@@ -410,3 +410,39 @@ class TestGainsTable:
         df = spark.createDataFrame(rows, "id int, score double, y int")
         for r in gains_table(df, "score", "y", "id", 4).collect():
             assert r["capture"] is None and r["lift"] is None
+
+
+class TestBinaryValidation:
+    def test_mcnemar_nonbinary_refused(self, spark):
+        import pytest
+
+        from lmss_entity_extractor_spark.ops.evalmetrics import mcnemar
+
+        df = spark.createDataFrame(
+            [("g", 2, 0), ("g", 1, 1)], "g string, x int, y int"
+        )
+        with pytest.raises(ValueError, match="non-binary"):
+            mcnemar(df, ["g"], "x", "y")
+
+    def test_cochran_nonbinary_refused(self, spark):
+        import pytest
+
+        from lmss_entity_extractor_spark.ops.evalmetrics import cochran_q
+
+        df = spark.createDataFrame(
+            [("g", "b0", "a", -1), ("g", "b0", "b", 1)],
+            "g string, b string, t string, y int",
+        )
+        with pytest.raises(ValueError, match="non-binary"):
+            cochran_q(df, ["g"], "b", "t", "y")
+
+    def test_fleiss_bad_m_refused(self, spark):
+        import pytest
+
+        from lmss_entity_extractor_spark.ops.evalmetrics import fleiss_kappa
+
+        df = spark.createDataFrame(
+            [("g", "s0", "a")], "g string, s string, c string"
+        )
+        with pytest.raises(ValueError, match="m must be"):
+            fleiss_kappa(df, ["g"], "s", "c", m=0)

@@ -474,10 +474,12 @@ class TestTrimmedStats:
         assert r["n_used"] == 18
         assert abs(r["trimmed_mean"] - sum(range(2, 20)) / 18) < 1e-12
 
-    def test_overtrimmed_null(self, spark):
+    def test_half_trim_refused(self, spark):
+        import pytest
+
         from lmss_entity_extractor_spark.ops.rankeval import trimmed_stats
 
-        r = trimmed_stats(
-            self._df(spark, [1, 2]), ["g"], "v", trim="0.5"
-        ).collect()[0]
-        assert r["trimmed_mean"] is None and r["winsorized_mean"] is None
+        with pytest.raises(ValueError, match="trim must be"):
+            trimmed_stats(self._df(spark, [1, 2]), ["g"], "v", trim="0.5")
+        with pytest.raises(ValueError, match="unparseable"):
+            trimmed_stats(self._df(spark, [1, 2]), ["g"], "v", trim="5%")
