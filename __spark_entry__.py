@@ -4056,6 +4056,37 @@ def q_isotonic(spark, sf_dir):
     return isotonic_fit(_calibration_input(spark, sf_dir), "p", "y", n_bins=10)
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Chao1 + Good-Turing vocabulary coverage (L208): frequency-of-
+    frequencies over whitespace tokens — exact integer f1/f2/N/D,
+    one division per estimate."""
+    from lmss_entity_extractor_spark.ops.corpuslaws import vocab_coverage
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    return vocab_coverage(toks, "term")
+
+
+def q_mde(spark, sf_dir):
+    """Minimum detectable effect (L209): per order priority, the
+    two-arm proportion MDE at the observed base rate — embedded z
+    literals, one fixed IEEE tree."""
+    from lmss_entity_extractor_spark.ops.effectsize import mde_proportions
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_orderkey") % 3 == 0).cast("int").alias("y"),
+    )
+    return mde_proportions(o, ["prio"], "y")
+
+
 def q_grouping_sets(spark, sf_dir):
     """GROUPING SETS surface (§2.6 companion to rollup/cube): three
     explicit grouping levels with grouping_id disambiguating the NULL
@@ -6139,6 +6170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier": q_brier,
         "calibration": q_calibration,
         "isotonic": q_isotonic,
+        "vocab_coverage": q_vocab_coverage,
+        "mde": q_mde,
         "grouping_sets": q_grouping_sets,
         "forecast_acc": q_forecast_acc,
         "gains": q_gains,
@@ -9651,6 +9684,73 @@ def oracle_sql() -> dict[str, str]:
                             * (p - CAST(y AS DECIMAL(12,4)))) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS brier
             FROM base
+        """,
+        "vocab_coverage": """
+            -- frequency-of-frequencies: exact integer Chao1 and
+            -- Good-Turing coverage, one division each
+            WITH toks AS (
+                SELECT unnest(string_split_regex(lower(trim(text)),
+                              '\\s+')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS c
+                FROM toks WHERE term <> '' GROUP BY 1
+            ),
+            fof AS (
+                SELECT c, CAST(count(*) AS BIGINT) AS f
+                FROM tf GROUP BY 1
+            ),
+            agg AS (
+                SELECT CAST(coalesce(sum(CAST(c AS HUGEINT) * f), 0)
+                            AS BIGINT) AS n_tokens,
+                       CAST(coalesce(sum(f), 0) AS BIGINT) AS n_types,
+                       CAST(coalesce(sum(CASE WHEN c = 1 THEN f END),
+                                     0) AS BIGINT) AS f1,
+                       CAST(coalesce(sum(CASE WHEN c = 2 THEN f END),
+                                     0) AS BIGINT) AS f2
+                FROM fof
+            )
+            SELECT n_tokens, n_types, f1, f2,
+                   CAST(n_types AS DOUBLE)
+                   + CAST(CAST(f1 AS HUGEINT) * (f1 - 1) AS DOUBLE)
+                     / CAST(2 * (CAST(f2 AS HUGEINT) + 1) AS DOUBLE)
+                       AS chao1,
+                   CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                       AS unseen_mass,
+                   1.0 - CAST(f1 AS DOUBLE)
+                         / CAST(n_tokens AS DOUBLE) AS coverage
+            FROM agg WHERE n_tokens > 0
+        """,
+        "mde": """
+            -- two-arm proportion MDE with the embedded z-sum literal
+            WITH agg AS (
+                SELECT o_orderpriority AS prio,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1
+                                ELSE 0 END) AS BIGINT) AS k
+                FROM orders GROUP BY 1
+            )
+            SELECT prio, n, k,
+                   CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                   CASE WHEN k > 0 AND k < n
+                        THEN CAST(2.801585218112969 AS DOUBLE)
+                             * sqrt(2.0 * (CAST(k AS DOUBLE)
+                                           / CAST(n AS DOUBLE))
+                                    * (1.0 - CAST(k AS DOUBLE)
+                                             / CAST(n AS DOUBLE))
+                                    / CAST(n AS DOUBLE))
+                   END AS mde_abs,
+                   CASE WHEN k > 0 AND k < n
+                        THEN (CAST(2.801585218112969 AS DOUBLE)
+                              * sqrt(2.0 * (CAST(k AS DOUBLE)
+                                            / CAST(n AS DOUBLE))
+                                     * (1.0 - CAST(k AS DOUBLE)
+                                              / CAST(n AS DOUBLE))
+                                     / CAST(n AS DOUBLE)))
+                             / (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                   END AS mde_rel
+            FROM agg
         """,
         "grouping_sets": """
             SELECT l_returnflag, l_linestatus,

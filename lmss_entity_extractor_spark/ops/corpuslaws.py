@@ -142,3 +142,64 @@ def zipf_fit(
             ok & (vary_n > F.lit(0.0)), (cov_n * cov_n) / (varx_n * vary_n)
         ).alias("r2"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    term_col: str,
+) -> DataFrame:
+    """One row ``(n_tokens, n_types, f1, f2, chao1, unseen_mass,
+    coverage)`` — nonparametric vocabulary-completeness estimates from
+    the frequency-of-frequencies, the curation question Heaps' law
+    (L179) fits a CURVE to answered with a POINT estimate instead:
+
+      Chao1 richness (bias-corrected form, defined even at f2 = 0):
+          chao1 = D + f1·(f1−1) / (2·(f2+1))
+      Good-Turing unseen probability mass:
+          unseen_mass = f1 / N,   coverage = 1 − f1/N
+
+    with N total tokens, D distinct types, f1 singletons, f2
+    doubletons.  All counts are exact integers from TWO combinable
+    groupBys (term → count, count → frequency-of-frequencies); each
+    estimate is one division of exact integers — bit-identical,
+    ungridded.  N = 0 groups are absent (empty input → empty frame).
+
+    Chao 1984; Good 1953.  Scale shape: the (term) groupBy is the
+    same exchange every TF operator pays; the second groupBy runs on
+    the bounded count-of-count table.  100 TB of tokens scans once.
+    """
+    dec = "decimal(38,0)"
+    tf = (
+        df.filter(F.col(term_col).isNotNull())
+        .groupBy(F.col(term_col).alias("_t"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    fof = tf.groupBy("_c").agg(F.count(F.lit(1)).alias("_f"))
+    agg = fof.agg(
+        F.coalesce(
+            F.sum(F.col("_c").cast(dec) * F.col("_f").cast(dec)),
+            F.lit(0).cast(dec),
+        ).alias("n_tokens"),
+        F.coalesce(F.sum("_f"), F.lit(0)).alias("n_types"),
+        F.coalesce(
+            F.sum(F.when(F.col("_c") == 1, F.col("_f"))), F.lit(0)
+        ).alias("f1"),
+        F.coalesce(
+            F.sum(F.when(F.col("_c") == 2, F.col("_f"))), F.lit(0)
+        ).alias("f2"),
+    )
+    f1d = F.col("f1").cast(dec)
+    f2d = F.col("f2").cast(dec)
+    chao1 = F.col("n_types").cast("double") + (
+        f1d * (f1d - 1)
+    ).cast("double") / (F.lit(2).cast(dec) * (f2d + 1)).cast("double")
+    unseen = f1d.cast("double") / F.col("n_tokens").cast("double")
+    return agg.filter(F.col("n_tokens") > 0).select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_types",
+        "f1",
+        "f2",
+        chao1.alias("chao1"),
+        unseen.alias("unseen_mass"),
+        (F.lit(1.0) - unseen).alias("coverage"),
+    )

@@ -190,3 +190,60 @@ def ratio_metric(
         F.when(ok, r).alias("ratio"),
         F.when(ok & (var >= 0), F.sqrt(var)).alias("se"),
     )
+
+
+# standard normal quantiles, embedded as literals so both engines fold
+# the same doubles (no cross-engine erfinv): z_{0.975}, z_{0.80}
+_Z_ALPHA_005 = 1.9599639845400545
+_Z_POWER_080 = 0.8416212335729143
+
+
+def mde_proportions(
+    df: DataFrame,
+    by: list[str],
+    label_col: str,
+    z_alpha: float = _Z_ALPHA_005,
+    z_power: float = _Z_POWER_080,
+) -> DataFrame:
+    """``(by..., n, k, p, mde_abs, mde_rel)`` — the minimum detectable
+    effect of a two-arm proportion test at the observed base rate and
+    sample size (the experiment-PLANNING companion to Welch/SRM/Wilson:
+    "with this much traffic per arm, what lift could we even see?"),
+    using the standard equal-n normal approximation:
+
+        mde_abs = (z_α/2 + z_β) · sqrt(2·p̂(1−p̂)/n)
+        mde_rel = mde_abs / p̂
+
+    p̂ = k/n from exact integer counts; the z quantiles are embedded
+    double literals (defaults: two-sided α = 0.05, power = 0.80 —
+    overridable, but pass LITERALS, not engine erfinv calls) so the
+    whole statistic is one fixed IEEE tree — bit-identical,
+    ungridded.  Degenerate base rates (k = 0 or k = n) yield NULL
+    mde (the normal approximation is meaningless there); n = 0
+    groups are absent.
+
+    Scale shape: ONE combinable groupBy; 100 TB scans once."""
+    lab = F.col(label_col).cast("int")
+    flt = df.filter(F.col(label_col).isNotNull())
+    n_bad = flt.filter(~lab.isin([0, 1])).count()
+    if n_bad:
+        raise ValueError(
+            f"mde_proportions: {n_bad} row(s) with non-binary label"
+        )
+    agg = flt.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(lab).alias("k")
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    mde = F.lit(float(z_alpha) + float(z_power)) * F.sqrt(
+        F.lit(2.0) * p * (F.lit(1.0) - p) / nd
+    )
+    ok = (F.col("k") > 0) & (F.col("k") < F.col("n"))
+    return agg.select(
+        *by,
+        "n",
+        "k",
+        p.alias("p"),
+        F.when(ok, mde).alias("mde_abs"),
+        F.when(ok, mde / p).alias("mde_rel"),
+    )

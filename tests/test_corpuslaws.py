@@ -84,3 +84,44 @@ class TestZipf:
         words = [w for w in ("a", "b", "c", "d") for _ in range(5)]
         row = zipf_fit(_docs(spark, [" ".join(words)])).collect()[0]
         assert row["s"] == pytest.approx(0.0, abs=1e-12)
+
+
+class TestVocabCoverage:
+    def _df(self, spark, tokens):
+        return spark.createDataFrame([(t,) for t in tokens], "term string")
+
+    def test_hand_computed(self, spark):
+        from lmss_entity_extractor_spark.ops.corpuslaws import vocab_coverage
+
+        # freqs: a:3, b:2, c:1, d:1  -> N=7 D=4 f1=2 f2=1
+        tokens = ["a"] * 3 + ["b"] * 2 + ["c", "d"]
+        r = vocab_coverage(self._df(spark, tokens), "term").collect()[0]
+        assert r["n_tokens"] == 7 and r["n_types"] == 4
+        assert r["f1"] == 2 and r["f2"] == 1
+        # chao1 = 4 + 2*1/(2*2) = 4.5
+        assert abs(r["chao1"] - 4.5) < 1e-12
+        assert abs(r["unseen_mass"] - 2 / 7) < 1e-12
+        assert abs(r["coverage"] - 5 / 7) < 1e-12
+
+    def test_no_singletons_complete(self, spark):
+        from lmss_entity_extractor_spark.ops.corpuslaws import vocab_coverage
+
+        tokens = ["a", "a", "b", "b", "b"]
+        r = vocab_coverage(self._df(spark, tokens), "term").collect()[0]
+        assert r["f1"] == 0
+        assert r["chao1"] == 2.0  # D + 0
+        assert r["coverage"] == 1.0
+
+    def test_all_singletons_f2_zero(self, spark):
+        from lmss_entity_extractor_spark.ops.corpuslaws import vocab_coverage
+
+        tokens = ["a", "b", "c"]
+        r = vocab_coverage(self._df(spark, tokens), "term").collect()[0]
+        # bias-corrected: 3 + 3*2/(2*1) = 6
+        assert abs(r["chao1"] - 6.0) < 1e-12
+        assert r["coverage"] == 0.0
+
+    def test_empty_absent(self, spark):
+        from lmss_entity_extractor_spark.ops.corpuslaws import vocab_coverage
+
+        assert vocab_coverage(self._df(spark, []), "term").count() == 0

@@ -276,3 +276,51 @@ class TestRatioMetric:
         )
         r = ratio_metric(df, ["g"], "x", "y").collect()[0]
         assert r["ratio"] is None and r["se"] is None
+
+
+class TestMdeProportions:
+    def test_python_reference(self, spark):
+        from lmss_entity_extractor_spark.ops.effectsize import (
+            _Z_ALPHA_005,
+            _Z_POWER_080,
+            mde_proportions,
+        )
+
+        rows = [("g", 1)] * 30 + [("g", 0)] * 70
+        df = spark.createDataFrame(rows, "g string, y int")
+        r = mde_proportions(df, ["g"], "y").collect()[0]
+        p = 0.3
+        n = 100
+        mde = (_Z_ALPHA_005 + _Z_POWER_080) * (2 * p * (1 - p) / n) ** 0.5
+        assert r["n"] == n and r["k"] == 30
+        assert abs(r["mde_abs"] - mde) < 1e-12
+        assert abs(r["mde_rel"] - mde / p) < 1e-12
+
+    def test_mde_shrinks_with_n(self, spark):
+        from lmss_entity_extractor_spark.ops.effectsize import mde_proportions
+
+        small = spark.createDataFrame(
+            [("g", i % 2) for i in range(20)], "g string, y int"
+        )
+        big = spark.createDataFrame(
+            [("g", i % 2) for i in range(2000)], "g string, y int"
+        )
+        ms = mde_proportions(small, ["g"], "y").collect()[0]["mde_abs"]
+        mb = mde_proportions(big, ["g"], "y").collect()[0]["mde_abs"]
+        assert mb < ms / 5
+
+    def test_degenerate_null(self, spark):
+        from lmss_entity_extractor_spark.ops.effectsize import mde_proportions
+
+        df = spark.createDataFrame([("g", 1)] * 5, "g string, y int")
+        r = mde_proportions(df, ["g"], "y").collect()[0]
+        assert r["mde_abs"] is None
+
+    def test_nonbinary_refused(self, spark):
+        import pytest
+
+        from lmss_entity_extractor_spark.ops.effectsize import mde_proportions
+
+        df = spark.createDataFrame([("g", 3)], "g string, y int")
+        with pytest.raises(ValueError, match="non-binary"):
+            mde_proportions(df, ["g"], "y")
