@@ -4056,6 +4056,38 @@ def q_isotonic(spark, sf_dir):
     return isotonic_fit(_calibration_input(spark, sf_dir), "p", "y", n_bins=10)
 
 
+def q_covariate_balance(spark, sf_dir):
+    """Standardized mean difference (L210): odd/even order keys as
+    pseudo-arms, extended price as the covariate, per return flag —
+    exact decimal sufficient stats, unpooled-variance SMD tree."""
+    from lmss_entity_extractor_spark.ops.effectsize import (
+        covariate_balance,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_orderkey") % 2).cast("int").alias("t"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    return covariate_balance(li, ["flag"], "t", "v")
+
+
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR (L211): step-up over a deterministic
+    synthetic p-value table keyed by part — exact decimal k*q/m
+    thresholds, deterministic tie-broken ranks, flagged discoveries."""
+    from lmss_entity_extractor_spark.ops.effectsize import bh_fdr
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("test_id"),
+        (
+            ((F.col("p_partkey") * 7919) % 9973).cast("double")
+            / F.lit(9973.0)
+        ).alias("p"),
+    )
+    return bh_fdr(p, "test_id", "p", q="0.05")
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Chao1 + Good-Turing vocabulary coverage (L208): frequency-of-
     frequencies over whitespace tokens — exact integer f1/f2/N/D,
@@ -6170,6 +6202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier": q_brier,
         "calibration": q_calibration,
         "isotonic": q_isotonic,
+        "covariate_balance": q_covariate_balance,
+        "bh_fdr": q_bh_fdr,
         "vocab_coverage": q_vocab_coverage,
         "mde": q_mde,
         "grouping_sets": q_grouping_sets,
@@ -9684,6 +9718,85 @@ def oracle_sql() -> dict[str, str]:
                             * (p - CAST(y AS DECIMAL(12,4)))) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS brier
             FROM base
+        """,
+        "covariate_balance": """
+            -- unpooled-variance SMD from exact decimal sufficient
+            -- statistics, fixed IEEE tree
+            WITH flt AS (
+                SELECT l_returnflag AS flag,
+                       CAST(l_orderkey % 2 AS INT) AS t,
+                       CAST(l_extendedprice AS DECIMAL(18,2)) AS yd
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND l_orderkey IS NOT NULL
+            ),
+            agg AS (
+                SELECT flag,
+                       CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_t,
+                       sum(CASE WHEN t = 1 THEN yd END) AS s_t,
+                       sum(CASE WHEN t = 1 THEN yd * yd END) AS sxx_t,
+                       CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_c,
+                       sum(CASE WHEN t = 0 THEN yd END) AS s_c,
+                       sum(CASE WHEN t = 0 THEN yd * yd END) AS sxx_c
+                FROM flt GROUP BY 1
+            ),
+            fin AS (
+                SELECT flag, n_t, n_c,
+                       CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                           AS mt,
+                       CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+                           AS mc,
+                       (CAST(n_t AS DOUBLE) * CAST(sxx_t AS DOUBLE)
+                        - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))
+                       / (CAST(n_t AS DOUBLE)
+                          * (CAST(n_t AS DOUBLE) - 1.0)) AS vt,
+                       (CAST(n_c AS DOUBLE) * CAST(sxx_c AS DOUBLE)
+                        - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE))
+                       / (CAST(n_c AS DOUBLE)
+                          * (CAST(n_c AS DOUBLE) - 1.0)) AS vc
+                FROM agg
+            )
+            SELECT flag, n_t, n_c,
+                   CASE WHEN n_t > 0 THEN mt END AS mean_t,
+                   CASE WHEN n_c > 0 THEN mc END AS mean_c,
+                   CASE WHEN n_t > 1 AND n_c > 1 AND vt + vc > 0.0
+                        THEN (mt - mc) / sqrt((vt + vc) / 2.0)
+                   END AS smd
+            FROM fin
+        """,
+        "bh_fdr": """
+            -- BH step-up: deterministic (p, test) ranks, exact
+            -- decimal k*q thresholds, one division each
+            WITH src AS (
+                SELECT p_partkey AS test,
+                       CAST((p_partkey * 7919) % 9973 AS DOUBLE)
+                       / 9973.0 AS p
+                FROM part
+            ),
+            ranked AS (
+                SELECT test, p,
+                       CAST(row_number() OVER (ORDER BY p, test)
+                            AS BIGINT) AS rank,
+                       CAST(count(*) OVER () AS BIGINT) AS m
+                FROM src
+            ),
+            staged AS (
+                SELECT *,
+                       CAST(CAST(rank AS DECIMAL(20,0))
+                            * CAST('0.05' AS DECIMAL(9,6)) AS DOUBLE)
+                       / CAST(m AS DOUBLE) AS threshold
+                FROM ranked
+            ),
+            k AS (
+                SELECT coalesce(max(CASE WHEN p <= threshold
+                                    THEN rank END), 0) AS kk
+                FROM staged
+            )
+            SELECT test, p, rank, m, threshold,
+                   rank <= kk AS discovery
+            FROM staged CROSS JOIN k
         """,
         "vocab_coverage": """
             -- frequency-of-frequencies: exact integer Chao1 and

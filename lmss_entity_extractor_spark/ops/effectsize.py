@@ -25,7 +25,7 @@ No reference counterpart; experimentation family per SURVEY §2.11.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 Z95 = "1.959963984540054"
@@ -246,4 +246,146 @@ def mde_proportions(
         p.alias("p"),
         F.when(ok, mde).alias("mde_abs"),
         F.when(ok, mde / p).alias("mde_rel"),
+    )
+
+
+def covariate_balance(
+    df: DataFrame,
+    by: list[str],
+    treat_col: str,
+    metric_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n_t, n_c, mean_t, mean_c, smd)`` — the standardized
+    mean difference, the covariate-balance diagnostic of causal
+    inference / experiment health (|SMD| < 0.1 is the conventional
+    "balanced" bar — Austin 2011): per group,
+
+        smd = (m_t − m_c) / sqrt((v_t + v_c)/2)
+
+    with means and sample variances from EXACT DECIMAL sufficient
+    statistics per arm (the L135/L139 discipline) and one fixed IEEE
+    tree — bit-identical, ungridded.  Unlike Cohen's d (L186) the
+    denominator is the UNPOOLED average variance — the standard SMD
+    convention, insensitive to arm imbalance.  ``treat_col`` must be
+    0/1 (refused otherwise); arms with n < 2 or a zero denominator
+    yield NULL smd.
+
+    Scale shape: ONE combinable groupBy with conditional sums; 100 TB
+    scans once."""
+    dec = f"decimal(18,{scale})"
+    t = F.col(treat_col).cast("int")
+    flt = df.filter(
+        F.col(treat_col).isNotNull() & F.col(metric_col).isNotNull()
+    )
+    n_bad = flt.filter(~t.isin([0, 1])).count()
+    if n_bad:
+        raise ValueError(
+            f"covariate_balance: {n_bad} row(s) with non-binary treatment"
+        )
+    yd = F.col(metric_col).cast(dec)
+
+    def _arm(tag, cond):
+        return [
+            F.sum(cond.cast("long")).alias(f"n_{tag}"),
+            F.sum(F.when(cond, yd)).alias(f"s_{tag}"),
+            F.sum(F.when(cond, yd * yd)).alias(f"sxx_{tag}"),
+        ]
+
+    agg = flt.groupBy(*by).agg(
+        *_arm("t", t == 1), *_arm("c", t == 0)
+    )
+
+    def _stats(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"s_{tag}").cast("double")
+        sxx = F.col(f"sxx_{tag}").cast("double")
+        mean = s / n
+        var = (n * sxx - s * s) / (n * (n - F.lit(1.0)))
+        return n, mean, var
+
+    nt, mt, vt = _stats("t")
+    nc, mc, vc = _stats("c")
+    den = F.sqrt((vt + vc) / F.lit(2.0))
+    ok = (
+        (F.col("n_t") > 1)
+        & (F.col("n_c") > 1)
+        & (vt + vc > F.lit(0.0))
+    )
+    return agg.select(
+        *by,
+        "n_t",
+        "n_c",
+        F.when(F.col("n_t") > 0, mt).alias("mean_t"),
+        F.when(F.col("n_c") > 0, mc).alias("mean_c"),
+        F.when(ok, (mt - mc) / den).alias("smd"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    test_col: str,
+    p_col: str,
+    q: str = "0.05",
+) -> DataFrame:
+    """``(test, p, rank, m, threshold, discovery)`` — the
+    Benjamini-Hochberg step-up procedure over a table of test
+    p-values (the multiple-testing closer for the L139/L146/L174
+    family when hundreds of metrics/segments are tested at once):
+    sort p ascending (ties broken by test id — deterministic), find
+    the largest k with p_(k) ≤ k·q/m, and flag ranks ≤ k.
+
+    ``q`` is a decimal STRING; each row's threshold k·q/m is ONE IEEE
+    division of the exact decimal k·q by the exact integer m, and the
+    p ≤ threshold comparison runs on identical doubles in both
+    engines — bit-identical flags.  The input is a RESULTS table
+    (one row per hypothesis — bounded by construction), so the single
+    ordering window is bounded, not fact-scale.  Out-of-range q or
+    p-values are refused loudly."""
+    import decimal
+
+    try:
+        q_val = decimal.Decimal(q)
+    except decimal.InvalidOperation as exc:
+        raise ValueError(f"bh_fdr: unparseable q {q!r}") from exc
+    if not 0 < q_val < 1:
+        raise ValueError(f"bh_fdr: q must be in (0,1), got {q!r}")
+    flt = df.filter(F.col(p_col).isNotNull())
+    n_bad = flt.filter(
+        (F.col(p_col) < 0) | (F.col(p_col) > 1)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"bh_fdr: {n_bad} p-value(s) outside [0,1] — fix the "
+            "upstream test"
+        )
+    w = Window.orderBy(F.col(p_col).asc(), F.col(test_col).asc())
+    tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = flt.select(
+        F.col(test_col).alias("test"),
+        F.col(p_col).cast("double").alias("p"),
+        F.row_number().over(w).alias("rank"),
+        F.count(F.lit(1)).over(tot).alias("m"),
+    )
+    thr = (
+        F.col("rank").cast("decimal(20,0)") * F.lit(q).cast("decimal(9,6)")
+    ).cast("double") / F.col("m").cast("double")
+    staged = ranked.withColumn("threshold", thr).withColumn(
+        "_hit", F.when(F.col("p") <= F.col("threshold"), F.col("rank"))
+    )
+    kmax = staged.select(
+        F.coalesce(F.max("_hit"), F.lit(0)).alias("_k")
+    )
+    return (
+        staged.crossJoin(F.broadcast(kmax))
+        .select(
+            "test",
+            "p",
+            "rank",
+            "m",
+            "threshold",
+            (F.col("rank") <= F.col("_k")).alias("discovery"),
+        )
     )

@@ -324,3 +324,95 @@ class TestMdeProportions:
         df = spark.createDataFrame([("g", 3)], "g string, y int")
         with pytest.raises(ValueError, match="non-binary"):
             mde_proportions(df, ["g"], "y")
+
+
+class TestCovariateBalance:
+    def test_python_reference(self, spark):
+        from lmss_entity_extractor_spark.ops.effectsize import (
+            covariate_balance,
+        )
+
+        tvals = [3.0, 4.0, 5.0, 6.0, 7.0]
+        cvals = [2.0, 3.0, 4.0, 5.0]
+        rows = [("g", 1, v) for v in tvals] + [("g", 0, v) for v in cvals]
+        df = spark.createDataFrame(rows, "g string, t int, v double")
+        mt = sum(tvals) / len(tvals)
+        mc = sum(cvals) / len(cvals)
+        vt = sum((v - mt) ** 2 for v in tvals) / (len(tvals) - 1)
+        vc = sum((v - mc) ** 2 for v in cvals) / (len(cvals) - 1)
+        smd = (mt - mc) / ((vt + vc) / 2) ** 0.5
+        r = covariate_balance(df, ["g"], "t", "v").collect()[0]
+        assert r["n_t"] == 5 and r["n_c"] == 4
+        assert abs(r["smd"] - smd) < 1e-12
+
+    def test_balanced_near_zero(self, spark):
+        from lmss_entity_extractor_spark.ops.effectsize import (
+            covariate_balance,
+        )
+
+        rows = [("g", i % 2, float(i % 5)) for i in range(40)]
+        df = spark.createDataFrame(rows, "g string, t int, v double")
+        r = covariate_balance(df, ["g"], "t", "v").collect()[0]
+        assert abs(r["smd"]) < 1e-9
+
+    def test_nonbinary_refused(self, spark):
+        import pytest
+
+        from lmss_entity_extractor_spark.ops.effectsize import (
+            covariate_balance,
+        )
+
+        df = spark.createDataFrame([("g", 2, 1.0)], "g string, t int, v double")
+        with pytest.raises(ValueError, match="non-binary"):
+            covariate_balance(df, ["g"], "t", "v")
+
+
+class TestBhFdr:
+    def test_textbook_stepup(self, spark):
+        from lmss_entity_extractor_spark.ops.effectsize import bh_fdr
+
+        # classic example: m=10, q=0.05
+        ps = [0.001, 0.008, 0.012, 0.021, 0.028, 0.09, 0.11, 0.39, 0.58, 0.9]
+        rows = [(f"t{i:02d}", p) for i, p in enumerate(ps)]
+        df = spark.createDataFrame(rows, "test string, p double")
+        got = {
+            r["test"]: r for r in bh_fdr(df, "test", "p", q="0.05").collect()
+        }
+        # thresholds k*0.05/10: 0.005,0.010,...; hits at k=1 (0.001<=0.005),
+        # k=3 (0.012<=0.015), k=4 (0.021<=0.020? no), k=5 (0.028<=0.025? no)
+        # max hit k=3 -> first three discoveries
+        disc = {t for t, r in got.items() if r["discovery"]}
+        assert disc == {"t00", "t01", "t02"}
+        assert got["t00"]["m"] == 10
+
+    def test_python_reference(self, spark):
+        from lmss_entity_extractor_spark.ops.effectsize import bh_fdr
+
+        ps = [((7 * i * i + 3) % 97) / 100.0 for i in range(50)]
+        rows = [(f"t{i:02d}", p) for i, p in enumerate(ps)]
+        df = spark.createDataFrame(rows, "test string, p double")
+        order = sorted(rows, key=lambda r: (r[1], r[0]))
+        m = len(order)
+        kmax = 0
+        for k, (_, p) in enumerate(order, 1):
+            if p <= k * 0.05 / m:
+                kmax = k
+        expect = {t for t, _ in order[:kmax]}
+        got = {
+            r["test"]
+            for r in bh_fdr(df, "test", "p", q="0.05").collect()
+            if r["discovery"]
+        }
+        assert got == expect
+
+    def test_bad_inputs_refused(self, spark):
+        import pytest
+
+        from lmss_entity_extractor_spark.ops.effectsize import bh_fdr
+
+        df = spark.createDataFrame([("a", 1.5)], "test string, p double")
+        with pytest.raises(ValueError, match="outside"):
+            bh_fdr(df, "test", "p")
+        df2 = spark.createDataFrame([("a", 0.5)], "test string, p double")
+        with pytest.raises(ValueError, match="q must be"):
+            bh_fdr(df2, "test", "p", q="1.5")
