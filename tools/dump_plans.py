@@ -50,6 +50,13 @@ SHOWCASE = [
     ("roc_auc", "doubled-rank AUC: one combinable (key,score) groupBy, one keyed window sweep, one combinable agg — no crossJoin over label pairs"),
     ("silhouette", "per-point a/b distances are literal expression columns — clustering quality over 100 TB without the O(n^2) pairwise matrix"),
     ("cuped", "fit stats aggregate combinably, broadcast back, adjustment is a narrow per-row tree — fit-small/apply-wide with zero shuffles"),
+    ("gains", "two-phase distributed ranking: range exchange + per-partition window + broadcast offset map — no single-partition sort at any width"),
+    ("isotonic", "PAV minimax over the bounded bin table: the fact table aggregates once; the O(B^3) joins are all BroadcastNestedLoop over KB-sized frames"),
+    ("kendall_tau", "tau-b pair counts: one cell groupBy + two keyed windows over the bounded grid — no O(n^2) pair join"),
+    ("jaro_join", "distinct-value prefix block: the pandas-UDF scorer runs on the vocabulary equi-join, never the fact table"),
+    ("friedman", "block-local rank windows key on (group, block) — high-cardinality partitions, no global sort; k-filter joins broadcast"),
+    ("jonckheere", "two grid windows (value-prefix within group, group-prefix within value) over the bounded grid; polynomials fold combinably"),
+    ("t_closeness", "global value ladder broadcast into the class grid; per-class cumulative window keys on the quasi-identifier"),
 ]
 
 
