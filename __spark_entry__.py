@@ -4056,6 +4056,35 @@ def q_isotonic(spark, sf_dir):
     return isotonic_fit(_calibration_input(spark, sf_dir), "p", "y", n_bins=10)
 
 
+def q_simpsons(spark, sf_dir):
+    """Simpson's-paradox audit (composition of L141 grouped OLS):
+    per-flag discount→price slopes against the pooled slope, with a
+    flip flag when a segment's sign contradicts the aggregate —
+    identical exact-decimal fits on both levels, broadcast pooled
+    row."""
+    from lmss_entity_extractor_spark.ops.regression import grouped_linreg
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_discount").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    per = grouped_linreg(li, ["flag"], "x", "y")
+    pooled = grouped_linreg(li, [], "x", "y").select(
+        F.col("slope").alias("pooled_slope")
+    )
+    return per.crossJoin(F.broadcast(pooled)).select(
+        "flag",
+        "n",
+        "slope",
+        "pooled_slope",
+        F.when(
+            F.col("slope").isNotNull() & F.col("pooled_slope").isNotNull(),
+            (F.col("slope") > 0) != (F.col("pooled_slope") > 0),
+        ).alias("sign_flip"),
+    )
+
+
 def q_covariate_balance(spark, sf_dir):
     """Standardized mean difference (L210): odd/even order keys as
     pseudo-arms, extended price as the covariate, per return flag —
@@ -6202,6 +6231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier": q_brier,
         "calibration": q_calibration,
         "isotonic": q_isotonic,
+        "simpsons_flip": q_simpsons,
         "covariate_balance": q_covariate_balance,
         "bh_fdr": q_bh_fdr,
         "vocab_coverage": q_vocab_coverage,
@@ -9718,6 +9748,57 @@ def oracle_sql() -> dict[str, str]:
                             * (p - CAST(y AS DECIMAL(12,4)))) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS brier
             FROM base
+        """,
+        "simpsons_flip": """
+            -- per-segment vs pooled OLS sign audit: identical exact
+            -- decimal fits on both levels
+            WITH base AS (
+                SELECT l_returnflag AS flag,
+                       CAST(l_discount AS DECIMAL(18,2)) AS x,
+                       CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+                FROM lineitem
+                WHERE l_discount IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            ),
+            per AS (
+                SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                       CASE WHEN CAST(count(*) AS DOUBLE)
+                                 * CAST(sum(x*x) AS DOUBLE)
+                                 - CAST(sum(x) AS DOUBLE)
+                                   * CAST(sum(x) AS DOUBLE) <> 0
+                            THEN (CAST(count(*) AS DOUBLE)
+                                  * CAST(sum(x*y) AS DOUBLE)
+                                  - CAST(sum(x) AS DOUBLE)
+                                    * CAST(sum(y) AS DOUBLE))
+                                 / (CAST(count(*) AS DOUBLE)
+                                    * CAST(sum(x*x) AS DOUBLE)
+                                    - CAST(sum(x) AS DOUBLE)
+                                      * CAST(sum(x) AS DOUBLE))
+                       END AS slope
+                FROM base GROUP BY 1
+            ),
+            pooled AS (
+                SELECT CASE WHEN CAST(count(*) AS DOUBLE)
+                                 * CAST(sum(x*x) AS DOUBLE)
+                                 - CAST(sum(x) AS DOUBLE)
+                                   * CAST(sum(x) AS DOUBLE) <> 0
+                            THEN (CAST(count(*) AS DOUBLE)
+                                  * CAST(sum(x*y) AS DOUBLE)
+                                  - CAST(sum(x) AS DOUBLE)
+                                    * CAST(sum(y) AS DOUBLE))
+                                 / (CAST(count(*) AS DOUBLE)
+                                    * CAST(sum(x*x) AS DOUBLE)
+                                    - CAST(sum(x) AS DOUBLE)
+                                      * CAST(sum(x) AS DOUBLE))
+                       END AS pooled_slope
+                FROM base
+            )
+            SELECT flag, n, slope, pooled_slope,
+                   CASE WHEN slope IS NOT NULL
+                             AND pooled_slope IS NOT NULL
+                        THEN (slope > 0) <> (pooled_slope > 0)
+                   END AS sign_flip
+            FROM per CROSS JOIN pooled
         """,
         "covariate_balance": """
             -- unpooled-variance SMD from exact decimal sufficient
