@@ -4056,6 +4056,33 @@ def q_isotonic(spark, sf_dir):
     return isotonic_fit(_calibration_input(spark, sf_dir), "p", "y", n_bins=10)
 
 
+def q_geo_pairs(spark, sf_dir):
+    """Grid-bucketed spatial neighbor pairs (L212): deterministic
+    synthetic lat/lon from customer keys, 5-degree cells, 3x3
+    neighborhood equi-join, unfiltered haversine distances (the
+    9-sig-digit compare absorbs cross-engine trig ULPs)."""
+    from lmss_entity_extractor_spark.ops.geo import grid_neighbor_pairs
+
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            F.col("c_custkey").alias("id"),
+            (
+                ((F.col("c_custkey") * 37) % 18000).cast("double")
+                / F.lit(100.0)
+                - F.lit(90.0)
+            ).alias("lat"),
+            (
+                ((F.col("c_custkey") * 73) % 36000).cast("double")
+                / F.lit(100.0)
+                - F.lit(180.0)
+            ).alias("lon"),
+        )
+    )
+    return grid_neighbor_pairs(c, "id", "lat", "lon", cell_deg=5.0)
+
+
 def q_simpsons(spark, sf_dir):
     """Simpson's-paradox audit (composition of L141 grouped OLS):
     per-flag discount→price slopes against the pooled slope, with a
@@ -6231,6 +6258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier": q_brier,
         "calibration": q_calibration,
         "isotonic": q_isotonic,
+        "geo_pairs": q_geo_pairs,
         "simpsons_flip": q_simpsons,
         "covariate_balance": q_covariate_balance,
         "bh_fdr": q_bh_fdr,
@@ -9748,6 +9776,46 @@ def oracle_sql() -> dict[str, str]:
                             * (p - CAST(y AS DECIMAL(12,4)))) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS brier
             FROM base
+        """,
+        "geo_pairs": """
+            -- 3x3 grid-cell candidate join + unfiltered haversine
+            WITH pts AS (
+                SELECT c_custkey AS id,
+                       CAST((c_custkey * 37) % 18000 AS DOUBLE)
+                       / 100.0 - 90.0 AS lat,
+                       CAST((c_custkey * 73) % 36000 AS DOUBLE)
+                       / 100.0 - 180.0 AS lon
+                FROM customer WHERE c_custkey % 5 = 0
+            ),
+            cells AS (
+                SELECT id, lat, lon,
+                       CAST(floor(lat / 5.0) AS BIGINT) AS cx,
+                       CAST(floor(lon / 5.0) AS BIGINT) AS cy
+                FROM pts
+            ),
+            lft AS (
+                SELECT id AS a, lat AS lat_a, lon AS lon_a,
+                       cx + dx.d AS jx, cy + dy.d AS jy
+                FROM cells,
+                     (VALUES (-1), (0), (1)) dx(d),
+                     (VALUES (-1), (0), (1)) dy(d)
+            ),
+            pr AS (
+                SELECT lft.a, r.id AS b, lft.lat_a, lft.lon_a,
+                       r.lat AS lat_b, r.lon AS lon_b
+                FROM lft JOIN cells r
+                  ON lft.jx = r.cx AND lft.jy = r.cy
+                WHERE lft.a < r.id
+            )
+            SELECT a, b,
+                   CAST(12742.0176 AS DOUBLE) * asin(sqrt(
+                       sin(radians(lat_b - lat_a) / 2)
+                       * sin(radians(lat_b - lat_a) / 2)
+                       + cos(radians(lat_a)) * cos(radians(lat_b))
+                         * sin(radians(lon_b - lon_a) / 2)
+                         * sin(radians(lon_b - lon_a) / 2)
+                   )) AS dist_km
+            FROM pr
         """,
         "simpsons_flip": """
             -- per-segment vs pooled OLS sign audit: identical exact
