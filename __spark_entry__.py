@@ -4056,6 +4056,74 @@ def q_isotonic(spark, sf_dir):
     return isotonic_fit(_calibration_input(spark, sf_dir), "p", "y", n_bins=10)
 
 
+def q_density_clusters(spark, sf_dir):
+    """Grid-density clustering (L213, DBSCAN-flavored composition):
+    dense 10-degree cells (>= 3 points) linked across the 3x3
+    neighborhood and merged with the L39 connected-components
+    operator — spatial blocking + graph machinery composed; min-label
+    cluster ids, per-cell point counts."""
+    from lmss_entity_extractor_spark.ops.components import (
+        connected_components,
+    )
+
+    pts = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            (
+                ((F.col("c_custkey") * 37) % 18000).cast("double")
+                / F.lit(100.0)
+                - F.lit(90.0)
+            ).alias("lat"),
+            (
+                ((F.col("c_custkey") * 73) % 36000).cast("double")
+                / F.lit(100.0)
+                - F.lit(180.0)
+            ).alias("lon"),
+        )
+    )
+    cells = pts.select(
+        F.floor(F.col("lat") / 10.0).cast("long").alias("cx"),
+        F.floor(F.col("lon") / 10.0).cast("long").alias("cy"),
+    )
+    dense = (
+        cells.groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .filter(F.col("n_points") >= 3)
+        .withColumn(
+            "cell", F.concat_ws(":", F.col("cx"), F.col("cy"))
+        )
+    )
+    lft = (
+        dense.withColumn(
+            "_dx", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+        )
+        .withColumn(
+            "_dy", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+        )
+        .select(
+            F.col("cell").alias("src"),
+            (F.col("cx") + F.col("_dx")).alias("_jx"),
+            (F.col("cy") + F.col("_dy")).alias("_jy"),
+        )
+    )
+    rgt = dense.select(
+        F.col("cell").alias("dst"),
+        F.col("cx").alias("_jx"),
+        F.col("cy").alias("_jy"),
+    )
+    edges = lft.join(rgt, ["_jx", "_jy"]).select("src", "dst")
+    comp = connected_components(edges, "src", "dst")
+    return (
+        dense.join(comp, dense["cell"] == comp["node"])
+        .select(
+            "cell",
+            F.col("component").alias("cluster"),
+            "n_points",
+        )
+    )
+
+
 def q_geo_pairs(spark, sf_dir):
     """Grid-bucketed spatial neighbor pairs (L212): deterministic
     synthetic lat/lon from customer keys, 5-degree cells, 3x3
@@ -6259,6 +6327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "isotonic": q_isotonic,
         "geo_pairs": q_geo_pairs,
+        "density_clusters": q_density_clusters,
         "simpsons_flip": q_simpsons,
         "covariate_balance": q_covariate_balance,
         "bh_fdr": q_bh_fdr,
@@ -9776,6 +9845,55 @@ def oracle_sql() -> dict[str, str]:
                             * (p - CAST(y AS DECIMAL(12,4)))) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS brier
             FROM base
+        """,
+        "density_clusters": """
+            -- dense-cell adjacency components: min-reachable-label
+            -- recursive CTE over the same 3x3 relation
+            WITH RECURSIVE pts AS (
+                SELECT CAST((c_custkey * 37) % 18000 AS DOUBLE)
+                       / 100.0 - 90.0 AS lat,
+                       CAST((c_custkey * 73) % 36000 AS DOUBLE)
+                       / 100.0 - 180.0 AS lon
+                FROM customer WHERE c_custkey % 2 = 0
+            ),
+            cells AS (
+                SELECT CAST(floor(lat / 10.0) AS BIGINT) AS cx,
+                       CAST(floor(lon / 10.0) AS BIGINT) AS cy
+                FROM pts
+            ),
+            dense AS (
+                SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_points,
+                       CAST(cx AS VARCHAR) || ':'
+                       || CAST(cy AS VARCHAR) AS cell
+                FROM cells GROUP BY 1, 2 HAVING count(*) >= 3
+            ),
+            lft AS (
+                SELECT cell AS src, cx + dx.d AS jx, cy + dy.d AS jy
+                FROM dense,
+                     (VALUES (-1), (0), (1)) dx(d),
+                     (VALUES (-1), (0), (1)) dy(d)
+            ),
+            edges AS (
+                SELECT lft.src, r.cell AS dst
+                FROM lft JOIN dense r
+                  ON lft.jx = r.cx AND lft.jy = r.cy
+            ),
+            und AS (
+                SELECT src AS a, dst AS b FROM edges
+                UNION
+                SELECT dst, src FROM edges
+            ),
+            reach AS (
+                SELECT DISTINCT a AS node, a AS lbl FROM und
+                UNION
+                SELECT u.b, r.lbl FROM reach r JOIN und u
+                  ON u.a = r.node
+            ),
+            comp AS (
+                SELECT node, min(lbl) AS cluster FROM reach GROUP BY 1
+            )
+            SELECT dense.cell, comp.cluster, dense.n_points
+            FROM dense JOIN comp ON dense.cell = comp.node
         """,
         "geo_pairs": """
             -- 3x3 grid-cell candidate join + unfiltered haversine
