@@ -4056,6 +4056,24 @@ def q_isotonic(spark, sf_dir):
     return isotonic_fit(_calibration_input(spark, sf_dir), "p", "y", n_bins=10)
 
 
+def q_rolling_slope(spark, sf_dir):
+    """Rolling OLS slope (L214): 10-row trend velocity of event
+    values per type — five exact decimal frame sums on one keyed
+    window, one fixed IEEE tree per row."""
+    from lmss_entity_extractor_spark.ops.timeseries import rolling_slope
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            F.col("event_id").alias("t"),
+            F.floor("value").alias("y"),
+        )
+    )
+    return rolling_slope(e, ["g"], "t", "y", window_rows=10)
+
+
 def q_density_clusters(spark, sf_dir):
     """Grid-density clustering (L213, DBSCAN-flavored composition):
     dense 10-degree cells (>= 3 points) linked across the 3x3
@@ -6327,6 +6345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "isotonic": q_isotonic,
         "geo_pairs": q_geo_pairs,
+        "rolling_slope": q_rolling_slope,
         "density_clusters": q_density_clusters,
         "simpsons_flip": q_simpsons,
         "covariate_balance": q_covariate_balance,
@@ -9845,6 +9864,44 @@ def oracle_sql() -> dict[str, str]:
                             * (p - CAST(y AS DECIMAL(12,4)))) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS brier
             FROM base
+        """,
+        "rolling_slope": """
+            -- five exact decimal frame sums, one IEEE tree per row
+            WITH base AS (
+                SELECT event_type AS g, event_id AS t,
+                       CAST(floor(value) AS BIGINT) AS y
+                FROM events
+                WHERE value IS NOT NULL AND event_id IS NOT NULL
+            ),
+            st AS (
+                SELECT g, t, y,
+                       CAST(count(*) OVER w AS BIGINT) AS n_win,
+                       sum(CAST(t AS DECIMAL(18,2))) OVER w AS sx,
+                       sum(CAST(y AS DECIMAL(18,2))) OVER w AS sy,
+                       sum(CAST(t AS DECIMAL(18,2))
+                           * CAST(t AS DECIMAL(18,2))) OVER w AS sxx,
+                       sum(CAST(t AS DECIMAL(18,2))
+                           * CAST(y AS DECIMAL(18,2))) OVER w AS sxy
+                FROM base
+                WINDOW w AS (PARTITION BY g ORDER BY t
+                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+            )
+            SELECT g, t, y, n_win,
+                   CASE WHEN n_win >= 2
+                             AND CAST(n_win AS DOUBLE)
+                                 * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE)
+                                   * CAST(sx AS DOUBLE) <> 0.0
+                        THEN (CAST(n_win AS DOUBLE)
+                              * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE)
+                                * CAST(sy AS DOUBLE))
+                             / (CAST(n_win AS DOUBLE)
+                                * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE)
+                                  * CAST(sx AS DOUBLE))
+                   END AS slope
+            FROM st
         """,
         "density_clusters": """
             -- dense-cell adjacency components: min-reachable-label

@@ -376,3 +376,73 @@ def forecast_accuracy(
             ),
         ).alias("mase"),
     )
+
+
+def rolling_slope(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    window_rows: int = 10,
+    scale: int = 2,
+) -> DataFrame:
+    """``(df columns..., n_win, slope)`` — per-row rolling OLS slope
+    of ``value_col`` against ``order_col`` over the trailing
+    ``window_rows`` rows (the trend-velocity signal: EWMA smooths
+    level, this measures local DIRECTION — regression per frame
+    without a per-frame refit):
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    where all five frame sums ride ONE keyed window (exact DECIMAL —
+    x and y both contract-quantized at DECIMAL(18,scale), the L182
+    discipline), so each row's slope is one fixed IEEE tree over
+    exact sums: bit-identical, ungridded.  Frames with n < 2 or
+    constant x yield NULL slope.  Duplicate order keys are refused
+    (frame membership would be nondeterministic — the TWAP/OHLC
+    rule).
+
+    Scale shape: one keyed window sort; five combinable frame sums
+    share the exchange.  100 TB scans once."""
+    if window_rows < 2:
+        raise ValueError("rolling_slope: window_rows must be >= 2")
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    n_dup = (
+        flt.groupBy(*by, order_col).count().filter(F.col("count") > 1).count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"rolling_slope: {n_dup} duplicate order key(s) within a "
+            "series — frame membership is undefined; dedup first"
+        )
+    xd = F.col(order_col).cast(dec)
+    yd = F.col(value_col).cast(dec)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    staged = flt.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum(xd).over(w).alias("_sx"),
+        F.sum(yd).over(w).alias("_sy"),
+        F.sum(xd * xd).over(w).alias("_sxx"),
+        F.sum(xd * yd).over(w).alias("_sxy"),
+    )
+    nd = F.col("n_win").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    varx = nd * sxx - sx * sx
+    slope = F.when(
+        (F.col("n_win") >= 2) & (varx != F.lit(0.0)),
+        (nd * sxy - sx * sy) / varx,
+    )
+    return staged.withColumn("slope", slope).drop(
+        "_sx", "_sy", "_sxx", "_sxy"
+    )

@@ -127,3 +127,70 @@ class TestForecastAccuracy:
         )
         with pytest.raises(ValueError, match="duplicate"):
             forecast_accuracy(df, ["g"], "t", "y", "p").collect()
+
+
+class TestRollingSlope:
+    def _df(self, spark, series):
+        return spark.createDataFrame(
+            [("g", float(t), float(y)) for t, y in series],
+            "g string, t double, y double",
+        )
+
+    def test_python_reference(self, spark):
+        from lmss_entity_extractor_spark.ops.timeseries import rolling_slope
+
+        series = [(t, 2.0 * t * t - 3 * t + 1) for t in range(12)]
+        out = {
+            r["t"]: (r["n_win"], r["slope"])
+            for r in rolling_slope(
+                self._df(spark, series), ["g"], "t", "y", window_rows=4
+            ).collect()
+        }
+        for i, (t, _) in enumerate(series):
+            frame = series[max(0, i - 3): i + 1]
+            n = len(frame)
+            sx = sum(x for x, _ in frame)
+            sy = sum(y for _, y in frame)
+            sxx = sum(x * x for x, _ in frame)
+            sxy = sum(x * y for x, y in frame)
+            varx = n * sxx - sx * sx
+            ref = (n * sxy - sx * sy) / varx if n >= 2 and varx else None
+            got_n, got_s = out[float(t)]
+            assert got_n == n
+            if ref is None:
+                assert got_s is None
+            else:
+                assert abs(got_s - ref) < 1e-9
+
+    def test_linear_series_constant_slope(self, spark):
+        from lmss_entity_extractor_spark.ops.timeseries import rolling_slope
+
+        series = [(t, 5.0 * t + 2) for t in range(10)]
+        rows = rolling_slope(
+            self._df(spark, series), ["g"], "t", "y", window_rows=5
+        ).collect()
+        for r in rows:
+            if r["n_win"] >= 2:
+                assert abs(r["slope"] - 5.0) < 1e-9
+
+    def test_first_row_null(self, spark):
+        from lmss_entity_extractor_spark.ops.timeseries import rolling_slope
+
+        series = [(1, 4.0), (2, 6.0)]
+        rows = sorted(
+            rolling_slope(
+                self._df(spark, series), ["g"], "t", "y", window_rows=3
+            ).collect(),
+            key=lambda r: r["t"],
+        )
+        assert rows[0]["slope"] is None  # n_win = 1
+        assert abs(rows[1]["slope"] - 2.0) < 1e-12
+
+    def test_duplicate_refused(self, spark):
+        import pytest
+
+        from lmss_entity_extractor_spark.ops.timeseries import rolling_slope
+
+        df = self._df(spark, [(1, 1.0), (1, 2.0)])
+        with pytest.raises(ValueError, match="duplicate"):
+            rolling_slope(df, ["g"], "t", "y")
