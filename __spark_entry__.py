@@ -4056,6 +4056,75 @@ def q_isotonic(spark, sf_dir):
     return isotonic_fit(_calibration_input(spark, sf_dir), "p", "y", n_bins=10)
 
 
+def q_anova(spark, sf_dir):
+    """One-way ANOVA F + eta^2 (L215): do event types differ in mean
+    floored value — exact decimal per-level stats, sorted-level
+    ordered folds, one-pass fixed IEEE trees."""
+    from lmss_entity_extractor_spark.ops.stattests import oneway_anova
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            F.col("event_type").alias("lvl"), F.floor("value").alias("v")
+        )
+    )
+    return oneway_anova(e, [], "lvl", "v")
+
+
+def q_two_prop(spark, sf_dir):
+    """Two-proportion z + risk/odds ratios (L216): odd vs even order
+    keys as arms, divisible-by-3 keys as conversions, per priority —
+    exact integer cells, fixed IEEE trees, no transcendentals."""
+    from lmss_entity_extractor_spark.ops.effectsize import (
+        two_proportion_test,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.when(F.col("o_orderkey") % 2 == 1, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("var"),
+        (F.col("o_orderkey") % 3 == 0).cast("int").alias("y"),
+    )
+    return two_proportion_test(o, ["prio"], "var", "A", "B", "y")
+
+
+def q_durbin_watson(spark, sf_dir):
+    """Durbin-Watson (L217): lag-1 autocorrelation diagnostic of the
+    floored event-value series per type — exact decimal sums, one
+    division."""
+    from lmss_entity_extractor_spark.ops.timeseries import durbin_watson
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            F.col("event_id").alias("t"),
+            F.floor("value").alias("v"),
+        )
+    )
+    return durbin_watson(e, ["g"], "t", "v")
+
+
+def q_partial_corr(spark, sf_dir):
+    """Partial correlation (L218): quantity-price association
+    controlling for discount, per return flag — nine exact decimal
+    sums, one fixed IEEE tree."""
+    from lmss_entity_extractor_spark.ops.correlation import (
+        partial_correlation,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        F.col("l_discount").alias("z"),
+    )
+    return partial_correlation(li, ["flag"], "x", "y", "z")
+
+
 def q_rolling_slope(spark, sf_dir):
     """Rolling OLS slope (L214): 10-row trend velocity of event
     values per type — five exact decimal frame sums on one keyed
@@ -6345,6 +6414,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "isotonic": q_isotonic,
         "geo_pairs": q_geo_pairs,
+        "anova": q_anova,
+        "two_prop": q_two_prop,
+        "durbin_watson": q_durbin_watson,
+        "partial_corr": q_partial_corr,
         "rolling_slope": q_rolling_slope,
         "density_clusters": q_density_clusters,
         "simpsons_flip": q_simpsons,
@@ -9864,6 +9937,197 @@ def oracle_sql() -> dict[str, str]:
                             * (p - CAST(y AS DECIMAL(12,4)))) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS brier
             FROM base
+        """,
+        "anova": """
+            -- one-pass ANOVA: exact decimal level stats, sorted-level
+            -- list_reduce folds, fixed IEEE F / eta^2 trees
+            WITH vals AS (
+                SELECT event_type AS lvl,
+                       CAST(CAST(floor(value) AS BIGINT)
+                            AS DECIMAL(18,2)) AS v
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ),
+            per AS (
+                SELECT lvl, CAST(count(*) AS BIGINT) AS nj,
+                       CAST(sum(v) AS DOUBLE) AS sj,
+                       CAST(sum(v * v) AS DOUBLE) AS qj,
+                       sum(v) AS sj_dec
+                FROM vals GROUP BY 1
+            ),
+            tot AS (
+                SELECT CAST(sum(nj) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS k,
+                       CAST(sum(sj_dec) AS DOUBLE) AS stot,
+                       list_sort(list(struct_pack(
+                           g := lvl, nj := nj, sj := sj, qj := qj
+                       ))) AS lv
+                FROM per
+            ),
+            folds AS (
+                SELECT n, k,
+                       list_reduce(
+                           list_prepend(0.0,
+                               [CAST(s.nj AS DOUBLE)
+                                * (s.sj / CAST(s.nj AS DOUBLE)
+                                   - stot / CAST(n AS DOUBLE))
+                                * (s.sj / CAST(s.nj AS DOUBLE)
+                                   - stot / CAST(n AS DOUBLE))
+                                FOR s IN lv]),
+                           (acc, t) -> acc + t) AS ssb,
+                       list_reduce(
+                           list_prepend(0.0,
+                               [s.qj - s.sj * s.sj
+                                       / CAST(s.nj AS DOUBLE)
+                                FOR s IN lv]),
+                           (acc, t) -> acc + t) AS ssw
+                FROM tot
+            )
+            SELECT k, n,
+                   CASE WHEN k >= 2 AND n > k AND ssw > 0
+                        THEN (ssb / (CAST(k AS DOUBLE) - 1.0))
+                             / (ssw / (CAST(n AS DOUBLE)
+                                       - CAST(k AS DOUBLE)))
+                   END AS f,
+                   CASE WHEN ssb + ssw > 0
+                        THEN ssb / (ssb + ssw) END AS eta_sq
+            FROM folds
+        """,
+        "two_prop": """
+            -- pooled z + Katz log-scale SEs from exact integer cells
+            WITH agg AS (
+                SELECT o_orderpriority AS prio,
+                       CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1
+                                ELSE 0 END) AS BIGINT) AS n_a,
+                       CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                                     AND o_orderkey % 3 = 0 THEN 1
+                                ELSE 0 END) AS BIGINT) AS k_a,
+                       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1
+                                ELSE 0 END) AS BIGINT) AS n_b,
+                       CAST(sum(CASE WHEN o_orderkey % 2 = 0
+                                     AND o_orderkey % 3 = 0 THEN 1
+                                ELSE 0 END) AS BIGINT) AS k_b
+                FROM orders GROUP BY 1
+            ),
+            d AS (
+                SELECT prio, n_a, k_a, n_b, k_b,
+                       CAST(n_a AS DOUBLE) AS nad,
+                       CAST(k_a AS DOUBLE) AS kad,
+                       CAST(n_b AS DOUBLE) AS nbd,
+                       CAST(k_b AS DOUBLE) AS kbd
+                FROM agg
+            )
+            SELECT prio, n_a, k_a, n_b, k_b,
+                   CASE WHEN n_a > 0 AND n_b > 0 AND k_a + k_b > 0
+                             AND k_a + k_b < n_a + n_b
+                        THEN (kad / nad - kbd / nbd)
+                             / sqrt(((kad + kbd) / (nad + nbd))
+                                    * (1.0 - (kad + kbd) / (nad + nbd))
+                                    * (1.0 / nad + 1.0 / nbd))
+                   END AS z,
+                   CASE WHEN k_a > 0 AND k_b > 0 AND n_a > 0
+                             AND n_b > 0
+                        THEN (kad / nad) / (kbd / nbd) END
+                       AS risk_ratio,
+                   CASE WHEN k_a > 0 AND k_b > 0 AND n_a > 0
+                             AND n_b > 0
+                        THEN sqrt(1.0 / kad - 1.0 / nad + 1.0 / kbd
+                                  - 1.0 / nbd) END AS rr_se_log,
+                   CASE WHEN k_a > 0 AND k_b > 0 AND k_a < n_a
+                             AND k_b < n_b
+                        THEN (kad * (nbd - kbd)) / (kbd * (nad - kad))
+                   END AS odds_ratio,
+                   CASE WHEN k_a > 0 AND k_b > 0 AND k_a < n_a
+                             AND k_b < n_b
+                        THEN sqrt(1.0 / kad + 1.0 / (nad - kad)
+                                  + 1.0 / kbd + 1.0 / (nbd - kbd))
+                   END AS or_se_log
+            FROM d
+        """,
+        "durbin_watson": """
+            -- exact decimal diff/level sums, one division
+            WITH base AS (
+                SELECT event_type AS g, event_id AS t,
+                       CAST(CAST(floor(value) AS BIGINT)
+                            AS DECIMAL(18,2)) AS v
+                FROM events
+                WHERE value IS NOT NULL AND event_id IS NOT NULL
+            ),
+            st AS (
+                SELECT g, v,
+                       v - lag(v) OVER (PARTITION BY g ORDER BY t)
+                           AS d
+                FROM base
+            ),
+            agg AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n,
+                       sum(v * v) AS ss, sum(d * d) AS sd
+                FROM st GROUP BY 1
+            )
+            SELECT g, n,
+                   CASE WHEN n >= 2 AND ss > 0
+                        THEN CAST(sd AS DOUBLE) / CAST(ss AS DOUBLE)
+                   END AS dw
+            FROM agg
+        """,
+        "partial_corr": """
+            -- nine exact decimal sums, one fixed IEEE tree
+            WITH base AS (
+                SELECT l_returnflag AS flag,
+                       CAST(l_quantity AS DECIMAL(18,2)) AS x,
+                       CAST(l_extendedprice AS DECIMAL(18,2)) AS y,
+                       CAST(l_discount AS DECIMAL(18,2)) AS z
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL
+            ),
+            agg AS (
+                SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS DOUBLE) AS sx,
+                       CAST(sum(y) AS DOUBLE) AS sy,
+                       CAST(sum(z) AS DOUBLE) AS sz,
+                       CAST(sum(x * x) AS DOUBLE) AS sxx,
+                       CAST(sum(y * y) AS DOUBLE) AS syy,
+                       CAST(sum(z * z) AS DOUBLE) AS szz,
+                       CAST(sum(x * y) AS DOUBLE) AS sxy,
+                       CAST(sum(x * z) AS DOUBLE) AS sxz,
+                       CAST(sum(y * z) AS DOUBLE) AS syz
+                FROM base GROUP BY 1
+            ),
+            r AS (
+                SELECT flag, n,
+                       CAST(n AS DOUBLE) AS nd, sx, sy, sz,
+                       CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+                       CAST(n AS DOUBLE) * syy - sy * sy AS vy,
+                       CAST(n AS DOUBLE) * szz - sz * sz AS vz,
+                       CAST(n AS DOUBLE) * sxy - sx * sy AS cxy,
+                       CAST(n AS DOUBLE) * sxz - sx * sz AS cxz,
+                       CAST(n AS DOUBLE) * syz - sy * sz AS cyz
+                FROM agg
+            ),
+            rr AS (
+                SELECT flag, n, vx, vy, vz,
+                       cxy / sqrt(vx * vy) AS r_xy,
+                       cxz / sqrt(vx * vz) AS r_xz,
+                       cyz / sqrt(vy * vz) AS r_yz
+                FROM r
+            )
+            SELECT flag, n,
+                   CASE WHEN n >= 2 AND vx > 0 AND vy > 0 AND vz > 0
+                        THEN r_xy END AS r_xy,
+                   CASE WHEN n >= 2 AND vx > 0 AND vy > 0 AND vz > 0
+                        THEN r_xz END AS r_xz,
+                   CASE WHEN n >= 2 AND vx > 0 AND vy > 0 AND vz > 0
+                        THEN r_yz END AS r_yz,
+                   CASE WHEN n >= 2 AND vx > 0 AND vy > 0 AND vz > 0
+                             AND sqrt((1.0 - r_xz * r_xz)
+                                      * (1.0 - r_yz * r_yz)) > 0
+                        THEN (r_xy - r_xz * r_yz)
+                             / sqrt((1.0 - r_xz * r_xz)
+                                    * (1.0 - r_yz * r_yz))
+                   END AS r_xy_given_z
+            FROM rr
         """,
         "rolling_slope": """
             -- five exact decimal frame sums, one IEEE tree per row

@@ -261,3 +261,83 @@ def kendall_tau_b(
         F.col("_disc").cast("double").alias("discordant"),
         F.when(ok, diff / F.sqrt(da * db)).alias("tau_b"),
     )
+
+
+def partial_correlation(
+    df: DataFrame,
+    by: list[str],
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, r_xy, r_xz, r_yz, r_xy_given_z)`` — the partial
+    correlation of x and y CONTROLLING for z (the one-confounder
+    deconfounding check that the plain corr_matrix, L135, cannot
+    answer — does the x↔y association survive holding z fixed):
+
+        r_xy·z = (r_xy − r_xz·r_yz) / sqrt((1−r_xz²)(1−r_yz²))
+
+    Every pairwise r comes from the L135 exact-decimal sufficient
+    statistics (n·Σab − Σa·Σb over n-scaled exact integers) so the
+    whole statistic is one fixed IEEE tree — bit-identical,
+    ungridded.  n < 2, a zero pairwise variance, or |r_xz| = 1 /
+    |r_yz| = 1 (z fully determines a margin) yields NULL.
+
+    Scale shape: ONE combinable groupBy computing all nine sums; 100
+    TB scans once."""
+    dec = f"decimal(18,{scale})"
+    xd = F.col(x_col).cast(dec)
+    yd = F.col(y_col).cast(dec)
+    zd = F.col(z_col).cast(dec)
+    agg = (
+        df.filter(
+            F.col(x_col).isNotNull()
+            & F.col(y_col).isNotNull()
+            & F.col(z_col).isNotNull()
+        )
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xd).alias("_sx"),
+            F.sum(yd).alias("_sy"),
+            F.sum(zd).alias("_sz"),
+            F.sum(xd * xd).alias("_sxx"),
+            F.sum(yd * yd).alias("_syy"),
+            F.sum(zd * zd).alias("_szz"),
+            F.sum(xd * yd).alias("_sxy"),
+            F.sum(xd * zd).alias("_sxz"),
+            F.sum(yd * zd).alias("_syz"),
+        )
+    )
+    nd = F.col("n").cast("double")
+
+    def _cov(sab, sa, sb):
+        return nd * F.col(sab).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+
+    def _var(saa, sa):
+        return nd * F.col(saa).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sa).cast("double")
+
+    vx, vy, vz = _var("_sxx", "_sx"), _var("_syy", "_sy"), _var("_szz", "_sz")
+    r_xy = _cov("_sxy", "_sx", "_sy") / F.sqrt(vx * vy)
+    r_xz = _cov("_sxz", "_sx", "_sz") / F.sqrt(vx * vz)
+    r_yz = _cov("_syz", "_sy", "_sz") / F.sqrt(vy * vz)
+    denom = F.sqrt(
+        (F.lit(1.0) - r_xz * r_xz) * (F.lit(1.0) - r_yz * r_yz)
+    )
+    ok_pair = (F.col("n") >= 2) & (vx > 0) & (vy > 0) & (vz > 0)
+    ok_part = ok_pair & (denom > 0)
+    return agg.select(
+        *by,
+        "n",
+        F.when(ok_pair, r_xy).alias("r_xy"),
+        F.when(ok_pair, r_xz).alias("r_xz"),
+        F.when(ok_pair, r_yz).alias("r_yz"),
+        F.when(ok_part, (r_xy - r_xz * r_yz) / denom).alias(
+            "r_xy_given_z"
+        ),
+    )

@@ -389,3 +389,97 @@ def bh_fdr(
             (F.col("rank") <= F.col("_k")).alias("discovery"),
         )
     )
+
+
+def two_proportion_test(
+    df: DataFrame,
+    by: list[str],
+    variant_col: str,
+    variant_a: str,
+    variant_b: str,
+    label_col: str,
+) -> DataFrame:
+    """``(by..., n_a, k_a, n_b, k_b, z, risk_ratio, rr_se_log,
+    odds_ratio, or_se_log)`` — the binary-metric A/B scoreboard: the
+    pooled two-proportion z-test plus the Katz log-scale standard
+    errors for the risk ratio and odds ratio (the effect sizes a lift
+    report actually quotes; pair ±1.96·se_log with exp() at the
+    caller):
+
+        z  = (p̂_a − p̂_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)),  p̂ pooled
+        rr = (k_a/n_a)/(k_b/n_b)         se_log_rr = sqrt(1/k_a −
+             1/n_a + 1/k_b − 1/n_b)
+        or = (k_a(n_b−k_b))/(k_b(n_a−k_a))  se_log_or = sqrt(1/k_a +
+             1/(n_a−k_a) + 1/k_b + 1/(n_b−k_b))
+
+    — exact integer counts, fixed IEEE trees (log/exp never taken
+    here, so no transcendental at all).  Degenerate cells (zero or
+    full counts where a formula divides by them) yield NULL for the
+    affected statistics only.  Non-binary labels refused.
+
+    Scale shape: one combinable groupBy with conditional sums; 100 TB
+    scans once."""
+    lab = F.col(label_col).cast("int")
+    flt = df.filter(
+        F.col(label_col).isNotNull()
+        & F.col(variant_col).isin([variant_a, variant_b])
+    )
+    n_bad = flt.filter(~lab.isin([0, 1])).count()
+    if n_bad:
+        raise ValueError(
+            f"two_proportion_test: {n_bad} row(s) with non-binary label"
+        )
+    is_a = F.col(variant_col) == variant_a
+    agg = flt.groupBy(*by).agg(
+        F.sum(is_a.cast("long")).alias("n_a"),
+        F.sum(F.when(is_a, lab)).alias("k_a"),
+        F.sum((~is_a).cast("long")).alias("n_b"),
+        F.sum(F.when(~is_a, lab)).alias("k_b"),
+    )
+    na = F.col("n_a").cast("double")
+    ka = F.col("k_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    kb = F.col("k_b").cast("double")
+    p_pool = (ka + kb) / (na + nb)
+    se = F.sqrt(
+        p_pool * (F.lit(1.0) - p_pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    z = (ka / na - kb / nb) / se
+    ok_z = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("k_a") + F.col("k_b") > 0)
+        & (F.col("k_a") + F.col("k_b") < F.col("n_a") + F.col("n_b"))
+    )
+    rr = (ka / na) / (kb / nb)
+    rr_se = F.sqrt(
+        F.lit(1.0) / ka - F.lit(1.0) / na + F.lit(1.0) / kb - F.lit(1.0) / nb
+    )
+    ok_rr = (F.col("k_a") > 0) & (F.col("k_b") > 0) & (F.col("n_a") > 0) & (
+        F.col("n_b") > 0
+    )
+    orat = (ka * (nb - kb)) / (kb * (na - ka))
+    or_se = F.sqrt(
+        F.lit(1.0) / ka
+        + F.lit(1.0) / (na - ka)
+        + F.lit(1.0) / kb
+        + F.lit(1.0) / (nb - kb)
+    )
+    ok_or = (
+        (F.col("k_a") > 0)
+        & (F.col("k_b") > 0)
+        & (F.col("k_a") < F.col("n_a"))
+        & (F.col("k_b") < F.col("n_b"))
+    )
+    return agg.select(
+        *by,
+        "n_a",
+        "k_a",
+        "n_b",
+        "k_b",
+        F.when(ok_z, z).alias("z"),
+        F.when(ok_rr, rr).alias("risk_ratio"),
+        F.when(ok_rr, rr_se).alias("rr_se_log"),
+        F.when(ok_or, orat).alias("odds_ratio"),
+        F.when(ok_or, or_se).alias("or_se_log"),
+    )

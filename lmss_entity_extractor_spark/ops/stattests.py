@@ -312,3 +312,85 @@ def brown_forsythe(
     fstat = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
     ok = (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0)
     return arr.select(*by, "k", "n", F.when(ok, fstat).alias("f"))
+
+
+def oneway_anova(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., k, n, f, eta_sq)`` — the classic one-way fixed-effects
+    ANOVA F (does the MEAN differ across the k levels — the parametric
+    complement to Kruskal-Wallis L174; Brown-Forsythe L193 runs the
+    same machinery on median deviations to test VARIANCE instead) plus
+    η², the fraction of variance the grouping explains.
+
+    Values contract-quantized at DECIMAL(18,scale).  Per level the
+    exact sufficient statistics (n_j, Σv, Σv²) aggregate combinably;
+    with k bounded, SSB/SSW are the repo's sorted-level ordered folds
+    (each per-level term a fixed IEEE tree over exact decimals):
+
+        SSB = Σ_j n_j(v̄_j − v̄)²,  SSW = Σ_j (Σv²_j − (Σv_j)²/n_j)
+        F = (SSB/(k−1)) / (SSW/(n−k)),   η² = SSB/(SSB+SSW)
+
+    — bit-identical, ungridded.  k < 2, n ≤ k, or SSW ≤ 0 yields
+    NULL f (η² still emitted when SSB+SSW > 0).
+
+    Scale shape: ONE combinable groupBy; the folds run over k-length
+    arrays.  100 TB scans once — one pass, unlike L193's two."""
+    dec = f"decimal(18,{scale})"
+    vd = F.col(value_col).cast(dec)
+    per = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .groupBy(*by, F.col(group_col).alias("_g"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(vd).alias("_s"),
+            F.sum(vd * vd).alias("_q"),
+        )
+    )
+    arr = per.groupBy(*by).agg(
+        F.sum("_n").alias("n"),
+        F.sum("_s").alias("_stot"),
+        F.count(F.lit(1)).alias("k"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_g").alias("g"),
+                    F.col("_n").alias("nj"),
+                    F.col("_s").cast("double").alias("sj"),
+                    F.col("_q").cast("double").alias("qj"),
+                )
+            )
+        ).alias("_lv"),
+    )
+    grand = F.col("_stot").cast("double") / F.col("n").cast("double")
+    ssb = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, v: acc
+        + v["nj"].cast("double")
+        * (v["sj"] / v["nj"].cast("double") - grand)
+        * (v["sj"] / v["nj"].cast("double") - grand),
+    )
+    ssw = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, v: acc
+        + (v["qj"] - v["sj"] * v["sj"] / v["nj"].cast("double")),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    fstat = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    ok = (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0)
+    return arr.select(
+        *by,
+        "k",
+        "n",
+        F.when(ok, fstat).alias("f"),
+        F.when(ssb + ssw > 0, ssb / (ssb + ssw)).alias("eta_sq"),
+    )

@@ -446,3 +446,58 @@ def rolling_slope(
     return staged.withColumn("slope", slope).drop(
         "_sx", "_sy", "_sxx", "_sxy"
     )
+
+
+def durbin_watson(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, dw)`` — the Durbin-Watson statistic of a
+    (residual) series per key: DW = Σ_t (e_t − e_{t−1})² / Σ_t e_t² —
+    the lag-1 autocorrelation diagnostic (≈2 none, →0 positive, →4
+    negative), the model-residual companion to the ACF (L151).
+
+    Values contract-quantized at DECIMAL(18,scale); both sums are
+    exact decimals (the squared difference of two exact decimals is
+    exact), DW is ONE IEEE division — bit-identical, ungridded.
+    Callers pass RESIDUALS (or any series) — typically mean-centered
+    first.  n < 2 or a zero denominator (all-zero series) yields NULL
+    dw.  Duplicate order keys refused (the lag rule).
+
+    Scale shape: one keyed window lag + one combinable agg."""
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    n_dup = (
+        flt.groupBy(*by, order_col).count().filter(F.col("count") > 1).count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"durbin_watson: {n_dup} duplicate order key(s) within a "
+            "series — the lag is undefined; dedup first"
+        )
+    vd = F.col(value_col).cast(dec)
+    w = Window.partitionBy(*by).orderBy(order_col)
+    staged = flt.select(
+        *by,
+        vd.alias("_v"),
+        (vd - F.lag(vd).over(w)).alias("_d"),
+    )
+    agg = staged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_ss"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_sd"),
+    )
+    ok = (F.col("n") >= 2) & (F.col("_ss") > 0)
+    return agg.select(
+        *by,
+        "n",
+        F.when(
+            ok,
+            F.col("_sd").cast("double") / F.col("_ss").cast("double"),
+        ).alias("dw"),
+    )

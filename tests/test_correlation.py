@@ -179,3 +179,67 @@ class TestKendallTauB:
         r = kendall_tau_b(self._df(spark, pairs), ["g"], "x", "y").collect()[0]
         assert r["concordant"] == conc and r["discordant"] == disc
         assert abs(r["tau_b"] - tau) < 1e-12
+
+
+class TestPartialCorrelation:
+    def test_python_reference(self, spark):
+        from lmss_entity_extractor_spark.ops.correlation import (
+            partial_correlation,
+        )
+
+        rows = [
+            (float(z), float(2 * z + (i % 3)), float(-z + (i % 5)))
+            for i, z in enumerate(range(20))
+        ]
+        df = spark.createDataFrame(
+            [("g", x, y, z) for z, x, y in rows],
+            "g string, x double, y double, z double",
+        )
+
+        def corr(a, b):
+            n = len(a)
+            sa, sb = sum(a), sum(b)
+            sab = sum(u * v for u, v in zip(a, b))
+            saa = sum(u * u for u in a)
+            sbb = sum(v * v for v in b)
+            return (n * sab - sa * sb) / (
+                (n * saa - sa * sa) * (n * sbb - sb * sb)
+            ) ** 0.5
+
+        xs = [x for _, x, _ in rows]
+        ys = [y for _, _, y in rows]
+        zs = [z for z, _, _ in rows]
+        rxy, rxz, ryz = corr(xs, ys), corr(xs, zs), corr(ys, zs)
+        ref = (rxy - rxz * ryz) / (
+            (1 - rxz**2) * (1 - ryz**2)
+        ) ** 0.5
+        r = partial_correlation(df, ["g"], "x", "y", "z").collect()[0]
+        assert abs(r["r_xy"] - rxy) < 1e-9
+        assert abs(r["r_xy_given_z"] - ref) < 1e-9
+
+    def test_confounder_fully_explains(self, spark):
+        from lmss_entity_extractor_spark.ops.correlation import (
+            partial_correlation,
+        )
+
+        # x = z, y = z exactly: r_xy = 1 but |r_xz| = 1 -> NULL partial
+        rows = [("g", float(z), float(z), float(z)) for z in range(10)]
+        df = spark.createDataFrame(rows, "g string, x double, y double, z double")
+        r = partial_correlation(df, ["g"], "x", "y", "z").collect()[0]
+        assert abs(r["r_xy"] - 1.0) < 1e-12
+        assert r["r_xy_given_z"] is None
+
+    def test_independent_of_z(self, spark):
+        from lmss_entity_extractor_spark.ops.correlation import (
+            partial_correlation,
+        )
+
+        # x,y correlated, z pure noise pattern uncorrelated-ish:
+        # partial stays close to raw
+        rows = [
+            ("g", float(i), float(2 * i + (i % 2)), float((i * 7) % 5))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "g string, x double, y double, z double")
+        r = partial_correlation(df, ["g"], "x", "y", "z").collect()[0]
+        assert abs(r["r_xy"] - r["r_xy_given_z"]) < 0.05

@@ -416,3 +416,109 @@ class TestBhFdr:
         df2 = spark.createDataFrame([("a", 0.5)], "test string, p double")
         with pytest.raises(ValueError, match="q must be"):
             bh_fdr(df2, "test", "p", q="1.5")
+
+
+class TestOnewayAnova:
+    def _df(self, spark, groups):
+        rows = [
+            ("g", lvl, float(v)) for lvl, vals in groups.items() for v in vals
+        ]
+        return spark.createDataFrame(rows, "g string, lvl string, v double")
+
+    @staticmethod
+    def _ref(groups):
+        vals = [v for vs in groups.values() for v in vs]
+        n, k = len(vals), len(groups)
+        grand = sum(vals) / n
+        ssb = sum(
+            len(vs) * (sum(vs) / len(vs) - grand) ** 2
+            for vs in groups.values()
+        )
+        ssw = sum(
+            sum(v * v for v in vs) - sum(vs) ** 2 / len(vs)
+            for vs in groups.values()
+        )
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+        return f, ssb / (ssb + ssw)
+
+    def test_python_reference(self, spark):
+        from lmss_entity_extractor_spark.ops.stattests import oneway_anova
+
+        groups = {
+            "a": [1.0, 2.0, 3.0, 4.0],
+            "b": [4.0, 5.0, 6.0],
+            "c": [8.0, 9.0, 10.0, 11.0, 12.0],
+        }
+        f_ref, eta_ref = self._ref(groups)
+        r = oneway_anova(self._df(spark, groups), ["g"], "lvl", "v").collect()[0]
+        assert r["k"] == 3 and r["n"] == 12
+        assert abs(r["f"] - f_ref) < 1e-9
+        assert abs(r["eta_sq"] - eta_ref) < 1e-12
+
+    def test_identical_groups_zero_f(self, spark):
+        from lmss_entity_extractor_spark.ops.stattests import oneway_anova
+
+        groups = {"a": [1.0, 2.0, 3.0], "b": [1.0, 2.0, 3.0]}
+        r = oneway_anova(self._df(spark, groups), ["g"], "lvl", "v").collect()[0]
+        assert abs(r["f"]) < 1e-12 and abs(r["eta_sq"]) < 1e-12
+
+    def test_constant_within_null_f(self, spark):
+        from lmss_entity_extractor_spark.ops.stattests import oneway_anova
+
+        groups = {"a": [1.0, 1.0], "b": [5.0, 5.0]}
+        r = oneway_anova(self._df(spark, groups), ["g"], "lvl", "v").collect()[0]
+        assert r["f"] is None  # SSW = 0
+        assert abs(r["eta_sq"] - 1.0) < 1e-12
+
+
+class TestTwoProportion:
+    def _df(self, spark, ka, na, kb, nb):
+        rows = (
+            [("g", "A", 1)] * ka + [("g", "A", 0)] * (na - ka)
+            + [("g", "B", 1)] * kb + [("g", "B", 0)] * (nb - kb)
+        )
+        return spark.createDataFrame(rows, "g string, var string, y int")
+
+    def test_python_reference(self, spark):
+        from lmss_entity_extractor_spark.ops.effectsize import (
+            two_proportion_test,
+        )
+
+        ka, na, kb, nb = 30, 100, 20, 120
+        r = two_proportion_test(
+            self._df(spark, ka, na, kb, nb), ["g"], "var", "A", "B", "y"
+        ).collect()[0]
+        pa, pb = ka / na, kb / nb
+        pp = (ka + kb) / (na + nb)
+        z = (pa - pb) / (pp * (1 - pp) * (1 / na + 1 / nb)) ** 0.5
+        rr = pa / pb
+        rr_se = (1 / ka - 1 / na + 1 / kb - 1 / nb) ** 0.5
+        orat = (ka * (nb - kb)) / (kb * (na - ka))
+        or_se = (1 / ka + 1 / (na - ka) + 1 / kb + 1 / (nb - kb)) ** 0.5
+        assert abs(r["z"] - z) < 1e-12
+        assert abs(r["risk_ratio"] - rr) < 1e-12
+        assert abs(r["rr_se_log"] - rr_se) < 1e-12
+        assert abs(r["odds_ratio"] - orat) < 1e-12
+        assert abs(r["or_se_log"] - or_se) < 1e-12
+
+    def test_zero_cell_nulls(self, spark):
+        from lmss_entity_extractor_spark.ops.effectsize import (
+            two_proportion_test,
+        )
+
+        r = two_proportion_test(
+            self._df(spark, 0, 10, 5, 10), ["g"], "var", "A", "B", "y"
+        ).collect()[0]
+        assert r["risk_ratio"] is None and r["odds_ratio"] is None
+        assert r["z"] is not None  # pooled rate is in (0,1)
+
+    def test_nonbinary_refused(self, spark):
+        import pytest
+
+        from lmss_entity_extractor_spark.ops.effectsize import (
+            two_proportion_test,
+        )
+
+        df = spark.createDataFrame([("g", "A", 2)], "g string, var string, y int")
+        with pytest.raises(ValueError, match="non-binary"):
+            two_proportion_test(df, ["g"], "var", "A", "B", "y")

@@ -194,3 +194,43 @@ class TestRollingSlope:
         df = self._df(spark, [(1, 1.0), (1, 2.0)])
         with pytest.raises(ValueError, match="duplicate"):
             rolling_slope(df, ["g"], "t", "y")
+
+
+class TestDurbinWatson:
+    def _df(self, spark, series):
+        return spark.createDataFrame(
+            [("g", t, float(v)) for t, v in enumerate(series)],
+            "g string, t int, v double",
+        )
+
+    def test_python_reference(self, spark):
+        from lmss_entity_extractor_spark.ops.timeseries import durbin_watson
+
+        series = [1.0, -2.0, 3.0, -1.0, 2.0, -3.0, 1.5]
+        diffs = [series[i] - series[i - 1] for i in range(1, len(series))]
+        ref = sum(d * d for d in diffs) / sum(v * v for v in series)
+        r = durbin_watson(self._df(spark, series), ["g"], "t", "v").collect()[0]
+        assert r["n"] == len(series)
+        assert abs(r["dw"] - ref) < 1e-12
+
+    def test_alternating_near_four(self, spark):
+        from lmss_entity_extractor_spark.ops.timeseries import durbin_watson
+
+        series = [1.0 if i % 2 == 0 else -1.0 for i in range(50)]
+        r = durbin_watson(self._df(spark, series), ["g"], "t", "v").collect()[0]
+        assert r["dw"] > 3.8
+
+    def test_smooth_near_zero(self, spark):
+        from lmss_entity_extractor_spark.ops.timeseries import durbin_watson
+
+        series = [float(100 + i * 0.01) for i in range(50)]
+        r = durbin_watson(self._df(spark, series), ["g"], "t", "v").collect()[0]
+        assert r["dw"] < 0.1
+
+    def test_all_zero_null(self, spark):
+        from lmss_entity_extractor_spark.ops.timeseries import durbin_watson
+
+        r = durbin_watson(
+            self._df(spark, [0.0, 0.0, 0.0]), ["g"], "t", "v"
+        ).collect()[0]
+        assert r["dw"] is None
