@@ -4056,6 +4056,45 @@ def q_isotonic(spark, sf_dir):
     return isotonic_fit(_calibration_input(spark, sf_dir), "p", "y", n_bins=10)
 
 
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test (L219): parity of floored event
+    values as the binary sequence per type — one lag window, exact
+    integer moments, fixed IEEE z tree."""
+    from lmss_entity_extractor_spark.ops.stattests import runs_test
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            F.col("event_id").alias("t"),
+            (F.floor("value") % 2 == 0).cast("int").alias("x"),
+        )
+    )
+    return runs_test(e, ["g"], "t", "x")
+
+
+def q_ols_influence(spark, sf_dir):
+    """OLS influence diagnostics (L220): leverage/residual/Cook's D
+    of the quantity→price fit per return flag on a keyed slice —
+    fit-small/apply-wide, per-row fixed trees."""
+    from lmss_entity_extractor_spark.ops.regression import ols_influence
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias(
+                "rid"
+            ),
+            F.col("l_quantity").alias("x"),
+            F.col("l_extendedprice").alias("y"),
+        )
+    )
+    return ols_influence(li, ["flag"], "rid", "x", "y")
+
+
 def q_anova(spark, sf_dir):
     """One-way ANOVA F + eta^2 (L215): do event types differ in mean
     floored value — exact decimal per-level stats, sorted-level
@@ -6414,6 +6453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "isotonic": q_isotonic,
         "geo_pairs": q_geo_pairs,
+        "runs_test": q_runs_test,
+        "ols_influence": q_ols_influence,
         "anova": q_anova,
         "two_prop": q_two_prop,
         "durbin_watson": q_durbin_watson,
@@ -9937,6 +9978,112 @@ def oracle_sql() -> dict[str, str]:
                             * (p - CAST(y AS DECIMAL(12,4)))) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS brier
             FROM base
+        """,
+        "runs_test": """
+            -- one lag window, exact HUGEINT moments, fixed z tree
+            WITH base AS (
+                SELECT event_type AS g, event_id AS t,
+                       CASE WHEN CAST(floor(value) AS BIGINT) % 2 = 0
+                            THEN 1 ELSE 0 END AS x
+                FROM events
+                WHERE value IS NOT NULL AND event_id IS NOT NULL
+            ),
+            st AS (
+                SELECT g, x,
+                       CASE WHEN x <> lag(x) OVER (PARTITION BY g
+                                ORDER BY t) THEN 1 ELSE 0 END AS chg
+                FROM base
+            ),
+            agg AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS n1,
+                       CAST(sum(1 - x) AS BIGINT) AS n0,
+                       CAST(coalesce(sum(chg), 0) + 1 AS BIGINT)
+                           AS runs
+                FROM st GROUP BY 1
+            ),
+            d AS (
+                SELECT g, n, n1, n0, runs,
+                       2 * CAST(n1 AS HUGEINT) * n0 AS p2
+                FROM agg
+            )
+            SELECT g, n, n1, n0, runs,
+                   CASE WHEN n1 > 0 AND n0 > 0
+                             AND CAST(p2 * (p2 - n) AS DOUBLE)
+                                 / CAST(CAST(n AS HUGEINT) * n
+                                        * (n - 1) AS DOUBLE) > 0
+                        THEN (CAST(runs AS DOUBLE)
+                              - (1.0 + CAST(p2 AS DOUBLE)
+                                       / CAST(n AS DOUBLE)))
+                             / sqrt(CAST(p2 * (p2 - n) AS DOUBLE)
+                                    / CAST(CAST(n AS HUGEINT) * n
+                                           * (n - 1) AS DOUBLE))
+                   END AS z
+            FROM d
+        """,
+        "ols_influence": """
+            -- fit stats once, per-row fixed leverage/resid/Cook trees
+            WITH base AS (
+                SELECT l_returnflag AS flag,
+                       l_orderkey * 10 + l_linenumber AS rid,
+                       l_quantity AS x, l_extendedprice AS y,
+                       CAST(l_quantity AS DECIMAL(18,2)) AS xd,
+                       CAST(l_extendedprice AS DECIMAL(18,2)) AS yd
+                FROM lineitem
+                WHERE l_orderkey % 20 = 0
+                  AND l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            ),
+            stats AS (
+                SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(xd) AS DOUBLE) AS sx,
+                       CAST(sum(yd) AS DOUBLE) AS sy,
+                       CAST(sum(xd * xd) AS DOUBLE) AS sxx,
+                       CAST(sum(xd * yd) AS DOUBLE) AS sxy,
+                       CAST(sum(yd * yd) AS DOUBLE) AS syy
+                FROM base GROUP BY 1
+            ),
+            d AS (
+                SELECT b.flag, b.rid, b.x, b.y,
+                       CAST(b.x AS DOUBLE) AS xi,
+                       CAST(b.y AS DOUBLE) AS yi,
+                       s.n, CAST(s.n AS DOUBLE) AS nd,
+                       s.sx, s.sy,
+                       s.sxx - s.sx * s.sx / CAST(s.n AS DOUBLE)
+                           AS sxx_c,
+                       s.sxy - s.sx * s.sy / CAST(s.n AS DOUBLE)
+                           AS sxy_c,
+                       s.syy - s.sy * s.sy / CAST(s.n AS DOUBLE)
+                           AS syy_c
+                FROM base b JOIN stats s USING (flag)
+            ),
+            f AS (
+                SELECT flag, rid, x, y, xi, yi, n, nd, sx, sy,
+                       sxx_c,
+                       sxy_c / sxx_c AS b,
+                       (sy - (sxy_c / sxx_c) * sx) / nd AS a,
+                       (syy_c - (sxy_c / sxx_c) * sxy_c) / (nd - 2.0)
+                           AS s2
+                FROM d
+            ),
+            g AS (
+                SELECT flag, rid, x, y, n, sxx_c, s2,
+                       1.0 / nd + (xi - sx / nd) * (xi - sx / nd)
+                           / sxx_c AS h,
+                       yi - (a + b * xi) AS e
+                FROM f
+            )
+            SELECT flag, rid AS id, x, y,
+                   CASE WHEN n > 2 AND sxx_c > 0 AND s2 > 0
+                        THEN h END AS leverage,
+                   CASE WHEN n > 2 AND sxx_c > 0 AND s2 > 0
+                        THEN e END AS resid,
+                   CASE WHEN n > 2 AND sxx_c > 0 AND s2 > 0
+                             AND h < 1
+                        THEN e * e / (2.0 * s2)
+                             * (h / ((1.0 - h) * (1.0 - h)))
+                   END AS cooks_d
+            FROM g
         """,
         "anova": """
             -- one-pass ANOVA: exact decimal level stats, sorted-level

@@ -89,3 +89,78 @@ def grouped_linreg(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def ols_influence(
+    df: DataFrame,
+    by: list[str],
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., id, x, y, leverage, resid, cooks_d)`` — per-row
+    influence diagnostics of the simple OLS fit (which rows DRIVE the
+    L141 regression — the row-level answer the fit summary hides):
+
+        h_i   = 1/n + (x_i − x̄)²/Sxx          (leverage)
+        e_i   = y_i − (a + b·x_i)              (residual)
+        D_i   = e_i²/(2·s²) · h_i/(1−h_i)²     (Cook's distance, p=2)
+
+    with b, a, Sxx, Syy, Sxy, s² = (Syy − b·Sxy)/(n−2) all derived
+    from the EXACT DECIMAL sufficient statistics of the L141
+    discipline, broadcast back onto the rows (fit-small/apply-wide,
+    the CUPED shape) — every per-row value is one fixed IEEE tree
+    over the same doubles in every engine: bit-identical, ungridded.
+    Groups with n ≤ 2, Sxx ≤ 0, or s² ≤ 0 yield NULL diagnostics;
+    h = 1 rows (a two-point group's extremes) yield NULL cooks_d.
+
+    Scale shape: ONE combinable groupBy + a broadcast join back;
+    100 TB scans twice (stats pass + apply pass), both narrow."""
+    dec = f"decimal(18,{scale})"
+    xd = F.col(x_col).cast(dec)
+    yd = F.col(y_col).cast(dec)
+    flt = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    stats = flt.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(xd).alias("_sx"),
+        F.sum(yd).alias("_sy"),
+        F.sum(xd * xd).alias("_sxx"),
+        F.sum(xd * yd).alias("_sxy"),
+        F.sum(yd * yd).alias("_syy"),
+    )
+    joined = (
+        flt.join(F.broadcast(stats), list(by))
+        if by
+        else flt.crossJoin(F.broadcast(stats))
+    )
+    nd = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    syy = F.col("_syy").cast("double")
+    xbar = sx / nd
+    sxx_c = sxx - sx * sx / nd
+    sxy_c = sxy - sx * sy / nd
+    syy_c = syy - sy * sy / nd
+    b = sxy_c / sxx_c
+    a = (sy - b * sx) / nd
+    s2 = (syy_c - b * sxy_c) / (nd - F.lit(2.0))
+    xi = F.col(x_col).cast("double")
+    yi = F.col(y_col).cast("double")
+    h = F.lit(1.0) / nd + (xi - xbar) * (xi - xbar) / sxx_c
+    e = yi - (a + b * xi)
+    cooks = (
+        e * e / (F.lit(2.0) * s2) * (h / ((F.lit(1.0) - h) * (F.lit(1.0) - h)))
+    )
+    ok = (F.col("_n") > 2) & (sxx_c > 0) & (s2 > 0)
+    return joined.select(
+        *by,
+        F.col(id_col).alias("id"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+        F.when(ok, h).alias("leverage"),
+        F.when(ok, e).alias("resid"),
+        F.when(ok & (h < 1), cooks).alias("cooks_d"),
+    )

@@ -394,3 +394,67 @@ def oneway_anova(
         F.when(ok, fstat).alias("f"),
         F.when(ssb + ssw > 0, ssb / (ssb + ssw)).alias("eta_sq"),
     )
+
+
+def runs_test(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """``(by..., n, n1, n0, runs, z)`` — the Wald-Wolfowitz runs test
+    of a BINARY sequence per series (is the order random, or do
+    successes clump — the sequence-level randomness check that
+    Durbin-Watson, L217, asks of magnitudes):
+
+        R    = 1 + Σ_t [x_t ≠ x_{t−1}]
+        E[R] = 1 + 2·n1·n0/n
+        Var  = 2·n1·n0·(2·n1·n0 − n) / (n²·(n−1))
+
+    — run counting is ONE keyed lag window; every moment is an exact
+    DECIMAL(38,0) integer ratio folded in a fixed IEEE z tree:
+    bit-identical, ungridded.  Non-binary values refused; one-sided
+    series (n1 = 0 or n0 = 0) or Var ≤ 0 yields NULL z.  Duplicate
+    order keys refused (the lag rule).
+
+    Scale shape: one keyed window + one combinable agg."""
+    xv = F.col(value_col).cast("int")
+    flt = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    n_bad = flt.filter(~xv.isin([0, 1])).count()
+    if n_bad:
+        raise ValueError(
+            f"runs_test: {n_bad} row(s) with non-binary value"
+        )
+    n_dup = (
+        flt.groupBy(*by, order_col).count().filter(F.col("count") > 1).count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"runs_test: {n_dup} duplicate order key(s) within a series"
+        )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(*by).orderBy(order_col)
+    staged = flt.select(
+        *by,
+        xv.alias("_x"),
+        (xv != F.lag(xv).over(w)).cast("long").alias("_chg"),
+    )
+    agg = staged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("n1"),
+        F.sum(F.lit(1) - F.col("_x")).alias("n0"),
+        (F.coalesce(F.sum("_chg"), F.lit(0)) + 1).alias("runs"),
+    )
+    dec = "decimal(38,0)"
+    nd = F.col("n").cast(dec)
+    p2 = F.lit(2).cast(dec) * F.col("n1").cast(dec) * F.col("n0").cast(dec)
+    mean = F.lit(1.0) + p2.cast("double") / nd.cast("double")
+    var = (p2 * (p2 - nd)).cast("double") / (
+        nd * nd * (nd - 1)
+    ).cast("double")
+    z = (F.col("runs").cast("double") - mean) / F.sqrt(var)
+    ok = (F.col("n1") > 0) & (F.col("n0") > 0) & (var > 0)
+    return agg.select(*by, "n", "n1", "n0", "runs", F.when(ok, z).alias("z"))

@@ -522,3 +522,54 @@ class TestTwoProportion:
         df = spark.createDataFrame([("g", "A", 2)], "g string, var string, y int")
         with pytest.raises(ValueError, match="non-binary"):
             two_proportion_test(df, ["g"], "var", "A", "B", "y")
+
+
+class TestRunsTest:
+    def _df(self, spark, seq):
+        return spark.createDataFrame(
+            [("g", i, int(x)) for i, x in enumerate(seq)],
+            "g string, t int, x int",
+        )
+
+    def test_python_reference(self, spark):
+        from lmss_entity_extractor_spark.ops.stattests import runs_test
+
+        seq = [1, 1, 0, 1, 0, 0, 0, 1, 1, 0, 1, 0, 0, 1, 1, 1, 0, 1]
+        runs = 1 + sum(seq[i] != seq[i - 1] for i in range(1, len(seq)))
+        n1, n0, n = sum(seq), len(seq) - sum(seq), len(seq)
+        mean = 1 + 2 * n1 * n0 / n
+        var = 2 * n1 * n0 * (2 * n1 * n0 - n) / (n * n * (n - 1))
+        z_ref = (runs - mean) / var**0.5
+        r = runs_test(self._df(spark, seq), ["g"], "t", "x").collect()[0]
+        assert r["runs"] == runs and r["n1"] == n1 and r["n0"] == n0
+        assert abs(r["z"] - z_ref) < 1e-12
+
+    def test_perfect_alternation_positive_z(self, spark):
+        from lmss_entity_extractor_spark.ops.stattests import runs_test
+
+        seq = [i % 2 for i in range(30)]
+        r = runs_test(self._df(spark, seq), ["g"], "t", "x").collect()[0]
+        assert r["runs"] == 30 and r["z"] > 4
+
+    def test_clumped_negative_z(self, spark):
+        from lmss_entity_extractor_spark.ops.stattests import runs_test
+
+        seq = [1] * 15 + [0] * 15
+        r = runs_test(self._df(spark, seq), ["g"], "t", "x").collect()[0]
+        assert r["runs"] == 2 and r["z"] < -4
+
+    def test_one_sided_null(self, spark):
+        from lmss_entity_extractor_spark.ops.stattests import runs_test
+
+        r = runs_test(
+            self._df(spark, [1, 1, 1]), ["g"], "t", "x"
+        ).collect()[0]
+        assert r["z"] is None
+
+    def test_nonbinary_refused(self, spark):
+        import pytest
+
+        from lmss_entity_extractor_spark.ops.stattests import runs_test
+
+        with pytest.raises(ValueError, match="non-binary"):
+            runs_test(self._df(spark, [2]), ["g"], "t", "x")
