@@ -10374,14 +10374,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM customer WHERE c_custkey % 5 = 0
             ),
             cells AS (
+                -- longitude cells modulo the 72-cell ring (5-degree
+                -- cells tile 360): antimeridian wrap, mirroring the op
                 SELECT id, lat, lon,
                        CAST(floor(lat / 5.0) AS BIGINT) AS cx,
-                       CAST(floor(lon / 5.0) AS BIGINT) AS cy
+                       ((CAST(floor(lon / 5.0) AS BIGINT) % 72) + 72)
+                           % 72 AS cy
                 FROM pts
             ),
             lft AS (
                 SELECT id AS a, lat AS lat_a, lon AS lon_a,
-                       cx + dx.d AS jx, cy + dy.d AS jy
+                       cx + dx.d AS jx,
+                       (((cy + dy.d) % 72) + 72) % 72 AS jy
                 FROM cells,
                      (VALUES (-1), (0), (1)) dx(d),
                      (VALUES (-1), (0), (1)) dy(d)
@@ -10582,7 +10586,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT prio, n, k,
                    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
                    CASE WHEN k > 0 AND k < n
-                        THEN CAST(2.801585218112969 AS DOUBLE)
+                        THEN CAST(2.8015852181129683 AS DOUBLE)
                              * sqrt(2.0 * (CAST(k AS DOUBLE)
                                            / CAST(n AS DOUBLE))
                                     * (1.0 - CAST(k AS DOUBLE)
@@ -10590,7 +10594,7 @@ def oracle_sql() -> dict[str, str]:
                                     / CAST(n AS DOUBLE))
                    END AS mde_abs,
                    CASE WHEN k > 0 AND k < n
-                        THEN (CAST(2.801585218112969 AS DOUBLE)
+                        THEN (CAST(2.8015852181129683 AS DOUBLE)
                               * sqrt(2.0 * (CAST(k AS DOUBLE)
                                             / CAST(n AS DOUBLE))
                                      * (1.0 - CAST(k AS DOUBLE)

@@ -193,8 +193,11 @@ def ratio_metric(
 
 
 # standard normal quantiles, embedded as literals so both engines fold
-# the same doubles (no cross-engine erfinv): z_{0.975}, z_{0.80}
-_Z_ALPHA_005 = 1.9599639845400545
+# the same doubles (no cross-engine erfinv).  z_{0.975} REUSES the
+# module's Z95 literal (one double for one quantile — a second
+# near-identical constant would break bit-identity between operators
+# sharing it); z_{0.80} for 80% power.
+_Z_ALPHA_005 = float(Z95)
 _Z_POWER_080 = 0.8416212335729143
 
 
@@ -223,13 +226,11 @@ def mde_proportions(
     groups are absent.
 
     Scale shape: ONE combinable groupBy; 100 TB scans once."""
+    from .validate import assert_binary
+
     lab = F.col(label_col).cast("int")
     flt = df.filter(F.col(label_col).isNotNull())
-    n_bad = flt.filter(~lab.isin([0, 1])).count()
-    if n_bad:
-        raise ValueError(
-            f"mde_proportions: {n_bad} row(s) with non-binary label"
-        )
+    assert_binary(flt, label_col, "mde_proportions")
     agg = flt.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"), F.sum(lab).alias("k")
     )
@@ -274,15 +275,13 @@ def covariate_balance(
     Scale shape: ONE combinable groupBy with conditional sums; 100 TB
     scans once."""
     dec = f"decimal(18,{scale})"
+    from .validate import assert_binary
+
     t = F.col(treat_col).cast("int")
     flt = df.filter(
         F.col(treat_col).isNotNull() & F.col(metric_col).isNotNull()
     )
-    n_bad = flt.filter(~t.isin([0, 1])).count()
-    if n_bad:
-        raise ValueError(
-            f"covariate_balance: {n_bad} row(s) with non-binary treatment"
-        )
+    assert_binary(flt, treat_col, "covariate_balance")
     yd = F.col(metric_col).cast(dec)
 
     def _arm(tag, cond):
@@ -350,6 +349,12 @@ def bh_fdr(
         raise ValueError(f"bh_fdr: unparseable q {q!r}") from exc
     if not 0 < q_val < 1:
         raise ValueError(f"bh_fdr: q must be in (0,1), got {q!r}")
+    if q_val != q_val.quantize(decimal.Decimal("0.000001")):
+        raise ValueError(
+            f"bh_fdr: q {q!r} has more than 6 decimal places — the "
+            "threshold arithmetic runs at DECIMAL(9,6); rounding it "
+            "silently would test a different FDR than requested"
+        )
     flt = df.filter(F.col(p_col).isNotNull())
     n_bad = flt.filter(
         (F.col(p_col) < 0) | (F.col(p_col) > 1)
@@ -419,22 +424,20 @@ def two_proportion_test(
 
     Scale shape: one combinable groupBy with conditional sums; 100 TB
     scans once."""
+    from .validate import assert_binary
+
     lab = F.col(label_col).cast("int")
     flt = df.filter(
         F.col(label_col).isNotNull()
         & F.col(variant_col).isin([variant_a, variant_b])
     )
-    n_bad = flt.filter(~lab.isin([0, 1])).count()
-    if n_bad:
-        raise ValueError(
-            f"two_proportion_test: {n_bad} row(s) with non-binary label"
-        )
+    assert_binary(flt, label_col, "two_proportion_test")
     is_a = F.col(variant_col) == variant_a
     agg = flt.groupBy(*by).agg(
         F.sum(is_a.cast("long")).alias("n_a"),
-        F.sum(F.when(is_a, lab)).alias("k_a"),
+        F.coalesce(F.sum(F.when(is_a, lab)), F.lit(0)).alias("k_a"),
         F.sum((~is_a).cast("long")).alias("n_b"),
-        F.sum(F.when(~is_a, lab)).alias("k_b"),
+        F.coalesce(F.sum(F.when(~is_a, lab)), F.lit(0)).alias("k_b"),
     )
     na = F.col("n_a").cast("double")
     ka = F.col("k_a").cast("double")

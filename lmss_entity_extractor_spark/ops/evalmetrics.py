@@ -187,16 +187,13 @@ def mcnemar(
     Scale shape: a single combinable groupBy over the keys — two
     conditional sums, no shuffle beyond the one keyed exchange.
     """
+    from .validate import assert_binary
+
     x = F.col(x_col).cast("int")
     y = F.col(y_col).cast("int")
     flt = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-    n_bad = flt.filter(~x.isin([0, 1]) | ~y.isin([0, 1])).count()
-    if n_bad:
-        raise ValueError(
-            f"mcnemar: {n_bad} row(s) with non-binary outcome — both "
-            "columns must be 0/1; treating them as concordant would "
-            "silently shrink the discordant set"
-        )
+    assert_binary(flt, x_col, "mcnemar")
+    assert_binary(flt, y_col, "mcnemar")
     agg = (
         flt.groupBy(*by)
         .agg(
@@ -337,13 +334,10 @@ def cochran_q(
         & F.col(treat_col).isNotNull()
         & F.col(outcome_col).isNotNull()
     )
+    from .validate import assert_binary
+
     yv = F.col(outcome_col).cast("int")
-    n_bad = flt.filter(~yv.isin([0, 1])).count()
-    if n_bad:
-        raise ValueError(
-            f"cochran_q: {n_bad} row(s) with non-binary outcome — "
-            "outcomes must be 0/1"
-        )
+    assert_binary(flt, outcome_col, "cochran_q")
     cell = (
         flt.groupBy(
             *by,

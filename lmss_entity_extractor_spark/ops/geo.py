@@ -79,12 +79,22 @@ def grid_neighbor_pairs(
         raise ValueError(
             f"grid_neighbor_pairs: {n_bad} row(s) outside lat/lon bounds"
         )
+    # longitude wraps at the antimeridian: when the cell size tiles
+    # 360 exactly, longitude cells are taken MODULO the ring size, so
+    # points straddling +/-180 (including the same location written
+    # as lon=180 and lon=-180) share/neighbor cells.  For a cell size
+    # that does not tile 360 the wrap seam cannot be gridded — the
+    # +/-180 neighborhood hole is then a documented recall limit.
+    ring = 360.0 / cell_deg
+    wraps = float(ring).is_integer()
+    cy_raw = F.floor(F.col(lon_col) / cell_deg).cast("long")
+    cy = F.pmod(cy_raw, F.lit(int(ring))) if wraps else cy_raw
     pts = flt.select(
         F.col(id_col).alias("_id"),
         F.col(lat_col).cast("double").alias("_lat"),
         F.col(lon_col).cast("double").alias("_lon"),
         F.floor(F.col(lat_col) / cell_deg).cast("long").alias("_cx"),
-        F.floor(F.col(lon_col) / cell_deg).cast("long").alias("_cy"),
+        cy.alias("_cy"),
     )
     left = (
         pts.withColumn("_dx", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
@@ -94,7 +104,11 @@ def grid_neighbor_pairs(
             F.col("_lat").alias("_lat_a"),
             F.col("_lon").alias("_lon_a"),
             (F.col("_cx") + F.col("_dx")).alias("_jx"),
-            (F.col("_cy") + F.col("_dy")).alias("_jy"),
+            (
+                F.pmod(F.col("_cy") + F.col("_dy"), F.lit(int(ring)))
+                if wraps
+                else (F.col("_cy") + F.col("_dy"))
+            ).alias("_jy"),
         )
     )
     right = pts.select(

@@ -129,11 +129,21 @@ def ols_influence(
         F.sum(xd * yd).alias("_sxy"),
         F.sum(yd * yd).alias("_syy"),
     )
-    joined = (
-        flt.join(F.broadcast(stats), list(by))
-        if by
-        else flt.crossJoin(F.broadcast(stats))
-    )
+    if by:
+        st = stats
+        cond = None
+        for c in by:
+            st = st.withColumnRenamed(c, f"_st_{c}")
+            term = F.col(c).eqNullSafe(F.col(f"_st_{c}"))
+            cond = term if cond is None else (cond & term)
+        # null-safe equi-join: rows with a NULL by-key keep their
+        # diagnostics (the sibling grouped operators emit NULL groups;
+        # a plain inner join would silently drop them — review r4-2)
+        joined = flt.join(F.broadcast(st), cond).drop(
+            *[f"_st_{c}" for c in by]
+        )
+    else:
+        joined = flt.crossJoin(F.broadcast(stats))
     nd = F.col("_n").cast("double")
     sx = F.col("_sx").cast("double")
     sy = F.col("_sy").cast("double")

@@ -422,17 +422,31 @@ def runs_test(
     flt = df.filter(
         F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
     )
-    n_bad = flt.filter(~xv.isin([0, 1])).count()
-    if n_bad:
-        raise ValueError(
-            f"runs_test: {n_bad} row(s) with non-binary value"
+    # ONE validation job for both preconditions (binary values checked
+    # on the RAW column; duplicate order keys) — not two full scans
+    dv = F.col(value_col).try_cast("double")
+    chk = (
+        flt.groupBy(*by, order_col)
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.sum(
+                (dv.isNull() | ~dv.isin([0.0, 1.0])).cast("long")
+            ).alias("_b"),
         )
-    n_dup = (
-        flt.groupBy(*by, order_col).count().filter(F.col("count") > 1).count()
+        .agg(
+            F.coalesce(F.max("_c"), F.lit(0)).alias("mx"),
+            F.coalesce(F.sum("_b"), F.lit(0)).alias("nb"),
+        )
+        .collect()[0]
     )
-    if n_dup:
+    if chk["nb"]:
         raise ValueError(
-            f"runs_test: {n_dup} duplicate order key(s) within a series"
+            f"runs_test: {chk['nb']} row(s) with non-binary value in "
+            f"{value_col!r}"
+        )
+    if chk["mx"] > 1:
+        raise ValueError(
+            "runs_test: duplicate order key(s) within a series"
         )
     from pyspark.sql import Window as _W
 

@@ -446,3 +446,61 @@ class TestBinaryValidation:
         )
         with pytest.raises(ValueError, match="m must be"):
             fleiss_kappa(df, ["g"], "s", "c", m=0)
+
+
+class TestRobustBinaryValidator:
+    def test_fractional_double_refused(self, spark):
+        import pytest
+
+        from lmss_entity_extractor_spark.ops.evalmetrics import mcnemar
+
+        # 0.9 truncates to 0 under an int cast — the raw-column check
+        # must still refuse it
+        df = spark.createDataFrame(
+            [("g", 0.9, 0.0), ("g", 1.0, 1.0)],
+            "g string, x double, y double",
+        )
+        with pytest.raises(ValueError, match="non-binary"):
+            mcnemar(df, ["g"], "x", "y")
+
+    def test_string_label_refused(self, spark):
+        import pytest
+
+        from lmss_entity_extractor_spark.ops.effectsize import mde_proportions
+
+        df = spark.createDataFrame(
+            [("g", "yes"), ("g", "no")], "g string, y string"
+        )
+        with pytest.raises(ValueError, match="non-binary"):
+            mde_proportions(df, ["g"], "y")
+
+    def test_exact_doubles_pass(self, spark):
+        from lmss_entity_extractor_spark.ops.evalmetrics import mcnemar
+
+        df = spark.createDataFrame(
+            [("g", 1.0, 0.0), ("g", 0.0, 1.0)],
+            "g string, x double, y double",
+        )
+        r = mcnemar(df, ["g"], "x", "y").collect()[0]
+        assert r["b"] == 1 and r["c"] == 1
+
+    def test_bh_fdr_overlong_q_refused(self, spark):
+        import pytest
+
+        from lmss_entity_extractor_spark.ops.effectsize import bh_fdr
+
+        df = spark.createDataFrame([("a", 0.5)], "test string, p double")
+        with pytest.raises(ValueError, match="6 decimal"):
+            bh_fdr(df, "test", "p", q="0.0249995")
+
+    def test_two_prop_empty_arm_zero_counts(self, spark):
+        from lmss_entity_extractor_spark.ops.effectsize import (
+            two_proportion_test,
+        )
+
+        # a group with only variant B rows: k_a must be 0, not NULL
+        df = spark.createDataFrame(
+            [("g", "B", 1), ("g", "B", 0)], "g string, var string, y int"
+        )
+        r = two_proportion_test(df, ["g"], "var", "A", "B", "y").collect()[0]
+        assert r["n_a"] == 0 and r["k_a"] == 0

@@ -75,3 +75,47 @@ class TestGridNeighborPairs:
         ).collect()[0]
         assert abs(r["dist_km"] - _hav(48.8566, 2.3522, 51.5074, -0.1278)) < 1e-9
         assert 340 < r["dist_km"] < 347
+
+
+class TestAntimeridianWrap:
+    def _df(self, spark, pts):
+        return spark.createDataFrame(
+            [(i, float(la), float(lo)) for i, la, lo in pts],
+            "id string, lat double, lon double",
+        )
+
+    def test_pair_across_the_seam_found(self, spark):
+        from lmss_entity_extractor_spark.ops.geo import grid_neighbor_pairs
+
+        pts = [("w", 0.0, 179.95), ("e", 0.0, -179.95)]
+        rows = grid_neighbor_pairs(
+            self._df(spark, pts), "id", "lat", "lon", cell_deg=1.0
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["dist_km"] < 15  # ~11 km apart
+
+    def test_same_location_both_encodings(self, spark):
+        from lmss_entity_extractor_spark.ops.geo import grid_neighbor_pairs
+
+        pts = [("a", 10.0, 180.0), ("b", 10.0, -180.0)]
+        rows = grid_neighbor_pairs(
+            self._df(spark, pts), "id", "lat", "lon", cell_deg=1.0
+        ).collect()
+        assert len(rows) == 1
+        assert abs(rows[0]["dist_km"]) < 1e-6
+
+    def test_non_tiling_cell_no_wrap(self, spark):
+        from lmss_entity_extractor_spark.ops.geo import grid_neighbor_pairs
+
+        # 7 degrees does not tile 360: the seam hole is the documented
+        # recall limit, but nothing crashes and normal pairs still work
+        pts = [("w", 0.0, 179.95), ("e", 0.0, -179.95), ("c", 0.0, 0.0),
+               ("d", 0.0, 0.5)]
+        got = {
+            (r["a"], r["b"])
+            for r in grid_neighbor_pairs(
+                self._df(spark, pts), "id", "lat", "lon", cell_deg=7.0
+            ).collect()
+        }
+        assert ("c", "d") in got
+        assert ("e", "w") not in got
