@@ -6282,6 +6282,51 @@ def q_edit_join(spark, sf_dir):
     )
 
 
+def q_ndcg(spark, sf_dir):
+    """NDCG@5 (L221): per-customer order ranking by price scored
+    against graded relevance rel = orderkey % 4 — discount weights
+    1/log2(d+1) embedded as identical double literals in both engines,
+    bounded d-ordered fold, one division."""
+    from pyspark.sql import Window
+
+    from lmss_entity_extractor_spark.ops.evalmetrics import ndcg
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    wa = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    pred = o.select(
+        F.col("o_custkey").alias("query_id"),
+        F.col("o_orderkey").alias("item"),
+        F.row_number().over(wa).alias("rank"),
+    )
+    truth = o.select(
+        F.col("o_custkey").alias("query_id"),
+        F.col("o_orderkey").alias("item"),
+        (F.col("o_orderkey") % 4).cast("int").alias("rel"),
+    )
+    return ndcg(pred, truth, k=5)
+
+
+def q_pettitt(spark, sf_dir):
+    """Pettitt changepoint test (L222): unknown mean-shift scan per
+    event type over floored values mod 7 — doubled-rank prefix sums
+    keep every U_t an exact BIGINT; earliest-argmax tiebreak; the only
+    float is the final 6K²/(n³+n²) tree."""
+    from lmss_entity_extractor_spark.ops.changepoint import pettitt
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            F.col("event_id").alias("t"),
+            (F.floor("value") % 7).alias("x"),
+        )
+    )
+    return pettitt(e, ["g"], "t", "x")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6289,6 +6334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the round-1-green remainder.
     return {
         # oracles never yet driver-checked (added r2/r3/r4)
+        "ndcg": q_ndcg,
+        "pettitt": q_pettitt,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -14727,5 +14774,120 @@ def oracle_sql() -> dict[str, str]:
           ON lower(substr(x.a, 1, 2)) = lower(substr(y.a, 1, 2))
         WHERE x.a < y.a
           AND jaro_winkler_similarity(x.a, y.a) >= 0.9
+    """
+    # L221 NDCG@5: the discount weights 1/log2(d+1) are the SAME python
+    # floats the Spark operator embeds as literals; the fold is spelled
+    # left-assoc term by term so both engines round identically
+    import math as _math
+
+    _ndcg_k = 5
+    _ndcg_dcg = "0.0"
+    _ndcg_idcg = "0.0"
+    for _d in range(1, _ndcg_k + 1):
+        _w = repr(1.0 / _math.log2(_d + 1))
+        _ndcg_dcg = (
+            f"({_ndcg_dcg} + {_w} * "
+            f"CAST(coalesce(p{_d}, 0) AS DOUBLE))"
+        )
+        _ndcg_idcg = (
+            f"({_ndcg_idcg} + {_w} * "
+            f"CAST(coalesce(t{_d}, 0) AS DOUBLE))"
+        )
+    _ndcg_pivot_p = ",\n                   ".join(
+        f"max(CASE WHEN r = {d} THEN gv END) AS p{d}"
+        for d in range(1, _ndcg_k + 1)
+    )
+    _ndcg_pivot_t = ",\n                   ".join(
+        f"max(CASE WHEN rn = {d} THEN g END) AS t{d}"
+        for d in range(1, _ndcg_k + 1)
+    )
+    oracles["ndcg"] = f"""
+        WITH o AS (
+            SELECT o_custkey AS q, o_orderkey AS i, o_totalprice AS p
+            FROM orders WHERE o_custkey % 10 = 0
+        ),
+        pred AS (
+            SELECT q, i,
+                   row_number() OVER (PARTITION BY q
+                                      ORDER BY p DESC, i) AS r
+            FROM o
+        ),
+        t AS (SELECT q, i, CAST(i % 4 AS BIGINT) AS g FROM o),
+        j AS (
+            SELECT pred.q, pred.r, coalesce(t.g, 0) AS gv
+            FROM pred LEFT JOIN t ON pred.q = t.q AND pred.i = t.i
+            WHERE pred.r <= {_ndcg_k}
+        ),
+        dside AS (
+            SELECT q, {_ndcg_pivot_p}
+            FROM j GROUP BY q
+        ),
+        ti AS (
+            SELECT q, g,
+                   row_number() OVER (PARTITION BY q
+                                      ORDER BY g DESC, i) AS rn
+            FROM t
+        ),
+        iside AS (
+            SELECT q,
+                   CAST(sum(CASE WHEN g > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_rel,
+                   {_ndcg_pivot_t}
+            FROM ti GROUP BY q
+        )
+        SELECT q AS query_id, n_rel,
+               {_ndcg_dcg} AS dcg,
+               {_ndcg_idcg} AS idcg,
+               CASE WHEN {_ndcg_idcg} > 0.0
+                    THEN {_ndcg_dcg} / {_ndcg_idcg} END AS ndcg
+        FROM dside JOIN iside USING (q)
+    """
+    oracles["pettitt"] = """
+        -- doubled average ranks keep every U_t an exact integer; the
+        -- only float is the final 6K^2/(n^3+n^2) tree
+        WITH base AS (
+            SELECT event_type AS g, event_id AS t,
+                   CAST(floor(value) AS BIGINT) % 7 AS x
+            FROM events
+            WHERE value IS NOT NULL AND event_id IS NOT NULL
+        ),
+        pv AS (SELECT g, x, count(*) AS cv FROM base GROUP BY 1, 2),
+        pv2 AS (
+            SELECT g, x,
+                   2 * coalesce(sum(cv) OVER (PARTITION BY g ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + cv + 1 AS d
+            FROM pv
+        ),
+        r AS (
+            SELECT b.g, b.t, p.d
+            FROM base b JOIN pv2 p ON b.g = p.g AND b.x = p.x
+        ),
+        scan AS (
+            SELECT g, t,
+                   row_number() OVER (PARTITION BY g ORDER BY t) AS i,
+                   sum(d) OVER (PARTITION BY g ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS w2,
+                   count(*) OVER (PARTITION BY g) AS n
+            FROM r
+        ),
+        interior AS (
+            SELECT g, n, abs(w2 - i * (n + 1)) AS au, i, t
+            FROM scan WHERE i < n
+        ),
+        best AS (
+            SELECT g, n, au, i, t,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY au DESC, i ASC) AS rk
+            FROM interior
+        )
+        SELECT g, CAST(n AS BIGINT) AS n, CAST(au AS BIGINT) AS u_abs,
+               CAST(i AS BIGINT) AS t_index, t AS t_split,
+               (6.0 * CAST(au AS DOUBLE) * CAST(au AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * CAST(n AS DOUBLE)
+                  + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS stat
+        FROM best WHERE rk = 1
     """
     return oracles

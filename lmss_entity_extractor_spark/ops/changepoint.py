@@ -100,3 +100,111 @@ def cusum(
         (s_hi > h_lit).alias("alarm_hi"),
         (s_lo > h_lit).alias("alarm_lo"),
     )
+
+
+def pettitt(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """``(by..., n, u_abs, t_index, t_split, stat)`` — the Pettitt
+    (1979) nonparametric single-changepoint test per key: a rank-based
+    scan for the split point t maximising the Mann-Whitney-style
+    statistic between the first t and the remaining n−t observations.
+
+    With r_i the AVERAGE rank of x_i among the key's n values,
+
+        U_t = 2·Σ_{i≤t} r_i − t·(n+1),   t = 1..n−1
+        K   = max_t |U_t|,   t̂ = earliest argmax
+
+    Doubled average ranks D_i = 2·r_i = 2·(#below) + (#tied) + 1 are
+    exact BIGINTs even under ties (the L146/L174 trick), so
+    U_t = Σ_{i≤t} D_i − t·(n+1) is an EXACT integer — the scan needs
+    no floats at all.  The only IEEE value is the standardized
+    statistic 6·K²/(n³+n²) (the exponent of the classic approximate
+    p-value p ≈ 2·exp(−6K²/(n³+n²))), emitted as one fixed tree of
+    exactly-rounded ops — bit-identical, ungridded; compare against
+    the caller's critical value (e.g. 3.0 ≈ p 0.005).
+
+    NULL order/value rows are refused loudly (they would shift both
+    the ranks and the prefix sums).  Keys with n < 2 have no interior
+    split point and are omitted.  Ties in |U_t| resolve to the
+    EARLIEST t; ``t_split`` is the order-column value AT the split
+    (the last row of the left segment).
+
+    Scale shape: one groupBy on (key, value) for the rank grid, one
+    equi-join back, one keyed window sort for the prefix scan, one
+    combinable argmax agg — two shuffles total, no per-key state
+    beyond the window sort.  Bucket/floor continuous values first so
+    the per-key distinct-value grid stays bounded (the L159/L174
+    discipline); the verdict is insensitive to reasonable bucketing.
+
+    No reference counterpart; drift/monitoring analytics per SURVEY
+    §2.11 (composes with CUSUM L154 — CUSUM needs a known target,
+    Pettitt hunts an unknown mean shift).
+    """
+    base = df.select(
+        *by, F.col(order_col).alias("_t"), F.col(value_col).alias("_x")
+    )
+    n_null = base.filter(F.col("_t").isNull() | F.col("_x").isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"pettitt: {n_null} NULL order/value row(s) — drop or impute "
+            "first; skipping rows would shift the ranks and prefix sums"
+        )
+    pv = base.groupBy(*by, "_x").agg(F.count(F.lit(1)).alias("_cv"))
+    wv = (
+        Window.partitionBy(*by)
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pv = pv.withColumn(
+        "_d",
+        F.lit(2) * F.coalesce(F.sum("_cv").over(wv), F.lit(0))
+        + F.col("_cv")
+        + F.lit(1),
+    )
+    rows = base.join(pv.select(*by, "_x", "_d"), [*by, "_x"])
+    wk = Window.partitionBy(*by).orderBy("_t")
+    wkp = wk.rowsBetween(Window.unboundedPreceding, 0)
+    wka = wk.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scanned = rows.select(
+        *by,
+        "_t",
+        F.row_number().over(wk).cast("long").alias("_i"),
+        F.sum("_d").over(wkp).alias("_w2"),
+        F.count(F.lit(1)).over(wka).alias("_n"),
+    )
+    u = F.col("_w2") - F.col("_i") * (F.col("_n") + F.lit(1))
+    interior = scanned.filter(F.col("_i") < F.col("_n")).select(
+        *by,
+        F.col("_n").alias("n"),
+        F.abs(u).alias("_au"),
+        F.col("_i").alias("_ti"),
+        F.col("_t").alias("_tv"),
+    )
+    best = interior.groupBy(*by).agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.struct(
+                F.col("_au").alias("a"),
+                (-F.col("_ti")).alias("ni"),
+                F.col("_tv").alias("tv"),
+            )
+        ).alias("_b"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("_b.a").cast("double")
+    return best.select(
+        *by,
+        "n",
+        F.col("_b.a").alias("u_abs"),
+        (-F.col("_b.ni")).alias("t_index"),
+        F.col("_b.tv").alias("t_split"),
+        (
+            (F.lit(6.0) * kd * kd) / (nd * nd * nd + nd * nd)
+        ).alias("stat"),
+    )

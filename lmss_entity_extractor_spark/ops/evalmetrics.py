@@ -20,6 +20,8 @@ No reference counterpart; evaluation analytics per SURVEY §2.11.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -604,4 +606,132 @@ def gains_table(
             (F.col("cum_pos").cast("double") * ntd)
             / (F.col("_cum_n").cast("double") * pd_),
         ).alias("cum_lift"),
+    )
+
+
+def ndcg(
+    pred: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    item_col: str = "item",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    gain: str = "linear",
+) -> DataFrame:
+    """``(query_col, n_rel, dcg, idcg, ndcg)`` — normalized discounted
+    cumulative gain at ``k`` (L221; Järvelin & Kekäläinen 2002): the
+    graded-relevance ranking score that retrieval_metrics (L164,
+    binary hits) and rbo_overlap (L200, list-vs-list) can't express.
+
+        DCG@k  = Σ_{d=1..k} gain(rel_d) / log2(d+1)
+        IDCG@k = the same sum over the query's grades sorted desc
+        NDCG   = DCG / IDCG            (NULL when IDCG = 0)
+
+    ``truth`` is (query, item, rel) with INTEGER grades ≥ 0; ``pred``
+    is (query, rank, item).  Predicted items absent from truth gain 0.
+    ``gain='linear'`` uses the grade itself; ``'exp'`` uses 2^rel − 1
+    (exact BIGINT shift, grades validated ≤ 62).
+
+    Exactness: the discount weights 1/log2(d+1) are computed ONCE in
+    Python and embedded as double literals — both engines fold the
+    SAME constants in the same bounded d = 1..k order (the L200
+    discipline), each term is one exactly-rounded multiply of an exact
+    integer gain, and NDCG is ONE division — bit-identical, ungridded.
+
+    Loud refusals: duplicate (query, rank) pairs at depth ≤ k and
+    NULL/negative grades raise (they would silently corrupt the
+    pivot / the ideal ordering).
+
+    Output rows come from the union of both sides' query ids: a query
+    with predictions but no truth rows has idcg/ndcg NULL; a query
+    with truth but no predictions scores dcg 0.0.
+
+    Scale shape: one equi-join on (query, item), one bounded-width
+    pivot per side, one window top-k on the truth side.  100 TB of
+    rankings scan once; no per-query state beyond k cells.
+    """
+    if k < 1:
+        raise ValueError("ndcg: k must be >= 1")
+    if gain not in ("linear", "exp"):
+        raise ValueError("ndcg: gain must be 'linear' or 'exp'")
+    weights = [1.0 / math.log2(d + 1) for d in range(1, k + 1)]
+    p = pred.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(item_col).alias("_i"),
+        F.col(rank_col).alias("_r"),
+    )
+    n_dup = (
+        p.groupBy("_q", "_r")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"ndcg: {n_dup} duplicate (query, rank) pair(s) at depth <= {k}"
+        )
+    t = truth.select(
+        F.col(query_col).alias("_q"),
+        F.col(item_col).alias("_i"),
+        F.col(rel_col).cast("long").alias("_g"),
+    )
+    bad = F.col("_g").isNull() | (F.col("_g") < 0)
+    if gain == "exp":
+        bad = bad | (F.col("_g") > 62)
+    n_bad = t.filter(bad).count()
+    if n_bad:
+        raise ValueError(f"ndcg: {n_bad} NULL/negative/oversized grade(s)")
+
+    def _gain(g):
+        if gain == "exp":
+            # 2^g − 1 as an exact BIGINT shift (g validated <= 62);
+            # F.shiftleft only takes a literal bit count, so F.expr
+            return F.expr(
+                "shiftleft(cast(1 as bigint), cast(_g as int))"
+                " - cast(1 as bigint)"
+            )
+        return g
+
+    def _fold(prefix: str) -> "F.Column":
+        acc = F.lit(0.0)
+        for d in range(1, k + 1):
+            acc = acc + F.lit(weights[d - 1]) * F.coalesce(
+                F.col(f"{prefix}{d}"), F.lit(0).cast("long")
+            ).cast("double")
+        return acc
+
+    joined = p.join(t, ["_q", "_i"], "left").select(
+        "_q", "_r", F.coalesce(_gain(F.col("_g")), F.lit(0).cast("long")).alias("_gv")
+    )
+    dcg_side = joined.groupBy("_q").agg(
+        *[
+            F.max(F.when(F.col("_r") == d, F.col("_gv"))).alias(f"_p{d}")
+            for d in range(1, k + 1)
+        ]
+    )
+    w_ideal = Window.partitionBy("_q").orderBy(F.col("_g").desc(), F.col("_i"))
+    ti = t.withColumn("_rn", F.row_number().over(w_ideal))
+    idcg_side = ti.groupBy("_q").agg(
+        F.sum(F.when(F.col("_g") > 0, F.lit(1)).otherwise(F.lit(0))).alias(
+            "n_rel"
+        ),
+        *[
+            F.max(
+                F.when(F.col("_rn") == d, _gain(F.col("_g")))
+            ).alias(f"_t{d}")
+            for d in range(1, k + 1)
+        ],
+    )
+    out = dcg_side.join(idcg_side, "_q", "full_outer")
+    # a query present only in truth gets dcg = 0.0 (all _p{d} NULL ->
+    # per-term coalesce 0); one present only in pred gets idcg NULL
+    dcg = _fold("_p")
+    idcg = F.when(F.col("n_rel").isNotNull(), _fold("_t"))
+    return out.select(
+        F.col("_q").alias(query_col),
+        "n_rel",
+        dcg.alias("dcg"),
+        idcg.alias("idcg"),
+        F.when(idcg > F.lit(0.0), dcg / idcg).alias("ndcg"),
     )

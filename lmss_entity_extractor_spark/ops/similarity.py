@@ -146,7 +146,11 @@ def train_ivf_centroids_local(X, n_centroids: int = 8, n_iters: int = 5):
     collect the sample once)."""
     import numpy as np
 
-    norms = np.linalg.norm(X, axis=1)
+    # einsum, not linalg.norm: norm's BLAS dot picks CPU-specific kernels
+    # whose reduction order differs ACROSS HOSTS (caught by the fixture
+    # freshness gate when the sandbox moved hardware) — einsum
+    # (optimize=False) is a fixed-order C loop everywhere
+    norms = np.sqrt(np.einsum("nd,nd->n", X, X))
     X = X[norms > 0] / norms[norms > 0, None]  # zero vectors carry no direction
     n = len(X)
     if n == 0:
@@ -169,7 +173,7 @@ def train_ivf_centroids_local(X, n_centroids: int = 8, n_iters: int = 5):
             members = X[assign == j]
             if len(members):
                 m = members.mean(axis=0)
-                nm = np.linalg.norm(m)
+                nm = float(np.sqrt(np.einsum("d,d->", m, m)))
                 if nm > 0:
                     C[j] = m / nm
     return [(j, C[j].tolist()) for j in range(k)]
@@ -267,7 +271,7 @@ def assign_ivf_cells(
     cents = []
     for r in rows:
         v = np.asarray(r[1], dtype=np.float64)
-        nv = np.linalg.norm(v)
+        nv = float(np.sqrt(np.einsum("d,d->", v, v)))
         cents.append((r[0], (v / nv if nv > 0 else v).tolist()))
     return vectors.withColumn("centroid_id", ivf_cell_expr(vec_col, cents))
 
