@@ -6327,6 +6327,37 @@ def q_pettitt(spark, sf_dir):
     return pettitt(e, ["g"], "t", "x")
 
 
+def q_sign_test(spark, sf_dir):
+    """Paired sign test (L223): per event type, the sign of each
+    consecutive within-user value change — exact integer counts, one
+    combinable agg, fixed IEEE z tree."""
+    from pyspark.sql import Window
+
+    from lmss_entity_extractor_spark.ops.stattests import sign_test
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").alias("x"),
+        F.lead("value").over(w).alias("y"),
+    )
+    return sign_test(e, ["event_type"], "x", "y")
+
+
+def q_mood_median(spark, sf_dir):
+    """Mood's median test (L224): do the event types share a common
+    median of floored values — pooled discrete median, k×2 exact
+    integer cells, sorted-level ordered fold."""
+    from lmss_entity_extractor_spark.ops.stattests import mood_median
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", F.floor("value").alias("v"))
+    )
+    return mood_median(e, [], "event_type", "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6336,6 +6367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracles never yet driver-checked (added r2/r3/r4)
         "ndcg": q_ndcg,
         "pettitt": q_pettitt,
+        "sign_test": q_sign_test,
+        "mood_median": q_mood_median,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -14841,6 +14874,95 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN {_ndcg_idcg} > 0.0
                     THEN {_ndcg_dcg} / {_ndcg_idcg} END AS ndcg
         FROM dside JOIN iside USING (q)
+    """
+    oracles["sign_test"] = """
+        -- exact integer sign counts; z = (2*n_pos - n)/sqrt(n)
+        WITH pairs AS (
+            SELECT event_type, value AS x,
+                   lead(value) OVER (PARTITION BY user_id
+                                     ORDER BY event_id) AS y
+            FROM events
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN x > y THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos,
+                   CAST(sum(CASE WHEN x < y THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_neg,
+                   CAST(sum(CASE WHEN x = y THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tie
+            FROM pairs WHERE x IS NOT NULL AND y IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT event_type, n_pos, n_neg, n_tie,
+               n_pos + n_neg AS n,
+               CASE WHEN n_pos + n_neg > 0
+                    THEN CAST(2 * n_pos - (n_pos + n_neg) AS DOUBLE)
+                         / sqrt(CAST(n_pos + n_neg AS DOUBLE))
+               END AS z
+        FROM agg
+    """
+    oracles["mood_median"] = """
+        -- pooled discrete median, k x 2 exact cells, sorted-level
+        -- fold with two (o-e)^2/e terms per level (left-assoc pair,
+        -- same grouping as the Spark lambda)
+        WITH vals AS (
+            SELECT event_type AS lvl,
+                   CAST(floor(value) AS BIGINT) AS v
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ),
+        med AS (SELECT quantile_disc(v, 0.5) AS m FROM vals),
+        per AS (
+            SELECT lvl, CAST(count(*) AS BIGINT) AS nj,
+                   CAST(sum(CASE WHEN v > (SELECT m FROM med)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS aj
+            FROM vals GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(nj) AS BIGINT) AS n,
+                   CAST(sum(aj) AS BIGINT) AS n_above,
+                   CAST(count(*) AS BIGINT) AS k,
+                   list_sort(list(struct_pack(
+                       g := lvl, nj := nj, aj := aj
+                   ))) AS lv
+            FROM per
+        ),
+        fold AS (
+            SELECT k, n, n_above,
+                   list_reduce(
+                       list_prepend(0.0, flatten(
+                           [[(CAST(s.aj AS DOUBLE)
+                              - CAST(s.nj AS DOUBLE)
+                                * CAST(n_above AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                             * (CAST(s.aj AS DOUBLE)
+                                - CAST(s.nj AS DOUBLE)
+                                  * CAST(n_above AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                             / (CAST(s.nj AS DOUBLE)
+                                * CAST(n_above AS DOUBLE)
+                                / CAST(n AS DOUBLE)),
+                             (CAST(s.nj - s.aj AS DOUBLE)
+                              - CAST(s.nj AS DOUBLE)
+                                * CAST(n - n_above AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                             * (CAST(s.nj - s.aj AS DOUBLE)
+                                - CAST(s.nj AS DOUBLE)
+                                  * CAST(n - n_above AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                             / (CAST(s.nj AS DOUBLE)
+                                * CAST(n - n_above AS DOUBLE)
+                                / CAST(n AS DOUBLE))]
+                            FOR s IN lv])),
+                       (acc, t) -> acc + t) AS chi2
+            FROM tot
+        )
+        SELECT k, n, n_above,
+               CASE WHEN k >= 2 AND n_above > 0 AND n_above < n
+                    THEN chi2 END AS chi2,
+               k - 1 AS dof
+        FROM fold
     """
     oracles["pettitt"] = """
         -- doubled average ranks keep every U_t an exact integer; the

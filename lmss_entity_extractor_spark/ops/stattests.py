@@ -472,3 +472,145 @@ def runs_test(
     z = (F.col("runs").cast("double") - mean) / F.sqrt(var)
     ok = (F.col("n1") > 0) & (F.col("n0") > 0) & (var > 0)
     return agg.select(*by, "n", "n1", "n0", "runs", F.when(ok, z).alias("z"))
+
+
+def sign_test(
+    df: DataFrame,
+    by: list[str],
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """``(by..., n_pos, n_neg, n_tie, n, z)`` — the paired sign test
+    (L223): the assumption-free companion to Wilcoxon signed-rank
+    (L189) — it uses only the SIGN of each within-pair difference, so
+    it needs no symmetry assumption and no ranks at all.
+
+        n_pos = #(x > y),  n_neg = #(x < y),  ties dropped (standard)
+        z = (2·n_pos − n) / sqrt(n),   n = n_pos + n_neg
+
+    Counts are exact integers from ONE combinable aggregation; z is a
+    fixed IEEE tree (one exactly-rounded sqrt, one division) —
+    bit-identical, ungridded; compare |z| against the caller's
+    critical value (the exact binomial tail needs the incomplete beta,
+    deliberately not emitted — the L139 discipline).  n = 0 (all
+    ties / empty) → NULL z.  NULL-x/y rows are excluded (a NULL pair
+    carries no sign).
+
+    Scale shape: one scan, one combinable groupBy — 100 TB of pairs
+    needs no shuffle beyond the final per-group exchange.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    flt = df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+    x, y = F.col(col_x), F.col(col_y)
+    agg = flt.groupBy(*by).agg(
+        F.sum(F.when(x > y, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(x < y, 1).otherwise(0)).alias("n_neg"),
+        F.sum(F.when(x == y, 1).otherwise(0)).alias("n_tie"),
+    )
+    n = F.col("n_pos") + F.col("n_neg")
+    z = (F.lit(2) * F.col("n_pos") - n).cast("double") / F.sqrt(
+        n.cast("double")
+    )
+    return agg.select(
+        *by,
+        "n_pos",
+        "n_neg",
+        "n_tie",
+        n.alias("n"),
+        F.when(n > 0, z).alias("z"),
+    )
+
+
+def mood_median(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """``(by..., k, n, n_above, chi2, dof)`` — Mood's median test
+    (L224): do the k levels of ``group_col`` share a common median?
+    The nonparametric location counterpart to Brown-Forsythe (L193,
+    same shape, variance): dichotomize every value at the POOLED
+    discrete median (``percentile_disc(0.5)`` per analysis group, the
+    L137/L193 convention — an actual data value, engine-exact; values
+    EQUAL to the median count as not-above, documented standard), then
+    Pearson χ² on the k×2 (level × above/at-or-below) table with
+    dof = k − 1 under fixed column margins.
+
+    Exactness: all cell counts and margins are exact integers; each
+    expected count e = n_j·A/N and each (o−e)²/e is a fixed IEEE tree;
+    the 2k cell terms fold over the BOUNDED sorted level list (the
+    L140/L193 ordered-fold discipline) — bit-identical, ungridded.
+    k < 2 or a degenerate dichotomy (A = 0 or A = N, every value on
+    one side) → NULL chi2.
+
+    Scale shape: one order-statistic agg per analysis group + one
+    co-partitioned join back + one combinable count agg; the fold runs
+    over a k-length array.  100 TB scans twice, both passes parallel.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    med = vals.groupBy(*by).agg(
+        F.expr(
+            f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias("_med")
+    )
+    per = (
+        vals.join(med, by) if by else vals.crossJoin(F.broadcast(med))
+    )
+    per = per.groupBy(*by, group_col).agg(
+        F.count(F.lit(1)).alias("_nj"),
+        F.sum(
+            F.when(F.col(value_col) > F.col("_med"), 1).otherwise(0)
+        ).alias("_aj"),
+    )
+    arr = per.groupBy(*by).agg(
+        F.sum("_nj").alias("n"),
+        F.sum("_aj").alias("n_above"),
+        F.count(F.lit(1)).alias("k"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(group_col).alias("g"),
+                    F.col("_nj").alias("nj"),
+                    F.col("_aj").alias("aj"),
+                )
+            )
+        ).alias("_lv"),
+    )
+    nd = F.col("n").cast("double")
+    ad = F.col("n_above").cast("double")
+    bd = (F.col("n") - F.col("n_above")).cast("double")
+
+    def _term(o, e):
+        return (o - e) * (o - e) / e
+
+    chi2 = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, v: acc
+        + _term(
+            v["aj"].cast("double"), v["nj"].cast("double") * ad / nd
+        )
+        + _term(
+            (v["nj"] - v["aj"]).cast("double"),
+            v["nj"].cast("double") * bd / nd,
+        ),
+    )
+    ok = (
+        (F.col("k") >= 2)
+        & (F.col("n_above") > 0)
+        & (F.col("n_above") < F.col("n"))
+    )
+    return arr.select(
+        *by,
+        "k",
+        "n",
+        "n_above",
+        F.when(ok, chi2).alias("chi2"),
+        (F.col("k") - F.lit(1)).alias("dof"),
+    )
