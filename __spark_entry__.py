@@ -6358,6 +6358,40 @@ def q_mood_median(spark, sf_dir):
     return mood_median(e, [], "event_type", "v")
 
 
+def q_hodges_lehmann(spark, sf_dir):
+    """Hodges-Lehmann estimator (L225): robust per-user location from
+    the Walsh-average lattice — exact decimal doubled sums, exact
+    order-statistic median, power-of-two halving in double."""
+    from lmss_entity_extractor_spark.ops.trend import hodges_lehmann
+
+    return hodges_lehmann(
+        _trend_input(spark, sf_dir).select("user_id", "value"),
+        ["user_id"],
+        "value",
+    )
+
+
+def q_ordinal_panel(spark, sf_dir):
+    """Ordinal-association panel (L226): gamma / Somers' D both ways /
+    Stuart's tau-c over the SAME exact pair-count grid as Kendall's
+    tau-b (L199) — quantity vs price bucket per return flag."""
+    from lmss_entity_extractor_spark.ops.correlation import ordinal_association
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.floor("l_quantity").alias("x"),
+            F.floor(F.col("l_extendedprice") / 5000).alias("y"),
+        )
+    )
+    return ordinal_association(li, ["flag"], "x", "y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6369,6 +6403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pettitt": q_pettitt,
         "sign_test": q_sign_test,
         "mood_median": q_mood_median,
+        "hodges_lehmann": q_hodges_lehmann,
+        "ordinal_panel": q_ordinal_panel,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -14874,6 +14910,154 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN {_ndcg_idcg} > 0.0
                     THEN {_ndcg_dcg} / {_ndcg_idcg} END AS ndcg
         FROM dside JOIN iside USING (q)
+    """
+    oracles["hodges_lehmann"] = """
+        -- doubled Walsh sums stay exact DECIMAL; median an exact
+        -- order statistic; the /2 (odd) and /4 (even average)
+        -- halvings are exactly rounded in DOUBLE
+        WITH base AS (
+            SELECT user_id, CAST(value AS DECIMAL(18,4)) AS v
+            FROM events WHERE user_id < 40 AND value IS NOT NULL
+        ),
+        idx AS (
+            SELECT user_id, v,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY v) AS i
+            FROM base
+        ),
+        nn AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM base GROUP BY 1
+        ),
+        w AS (
+            SELECT a.user_id, a.v + b.v AS w2
+            FROM idx a JOIN idx b
+              ON a.user_id = b.user_id AND a.i <= b.i
+        ),
+        s AS (
+            SELECT user_id, list_sort(list(w2)) AS s
+            FROM w GROUP BY 1
+        )
+        SELECT nn.user_id, nn.n,
+               CAST(len(s) AS BIGINT) AS n_pairs,
+               CASE WHEN len(s) > 0 THEN
+                   CASE WHEN len(s) % 2 = 1
+                        THEN CAST(s[CAST(floor(len(s) / 2) + 1
+                                         AS INTEGER)] AS DOUBLE) / 2.0
+                        ELSE CAST(s[CAST(floor((len(s) + 1) / 2)
+                                         AS INTEGER)]
+                                  + s[CAST(floor(len(s) / 2) + 1
+                                           AS INTEGER)] AS DOUBLE)
+                             / 4.0 END
+               END AS hl
+        FROM s JOIN nn USING (user_id)
+    """
+    oracles["ordinal_panel"] = """
+        -- the kendall_tau grid machinery with level counts; four
+        -- single-division trees over the exact pair counts
+        WITH base AS (
+            SELECT l_returnflag AS flag,
+                   CAST(floor(l_quantity) AS BIGINT) AS x,
+                   CAST(floor(l_extendedprice / 5000) AS BIGINT) AS y
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL
+              AND l_extendedprice IS NOT NULL
+        ),
+        pts AS (
+            SELECT flag, x, y, CAST(count(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2, 3
+        ),
+        grid AS (
+            SELECT dx.flag, dx.x, dy.y, coalesce(p.c, 0) AS c
+            FROM (SELECT DISTINCT flag, x FROM pts) dx
+            JOIN (SELECT DISTINCT flag, y FROM pts) dy
+              USING (flag)
+            LEFT JOIN pts p
+              ON p.flag = dx.flag AND p.x = dx.x AND p.y = dy.y
+        ),
+        g1 AS (
+            SELECT flag, x, y, c,
+                   sum(c) OVER (PARTITION BY flag, x ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS r
+            FROM grid
+        ),
+        g2 AS (
+            SELECT flag, x, y, c, r,
+                   sum(r) OVER (PARTITION BY flag, y ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS p,
+                   sum(c) OVER (PARTITION BY flag, y ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cy
+            FROM g1
+        ),
+        rowtot AS (
+            SELECT flag, x,
+                   coalesce(sum(tx) OVER (PARTITION BY flag
+                       ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS txb
+            FROM (SELECT flag, x, max(r) AS tx FROM g1
+                  GROUP BY 1, 2)
+        ),
+        sums AS (
+            SELECT g2.flag,
+                   CAST(sum(g2.c) AS BIGINT) AS n,
+                   CAST(sum(g2.c * (g2.p - g2.r - g2.cy + g2.c))
+                        AS BIGINT) AS conc,
+                   CAST(sum(g2.c * (rowtot.txb - (g2.p - g2.r)))
+                        AS BIGINT) AS disc
+            FROM g2 JOIN rowtot USING (flag, x)
+            GROUP BY 1
+        ),
+        n1 AS (
+            SELECT flag,
+                   CAST(sum(CAST(t AS HUGEINT) * (t - 1))
+                        AS HUGEINT) // 2 AS n1,
+                   CAST(count(*) AS BIGINT) AS r
+            FROM (SELECT flag, x, CAST(sum(c) AS BIGINT) AS t
+                  FROM pts GROUP BY 1, 2)
+            GROUP BY 1
+        ),
+        n2 AS (
+            SELECT flag,
+                   CAST(sum(CAST(t AS HUGEINT) * (t - 1))
+                        AS HUGEINT) // 2 AS n2,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT flag, y, CAST(sum(c) AS BIGINT) AS t
+                  FROM pts GROUP BY 1, 2)
+            GROUP BY 1
+        ),
+        dens AS (
+            SELECT s.flag, s.n, s.conc, s.disc, n1.r AS r, n2.c AS c,
+                   (CAST(s.n AS HUGEINT) * (s.n - 1)) // 2
+                       - n1.n1 AS da,
+                   (CAST(s.n AS HUGEINT) * (s.n - 1)) // 2
+                       - n2.n2 AS db
+            FROM sums s JOIN n1 USING (flag) JOIN n2 USING (flag)
+        )
+        SELECT flag, n,
+               CAST(conc AS DOUBLE) AS concordant,
+               CAST(disc AS DOUBLE) AS discordant,
+               CASE WHEN CAST(conc + disc AS DOUBLE) > 0
+                    THEN CAST(conc - disc AS DOUBLE)
+                         / CAST(conc + disc AS DOUBLE)
+               END AS gamma,
+               CASE WHEN CAST(da AS DOUBLE) > 0
+                    THEN CAST(conc - disc AS DOUBLE)
+                         / CAST(da AS DOUBLE)
+               END AS somers_d_yx,
+               CASE WHEN CAST(db AS DOUBLE) > 0
+                    THEN CAST(conc - disc AS DOUBLE)
+                         / CAST(db AS DOUBLE)
+               END AS somers_d_xy,
+               CASE WHEN CAST(least(r, c) AS DOUBLE) >= 2 AND n > 0
+                    THEN (2.0 * CAST(least(r, c) AS DOUBLE)
+                          * CAST(conc - disc AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                            * (CAST(least(r, c) AS DOUBLE) - 1.0))
+               END AS tau_c
+        FROM dens
     """
     oracles["sign_test"] = """
         -- exact integer sign counts; z = (2*n_pos - n)/sqrt(n)

@@ -153,22 +153,16 @@ def spearman_corr(
     )
 
 
-def kendall_tau_b(
+def _pair_counts(
     df: DataFrame,
     by: list[str],
     x_col: str,
     y_col: str,
 ) -> DataFrame:
-    """``(by..., n, concordant, discordant, tau_b)`` — Kendall's τ-b
-    rank correlation with the standard tie normalization (the
-    pair-counting companion to Spearman: Spearman squares rank gaps,
-    Kendall counts inversions — more robust to single wild ranks, and
-    its pair counts are the same machinery as Mann-Kendall's S but
-    against a second VARIABLE instead of time).
+    """Shared concordant/discordant core for L199 τ-b and L226's
+    ordinal panel: ``(by..., n, _conc, _disc, _n1, _n2, _r, _cc)``.
 
-    Callers pre-bucket continuous values (the L174/L198 convention) so
-    both axes have bounded distinct values.  Over the (distinct-x ×
-    distinct-y) grid, concordant/discordant pair totals come from the
+    Over the (distinct-x × distinct-y) grid, pair totals come from the
     2-D inclusive prefix P and the axis prefixes R (within-x) and
     C (within-y):
 
@@ -178,17 +172,9 @@ def kendall_tau_b(
 
     — each unordered pair counted exactly once (at its higher-x cell),
     every term an exact DECIMAL(38,0) integer via TWO keyed windows
-    (y-prefix within x, then x-prefix at fixed y).  With n₀ = n(n−1)/2
-    and the tie terms n₁ = Σ tx(tx−1)/2, n₂ = Σ ty(ty−1)/2:
-
-        τ_b = (concordant − discordant) / sqrt((n₀−n₁)·(n₀−n₂))
-
-    — one fixed IEEE tree over exact integers, bit-identical.  A group
-    where either axis is constant (n₀ = n₁ or n₀ = n₂) yields NULL.
-
-    Scale shape: one combinable (keys, x, y) groupBy; the bounded grid
-    is a broadcast cross join; two keyed windows; one final combinable
-    agg.  100 TB scans once.
+    (y-prefix within x, then x-prefix at fixed y); the tie terms
+    n1 = Σ tx(tx−1)/2, n2 = Σ ty(ty−1)/2 and the level counts
+    _r = #distinct x, _cc = #distinct y ride the same aggs.
     """
     dec = "decimal(38,0)"
     base = df.filter(
@@ -243,11 +229,52 @@ def kendall_tau_b(
     tx = pts.groupBy(*by, "_x").agg(F.sum("_c").alias("_t"))
     ty = pts.groupBy(*by, "_y").agg(F.sum("_c").alias("_t"))
     td = F.col("_t").cast(dec)
-    n1 = tx.groupBy(*by).agg((F.sum(td * (td - 1)) / 2).alias("_n1"))
-    n2 = ty.groupBy(*by).agg((F.sum(td * (td - 1)) / 2).alias("_n2"))
+    n1 = tx.groupBy(*by).agg(
+        (F.sum(td * (td - 1)) / 2).alias("_n1"),
+        F.count(F.lit(1)).alias("_r"),
+    )
+    n2 = ty.groupBy(*by).agg(
+        (F.sum(td * (td - 1)) / 2).alias("_n2"),
+        F.count(F.lit(1)).alias("_cc"),
+    )
     out = sums
     for other in (n1, n2):
         out = out.join(other, list(by)) if by else out.crossJoin(other)
+    return out
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    by: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """``(by..., n, concordant, discordant, tau_b)`` — Kendall's τ-b
+    rank correlation with the standard tie normalization (the
+    pair-counting companion to Spearman: Spearman squares rank gaps,
+    Kendall counts inversions — more robust to single wild ranks, and
+    its pair counts are the same machinery as Mann-Kendall's S but
+    against a second VARIABLE instead of time).
+
+    Callers pre-bucket continuous values (the L174/L198 convention) so
+    both axes have bounded distinct values; the shared pair-count core
+    (:func:`_pair_counts`, also consumed by L226's
+    :func:`ordinal_association`) computes exact DECIMAL(38,0)
+    concordant/discordant totals and tie terms over the distinct-value
+    grid.  With n0 = n(n-1)/2:
+
+        tau_b = (concordant - discordant)
+                / sqrt((n0 - n1) * (n0 - n2))
+
+    — one fixed IEEE tree over exact integers, bit-identical.  A group
+    where either axis is constant (n0 = n1 or n0 = n2) yields NULL.
+
+    Scale shape: one combinable (keys, x, y) groupBy; the bounded grid
+    is a broadcast cross join; two keyed windows; one final combinable
+    agg.  100 TB scans once.
+    """
+    dec = "decimal(38,0)"
+    out = _pair_counts(df, by, x_col, y_col)
     nd = F.col("n").cast(dec)
     n0 = nd * (nd - 1) / 2
     da = (n0 - F.col("_n1")).cast("double")
@@ -260,6 +287,60 @@ def kendall_tau_b(
         F.col("_conc").cast("double").alias("concordant"),
         F.col("_disc").cast("double").alias("discordant"),
         F.when(ok, diff / F.sqrt(da * db)).alias("tau_b"),
+    )
+
+
+def ordinal_association(
+    df: DataFrame,
+    by: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """``(by..., n, concordant, discordant, gamma, somers_d_yx,
+    somers_d_xy, tau_c)`` — the full ordinal-association panel (L226)
+    over the SAME exact pair counts as Kendall's τ-b (L199), each a
+    different tie treatment of (C − D):
+
+        gamma (Goodman-Kruskal) = (C − D) / (C + D)     ties ignored
+        d_yx (Somers')  = (C − D) / (n0 − n1)   pairs untied on X
+        d_xy            = (C − D) / (n0 − n2)   pairs untied on Y
+        tau_c (Stuart)  = 2m(C − D) / (n²(m−1)) m = min(#x, #y) levels
+
+    gamma answers "of the pairs that COULD agree, how many do";
+    Somers' d is the asymmetric regression-flavored variant (predictor
+    X → outcome Y and the reverse); tau_c corrects τ-b's rectangular-
+    table ceiling.  All four are single divisions over exact
+    DECIMAL(38,0) pair counts — fixed IEEE trees, bit-identical,
+    ungridded.  Degenerate denominators (no discriminating pairs, a
+    constant axis, m < 2) yield NULL for that statistic only.
+
+    Scale shape: identical to L199 — the panel rides the same one-scan
+    grid machinery (:func:`_pair_counts`).
+
+    No reference counterpart; ordinal analytics per SURVEY §2.11.
+    """
+    dec = "decimal(38,0)"
+    out = _pair_counts(df, by, x_col, y_col)
+    nd = F.col("n").cast(dec)
+    n0 = nd * (nd - 1) / 2
+    da = (n0 - F.col("_n1")).cast("double")
+    db = (n0 - F.col("_n2")).cast("double")
+    diff = (F.col("_conc") - F.col("_disc")).cast("double")
+    both = (F.col("_conc") + F.col("_disc")).cast("double")
+    md = F.least(F.col("_r"), F.col("_cc")).cast("double")
+    ndd = F.col("n").cast("double")
+    return out.select(
+        *by,
+        "n",
+        F.col("_conc").cast("double").alias("concordant"),
+        F.col("_disc").cast("double").alias("discordant"),
+        F.when(both > 0, diff / both).alias("gamma"),
+        F.when(da > 0, diff / da).alias("somers_d_yx"),
+        F.when(db > 0, diff / db).alias("somers_d_xy"),
+        F.when(
+            (md >= 2) & (F.col("n") > 0),
+            (F.lit(2.0) * md * diff) / (ndd * ndd * (md - F.lit(1.0))),
+        ).alias("tau_c"),
     )
 
 

@@ -145,3 +145,74 @@ def theil_sen(
         k.alias("n_slopes"),
         F.when(k > 0, median).alias("slope"),
     )
+
+
+def hodges_lehmann(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    max_len: int = _MAX_LEN_DEFAULT,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., n, n_pairs, hl)`` — the one-sample Hodges-Lehmann
+    location estimator (L225): the median of all Walsh averages
+    (x_i + x_j)/2 over i ≤ j — the robust "typical value" whose
+    breakdown point (~29%) beats the mean's 0% without the median's
+    efficiency loss; it is also the point estimate dual to the
+    Wilcoxon signed-rank test (L189).
+
+    Exactness: values are cast to DECIMAL(18, scale), so every DOUBLED
+    Walsh sum x_i + x_j is an exact decimal; the median is an exact
+    order statistic over the sorted sum list (the L162 floored-index
+    discipline), and the final halving (/2 odd, /4 for the even-count
+    average) happens in DOUBLE where division by a power of two is
+    exactly rounded — bit-identical, ungridded.
+
+    Boundedness contract (the L161/L162 discipline): n(n+1)/2 pairs
+    per key, so series beyond ``max_len`` are REFUSED loudly —
+    bucket/resample first; the estimator stabilizes long before 10³
+    points.
+
+    Scale shape: one keyed collect (bounded by contract) → in-row pair
+    lattice → combinable median agg.  100 TB = one keyed exchange.
+
+    No reference counterpart; robust-statistics analytics per SURVEY
+    §2.11 (composes with L137 MAD, L162 Theil-Sen, L204 trimmed
+    means).
+    """
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(F.col(value_col).isNotNull())
+    base = flt.select(*by, F.col(value_col).cast(dec).alias("_x"))
+    sizes = base.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > max_len).count()
+    if over:
+        raise ValueError(
+            f"hodges_lehmann: at least one series exceeds max_len="
+            f"{max_len} — resample/bucket first (the estimator is "
+            "pairwise; an unbounded series is quadratic by definition)"
+        )
+    packed = base.groupBy(*by).agg(
+        F.sort_array(F.collect_list("_x")).alias("_a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    e1 = packed.select(*by, "n", "_a", F.posexplode("_a").alias("_i", "_p"))
+    e2 = e1.select(
+        *by, "n", "_i", "_p", F.posexplode("_a").alias("_j", "_q")
+    ).filter(F.col("_i") <= F.col("_j"))
+    sums = e2.groupBy(*by, "n").agg(
+        F.sort_array(
+            F.collect_list(F.col("_p") + F.col("_q"))
+        ).alias("_s")
+    )
+    k = F.size("_s")
+    mid_hi = F.element_at("_s", (F.floor(k / 2) + 1).cast("int"))
+    mid_lo = F.element_at("_s", F.floor((k + 1) / 2).cast("int"))
+    hl = F.when(k % 2 == 1, mid_hi.cast("double") / F.lit(2.0)).otherwise(
+        (mid_lo + mid_hi).cast("double") / F.lit(4.0)
+    )
+    return sums.select(
+        *by,
+        "n",
+        k.cast("long").alias("n_pairs"),
+        F.when(k > 0, hl).alias("hl"),
+    )
