@@ -6392,6 +6392,32 @@ def q_ordinal_panel(spark, sf_dir):
     return ordinal_association(li, ["flag"], "x", "y")
 
 
+def q_v_measure(spark, sf_dir):
+    """V-measure panel (L227): homogeneity/completeness/V of order
+    status 'clusters' against order-priority 'labels' — composed on
+    the L152 MI folds, one division per statistic."""
+    from lmss_entity_extractor_spark.ops.infotheory import v_measure
+
+    o = _t(spark, sf_dir, "orders")
+    return v_measure(o, "o_orderpriority", "o_orderstatus")
+
+
+def q_ljung_box(spark, sf_dir):
+    """Ljung-Box Q (L228): white-noise portmanteau over lags 1..3 of
+    the per-bucket event-value series — composed on the L151 ACF,
+    bounded lag-ordered fold, n(n+2)·Σ fixed tree."""
+    from lmss_entity_extractor_spark.ops.concentration import ljung_box
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 4).alias("bucket"), "ts", "event_id", "value"
+        )
+    )
+    return ljung_box(e, ["bucket"], ["ts", "event_id"], "value", max_lag=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6405,6 +6431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mood_median": q_mood_median,
         "hodges_lehmann": q_hodges_lehmann,
         "ordinal_panel": q_ordinal_panel,
+        "v_measure": q_v_measure,
+        "ljung_box": q_ljung_box,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -14910,6 +14938,56 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN {_ndcg_idcg} > 0.0
                     THEN {_ndcg_dcg} / {_ndcg_idcg} END AS ndcg
         FROM dside JOIN iside USING (q)
+    """
+    # L227/L228: compositions — nest the L152/L151 oracles verbatim as
+    # CTEs so the shared machinery can never drift between the pair
+    oracles["v_measure"] = f"""
+        WITH m AS ({oracles["mutual_info"]})
+        SELECT n, mi, h_x AS h_label, h_y AS h_cluster,
+               CASE WHEN h_x > 0.0 THEN mi / h_x ELSE 1.0 END
+                   AS homogeneity,
+               CASE WHEN h_y > 0.0 THEN mi / h_y ELSE 1.0 END
+                   AS completeness,
+               CASE WHEN (CASE WHEN h_x > 0.0 THEN mi / h_x
+                               ELSE 1.0 END)
+                         + (CASE WHEN h_y > 0.0 THEN mi / h_y
+                                 ELSE 1.0 END) > 0.0
+                    THEN (2.0 * (CASE WHEN h_x > 0.0 THEN mi / h_x
+                                      ELSE 1.0 END)
+                          * (CASE WHEN h_y > 0.0 THEN mi / h_y
+                                  ELSE 1.0 END))
+                         / ((CASE WHEN h_x > 0.0 THEN mi / h_x
+                                  ELSE 1.0 END)
+                            + (CASE WHEN h_y > 0.0 THEN mi / h_y
+                                    ELSE 1.0 END))
+                    ELSE 0.0 END AS v_measure
+        FROM m
+    """
+    oracles["ljung_box"] = f"""
+        WITH a AS ({oracles["acf"]}),
+        g AS (
+            SELECT bucket, n,
+                   CAST(count(*) AS BIGINT) AS m,
+                   CAST(sum(CASE WHEN r IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bad,
+                   list_sort(list(struct_pack(lag := lag, r := r)))
+                       AS lv
+            FROM a GROUP BY 1, 2
+        )
+        SELECT bucket, n, m,
+               CASE WHEN bad = 0
+                    THEN (CAST(n AS DOUBLE)
+                          * (CAST(n AS DOUBLE) + 2.0))
+                         * list_reduce(
+                               list_prepend(0.0,
+                                   [(s.r * s.r)
+                                    / (CAST(n AS DOUBLE)
+                                       - CAST(s.lag AS DOUBLE))
+                                    FOR s IN lv]),
+                               (acc, t) -> acc + t)
+               END AS q,
+               m AS dof
+        FROM g
     """
     oracles["hodges_lehmann"] = """
         -- doubled Walsh sums stay exact DECIMAL; median an exact

@@ -242,3 +242,57 @@ def ccf(
         "n",
         F.when(ok, num.cast("double") / den).alias("r"),
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+    max_lag: int,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, m, q, dof)`` — the Ljung-Box portmanteau test
+    (L228): is a series white noise, or is there autocorrelation at
+    ANY lag up to m — the one-number closer over the per-lag ACF
+    (L151), the standard residual-diagnostic companion to
+    Durbin-Watson (L217, lag-1 only):
+
+        Q = n(n+2) · Σ_{h=1..m} r_h² / (n − h),   dof = m
+
+    Composed directly on :func:`acf` (same exact-decimal centring, one
+    division per r_h), then ONE bounded lag-ordered fold — each term
+    r_h²/(n−h) a fixed IEEE tree — and the final n(n+2)·Σ tree.
+    Bit-identical given L151's bit-identity.  Any NULL r_h (series
+    shorter than the lag, zero variance) → NULL q for that key, with
+    n and m still reported.  Compare Q against the caller's χ²_m
+    critical value.
+
+    Scale shape: L151's shape plus one combinable fold — one keyed
+    window sort, bounded m-length arrays.
+
+    No reference counterpart; series-diagnostics analytics per SURVEY
+    §2.11.
+    """
+    a = acf(df, by, order_cols, value_col, max_lag, scale)
+    nd = F.col("n").cast("double")
+    per = a.groupBy(*by, "n").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.when(F.col("r").isNull(), 1).otherwise(0)).alias("_bad"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("lag"), F.col("r")))
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc
+            + (v["r"] * v["r"]) / (nd - v["lag"].cast("double")),
+        ).alias("_s"),
+    )
+    q = nd * (nd + F.lit(2.0)) * F.col("_s")
+    return per.select(
+        *by,
+        "n",
+        "m",
+        F.when(F.col("_bad") == 0, q).alias("q"),
+        F.col("m").alias("dof"),
+    )

@@ -153,3 +153,53 @@ def js_divergence(
         "n_b",
         F.when(ok, F.col("_s") / F.lit(2.0)).alias("jsd"),
     )
+
+
+def v_measure(
+    df: DataFrame,
+    label_col: str,
+    cluster_col: str,
+) -> DataFrame:
+    """One row ``(n, mi, h_label, h_cluster, homogeneity,
+    completeness, v_measure)`` — the entropy-based clustering-vs-truth
+    scorecard (L227; Rosenberg & Hirschberg 2007), composed directly
+    on the L152 mutual-information machinery:
+
+        homogeneity  = MI / H(label)     (1.0 when H(label) = 0)
+        completeness = MI / H(cluster)   (1.0 when H(cluster) = 0)
+        v = 2·h·c / (h + c)              (0.0 when h + c = 0)
+
+    homogeneity says "each cluster holds one class"; completeness
+    says "each class lands in one cluster"; V is their harmonic mean —
+    the ARI-complementing diagnostic (L157 counts pairs, V measures
+    information).  Each statistic is ONE division over the L152 folds
+    (MI and both entropies are 0.0-prepended sorted-cell folds of
+    exact-count terms), so the whole panel inherits L152's
+    bit-identity.  NULL categories are excluded (the L152 contract).
+
+    Scale shape: identical to L152 — one contingency groupBy + bounded
+    margin folds; 100 TB scans once.
+
+    No reference counterpart; clustering-evaluation analytics per
+    SURVEY §2.11.
+    """
+    base = mutual_information(df, label_col, cluster_col)
+    h = F.when(F.col("h_x") > 0.0, F.col("mi") / F.col("h_x")).otherwise(
+        F.lit(1.0)
+    )
+    c = F.when(F.col("h_y") > 0.0, F.col("mi") / F.col("h_y")).otherwise(
+        F.lit(1.0)
+    )
+    staged = base.select(
+        "n",
+        "mi",
+        F.col("h_x").alias("h_label"),
+        F.col("h_y").alias("h_cluster"),
+        h.alias("homogeneity"),
+        c.alias("completeness"),
+    )
+    hc = F.col("homogeneity") + F.col("completeness")
+    v = (F.lit(2.0) * F.col("homogeneity") * F.col("completeness")) / hc
+    return staged.select(
+        "*", F.when(hc > 0.0, v).otherwise(F.lit(0.0)).alias("v_measure")
+    )
