@@ -6418,6 +6418,38 @@ def q_ljung_box(spark, sf_dir):
     return ljung_box(e, ["bucket"], ["ts", "event_id"], "value", max_lag=3)
 
 
+def q_grubbs(spark, sf_dir):
+    """Grubbs max-residual test (L229): the single worst event value
+    per type — exact decimal sufficient stats, order-insensitive max,
+    larger-value tiebreak, fixed IEEE G tree."""
+    from lmss_entity_extractor_spark.ops.stattests import grubbs_test
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    return grubbs_test(e, ["event_type"], "value")
+
+
+def q_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend (L230): is the thirds-of-orderkey
+    success rate trending across quantity-decile scores per return
+    flag — exact decimal score sums, one fixed z tree."""
+    from lmss_entity_extractor_spark.ops.stattests import cochran_armitage
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").isNotNull())
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.floor(F.col("l_quantity") / 10).alias("s"),
+            (F.col("l_orderkey") % 3 == 0).cast("int").alias("y"),
+        )
+    )
+    return cochran_armitage(li, ["flag"], "s", "y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6433,6 +6465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordinal_panel": q_ordinal_panel,
         "v_measure": q_v_measure,
         "ljung_box": q_ljung_box,
+        "grubbs": q_grubbs,
+        "cochran_armitage": q_cochran_armitage,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15136,6 +15170,107 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(least(r, c) AS DOUBLE) - 1.0))
                END AS tau_c
         FROM dens
+    """
+    oracles["grubbs"] = """
+        -- exact decimal stats; per-row |x - mean| fixed trees;
+        -- order-insensitive max with larger-value tiebreak
+        WITH base AS (
+            SELECT event_type, CAST(value AS DECIMAL(18,4)) AS x
+            FROM events WHERE value IS NOT NULL
+        ),
+        stats AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS s, sum(x * x) AS sxx
+            FROM base GROUP BY 1
+        ),
+        dev AS (
+            SELECT b.event_type, st.n, st.s, st.sxx,
+                   abs(CAST(b.x AS DOUBLE)
+                       - CAST(st.s AS DOUBLE)
+                         / CAST(st.n AS DOUBLE)) AS d,
+                   CAST(b.x AS DOUBLE) AS xd
+            FROM base b JOIN stats st USING (event_type)
+        ),
+        best AS (
+            SELECT event_type, n, s, sxx,
+                   max(struct_pack(d := d, x := xd)) AS b
+            FROM dev GROUP BY 1, 2, 3, 4
+        )
+        SELECT event_type, n,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               CASE WHEN n >= 3
+                         AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                             / (CAST(n AS DOUBLE)
+                                * (CAST(n AS DOUBLE) - 1.0)) > 0
+                    THEN sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                              / (CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) - 1.0)))
+               END AS sd,
+               CASE WHEN n >= 3
+                         AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                             / (CAST(n AS DOUBLE)
+                                * (CAST(n AS DOUBLE) - 1.0)) > 0
+                    THEN b.d
+                         / sqrt((CAST(n AS DOUBLE)
+                                 * CAST(sxx AS DOUBLE)
+                                 - CAST(s AS DOUBLE)
+                                   * CAST(s AS DOUBLE))
+                                / (CAST(n AS DOUBLE)
+                                   * (CAST(n AS DOUBLE) - 1.0)))
+               END AS grubbs_g,
+               b.x AS x_out
+        FROM best
+    """
+    oracles["cochran_armitage"] = """
+        -- exact decimal score sums (order-insensitive, no fold
+        -- needed); num/var/z fixed IEEE trees
+        WITH base AS (
+            SELECT l_returnflag AS flag,
+                   CAST(floor(l_quantity / 10) AS BIGINT) AS s,
+                   CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE 0 END AS y
+            FROM lineitem WHERE l_quantity IS NOT NULL
+        ),
+        per AS (
+            SELECT flag, s, CAST(count(*) AS BIGINT) AS nj,
+                   CAST(sum(y) AS BIGINT) AS aj
+            FROM base GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT flag,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(nj) AS BIGINT) AS n,
+                   CAST(sum(aj) AS BIGINT) AS n_success,
+                   sum(CAST(s AS DECIMAL(38,0)) * nj) AS s1,
+                   sum(CAST(s AS DECIMAL(38,0))
+                       * CAST(s AS DECIMAL(38,0)) * nj) AS s2,
+                   sum(CAST(s AS DECIMAL(38,0)) * aj) AS t
+            FROM per GROUP BY 1
+        )
+        SELECT flag, k, n, n_success,
+               CASE WHEN (CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (1.0 - CAST(n_success AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                         * (CAST(s2 AS DOUBLE)
+                            - (CAST(s1 AS DOUBLE)
+                               * CAST(s1 AS DOUBLE))
+                              / CAST(n AS DOUBLE)) > 0
+                    THEN (CAST(t AS DOUBLE)
+                          - (CAST(n_success AS DOUBLE)
+                             * CAST(s1 AS DOUBLE))
+                            / CAST(n AS DOUBLE))
+                         / sqrt((CAST(n_success AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                                * (1.0 - CAST(n_success AS DOUBLE)
+                                         / CAST(n AS DOUBLE))
+                                * (CAST(s2 AS DOUBLE)
+                                   - (CAST(s1 AS DOUBLE)
+                                      * CAST(s1 AS DOUBLE))
+                                     / CAST(n AS DOUBLE)))
+               END AS z
+        FROM agg
     """
     oracles["sign_test"] = """
         -- exact integer sign counts; z = (2*n_pos - n)/sqrt(n)

@@ -614,3 +614,143 @@ def mood_median(
         F.when(ok, chi2).alias("chi2"),
         (F.col("k") - F.lit(1)).alias("dof"),
     )
+
+
+def grubbs_test(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., n, mean, sd, grubbs_g, x_out)`` — the Grubbs (1950) maximum
+    normed residual test (L229): is the single most extreme value an
+    outlier — G = max|x − x̄|/s, the formal companion to the L137 MAD
+    screen (MAD flags many, Grubbs tests THE worst one against a
+    normal-theory critical value).
+
+    The statistic column is ``grubbs_g`` (a bare ``g`` collides with
+    single-letter group columns — the L186 lesson).
+
+    Exactness: x̄ = S/n and s from EXACT DECIMAL sufficient statistics
+    (the L135/L139 discipline — order-insensitive sums, then one fixed
+    IEEE tree); each |x − x̄| is a per-row fixed tree; ``max`` is
+    order-insensitive, so G is bit-identical, ungridded.  ``x_out`` is
+    the offending value (deviation ties resolve to the LARGER value —
+    deterministic).  n < 3 or zero variance → NULL g/sd.
+
+    Scale shape: one stats agg + one broadcast join back + one
+    combinable max agg — two scans of 100 TB, both full-parallel.
+
+    No reference counterpart; data-quality analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(F.col(value_col).isNotNull())
+    xd = F.col(value_col).cast(dec)
+    stats = flt.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(xd).alias("_s"),
+        F.sum(xd * xd).alias("_sxx"),
+    )
+    joined = (
+        flt.join(F.broadcast(stats), by)
+        if by
+        else flt.crossJoin(F.broadcast(stats))
+    )
+    nd = F.col("_n").cast("double")
+    sd_ = F.col("_s").cast("double")
+    sxxd = F.col("_sxx").cast("double")
+    mean = sd_ / nd
+    dev = F.abs(xd.cast("double") - mean)
+    per = joined.select(
+        *by, "_n", "_s", "_sxx", dev.alias("_d"), xd.cast("double").alias("_x")
+    ).groupBy(*by, "_n", "_s", "_sxx").agg(
+        F.max(F.struct(F.col("_d").alias("d"), F.col("_x").alias("x"))).alias(
+            "_b"
+        )
+    )
+    var = (nd * sxxd - sd_ * sd_) / (nd * (nd - F.lit(1.0)))
+    sdev = F.sqrt(var)
+    ok = (F.col("_n") >= 3) & (var > 0.0)
+    return per.select(
+        *by,
+        F.col("_n").alias("n"),
+        mean.alias("mean"),
+        F.when(ok, sdev).alias("sd"),
+        F.when(ok, F.col("_b.d") / sdev).alias("grubbs_g"),
+        F.col("_b.x").alias("x_out"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    by: list[str],
+    score_col: str,
+    success_col: str,
+) -> DataFrame:
+    """``(by..., k, n, n_success, z)`` — the Cochran-Armitage trend
+    test (L230): is a binary rate MONOTONICALLY trending across
+    ordered dose/bucket levels — the directional sharpening of the
+    omnibus χ² (L140 asks "any association"; this asks "a trend in
+    THIS order", with k−2 more power when the order is real).
+    ``score_col`` carries the integer level scores s_j; ``success_col``
+    must be 0/1 (validated loudly, the L191 discipline).
+
+    With per-level exact integers n_j (trials) and a_j (successes),
+    A = Σa_j, N = Σn_j, S1 = Σs_j·n_j, S2 = Σs_j²·n_j, T = Σs_j·a_j:
+
+        num = T − A·S1/N
+        var = (A/N)·(1 − A/N)·(S2 − S1²/N)
+        z   = num / sqrt(var)
+
+    All sums are exact DECIMAL(38,0) (order-insensitive — no fold even
+    needed); num/var/z are fixed IEEE trees — bit-identical,
+    ungridded.  Degenerate var (one level, constant outcome, constant
+    score) → NULL z.
+
+    Scale shape: one combinable (keys, score) groupBy + one combinable
+    rollup — 100 TB scans once.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    dec = "decimal(38,0)"
+    flt = df.filter(
+        F.col(score_col).isNotNull() & F.col(success_col).isNotNull()
+    )
+    n_bad = flt.filter(~F.col(success_col).isin([0, 1])).count()
+    if n_bad:
+        raise ValueError(
+            f"cochran_armitage: {n_bad} non-binary value(s) in "
+            f"{success_col!r} — the test is defined on 0/1 outcomes"
+        )
+    per = flt.groupBy(*by, score_col).agg(
+        F.count(F.lit(1)).alias("_nj"),
+        F.sum(F.col(success_col).cast("long")).alias("_aj"),
+    )
+    s = F.col(score_col).cast(dec)
+    agg = per.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_nj").alias("n"),
+        F.sum("_aj").alias("n_success"),
+        F.sum(s * F.col("_nj").cast(dec)).alias("_s1"),
+        F.sum(s * s * F.col("_nj").cast(dec)).alias("_s2"),
+        F.sum(s * F.col("_aj").cast(dec)).alias("_t"),
+    )
+    nd = F.col("n").cast("double")
+    ad = F.col("n_success").cast("double")
+    s1d = F.col("_s1").cast("double")
+    s2d = F.col("_s2").cast("double")
+    td = F.col("_t").cast("double")
+    num = td - (ad * s1d) / nd
+    var = (
+        (ad / nd)
+        * (F.lit(1.0) - ad / nd)
+        * (s2d - (s1d * s1d) / nd)
+    )
+    ok = var > 0.0
+    return agg.select(
+        *by,
+        "k",
+        "n",
+        "n_success",
+        F.when(ok, num / F.sqrt(var)).alias("z"),
+    )
