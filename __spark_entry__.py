@@ -6450,6 +6450,39 @@ def q_cochran_armitage(spark, sf_dir):
     return cochran_armitage(li, ["flag"], "s", "y")
 
 
+def q_sax(spark, sf_dir):
+    """SAX symbolization (L231): 8-segment PAA + 4-letter word per
+    user series — exact decimal segment sums, fixed z trees, literal
+    breakpoint comparisons identical in both engines."""
+    from lmss_entity_extractor_spark.ops.timeseries import sax_symbolize
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            (F.col("user_id") < 8)
+            & F.col("value").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select("user_id", "event_id", "value")
+    )
+    return sax_symbolize(e, ["user_id"], ["event_id"], "value", n_segments=8)
+
+
+def q_bartlett(spark, sf_dir):
+    """Bartlett's variance-equality test (L232): the normal-theory
+    sharp counterpart to Brown-Forsythe (L193) on the same event-type
+    levels — exact decimal level stats, three same-order folds, one
+    ln-bearing fixed tree."""
+    from lmss_entity_extractor_spark.ops.stattests import bartlett
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", F.floor("value").alias("v"))
+    )
+    return bartlett(e, [], "event_type", "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6467,6 +6500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box": q_ljung_box,
         "grubbs": q_grubbs,
         "cochran_armitage": q_cochran_armitage,
+        "sax": q_sax,
+        "bartlett": q_bartlett,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15170,6 +15205,135 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(least(r, c) AS DOUBLE) - 1.0))
                END AS tau_c
         FROM dens
+    """
+    oracles["sax"] = """
+        -- floor(i*w/n) via the SAME double division; exact decimal
+        -- segment sums; literal breakpoints; symbol gated on z
+        WITH base AS (
+            SELECT user_id, event_id,
+                   CAST(value AS DECIMAL(18,2)) AS x
+            FROM events
+            WHERE user_id < 8 AND value IS NOT NULL
+              AND event_id IS NOT NULL
+        ),
+        idx AS (
+            SELECT user_id, x,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id) - 1 AS i,
+                   CAST(count(*) OVER (PARTITION BY user_id)
+                        AS BIGINT) AS n,
+                   sum(x) OVER (PARTITION BY user_id) AS s,
+                   sum(x * x) OVER (PARTITION BY user_id) AS sxx
+            FROM base
+        ),
+        per AS (
+            SELECT user_id, n, s, sxx,
+                   CAST(floor(CAST(i * 8 AS DOUBLE)
+                              / CAST(n AS DOUBLE)) AS BIGINT)
+                       AS segment,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   sum(x) AS ss
+            FROM idx GROUP BY 1, 2, 3, 4, 5
+        ),
+        zz AS (
+            SELECT user_id, segment, n_points,
+                   CAST(ss AS DOUBLE) / CAST(n_points AS DOUBLE)
+                       AS paa,
+                   CASE WHEN n >= 2
+                             AND (CAST(n AS DOUBLE)
+                                  * CAST(sxx AS DOUBLE)
+                                  - CAST(s AS DOUBLE)
+                                    * CAST(s AS DOUBLE))
+                                 / (CAST(n AS DOUBLE)
+                                    * (CAST(n AS DOUBLE) - 1.0)) > 0
+                        THEN (CAST(ss AS DOUBLE)
+                              / CAST(n_points AS DOUBLE)
+                              - CAST(s AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                             / sqrt((CAST(n AS DOUBLE)
+                                     * CAST(sxx AS DOUBLE)
+                                     - CAST(s AS DOUBLE)
+                                       * CAST(s AS DOUBLE))
+                                    / (CAST(n AS DOUBLE)
+                                       * (CAST(n AS DOUBLE)
+                                          - 1.0)))
+                   END AS z
+            FROM per
+        )
+        SELECT user_id, segment, n_points, paa, z,
+               CASE WHEN z IS NOT NULL THEN
+                   ((0 + CASE WHEN z > -0.6744897501960817
+                              THEN 1 ELSE 0 END)
+                    + CASE WHEN z > 0.0 THEN 1 ELSE 0 END)
+                   + CASE WHEN z > 0.6744897501960817
+                          THEN 1 ELSE 0 END
+               END AS symbol
+        FROM zz
+    """
+    oracles["bartlett"] = """
+        -- per-level exact decimal stats; three same-order folds over
+        -- the sorted level list; ln the one transcendental
+        WITH vals AS (
+            SELECT event_type AS lvl,
+                   CAST(floor(value) AS DECIMAL(18,4)) AS x
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ),
+        per AS (
+            SELECT lvl, CAST(count(*) AS BIGINT) AS nj,
+                   sum(x) AS s, sum(x * x) AS sxx
+            FROM vals GROUP BY 1
+        ),
+        lv AS (
+            SELECT lvl, nj,
+                   (CAST(nj AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / (CAST(nj AS DOUBLE)
+                      * (CAST(nj AS DOUBLE) - 1.0)) AS s2
+            FROM per
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(nj) AS BIGINT) AS n,
+                   CAST(min(nj) AS BIGINT) AS minn,
+                   min(s2) AS mins2,
+                   list_sort(list(struct_pack(
+                       g := lvl, nj := nj, s2 := s2
+                   ))) AS lv
+            FROM lv
+        ),
+        folds AS (
+            SELECT k, n, minn, mins2,
+                   CAST(n AS DOUBLE) - CAST(k AS DOUBLE) AS nmk,
+                   list_reduce(list_prepend(0.0,
+                       [(CAST(v.nj AS DOUBLE) - 1.0) * v.s2
+                        FOR v IN lv]),
+                       (acc, t) -> acc + t) AS sp_num,
+                   list_reduce(list_prepend(0.0,
+                       [(CAST(v.nj AS DOUBLE) - 1.0) * ln(v.s2)
+                        FOR v IN lv]),
+                       (acc, t) -> acc + t) AS lnsum,
+                   list_reduce(list_prepend(0.0,
+                       [1.0 / (CAST(v.nj AS DOUBLE) - 1.0)
+                        FOR v IN lv]),
+                       (acc, t) -> acc + t) AS invsum
+            FROM tot
+        )
+        SELECT k, n,
+               CASE WHEN k >= 2 AND minn >= 2 AND mins2 > 0.0
+                    THEN nmk * ln(sp_num / nmk) - lnsum
+               END AS t,
+               CASE WHEN k >= 2 AND minn >= 2 AND mins2 > 0.0
+                    THEN 1.0 + (invsum - 1.0 / nmk)
+                               / (3.0 * (CAST(k AS DOUBLE) - 1.0))
+               END AS c,
+               CASE WHEN k >= 2 AND minn >= 2 AND mins2 > 0.0
+                    THEN (nmk * ln(sp_num / nmk) - lnsum)
+                         / (1.0 + (invsum - 1.0 / nmk)
+                                  / (3.0 * (CAST(k AS DOUBLE)
+                                            - 1.0)))
+               END AS stat
+        FROM folds
     """
     oracles["grubbs"] = """
         -- exact decimal stats; per-row |x - mean| fixed trees;

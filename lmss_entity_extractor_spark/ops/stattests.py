@@ -754,3 +754,103 @@ def cochran_armitage(
         "n_success",
         F.when(ok, num / F.sqrt(var)).alias("z"),
     )
+
+
+def bartlett(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    value_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., k, n, t, c, stat)`` — Bartlett's test of equal
+    variances (L232): the classical, more POWERFUL-under-normality
+    counterpart to Brown-Forsythe (L193 is robust to non-normality;
+    Bartlett is the sharper instrument when the metric is known to be
+    well-behaved).  Per level, s²_j comes from exact decimal
+    sufficient statistics (the L139 tree); then over the BOUNDED
+    sorted level list (one collected array, THREE folds in the same
+    element order):
+
+        Sp² = Σ(n_j−1)s²_j / (N−k)
+        T   = (N−k)·ln(Sp²) − Σ(n_j−1)·ln(s²_j)
+        C   = 1 + (Σ 1/(n_j−1) − 1/(N−k)) / (3(k−1))
+        stat = T / C        (≈ χ²_{k−1})
+
+    ln is the one transcendental — the same cross-engine-stable libm
+    call the L152/L145 family already relies on; every other node is
+    an exactly-rounded fixed tree.  k < 2, any n_j < 2, or any
+    s²_j ≤ 0 → NULL t/c/stat (k, n still reported).
+
+    Scale shape: one combinable stats agg + one bounded-array agg —
+    100 TB scans once.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    xd = F.col(value_col).cast(dec)
+    per = flt.groupBy(*by, group_col).agg(
+        F.count(F.lit(1)).alias("_nj"),
+        F.sum(xd).alias("_s"),
+        F.sum(xd * xd).alias("_sxx"),
+    )
+    njd = F.col("_nj").cast("double")
+    s2 = (
+        njd * F.col("_sxx").cast("double")
+        - F.col("_s").cast("double") * F.col("_s").cast("double")
+    ) / (njd * (njd - F.lit(1.0)))
+    arr = per.select(
+        *by,
+        F.col(group_col).alias("_g"),
+        F.col("_nj"),
+        s2.alias("_s2"),
+    ).groupBy(*by).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_nj").alias("n"),
+        F.min("_nj").alias("_minn"),
+        F.min("_s2").alias("_mins2"),
+        F.sort_array(
+            F.collect_list(F.struct("_g", "_nj", "_s2"))
+        ).alias("_lv"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    nmk = nd - kd
+    sp_num = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, v: acc
+        + (v["_nj"].cast("double") - F.lit(1.0)) * v["_s2"],
+    )
+    lnsum = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, v: acc
+        + (v["_nj"].cast("double") - F.lit(1.0)) * F.log(v["_s2"]),
+    )
+    invsum = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, v: acc
+        + F.lit(1.0) / (v["_nj"].cast("double") - F.lit(1.0)),
+    )
+    t = nmk * F.log(sp_num / nmk) - lnsum
+    c = F.lit(1.0) + (invsum - F.lit(1.0) / nmk) / (
+        F.lit(3.0) * (kd - F.lit(1.0))
+    )
+    ok = (
+        (F.col("k") >= 2)
+        & (F.col("_minn") >= 2)
+        & (F.col("_mins2") > 0.0)
+    )
+    return arr.select(
+        *by,
+        "k",
+        "n",
+        F.when(ok, t).alias("t"),
+        F.when(ok, c).alias("c"),
+        F.when(ok, t / c).alias("stat"),
+    )

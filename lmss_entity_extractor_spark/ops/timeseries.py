@@ -501,3 +501,147 @@ def durbin_watson(
             F.col("_sd").cast("double") / F.col("_ss").cast("double"),
         ).alias("dw"),
     )
+
+
+# Φ⁻¹(i/a) breakpoints for equiprobable N(0,1) bins — the published
+# SAX lookup (Lin/Keogh 2003, table to full double precision); both
+# engines consume these VALUES as literals, so no erf/quantile
+# function parity is needed
+_SAX_BREAKPOINTS = {
+    2: [0.0],
+    3: [-0.4307272992954576, 0.4307272992954576],
+    4: [-0.6744897501960817, 0.0, 0.6744897501960817],
+    5: [
+        -0.8416212335729142,
+        -0.2533471031357997,
+        0.2533471031357997,
+        0.8416212335729142,
+    ],
+    6: [
+        -0.9674215661017014,
+        -0.4307272992954576,
+        0.0,
+        0.4307272992954576,
+        0.9674215661017014,
+    ],
+    7: [
+        -1.0675705238963395,
+        -0.5659488219974491,
+        -0.1800123693617134,
+        0.1800123693617134,
+        0.5659488219974491,
+        1.0675705238963395,
+    ],
+    8: [
+        -1.1503493803760079,
+        -0.6744897501960817,
+        -0.3186393639643751,
+        0.0,
+        0.3186393639643751,
+        0.6744897501960817,
+        1.1503493803760079,
+    ],
+}
+
+
+def sax_symbolize(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+    n_segments: int,
+    alphabet: int = 4,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., segment, n_points, paa, z, symbol)`` — SAX symbolic
+    aggregate approximation (L231; Lin & Keogh 2003): compress each
+    series into ``n_segments`` PAA means, z-normalize, and discretize
+    into an ``alphabet``-letter word via equiprobable normal
+    breakpoints — the standard pre-step for motif/anomaly mining and
+    for indexing 100 TB of series by a short symbolic key.
+
+    Segment assignment is the floor rule seg = ⌊i·w/n⌋ over the 0-based
+    row index (exact integer arithmetic; the fractional-split PAA
+    variant is deliberately not used — documented convention).  Each
+    PAA mean is an exact DECIMAL segment sum with ONE division; the
+    per-key mean/sd come from exact decimal sufficient statistics
+    (L139 trees); z is a fixed tree; the symbol is a bounded chain of
+    literal-breakpoint comparisons (breakpoints embedded as identical
+    double VALUES in both engines — the L200/L221 discipline).
+    Bit-identical, ungridded.  Zero variance or n < 2 → NULL z/symbol
+    (PAA still emitted).  NULL order/value rows are refused loudly
+    (they would shift every segment).
+
+    Scale shape: one keyed window sort (the L93/L154 shuffle) + two
+    combinable aggs; output is w rows per key.
+
+    No reference counterpart; series-compression analytics per SURVEY
+    §2.11.
+    """
+    if n_segments < 1:
+        raise ValueError("sax_symbolize: n_segments must be >= 1")
+    if alphabet not in _SAX_BREAKPOINTS:
+        raise ValueError(
+            f"sax_symbolize: alphabet must be one of "
+            f"{sorted(_SAX_BREAKPOINTS)} (published breakpoint table)"
+        )
+    bps = _SAX_BREAKPOINTS[alphabet]
+    dec = f"decimal(18,{scale})"
+    base = df.select(
+        *by,
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast(dec).alias("_x"),
+    )
+    n_null = base.filter(
+        F.col("_x").isNull()
+        | reduce_or([F.col(c).isNull() for c in order_cols])
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"sax_symbolize: {n_null} NULL order/value row(s) — drop or "
+            "impute first; skipping rows would shift every segment"
+        )
+    wk = Window.partitionBy(*by).orderBy(*[F.col(c) for c in order_cols])
+    wka = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    idx = base.select(
+        *by,
+        "_x",
+        (F.row_number().over(wk).cast("long") - 1).alias("_i"),
+        F.count(F.lit(1)).over(wka).alias("_n"),
+        F.sum("_x").over(wka).alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).over(wka).alias("_sxx"),
+    )
+    seg = F.floor((F.col("_i") * F.lit(n_segments)) / F.col("_n"))
+    per = idx.groupBy(*by, "_n", "_s", "_sxx", seg.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("_x").alias("_ss"),
+    )
+    nd = F.col("_n").cast("double")
+    sd_ = F.col("_s").cast("double")
+    sxxd = F.col("_sxx").cast("double")
+    mean = sd_ / nd
+    var = (nd * sxxd - sd_ * sd_) / (nd * (nd - F.lit(1.0)))
+    paa = F.col("_ss").cast("double") / F.col("n_points").cast("double")
+    z = (paa - mean) / F.sqrt(var)
+    sym = F.lit(0)
+    for b in bps:
+        sym = sym + F.when(z > F.lit(b), 1).otherwise(0)
+    ok = (F.col("_n") >= 2) & (var > 0.0)
+    return per.select(
+        *by,
+        "segment",
+        "n_points",
+        paa.alias("paa"),
+        F.when(ok, z).alias("z"),
+        F.when(ok, sym).alias("symbol"),
+    )
+
+
+def reduce_or(cols):
+    """OR-fold a non-empty column list (tiny local helper)."""
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = acc | c
+    return acc
