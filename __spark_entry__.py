@@ -6483,6 +6483,32 @@ def q_bartlett(spark, sf_dir):
     return bartlett(e, [], "event_type", "v")
 
 
+def q_dunn(spark, sf_dir):
+    """Dunn's post-hoc pairwise rank test (L233): which event-type
+    pairs differ after the L174 omnibus — doubled ranks, bounded k×k
+    pair join, tie-corrected fixed z trees."""
+    from lmss_entity_extractor_spark.ops.rankeval import dunn_posthoc
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", F.floor("value").alias("v"))
+    )
+    return dunn_posthoc(e, "event_type", "v")
+
+
+def q_calinski(spark, sf_dir):
+    """Calinski-Harabasz index (L234): partition geometry of the
+    vec_id%5 labeling over the embedding table — micro-unit quantized
+    exact sums, bounded (cluster × dim) folds, one CH tree."""
+    from lmss_entity_extractor_spark.ops.clustereval import calinski_harabasz
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 5).alias("cl"), "embedding"
+    )
+    return calinski_harabasz(e, "cl")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6502,6 +6528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cochran_armitage": q_cochran_armitage,
         "sax": q_sax,
         "bartlett": q_bartlett,
+        "dunn": q_dunn,
+        "calinski": q_calinski,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15205,6 +15233,140 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(least(r, c) AS DOUBLE) - 1.0))
                END AS tau_c
         FROM dens
+    """
+    oracles["dunn"] = """
+        -- the L174 doubled-rank CTEs + a bounded k x k pair join;
+        -- sigma2 and z mirror the op's fixed trees
+        WITH base AS (
+            SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS v
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ),
+        pts AS (SELECT v, g, count(*) AS c FROM base GROUP BY 1, 2),
+        vals AS (
+            SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM pts GROUP BY 1
+        ),
+        vals2 AS (
+            SELECT v, cv,
+                   CAST(coalesce(sum(cv) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS bef
+            FROM vals
+        ),
+        pg AS (
+            SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+                   CAST(sum(CAST(c AS DECIMAL(19,0))
+                            * CAST(2 * bef + cv + 1 AS DECIMAL(19,0)))
+                        AS DECIMAL(19,0)) AS r2
+            FROM pts JOIN vals2 USING (v) GROUP BY 1
+        ),
+        ts AS (
+            SELECT CAST(sum(cv) AS BIGINT) AS nt,
+                   list_reduce(list_prepend(0.0,
+                       [CAST(s.cv * s.cv * s.cv - s.cv AS DOUBLE)
+                        FOR s IN list_sort(list(struct_pack(
+                            v := v, cv := cv)))]),
+                       (a, x) -> a + x) AS tt
+            FROM vals
+        )
+        SELECT a.g AS g_a, b.g AS g_b,
+               a.n_g AS n_a, b.n_g AS n_b,
+               (CAST(a.r2 AS DOUBLE) / CAST(a.n_g AS DOUBLE)) / 2.0
+                   AS mean_rank_a,
+               (CAST(b.r2 AS DOUBLE) / CAST(b.n_g AS DOUBLE)) / 2.0
+                   AS mean_rank_b,
+               CASE WHEN (CAST(nt AS DOUBLE)
+                          * (CAST(nt AS DOUBLE) + 1.0)) / 12.0
+                         - tt / (12.0 * (CAST(nt AS DOUBLE) - 1.0))
+                         > 0.0
+                    THEN ((CAST(a.r2 AS DOUBLE)
+                           / CAST(a.n_g AS DOUBLE)) / 2.0
+                          - (CAST(b.r2 AS DOUBLE)
+                             / CAST(b.n_g AS DOUBLE)) / 2.0)
+                         / sqrt(((CAST(nt AS DOUBLE)
+                                  * (CAST(nt AS DOUBLE) + 1.0))
+                                 / 12.0
+                                 - tt / (12.0
+                                         * (CAST(nt AS DOUBLE)
+                                            - 1.0)))
+                                * (1.0 / CAST(a.n_g AS DOUBLE)
+                                   + 1.0 / CAST(b.n_g AS DOUBLE)))
+               END AS z
+        FROM pg a JOIN pg b ON a.g < b.g CROSS JOIN ts
+    """
+    oracles["calinski"] = """
+        -- micro-unit quantized exact per-(cluster,dim) sums; the SSW
+        -- and SSB identities folded over the sorted bounded lists
+        WITH base AS (
+            SELECT CAST(vec_id % 5 AS BIGINT) AS g, embedding
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        ex AS (
+            SELECT g,
+                   unnest(range(len(embedding))) AS d,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                              * 1048576.0) AS DECIMAL(38,0)) AS u
+            FROM base
+        ),
+        per AS (
+            SELECT g, d, CAST(count(*) AS BIGINT) AS nj,
+                   CAST(sum(u) AS DECIMAL(38,0)) AS s,
+                   CAST(sum(u * u) AS DECIMAL(38,0)) AS q
+            FROM ex GROUP BY 1, 2
+        ),
+        sizes AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n
+            FROM base GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(n) AS BIGINT) AS n
+            FROM sizes
+        ),
+        folds AS (
+            SELECT
+                list_reduce(list_prepend(0.0,
+                    [CAST(e.q AS DOUBLE)
+                     - (CAST(e.s AS DOUBLE) * CAST(e.s AS DOUBLE))
+                       / CAST(e.nj AS DOUBLE)
+                     FOR e IN list_sort(list(struct_pack(
+                         g := g, d := d, nj := nj, s := s, q := q
+                     )))]),
+                    (acc, t) -> acc + t) AS ssw,
+                list_reduce(list_prepend(0.0,
+                    [(CAST(e.s AS DOUBLE) * CAST(e.s AS DOUBLE))
+                     / CAST(e.nj AS DOUBLE)
+                     FOR e IN list_sort(list(struct_pack(
+                         g := g, d := d, nj := nj, s := s, q := q
+                     )))]),
+                    (acc, t) -> acc + t) AS parta
+            FROM per
+        ),
+        dims AS (
+            SELECT d, CAST(sum(s) AS DECIMAL(38,0)) AS t
+            FROM per GROUP BY 1
+        ),
+        dfold AS (
+            SELECT list_sort(list(struct_pack(d := d, t := t))) AS dv
+            FROM dims
+        )
+        SELECT k, n,
+               parta - list_reduce(list_prepend(0.0,
+                   [(CAST(v.t AS DOUBLE) * CAST(v.t AS DOUBLE))
+                    / CAST(n AS DOUBLE) FOR v IN dv]),
+                   (acc, t) -> acc + t) AS ssb,
+               ssw,
+               CASE WHEN k >= 2 AND n > k AND ssw > 0.0
+                    THEN ((parta - list_reduce(list_prepend(0.0,
+                              [(CAST(v.t AS DOUBLE)
+                                * CAST(v.t AS DOUBLE))
+                               / CAST(n AS DOUBLE) FOR v IN dv]),
+                              (acc, t) -> acc + t))
+                          / (CAST(k AS DOUBLE) - 1.0))
+                         / (ssw / (CAST(n AS DOUBLE)
+                                   - CAST(k AS DOUBLE)))
+               END AS ch
+        FROM folds CROSS JOIN dfold CROSS JOIN tot
     """
     oracles["sax"] = """
         -- floor(i*w/n) via the SAME double division; exact decimal

@@ -753,3 +753,104 @@ def trimmed_stats(
             ok, wsum.cast("double") / F.col("n").cast("double")
         ).alias("winsorized_mean"),
     )
+
+
+def dunn_posthoc(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """``(g_a, g_b, n_a, n_b, mean_rank_a, mean_rank_b, z)`` — Dunn's
+    (1964) post-hoc pairwise rank test (L233): AFTER Kruskal-Wallis
+    (L174) rejects "all k groups equal", WHICH pairs differ — the
+    tie-corrected pairwise z over the pooled ranking (compare |z|
+    against the caller's Bonferroni/BH-adjusted critical value — the
+    L211 FDR machinery composes directly).
+
+        z_ab = (R̄_a − R̄_b) / sqrt(σ² (1/n_a + 1/n_b))
+        σ²   = N(N+1)/12 − Σ(t³−t) / (12(N−1))
+
+    Doubled average ranks keep every rank sum an exact integer (the
+    L146/L174 trick); R̄ = (R2/n)/2 is two exactly-rounded divisions;
+    σ² and z are fixed IEEE trees — bit-identical, ungridded.  Pairs
+    are emitted once with g_a < g_b (deterministic orientation).
+    σ² ≤ 0 (all values tied) → NULL z.
+
+    Scale shape: the L174 rank sweep (one distinct-value window) + a
+    bounded k×k self-join on the per-group table.  Continuous values
+    bucketed first (the L159 discipline).
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    flt = df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+    pts = flt.groupBy(
+        F.col(value_col).alias("_v"), F.col(group_col).alias("_g")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    vals = pts.groupBy("_v").agg(F.sum("_c").alias("_cv"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    vals = vals.withColumn(
+        "_before", F.coalesce(F.sum("_cv").over(w), F.lit(0))
+    )
+    two_rank = (
+        F.lit(2) * F.col("_before") + F.col("_cv") + F.lit(1)
+    ).cast(_DEC)
+    per_group = (
+        pts.join(vals, "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").alias("_n"),
+            F.sum(F.col("_c").cast(_DEC) * two_rank).alias("_r2"),
+        )
+    )
+    tstats = vals.agg(
+        F.sum("_cv").alias("_nt"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col("_v"), F.col("_cv")))),
+            F.lit(0.0),
+            lambda a, s: a
+            + (
+                s["_cv"].cast(_DEC) * s["_cv"].cast(_DEC) * s["_cv"].cast(_DEC)
+                - s["_cv"].cast(_DEC)
+            ).cast("double"),
+        ).alias("_tt"),
+    )
+    a = per_group.select(
+        F.col("_g").alias("g_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_r2").alias("_r2a"),
+    )
+    b = per_group.select(
+        F.col("_g").alias("g_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_r2").alias("_r2b"),
+    )
+    pairs = a.join(b, F.col("g_a") < F.col("g_b")).crossJoin(
+        F.broadcast(tstats)
+    )
+    nd = F.col("_nt").cast("double")
+    sigma2 = (nd * (nd + F.lit(1.0))) / F.lit(12.0) - F.col("_tt") / (
+        F.lit(12.0) * (nd - F.lit(1.0))
+    )
+    mra = (F.col("_r2a").cast("double") / F.col("n_a").cast("double")) / F.lit(
+        2.0
+    )
+    mrb = (F.col("_r2b").cast("double") / F.col("n_b").cast("double")) / F.lit(
+        2.0
+    )
+    se = F.sqrt(
+        sigma2
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    ok = sigma2 > 0.0
+    return pairs.select(
+        "g_a",
+        "g_b",
+        "n_a",
+        "n_b",
+        mra.alias("mean_rank_a"),
+        mrb.alias("mean_rank_b"),
+        F.when(ok, (mra - mrb) / se).alias("z"),
+    )
