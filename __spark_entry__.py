@@ -6509,6 +6509,30 @@ def q_calinski(spark, sf_dir):
     return calinski_harabasz(e, "cl")
 
 
+def q_davies_bouldin(spark, sf_dir):
+    """Davies-Bouldin index (L235): worst-pair separation of the
+    vec_id%5 labeling — shared micro-unit moment sums with L234,
+    bounded pair folds, exact maxima."""
+    from lmss_entity_extractor_spark.ops.clustereval import davies_bouldin
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 5).alias("cl"), "embedding"
+    )
+    return davies_bouldin(e, "cl")
+
+
+def q_avg_precision(spark, sf_dir):
+    """Average precision @3 (L236): order-sensitive agreement of
+    sign-LSH ANN (L8) against the brute-force truth (L7) — exact
+    integer hit pivots, d-ordered precision chain, one final division.
+    Oracle: both pipelines' oracle SQL nested as CTEs (L164 pattern)."""
+    from lmss_entity_extractor_spark.ops.evalmetrics import average_precision
+
+    pred = q_knn_lsh(spark, sf_dir)
+    truth = q_knn_bruteforce(spark, sf_dir).filter(F.col("rank") <= 3)
+    return average_precision(pred, truth, k=3, item_col="neighbor_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6530,6 +6554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bartlett": q_bartlett,
         "dunn": q_dunn,
         "calinski": q_calinski,
+        "davies_bouldin": q_davies_bouldin,
+        "avg_precision": q_avg_precision,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15233,6 +15259,137 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(least(r, c) AS DOUBLE) - 1.0))
                END AS tau_c
         FROM dens
+    """
+    oracles["davies_bouldin"] = """
+        -- the L234 micro-unit moment sums; scatter + mean-distance
+        -- pair folds; exact maxima; one final mean fold
+        WITH base AS (
+            SELECT CAST(vec_id % 5 AS BIGINT) AS g, embedding
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        ex AS (
+            SELECT g,
+                   unnest(range(len(embedding))) AS d,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                              * 1048576.0) AS DECIMAL(38,0)) AS u
+            FROM base
+        ),
+        per AS (
+            SELECT g, d, CAST(count(*) AS BIGINT) AS nj,
+                   CAST(sum(u) AS DECIMAL(38,0)) AS s,
+                   CAST(sum(u * u) AS DECIMAL(38,0)) AS q
+            FROM ex GROUP BY 1, 2
+        ),
+        sizes AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n
+            FROM base GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(n) AS BIGINT) AS n
+            FROM sizes
+        ),
+        scat AS (
+            SELECT g, CAST(max(nj) AS BIGINT) AS nj,
+                   sqrt(list_reduce(list_prepend(0.0,
+                       [e.qd - (e.sd * e.sd) / e.njd
+                        FOR e IN list_sort(list(struct_pack(
+                            d := d,
+                            qd := CAST(q AS DOUBLE),
+                            sd := CAST(s AS DOUBLE),
+                            njd := CAST(nj AS DOUBLE))))]),
+                       (acc, t) -> acc + t)
+                       / CAST(max(nj) AS DOUBLE)) AS sc
+            FROM per GROUP BY g
+        ),
+        means AS (
+            SELECT g, d,
+                   CAST(s AS DOUBLE) / CAST(nj AS DOUBLE) AS m
+            FROM per
+        ),
+        d2 AS (
+            SELECT a.g AS ga, b.g AS gb,
+                   list_reduce(list_prepend(0.0,
+                       [(e.ma - e.mb) * (e.ma - e.mb)
+                        FOR e IN list_sort(list(struct_pack(
+                            d := a.d, ma := a.m, mb := b.m)))]),
+                       (acc, t) -> acc + t) AS d2
+            FROM means a JOIN means b
+              ON a.d = b.d AND a.g <> b.g
+            GROUP BY 1, 2
+        ),
+        ratios AS (
+            SELECT d2.ga,
+                   CASE WHEN d2.d2 > 0.0
+                        THEN (sa.sc + sb.sc) / sqrt(d2.d2)
+                   END AS r
+            FROM d2
+            JOIN scat sa ON sa.g = d2.ga
+            JOIN scat sb ON sb.g = d2.gb
+        ),
+        worst AS (
+            SELECT ga, max(r) AS w FROM ratios GROUP BY 1
+        ),
+        o AS (
+            SELECT CAST(count(*) AS BIGINT) AS kp,
+                   CAST(sum(CASE WHEN w IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bad,
+                   list_reduce(list_prepend(0.0,
+                       [s.w FOR s IN list_sort(list(struct_pack(
+                           ga := ga, w := w)))]),
+                       (acc, t) -> acc + t) AS sumw
+            FROM worst
+        )
+        SELECT k, n,
+               CASE WHEN k >= 2 AND bad = 0
+                    THEN sumw / CAST(k AS DOUBLE) END AS db
+        FROM o CROSS JOIN tot
+    """
+    # L236: both retrieval pipelines' oracle SQL nested verbatim as
+    # CTEs (the L164 pattern) — AP checked on already-checked rows
+    oracles["avg_precision"] = f"""
+        WITH pred AS ({oracles['knn_lsh']}),
+        truth AS ({oracles['knn_bruteforce']}),
+        t AS (SELECT DISTINCT query_id AS q, neighbor_id AS i
+              FROM truth WHERE rank <= 3),
+        nrel AS (SELECT q, CAST(count(*) AS BIGINT) AS n_rel
+                 FROM t GROUP BY 1),
+        p AS (SELECT query_id AS q, neighbor_id AS i, rank AS r
+              FROM pred WHERE rank <= 3),
+        j AS (SELECT p.q, p.r,
+                     CASE WHEN t.i IS NOT NULL THEN 1 ELSE 0 END AS h
+              FROM p LEFT JOIN t ON p.q = t.q AND p.i = t.i),
+        piv AS (
+            SELECT q,
+                   coalesce(max(CASE WHEN r = 1 THEN h END), 0) AS h1,
+                   coalesce(max(CASE WHEN r = 2 THEN h END), 0) AS h2,
+                   coalesce(max(CASE WHEN r = 3 THEN h END), 0) AS h3
+            FROM j GROUP BY 1
+        ),
+        fo AS (
+            SELECT coalesce(nrel.q, piv.q) AS q, nrel.n_rel,
+                   coalesce(piv.h1, 0) AS h1,
+                   coalesce(piv.h2, 0) AS h2,
+                   coalesce(piv.h3, 0) AS h3
+            FROM nrel FULL JOIN piv ON nrel.q = piv.q
+        )
+        SELECT q AS query_id, n_rel,
+               (h1 + h2) + h3 AS hits,
+               CASE WHEN n_rel IS NOT NULL
+                         AND least(n_rel, 3) > 0 THEN
+                   (((0.0
+                      + CASE WHEN h1 = 1
+                             THEN CAST(h1 AS DOUBLE) / 1.0
+                             ELSE 0.0 END)
+                     + CASE WHEN h2 = 1
+                            THEN CAST(h1 + h2 AS DOUBLE) / 2.0
+                            ELSE 0.0 END)
+                    + CASE WHEN h3 = 1
+                           THEN CAST((h1 + h2) + h3 AS DOUBLE) / 3.0
+                           ELSE 0.0 END)
+                   / CAST(least(n_rel, 3) AS DOUBLE)
+               END AS ap
+        FROM fo
     """
     oracles["dunn"] = """
         -- the L174 doubled-rank CTEs + a bounded k x k pair join;

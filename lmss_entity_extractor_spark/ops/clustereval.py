@@ -138,6 +138,28 @@ def adjusted_rand_index(
     )
 
 
+def _moment_sums(df, cluster_col, vec_col, quant):
+    """Shared L234/L235 core: exact DECIMAL per-(cluster, dim) moment
+    sums over micro-unit quantized components u = ⌊x·quant⌋ —
+    ``per`` = (_g, _d, _nj, _s, _q) and ``sizes`` = (cluster, _n)."""
+    dec = "decimal(38,0)"
+    base = df.filter(
+        F.col(cluster_col).isNotNull() & F.col(vec_col).isNotNull()
+    )
+    ex = base.select(
+        F.col(cluster_col).alias("_g"),
+        F.posexplode(vec_col).alias("_d", "_v"),
+    )
+    u = F.floor(F.col("_v") * F.lit(float(quant))).cast(dec)
+    per = ex.groupBy("_g", "_d").agg(
+        F.count(F.lit(1)).alias("_nj"),
+        F.sum(u).alias("_s"),
+        F.sum(u * u).alias("_q"),
+    )
+    sizes = base.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("_n"))
+    return per, sizes
+
+
 def calinski_harabasz(
     df: DataFrame,
     cluster_col: str,
@@ -177,21 +199,7 @@ def calinski_harabasz(
     No reference counterpart; clustering-evaluation analytics per
     SURVEY §2.11.
     """
-    dec = "decimal(38,0)"
-    base = df.filter(
-        F.col(cluster_col).isNotNull() & F.col(vec_col).isNotNull()
-    )
-    ex = base.select(
-        F.col(cluster_col).alias("_g"),
-        F.posexplode(vec_col).alias("_d", "_v"),
-    )
-    u = F.floor(F.col("_v") * F.lit(float(quant))).cast(dec)
-    per = ex.groupBy("_g", "_d").agg(
-        F.count(F.lit(1)).alias("_nj"),
-        F.sum(u).alias("_s"),
-        F.sum(u * u).alias("_q"),
-    )
-    sizes = base.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("_n"))
+    per, sizes = _moment_sums(df, cluster_col, vec_col, quant)
     tot = sizes.agg(
         F.count(F.lit(1)).alias("k"), F.sum("_n").alias("n")
     )
@@ -239,4 +247,123 @@ def calinski_harabasz(
         ssb.alias("ssb"),
         ssw.alias("ssw"),
         F.when(ok, ch).alias("ch"),
+    )
+
+
+def davies_bouldin(
+    df: DataFrame,
+    cluster_col: str,
+    vec_col: str = "embedding",
+    quant: int = 1 << 20,
+) -> DataFrame:
+    """One row ``(k, n, db)`` — the Davies-Bouldin index (L235):
+    average worst-case cluster-pair similarity (lower = better
+    separated), the fourth leg of the clustering-eval family and the
+    one that penalizes the SPECIFIC bad pair CH (L234) can average
+    away:
+
+        s_j  = sqrt(SSW_j / n_j)              per-cluster scatter
+        d_ab = ‖m_a − m_b‖                     cluster-mean distance
+        DB   = (1/k) Σ_a max_{b≠a} (s_a + s_b)/d_ab
+
+    Cluster centers are the EMPIRICAL means (the classical
+    definition), so everything derives from the same exact DECIMAL
+    micro-unit moment sums as L234 (shared ``_moment_sums`` core —
+    scale cancels in DB exactly as in CH): SSW_j by the computational
+    identity, means as one division per (cluster, dim), d_ab² as an
+    ordered fold over the bounded dim-sorted pair grid, the k maxima
+    exact, the final mean a fold over the sorted cluster list.
+    Bit-identical, ungridded.  Identical cluster means (d_ab = 0) make
+    that pair's ratio NULL; a cluster whose every ratio is NULL, or
+    k < 2, → NULL db.
+
+    Scale shape: one narrow posexplode projection + one combinable
+    (cluster, dim) groupBy + bounded k²·d pair folds.  100 TB of
+    vectors scans once.
+
+    No reference counterpart; clustering-evaluation analytics per
+    SURVEY §2.11.
+    """
+    per, sizes = _moment_sums(df, cluster_col, vec_col, quant)
+    njd = F.col("_nj").cast("double")
+    sd = F.col("_s").cast("double")
+    qd = F.col("_q").cast("double")
+    scat = per.groupBy("_g").agg(
+        F.max("_nj").alias("_nj"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("_d"),
+                        qd.alias("_qd"),
+                        sd.alias("_sd"),
+                        njd.alias("_njd"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc
+            + (v["_qd"] - (v["_sd"] * v["_sd"]) / v["_njd"]),
+        ).alias("_ssw"),
+    ).select(
+        "_g",
+        "_nj",
+        F.sqrt(F.col("_ssw") / F.col("_nj").cast("double")).alias("_sc"),
+    )
+    means = per.select(
+        "_g", "_d", (sd / njd).alias("_m")
+    )
+    ma = means.select(
+        F.col("_g").alias("_ga"), "_d", F.col("_m").alias("_ma")
+    )
+    mb = means.select(
+        F.col("_g").alias("_gb"), "_d", F.col("_m").alias("_mb")
+    )
+    pd_ = ma.join(mb, "_d").filter(F.col("_ga") != F.col("_gb"))
+    d2 = pd_.groupBy("_ga", "_gb").agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("_d"), F.col("_ma"), F.col("_mb"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc
+            + (v["_ma"] - v["_mb"]) * (v["_ma"] - v["_mb"]),
+        ).alias("_d2")
+    )
+    sa = scat.select(F.col("_g").alias("_ga"), F.col("_sc").alias("_sa"))
+    sb = scat.select(F.col("_g").alias("_gb"), F.col("_sc").alias("_sb"))
+    ratios = (
+        d2.join(sa, "_ga")
+        .join(sb, "_gb")
+        .select(
+            "_ga",
+            F.when(
+                F.col("_d2") > 0.0,
+                (F.col("_sa") + F.col("_sb")) / F.sqrt(F.col("_d2")),
+            ).alias("_r"),
+        )
+    )
+    worst = ratios.groupBy("_ga").agg(F.max("_r").alias("_w"))
+    out = worst.agg(
+        F.count(F.lit(1)).alias("_kp"),
+        F.sum(F.when(F.col("_w").isNull(), 1).otherwise(0)).alias("_bad"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_ga"), F.col("_w")))
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v["_w"],
+        ).alias("_sumw"),
+    )
+    tot = sizes.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("_n").alias("n")
+    )
+    staged = out.crossJoin(F.broadcast(tot))
+    ok = (F.col("k") >= 2) & (F.col("_bad") == 0)
+    return staged.select(
+        "k",
+        "n",
+        F.when(ok, F.col("_sumw") / F.col("k").cast("double")).alias("db"),
     )

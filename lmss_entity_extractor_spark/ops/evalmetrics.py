@@ -735,3 +735,92 @@ def ndcg(
         idcg.alias("idcg"),
         F.when(idcg > F.lit(0.0), dcg / idcg).alias("ndcg"),
     )
+
+
+def average_precision(
+    pred: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    item_col: str = "item",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """``(query_col, n_rel, hits, ap)`` — average precision at ``k``
+    (L236): the order-sensitive binary-relevance score that completes
+    the retrieval scoreboard (L164 P/R/RR stop at one depth, L221 NDCG
+    needs GRADES; AP integrates precision over every hit):
+
+        AP@k = Σ_{d=1..k} hit_d · (H_d / d)  /  min(n_rel, k)
+
+    with H_d the running hit count.  Its corpus mean is MAP — emitted
+    per-query on purpose (the L164 aggregate-with-discipline rule).
+
+    Exactness: hits and H_d are exact integers from the bounded rank
+    pivot (the L221 shape); each H_d/d is one exactly-rounded
+    division, the d-ordered chain is a fixed tree, and the final
+    normalization ONE more division — bit-identical, ungridded.
+    Duplicate (query, rank) pairs at depth ≤ k are refused loudly.
+    Queries with truth but no predictions score 0.0; queries with
+    predictions but no truth rows have NULL n_rel/ap.
+
+    Scale shape: L221's — one equi-join on (query, item) + one
+    bounded-width pivot; one scan of 100 TB.
+
+    No reference counterpart; evaluation analytics per SURVEY §2.11.
+    """
+    if k < 1:
+        raise ValueError("average_precision: k must be >= 1")
+    p = pred.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(item_col).alias("_i"),
+        F.col(rank_col).alias("_r"),
+    )
+    n_dup = (
+        p.groupBy("_q", "_r")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"average_precision: {n_dup} duplicate (query, rank) "
+            f"pair(s) at depth <= {k}"
+        )
+    t = truth.select(
+        F.col(query_col).alias("_q"), F.col(item_col).alias("_i")
+    ).distinct()
+    n_rel = t.groupBy("_q").agg(F.count(F.lit(1)).alias("n_rel"))
+    joined = p.join(
+        t.withColumn("_hit", F.lit(1)), ["_q", "_i"], "left"
+    ).select("_q", "_r", F.coalesce(F.col("_hit"), F.lit(0)).alias("_h"))
+    pivot = joined.groupBy("_q").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("_r") == d, F.col("_h"))), F.lit(0)
+            ).alias(f"_h{d}")
+            for d in range(1, k + 1)
+        ]
+    )
+    out = n_rel.join(pivot, "_q", "full_outer")
+    # running hit counts as an exact integer chain, then the d-ordered
+    # precision fold
+    cum = None
+    ap = F.lit(0.0)
+    for d in range(1, k + 1):
+        hd = F.coalesce(F.col(f"_h{d}"), F.lit(0))
+        cum = hd if cum is None else cum + hd
+        ap = ap + F.when(
+            hd == 1, cum.cast("double") / F.lit(float(d))
+        ).otherwise(F.lit(0.0))
+        if d == k:
+            hits_expr = cum
+    denom = F.least(F.col("n_rel"), F.lit(k))
+    return out.select(
+        F.col("_q").alias(query_col),
+        "n_rel",
+        hits_expr.alias("hits"),
+        F.when(
+            F.col("n_rel").isNotNull() & (denom > 0),
+            ap / denom.cast("double"),
+        ).alias("ap"),
+    )
