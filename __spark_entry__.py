@@ -6533,6 +6533,70 @@ def q_avg_precision(spark, sf_dir):
     return average_precision(pred, truth, k=3, item_col="neighbor_id")
 
 
+def q_best_split(spark, sf_dir):
+    """Decision-stump best split (L237): the quantity threshold that
+    best separates thirds-of-orderkey per return flag — exact prefix
+    counts, fixed gini/gain trees, smallest-threshold tiebreak."""
+    from lmss_entity_extractor_spark.ops.encoding import best_split
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").isNotNull())
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.floor("l_quantity").alias("v"),
+            (F.col("l_orderkey") % 3 == 0).cast("int").alias("y"),
+        )
+    )
+    return best_split(li, ["flag"], "v", "y")
+
+
+def q_krippendorff(spark, sf_dir):
+    """Krippendorff's alpha (L238): five-event units (event_id//5 —
+    ids are dense, so the design is exactly balanced) rated by event
+    type — exact integer D_o/D_e identity, one division."""
+    from lmss_entity_extractor_spark.ops.evalmetrics import krippendorff_alpha
+
+    e = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("event_id") / 5).alias("unit"),
+        F.col("event_type").alias("val"),
+    )
+    return krippendorff_alpha(e, "unit", "val")
+
+
+def q_mantel_haenszel(spark, sf_dir):
+    """Mantel-Haenszel pooled 2×2 (L239): quantity>25 exposure vs
+    thirds-of-orderkey outcome stratified by return flag — exact
+    integer cells, sorted-stratum folds, fixed OR/χ² trees."""
+    from lmss_entity_extractor_spark.ops.stattests import mantel_haenszel
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").isNotNull())
+        .select(
+            F.col("l_returnflag").alias("s"),
+            (F.col("l_quantity") > 25).cast("int").alias("e"),
+            (F.col("l_orderkey") % 3 == 0).cast("int").alias("y"),
+        )
+    )
+    return mantel_haenszel(li, "s", "e", "y")
+
+
+def q_cronbach(spark, sf_dir):
+    """Cronbach's alpha (L240): internal consistency of four lineitem
+    'items' — one combinable agg of exact decimal sufficient stats,
+    item-order folds, one alpha tree."""
+    from lmss_entity_extractor_spark.ops.evalmetrics import cronbach_alpha
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor("l_quantity").alias("i0"),
+        (F.col("l_orderkey") % 7).alias("i1"),
+        (F.col("l_partkey") % 7).alias("i2"),
+        (F.col("l_suppkey") % 7).alias("i3"),
+    )
+    return cronbach_alpha(li, ["i0", "i1", "i2", "i3"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6556,6 +6620,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calinski": q_calinski,
         "davies_bouldin": q_davies_bouldin,
         "avg_precision": q_avg_precision,
+        "best_split": q_best_split,
+        "krippendorff": q_krippendorff,
+        "mantel_haenszel": q_mantel_haenszel,
+        "cronbach": q_cronbach,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15259,6 +15327,264 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(least(r, c) AS DOUBLE) - 1.0))
                END AS tau_c
         FROM dens
+    """
+    oracles["mantel_haenszel"] = """
+        -- exact integer cells; sorted-stratum folds; fixed OR/chi2
+        -- trees; singleton strata contribute V = 0
+        WITH base AS (
+            SELECT l_returnflag AS s,
+                   CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS e,
+                   CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE 0 END AS y
+            FROM lineitem WHERE l_quantity IS NOT NULL
+        ),
+        per AS (
+            SELECT s,
+                   CAST(sum(CASE WHEN e = 1 AND y = 1 THEN 1
+                            ELSE 0 END) AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN e = 1 AND y = 0 THEN 1
+                            ELSE 0 END) AS BIGINT) AS b,
+                   CAST(sum(CASE WHEN e = 0 AND y = 1 THEN 1
+                            ELSE 0 END) AS BIGINT) AS c,
+                   CAST(sum(CASE WHEN e = 0 AND y = 0 THEN 1
+                            ELSE 0 END) AS BIGINT) AS d
+            FROM base GROUP BY 1
+        ),
+        arr AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_strata,
+                   CAST(sum(((a + b) + c) + d) AS BIGINT) AS n,
+                   CAST(sum(a + b) AS BIGINT) AS n_exposed,
+                   CAST(sum(a) AS BIGINT) AS suma,
+                   list_sort(list(struct_pack(
+                       s := s, a := a, b := b, c := c, d := d
+                   ))) AS lv
+            FROM per
+        ),
+        folds AS (
+            SELECT k_strata, n, n_exposed, suma,
+                   list_reduce(list_prepend(0.0,
+                       [(CAST(v.a AS DOUBLE) * CAST(v.d AS DOUBLE))
+                        / CAST(((v.a + v.b) + v.c) + v.d AS DOUBLE)
+                        FOR v IN lv]), (acc, t) -> acc + t) AS num,
+                   list_reduce(list_prepend(0.0,
+                       [(CAST(v.b AS DOUBLE) * CAST(v.c AS DOUBLE))
+                        / CAST(((v.a + v.b) + v.c) + v.d AS DOUBLE)
+                        FOR v IN lv]), (acc, t) -> acc + t) AS den,
+                   list_reduce(list_prepend(0.0,
+                       [(CAST(v.a + v.b AS DOUBLE)
+                         * CAST(v.a + v.c AS DOUBLE))
+                        / CAST(((v.a + v.b) + v.c) + v.d AS DOUBLE)
+                        FOR v IN lv]), (acc, t) -> acc + t) AS esum,
+                   list_reduce(list_prepend(0.0,
+                       [CASE WHEN CAST(((v.a + v.b) + v.c) + v.d
+                                       AS DOUBLE) > 1.0
+                             THEN (((CAST(v.a + v.b AS DOUBLE)
+                                     * CAST(v.c + v.d AS DOUBLE))
+                                    * CAST(v.a + v.c AS DOUBLE))
+                                   * CAST(v.b + v.d AS DOUBLE))
+                                  / ((CAST(((v.a + v.b) + v.c) + v.d
+                                           AS DOUBLE)
+                                      * CAST(((v.a + v.b) + v.c) + v.d
+                                             AS DOUBLE))
+                                     * (CAST(((v.a + v.b) + v.c) + v.d
+                                             AS DOUBLE) - 1.0))
+                             ELSE 0.0 END
+                        FOR v IN lv]), (acc, t) -> acc + t) AS vsum
+            FROM arr
+        )
+        SELECT k_strata, n, n_exposed,
+               CASE WHEN den > 0.0 THEN num / den END AS or_mh,
+               CASE WHEN vsum > 0.0
+                    THEN ((CAST(suma AS DOUBLE) - esum)
+                          * (CAST(suma AS DOUBLE) - esum)) / vsum
+               END AS chi2_mh
+        FROM folds
+    """
+    oracles["cronbach"] = """
+        -- one pass of exact decimal sufficient stats; item-order
+        -- variance chain; one alpha tree
+        WITH base AS (
+            SELECT CAST(CAST(floor(l_quantity) AS BIGINT)
+                        AS DECIMAL(18,4)) AS i0,
+                   CAST(l_orderkey % 7 AS DECIMAL(18,4)) AS i1,
+                   CAST(l_partkey % 7 AS DECIMAL(18,4)) AS i2,
+                   CAST(l_suppkey % 7 AS DECIMAL(18,4)) AS i3
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_orderkey IS NOT NULL
+              AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   sum(i0) AS s0, sum(i0 * i0) AS q0,
+                   sum(i1) AS s1, sum(i1 * i1) AS q1,
+                   sum(i2) AS s2, sum(i2 * i2) AS q2,
+                   sum(i3) AS s3, sum(i3 * i3) AS q3,
+                   sum(((CAST(i0 AS DECIMAL(38,4)) + i1) + i2) + i3)
+                       AS st,
+                   sum((((CAST(i0 AS DECIMAL(38,4)) + i1) + i2) + i3)
+                       * (((CAST(i0 AS DECIMAL(38,4)) + i1) + i2)
+                          + i3)) AS qt
+            FROM base
+        ),
+        vars_ AS (
+            SELECT n,
+                   (((CAST(n AS DOUBLE) * CAST(q0 AS DOUBLE)
+                      - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                     / (CAST(n AS DOUBLE)
+                        * (CAST(n AS DOUBLE) - 1.0))
+                     + (CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       / (CAST(n AS DOUBLE)
+                          * (CAST(n AS DOUBLE) - 1.0)))
+                    + (CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                      / (CAST(n AS DOUBLE)
+                         * (CAST(n AS DOUBLE) - 1.0)))
+                   + (CAST(n AS DOUBLE) * CAST(q3 AS DOUBLE)
+                      - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))
+                     / (CAST(n AS DOUBLE)
+                        * (CAST(n AS DOUBLE) - 1.0)) AS sum_var,
+                   (CAST(n AS DOUBLE) * CAST(qt AS DOUBLE)
+                    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                   / (CAST(n AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - 1.0)) AS total_var
+            FROM agg
+        )
+        SELECT n, CAST(4 AS INTEGER) AS k,
+               CASE WHEN n >= 2 THEN sum_var END AS sum_item_var,
+               CASE WHEN n >= 2 THEN total_var END AS total_var,
+               CASE WHEN n >= 2 AND total_var > 0.0
+                    THEN (4.0 / 3.0) * (1.0 - sum_var / total_var)
+               END AS alpha
+        FROM vars_
+    """
+    oracles["best_split"] = """
+        -- exact prefix counts over the distinct-value grid; fixed
+        -- gini/gain trees; struct max with smallest-threshold tiebreak
+        WITH base AS (
+            SELECT l_returnflag AS flag,
+                   CAST(floor(l_quantity) AS BIGINT) AS v,
+                   CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE 0 END AS y
+            FROM lineitem WHERE l_quantity IS NOT NULL
+        ),
+        per AS (
+            SELECT flag, v, CAST(count(*) AS BIGINT) AS nv,
+                   CAST(sum(y) AS BIGINT) AS pv
+            FROM base GROUP BY 1, 2
+        ),
+        pre AS (
+            SELECT flag, v,
+                   CAST(sum(nv) OVER (PARTITION BY flag ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS nl,
+                   CAST(sum(pv) OVER (PARTITION BY flag ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS pl,
+                   CAST(sum(nv) OVER (PARTITION BY flag)
+                        AS BIGINT) AS n,
+                   CAST(sum(pv) OVER (PARTITION BY flag)
+                        AS BIGINT) AS p
+            FROM per
+        ),
+        cand AS (
+            SELECT flag, n, p,
+                   1.0 - (CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+                       - (CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS bg,
+                   struct_pack(
+                       g := ((1.0 - (CAST(p AS DOUBLE)
+                                     / CAST(n AS DOUBLE))
+                                    * (CAST(p AS DOUBLE)
+                                       / CAST(n AS DOUBLE))
+                                  - (CAST(n - p AS DOUBLE)
+                                     / CAST(n AS DOUBLE))
+                                    * (CAST(n - p AS DOUBLE)
+                                       / CAST(n AS DOUBLE)))
+                             - (CAST(nl AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (1.0 - (CAST(pl AS DOUBLE)
+                                         / CAST(nl AS DOUBLE))
+                                        * (CAST(pl AS DOUBLE)
+                                           / CAST(nl AS DOUBLE))
+                                      - (CAST(nl - pl AS DOUBLE)
+                                         / CAST(nl AS DOUBLE))
+                                        * (CAST(nl - pl AS DOUBLE)
+                                           / CAST(nl AS DOUBLE))))
+                            - (CAST(n - nl AS DOUBLE)
+                               / CAST(n AS DOUBLE))
+                              * (1.0 - (CAST(p - pl AS DOUBLE)
+                                        / CAST(n - nl AS DOUBLE))
+                                       * (CAST(p - pl AS DOUBLE)
+                                          / CAST(n - nl AS DOUBLE))
+                                     - (CAST((n - nl) - (p - pl)
+                                             AS DOUBLE)
+                                        / CAST(n - nl AS DOUBLE))
+                                       * (CAST((n - nl) - (p - pl)
+                                               AS DOUBLE)
+                                          / CAST(n - nl AS DOUBLE))),
+                       nv := -CAST(v AS DOUBLE),
+                       v := v, nl := nl, pl := pl) AS s
+            FROM pre WHERE nl < n
+        ),
+        best AS (
+            SELECT flag, n, p, bg, max(s) AS b
+            FROM cand GROUP BY 1, 2, 3, 4
+        )
+        SELECT flag, n, p AS n_pos, bg AS base_gini,
+               b.v AS threshold, b.g AS gain,
+               b.nl AS n_left, b.pl AS pos_left
+        FROM best
+    """
+    oracles["krippendorff"] = """
+        -- balanced nominal alpha: exact integer D_o/D_e identity,
+        -- one division
+        WITH base AS (
+            SELECT CAST(floor(event_id / 5) AS BIGINT) AS u,
+                   event_type AS c
+            FROM events
+            WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        ),
+        uc AS (
+            SELECT u, c, CAST(count(*) AS BIGINT) AS n
+            FROM base GROUP BY 1, 2
+        ),
+        per_unit AS (
+            SELECT u, CAST(sum(n) AS BIGINT) AS m,
+                   CAST(sum(CAST(n AS DECIMAL(38,0))
+                            * CAST(n AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS sq
+            FROM uc GROUP BY 1
+        ),
+        units AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_units,
+                   CAST(max(m) AS BIGINT) AS m,
+                   CAST(sum(CAST(m AS DECIMAL(38,0))
+                            * CAST(m AS DECIMAL(38,0)) - sq)
+                        AS DECIMAL(38,0)) AS do_
+            FROM per_unit
+        ),
+        margins AS (
+            SELECT c, CAST(sum(n) AS BIGINT) AS nc
+            FROM uc GROUP BY 1
+        ),
+        exp_ AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_categories,
+                   CAST(sum(CAST(nc AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS nt,
+                   CAST(sum(CAST(nc AS DECIMAL(38,0))
+                            * CAST(nc AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS ncsq
+            FROM margins
+        )
+        SELECT n_units, m, CAST(nt AS BIGINT) AS n, n_categories,
+               CAST(do_ AS DOUBLE) AS d_o_num,
+               CAST(nt * nt - ncsq AS DOUBLE) AS d_e_num,
+               CASE WHEN nt * nt - ncsq <> 0 THEN
+                   1.0 - CAST((nt - 1) * do_ AS DOUBLE)
+                         / CAST((CAST(m AS DECIMAL(38,0)) - 1)
+                                * (nt * nt - ncsq) AS DOUBLE)
+               END AS alpha
+        FROM exp_ CROSS JOIN units
     """
     oracles["davies_bouldin"] = """
         -- the L234 micro-unit moment sums; scatter + mean-distance

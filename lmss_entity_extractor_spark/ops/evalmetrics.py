@@ -824,3 +824,166 @@ def average_precision(
             ap / denom.cast("double"),
         ).alias("ap"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One row ``(n_units, m, n, n_categories, d_o_num, d_e_num,
+    alpha)`` — Krippendorff's α for NOMINAL data over a BALANCED
+    design (L238): the inter-rater agreement that generalizes κ
+    (L184, two raters) and Fleiss' κ (L192, fixed panel) with a
+    disagreement-based derivation.  Each row is one rating of a unit;
+    every unit must carry the SAME number m ≥ 2 of ratings (validated
+    loudly — the balanced restriction is what keeps α an exact
+    integer identity; unbalanced designs divide by per-unit (m_u−1)
+    and would need float unit sums).
+
+    With per-unit category counts n_uc, margins n_c, N = U·m:
+
+        D_o ∝ Σ_u (m² − Σ_c n_uc²)          (pairs disagreeing in-unit)
+        D_e ∝ N² − Σ_c n_c²                  (pairs disagreeing pooled)
+        α = 1 − ((N−1)·D_o_num) / ((m−1)·D_e_num)
+
+    All sums are exact DECIMAL integers (combinable aggs, no folds);
+    α is ONE division — bit-identical, ungridded.  D_e = 0 (every
+    rating the same category) → NULL α; perfect in-unit agreement →
+    exactly 1.0.
+
+    Scale shape: one (unit, value) groupBy + bounded margin aggs —
+    100 TB of annotations scans once.
+
+    No reference counterpart; annotation-QA analytics per SURVEY
+    §2.11.
+    """
+    dec = "decimal(38,0)"
+    flt = df.filter(
+        F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    uc = flt.groupBy(
+        F.col(unit_col).alias("_u"), F.col(value_col).alias("_c")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    per_unit = uc.groupBy("_u").agg(
+        F.sum("_n").alias("_m"),
+        F.sum(F.col("_n").cast(dec) * F.col("_n").cast(dec)).alias("_sq"),
+    )
+    mm = per_unit.agg(
+        F.min("_m").alias("_mlo"), F.max("_m").alias("_mhi")
+    ).collect()[0]
+    if mm["_mlo"] is None:
+        raise ValueError("krippendorff_alpha: no ratings after NULL filter")
+    if mm["_mlo"] != mm["_mhi"]:
+        raise ValueError(
+            "krippendorff_alpha: unbalanced design — units carry "
+            f"between {mm['_mlo']} and {mm['_mhi']} ratings; the exact "
+            "integer identity needs a constant m (filter or impute "
+            "to a balanced panel first)"
+        )
+    if mm["_mlo"] < 2:
+        raise ValueError(
+            "krippendorff_alpha: m must be >= 2 (a single rating per "
+            "unit carries no pairable information)"
+        )
+    md = F.col("_m").cast(dec)
+    units = per_unit.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.max("_m").alias("m"),
+        F.sum(md * md - F.col("_sq")).alias("_do"),
+    )
+    margins = uc.groupBy("_c").agg(F.sum("_n").alias("_nc"))
+    ncd = F.col("_nc").cast(dec)
+    exp = margins.agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(ncd).alias("_nt"),
+        F.sum(ncd * ncd).alias("_ncsq"),
+    )
+    j = units.crossJoin(F.broadcast(exp))
+    n_total = F.col("_nt")
+    de = n_total * n_total - F.col("_ncsq")
+    num = (n_total - 1) * F.col("_do")
+    den = (F.col("m").cast(dec) - 1) * de
+    return j.select(
+        "n_units",
+        "m",
+        F.col("_nt").cast("long").alias("n"),
+        "n_categories",
+        F.col("_do").cast("double").alias("d_o_num"),
+        de.cast("double").alias("d_e_num"),
+        F.when(
+            de != F.lit(0).cast(dec),
+            F.lit(1.0) - num.cast("double") / den.cast("double"),
+        ).alias("alpha"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    item_cols: list[str],
+    scale: int = 4,
+) -> DataFrame:
+    """One row ``(n, k, sum_item_var, total_var, alpha)`` — Cronbach's
+    α (L240): the internal-consistency reliability of a k-item scale
+    (do the item columns measure one underlying thing) — the
+    survey/rubric-QA companion to the rater-agreement family
+    (L184/L192/L238 compare RATERS; α audits the INSTRUMENT):
+
+        α = k/(k−1) · (1 − Σⱼ σ²ⱼ / σ²_total)
+
+    with sample variances from EXACT DECIMAL sufficient statistics
+    (the L139 tree): per-item (Sⱼ, Sxxⱼ) and the per-row total
+    t = Σⱼ xⱼ (an exact decimal sum of a BOUNDED column list, folded
+    in the given item order — identical chain both engines).  Σⱼσ²ⱼ
+    folds over the literal item order.  Rows with ANY NULL item are
+    dropped listwise (documented; a partial row would corrupt the
+    total-score variance).  n < 2 or σ²_total = 0 → NULL α.
+
+    Scale shape: ONE combinable aggregation over one scan — 2k+2
+    decimal sums, no shuffle beyond the final reduce.
+
+    No reference counterpart; annotation-QA analytics per SURVEY
+    §2.11.
+    """
+    if len(item_cols) < 2:
+        raise ValueError("cronbach_alpha: need at least 2 item columns")
+    dec = f"decimal(18,{scale})"
+    wide = f"decimal(38,{scale})"
+    cond = F.col(item_cols[0]).isNotNull()
+    for c in item_cols[1:]:
+        cond = cond & F.col(c).isNotNull()
+    flt = df.filter(cond)
+    items = [F.col(c).cast(dec) for c in item_cols]
+    total = items[0].cast(wide)
+    for it in items[1:]:
+        total = total + it
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, it in enumerate(items):
+        aggs.append(F.sum(it).alias(f"_s{i}"))
+        aggs.append(F.sum(it * it).alias(f"_q{i}"))
+    aggs.append(F.sum(total).alias("_st"))
+    aggs.append(F.sum(total * total).alias("_qt"))
+    agg = flt.agg(*aggs)
+    nd = F.col("n").cast("double")
+
+    def _var(s, q):
+        sd_ = s.cast("double")
+        qd = q.cast("double")
+        return (nd * qd - sd_ * sd_) / (nd * (nd - F.lit(1.0)))
+
+    sum_var = _var(F.col("_s0"), F.col("_q0"))
+    for i in range(1, len(item_cols)):
+        sum_var = sum_var + _var(F.col(f"_s{i}"), F.col(f"_q{i}"))
+    tot_var = _var(F.col("_st"), F.col("_qt"))
+    k = len(item_cols)
+    alpha = (F.lit(float(k)) / F.lit(float(k - 1))) * (
+        F.lit(1.0) - sum_var / tot_var
+    )
+    ok = (F.col("n") >= 2) & (tot_var > 0.0)
+    return agg.select(
+        "n",
+        F.lit(k).alias("k"),
+        F.when(F.col("n") >= 2, sum_var).alias("sum_item_var"),
+        F.when(F.col("n") >= 2, tot_var).alias("total_var"),
+        F.when(ok, alpha).alias("alpha"),
+    )

@@ -854,3 +854,118 @@ def bartlett(
         F.when(ok, c).alias("c"),
         F.when(ok, t / c).alias("stat"),
     )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    strata_col: str,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """One row ``(k_strata, n, n_exposed, or_mh, chi2_mh)`` — the
+    Mantel-Haenszel stratified 2×2 analysis (L239): the pooled odds
+    ratio and common-association test ACROSS confounder strata — the
+    formal tool for the Simpson's-paradox situation the L141-audit
+    query flags (per-stratum association pooled WITHOUT collapsing
+    the table):
+
+        OR_MH  = Σᵢ aᵢdᵢ/nᵢ  /  Σᵢ bᵢcᵢ/nᵢ
+        χ²_MH  = (Σaᵢ − ΣEᵢ)² / ΣVᵢ          (no continuity corr.)
+        Eᵢ = (aᵢ+bᵢ)(aᵢ+cᵢ)/nᵢ
+        Vᵢ = (aᵢ+bᵢ)(cᵢ+dᵢ)(aᵢ+cᵢ)(bᵢ+dᵢ) / (nᵢ²(nᵢ−1))
+
+    Cell counts are exact integers from ONE combinable groupBy; the
+    per-stratum terms are fixed IEEE trees folded over the BOUNDED
+    sorted stratum list (the L140/L193 discipline) — bit-identical,
+    ungridded.  Binary exposure/outcome validated loudly (L191).
+    Zero denominator (no discordant product in any stratum) → NULL
+    or_mh; ΣV = 0 (degenerate margins everywhere) → NULL chi2_mh.
+
+    Scale shape: one scan, one combinable groupBy, k-length folds.
+
+    No reference counterpart; causal/experiment analytics per SURVEY
+    §2.11.
+    """
+    e = F.col(exposure_col).cast("int")
+    y = F.col(outcome_col).cast("int")
+    flt = df.filter(
+        F.col(strata_col).isNotNull()
+        & F.col(exposure_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+    )
+    n_bad = flt.filter(
+        ~F.col(exposure_col).isin([0, 1]) | ~F.col(outcome_col).isin([0, 1])
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"mantel_haenszel: {n_bad} non-binary exposure/outcome row(s)"
+        )
+    per = flt.groupBy(F.col(strata_col).alias("_s")).agg(
+        F.sum(((e == 1) & (y == 1)).cast("long")).alias("_a"),
+        F.sum(((e == 1) & (y == 0)).cast("long")).alias("_b"),
+        F.sum(((e == 0) & (y == 1)).cast("long")).alias("_c"),
+        F.sum(((e == 0) & (y == 0)).cast("long")).alias("_d"),
+    )
+    arr = per.agg(
+        F.count(F.lit(1)).alias("k_strata"),
+        F.sum(
+            F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d")
+        ).alias("n"),
+        F.sum(F.col("_a") + F.col("_b")).alias("n_exposed"),
+        F.sum("_a").alias("_suma"),
+        F.sort_array(
+            F.collect_list(F.struct("_s", "_a", "_b", "_c", "_d"))
+        ).alias("_lv"),
+    )
+
+    def _f(v, name):
+        return v[name].cast("double")
+
+    def _ni(v):
+        return (v["_a"] + v["_b"] + v["_c"] + v["_d"]).cast("double")
+
+    num = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, v: acc + (_f(v, "_a") * _f(v, "_d")) / _ni(v),
+    )
+    den = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, v: acc + (_f(v, "_b") * _f(v, "_c")) / _ni(v),
+    )
+    esum = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, v: acc
+        + (
+            (v["_a"] + v["_b"]).cast("double")
+            * (v["_a"] + v["_c"]).cast("double")
+        )
+        / _ni(v),
+    )
+    # singleton strata (n_i = 1) have no pairable variance: their V
+    # term is 0 by convention rather than a 0/0
+    vsum = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, v: acc
+        + F.when(
+            _ni(v) > F.lit(1.0),
+            (
+                (v["_a"] + v["_b"]).cast("double")
+                * (v["_c"] + v["_d"]).cast("double")
+                * (v["_a"] + v["_c"]).cast("double")
+                * (v["_b"] + v["_d"]).cast("double")
+            )
+            / (_ni(v) * _ni(v) * (_ni(v) - F.lit(1.0))),
+        ).otherwise(F.lit(0.0)),
+    )
+    diff = F.col("_suma").cast("double") - esum
+    return arr.select(
+        "k_strata",
+        "n",
+        "n_exposed",
+        F.when(den > 0.0, num / den).alias("or_mh"),
+        F.when(vsum > 0.0, (diff * diff) / vsum).alias("chi2_mh"),
+    )
