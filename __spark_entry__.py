@@ -6597,6 +6597,45 @@ def q_cronbach(spark, sf_dir):
     return cronbach_alpha(li, ["i0", "i1", "i2", "i3"])
 
 
+_FS_PARAMS = {"brand": (0.9, 0.1), "type": (0.8, 0.3), "size": (0.7, 0.2)}
+
+
+def q_fellegi_sunter(spark, sf_dir):
+    """Fellegi-Sunter linkage score (L241): consecutive-key part
+    pairs with three agreement fields — literal log-weight chain in
+    field order, zero-shuffle scorer over the pair table."""
+    from lmss_entity_extractor_spark.ops.blocking import fellegi_sunter_score
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    a = p.select(*[F.col(c).alias(f"a_{c}") for c in p.columns])
+    b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns])
+    pairs = a.join(
+        b, F.col("a_p_partkey") + 1 == F.col("b_p_partkey")
+    ).select(
+        F.col("a_p_partkey").alias("id_a"),
+        F.col("b_p_partkey").alias("id_b"),
+        (F.col("a_p_brand") == F.col("b_p_brand")).alias("agree_brand"),
+        (F.col("a_p_type") == F.col("b_p_type")).alias("agree_type"),
+        (F.col("a_p_size") == F.col("b_p_size")).alias("agree_size"),
+    )
+    return fellegi_sunter_score(pairs, _FS_PARAMS)
+
+
+def q_soundex(spark, sf_dir):
+    """Soundex blocking keys (L242): phonetic key histogram over part
+    names — the whole algorithm ONE generated SQL expression shared
+    verbatim (minus the regexp flag) with the DuckDB oracle."""
+    from lmss_entity_extractor_spark.ops.phonetic import add_soundex
+
+    p = _t(spark, sf_dir, "part").select("p_name")
+    return add_soundex(p, "p_name").groupBy("soundex").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("p_name").alias("n_names"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6624,6 +6663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "krippendorff": q_krippendorff,
         "mantel_haenszel": q_mantel_haenszel,
         "cronbach": q_cronbach,
+        "fellegi_sunter": q_fellegi_sunter,
+        "soundex": q_soundex,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15327,6 +15368,42 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(least(r, c) AS DOUBLE) - 1.0))
                END AS tau_c
         FROM dens
+    """
+    # L241/L242: the FS log-weights are computed from the SAME tuple
+    # literals the query passes; the soundex text is the same builder
+    # output (DuckDB just needs the 'g' regexp flag)
+    import math as _m
+
+    from lmss_entity_extractor_spark.ops.phonetic import soundex_sql as _sx
+
+    _fs_cases = []
+    for _field, (_mm, _uu) in _FS_PARAMS.items():
+        _wa = repr(_m.log(_mm / _uu))
+        _wd = repr(_m.log((1.0 - _mm) / (1.0 - _uu)))
+        _fs_cases.append(
+            f"CASE WHEN agree_{_field} IS NULL THEN 0.0 "
+            f"WHEN agree_{_field} THEN {_wa} ELSE {_wd} END"
+        )
+    _fs_chain = "0.0"
+    for _c in _fs_cases:
+        _fs_chain = f"({_fs_chain} + {_c})"
+    oracles["fellegi_sunter"] = f"""
+        WITH pairs AS (
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   a.p_brand = b.p_brand AS agree_brand,
+                   a.p_type = b.p_type AS agree_type,
+                   a.p_size = b.p_size AS agree_size
+            FROM part a JOIN part b ON a.p_partkey + 1 = b.p_partkey
+        )
+        SELECT id_a, id_b, agree_brand, agree_type, agree_size,
+               {_fs_chain} AS fs_weight
+        FROM pairs
+    """
+    oracles["soundex"] = f"""
+        SELECT {_sx('p_name', ", 'g'")} AS soundex,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT p_name) AS BIGINT) AS n_names
+        FROM part GROUP BY 1
     """
     oracles["mantel_haenszel"] = """
         -- exact integer cells; sorted-stratum folds; fixed OR/chi2

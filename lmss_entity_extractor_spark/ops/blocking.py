@@ -68,3 +68,52 @@ def sorted_neighborhood_pairs(
             F.col("_d").alias("dist"),
         )
     )
+
+
+def fellegi_sunter_score(
+    pairs: DataFrame,
+    field_params: dict[str, tuple[float, float]],
+    agree_prefix: str = "agree_",
+) -> DataFrame:
+    """Adds ``fs_weight`` — the Fellegi-Sunter (1969) match score
+    (L241): the probabilistic record-linkage log-likelihood over a
+    candidate-pair table with per-field BOOLEAN agreement columns
+    (``agree_<field>``, e.g. from the L83/L197 fuzzy joins or the
+    L177 window pairs):
+
+        w = Σ_fields  agree ? ln(m/u) : ln((1−m)/(1−u))
+
+    ``field_params`` maps field → (m, u): m = P(agree | match),
+    u = P(agree | non-match) — caller-supplied (EM-estimated offline
+    or hand-set), validated to lie strictly inside (0, 1) with m > u.
+    The per-field log-weights are computed ONCE in Python and embedded
+    as double literals (the L200/L221/L231 discipline — no cross-
+    engine ln on the hot path at all), so the score is a fixed chain
+    of literal-weight CASEs in field order — bit-identical, and the
+    whole scorer is a NARROW projection: zero shuffles over 100 TB of
+    candidate pairs.  NULL agreement (field missing on either side)
+    contributes 0 by convention (documented — the standard "no
+    information" treatment).
+
+    No reference counterpart; ER/linkage analytics per SURVEY §2.11
+    (composes with L57/L177 blocking and L83/L197 similarity joins).
+    """
+    import math
+
+    if not field_params:
+        raise ValueError("fellegi_sunter_score: field_params is empty")
+    w = F.lit(0.0)
+    for field in field_params:  # caller-supplied dict order = chain order
+        m, u = field_params[field]
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(
+                f"fellegi_sunter_score: field {field!r} needs "
+                f"0 < u < m < 1 (got m={m}, u={u})"
+            )
+        col = F.col(f"{agree_prefix}{field}")
+        w = w + (
+            F.when(col.isNull(), F.lit(0.0))
+            .when(col.cast("boolean"), F.lit(math.log(m / u)))
+            .otherwise(F.lit(math.log((1.0 - m) / (1.0 - u))))
+        )
+    return pairs.withColumn("fs_weight", w)
