@@ -6636,6 +6636,40 @@ def q_soundex(spark, sf_dir):
     )
 
 
+def q_ks_uniform(spark, sf_dir):
+    """One-sample KS vs Uniform(0,99) (L243): are floored event
+    values mod 100 uniformly allocated per type — exact decimal CDF
+    numerators, tie-correct jump candidates, order-insensitive max."""
+    from lmss_entity_extractor_spark.ops.rankeval import ks_uniform
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", (F.floor("value") % 100).alias("x"))
+    )
+    return ks_uniform(e, ["event_type"], "x", "0", "99")
+
+
+def q_anderson_darling(spark, sf_dir):
+    """Two-sample Anderson-Darling (L244): click vs view value
+    distributions per user-parity bucket — tie-corrected exact
+    integer mid-cumulatives, fixed cell trees, ordered folds."""
+    from lmss_entity_extractor_spark.ops.rankeval import anderson_darling_2samp
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 2).alias("bucket"),
+            "event_type",
+            F.floor("value").alias("x"),
+        )
+    )
+    return anderson_darling_2samp(
+        e, ["bucket"], "event_type", "click", "view", "x"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6665,6 +6699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cronbach": q_cronbach,
         "fellegi_sunter": q_fellegi_sunter,
         "soundex": q_soundex,
+        "ks_uniform": q_ks_uniform,
+        "anderson_darling": q_anderson_darling,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15404,6 +15440,156 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n,
                CAST(count(DISTINCT p_name) AS BIGINT) AS n_names
         FROM part GROUP BY 1
+    """
+    oracles["ks_uniform"] = """
+        -- tie-correct ECDF jump candidates vs the exact-decimal
+        -- uniform CDF; order-insensitive maxima
+        WITH base AS (
+            SELECT event_type AS g,
+                   CAST(CAST(floor(value) AS BIGINT) % 100
+                        AS DECIMAL(18,4)) AS x
+            FROM events WHERE value IS NOT NULL
+        ),
+        pv AS (
+            SELECT g, x, CAST(count(*) AS BIGINT) AS l
+            FROM base GROUP BY 1, 2
+        ),
+        pre AS (
+            SELECT g, x, l,
+                   CAST(sum(l) OVER (PARTITION BY g ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS c,
+                   CAST(sum(l) OVER (PARTITION BY g) AS BIGINT) AS n
+            FROM pv
+        ),
+        agg AS (
+            SELECT g, n,
+                   max(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                       - CAST(x - CAST('0' AS DECIMAL(18,4))
+                              AS DOUBLE)
+                         / CAST(CAST('99' AS DECIMAL(18,4))
+                                - CAST('0' AS DECIMAL(18,4))
+                                AS DOUBLE)) AS d_plus,
+                   max(CAST(x - CAST('0' AS DECIMAL(18,4)) AS DOUBLE)
+                       / CAST(CAST('99' AS DECIMAL(18,4))
+                              - CAST('0' AS DECIMAL(18,4)) AS DOUBLE)
+                       - CAST(c - l AS DOUBLE)
+                         / CAST(n AS DOUBLE)) AS d_minus
+            FROM pre GROUP BY 1, 2
+        )
+        SELECT g AS event_type, n, d_plus, d_minus,
+               greatest(d_plus, d_minus) AS d,
+               sqrt(CAST(n AS DOUBLE))
+               * greatest(d_plus, d_minus) AS stat
+        FROM agg
+    """
+    oracles["anderson_darling"] = """
+        -- Scholz-Stephens tie-corrected cells over doubled
+        -- mid-cumulatives (exact BIGINTs); ordered per-sample folds
+        WITH pts AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(floor(value) AS BIGINT) AS v,
+                   event_type AS g,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('click', 'view')
+            GROUP BY 1, 2, 3
+        ),
+        vals AS (
+            SELECT bucket, v,
+                   CAST(sum(CASE WHEN g = 'click' THEN c ELSE 0 END)
+                        AS BIGINT) AS la,
+                   CAST(sum(CASE WHEN g = 'view' THEN c ELSE 0 END)
+                        AS BIGINT) AS lb
+            FROM pts GROUP BY 1, 2
+        ),
+        pre AS (
+            SELECT bucket, v, la + lb AS l, la, lb,
+                   CAST(coalesce(sum(la + lb) OVER w_prev, 0)
+                        AS BIGINT) AS bprev,
+                   CAST(coalesce(sum(la) OVER w_prev, 0)
+                        AS BIGINT) AS maprev,
+                   CAST(coalesce(sum(lb) OVER w_prev, 0)
+                        AS BIGINT) AS mbprev,
+                   CAST(sum(la) OVER w_all AS BIGINT) AS na,
+                   CAST(sum(lb) OVER w_all AS BIGINT) AS nb
+            FROM vals
+            WINDOW w_prev AS (PARTITION BY bucket ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING),
+                   w_all AS (PARTITION BY bucket)
+        ),
+        cells AS (
+            SELECT bucket, v, na, nb,
+                   CASE WHEN CAST(2 * bprev + l AS DOUBLE)
+                             * (2.0 * CAST(na + nb AS DOUBLE)
+                                - CAST(2 * bprev + l AS DOUBLE))
+                             - CAST(na + nb AS DOUBLE)
+                               * CAST(l AS DOUBLE) > 0.0
+                        THEN (CAST(l AS DOUBLE)
+                              * ((CAST(na + nb AS DOUBLE)
+                                  * CAST(2 * maprev + la AS DOUBLE)
+                                  - CAST(na AS DOUBLE)
+                                    * CAST(2 * bprev + l AS DOUBLE))
+                                 * (CAST(na + nb AS DOUBLE)
+                                    * CAST(2 * maprev + la AS DOUBLE)
+                                    - CAST(na AS DOUBLE)
+                                      * CAST(2 * bprev + l
+                                             AS DOUBLE))))
+                             / (CAST(na + nb AS DOUBLE)
+                                * (CAST(2 * bprev + l AS DOUBLE)
+                                   * (2.0 * CAST(na + nb AS DOUBLE)
+                                      - CAST(2 * bprev + l
+                                             AS DOUBLE))
+                                   - CAST(na + nb AS DOUBLE)
+                                     * CAST(l AS DOUBLE)))
+                        ELSE 0.0 END AS ta,
+                   CASE WHEN CAST(2 * bprev + l AS DOUBLE)
+                             * (2.0 * CAST(na + nb AS DOUBLE)
+                                - CAST(2 * bprev + l AS DOUBLE))
+                             - CAST(na + nb AS DOUBLE)
+                               * CAST(l AS DOUBLE) > 0.0
+                        THEN (CAST(l AS DOUBLE)
+                              * ((CAST(na + nb AS DOUBLE)
+                                  * CAST(2 * mbprev + lb AS DOUBLE)
+                                  - CAST(nb AS DOUBLE)
+                                    * CAST(2 * bprev + l AS DOUBLE))
+                                 * (CAST(na + nb AS DOUBLE)
+                                    * CAST(2 * mbprev + lb AS DOUBLE)
+                                    - CAST(nb AS DOUBLE)
+                                      * CAST(2 * bprev + l
+                                             AS DOUBLE))))
+                             / (CAST(na + nb AS DOUBLE)
+                                * (CAST(2 * bprev + l AS DOUBLE)
+                                   * (2.0 * CAST(na + nb AS DOUBLE)
+                                      - CAST(2 * bprev + l
+                                             AS DOUBLE))
+                                   - CAST(na + nb AS DOUBLE)
+                                     * CAST(l AS DOUBLE)))
+                        ELSE 0.0 END AS tb
+            FROM pre
+        ),
+        agg AS (
+            SELECT bucket, na, nb,
+                   list_reduce(list_prepend(0.0,
+                       [s.ta FOR s IN list_sort(list(struct_pack(
+                           v := v, ta := ta, tb := tb)))]),
+                       (acc, t) -> acc + t) AS sa,
+                   list_reduce(list_prepend(0.0,
+                       [s.tb FOR s IN list_sort(list(struct_pack(
+                           v := v, ta := ta, tb := tb)))]),
+                       (acc, t) -> acc + t) AS sb
+            FROM cells GROUP BY 1, 2, 3
+        )
+        SELECT bucket, na AS n_a, nb AS n_b, na + nb AS n,
+               CASE WHEN na > 0 AND nb > 0
+                    THEN ((CAST(na + nb AS DOUBLE) - 1.0)
+                          / CAST(na + nb AS DOUBLE))
+                         * (sa / CAST(na AS DOUBLE)
+                            + sb / CAST(nb AS DOUBLE))
+               END AS a2
+        FROM agg
     """
     oracles["mantel_haenszel"] = """
         -- exact integer cells; sorted-stratum folds; fixed OR/chi2

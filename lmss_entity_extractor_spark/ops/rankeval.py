@@ -854,3 +854,196 @@ def dunn_posthoc(
         mrb.alias("mean_rank_b"),
         F.when(ok, (mra - mrb) / se).alias("z"),
     )
+
+
+def ks_uniform(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    lo: str,
+    hi: str,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., n, d_plus, d_minus, d, stat)`` — the ONE-sample
+    Kolmogorov-Smirnov test against a Uniform(lo, hi) reference
+    (L243): the distribution-FIT gate completing the two-sample family
+    (L147 compares two empirical samples; this asks "does the data
+    match the spec" — hash uniformity, id-allocation audits, datagen
+    validation).  ``lo``/``hi`` are decimal strings so the reference
+    CDF numerator x − lo stays EXACT.
+
+        F(x) = (x − lo)/(hi − lo)
+        D⁺ = max_v (c_v/n − F(v)),  D⁻ = max_v (F(v) − (c_v − l_v)/n)
+        D  = max(D⁺, D⁻),  stat = √n·D
+
+    over the DISTINCT sorted values (c = cumulative count, l = count
+    at v — the tie-correct jump form).  Every candidate is a fixed
+    IEEE tree over exact integers/decimals; ``max`` is
+    order-insensitive — bit-identical, ungridded, one keyed window
+    over the bounded distinct-value grid.  Values outside [lo, hi]
+    are refused loudly (the reference CDF is undefined there).
+
+    No reference counterpart; distribution-audit analytics per SURVEY
+    §2.11 (composes with L147 KS, L181 Wasserstein, L244 AD).
+    """
+    dec = f"decimal(18,{scale})"
+    lo_l = F.lit(lo).cast(dec)
+    hi_l = F.lit(hi).cast(dec)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *by, F.col(value_col).cast(dec).alias("_x")
+    )
+    n_out = base.filter(
+        (F.col("_x") < lo_l) | (F.col("_x") > hi_l)
+    ).count()
+    if n_out:
+        raise ValueError(
+            f"ks_uniform: {n_out} value(s) outside [{lo}, {hi}] — the "
+            "uniform reference CDF is undefined there"
+        )
+    pv = base.groupBy(*by, "_x").agg(F.count(F.lit(1)).alias("_l"))
+    wk = Window.partitionBy(*by).orderBy("_x")
+    wkp = wk.rowsBetween(Window.unboundedPreceding, 0)
+    wka = wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pre = pv.select(
+        *by,
+        "_x",
+        "_l",
+        F.sum("_l").over(wkp).alias("_c"),
+        F.sum("_l").over(wka).alias("_n"),
+    )
+    nd = F.col("_n").cast("double")
+    fx = (F.col("_x") - lo_l).cast("double") / (hi_l - lo_l).cast("double")
+    d_plus = F.col("_c").cast("double") / nd - fx
+    d_minus = fx - (F.col("_c") - F.col("_l")).cast("double") / nd
+    agg = pre.groupBy(*by, "_n").agg(
+        F.max(d_plus).alias("d_plus"), F.max(d_minus).alias("d_minus")
+    )
+    d = F.greatest(F.col("d_plus"), F.col("d_minus"))
+    return agg.select(
+        *by,
+        F.col("_n").alias("n"),
+        "d_plus",
+        "d_minus",
+        d.alias("d"),
+        (F.sqrt(F.col("_n").cast("double")) * d).alias("stat"),
+    )
+
+
+def anderson_darling_2samp(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    sample_a: str,
+    sample_b: str,
+    value_col: str,
+) -> DataFrame:
+    """``(by..., n_a, n_b, n, a2)`` — the two-sample Anderson-Darling
+    statistic with the Scholz-Stephens (1987) tie correction (L244):
+    the TAIL-sensitive companion to KS (L147 weights every quantile
+    equally; AD up-weights the distribution's tails, where drifted
+    data usually diverges first).
+
+    Over the pooled DISTINCT sorted values with l_j = pooled count,
+    doubled mid-cumulatives Bh_j = 2·B_{<j} + l_j and (per sample)
+    Mh_ij = 2·m_{i,<j} + l_ij — ALL exact BIGINTs — each cell's term
+
+        (l_j · num²) / (N · D_j),
+        num = N·Mh_ij − n_i·Bh_j,   D_j = Bh_j(2N − Bh_j) − N·l_j
+
+    is a fixed IEEE tree (the half/quarter factors of the published
+    formula cancel against the doubling — derivation in the module
+    history), folded over the bounded sorted value list per sample,
+    then A² = ((N−1)/N)·(S_a/n_a + S_b/n_b).  Cells with D_j ≤ 0 (the
+    single-distinct-value degenerate) contribute 0; a group with an
+    empty side or no distinct values → NULL a2.  Compare against the
+    published critical values (p-values deliberately not emitted, the
+    L139 discipline).
+
+    Scale shape: one (keys, value, group) groupBy + two keyed windows
+    over the bounded distinct-value grid + one combinable fold — the
+    L147/L181 shape exactly.
+
+    No reference counterpart; drift analytics per SURVEY §2.11.
+    """
+    flt = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([sample_a, sample_b])
+    )
+    pts = flt.groupBy(
+        *by, F.col(value_col).alias("_v"), F.col(group_col).alias("_g")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    la = F.sum(F.when(F.col("_g") == sample_a, F.col("_c")).otherwise(0))
+    lb = F.sum(F.when(F.col("_g") == sample_b, F.col("_c")).otherwise(0))
+    vals = pts.groupBy(*by, "_v").agg(
+        la.alias("_la"), lb.alias("_lb")
+    )
+    wk = Window.partitionBy(*by).orderBy("_v")
+    wprev = wk.rowsBetween(Window.unboundedPreceding, -1)
+    wall = wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pre = vals.select(
+        *by,
+        "_v",
+        (F.col("_la") + F.col("_lb")).alias("_l"),
+        "_la",
+        "_lb",
+        F.coalesce(F.sum(F.col("_la") + F.col("_lb")).over(wprev), F.lit(0)).alias("_bprev"),
+        F.coalesce(F.sum("_la").over(wprev), F.lit(0)).alias("_maprev"),
+        F.coalesce(F.sum("_lb").over(wprev), F.lit(0)).alias("_mbprev"),
+        F.sum("_la").over(wall).alias("_na"),
+        F.sum("_lb").over(wall).alias("_nb"),
+    )
+    n = F.col("_na") + F.col("_nb")
+    bh = F.lit(2) * F.col("_bprev") + F.col("_l")
+    mha = F.lit(2) * F.col("_maprev") + F.col("_la")
+    mhb = F.lit(2) * F.col("_mbprev") + F.col("_lb")
+    nd = n.cast("double")
+    dj = (
+        bh.cast("double") * (F.lit(2.0) * nd - bh.cast("double"))
+        - nd * F.col("_l").cast("double")
+    )
+
+    def _term(mh, ni):
+        num = nd * mh.cast("double") - ni.cast("double") * bh.cast("double")
+        return F.when(
+            dj > 0.0,
+            (F.col("_l").cast("double") * (num * num)) / (nd * dj),
+        ).otherwise(F.lit(0.0))
+
+    staged = pre.select(
+        *by,
+        "_v",
+        "_na",
+        "_nb",
+        _term(mha, F.col("_na")).alias("_ta"),
+        _term(mhb, F.col("_nb")).alias("_tb"),
+    )
+    agg = staged.groupBy(*by, "_na", "_nb").agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("_v", "_ta", "_tb"))
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v["_ta"],
+        ).alias("_sa"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("_v", "_ta", "_tb"))
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v["_tb"],
+        ).alias("_sb"),
+    )
+    nad = F.col("_na").cast("double")
+    nbd = F.col("_nb").cast("double")
+    ntd = (F.col("_na") + F.col("_nb")).cast("double")
+    a2 = ((ntd - F.lit(1.0)) / ntd) * (
+        F.col("_sa") / nad + F.col("_sb") / nbd
+    )
+    ok = (F.col("_na") > 0) & (F.col("_nb") > 0)
+    return agg.select(
+        *by,
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        (F.col("_na") + F.col("_nb")).alias("n"),
+        F.when(ok, a2).alias("a2"),
+    )
