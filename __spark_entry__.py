@@ -6670,6 +6670,37 @@ def q_anderson_darling(spark, sf_dir):
     )
 
 
+def q_page_trend(spark, sf_dir):
+    """Page's L trend test (L245): does extended price trend with
+    line number within orders — the ordered-alternatives sharpening
+    of the L190 Friedman input, doubled block ranks, one z tree."""
+    from lmss_entity_extractor_spark.ops.rankeval import page_trend
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 3).alias("grp"),
+        F.col("l_orderkey").alias("b"),
+        F.col("l_linenumber").alias("t"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+    )
+    return page_trend(li, ["grp"], "b", "t", "v")
+
+
+def q_capture_recapture(spark, sf_dir):
+    """Chapman capture-recapture (L246): estimate the customer
+    universe from two independent deterministic order 'passes' —
+    exact distinct/overlap counts, fixed estimator trees."""
+    from lmss_entity_extractor_spark.ops.sketches import capture_recapture
+
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_custkey").alias("id")
+    )
+    b = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_custkey").alias("id")
+    )
+    return capture_recapture(a, b, "id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6701,6 +6732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soundex": q_soundex,
         "ks_uniform": q_ks_uniform,
         "anderson_darling": q_anderson_darling,
+        "page_trend": q_page_trend,
+        "capture_recapture": q_capture_recapture,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15440,6 +15473,121 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n,
                CAST(count(DISTINCT p_name) AS BIGINT) AS n_names
         FROM part GROUP BY 1
+    """
+    oracles["page_trend"] = """
+        -- the L190 block-rank CTEs + treatment scores by dense_rank;
+        -- 2L and 2E exact integers, one fixed z tree
+        WITH cell AS (
+            SELECT CAST(l_orderkey % 3 AS BIGINT) AS grp,
+                   l_orderkey AS b, l_linenumber AS t,
+                   max(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL
+              AND l_linenumber IS NOT NULL
+              AND l_extendedprice IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        kdf AS (
+            SELECT grp, CAST(count(DISTINCT t) AS BIGINT) AS k
+            FROM cell GROUP BY 1
+        ),
+        bs AS (
+            SELECT grp, b, CAST(count(*) AS BIGINT) AS bc
+            FROM cell GROUP BY 1, 2
+        ),
+        keep AS (
+            SELECT c.grp, c.b, c.t, c.v, kdf.k
+            FROM cell c
+            JOIN bs USING (grp, b) JOIN kdf USING (grp)
+            WHERE bs.bc = kdf.k AND kdf.k >= 2
+        ),
+        ranked AS (
+            SELECT grp, b, t, k,
+                   CAST(2 * count(*) OVER (PARTITION BY grp, b
+                            ORDER BY v RANGE BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW)
+                        - count(*) OVER (PARTITION BY grp, b, v)
+                        + 1 AS BIGINT) AS r2
+            FROM keep
+        ),
+        tr AS (
+            SELECT grp, k, t,
+                   CAST(sum(r2) AS HUGEINT) AS r2j,
+                   CAST(count(*) AS BIGINT) AS nb
+            FROM ranked GROUP BY 1, 2, 3
+        ),
+        scored AS (
+            SELECT grp, k, r2j, nb,
+                   CAST(dense_rank() OVER (PARTITION BY grp
+                                           ORDER BY t) AS HUGEINT)
+                       AS c
+            FROM tr
+        ),
+        agg AS (
+            SELECT grp, k,
+                   CAST(max(nb) AS BIGINT) AS n_blocks,
+                   CAST(sum(c * r2j) AS HUGEINT) AS l2
+            FROM scored GROUP BY 1, 2
+        )
+        SELECT grp, k, n_blocks,
+               CAST(l2 AS DOUBLE) / 2.0 AS l_stat,
+               CASE WHEN k >= 3
+                         AND (((CAST(n_blocks AS DOUBLE)
+                                * CAST(k AS DOUBLE))
+                               * CAST(k AS DOUBLE))
+                              * (CAST(k AS DOUBLE) + 1.0))
+                             * (CAST(k AS DOUBLE)
+                                * CAST(k AS DOUBLE) - 1.0)
+                             / 144.0 > 0.0
+                    THEN CAST(l2 - (CAST(n_blocks AS HUGEINT) * k
+                                    * (k + 1) * (k + 1)) // 2
+                              AS DOUBLE)
+                         / (2.0 * sqrt((((CAST(n_blocks AS DOUBLE)
+                                          * CAST(k AS DOUBLE))
+                                         * CAST(k AS DOUBLE))
+                                        * (CAST(k AS DOUBLE) + 1.0))
+                                       * (CAST(k AS DOUBLE)
+                                          * CAST(k AS DOUBLE)
+                                          - 1.0)
+                                       / 144.0))
+               END AS z
+        FROM agg
+    """
+    oracles["capture_recapture"] = """
+        -- exact distinct/overlap counts; fixed estimator trees
+        WITH a AS (
+            SELECT DISTINCT o_custkey AS i FROM orders
+            WHERE o_orderkey % 2 = 0 AND o_custkey IS NOT NULL
+        ),
+        b AS (
+            SELECT DISTINCT o_custkey AS i FROM orders
+            WHERE o_orderkey % 3 = 0 AND o_custkey IS NOT NULL
+        ),
+        c AS (
+            SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+                   CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+                   CAST((SELECT count(*) FROM a JOIN b USING (i))
+                        AS BIGINT) AS n_overlap
+        )
+        SELECT n_a, n_b, n_overlap,
+               CASE WHEN n_overlap > 0
+                    THEN (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                         / CAST(n_overlap AS DOUBLE) END
+                   AS lincoln_petersen,
+               ((CAST(n_a AS DOUBLE) + 1.0)
+                * (CAST(n_b AS DOUBLE) + 1.0))
+               / (CAST(n_overlap AS DOUBLE) + 1.0) - 1.0 AS chapman,
+               sqrt(((CAST(n_a AS DOUBLE) + 1.0)
+                     * (CAST(n_b AS DOUBLE) + 1.0)
+                     * (CAST(n_a AS DOUBLE)
+                        - CAST(n_overlap AS DOUBLE))
+                     * (CAST(n_b AS DOUBLE)
+                        - CAST(n_overlap AS DOUBLE)))
+                    / ((CAST(n_overlap AS DOUBLE) + 1.0)
+                       * (CAST(n_overlap AS DOUBLE) + 1.0)
+                       * (CAST(n_overlap AS DOUBLE) + 2.0)))
+                   AS se_chapman
+        FROM c
     """
     oracles["ks_uniform"] = """
         -- tie-correct ECDF jump candidates vs the exact-decimal

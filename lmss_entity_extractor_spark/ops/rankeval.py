@@ -1047,3 +1047,105 @@ def anderson_darling_2samp(
         (F.col("_na") + F.col("_nb")).alias("n"),
         F.when(ok, a2).alias("a2"),
     )
+
+
+def page_trend(
+    df: DataFrame,
+    by: list[str],
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+) -> DataFrame:
+    """``(by..., k, n_blocks, l_stat, z)`` — Page's L test (1963) for
+    ORDERED alternatives in a complete-block design (L245): the
+    within-subject counterpart to Jonckheere-Terpstra (L198) — after
+    Friedman (L190) asks "any treatment difference", Page asks "do the
+    treatments trend in THIS order", with the order taken from the
+    treatment column's natural sort.
+
+        L = Σ_j c_j·R_j     (c_j = 1..k in treatment order,
+                             R_j = rank sum of treatment j)
+        z = (L − m·k(k+1)²/4) / sqrt(m·k²(k+1)(k²−1)/144)
+
+    The L190 machinery supplies exact doubled within-block ranks
+    (average ranks under ties; duplicate cells collapse with max,
+    incomplete blocks drop — the same documented conventions), so
+    2L and 2E = m·k(k+1)²/2 are exact integers and z is ONE fixed
+    IEEE tree.  The variance is the standard no-tie form (the common
+    practical convention under moderate ties — documented).  k < 3 or
+    zero variance → NULL z.
+
+    Scale shape: identical to L190 plus one bounded treatment-rank
+    window.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    cell = (
+        df.filter(
+            F.col(block_col).isNotNull()
+            & F.col(treat_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            *by,
+            F.col(block_col).alias("_b"),
+            F.col(treat_col).alias("_t"),
+        )
+        .agg(F.max(value_col).alias("_v"))
+    )
+    kdf = cell.groupBy(*by).agg(F.countDistinct("_t").alias("k"))
+    bs = cell.groupBy(*by, "_b").agg(F.count(F.lit(1)).alias("_bc"))
+    joined = cell.join(bs, [*by, "_b"])
+    full = (
+        joined.join(F.broadcast(kdf), list(by))
+        if by
+        else joined.crossJoin(F.broadcast(kdf))
+    )
+    full = full.filter((F.col("_bc") == F.col("k")) & (F.col("k") >= 2))
+    wb = [*by, "_b"]
+    w_cum = (
+        Window.partitionBy(*wb)
+        .orderBy("_v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_eq = Window.partitionBy(*wb, "_v")
+    ranked = full.withColumn(
+        "_2r",
+        (
+            F.lit(2) * F.count(F.lit(1)).over(w_cum)
+            - F.count(F.lit(1)).over(w_eq)
+            + F.lit(1)
+        ).cast(_DEC),
+    )
+    tr = ranked.groupBy(*by, "k", "_t").agg(
+        F.sum("_2r").alias("_2rj"), F.count(F.lit(1)).alias("_nb")
+    )
+    w_score = Window.partitionBy(*by).orderBy("_t")
+    tr = tr.withColumn("_c", F.dense_rank().over(w_score).cast(_DEC))
+    agg = tr.groupBy(*by, "k").agg(
+        F.max("_nb").alias("n_blocks"),
+        F.sum(F.col("_c") * F.col("_2rj")).alias("_2l"),
+    )
+    kd = F.col("k").cast(_DEC)
+    md = F.col("n_blocks").cast(_DEC)
+    two_e = md * kd * (kd + 1) * (kd + 1) / 2
+    kdd = F.col("k").cast("double")
+    mdd = F.col("n_blocks").cast("double")
+    v = (
+        mdd
+        * kdd
+        * kdd
+        * (kdd + F.lit(1.0))
+        * (kdd * kdd - F.lit(1.0))
+    ) / F.lit(144.0)
+    z = (F.col("_2l") - two_e).cast("double") / (
+        F.lit(2.0) * F.sqrt(v)
+    )
+    ok = (F.col("k") >= 3) & (v > 0.0)
+    return agg.select(
+        *by,
+        "k",
+        "n_blocks",
+        (F.col("_2l").cast("double") / F.lit(2.0)).alias("l_stat"),
+        F.when(ok, z).alias("z"),
+    )

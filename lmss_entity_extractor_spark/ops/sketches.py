@@ -118,3 +118,70 @@ def distinct_overlap_estimate(
             F.when(n_u == 0, F.lit(0.0)).otherwise(n_i / n_u), 6
         ).alias("jaccard"),
     )
+
+
+def capture_recapture(
+    df_a: "DataFrame",
+    df_b: "DataFrame",
+    id_col: str,
+):
+    """One row ``(n_a, n_b, n_overlap, lincoln_petersen, chapman,
+    se_chapman)`` — capture-recapture population estimation (L246):
+    how big is the TRUE universe when two independent passes each saw
+    part of it — the coverage auditor for this engine's own discovery
+    operators (how many near-dup clusters / entities / quality
+    violations exist, estimated from two independent detection passes
+    such as MinHash L2 vs SimHash L3):
+
+        Lincoln-Petersen  N̂ = n_a·n_b / m
+        Chapman           N̂ = (n_a+1)(n_b+1)/(m+1) − 1   (bias-corr.)
+        se(Chapman) = sqrt((n_a+1)(n_b+1)(n_a−m)(n_b−m)
+                           / ((m+1)²(m+2)))
+
+    Inputs are two id tables (dedup'd here); counts are exact
+    integers from two distinct-aggs + one semi-join count; every
+    estimate is a fixed IEEE tree — bit-identical.  m = 0 (disjoint
+    passes) → NULL Lincoln-Petersen (Chapman stays defined — that is
+    WHY it exists).
+
+    Scale shape: two distinct-aggs + one equi-join on id — the L1
+    exact-dedup shuffle shape.
+
+    No reference counterpart; coverage-audit analytics per SURVEY
+    §2.11.
+    """
+    a = df_a.select(F.col(id_col).alias("_i")).filter(
+        F.col("_i").isNotNull()
+    ).distinct()
+    b = df_b.select(F.col(id_col).alias("_i")).filter(
+        F.col("_i").isNotNull()
+    ).distinct()
+    na = a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_b"))
+    m = a.join(b, "_i").agg(F.count(F.lit(1)).alias("n_overlap"))
+    j = na.crossJoin(nb).crossJoin(m)
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    md_ = F.col("n_overlap").cast("double")
+    lp = (nad * nbd) / md_
+    chapman = ((nad + F.lit(1.0)) * (nbd + F.lit(1.0))) / (
+        md_ + F.lit(1.0)
+    ) - F.lit(1.0)
+    var = (
+        (nad + F.lit(1.0))
+        * (nbd + F.lit(1.0))
+        * (nad - md_)
+        * (nbd - md_)
+    ) / (
+        (md_ + F.lit(1.0))
+        * (md_ + F.lit(1.0))
+        * (md_ + F.lit(2.0))
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        "n_overlap",
+        F.when(F.col("n_overlap") > 0, lp).alias("lincoln_petersen"),
+        chapman.alias("chapman"),
+        F.sqrt(var).alias("se_chapman"),
+    )
