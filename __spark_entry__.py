@@ -6701,6 +6701,39 @@ def q_capture_recapture(spark, sf_dir):
     return capture_recapture(a, b, "id")
 
 
+def q_kendalls_w(spark, sf_dir):
+    """Kendall's W (L247): rater concordance over the L190 input —
+    the W = Q/(m(k−1)) identity on the tie-corrected Friedman Q, one
+    extra division."""
+    from lmss_entity_extractor_spark.ops.rankeval import kendalls_w
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 3).alias("grp"),
+        F.col("l_orderkey").alias("b"),
+        F.col("l_linenumber").alias("t"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+    )
+    return kendalls_w(li, ["grp"], "b", "t", "v")
+
+
+def q_hellinger(spark, sf_dir):
+    """Hellinger/Bhattacharyya (L248): click vs view floored-value
+    distributions per user-parity bucket — exact cells, bounded
+    sqrt-term folds, [0,1]-bounded metric."""
+    from lmss_entity_extractor_spark.ops.infotheory import hellinger_distance
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 2).alias("bucket"),
+            "event_type",
+            F.floor("value").alias("x"),
+        )
+    )
+    return hellinger_distance(e, ["bucket"], "event_type", "click", "view", "x")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6734,6 +6767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anderson_darling": q_anderson_darling,
         "page_trend": q_page_trend,
         "capture_recapture": q_capture_recapture,
+        "kendalls_w": q_kendalls_w,
+        "hellinger": q_hellinger,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15473,6 +15508,62 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n,
                CAST(count(DISTINCT p_name) AS BIGINT) AS n_names
         FROM part GROUP BY 1
+    """
+    # L247: the L190 oracle nested verbatim + the W identity
+    oracles["kendalls_w"] = f"""
+        WITH f AS ({oracles["friedman"]})
+        SELECT grp, k, n_blocks, q,
+               q / (CAST(n_blocks AS DOUBLE)
+                    * (CAST(k AS DOUBLE) - 1.0)) AS w
+        FROM f
+    """
+    oracles["hellinger"] = """
+        -- exact cells; bounded sqrt-term fold; clamped metric
+        WITH pts AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(floor(value) AS BIGINT) AS v,
+                   event_type AS g,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('click', 'view')
+            GROUP BY 1, 2, 3
+        ),
+        vals AS (
+            SELECT bucket, v,
+                   CAST(sum(CASE WHEN g = 'click' THEN c ELSE 0 END)
+                        AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN g = 'view' THEN c ELSE 0 END)
+                        AS BIGINT) AS b
+            FROM pts GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT bucket,
+                   CAST(sum(a) AS BIGINT) AS n_a,
+                   CAST(sum(b) AS BIGINT) AS n_b,
+                   list_sort(list(struct_pack(v := v, a := a, b := b)))
+                       AS lv
+            FROM vals GROUP BY 1
+        ),
+        f AS (
+            SELECT bucket, n_a, n_b,
+                   list_reduce(list_prepend(0.0,
+                       [sqrt((CAST(e.a AS DOUBLE)
+                              / CAST(n_a AS DOUBLE))
+                             * (CAST(e.b AS DOUBLE)
+                                / CAST(n_b AS DOUBLE)))
+                        FOR e IN lv]),
+                       (acc, t) -> acc + t) AS bc
+            FROM agg
+        )
+        SELECT bucket, n_a, n_b,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN bc END AS bc,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN sqrt(greatest(0.0, 1.0 - bc)) END
+                   AS hellinger,
+               CASE WHEN n_a > 0 AND n_b > 0 AND bc > 0.0
+                    THEN -ln(bc) END AS bhattacharyya
+        FROM f
     """
     oracles["page_trend"] = """
         -- the L190 block-rank CTEs + treatment scores by dense_rank;

@@ -1149,3 +1149,33 @@ def page_trend(
         (F.col("_2l").cast("double") / F.lit(2.0)).alias("l_stat"),
         F.when(ok, z).alias("z"),
     )
+
+
+def kendalls_w(
+    df: DataFrame,
+    by: list[str],
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+) -> DataFrame:
+    """``(by..., k, n_blocks, q, w)`` — Kendall's coefficient of
+    concordance (L247): how strongly m raters/blocks agree on a
+    RANKING of k items, on the [0, 1] scale the agreement family
+    reports (κ L184, Fleiss L192, α L238 measure categorical
+    agreement; W measures ORDINAL agreement).  Computed through the
+    tie-corrected Friedman statistic (L190 — the identity
+    W = Q/(m(k−1)), Legendre 2005), so every rank intermediate is the
+    L190 exact doubled integer and W adds ONE division — the two
+    statistics can never disagree.  NULL q (degenerate) → NULL w.
+
+    Scale shape: exactly L190's.
+
+    No reference counterpart; annotation-QA analytics per SURVEY
+    §2.11.
+    """
+    f = friedman(df, by, block_col, treat_col, value_col)
+    w = F.col("q") / (
+        F.col("n_blocks").cast("double")
+        * (F.col("k").cast("double") - F.lit(1.0))
+    )
+    return f.select(*by, "k", "n_blocks", "q", w.alias("w"))
