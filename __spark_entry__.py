@@ -6734,6 +6734,42 @@ def q_hellinger(spark, sf_dir):
     return hellinger_distance(e, ["bucket"], "event_type", "click", "view", "x")
 
 
+def q_topk_churn(spark, sf_dir):
+    """Top-10 churn (L249): leaderboard turnover of the most active
+    users across event-id kilobuckets — exact overlap counts, one
+    jaccard division, dense-rank period pairing."""
+    from lmss_entity_extractor_spark.ops.evalmetrics import topk_churn
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy(
+            F.floor(F.col("event_id") / 1000).alias("p"),
+            F.col("user_id").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    return topk_churn(e, "p", "item", "s", k=10)
+
+
+def q_poisson_rate(spark, sf_dir):
+    """Two-sample Poisson rate test (L250): click vs view event
+    intensity with per-row synthetic exposures — exact count/decimal
+    sums, conditional binomial z, fixed trees."""
+    from lmss_entity_extractor_spark.ops.stattests import poisson_rate_test
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor("value").alias("c"),
+            (F.col("user_id") % 7 + 1).alias("t"),
+        )
+    )
+    return poisson_rate_test(e, [], "event_type", "click", "view", "c", "t")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6769,6 +6805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_recapture": q_capture_recapture,
         "kendalls_w": q_kendalls_w,
         "hellinger": q_hellinger,
+        "topk_churn": q_topk_churn,
+        "poisson_rate": q_poisson_rate,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15508,6 +15546,117 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n,
                CAST(count(DISTINCT p_name) AS BIGINT) AS n_names
         FROM part GROUP BY 1
+    """
+    oracles["topk_churn"] = """
+        -- per-period top-10 with the T1 tiebreak; dense-rank period
+        -- pairing; exact overlap counts, one jaccard division
+        WITH agg AS (
+            SELECT CAST(floor(event_id / 1000) AS BIGINT) AS p,
+                   user_id AS item,
+                   CAST(count(*) AS BIGINT) AS s
+            FROM events
+            WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT p, item FROM (
+                SELECT p, item,
+                       row_number() OVER (PARTITION BY p
+                           ORDER BY s DESC, item ASC) AS rn
+                FROM agg
+            ) WHERE rn <= 10
+        ),
+        periods AS (
+            SELECT p, CAST(dense_rank() OVER (ORDER BY p) AS BIGINT)
+                       AS o
+            FROM (SELECT DISTINCT p FROM top)
+        ),
+        tp AS (
+            SELECT top.p, periods.o, top.item
+            FROM top JOIN periods USING (p)
+        ),
+        cur AS (SELECT p AS period, o, item FROM tp),
+        prv AS (SELECT p AS prev_period, o + 1 AS o, item FROM tp),
+        sc AS (SELECT period, o, CAST(count(*) AS BIGINT) AS nc
+               FROM cur GROUP BY 1, 2),
+        sp AS (SELECT prev_period, o, CAST(count(*) AS BIGINT) AS np_
+               FROM prv GROUP BY 1, 2),
+        common AS (
+            SELECT cur.period, prv.prev_period, cur.o,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM cur JOIN prv
+              ON cur.o = prv.o AND cur.item = prv.item
+            GROUP BY 1, 2, 3
+        )
+        SELECT sc.period, sp.prev_period,
+               coalesce(common.n_common, 0) AS n_common,
+               CASE WHEN (sc.nc + sp.np_)
+                         - coalesce(common.n_common, 0) > 0
+                    THEN CAST(coalesce(common.n_common, 0) AS DOUBLE)
+                         / CAST((sc.nc + sp.np_)
+                                - coalesce(common.n_common, 0)
+                                AS DOUBLE) END AS jaccard,
+               sc.nc - coalesce(common.n_common, 0) AS entered,
+               sp.np_ - coalesce(common.n_common, 0) AS exited
+        FROM sc JOIN sp USING (o)
+        LEFT JOIN common
+          ON common.period = sc.period
+         AND common.prev_period = sp.prev_period
+         AND common.o = sc.o
+    """
+    oracles["poisson_rate"] = """
+        -- exact count/decimal exposure sums; conditional binomial z
+        WITH base AS (
+            SELECT event_type AS g,
+                   CAST(floor(value) AS BIGINT) AS c,
+                   CAST(user_id % 7 + 1 AS DECIMAL(18,4)) AS t
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('click', 'view')
+        ),
+        agg AS (
+            SELECT
+                CAST(sum(CASE WHEN g = 'click' THEN c ELSE 0 END)
+                     AS BIGINT) AS c_a,
+                CAST(sum(CASE WHEN g = 'view' THEN c ELSE 0 END)
+                     AS BIGINT) AS c_b,
+                CAST(sum(CASE WHEN g = 'click' THEN t
+                         ELSE CAST(0 AS DECIMAL(18,4)) END)
+                     AS DECIMAL(28,4)) AS ta,
+                CAST(sum(CASE WHEN g = 'view' THEN t
+                         ELSE CAST(0 AS DECIMAL(18,4)) END)
+                     AS DECIMAL(28,4)) AS tb
+            FROM base
+        )
+        SELECT c_a, c_b,
+               CAST(ta AS DOUBLE) AS t_a,
+               CAST(tb AS DOUBLE) AS t_b,
+               CASE WHEN ta > 0 THEN CAST(c_a AS DOUBLE)
+                                     / CAST(ta AS DOUBLE) END
+                   AS rate_a,
+               CASE WHEN tb > 0 THEN CAST(c_b AS DOUBLE)
+                                     / CAST(tb AS DOUBLE) END
+                   AS rate_b,
+               CASE WHEN ta > 0 AND tb > 0 AND c_b > 0
+                    THEN (CAST(c_a AS DOUBLE) / CAST(ta AS DOUBLE))
+                         / (CAST(c_b AS DOUBLE) / CAST(tb AS DOUBLE))
+               END AS rate_ratio,
+               CASE WHEN c_a + c_b > 0
+                         AND CAST(ta AS DOUBLE)
+                             / CAST(ta + tb AS DOUBLE) > 0.0
+                         AND CAST(ta AS DOUBLE)
+                             / CAST(ta + tb AS DOUBLE) < 1.0
+                    THEN (CAST(c_a AS DOUBLE)
+                          - CAST(c_a + c_b AS DOUBLE)
+                            * (CAST(ta AS DOUBLE)
+                               / CAST(ta + tb AS DOUBLE)))
+                         / sqrt((CAST(c_a + c_b AS DOUBLE)
+                                 * (CAST(ta AS DOUBLE)
+                                    / CAST(ta + tb AS DOUBLE)))
+                                * (1.0 - CAST(ta AS DOUBLE)
+                                         / CAST(ta + tb AS DOUBLE)))
+               END AS z
+        FROM agg
     """
     # L247: the L190 oracle nested verbatim + the W identity
     oracles["kendalls_w"] = f"""

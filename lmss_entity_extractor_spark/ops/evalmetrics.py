@@ -987,3 +987,97 @@ def cronbach_alpha(
         F.when(F.col("n") >= 2, tot_var).alias("total_var"),
         F.when(ok, alpha).alias("alpha"),
     )
+
+
+def topk_churn(
+    df: DataFrame,
+    period_col: str,
+    item_col: str,
+    score_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """``(period, prev_period, n_common, jaccard, entered, exited)`` —
+    top-k list churn between CONSECUTIVE periods (L249): how fast the
+    leaderboard turns over — the trending-monitor companion to RBO
+    (L200 compares two rankings positionally; churn tracks set
+    turnover through time).
+
+    Per period, the top-k items by (score DESC, item ASC — the T1
+    deterministic tiebreak); consecutive periods pair by the DENSE
+    rank of the period value (gaps in the period domain pair with the
+    previous OBSERVED period, documented).  Overlap counts are exact
+    integers; jaccard = common/(2k − common) is ONE division (both
+    top-k sets have exactly k members when the period has ≥ k items —
+    thinner periods use their actual size).  The first period has no
+    predecessor and is omitted.
+
+    Scale shape: one keyed window top-k (TakeOrdered per period) +
+    one self-join on adjacent period ranks — bounded k·periods rows
+    after the window.  100 TB of fact rows scans once.
+
+    No reference counterpart; trend-monitoring analytics per SURVEY
+    §2.11.
+    """
+    if k < 1:
+        raise ValueError("topk_churn: k must be >= 1")
+    flt = df.filter(
+        F.col(period_col).isNotNull()
+        & F.col(item_col).isNotNull()
+        & F.col(score_col).isNotNull()
+    )
+    w = Window.partitionBy(period_col).orderBy(
+        F.col(score_col).desc(), F.col(item_col)
+    )
+    top = (
+        flt.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col(period_col).alias("_p"), F.col(item_col).alias("_i")
+        )
+    )
+    periods = top.select("_p").distinct()
+    wp = Window.orderBy("_p")
+    periods = periods.withColumn("_ord", F.dense_rank().over(wp))
+    tp = top.join(periods, "_p")
+    cur = tp.select(
+        F.col("_p").alias("period"), F.col("_ord").alias("_o"), "_i"
+    )
+    prv = tp.select(
+        F.col("_p").alias("prev_period"),
+        (F.col("_ord") + 1).alias("_o"),
+        F.col("_i").alias("_j"),
+    )
+    sizes_cur = cur.groupBy("period", "_o").agg(
+        F.count(F.lit(1)).alias("_nc")
+    )
+    sizes_prv = prv.groupBy("prev_period", "_o").agg(
+        F.count(F.lit(1)).alias("_np")
+    )
+    common = (
+        cur.join(prv, (cur["_o"] == prv["_o"]) & (cur["_i"] == prv["_j"]))
+        .groupBy("period", "prev_period", cur["_o"].alias("_o"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    pairs = (
+        sizes_cur.join(sizes_prv, "_o")
+        .join(common, ["period", "prev_period", "_o"], "left")
+        .select(
+            "period",
+            "prev_period",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            "_nc",
+            "_np",
+        )
+    )
+    nc = F.col("n_common")
+    union = F.col("_nc") + F.col("_np") - nc
+    return pairs.select(
+        "period",
+        "prev_period",
+        "n_common",
+        F.when(
+            union > 0, nc.cast("double") / union.cast("double")
+        ).alias("jaccard"),
+        (F.col("_nc") - nc).alias("entered"),
+        (F.col("_np") - nc).alias("exited"),
+    )

@@ -969,3 +969,98 @@ def mantel_haenszel(
         F.when(den > 0.0, num / den).alias("or_mh"),
         F.when(vsum > 0.0, (diff * diff) / vsum).alias("chi2_mh"),
     )
+
+
+def poisson_rate_test(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    sample_a: str,
+    sample_b: str,
+    event_col: str,
+    exposure_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., c_a, c_b, t_a, t_b, rate_a, rate_b, rate_ratio, z)``
+    — the two-sample Poisson rate test (L250; conditional/binomial
+    form): are events arriving faster in stream A than B once
+    EXPOSURE (observation time, request volume) is accounted for —
+    the event-RATE companion to the proportion test (L216 compares
+    per-trial probabilities; this compares per-unit-time intensities).
+
+    With exact integer event counts c and exact DECIMAL exposures t,
+    conditioning on c_a + c_b makes c_a Binomial(c, p₀),
+    p₀ = t_a/(t_a + t_b):
+
+        z = (c_a − c·p₀) / sqrt(c·p₀·(1 − p₀))
+
+    p₀ is ONE exactly-rounded division of exact decimals and z one
+    fixed tree — bit-identical, ungridded.  rate = c/t (one division
+    each); c_a + c_b = 0 or a zero/degenerate exposure split → NULL z.
+    Negative exposures refused loudly.
+
+    Scale shape: one combinable groupBy — one scan of 100 TB of
+    events.
+
+    No reference counterpart; rate-monitoring analytics per SURVEY
+    §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(
+        F.col(group_col).isin([sample_a, sample_b])
+        & F.col(event_col).isNotNull()
+        & F.col(exposure_col).isNotNull()
+    )
+    n_neg = flt.filter(
+        (F.col(exposure_col) < 0) | (F.col(event_col) < 0)
+    ).count()
+    if n_neg:
+        raise ValueError(
+            f"poisson_rate_test: {n_neg} negative event/exposure row(s)"
+        )
+    is_a = F.col(group_col) == sample_a
+    agg = flt.groupBy(*by).agg(
+        F.sum(F.when(is_a, F.col(event_col).cast("long")).otherwise(0)).alias(
+            "c_a"
+        ),
+        F.sum(
+            F.when(~is_a, F.col(event_col).cast("long")).otherwise(0)
+        ).alias("c_b"),
+        F.sum(
+            F.when(is_a, F.col(exposure_col).cast(dec)).otherwise(
+                F.lit(0).cast(dec)
+            )
+        ).alias("_ta"),
+        F.sum(
+            F.when(~is_a, F.col(exposure_col).cast(dec)).otherwise(
+                F.lit(0).cast(dec)
+            )
+        ).alias("_tb"),
+    )
+    c = F.col("c_a") + F.col("c_b")
+    tad = F.col("_ta").cast("double")
+    tbd = F.col("_tb").cast("double")
+    p0 = (F.col("_ta").cast("double")) / (
+        (F.col("_ta") + F.col("_tb")).cast("double")
+    )
+    cd = c.cast("double")
+    z = (F.col("c_a").cast("double") - cd * p0) / F.sqrt(
+        cd * p0 * (F.lit(1.0) - p0)
+    )
+    rate_a = F.col("c_a").cast("double") / tad
+    rate_b = F.col("c_b").cast("double") / tbd
+    ok = (c > 0) & (p0 > 0.0) & (p0 < 1.0)
+    return agg.select(
+        *by,
+        "c_a",
+        "c_b",
+        F.col("_ta").cast("double").alias("t_a"),
+        F.col("_tb").cast("double").alias("t_b"),
+        F.when(F.col("_ta") > 0, rate_a).alias("rate_a"),
+        F.when(F.col("_tb") > 0, rate_b).alias("rate_b"),
+        F.when(
+            (F.col("_ta") > 0) & (F.col("_tb") > 0) & (F.col("c_b") > 0),
+            rate_a / rate_b,
+        ).alias("rate_ratio"),
+        F.when(ok, z).alias("z"),
+    )
