@@ -6770,6 +6770,32 @@ def q_poisson_rate(spark, sf_dir):
     return poisson_rate_test(e, [], "event_type", "click", "view", "c", "t")
 
 
+def q_bowker(spark, sf_dir):
+    """Bowker symmetry test (L251): are within-user event-type
+    transitions balanced — exact paired cells, bounded (i<j) pair
+    fold, skip-empty-pair dof convention."""
+    from pyspark.sql import Window
+
+    from lmss_entity_extractor_spark.ops.evalmetrics import bowker_symmetry
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", F.lead("event_type").over(w).alias("next_type"))
+    )
+    return bowker_symmetry(e, [], "event_type", "next_type")
+
+
+def q_g_test(spark, sf_dir):
+    """Likelihood-ratio G-test (L252): order priority vs status —
+    the additive contingency test, G = 2N·MI identity pinned against
+    L152; observed cells, ln trees, sorted-cell fold."""
+    from lmss_entity_extractor_spark.ops.stattests import g_test
+
+    o = _t(spark, sf_dir, "orders")
+    return g_test(o, "o_orderpriority", "o_orderstatus")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6807,6 +6833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hellinger": q_hellinger,
         "topk_churn": q_topk_churn,
         "poisson_rate": q_poisson_rate,
+        "bowker": q_bowker,
+        "g_test": q_g_test,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15546,6 +15574,98 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n,
                CAST(count(DISTINCT p_name) AS BIGINT) AS n_names
         FROM part GROUP BY 1
+    """
+    oracles["bowker"] = """
+        -- paired cells; full-outer (i<j) pair table; one division per
+        -- non-empty pair folded in sorted order
+        WITH e AS (
+            SELECT event_type AS x,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       AS y
+            FROM events
+        ),
+        cells AS (
+            SELECT x, y, CAST(count(*) AS BIGINT) AS o FROM e
+            WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1, 2
+        ),
+        a AS (SELECT x AS i, y AS j, o AS nij FROM cells WHERE x < y),
+        b AS (SELECT y AS i, x AS j, o AS nji FROM cells WHERE y < x),
+        pairs AS (
+            SELECT coalesce(a.i, b.i) AS i, coalesce(a.j, b.j) AS j,
+                   coalesce(a.nij, 0) AS nij,
+                   coalesce(b.nji, 0) AS nji
+            FROM a FULL JOIN b ON a.i = b.i AND a.j = b.j
+        ),
+        ks AS (
+            SELECT CAST(count(DISTINCT c) AS BIGINT) AS k FROM (
+                SELECT x AS c FROM cells
+                UNION ALL SELECT y FROM cells
+            )
+        ),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        agg AS (
+            SELECT CAST(sum(CASE WHEN nij + nji > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dof,
+                   list_reduce(list_prepend(0.0,
+                       [CASE WHEN v.nij + v.nji > 0
+                             THEN (CAST(v.nij - v.nji AS DOUBLE)
+                                   * CAST(v.nij - v.nji AS DOUBLE))
+                                  / CAST(v.nij + v.nji AS DOUBLE)
+                             ELSE 0.0 END
+                        FOR v IN list_sort(list(struct_pack(
+                            i := i, j := j, nij := nij,
+                            nji := nji)))]),
+                       (acc, t) -> acc + t) AS chi2
+            FROM pairs
+        )
+        SELECT k, n,
+               CASE WHEN dof > 0 THEN chi2 END AS chi2,
+               coalesce(dof, 0) AS dof
+        FROM ks CROSS JOIN tot CROSS JOIN agg
+    """
+    oracles["g_test"] = """
+        -- observed cells, o*ln(o*N/(rt*ct)) trees, sorted-cell fold
+        WITH flt AS (
+            SELECT o_orderpriority AS x, o_orderstatus AS y
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND o_orderstatus IS NOT NULL
+        ),
+        cells AS (
+            SELECT x, y, CAST(count(*) AS BIGINT) AS o
+            FROM flt GROUP BY 1, 2
+        ),
+        rows_ AS (SELECT x, CAST(sum(o) AS BIGINT) AS rt
+                  FROM cells GROUP BY 1),
+        cols_ AS (SELECT y, CAST(sum(o) AS BIGINT) AS ct
+                  FROM cells GROUP BY 1),
+        tot AS (
+            SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT x) AS BIGINT) AS r,
+                   CAST(count(DISTINCT y) AS BIGINT) AS c
+            FROM cells
+        ),
+        terms AS (
+            SELECT tot.n, tot.r, tot.c, cells.x, cells.y,
+                   CAST(cells.o AS DOUBLE)
+                   * ln(CAST(cells.o AS DOUBLE)
+                        * CAST(tot.n AS DOUBLE)
+                        / CAST(rows_.rt * cols_.ct AS DOUBLE))
+                       AS term
+            FROM cells
+            JOIN rows_ USING (x) JOIN cols_ USING (y)
+            CROSS JOIN tot
+        )
+        SELECT n, r, c,
+               CASE WHEN r >= 2 AND c >= 2 THEN
+                   2.0 * list_reduce(list_prepend(0.0,
+                       [s.term FOR s IN list_sort(list(struct_pack(
+                           x := x, y := y, term := term)))]),
+                       (acc, t) -> acc + t)
+               END AS g,
+               (r - 1) * (c - 1) AS dof
+        FROM terms GROUP BY 1, 2, 3
     """
     oracles["topk_churn"] = """
         -- per-period top-10 with the T1 tiebreak; dense-rank period

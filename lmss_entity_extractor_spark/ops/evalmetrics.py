@@ -1081,3 +1081,96 @@ def topk_churn(
         (F.col("_nc") - nc).alias("entered"),
         (F.col("_np") - nc).alias("exited"),
     )
+
+
+def bowker_symmetry(
+    df: DataFrame,
+    by: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """``(by..., k, n, chi2, dof)`` — Bowker's test of symmetry
+    (L251): the k-class generalization of McNemar (L171's binary
+    before/after question asked of a MULTI-class labeler pair — did
+    relabeling/model-swap shift classes systematically, or are the
+    off-diagonal flows balanced):
+
+        χ² = Σ_{i<j} (n_ij − n_ji)² / (n_ij + n_ji)
+
+    over the paired contingency table (diagonal cells carry no
+    information and drop out, exactly like McNemar's concordant
+    pairs).  Cell counts are exact integers; each pair term is ONE
+    division folded over the BOUNDED sorted (i, j) pair list; pairs
+    with n_ij + n_ji = 0 are skipped and dof counts the non-degenerate
+    pairs (the standard convention — a structurally-empty pair carries
+    no constraint).  dof = 0 → NULL chi2.  At k = 2 the statistic
+    equals McNemar's uncorrected χ² (pinned by test).
+
+    Scale shape: one combinable (keys, x, y) groupBy + a bounded
+    self-pairing of the k² cell table.  100 TB scans once.
+
+    No reference counterpart; annotation-QA analytics per SURVEY
+    §2.11.
+    """
+    flt = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    cells = flt.groupBy(
+        *by, F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    a = cells.select(
+        *by,
+        F.col("_x").alias("_i"),
+        F.col("_y").alias("_j"),
+        F.col("_o").alias("_nij"),
+    ).filter(F.col("_i") < F.col("_j"))
+    b = cells.select(
+        *by,
+        F.col("_y").alias("_i"),
+        F.col("_x").alias("_j"),
+        F.col("_o").alias("_nji"),
+    ).filter(F.col("_i") < F.col("_j"))
+    pairs = a.join(b, [*by, "_i", "_j"], "full_outer").select(
+        *by,
+        "_i",
+        "_j",
+        F.coalesce(F.col("_nij"), F.lit(0)).alias("_nij"),
+        F.coalesce(F.col("_nji"), F.lit(0)).alias("_nji"),
+    )
+    tot = cells.groupBy(*by).agg(
+        F.sum("_o").alias("n"),
+        F.count_distinct(F.col("_x")).alias("_kx"),
+    )
+    ks = (
+        cells.select(*by, F.col("_x").alias("_c"))
+        .union(cells.select(*by, F.col("_y").alias("_c")))
+        .groupBy(*by)
+        .agg(F.count_distinct("_c").alias("k"))
+    )
+    agg = pairs.groupBy(*by).agg(
+        F.sum(
+            F.when(F.col("_nij") + F.col("_nji") > 0, 1).otherwise(0)
+        ).alias("dof"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("_i", "_j", "_nij", "_nji"))
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc
+            + F.when(
+                v["_nij"] + v["_nji"] > 0,
+                ((v["_nij"] - v["_nji"]).cast("double")
+                 * (v["_nij"] - v["_nji"]).cast("double"))
+                / (v["_nij"] + v["_nji"]).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        ).alias("_chi2"),
+    )
+    out = ks.join(tot.select(*by, "n"), by) if by else ks.crossJoin(
+        tot.select("n")
+    )
+    out = out.join(agg, by, "left") if by else out.crossJoin(agg)
+    return out.select(
+        *by,
+        "k",
+        "n",
+        F.when(F.col("dof") > 0, F.col("_chi2")).alias("chi2"),
+        F.coalesce(F.col("dof"), F.lit(0).cast("long")).alias("dof"),
+    )

@@ -1064,3 +1064,66 @@ def poisson_rate_test(
         ).alias("rate_ratio"),
         F.when(ok, z).alias("z"),
     )
+
+
+def g_test(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """One row ``(n, r, c, g, dof)`` — the likelihood-ratio G-test of
+    independence (L252): the other classical contingency test next to
+    Pearson's χ² (L140) — additive across nested partitions (G over a
+    merged table = Σ G over its parts, which χ² is not), and the one
+    whose terms ARE the mutual information (G = 2N·MI in nats,
+    pinned against L152 by test):
+
+        G = 2 Σ_cells o·ln(o·N / (rt·ct))
+
+    Observed cells only (o ≥ 1 by construction, so no 0·ln 0 edge);
+    counts exact integers; each term one fixed IEEE tree (ln is the
+    L152-family libm reliance); the cell fold is the L140 sorted-cell
+    discipline.  dof = (r−1)(c−1); a 1×c / r×1 table → NULL g.
+
+    Scale shape: identical to L140 — one combinable cell groupBy +
+    broadcast margins + a bounded fold.
+
+    No reference counterpart; association analytics per SURVEY §2.11.
+    """
+    flt = df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+    cells = flt.groupBy(
+        F.col(col_x).alias("x"), F.col(col_y).alias("y")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("x").agg(F.sum("o").alias("rt"))
+    cols = cells.groupBy("y").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct(F.col("x")).alias("r"),
+        F.count_distinct(F.col("y")).alias("c"),
+    )
+    od = F.col("o").cast("double")
+    term = od * F.log(
+        od * F.col("n").cast("double")
+        / (F.col("rt") * F.col("ct")).cast("double")
+    )
+    terms = (
+        cells.join(F.broadcast(rows), "x")
+        .join(F.broadcast(cols), "y")
+        .crossJoin(F.broadcast(tot))
+        .select("n", "r", "c", "x", "y", term.alias("term"))
+    )
+    agg = terms.groupBy("n", "r", "c").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("x", "y", "term"))),
+            F.lit(0.0),
+            lambda acc, v: acc + v["term"],
+        ).alias("_s")
+    )
+    ok = (F.col("r") >= 2) & (F.col("c") >= 2)
+    return agg.select(
+        "n",
+        "r",
+        "c",
+        F.when(ok, F.lit(2.0) * F.col("_s")).alias("g"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+    )
