@@ -6736,15 +6736,16 @@ def q_hellinger(spark, sf_dir):
 
 def q_topk_churn(spark, sf_dir):
     """Top-10 churn (L249): leaderboard turnover of the most active
-    users across event-id kilobuckets — exact overlap counts, one
-    jaccard division, dense-rank period pairing."""
+    users across event-id hectobuckets (/100 keeps ≥10 periods at
+    every sf incl. 0.001) — exact overlap counts, one jaccard
+    division, dense-rank period pairing."""
     from lmss_entity_extractor_spark.ops.evalmetrics import topk_churn
 
     e = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_id").isNotNull() & F.col("user_id").isNotNull())
         .groupBy(
-            F.floor(F.col("event_id") / 1000).alias("p"),
+            F.floor(F.col("event_id") / 100).alias("p"),
             F.col("user_id").alias("item"),
         )
         .agg(F.count(F.lit(1)).alias("s"))
@@ -15671,7 +15672,7 @@ def oracle_sql() -> dict[str, str]:
         -- per-period top-10 with the T1 tiebreak; dense-rank period
         -- pairing; exact overlap counts, one jaccard division
         WITH agg AS (
-            SELECT CAST(floor(event_id / 1000) AS BIGINT) AS p,
+            SELECT CAST(floor(event_id / 100) AS BIGINT) AS p,
                    user_id AS item,
                    CAST(count(*) AS BIGINT) AS s
             FROM events

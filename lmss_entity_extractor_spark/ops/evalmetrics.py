@@ -639,9 +639,10 @@ def ndcg(
     discipline), each term is one exactly-rounded multiply of an exact
     integer gain, and NDCG is ONE division — bit-identical, ungridded.
 
-    Loud refusals: duplicate (query, rank) pairs at depth ≤ k and
-    NULL/negative grades raise (they would silently corrupt the
-    pivot / the ideal ordering).
+    Loud refusals: duplicate (query, rank) pairs at depth ≤ k,
+    duplicate (query, item) truth pairs, and NULL/negative grades
+    raise (they would silently corrupt the pivot / inflate the
+    ideal ordering).
 
     Output rows come from the union of both sides' query ids: a query
     with predictions but no truth rows has idcg/ndcg NULL; a query
@@ -682,6 +683,17 @@ def ndcg(
     n_bad = t.filter(bad).count()
     if n_bad:
         raise ValueError(f"ndcg: {n_bad} NULL/negative/oversized grade(s)")
+    n_dup_t = (
+        t.groupBy("_q", "_i")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .count()
+    )
+    if n_dup_t:
+        raise ValueError(
+            f"ndcg: {n_dup_t} duplicate (query, item) truth pair(s) — "
+            "they would inflate n_rel and the ideal ranking"
+        )
 
     def _gain(g):
         if gain == "exp":
@@ -1135,10 +1147,7 @@ def bowker_symmetry(
         F.coalesce(F.col("_nij"), F.lit(0)).alias("_nij"),
         F.coalesce(F.col("_nji"), F.lit(0)).alias("_nji"),
     )
-    tot = cells.groupBy(*by).agg(
-        F.sum("_o").alias("n"),
-        F.count_distinct(F.col("_x")).alias("_kx"),
-    )
+    tot = cells.groupBy(*by).agg(F.sum("_o").alias("n"))
     ks = (
         cells.select(*by, F.col("_x").alias("_c"))
         .union(cells.select(*by, F.col("_y").alias("_c")))

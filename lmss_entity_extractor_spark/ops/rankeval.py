@@ -1017,21 +1017,28 @@ def anderson_darling_2samp(
         _term(mha, F.col("_na")).alias("_ta"),
         _term(mhb, F.col("_nb")).alias("_tb"),
     )
+    # ONE sorted list, ONE fold carrying both per-sample sums in a
+    # struct accumulator (same element order for both — the a-sum tree
+    # is identical to a standalone fold's)
     agg = staged.groupBy(*by, "_na", "_nb").agg(
         F.aggregate(
             F.sort_array(
                 F.collect_list(F.struct("_v", "_ta", "_tb"))
             ),
-            F.lit(0.0),
-            lambda acc, v: acc + v["_ta"],
-        ).alias("_sa"),
-        F.aggregate(
-            F.sort_array(
-                F.collect_list(F.struct("_v", "_ta", "_tb"))
+            F.struct(
+                F.lit(0.0).alias("a"), F.lit(0.0).alias("b")
             ),
-            F.lit(0.0),
-            lambda acc, v: acc + v["_tb"],
-        ).alias("_sb"),
+            lambda acc, v: F.struct(
+                (acc["a"] + v["_ta"]).alias("a"),
+                (acc["b"] + v["_tb"]).alias("b"),
+            ),
+        ).alias("_s2")
+    ).select(
+        *by,
+        "_na",
+        "_nb",
+        F.col("_s2.a").alias("_sa"),
+        F.col("_s2.b").alias("_sb"),
     )
     nad = F.col("_na").cast("double")
     nbd = F.col("_nb").cast("double")

@@ -585,6 +585,8 @@ def sax_symbolize(
             f"sax_symbolize: alphabet must be one of "
             f"{sorted(_SAX_BREAKPOINTS)} (published breakpoint table)"
         )
+    if not order_cols:
+        raise ValueError("sax_symbolize: order_cols must be non-empty")
     bps = _SAX_BREAKPOINTS[alphabet]
     dec = f"decimal(18,{scale})"
     base = df.select(
@@ -592,10 +594,10 @@ def sax_symbolize(
         *[F.col(c) for c in order_cols],
         F.col(value_col).cast(dec).alias("_x"),
     )
-    n_null = base.filter(
-        F.col("_x").isNull()
-        | reduce_or([F.col(c).isNull() for c in order_cols])
-    ).count()
+    null_cond = F.col("_x").isNull()
+    for c in order_cols:
+        null_cond = null_cond | F.col(c).isNull()
+    n_null = base.filter(null_cond).count()
     if n_null:
         raise ValueError(
             f"sax_symbolize: {n_null} NULL order/value row(s) — drop or "
@@ -638,10 +640,3 @@ def sax_symbolize(
         F.when(ok, sym).alias("symbol"),
     )
 
-
-def reduce_or(cols):
-    """OR-fold a non-empty column list (tiny local helper)."""
-    acc = cols[0]
-    for c in cols[1:]:
-        acc = acc | c
-    return acc
