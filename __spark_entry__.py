@@ -6797,6 +6797,45 @@ def q_g_test(spark, sf_dir):
     return g_test(o, "o_orderpriority", "o_orderstatus")
 
 
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard (L254): the additive sibling of
+    the L159 KM curve on the same cohort fixture — d/n increments and
+    d/n² variances as t-sorted bounded prefix folds."""
+    from lmss_entity_extractor_spark.ops.survival import nelson_aalen
+
+    return nelson_aalen(
+        _survival_input(spark, sf_dir), ["cohort"], "dur", "event"
+    )
+
+
+def q_morans_i(spark, sf_dir):
+    """Moran's I (L253): spatial autocorrelation of floored account
+    balances over the L212 synthetic customer points — floored-mean
+    centring keeps every pair sum an exact decimal, one δ division,
+    fixed correction trees."""
+    from lmss_entity_extractor_spark.ops.geo import morans_i
+
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            F.col("c_custkey").alias("id"),
+            (
+                ((F.col("c_custkey") * 37) % 18000).cast("double")
+                / F.lit(100.0)
+                - F.lit(90.0)
+            ).alias("lat"),
+            (
+                ((F.col("c_custkey") * 73) % 36000).cast("double")
+                / F.lit(100.0)
+                - F.lit(180.0)
+            ).alias("lon"),
+            F.floor("c_acctbal").alias("v"),
+        )
+    )
+    return morans_i(c, "id", "lat", "lon", "v", cell_deg=5.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6836,6 +6875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poisson_rate": q_poisson_rate,
         "bowker": q_bowker,
         "g_test": q_g_test,
+        "nelson_aalen": q_nelson_aalen,
+        "morans_i": q_morans_i,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15575,6 +15616,151 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n,
                CAST(count(DISTINCT p_name) AS BIGINT) AS n_names
         FROM part GROUP BY 1
+    """
+    oracles["nelson_aalen"] = """
+        -- H(t) = sum d/n, Var = sum d/n^2 as t-sorted prefix folds
+        -- over the L159 grid
+        WITH u AS (
+            SELECT user_id,
+                   (max(event_id) - min(event_id)) % 30 AS dur
+            FROM events GROUP BY 1
+        ),
+        d AS (
+            SELECT user_id % 2 AS cohort, dur,
+                   CASE WHEN user_id % 5 <> 0 THEN 1 ELSE 0 END AS ev
+            FROM u
+        ),
+        pts AS (
+            SELECT cohort, CAST(dur AS BIGINT) AS t,
+                   CAST(sum(ev) AS BIGINT) AS d,
+                   CAST(sum(1 - ev) AS BIGINT) AS c
+            FROM d WHERE dur IS NOT NULL GROUP BY 1, 2
+        ),
+        risk AS (
+            SELECT cohort, t, d, c,
+                   CAST(sum(d + c) OVER (PARTITION BY cohort)
+                        - coalesce(sum(d + c) OVER (
+                              PARTITION BY cohort ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n
+            FROM pts
+        ),
+        packed AS (
+            SELECT cohort,
+                   list_sort(list(struct_pack(
+                       t := t, d := d, c := c, n := n))) AS a
+            FROM risk GROUP BY 1
+        ),
+        rws AS (SELECT cohort, a, unnest(a) AS s FROM packed)
+        SELECT cohort, s.t AS t, s.n AS n_risk, s.d AS n_events,
+               s.c AS n_censored,
+               list_reduce(list_prepend(0.0,
+                   [CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE)
+                    FOR x IN list_filter(a, x -> x.t <= s.t)]),
+                   (acc, v) -> acc + v) AS cumhaz,
+               list_reduce(list_prepend(0.0,
+                   [CAST(x.d AS DOUBLE)
+                    / (CAST(x.n AS DOUBLE) * CAST(x.n AS DOUBLE))
+                    FOR x IN list_filter(a, x -> x.t <= s.t)]),
+                   (acc, v) -> acc + v) AS var_cumhaz
+        FROM rws
+    """
+    oracles["morans_i"] = """
+        -- the L212 grid pairs + floored-mean centring: P/Q/D2 exact
+        -- decimals, one delta division, fixed correction trees
+        WITH pts AS (
+            SELECT c_custkey AS id,
+                   CAST((c_custkey * 37) % 18000 AS DOUBLE)
+                   / 100.0 - 90.0 AS lat,
+                   CAST((c_custkey * 73) % 36000 AS DOUBLE)
+                   / 100.0 - 180.0 AS lon,
+                   CAST(CAST(floor(c_acctbal) AS BIGINT)
+                        AS DECIMAL(12,4)) AS x
+            FROM customer
+            WHERE c_custkey % 5 = 0 AND c_acctbal IS NOT NULL
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS DECIMAL(24,4)) AS s
+            FROM pts
+        ),
+        m0t AS (
+            SELECT n, s,
+                   CAST(floor(s / n) AS DECIMAL(12,4)) AS m0
+            FROM stats
+        ),
+        centred AS (
+            SELECT id, x - m0 AS dd FROM pts CROSS JOIN m0t
+        ),
+        d2 AS (
+            SELECT CAST(sum(dd * dd) AS DECIMAL(38,8)) AS d2
+            FROM centred
+        ),
+        cells AS (
+            SELECT id, lat, lon,
+                   CAST(floor(lat / 5.0) AS BIGINT) AS cx,
+                   ((CAST(floor(lon / 5.0) AS BIGINT) % 72) + 72)
+                       % 72 AS cy
+            FROM pts
+        ),
+        lft AS (
+            SELECT id AS a, cx + dx.d AS jx,
+                   (((cy + dy.d) % 72) + 72) % 72 AS jy
+            FROM cells,
+                 (VALUES (-1), (0), (1)) dx(d),
+                 (VALUES (-1), (0), (1)) dy(d)
+        ),
+        pr AS (
+            SELECT lft.a, r.id AS b
+            FROM lft JOIN cells r
+              ON lft.jx = r.cx AND lft.jy = r.cy
+            WHERE lft.a < r.id
+        ),
+        psums AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(ca.dd * cb.dd) AS DECIMAL(38,8)) AS p,
+                   CAST(sum(ca.dd + cb.dd) AS DECIMAL(38,4)) AS q
+            FROM pr
+            JOIN centred ca ON ca.id = pr.a
+            JOIN centred cb ON cb.id = pr.b
+        )
+        SELECT n,
+               coalesce(n_pairs, 0) AS n_pairs,
+               2.0 * CAST(coalesce(n_pairs, 0) AS DOUBLE) AS w,
+               CASE WHEN CAST(coalesce(n_pairs, 0) AS DOUBLE) > 0.0
+                         AND CAST(d2 AS DOUBLE)
+                             - CAST(n AS DOUBLE)
+                               * ((CAST(s - n * m0 AS DOUBLE)
+                                   / CAST(n AS DOUBLE))
+                                  * (CAST(s - n * m0 AS DOUBLE)
+                                     / CAST(n AS DOUBLE))) > 0.0
+                    THEN ((CAST(n AS DOUBLE)
+                           / (2.0 * CAST(coalesce(n_pairs, 0)
+                                         AS DOUBLE)))
+                          * (2.0 * ((coalesce(CAST(p AS DOUBLE), 0.0)
+                                     - (CAST(s - n * m0 AS DOUBLE)
+                                        / CAST(n AS DOUBLE))
+                                       * coalesce(CAST(q AS DOUBLE),
+                                                  0.0))
+                                    + CAST(coalesce(n_pairs, 0)
+                                           AS DOUBLE)
+                                      * ((CAST(s - n * m0 AS DOUBLE)
+                                          / CAST(n AS DOUBLE))
+                                         * (CAST(s - n * m0
+                                                 AS DOUBLE)
+                                            / CAST(n AS DOUBLE))))))
+                         / (CAST(d2 AS DOUBLE)
+                            - CAST(n AS DOUBLE)
+                              * ((CAST(s - n * m0 AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                                 * (CAST(s - n * m0 AS DOUBLE)
+                                    / CAST(n AS DOUBLE))))
+               END AS i_moran,
+               CASE WHEN n > 1
+                    THEN -1.0 / (CAST(n AS DOUBLE) - 1.0)
+               END AS e_i
+        FROM m0t CROSS JOIN d2 CROSS JOIN psums
     """
     oracles["bowker"] = """
         -- paired cells; full-outer (i<j) pair table; one division per

@@ -126,3 +126,112 @@ def grid_neighbor_pairs(
             F.col("_lat_a"), F.col("_lon_a"), F.col("_lat_b"), F.col("_lon_b")
         ).alias("dist_km"),
     )
+
+
+def morans_i(
+    df: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    value_col: str,
+    cell_deg: float = 1.0,
+    scale: int = 4,
+) -> DataFrame:
+    """One row ``(n, n_pairs, w, i_moran, e_i)`` — Moran's I spatial
+    autocorrelation (L253) under the binary 3×3-grid-neighbor weight
+    matrix (L212's candidate structure): do nearby points carry
+    similar values — the spatial companion to the temporal ACF (L151).
+
+        I = (n/W) · Σ_{i,j} w_ij(xᵢ−x̄)(xⱼ−x̄) / Σᵢ(xᵢ−x̄)²
+
+    Exactness (the L151 centring idea, adapted because pairwise c·c
+    products of n·x−S overflow DECIMAL(38)): center at the FLOORED
+    mean m₀ = ⌊S/n⌋ — an exact decimal — so every residual
+    d = x − m₀ is small and the pair sums P = Σ d_a·d_b,
+    Q = Σ (d_a + d_b), D₂ = Σ d² are exact decimals; the remaining
+    shift δ = (S − n·m₀)/n ∈ [0,1) is ONE division and the algebraic
+    correction is a fixed tree:
+
+        Σ(xᵢ−x̄)(xⱼ−x̄) = P − δ·Q + n_pairs·δ²
+        Σ(xᵢ−x̄)²       = D₂ − n·δ²
+
+    W = 2·n_pairs (each unordered neighbor pair counts both ways).
+    Values must fit DECIMAL(12, scale) (ANSI overflow is loud);
+    duplicate ids are refused (they would double weights); constant
+    values (denominator ≤ 0) or no neighbor pairs → NULL i_moran.
+    E[I] = −1/(n−1) for reference.
+
+    Scale shape: the L212 grid join + one values join + combinable
+    aggs — no n² anything.
+
+    No reference counterpart; spatial analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(12,{scale})"
+    flt = df.filter(
+        F.col(id_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    n_dup = (
+        flt.groupBy(F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"morans_i: {n_dup} duplicate id(s) — weights would double"
+        )
+    vals = flt.select(
+        F.col(id_col).alias("_vid"), F.col(value_col).cast(dec).alias("_x")
+    )
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_x").alias("_s")
+    )
+    m0 = F.floor(F.col("_s") / F.col("n")).cast(dec)
+    stats = stats.select("n", "_s", m0.alias("_m0"))
+    centred = vals.crossJoin(F.broadcast(stats)).select(
+        "_vid", (F.col("_x") - F.col("_m0")).alias("_d")
+    )
+    d2 = centred.agg(
+        F.sum(F.col("_d") * F.col("_d")).alias("_d2")
+    )
+    pairs = grid_neighbor_pairs(flt, id_col, lat_col, lon_col, cell_deg)
+    pa = centred.select(
+        F.col("_vid").alias("a"), F.col("_d").alias("_da")
+    )
+    pb = centred.select(
+        F.col("_vid").alias("b"), F.col("_d").alias("_db")
+    )
+    psums = (
+        pairs.join(pa, "a")
+        .join(pb, "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("_da") * F.col("_db")).alias("_p"),
+            F.sum(F.col("_da") + F.col("_db")).alias("_q"),
+        )
+    )
+    j = (
+        stats.crossJoin(F.broadcast(d2)).crossJoin(F.broadcast(psums))
+    )
+    nd = F.col("n").cast("double")
+    delta = (
+        F.col("_s") - F.col("n") * F.col("_m0")
+    ).cast("double") / nd
+    npd = F.coalesce(F.col("n_pairs"), F.lit(0)).cast("double")
+    num = (
+        F.coalesce(F.col("_p").cast("double"), F.lit(0.0))
+        - delta * F.coalesce(F.col("_q").cast("double"), F.lit(0.0))
+    ) + npd * (delta * delta)
+    den = F.col("_d2").cast("double") - nd * (delta * delta)
+    w = F.lit(2.0) * npd
+    i_m = ((nd / w) * (F.lit(2.0) * num)) / den
+    ok = (npd > 0.0) & (den > 0.0)
+    return j.select(
+        "n",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+        w.alias("w"),
+        F.when(ok, i_m).alias("i_moran"),
+        F.when(
+            F.col("n") > 1, F.lit(-1.0) / (nd - F.lit(1.0))
+        ).alias("e_i"),
+    )

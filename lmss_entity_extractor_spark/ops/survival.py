@@ -179,3 +179,59 @@ def logrank_test(
             F.col("v") > 0.0, (F.col("_oe") * F.col("_oe")) / F.col("v")
         ).alias("chi2"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    by: list[str],
+    duration_col: str,
+    event_col: str,
+    max_points: int = 1000,
+) -> DataFrame:
+    """``(by..., t, n_risk, n_events, n_censored, cumhaz,
+    var_cumhaz)`` — the Nelson-Aalen cumulative-hazard estimator
+    (L254): the additive sibling of Kaplan-Meier (L159 multiplies
+    survival factors; NA sums hazard increments d/n, which is the
+    better-behaved quantity for small risk sets and the natural input
+    to hazard-ratio eyeballing before a formal L160 log-rank):
+
+        H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ,    Var = Σ_{tᵢ≤t} dᵢ/nᵢ²
+
+    Rides the SAME bounded grid core as L159/L160 (exact integer risk
+    sets, max_points refusal, NULL exclusion); each increment is one
+    fixed IEEE tree and both prefix sums are t-sorted bounded folds —
+    bit-identical, ungridded.
+
+    Scale shape: identical to L159.
+
+    No reference counterpart; survival analytics per SURVEY §2.11.
+    """
+    grid = _grid(df, by, duration_col, event_col, max_points)
+    arr = F.sort_array(
+        F.collect_list(F.struct("t", "d", "c", "n"))
+    ).alias("_a")
+    packed = grid.groupBy(*by).agg(arr)
+    s = F.explode("_a").alias("_s")
+    rows = packed.select(*by, "_a", s)
+    prefix = F.filter("_a", lambda x: x["t"] <= F.col("_s.t"))
+    cumhaz = F.aggregate(
+        prefix,
+        F.lit(0.0),
+        lambda acc, x: acc + x["d"].cast("double") / x["n"].cast("double"),
+    )
+    var = F.aggregate(
+        prefix,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["d"].cast("double")
+        / (x["n"].cast("double") * x["n"].cast("double")),
+    )
+    return rows.select(
+        *by,
+        F.col("_s.t").alias("t"),
+        F.col("_s.n").alias("n_risk"),
+        F.col("_s.d").alias("n_events"),
+        F.col("_s.c").alias("n_censored"),
+        cumhaz.alias("cumhaz"),
+        var.alias("var_cumhaz"),
+    )
