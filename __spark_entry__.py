@@ -6836,6 +6836,34 @@ def q_morans_i(spark, sf_dir):
     return morans_i(c, "id", "lat", "lon", "v", cell_deg=5.0)
 
 
+def q_icc(spark, sf_dir):
+    """One-way ICC(1,1) (L255): how user-clustered are floored event
+    values — exact decimal per-unit stats, bounded sorted-unit fold,
+    unbalanced k₀ correction, fixed trees."""
+    from lmss_entity_extractor_spark.ops.stattests import icc_oneway
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.floor("value").alias("v"))
+    )
+    return icc_oneway(e, [], "user_id", "v")
+
+
+def q_tukey(spark, sf_dir):
+    """Tukey-Kramer HSD pairs (L256): which event-type means differ
+    after the L215 omnibus — exact decimal level stats, bounded MSW
+    fold, one fixed q tree per ordered pair."""
+    from lmss_entity_extractor_spark.ops.stattests import tukey_hsd
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", F.floor("value").alias("v"))
+    )
+    return tukey_hsd(e, [], "event_type", "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6877,6 +6905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_test": q_g_test,
         "nelson_aalen": q_nelson_aalen,
         "morans_i": q_morans_i,
+        "icc": q_icc,
+        "tukey": q_tukey,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15616,6 +15646,128 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n,
                CAST(count(DISTINCT p_name) AS BIGINT) AS n_names
         FROM part GROUP BY 1
+    """
+    oracles["icc"] = """
+        -- exact decimal per-unit stats; S^2/n fold over the sorted
+        -- unit list; fixed MSB/MSW/k0/ICC trees
+        WITH base AS (
+            SELECT user_id AS u,
+                   CAST(CAST(floor(value) AS BIGINT)
+                        AS DECIMAL(18,4)) AS x
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+        ),
+        per AS (
+            SELECT u, CAST(count(*) AS BIGINT) AS nj,
+                   sum(x) AS s, sum(x * x) AS sxx
+            FROM base GROUP BY 1
+        ),
+        arr AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_units,
+                   CAST(sum(nj) AS BIGINT) AS n,
+                   CAST(sum(s) AS DOUBLE) AS st,
+                   CAST(sum(sxx) AS DOUBLE) AS qt,
+                   CAST(sum(CAST(nj AS DECIMAL(38,0)) * nj)
+                        AS DOUBLE) AS nsq,
+                   list_reduce(list_prepend(0.0,
+                       [(CAST(v.s AS DOUBLE) * CAST(v.s AS DOUBLE))
+                        / CAST(v.nj AS DOUBLE)
+                        FOR v IN list_sort(list(struct_pack(
+                            u := u, nj := nj, s := s)))]),
+                       (acc, t) -> acc + t) AS ssb_units
+            FROM per
+        )
+        SELECT n_units, n,
+               CASE WHEN n_units >= 2
+                    THEN (ssb_units - (st * st) / CAST(n AS DOUBLE))
+                         / (CAST(n_units AS DOUBLE) - 1.0) END AS msb,
+               CASE WHEN n > n_units
+                    THEN (qt - ssb_units)
+                         / (CAST(n AS DOUBLE)
+                            - CAST(n_units AS DOUBLE)) END AS msw,
+               CASE WHEN n_units >= 2
+                    THEN (CAST(n AS DOUBLE) - nsq / CAST(n AS DOUBLE))
+                         / (CAST(n_units AS DOUBLE) - 1.0) END AS k0,
+               CASE WHEN n_units >= 2 AND n > n_units
+                         AND (ssb_units - (st * st)
+                                          / CAST(n AS DOUBLE))
+                             / (CAST(n_units AS DOUBLE) - 1.0)
+                             + ((CAST(n AS DOUBLE)
+                                 - nsq / CAST(n AS DOUBLE))
+                                / (CAST(n_units AS DOUBLE) - 1.0)
+                                - 1.0)
+                               * ((qt - ssb_units)
+                                  / (CAST(n AS DOUBLE)
+                                     - CAST(n_units AS DOUBLE)))
+                             <> 0.0
+                    THEN ((ssb_units - (st * st) / CAST(n AS DOUBLE))
+                          / (CAST(n_units AS DOUBLE) - 1.0)
+                          - (qt - ssb_units)
+                            / (CAST(n AS DOUBLE)
+                               - CAST(n_units AS DOUBLE)))
+                         / ((ssb_units - (st * st)
+                                         / CAST(n AS DOUBLE))
+                            / (CAST(n_units AS DOUBLE) - 1.0)
+                            + ((CAST(n AS DOUBLE)
+                                - nsq / CAST(n AS DOUBLE))
+                               / (CAST(n_units AS DOUBLE) - 1.0)
+                               - 1.0)
+                              * ((qt - ssb_units)
+                                 / (CAST(n AS DOUBLE)
+                                    - CAST(n_units AS DOUBLE))))
+               END AS icc
+        FROM arr
+    """
+    oracles["tukey"] = """
+        -- exact decimal level stats; bounded MSW fold; one q tree
+        -- per ordered pair
+        WITH base AS (
+            SELECT event_type AS g,
+                   CAST(CAST(floor(value) AS BIGINT)
+                        AS DECIMAL(18,4)) AS x
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ),
+        per AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS nj,
+                   sum(x) AS s, sum(x * x) AS sxx
+            FROM base GROUP BY 1
+        ),
+        arr AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(nj) AS BIGINT) AS n,
+                   list_reduce(list_prepend(0.0,
+                       [(CAST(v.sxx AS DOUBLE)
+                         - (CAST(v.s AS DOUBLE)
+                            * CAST(v.s AS DOUBLE))
+                           / CAST(v.nj AS DOUBLE))
+                        FOR v IN list_sort(list(struct_pack(
+                            g := g, sxx := CAST(sxx AS DOUBLE),
+                            s := CAST(s AS DOUBLE),
+                            nj := CAST(nj AS DOUBLE))))]),
+                       (acc, t) -> acc + t) AS ssw
+            FROM per
+        ),
+        stats AS (
+            SELECT k, n,
+                   CASE WHEN n > k
+                             AND ssw / (CAST(n AS DOUBLE)
+                                        - CAST(k AS DOUBLE)) > 0.0
+                        THEN ssw / (CAST(n AS DOUBLE)
+                                    - CAST(k AS DOUBLE)) END AS msw
+            FROM arr
+        )
+        SELECT a.g AS g_a, b.g AS g_b, a.nj AS n_a, b.nj AS n_b,
+               CAST(a.s AS DOUBLE) / CAST(a.nj AS DOUBLE) AS mean_a,
+               CAST(b.s AS DOUBLE) / CAST(b.nj AS DOUBLE) AS mean_b,
+               CASE WHEN stats.msw IS NOT NULL THEN
+                   (CAST(a.s AS DOUBLE) / CAST(a.nj AS DOUBLE)
+                    - CAST(b.s AS DOUBLE) / CAST(b.nj AS DOUBLE))
+                   / sqrt((stats.msw / 2.0)
+                          * (1.0 / CAST(a.nj AS DOUBLE)
+                             + 1.0 / CAST(b.nj AS DOUBLE)))
+               END AS q
+        FROM per a JOIN per b ON a.g < b.g CROSS JOIN stats
     """
     oracles["nelson_aalen"] = """
         -- H(t) = sum d/n, Var = sum d/n^2 as t-sorted prefix folds

@@ -1127,3 +1127,206 @@ def g_test(
         F.when(ok, F.lit(2.0) * F.col("_s")).alias("g"),
         ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
     )
+
+
+def icc_oneway(
+    df: DataFrame,
+    by: list[str],
+    unit_col: str,
+    value_col: str,
+    scale: int = 4,
+    max_units: int = 10_000,
+) -> DataFrame:
+    """``(by..., n_units, n, msb, msw, k0, icc)`` — the one-way
+    random-effects intraclass correlation ICC(1,1) (L255): how much of
+    a CONTINUOUS score's variance lives between units vs within them —
+    the continuous-scale member of the agreement family (κ/α/W handle
+    categories and ranks; ICC handles the rubric score itself) and the
+    design-effect input for clustered experiments:
+
+        ICC = (MSB − MSW) / (MSB + (k₀ − 1)·MSW)
+        k₀  = (N − Σn_j²/N) / (J − 1)      (unbalanced correction)
+
+    MSB/MSW come from exact DECIMAL per-unit sufficient statistics
+    (the L135/L139 discipline): Σn_j², ΣS_j, ΣSxx_j are
+    order-insensitive exact decimal sums, and the one per-unit
+    DIVISION sum Σ S_j²/n_j folds over the sorted unit list — which is
+    why the unit count must stay BOUNDED (the L174/L193 contract;
+    rater×item designs are small by nature).  Groups exceeding
+    ``max_units`` (10⁴) refuse loudly.
+
+    Degenerate (J < 2, N ≤ J, or a zero denominator) → NULL icc.
+
+    Scale shape: one combinable (keys, unit) groupBy + one bounded
+    fold.  100 TB scans once.
+
+    No reference counterpart; annotation-QA analytics per SURVEY
+    §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(
+        F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    xd = F.col(value_col).cast(dec)
+    per = flt.groupBy(*by, F.col(unit_col).alias("_u")).agg(
+        F.count(F.lit(1)).alias("_nj"),
+        F.sum(xd).alias("_s"),
+        F.sum(xd * xd).alias("_sxx"),
+    )
+    sizes = per.groupBy(*by).agg(F.count(F.lit(1)).alias("_ju"))
+    over = sizes.filter(F.col("_ju") > max_units).count()
+    if over:
+        raise ValueError(
+            f"icc_oneway: a group exceeds max_units={max_units} — the "
+            "per-unit fold must stay bounded; bucket units first"
+        )
+    arr = per.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("_nj").alias("n"),
+        F.sum("_s").alias("_st"),
+        F.sum("_sxx").alias("_qt"),
+        F.sum(F.col("_nj").cast("decimal(38,0)") * F.col("_nj")).alias(
+            "_nsq"
+        ),
+        F.sort_array(
+            F.collect_list(F.struct("_u", "_nj", "_s"))
+        ).alias("_lv"),
+    )
+    ssb_units = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, v: acc
+        + (v["_s"].cast("double") * v["_s"].cast("double"))
+        / v["_nj"].cast("double"),
+    )
+    nd = F.col("n").cast("double")
+    jd = F.col("n_units").cast("double")
+    td = F.col("_st").cast("double")
+    ssb = ssb_units - (td * td) / nd
+    ssw = F.col("_qt").cast("double") - ssb_units
+    msb = ssb / (jd - F.lit(1.0))
+    msw = ssw / (nd - jd)
+    k0 = (nd - F.col("_nsq").cast("double") / nd) / (jd - F.lit(1.0))
+    den = msb + (k0 - F.lit(1.0)) * msw
+    ok = (
+        (F.col("n_units") >= 2)
+        & (F.col("n") > F.col("n_units"))
+        & (den != F.lit(0.0))
+    )
+    return arr.select(
+        *by,
+        "n_units",
+        "n",
+        F.when(F.col("n_units") >= 2, msb).alias("msb"),
+        F.when(F.col("n") > F.col("n_units"), msw).alias("msw"),
+        F.when(F.col("n_units") >= 2, k0).alias("k0"),
+        F.when(ok, (msb - msw) / den).alias("icc"),
+    )
+
+
+def tukey_hsd(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    value_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., g_a, g_b, n_a, n_b, mean_a, mean_b, q)`` — the
+    Tukey-Kramer studentized-range statistic for every treatment pair
+    (L256): AFTER the L215 one-way ANOVA rejects, WHICH means differ —
+    the parametric counterpart to Dunn (L233, ranks):
+
+        q_ab = (m_a − m_b) / sqrt((MSW/2)·(1/n_a + 1/n_b))
+
+    (the Kramer unbalanced form).  Per-level exact DECIMAL sufficient
+    statistics; MSW = Σ(Sxx_j − S_j²/n_j)/(N−k) folded over the
+    BOUNDED sorted level list (the L193 discipline); each pair's q is
+    a fixed IEEE tree over the broadcast MSW; pairs are emitted once
+    with g_a < g_b.  Compare |q| against the studentized-range
+    critical value (p-values deliberately not emitted).  MSW ≤ 0 or
+    N ≤ k → NULL q.
+
+    Scale shape: one combinable (keys, level) groupBy + a bounded k×k
+    pair join — the L233 shape with decimal stats instead of ranks.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    xd = F.col(value_col).cast(dec)
+    per = flt.groupBy(*by, F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_nj"),
+        F.sum(xd).alias("_s"),
+        F.sum(xd * xd).alias("_sxx"),
+    )
+    arr = per.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_nj").alias("_n"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("_g"),
+                        F.col("_sxx").cast("double").alias("_qd"),
+                        F.col("_s").cast("double").alias("_sd"),
+                        F.col("_nj").cast("double").alias("_njd"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc
+            + (v["_qd"] - (v["_sd"] * v["_sd"]) / v["_njd"]),
+        ).alias("_ssw"),
+    )
+    nd = F.col("_n").cast("double")
+    kd = F.col("_k").cast("double")
+    msw = F.col("_ssw") / (nd - kd)
+    stats = arr.select(
+        *by,
+        "_k",
+        "_n",
+        F.when((F.col("_n") > F.col("_k")) & (msw > 0.0), msw).alias(
+            "_msw"
+        ),
+    )
+    a = per.select(
+        *by,
+        F.col("_g").alias("g_a"),
+        F.col("_nj").alias("n_a"),
+        F.col("_s").alias("_sa"),
+    )
+    b = per.select(
+        *by,
+        F.col("_g").alias("g_b"),
+        F.col("_nj").alias("n_b"),
+        F.col("_s").alias("_sb"),
+    )
+    pairs = (
+        a.join(b, [*by]) if by else a.crossJoin(b)
+    ).filter(F.col("g_a") < F.col("g_b"))
+    pairs = (
+        pairs.join(F.broadcast(stats), by)
+        if by
+        else pairs.crossJoin(F.broadcast(stats))
+    )
+    ma = F.col("_sa").cast("double") / F.col("n_a").cast("double")
+    mb = F.col("_sb").cast("double") / F.col("n_b").cast("double")
+    q = (ma - mb) / F.sqrt(
+        (F.col("_msw") / F.lit(2.0))
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return pairs.select(
+        *by,
+        "g_a",
+        "g_b",
+        "n_a",
+        "n_b",
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        F.when(F.col("_msw").isNotNull(), q).alias("q"),
+    )
