@@ -6864,6 +6864,37 @@ def q_tukey(spark, sf_dir):
     return tukey_hsd(e, [], "event_type", "v")
 
 
+def q_diversity(spark, sf_dir):
+    """Diversity panel (L257): event-type composition per user-parity
+    bucket — exact cells, bounded ln folds, order-insensitive max."""
+    from lmss_entity_extractor_spark.ops.concentration import diversity_indices
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("bucket"), "event_type"
+    )
+    return diversity_indices(e, ["bucket"], "event_type")
+
+
+def q_cumulative_incidence(spark, sf_dir):
+    """Aalen-Johansen CIF (L258): two competing causes on the L159
+    duration fixture — all-cause KM prefix products feeding per-cause
+    d/n increments, nested bounded folds."""
+    from lmss_entity_extractor_spark.ops.survival import cumulative_incidence
+
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        ((F.max("event_id") - F.min("event_id")) % 30).alias("dur")
+    )
+    d = u.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        "dur",
+        F.when(F.col("user_id") % 5 == 0, 0)
+        .otherwise((F.col("user_id") % 3) % 2 + 1)
+        .alias("cause"),
+    )
+    return cumulative_incidence(d, ["cohort"], "dur", "cause")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6907,6 +6938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": q_morans_i,
         "icc": q_icc,
         "tukey": q_tukey,
+        "diversity": q_diversity,
+        "cumulative_incidence": q_cumulative_incidence,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15646,6 +15679,126 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n,
                CAST(count(DISTINCT p_name) AS BIGINT) AS n_names
         FROM part GROUP BY 1
+    """
+    oracles["diversity"] = """
+        -- exact cells; bounded ln folds; order-insensitive max
+        WITH cells AS (
+            SELECT user_id % 2 AS bucket, event_type AS v,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT bucket,
+                   CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(max(c) AS BIGINT) AS cmax,
+                   list_sort(list(struct_pack(v := v, c := c))) AS lv
+            FROM cells GROUP BY 1
+        )
+        SELECT bucket, n, k,
+               -list_reduce(list_prepend(0.0,
+                   [(CAST(e.c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln(CAST(e.c AS DOUBLE) / CAST(n AS DOUBLE))
+                    FOR e IN lv]),
+                   (acc, t) -> acc + t) AS shannon,
+               CASE WHEN k > 1 THEN
+                   -list_reduce(list_prepend(0.0,
+                       [(CAST(e.c AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln(CAST(e.c AS DOUBLE) / CAST(n AS DOUBLE))
+                        FOR e IN lv]),
+                       (acc, t) -> acc + t)
+                   / ln(CAST(k AS DOUBLE)) END AS evenness,
+               list_reduce(list_prepend(0.0,
+                   [(CAST(e.c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(e.c AS DOUBLE) / CAST(n AS DOUBLE))
+                    FOR e IN lv]),
+                   (acc, t) -> acc + t) AS simpson,
+               CASE WHEN list_reduce(list_prepend(0.0,
+                       [(CAST(e.c AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(e.c AS DOUBLE) / CAST(n AS DOUBLE))
+                        FOR e IN lv]),
+                       (acc, t) -> acc + t) > 0.0
+                    THEN 1.0 / list_reduce(list_prepend(0.0,
+                       [(CAST(e.c AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(e.c AS DOUBLE) / CAST(n AS DOUBLE))
+                        FOR e IN lv]),
+                       (acc, t) -> acc + t) END AS inv_simpson,
+               CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE)
+                   AS berger_parker
+        FROM agg
+    """
+    oracles["cumulative_incidence"] = """
+        -- all-cause KM prefix products feeding per-cause d/n
+        -- increments; nested bounded folds over the L159 grid
+        WITH u AS (
+            SELECT user_id,
+                   (max(event_id) - min(event_id)) % 30 AS dur
+            FROM events GROUP BY 1
+        ),
+        d0 AS (
+            SELECT user_id % 2 AS cohort, dur,
+                   CASE WHEN user_id % 5 = 0 THEN 0
+                        ELSE (user_id % 3) % 2 + 1 END AS cause
+            FROM u WHERE dur IS NOT NULL
+        ),
+        pts AS (
+            SELECT cohort, CAST(dur AS BIGINT) AS t,
+                   CAST(sum(CASE WHEN cause > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d,
+                   CAST(sum(CASE WHEN cause = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c
+            FROM d0 GROUP BY 1, 2
+        ),
+        risk AS (
+            SELECT cohort, t, d,
+                   CAST(sum(d + c) OVER (PARTITION BY cohort)
+                        - coalesce(sum(d + c) OVER (
+                              PARTITION BY cohort ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n
+            FROM pts
+        ),
+        packed AS (
+            SELECT cohort,
+                   list_sort(list(struct_pack(
+                       t := t, d := d, n := n))) AS a
+            FROM risk GROUP BY 1
+        ),
+        ck AS (
+            SELECT cohort, CAST(cause AS BIGINT) AS cause,
+                   CAST(dur AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS dk
+            FROM d0 WHERE cause > 0 GROUP BY 1, 2, 3
+        ),
+        karr AS (
+            SELECT cohort, cause,
+                   list_sort(list(struct_pack(t := t, dk := dk)))
+                       AS k
+            FROM ck GROUP BY 1, 2
+        ),
+        rws AS (
+            SELECT karr.cohort, karr.cause, karr.k, packed.a,
+                   unnest(karr.k) AS e
+            FROM karr JOIN packed USING (cohort)
+        )
+        SELECT cohort, cause, e.t AS t,
+               list_filter(a, x -> x.t = e.t)[1].n AS n_risk,
+               e.dk AS n_events,
+               list_reduce(list_prepend(0.0,
+                   [list_reduce(list_prepend(1.0,
+                        [CAST(x.n - x.d AS DOUBLE)
+                         / CAST(x.n AS DOUBLE)
+                         FOR x IN list_filter(a,
+                             x -> x.t < f.t)]),
+                        (acc, v) -> acc * v)
+                    * (CAST(f.dk AS DOUBLE)
+                       / CAST(list_filter(a,
+                              x -> x.t = f.t)[1].n AS DOUBLE))
+                    FOR f IN list_filter(k, f -> f.t <= e.t)]),
+                   (acc, v) -> acc + v) AS cif
+        FROM rws
     """
     oracles["icc"] = """
         -- exact decimal per-unit stats; S^2/n fold over the sorted

@@ -296,3 +296,70 @@ def ljung_box(
         F.when(F.col("_bad") == 0, q).alias("q"),
         F.col("m").alias("dof"),
     )
+
+
+def diversity_indices(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+) -> DataFrame:
+    """``(by..., n, k, shannon, evenness, simpson, inv_simpson,
+    berger_parker)`` — the categorical diversity panel (L257): how
+    concentrated is a composition (event mix, vocabulary, label
+    balance) — the CATEGORICAL companion to the rank-based Gini
+    (L150):
+
+        H  = −Σ p·ln p          (Shannon, nats)
+        J  = H / ln k           (Pielou evenness; NULL at k = 1)
+        D  = Σ p²               (Simpson),  1/D (inverse Simpson)
+        BP = max p              (Berger-Parker dominance)
+
+    Counts are exact integers; each p = c/n term is a fixed IEEE tree
+    folded over the BOUNDED sorted category list (the L140/L152
+    discipline — ln is the family's libm reliance); BP's max is
+    order-insensitive.  Empty groups can't occur (cells require a
+    row); k = 1 → H = 0, J NULL, D = 1.
+
+    Scale shape: one combinable (keys, value) groupBy + one bounded
+    fold — one scan of 100 TB.
+
+    No reference counterpart; composition analytics per SURVEY §2.11.
+    """
+    flt = df.filter(F.col(value_col).isNotNull())
+    cells = flt.groupBy(*by, F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    agg = cells.groupBy(*by).agg(
+        F.sum("_c").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.max("_c").alias("_cmax"),
+        F.sort_array(
+            F.collect_list(F.struct("_v", "_c"))
+        ).alias("_lv"),
+    )
+    nd = F.col("n").cast("double")
+    h = -F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, v: acc
+        + (v["_c"].cast("double") / nd)
+        * F.log(v["_c"].cast("double") / nd),
+    )
+    d = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, v: acc
+        + (v["_c"].cast("double") / nd)
+        * (v["_c"].cast("double") / nd),
+    )
+    kd = F.col("k").cast("double")
+    return agg.select(
+        *by,
+        "n",
+        "k",
+        h.alias("shannon"),
+        F.when(F.col("k") > 1, h / F.log(kd)).alias("evenness"),
+        d.alias("simpson"),
+        F.when(d > 0.0, F.lit(1.0) / d).alias("inv_simpson"),
+        (F.col("_cmax").cast("double") / nd).alias("berger_parker"),
+    )
