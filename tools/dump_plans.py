@@ -57,6 +57,15 @@ SHOWCASE = [
     ("friedman", "block-local rank windows key on (group, block) — high-cardinality partitions, no global sort; k-filter joins broadcast"),
     ("jonckheere", "two grid windows (value-prefix within group, group-prefix within value) over the bounded grid; polynomials fold combinably"),
     ("t_closeness", "global value ladder broadcast into the class grid; per-class cumulative window keys on the quasi-identifier"),
+    ("soundex", "the WHOLE phonetic algorithm is one generated codegen expression (shared verbatim with the oracle) — no UDF, the only exchange is the final histogram"),
+    ("pettitt", "changepoint scan = doubled-rank grid join + ONE keyed window prefix + combinable struct-argmax — no per-split-point self-join"),
+    ("hodges_lehmann", "the O(n²) Walsh lattice is an IN-ROW posexplode after one keyed collect — pairs never shuffle"),
+    ("best_split", "threshold search = one prefix window over the distinct-value grid + struct-max argmax — no per-candidate rescans"),
+    ("anderson_darling", "one distinct-value grid, two prefix windows, ONE sorted-list fold carrying both samples' sums in a struct accumulator"),
+    ("calinski", "micro-unit moment sums: one posexplode groupBy to k·d cells, then broadcast-size folds — the vector table scans once"),
+    ("morans_i", "spatial weights ARE the L212 grid equi-join; values join by id — no O(n²) weight matrix is ever materialized"),
+    ("topk_churn", "per-period window top-k shrinks the fact table to k·periods rows; the churn join is adjacent-rank over that bounded set"),
+    ("cumulative_incidence", "the grid² Aalen-Johansen folds run INSIDE per-key arrays — executor-side, zero exchanges beyond the two grid groupBys"),
 ]
 
 
