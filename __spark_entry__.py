@@ -6895,6 +6895,25 @@ def q_cumulative_incidence(spark, sf_dir):
     return cumulative_incidence(d, ["cohort"], "dur", "cause")
 
 
+def q_gk_lambda(spark, sf_dir):
+    """Goodman-Kruskal λ (L259): PRE association of order priority vs
+    status — exact integer cell/margin maxima, one division each way,
+    fold-free."""
+    from lmss_entity_extractor_spark.ops.infotheory import gk_lambda
+
+    o = _t(spark, sf_dir, "orders")
+    return gk_lambda(o, "o_orderpriority", "o_orderstatus")
+
+
+def q_theils_u(spark, sf_dir):
+    """Theil's U (L260): asymmetric normalized MI on the L152 input —
+    one extra division each direction."""
+    from lmss_entity_extractor_spark.ops.infotheory import theils_u
+
+    o = _t(spark, sf_dir, "orders")
+    return theils_u(o, "o_orderpriority", "o_orderstatus")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6940,6 +6959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tukey": q_tukey,
         "diversity": q_diversity,
         "cumulative_incidence": q_cumulative_incidence,
+        "gk_lambda": q_gk_lambda,
+        "theils_u": q_theils_u,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15679,6 +15700,59 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n,
                CAST(count(DISTINCT p_name) AS BIGINT) AS n_names
         FROM part GROUP BY 1
+    """
+    oracles["gk_lambda"] = """
+        -- exact integer cell/margin maxima; ONE division per
+        -- direction, fold-free
+        WITH flt AS (
+            SELECT o_orderpriority AS x, o_orderstatus AS y
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND o_orderstatus IS NOT NULL
+        ),
+        cells AS (
+            SELECT x, y, CAST(count(*) AS BIGINT) AS o
+            FROM flt GROUP BY 1, 2
+        ),
+        smy AS (
+            SELECT CAST(sum(m) AS BIGINT) AS sum_max_y FROM (
+                SELECT x, max(o) AS m FROM cells GROUP BY 1
+            )
+        ),
+        smx AS (
+            SELECT CAST(sum(m) AS BIGINT) AS sum_max_x FROM (
+                SELECT y, max(o) AS m FROM cells GROUP BY 1
+            )
+        ),
+        my AS (
+            SELECT CAST(max(t) AS BIGINT) AS max_y,
+                   CAST(sum(t) AS BIGINT) AS n FROM (
+                SELECT y, sum(o) AS t FROM cells GROUP BY 1
+            )
+        ),
+        mx AS (
+            SELECT CAST(max(t) AS BIGINT) AS max_x FROM (
+                SELECT x, sum(o) AS t FROM cells GROUP BY 1
+            )
+        )
+        SELECT n,
+               CASE WHEN n > max_y
+                    THEN CAST(sum_max_y - max_y AS DOUBLE)
+                         / CAST(n - max_y AS DOUBLE)
+               END AS lambda_yx,
+               CASE WHEN n > max_x
+                    THEN CAST(sum_max_x - max_x AS DOUBLE)
+                         / CAST(n - max_x AS DOUBLE)
+               END AS lambda_xy
+        FROM my CROSS JOIN mx CROSS JOIN smy CROSS JOIN smx
+    """
+    # L260: the L152 oracle nested verbatim + the two U divisions
+    oracles["theils_u"] = f"""
+        WITH m AS ({oracles["mutual_info"]})
+        SELECT n, mi, h_x, h_y,
+               CASE WHEN h_y > 0.0 THEN mi / h_y END AS u_yx,
+               CASE WHEN h_x > 0.0 THEN mi / h_x END AS u_xy
+        FROM m
     """
     oracles["diversity"] = """
         -- exact cells; bounded ln folds; order-insensitive max

@@ -279,3 +279,92 @@ def hellinger_distance(
         F.when(ok, h).alias("hellinger"),
         F.when(ok & (bc > 0.0), -F.log(bc)).alias("bhattacharyya"),
     )
+
+
+def gk_lambda(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """One row ``(n, lambda_yx, lambda_xy)`` — Goodman-Kruskal λ
+    (L259): the proportional-reduction-in-error association for
+    categoricals — "how much better do I guess y knowing x than
+    guessing the modal y blind":
+
+        λ_y|x = (Σ_x max_y n_xy − max_y n_y) / (N − max_y n_y)
+
+    (and symmetrically for λ_x|y).  Every quantity is an exact
+    integer (cell maxima, margin maxima, one subtraction) and λ is
+    ONE division — bit-identical, no folds, no transcendentals, the
+    plainest member of the association family (χ² L140, V L194,
+    MI L152, U L260).  A modal margin equal to N (constant column) →
+    NULL for that direction.
+
+    Scale shape: one combinable cell groupBy + two margin aggs —
+    one scan of 100 TB.
+
+    No reference counterpart; association analytics per SURVEY §2.11.
+    """
+    flt = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    cells = flt.groupBy(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    mx_given_x = cells.groupBy("_x").agg(F.max("_o").alias("_m")).agg(
+        F.sum("_m").alias("_sum_max_y")
+    )
+    mx_given_y = cells.groupBy("_y").agg(F.max("_o").alias("_m")).agg(
+        F.sum("_m").alias("_sum_max_x")
+    )
+    marg_y = cells.groupBy("_y").agg(F.sum("_o").alias("_t")).agg(
+        F.max("_t").alias("_max_y"), F.sum("_t").alias("n")
+    )
+    marg_x = cells.groupBy("_x").agg(F.sum("_o").alias("_t")).agg(
+        F.max("_t").alias("_max_x")
+    )
+    j = (
+        marg_y.crossJoin(F.broadcast(marg_x))
+        .crossJoin(F.broadcast(mx_given_x))
+        .crossJoin(F.broadcast(mx_given_y))
+    )
+    lam_yx = (F.col("_sum_max_y") - F.col("_max_y")).cast("double") / (
+        F.col("n") - F.col("_max_y")
+    ).cast("double")
+    lam_xy = (F.col("_sum_max_x") - F.col("_max_x")).cast("double") / (
+        F.col("n") - F.col("_max_x")
+    ).cast("double")
+    return j.select(
+        "n",
+        F.when(F.col("n") > F.col("_max_y"), lam_yx).alias("lambda_yx"),
+        F.when(F.col("n") > F.col("_max_x"), lam_xy).alias("lambda_xy"),
+    )
+
+
+def theils_u(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """One row ``(n, mi, h_x, h_y, u_yx, u_xy)`` — Theil's uncertainty
+    coefficient (L260): the ASYMMETRIC normalized mutual information —
+    U(y|x) = MI/H(y) is the fraction of y's entropy explained by x
+    (feature-screening's directional companion to the symmetric NMI,
+    L152; identical machinery, one extra division each way).  H = 0 on
+    a side → NULL for the direction normalized by it.
+
+    Scale shape: exactly L152's.
+
+    No reference counterpart; association analytics per SURVEY §2.11.
+    """
+    base = mutual_information(df, x_col, y_col)
+    return base.select(
+        "n",
+        "mi",
+        "h_x",
+        "h_y",
+        F.when(F.col("h_y") > 0.0, F.col("mi") / F.col("h_y")).alias(
+            "u_yx"
+        ),
+        F.when(F.col("h_x") > 0.0, F.col("mi") / F.col("h_x")).alias(
+            "u_xy"
+        ),
+    )
