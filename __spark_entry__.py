@@ -6914,6 +6914,34 @@ def q_theils_u(spark, sf_dir):
     return theils_u(o, "o_orderpriority", "o_orderstatus")
 
 
+def q_interevent(spark, sf_dir):
+    """Inter-event panel (L261): arrival burstiness per event type —
+    exact µs gaps (multiset invariant under tie order), decimal
+    sufficient stats, CV and Goh-Barabási B trees."""
+    from lmss_entity_extractor_spark.ops.timeseries import interevent_stats
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", "ts")
+    )
+    return interevent_stats(e, ["event_type"], "ts")
+
+
+def q_dispersion(spark, sf_dir):
+    """Dispersion index (L262): are per-user event counts Poisson-like
+    within each type — exact integer counts, one VMR tree."""
+    from lmss_entity_extractor_spark.ops.concentration import dispersion_index
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return dispersion_index(e, ["event_type"], "c")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6961,6 +6989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_incidence": q_cumulative_incidence,
         "gk_lambda": q_gk_lambda,
         "theils_u": q_theils_u,
+        "interevent": q_interevent,
+        "dispersion": q_dispersion,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15700,6 +15730,124 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n,
                CAST(count(DISTINCT p_name) AS BIGINT) AS n_names
         FROM part GROUP BY 1
+    """
+    oracles["interevent"] = """
+        -- exact microsecond gaps (sorted-multiset differences are
+        -- tie-order invariant); decimal stats; fixed CV/B trees
+        WITH base AS (
+            SELECT event_type AS g, epoch_us(ts) AS us
+            FROM events WHERE ts IS NOT NULL
+        ),
+        gaps AS (
+            SELECT g,
+                   CAST(us - lag(us) OVER (PARTITION BY g
+                                           ORDER BY us)
+                        AS DECIMAL(20,0)) AS d
+            FROM base
+        ),
+        agg AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n_gaps,
+                   sum(d) AS s, sum(d * d) AS q
+            FROM gaps WHERE d IS NOT NULL GROUP BY 1
+        )
+        SELECT g AS event_type, n_gaps,
+               CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_us,
+               CASE WHEN n_gaps >= 2 THEN
+                   sqrt((CAST(n_gaps AS DOUBLE) * CAST(q AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n_gaps AS DOUBLE)
+                           * (CAST(n_gaps AS DOUBLE) - 1.0)))
+               END AS sd_us,
+               CASE WHEN n_gaps >= 2
+                         AND (CAST(n_gaps AS DOUBLE)
+                              * CAST(q AS DOUBLE)
+                              - CAST(s AS DOUBLE)
+                                * CAST(s AS DOUBLE))
+                             / (CAST(n_gaps AS DOUBLE)
+                                * (CAST(n_gaps AS DOUBLE) - 1.0))
+                             >= 0.0
+                         AND CAST(s AS DOUBLE)
+                             / CAST(n_gaps AS DOUBLE) > 0.0
+                    THEN sqrt((CAST(n_gaps AS DOUBLE)
+                               * CAST(q AS DOUBLE)
+                               - CAST(s AS DOUBLE)
+                                 * CAST(s AS DOUBLE))
+                              / (CAST(n_gaps AS DOUBLE)
+                                 * (CAST(n_gaps AS DOUBLE) - 1.0)))
+                         / (CAST(s AS DOUBLE)
+                            / CAST(n_gaps AS DOUBLE))
+               END AS cv,
+               CASE WHEN n_gaps >= 2
+                         AND (CAST(n_gaps AS DOUBLE)
+                              * CAST(q AS DOUBLE)
+                              - CAST(s AS DOUBLE)
+                                * CAST(s AS DOUBLE))
+                             / (CAST(n_gaps AS DOUBLE)
+                                * (CAST(n_gaps AS DOUBLE) - 1.0))
+                             >= 0.0
+                         AND CAST(s AS DOUBLE)
+                             / CAST(n_gaps AS DOUBLE) > 0.0
+                         AND sqrt((CAST(n_gaps AS DOUBLE)
+                                   * CAST(q AS DOUBLE)
+                                   - CAST(s AS DOUBLE)
+                                     * CAST(s AS DOUBLE))
+                                  / (CAST(n_gaps AS DOUBLE)
+                                     * (CAST(n_gaps AS DOUBLE)
+                                        - 1.0)))
+                             + CAST(s AS DOUBLE)
+                               / CAST(n_gaps AS DOUBLE) > 0.0
+                    THEN (sqrt((CAST(n_gaps AS DOUBLE)
+                                * CAST(q AS DOUBLE)
+                                - CAST(s AS DOUBLE)
+                                  * CAST(s AS DOUBLE))
+                               / (CAST(n_gaps AS DOUBLE)
+                                  * (CAST(n_gaps AS DOUBLE) - 1.0)))
+                          - CAST(s AS DOUBLE)
+                            / CAST(n_gaps AS DOUBLE))
+                         / (sqrt((CAST(n_gaps AS DOUBLE)
+                                  * CAST(q AS DOUBLE)
+                                  - CAST(s AS DOUBLE)
+                                    * CAST(s AS DOUBLE))
+                                 / (CAST(n_gaps AS DOUBLE)
+                                    * (CAST(n_gaps AS DOUBLE)
+                                       - 1.0)))
+                            + CAST(s AS DOUBLE)
+                              / CAST(n_gaps AS DOUBLE))
+               END AS burstiness
+        FROM agg
+    """
+    oracles["dispersion"] = """
+        -- exact integer counts; one VMR tree
+        WITH per AS (
+            SELECT event_type AS g, user_id,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(c AS DECIMAL(20,0))) AS s,
+                   sum(CAST(c AS DECIMAL(20,0))
+                       * CAST(c AS DECIMAL(20,0))) AS q
+            FROM per GROUP BY 1
+        )
+        SELECT g AS event_type, n,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               CASE WHEN n >= 2 THEN
+                   (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+               END AS var,
+               CASE WHEN n >= 2
+                         AND CAST(s AS DOUBLE)
+                             / CAST(n AS DOUBLE) > 0.0
+                    THEN ((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                          / (CAST(n AS DOUBLE)
+                             * (CAST(n AS DOUBLE) - 1.0)))
+                         / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               END AS vmr
+        FROM agg
     """
     oracles["gk_lambda"] = """
         -- exact integer cell/margin maxima; ONE division per

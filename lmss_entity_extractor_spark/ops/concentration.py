@@ -363,3 +363,53 @@ def diversity_indices(
         F.when(d > 0.0, F.lit(1.0) / d).alias("inv_simpson"),
         (F.col("_cmax").cast("double") / nd).alias("berger_parker"),
     )
+
+
+def dispersion_index(
+    df: DataFrame,
+    by: list[str],
+    count_col: str,
+) -> DataFrame:
+    """``(by..., n, mean, var, vmr)`` — the variance-to-mean ratio /
+    index of dispersion (L262) over a COUNT column: 1 = Poisson,
+    > 1 overdispersed (bursty terms, hot keys), < 1 underdispersed
+    (regular) — the corpus-curation dispersion screen (a term whose
+    per-document counts are overdispersed is topical; VMR ≈ 1 is
+    function-word-like) and the key-skew diagnostic's statistical
+    twin (L94 ranks keys; VMR scores the whole distribution).
+
+    Counts must be non-negative integers (validated loudly); the
+    caller decides the unit universe (zero-count units must be
+    materialized upstream if they belong in the denominator —
+    documented).  Exact decimal sufficient statistics, sample
+    variance, fixed trees; n < 2 or zero mean → NULL vmr.
+
+    Scale shape: one combinable agg — one scan.
+
+    No reference counterpart; composition analytics per SURVEY §2.11.
+    """
+    flt = df.filter(F.col(count_col).isNotNull())
+    n_neg = flt.filter(F.col(count_col) < 0).count()
+    if n_neg:
+        raise ValueError(
+            f"dispersion_index: {n_neg} negative count(s)"
+        )
+    xd = F.col(count_col).cast("decimal(20,0)")
+    agg = flt.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("_s"),
+        F.sum(xd * xd).alias("_q"),
+    )
+    nd = F.col("n").cast("double")
+    sd_ = F.col("_s").cast("double")
+    qd = F.col("_q").cast("double")
+    mean = sd_ / nd
+    var = (nd * qd - sd_ * sd_) / (nd * (nd - F.lit(1.0)))
+    ok = (F.col("n") >= 2) & (mean > 0.0)
+    return agg.select(
+        *by,
+        "n",
+        mean.alias("mean"),
+        F.when(F.col("n") >= 2, var).alias("var"),
+        F.when(ok, var / mean).alias("vmr"),
+    )

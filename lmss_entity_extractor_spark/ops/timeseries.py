@@ -640,3 +640,75 @@ def sax_symbolize(
         F.when(ok, sym).alias("symbol"),
     )
 
+
+
+def interevent_stats(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """``(by..., n_gaps, mean_us, sd_us, cv, burstiness)`` — the
+    inter-event-time panel (L261): is a stream Poisson-like, periodic,
+    or bursty — the arrival-process diagnostic that complements the
+    value-side ACF (L151) and the rate test (L250):
+
+        CV = σ/μ        (1 = Poisson, <1 periodic, >1 bursty)
+        B  = (σ−μ)/(σ+μ)  (Goh-Barabási burstiness, in (−1, 1))
+
+    Gaps are EXACT integer microseconds (the L182 discipline — a
+    truncated-seconds gap collides and loses weight; the pinned UTC
+    session tz makes the NTZ→epoch cast value-preserving); sufficient
+    statistics are exact decimal sums and every output is a fixed IEEE
+    tree.  NULL timestamps are refused loudly (a dropped row silently
+    merges two gaps).  Keys with < 2 events have no gaps and are
+    omitted; zero-variance or zero-mean panels → NULL cv/burstiness.
+
+    Scale shape: one keyed window sort (the L93/L154 shuffle) + one
+    combinable agg.
+
+    No reference counterpart; stream-diagnostics analytics per SURVEY
+    §2.11.
+    """
+    n_null = df.filter(F.col(ts_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"interevent_stats: {n_null} NULL timestamp(s) — drop "
+            "explicitly first; a skipped row silently merges two gaps"
+        )
+    # NTZ -> TZ cast is value-preserving under the pinned UTC session
+    # tz (the L182 discipline); unix_micros needs the TZ flavor
+    us = F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us")
+    w = Window.partitionBy(*by).orderBy("_us")
+    gaps = (
+        df.select(*by, us)
+        .withColumn("_prev", F.lag("_us").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            *by,
+            (F.col("_us") - F.col("_prev")).cast("decimal(20,0)").alias(
+                "_d"
+            ),
+        )
+    )
+    agg = gaps.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("_d").alias("_s"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_q"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    sd_ = F.col("_s").cast("double")
+    qd = F.col("_q").cast("double")
+    mean = sd_ / nd
+    var = (nd * qd - sd_ * sd_) / (nd * (nd - F.lit(1.0)))
+    sig = F.sqrt(var)
+    ok = (F.col("n_gaps") >= 2) & (var >= 0.0) & (mean > 0.0)
+    return agg.select(
+        *by,
+        "n_gaps",
+        mean.alias("mean_us"),
+        F.when(F.col("n_gaps") >= 2, sig).alias("sd_us"),
+        F.when(ok, sig / mean).alias("cv"),
+        F.when(
+            ok & (sig + mean > 0.0), (sig - mean) / (sig + mean)
+        ).alias("burstiness"),
+    )
