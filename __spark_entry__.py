@@ -6942,6 +6942,16 @@ def q_dispersion(spark, sf_dir):
     return dispersion_index(e, ["event_type"], "c")
 
 
+def q_chi2_residuals(spark, sf_dir):
+    """Adjusted cell residuals (L263): which priority×status cells
+    drive the L140 association — per-cell fixed trees on the exact
+    cell/margin pipeline, no folds."""
+    from lmss_entity_extractor_spark.ops.stattests import chi2_residuals
+
+    o = _t(spark, sf_dir, "orders")
+    return chi2_residuals(o, "o_orderpriority", "o_orderstatus")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -6991,6 +7001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theils_u": q_theils_u,
         "interevent": q_interevent,
         "dispersion": q_dispersion,
+        "chi2_residuals": q_chi2_residuals,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15730,6 +15741,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n,
                CAST(count(DISTINCT p_name) AS BIGINT) AS n_names
         FROM part GROUP BY 1
+    """
+    oracles["chi2_residuals"] = """
+        -- the L140 cell/margin pipeline; per-cell fixed trees
+        WITH flt AS (
+            SELECT o_orderpriority AS x, o_orderstatus AS y
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND o_orderstatus IS NOT NULL
+        ),
+        cells AS (
+            SELECT x, y, CAST(count(*) AS BIGINT) AS o
+            FROM flt GROUP BY 1, 2
+        ),
+        rows_ AS (SELECT x, CAST(sum(o) AS BIGINT) AS rt
+                  FROM cells GROUP BY 1),
+        cols_ AS (SELECT y, CAST(sum(o) AS BIGINT) AS ct
+                  FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+        SELECT x, y, o,
+               CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+               CASE WHEN CAST(rt * ct AS DOUBLE)
+                         / CAST(n AS DOUBLE) > 0.0
+                    THEN (CAST(o AS DOUBLE)
+                          - CAST(rt * ct AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                         / sqrt(CAST(rt * ct AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+               END AS pearson_resid,
+               CASE WHEN (CAST(rt * ct AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                         * (1.0 - CAST(rt AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                         * (1.0 - CAST(ct AS DOUBLE)
+                                  / CAST(n AS DOUBLE)) > 0.0
+                    THEN (CAST(o AS DOUBLE)
+                          - CAST(rt * ct AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                         / sqrt((CAST(rt * ct AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                                * (1.0 - CAST(rt AS DOUBLE)
+                                         / CAST(n AS DOUBLE))
+                                * (1.0 - CAST(ct AS DOUBLE)
+                                         / CAST(n AS DOUBLE)))
+               END AS adj_resid
+        FROM cells
+        JOIN rows_ USING (x) JOIN cols_ USING (y)
+        CROSS JOIN tot
     """
     oracles["interevent"] = """
         -- exact microsecond gaps (sorted-multiset differences are

@@ -1330,3 +1330,56 @@ def tukey_hsd(
         mb.alias("mean_b"),
         F.when(F.col("_msw").isNotNull(), q).alias("q"),
     )
+
+
+def chi2_residuals(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """``(x, y, o, e, pearson_resid, adj_resid)`` — per-cell Pearson
+    and adjusted (Haberman) standardized residuals (L263): AFTER the
+    omnibus χ² (L140) or G (L252) rejects, WHICH cells drive the
+    association —
+
+        r     = (o − e) / sqrt(e)
+        r_adj = (o − e) / sqrt(e·(1 − rt/N)·(1 − ct/N))
+
+    (|r_adj| ≳ 2 flags a cell).  Rides the SAME cell/margin pipeline
+    as L140 (`_chi2_terms`' construction): exact integer counts, the
+    identical e = rt·ct/N tree, one fixed tree per residual — per-CELL
+    output, no folds needed at all (the L164 aggregate-with-discipline
+    rule: callers rank/filter the bounded cell table).  Degenerate
+    margins (rt = N or ct = N) → NULL adj_resid.
+
+    Scale shape: identical to L140 — one combinable cell groupBy +
+    broadcast margins; output bounded by r·c.
+
+    No reference counterpart; association analytics per SURVEY §2.11.
+    """
+    flt = df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+    cells = flt.groupBy(
+        F.col(col_x).alias("x"), F.col(col_y).alias("y")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("x").agg(F.sum("o").alias("rt"))
+    cols = cells.groupBy("y").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    j = (
+        cells.join(F.broadcast(rows), "x")
+        .join(F.broadcast(cols), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    nd = F.col("n").cast("double")
+    e = (F.col("rt") * F.col("ct")).cast("double") / nd
+    diff = F.col("o").cast("double") - e
+    adj_den = e * (
+        F.lit(1.0) - F.col("rt").cast("double") / nd
+    ) * (F.lit(1.0) - F.col("ct").cast("double") / nd)
+    return j.select(
+        "x",
+        "y",
+        "o",
+        e.alias("e"),
+        F.when(e > 0.0, diff / F.sqrt(e)).alias("pearson_resid"),
+        F.when(adj_den > 0.0, diff / F.sqrt(adj_den)).alias("adj_resid"),
+    )
