@@ -6952,6 +6952,39 @@ def q_chi2_residuals(spark, sf_dir):
     return chi2_residuals(o, "o_orderpriority", "o_orderstatus")
 
 
+def q_cvm(spark, sf_dir):
+    """Cramér-von Mises 2-sample (L264): click vs view floored
+    values per user-parity bucket — cross-multiplied exact integer
+    gap terms, one bounded fold, one division."""
+    from lmss_entity_extractor_spark.ops.rankeval import cramer_von_mises_2samp
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 2).alias("bucket"),
+            "event_type",
+            F.floor("value").alias("x"),
+        )
+    )
+    return cramer_von_mises_2samp(
+        e, ["bucket"], "event_type", "click", "view", "x"
+    )
+
+
+def q_hoover(spark, sf_dir):
+    """Hoover index (L265): what share of account-balance mass per
+    segment would have to move to equalize — cross-multiplied exact
+    decimal deviations, one division."""
+    from lmss_entity_extractor_spark.ops.concentration import hoover_index
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.greatest(F.col("c_acctbal"), F.lit(0)).alias("v"),
+    )
+    return hoover_index(c, ["seg"], "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7002,6 +7035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interevent": q_interevent,
         "dispersion": q_dispersion,
         "chi2_residuals": q_chi2_residuals,
+        "cvm": q_cvm,
+        "hoover": q_hoover,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15741,6 +15776,91 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n,
                CAST(count(DISTINCT p_name) AS BIGINT) AS n_names
         FROM part GROUP BY 1
+    """
+    oracles["cvm"] = """
+        -- cross-multiplied exact integer ECDF gaps; bounded fold
+        WITH pts AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(floor(value) AS BIGINT) AS v,
+                   event_type AS g,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('click', 'view')
+            GROUP BY 1, 2, 3
+        ),
+        vals AS (
+            SELECT bucket, v,
+                   CAST(sum(CASE WHEN g = 'click' THEN c ELSE 0 END)
+                        AS BIGINT) AS la,
+                   CAST(sum(CASE WHEN g = 'view' THEN c ELSE 0 END)
+                        AS BIGINT) AS lb
+            FROM pts GROUP BY 1, 2
+        ),
+        pre AS (
+            SELECT bucket, v, la + lb AS l,
+                   CAST(sum(la) OVER w_p AS BIGINT) AS ca,
+                   CAST(sum(lb) OVER w_p AS BIGINT) AS cb,
+                   CAST(sum(la) OVER w_a AS BIGINT) AS na,
+                   CAST(sum(lb) OVER w_a AS BIGINT) AS nb
+            FROM vals
+            WINDOW w_p AS (PARTITION BY bucket ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW),
+                   w_a AS (PARTITION BY bucket)
+        ),
+        cells AS (
+            SELECT bucket, v, na, nb,
+                   CAST(l AS DOUBLE)
+                   * (CAST(CAST(ca * nb - cb * na AS DECIMAL(38,0))
+                           AS DOUBLE)
+                      * CAST(CAST(ca * nb - cb * na AS DECIMAL(38,0))
+                             AS DOUBLE)) AS t
+            FROM pre
+        ),
+        agg AS (
+            SELECT bucket, na, nb,
+                   list_reduce(list_prepend(0.0,
+                       [s.t FOR s IN list_sort(list(struct_pack(
+                           v := v, t := t)))]),
+                       (acc, x) -> acc + x) AS s
+            FROM cells GROUP BY 1, 2, 3
+        )
+        SELECT bucket, na AS n_a, nb AS n_b, na + nb AS n,
+               CASE WHEN na > 0 AND nb > 0
+                    THEN s / (CAST(na + nb AS DOUBLE)
+                              * CAST(na + nb AS DOUBLE)
+                              * CAST(na AS DOUBLE)
+                              * CAST(nb AS DOUBLE))
+               END AS t
+        FROM agg
+    """
+    oracles["hoover"] = """
+        -- cross-multiplied exact decimal deviations; ONE division
+        WITH base AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(greatest(c_acctbal, 0) AS DECIMAL(18,2)) AS x
+            FROM customer WHERE c_acctbal IS NOT NULL
+        ),
+        stats AS (
+            SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS DECIMAL(18,2)) AS s
+            FROM base GROUP BY 1
+        ),
+        dev AS (
+            SELECT b.seg, st.n, st.s,
+                   abs(CAST(st.n AS DECIMAL(38,2))
+                       * CAST(b.x AS DECIMAL(38,2))
+                       - CAST(st.s AS DECIMAL(38,2))) AS d
+            FROM base b JOIN stats st ON b.seg = st.seg
+        )
+        SELECT seg, n, CAST(s AS DOUBLE) AS total,
+               CASE WHEN s > 0
+                    THEN CAST(sum(d) AS DOUBLE)
+                         / (2.0 * CAST(n AS DOUBLE)
+                            * CAST(s AS DOUBLE))
+               END AS hoover
+        FROM dev GROUP BY 1, 2, 3, s
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

@@ -413,3 +413,61 @@ def dispersion_index(
         F.when(F.col("n") >= 2, var).alias("var"),
         F.when(ok, var / mean).alias("vmr"),
     )
+
+
+def hoover_index(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, total, hoover)`` — the Hoover/Pietra index (L265): the share of total mass that would have to MOVE to
+    equalize the distribution — the operational twin of Gini (L150
+    scores inequality; Hoover says how much rebalancing fixes it,
+    which is exactly the shuffle-rebalance question for skewed keys):
+
+        H = Σᵢ |n·xᵢ − S| / (2·n·S)
+
+    The cross-multiplied form (the L151/L181 trick) keeps every
+    numerator term an exact decimal — the sum is order-insensitive
+    (decimal), and H is ONE division — bit-identical, no folds, no
+    windows, one combinable aggregation pass after the broadcast of
+    (n, S).  Negative values refused (mass must be non-negative);
+    S = 0 → NULL.
+
+    Scale shape: one stats agg + one broadcast join back + one
+    combinable agg — two scans, both full-parallel.
+
+    No reference counterpart; composition analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    wide = f"decimal(38,{scale})"
+    flt = df.filter(F.col(value_col).isNotNull())
+    n_neg = flt.filter(F.col(value_col) < 0).count()
+    if n_neg:
+        raise ValueError(f"hoover_index: {n_neg} negative value(s)")
+    base = flt.select(*by, F.col(value_col).cast(dec).alias("_x"))
+    stats = base.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_x").alias("_s")
+    )
+    joined = (
+        base.join(F.broadcast(stats), by)
+        if by
+        else base.crossJoin(F.broadcast(stats))
+    )
+    dev = F.abs(
+        F.col("n").cast(wide) * F.col("_x").cast(wide)
+        - F.col("_s").cast(wide)
+    )
+    agg = joined.groupBy(*by, "n", "_s").agg(
+        F.sum(dev).alias("_d")
+    )
+    nd = F.col("n").cast("double")
+    sd_ = F.col("_s").cast("double")
+    h = F.col("_d").cast("double") / (F.lit(2.0) * nd * sd_)
+    return agg.select(
+        *by,
+        "n",
+        sd_.alias("total"),
+        F.when(F.col("_s") > 0, h).alias("hoover"),
+    )

@@ -1186,3 +1186,89 @@ def kendalls_w(
         * (F.col("k").cast("double") - F.lit(1.0))
     )
     return f.select(*by, "k", "n_blocks", "q", w.alias("w"))
+
+
+def cramer_von_mises_2samp(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    sample_a: str,
+    sample_b: str,
+    value_col: str,
+) -> DataFrame:
+    """``(by..., n_a, n_b, n, t)`` — the two-sample Cramér-von Mises
+    statistic (L264): the INTEGRAL-squared member completing the
+    two-sample family (KS L147 = max gap, AD L244 = tail-weighted,
+    W₁ L181 = integral of |gap|; CvM = integral of gap², the balanced
+    middle ground):
+
+        T = (n_a·n_b / N²) · Σ_j l_j · (A_j/n_a − B_j/m)²
+          = Σ_j l_j·(A_j·n_b − B_j·n_a)² / (N²·n_a·n_b)
+
+    with A/B the inclusive per-sample cumulative counts at each pooled
+    distinct value and l_j the pooled count — the cross-multiplied
+    form keeps every numerator an EXACT integer (the L181 trick);
+    each cell term is one fixed tree folded over the bounded sorted
+    value list.  An empty side → NULL t.
+
+    Scale shape: the L147/L181/L244 shape exactly — one grid groupBy,
+    two prefix windows, one bounded fold.
+
+    No reference counterpart; drift analytics per SURVEY §2.11.
+    """
+    flt = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([sample_a, sample_b])
+    )
+    pts = flt.groupBy(
+        *by, F.col(value_col).alias("_v"), F.col(group_col).alias("_g")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    vals = pts.groupBy(*by, "_v").agg(
+        F.sum(
+            F.when(F.col("_g") == sample_a, F.col("_c")).otherwise(0)
+        ).alias("_la"),
+        F.sum(
+            F.when(F.col("_g") == sample_b, F.col("_c")).otherwise(0)
+        ).alias("_lb"),
+    )
+    wk = Window.partitionBy(*by).orderBy("_v")
+    wkp = wk.rowsBetween(Window.unboundedPreceding, 0)
+    wka = wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pre = vals.select(
+        *by,
+        "_v",
+        (F.col("_la") + F.col("_lb")).alias("_l"),
+        F.sum("_la").over(wkp).alias("_ca"),
+        F.sum("_lb").over(wkp).alias("_cb"),
+        F.sum("_la").over(wka).alias("_na"),
+        F.sum("_lb").over(wka).alias("_nb"),
+    )
+    num = (
+        F.col("_ca") * F.col("_nb") - F.col("_cb") * F.col("_na")
+    ).cast("decimal(38,0)")
+    term = (
+        F.col("_l").cast("double")
+        * (num.cast("double") * num.cast("double"))
+    )
+    staged = pre.select(
+        *by, "_v", "_na", "_nb", term.alias("_t")
+    )
+    agg = staged.groupBy(*by, "_na", "_nb").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_v", "_t"))),
+            F.lit(0.0),
+            lambda acc, v: acc + v["_t"],
+        ).alias("_s")
+    )
+    nad = F.col("_na").cast("double")
+    nbd = F.col("_nb").cast("double")
+    ntd = (F.col("_na") + F.col("_nb")).cast("double")
+    t = F.col("_s") / (ntd * ntd * nad * nbd)
+    ok = (F.col("_na") > 0) & (F.col("_nb") > 0)
+    return agg.select(
+        *by,
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        (F.col("_na") + F.col("_nb")).alias("n"),
+        F.when(ok, t).alias("t"),
+    )
