@@ -6985,6 +6985,32 @@ def q_hoover(spark, sf_dir):
     return hoover_index(c, ["seg"], "v")
 
 
+def q_jarque_bera(spark, sf_dir):
+    """Jarque-Bera (L266): is order value per priority normal —
+    exact integer micro-unit power sums, one fixed moment tree."""
+    from lmss_entity_extractor_spark.ops.stattests import jarque_bera
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"), "o_totalprice"
+    )
+    return jarque_bera(o, ["pri"], "o_totalprice")
+
+
+def q_inequality(spark, sf_dir):
+    """Inequality panel (L267): Theil T/L + Atkinson of positive
+    account balances per segment — bounded sorted-cell ln folds."""
+    from lmss_entity_extractor_spark.ops.concentration import (
+        inequality_indices,
+    )
+
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_mktsegment").alias("seg"), "c_acctbal")
+    )
+    return inequality_indices(c, ["seg"], "c_acctbal")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7037,6 +7063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_residuals": q_chi2_residuals,
         "cvm": q_cvm,
         "hoover": q_hoover,
+        "jarque_bera": q_jarque_bera,
+        "inequality": q_inequality,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15861,6 +15889,96 @@ def oracle_sql() -> dict[str, str]:
                             * CAST(s AS DOUBLE))
                END AS hoover
         FROM dev GROUP BY 1, 2, 3, s
+    """
+    oracles["jarque_bera"] = """
+        -- exact integer micro-unit power sums (HUGEINT twin of the
+        -- Spark DECIMAL(38,0) sums); one fixed IEEE moment tree
+        WITH q AS (
+            SELECT o_orderpriority AS pri,
+                   CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS HUGEINT) AS q
+            FROM orders WHERE o_totalprice IS NOT NULL
+        ),
+        agg AS (
+            SELECT pri, CAST(count(*) AS BIGINT) AS n,
+                   sum(q) AS s1, sum(q*q) AS s2,
+                   sum(q*q*q) AS s3, sum(q*q*q*q) AS s4
+            FROM q GROUP BY 1
+        ),
+        m AS (
+            SELECT pri, n,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mq,
+                   CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                   CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                   CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+            FROM agg
+        ),
+        c AS (
+            SELECT pri, n, mq,
+                   r2 - mq*mq AS m2,
+                   r3 - 3.0*mq*r2 + 2.0*mq*mq*mq AS m3,
+                   r4 - 4.0*mq*r3 + 6.0*mq*mq*r2
+                      - 3.0*mq*mq*mq*mq AS m4
+            FROM m
+        ),
+        g AS (
+            SELECT pri, n, mq, m2,
+                   m3 / (m2 * sqrt(m2)) AS skew,
+                   m4 / (m2 * m2) - 3.0 AS ex_kurt
+            FROM c
+        )
+        SELECT pri, n, mq / 100.0 AS mean,
+               CASE WHEN n >= 2 AND m2 > 0.0 THEN skew END AS skew,
+               CASE WHEN n >= 2 AND m2 > 0.0 THEN ex_kurt
+                    END AS ex_kurt,
+               CASE WHEN n >= 2 AND m2 > 0.0
+                    THEN CAST(n AS DOUBLE) / 6.0
+                         * (skew*skew + ex_kurt*ex_kurt / 4.0)
+               END AS jb
+        FROM g
+    """
+    oracles["inequality"] = """
+        -- exact cells; bounded ln folds (the L257 discipline)
+        WITH cells AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(c_acctbal AS DECIMAL(18,2)) AS v,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM customer
+            WHERE c_acctbal IS NOT NULL AND c_acctbal > 0
+            GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT seg, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k,
+                   sum(v * c) AS s,
+                   list_sort(list(struct_pack(v := v, c := c))) AS lv
+            FROM cells GROUP BY 1
+        ),
+        m AS (
+            SELECT seg, n, k, lv,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+            FROM agg
+        )
+        SELECT seg, n, k, mean,
+               list_reduce(list_prepend(0.0,
+                   [CAST(e.c AS DOUBLE)
+                    * ((CAST(e.v AS DOUBLE) / mean)
+                       * ln(CAST(e.v AS DOUBLE) / mean))
+                    FOR e IN lv]),
+                   (acc, t) -> acc + t) / CAST(n AS DOUBLE)
+                   AS theil_t,
+               list_reduce(list_prepend(0.0,
+                   [CAST(e.c AS DOUBLE)
+                    * ln(mean / CAST(e.v AS DOUBLE))
+                    FOR e IN lv]),
+                   (acc, t) -> acc + t) / CAST(n AS DOUBLE)
+                   AS theil_l,
+               1.0 - exp(list_reduce(list_prepend(0.0,
+                       [CAST(e.c AS DOUBLE)
+                        * ln(CAST(e.v AS DOUBLE)) FOR e IN lv]),
+                       (acc, t) -> acc + t) / CAST(n AS DOUBLE))
+                   / mean AS atkinson
+        FROM m
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

@@ -471,3 +471,73 @@ def hoover_index(
         sd_.alias("total"),
         F.when(F.col("_s") > 0, h).alias("hoover"),
     )
+
+
+def inequality_indices(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, k, mean, theil_t, theil_l, atkinson)`` — the
+    entropy-based inequality panel (L267), completing the inequality
+    family (Gini L150 = rank-based, Hoover L265 = rebalance share;
+    these are the DECOMPOSABLE members — sub-group Theils add up,
+    which is what a per-partition/per-tenant cost breakdown needs):
+
+        T_T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ)      (Theil T, top-sensitive)
+        T_L = (1/n)·Σ ln(μ/xᵢ)             (Theil L / MLD,
+                                            bottom-sensitive)
+        A₁  = 1 − geomean(x)/μ             (Atkinson ε=1)
+
+    Values are cast to DECIMAL(18,scale) and cell-compressed
+    (distinct value × exact count — the grid is bounded by the
+    value range × 10^scale), so n and S = Σx are exact and each ln
+    term is a fixed IEEE tree folded over the BOUNDED sorted cell
+    list (the L257 discipline).  Strictly positive values REQUIRED —
+    ln is undefined at 0, so nonpositive values are refused loudly.
+
+    Scale shape: one combinable (keys, value) groupBy + one bounded
+    fold — one scan of 100 TB.
+
+    No reference counterpart; composition analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(F.col(value_col).isNotNull())
+    n_bad = flt.filter(F.col(value_col) <= 0).count()
+    if n_bad:
+        raise ValueError(
+            f"inequality_indices: {n_bad} nonpositive value(s)"
+        )
+    cells = flt.groupBy(
+        *by, F.col(value_col).cast(dec).alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    agg = cells.groupBy(*by).agg(
+        F.sum("_c").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("_v") * F.col("_c")).alias("_s"),
+        F.sort_array(F.collect_list(F.struct("_v", "_c"))).alias("_lv"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("_s").cast("double") / nd
+
+    def _fold(term):
+        return F.aggregate(
+            F.col("_lv"),
+            F.lit(0.0),
+            lambda acc, v: acc
+            + v["_c"].cast("double") * term(v["_v"].cast("double")),
+        )
+
+    t_t = _fold(lambda vd: (vd / mu) * F.log(vd / mu)) / nd
+    t_l = _fold(lambda vd: F.log(mu / vd)) / nd
+    lng = _fold(F.log) / nd
+    return agg.select(
+        *by,
+        "n",
+        "k",
+        mu.alias("mean"),
+        t_t.alias("theil_t"),
+        t_l.alias("theil_l"),
+        (F.lit(1.0) - F.exp(lng) / mu).alias("atkinson"),
+    )

@@ -1383,3 +1383,78 @@ def chi2_residuals(
         F.when(e > 0.0, diff / F.sqrt(e)).alias("pearson_resid"),
         F.when(adj_den > 0.0, diff / F.sqrt(adj_den)).alias("adj_resid"),
     )
+
+
+def jarque_bera(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, mean, skew, ex_kurt, jb)`` — the Jarque-Bera
+    normality test (L266): are a metric's third and fourth moments
+    consistent with a normal distribution — the standard residual /
+    metric-distribution gate (Jarque & Bera 1980):
+
+        JB = n/6 · (g₁² + g₂²/4),   g₁ = m₃/m₂^{3/2},  g₂ = m₄/m₂² − 3
+
+    Values are quantized to exact integer micro-units q = x·10^scale
+    (the L234 trick), so the four power sums Σq..Σq⁴ are EXACT
+    DECIMAL(38,0) integers — order-insensitive, combinable, no folds.
+    g₁/g₂ are scale-invariant, so the central-moment tree runs
+    directly in q-units: one fixed IEEE expression per group,
+    bit-identical across engines.  n < 2 or zero variance → NULL
+    g₁/g₂/JB.  DECIMAL(38,0) bounds Σq⁴: |q| ≤ 10⁷ supports ~10⁸
+    rows per group before ANSI overflow fails loudly (never wraps).
+
+    Scale shape: ONE combinable aggregation — one scan of 100 TB,
+    output bounded by group cardinality.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    q = (
+        (F.col(value_col).cast(dec) * F.lit(10**scale))
+        .cast("decimal(38,0)")
+    )
+    agg = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*by, q.alias("_q"))
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_q").alias("_s1"),
+            F.sum(F.col("_q") * F.col("_q")).alias("_s2"),
+            F.sum(F.col("_q") * F.col("_q") * F.col("_q")).alias("_s3"),
+            F.sum(
+                F.col("_q") * F.col("_q") * F.col("_q") * F.col("_q")
+            ).alias("_s4"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mq = F.col("_s1").cast("double") / nd
+    r2 = F.col("_s2").cast("double") / nd
+    r3 = F.col("_s3").cast("double") / nd
+    r4 = F.col("_s4").cast("double") / nd
+    m2 = r2 - mq * mq
+    m3 = r3 - F.lit(3.0) * mq * r2 + F.lit(2.0) * mq * mq * mq
+    m4 = (
+        r4
+        - F.lit(4.0) * mq * r3
+        + F.lit(6.0) * mq * mq * r2
+        - F.lit(3.0) * mq * mq * mq * mq
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2) - F.lit(3.0)
+    jb = nd / F.lit(6.0) * (
+        skew * skew + kurt * kurt / F.lit(4.0)
+    )
+    ok = (F.col("n") >= 2) & (m2 > 0.0)
+    return agg.select(
+        *by,
+        "n",
+        (mq / F.lit(float(10**scale))).alias("mean"),
+        F.when(ok, skew).alias("skew"),
+        F.when(ok, kurt).alias("ex_kurt"),
+        F.when(ok, jb).alias("jb"),
+    )
