@@ -7011,6 +7011,42 @@ def q_inequality(spark, sf_dir):
     return inequality_indices(c, ["seg"], "c_acctbal")
 
 
+def q_brunner_munzel(spark, sf_dir):
+    """Brunner-Munzel (L268): click vs view floored values per
+    user-parity bucket — exact doubled-midrank sums, one fixed
+    tree."""
+    from lmss_entity_extractor_spark.ops.rankeval import brunner_munzel
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 2).alias("bucket"),
+            "event_type",
+            F.floor("value").alias("x"),
+        )
+    )
+    return brunner_munzel(e, ["bucket"], "event_type", "click", "view", "x")
+
+
+def q_ansari(spark, sf_dir):
+    """Ansari-Bradley (L269): click vs view dispersion per
+    user-mod-3 bucket — exact doubled block score-sums, bounded
+    folds."""
+    from lmss_entity_extractor_spark.ops.rankeval import ansari_bradley
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 3).alias("bucket"),
+            "event_type",
+            F.floor("value").alias("x"),
+        )
+    )
+    return ansari_bradley(e, ["bucket"], "event_type", "click", "view", "x")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7065,6 +7101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hoover": q_hoover,
         "jarque_bera": q_jarque_bera,
         "inequality": q_inequality,
+        "brunner_munzel": q_brunner_munzel,
+        "ansari": q_ansari,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -15979,6 +16017,210 @@ def oracle_sql() -> dict[str, str]:
                        (acc, t) -> acc + t) / CAST(n AS DOUBLE))
                    / mean AS atkinson
         FROM m
+    """
+    oracles["brunner_munzel"] = """
+        -- exact doubled midranks (HUGEINT twin of the Spark
+        -- DECIMAL(38,0) sums); plain combinable sums, one tree
+        WITH pts AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(floor(value) AS BIGINT) AS v,
+                   event_type AS g, CAST(count(*) AS BIGINT) AS c
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('click', 'view')
+            GROUP BY 1, 2, 3
+        ),
+        vals AS (
+            SELECT bucket, v,
+                   CAST(sum(CASE WHEN g = 'click' THEN c ELSE 0 END)
+                        AS BIGINT) AS la,
+                   CAST(sum(CASE WHEN g = 'view' THEN c ELSE 0 END)
+                        AS BIGINT) AS lb
+            FROM pts GROUP BY 1, 2
+        ),
+        s1 AS (
+            SELECT bucket, v, la, lb, la + lb AS l,
+                   CAST(sum(la + lb) OVER w_p AS BIGINT) AS cp,
+                   CAST(sum(la) OVER w_p AS BIGINT) AS ca,
+                   CAST(sum(lb) OVER w_p AS BIGINT) AS cb,
+                   CAST(sum(la) OVER w_a AS BIGINT) AS na,
+                   CAST(sum(lb) OVER w_a AS BIGINT) AS nb
+            FROM vals
+            WINDOW w_p AS (PARTITION BY bucket ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW),
+                   w_a AS (PARTITION BY bucket)
+        ),
+        s2 AS (
+            SELECT bucket, la, lb, na, nb,
+                   CAST(2*cp - l + 1 AS HUGEINT) AS dr,
+                   CAST(2*ca - la + 1 AS HUGEINT) AS dra,
+                   CAST(2*cb - lb + 1 AS HUGEINT) AS drb,
+                   CAST(sum(la * (2*cp - l + 1)) OVER w_a2
+                        AS HUGEINT) AS sa,
+                   CAST(sum(lb * (2*cp - l + 1)) OVER w_a2
+                        AS HUGEINT) AS sb
+            FROM s1
+            WINDOW w_a2 AS (PARTITION BY bucket)
+        ),
+        s3 AS (
+            SELECT bucket, la, lb, na, nb, sa, sb,
+                   CAST(na AS HUGEINT) * dr
+                   - CAST(na AS HUGEINT) * dra - sa
+                   + CAST(na AS HUGEINT)
+                     * (CAST(na AS HUGEINT) + 1) AS da,
+                   CAST(nb AS HUGEINT) * dr
+                   - CAST(nb AS HUGEINT) * drb - sb
+                   + CAST(nb AS HUGEINT)
+                     * (CAST(nb AS HUGEINT) + 1) AS db
+            FROM s2
+        ),
+        agg AS (
+            SELECT bucket, na, nb, sa, sb,
+                   sum(CAST(la AS HUGEINT) * da * da) AS qa,
+                   sum(CAST(lb AS HUGEINT) * db * db) AS qb
+            FROM s3 GROUP BY 1, 2, 3, 4, 5
+        ),
+        t AS (
+            SELECT bucket, na, nb,
+                   CAST(sa AS DOUBLE)
+                       / (2.0 * CAST(na AS DOUBLE)) AS ra,
+                   CAST(sb AS DOUBLE)
+                       / (2.0 * CAST(nb AS DOUBLE)) AS rb,
+                   CAST(qa AS DOUBLE)
+                       / (4.0 * CAST(na AS DOUBLE)
+                          * CAST(na AS DOUBLE)
+                          * (CAST(na AS DOUBLE) - 1.0)) AS sa2,
+                   CAST(qb AS DOUBLE)
+                       / (4.0 * CAST(nb AS DOUBLE)
+                          * CAST(nb AS DOUBLE)
+                          * (CAST(nb AS DOUBLE) - 1.0)) AS sb2
+            FROM agg
+        ),
+        u AS (
+            SELECT bucket, na, nb, ra, rb,
+                   CAST(na AS DOUBLE) * sa2 AS va,
+                   CAST(nb AS DOUBLE) * sb2 AS vb
+            FROM t
+        )
+        SELECT bucket, na AS n_a, nb AS n_b,
+               CASE WHEN na > 0 AND nb > 0
+                    THEN (rb - (CAST(nb AS DOUBLE) + 1.0) / 2.0)
+                         / CAST(na AS DOUBLE) END AS p_hat,
+               CASE WHEN na >= 2 AND nb >= 2 AND va + vb > 0.0
+                    THEN CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                         * (rb - ra)
+                         / ((CAST(na AS DOUBLE)
+                             + CAST(nb AS DOUBLE))
+                            * sqrt(va + vb)) END AS w,
+               CASE WHEN na >= 2 AND nb >= 2 AND va + vb > 0.0
+                    THEN (va + vb) * (va + vb)
+                         / (va * va / (CAST(na AS DOUBLE) - 1.0)
+                            + vb * vb
+                              / (CAST(nb AS DOUBLE) - 1.0))
+                    END AS df_bm
+        FROM u
+    """
+    oracles["ansari"] = """
+        -- exact doubled tie-block score sums; bounded folds
+        WITH pts AS (
+            SELECT user_id % 3 AS bucket,
+                   CAST(floor(value) AS BIGINT) AS v,
+                   event_type AS g, CAST(count(*) AS BIGINT) AS c
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('click', 'view')
+            GROUP BY 1, 2, 3
+        ),
+        vals AS (
+            SELECT bucket, v,
+                   CAST(sum(CASE WHEN g = 'click' THEN c ELSE 0 END)
+                        AS BIGINT) AS la,
+                   CAST(sum(CASE WHEN g = 'view' THEN c ELSE 0 END)
+                        AS BIGINT) AS lb
+            FROM pts GROUP BY 1, 2
+        ),
+        s1 AS (
+            SELECT bucket, v, la, la + lb AS l,
+                   CAST(sum(la + lb) OVER w_p AS BIGINT) AS cp,
+                   CAST(sum(la) OVER w_a AS BIGINT) AS na,
+                   CAST(sum(lb) OVER w_a AS BIGINT) AS nb
+            FROM vals
+            WINDOW w_p AS (PARTITION BY bucket ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW),
+                   w_a AS (PARTITION BY bucket)
+        ),
+        s2 AS (
+            SELECT bucket, v, la, l, na, nb,
+                   CAST(cp - l AS HUGEINT) AS p,
+                   CAST(l AS HUGEINT) AS lh,
+                   CAST(na + nb AS HUGEINT) AS n,
+                   CAST((na + nb + 1) // 2 AS HUGEINT) AS h
+            FROM s1
+        ),
+        s3 AS (
+            SELECT bucket, v, la, l, na, nb,
+                   (CASE WHEN p + 1 <= least(p + lh, h)
+                         THEN least(p + lh, h)
+                              * (least(p + lh, h) + 1)
+                              - p * (p + 1)
+                         ELSE CAST(0 AS HUGEINT) END)
+                   + (CASE WHEN p + lh - greatest(p + 1, h + 1) + 1 > 0
+                           THEN CAST(2 AS HUGEINT)
+                                * (p + lh - greatest(p + 1, h + 1) + 1)
+                                * (n + 1)
+                                - ((p + lh) * (p + lh + 1)
+                                   - (greatest(p + 1, h + 1) - 1)
+                                     * greatest(p + 1, h + 1))
+                           ELSE CAST(0 AS HUGEINT) END) AS tb
+            FROM s2
+        ),
+        agg AS (
+            SELECT bucket, na, nb, sum(tb) AS tbsum,
+                   list_sort(list(struct_pack(
+                       v := v, la := la, l := l, tb := tb))) AS lv
+            FROM s3 GROUP BY 1, 2, 3
+        ),
+        m AS (
+            SELECT bucket, na, nb, lv,
+                   CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS nd,
+                   list_reduce(list_prepend(0.0,
+                       [CAST(e.la AS DOUBLE)
+                        * (CAST(e.tb AS DOUBLE)
+                           / (2.0 * CAST(e.l AS DOUBLE)))
+                        FOR e IN lv]),
+                       (acc, t) -> acc + t) AS ab,
+                   list_reduce(list_prepend(0.0,
+                       [CAST(e.tb AS DOUBLE) * CAST(e.tb AS DOUBLE)
+                        / (4.0 * CAST(e.l AS DOUBLE)) FOR e IN lv]),
+                       (acc, t) -> acc + t) AS ss,
+                   CAST(tbsum AS DOUBLE) AS tbs
+            FROM agg
+        ),
+        f AS (
+            SELECT bucket, na, nb, ab, ss, nd,
+                   tbs / (2.0 * nd) AS sbar,
+                   CAST(na AS DOUBLE) * tbs / (2.0 * nd) AS e_ab
+            FROM m
+        ),
+        g AS (
+            SELECT bucket, na, nb, ab, e_ab,
+                   CAST(na AS DOUBLE) * (nd - CAST(na AS DOUBLE))
+                   / (nd * (nd - 1.0))
+                   * (ss - nd * sbar * sbar) AS var_ab
+            FROM f
+        )
+        SELECT bucket, na AS n_a, nb AS n_b,
+               CASE WHEN na > 0 AND nb > 0 THEN ab END AS ab,
+               CASE WHEN na > 0 AND nb > 0 AND na + nb > 1
+                    THEN e_ab END AS e_ab,
+               CASE WHEN na > 0 AND nb > 0 AND na + nb > 1
+                    THEN var_ab END AS var_ab,
+               CASE WHEN na > 0 AND nb > 0 AND na + nb > 1
+                         AND var_ab > 0.0
+                    THEN (ab - e_ab) / sqrt(var_ab) END AS z
+        FROM g
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

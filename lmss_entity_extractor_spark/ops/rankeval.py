@@ -1272,3 +1272,267 @@ def cramer_von_mises_2samp(
         (F.col("_na") + F.col("_nb")).alias("n"),
         F.when(ok, t).alias("t"),
     )
+
+
+def brunner_munzel(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    sample_a: str,
+    sample_b: str,
+    value_col: str,
+) -> DataFrame:
+    """``(by..., n_a, n_b, p_hat, w, df_bm)`` — the Brunner-Munzel
+    test (L268): the tie- and variance-robust replacement for
+    Mann-Whitney (Brunner & Munzel 2000) — does NOT assume equal
+    variances or distribution shapes, which is the realistic regime
+    for A/B metric comparison:
+
+        p̂ = (R̄_b − (n_b+1)/2) / n_a        (P(A<B) + ½P(A=B))
+        W  = n_a·n_b·(R̄_b − R̄_a) / ((n_a+n_b)·sqrt(n_a·S_a² + n_b·S_b²))
+
+    with S_i² the rank-difference variances.  Every accumulated
+    quantity is an EXACT integer: pooled and within-sample DOUBLED
+    midranks (2·midrank = 2·cum − l + 1, the L142 trick) make each
+    centred term D = n·dr − n·drw − Σdr + n·(n+1) an exact
+    DECIMAL(38,0), so Σ l·D² is order-insensitive — plain combinable
+    sums, NO folds — and S² = ΣD²/(4n²(n−1)) is one fixed IEEE tree.
+    Welch-like df_bm emitted for the caller's t lookup.  Degenerate
+    groups (n < 2 either side, or zero variance) → NULL w/df_bm.
+    DECIMAL(38,0) bounds Σl·D² ≲ 16·N⁵: safe to ~10⁶ rows per group,
+    ANSI fails loudly beyond.
+
+    Scale shape: one (keys, value) groupBy + two window passes over
+    the bounded value grid + one combinable agg — one scan of 100 TB.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    d0 = "decimal(38,0)"
+    flt = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([sample_a, sample_b])
+    )
+    pts = flt.groupBy(
+        *by, F.col(value_col).alias("_v"), F.col(group_col).alias("_g")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    vals = pts.groupBy(*by, "_v").agg(
+        F.sum(
+            F.when(F.col("_g") == sample_a, F.col("_c")).otherwise(0)
+        ).alias("_la"),
+        F.sum(
+            F.when(F.col("_g") == sample_b, F.col("_c")).otherwise(0)
+        ).alias("_lb"),
+    )
+    wk = Window.partitionBy(*by).orderBy("_v")
+    wkp = wk.rowsBetween(Window.unboundedPreceding, 0)
+    wka = wk.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s1 = vals.select(
+        *by,
+        "_v",
+        "_la",
+        "_lb",
+        (F.col("_la") + F.col("_lb")).alias("_l"),
+        F.sum(F.col("_la") + F.col("_lb")).over(wkp).alias("_cp"),
+        F.sum("_la").over(wkp).alias("_ca"),
+        F.sum("_lb").over(wkp).alias("_cb"),
+        F.sum("_la").over(wka).alias("_na"),
+        F.sum("_lb").over(wka).alias("_nb"),
+    )
+    dr = F.lit(2) * F.col("_cp") - F.col("_l") + 1
+    dra = F.lit(2) * F.col("_ca") - F.col("_la") + 1
+    drb = F.lit(2) * F.col("_cb") - F.col("_lb") + 1
+    s2 = s1.select(
+        *by,
+        "_la",
+        "_lb",
+        "_na",
+        "_nb",
+        dr.cast(d0).alias("_dr"),
+        dra.cast(d0).alias("_dra"),
+        drb.cast(d0).alias("_drb"),
+        F.sum(F.col("_la") * dr).over(wka).cast(d0).alias("_sa"),
+        F.sum(F.col("_lb") * dr).over(wka).cast(d0).alias("_sb"),
+    )
+    nad = F.col("_na").cast(d0)
+    nbd = F.col("_nb").cast(d0)
+    da = (
+        nad * F.col("_dr")
+        - nad * F.col("_dra")
+        - F.col("_sa")
+        + nad * (nad + 1)
+    )
+    db = (
+        nbd * F.col("_dr")
+        - nbd * F.col("_drb")
+        - F.col("_sb")
+        + nbd * (nbd + 1)
+    )
+    agg = s2.groupBy(*by, "_na", "_nb", "_sa", "_sb").agg(
+        F.sum(F.col("_la").cast(d0) * da * da).alias("_qa"),
+        F.sum(F.col("_lb").cast(d0) * db * db).alias("_qb"),
+    )
+    na = F.col("_na").cast("double")
+    nb_ = F.col("_nb").cast("double")
+    ra = F.col("_sa").cast("double") / (F.lit(2.0) * na)
+    rb = F.col("_sb").cast("double") / (F.lit(2.0) * nb_)
+    sa2 = F.col("_qa").cast("double") / (
+        F.lit(4.0) * na * na * (na - F.lit(1.0))
+    )
+    sb2 = F.col("_qb").cast("double") / (
+        F.lit(4.0) * nb_ * nb_ * (nb_ - F.lit(1.0))
+    )
+    pooled = na * sa2 + nb_ * sb2
+    w = na * nb_ * (rb - ra) / ((na + nb_) * F.sqrt(pooled))
+    dfb = (pooled * pooled) / (
+        (na * sa2) * (na * sa2) / (na - F.lit(1.0))
+        + (nb_ * sb2) * (nb_ * sb2) / (nb_ - F.lit(1.0))
+    )
+    ok = (F.col("_na") >= 2) & (F.col("_nb") >= 2) & (pooled > 0.0)
+    return agg.select(
+        *by,
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.when(
+            (F.col("_na") > 0) & (F.col("_nb") > 0),
+            (rb - (nb_ + F.lit(1.0)) / F.lit(2.0)) / na,
+        ).alias("p_hat"),
+        F.when(ok, w).alias("w"),
+        F.when(ok, dfb).alias("df_bm"),
+    )
+
+
+def ansari_bradley(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    sample_a: str,
+    sample_b: str,
+    value_col: str,
+) -> DataFrame:
+    """``(by..., n_a, n_b, ab, e_ab, var_ab, z)`` — the
+    Ansari-Bradley scale test (L269): do two samples differ in
+    DISPERSION around a common median — the rank-based companion to
+    the parametric variance tests (Bartlett L232 / Brown-Forsythe):
+    scores a(r) = min(r, N+1−r) grow toward the pooled centre, so a
+    tighter sample collects a HIGHER score sum AB = Σ_{i∈A} a(Rᵢ).
+
+    Tie handling is exact: a tie block occupying pooled positions
+    p+1..p+l gets the block score-sum in closed form (two arithmetic
+    series split at h = ⌊(N+1)/2⌋), kept DOUBLED so it stays an exact
+    DECIMAL(38,0) integer; each element's averaged score is then a
+    fixed tree folded over the BOUNDED sorted value grid (the L257
+    discipline).  Null moments are the sampling-without-replacement
+    moments over the realized (tie-averaged) score multiset:
+
+        E[AB]   = n_a·Σs / N
+        Var[AB] = n_a·(N−n_a)/(N·(N−1)) · (Σs² − N·s̄²)
+        z       = (AB − E) / sqrt(Var)
+
+    Var ≤ 0 (all scores equal) → NULL z.
+
+    Scale shape: one (keys, value) groupBy + one window pass over the
+    bounded grid + one bounded fold — one scan of 100 TB.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    d0 = "decimal(38,0)"
+    flt = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([sample_a, sample_b])
+    )
+    pts = flt.groupBy(
+        *by, F.col(value_col).alias("_v"), F.col(group_col).alias("_g")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    vals = pts.groupBy(*by, "_v").agg(
+        F.sum(
+            F.when(F.col("_g") == sample_a, F.col("_c")).otherwise(0)
+        ).alias("_la"),
+        F.sum(
+            F.when(F.col("_g") == sample_b, F.col("_c")).otherwise(0)
+        ).alias("_lb"),
+    )
+    wk = Window.partitionBy(*by).orderBy("_v")
+    wkp = wk.rowsBetween(Window.unboundedPreceding, 0)
+    wka = wk.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s1 = vals.select(
+        *by,
+        "_v",
+        "_la",
+        (F.col("_la") + F.col("_lb")).alias("_l"),
+        F.sum(F.col("_la") + F.col("_lb")).over(wkp).alias("_cp"),
+        F.sum("_la").over(wka).alias("_na"),
+        F.sum("_lb").over(wka).alias("_nb"),
+    )
+    p = (F.col("_cp") - F.col("_l")).cast(d0)
+    l_ = F.col("_l").cast(d0)
+    n_ = (F.col("_na") + F.col("_nb")).cast(d0)
+    h = F.floor((F.col("_na") + F.col("_nb") + 1) / 2).cast(d0)
+    lo_hi = F.least(p + l_, h)
+    c1 = F.when(
+        p + 1 <= lo_hi, lo_hi * (lo_hi + 1) - p * (p + 1)
+    ).otherwise(F.lit(0).cast(d0))
+    hi_lo = F.greatest(p + 1, h + 1)
+    cnt2 = p + l_ - hi_lo + 1
+    c2 = F.when(
+        cnt2 > 0,
+        F.lit(2).cast(d0) * cnt2 * (n_ + 1)
+        - ((p + l_) * (p + l_ + 1) - (hi_lo - 1) * hi_lo),
+    ).otherwise(F.lit(0).cast(d0))
+    s2 = s1.select(
+        *by,
+        "_v",
+        "_la",
+        "_l",
+        "_na",
+        "_nb",
+        (c1 + c2).alias("_tb"),
+    )
+    agg = s2.groupBy(*by, "_na", "_nb").agg(
+        F.sum("_tb").alias("_tbsum"),
+        F.sort_array(
+            F.collect_list(F.struct("_v", "_la", "_l", "_tb"))
+        ).alias("_lv"),
+    )
+    nad = F.col("_na").cast("double")
+    nbd = F.col("_nb").cast("double")
+    nd = nad + nbd
+    ab = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + e["_la"].cast("double")
+        * (
+            e["_tb"].cast("double")
+            / (F.lit(2.0) * e["_l"].cast("double"))
+        ),
+    )
+    ss = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + e["_tb"].cast("double")
+        * e["_tb"].cast("double")
+        / (F.lit(4.0) * e["_l"].cast("double")),
+    )
+    sbar = F.col("_tbsum").cast("double") / (F.lit(2.0) * nd)
+    e_ab = nad * F.col("_tbsum").cast("double") / (F.lit(2.0) * nd)
+    var = (
+        nad
+        * (nd - nad)
+        / (nd * (nd - F.lit(1.0)))
+        * (ss - nd * sbar * sbar)
+    )
+    ok = (F.col("_na") > 0) & (F.col("_nb") > 0) & (nd > 1)
+    return agg.select(
+        *by,
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.when((F.col("_na") > 0) & (F.col("_nb") > 0), ab).alias("ab"),
+        F.when(ok, e_ab).alias("e_ab"),
+        F.when(ok, var).alias("var_ab"),
+        F.when(ok & (var > 0.0), (ab - e_ab) / F.sqrt(var)).alias("z"),
+    )
