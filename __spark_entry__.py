@@ -7047,6 +7047,40 @@ def q_ansari(spark, sf_dir):
     return ansari_bradley(e, ["bucket"], "event_type", "click", "view", "x")
 
 
+def q_breusch_pagan(spark, sf_dir):
+    """Breusch-Pagan (L270): does price-residual variance grow with
+    quantity per returnflag — 14 exact mixed micro-unit moments, one
+    shared-text polynomial tree."""
+    from lmss_entity_extractor_spark.ops.regression import breusch_pagan
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return breusch_pagan(li, ["flag"], "l_quantity", "l_extendedprice")
+
+
+def q_quade(spark, sf_dir):
+    """Quade test (L271): range-weighted ranked complete-block ANOVA
+    of per-(custkey-bucket) order revenue across priorities — exact
+    quarter-unit scores."""
+    from lmss_entity_extractor_spark.ops.rankeval import quade_test
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (F.col("o_custkey") % 2).alias("bucket"),
+            (F.col("o_custkey") % 40).alias("blk"),
+            F.col("o_orderpriority").alias("trt"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("v")
+        )
+    )
+    return quade_test(o, ["bucket"], "blk", "trt", "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7103,6 +7137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inequality": q_inequality,
         "brunner_munzel": q_brunner_munzel,
         "ansari": q_ansari,
+        "breusch_pagan": q_breusch_pagan,
+        "quade": q_quade,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -16221,6 +16257,140 @@ def oracle_sql() -> dict[str, str]:
                          AND var_ab > 0.0
                     THEN (ab - e_ab) / sqrt(var_ab) END AS z
         FROM g
+    """
+    from lmss_entity_extractor_spark.ops.regression import _bp_poly
+
+    _bp_moms = [
+        (i, j) for t in range(1, 5) for i in range(t + 1) for j in [t - i]
+    ]
+    _bp_sums = ",\n                   ".join(
+        "sum("
+        + " * ".join(["qx"] * i + ["qy"] * j)
+        + f") AS h{i}{j}"
+        for i, j in _bp_moms
+    )
+    _bp_casts = ",\n                   ".join(
+        f"CAST(h{i}{j} AS DOUBLE) AS m{i}{j}" for i, j in _bp_moms
+    )
+    oracles["breusch_pagan"] = f"""
+        -- 14 exact HUGEINT mixed moments; engine-shared polynomial
+        -- tree generated by the same _bp_poly builder Spark parses
+        WITH q AS (
+            SELECT l_returnflag AS flag,
+                   CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS HUGEINT) AS qx,
+                   CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT) AS HUGEINT) AS qy
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL
+              AND l_extendedprice IS NOT NULL
+        ),
+        agg AS (
+            SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                   {_bp_sums}
+            FROM q GROUP BY 1
+        ),
+        m AS (
+            SELECT flag, n, CAST(n AS DOUBLE) AS nd,
+                   {_bp_casts}
+            FROM agg
+        ),
+        f AS (
+            SELECT *,
+                   CASE WHEN nd * m20 - m10 * m10 > 0.0 THEN
+                       (nd * m11 - m10 * m01)
+                       / (nd * m20 - m10 * m10) END AS b1,
+                   nd * m20 - m10 * m10 AS sxx
+            FROM m
+        ),
+        f2 AS (
+            SELECT *, (m01 - b1 * m10) / nd AS b0 FROM f
+        ),
+        a AS (
+            SELECT flag, n, nd, m10, sxx, b1,
+                   {_bp_poly(2)} AS a1,
+                   {_bp_poly(2, x_shift=1)} AS a2,
+                   {_bp_poly(4)} AS a3
+            FROM f2
+        ),
+        r AS (
+            SELECT flag, n, nd, b1, sxx,
+                   nd * a3 - a1 * a1 AS see,
+                   nd * a2 - m10 * a1 AS sxe
+            FROM a
+        )
+        SELECT flag, n,
+               CASE WHEN sxx > 0.0 THEN b1 END AS slope,
+               CASE WHEN n >= 3 AND sxx > 0.0 AND see > 0.0
+                    THEN nd * (sxe * sxe) / (sxx * see) END AS lm,
+               CASE WHEN n >= 3 AND sxx > 0.0 AND see > 0.0
+                    THEN 1 END AS df_bp
+        FROM r
+    """
+    oracles["quade"] = """
+        -- doubled midranks both layers; exact quarter-unit scores
+        WITH cell AS (
+            SELECT o_custkey % 2 AS bucket, o_custkey % 40 AS blk,
+                   o_orderpriority AS trt,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+            FROM orders GROUP BY 1, 2, 3
+        ),
+        ranked AS (
+            SELECT bucket, blk, trt,
+                   CAST(2 * rank() OVER
+                            (PARTITION BY bucket, blk ORDER BY v)
+                        + count(*) OVER
+                            (PARTITION BY bucket, blk, v)
+                        - 1 AS HUGEINT) AS dr,
+                   CAST(count(*) OVER (PARTITION BY bucket, blk)
+                        AS HUGEINT) AS k
+            FROM cell
+        ),
+        rng AS (
+            SELECT bucket, blk, max(v) - min(v) AS r
+            FROM cell GROUP BY 1, 2
+        ),
+        qr AS (
+            SELECT bucket, blk,
+                   CAST(2 * rank() OVER
+                            (PARTITION BY bucket ORDER BY r)
+                        + count(*) OVER (PARTITION BY bucket, r)
+                        - 1 AS HUGEINT) AS dq
+            FROM rng
+        ),
+        cells AS (
+            SELECT ranked.bucket, ranked.trt, ranked.k,
+                   dq * (dr - (k + 1)) AS s4
+            FROM ranked JOIN qr
+              ON ranked.bucket = qr.bucket AND ranked.blk = qr.blk
+        ),
+        pt AS (
+            SELECT bucket, k, trt, CAST(count(*) AS BIGINT) AS b,
+                   sum(s4 * s4) AS a4, sum(s4) AS t4
+            FROM cells GROUP BY 1, 2, 3
+        ),
+        agg AS (
+            SELECT bucket, k, CAST(max(b) AS BIGINT) AS n_blocks,
+                   sum(a4) AS a, sum(t4 * t4) AS bsum
+            FROM pt GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT bucket, k, n_blocks,
+                   CAST(n_blocks AS DOUBLE) AS bd,
+                   CAST(a AS DOUBLE) / 16.0 AS av,
+                   CAST(bsum AS DOUBLE)
+                       / (16.0 * CAST(n_blocks AS DOUBLE)) AS bv
+            FROM agg
+        )
+        SELECT bucket, n_blocks, CAST(k AS BIGINT) AS k,
+               CASE WHEN n_blocks >= 2 AND k >= 2 AND av > bv
+                    THEN (bd - 1.0) * bv / (av - bv) END AS f_stat,
+               CASE WHEN n_blocks >= 2 AND k >= 2 AND av > bv
+                    THEN CAST(k - 1 AS BIGINT) END AS df1,
+               CASE WHEN n_blocks >= 2 AND k >= 2 AND av > bv
+                    THEN CAST((n_blocks - 1) * (k - 1) AS BIGINT)
+               END AS df2
+        FROM t
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

@@ -1536,3 +1536,139 @@ def ansari_bradley(
         F.when(ok, var).alias("var_ab"),
         F.when(ok & (var > 0.0), (ab - e_ab) / F.sqrt(var)).alias("z"),
     )
+
+
+def quade_test(
+    df: DataFrame,
+    by: list[str],
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+) -> DataFrame:
+    """``(by..., n_blocks, k, f_stat, df1, df2)`` — the Quade test
+    (L271): the complete-block ranked ANOVA that WEIGHTS blocks by
+    their range, so blocks that discriminate more count more — the
+    power-preserving alternative to Friedman (whose identity already
+    drives Kendall's W, L247) for small treatment counts:
+
+        S_ij = Q_b·(r_ij − (k+1)/2)
+        F = (b−1)·B / (A − B),  A = ΣS²,  B = (1/b)·Σ_j (Σ_b S_ij)²
+
+    with r = within-block midranks of the values and Q = midranks of
+    the block ranges.  Both rank layers use DOUBLED midranks
+    (2·rank_min + ties − 1, the L142 trick), so 4·S = dq·(dr − (k+1))
+    is an EXACT DECIMAL(38,0) integer and A/B come from plain
+    combinable integer sums — no folds; F is one fixed IEEE tree.
+    Incomplete blocks or duplicate (block, treatment) cells are
+    REFUSED loudly (Quade is defined on complete blocks); a perfectly
+    consistent ranking (A = B) → NULL f_stat (F = ∞).
+    df1 = k−1, df2 = (b−1)(k−1).
+
+    Scale shape: two window passes (within-block over ≤k rows, range
+    ranks over the bounded block list) + one combinable agg — one
+    scan, no driver loops beyond the completeness count.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    d0 = "decimal(38,0)"
+    flt = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(block_col).isNotNull()
+        & F.col(treat_col).isNotNull()
+    )
+    dup = (
+        flt.groupBy(*by, block_col, treat_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"quade_test: {dup} duplicate (block, treatment) cell(s)"
+        )
+    k_per_group = flt.groupBy(*by).agg(
+        F.countDistinct(treat_col).alias("_k")
+    )
+    blk_counts = flt.groupBy(*by, block_col).agg(
+        F.count(F.lit(1)).alias("_bk")
+    )
+    joined_counts = (
+        blk_counts.join(k_per_group, by)
+        if by
+        else blk_counts.crossJoin(k_per_group)
+    )
+    incomplete = joined_counts.filter(
+        F.col("_bk") != F.col("_k")
+    ).count()
+    if incomplete:
+        raise ValueError(
+            f"quade_test: {incomplete} incomplete block(s)"
+        )
+    wb = Window.partitionBy(*by, block_col).orderBy(value_col)
+    we = Window.partitionBy(*by, block_col, value_col)
+    ranked = flt.select(
+        *by,
+        F.col(block_col).alias("_blk"),
+        F.col(treat_col).alias("_trt"),
+        (
+            F.lit(2) * F.rank().over(wb)
+            + F.count(F.lit(1)).over(we)
+            - 1
+        ).alias("_dr"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(*by, block_col))
+        .alias("_k"),
+    )
+    ranges = flt.groupBy(*by, F.col(block_col).alias("_blk")).agg(
+        (F.max(value_col) - F.min(value_col)).alias("_rng")
+    )
+    wr = Window.partitionBy(*by).orderBy("_rng")
+    wre = Window.partitionBy(*by, "_rng")
+    qranks = ranges.select(
+        *by,
+        "_blk",
+        (
+            F.lit(2) * F.rank().over(wr)
+            + F.count(F.lit(1)).over(wre)
+            - 1
+        ).alias("_dq"),
+    )
+    cells = ranked.join(qranks, [*by, "_blk"]).select(
+        *by,
+        "_trt",
+        "_k",
+        (
+            F.col("_dq").cast(d0)
+            * (F.col("_dr").cast(d0) - (F.col("_k").cast(d0) + 1))
+        ).alias("_s4"),
+    )
+    per_treat = cells.groupBy(*by, "_k", "_trt").agg(
+        F.count(F.lit(1)).alias("_b"),
+        F.sum(F.col("_s4") * F.col("_s4")).alias("_a4"),
+        F.sum("_s4").alias("_t4"),
+    )
+    agg = per_treat.groupBy(*by, "_k").agg(
+        F.max("_b").alias("n_blocks"),
+        F.sum("_a4").alias("_a"),
+        F.sum(F.col("_t4") * F.col("_t4")).alias("_bsum"),
+    )
+    bd = F.col("n_blocks").cast("double")
+    kd = F.col("_k").cast("double")
+    a_ = F.col("_a").cast("double") / F.lit(16.0)
+    b_ = F.col("_bsum").cast("double") / (F.lit(16.0) * bd)
+    fstat = (bd - F.lit(1.0)) * b_ / (a_ - b_)
+    ok = (
+        (F.col("n_blocks") >= 2)
+        & (F.col("_k") >= 2)
+        & (a_ > b_)
+    )
+    return agg.select(
+        *by,
+        "n_blocks",
+        F.col("_k").alias("k"),
+        F.when(ok, fstat).alias("f_stat"),
+        F.when(ok, F.col("_k") - 1).alias("df1"),
+        F.when(
+            ok, (F.col("n_blocks") - 1) * (F.col("_k") - 1)
+        ).alias("df2"),
+    )

@@ -174,3 +174,140 @@ def ols_influence(
         F.when(ok, e).alias("resid"),
         F.when(ok & (h < 1), cooks).alias("cooks_d"),
     )
+
+
+def _bp_poly(power: int, x_shift: int = 0) -> str:
+    """Engine-shared SQL for Σ xˢ·eᵖ with e = y − b0 − b1·x expanded
+    multinomially over exact moment columns ``m{xpow}{ypow}`` (with
+    ``m00`` ≡ ``nd``) and the fitted doubles ``b0``/``b1`` — the SAME
+    text is parsed by Spark and DuckDB, so the IEEE tree is identical
+    by construction.  Term order is pinned by the deterministic
+    (i, j, k) iteration; powers are written as repeated products
+    (no ``pow()``)."""
+    import math as _m
+
+    terms = []
+    for i in range(power + 1):          # y power
+        for j in range(power + 1 - i):  # x power
+            k = power - i - j           # constant (−b0) power
+            coef = _m.factorial(power) // (
+                _m.factorial(i) * _m.factorial(j) * _m.factorial(k)
+            )
+            sign = -1 if (j + k) % 2 else 1
+            xp = j + x_shift
+            mom = "nd" if (xp == 0 and i == 0) else f"m{xp}{i}"
+            factors = [f"{float(coef * sign)}"]
+            factors += ["b1"] * j + ["b0"] * k + [mom]
+            terms.append(" * ".join(factors))
+    return "(" + " + ".join(terms) + ")"
+
+
+def breusch_pagan(
+    df: DataFrame,
+    by: list[str],
+    x: str,
+    y: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, slope, lm, df_bp)`` — the Breusch-Pagan
+    heteroskedasticity test (L270, Koenker's studentized form): after
+    fitting y ~ x per group, do the SQUARED residuals still depend on
+    x — the does-variance-grow-with-size gate that decides whether
+    the L135 OLS standard errors can be trusted:
+
+        LM = n · R²_aux,   e²ᵢ regressed on xᵢ,   df = 1
+
+    No residual is ever materialized: Σe², Σx·e², Σe⁴ are multinomial
+    expansions of (y − b0 − b1·x)ᵖ over the 14 EXACT integer
+    micro-unit mixed moments Σ qxⁱ·qyʲ (i+j ≤ 4, the L266 trick) —
+    one combinable aggregation, then one fixed IEEE polynomial tree
+    per group, generated ONCE as SQL text and parsed by both engines
+    (`_bp_poly`).  LM is invariant to the micro-unit scaling, so the
+    tree runs in q-units.  Degenerate groups (n < 3, zero x-variance,
+    zero e²-variance) → NULL lm.  DECIMAL(38,0) bounds the fourth
+    moments: |q| ≤ 10⁷ supports ~10⁴ rows per group at the extreme,
+    ~10⁸ for single-digit-scale values; ANSI fails loudly beyond.
+
+    Scale shape: ONE combinable aggregation — one scan of 100 TB,
+    output bounded by group cardinality.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    d0 = "decimal(38,0)"
+    qx = (F.col(x).cast(dec) * F.lit(10**scale)).cast(d0)
+    qy = (F.col(y).cast(dec) * F.lit(10**scale)).cast(d0)
+    base = df.filter(
+        F.col(x).isNotNull() & F.col(y).isNotNull()
+    ).select(*by, qx.alias("_qx"), qy.alias("_qy"))
+    moments = [
+        (i, j)
+        for t in range(1, 5)
+        for i in range(t + 1)
+        for j in [t - i]
+    ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, j in moments:
+        prod = F.lit(1).cast(d0)
+        for _ in range(i):
+            prod = prod * F.col("_qx")
+        for _ in range(j):
+            prod = prod * F.col("_qy")
+        aggs.append(F.sum(prod).alias(f"_m{i}{j}"))
+    agg = base.groupBy(*by).agg(*aggs)
+    m = agg.select(
+        *by,
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        *[
+            F.col(f"_m{i}{j}").cast("double").alias(f"m{i}{j}")
+            for i, j in moments
+        ],
+    )
+    f = m.select(
+        *by,
+        "n",
+        "nd",
+        *[f"m{i}{j}" for i, j in moments],
+        F.expr(
+            "CASE WHEN nd * m20 - m10 * m10 > 0.0 THEN "
+            "(nd * m11 - m10 * m01) / (nd * m20 - m10 * m10) END"
+        ).alias("b1"),
+        F.expr("nd * m20 - m10 * m10").alias("sxx"),
+    )
+    f = f.withColumn(
+        "b0", F.expr("(m01 - b1 * m10) / nd")
+    )
+    a = f.select(
+        *by,
+        "n",
+        "nd",
+        "m10",
+        "sxx",
+        "b1",
+        F.expr(_bp_poly(2)).alias("a1"),
+        F.expr(_bp_poly(2, x_shift=1)).alias("a2"),
+        F.expr(_bp_poly(4)).alias("a3"),
+    )
+    r = a.select(
+        *by,
+        "n",
+        "b1",
+        "sxx",
+        F.expr("nd * a3 - a1 * a1").alias("see"),
+        F.expr("nd * a2 - m10 * a1").alias("sxe"),
+        F.col("nd"),
+    )
+    lm = F.expr("nd * (sxe * sxe) / (sxx * see)")
+    ok = (
+        (F.col("n") >= 3)
+        & (F.col("sxx") > 0.0)
+        & (F.col("see") > 0.0)
+    )
+    return r.select(
+        *by,
+        "n",
+        F.when(F.col("sxx") > 0.0, F.col("b1")).alias("slope"),
+        F.when(ok, lm).alias("lm"),
+        F.when(ok, F.lit(1)).alias("df_bp"),
+    )
