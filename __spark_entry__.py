@@ -7081,6 +7081,24 @@ def q_quade(spark, sf_dir):
     return quade_test(o, ["bucket"], "blk", "trt", "v")
 
 
+def q_holt(spark, sf_dir):
+    """Holt linear smoothing (L272) of exact daily event revenue per
+    user-parity bucket — bounded in-array fold, recursive-CTE
+    oracle."""
+    from lmss_entity_extractor_spark.ops.timeseries import holt_linear
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            (F.col("user_id") % 2).alias("bucket"),
+            F.unix_date(F.to_date("ts")).alias("t"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    )
+    return holt_linear(daily, ["bucket"], "t", "v", alpha=0.5, beta=0.3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7139,6 +7157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ansari": q_ansari,
         "breusch_pagan": q_breusch_pagan,
         "quade": q_quade,
+        "holt": q_holt,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -16391,6 +16410,55 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST((n_blocks - 1) * (k - 1) AS BIGINT)
                END AS df2
         FROM t
+    """
+    oracles["holt"] = """
+        -- the identical per-step IEEE tree driven by WITH RECURSIVE
+        WITH RECURSIVE daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        series AS (
+            SELECT bucket,
+                   CAST(row_number() OVER
+                        (PARTITION BY bucket ORDER BY d)
+                        AS BIGINT) AS i,
+                   x
+            FROM daily
+        ),
+        sizes AS (
+            SELECT bucket, CAST(max(i) AS INTEGER) AS n
+            FROM series GROUP BY 1
+        ),
+        rec AS (
+            SELECT s1.bucket, CAST(1 AS BIGINT) AS t,
+                   s1.x AS l, s2.x - s1.x AS b
+            FROM series s1 JOIN series s2
+              ON s1.bucket = s2.bucket AND s1.i = 1 AND s2.i = 2
+            UNION ALL
+            SELECT r.bucket, r.t + 1,
+                   0.5 * s.x + (1.0 - 0.5) * (r.l + r.b) AS l,
+                   0.3 * ((0.5 * s.x + (1.0 - 0.5) * (r.l + r.b))
+                          - r.l)
+                   + (1.0 - 0.3) * r.b AS b
+            FROM rec r JOIN series s
+              ON s.bucket = r.bucket AND s.i = r.t + 1
+        )
+        SELECT z.bucket, z.n, r.l AS level, r.b AS trend,
+               r.l + r.b AS forecast
+        FROM sizes z JOIN rec r
+          ON r.bucket = z.bucket AND r.t = z.n
+        WHERE z.n >= 2
+        UNION ALL
+        SELECT z.bucket, z.n, s.x AS level,
+               CAST(NULL AS DOUBLE) AS trend,
+               CAST(NULL AS DOUBLE) AS forecast
+        FROM sizes z JOIN series s
+          ON s.bucket = z.bucket AND s.i = 1
+        WHERE z.n = 1
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

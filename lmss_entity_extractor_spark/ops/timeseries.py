@@ -712,3 +712,81 @@ def interevent_stats(
             ok & (sig + mean > 0.0), (sig - mean) / (sig + mean)
         ).alias("burstiness"),
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    max_len: int = 100_000,
+) -> DataFrame:
+    """``(by..., n, level, trend, forecast)`` — Holt linear-trend
+    (double) exponential smoothing (L272, Holt 1957): the sequential
+    level/trend recurrence that EWMA (L33-era ``ewma``) cannot
+    express in closed form because the two states feed each other:
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    initialized l₁ = x₁, b₁ = x₂ − x₁ and folded over t = 2..n; the
+    one-step-ahead ``forecast`` is l_n + b_n.  The recurrence is a
+    LEFT FOLD over the sorted packed series (the L180 ``_packed``
+    discipline: bounded length, refused loudly beyond ``max_len``) —
+    a fixed IEEE tree per step, so the result is bit-identical to
+    the same fold run anywhere (the oracle drives the identical tree
+    through a recursive CTE).  Duplicate order keys are REFUSED (the
+    recurrence needs a total order); n = 1 → level = x₁, NULL
+    trend/forecast.
+
+    Scale shape: one (keys) groupBy packing the bounded series + one
+    in-array fold — one scan; series length is the caller's
+    resampling contract, not a shuffle property.
+
+    No reference counterpart; forecasting analytics per SURVEY §2.11.
+    """
+    if not (0.0 < alpha <= 1.0) or not (0.0 <= beta <= 1.0):
+        raise ValueError("holt_linear: need 0<alpha<=1, 0<=beta<=1")
+    from .trend import _packed
+
+    flt = df.filter(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    )
+    dups = (
+        flt.groupBy(*by, order_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dups:
+        raise ValueError(
+            f"holt_linear: {dups} duplicate order key(s) — the "
+            "recurrence needs a total order; pre-aggregate first"
+        )
+    packed = _packed(flt, by, order_col, value_col, max_len)
+    xs = F.transform(F.col("_a"), lambda s: s["_x"])
+    n = F.size(xs)
+    x1 = F.element_at(xs, 1)
+    x2 = F.element_at(xs, 2)
+    al = F.lit(float(alpha))
+    be = F.lit(float(beta))
+    one = F.lit(1.0)
+    init = F.struct(x1.alias("l"), (x2 - x1).alias("b"))
+    rest = F.slice(xs, 2, F.greatest(n - 1, F.lit(0)))
+
+    def step(acc, x):
+        lnew = al * x + (one - al) * (acc["l"] + acc["b"])
+        bnew = be * (lnew - acc["l"]) + (one - be) * acc["b"]
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    acc = F.aggregate(rest, init, step)
+    out = packed.select(
+        *by,
+        n.alias("n"),
+        F.when(n >= 2, acc["l"]).when(n == 1, x1).alias("level"),
+        F.when(n >= 2, acc["b"]).alias("trend"),
+        F.when(n >= 2, acc["l"] + acc["b"]).alias("forecast"),
+    )
+    return out
