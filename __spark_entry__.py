@@ -7099,6 +7099,42 @@ def q_holt(spark, sf_dir):
     return holt_linear(daily, ["bucket"], "t", "v", alpha=0.5, beta=0.3)
 
 
+def _daily_series(spark, sf_dir):
+    """Exact daily event revenue per user-parity bucket — the shared
+    series for the L272-L274 forecasting family."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            (F.col("user_id") % 2).alias("bucket"),
+            F.unix_date(F.to_date("ts")).alias("t"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    )
+
+
+def q_yule_walker(spark, sf_dir):
+    """Yule-Walker AR(3) + PACF (L273) of the daily revenue series —
+    Durbin-Levinson fold over exact L151 ACF values; recursive-CTE
+    oracle carries LIST state through the identical per-step tree."""
+    from lmss_entity_extractor_spark.ops.timeseries import ar_yule_walker
+
+    return ar_yule_walker(
+        _daily_series(spark, sf_dir), ["bucket"], ["t"], "v", p=3
+    )
+
+
+def q_periodogram(spark, sf_dir):
+    """Periodogram power at candidate weekly periods (L274) of the
+    daily revenue series — order-pinned in-array cos/sin folds."""
+    from lmss_entity_extractor_spark.ops.timeseries import periodogram
+
+    return periodogram(
+        _daily_series(spark, sf_dir), ["bucket"], "t", "v",
+        periods=[7, 14],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7158,6 +7194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "breusch_pagan": q_breusch_pagan,
         "quade": q_quade,
         "holt": q_holt,
+        "yule_walker": q_yule_walker,
+        "periodogram": q_periodogram,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -16459,6 +16497,147 @@ def oracle_sql() -> dict[str, str]:
         FROM sizes z JOIN series s
           ON s.bucket = z.bucket AND s.i = 1
         WHERE z.n = 1
+    """
+    oracles["yule_walker"] = """
+        -- exact L151 ACF pipeline, then Durbin-Levinson through a
+        -- recursive CTE carrying LIST state — identical per-step tree
+        WITH RECURSIVE daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS DECIMAL(18,2)) AS s
+            FROM daily GROUP BY 1
+        ),
+        centred AS (
+            SELECT b.bucket, st.n,
+                   CAST(CAST(st.n AS DECIMAL(10,0)) * b.x - st.s
+                        AS DECIMAL(19,2)) AS c,
+                   b.d
+            FROM daily b JOIN stats st ON b.bucket = st.bucket
+        ),
+        lagged AS (
+            SELECT bucket, n, c,
+                   lag(c, 1) OVER w AS l1,
+                   lag(c, 2) OVER w AS l2,
+                   lag(c, 3) OVER w AS l3
+            FROM centred
+            WINDOW w AS (PARTITION BY bucket ORDER BY d)
+        ),
+        sums AS (
+            SELECT bucket, n, sum(c*c) AS den, sum(c*l1) AS num1,
+                   sum(c*l2) AS num2, sum(c*l3) AS num3
+            FROM lagged GROUP BY 1, 2
+        ),
+        acfl AS (
+            SELECT bucket, n, lag,
+                   CASE WHEN den IS NOT NULL AND den <> 0
+                            AND num IS NOT NULL
+                        THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                   END AS r
+            FROM (
+                SELECT bucket, n, den, 1 AS lag, num1 AS num FROM sums
+                UNION ALL SELECT bucket, n, den, 2, num2 FROM sums
+                UNION ALL SELECT bucket, n, den, 3, num3 FROM sums
+            )
+        ),
+        rl AS (
+            SELECT bucket, CAST(min(n) AS BIGINT) AS n,
+                   list(r ORDER BY lag) AS rs
+            FROM acfl GROUP BY 1
+        ),
+        rec AS (
+            SELECT bucket, n, rs, 1 AS m,
+                   [rs[1]] AS phis, [rs[1]] AS pacfs,
+                   1.0 - rs[1] * rs[1] AS e
+            FROM rl
+            UNION ALL
+            SELECT bucket, n, rs, m + 1,
+                   list_concat(
+                       list_transform(generate_series(1, m),
+                           j -> phis[j] - k * phis[m + 1 - j]),
+                       [k]),
+                   list_concat(pacfs, [k]),
+                   e * (1.0 - k * k)
+            FROM (
+                SELECT r.*,
+                       CASE WHEN e <> 0.0 THEN
+                           (rs[m + 1] - list_reduce(
+                               list_prepend(0.0,
+                                   list_transform(
+                                       generate_series(1, m),
+                                       j -> phis[j] * rs[m + 1 - j])),
+                               (a, b) -> a + b)) / e
+                       END AS k
+                FROM rec r WHERE m < 3
+            )
+        )
+        SELECT bucket, n, CAST(u.lag AS INTEGER) AS lag,
+               pacfs[u.lag] AS pacf, phis[u.lag] AS ar_coef
+        FROM rec
+        CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS lag) u
+        WHERE m = 3
+    """
+    oracles["periodogram"] = """
+        -- order-pinned in-array cos/sin folds over the exact series
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        pl AS (
+            SELECT bucket, list(x ORDER BY d) AS xs
+            FROM daily GROUP BY 1
+        ),
+        st AS (
+            SELECT bucket, xs, CAST(len(xs) AS INTEGER) AS n,
+                   list_reduce(list_prepend(0.0, xs),
+                               (a, b) -> a + b)
+                       / CAST(len(xs) AS DOUBLE) AS xbar
+            FROM pl
+        ),
+        wide AS (
+            SELECT st.*, p.period
+            FROM st CROSS JOIN
+                 (SELECT unnest([7, 14]) AS period) p
+        ),
+        folds AS (
+            SELECT bucket, period, n,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(generate_series(0, n - 1),
+                           i -> (xs[i + 1] - xbar)
+                                * cos(6.283185307179586
+                                      * CAST(i AS DOUBLE)
+                                      / CAST(period AS DOUBLE)))),
+                       (a, b) -> a + b) AS c,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(generate_series(0, n - 1),
+                           i -> (xs[i + 1] - xbar)
+                                * sin(6.283185307179586
+                                      * CAST(i AS DOUBLE)
+                                      / CAST(period AS DOUBLE)))),
+                       (a, b) -> a + b) AS s,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(generate_series(0, n - 1),
+                           i -> (xs[i + 1] - xbar)
+                                * (xs[i + 1] - xbar))),
+                       (a, b) -> a + b) AS den
+            FROM wide
+        )
+        SELECT bucket, period, n,
+               CASE WHEN n >= 2 AND den > 0.0
+                    THEN 2.0 * (c * c + s * s)
+                         / (CAST(n AS DOUBLE) * den)
+               END AS power
+        FROM folds
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

@@ -790,3 +790,192 @@ def holt_linear(
         F.when(n >= 2, acc["l"] + acc["b"]).alias("forecast"),
     )
     return out
+
+
+def ar_yule_walker(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+    p: int,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, lag, pacf, ar_coef)`` for lag = 1..p — Yule-Walker
+    AR(p) fit + partial autocorrelation function (L273): which lags
+    carry DIRECT serial structure once shorter lags are accounted for
+    — the model-order diagnostic that the raw ACF (L151) cannot give
+    (an AR(1) has geometric ACF at ALL lags but PACF zero beyond 1).
+
+    Solved by the Durbin-Levinson recursion over the L151 exact ACF
+    values r₁..r_p:
+
+        κ_m = (r_m − Σ_{j<m} φ_{m−1,j}·r_{m−j}) / E_{m−1}
+        φ_{m,j} = φ_{m−1,j} − κ_m·φ_{m−1,m−j},   φ_{m,m} = κ_m
+        E_m = E_{m−1}·(1 − κ_m²)
+
+    ``pacf`` at lag m is κ_m; ``ar_coef`` is the final-model φ_{p,·}.
+    The recursion is a LEFT FOLD over m = 2..p with a
+    (φ-array, κ-array, E) struct accumulator — p is a model order
+    (single digits), so the fold is a fixed bounded tree; the oracle
+    drives the identical tree through a recursive CTE carrying LIST
+    state.  Degenerate inputs (short series, zero variance, E = 0)
+    propagate NULL through the fold rather than dividing by zero.
+
+    Scale shape: inherits L151's — one stats agg + one keyed window
+    pass + one combinable agg per lag; the recursion itself touches
+    only the p-row-per-group ACF table.
+
+    No reference counterpart; forecasting analytics per SURVEY §2.11.
+    """
+    if p < 1:
+        raise ValueError("ar_yule_walker: p >= 1 required")
+    from .concentration import acf as _acf
+
+    a = _acf(df, by, order_cols, value_col, max_lag=p, scale=scale)
+    packed = a.groupBy(*by).agg(
+        F.min("n").alias("n"),
+        F.sort_array(F.collect_list(F.struct("lag", "r"))).alias("_lv"),
+    )
+    rs = F.transform(F.col("_lv"), lambda s: s["r"])
+    r1 = F.element_at(rs, 1)
+    init = F.struct(
+        F.array(r1).alias("phis"),
+        F.array(r1).alias("pacfs"),
+        (F.lit(1.0) - r1 * r1).alias("e"),
+    )
+    if p >= 2:
+
+        def step(acc, m):
+            num = F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), m - 1),
+                    lambda j: F.element_at(acc["phis"], j)
+                    * F.element_at(rs, m - j),
+                ),
+                F.lit(0.0),
+                lambda s, t: s + t,
+            )
+            k = F.when(
+                acc["e"] != 0.0,
+                (F.element_at(rs, m) - num) / acc["e"],
+            )
+            new_phis = F.concat(
+                F.transform(
+                    F.sequence(F.lit(1), m - 1),
+                    lambda j: F.element_at(acc["phis"], j)
+                    - k * F.element_at(acc["phis"], m - j),
+                ),
+                F.array(k),
+            )
+            return F.struct(
+                new_phis.alias("phis"),
+                F.concat(acc["pacfs"], F.array(k)).alias("pacfs"),
+                (acc["e"] * (F.lit(1.0) - k * k)).alias("e"),
+            )
+
+        acc = F.aggregate(F.sequence(F.lit(2), F.lit(p)), init, step)
+    else:
+        acc = init
+    staged = packed.select(*by, "n", acc.alias("_acc"))
+    exploded = staged.select(
+        *by,
+        "n",
+        "_acc",
+        F.explode(F.sequence(F.lit(1), F.lit(p))).alias("lag"),
+    )
+    return exploded.select(
+        *by,
+        "n",
+        "lag",
+        F.element_at(F.col("_acc")["pacfs"], F.col("lag")).alias("pacf"),
+        F.element_at(F.col("_acc")["phis"], F.col("lag")).alias(
+            "ar_coef"
+        ),
+    )
+
+
+def periodogram(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    periods: list[int],
+    max_len: int = 100_000,
+) -> DataFrame:
+    """``(by..., period, n, power)`` — variance-normalized
+    periodogram power at CANDIDATE periods (L274): how much of a
+    series' variance is explained by a sinusoid of each period — the
+    seasonality detector that tells the resampling/rollup layers
+    which cycle length (daily/weekly/monthly) to aggregate on:
+
+        C_P = Σ_t (x_t − x̄)·cos(2πt/P),  S_P likewise with sin
+        power_P = 2·(C_P² + S_P²) / (n·Σ(x − x̄)²)   (= 1 for a pure
+                                                      tone of period P)
+
+    t is the 0-based position in the sorted series.  Every sum is a
+    LEFT FOLD over the bounded packed series (the L180 discipline) —
+    order-pinned, a fixed IEEE tree per term; cos/sin are the libm
+    reliance shared with the L257 family.  NULL values and duplicate
+    order keys are REFUSED (they would shift the position lattice);
+    zero variance → NULL power.
+
+    Scale shape: one (keys) groupBy packing the bounded series + one
+    in-array fold per candidate period — one scan; the period list is
+    a literal.
+
+    No reference counterpart; forecasting analytics per SURVEY §2.11.
+    """
+    if not periods or any(int(q) < 2 for q in periods):
+        raise ValueError("periodogram: periods must all be >= 2")
+    from .trend import _packed
+
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"periodogram: {n_null} NULL value(s) — impute first"
+        )
+    dups = (
+        df.groupBy(*by, order_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dups:
+        raise ValueError(
+            f"periodogram: {dups} duplicate order key(s)"
+        )
+    packed = _packed(df, by, order_col, value_col, max_len)
+    xs = F.transform(F.col("_a"), lambda s: s["_x"])
+    staged = packed.select(*by, xs.alias("_xs"))
+    n = F.size(F.col("_xs"))
+    nd = n.cast("double")
+    xbar = (
+        F.aggregate(F.col("_xs"), F.lit(0.0), lambda a, x: a + x) / nd
+    )
+    wide = staged.select(
+        *by,
+        "_xs",
+        n.alias("n"),
+        xbar.alias("_xbar"),
+        F.explode(
+            F.array(*[F.lit(int(q)) for q in periods])
+        ).alias("period"),
+    )
+    tau = F.lit(6.283185307179586)
+    pd_ = F.col("period").cast("double")
+    idx = F.sequence(F.lit(0), F.col("n") - 1)
+
+    def _fold(term):
+        return F.aggregate(idx, F.lit(0.0), lambda a, i: a + term(i))
+
+    x_at = lambda i: F.element_at(F.col("_xs"), i + 1) - F.col("_xbar")
+    c = _fold(lambda i: x_at(i) * F.cos(tau * i.cast("double") / pd_))
+    s = _fold(lambda i: x_at(i) * F.sin(tau * i.cast("double") / pd_))
+    den = _fold(lambda i: x_at(i) * x_at(i))
+    power = F.lit(2.0) * (c * c + s * s) / (F.col("n").cast("double") * den)
+    return wide.select(
+        *by,
+        "period",
+        "n",
+        F.when((F.col("n") >= 2) & (den > 0.0), power).alias("power"),
+    )
