@@ -7135,6 +7135,29 @@ def q_periodogram(spark, sf_dir):
     )
 
 
+def q_rmst(spark, sf_dir):
+    """Restricted mean survival time (L275): mean days-into-month
+    until shipment over a 20-day horizon per linestatus, returned
+    lines treated as censored — bounded KM-grid fold, list-encoded-
+    accumulator oracle."""
+    from lmss_entity_extractor_spark.ops.survival import rmst
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("st"),
+        (F.dayofmonth("l_shipdate") - 1).alias("dur"),
+        (F.col("l_returnflag") != "R").cast("int").alias("ev"),
+    )
+    return rmst(li, ["st"], "dur", "ev", tau=20.0)
+
+
+def q_cox_stuart(spark, sf_dir):
+    """Cox-Stuart trend test (L276): is daily revenue drifting per
+    bucket — half-offset sign pairs via one exact integer equi-join."""
+    from lmss_entity_extractor_spark.ops.trend import cox_stuart
+
+    return cox_stuart(_daily_series(spark, sf_dir), ["bucket"], ["t"], "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7196,6 +7219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt": q_holt,
         "yule_walker": q_yule_walker,
         "periodogram": q_periodogram,
+        "rmst": q_rmst,
+        "cox_stuart": q_cox_stuart,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -16638,6 +16663,107 @@ def oracle_sql() -> dict[str, str]:
                          / (CAST(n AS DOUBLE) * den)
                END AS power
         FROM folds
+    """
+    oracles["rmst"] = """
+        -- bounded KM grid; accumulator encoded as a 3-double LIST so
+        -- list_reduce drives the identical (prev, s, area) tree
+        WITH flt AS (
+            SELECT l_linestatus AS st,
+                   CAST(day(l_shipdate) - 1 AS BIGINT) AS t,
+                   CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0
+                        END AS e
+            FROM lineitem
+            WHERE l_shipdate IS NOT NULL
+        ),
+        pts AS (
+            SELECT st, t, CAST(sum(e) AS BIGINT) AS d,
+                   CAST(sum(1 - e) AS BIGINT) AS c
+            FROM flt GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT st, t, d, c,
+                   CAST(sum(d + c) OVER (PARTITION BY st)
+                        - COALESCE(sum(d + c) OVER
+                              (PARTITION BY st ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n
+            FROM pts
+        ),
+        packed AS (
+            SELECT st, CAST(max(n) AS BIGINT) AS n,
+                   CAST(sum(d) AS BIGINT) AS events,
+                   list_sort(list(struct_pack(t := t, d := d,
+                                              n := n))) AS lv
+            FROM grid GROUP BY 1
+        ),
+        folded AS (
+            SELECT st, n, events,
+                   list_reduce(
+                       list_prepend([0.0, 1.0, 0.0],
+                           list_transform(lv, s ->
+                               [CAST(s.t AS DOUBLE),
+                                CAST(s.n - s.d AS DOUBLE)
+                                    / CAST(s.n AS DOUBLE),
+                                0.0])),
+                       (a, x) -> [x[1],
+                                  a[2] * x[2],
+                                  a[3] + a[2]
+                                       * (least(x[1], 20.0)
+                                          - least(a[1], 20.0))]
+                   ) AS acc
+            FROM packed
+        )
+        SELECT st, 20.0 AS tau, n, events,
+               acc[3] + acc[2]
+                      * greatest(20.0 - least(acc[1], 20.0), 0.0)
+                   AS rmst
+        FROM folded
+    """
+    oracles["cox_stuart"] = """
+        -- half-offset sign pairs via exact integer equi-join
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(18,2))) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT bucket,
+                   CAST(row_number() OVER
+                        (PARTITION BY bucket ORDER BY d)
+                        AS BIGINT) AS i,
+                   CAST(count(*) OVER (PARTITION BY bucket)
+                        AS BIGINT) AS nn,
+                   x
+            FROM daily
+        ),
+        first AS (
+            SELECT bucket, nn, i + (nn - nn // 2) AS j, x AS x1
+            FROM idx WHERE i <= nn // 2
+        ),
+        pairs AS (
+            SELECT f.bucket, f.nn, f.x1, s.x AS x2
+            FROM first f JOIN idx s
+              ON f.bucket = s.bucket AND f.j = s.i
+        ),
+        agg AS (
+            SELECT bucket, nn,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN x2 > x1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS plus,
+                   CAST(sum(CASE WHEN x2 < x1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS minus
+            FROM pairs GROUP BY 1, 2
+        )
+        SELECT bucket, nn AS n, n_pairs, plus, minus,
+               CASE WHEN plus + minus > 0
+                    THEN (CAST(plus AS DOUBLE)
+                          - CAST(plus + minus AS DOUBLE) / 2.0)
+                         / sqrt(CAST(plus + minus AS DOUBLE) / 4.0)
+               END AS z
+        FROM agg
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

@@ -351,3 +351,82 @@ def cumulative_incidence(
         F.col("_e.dk").alias("n_events"),
         cif.alias("cif"),
     )
+
+
+def rmst(
+    df: DataFrame,
+    by: list[str],
+    duration_col: str,
+    event_col: str,
+    tau: float,
+    max_points: int = 1000,
+) -> DataFrame:
+    """``(by..., tau, n, events, rmst)`` — restricted mean survival
+    time (L275): the area under the Kaplan-Meier curve up to horizon
+    τ — "average survival time over the first τ days", the
+    clinically/operationally interpretable scalar that the median
+    survival time cannot give when the curve never crosses 0.5
+    (common for retention), and the standard effect measure when
+    proportional hazards fail:
+
+        RMST(τ) = ∫₀^τ Ŝ(t) dt
+                = Σᵢ Ŝ(tᵢ₋₁)·(min(tᵢ,τ) − min(tᵢ₋₁,τ)) + Ŝ·tail
+
+    One LEFT FOLD over the bounded L159 grid with a
+    (prev_t, survival, area) accumulator — per step: area accrues at
+    the PRE-step survival, then the KM factor (n−d)/n multiplies in;
+    the oracle drives the identical tree with the accumulator encoded
+    as a 3-double LIST (list_reduce needs homogeneous types).  τ ≤ 0
+    refused; negative durations refused; groups with no rows cannot
+    occur.
+
+    Scale shape: inherits L159's — one combinable groupBy to the
+    bounded grid, one window cumsum, one bounded fold.
+
+    No reference counterpart; retention analytics per SURVEY §2.11.
+    """
+    if not tau > 0:
+        raise ValueError("rmst: tau must be > 0")
+    n_neg = df.filter(F.col(duration_col) < 0).count()
+    if n_neg:
+        raise ValueError(f"rmst: {n_neg} negative duration(s)")
+    grid = _grid(df, by, duration_col, event_col, max_points)
+    packed = grid.groupBy(*by).agg(
+        F.max("n").alias("n"),
+        F.sum("d").alias("events"),
+        F.sort_array(F.collect_list(F.struct("t", "d", "n"))).alias(
+            "_a"
+        ),
+    )
+    tv = F.lit(float(tau))
+    init = F.struct(
+        F.lit(0.0).alias("prev"),
+        F.lit(1.0).alias("s"),
+        F.lit(0.0).alias("area"),
+    )
+
+    def step(acc, x):
+        td = x["t"].cast("double")
+        factor = (x["n"] - x["d"]).cast("double") / x["n"].cast(
+            "double"
+        )
+        area = acc["area"] + acc["s"] * (
+            F.least(td, tv) - F.least(acc["prev"], tv)
+        )
+        return F.struct(
+            td.alias("prev"),
+            (acc["s"] * factor).alias("s"),
+            area.alias("area"),
+        )
+
+    acc = F.aggregate(F.col("_a"), init, step)
+    total = acc["area"] + acc["s"] * F.greatest(
+        tv - F.least(acc["prev"], tv), F.lit(0.0)
+    )
+    return packed.select(
+        *by,
+        tv.alias("tau"),
+        "n",
+        "events",
+        total.alias("rmst"),
+    )

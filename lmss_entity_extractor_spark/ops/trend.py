@@ -36,7 +36,7 @@ family).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _MAX_LEN_DEFAULT = 1000
@@ -215,4 +215,85 @@ def hodges_lehmann(
         "n",
         k.cast("long").alias("n_pairs"),
         F.when(k > 0, hl).alias("hl"),
+    )
+
+
+def cox_stuart(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """``(by..., n, n_pairs, plus, minus, z)`` — the Cox-Stuart trend
+    test (L276): the assumption-free sign test for monotone trend —
+    pair each point in the FIRST half of the series with its opposite
+    number half a series later and count rises vs falls (Cox & Stuart
+    1955); the O(n) companion to Mann-Kendall (L180, O(n²) pairs):
+
+        m = ⌊n/2⌋, pairs (xᵢ, xᵢ₊⌈n/2⌉) for i ≤ m (odd n drops the
+        middle point);  ties dropped;  N = plus + minus
+        z = (plus − N/2) / sqrt(N/4)
+
+    Positions come from one row_number window; the half-offset join
+    is an exact integer equi-join (i + m = j) — no data-dependent
+    ``lag`` offset needed.  All counts exact; z is one fixed tree;
+    N = 0 → NULL z.  NULL values refused (they shift positions).
+
+    Scale shape: one keyed window sort + one self equi-join on
+    (keys, position) + one combinable agg — two shuffles on the
+    series key, nothing quadratic.
+
+    No reference counterpart; trend analytics per SURVEY §2.11.
+    """
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"cox_stuart: {n_null} NULL value(s) — impute first"
+        )
+    w = Window.partitionBy(*by).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    idx = df.select(
+        *by,
+        F.row_number().over(w).alias("_i"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy(*by).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("_n"),
+        F.col(value_col).alias("_x"),
+    )
+    m = F.floor(F.col("_n") / 2)
+    first = idx.filter(F.col("_i") <= m).select(
+        *by,
+        "_n",
+        (F.col("_i") + (F.col("_n") - m)).alias("_j"),
+        F.col("_x").alias("_x1"),
+    )
+    second = idx.select(
+        *by, F.col("_i").alias("_j"), F.col("_x").alias("_x2")
+    )
+    pairs = first.join(second, [*by, "_j"])
+    agg = pairs.groupBy(*by, "_n").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("_x2") > F.col("_x1"), 1).otherwise(0)
+        ).alias("plus"),
+        F.sum(
+            F.when(F.col("_x2") < F.col("_x1"), 1).otherwise(0)
+        ).alias("minus"),
+    )
+    nn = (F.col("plus") + F.col("minus")).cast("double")
+    z = (F.col("plus").cast("double") - nn / F.lit(2.0)) / F.sqrt(
+        nn / F.lit(4.0)
+    )
+    return agg.select(
+        *by,
+        F.col("_n").alias("n"),
+        "n_pairs",
+        "plus",
+        "minus",
+        F.when(F.col("plus") + F.col("minus") > 0, z).alias("z"),
     )
