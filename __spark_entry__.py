@@ -7158,6 +7158,52 @@ def q_cox_stuart(spark, sf_dir):
     return cox_stuart(_daily_series(spark, sf_dir), ["bucket"], ["t"], "v")
 
 
+def q_stuart_maxwell(spark, sf_dir):
+    """Stuart-Maxwell 3×3 (L277): did per-customer order status shift
+    between first and last order — doubled off-diagonal means keep
+    the closed form all-integer."""
+    from pyspark.sql import Window
+
+    from lmss_entity_extractor_spark.ops.evalmetrics import (
+        stuart_maxwell_3,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    wf = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    wl = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    tagged = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.row_number().over(wf).alias("_rf"),
+        F.row_number().over(wl).alias("_rl"),
+    )
+    first = tagged.filter(F.col("_rf") == 1).select(
+        "o_custkey", F.col("o_orderstatus").alias("b")
+    )
+    last = tagged.filter(F.col("_rl") == 1).select(
+        "o_custkey", F.col("o_orderstatus").alias("a")
+    )
+    paired = first.join(last, "o_custkey").select(
+        (F.col("o_custkey") % 2).alias("bucket"), "b", "a"
+    )
+    return stuart_maxwell_3(paired, ["bucket"], "b", "a")
+
+
+def q_bartels(spark, sf_dir):
+    """Bartels rank von Neumann (L278): is daily revenue serially
+    random per bucket — all-integer doubled-midrank sums, one
+    division."""
+    from lmss_entity_extractor_spark.ops.rankeval import bartels_rank_test
+
+    return bartels_rank_test(
+        _daily_series(spark, sf_dir), ["bucket"], ["t"], "v"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7221,6 +7267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "periodogram": q_periodogram,
         "rmst": q_rmst,
         "cox_stuart": q_cox_stuart,
+        "stuart_maxwell": q_stuart_maxwell,
+        "bartels": q_bartels,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -16764,6 +16812,125 @@ def oracle_sql() -> dict[str, str]:
                          / sqrt(CAST(plus + minus AS DOUBLE) / 4.0)
                END AS z
         FROM agg
+    """
+    oracles["stuart_maxwell"] = """
+        -- doubled off-diagonal means keep the closed form integer
+        WITH tagged AS (
+            SELECT o_custkey, o_orderstatus,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rf,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC)
+                       AS rl
+            FROM orders
+        ),
+        paired AS (
+            SELECT f.o_custkey % 2 AS bucket,
+                   f.o_orderstatus AS b, l.o_orderstatus AS a
+            FROM (SELECT * FROM tagged WHERE rf = 1) f
+            JOIN (SELECT * FROM tagged WHERE rl = 1) l
+              ON f.o_custkey = l.o_custkey
+        ),
+        cells AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN b='F' AND a='F' THEN 1 ELSE 0
+                       END) AS BIGINT) AS n11,
+                   CAST(sum(CASE WHEN b='F' AND a='O' THEN 1 ELSE 0
+                       END) AS BIGINT) AS n12,
+                   CAST(sum(CASE WHEN b='F' AND a='P' THEN 1 ELSE 0
+                       END) AS BIGINT) AS n13,
+                   CAST(sum(CASE WHEN b='O' AND a='F' THEN 1 ELSE 0
+                       END) AS BIGINT) AS n21,
+                   CAST(sum(CASE WHEN b='O' AND a='O' THEN 1 ELSE 0
+                       END) AS BIGINT) AS n22,
+                   CAST(sum(CASE WHEN b='O' AND a='P' THEN 1 ELSE 0
+                       END) AS BIGINT) AS n23,
+                   CAST(sum(CASE WHEN b='P' AND a='F' THEN 1 ELSE 0
+                       END) AS BIGINT) AS n31,
+                   CAST(sum(CASE WHEN b='P' AND a='O' THEN 1 ELSE 0
+                       END) AS BIGINT) AS n32,
+                   CAST(sum(CASE WHEN b='P' AND a='P' THEN 1 ELSE 0
+                       END) AS BIGINT) AS n33
+            FROM paired GROUP BY 1
+        ),
+        m AS (
+            SELECT bucket, n,
+                   (n11+n12+n13) - (n11+n21+n31) AS d1,
+                   (n21+n22+n23) - (n12+n22+n32) AS d2,
+                   (n31+n32+n33) - (n13+n23+n33) AS d3,
+                   n12 + n21 AS m12, n13 + n31 AS m13,
+                   n23 + n32 AS m23
+            FROM cells
+        ),
+        f AS (
+            SELECT bucket, n, d1, d2, d3,
+                   CAST(m23 AS DOUBLE) * CAST(d1 AS DOUBLE)
+                       * CAST(d1 AS DOUBLE)
+                   + CAST(m13 AS DOUBLE) * CAST(d2 AS DOUBLE)
+                       * CAST(d2 AS DOUBLE)
+                   + CAST(m12 AS DOUBLE) * CAST(d3 AS DOUBLE)
+                       * CAST(d3 AS DOUBLE) AS num,
+                   CAST(m12 AS DOUBLE) * CAST(m13 AS DOUBLE)
+                   + CAST(m12 AS DOUBLE) * CAST(m23 AS DOUBLE)
+                   + CAST(m13 AS DOUBLE) * CAST(m23 AS DOUBLE)
+                       AS den
+            FROM m
+        )
+        SELECT bucket, n, d1, d2, d3,
+               CASE WHEN den > 0.0 THEN num / den END AS chi2,
+               CASE WHEN den > 0.0 THEN 2 END AS dof
+        FROM f
+    """
+    oracles["bartels"] = """
+        -- all-integer doubled-midrank sums; ONE division
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(18,2))) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT bucket, d,
+                   CAST(2 * rank() OVER
+                            (PARTITION BY bucket ORDER BY x)
+                        + count(*) OVER (PARTITION BY bucket, x)
+                        - 1 AS BIGINT) AS dr,
+                   CAST(count(*) OVER (PARTITION BY bucket)
+                        AS BIGINT) AS nn
+            FROM daily
+        ),
+        led AS (
+            SELECT bucket, nn, dr,
+                   lead(dr, 1) OVER
+                       (PARTITION BY bucket ORDER BY d) AS dn
+            FROM ranked
+        ),
+        agg AS (
+            SELECT bucket, nn,
+                   sum(CASE WHEN dn IS NOT NULL THEN
+                       CAST(dr - dn AS HUGEINT)
+                       * CAST(dr - dn AS HUGEINT) END) AS nm4,
+                   sum(CAST(dr - (nn + 1) AS HUGEINT)
+                       * CAST(dr - (nn + 1) AS HUGEINT)) AS d4
+            FROM led GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT bucket, nn,
+                   CAST(nm4 AS DOUBLE) / CAST(d4 AS DOUBLE) AS rvn,
+                   CAST(nn AS DOUBLE) AS nd, d4
+            FROM agg
+        )
+        SELECT bucket, nn AS n,
+               CASE WHEN nn >= 3 AND d4 > 0 THEN rvn END AS rvn,
+               CASE WHEN nn >= 3 AND d4 > 0
+                    THEN (rvn - 2.0)
+                         / sqrt(4.0 * (nd - 2.0)
+                                * (5.0 * nd * nd - 2.0 * nd - 9.0)
+                                / (5.0 * nd * (nd + 1.0)
+                                   * (nd - 1.0) * (nd - 1.0)))
+               END AS z
+        FROM t
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

@@ -1183,3 +1183,93 @@ def bowker_symmetry(
         F.when(F.col("dof") > 0, F.col("_chi2")).alias("chi2"),
         F.coalesce(F.col("dof"), F.lit(0).cast("long")).alias("dof"),
     )
+
+
+def stuart_maxwell_3(
+    df: DataFrame,
+    by: list[str],
+    before_col: str,
+    after_col: str,
+) -> DataFrame:
+    """``(by..., n, d1, d2, d3, chi2, dof)`` — the Stuart-Maxwell
+    marginal-homogeneity test for a 3×3 paired table (L277): did the
+    CLASS DISTRIBUTION shift between two paired labelings — the
+    k-class McNemar for margins, completing the paired-table family
+    (McNemar L186 = 2×2, Bowker L251 = cell symmetry; Stuart-Maxwell
+    asks the weaker marginal question Bowker's symmetry implies):
+
+        dᵢ = nᵢ₊ − n₊ᵢ,   χ² = (m̄₂₃·d₁² + m̄₁₃·d₂² + m̄₁₂·d₃²)
+                               / (m̄₁₂·m̄₁₃ + m̄₁₂·m̄₂₃ + m̄₁₃·m̄₂₃)
+
+    with m̄ᵢⱼ = nᵢⱼ + nⱼᵢ (the DOUBLED off-diagonal means, so the
+    classic ½/2 factors cancel and every quantity is an EXACT
+    integer; dof = 2).  The closed form exists only at k = 3 (general
+    k needs a (k−1)×(k−1) inverse); other category counts are REFUSED
+    loudly.  Categories are ordered lexicographically; a zero
+    denominator (perfect agreement off-diagonal) → NULL chi2.
+
+    Scale shape: one combinable (keys, before, after) cell count —
+    one scan of 100 TB; everything after is per-group constant math.
+
+    No reference counterpart; paired-label analytics per SURVEY §2.11.
+    """
+    flt = df.filter(
+        F.col(before_col).isNotNull() & F.col(after_col).isNotNull()
+    )
+    cats = sorted(
+        r[0]
+        for r in flt.select(F.col(before_col).alias("c"))
+        .union(flt.select(F.col(after_col).alias("c")))
+        .distinct()
+        .collect()
+    )
+    if len(cats) != 3:
+        raise ValueError(
+            f"stuart_maxwell_3: need exactly 3 categories, got {cats}"
+        )
+    c1, c2, c3 = cats
+
+    def _cell(i, j):
+        return F.sum(
+            F.when(
+                (F.col(before_col) == i) & (F.col(after_col) == j), 1
+            ).otherwise(0)
+        )
+
+    agg = flt.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            _cell(i, j).alias(f"_n{a}{b}")
+            for a, i in enumerate(cats, 1)
+            for b, j in enumerate(cats, 1)
+        ],
+    )
+    row = lambda a: sum(
+        (F.col(f"_n{a}{b}") for b in (1, 2, 3)), F.lit(0)
+    )
+    col = lambda b: sum(
+        (F.col(f"_n{a}{b}") for a in (1, 2, 3)), F.lit(0)
+    )
+    d1, d2, d3 = (row(i) - col(i) for i in (1, 2, 3))
+    m12 = F.col("_n12") + F.col("_n21")
+    m13 = F.col("_n13") + F.col("_n31")
+    m23 = F.col("_n23") + F.col("_n32")
+    num = (
+        m23.cast("double") * d1.cast("double") * d1.cast("double")
+        + m13.cast("double") * d2.cast("double") * d2.cast("double")
+        + m12.cast("double") * d3.cast("double") * d3.cast("double")
+    )
+    den = (
+        m12.cast("double") * m13.cast("double")
+        + m12.cast("double") * m23.cast("double")
+        + m13.cast("double") * m23.cast("double")
+    )
+    return agg.select(
+        *by,
+        "n",
+        d1.alias("d1"),
+        d2.alias("d2"),
+        d3.alias("d3"),
+        F.when(den > 0.0, num / den).alias("chi2"),
+        F.when(den > 0.0, F.lit(2)).alias("dof"),
+    )

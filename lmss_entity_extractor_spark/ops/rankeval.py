@@ -1672,3 +1672,93 @@ def quade_test(
             ok, (F.col("n_blocks") - 1) * (F.col("_k") - 1)
         ).alias("df2"),
     )
+
+
+def bartels_rank_test(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """``(by..., n, rvn, z)`` — the Bartels rank von Neumann ratio
+    test (L278): is a series RANDOM against serial correlation — the
+    rank-based (outlier-proof) counterpart to Durbin-Watson (L220-era
+    ``durbin_watson``) and the runs test (L219), more powerful than
+    runs against smooth drift:
+
+        RVN = Σᵢ (rᵢ − rᵢ₊₁)² / Σᵢ (rᵢ − r̄)²,   E[RVN] = 2
+        z = (RVN − 2) / sqrt(4·(n−2)·(5n²−2n−9) / (5n(n+1)(n−1)²))
+
+    Midranks make both sums EXACT integers when DOUBLED (the L142
+    trick): r̄ is always exactly (n+1)/2 because midranks sum to
+    n(n+1)/2 regardless of ties, so 4·NM = Σ(drᵢ − drᵢ₊₁)² and
+    4·D = Σ(drᵢ − (n+1))² are plain combinable integer sums — no
+    folds — and RVN is ONE division.  All-tied series (D = 0) or
+    n < 3 → NULL rvn/z.  NULL values refused (they shift the series).
+
+    Scale shape: two window passes (value midranks + one lead over
+    the time order) + one combinable agg — one keyed exchange.
+
+    No reference counterpart; monitoring analytics per SURVEY §2.11.
+    """
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"bartels_rank_test: {n_null} NULL value(s) — impute first"
+        )
+    d0 = "decimal(38,0)"
+    wv = Window.partitionBy(*by).orderBy(value_col)
+    we = Window.partitionBy(*by, value_col)
+    wt = Window.partitionBy(*by).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    wa = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = df.select(
+        *by,
+        *[c for c in order_cols if c not in by],
+        (
+            F.lit(2) * F.rank().over(wv)
+            + F.count(F.lit(1)).over(we)
+            - 1
+        ).alias("_dr"),
+        F.count(F.lit(1)).over(wa).alias("_n"),
+    )
+    led = ranked.select(
+        *by,
+        "_n",
+        "_dr",
+        F.lead("_dr", 1).over(wt).alias("_dn"),
+    )
+    diff = (F.col("_dr") - F.col("_dn")).cast(d0)
+    dev = (F.col("_dr") - (F.col("_n") + 1)).cast(d0)
+    agg = led.groupBy(*by, "_n").agg(
+        F.sum(F.when(F.col("_dn").isNotNull(), diff * diff)).alias(
+            "_nm4"
+        ),
+        F.sum(dev * dev).alias("_d4"),
+    )
+    nd = F.col("_n").cast("double")
+    rvn = F.col("_nm4").cast("double") / F.col("_d4").cast("double")
+    var = (
+        F.lit(4.0)
+        * (nd - F.lit(2.0))
+        * (F.lit(5.0) * nd * nd - F.lit(2.0) * nd - F.lit(9.0))
+        / (
+            F.lit(5.0)
+            * nd
+            * (nd + F.lit(1.0))
+            * (nd - F.lit(1.0))
+            * (nd - F.lit(1.0))
+        )
+    )
+    ok = (F.col("_n") >= 3) & (
+        F.col("_d4") > F.lit(0).cast(d0)
+    )
+    return agg.select(
+        *by,
+        F.col("_n").alias("n"),
+        F.when(ok, rvn).alias("rvn"),
+        F.when(ok, (rvn - F.lit(2.0)) / F.sqrt(var)).alias("z"),
+    )
