@@ -7204,6 +7204,45 @@ def q_bartels(spark, sf_dir):
     )
 
 
+def q_turning_points(spark, sf_dir):
+    """Turning-points test (L279): local-extrema count of the daily
+    revenue series vs the randomness expectation — one window pass."""
+    from lmss_entity_extractor_spark.ops.trend import turning_points
+
+    return turning_points(
+        _daily_series(spark, sf_dir), ["bucket"], ["t"], "v"
+    )
+
+
+def q_croston(spark, sf_dir):
+    """Croston's method (L280): intermittent daily high-value-signup
+    demand per bucket, zero-filled over the full day grid — twin SES
+    folds over (size, interval)."""
+    from lmss_entity_extractor_spark.ops.timeseries import croston
+
+    e = _t(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("d")).distinct()
+    buckets = e.select((F.col("user_id") % 2).alias("bucket")).distinct()
+    hits = (
+        e.filter((F.col("event_type") == "signup") & (F.col("value") > 300))
+        .groupBy(
+            (F.col("user_id") % 2).alias("bucket"),
+            F.to_date("ts").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    full = (
+        days.crossJoin(buckets)
+        .join(hits, ["bucket", "d"], "left")
+        .select(
+            "bucket",
+            F.unix_date("d").alias("t"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("x"),
+        )
+    )
+    return croston(full, ["bucket"], "t", "x", alpha=0.2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7269,6 +7308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cox_stuart": q_cox_stuart,
         "stuart_maxwell": q_stuart_maxwell,
         "bartels": q_bartels,
+        "turning_points": q_turning_points,
+        "croston": q_croston,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -16931,6 +16972,103 @@ def oracle_sql() -> dict[str, str]:
                                    * (nd - 1.0) * (nd - 1.0)))
                END AS z
         FROM t
+    """
+    oracles["turning_points"] = """
+        -- exact extrema count; fixed rational moment trees
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(18,2))) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT bucket, x,
+                   lag(x, 1) OVER w AS pr,
+                   lead(x, 1) OVER w AS nx
+            FROM daily
+            WINDOW w AS (PARTITION BY bucket ORDER BY d)
+        ),
+        agg AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN pr IS NOT NULL
+                                  AND nx IS NOT NULL
+                                  AND ((x > pr AND x > nx)
+                                       OR (x < pr AND x < nx))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS t_points
+            FROM lagged GROUP BY 1
+        )
+        SELECT bucket, n, t_points,
+               CASE WHEN n >= 3
+                    THEN 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0
+               END AS expected,
+               CASE WHEN n >= 3
+                     AND (16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0
+                         > 0.0
+                    THEN (CAST(t_points AS DOUBLE)
+                          - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+                         / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0)
+                                / 90.0)
+               END AS z
+        FROM agg
+    """
+    oracles["croston"] = """
+        -- twin SES folds; 3-double LIST accumulator (z, p, prev)
+        WITH days AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM events
+        ),
+        buckets AS (
+            SELECT DISTINCT user_id % 2 AS bucket FROM events
+        ),
+        hits AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events
+            WHERE event_type = 'signup' AND value > 300
+            GROUP BY 1, 2
+        ),
+        fullgrid AS (
+            SELECT b.bucket, g.d,
+                   CAST(COALESCE(h.c, 0) AS DOUBLE) AS x
+            FROM days g CROSS JOIN buckets b
+            LEFT JOIN hits h
+              ON h.bucket = b.bucket AND h.d = g.d
+        ),
+        pl AS (
+            SELECT bucket, list(x ORDER BY d) AS xs
+            FROM fullgrid GROUP BY 1
+        ),
+        nz AS (
+            SELECT bucket, CAST(len(xs) AS INTEGER) AS n,
+                   list_filter(
+                       list_transform(generate_series(1, len(xs)),
+                           i -> [CAST(i AS DOUBLE), xs[i]]),
+                       e -> e[2] != 0.0) AS nzl
+            FROM pl
+        ),
+        folded AS (
+            SELECT bucket, n, CAST(len(nzl) AS INTEGER) AS k,
+                   CASE WHEN len(nzl) >= 1 THEN
+                       list_reduce(
+                           list_prepend(
+                               [nzl[1][2], nzl[1][1], nzl[1][1]],
+                               nzl[2:]),
+                           (a, e) -> [0.2 * e[2]
+                                      + (1.0 - 0.2) * a[1],
+                                      0.2 * (e[1] - a[3])
+                                      + (1.0 - 0.2) * a[2],
+                                      e[1]])
+                   END AS acc
+            FROM nz
+        )
+        SELECT bucket, n, k AS n_demands,
+               acc[1] AS z_hat, acc[2] AS p_hat,
+               acc[1] / acc[2] AS forecast,
+               (1.0 - 0.2 / 2.0) * (acc[1] / acc[2])
+                   AS forecast_sba
+        FROM folded
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

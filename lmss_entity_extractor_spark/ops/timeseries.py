@@ -979,3 +979,100 @@ def periodogram(
         "n",
         F.when((F.col("n") >= 2) & (den > 0.0), power).alias("power"),
     )
+
+
+def croston(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.1,
+    max_len: int = 100_000,
+) -> DataFrame:
+    """``(by..., n, n_demands, z_hat, p_hat, forecast, forecast_sba)``
+    — Croston's method for INTERMITTENT demand (L280, Croston 1972):
+    when most periods are zero (spare parts, long-tail SKUs, rare
+    event classes), plain SES (L93) and Holt (L272) forecast garbage;
+    Croston runs TWO exponential smoothers — one over the nonzero
+    demand SIZES z, one over the INTER-DEMAND intervals q — and
+    forecasts z/p per period, with the Syntetos-Boylan approximation
+    (1 − α/2)·z/p correcting Croston's positive bias:
+
+        at each nonzero xₜ:  ẑ ← α·xₜ + (1−α)·ẑ
+                             p̂ ← α·qₜ + (1−α)·p̂
+        initialized ẑ = first nonzero value, p̂ = its 1-based
+        position (periods waited for the first demand).
+
+    One LEFT FOLD over the nonzero (position, value) sublist of the
+    bounded packed series with a (z, p, prev_pos) accumulator — the
+    oracle drives the identical tree via a 3-double LIST accumulator.
+    Negative demands REFUSED; an all-zero series → NULL forecasts;
+    duplicate order keys refused (holt's contract).
+
+    Scale shape: one (keys) groupBy packing the bounded series + one
+    in-array fold.
+
+    No reference counterpart; forecasting analytics per SURVEY §2.11.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("croston: need 0 < alpha <= 1")
+    from .trend import _packed
+
+    flt = df.filter(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    )
+    n_neg = flt.filter(F.col(value_col) < 0).count()
+    if n_neg:
+        raise ValueError(f"croston: {n_neg} negative demand(s)")
+    dups = (
+        flt.groupBy(*by, order_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dups:
+        raise ValueError(f"croston: {dups} duplicate order key(s)")
+    packed = _packed(flt, by, order_col, value_col, max_len)
+    indexed = F.transform(
+        F.col("_a"),
+        lambda s, i: F.struct(
+            (i + 1).cast("double").alias("pos"), s["_x"].alias("x")
+        ),
+    )
+    nz = F.filter(indexed, lambda e: e["x"] != 0.0)
+    al = F.lit(float(alpha))
+    one = F.lit(1.0)
+    first = F.element_at(nz, 1)
+    init = F.struct(
+        first["x"].alias("z"),
+        first["pos"].alias("p"),
+        first["pos"].alias("prev"),
+    )
+    rest = F.slice(
+        nz, 2, F.greatest(F.size(nz) - 1, F.lit(0))
+    )
+
+    def step(acc, e):
+        return F.struct(
+            (al * e["x"] + (one - al) * acc["z"]).alias("z"),
+            (al * (e["pos"] - acc["prev"]) + (one - al) * acc["p"]).alias(
+                "p"
+            ),
+            e["pos"].alias("prev"),
+        )
+
+    acc = F.aggregate(rest, init, step)
+    k = F.size(nz)
+    fc = acc["z"] / acc["p"]
+    out = packed.select(
+        *by,
+        F.size("_a").alias("n"),
+        k.alias("n_demands"),
+        F.when(k >= 1, acc["z"]).alias("z_hat"),
+        F.when(k >= 1, acc["p"]).alias("p_hat"),
+        F.when(k >= 1, fc).alias("forecast"),
+        F.when(k >= 1, (one - al / F.lit(2.0)) * fc).alias(
+            "forecast_sba"
+        ),
+    )
+    return out

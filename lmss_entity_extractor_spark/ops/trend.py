@@ -297,3 +297,78 @@ def cox_stuart(
         "minus",
         F.when(F.col("plus") + F.col("minus") > 0, z).alias("z"),
     )
+
+
+def turning_points(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """``(by..., n, t_points, expected, z)`` — the turning-points
+    test (L279): count strict local maxima + minima and compare to
+    the randomness expectation — the cheapest series-randomness
+    screen (one window pass; Bartels L278 and runs L219 are its
+    sharper siblings):
+
+        E[T] = 2(n−2)/3,   Var[T] = (16n − 29)/90
+        z = (T − E) / sqrt(Var)
+
+    T is an exact integer (one lag + one lead per row); E and Var are
+    fixed rational trees.  ADJACENT TIES are REFUSED loudly — the
+    null moments assume a continuous series, and silently skipping
+    tied neighbours would bias T.  NULL values refused; n < 3 → NULL.
+
+    Scale shape: one keyed window sort + one combinable agg.
+
+    No reference counterpart; monitoring analytics per SURVEY §2.11.
+    """
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"turning_points: {n_null} NULL value(s) — impute first"
+        )
+    wt = Window.partitionBy(*by).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    lagged = df.select(
+        *by,
+        F.col(value_col).alias("_x"),
+        F.lag(value_col, 1).over(wt).alias("_pr"),
+        F.lead(value_col, 1).over(wt).alias("_nx"),
+    )
+    n_tied = lagged.filter(
+        F.col("_nx").isNotNull() & (F.col("_x") == F.col("_nx"))
+    ).count()
+    if n_tied:
+        raise ValueError(
+            f"turning_points: {n_tied} adjacent tie(s) — the null "
+            "moments assume a continuous series; jitter or aggregate "
+            "first"
+        )
+    is_turn = (
+        F.col("_pr").isNotNull()
+        & F.col("_nx").isNotNull()
+        & (
+            ((F.col("_x") > F.col("_pr")) & (F.col("_x") > F.col("_nx")))
+            | ((F.col("_x") < F.col("_pr")) & (F.col("_x") < F.col("_nx")))
+        )
+    )
+    agg = lagged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(is_turn.cast("long")).alias("t_points"),
+    )
+    nd = F.col("n").cast("double")
+    e = F.lit(2.0) * (nd - F.lit(2.0)) / F.lit(3.0)
+    var = (F.lit(16.0) * nd - F.lit(29.0)) / F.lit(90.0)
+    ok = F.col("n") >= 3
+    return agg.select(
+        *by,
+        "n",
+        "t_points",
+        F.when(ok, e).alias("expected"),
+        F.when(
+            ok & (var > 0.0),
+            (F.col("t_points").cast("double") - e) / F.sqrt(var),
+        ).alias("z"),
+    )
