@@ -7243,6 +7243,28 @@ def q_croston(spark, sf_dir):
     return croston(full, ["bucket"], "t", "x", alpha=0.2)
 
 
+def q_theta(spark, sf_dir):
+    """Theta method (L281): one-step forecast of daily revenue —
+    exact-position OLS + SES fold over the theta-2 line."""
+    from lmss_entity_extractor_spark.ops.timeseries import theta_forecast
+
+    return theta_forecast(
+        _daily_series(spark, sf_dir), ["bucket"], "t", "v", alpha=0.5
+    )
+
+
+def q_spectral_entropy(spark, sf_dir):
+    """Spectral entropy (L282): forecastability of daily revenue —
+    periodogram over the full Fourier grid, staged power array."""
+    from lmss_entity_extractor_spark.ops.timeseries import (
+        spectral_entropy,
+    )
+
+    return spectral_entropy(
+        _daily_series(spark, sf_dir), ["bucket"], "t", "v"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7310,6 +7332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bartels": q_bartels,
         "turning_points": q_turning_points,
         "croston": q_croston,
+        "theta": q_theta,
+        "spectral_entropy": q_spectral_entropy,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -17069,6 +17093,155 @@ def oracle_sql() -> dict[str, str]:
                (1.0 - 0.2 / 2.0) * (acc[1] / acc[2])
                    AS forecast_sba
         FROM folded
+    """
+    oracles["theta"] = """
+        -- exact-position OLS trees + SES list_reduce (first element
+        -- as init, matching the Spark fold)
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        pl AS (
+            SELECT bucket, list(x ORDER BY d) AS xs
+            FROM daily GROUP BY 1
+        ),
+        st AS (
+            SELECT bucket, xs,
+                   CAST(len(xs) AS INTEGER) AS n,
+                   CAST(len(xs) AS DOUBLE) AS nd,
+                   list_reduce(list_prepend(0.0, xs),
+                               (a, v) -> a + v) AS sx,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(generate_series(1, len(xs)),
+                           i -> CAST(i AS DOUBLE) * xs[i])),
+                       (a, v) -> a + v) AS six
+            FROM pl
+        ),
+        fit AS (
+            SELECT bucket, xs, n, nd, sx, six,
+                   nd * (nd + 1.0) / 2.0 AS si,
+                   nd * (nd + 1.0) * (2.0 * nd + 1.0) / 6.0 AS sii
+            FROM st
+        ),
+        fb AS (
+            SELECT *,
+                   CASE WHEN nd * sii - si * si > 0.0 THEN
+                       (nd * six - si * sx)
+                       / (nd * sii - si * si) END AS b
+            FROM fit
+        ),
+        fa AS (
+            SELECT *, (sx - b * si) / nd AS a0 FROM fb
+        ),
+        ys AS (
+            SELECT bucket, n, nd, b, a0,
+                   list_transform(generate_series(1, n),
+                       i -> 2.0 * xs[i]
+                            - (a0 + b * CAST(i AS DOUBLE))) AS yl
+            FROM fa
+        ),
+        sm AS (
+            SELECT bucket, n, b, a0, nd,
+                   list_reduce(yl,
+                       (acc, y) -> 0.5 * y + (1.0 - 0.5) * acc)
+                       AS ses
+            FROM ys
+        )
+        SELECT bucket, n,
+               CASE WHEN n >= 2 THEN a0 END AS intercept,
+               CASE WHEN n >= 2 THEN b END AS slope,
+               CASE WHEN n >= 2 THEN ses END AS ses_theta2,
+               CASE WHEN n >= 2
+                    THEN (ses + (a0 + b * (nd + 1.0))) / 2.0
+               END AS forecast
+        FROM sm
+    """
+    oracles["spectral_entropy"] = """
+        -- full Fourier grid; staged power list; order-pinned folds
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        pl AS (
+            SELECT bucket, list(x ORDER BY d) AS xs
+            FROM daily GROUP BY 1
+        ),
+        st AS (
+            SELECT bucket, xs,
+                   CAST(len(xs) AS INTEGER) AS n,
+                   CAST(len(xs) AS DOUBLE) AS nd,
+                   list_reduce(list_prepend(0.0, xs),
+                               (a, v) -> a + v)
+                       / CAST(len(xs) AS DOUBLE) AS xbar
+            FROM pl
+        ),
+        pw AS (
+            SELECT bucket, n,
+                   list_transform(generate_series(1, n // 2), k ->
+                       list_reduce(list_prepend(0.0,
+                           list_transform(generate_series(0, n - 1),
+                               i -> (xs[i + 1] - xbar)
+                                    * cos(6.283185307179586
+                                          * CAST(k AS DOUBLE)
+                                          * CAST(i AS DOUBLE)
+                                          / nd))),
+                           (a, v) -> a + v)
+                       * list_reduce(list_prepend(0.0,
+                           list_transform(generate_series(0, n - 1),
+                               i -> (xs[i + 1] - xbar)
+                                    * cos(6.283185307179586
+                                          * CAST(k AS DOUBLE)
+                                          * CAST(i AS DOUBLE)
+                                          / nd))),
+                           (a, v) -> a + v)
+                       + list_reduce(list_prepend(0.0,
+                           list_transform(generate_series(0, n - 1),
+                               i -> (xs[i + 1] - xbar)
+                                    * sin(6.283185307179586
+                                          * CAST(k AS DOUBLE)
+                                          * CAST(i AS DOUBLE)
+                                          / nd))),
+                           (a, v) -> a + v)
+                       * list_reduce(list_prepend(0.0,
+                           list_transform(generate_series(0, n - 1),
+                               i -> (xs[i + 1] - xbar)
+                                    * sin(6.283185307179586
+                                          * CAST(k AS DOUBLE)
+                                          * CAST(i AS DOUBLE)
+                                          / nd))),
+                           (a, v) -> a + v)) AS ps
+            FROM st
+        ),
+        tot AS (
+            SELECT bucket, n, ps,
+                   list_reduce(list_prepend(0.0, ps),
+                               (a, p) -> a + p) AS t
+            FROM pw
+        ),
+        ent AS (
+            SELECT bucket, n, CAST(len(ps) AS INTEGER) AS k_freqs, t,
+                   -list_reduce(list_prepend(0.0,
+                       list_transform(ps, p ->
+                           CASE WHEN p > 0.0
+                                THEN (p / t) * ln(p / t)
+                                ELSE 0.0 END)),
+                       (a, v) -> a + v) AS h
+            FROM tot
+        )
+        SELECT bucket, n, k_freqs,
+               CASE WHEN n >= 3 AND t > 0.0 THEN h END AS entropy,
+               CASE WHEN n >= 3 AND t > 0.0 AND k_freqs >= 2
+                    THEN h / ln(CAST(k_freqs AS DOUBLE))
+               END AS entropy_norm
+        FROM ent
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

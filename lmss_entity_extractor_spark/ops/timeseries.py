@@ -1076,3 +1076,216 @@ def croston(
         ),
     )
     return out
+
+
+def theta_forecast(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    max_len: int = 100_000,
+) -> DataFrame:
+    """``(by..., n, intercept, slope, ses_theta2, forecast)`` — the
+    Theta method (L281, Assimakopoulos & Nikolopoulos 2000; the M3
+    competition winner): decompose the series into the θ=0 line (the
+    pure linear trend) and the θ=2 line (curvature doubled), forecast
+    each, and average:
+
+        θ2ᵢ = 2·xᵢ − (a + b·i)          (OLS a,b over positions)
+        SES fold over θ2 (smoothing α);  θ0 forecast = a + b·(n+1)
+        forecast = (SES + θ0) / 2
+
+    Positions are exact integers, so the OLS normal equations use
+    exact Σi/Σi² with order-pinned folds for Σx/Σi·x; the θ2 line and
+    the SES recurrence are further LEFT FOLDS over the bounded packed
+    series (the L272 discipline) — one fixed IEEE tree end-to-end.
+    n < 2 → NULL forecast; duplicate order keys and NULLs refused.
+
+    Scale shape: one (keys) groupBy packing the bounded series + two
+    in-array folds.
+
+    No reference counterpart; forecasting analytics per SURVEY §2.11.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("theta_forecast: need 0 < alpha <= 1")
+    from .trend import _packed
+
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"theta_forecast: {n_null} NULL value(s) — impute first"
+        )
+    dups = (
+        df.groupBy(*by, order_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dups:
+        raise ValueError(
+            f"theta_forecast: {dups} duplicate order key(s)"
+        )
+    packed = _packed(df, by, order_col, value_col, max_len)
+    xs = F.transform(F.col("_a"), lambda s: s["_x"])
+    staged = packed.select(*by, xs.alias("_xs"))
+    n = F.size(F.col("_xs"))
+    nd = n.cast("double")
+    idx = F.sequence(F.lit(1), n)
+    sx = F.aggregate(F.col("_xs"), F.lit(0.0), lambda a, x: a + x)
+    six = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda a, i: a
+        + i.cast("double") * F.element_at(F.col("_xs"), i),
+    )
+    si = nd * (nd + F.lit(1.0)) / F.lit(2.0)
+    sii = (
+        nd * (nd + F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(1.0))
+        / F.lit(6.0)
+    )
+    varn = nd * sii - si * si
+    b = F.when(varn > 0.0, (nd * six - si * sx) / varn)
+    s1 = staged.select(
+        *by,
+        n.alias("n"),
+        F.col("_xs"),
+        b.alias("_b"),
+    )
+    a_ = (sx - F.col("_b") * si) / nd
+    s2 = s1.select(*by, "n", "_xs", "_b", a_.alias("_a0"))
+    nloc = F.col("n")
+    ys = F.transform(
+        F.sequence(F.lit(1), nloc),
+        lambda i: F.lit(2.0) * F.element_at(F.col("_xs"), i)
+        - (F.col("_a0") + F.col("_b") * i.cast("double")),
+    )
+    s3 = s2.select(*by, "n", "_b", "_a0", ys.alias("_ys"))
+    al = F.lit(float(alpha))
+    one = F.lit(1.0)
+    ses = F.aggregate(
+        F.slice(
+            F.col("_ys"), 2, F.greatest(F.size("_ys") - 1, F.lit(0))
+        ),
+        F.element_at(F.col("_ys"), 1),
+        lambda acc, y: al * y + (one - al) * acc,
+    )
+    theta0 = F.col("_a0") + F.col("_b") * (
+        F.col("n").cast("double") + F.lit(1.0)
+    )
+    ok = F.col("n") >= 2
+    return s3.select(
+        *by,
+        "n",
+        F.when(ok, F.col("_a0")).alias("intercept"),
+        F.when(ok, F.col("_b")).alias("slope"),
+        F.when(ok, ses).alias("ses_theta2"),
+        F.when(ok, (ses + theta0) / F.lit(2.0)).alias("forecast"),
+    )
+
+
+def spectral_entropy(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    max_len: int = 2048,
+) -> DataFrame:
+    """``(by..., n, k_freqs, entropy, entropy_norm)`` — spectral
+    (Shannon) entropy of the periodogram over the full Fourier grid
+    (L282): HOW FORECASTABLE is a series — a pure tone concentrates
+    all power in one frequency (entropy → 0), white noise spreads it
+    flat (entropy_norm → 1); the single-number complement to the
+    candidate-period probe (L274):
+
+        P_k = C_k² + S_k²  (k = 1..⌊n/2⌋, mean-centred cos/sin sums)
+        H = −Σ (P_k/ΣP)·ln(P_k/ΣP),   entropy_norm = H / ln(K)
+
+    Every sum is an order-pinned LEFT FOLD; the power array is
+    materialized once and total/entropy are staged selects so the
+    O(n²) inner work runs once.  ``max_len`` defaults LOW (2048)
+    because the Fourier grid is quadratic in the series length —
+    resample first, that is the contract.  Constant series (ΣP = 0)
+    → NULL; K < 2 → NULL entropy_norm.
+
+    Scale shape: one (keys) groupBy packing the bounded series + one
+    in-array fold per Fourier frequency.
+
+    No reference counterpart; forecasting analytics per SURVEY §2.11.
+    """
+    from .trend import _packed
+
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"spectral_entropy: {n_null} NULL value(s) — impute first"
+        )
+    dups = (
+        df.groupBy(*by, order_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dups:
+        raise ValueError(
+            f"spectral_entropy: {dups} duplicate order key(s)"
+        )
+    packed = _packed(df, by, order_col, value_col, max_len)
+    xs = F.transform(F.col("_a"), lambda s: s["_x"])
+    staged = packed.select(*by, xs.alias("_xs"))
+    n = F.size(F.col("_xs"))
+    nd = n.cast("double")
+    xbar = (
+        F.aggregate(F.col("_xs"), F.lit(0.0), lambda a, x: a + x) / nd
+    )
+    s1 = staged.select(
+        *by, "_xs", n.alias("n"), xbar.alias("_xbar")
+    )
+    tau = F.lit(6.283185307179586)
+    nl = F.col("n")
+    nld = nl.cast("double")
+
+    def _trig(k, fn):
+        return F.aggregate(
+            F.sequence(F.lit(0), nl - 1),
+            F.lit(0.0),
+            lambda a, i: a
+            + (
+                F.element_at(F.col("_xs"), i + 1) - F.col("_xbar")
+            )
+            * fn(
+                tau
+                * k.cast("double")
+                * i.cast("double")
+                / nld
+            ),
+        )
+
+    ps = F.transform(
+        F.sequence(F.lit(1), F.floor(nl / 2).cast("int")),
+        lambda k: _trig(k, F.cos) * _trig(k, F.cos)
+        + _trig(k, F.sin) * _trig(k, F.sin),
+    )
+    s2 = s1.select(*by, "n", ps.alias("_ps"))
+    total = F.aggregate(F.col("_ps"), F.lit(0.0), lambda a, p: a + p)
+    s3 = s2.select(*by, "n", "_ps", total.alias("_tot"))
+    h = -F.aggregate(
+        F.col("_ps"),
+        F.lit(0.0),
+        lambda a, p: a
+        + F.when(
+            p > 0.0,
+            (p / F.col("_tot")) * F.log(p / F.col("_tot")),
+        ).otherwise(F.lit(0.0)),
+    )
+    k_ = F.size("_ps")
+    ok = (F.col("n") >= 3) & (F.col("_tot") > 0.0)
+    return s3.select(
+        *by,
+        "n",
+        k_.alias("k_freqs"),
+        F.when(ok, h).alias("entropy"),
+        F.when(
+            ok & (k_ >= 2), h / F.log(k_.cast("double"))
+        ).alias("entropy_norm"),
+    )
