@@ -7265,6 +7265,34 @@ def q_spectral_entropy(spark, sf_dir):
     )
 
 
+def q_msprt(spark, sf_dir):
+    """mSPRT always-valid p (L283): click vs view value per bucket —
+    exact decimal sufficient stats, one Λ tree."""
+    from lmss_entity_extractor_spark.ops.effectsize import msprt_normal
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("bucket"), "event_type", "value"
+    )
+    return msprt_normal(
+        e, ["bucket"], "event_type", "click", "view", "value", tau=10.0
+    )
+
+
+def q_eb_shrink(spark, sf_dir):
+    """EB beta-binomial shrinkage (L284): per-part-bucket return
+    rates shrunk toward the fitted Beta prior — bounded key-grid
+    folds."""
+    from lmss_entity_extractor_spark.ops.encoding import eb_beta_binomial
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 2).alias("bucket"),
+        (F.col("l_partkey") % 100).alias("pkey"),
+        (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    return eb_beta_binomial(li, ["bucket"], "pkey", "ret", "one")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7334,6 +7362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "croston": q_croston,
         "theta": q_theta,
         "spectral_entropy": q_spectral_entropy,
+        "msprt": q_msprt,
+        "eb_shrink": q_eb_shrink,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -17242,6 +17272,117 @@ def oracle_sql() -> dict[str, str]:
                     THEN h / ln(CAST(k_freqs AS DOUBLE))
                END AS entropy_norm
         FROM ent
+    """
+    oracles["msprt"] = """
+        -- exact decimal sufficient stats; one fixed Λ tree
+        WITH flt AS (
+            SELECT user_id % 2 AS bucket, event_type AS g,
+                   CAST(value AS DECIMAL(18,2)) AS x
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('click', 'view')
+        ),
+        agg AS (
+            SELECT bucket,
+                   CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b,
+                   sum(CASE WHEN g = 'click' THEN x END) AS sa,
+                   sum(CASE WHEN g = 'view' THEN x END) AS sb,
+                   sum(CASE WHEN g = 'click' THEN x * x END) AS qa,
+                   sum(CASE WHEN g = 'view' THEN x * x END) AS qb
+            FROM flt GROUP BY 1
+        ),
+        t1 AS (
+            SELECT bucket, n_a, n_b,
+                   CAST(n_a AS DOUBLE) AS na,
+                   CAST(n_b AS DOUBLE) AS nb,
+                   CAST(sa AS DOUBLE) AS sad,
+                   CAST(sb AS DOUBLE) AS sbd,
+                   CAST(qa AS DOUBLE) AS qad,
+                   CAST(qb AS DOUBLE) AS qbd
+            FROM agg
+        ),
+        t2 AS (
+            SELECT bucket, n_a, n_b, na, nb,
+                   sad / na - sbd / nb AS delta,
+                   ((qad - sad * sad / na)
+                    + (qbd - sbd * sbd / nb))
+                   / (na + nb - 2.0)
+                   * (1.0 / na + 1.0 / nb) AS v
+            FROM t1
+        ),
+        t3 AS (
+            SELECT bucket, n_a, n_b, delta, v,
+                   sqrt(v / (v + 100.0))
+                   * exp(delta * delta * 100.0
+                         / (2.0 * v * (v + 100.0))) AS lam
+            FROM t2
+        )
+        SELECT bucket, n_a, n_b,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN delta END AS delta,
+               CASE WHEN n_a >= 2 AND n_b >= 2 AND v > 0.0
+                    THEN v END AS v,
+               CASE WHEN n_a >= 2 AND n_b >= 2 AND v > 0.0
+                    THEN lam END AS lam,
+               CASE WHEN n_a >= 2 AND n_b >= 2 AND v > 0.0
+                    THEN least(1.0, 1.0 / lam)
+               END AS p_always_valid
+        FROM t3
+    """
+    oracles["eb_shrink"] = """
+        -- bounded key-grid rate folds; one MoM prior tree per group
+        WITH cells AS (
+            SELECT l_suppkey % 2 AS bucket,
+                   l_partkey % 100 AS pkey,
+                   CAST(sum(CASE WHEN l_returnflag = 'R'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS t
+            FROM lineitem GROUP BY 1, 2
+        ),
+        packed AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS k,
+                   list_sort(list(struct_pack(key := pkey, s := s,
+                                              t := t))) AS lv
+            FROM cells GROUP BY 1
+        ),
+        m AS (
+            SELECT bucket, k, lv,
+                   list_reduce(list_prepend(0.0,
+                       [CAST(e.s AS DOUBLE) / CAST(e.t AS DOUBLE)
+                        FOR e IN lv]),
+                       (a, b) -> a + b) / CAST(k AS DOUBLE) AS mv
+            FROM packed
+        ),
+        vv AS (
+            SELECT *,
+                   CASE WHEN k >= 2 THEN
+                       list_reduce(list_prepend(0.0,
+                           [(CAST(e.s AS DOUBLE)
+                             / CAST(e.t AS DOUBLE) - mv)
+                            * (CAST(e.s AS DOUBLE)
+                               / CAST(e.t AS DOUBLE) - mv)
+                            FOR e IN lv]),
+                           (a, b) -> a + b)
+                       / (CAST(k AS DOUBLE) - 1.0) END AS v
+            FROM m
+        ),
+        ab AS (
+            SELECT *,
+                   CASE WHEN k >= 2 AND v > 0.0
+                             AND mv * (1.0 - mv) > v
+                        THEN mv * (1.0 - mv) / v - 1.0 END AS abv
+            FROM vv
+        ),
+        al AS (SELECT *, mv * abv AS alpha FROM ab)
+        SELECT bucket, u.e.key AS key, u.e.s AS s, u.e.t AS t,
+               CAST(u.e.s AS DOUBLE) / CAST(u.e.t AS DOUBLE)
+                   AS raw_rate,
+               alpha, abv - alpha AS beta,
+               (CAST(u.e.s AS DOUBLE) + alpha)
+                   / (CAST(u.e.t AS DOUBLE) + abv) AS shrunk_rate
+        FROM al CROSS JOIN unnest(al.lv) AS u(e)
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

@@ -486,3 +486,81 @@ def two_proportion_test(
         F.when(ok_or, orat).alias("odds_ratio"),
         F.when(ok_or, or_se).alias("or_se_log"),
     )
+
+
+def msprt_normal(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    variant_a: str,
+    variant_b: str,
+    value_col: str,
+    tau: float = 1.0,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n_a, n_b, delta, v, lam, p_always_valid)`` — the
+    mixture sequential probability ratio test (L283, Johari et al.
+    2017 "Peeking at A/B tests"): the ALWAYS-VALID p-value that stays
+    correct no matter how often the experimenter peeks — the fix for
+    the peeking problem that invalidates the fixed-horizon Welch test
+    (L139) under continuous monitoring:
+
+        Λ = sqrt(V/(V + τ²)) · exp(δ²·τ² / (2·V·(V + τ²)))
+        p_av = min(1, 1/Λ)
+
+    with δ the difference of variant means, V its estimated variance
+    (pooled sample variance · (1/n_a + 1/n_b)), and τ² the mixture
+    prior over effect sizes (a fixed analysis parameter, NOT data).
+    All sufficient statistics are EXACT DECIMAL (the L139
+    discipline); Λ is one fixed IEEE tree (exp is the libm
+    reliance).  n < 2 either side, or zero pooled variance → NULL.
+
+    Scale shape: ONE combinable aggregation over the fact table.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    if not tau > 0:
+        raise ValueError("msprt_normal: tau must be > 0")
+    dec = f"decimal(18,{scale})"
+    xd = F.col(value_col).cast(dec)
+    flt = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([variant_a, variant_b])
+    )
+    is_a = (F.col(group_col) == variant_a).cast("int")
+    agg = flt.groupBy(*by).agg(
+        F.sum(is_a).alias("n_a"),
+        F.sum(F.lit(1) - is_a).alias("n_b"),
+        F.sum(F.when(is_a == 1, xd)).alias("_sa"),
+        F.sum(F.when(is_a == 0, xd)).alias("_sb"),
+        F.sum(F.when(is_a == 1, xd * xd)).alias("_qa"),
+        F.sum(F.when(is_a == 0, xd * xd)).alias("_qb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa = F.col("_sa").cast("double")
+    sb = F.col("_sb").cast("double")
+    qa = F.col("_qa").cast("double")
+    qb = F.col("_qb").cast("double")
+    delta = sa / na - sb / nb
+    ssq = (qa - sa * sa / na) + (qb - sb * sb / nb)
+    s2 = ssq / (na + nb - F.lit(2.0))
+    v = s2 * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    t2 = F.lit(float(tau) * float(tau))
+    lam = F.sqrt(v / (v + t2)) * F.exp(
+        delta * delta * t2 / (F.lit(2.0) * v * (v + t2))
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (v > 0.0)
+    return agg.select(
+        *by,
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0), delta
+        ).alias("delta"),
+        F.when(ok, v).alias("v"),
+        F.when(ok, lam).alias("lam"),
+        F.when(ok, F.least(F.lit(1.0), F.lit(1.0) / lam)).alias(
+            "p_always_valid"
+        ),
+    )

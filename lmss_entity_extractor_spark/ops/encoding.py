@@ -163,3 +163,117 @@ def best_split(
         F.col("_b.nl").alias("n_left"),
         F.col("_b.pl").alias("pos_left"),
     )
+
+
+def eb_beta_binomial(
+    df: DataFrame,
+    by: list[str],
+    key_col: str,
+    succ_col: str,
+    trial_col: str,
+    max_keys: int = 100_000,
+) -> DataFrame:
+    """``(by..., key, s, t, raw_rate, alpha, beta, shrunk_rate)`` —
+    empirical-Bayes beta-binomial shrinkage (L284): stabilize
+    per-key rates (CTR per item, precision per entity class, defect
+    rate per supplier) by fitting a Beta prior to the OBSERVED rate
+    distribution via method of moments and posterior-averaging each
+    key toward it:
+
+        m = mean(rᵢ),  v = var(rᵢ)  (sample, over keys)
+        α+β = m(1−m)/v − 1,   α = m·(α+β)
+        shrunk = (s + α)/(t + α + β)
+
+    — the low-traffic key moves most, the high-traffic key barely
+    moves, which is exactly the leaderboard/ranking stabilizer the
+    raw rate cannot be (the LOO target encoder L138 is the
+    supervised cousin).  The key grid per group is BOUNDED
+    (``max_keys``, refused beyond): mean/var over keys are
+    order-pinned folds over the sorted key list, then one fixed tree;
+    a degenerate prior (v = 0, or v ≥ m(1−m), or k < 2) yields NULL
+    α/β/shrunk — shrinkage needs a nondegenerate fit, silently
+    passing raw through would hide it.  Zero-trial keys refused.
+
+    Scale shape: one combinable (keys, key) cell agg + one bounded
+    fold + an in-row explode back to keys — one scan, one shuffle.
+
+    No reference counterpart; estimation analytics per SURVEY §2.11.
+    """
+    flt = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(succ_col).isNotNull()
+        & F.col(trial_col).isNotNull()
+    )
+    cells = flt.groupBy(*by, F.col(key_col).alias("key")).agg(
+        F.sum(succ_col).alias("s"), F.sum(trial_col).alias("t")
+    )
+    bad = cells.filter(
+        (F.col("t") <= 0) | (F.col("s") < 0) | (F.col("s") > F.col("t"))
+    ).count()
+    if bad:
+        raise ValueError(
+            f"eb_beta_binomial: {bad} key(s) with t<=0 or s outside "
+            "[0, t]"
+        )
+    sizes = cells.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > max_keys).count()
+    if over:
+        raise ValueError(
+            f"eb_beta_binomial: a group exceeds max_keys={max_keys}"
+        )
+    packed = cells.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sort_array(F.collect_list(F.struct("key", "s", "t"))).alias(
+            "_lv"
+        ),
+    )
+    kd = F.col("k").cast("double")
+    rate = lambda e: e["s"].cast("double") / e["t"].cast("double")
+    m = (
+        F.aggregate(
+            F.col("_lv"), F.lit(0.0), lambda a, e: a + rate(e)
+        )
+        / kd
+    )
+    s1 = packed.select(*by, "k", "_lv", m.alias("_m"))
+    v = F.when(
+        F.col("k") >= 2,
+        F.aggregate(
+            F.col("_lv"),
+            F.lit(0.0),
+            lambda a, e: a
+            + (rate(e) - F.col("_m")) * (rate(e) - F.col("_m")),
+        )
+        / (kd - F.lit(1.0)),
+    )
+    s2 = s1.select(*by, "k", "_lv", "_m", v.alias("_v"))
+    mm = F.col("_m") * (F.lit(1.0) - F.col("_m"))
+    ab = F.when(
+        (F.col("k") >= 2)
+        & (F.col("_v") > 0.0)
+        & (mm > F.col("_v")),
+        mm / F.col("_v") - F.lit(1.0),
+    )
+    s3 = s2.select(
+        *by,
+        "_lv",
+        ab.alias("_ab"),
+        (F.col("_m") * ab).alias("_alpha"),
+    )
+    ex = s3.select(
+        *by, "_ab", "_alpha", F.explode("_lv").alias("_e")
+    )
+    sd = F.col("_e")["s"].cast("double")
+    td = F.col("_e")["t"].cast("double")
+    return ex.select(
+        *by,
+        F.col("_e")["key"].alias("key"),
+        F.col("_e")["s"].alias("s"),
+        F.col("_e")["t"].alias("t"),
+        (sd / td).alias("raw_rate"),
+        F.col("_alpha").alias("alpha"),
+        (F.col("_ab") - F.col("_alpha")).alias("beta"),
+        ((sd + F.col("_alpha")) / (td + F.col("_ab"))).alias(
+            "shrunk_rate"
+        ),
+    )
