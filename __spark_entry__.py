@@ -7293,6 +7293,110 @@ def q_eb_shrink(spark, sf_dir):
     return eb_beta_binomial(li, ["bucket"], "pkey", "ret", "one")
 
 
+def q_seasonal_strength(spark, sf_dir):
+    """Seasonal/trend strength (L285): how much of the L163
+    decomposition's variation each component explains — shared-n
+    squared-deviation folds, no per-component divisions."""
+    from lmss_entity_extractor_spark.ops.seasonal import seasonal_strength
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("user_id") < 8) & F.col("value").isNotNull())
+        .select("user_id", "event_id", "value")
+    )
+    return seasonal_strength(e, ["user_id"], "event_id", "value", period=7)
+
+
+def q_quantile_loss(spark, sf_dir):
+    """Pinball loss + coverage (L286): score the crude quantity-based
+    price quantile predictor per returnflag — exact integer-percent
+    cross-multiplied loss terms, ONE division."""
+    from lmss_entity_extractor_spark.ops.calibration import quantile_loss
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        "l_extendedprice",
+        (F.col("l_quantity") * 1050).alias("pred"),
+    )
+    return quantile_loss(
+        li, ["flag"], "l_extendedprice", "pred", q_pct=75
+    )
+
+
+def q_dickey_fuller(spark, sf_dir):
+    """Dickey-Fuller (L287): is daily revenue a random walk — one lag
+    window, exact decimal OLS sums, one t tree."""
+    from lmss_entity_extractor_spark.ops.timeseries import dickey_fuller
+
+    return dickey_fuller(
+        _daily_series(spark, sf_dir), ["bucket"], ["t"], "v"
+    )
+
+
+def q_harrell_c(spark, sf_dir):
+    """Harrell's C (L288): does discount rank ship-day outcomes per
+    order bucket, returns censored — bounded in-row pair lattice,
+    exact counts."""
+    from lmss_entity_extractor_spark.ops.survival import harrell_c
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 500).alias("grp"),
+        (F.dayofmonth("l_shipdate") - 1).alias("dur"),
+        (F.col("l_returnflag") != "R").cast("int").alias("ev"),
+        F.col("l_discount").alias("risk"),
+    )
+    return harrell_c(li, ["grp"], "dur", "ev", "risk")
+
+
+def q_granger(spark, sf_dir):
+    """Granger causality (L289): does yesterday's view revenue lead
+    today's click revenue per bucket — nine exact decimal sums, one
+    Cramer tree."""
+    from lmss_entity_extractor_spark.ops.timeseries import granger_1lag
+
+    dec = "decimal(18,2)"
+    d2 = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(["click", "view"])
+        )
+        .groupBy(
+            (F.col("user_id") % 2).alias("bucket"),
+            F.unix_date(F.to_date("ts")).alias("t"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "click",
+                        F.col("value").cast(dec),
+                    )
+                ),
+                F.lit(0).cast(dec),
+            ).alias("y"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "view",
+                        F.col("value").cast(dec),
+                    )
+                ),
+                F.lit(0).cast(dec),
+            ).alias("x"),
+        )
+    )
+    return granger_1lag(d2, ["bucket"], ["t"], "y", "x")
+
+
+def q_arch_lm(spark, sf_dir):
+    """ARCH(1) LM (L290): volatility clustering of daily revenue per
+    bucket — exact integer micro-unit centred squares, one R² tree."""
+    from lmss_entity_extractor_spark.ops.timeseries import arch_lm
+
+    return arch_lm(_daily_series(spark, sf_dir), ["bucket"], ["t"], "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7364,6 +7468,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_entropy": q_spectral_entropy,
         "msprt": q_msprt,
         "eb_shrink": q_eb_shrink,
+        "seasonal_strength": q_seasonal_strength,
+        "quantile_loss": q_quantile_loss,
+        "dickey_fuller": q_dickey_fuller,
+        "harrell_c": q_harrell_c,
+        "granger": q_granger,
+        "arch_lm": q_arch_lm,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -17383,6 +17493,365 @@ def oracle_sql() -> dict[str, str]:
                (CAST(u.e.s AS DOUBLE) + alpha)
                    / (CAST(u.e.t AS DOUBLE) + abv) AS shrunk_rate
         FROM al CROSS JOIN unnest(al.lv) AS u(e)
+    """
+    oracles["seasonal_strength"] = f"""
+        -- the L163 decomposition nested verbatim; shared-n
+        -- squared-deviation folds, ratios at the end
+        WITH d AS ({oracles["seasonal"]}),
+        flt AS (
+            SELECT user_id, event_id AS o, remainder AS r,
+                   trend + remainder AS tr,
+                   seasonal + remainder AS sr
+            FROM d WHERE remainder IS NOT NULL
+        ),
+        pl AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_used,
+                   list_sort(list(struct_pack(o := o, r := r,
+                                              tr := tr, sr := sr)))
+                       AS lv
+            FROM flt GROUP BY 1
+        ),
+        ss AS (
+            SELECT user_id, n_used,
+                   list_reduce(list_prepend(0.0,
+                       [(e.r - list_reduce(list_prepend(0.0,
+                             [q.r FOR q IN lv]), (a, v) -> a + v)
+                             / CAST(n_used AS DOUBLE))
+                        * (e.r - list_reduce(list_prepend(0.0,
+                             [q.r FOR q IN lv]), (a, v) -> a + v)
+                             / CAST(n_used AS DOUBLE))
+                        FOR e IN lv]),
+                       (a, v) -> a + v) AS ssr,
+                   list_reduce(list_prepend(0.0,
+                       [(e.tr - list_reduce(list_prepend(0.0,
+                             [q.tr FOR q IN lv]), (a, v) -> a + v)
+                             / CAST(n_used AS DOUBLE))
+                        * (e.tr - list_reduce(list_prepend(0.0,
+                             [q.tr FOR q IN lv]), (a, v) -> a + v)
+                             / CAST(n_used AS DOUBLE))
+                        FOR e IN lv]),
+                       (a, v) -> a + v) AS sstr,
+                   list_reduce(list_prepend(0.0,
+                       [(e.sr - list_reduce(list_prepend(0.0,
+                             [q.sr FOR q IN lv]), (a, v) -> a + v)
+                             / CAST(n_used AS DOUBLE))
+                        * (e.sr - list_reduce(list_prepend(0.0,
+                             [q.sr FOR q IN lv]), (a, v) -> a + v)
+                             / CAST(n_used AS DOUBLE))
+                        FOR e IN lv]),
+                       (a, v) -> a + v) AS sssr
+            FROM pl
+        )
+        SELECT user_id, n_used,
+               CASE WHEN n_used >= 2 AND sstr > 0.0
+                    THEN greatest(0.0, 1.0 - ssr / sstr)
+               END AS trend_strength,
+               CASE WHEN n_used >= 2 AND sssr > 0.0
+                    THEN greatest(0.0, 1.0 - ssr / sssr)
+               END AS seasonal_strength
+        FROM ss
+    """
+    oracles["quantile_loss"] = """
+        -- exact 100x cross-multiplied pinball terms; ONE division
+        WITH flt AS (
+            SELECT l_returnflag AS flag,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        AS DECIMAL(38,2)) AS y,
+                   CAST(CAST(l_quantity * 1050 AS DECIMAL(18,2))
+                        AS DECIMAL(38,2)) AS q
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+              AND l_quantity IS NOT NULL
+        ),
+        agg AS (
+            SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                   sum(greatest(75 * (y - q),
+                                (75 - 100) * (y - q))) AS s100,
+                   CAST(sum(CASE WHEN y <= q THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cov
+            FROM flt GROUP BY 1
+        )
+        SELECT flag, n, 75 AS q_pct,
+               CAST(s100 AS DOUBLE)
+                   / (100.0 * CAST(n AS DOUBLE)) AS pinball,
+               CAST(cov AS DOUBLE) / CAST(n AS DOUBLE) AS coverage
+        FROM agg
+    """
+    oracles["dickey_fuller"] = """
+        -- one lag window; exact decimal OLS sums; one t tree
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT bucket, x,
+                   lag(x, 1) OVER
+                       (PARTITION BY bucket ORDER BY d) AS xp
+            FROM daily
+        ),
+        flt AS (SELECT * FROM lagged WHERE xp IS NOT NULL),
+        agg AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+                   sum(xp) AS sx, sum(x - xp) AS sy,
+                   sum(xp * xp) AS sxx,
+                   sum(xp * (x - xp)) AS sxy,
+                   sum((x - xp) * (x - xp)) AS syy
+            FROM flt GROUP BY 1
+        ),
+        t1 AS (
+            SELECT bucket, n_pairs,
+                   CAST(n_pairs AS DOUBLE) AS nd,
+                   CAST(sx AS DOUBLE) AS sxd,
+                   CAST(sy AS DOUBLE) AS syd,
+                   CAST(sxx AS DOUBLE) AS sxxd,
+                   CAST(sxy AS DOUBLE) AS sxyd,
+                   CAST(syy AS DOUBLE) AS syyd
+            FROM agg
+        ),
+        t2 AS (
+            SELECT *,
+                   nd * sxxd - sxd * sxd AS varn,
+                   CASE WHEN nd * sxxd - sxd * sxd > 0.0 THEN
+                       (nd * sxyd - sxd * syd)
+                       / (nd * sxxd - sxd * sxd) END AS rho
+            FROM t1
+        ),
+        t3 AS (
+            SELECT *, (syd - rho * sxd) / nd AS alpha FROM t2
+        ),
+        t4 AS (
+            SELECT *,
+                   syyd + nd * alpha * alpha
+                        + rho * rho * sxxd
+                        - 2.0 * alpha * syd
+                        - 2.0 * rho * sxyd
+                        + 2.0 * alpha * rho * sxd AS sse
+            FROM t3
+        )
+        SELECT bucket, n_pairs,
+               CASE WHEN varn > 0.0 THEN rho END AS rho,
+               CASE WHEN n_pairs >= 3 AND varn > 0.0 AND sse > 0.0
+                    THEN rho / sqrt(sse / (nd - 2.0)
+                                    / (sxxd - sxd * sxd / nd))
+               END AS t_df
+        FROM t4
+    """
+    oracles["harrell_c"] = """
+        -- bounded pair lattice; exact comparable/concordant counts
+        WITH base AS (
+            SELECT l_orderkey % 500 AS grp,
+                   CAST(day(l_shipdate) - 1 AS BIGINT) AS t,
+                   CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0
+                        END AS e,
+                   CAST(l_discount AS DOUBLE) AS r
+            FROM lineitem
+            WHERE l_shipdate IS NOT NULL
+              AND l_returnflag IS NOT NULL
+              AND l_discount IS NOT NULL
+        ),
+        nn AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n
+            FROM base GROUP BY 1
+        ),
+        idx AS (
+            SELECT grp, t, e, r,
+                   row_number() OVER (PARTITION BY grp
+                                      ORDER BY t, e, r) AS i
+            FROM base
+        ),
+        pairs AS (
+            SELECT a.grp,
+                   a.t AS ta, a.e AS ea, a.r AS ra,
+                   b.t AS tb, b.e AS eb, b.r AS rb
+            FROM idx a JOIN idx b
+              ON a.grp = b.grp AND a.i < b.i
+        ),
+        cls AS (
+            SELECT grp,
+                   ((ta < tb AND ea = 1) OR (tb < ta AND eb = 1))
+                       AS comp,
+                   CASE WHEN ta < tb AND ea = 1 THEN ra
+                        ELSE rb END AS er,
+                   CASE WHEN ta < tb AND ea = 1 THEN rb
+                        ELSE ra END AS lr
+            FROM pairs
+        ),
+        agg AS (
+            SELECT grp,
+                   CAST(sum(CASE WHEN comp THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_comparable,
+                   CAST(sum(CASE WHEN comp AND er > lr THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_concordant,
+                   CAST(sum(CASE WHEN comp AND er = lr THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_tied_risk
+            FROM cls GROUP BY 1
+        )
+        SELECT agg.grp, nn.n, n_comparable, n_concordant,
+               n_tied_risk,
+               CASE WHEN n_comparable > 0
+                    THEN (CAST(n_concordant AS DOUBLE)
+                          + 0.5 * CAST(n_tied_risk AS DOUBLE))
+                         / CAST(n_comparable AS DOUBLE)
+               END AS c
+        FROM agg JOIN nn ON agg.grp = nn.grp
+    """
+    oracles["granger"] = """
+        -- nine exact decimal sums; identical Cramer tree text
+        WITH d2 AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(value AS DECIMAL(18,2)) END),
+                       CAST(0 AS DECIMAL(18,2))) AS y,
+                   COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(value AS DECIMAL(18,2)) END),
+                       CAST(0 AS DECIMAL(18,2))) AS x
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('click', 'view')
+            GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT bucket,
+                   CAST(y AS DECIMAL(18,2)) AS yv,
+                   lag(CAST(y AS DECIMAL(18,2)), 1) OVER w AS a,
+                   lag(CAST(x AS DECIMAL(18,2)), 1) OVER w AS b
+            FROM d2
+            WINDOW w AS (PARTITION BY bucket ORDER BY d)
+        ),
+        flt AS (
+            SELECT * FROM lagged
+            WHERE a IS NOT NULL AND b IS NOT NULL
+        ),
+        agg AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_used,
+                   sum(yv) AS hsy, sum(a) AS hsa, sum(b) AS hsb,
+                   sum(yv * yv) AS hsyy, sum(a * a) AS hsaa,
+                   sum(b * b) AS hsbb, sum(yv * a) AS hsya,
+                   sum(yv * b) AS hsyb, sum(a * b) AS hsab
+            FROM flt GROUP BY 1
+        ),
+        t1 AS (
+            SELECT bucket, n_used,
+                   CAST(n_used AS DOUBLE) AS nd,
+                   CAST(hsy AS DOUBLE) AS sy,
+                   CAST(hsa AS DOUBLE) AS sa,
+                   CAST(hsb AS DOUBLE) AS sb,
+                   CAST(hsyy AS DOUBLE) AS syy,
+                   CAST(hsaa AS DOUBLE) AS saa,
+                   CAST(hsbb AS DOUBLE) AS sbb,
+                   CAST(hsya AS DOUBLE) AS sya,
+                   CAST(hsyb AS DOUBLE) AS syb,
+                   CAST(hsab AS DOUBLE) AS sab
+            FROM agg
+        ),
+        t2 AS (
+            SELECT *,
+                   nd*(saa*sbb - sab*sab) - sa*(sa*sbb - sab*sb)
+                     + sb*(sa*sab - saa*sb) AS det
+            FROM t1
+        ),
+        t3 AS (
+            SELECT *,
+                   CASE WHEN det <> 0.0 THEN
+                     (sy*(saa*sbb - sab*sab) - sa*(sya*sbb - sab*syb)
+                      + sb*(sya*sab - saa*syb)) / det END AS b0,
+                   CASE WHEN det <> 0.0 THEN
+                     (nd*(sya*sbb - sab*syb) - sy*(sa*sbb - sab*sb)
+                      + sb*(sa*syb - sya*sb)) / det END AS b1,
+                   CASE WHEN det <> 0.0 THEN
+                     (nd*(saa*syb - sya*sab) - sa*(sa*syb - sya*sb)
+                      + sy*(sa*sab - saa*sb)) / det END AS b2
+            FROM t2
+        ),
+        t4 AS (
+            SELECT *,
+                   syy - b0*sy - b1*sya - b2*syb AS sse_u,
+                   nd*saa - sa*sa AS varn,
+                   CASE WHEN nd*saa - sa*sa > 0.0 THEN
+                     (nd*sya - sa*sy) / (nd*saa - sa*sa) END AS a1
+            FROM t3
+        ),
+        t5 AS (SELECT *, (sy - a1*sa) / nd AS a0 FROM t4),
+        t6 AS (
+            SELECT *, syy - a0*sy - a1*sya AS sse_r FROM t5
+        )
+        SELECT bucket, n_used,
+               CASE WHEN det <> 0.0 THEN b2 END AS beta_x,
+               CASE WHEN n_used >= 4 AND det <> 0.0 AND varn > 0.0
+                         AND sse_u > 0.0
+                    THEN (sse_r - sse_u) / (sse_u / (nd - 3.0))
+               END AS f_stat,
+               CASE WHEN n_used >= 4 AND det <> 0.0 AND varn > 0.0
+                         AND sse_u > 0.0 THEN 1 END AS df1,
+               CASE WHEN n_used >= 4 AND det <> 0.0 AND varn > 0.0
+                         AND sse_u > 0.0
+                    THEN CAST(n_used - 3 AS BIGINT) END AS df2
+        FROM t6
+    """
+    oracles["arch_lm"] = """
+        -- exact HUGEINT micro-unit centred squares; one R2 tree
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS HUGEINT) AS xq
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT bucket, CAST(count(*) AS HUGEINT) AS n,
+                   sum(xq) AS s
+            FROM daily GROUP BY 1
+        ),
+        cw AS (
+            SELECT d.bucket, d.d,
+                   (st.n * d.xq - st.s) * (st.n * d.xq - st.s) AS w
+            FROM daily d JOIN stats st ON d.bucket = st.bucket
+        ),
+        lagged AS (
+            SELECT bucket, w,
+                   lag(w, 1) OVER
+                       (PARTITION BY bucket ORDER BY d) AS wp
+            FROM cw
+        ),
+        flt AS (SELECT * FROM lagged WHERE wp IS NOT NULL),
+        agg AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+                   sum(wp) AS sx, sum(w) AS sy,
+                   sum(wp * wp) AS sxx, sum(wp * w) AS sxy,
+                   sum(w * w) AS syy
+            FROM flt GROUP BY 1
+        ),
+        t AS (
+            SELECT bucket, n_pairs,
+                   CAST(n_pairs AS DOUBLE) AS nd,
+                   CAST(sx AS DOUBLE) AS sxd,
+                   CAST(sy AS DOUBLE) AS syd,
+                   CAST(sxx AS DOUBLE) AS sxxd,
+                   CAST(sxy AS DOUBLE) AS sxyd,
+                   CAST(syy AS DOUBLE) AS syyd
+            FROM agg
+        ),
+        u AS (
+            SELECT bucket, n_pairs, nd,
+                   (nd * sxyd - sxd * syd)
+                       * (nd * sxyd - sxd * syd) AS num2,
+                   nd * sxxd - sxd * sxd AS dx,
+                   nd * syyd - syd * syd AS dy
+            FROM t
+        )
+        SELECT bucket, n_pairs,
+               CASE WHEN n_pairs >= 3 AND dx > 0.0 AND dy > 0.0
+                    THEN num2 / (dx * dy) END AS r2,
+               CASE WHEN n_pairs >= 3 AND dx > 0.0 AND dy > 0.0
+                    THEN nd * (num2 / (dx * dy)) END AS lm
+        FROM u
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

@@ -305,3 +305,68 @@ def expected_calibration_error(
         ),
         "mce",
     )
+
+
+def quantile_loss(
+    df: DataFrame,
+    by: list[str],
+    actual_col: str,
+    pred_col: str,
+    q_pct: int,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, q_pct, pinball, coverage)`` — pinball (quantile)
+    loss + empirical coverage (L286): the proper scoring rule for a
+    quantile forecast (the L205-era conformal quantiles, the L281/L272
+    point forecasts' interval cousins) and the sanity check that a
+    τ-quantile prediction actually covers ≈ τ of the actuals:
+
+        pinball = mean( max(τ·(y−q̂), (τ−1)·(y−q̂)) ),  τ = q_pct/100
+        coverage = mean( y ≤ q̂ )
+
+    EXACT trick: with τ an integer percent, 100·pinball-term =
+    max(q_pct·(y−q̂), (q_pct−100)·(y−q̂)) is an exact DECIMAL for
+    DECIMAL(18,scale) inputs — the loss sum is order-insensitive and
+    combinable, ONE division at the end (the L151 cross-multiply
+    discipline applied to a loss function).  Coverage is an exact
+    integer count.  q_pct outside 1..99 refused.
+
+    Scale shape: ONE combinable aggregation — one scan of 100 TB.
+
+    No reference counterpart; forecast-eval analytics per SURVEY
+    §2.11.
+    """
+    if not 1 <= int(q_pct) <= 99:
+        raise ValueError("quantile_loss: q_pct must be in 1..99")
+    q = int(q_pct)
+    dec = f"decimal(18,{scale})"
+    d38 = f"decimal(38,{scale})"
+    flt = df.filter(
+        F.col(actual_col).isNotNull() & F.col(pred_col).isNotNull()
+    )
+    diff = (
+        F.col(actual_col).cast(dec).cast(d38)
+        - F.col(pred_col).cast(dec).cast(d38)
+    )
+    term100 = F.greatest(
+        F.lit(q).cast(d38) * diff,
+        F.lit(q - 100).cast(d38) * diff,
+    )
+    agg = flt.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(term100).alias("_s100"),
+        F.sum(
+            (F.col(actual_col).cast(dec) <= F.col(pred_col).cast(dec))
+            .cast("long")
+        ).alias("_cov"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        *by,
+        "n",
+        F.lit(q).alias("q_pct"),
+        (
+            F.col("_s100").cast("double") / (F.lit(100.0) * nd)
+        ).alias("pinball"),
+        (F.col("_cov").cast("double") / nd).alias("coverage"),
+    )

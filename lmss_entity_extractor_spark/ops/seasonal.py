@@ -159,3 +159,98 @@ def seasonal_decompose(
             (xd - F.col("trend")) - F.col("seasonal"),
         ).alias("remainder"),
     )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    period: int,
+    scale: int = 2,
+    max_len: int = 100_000,
+) -> DataFrame:
+    """``(by..., n_used, trend_strength, seasonal_strength)`` — the
+    Hyndman trend/seasonal strength indices (L285) over the L163
+    classical decomposition x = T + S + R:
+
+        F_T = max(0, 1 − SS(R)/SS(T+R))
+        F_S = max(0, 1 − SS(R)/SS(S+R))
+
+    ("how much of the detrended/deseasonalized variation does the
+    component explain" — the triage number that decides whether the
+    rollup layer should aggregate by the candidate period at all).
+    Only rows with a defined trend (complete moving window) count.
+    The variance RATIOS need only the squared-deviation SUMS (shared
+    n cancels), so each component takes exactly two order-pinned
+    folds (mean, then deviations) over the bounded sorted series —
+    no divisions until the final ratio.  Zero detrended variation →
+    NULL strength; series beyond ``max_len`` refused.
+
+    Scale shape: inherits L163's one keyed window pass, plus one
+    bounded collect + in-array folds.
+
+    No reference counterpart; forecasting analytics per SURVEY §2.11.
+    """
+    d = seasonal_decompose(df, by, order_col, value_col, period, scale)
+    flt = d.filter(F.col("remainder").isNotNull())
+    sizes = flt.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > max_len).count()
+    if over:
+        raise ValueError(
+            f"seasonal_strength: a series exceeds max_len={max_len}"
+        )
+    packed = flt.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col("remainder").alias("r"),
+                    (F.col("trend") + F.col("remainder")).alias("tr"),
+                    (F.col("seasonal") + F.col("remainder")).alias(
+                        "sr"
+                    ),
+                )
+            )
+        ).alias("_lv"),
+    )
+    nd = F.col("n_used").cast("double")
+
+    def _ss(field):
+        mean = (
+            F.aggregate(
+                F.col("_lv"), F.lit(0.0), lambda a, e: a + e[field]
+            )
+            / nd
+        )
+        return F.aggregate(
+            F.col("_lv"),
+            F.lit(0.0),
+            lambda a, e: a + (e[field] - mean) * (e[field] - mean),
+        )
+
+    s1 = packed.select(
+        *by,
+        "n_used",
+        _ss("r").alias("_ssr"),
+        _ss("tr").alias("_sstr"),
+        _ss("sr").alias("_sssr"),
+    )
+    ft = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.col("_ssr") / F.col("_sstr")
+    )
+    fs = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.col("_ssr") / F.col("_sssr")
+    )
+    ok = F.col("n_used") >= 2
+    return s1.select(
+        *by,
+        "n_used",
+        F.when(ok & (F.col("_sstr") > 0.0), ft).alias(
+            "trend_strength"
+        ),
+        F.when(ok & (F.col("_sssr") > 0.0), fs).alias(
+            "seasonal_strength"
+        ),
+    )

@@ -430,3 +430,87 @@ def rmst(
         "events",
         total.alias("rmst"),
     )
+
+
+def harrell_c(
+    df: DataFrame,
+    by: list[str],
+    duration_col: str,
+    event_col: str,
+    risk_col: str,
+    max_len: int = 1000,
+) -> DataFrame:
+    """``(by..., n, n_comparable, n_concordant, n_tied_risk, c)`` —
+    Harrell's concordance index (L288): does a risk score ORDER the
+    survival outcomes — the AUC of survival analysis, censoring
+    handled by only scoring COMPARABLE pairs (the earlier time must
+    be an observed event, else we cannot know who outlived whom):
+
+        comparable (i,j):  tᵢ < tⱼ and eᵢ = 1
+        concordant:        rᵢ > rⱼ   (higher risk died sooner)
+        C = (concordant + ½·risk-ties) / comparable
+
+    All counts are exact integers over the bounded per-group pair
+    lattice (the L161/L162 ``max_len`` discipline — C is pairwise by
+    definition; resample or score a sample of each group first);
+    equal-time pairs are not comparable and never counted.  Zero
+    comparable pairs → NULL c.
+
+    Scale shape: one keyed collect (bounded by contract) → in-row
+    posexplode pair lattice → one combinable agg.
+
+    No reference counterpart; retention analytics per SURVEY §2.11.
+    """
+    flt = df.filter(
+        F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+        & F.col(risk_col).isNotNull()
+    )
+    sizes = flt.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > max_len).count()
+    if over:
+        raise ValueError(
+            f"harrell_c: a group exceeds max_len={max_len} — C is "
+            "pairwise; score a bounded sample per group"
+        )
+    packed = flt.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_list(
+            F.struct(
+                F.col(duration_col).alias("t"),
+                F.col(event_col).cast("int").alias("e"),
+                F.col(risk_col).alias("r"),
+            )
+        ).alias("_a"),
+    )
+    e1 = packed.select(
+        *by, "n", "_a", F.posexplode("_a").alias("_i", "_p")
+    )
+    e2 = e1.select(
+        *by, "n", "_i", "_p", F.posexplode("_a").alias("_j", "_q")
+    ).filter(F.col("_i") < F.col("_j"))
+    p, q = F.col("_p"), F.col("_q")
+    first_earlier = (p["t"] < q["t"]) & (p["e"] == 1)
+    second_earlier = (q["t"] < p["t"]) & (q["e"] == 1)
+    comparable = first_earlier | second_earlier
+    early_r = F.when(first_earlier, p["r"]).otherwise(q["r"])
+    late_r = F.when(first_earlier, q["r"]).otherwise(p["r"])
+    conc = comparable & (early_r > late_r)
+    tied = comparable & (early_r == late_r)
+    agg = e2.groupBy(*by, "n").agg(
+        F.sum(comparable.cast("long")).alias("n_comparable"),
+        F.sum(conc.cast("long")).alias("n_concordant"),
+        F.sum(tied.cast("long")).alias("n_tied_risk"),
+    )
+    c = (
+        F.col("n_concordant").cast("double")
+        + F.lit(0.5) * F.col("n_tied_risk").cast("double")
+    ) / F.col("n_comparable").cast("double")
+    return agg.select(
+        *by,
+        "n",
+        "n_comparable",
+        "n_concordant",
+        "n_tied_risk",
+        F.when(F.col("n_comparable") > 0, c).alias("c"),
+    )

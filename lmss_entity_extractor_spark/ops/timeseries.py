@@ -1289,3 +1289,298 @@ def spectral_entropy(
             ok & (k_ >= 2), h / F.log(k_.cast("double"))
         ).alias("entropy_norm"),
     )
+
+
+def dickey_fuller(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n_pairs, rho, t_df)`` — the (non-augmented)
+    Dickey-Fuller unit-root test (L287): is a series mean-reverting
+    (stationary) or a random walk — the decision that gates every
+    downstream model choice (difference first, or model levels):
+
+        Δxₜ = α + ρ·xₜ₋₁ + εₜ,   t_DF = ρ̂ / se(ρ̂)
+
+    (compare t_DF against Dickey-Fuller critical values, e.g. −2.86
+    at 5% with constant — far below the normal −1.64, which is the
+    whole point of the test).  The lag pairs come from ONE keyed
+    window; (xₜ₋₁, Δx) are exact decimals, so the five OLS sufficient
+    sums are order-insensitive and combinable, and ρ̂/SSE/se/t is one
+    fixed IEEE tree (the L135 discipline).  NULLs refused; n_pairs
+    < 3 or zero x-variance → NULL.
+
+    Scale shape: one keyed window pass + one combinable agg.
+
+    No reference counterpart; forecasting analytics per SURVEY §2.11.
+    """
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"dickey_fuller: {n_null} NULL value(s) — impute first"
+        )
+    dec = f"decimal(18,{scale})"
+    wt = Window.partitionBy(*by).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    xd = F.col(value_col).cast(dec)
+    lagged = df.select(
+        *by,
+        xd.alias("_x"),
+        F.lag(xd, 1).over(wt).alias("_xp"),
+    ).filter(F.col("_xp").isNotNull())
+    dx = F.col("_x") - F.col("_xp")
+    agg = lagged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("_xp").alias("_sx"),
+        F.sum(dx).alias("_sy"),
+        F.sum(F.col("_xp") * F.col("_xp")).alias("_sxx"),
+        F.sum(F.col("_xp") * dx).alias("_sxy"),
+        F.sum(dx * dx).alias("_syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    syy = F.col("_syy").cast("double")
+    varn = nd * sxx - sx * sx
+    rho = F.when(varn > 0.0, (nd * sxy - sx * sy) / varn)
+    s1 = agg.select(
+        *by, "n_pairs", nd.alias("_nd"), sx.alias("_sxd"),
+        sy.alias("_syd"), sxx.alias("_sxxd"), sxy.alias("_sxyd"),
+        syy.alias("_syyd"), varn.alias("_varn"), rho.alias("_rho"),
+    )
+    alpha = (F.col("_syd") - F.col("_rho") * F.col("_sxd")) / F.col(
+        "_nd"
+    )
+    sse = (
+        F.col("_syyd")
+        + F.col("_nd") * alpha * alpha
+        + F.col("_rho") * F.col("_rho") * F.col("_sxxd")
+        - F.lit(2.0) * alpha * F.col("_syd")
+        - F.lit(2.0) * F.col("_rho") * F.col("_sxyd")
+        + F.lit(2.0) * alpha * F.col("_rho") * F.col("_sxd")
+    )
+    se = F.sqrt(
+        sse
+        / (F.col("_nd") - F.lit(2.0))
+        / (F.col("_sxxd") - F.col("_sxd") * F.col("_sxd") / F.col("_nd"))
+    )
+    ok = (
+        (F.col("n_pairs") >= 3)
+        & (F.col("_varn") > 0.0)
+        & (sse > 0.0)
+    )
+    return s1.select(
+        *by,
+        "n_pairs",
+        F.when(F.col("_varn") > 0.0, F.col("_rho")).alias("rho"),
+        F.when(ok, F.col("_rho") / se).alias("t_df"),
+    )
+
+
+def granger_1lag(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    y_col: str,
+    x_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n_used, beta_x, f_stat, df1, df2)`` — Granger
+    causality at one lag (L289): does knowing yesterday's x improve
+    today's y forecast beyond yesterday's y — the standard
+    lead/lag-screening test between metric pairs (does signup volume
+    LEAD revenue, does error rate LEAD churn):
+
+        unrestricted:  yₜ = β₀ + β₁·yₜ₋₁ + β₂·xₜ₋₁
+        restricted:    yₜ = α₀ + α₁·yₜ₋₁
+        F = (SSE_r − SSE_u) / (SSE_u / (n − 3)),  df = (1, n−3)
+
+    Both regressions come from the SAME nine exact decimal sufficient
+    sums (one keyed window for the lags + one combinable agg); the
+    3×3 normal equations solve by Cramer determinants — a fixed IEEE
+    tree, no iteration, no matrix library.  SSE via the identity
+    SSE = Syy − βᵀXᵀy.  Singular design (D ≤ 0 after the exact-sum
+    cancellations) or n < 4 → NULL.  NULLs in either series refused.
+
+    Scale shape: one keyed window pass + one combinable agg.
+
+    No reference counterpart; forecasting analytics per SURVEY §2.11.
+    """
+    n_null = df.filter(
+        F.col(y_col).isNull() | F.col(x_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"granger_1lag: {n_null} NULL value(s) — impute first"
+        )
+    dec = f"decimal(18,{scale})"
+    wt = Window.partitionBy(*by).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    yd = F.col(y_col).cast(dec)
+    xd = F.col(x_col).cast(dec)
+    lagged = df.select(
+        *by,
+        yd.alias("_y"),
+        F.lag(yd, 1).over(wt).alias("_a"),
+        F.lag(xd, 1).over(wt).alias("_b"),
+    ).filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    agg = lagged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum("_y").alias("_sy"),
+        F.sum("_a").alias("_sa"),
+        F.sum("_b").alias("_sb"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_a") * F.col("_a")).alias("_saa"),
+        F.sum(F.col("_b") * F.col("_b")).alias("_sbb"),
+        F.sum(F.col("_y") * F.col("_a")).alias("_sya"),
+        F.sum(F.col("_y") * F.col("_b")).alias("_syb"),
+        F.sum(F.col("_a") * F.col("_b")).alias("_sab"),
+    )
+    cols = {
+        "nd": F.col("n_used").cast("double"),
+        **{
+            k: F.col(f"_{k}").cast("double")
+            for k in (
+                "sy", "sa", "sb", "syy", "saa", "sbb", "sya",
+                "syb", "sab",
+            )
+        },
+    }
+    s1 = agg.select(*by, "n_used", *[v.alias(k) for k, v in cols.items()])
+    e = F.expr
+    det = e(
+        "nd*(saa*sbb - sab*sab) - sa*(sa*sbb - sab*sb)"
+        " + sb*(sa*sab - saa*sb)"
+    )
+    s2 = s1.withColumn("det", det)
+    b0 = e(
+        "CASE WHEN det <> 0.0 THEN"
+        " (sy*(saa*sbb - sab*sab) - sa*(sya*sbb - sab*syb)"
+        "  + sb*(sya*sab - saa*syb)) / det END"
+    )
+    b1 = e(
+        "CASE WHEN det <> 0.0 THEN"
+        " (nd*(sya*sbb - sab*syb) - sy*(sa*sbb - sab*sb)"
+        "  + sb*(sa*syb - sya*sb)) / det END"
+    )
+    b2 = e(
+        "CASE WHEN det <> 0.0 THEN"
+        " (nd*(saa*syb - sya*sab) - sa*(sa*syb - sya*sb)"
+        "  + sy*(sa*sab - saa*sb)) / det END"
+    )
+    s3 = s2.withColumns({"b0": b0, "b1": b1, "b2": b2})
+    sse_u = e("syy - b0*sy - b1*sya - b2*syb")
+    varn = e("nd*saa - sa*sa")
+    a1 = e("CASE WHEN nd*saa - sa*sa > 0.0 THEN"
+           " (nd*sya - sa*sy) / (nd*saa - sa*sa) END")
+    s4 = s3.withColumns({"sse_u": sse_u, "a1": a1, "varn": varn})
+    a0 = e("(sy - a1*sa) / nd")
+    s5 = s4.withColumn("a0", a0)
+    sse_r = e("syy - a0*sy - a1*sya")
+    s6 = s5.withColumn("sse_r", sse_r)
+    fstat = e("(sse_r - sse_u) / (sse_u / (nd - 3.0))")
+    ok = (
+        (F.col("n_used") >= 4)
+        & (F.col("det") != 0.0)
+        & (F.col("varn") > 0.0)
+        & (F.col("sse_u") > 0.0)
+    )
+    return s6.select(
+        *by,
+        "n_used",
+        F.when(F.col("det") != 0.0, F.col("b2")).alias("beta_x"),
+        F.when(ok, fstat).alias("f_stat"),
+        F.when(ok, F.lit(1)).alias("df1"),
+        F.when(ok, F.col("n_used") - 3).alias("df2"),
+    )
+
+
+def arch_lm(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n_pairs, r2, lm)`` — Engle's ARCH(1) LM test (L290):
+    does today's VOLATILITY depend on yesterday's — the clustering-
+    of-variance screen (calm days follow calm days) that decides
+    whether a constant-variance model (and every test assuming it)
+    is even admissible:
+
+        LM = n·R²  of  u²ₜ on u²ₜ₋₁,   u = x − x̄,   df = 1
+
+    EXACT trick: R² is invariant to any common scaling of u², so the
+    regression runs on w = c² with c = n·q − Σq over the INTEGER
+    micro-units q = x·10^scale (the L151 cross-multiplied centring ×
+    the L266 quantization) — every sum is an exact DECIMAL(38,0)
+    integer, the lag is one keyed window, and R² is one fixed tree.
+    DECIMAL(38,0) bounds w² ≈ (n·q)⁴: safe while n·|q| ≲ 10⁹ (ANSI
+    fails loudly beyond — rescale first).  n_pairs < 3 or a
+    degenerate side → NULL.  NULLs refused.
+
+    Scale shape: one stats agg + broadcast join + one keyed window
+    pass + one combinable agg (the L151 shape).
+
+    No reference counterpart; forecasting analytics per SURVEY §2.11.
+    """
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"arch_lm: {n_null} NULL value(s) — impute first"
+        )
+    dec = f"decimal(18,{scale})"
+    d0 = "decimal(38,0)"
+    xq = (F.col(value_col).cast(dec) * F.lit(10**scale)).cast(d0)
+    base = df.select(
+        *by,
+        *[c for c in order_cols],
+        xq.alias("_x"),
+    )
+    stats = base.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_x").alias("_s")
+    )
+    joined = base.join(F.broadcast(stats), by)
+    c = F.col("_n").cast(d0) * F.col("_x") - F.col("_s")
+    w = (c * c).alias("_w")
+    wt = Window.partitionBy(*by).orderBy(
+        *[F.col(o) for o in order_cols]
+    )
+    staged = joined.select(*by, *order_cols, w)
+    lagged = staged.select(
+        *by,
+        F.col("_w"),
+        F.lag("_w", 1).over(wt).alias("_wp"),
+    ).filter(F.col("_wp").isNotNull())
+    agg = lagged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("_wp").alias("_sx"),
+        F.sum("_w").alias("_sy"),
+        F.sum(F.col("_wp") * F.col("_wp")).alias("_sxx"),
+        F.sum(F.col("_wp") * F.col("_w")).alias("_sxy"),
+        F.sum(F.col("_w") * F.col("_w")).alias("_syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    syy = F.col("_syy").cast("double")
+    num = nd * sxy - sx * sy
+    dx = nd * sxx - sx * sx
+    dy = nd * syy - sy * sy
+    r2 = (num * num) / (dx * dy)
+    ok = (F.col("n_pairs") >= 3) & (dx > 0.0) & (dy > 0.0)
+    return agg.select(
+        *by,
+        "n_pairs",
+        F.when(ok, r2).alias("r2"),
+        F.when(ok, nd * r2).alias("lm"),
+    )
