@@ -66,6 +66,12 @@ SHOWCASE = [
     ("morans_i", "spatial weights ARE the L212 grid equi-join; values join by id — no O(n²) weight matrix is ever materialized"),
     ("topk_churn", "per-period window top-k shrinks the fact table to k·periods rows; the churn join is adjacent-rank over that bounded set"),
     ("cumulative_incidence", "the grid² Aalen-Johansen folds run INSIDE per-key arrays — executor-side, zero exchanges beyond the two grid groupBys"),
+    ("breusch_pagan", "residual-free heteroskedasticity: 14 exact micro-unit mixed moments in ONE combinable agg, then a generated polynomial tree (shared text with the oracle) — no residual column ever materializes"),
+    ("brunner_munzel", "doubled midranks from grid windows feed PLAIN combinable integer sums — the rank-variance needs no folds at all"),
+    ("rmst", "the KM curve never materializes: one bounded-grid groupBy + window cumsum, then the (prev, survival, area) fold runs inside the per-group array"),
+    ("yule_walker", "Durbin-Levinson recursion folds over the p-row ACF table — the O(p²) solve is array-local; the data-sized work is exactly L151's one window pass"),
+    ("croston", "twin SES recurrences fold inside the packed per-key array — the intermittent series shuffles once to pack, then all smoothing is executor-side"),
+    ("eb_shrink", "fit-small/apply-wide without a second scan: the MoM prior folds over the bounded key grid and the posterior explodes back IN-ROW — one shuffle total"),
 ]
 
 
