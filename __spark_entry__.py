@@ -7397,6 +7397,41 @@ def q_arch_lm(spark, sf_dir):
     return arch_lm(_daily_series(spark, sf_dir), ["bucket"], ["t"], "v")
 
 
+def q_var_backtest(spark, sf_dir):
+    """VaR backtest (L291): daily revenue vs an 85%-of-mean floor per
+    bucket — exact exception/transition counts, fixed ln trees."""
+    from pyspark.sql import Window
+
+    from lmss_entity_extractor_spark.ops.calibration import var_backtest
+
+    daily = _daily_series(spark, sf_dir)
+    wb = Window.partitionBy("bucket")
+    d2 = daily.select(
+        "bucket",
+        "t",
+        F.col("v").cast("double").alias("x"),
+        (
+            F.lit(0.85)
+            * (
+                F.sum("v").over(wb).cast("double")
+                / F.count(F.lit(1)).over(wb).cast("double")
+            )
+        ).alias("var_floor"),
+    )
+    return var_backtest(d2, ["bucket"], ["t"], "x", "var_floor", p=0.1)
+
+
+def q_entropy_rate(spark, sf_dir):
+    """Markov entropy rate (L292): next-event predictability of the
+    per-user event-type chain — exact cells, one bounded fold."""
+    from lmss_entity_extractor_spark.ops.markov import markov_entropy_rate
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return markov_entropy_rate(e, "user_id", "event_type", ["ts", "event_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7474,6 +7509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harrell_c": q_harrell_c,
         "granger": q_granger,
         "arch_lm": q_arch_lm,
+        "var_backtest": q_var_backtest,
+        "entropy_rate": q_entropy_rate,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -17852,6 +17889,150 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n_pairs >= 3 AND dx > 0.0 AND dy > 0.0
                     THEN nd * (num2 / (dx * dy)) END AS lm
         FROM u
+    """
+    oracles["var_backtest"] = """
+        -- exact exception/transition counts; fixed ln trees with
+        -- the 0*ln0 = 0 convention via CASE
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(18,2))) AS v
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        d2 AS (
+            SELECT bucket, d, CAST(v AS DOUBLE) AS x,
+                   0.85 * (CAST(sum(v) OVER (PARTITION BY bucket)
+                                AS DOUBLE)
+                           / CAST(count(*) OVER
+                                  (PARTITION BY bucket)
+                                  AS DOUBLE)) AS var_floor
+            FROM daily
+        ),
+        lagged AS (
+            SELECT bucket,
+                   CASE WHEN x < var_floor THEN 1 ELSE 0 END AS e,
+                   lag(CASE WHEN x < var_floor THEN 1 ELSE 0 END, 1)
+                       OVER (PARTITION BY bucket ORDER BY d) AS ep
+            FROM d2
+        ),
+        agg AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(e) AS BIGINT) AS x,
+                   CAST(sum(CASE WHEN ep = 0 AND e = 0 THEN 1
+                            ELSE 0 END) AS BIGINT) AS n00,
+                   CAST(sum(CASE WHEN ep = 0 AND e = 1 THEN 1
+                            ELSE 0 END) AS BIGINT) AS n01,
+                   CAST(sum(CASE WHEN ep = 1 AND e = 0 THEN 1
+                            ELSE 0 END) AS BIGINT) AS n10,
+                   CAST(sum(CASE WHEN ep = 1 AND e = 1 THEN 1
+                            ELSE 0 END) AS BIGINT) AS n11
+            FROM lagged GROUP BY 1
+        ),
+        t AS (
+            SELECT *, CAST(n AS DOUBLE) AS nd,
+                   CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+                   n00 + n01 AS t0, n10 + n11 AS t1
+            FROM agg
+        ),
+        u AS (
+            SELECT *,
+                   -2.0 * (
+                     (CASE WHEN n - x > 0 THEN
+                        CAST(n - x AS DOUBLE) * ln(1.0 - 0.1)
+                        ELSE 0.0 END)
+                     + (CASE WHEN x > 0 THEN
+                          CAST(x AS DOUBLE) * ln(0.1)
+                          ELSE 0.0 END)
+                     - (CASE WHEN n - x > 0 THEN
+                          CAST(n - x AS DOUBLE) * ln(1.0 - rate)
+                          ELSE 0.0 END)
+                     - (CASE WHEN x > 0 THEN
+                          CAST(x AS DOUBLE) * ln(rate)
+                          ELSE 0.0 END)) AS lr_pof,
+                   CAST(n01 + n11 AS DOUBLE)
+                       / CAST(t0 + t1 AS DOUBLE) AS pi,
+                   CAST(n01 AS DOUBLE) / CAST(t0 AS DOUBLE) AS pi0,
+                   CAST(n11 AS DOUBLE) / CAST(t1 AS DOUBLE) AS pi1
+            FROM t
+        ),
+        w AS (
+            SELECT *,
+                   -2.0 * (
+                     ((CASE WHEN n00 + n10 > 0 THEN
+                         CAST(n00 + n10 AS DOUBLE) * ln(1.0 - pi)
+                         ELSE 0.0 END)
+                      + (CASE WHEN n01 + n11 > 0 THEN
+                           CAST(n01 + n11 AS DOUBLE) * ln(pi)
+                           ELSE 0.0 END))
+                     - ((CASE WHEN n00 > 0 THEN
+                           CAST(n00 AS DOUBLE) * ln(1.0 - pi0)
+                           ELSE 0.0 END)
+                        + (CASE WHEN n01 > 0 THEN
+                             CAST(n01 AS DOUBLE) * ln(pi0)
+                             ELSE 0.0 END)
+                        + (CASE WHEN n10 > 0 THEN
+                             CAST(n10 AS DOUBLE) * ln(1.0 - pi1)
+                             ELSE 0.0 END)
+                        + (CASE WHEN n11 > 0 THEN
+                             CAST(n11 AS DOUBLE) * ln(pi1)
+                             ELSE 0.0 END))) AS lr_ind
+            FROM u
+        )
+        SELECT bucket, n, x AS n_exceptions, rate,
+               CASE WHEN n >= 2 THEN lr_pof END AS lr_pof,
+               CASE WHEN t0 > 0 AND t1 > 0 AND t0 + t1 >= 2
+                    THEN lr_ind END AS lr_ind,
+               CASE WHEN n >= 2 AND t0 > 0 AND t1 > 0
+                         AND t0 + t1 >= 2
+                    THEN lr_pof + lr_ind END AS lr_cc
+        FROM w
+    """
+    oracles["entropy_rate"] = """
+        -- exact transition cells; one bounded fold
+        WITH pairs AS (
+            SELECT src, dst FROM (
+                SELECT event_type AS src,
+                       lead(event_type) OVER
+                           (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS dst
+                FROM events
+            ) WHERE src IS NOT NULL AND dst IS NOT NULL
+        ),
+        cells AS (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+            FROM pairs GROUP BY 1, 2
+        ),
+        margins AS (
+            SELECT src, CAST(sum(c) AS BIGINT) AS ni
+            FROM cells GROUP BY 1
+        ),
+        packed AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n_pairs,
+                   CAST(count(DISTINCT cells.src) AS BIGINT)
+                       AS n_states,
+                   list_sort(list(struct_pack(
+                       src := cells.src, dst := dst, c := c,
+                       ni := ni))) AS lv
+            FROM cells JOIN margins ON cells.src = margins.src
+        )
+        SELECT n_pairs, n_states,
+               CASE WHEN n_pairs > 0 THEN
+                   -list_reduce(list_prepend(0.0,
+                       [(CAST(e.c AS DOUBLE)
+                         / CAST(n_pairs AS DOUBLE))
+                        * ln(CAST(e.c AS DOUBLE)
+                             / CAST(e.ni AS DOUBLE)) FOR e IN lv]),
+                       (a, v) -> a + v) END AS h_rate,
+               CASE WHEN n_pairs > 0 AND n_states >= 2 THEN
+                   -list_reduce(list_prepend(0.0,
+                       [(CAST(e.c AS DOUBLE)
+                         / CAST(n_pairs AS DOUBLE))
+                        * ln(CAST(e.c AS DOUBLE)
+                             / CAST(e.ni AS DOUBLE)) FOR e IN lv]),
+                       (a, v) -> a + v)
+                   / ln(CAST(n_states AS DOUBLE)) END AS h_norm
+        FROM packed
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

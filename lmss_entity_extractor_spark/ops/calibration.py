@@ -370,3 +370,120 @@ def quantile_loss(
         ).alias("pinball"),
         (F.col("_cov").cast("double") / nd).alias("coverage"),
     )
+
+
+def var_backtest(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+    var_col: str,
+    p: float = 0.05,
+) -> DataFrame:
+    """``(by..., n, n_exceptions, rate, lr_pof, lr_ind, lr_cc)`` —
+    the VaR exception backtest (L291): does a lower-tail quantile
+    forecast (VaR, an SLO floor, a conformal bound L205) fail at the
+    PROMISED rate, and do the failures CLUSTER — Kupiec's
+    proportion-of-failures LR plus Christoffersen's independence LR
+    (clustered exceptions mean the model misses volatility regimes
+    even when the overall rate looks right; L290's ARCH is the
+    upstream cause):
+
+        exception eₜ = 1{xₜ < VaRₜ}
+        LR_pof = −2·[ (n−x)·ln(1−p) + x·ln p
+                      − (n−x)·ln(1−x/n) − x·ln(x/n) ]      (df 1)
+        LR_ind from the eₜ transition counts n₀₀ n₀₁ n₁₀ n₁₁  (df 1)
+        LR_cc  = LR_pof + LR_ind                            (df 2)
+
+    Exceptions and transition counts are EXACT integers (one lag
+    window); the LRs are fixed ln trees with the 0·ln0 = 0 convention
+    handled by CASE, so x = 0 and x = n stay finite.  Degenerate
+    sides (no 0s or no 1s among transitions) → NULL lr_ind.  NULLs
+    refused.
+
+    Scale shape: one keyed window pass + one combinable agg.
+
+    No reference counterpart; forecast-eval analytics per SURVEY
+    §2.11.
+    """
+    if not (0.0 < p < 1.0):
+        raise ValueError("var_backtest: need 0 < p < 1")
+    n_null = df.filter(
+        F.col(value_col).isNull() | F.col(var_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"var_backtest: {n_null} NULL value(s) — impute first"
+        )
+    wt = Window.partitionBy(*by).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    e = (F.col(value_col) < F.col(var_col)).cast("int")
+    lagged = df.select(
+        *by,
+        e.alias("_e"),
+        F.lag(e, 1).over(wt).alias("_ep"),
+    )
+    agg = lagged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_e").alias("n_exceptions"),
+        F.sum(
+            F.when((F.col("_ep") == 0) & (F.col("_e") == 0), 1).otherwise(0)
+        ).alias("_n00"),
+        F.sum(
+            F.when((F.col("_ep") == 0) & (F.col("_e") == 1), 1).otherwise(0)
+        ).alias("_n01"),
+        F.sum(
+            F.when((F.col("_ep") == 1) & (F.col("_e") == 0), 1).otherwise(0)
+        ).alias("_n10"),
+        F.sum(
+            F.when((F.col("_ep") == 1) & (F.col("_e") == 1), 1).otherwise(0)
+        ).alias("_n11"),
+    )
+    nd = F.col("n").cast("double")
+    xd = F.col("n_exceptions").cast("double")
+
+    def xlnx(cnt, prob):
+        return F.when(cnt > 0, cnt.cast("double") * F.log(prob)).otherwise(
+            F.lit(0.0)
+        )
+
+    rate = xd / nd
+    lr_pof = F.lit(-2.0) * (
+        xlnx(F.col("n") - F.col("n_exceptions"), F.lit(1.0 - p))
+        + xlnx(F.col("n_exceptions"), F.lit(float(p)))
+        - xlnx(
+            F.col("n") - F.col("n_exceptions"),
+            F.lit(1.0) - rate,
+        )
+        - xlnx(F.col("n_exceptions"), rate)
+    )
+    t0 = F.col("_n00") + F.col("_n01")
+    t1 = F.col("_n10") + F.col("_n11")
+    tt = t0 + t1
+    pi_ = (F.col("_n01") + F.col("_n11")).cast("double") / tt.cast(
+        "double"
+    )
+    pi0 = F.col("_n01").cast("double") / t0.cast("double")
+    pi1 = F.col("_n11").cast("double") / t1.cast("double")
+    ll0 = xlnx(F.col("_n00") + F.col("_n10"), F.lit(1.0) - pi_) + xlnx(
+        F.col("_n01") + F.col("_n11"), pi_
+    )
+    ll1 = (
+        xlnx(F.col("_n00"), F.lit(1.0) - pi0)
+        + xlnx(F.col("_n01"), pi0)
+        + xlnx(F.col("_n10"), F.lit(1.0) - pi1)
+        + xlnx(F.col("_n11"), pi1)
+    )
+    lr_ind = F.lit(-2.0) * (ll0 - ll1)
+    ok_pof = F.col("n") >= 2
+    ok_ind = (t0 > 0) & (t1 > 0) & (tt >= 2)
+    return agg.select(
+        *by,
+        "n",
+        "n_exceptions",
+        rate.alias("rate"),
+        F.when(ok_pof, lr_pof).alias("lr_pof"),
+        F.when(ok_ind, lr_ind).alias("lr_ind"),
+        F.when(ok_pof & ok_ind, lr_pof + lr_ind).alias("lr_cc"),
+    )

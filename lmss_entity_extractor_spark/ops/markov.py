@@ -138,3 +138,71 @@ def stationary_distribution(
             .localCheckpoint()
         )
     return x
+
+
+def markov_entropy_rate(
+    df: DataFrame,
+    key: str,
+    state: str,
+    order_by: str | list[str],
+) -> DataFrame:
+    """One row ``(n_pairs, n_states, h_rate, h_norm)`` — the
+    empirical entropy rate of the first-order chain (L292): how
+    PREDICTABLE is the next state given the current one —
+    H(X_{t+1}|X_t) under the empirical joint, i.e. the per-step
+    information content of session flows / tool-call sequences (the
+    sequence-level companion to the per-symbol Shannon panel L257):
+
+        H = −Σ_{ij} (n_ij/N) · ln(n_ij / n_i·),
+        h_norm = H / ln(k)   (k = distinct source states; 0 = fully
+                              deterministic chain, 1 = uniform)
+
+    Pair counts come from the L153 transition mint (NULL states break
+    the chain; ties in ``order_by`` are the caller's contract); every
+    count is an exact integer and each term is a fixed tree folded
+    over the BOUNDED sorted (src, dst) cell list (the L140/L257
+    discipline) — no stationary-distribution iteration, no float
+    accumulation across rows.  k < 2 → NULL h_norm; no pairs → NULL
+    h_rate.
+
+    Scale shape: one keyed window pass + one combinable cell count +
+    one bounded fold — one scan of 100 TB.
+
+    No reference counterpart; sequence analytics per SURVEY §2.11.
+    """
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
+    pairs = df.select(
+        F.col(state).alias("src"),
+        F.lead(F.col(state)).over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull() & F.col("src").isNotNull())
+    cells = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    margins = cells.groupBy("src").agg(F.sum("c").alias("ni"))
+    joined = cells.join(margins, "src")
+    packed = joined.groupBy().agg(
+        F.sum("c").alias("n_pairs"),
+        F.countDistinct("src").alias("n_states"),
+        F.sort_array(
+            F.collect_list(F.struct("src", "dst", "c", "ni"))
+        ).alias("_lv"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    h = -F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda a, e: a
+        + (e["c"].cast("double") / nd)
+        * F.log(e["c"].cast("double") / e["ni"].cast("double")),
+    )
+    kd = F.col("n_states").cast("double")
+    return packed.select(
+        "n_pairs",
+        "n_states",
+        F.when(F.col("n_pairs") > 0, h).alias("h_rate"),
+        F.when(
+            (F.col("n_pairs") > 0) & (F.col("n_states") >= 2),
+            h / F.log(kd),
+        ).alias("h_norm"),
+    )
