@@ -7432,6 +7432,51 @@ def q_entropy_rate(spark, sf_dir):
     return markov_entropy_rate(e, "user_id", "event_type", ["ts", "event_id"])
 
 
+def q_meta_pool(spark, sf_dir):
+    """Meta-analysis pooling (L293): per-nation mean account balance
+    pooled per region — fixed + DerSimonian-Laird random effects on
+    order-pinned weight folds."""
+    from lmss_entity_extractor_spark.ops.effectsize import meta_pool
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", F.col("c_acctbal").cast("decimal(18,2)").alias("x")
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_regionkey").alias("region"),
+    )
+    stats = (
+        c.join(F.broadcast(n), "c_nationkey")
+        .groupBy("region", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("q"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sd_ = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    var = (nd * qd - sd_ * sd_) / (nd * (nd - F.lit(1.0)))
+    eff = stats.select(
+        "region",
+        (sd_ / nd).alias("effect"),
+        F.sqrt(var / nd).alias("se"),
+    )
+    return meta_pool(eff, ["region"], "effect", "se")
+
+
+def q_km_ci(spark, sf_dir):
+    """KM + Greenwood bands (L294): the L159 curve with plain-scale
+    confidence bands — prefix folds for both S and the Greenwood
+    sum, NULL bands after the risk set exhausts."""
+    from lmss_entity_extractor_spark.ops.survival import kaplan_meier_ci
+
+    return kaplan_meier_ci(
+        _survival_input(spark, sf_dir), ["cohort"], "dur", "event"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7511,6 +7556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arch_lm": q_arch_lm,
         "var_backtest": q_var_backtest,
         "entropy_rate": q_entropy_rate,
+        "meta_pool": q_meta_pool,
+        "km_ci": q_km_ci,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -18033,6 +18080,155 @@ def oracle_sql() -> dict[str, str]:
                        (a, v) -> a + v)
                    / ln(CAST(n_states AS DOUBLE)) END AS h_norm
         FROM packed
+    """
+    oracles["meta_pool"] = """
+        -- order-pinned weight folds; staged fixed/DL/random trees
+        WITH stats AS (
+            SELECT n.n_regionkey AS region, c.c_nationkey,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+                   sum(CAST(c_acctbal AS DECIMAL(18,2))
+                       * CAST(c_acctbal AS DECIMAL(18,2))) AS q
+            FROM customer c JOIN nation n
+              ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        eff AS (
+            SELECT region,
+                   CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) AS y,
+                   sqrt(((CAST(cnt AS DOUBLE) * CAST(q AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                         / (CAST(cnt AS DOUBLE)
+                            * (CAST(cnt AS DOUBLE) - 1.0)))
+                        / CAST(cnt AS DOUBLE)) AS se
+            FROM stats
+        ),
+        packed AS (
+            SELECT region, CAST(count(*) AS BIGINT) AS k,
+                   list_sort(list(struct_pack(y := y, se := se)))
+                       AS lv
+            FROM eff GROUP BY 1
+        ),
+        s1 AS (
+            SELECT region, k, lv,
+                   list_reduce(list_prepend(0.0,
+                       [1.0 / (e.se * e.se) FOR e IN lv]),
+                       (a, v) -> a + v) AS sw,
+                   list_reduce(list_prepend(0.0,
+                       [(1.0 / (e.se * e.se)) * e.y FOR e IN lv]),
+                       (a, v) -> a + v) AS swy,
+                   list_reduce(list_prepend(0.0,
+                       [(1.0 / (e.se * e.se))
+                        * (1.0 / (e.se * e.se)) FOR e IN lv]),
+                       (a, v) -> a + v) AS sww
+            FROM packed
+        ),
+        s2 AS (SELECT *, swy / sw AS yf FROM s1),
+        s3 AS (
+            SELECT *,
+                   list_reduce(list_prepend(0.0,
+                       [(1.0 / (e.se * e.se)) * (e.y - yf)
+                        * (e.y - yf) FOR e IN lv]),
+                       (a, v) -> a + v) AS qstat
+            FROM s2
+        ),
+        s4 AS (
+            SELECT *,
+                   CASE WHEN k >= 2 AND sw - sww / sw > 0.0
+                        THEN greatest(0.0,
+                            (qstat - (CAST(k AS DOUBLE) - 1.0))
+                            / (sw - sww / sw))
+                        ELSE 0.0 END AS tau2
+            FROM s3
+        ),
+        s5 AS (
+            SELECT *,
+                   list_reduce(list_prepend(0.0,
+                       [1.0 / (e.se * e.se + tau2) FOR e IN lv]),
+                       (a, v) -> a + v) AS swr,
+                   list_reduce(list_prepend(0.0,
+                       [(1.0 / (e.se * e.se + tau2)) * e.y
+                        FOR e IN lv]),
+                       (a, v) -> a + v) AS swry
+            FROM s4
+        )
+        SELECT region, k,
+               yf AS effect_fixed,
+               sqrt(1.0 / sw) AS se_fixed,
+               CASE WHEN k >= 2 THEN qstat END AS q,
+               CASE WHEN k >= 2 AND qstat > 0.0
+                    THEN greatest(0.0,
+                        (qstat - (CAST(k AS DOUBLE) - 1.0)) / qstat)
+               END AS i2,
+               CASE WHEN k >= 2 THEN tau2 END AS tau2,
+               swry / swr AS effect_random,
+               sqrt(1.0 / swr) AS se_random
+        FROM s5
+    """
+    oracles["km_ci"] = """
+        -- the L159 prefix folds + the Greenwood sum; NULL bands
+        -- after the risk set exhausts (NULL propagates in the fold)
+        WITH u AS (
+            SELECT user_id,
+                   (max(event_id) - min(event_id)) % 30 AS dur
+            FROM events GROUP BY 1
+        ),
+        d AS (
+            SELECT user_id % 2 AS cohort, dur,
+                   CASE WHEN user_id % 5 <> 0 THEN 1 ELSE 0 END AS ev
+            FROM u
+        ),
+        pts AS (
+            SELECT cohort, CAST(dur AS BIGINT) AS t,
+                   CAST(sum(ev) AS BIGINT) AS d,
+                   CAST(sum(1 - ev) AS BIGINT) AS c
+            FROM d WHERE dur IS NOT NULL GROUP BY 1, 2
+        ),
+        risk AS (
+            SELECT cohort, t, d, c,
+                   CAST(sum(d + c) OVER (PARTITION BY cohort)
+                        - coalesce(sum(d + c) OVER (
+                              PARTITION BY cohort ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n
+            FROM pts
+        ),
+        packed AS (
+            SELECT cohort,
+                   list_sort(list(struct_pack(
+                       t := t, d := d, c := c, n := n))) AS a
+            FROM risk GROUP BY 1
+        ),
+        rws AS (SELECT cohort, a, unnest(a) AS s FROM packed),
+        folded AS (
+            SELECT cohort, s.t AS t, s.n AS n_risk,
+                   s.d AS n_events,
+                   list_reduce(list_prepend(1.0,
+                       [CAST(x.n - x.d AS DOUBLE)
+                        / CAST(x.n AS DOUBLE)
+                        FOR x IN list_filter(a, x -> x.t <= s.t)]),
+                       (acc, v) -> acc * v) AS survival,
+                   list_reduce(list_prepend(0.0,
+                       [CASE WHEN x.n > x.d THEN
+                            CAST(x.d AS DOUBLE)
+                            / (CAST(x.n AS DOUBLE)
+                               * CAST(x.n - x.d AS DOUBLE)) END
+                        FOR x IN list_filter(a, x -> x.t <= s.t)]),
+                       (acc, v) -> acc + v) AS gw
+            FROM rws
+        )
+        SELECT cohort, t, n_risk, n_events, survival,
+               survival * sqrt(gw) AS se,
+               CASE WHEN gw IS NOT NULL THEN
+                   greatest(0.0,
+                       survival - 1.96 * (survival * sqrt(gw)))
+               END AS ci_lo,
+               CASE WHEN gw IS NOT NULL THEN
+                   least(1.0,
+                       survival + 1.96 * (survival * sqrt(gw)))
+               END AS ci_hi
+        FROM folded
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

@@ -564,3 +564,122 @@ def msprt_normal(
             "p_always_valid"
         ),
     )
+
+
+def meta_pool(
+    df: DataFrame,
+    by: list[str],
+    effect_col: str,
+    se_col: str,
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """``(by..., k, effect_fixed, se_fixed, q, i2, tau2,
+    effect_random, se_random)`` — inverse-variance meta-analysis
+    pooling (L293): combine per-segment effect estimates (per-market
+    A/B deltas, per-cohort lifts) into one pooled effect, quantify
+    heterogeneity, and re-pool under the DerSimonian-Laird
+    random-effects model when segments genuinely differ:
+
+        fixed:   ŷ_F = Σwᵢyᵢ/Σwᵢ,  se_F = √(1/Σw),  wᵢ = 1/seᵢ²
+        Q = Σwᵢ(yᵢ − ŷ_F)²,  I² = max(0, (Q − (k−1))/Q)
+        τ²_DL = max(0, (Q − (k−1)) / (Σw − Σw²/Σw))
+        random: w*ᵢ = 1/(seᵢ² + τ²), same pooling
+
+    Each Σ is an order-pinned LEFT FOLD over the BOUNDED sorted
+    segment list (weights are floats; a plain SUM would be
+    order-sensitive) — the staged selects pin one fixed tree
+    end-to-end.  Nonpositive SEs refused; k < 2 → NULL q/i2/tau2;
+    Q = 0 or a zero DL denominator → τ² = 0 (fixed = random).
+
+    Scale shape: one (keys) groupBy packing the bounded segment list
+    + in-array folds — the input is already aggregate-sized.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    flt = df.filter(
+        F.col(effect_col).isNotNull() & F.col(se_col).isNotNull()
+    )
+    bad = flt.filter(F.col(se_col) <= 0).count()
+    if bad:
+        raise ValueError(f"meta_pool: {bad} nonpositive SE(s)")
+    sizes = flt.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > max_groups).count()
+    if over:
+        raise ValueError(
+            f"meta_pool: a group exceeds max_groups={max_groups}"
+        )
+    packed = flt.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(effect_col).cast("double").alias("y"),
+                    F.col(se_col).cast("double").alias("se"),
+                )
+            )
+        ).alias("_lv"),
+    )
+
+    def _fold(term):
+        return F.aggregate(
+            F.col("_lv"), F.lit(0.0), lambda a, e: a + term(e)
+        )
+
+    w = lambda e: F.lit(1.0) / (e["se"] * e["se"])
+    s1 = packed.select(
+        *by,
+        "k",
+        "_lv",
+        _fold(w).alias("_sw"),
+        _fold(lambda e: w(e) * e["y"]).alias("_swy"),
+        _fold(lambda e: w(e) * w(e)).alias("_sww"),
+    )
+    yf = F.col("_swy") / F.col("_sw")
+    s2 = s1.select(*by, "k", "_lv", "_sw", "_sww", yf.alias("_yf"))
+    q = _fold(
+        lambda e: w(e)
+        * (e["y"] - F.col("_yf"))
+        * (e["y"] - F.col("_yf"))
+    )
+    s3 = s2.select(*by, "k", "_lv", "_sw", "_sww", "_yf", q.alias("_q"))
+    kd = F.col("k").cast("double")
+    dl_den = F.col("_sw") - F.col("_sww") / F.col("_sw")
+    tau2 = F.when(
+        (F.col("k") >= 2) & (dl_den > 0.0),
+        F.greatest(
+            F.lit(0.0),
+            (F.col("_q") - (kd - F.lit(1.0))) / dl_den,
+        ),
+    ).otherwise(F.lit(0.0))
+    s4 = s3.select(
+        *by, "k", "_lv", "_sw", "_yf", "_q", tau2.alias("_tau2")
+    )
+    ws = lambda e: F.lit(1.0) / (
+        e["se"] * e["se"] + F.col("_tau2")
+    )
+    s5 = s4.select(
+        *by,
+        "k",
+        "_sw",
+        "_yf",
+        "_q",
+        "_tau2",
+        _fold(ws).alias("_swr"),
+        _fold(lambda e: ws(e) * e["y"]).alias("_swry"),
+    )
+    i2 = F.greatest(
+        F.lit(0.0),
+        (F.col("_q") - (kd - F.lit(1.0))) / F.col("_q"),
+    )
+    ok_het = (F.col("k") >= 2) & (F.col("_q") > 0.0)
+    return s5.select(
+        *by,
+        "k",
+        F.col("_yf").alias("effect_fixed"),
+        F.sqrt(F.lit(1.0) / F.col("_sw")).alias("se_fixed"),
+        F.when(F.col("k") >= 2, F.col("_q")).alias("q"),
+        F.when(ok_het, i2).alias("i2"),
+        F.when(F.col("k") >= 2, F.col("_tau2")).alias("tau2"),
+        (F.col("_swry") / F.col("_swr")).alias("effect_random"),
+        F.sqrt(F.lit(1.0) / F.col("_swr")).alias("se_random"),
+    )

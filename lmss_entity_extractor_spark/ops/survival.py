@@ -514,3 +514,76 @@ def harrell_c(
         "n_tied_risk",
         F.when(F.col("n_comparable") > 0, c).alias("c"),
     )
+
+
+def kaplan_meier_ci(
+    df: DataFrame,
+    by: list[str],
+    duration_col: str,
+    event_col: str,
+    z: float = 1.96,
+    max_points: int = 1000,
+) -> DataFrame:
+    """``(by..., t, n_risk, n_events, survival, se, ci_lo, ci_hi)`` —
+    the L159 Kaplan-Meier curve with Greenwood confidence bands
+    (L294): the plain-scale interval S(t) ± z·se(t) with
+
+        se(t) = S(t) · sqrt( Σ_{s≤t} d_s / (n_s·(n_s − d_s)) )
+
+    (Greenwood 1926; the log-log transform variant is deliberately
+    NOT emitted — plain scale is what the retention dashboards the
+    L159 family feeds actually plot, clamped to [0, 1]).  Both the
+    survival product and the Greenwood sum are t-sorted prefix folds
+    over the bounded grid; when a grid point exhausts the risk set
+    (n = d, S hits 0), the Greenwood term is undefined and se/bands
+    go NULL from that point on — propagated by the fold itself, never
+    a division by zero.
+
+    Scale shape: inherits L159's exactly — one combinable groupBy to
+    the bounded grid, one window cumsum, per-row bounded folds.
+
+    No reference counterpart; retention analytics per SURVEY §2.11.
+    """
+    grid = _grid(df, by, duration_col, event_col, max_points)
+    arr = F.sort_array(
+        F.collect_list(F.struct("t", "d", "c", "n"))
+    ).alias("_a")
+    packed = grid.groupBy(*by).agg(arr)
+    s = F.explode("_a").alias("_s")
+    rows = packed.select(*by, "_a", s)
+    prefix = F.filter("_a", lambda x: x["t"] <= F.col("_s.t"))
+    surv = F.aggregate(
+        prefix,
+        F.lit(1.0),
+        lambda acc, x: acc
+        * ((x["n"] - x["d"]).cast("double") / x["n"].cast("double")),
+    )
+    gw = F.aggregate(
+        prefix,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.when(
+            x["n"] > x["d"],
+            x["d"].cast("double")
+            / (x["n"].cast("double") * (x["n"] - x["d"]).cast("double")),
+        ),
+    )
+    se = surv * F.sqrt(gw)
+    zl = F.lit(float(z))
+    # greatest/least IGNORE NULL args, which would resurrect a NULL
+    # band as the clamp constant — guard on the Greenwood sum instead
+    defined = gw.isNotNull()
+    return rows.select(
+        *by,
+        F.col("_s.t").alias("t"),
+        F.col("_s.n").alias("n_risk"),
+        F.col("_s.d").alias("n_events"),
+        surv.alias("survival"),
+        se.alias("se"),
+        F.when(defined, F.greatest(F.lit(0.0), surv - zl * se)).alias(
+            "ci_lo"
+        ),
+        F.when(defined, F.least(F.lit(1.0), surv + zl * se)).alias(
+            "ci_hi"
+        ),
+    )
