@@ -7477,6 +7477,29 @@ def q_km_ci(spark, sf_dir):
     )
 
 
+def q_seasonal_mk(spark, sf_dir):
+    """Seasonal Mann-Kendall (L295): weekday-phase trend in daily
+    revenue — per-phase pair lattices, exact combined S, fold-pinned
+    combined Var."""
+    from lmss_entity_extractor_spark.ops.trend import seasonal_mann_kendall
+
+    return seasonal_mann_kendall(
+        _daily_series(spark, sf_dir), ["bucket"], "t", "v", period=7
+    )
+
+
+def q_lorenz(spark, sf_dir):
+    """Lorenz curve points (L296): decile value shares of account
+    balances per segment — one window pass, exact decimal cumsums."""
+    from lmss_entity_extractor_spark.ops.concentration import lorenz_points
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.greatest(F.col("c_acctbal"), F.lit(0)).alias("v"),
+    )
+    return lorenz_points(c, ["seg"], "v", n_points=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7558,6 +7581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_rate": q_entropy_rate,
         "meta_pool": q_meta_pool,
         "km_ci": q_km_ci,
+        "seasonal_mk": q_seasonal_mk,
+        "lorenz": q_lorenz,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -18229,6 +18254,116 @@ def oracle_sql() -> dict[str, str]:
                        survival + 1.96 * (survival * sqrt(gw)))
                END AS ci_hi
         FROM folded
+    """
+    oracles["seasonal_mk"] = """
+        -- per-phase L161 pair lattices; exact combined S; fold-
+        -- pinned combined Var
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS dd,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT bucket,
+                   CAST(dd - DATE '1970-01-01' AS BIGINT) % 7
+                       AS phase,
+                   CAST(CAST(dd - DATE '1970-01-01' AS BIGINT)
+                        AS DOUBLE) AS t,
+                   x
+            FROM daily
+        ),
+        s_tbl AS (
+            SELECT a.bucket, a.phase,
+                   CAST(sum(CAST(sign(b.x - a.x) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM base a JOIN base b
+              ON a.bucket = b.bucket AND a.phase = b.phase
+             AND (a.t < b.t OR (a.t = b.t AND a.x < b.x))
+            GROUP BY 1, 2
+        ),
+        nn AS (
+            SELECT bucket, phase, CAST(count(*) AS BIGINT) AS n
+            FROM base GROUP BY 1, 2
+        ),
+        ties AS (
+            SELECT bucket, phase,
+                   CAST(sum(tc * (tc - 1) * (2 * tc + 5))
+                        AS BIGINT) AS tie_term
+            FROM (SELECT bucket, phase,
+                         CAST(count(*) AS BIGINT) AS tc
+                  FROM base GROUP BY bucket, phase, x)
+            GROUP BY 1, 2
+        ),
+        per_phase AS (
+            SELECT nn.bucket, nn.phase, nn.n,
+                   COALESCE(s_tbl.s, 0) AS s,
+                   CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                        - ties.tie_term AS DOUBLE) / 18.0 AS var_s
+            FROM nn
+            LEFT JOIN s_tbl ON nn.bucket = s_tbl.bucket
+                           AND nn.phase = s_tbl.phase
+            JOIN ties ON nn.bucket = ties.bucket
+                     AND nn.phase = ties.phase
+        ),
+        packed AS (
+            SELECT bucket, CAST(sum(n) AS BIGINT) AS n,
+                   CAST(sum(s) AS BIGINT) AS s,
+                   list_sort(list(struct_pack(ph := phase,
+                                              v := var_s))) AS lv
+            FROM per_phase GROUP BY 1
+        ),
+        folded AS (
+            SELECT bucket, n, s,
+                   list_reduce(list_prepend(0.0,
+                       [e.v FOR e IN lv]),
+                       (a, v) -> a + v) AS var_s
+            FROM packed
+        )
+        SELECT bucket, 7 AS period, n, s, var_s,
+               CASE WHEN var_s > 0.0 THEN
+                   CASE WHEN s > 0 THEN
+                            CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+                        WHEN s < 0 THEN
+                            CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+                        ELSE 0.0 END
+               END AS z
+        FROM folded
+    """
+    oracles["lorenz"] = """
+        -- one window pass; exact decimal cumsums; one division each
+        WITH base AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(greatest(c_acctbal, 0) AS DECIMAL(18,2)) AS x
+            FROM customer WHERE c_acctbal IS NOT NULL
+        ),
+        ranked AS (
+            SELECT seg, x,
+                   CAST(row_number() OVER w_o AS BIGINT) AS rn,
+                   sum(x) OVER w_c AS cum,
+                   CAST(count(*) OVER w_a AS BIGINT) AS n,
+                   sum(x) OVER w_a AS tot
+            FROM base
+            WINDOW w_o AS (PARTITION BY seg ORDER BY x),
+                   w_c AS (PARTITION BY seg ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW),
+                   w_a AS (PARTITION BY seg)
+        ),
+        pts AS (
+            SELECT ranked.*, p.point
+            FROM ranked CROSS JOIN
+                 (SELECT unnest(generate_series(1, 10)) AS point) p
+            WHERE rn = (point * n) // 10
+        )
+        SELECT seg, CAST(point AS INTEGER) AS point,
+               CAST(rn AS DOUBLE) / CAST(n AS DOUBLE) AS pop_share,
+               CASE WHEN tot > 0 THEN
+                   CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+               END AS cum_share
+        FROM pts
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

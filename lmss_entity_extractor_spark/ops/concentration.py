@@ -541,3 +541,81 @@ def inequality_indices(
         t_l.alias("theil_l"),
         (F.lit(1.0) - F.exp(lng) / mu).alias("atkinson"),
     )
+
+
+def lorenz_points(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    n_points: int = 10,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., point, pop_share, cum_share)`` — Lorenz curve
+    sampled at k evenly spaced population quantiles (L296): the
+    PLOTTABLE companion to the inequality scalars (Gini L150 = twice
+    the area above it, Hoover L265 = its max vertical gap, Theil
+    L267): point i covers the poorest ⌊i·n/k⌋ rows,
+    pop_share = ⌊i·n/k⌋/n, cum_share = their exact value share.
+
+    One keyed window pass (ascending value sort with a running
+    DECIMAL cumsum), then an equi-join against the k exact cut
+    positions — every share is one IEEE division of exact decimals.
+    Ties are safe: equal values contribute equally under any tie
+    order, and the cut is by ROW position of the sorted multiset
+    (documented: the curve of the multiset, not of distinct values).
+    Negative values REFUSED (Lorenz is undefined); zero total → NULL
+    shares.  Points whose cut position is 0 (n < k) are omitted.
+
+    Scale shape: one keyed window sort + one broadcast join on the
+    bounded point set — the L150 Gini shape with a k-row join bolted
+    on.
+
+    No reference counterpart; composition analytics per SURVEY §2.11.
+    """
+    if n_points < 1:
+        raise ValueError("lorenz_points: n_points must be >= 1")
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(F.col(value_col).isNotNull())
+    n_neg = flt.filter(F.col(value_col) < 0).count()
+    if n_neg:
+        raise ValueError(f"lorenz_points: {n_neg} negative value(s)")
+    base = flt.select(*by, F.col(value_col).cast(dec).alias("_x"))
+    w = Window.partitionBy(*by).orderBy("_x")
+    wp = w.rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = base.select(
+        *by,
+        F.row_number().over(w).alias("_rn"),
+        F.sum("_x").over(wp).alias("_cum"),
+        F.count(F.lit(1)).over(wa).alias("_n"),
+        F.sum("_x").over(wa).alias("_tot"),
+    )
+    pts = ranked.select(
+        *by,
+        "_rn",
+        "_cum",
+        "_n",
+        "_tot",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, n_points + 1)])
+        ).alias("point"),
+    ).filter(
+        F.col("_rn")
+        == F.floor(
+            F.col("point") * F.col("_n") / F.lit(n_points)
+        )
+    )
+    ok = F.col("_tot") > 0
+    return pts.select(
+        *by,
+        "point",
+        (F.col("_rn").cast("double") / F.col("_n").cast("double")).alias(
+            "pop_share"
+        ),
+        F.when(
+            ok,
+            F.col("_cum").cast("double") / F.col("_tot").cast("double"),
+        ).alias("cum_share"),
+    )

@@ -372,3 +372,73 @@ def turning_points(
             (F.col("t_points").cast("double") - e) / F.sqrt(var),
         ).alias("z"),
     )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    period: int,
+    max_len: int = _MAX_LEN_DEFAULT,
+) -> DataFrame:
+    """``(by..., period, n, s, var_s, z)`` — the seasonal (Hirsch-
+    Slack) Mann-Kendall test (L295): monotone trend in a SEASONAL
+    series without the seasonality faking (or masking) it — L161's
+    pair lattice runs WITHIN each phase (same weekday vs same
+    weekday), then the per-phase statistics combine:
+
+        S = Σ_phase S_p,   Var = Σ_phase Var_p,
+        Z = (S ∓ 1)/√Var   (continuity-corrected, 0 at S = 0)
+
+    Phase = order_col mod period (the caller's lattice contract: an
+    integer day/hour index, gap-free per the L163 discipline).  S is
+    an exact integer; the per-phase variances are fixed trees summed
+    by an order-pinned fold over the sorted phase list.  All-tied
+    phases (Var = 0) → NULL z.
+
+    Scale shape: inherits L161's bounded pair lattice per (key,
+    phase) — the phase split only SHRINKS each lattice.
+
+    No reference counterpart; trend analytics per SURVEY §2.11.
+    """
+    if period < 2:
+        raise ValueError("seasonal_mann_kendall: period must be >= 2")
+    tagged = df.withColumn(
+        "_phase", F.pmod(F.col(order_col).cast("long"), F.lit(period))
+    )
+    mk = mann_kendall(
+        tagged, [*by, "_phase"], order_col, value_col, max_len
+    )
+    packed = mk.groupBy(*by).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sort_array(
+            F.collect_list(F.struct("_phase", "var_s"))
+        ).alias("_lv"),
+    )
+    var_tot = F.aggregate(
+        F.col("_lv"), F.lit(0.0), lambda a, e: a + e["var_s"]
+    )
+    s1 = packed.select(*by, "n", "s", var_tot.alias("var_s"))
+    z = (
+        F.when(
+            F.col("s") > 0,
+            (F.col("s") - F.lit(1)).cast("double")
+            / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s") < 0,
+            (F.col("s") + F.lit(1)).cast("double")
+            / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return s1.select(
+        *by,
+        F.lit(period).alias("period"),
+        "n",
+        "s",
+        "var_s",
+        F.when(F.col("var_s") > 0.0, z).alias("z"),
+    )
