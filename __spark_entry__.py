@@ -7500,6 +7500,63 @@ def q_lorenz(spark, sf_dir):
     return lorenz_points(c, ["seg"], "v", n_points=10)
 
 
+def _hourly_series(spark, sf_dir):
+    """Exact hourly event revenue per user-parity bucket — the longer
+    series for the L297/L298 complexity family (~720 points)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            (F.col("user_id") % 2).alias("bucket"),
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("long")
+            .alias("t"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    )
+
+
+def q_rs(spark, sf_dir):
+    """R/S analysis (L297): mean rescaled range of hourly revenue at
+    block sizes 8..64 — per-block (cum, max, min) scans inside the
+    packed array."""
+    from lmss_entity_extractor_spark.ops.complexity import rs_analysis
+
+    return rs_analysis(
+        _hourly_series(spark, sf_dir), ["bucket"], "t", "v",
+        block_sizes=(8, 16, 32, 64),
+    )
+
+
+def q_hurst(spark, sf_dir):
+    """Hurst exponent (L297 composed on L135): slope of ln(R/S) on
+    ln(m) via the exact-decimal grouped OLS — the one-job-per-op
+    composition."""
+    from lmss_entity_extractor_spark.ops.regression import grouped_linreg
+
+    rs = q_rs(spark, sf_dir).filter(
+        F.col("rs_mean").isNotNull() & (F.col("rs_mean") > 0)
+    )
+    pts = rs.select(
+        "bucket",
+        F.log(F.col("m").cast("double")).alias("lx"),
+        F.log("rs_mean").alias("ly"),
+    )
+    return grouped_linreg(pts, ["bucket"], "lx", "ly", scale=6)
+
+
+def q_pentropy(spark, sf_dir):
+    """Permutation entropy (L298): ordinal-pattern complexity of the
+    hourly revenue series — exact pattern cells, one bounded fold."""
+    from lmss_entity_extractor_spark.ops.complexity import (
+        permutation_entropy,
+    )
+
+    return permutation_entropy(
+        _hourly_series(spark, sf_dir), ["bucket"], ["t"], "v"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7583,6 +7640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_ci": q_km_ci,
         "seasonal_mk": q_seasonal_mk,
         "lorenz": q_lorenz,
+        "rs_analysis": q_rs,
+        "hurst": q_hurst,
+        "pentropy": q_pentropy,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -18364,6 +18424,166 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
                END AS cum_share
         FROM pts
+    """
+
+    _HOURLY = """
+            SELECT user_id % 2 AS bucket,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+    """
+
+    def _rs_m_sql(m: int) -> str:
+        blk = (
+            f"list_transform(generate_series(b*{m} + 1, "
+            f"b*{m} + {m}), i -> xs[i])"
+        )
+        mean = (
+            f"(list_reduce(list_prepend(0.0, {blk}), "
+            f"(a, x) -> a + x) / {float(m)})"
+        )
+        var = (
+            f"(list_reduce(list_prepend(0.0, {blk}), "
+            f"(a, x) -> a + (x - {mean}) * (x - {mean})) "
+            f"/ {float(m)})"
+        )
+        scan = (
+            f"list_reduce(list_prepend("
+            f"[0.0, CAST('-infinity' AS DOUBLE), "
+            f"CAST('infinity' AS DOUBLE)], "
+            f"list_transform({blk}, x -> [x, 0.0, 0.0])), "
+            f"(a, e) -> [a[1] + (e[1] - {mean}), "
+            f"greatest(a[2], a[1] + (e[1] - {mean})), "
+            f"least(a[3], a[1] + (e[1] - {mean}))])"
+        )
+        rs_list = (
+            f"list_transform(generate_series(0, "
+            f"CAST(n // {m} AS INTEGER) - 1), "
+            f"b -> CASE WHEN {var} > 0.0 THEN "
+            f"({scan}[2] - {scan}[3]) / sqrt({var}) END)"
+        )
+        used = f"list_filter({rs_list}, v -> v IS NOT NULL)"
+        return f"""
+            SELECT bucket, {m} AS m,
+                   CAST(n // {m} AS INTEGER) AS n_blocks,
+                   CASE WHEN len({used}) > 0 THEN
+                       list_reduce(list_prepend(0.0, {used}),
+                                   (a, v) -> a + v)
+                       / CAST(len({used}) AS DOUBLE) END AS rs_mean
+            FROM pl WHERE n // {m} >= 1
+        """
+
+    _RS_BODY = "\n            UNION ALL\n".join(
+        _rs_m_sql(m) for m in (8, 16, 32, 64)
+    )
+    oracles["rs_analysis"] = f"""
+        -- per-block mean/var folds + (cum, max, min) 3-list scans,
+        -- generated per block size (the Spark op's exact trees)
+        WITH hourly AS ({_HOURLY}),
+        pl AS (
+            SELECT bucket, list(x ORDER BY t) AS xs,
+                   CAST(len(list(x ORDER BY t)) AS INTEGER) AS n
+            FROM hourly GROUP BY 1
+        )
+        {_RS_BODY}
+    """
+    oracles["hurst"] = f"""
+        -- the rs table nested verbatim; exact-decimal L135 OLS twin
+        WITH rs AS ({oracles["rs_analysis"]}),
+        pts AS (
+            SELECT bucket,
+                   CAST(ln(CAST(m AS DOUBLE)) AS DECIMAL(18,6)) AS lx,
+                   CAST(ln(rs_mean) AS DECIMAL(18,6)) AS ly
+            FROM rs WHERE rs_mean IS NOT NULL AND rs_mean > 0
+        ),
+        agg AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   sum(lx) AS sx, sum(ly) AS sy,
+                   sum(lx * lx) AS sxx, sum(lx * ly) AS sxy,
+                   sum(ly * ly) AS syy
+            FROM pts GROUP BY 1
+        ),
+        t AS (
+            SELECT bucket, n,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(sx AS DOUBLE) AS sxd,
+                   CAST(sy AS DOUBLE) AS syd,
+                   CAST(sxx AS DOUBLE) AS sxxd,
+                   CAST(sxy AS DOUBLE) AS sxyd,
+                   CAST(syy AS DOUBLE) AS syyd
+            FROM agg
+        ),
+        u AS (
+            SELECT bucket, n,
+                   nd * sxyd - sxd * syd AS cov_n,
+                   nd * sxxd - sxd * sxd AS varx_n,
+                   nd * syyd - syd * syd AS vary_n,
+                   nd, sxd, syd
+            FROM t
+        )
+        SELECT bucket, n,
+               CASE WHEN varx_n <> 0.0 THEN cov_n / varx_n
+                    END AS slope,
+               CASE WHEN varx_n <> 0.0 THEN
+                   (syd - (cov_n / varx_n) * sxd) / nd
+               END AS intercept,
+               CASE WHEN varx_n <> 0.0 AND vary_n <> 0.0 THEN
+                   (cov_n * cov_n) / (varx_n * vary_n)
+               END AS r2
+        FROM u
+    """
+    oracles["pentropy"] = f"""
+        -- exact ordinal-pattern cells; one bounded fold
+        WITH hourly AS ({_HOURLY}),
+        tri AS (
+            SELECT bucket, x AS x0,
+                   lead(x, 1) OVER w AS x1,
+                   lead(x, 2) OVER w AS x2
+            FROM hourly
+            WINDOW w AS (PARTITION BY bucket ORDER BY t)
+        ),
+        flt AS (
+            SELECT * FROM tri
+            WHERE x1 IS NOT NULL AND x2 IS NOT NULL
+        ),
+        cells AS (
+            SELECT bucket,
+                   (CASE WHEN x0 < x1 THEN 0
+                         WHEN x0 = x1 THEN 1 ELSE 2 END) * 9
+                   + (CASE WHEN x0 < x2 THEN 0
+                           WHEN x0 = x2 THEN 1 ELSE 2 END) * 3
+                   + (CASE WHEN x1 < x2 THEN 0
+                           WHEN x1 = x2 THEN 1 ELSE 2 END) AS p,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM flt GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT bucket, CAST(sum(c) AS BIGINT) AS n_windows,
+                   CAST(count(*) AS BIGINT) AS k_patterns,
+                   list_sort(list(struct_pack(p := p, c := c)))
+                       AS lv
+            FROM cells GROUP BY 1
+        )
+        SELECT bucket, n_windows, k_patterns,
+               CASE WHEN n_windows > 0 THEN
+                   -list_reduce(list_prepend(0.0,
+                       [(CAST(e.c AS DOUBLE)
+                         / CAST(n_windows AS DOUBLE))
+                        * ln(CAST(e.c AS DOUBLE)
+                             / CAST(n_windows AS DOUBLE))
+                        FOR e IN lv]),
+                       (a, v) -> a + v) END AS h,
+               CASE WHEN n_windows > 0 THEN
+                   -list_reduce(list_prepend(0.0,
+                       [(CAST(e.c AS DOUBLE)
+                         / CAST(n_windows AS DOUBLE))
+                        * ln(CAST(e.c AS DOUBLE)
+                             / CAST(n_windows AS DOUBLE))
+                        FOR e IN lv]),
+                       (a, v) -> a + v) / ln(6.0) END AS h_norm
+        FROM agg
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

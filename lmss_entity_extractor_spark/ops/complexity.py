@@ -1,0 +1,206 @@
+"""Series-complexity diagnostics (L297/L298): rescaled-range (R/S)
+analysis — the Hurst-exponent workhorse asking whether a series is
+mean-reverting (H < ½), a random walk (H = ½), or long-range
+persistent (H > ½) — and permutation entropy, the ordinal-pattern
+complexity score that is invariant to any monotone transform of the
+values.
+
+L297 — R/S (Hurst 1951, Mandelbrot-Wallis form): for each block size
+m in a fixed ladder, split the series into ⌊n/m⌋ consecutive blocks;
+per block compute the range of cumulative mean-deviations R and the
+population std S, average R/S over blocks.  H is then the slope of
+ln(R/S) on ln(m) — deliberately NOT computed here: the (m, rs_mean)
+table composes with the L135 grouped OLS (see the `hurst` contract
+query), keeping each op one job.
+
+Every per-block quantity is an order-pinned LEFT FOLD inside the
+packed bounded series (the L180 discipline): mean fold, std fold, and
+a (cum, max, min) struct-accumulator scan for R.  Blocks with S = 0
+are skipped (their R/S is undefined); a size with zero usable blocks
+emits NULL rs_mean.
+
+L298 — permutation entropy (Bandt & Pompe 2002), embedding dim 3:
+every consecutive triple maps to its ordinal pattern via the three
+pairwise comparisons (each in {<, =, >} — tie patterns are counted as
+their own symbols rather than silently merged, documented); pattern
+counts are exact integers and the Shannon entropy folds over the
+bounded sorted pattern cells (≤27), normalized by ln(3!) = ln 6 (the
+no-ties pattern count, the standard normalizer).
+
+Scale shape: one (keys) groupBy packing the bounded series (L297) /
+two lead windows + one bounded cell fold (L298) — one scan each.
+
+No reference counterpart; forecasting analytics per SURVEY §2.11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rs_analysis(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    block_sizes: tuple = (8, 16, 32, 64),
+    max_len: int = 100_000,
+) -> DataFrame:
+    """``(by..., m, n_blocks, rs_mean)`` — mean rescaled range per
+    block size; see module docstring."""
+    if any(int(m) < 4 for m in block_sizes) or not block_sizes:
+        raise ValueError("rs_analysis: block sizes must all be >= 4")
+    from .trend import _packed
+
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"rs_analysis: {n_null} NULL value(s) — impute first"
+        )
+    dups = (
+        df.groupBy(*by, order_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dups:
+        raise ValueError(f"rs_analysis: {dups} duplicate order key(s)")
+    packed = _packed(df, by, order_col, value_col, max_len)
+    xs = F.transform(F.col("_a"), lambda s: s["_x"])
+    staged = packed.select(*by, xs.alias("_xs"))
+    n = F.size(F.col("_xs"))
+
+    def _rs_for(m: int):
+        mi = F.lit(int(m))
+        nb = F.floor(n / mi).cast("int")
+        md = F.lit(float(m))
+
+        def _block_rs(b):
+            block = F.slice(F.col("_xs"), b * mi + 1, mi)
+            mean = (
+                F.aggregate(block, F.lit(0.0), lambda a, x: a + x)
+                / md
+            )
+            var = (
+                F.aggregate(
+                    block,
+                    F.lit(0.0),
+                    lambda a, x: a + (x - mean) * (x - mean),
+                )
+                / md
+            )
+            scan = F.aggregate(
+                block,
+                F.struct(
+                    F.lit(0.0).alias("cum"),
+                    F.lit(float("-inf")).alias("mx"),
+                    F.lit(float("inf")).alias("mn"),
+                ),
+                lambda acc, x: F.struct(
+                    (acc["cum"] + (x - mean)).alias("cum"),
+                    F.greatest(
+                        acc["mx"], acc["cum"] + (x - mean)
+                    ).alias("mx"),
+                    F.least(acc["mn"], acc["cum"] + (x - mean)).alias(
+                        "mn"
+                    ),
+                ),
+            )
+            return F.when(
+                var > 0.0,
+                (scan["mx"] - scan["mn"]) / F.sqrt(var),
+            )
+
+        rss = F.transform(
+            F.sequence(F.lit(0), nb - 1), lambda b: _block_rs(b)
+        )
+        used = F.filter(rss, lambda v: v.isNotNull())
+        k = F.size(used)
+        mean_rs = F.when(
+            k > 0,
+            F.aggregate(used, F.lit(0.0), lambda a, v: a + v)
+            / k.cast("double"),
+        )
+        return F.struct(
+            mi.alias("m"), nb.alias("n_blocks"), mean_rs.alias("rs_mean")
+        )
+
+    rows = staged.select(
+        *by,
+        F.explode(
+            F.array(*[_rs_for(int(m)) for m in block_sizes])
+        ).alias("_r"),
+    ).filter(F.col("_r")["n_blocks"] >= 1)
+    return rows.select(
+        *by,
+        F.col("_r")["m"].alias("m"),
+        F.col("_r")["n_blocks"].alias("n_blocks"),
+        F.col("_r")["rs_mean"].alias("rs_mean"),
+    )
+
+
+def permutation_entropy(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """``(by..., n_windows, k_patterns, h, h_norm)`` — dim-3 ordinal
+    pattern entropy; see module docstring."""
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"permutation_entropy: {n_null} NULL value(s)"
+        )
+    wt = Window.partitionBy(*by).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    x0 = F.col("_x0")
+    x1 = F.col("_x1")
+    x2 = F.col("_x2")
+    tri = df.select(
+        *by,
+        F.col(value_col).alias("_x0"),
+        F.lead(value_col, 1).over(wt).alias("_x1"),
+        F.lead(value_col, 2).over(wt).alias("_x2"),
+    ).filter(x1.isNotNull() & x2.isNotNull())
+
+    def cmp(a, b):
+        return (
+            F.when(a < b, F.lit(0))
+            .when(a == b, F.lit(1))
+            .otherwise(F.lit(2))
+        )
+
+    pat = (
+        cmp(x0, x1) * F.lit(9) + cmp(x0, x2) * F.lit(3) + cmp(x1, x2)
+    )
+    cells = tri.groupBy(*by, pat.alias("_p")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    agg = cells.groupBy(*by).agg(
+        F.sum("_c").alias("n_windows"),
+        F.count(F.lit(1)).alias("k_patterns"),
+        F.sort_array(F.collect_list(F.struct("_p", "_c"))).alias(
+            "_lv"
+        ),
+    )
+    nd = F.col("n_windows").cast("double")
+    h = -F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda a, e: a
+        + (e["_c"].cast("double") / nd)
+        * F.log(e["_c"].cast("double") / nd),
+    )
+    return agg.select(
+        *by,
+        "n_windows",
+        "k_patterns",
+        F.when(F.col("n_windows") > 0, h).alias("h"),
+        F.when(
+            F.col("n_windows") > 0,
+            h / F.log(F.lit(6.0)),
+        ).alias("h_norm"),
+    )
