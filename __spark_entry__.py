@@ -7557,6 +7557,38 @@ def q_pentropy(spark, sf_dir):
     )
 
 
+def q_cusum_squares(spark, sf_dir):
+    """CUSUM-of-squares (L299): where did daily revenue volatility
+    shift per bucket — exact micro-unit square prefix sums, one
+    deterministic argmax pick."""
+    from lmss_entity_extractor_spark.ops.changepoint import cusum_squares
+
+    return cusum_squares(
+        _daily_series(spark, sf_dir), ["bucket"], ["t"], "v"
+    )
+
+
+def q_energy(spark, sf_dir):
+    """Energy distance (L300): click vs view value distributions per
+    bucket (bounded user slice) — exact |difference| pair lattices
+    folded in-array."""
+    from lmss_entity_extractor_spark.ops.rankeval import energy_distance
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("user_id") < 30) & F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 2).alias("bucket"),
+            "event_type",
+            "value",
+        )
+    )
+    return energy_distance(
+        e, ["bucket"], "event_type", "click", "view", "value",
+        max_len=20000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7643,6 +7675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rs_analysis": q_rs,
         "hurst": q_hurst,
         "pentropy": q_pentropy,
+        "cusum_squares": q_cusum_squares,
+        "energy": q_energy,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -18584,6 +18618,110 @@ def oracle_sql() -> dict[str, str]:
                         FOR e IN lv]),
                        (a, v) -> a + v) / ln(6.0) END AS h_norm
         FROM agg
+    """
+    oracles["cusum_squares"] = """
+        -- exact micro-unit square prefix sums; deterministic argmax
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS HUGEINT) AS xq
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        staged AS (
+            SELECT bucket,
+                   CAST(row_number() OVER w_o AS BIGINT) AS k,
+                   sum(xq * xq) OVER w_p AS ck,
+                   sum(xq * xq) OVER w_a AS cn,
+                   CAST(count(*) OVER w_a AS BIGINT) AS n
+            FROM daily
+            WINDOW w_o AS (PARTITION BY bucket ORDER BY d),
+                   w_p AS (PARTITION BY bucket ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW),
+                   w_a AS (PARTITION BY bucket)
+        ),
+        scored AS (
+            SELECT bucket, k, n,
+                   abs(CAST(ck AS DOUBLE) / CAST(cn AS DOUBLE)
+                       - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS ad
+            FROM staged WHERE cn > 0
+        ),
+        top AS (
+            SELECT *, row_number() OVER
+                       (PARTITION BY bucket
+                        ORDER BY ad DESC, k ASC) AS rn
+            FROM scored
+        )
+        SELECT bucket, n, k AS k_star, ad AS d_max,
+               sqrt(CAST(n AS DOUBLE) / 2.0) * ad AS stat
+        FROM top WHERE rn = 1
+    """
+    oracles["energy"] = """
+        -- exact decimal |difference| pair lattices; nested folds
+        WITH flt AS (
+            SELECT user_id % 2 AS bucket, event_type AS g,
+                   CAST(value AS DECIMAL(18,4)) AS x
+            FROM events
+            WHERE user_id < 30 AND value IS NOT NULL
+              AND event_type IN ('click', 'view')
+        ),
+        packed AS (
+            SELECT bucket,
+                   list(x ORDER BY x)
+                       FILTER (WHERE g = 'click') AS xa,
+                   list(x ORDER BY x)
+                       FILTER (WHERE g = 'view') AS xb
+            FROM flt GROUP BY 1
+        ),
+        folds AS (
+            SELECT bucket,
+                   CAST(len(xa) AS INTEGER) AS na,
+                   CAST(len(xb) AS INTEGER) AS nb,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(xa, x ->
+                           list_reduce(list_prepend(0.0,
+                               list_transform(xb, y ->
+                                   CAST(abs(x - y) AS DOUBLE))),
+                               (a, v) -> a + v))),
+                       (a, v) -> a + v) AS sxy,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(xa, x ->
+                           list_reduce(list_prepend(0.0,
+                               list_transform(xa, y ->
+                                   CAST(abs(x - y) AS DOUBLE))),
+                               (a, v) -> a + v))),
+                       (a, v) -> a + v) AS sxx,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(xb, x ->
+                           list_reduce(list_prepend(0.0,
+                               list_transform(xb, y ->
+                                   CAST(abs(x - y) AS DOUBLE))),
+                               (a, v) -> a + v))),
+                       (a, v) -> a + v) AS syy
+            FROM packed
+        ),
+        t AS (
+            SELECT bucket, na, nb,
+                   CAST(na AS DOUBLE) AS nad,
+                   CAST(nb AS DOUBLE) AS nbd,
+                   sxy, sxx, syy
+            FROM folds
+        )
+        SELECT bucket, na AS n_a, nb AS n_b,
+               CASE WHEN na > 0 AND nb > 0 THEN
+                   2.0 * sxy / (nad * nbd)
+                   - sxx / (nad * nad)
+                   - syy / (nbd * nbd) END AS e_dist,
+               CASE WHEN na > 0 AND nb > 0 THEN
+                   nad * nbd / (nad + nbd)
+                   * (2.0 * sxy / (nad * nbd)
+                      - sxx / (nad * nad)
+                      - syy / (nbd * nbd)) END AS t_stat
+        FROM t
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

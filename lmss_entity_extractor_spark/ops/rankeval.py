@@ -1762,3 +1762,96 @@ def bartels_rank_test(
         F.when(ok, rvn).alias("rvn"),
         F.when(ok, (rvn - F.lit(2.0)) / F.sqrt(var)).alias("z"),
     )
+
+
+def energy_distance(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    sample_a: str,
+    sample_b: str,
+    value_col: str,
+    max_len: int = 1000,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., n_a, n_b, e_dist, t_stat)`` — the (Székely-Rizzo)
+    energy distance two-sample test (L300): sensitive to ANY
+    distributional difference — location, scale, OR shape — where the
+    two-sample family's members each watch one aspect (KS L147 = max
+    gap, CvM L264 = integral gap, AD L244 = tails, BM L268 =
+    location, AB L269 = scale):
+
+        E = 2·E|X−Y| − E|X−X′| − E|Y−Y′|   (≥ 0, = 0 iff same dist)
+        T = (n_a·n_b/(n_a+n_b))·E           (the permutation statistic)
+
+    Each expectation is a pair-lattice mean over the BOUNDED sorted
+    per-group samples (the L161 max_len contract): values are exact
+    DECIMAL(18,scale), every |difference| is exact, and the in-array
+    fold order is pinned by the sorted arrays.  Within-sample means
+    use the n² denominator (diagonal zeros included — the V-statistic
+    form).  An empty side → NULL.
+
+    Scale shape: one keyed collect (bounded) → nested in-array folds
+    — one scan, one shuffle on the group keys.
+
+    No reference counterpart; drift analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([sample_a, sample_b])
+    )
+    sizes = flt.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > 2 * max_len).count()
+    if over:
+        raise ValueError(
+            f"energy_distance: a group exceeds 2*max_len={2*max_len}"
+            " — the statistic is pairwise; sample first"
+        )
+    xd = F.col(value_col).cast(dec)
+    packed = flt.groupBy(*by).agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col(group_col) == sample_a, xd)
+            )
+        ).alias("_xa"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col(group_col) == sample_b, xd)
+            )
+        ).alias("_xb"),
+    )
+    na = F.size("_xa")
+    nb = F.size("_xb")
+
+    def _cross(arr1, arr2):
+        return F.aggregate(
+            F.col(arr1),
+            F.lit(0.0),
+            lambda a, x: a
+            + F.aggregate(
+                F.col(arr2),
+                F.lit(0.0),
+                lambda a2, y: a2 + F.abs(x - y).cast("double"),
+            ),
+        )
+
+    sxy = _cross("_xa", "_xb")
+    sxx = _cross("_xa", "_xa")
+    syy = _cross("_xb", "_xb")
+    nad = na.cast("double")
+    nbd = nb.cast("double")
+    e = (
+        F.lit(2.0) * sxy / (nad * nbd)
+        - sxx / (nad * nad)
+        - syy / (nbd * nbd)
+    )
+    t = nad * nbd / (nad + nbd) * e
+    ok = (na > 0) & (nb > 0)
+    return packed.select(
+        *by,
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.when(ok, e).alias("e_dist"),
+        F.when(ok, t).alias("t_stat"),
+    )
