@@ -7589,6 +7589,66 @@ def q_energy(spark, sf_dir):
     )
 
 
+def q_dcor(spark, sf_dir):
+    """Distance correlation (L301): any-form dependence between
+    daily click and view revenue per bucket — double-centred distance
+    folds inside the packed array."""
+    from lmss_entity_extractor_spark.ops.correlation import (
+        distance_correlation,
+    )
+
+    dec = "decimal(18,2)"
+    d2 = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(["click", "view"])
+        )
+        .groupBy(
+            (F.col("user_id") % 2).alias("bucket"),
+            F.unix_date(F.to_date("ts")).alias("t"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "click",
+                        F.col("value").cast(dec),
+                    )
+                ),
+                F.lit(0).cast(dec),
+            ).alias("y"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "view",
+                        F.col("value").cast(dec),
+                    )
+                ),
+                F.lit(0).cast(dec),
+            ).alias("x"),
+        )
+    )
+    return distance_correlation(d2, ["bucket"], "y", "x")
+
+
+def q_cucconi(spark, sf_dir):
+    """Cucconi test (L302): joint location-scale click vs view shift
+    per bucket — exact doubled-rank square sums, one C tree."""
+    from lmss_entity_extractor_spark.ops.rankeval import cucconi_test
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 2).alias("bucket"),
+            "event_type",
+            F.floor("value").alias("x"),
+        )
+    )
+    return cucconi_test(e, ["bucket"], "event_type", "click", "view", "x")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7677,6 +7737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pentropy": q_pentropy,
         "cusum_squares": q_cusum_squares,
         "energy": q_energy,
+        "dcor": q_dcor,
+        "cucconi": q_cucconi,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -18722,6 +18784,185 @@ def oracle_sql() -> dict[str, str]:
                       - sxx / (nad * nad)
                       - syy / (nbd * nbd)) END AS t_stat
         FROM t
+    """
+    oracles["dcor"] = """
+        -- double-centred distance folds; row/grand means in-array
+        WITH d2 AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(value AS DECIMAL(18,2)) END),
+                       CAST(0 AS DECIMAL(18,2))) AS y,
+                   COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(value AS DECIMAL(18,2)) END),
+                       CAST(0 AS DECIMAL(18,2))) AS x
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('click', 'view')
+            GROUP BY 1, 2
+        ),
+        packed AS (
+            SELECT bucket,
+                   list_sort(list(struct_pack(
+                       x := CAST(y AS DECIMAL(18,4)),
+                       y := CAST(x AS DECIMAL(18,4))))) AS a
+            FROM d2 GROUP BY 1
+        ),
+        s0 AS (
+            SELECT bucket,
+                   list_transform(a, s -> s.x) AS xs,
+                   list_transform(a, s -> s.y) AS ys,
+                   CAST(len(a) AS INTEGER) AS n,
+                   CAST(len(a) AS DOUBLE) AS nd
+            FROM packed
+        ),
+        s1 AS (
+            SELECT *,
+                   list_transform(generate_series(1, n), i ->
+                       list_reduce(list_prepend(0.0,
+                           list_transform(xs, v ->
+                               CAST(abs(xs[i] - v) AS DOUBLE))),
+                           (a, v) -> a + v) / nd) AS ra,
+                   list_transform(generate_series(1, n), i ->
+                       list_reduce(list_prepend(0.0,
+                           list_transform(ys, v ->
+                               CAST(abs(ys[i] - v) AS DOUBLE))),
+                           (a, v) -> a + v) / nd) AS rb
+            FROM s0
+        ),
+        s2 AS (
+            SELECT *,
+                   list_reduce(list_prepend(0.0, ra),
+                               (a, v) -> a + v) / nd AS ga,
+                   list_reduce(list_prepend(0.0, rb),
+                               (a, v) -> a + v) / nd AS gb
+            FROM s1
+        ),
+        s3 AS (
+            SELECT bucket, n,
+                   greatest(0.0, list_reduce(list_prepend(0.0,
+                       list_transform(generate_series(1, n), i ->
+                           list_reduce(list_prepend(0.0,
+                               list_transform(generate_series(1, n),
+                                   j -> (CAST(abs(xs[i] - xs[j])
+                                             AS DOUBLE)
+                                         - ra[i] - ra[j] + ga)
+                                        * (CAST(abs(ys[i] - ys[j])
+                                               AS DOUBLE)
+                                           - rb[i] - rb[j] + gb))),
+                               (a, v) -> a + v))),
+                       (a, v) -> a + v) / (nd * nd)) AS dcov2,
+                   greatest(0.0, list_reduce(list_prepend(0.0,
+                       list_transform(generate_series(1, n), i ->
+                           list_reduce(list_prepend(0.0,
+                               list_transform(generate_series(1, n),
+                                   j -> (CAST(abs(xs[i] - xs[j])
+                                             AS DOUBLE)
+                                         - ra[i] - ra[j] + ga)
+                                        * (CAST(abs(xs[i] - xs[j])
+                                               AS DOUBLE)
+                                           - ra[i] - ra[j] + ga))),
+                               (a, v) -> a + v))),
+                       (a, v) -> a + v) / (nd * nd)) AS dvar_x,
+                   greatest(0.0, list_reduce(list_prepend(0.0,
+                       list_transform(generate_series(1, n), i ->
+                           list_reduce(list_prepend(0.0,
+                               list_transform(generate_series(1, n),
+                                   j -> (CAST(abs(ys[i] - ys[j])
+                                             AS DOUBLE)
+                                         - rb[i] - rb[j] + gb)
+                                        * (CAST(abs(ys[i] - ys[j])
+                                               AS DOUBLE)
+                                           - rb[i] - rb[j] + gb))),
+                               (a, v) -> a + v))),
+                       (a, v) -> a + v) / (nd * nd)) AS dvar_y
+            FROM s2
+        )
+        SELECT bucket, n, dcov2, dvar_x, dvar_y,
+               CASE WHEN dvar_x > 0.0 AND dvar_y > 0.0 THEN
+                   sqrt(dcov2 / sqrt(dvar_x * dvar_y))
+               END AS dcor
+        FROM s3
+    """
+    oracles["cucconi"] = """
+        -- exact doubled-rank square sums (HUGEINT); one C tree
+        WITH pts AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(floor(value) AS BIGINT) AS v,
+                   event_type AS g, CAST(count(*) AS BIGINT) AS c
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('click', 'view')
+            GROUP BY 1, 2, 3
+        ),
+        vals AS (
+            SELECT bucket, v,
+                   CAST(sum(CASE WHEN g = 'click' THEN c ELSE 0 END)
+                        AS BIGINT) AS la,
+                   CAST(sum(CASE WHEN g = 'view' THEN c ELSE 0 END)
+                        AS BIGINT) AS lb
+            FROM pts GROUP BY 1, 2
+        ),
+        s1 AS (
+            SELECT bucket, la, la + lb AS l,
+                   CAST(sum(la + lb) OVER w_p AS BIGINT) AS cp,
+                   CAST(sum(la) OVER w_a AS BIGINT) AS na,
+                   CAST(sum(lb) OVER w_a AS BIGINT) AS nb
+            FROM vals
+            WINDOW w_p AS (PARTITION BY bucket ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW),
+                   w_a AS (PARTITION BY bucket)
+        ),
+        s2 AS (
+            SELECT bucket, la, na, nb,
+                   CAST(2*cp - l + 1 AS HUGEINT) AS dr,
+                   CAST(2 AS HUGEINT)
+                       * (CAST(na + nb AS HUGEINT) + 1)
+                       - CAST(2*cp - l + 1 AS HUGEINT) AS cdr
+            FROM s1
+        ),
+        agg AS (
+            SELECT bucket, na, nb,
+                   sum(CAST(la AS HUGEINT) * dr * dr) AS sr4,
+                   sum(CAST(la AS HUGEINT) * cdr * cdr) AS sc4
+            FROM s2 GROUP BY 1, 2, 3
+        ),
+        t AS (
+            SELECT bucket, na, nb,
+                   CAST(na AS DOUBLE) AS nad,
+                   CAST(nb AS DOUBLE) AS nbd,
+                   CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS nd,
+                   CAST(sr4 AS DOUBLE) / 4.0 AS sr2,
+                   CAST(sc4 AS DOUBLE) / 4.0 AS sc2
+            FROM agg
+        ),
+        u AS (
+            SELECT *,
+                   sqrt(nad * nbd * (nd + 1.0) * (2.0 * nd + 1.0)
+                        * (8.0 * nd + 11.0) / 5.0) AS den,
+                   2.0 * (nd * nd - 4.0)
+                       / ((2.0 * nd + 1.0) * (8.0 * nd + 11.0))
+                       - 1.0 AS rho
+            FROM t
+        ),
+        w AS (
+            SELECT *,
+                   (6.0 * sr2 - nad * (nd + 1.0)
+                        * (2.0 * nd + 1.0)) / den AS uu,
+                   (6.0 * sc2 - nad * (nd + 1.0)
+                        * (2.0 * nd + 1.0)) / den AS vv
+            FROM u
+        )
+        SELECT bucket, na AS n_a, nb AS n_b,
+               CASE WHEN na >= 1 AND nb >= 1 AND na + nb >= 3
+                    THEN uu END AS u,
+               CASE WHEN na >= 1 AND nb >= 1 AND na + nb >= 3
+                    THEN vv END AS v,
+               CASE WHEN na >= 1 AND nb >= 1 AND na + nb >= 3
+                    THEN (uu * uu + vv * vv - 2.0 * rho * uu * vv)
+                         / (2.0 * (1.0 - rho * rho)) END AS c
+        FROM w
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

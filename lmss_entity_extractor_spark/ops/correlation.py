@@ -422,3 +422,140 @@ def partial_correlation(
             "r_xy_given_z"
         ),
     )
+
+
+def distance_correlation(
+    df: DataFrame,
+    by: list[str],
+    x_col: str,
+    y_col: str,
+    max_len: int = 500,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., n, dcov2, dvar_x, dvar_y, dcor)`` — distance
+    correlation (L301, Székely-Rizzo-Bakirov 2007): dependence of ANY
+    form — dCor = 0 iff X and Y are INDEPENDENT, where Pearson (L141)
+    sees only linear and Spearman (L142) only monotone association;
+    the pairwise companion to mutual information (L152) that needs no
+    binning:
+
+        A = double-centred |xᵢ−xⱼ| matrix, B likewise for y
+        V²(X,Y) = mean(A∘B),  R = sqrt(V²(X,Y)/sqrt(V²(X)·V²(Y)))
+
+    The n×n distance matrices never materialize as tables: row means,
+    grand means, and the three centred products are order-pinned
+    nested folds INSIDE the packed per-group arrays (the L161
+    ``max_len`` contract — the statistic is O(n²) by definition;
+    sample first).  |differences| are exact decimals; tiny negative
+    V² from float cancellation clamps to 0 (documented).  Zero
+    distance variance on either margin → NULL dcor.
+
+    Scale shape: one keyed collect (bounded) → in-array folds — one
+    scan, one shuffle on the group keys.
+
+    No reference counterpart; dependence analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+    sizes = flt.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > max_len).count()
+    if over:
+        raise ValueError(
+            f"distance_correlation: a group exceeds max_len={max_len}"
+        )
+    packed = flt.groupBy(*by).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(x_col).cast(dec).alias("x"),
+                    F.col(y_col).cast(dec).alias("y"),
+                )
+            )
+        ).alias("_a")
+    )
+    xs = F.transform(F.col("_a"), lambda s: s["x"])
+    ys = F.transform(F.col("_a"), lambda s: s["y"])
+    n = F.size(F.col("_a"))
+    nd = n.cast("double")
+    s0 = packed.select(
+        *by, xs.alias("_xs"), ys.alias("_ys"), n.alias("n")
+    )
+    nloc = F.col("n")
+    ndl = nloc.cast("double")
+
+    def _row_means(arr):
+        return F.transform(
+            F.sequence(F.lit(1), nloc),
+            lambda i: F.aggregate(
+                F.col(arr),
+                F.lit(0.0),
+                lambda a, v: a
+                + F.abs(F.element_at(F.col(arr), i) - v).cast(
+                    "double"
+                ),
+            )
+            / ndl,
+        )
+    s1 = s0.select(
+        *by,
+        "n",
+        "_xs",
+        "_ys",
+        _row_means("_xs").alias("_ra"),
+        _row_means("_ys").alias("_rb"),
+    )
+    ga = (
+        F.aggregate(F.col("_ra"), F.lit(0.0), lambda a, v: a + v)
+        / ndl
+    )
+    gb = (
+        F.aggregate(F.col("_rb"), F.lit(0.0), lambda a, v: a + v)
+        / ndl
+    )
+    s2 = s1.select(
+        *by, "n", "_xs", "_ys", "_ra", "_rb",
+        ga.alias("_ga"), gb.alias("_gb"),
+    )
+
+    def _cent(arr, rm, gm, i, j):
+        return (
+            F.abs(
+                F.element_at(F.col(arr), i) - F.element_at(F.col(arr), j)
+            ).cast("double")
+            - F.element_at(F.col(rm), i)
+            - F.element_at(F.col(rm), j)
+            + F.col(gm)
+        )
+
+    def _vsum(f1, f2):
+        return F.aggregate(
+            F.sequence(F.lit(1), nloc),
+            F.lit(0.0),
+            lambda a, i: a
+            + F.aggregate(
+                F.sequence(F.lit(1), nloc),
+                F.lit(0.0),
+                lambda a2, j: a2 + f1(i, j) * f2(i, j),
+            ),
+        ) / (ndl * ndl)
+
+    ca = lambda i, j: _cent("_xs", "_ra", "_ga", i, j)
+    cb = lambda i, j: _cent("_ys", "_rb", "_gb", i, j)
+    dcov2 = F.greatest(F.lit(0.0), _vsum(ca, cb))
+    dvx = F.greatest(F.lit(0.0), _vsum(ca, ca))
+    dvy = F.greatest(F.lit(0.0), _vsum(cb, cb))
+    s3 = s2.select(
+        *by, "n",
+        dcov2.alias("dcov2"), dvx.alias("dvar_x"), dvy.alias("dvar_y"),
+    )
+    ok = (F.col("dvar_x") > 0.0) & (F.col("dvar_y") > 0.0)
+    dcor = F.sqrt(
+        F.col("dcov2")
+        / F.sqrt(F.col("dvar_x") * F.col("dvar_y"))
+    )
+    return s3.select(
+        *by, "n", "dcov2", "dvar_x", "dvar_y",
+        F.when(ok, dcor).alias("dcor"),
+    )

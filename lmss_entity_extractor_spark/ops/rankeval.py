@@ -1855,3 +1855,112 @@ def energy_distance(
         F.when(ok, e).alias("e_dist"),
         F.when(ok, t).alias("t_stat"),
     )
+
+
+def cucconi_test(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    sample_a: str,
+    sample_b: str,
+    value_col: str,
+) -> DataFrame:
+    """``(by..., n_a, n_b, u, v, c)`` — the Cucconi test (L302,
+    Cucconi 1968): the JOINT location-scale two-sample test — one
+    statistic where the family needs two (BM L268 for location, AB
+    L269 for scale), and older than the better-known Lepage it
+    usually beats:
+
+        U = (6·ΣR²  − n_a(N+1)(2N+1)) / √(n_a·n_b(N+1)(2N+1)(8N+11)/5)
+        V = same with contrary ranks (N+1−R)
+        ρ = 2(N²−4)/((2N+1)(8N+11)) − 1
+        C = (U² + V² − 2ρUV) / (2(1−ρ²))
+
+    (reject large C; under H₀, C ≈ its exponential-tail null).
+    Midranks handle ties exactly: with DOUBLED ranks, 4·ΣR² = Σl·dr²
+    is an exact integer (the L268 grid-window discipline — plain
+    combinable sums, no folds); ΣR for the contrary side follows from
+    Σdr = N(N+1).  Degenerate sides (n < 1 either side, N < 3) →
+    NULL.
+
+    Scale shape: one (keys, value) groupBy + one window pass over the
+    bounded grid + one combinable agg — the L268 shape exactly.
+
+    No reference counterpart; drift analytics per SURVEY §2.11.
+    """
+    d0 = "decimal(38,0)"
+    flt = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([sample_a, sample_b])
+    )
+    pts = flt.groupBy(
+        *by, F.col(value_col).alias("_v"), F.col(group_col).alias("_g")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    vals = pts.groupBy(*by, "_v").agg(
+        F.sum(
+            F.when(F.col("_g") == sample_a, F.col("_c")).otherwise(0)
+        ).alias("_la"),
+        F.sum(
+            F.when(F.col("_g") == sample_b, F.col("_c")).otherwise(0)
+        ).alias("_lb"),
+    )
+    wk = Window.partitionBy(*by).orderBy("_v")
+    wkp = wk.rowsBetween(Window.unboundedPreceding, 0)
+    wka = wk.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s1 = vals.select(
+        *by,
+        "_la",
+        (F.col("_la") + F.col("_lb")).alias("_l"),
+        F.sum(F.col("_la") + F.col("_lb")).over(wkp).alias("_cp"),
+        F.sum("_la").over(wka).alias("_na"),
+        F.sum("_lb").over(wka).alias("_nb"),
+    )
+    dr = (F.lit(2) * F.col("_cp") - F.col("_l") + 1).cast(d0)
+    nn = (F.col("_na") + F.col("_nb")).cast(d0)
+    # contrary doubled rank: 2(N+1) - dr
+    cdr = F.lit(2).cast(d0) * (nn + 1) - dr
+    agg = s1.groupBy(*by, "_na", "_nb").agg(
+        F.sum(F.col("_la").cast(d0) * dr * dr).alias("_sr4"),
+        F.sum(F.col("_la").cast(d0) * cdr * cdr).alias("_sc4"),
+    )
+    na = F.col("_na").cast("double")
+    nb_ = F.col("_nb").cast("double")
+    n_ = na + nb_
+    sr2 = F.col("_sr4").cast("double") / F.lit(4.0)
+    sc2 = F.col("_sc4").cast("double") / F.lit(4.0)
+    den = F.sqrt(
+        na
+        * nb_
+        * (n_ + F.lit(1.0))
+        * (F.lit(2.0) * n_ + F.lit(1.0))
+        * (F.lit(8.0) * n_ + F.lit(11.0))
+        / F.lit(5.0)
+    )
+    u = (
+        F.lit(6.0) * sr2
+        - na * (n_ + F.lit(1.0)) * (F.lit(2.0) * n_ + F.lit(1.0))
+    ) / den
+    v = (
+        F.lit(6.0) * sc2
+        - na * (n_ + F.lit(1.0)) * (F.lit(2.0) * n_ + F.lit(1.0))
+    ) / den
+    rho = F.lit(2.0) * (n_ * n_ - F.lit(4.0)) / (
+        (F.lit(2.0) * n_ + F.lit(1.0))
+        * (F.lit(8.0) * n_ + F.lit(11.0))
+    ) - F.lit(1.0)
+    c = (u * u + v * v - F.lit(2.0) * rho * u * v) / (
+        F.lit(2.0) * (F.lit(1.0) - rho * rho)
+    )
+    ok = (F.col("_na") >= 1) & (F.col("_nb") >= 1) & (
+        F.col("_na") + F.col("_nb") >= 3
+    )
+    return agg.select(
+        *by,
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.when(ok, u).alias("u"),
+        F.when(ok, v).alias("v"),
+        F.when(ok, c).alias("c"),
+    )
