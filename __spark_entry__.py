@@ -7649,6 +7649,32 @@ def q_cucconi(spark, sf_dir):
     return cucconi_test(e, ["bucket"], "event_type", "click", "view", "x")
 
 
+def q_dtw(spark, sf_dir):
+    """DTW distance (L303): elastic similarity of the two buckets'
+    daily revenue curves — the DP recurrence as a LIST-accumulator
+    fold, no table materialized."""
+    from lmss_entity_extractor_spark.ops.complexity import dtw_distance
+
+    return dtw_distance(
+        _daily_series(spark, sf_dir), [], "bucket", 0, 1, "t", "v"
+    )
+
+
+def q_gini_jk(spark, sf_dir):
+    """Jackknife Gini SE (L304): is segment balance concentration
+    statistically distinguishable — exact rank-shift LOO identity,
+    zero refits."""
+    from lmss_entity_extractor_spark.ops.concentration import (
+        gini_jackknife,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.greatest(F.col("c_acctbal"), F.lit(0)).alias("v"),
+    )
+    return gini_jackknife(c, ["seg"], "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7739,6 +7765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "energy": q_energy,
         "dcor": q_dcor,
         "cucconi": q_cucconi,
+        "dtw": q_dtw,
+        "gini_jk": q_gini_jk,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -18963,6 +18991,141 @@ def oracle_sql() -> dict[str, str]:
                     THEN (uu * uu + vv * vv - 2.0 * rho * uu * vv)
                          / (2.0 * (1.0 - rho * rho)) END AS c
         FROM w
+    """
+    oracles["dtw"] = """
+        -- the DP recurrence with LIST accumulators; elements of the
+        -- index sequences encoded as 1-double lists so list_reduce's
+        -- same-type rule holds (acc row = DOUBLE[], element = [i])
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        packed AS (
+            SELECT list(x ORDER BY d)
+                       FILTER (WHERE bucket = 0) AS xa,
+                   list(x ORDER BY d)
+                       FILTER (WHERE bucket = 1) AS xb
+            FROM daily
+        ),
+        sized AS (
+            SELECT xa, xb,
+                   CAST(len(xa) AS INTEGER) AS n,
+                   CAST(len(xb) AS INTEGER) AS m
+            FROM packed
+        ),
+        dp AS (
+            SELECT n, m,
+                   list_reduce(
+                       list_prepend(
+                           list_transform(generate_series(0, m),
+                               j -> CASE WHEN j = 0 THEN 0.0
+                                    ELSE CAST('infinity' AS DOUBLE)
+                                    END),
+                           list_transform(generate_series(1, n),
+                               i -> [CAST(i AS DOUBLE)])),
+                       (prev, ei) -> list_reduce(
+                           list_prepend(
+                               [CAST('infinity' AS DOUBLE)],
+                               list_transform(generate_series(1, m),
+                                   j -> [CAST(j AS DOUBLE)])),
+                           (acc, ej) -> list_append(acc,
+                               abs(xa[CAST(ei[1] AS INTEGER)]
+                                   - xb[CAST(ej[1] AS INTEGER)])
+                               + least(
+                                   prev[CAST(ej[1] AS INTEGER)],
+                                   prev[CAST(ej[1] AS INTEGER) + 1],
+                                   acc[len(acc)])))
+                   ) AS final_row
+            FROM sized
+        )
+        SELECT n AS n_a, m AS n_b,
+               CASE WHEN n > 0 AND m > 0
+                         AND final_row[m + 1]
+                             <> CAST('infinity' AS DOUBLE)
+                    THEN final_row[m + 1] END AS dtw,
+               CASE WHEN n > 0 AND m > 0
+                         AND final_row[m + 1]
+                             <> CAST('infinity' AS DOUBLE)
+                    THEN final_row[m + 1]
+                         / CAST(n + m AS DOUBLE) END AS dtw_norm
+        FROM dp
+    """
+    oracles["gini_jk"] = """
+        -- micro-unit twin of the exact LOO rank-shift identity (the
+        -- Gini ratio is scale-invariant, so HUGEINT sums suffice)
+        WITH base AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(CAST(CAST(greatest(c_acctbal, 0)
+                        AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS HUGEINT) AS xq
+            FROM customer WHERE c_acctbal IS NOT NULL
+        ),
+        idx AS (
+            SELECT seg, xq,
+                   CAST(row_number() OVER w_o AS BIGINT) AS k,
+                   sum(xq) OVER w_p AS pk
+            FROM base
+            WINDOW w_o AS (PARTITION BY seg ORDER BY xq),
+                   w_p AS (PARTITION BY seg ORDER BY xq
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+        ),
+        ranked AS (
+            SELECT seg, xq, k, pk,
+                   CAST(count(*) OVER w_a AS BIGINT) AS n,
+                   sum(xq) OVER w_a AS s,
+                   sum(CAST(k AS HUGEINT) * xq) OVER w_a AS t
+            FROM idx
+            WINDOW w_a AS (PARTITION BY seg)
+        ),
+        loo AS (
+            SELECT seg, k, n, s, t,
+                   CASE WHEN n >= 2
+                             AND CAST(s - xq AS DOUBLE) > 0.0 THEN
+                       (2.0 * CAST(t - CAST(k AS HUGEINT) * xq
+                                   - (s - pk) AS DOUBLE)
+                        - (CAST(n - 1 AS DOUBLE) + 1.0)
+                          * CAST(s - xq AS DOUBLE))
+                       / (CAST(n - 1 AS DOUBLE)
+                          * CAST(s - xq AS DOUBLE)) END AS g
+            FROM ranked
+        ),
+        packed AS (
+            SELECT seg, n, s, t,
+                   list_sort(list(struct_pack(k := k, g := g)))
+                       AS lv
+            FROM loo GROUP BY 1, 2, 3, 4
+        ),
+        m AS (
+            SELECT seg, n, s, t, lv,
+                   list_reduce(list_prepend(0.0,
+                       [e.g FOR e IN lv]),
+                       (a, v) -> a + v)
+                       / CAST(n AS DOUBLE) AS gbar
+            FROM packed
+        ),
+        f AS (
+            SELECT seg, n, s, t,
+                   list_reduce(list_prepend(0.0,
+                       [(e.g - gbar) * (e.g - gbar) FOR e IN lv]),
+                       (a, v) -> a + v) AS ssq
+            FROM m
+        )
+        SELECT seg, n,
+               CASE WHEN n >= 2 AND CAST(s AS DOUBLE) > 0.0 THEN
+                   (2.0 * CAST(t AS DOUBLE)
+                    - (CAST(n AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+               END AS gini,
+               CASE WHEN n >= 2 AND CAST(s AS DOUBLE) > 0.0 THEN
+                   sqrt((CAST(n AS DOUBLE) - 1.0)
+                        / CAST(n AS DOUBLE) * ssq)
+               END AS se_jack
+        FROM f
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

@@ -204,3 +204,120 @@ def permutation_entropy(
             h / F.log(F.lit(6.0)),
         ).alias("h_norm"),
     )
+
+
+def dtw_distance(
+    df: DataFrame,
+    by: list[str],
+    series_col: str,
+    series_a: str,
+    series_b: str,
+    order_col: str,
+    value_col: str,
+    band: int | None = None,
+    max_len: int = 500,
+) -> DataFrame:
+    """``(by..., n_a, n_b, dtw, dtw_norm)`` — dynamic time warping
+    distance (L303, Sakoe-Chiba banded): how far apart are two series
+    ALLOWING elastic time shifts — the series-similarity measure for
+    comparing usage curves / rollout cohorts whose features happen at
+    different speeds, where a pointwise L2 sees only phase error:
+
+        D(i,j) = |aᵢ − bⱼ| + min(D(i−1,j), D(i,j−1), D(i−1,j−1))
+        dtw = D(n,m),   dtw_norm = dtw/(n+m)
+
+    The DP table never materializes: the recurrence is a LEFT FOLD
+    over rows i with the PREVIOUS DP ROW as a LIST accumulator, and
+    each row is itself a left fold over j APPENDING cells (the cell
+    needs its left neighbour — exactly what a fold's accumulator
+    provides).  An optional Sakoe-Chiba band sets |i−j| > band cells
+    to +inf (and the classic +inf borders handle the first row and
+    column).  Bounded by ``max_len`` per side (the DP is O(n·m) by
+    definition — resample first).  Empty side → NULL.
+
+    Scale shape: one keyed collect (bounded) → in-array DP folds —
+    one scan, one shuffle on the group keys.
+
+    No reference counterpart; series-similarity analytics per SURVEY
+    §2.11.
+    """
+    flt = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(order_col).isNotNull()
+        & F.col(series_col).isin([series_a, series_b])
+    )
+    sizes = flt.groupBy(*by, series_col).count()
+    over = sizes.filter(F.col("count") > max_len).count()
+    if over:
+        raise ValueError(
+            f"dtw_distance: a series exceeds max_len={max_len} — the "
+            "DP is O(n*m); resample first"
+        )
+    xd = F.col(value_col).cast("double")
+    od = F.col(order_col).cast("double")
+    packed = flt.groupBy(*by).agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col(series_col) == series_a,
+                        F.struct(od.alias("o"), xd.alias("x")),
+                    )
+                )
+            ),
+            lambda s: s["x"],
+        ).alias("_xa"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col(series_col) == series_b,
+                        F.struct(od.alias("o"), xd.alias("x")),
+                    )
+                )
+            ),
+            lambda s: s["x"],
+        ).alias("_xb"),
+    )
+    n = F.size("_xa")
+    m = F.size("_xb")
+    inf = F.lit(float("inf"))
+    bandl = F.lit(int(band)) if band is not None else None
+    row0 = F.transform(
+        F.sequence(F.lit(0), m),
+        lambda j: F.when(j == 0, F.lit(0.0)).otherwise(inf),
+    )
+
+    def step(prev, i):
+        def cell(acc2, j):
+            cost = F.abs(
+                F.element_at(F.col("_xa"), i)
+                - F.element_at(F.col("_xb"), j)
+            )
+            best = F.least(
+                F.element_at(prev, j),
+                F.element_at(prev, j + 1),
+                F.element_at(acc2, F.size(acc2)),
+            )
+            val = cost + best
+            if bandl is not None:
+                val = F.when(
+                    F.abs(i - j) > bandl, inf
+                ).otherwise(val)
+            return F.concat(acc2, F.array(val))
+
+        return F.aggregate(
+            F.sequence(F.lit(1), m), F.array(inf), cell
+        )
+
+    final_row = F.aggregate(F.sequence(F.lit(1), n), row0, step)
+    dtw = F.element_at(final_row, m + 1)
+    ok = (n > 0) & (m > 0) & (dtw != inf)
+    out = packed.select(
+        *by,
+        n.alias("n_a"),
+        m.alias("n_b"),
+        F.when(ok, dtw).alias("dtw"),
+        F.when(ok, dtw / (n + m).cast("double")).alias("dtw_norm"),
+    )
+    return out

@@ -619,3 +619,114 @@ def lorenz_points(
             F.col("_cum").cast("double") / F.col("_tot").cast("double"),
         ).alias("cum_share"),
     )
+
+
+def gini_jackknife(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    max_len: int = 10_000,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, gini, se_jack)`` — the Gini coefficient (L150)
+    with a DETERMINISTIC jackknife standard error (L304): the
+    resampling-free answer to "is this quarter's concentration move
+    real or noise" — no RNG, no bootstrap draws, bit-identical:
+
+        leave-one-out identity (NO refits): removing the k-th sorted
+        value shifts every higher rank down by one, so
+        T₍₋k₎ = T − k·xₖ − (S − Pₖ)   (T = Σi·xᵢ, Pₖ = prefix sum)
+        and G₍₋k₎ is one fixed tree per row;
+        se = sqrt((n−1)/n · Σ(G₍₋k₎ − Ḡ)²)
+
+    — tie-order INVARIANT (removing either of two equal values gives
+    algebraically the same G₍₋k₎).  Prefix sums are exact decimals
+    from one keyed window pass; the LOO values are collected into the
+    bounded sorted list (``max_len`` refused beyond — jackknifing a
+    10⁶-row group is statistical overkill; sample first) and the SE
+    folds are order-pinned.  Negative values refused (L150's
+    contract); zero totals or n < 2 → NULL.
+
+    Scale shape: one keyed window pass + one bounded collect + two
+    folds.
+
+    No reference counterpart; composition analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    d38 = f"decimal(38,{scale})"
+    flt = df.filter(F.col(value_col).isNotNull())
+    n_neg = flt.filter(F.col(value_col) < 0).count()
+    if n_neg:
+        raise ValueError(f"gini_jackknife: {n_neg} negative value(s)")
+    sizes = flt.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > max_len).count()
+    if over:
+        raise ValueError(
+            f"gini_jackknife: a group exceeds max_len={max_len}"
+        )
+    base = flt.select(*by, F.col(value_col).cast(dec).alias("_x"))
+    w = Window.partitionBy(*by).orderBy("_x")
+    wp = w.rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    kc = F.row_number().over(w)
+    ranked = base.select(
+        *by,
+        kc.alias("_k"),
+        F.col("_x").cast(d38).alias("_xk"),
+        F.sum("_x").over(wp).cast(d38).alias("_pk"),
+        F.count(F.lit(1)).over(wa).alias("_n"),
+        F.sum("_x").over(wa).cast(d38).alias("_s"),
+        F.sum(kc.cast(d38) * F.col("_x").cast(d38))
+        .over(wa)
+        .alias("_t"),
+    )
+    n1 = (F.col("_n") - 1).cast("double")
+    s1 = (F.col("_s") - F.col("_xk")).cast("double")
+    t1 = (
+        F.col("_t")
+        - F.col("_k").cast(d38) * F.col("_xk")
+        - (F.col("_s") - F.col("_pk"))
+    ).cast("double")
+    g_k = F.when(
+        (F.col("_n") >= 2) & (s1 > 0.0),
+        (F.lit(2.0) * t1 - (n1 + F.lit(1.0)) * s1) / (n1 * s1),
+    )
+    loo = ranked.select(*by, "_k", "_n", "_s", "_t", g_k.alias("_g"))
+    packed = loo.groupBy(*by, "_n", "_s", "_t").agg(
+        F.sort_array(F.collect_list(F.struct("_k", "_g"))).alias(
+            "_lv"
+        )
+    )
+    nd = F.col("_n").cast("double")
+    gbar = (
+        F.aggregate(
+            F.col("_lv"), F.lit(0.0), lambda a, e: a + e["_g"]
+        )
+        / nd
+    )
+    s2 = packed.select(
+        *by, "_n", "_s", "_t", "_lv", gbar.alias("_gbar")
+    )
+    ssq = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda a, e: a
+        + (e["_g"] - F.col("_gbar")) * (e["_g"] - F.col("_gbar")),
+    )
+    sd_ = F.col("_s").cast("double")
+    td_ = F.col("_t").cast("double")
+    gini_full = (
+        F.lit(2.0) * td_ - (nd + F.lit(1.0)) * sd_
+    ) / (nd * sd_)
+    ok = (F.col("_n") >= 2) & (sd_ > 0.0)
+    return s2.select(
+        *by,
+        F.col("_n").alias("n"),
+        F.when(ok, gini_full).alias("gini"),
+        F.when(
+            ok,
+            F.sqrt((nd - F.lit(1.0)) / nd * ssq),
+        ).alias("se_jack"),
+    )
