@@ -7675,6 +7675,36 @@ def q_gini_jk(spark, sf_dir):
     return gini_jackknife(c, ["seg"], "v")
 
 
+def _label_score(spark, sf_dir):
+    """Binary (is-purchase, floored-value) label/score frame for the
+    L305/L306 classifier-eval pair."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 2).alias("bucket"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+            F.floor("value").cast("double").alias("s"),
+        )
+    )
+
+
+def q_youden(spark, sf_dir):
+    """Youden J cutpoint (L305): where to threshold value to predict
+    purchases — exact grid counts, deterministic argmax pick."""
+    from lmss_entity_extractor_spark.ops.rankeval import youden_cutpoint
+
+    return youden_cutpoint(_label_score(spark, sf_dir), ["bucket"], "y", "s")
+
+
+def q_pr_auc(spark, sf_dir):
+    """PR-AUC (L306): step-interpolated average precision of the
+    value-predicts-purchase score — exact grid, order-pinned AP fold."""
+    from lmss_entity_extractor_spark.ops.rankeval import pr_auc
+
+    return pr_auc(_label_score(spark, sf_dir), ["bucket"], "y", "s")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7767,6 +7797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cucconi": q_cucconi,
         "dtw": q_dtw,
         "gini_jk": q_gini_jk,
+        "youden": q_youden,
+        "pr_auc": q_pr_auc,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -19126,6 +19158,99 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(n AS DOUBLE) * ssq)
                END AS se_jack
         FROM f
+    """
+
+    _LABEL_SCORE = """
+            SELECT user_id % 2 AS bucket,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END AS y,
+                   CAST(floor(value) AS DOUBLE) AS s
+            FROM events WHERE value IS NOT NULL
+    """
+    oracles["youden"] = f"""
+        -- exact grid counts; deterministic (J desc, t desc) pick
+        WITH ls AS ({_LABEL_SCORE}),
+        cells AS (
+            SELECT bucket, s AS t,
+                   CAST(sum(y) AS BIGINT) AS p,
+                   CAST(sum(1 - y) AS BIGINT) AS n
+            FROM ls GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT bucket, t,
+                   CAST(sum(p) OVER w_p AS BIGINT) AS cp,
+                   CAST(sum(n) OVER w_p AS BIGINT) AS cn,
+                   CAST(sum(p) OVER w_a AS BIGINT) AS n_pos,
+                   CAST(sum(n) OVER w_a AS BIGINT) AS n_neg
+            FROM cells
+            WINDOW w_p AS (PARTITION BY bucket ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW),
+                   w_a AS (PARTITION BY bucket)
+        ),
+        staged AS (
+            SELECT bucket, t, n_pos, n_neg,
+                   CAST(cp AS DOUBLE) / CAST(n_pos AS DOUBLE)
+                       AS tpr,
+                   CAST(cn AS DOUBLE) / CAST(n_neg AS DOUBLE)
+                       AS fpr
+            FROM scored WHERE n_pos > 0 AND n_neg > 0
+        ),
+        top AS (
+            SELECT *, tpr - fpr AS j,
+                   row_number() OVER (PARTITION BY bucket
+                       ORDER BY tpr - fpr DESC, t DESC) AS rn
+            FROM staged
+        )
+        SELECT bucket, n_pos, n_neg,
+               CAST(t AS DOUBLE) AS threshold, tpr, fpr, j
+        FROM top WHERE rn = 1
+    """
+    oracles["pr_auc"] = f"""
+        -- exact grid; order-pinned step-AP fold (descending t)
+        WITH ls AS ({_LABEL_SCORE}),
+        cells AS (
+            SELECT bucket, s AS t,
+                   CAST(sum(y) AS BIGINT) AS p,
+                   CAST(sum(1 - y) AS BIGINT) AS n
+            FROM ls GROUP BY 1, 2
+        ),
+        pre AS (
+            SELECT bucket, t,
+                   CAST(sum(p) OVER w_p AS BIGINT) AS cp,
+                   CAST(sum(n) OVER w_p AS BIGINT) AS cn
+            FROM cells
+            WINDOW w_p AS (PARTITION BY bucket ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+        ),
+        scored AS (
+            SELECT bucket, t, cp, cn,
+                   COALESCE(lag(cp, 1) OVER
+                       (PARTITION BY bucket ORDER BY t DESC), 0)
+                       AS cpl
+            FROM pre
+        ),
+        packed AS (
+            SELECT bucket,
+                   CAST(max(cp) AS BIGINT) AS n_pos,
+                   CAST(max(cn) AS BIGINT) AS n_neg,
+                   CAST(count(*) AS BIGINT) AS k_thresholds,
+                   list_sort(list(struct_pack(
+                       o := -t, cp := cp, cpl := cpl, cn := cn)))
+                       AS lv
+            FROM scored GROUP BY 1
+        )
+        SELECT bucket, n_pos, n_neg, k_thresholds,
+               CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                   list_reduce(list_prepend(0.0,
+                       [(CAST(e.cp - e.cpl AS DOUBLE)
+                         / CAST(n_pos AS DOUBLE))
+                        * (CAST(e.cp AS DOUBLE)
+                           / CAST(e.cp + e.cn AS DOUBLE))
+                        FOR e IN lv]),
+                       (a, v) -> a + v) END AS ap
+        FROM packed
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

@@ -1964,3 +1964,170 @@ def cucconi_test(
         F.when(ok, v).alias("v"),
         F.when(ok, c).alias("c"),
     )
+
+
+def youden_cutpoint(
+    df: DataFrame,
+    by: list[str],
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """``(by..., n_pos, n_neg, threshold, tpr, fpr, j)`` — the Youden
+    J optimal cutpoint (L305): WHERE to threshold a score — the
+    decision the scalar AUC (L190-era ``roc_auc``) deliberately
+    doesn't make; J = TPR − FPR maximized over the distinct-score
+    grid (predict positive at score ≥ t):
+
+        J(t) = P_{≥t}/P − N_{≥t}/N,   t* = argmax J
+        (ties → the HIGHER threshold: the conservative cut)
+
+    Counts are exact integers (one descending-prefix window over the
+    bounded score grid); TPR/FPR are one division each and the argmax
+    is a deterministic (J desc, t desc) window pick.  A side with
+    zero examples → NULL.
+
+    Scale shape: one (keys, score) cell groupBy + one window pass —
+    the L190 grid shape.
+
+    No reference counterpart; ML-eval analytics per SURVEY §2.11.
+    """
+    flt = df.filter(
+        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+    )
+    lab = F.col(label_col).cast("int")
+    cells = flt.groupBy(*by, F.col(score_col).alias("_t")).agg(
+        F.sum(lab).alias("_p"),
+        F.sum(F.lit(1) - lab).alias("_n"),
+    )
+    wd = Window.partitionBy(*by).orderBy(F.desc("_t"))
+    wdp = wd.rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scored = cells.select(
+        *by,
+        "_t",
+        F.sum("_p").over(wdp).alias("_cp"),
+        F.sum("_n").over(wdp).alias("_cn"),
+        F.sum("_p").over(wa).alias("n_pos"),
+        F.sum("_n").over(wa).alias("n_neg"),
+    )
+    tpr = F.col("_cp").cast("double") / F.col("n_pos").cast("double")
+    fpr = F.col("_cn").cast("double") / F.col("n_neg").cast("double")
+    j = tpr - fpr
+    staged = scored.filter(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    ).select(
+        *by, "_t", "n_pos", "n_neg",
+        tpr.alias("tpr"), fpr.alias("fpr"), j.alias("_j"),
+    )
+    wr = Window.partitionBy(*by).orderBy(
+        F.desc("_j"), F.desc("_t")
+    )
+    top = staged.select(
+        *by, "_t", "n_pos", "n_neg", "tpr", "fpr", "_j",
+        F.row_number().over(wr).alias("_rn"),
+    ).filter(F.col("_rn") == 1)
+    return top.select(
+        *by,
+        "n_pos",
+        "n_neg",
+        F.col("_t").cast("double").alias("threshold"),
+        "tpr",
+        "fpr",
+        F.col("_j").alias("j"),
+    )
+
+
+def pr_auc(
+    df: DataFrame,
+    by: list[str],
+    label_col: str,
+    score_col: str,
+    max_points: int = 10_000,
+) -> DataFrame:
+    """``(by..., n_pos, n_neg, k_thresholds, ap)`` — area under the
+    precision-recall curve as step-interpolated average precision
+    (L306, the sklearn AP convention): the imbalance-honest companion
+    to ROC-AUC — with 0.1% positives a classifier can hold AUC 0.99
+    while precision collapses, and only the PR view shows it:
+
+        AP = Σ_t (R_t − R_{t−1}) · P_t   over descending thresholds
+
+    Counts come from one descending-prefix window over the distinct-
+    score grid (exact integers; grids above ``max_points`` refused —
+    quantize scores first); the AP sum is an order-pinned fold over
+    the collected grid because its terms are float products.  A side
+    with zero examples → NULL ap.
+
+    Scale shape: one (keys, score) cell groupBy + one window pass +
+    one bounded fold.
+
+    No reference counterpart; ML-eval analytics per SURVEY §2.11.
+    """
+    flt = df.filter(
+        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+    )
+    lab = F.col(label_col).cast("int")
+    cells = flt.groupBy(*by, F.col(score_col).alias("_t")).agg(
+        F.sum(lab).alias("_p"),
+        F.sum(F.lit(1) - lab).alias("_n"),
+    )
+    sizes = cells.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > max_points).count()
+    if over:
+        raise ValueError(
+            f"pr_auc: a score grid exceeds max_points={max_points} — "
+            "quantize scores first"
+        )
+    wd = Window.partitionBy(*by).orderBy(F.desc("_t"))
+    wdp = wd.rowsBetween(Window.unboundedPreceding, 0)
+    pre = cells.select(
+        *by,
+        "_t",
+        F.sum("_p").over(wdp).alias("_cp"),
+        F.sum("_n").over(wdp).alias("_cn"),
+    )
+    scored = pre.select(
+        *by,
+        "_t",
+        "_cp",
+        "_cn",
+        F.lag("_cp", 1).over(wd).alias("_cpl"),
+    )
+    packed = scored.groupBy(*by).agg(
+        F.max("_cp").alias("n_pos"),
+        F.max("_cn").alias("n_neg"),
+        F.count(F.lit(1)).alias("k_thresholds"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("_t")).alias("_o"),
+                    F.col("_cp").alias("cp"),
+                    F.coalesce(F.col("_cpl"), F.lit(0)).alias("cpl"),
+                    F.col("_cn").alias("cn"),
+                )
+            )
+        ).alias("_lv"),
+    )
+    pd_ = F.col("n_pos").cast("double")
+    ap = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda a, e: a
+        + (
+            (e["cp"] - e["cpl"]).cast("double") / pd_
+        )
+        * (
+            e["cp"].cast("double")
+            / (e["cp"] + e["cn"]).cast("double")
+        ),
+    )
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return packed.select(
+        *by,
+        "n_pos",
+        "n_neg",
+        "k_thresholds",
+        F.when(ok, ap).alias("ap"),
+    )
