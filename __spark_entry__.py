@@ -7705,6 +7705,27 @@ def q_pr_auc(spark, sf_dir):
     return pr_auc(_label_score(spark, sf_dir), ["bucket"], "y", "s")
 
 
+def q_seasonal_ts(spark, sf_dir):
+    """Seasonal Theil-Sen (L307): robust weekday-phase trend rate of
+    daily revenue — pooled within-phase slope median."""
+    from lmss_entity_extractor_spark.ops.trend import seasonal_theil_sen
+
+    return seasonal_theil_sen(
+        _daily_series(spark, sf_dir), ["bucket"], "t", "v", period=7
+    )
+
+
+def q_records(spark, sf_dir):
+    """Records test (L308): are daily revenue record highs arriving
+    faster than exchangeability allows — one running-max window,
+    harmonic moment folds."""
+    from lmss_entity_extractor_spark.ops.trend import records_test
+
+    return records_test(
+        _daily_series(spark, sf_dir), ["bucket"], ["t"], "v"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7799,6 +7820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_jk": q_gini_jk,
         "youden": q_youden,
         "pr_auc": q_pr_auc,
+        "seasonal_ts": q_seasonal_ts,
+        "records": q_records,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -19251,6 +19274,90 @@ def oracle_sql() -> dict[str, str]:
                         FOR e IN lv]),
                        (a, v) -> a + v) END AS ap
         FROM packed
+    """
+    oracles["seasonal_ts"] = """
+        -- within-phase pair lattices; pooled exact slope median
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS dd,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT bucket,
+                   CAST(dd - DATE '1970-01-01' AS BIGINT) % 7
+                       AS phase,
+                   CAST(CAST(dd - DATE '1970-01-01' AS BIGINT)
+                        AS DOUBLE) AS t,
+                   x
+            FROM daily
+        ),
+        slopes AS (
+            SELECT a.bucket,
+                   (b.x - a.x) / (b.t - a.t) AS sl
+            FROM base a JOIN base b
+              ON a.bucket = b.bucket AND a.phase = b.phase
+             AND a.t < b.t
+        ),
+        pooled AS (
+            SELECT bucket, list_sort(list(sl)) AS s,
+                   CAST(count(*) AS INTEGER) AS k
+            FROM slopes GROUP BY 1
+        )
+        SELECT bucket, 7 AS period, k AS n_slopes,
+               CASE WHEN k > 0 THEN
+                   CASE WHEN k % 2 = 1
+                        THEN s[CAST(floor(k / 2) + 1 AS INTEGER)]
+                        ELSE (s[CAST(floor((k + 1) / 2) AS INTEGER)]
+                              + s[CAST(floor(k / 2) + 1 AS INTEGER)])
+                             / 2.0 END
+               END AS slope
+        FROM pooled
+    """
+    oracles["records"] = """
+        -- one running-max window; harmonic moment folds
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(18,2))) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT bucket, x,
+                   max(x) OVER (PARTITION BY bucket ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pm
+            FROM daily
+        ),
+        agg AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN pm IS NULL OR x > pm
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_records
+            FROM lagged GROUP BY 1
+        ),
+        m AS (
+            SELECT bucket, n, n_records,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(generate_series(1, n),
+                           i -> 1.0 / CAST(i AS DOUBLE))),
+                       (a, v) -> a + v) AS expected,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(generate_series(1, n),
+                           i -> 1.0 / CAST(i AS DOUBLE)
+                                - 1.0 / (CAST(i AS DOUBLE)
+                                         * CAST(i AS DOUBLE)))),
+                       (a, v) -> a + v) AS var
+            FROM agg
+        )
+        SELECT bucket, n, n_records, expected,
+               CASE WHEN var > 0.0 THEN
+                   (CAST(n_records AS DOUBLE) - expected)
+                   / sqrt(var) END AS z
+        FROM m
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

@@ -442,3 +442,143 @@ def seasonal_mann_kendall(
         "var_s",
         F.when(F.col("var_s") > 0.0, z).alias("z"),
     )
+
+
+def seasonal_theil_sen(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    period: int,
+    max_len: int = _MAX_LEN_DEFAULT,
+) -> DataFrame:
+    """``(by..., period, n_slopes, slope)`` — the seasonal Theil-Sen
+    slope (L307, Hirsch's seasonal Kendall slope): the robust trend
+    RATE for a seasonal series — pairwise slopes are computed only
+    WITHIN each phase (same weekday vs same weekday, so the seasonal
+    cycle never enters a slope) and the estimate is the exact median
+    of the POOLED slope multiset across phases — the magnitude
+    companion to the seasonal Mann-Kendall direction test (L295):
+
+        slope = median{ (x_j − x_i)/(t_j − t_i) : phase(i)=phase(j) }
+
+    Phase = order_col mod period (the L295 lattice contract).  Each
+    slope is one IEEE division; the median is an exact order
+    statistic over the sorted pooled list (the L162 floored-index
+    discipline).  Per-(key, phase) series beyond ``max_len`` refused.
+
+    Scale shape: the L162 in-row pair lattice per (key, phase), then
+    one (key) collect of the bounded slope multiset.
+
+    No reference counterpart; trend analytics per SURVEY §2.11.
+    """
+    if period < 2:
+        raise ValueError("seasonal_theil_sen: period must be >= 2")
+    tagged = df.withColumn(
+        "_phase", F.pmod(F.col(order_col).cast("long"), F.lit(period))
+    )
+    packed = _packed(
+        tagged, [*by, "_phase"], order_col, value_col, max_len
+    )
+    pairs = _pairs(packed, [*by, "_phase"]).filter(
+        F.col("_q._t") != F.col("_p._t")
+    )
+    slope = (F.col("_q._x") - F.col("_p._x")) / (
+        F.col("_q._t") - F.col("_p._t")
+    )
+    pooled = pairs.groupBy(*by).agg(
+        F.sort_array(F.collect_list(slope)).alias("_s")
+    )
+    k = F.size("_s")
+    mid_hi = F.element_at("_s", (F.floor(k / 2) + 1).cast("int"))
+    mid_lo = F.element_at("_s", F.floor((k + 1) / 2).cast("int"))
+    median = F.when(k % 2 == 1, mid_hi).otherwise(
+        (mid_lo + mid_hi) / F.lit(2.0)
+    )
+    return pooled.select(
+        *by,
+        F.lit(period).alias("period"),
+        k.alias("n_slopes"),
+        F.when(k > 0, median).alias("slope"),
+    )
+
+
+def records_test(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+    max_len: int = 1_000_000,
+) -> DataFrame:
+    """``(by..., n, n_records, expected, z)`` — the records test
+    (L308): count strict running maxima and compare with the i.i.d.
+    expectation — under exchangeability the i-th observation is a
+    record with probability exactly 1/i, so
+
+        E[R] = Σ 1/i = Hₙ,   Var[R] = Σ (1/i − 1/i²)
+        z = (R − E)/sqrt(Var)
+
+    — a one-window randomness/trend screen that is SCALE-FREE (only
+    comparisons) and catches the drift that makes "record highs every
+    week" headlines.  R is an exact integer (running-max window,
+    strict; ties never count); the harmonic sums are order-pinned
+    in-array folds over 1..n (``max_len`` bounds the in-row array).
+    The first observation is always a record.  NULLs refused.
+
+    Scale shape: one keyed window pass + one combinable agg + bounded
+    harmonic folds on the one aggregate row per key.
+
+    No reference counterpart; monitoring analytics per SURVEY §2.11.
+    """
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"records_test: {n_null} NULL value(s) — impute first"
+        )
+    sizes = df.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > max_len).count()
+    if over:
+        raise ValueError(
+            f"records_test: a series exceeds max_len={max_len}"
+        )
+    wt = Window.partitionBy(*by).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    wprev = wt.rowsBetween(Window.unboundedPreceding, -1)
+    prev_max = F.max(value_col).over(wprev)
+    is_rec = prev_max.isNull() | (F.col(value_col) > prev_max)
+    agg = df.select(*by, is_rec.cast("long").alias("_r")).groupBy(
+        *by
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_r").alias("n_records"),
+    )
+    idx = F.sequence(F.lit(1), F.col("n"))
+    e = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda a, i: a + F.lit(1.0) / i.cast("double"),
+    )
+    var = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda a, i: a
+        + (
+            F.lit(1.0) / i.cast("double")
+            - F.lit(1.0) / (i.cast("double") * i.cast("double"))
+        ),
+    )
+    s1 = agg.select(
+        *by, "n", "n_records", e.alias("expected"), var.alias("_var")
+    )
+    return s1.select(
+        *by,
+        "n",
+        "n_records",
+        "expected",
+        F.when(
+            F.col("_var") > 0.0,
+            (F.col("n_records").cast("double") - F.col("expected"))
+            / F.sqrt(F.col("_var")),
+        ).alias("z"),
+    )
