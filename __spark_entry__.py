@@ -7726,6 +7726,37 @@ def q_records(spark, sf_dir):
     )
 
 
+def q_gumbel(spark, sf_dir):
+    """Gumbel return levels (L309): the once-per-10/100-day daily
+    peak event value per bucket — MoM fit on exact sums, one tree per
+    period."""
+    from lmss_entity_extractor_spark.ops.extremes import gumbel_fit
+
+    dmax = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            (F.col("user_id") % 2).alias("bucket"),
+            F.to_date("ts").alias("d"),
+        )
+        .agg(F.max(F.col("value").cast("decimal(18,2)")).alias("mx"))
+    )
+    return gumbel_fit(dmax, ["bucket"], "mx", return_periods=(10, 100))
+
+
+def q_hill(spark, sf_dir):
+    """Hill tail index (L310): how heavy is the event-value upper
+    tail per bucket — top-51 order stats, one ln fold."""
+    from lmss_entity_extractor_spark.ops.extremes import hill_estimator
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        .select((F.col("user_id") % 2).alias("bucket"), "value")
+    )
+    return hill_estimator(e, ["bucket"], "value", k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7822,6 +7853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_auc": q_pr_auc,
         "seasonal_ts": q_seasonal_ts,
         "records": q_records,
+        "gumbel": q_gumbel,
+        "hill": q_hill,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -19358,6 +19391,89 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(n_records AS DOUBLE) - expected)
                    / sqrt(var) END AS z
         FROM m
+    """
+    oracles["gumbel"] = """
+        -- MoM fit on exact sums; one fixed tree per return period
+        WITH dmax AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   max(CAST(value AS DECIMAL(18,2))) AS mx
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   sum(mx) AS s, sum(mx * mx) AS q
+            FROM dmax GROUP BY 1
+        ),
+        t AS (
+            SELECT bucket, n,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(s AS DOUBLE) AS sd,
+                   CAST(q AS DOUBLE) AS qd
+            FROM agg
+        ),
+        fit AS (
+            SELECT bucket, n,
+                   (nd * qd - sd * sd) / (nd * (nd - 1.0)) AS var,
+                   sd / nd AS mean
+            FROM t
+        ),
+        mb AS (
+            SELECT bucket, n,
+                   CASE WHEN n >= 2 AND var > 0.0 THEN
+                       sqrt(var) * 0.7796968012336793 END AS beta,
+                   CASE WHEN n >= 2 AND var > 0.0 THEN
+                       mean - 0.5772156649015329
+                              * (sqrt(var) * 0.7796968012336793)
+                   END AS mu
+            FROM fit
+        )
+        SELECT bucket, n, mu, beta,
+               p.t_return,
+               mu - beta * ln(-ln(1.0
+                   - 1.0 / CAST(p.t_return AS DOUBLE))) AS level
+        FROM mb CROSS JOIN
+             (SELECT unnest([10, 100]) AS t_return) p
+    """
+    oracles["hill"] = """
+        -- top-(k+1) order stats; order-pinned ln fold
+        WITH flt AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(value AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL AND value > 0
+        ),
+        top AS (
+            SELECT bucket, x,
+                   CAST(row_number() OVER
+                       (PARTITION BY bucket ORDER BY x DESC)
+                       AS BIGINT) AS r
+            FROM flt
+        ),
+        lim AS (SELECT * FROM top WHERE r <= 51),
+        packed AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS m,
+                   min(CASE WHEN r = 51 THEN x END) AS xk1,
+                   list_sort(list(struct_pack(r := r, x := x))
+                       FILTER (WHERE r <= 50)) AS lv
+            FROM lim GROUP BY 1
+        ),
+        folded AS (
+            SELECT bucket, m, xk1,
+                   list_reduce(list_prepend(0.0,
+                       [ln(e.x / xk1) FOR e IN lv]),
+                       (a, v) -> a + v) / 50.0 AS h
+            FROM packed
+        )
+        SELECT bucket, 50 AS k,
+               CASE WHEN m = 51 AND xk1 IS NOT NULL AND xk1 > 0.0
+                    THEN xk1 END AS x_tail,
+               CASE WHEN m = 51 AND xk1 IS NOT NULL AND xk1 > 0.0
+                    THEN h END AS hill,
+               CASE WHEN m = 51 AND xk1 IS NOT NULL AND xk1 > 0.0
+                         AND h > 0.0
+                    THEN 1.0 / h END AS alpha
+        FROM folded
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees
