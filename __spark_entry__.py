@@ -7757,6 +7757,36 @@ def q_hill(spark, sf_dir):
     return hill_estimator(e, ["bucket"], "value", k=50)
 
 
+def q_gpd(spark, sf_dir):
+    """GPD peaks-over-threshold (L311): once-per-T event-value levels
+    from exceedances over 300 per bucket — exact exceedance sums, one
+    tree per period."""
+    from lmss_entity_extractor_spark.ops.extremes import gpd_pot
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select((F.col("user_id") % 2).alias("bucket"), "value")
+    )
+    return gpd_pot(
+        e, ["bucket"], "value", threshold=300.0,
+        return_periods=(1000, 10000),
+    )
+
+
+def q_var_es(spark, sf_dir):
+    """Historical VaR + ES (L312): the 5% worst daily revenue days'
+    threshold and mean per bucket — one descending window pass."""
+    from lmss_entity_extractor_spark.ops.extremes import hist_var_es
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select((F.col("user_id") % 2).alias("bucket"), "value")
+    )
+    return hist_var_es(e, ["bucket"], "value", q_pct=95)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7855,6 +7885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "records": q_records,
         "gumbel": q_gumbel,
         "hill": q_hill,
+        "gpd": q_gpd,
+        "var_es": q_var_es,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -19474,6 +19506,86 @@ def oracle_sql() -> dict[str, str]:
                          AND h > 0.0
                     THEN 1.0 / h END AS alpha
         FROM folded
+    """
+    oracles["gpd"] = """
+        -- exact exceedance sums; one MoM tree per return period
+        WITH flt AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(value AS DECIMAL(18,2)) AS x,
+                   CAST(value AS DOUBLE) AS xd
+            FROM events WHERE value IS NOT NULL
+        ),
+        agg AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(CASE WHEN xd > 300.0 THEN 1 END)
+                        AS BIGINT) AS n_exc,
+                   sum(CASE WHEN xd > 300.0
+                       THEN x - CAST(300.0 AS DECIMAL(18,2)) END)
+                       AS s,
+                   sum(CASE WHEN xd > 300.0
+                       THEN (x - CAST(300.0 AS DECIMAL(18,2)))
+                            * (x - CAST(300.0 AS DECIMAL(18,2)))
+                       END) AS q
+            FROM flt GROUP BY 1
+        ),
+        t AS (
+            SELECT bucket, n, n_exc,
+                   CAST(n_exc AS DOUBLE) AS ne,
+                   CAST(s AS DOUBLE) AS sd,
+                   CAST(q AS DOUBLE) AS qd
+            FROM agg
+        ),
+        fit AS (
+            SELECT bucket, n, n_exc,
+                   ne / CAST(n AS DOUBLE) AS rate,
+                   CASE WHEN n_exc >= 2 AND
+                        (ne * qd - sd * sd) / (ne * (ne - 1.0))
+                            > 0.0
+                   THEN 0.5 * (1.0 - (sd / ne) * (sd / ne)
+                       / ((ne * qd - sd * sd)
+                          / (ne * (ne - 1.0)))) END AS xi,
+                   CASE WHEN n_exc >= 2 AND
+                        (ne * qd - sd * sd) / (ne * (ne - 1.0))
+                            > 0.0
+                   THEN 0.5 * (sd / ne)
+                        * (1.0 + (sd / ne) * (sd / ne)
+                           / ((ne * qd - sd * sd)
+                              / (ne * (ne - 1.0)))) END AS sigma
+            FROM t
+        )
+        SELECT bucket, n, n_exc, rate, xi, sigma, p.t_return,
+               CASE WHEN xi <> 0.0 THEN
+                   300.0 + (sigma / xi)
+                   * (pow(CAST(p.t_return AS DOUBLE) * rate, xi)
+                      - 1.0) END AS level
+        FROM fit CROSS JOIN
+             (SELECT unnest([1000, 10000]) AS t_return) p
+    """
+    oracles["var_es"] = """
+        -- k-th order statistic + exact decimal tail cumsum
+        WITH flt AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(value AS DECIMAL(18,2)) AS x
+            FROM events WHERE value IS NOT NULL
+        ),
+        ranked AS (
+            SELECT bucket, x,
+                   CAST(row_number() OVER w_o AS BIGINT) AS r,
+                   sum(x) OVER w_p AS cum,
+                   CAST(count(*) OVER w_a AS BIGINT) AS n
+            FROM flt
+            WINDOW w_o AS (PARTITION BY bucket ORDER BY x DESC),
+                   w_p AS (PARTITION BY bucket ORDER BY x DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW),
+                   w_a AS (PARTITION BY bucket)
+        )
+        SELECT bucket, n, r AS k_tail,
+               CAST(x AS DOUBLE) AS var_level,
+               CAST(cum AS DOUBLE) / CAST(r AS DOUBLE) AS es
+        FROM ranked
+        WHERE r = greatest(1, CAST(floor(
+            CAST(n AS DOUBLE) * 5 / 100) AS BIGINT))
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees
