@@ -72,6 +72,12 @@ SHOWCASE = [
     ("yule_walker", "Durbin-Levinson recursion folds over the p-row ACF table — the O(p²) solve is array-local; the data-sized work is exactly L151's one window pass"),
     ("croston", "twin SES recurrences fold inside the packed per-key array — the intermittent series shuffles once to pack, then all smoothing is executor-side"),
     ("eb_shrink", "fit-small/apply-wide without a second scan: the MoM prior folds over the bounded key grid and the posterior explodes back IN-ROW — one shuffle total"),
+    ("hurst", "three-deep HOF nesting: per-size block scans run INSIDE the packed array, and the Hurst slope is the exact-decimal L135 OLS composed on the 8-row R/S table"),
+    ("dtw", "the O(n·m) warping DP never becomes a table: row-by-row LIST-accumulator folds, executor-side, zero exchanges past the pack"),
+    ("gini_jk", "n leave-one-out Ginis from ONE window pass — the rank-shift identity turns each LOO refit into a per-row fixed tree"),
+    ("hill", "only k+1 rows per key survive the descending row_number filter — the 100 TB scan feeds a KB-sized tail fold"),
+    ("var_es", "VaR and ES from the same single descending window: the k-th order statistic row already carries the exact tail cumsum"),
+    ("seasonal_mk", "the phase split SHRINKS each pair lattice 7x; combined S is a plain integer sum, combined Var an order-pinned 7-element fold"),
 ]
 
 
