@@ -7787,6 +7787,41 @@ def q_var_es(spark, sf_dir):
     return hist_var_es(e, ["bucket"], "value", q_pct=95)
 
 
+def q_sampen(spark, sf_dir):
+    """Sample entropy (L313): regularity of the mean-normalized daily
+    revenue series per bucket (r = 0.2 on the dimensionless scale) —
+    exact template-match counts from in-array pair folds."""
+    from pyspark.sql import Window
+
+    from lmss_entity_extractor_spark.ops.complexity import sample_entropy
+
+    daily = _daily_series(spark, sf_dir)
+    wb = Window.partitionBy("bucket")
+    norm = daily.select(
+        "bucket",
+        "t",
+        (
+            F.col("v").cast("double")
+            / (
+                F.sum("v").over(wb).cast("double")
+                / F.count(F.lit(1)).over(wb).cast("double")
+            )
+        ).alias("x"),
+    )
+    return sample_entropy(norm, ["bucket"], "t", "x", r=0.2)
+
+
+def q_mdd(spark, sf_dir):
+    """Max drawdown (L314): deepest peak-to-trough fall of daily
+    revenue per bucket — one prefix-max window, earliest-trough tie
+    rule."""
+    from lmss_entity_extractor_spark.ops.timeseries import max_drawdown
+
+    return max_drawdown(
+        _daily_series(spark, sf_dir), ["bucket"], ["t"], "v"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7887,6 +7922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hill": q_hill,
         "gpd": q_gpd,
         "var_es": q_var_es,
+        "sampen": q_sampen,
+        "mdd": q_mdd,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -19586,6 +19623,107 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked
         WHERE r = greatest(1, CAST(floor(
             CAST(n AS DOUBLE) * 5 / 100) AS BIGINT))
+    """
+    oracles["sampen"] = """
+        -- exact template-match counts; BIGINT-typed nested folds
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(18,2))) AS v
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        norm AS (
+            SELECT bucket, d,
+                   CAST(v AS DOUBLE)
+                   / (CAST(sum(v) OVER (PARTITION BY bucket)
+                           AS DOUBLE)
+                      / CAST(count(*) OVER (PARTITION BY bucket)
+                             AS DOUBLE)) AS x
+            FROM daily
+        ),
+        pl AS (
+            SELECT bucket, list(x ORDER BY d) AS xs,
+                   CAST(len(list(x ORDER BY d)) AS INTEGER) AS n
+            FROM norm GROUP BY 1
+        ),
+        cnt AS (
+            SELECT bucket, n,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, n - 2 - 1),
+                           i -> list_reduce(
+                               list_prepend(CAST(0 AS BIGINT),
+                                   list_transform(
+                                       generate_series(i + 1, n - 2),
+                                       j -> CAST(CASE WHEN
+                                           abs(xs[i] - xs[j]) <= 0.2
+                                           AND abs(xs[i+1] - xs[j+1])
+                                               <= 0.2
+                                           THEN 1 ELSE 0 END
+                                           AS BIGINT))),
+                               (a, v) -> a + v))),
+                       (a, v) -> a + v) AS b,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, n - 3 - 1),
+                           i -> list_reduce(
+                               list_prepend(CAST(0 AS BIGINT),
+                                   list_transform(
+                                       generate_series(i + 1, n - 3),
+                                       j -> CAST(CASE WHEN
+                                           abs(xs[i] - xs[j]) <= 0.2
+                                           AND abs(xs[i+1] - xs[j+1])
+                                               <= 0.2
+                                           AND abs(xs[i+2] - xs[j+2])
+                                               <= 0.2
+                                           THEN 1 ELSE 0 END
+                                           AS BIGINT))),
+                               (a, v) -> a + v))),
+                       (a, v) -> a + v) AS a
+            FROM pl
+        )
+        SELECT bucket, n,
+               CASE WHEN n >= 3 THEN b END AS b_matches,
+               CASE WHEN n >= 4 THEN a END AS a_matches,
+               CASE WHEN n >= 3 AND n >= 4 AND b > 0 AND a > 0
+                    THEN -ln(CAST(a AS DOUBLE) / CAST(b AS DOUBLE))
+               END AS sampen
+        FROM cnt
+    """
+    oracles["mdd"] = """
+        -- one prefix-max window; earliest-trough deterministic pick
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(18,2))) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        staged AS (
+            SELECT bucket, x,
+                   max(x) OVER w_p AS peak,
+                   CAST(row_number() OVER w_o AS BIGINT) AS t,
+                   CAST(count(*) OVER w_a AS BIGINT) AS n
+            FROM daily
+            WINDOW w_o AS (PARTITION BY bucket ORDER BY d),
+                   w_p AS (PARTITION BY bucket ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW),
+                   w_a AS (PARTITION BY bucket)
+        ),
+        top AS (
+            SELECT *, peak - x AS dd,
+                   row_number() OVER (PARTITION BY bucket
+                       ORDER BY peak - x DESC, t ASC) AS rn
+            FROM staged
+        )
+        SELECT bucket, n,
+               CAST(peak AS DOUBLE) AS peak,
+               CAST(x AS DOUBLE) AS trough,
+               CAST(dd AS DOUBLE) AS mdd,
+               CASE WHEN peak > 0 THEN
+                   CAST(dd AS DOUBLE) / CAST(peak AS DOUBLE)
+               END AS mdd_rel
+        FROM top WHERE rn = 1
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

@@ -1584,3 +1584,73 @@ def arch_lm(
         F.when(ok, r2).alias("r2"),
         F.when(ok, nd * r2).alias("lm"),
     )
+
+
+def max_drawdown(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, peak, trough, mdd, mdd_rel)`` — maximum drawdown
+    (L314): the deepest peak-to-trough fall of a cumulative curve —
+    the risk number behind "how bad did it get before it recovered",
+    for revenue run-rates, cache hit curves, battery/SLO budgets:
+
+        dd_t = max_{s≤t} x_s − x_t,   MDD = max_t dd_t
+        mdd_rel = MDD / peak-at-that-time   (NULL if peak ≤ 0)
+
+    The running peak is one prefix-max window over exact decimals, so
+    every drawdown is an exact decimal and the argmax row is a
+    deterministic (dd desc, t asc) window pick — ties take the
+    EARLIEST trough.  NULLs refused.
+
+    Scale shape: one keyed window pass + one argmax pick.
+
+    No reference counterpart; monitoring analytics per SURVEY §2.11.
+    """
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"max_drawdown: {n_null} NULL value(s) — impute first"
+        )
+    dec = f"decimal(18,{scale})"
+    xd = F.col(value_col).cast(dec)
+    wt = Window.partitionBy(*by).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    wp = wt.rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = df.select(
+        *by,
+        xd.alias("_x"),
+        F.max(xd).over(wp).alias("_peak"),
+        F.row_number().over(wt).alias("_t"),
+        F.count(F.lit(1)).over(wa).alias("_n"),
+    )
+    dd = F.col("_peak") - F.col("_x")
+    scored = staged.select(
+        *by, "_x", "_peak", "_t", "_n", dd.alias("_dd")
+    )
+    wr = Window.partitionBy(*by).orderBy(
+        F.desc("_dd"), F.asc("_t")
+    )
+    top = scored.select(
+        *by, "_x", "_peak", "_n", "_dd",
+        F.row_number().over(wr).alias("_rn"),
+    ).filter(F.col("_rn") == 1)
+    peak_d = F.col("_peak").cast("double")
+    return top.select(
+        *by,
+        F.col("_n").alias("n"),
+        peak_d.alias("peak"),
+        F.col("_x").cast("double").alias("trough"),
+        F.col("_dd").cast("double").alias("mdd"),
+        F.when(
+            F.col("_peak") > 0,
+            F.col("_dd").cast("double") / peak_d,
+        ).alias("mdd_rel"),
+    )
