@@ -7822,6 +7822,33 @@ def q_mdd(spark, sf_dir):
     )
 
 
+def _price_pair(spark, sf_dir):
+    """(flag, actual price, crude quantity-based estimate) — the
+    method-comparison frame for the L315/L316 agreement pair."""
+    return _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+        (F.col("l_quantity") * 1050).alias("y"),
+    )
+
+
+def q_ccc(spark, sf_dir):
+    """Lin's CCC (L315): does the crude quantity-based estimate AGREE
+    with actual price per returnflag — five exact sums, one tree."""
+    from lmss_entity_extractor_spark.ops.evalmetrics import lins_ccc
+
+    return lins_ccc(_price_pair(spark, sf_dir), ["flag"], "x", "y")
+
+
+def q_bland_altman(spark, sf_dir):
+    """Bland-Altman limits (L316): how far apart the two price
+    measurements can be — exact difference sums, fit broadcast back
+    for the coverage count."""
+    from lmss_entity_extractor_spark.ops.evalmetrics import bland_altman
+
+    return bland_altman(_price_pair(spark, sf_dir), ["flag"], "x", "y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7924,6 +7951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "var_es": q_var_es,
         "sampen": q_sampen,
         "mdd": q_mdd,
+        "ccc": q_ccc,
+        "bland_altman": q_bland_altman,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -19724,6 +19753,117 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dd AS DOUBLE) / CAST(peak AS DOUBLE)
                END AS mdd_rel
         FROM top WHERE rn = 1
+    """
+    oracles["ccc"] = """
+        -- five exact decimal sums; one fixed CCC tree
+        WITH pp AS (
+            SELECT l_returnflag AS flag,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                        AS DECIMAL(38,4)) AS x,
+                   CAST(CAST(l_quantity * 1050 AS DECIMAL(18,4))
+                        AS DECIMAL(38,4)) AS y
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+              AND l_quantity IS NOT NULL
+        ),
+        agg AS (
+            SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy,
+                   sum(x * y) AS sxy
+            FROM pp GROUP BY 1
+        ),
+        t AS (
+            SELECT flag, n,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(sx AS DOUBLE) AS sxd,
+                   CAST(sy AS DOUBLE) AS syd,
+                   CAST(sxx AS DOUBLE) AS sxxd,
+                   CAST(syy AS DOUBLE) AS syyd,
+                   CAST(sxy AS DOUBLE) AS sxyd
+            FROM agg
+        ),
+        m AS (
+            SELECT flag, n,
+                   (nd * sxxd - sxd * sxd) / (nd * nd) AS vx,
+                   (nd * syyd - syd * syd) / (nd * nd) AS vy,
+                   (nd * sxyd - sxd * syd) / (nd * nd) AS cov,
+                   sxd / nd - syd / nd AS dm
+            FROM t
+        ),
+        f AS (
+            SELECT flag, n, vx, vy, cov,
+                   vx + vy + dm * dm AS den
+            FROM m
+        )
+        SELECT flag, n,
+               CASE WHEN n >= 2 AND den > 0.0 AND vx > 0.0
+                         AND vy > 0.0
+                    THEN cov / sqrt(vx * vy) END AS pearson,
+               CASE WHEN n >= 2 AND den > 0.0 AND vx > 0.0
+                         AND vy > 0.0 AND cov <> 0.0
+                    THEN (2.0 * cov / den)
+                         / (cov / sqrt(vx * vy)) END AS c_b,
+               CASE WHEN n >= 2 AND den > 0.0
+                    THEN 2.0 * cov / den END AS ccc
+        FROM f
+    """
+    oracles["bland_altman"] = """
+        -- exact difference sums; limits broadcast back for coverage
+        WITH pp AS (
+            SELECT l_returnflag AS flag,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                        AS DECIMAL(38,4))
+                   - CAST(CAST(l_quantity * 1050 AS DECIMAL(18,4))
+                          AS DECIMAL(38,4)) AS d
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+              AND l_quantity IS NOT NULL
+        ),
+        agg AS (
+            SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                   sum(d) AS s, sum(d * d) AS q
+            FROM pp GROUP BY 1
+        ),
+        t AS (
+            SELECT flag, n,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(s AS DOUBLE) AS sd,
+                   CAST(q AS DOUBLE) AS qd
+            FROM agg
+        ),
+        fit AS (
+            SELECT flag, n, sd / nd AS bias,
+                   CASE WHEN n >= 2 AND
+                        (nd * qd - sd * sd) / (nd * (nd - 1.0))
+                            > 0.0
+                   THEN sqrt((nd * qd - sd * sd)
+                             / (nd * (nd - 1.0))) END AS sd_diff,
+                   nd
+            FROM t
+        ),
+        lim AS (
+            SELECT flag, n, bias, sd_diff,
+                   bias - 1.96 * sd_diff AS loa_lo,
+                   bias + 1.96 * sd_diff AS loa_hi
+            FROM fit
+        ),
+        cov AS (
+            SELECT lim.flag, lim.n, lim.bias, lim.sd_diff,
+                   lim.loa_lo, lim.loa_hi,
+                   CAST(sum(CASE WHEN CAST(pp.d AS DOUBLE)
+                                      >= lim.loa_lo
+                                 AND CAST(pp.d AS DOUBLE)
+                                      <= lim.loa_hi
+                            THEN 1 ELSE 0 END) AS BIGINT) AS inn
+            FROM pp JOIN lim ON pp.flag = lim.flag
+            GROUP BY 1, 2, 3, 4, 5, 6
+        )
+        SELECT flag, n, bias, sd_diff, loa_lo, loa_hi,
+               CASE WHEN sd_diff IS NOT NULL THEN
+                   CAST(inn AS DOUBLE) / CAST(n AS DOUBLE)
+               END AS coverage
+        FROM cov
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

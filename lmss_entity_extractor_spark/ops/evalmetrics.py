@@ -1273,3 +1273,156 @@ def stuart_maxwell_3(
         F.when(den > 0.0, num / den).alias("chi2"),
         F.when(den > 0.0, F.lit(2)).alias("dof"),
     )
+
+
+def lins_ccc(
+    df: DataFrame,
+    by: list[str],
+    x_col: str,
+    y_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., n, pearson, c_b, ccc)`` — Lin's concordance
+    correlation coefficient (L315, Lin 1989): do two CONTINUOUS
+    measurements AGREE (fall on the y = x line), not merely correlate
+    — the continuous-score counterpart of Cohen's κ (L185) and the
+    fix for the classic trap where a re-scored model correlates 0.99
+    with the old one while sitting 20 points higher:
+
+        CCC = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²)  =  r · C_b
+
+    (C_b = the bias-correction factor; CCC = Pearson times how far
+    the best-fit line sits from the identity).  All five sufficient
+    sums are EXACT decimals (the L139 discipline); CCC is one fixed
+    IEEE tree.  Population (1/n) moments, the standard CCC
+    convention.  Zero variance on both margins and equal means →
+    NULL (0/0); n < 2 → NULL.
+
+    Scale shape: ONE combinable aggregation — one scan of 100 TB.
+
+    No reference counterpart; agreement analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    xd = F.col(x_col).cast(dec)
+    yd = F.col(y_col).cast(dec)
+    agg = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xd).alias("_sx"),
+            F.sum(yd).alias("_sy"),
+            F.sum(xd * xd).alias("_sxx"),
+            F.sum(yd * yd).alias("_syy"),
+            F.sum(xd * yd).alias("_sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    # population moments via the cross-multiplied exact sums
+    vx = (nd * sxx - sx * sx) / (nd * nd)
+    vy = (nd * syy - sy * sy) / (nd * nd)
+    cov = (nd * sxy - sx * sy) / (nd * nd)
+    dm = sx / nd - sy / nd
+    den = vx + vy + dm * dm
+    ccc = F.lit(2.0) * cov / den
+    r = cov / F.sqrt(vx * vy)
+    ok = (F.col("n") >= 2) & (den > 0.0)
+    ok_r = ok & (vx > 0.0) & (vy > 0.0)
+    return agg.select(
+        *by,
+        "n",
+        F.when(ok_r, r).alias("pearson"),
+        F.when(ok_r & (cov != 0.0), ccc / r).alias("c_b"),
+        F.when(ok, ccc).alias("ccc"),
+    )
+
+
+def bland_altman(
+    df: DataFrame,
+    by: list[str],
+    x_col: str,
+    y_col: str,
+    z: float = 1.96,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., n, bias, sd_diff, loa_lo, loa_hi, coverage)`` — the
+    Bland-Altman limits of agreement (L316, Bland & Altman 1986):
+    HOW FAR APART can two measurements of the same thing be — the
+    method-comparison companion to Lin's CCC (L315 scores agreement;
+    Bland-Altman quantifies its width in the measurement's own
+    units):
+
+        d = x − y;  bias = d̄;  LoA = bias ± z·s_d
+        coverage = share of |d − bias| ≤ z·s_d
+
+    The difference sums are exact decimals (d is exact, so d̄ and s_d
+    come from cross-multiplied sums — sample s_d, the standard BA
+    convention); coverage needs a SECOND scan with the fitted limits
+    broadcast back (fit-small/apply-wide, the L143 discipline) but
+    its count is exact.  n < 2 or zero s_d → NULL limits (coverage 1
+    by definition when every d equals the bias — reported NULL with
+    the limits, never silently).
+
+    Scale shape: one combinable agg + one broadcast join back + one
+    combinable count — two scans.
+
+    No reference counterpart; agreement analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    d38 = f"decimal(38,{scale})"
+    flt = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+    d = F.col(x_col).cast(dec).cast(d38) - F.col(y_col).cast(dec).cast(
+        d38
+    )
+    base = flt.select(*by, d.alias("_d"))
+    agg = base.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_d").alias("_s"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_q"),
+    )
+    nd = F.col("n").cast("double")
+    sd_ = F.col("_s").cast("double")
+    qd = F.col("_q").cast("double")
+    bias = sd_ / nd
+    var = (nd * qd - sd_ * sd_) / (nd * (nd - F.lit(1.0)))
+    sdd = F.sqrt(var)
+    zl = F.lit(float(z))
+    ok = (F.col("n") >= 2) & (var > 0.0)
+    fit = agg.select(
+        *by,
+        "n",
+        bias.alias("bias"),
+        F.when(ok, sdd).alias("sd_diff"),
+        F.when(ok, bias - zl * sdd).alias("loa_lo"),
+        F.when(ok, bias + zl * sdd).alias("loa_hi"),
+    )
+    joined = (
+        base.join(F.broadcast(fit), by)
+        if by
+        else base.crossJoin(F.broadcast(fit))
+    )
+    inside = (
+        F.col("_d").cast("double") >= F.col("loa_lo")
+    ) & (F.col("_d").cast("double") <= F.col("loa_hi"))
+    cov = joined.groupBy(
+        *by, "n", "bias", "sd_diff", "loa_lo", "loa_hi"
+    ).agg(F.sum(inside.cast("long")).alias("_in"))
+    return cov.select(
+        *by,
+        "n",
+        "bias",
+        "sd_diff",
+        "loa_lo",
+        "loa_hi",
+        F.when(
+            F.col("sd_diff").isNotNull(),
+            F.col("_in").cast("double") / F.col("n").cast("double"),
+        ).alias("coverage"),
+    )
