@@ -7849,6 +7849,36 @@ def q_bland_altman(spark, sf_dir):
     return bland_altman(_price_pair(spark, sf_dir), ["flag"], "x", "y")
 
 
+def q_deming(spark, sf_dir):
+    """Deming regression (L317): the errors-in-both-variables line
+    between actual price and the crude estimate — closed form from
+    the five exact sums."""
+    from lmss_entity_extractor_spark.ops.regression import deming_regression
+
+    return deming_regression(
+        _price_pair(spark, sf_dir), ["flag"], "x", "y"
+    )
+
+
+def q_did(spark, sf_dir):
+    """Difference-in-differences (L318): did odd-user event values
+    move differently after mid-month, per event type — one combinable
+    agg over the four cells."""
+    from lmss_entity_extractor_spark.ops.regression import did_estimator
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.col("user_id") % 2).cast("int").alias("tr"),
+            (F.dayofmonth("ts") >= 16).cast("int").alias("po"),
+            "value",
+        )
+    )
+    return did_estimator(e, ["event_type"], "tr", "po", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7953,6 +7983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mdd": q_mdd,
         "ccc": q_ccc,
         "bland_altman": q_bland_altman,
+        "deming": q_deming,
+        "did": q_did,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -19864,6 +19896,133 @@ def oracle_sql() -> dict[str, str]:
                    CAST(inn AS DOUBLE) / CAST(n AS DOUBLE)
                END AS coverage
         FROM cov
+    """
+    oracles["deming"] = """
+        -- the L315 five-sum frame; one closed-form Deming tree
+        WITH pp AS (
+            SELECT l_returnflag AS flag,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                        AS DECIMAL(38,4)) AS x,
+                   CAST(CAST(l_quantity * 1050 AS DECIMAL(18,4))
+                        AS DECIMAL(38,4)) AS y
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+              AND l_quantity IS NOT NULL
+        ),
+        agg AS (
+            SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy,
+                   sum(x * y) AS sxy
+            FROM pp GROUP BY 1
+        ),
+        t AS (
+            SELECT flag, n,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(sx AS DOUBLE) AS sxd,
+                   CAST(sy AS DOUBLE) AS syd,
+                   CAST(sxx AS DOUBLE) AS sxxd,
+                   CAST(syy AS DOUBLE) AS syyd,
+                   CAST(sxy AS DOUBLE) AS sxyd
+            FROM agg
+        ),
+        m AS (
+            SELECT flag, n, nd, sxd, syd,
+                   (nd * sxxd - sxd * sxd) / (nd * nd) AS vx,
+                   (nd * syyd - syd * syd) / (nd * nd) AS vy,
+                   (nd * sxyd - sxd * syd) / (nd * nd) AS cov
+            FROM t
+        ),
+        f AS (
+            SELECT flag, n, nd, sxd, syd,
+                   CASE WHEN n >= 3 AND cov <> 0.0 THEN
+                       (vy - 1.0 * vx
+                        + sqrt((vy - 1.0 * vx) * (vy - 1.0 * vx)
+                               + 4.0 * 1.0 * cov * cov))
+                       / (2.0 * cov) END AS slope
+            FROM m
+        )
+        SELECT flag, n, slope,
+               (syd / nd) - slope * (sxd / nd) AS intercept
+        FROM f
+    """
+    oracles["did"] = """
+        -- four exact cells from ONE agg; DiD/se/t fixed trees
+        WITH flt AS (
+            SELECT event_type,
+                   CAST(user_id % 2 AS INTEGER) AS g,
+                   CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END AS p,
+                   CAST(value AS DECIMAL(18,4)) AS x
+            FROM events WHERE value IS NOT NULL
+        ),
+        agg AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN g=0 AND p=0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n00,
+                   sum(CASE WHEN g=0 AND p=0 THEN x END) AS s00,
+                   sum(CASE WHEN g=0 AND p=0 THEN x*x END) AS q00,
+                   CAST(sum(CASE WHEN g=0 AND p=1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n01,
+                   sum(CASE WHEN g=0 AND p=1 THEN x END) AS s01,
+                   sum(CASE WHEN g=0 AND p=1 THEN x*x END) AS q01,
+                   CAST(sum(CASE WHEN g=1 AND p=0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n10,
+                   sum(CASE WHEN g=1 AND p=0 THEN x END) AS s10,
+                   sum(CASE WHEN g=1 AND p=0 THEN x*x END) AS q10,
+                   CAST(sum(CASE WHEN g=1 AND p=1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n11,
+                   sum(CASE WHEN g=1 AND p=1 THEN x END) AS s11,
+                   sum(CASE WHEN g=1 AND p=1 THEN x*x END) AS q11
+            FROM flt GROUP BY 1
+        ),
+        m AS (
+            SELECT event_type, n, n00, n01, n10, n11,
+                   CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) AS m00,
+                   CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) AS m01,
+                   CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) AS m10,
+                   CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) AS m11,
+                   (CAST(n00 AS DOUBLE) * CAST(q00 AS DOUBLE)
+                    - CAST(s00 AS DOUBLE) * CAST(s00 AS DOUBLE))
+                   / (CAST(n00 AS DOUBLE)
+                      * (CAST(n00 AS DOUBLE) - 1.0))
+                   / CAST(n00 AS DOUBLE) AS v00,
+                   (CAST(n01 AS DOUBLE) * CAST(q01 AS DOUBLE)
+                    - CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE))
+                   / (CAST(n01 AS DOUBLE)
+                      * (CAST(n01 AS DOUBLE) - 1.0))
+                   / CAST(n01 AS DOUBLE) AS v01,
+                   (CAST(n10 AS DOUBLE) * CAST(q10 AS DOUBLE)
+                    - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE))
+                   / (CAST(n10 AS DOUBLE)
+                      * (CAST(n10 AS DOUBLE) - 1.0))
+                   / CAST(n10 AS DOUBLE) AS v10,
+                   (CAST(n11 AS DOUBLE) * CAST(q11 AS DOUBLE)
+                    - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE))
+                   / (CAST(n11 AS DOUBLE)
+                      * (CAST(n11 AS DOUBLE) - 1.0))
+                   / CAST(n11 AS DOUBLE) AS v11
+            FROM agg
+        ),
+        f AS (
+            SELECT *,
+                   (m11 - m10) - (m01 - m00) AS did,
+                   v00 + v01 + v10 + v11 AS sev
+            FROM m
+        )
+        SELECT event_type, n,
+               CASE WHEN n00 >= 1 THEN m00 END AS m00,
+               CASE WHEN n01 >= 1 THEN m01 END AS m01,
+               CASE WHEN n10 >= 1 THEN m10 END AS m10,
+               CASE WHEN n11 >= 1 THEN m11 END AS m11,
+               CASE WHEN n00 >= 1 AND n01 >= 1 AND n10 >= 1
+                         AND n11 >= 1 THEN did END AS did,
+               CASE WHEN n00 >= 2 AND n01 >= 2 AND n10 >= 2
+                         AND n11 >= 2 AND sev > 0.0
+                    THEN sqrt(sev) END AS se,
+               CASE WHEN n00 >= 2 AND n01 >= 2 AND n10 >= 2
+                         AND n11 >= 2 AND sev > 0.0
+                    THEN did / sqrt(sev) END AS t
+        FROM f
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

@@ -311,3 +311,176 @@ def breusch_pagan(
         F.when(ok, lm).alias("lm"),
         F.when(ok, F.lit(1)).alias("df_bp"),
     )
+
+
+def deming_regression(
+    df: DataFrame,
+    by: list[str],
+    x_col: str,
+    y_col: str,
+    lam: float = 1.0,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., n, slope, intercept)`` — Deming regression (L317):
+    the line when BOTH variables carry measurement error — OLS (L135)
+    assumes x is exact and attenuates the slope toward 0; Deming
+    splits the residual between the axes by the error-variance ratio
+    λ (λ = 1 ⇒ orthogonal regression), which is the right model for
+    comparing two measured scores (the fit companion to Lin's CCC
+    L315 / Bland-Altman L316):
+
+        β = (s_y² − λ·s_x² + sqrt((s_y² − λ·s_x²)² + 4λ·s_xy²))
+            / (2·s_xy)
+        α = ȳ − β·x̄
+
+    Closed form from the SAME five exact decimal sums as L315 — one
+    fixed IEEE tree, no iteration.  s_xy = 0 → NULL (the line is
+    axis-aligned and β is 0/0); n < 3 → NULL.
+
+    Scale shape: ONE combinable aggregation.
+
+    No reference counterpart; agreement analytics per SURVEY §2.11.
+    """
+    if not lam > 0:
+        raise ValueError("deming_regression: lam must be > 0")
+    dec = f"decimal(18,{scale})"
+    d38 = f"decimal(38,{scale})"
+    xd = F.col(x_col).cast(dec).cast(d38)
+    yd = F.col(y_col).cast(dec).cast(d38)
+    agg = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xd).alias("_sx"),
+            F.sum(yd).alias("_sy"),
+            F.sum(xd * xd).alias("_sxx"),
+            F.sum(yd * yd).alias("_syy"),
+            F.sum(xd * yd).alias("_sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    vx = (nd * sxx - sx * sx) / (nd * nd)
+    vy = (nd * syy - sy * sy) / (nd * nd)
+    cov = (nd * sxy - sx * sy) / (nd * nd)
+    ll = F.lit(float(lam))
+    disc = (vy - ll * vx) * (vy - ll * vx) + F.lit(4.0) * ll * cov * cov
+    slope = (vy - ll * vx + F.sqrt(disc)) / (F.lit(2.0) * cov)
+    ok = (F.col("n") >= 3) & (cov != 0.0)
+    s1 = agg.select(
+        *by,
+        "n",
+        F.when(ok, slope).alias("slope"),
+        (sy / nd).alias("_my"),
+        (sx / nd).alias("_mx"),
+    )
+    return s1.select(
+        *by,
+        "n",
+        "slope",
+        (F.col("_my") - F.col("slope") * F.col("_mx")).alias(
+            "intercept"
+        ),
+    )
+
+
+def did_estimator(
+    df: DataFrame,
+    by: list[str],
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., n, m00, m01, m10, m11, did, se, t)`` — the 2×2
+    difference-in-differences estimator (L318): the workhorse causal
+    panel design — did the TREATED group's pre→post change exceed the
+    CONTROL group's (which absorbs the secular trend a naive
+    before/after comparison would misattribute):
+
+        DiD = (m̄_treat,post − m̄_treat,pre)
+              − (m̄_ctrl,post − m̄_ctrl,pre)
+        se = sqrt(Σ_cells s²_cell/n_cell)     (unpooled, Welch-style)
+
+    All four cells' sufficient statistics come from ONE combinable
+    aggregation (exact decimals); DiD/se/t are fixed IEEE trees.
+    Any cell with n < 2 (or zero variance in all cells) → NULL se/t;
+    a missing cell → NULL did.  ``treat_col``/``post_col`` are 0/1
+    integer indicators (the caller's assignment encoding).
+
+    Scale shape: ONE combinable aggregation over the panel.
+
+    No reference counterpart; causal analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(treat_col).isin([0, 1])
+        & F.col(post_col).isin([0, 1])
+    )
+    xd = F.col(value_col).cast(dec)
+    g = F.col(treat_col).cast("int")
+    p = F.col(post_col).cast("int")
+
+    def cell(gg, pp, expr, name):
+        return F.sum(
+            F.when((g == gg) & (p == pp), expr)
+        ).alias(name)
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for gg in (0, 1):
+        for pp in (0, 1):
+            aggs += [
+                F.sum(
+                    F.when((g == gg) & (p == pp), 1).otherwise(0)
+                ).alias(f"_n{gg}{pp}"),
+                cell(gg, pp, xd, f"_s{gg}{pp}"),
+                cell(gg, pp, xd * xd, f"_q{gg}{pp}"),
+            ]
+    agg = flt.groupBy(*by).agg(*aggs)
+
+    def m(gg, pp):
+        return F.col(f"_s{gg}{pp}").cast("double") / F.col(
+            f"_n{gg}{pp}"
+        ).cast("double")
+
+    def vterm(gg, pp):
+        ncell = F.col(f"_n{gg}{pp}").cast("double")
+        sc = F.col(f"_s{gg}{pp}").cast("double")
+        qc = F.col(f"_q{gg}{pp}").cast("double")
+        var = (ncell * qc - sc * sc) / (
+            ncell * (ncell - F.lit(1.0))
+        )
+        return var / ncell
+
+    have_all = (
+        (F.col("_n00") >= 1)
+        & (F.col("_n01") >= 1)
+        & (F.col("_n10") >= 1)
+        & (F.col("_n11") >= 1)
+    )
+    big_enough = (
+        (F.col("_n00") >= 2)
+        & (F.col("_n01") >= 2)
+        & (F.col("_n10") >= 2)
+        & (F.col("_n11") >= 2)
+    )
+    did = (m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0))
+    sev = vterm(0, 0) + vterm(0, 1) + vterm(1, 0) + vterm(1, 1)
+    se = F.sqrt(sev)
+    return agg.select(
+        *by,
+        "n",
+        F.when(F.col("_n00") >= 1, m(0, 0)).alias("m00"),
+        F.when(F.col("_n01") >= 1, m(0, 1)).alias("m01"),
+        F.when(F.col("_n10") >= 1, m(1, 0)).alias("m10"),
+        F.when(F.col("_n11") >= 1, m(1, 1)).alias("m11"),
+        F.when(have_all, did).alias("did"),
+        F.when(big_enough & (sev > 0.0), se).alias("se"),
+        F.when(big_enough & (sev > 0.0), did / se).alias("t"),
+    )
