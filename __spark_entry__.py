@@ -7879,6 +7879,46 @@ def q_did(spark, sf_dir):
     return did_estimator(e, ["event_type"], "tr", "po", "value")
 
 
+def q_mix_shift(spark, sf_dir):
+    """Mix-shift decomposition (L319): is the odd/even-customer
+    fill-rate gap driven by per-priority rates or by priority mix —
+    exact cells, Kitagawa folds."""
+    from lmss_entity_extractor_spark.ops.effectsize import (
+        mix_shift_decomposition,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("seg"),
+        (F.col("o_custkey") % 2).alias("grp"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("succ"),
+        F.lit(1).cast("long").alias("trial"),
+    )
+    return mix_shift_decomposition(
+        o, [], "seg", "grp", 0, 1, "succ", "trial"
+    )
+
+
+def q_yuen(spark, sf_dir):
+    """Yuen's trimmed t (L320): robust click vs view value comparison
+    per bucket — positional trim boundaries, closed-form winsorized
+    sums."""
+    from lmss_entity_extractor_spark.ops.stattests import yuen_ttest
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 2).alias("bucket"),
+            "event_type",
+            "value",
+        )
+    )
+    return yuen_ttest(
+        e, ["bucket"], "event_type", "click", "view", "value",
+        trim_pct=20,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -7985,6 +8025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bland_altman": q_bland_altman,
         "deming": q_deming,
         "did": q_did,
+        "mix_shift": q_mix_shift,
+        "yuen": q_yuen,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -20023,6 +20065,192 @@ def oracle_sql() -> dict[str, str]:
                          AND n11 >= 2 AND sev > 0.0
                     THEN did / sqrt(sev) END AS t
         FROM f
+    """
+    oracles["mix_shift"] = """
+        -- exact cells; Kitagawa midpoint folds over sorted segments
+        WITH cells AS (
+            SELECT o_orderpriority AS seg,
+                   o_custkey % 2 AS grp,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1
+                            ELSE 0 END) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS t
+            FROM orders GROUP BY 1, 2
+        ),
+        wide AS (
+            SELECT seg,
+                   CAST(sum(CASE WHEN grp = 0 THEN s END)
+                        AS BIGINT) AS sa,
+                   CAST(sum(CASE WHEN grp = 0 THEN t END)
+                        AS BIGINT) AS ta,
+                   CAST(sum(CASE WHEN grp = 1 THEN s END)
+                        AS BIGINT) AS sb,
+                   CAST(sum(CASE WHEN grp = 1 THEN t END)
+                        AS BIGINT) AS tb
+            FROM cells GROUP BY 1
+        ),
+        packed AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(sum(sa) AS BIGINT) AS tsa,
+                   CAST(sum(ta) AS BIGINT) AS tta,
+                   CAST(sum(sb) AS BIGINT) AS tsb,
+                   CAST(sum(tb) AS BIGINT) AS ttb,
+                   list_sort(list(struct_pack(
+                       seg := seg, sa := sa, ta := ta,
+                       sb := sb, tb := tb))) AS lv
+            FROM wide
+        ),
+        f AS (
+            SELECT *,
+                   list_reduce(list_prepend(0.0,
+                       [((CAST(e.ta AS DOUBLE)
+                          / CAST(tta AS DOUBLE)
+                          + CAST(e.tb AS DOUBLE)
+                            / CAST(ttb AS DOUBLE)) / 2.0)
+                        * (CAST(e.sa AS DOUBLE)
+                           / CAST(e.ta AS DOUBLE)
+                           - CAST(e.sb AS DOUBLE)
+                             / CAST(e.tb AS DOUBLE))
+                        FOR e IN lv]),
+                       (a, v) -> a + v) AS rate_effect,
+                   list_reduce(list_prepend(0.0,
+                       [((CAST(e.sa AS DOUBLE)
+                          / CAST(e.ta AS DOUBLE)
+                          + CAST(e.sb AS DOUBLE)
+                            / CAST(e.tb AS DOUBLE)) / 2.0)
+                        * (CAST(e.ta AS DOUBLE)
+                           / CAST(tta AS DOUBLE)
+                           - CAST(e.tb AS DOUBLE)
+                             / CAST(ttb AS DOUBLE))
+                        FOR e IN lv]),
+                       (a, v) -> a + v) AS mix_effect
+            FROM packed
+        )
+        SELECT n_segments,
+               CASE WHEN tta > 0 AND ttb > 0 THEN
+                   CAST(tsa AS DOUBLE) / CAST(tta AS DOUBLE)
+               END AS rate_a,
+               CASE WHEN tta > 0 AND ttb > 0 THEN
+                   CAST(tsb AS DOUBLE) / CAST(ttb AS DOUBLE)
+               END AS rate_b,
+               CASE WHEN tta > 0 AND ttb > 0 THEN
+                   CAST(tsa AS DOUBLE) / CAST(tta AS DOUBLE)
+                   - CAST(tsb AS DOUBLE) / CAST(ttb AS DOUBLE)
+               END AS delta,
+               CASE WHEN tta > 0 AND ttb > 0
+                    THEN rate_effect END AS rate_effect,
+               CASE WHEN tta > 0 AND ttb > 0
+                    THEN mix_effect END AS mix_effect
+        FROM f
+    """
+    oracles["yuen"] = """
+        -- positional trim boundaries; closed-form winsorized sums
+        WITH flt AS (
+            SELECT user_id % 2 AS bucket, event_type AS g,
+                   CAST(CAST(value AS DECIMAL(18,4))
+                        AS DECIMAL(38,4)) AS x
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('click', 'view')
+        ),
+        ranked AS (
+            SELECT bucket, g, x,
+                   CAST(row_number() OVER w_o AS BIGINT) AS r,
+                   CAST(count(*) OVER w_a AS BIGINT) AS n
+            FROM flt
+            WINDOW w_o AS (PARTITION BY bucket, g ORDER BY x),
+                   w_a AS (PARTITION BY bucket, g)
+        ),
+        side AS (
+            SELECT bucket, g, CAST(max(n) AS BIGINT) AS nn,
+                   sum(CASE WHEN r > (n * 20) // 100
+                             AND r <= n - (n * 20) // 100
+                        THEN x END) AS ts,
+                   sum(CASE WHEN r > (n * 20) // 100
+                             AND r <= n - (n * 20) // 100
+                        THEN x * x END) AS tq,
+                   max(CASE WHEN r = (n * 20) // 100 + 1
+                        THEN x END) AS lo,
+                   max(CASE WHEN r = n - (n * 20) // 100
+                        THEN x END) AS hi
+            FROM ranked GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT bucket,
+                   max(CASE WHEN g = 'click' THEN nn END) AS na,
+                   max(CASE WHEN g = 'click' THEN ts END) AS tsa,
+                   max(CASE WHEN g = 'click' THEN tq END) AS tqa,
+                   max(CASE WHEN g = 'click' THEN lo END) AS loa,
+                   max(CASE WHEN g = 'click' THEN hi END) AS hia,
+                   max(CASE WHEN g = 'view' THEN nn END) AS nb,
+                   max(CASE WHEN g = 'view' THEN ts END) AS tsb,
+                   max(CASE WHEN g = 'view' THEN tq END) AS tqb,
+                   max(CASE WHEN g = 'view' THEN lo END) AS lob,
+                   max(CASE WHEN g = 'view' THEN hi END) AS hib
+            FROM side GROUP BY 1
+        ),
+        st AS (
+            SELECT bucket, na, nb,
+                   CAST(na AS DOUBLE)
+                       - 2.0 * CAST((na * 20) // 100 AS DOUBLE)
+                       AS ha,
+                   CAST(nb AS DOUBLE)
+                       - 2.0 * CAST((nb * 20) // 100 AS DOUBLE)
+                       AS hb,
+                   CAST(tsa AS DOUBLE) AS tsad,
+                   CAST(tqa AS DOUBLE) AS tqad,
+                   CAST((na * 20) // 100 AS DOUBLE) AS gad,
+                   CAST(loa AS DOUBLE) AS load_,
+                   CAST(hia AS DOUBLE) AS hiad,
+                   CAST(tsb AS DOUBLE) AS tsbd,
+                   CAST(tqb AS DOUBLE) AS tqbd,
+                   CAST((nb * 20) // 100 AS DOUBLE) AS gbd,
+                   CAST(lob AS DOUBLE) AS lobd,
+                   CAST(hib AS DOUBLE) AS hibd,
+                   CAST(na AS DOUBLE) AS nad,
+                   CAST(nb AS DOUBLE) AS nbd
+            FROM agg
+        ),
+        w AS (
+            SELECT bucket, na, nb, ha, hb,
+                   tsad / ha AS tma, tsbd / hb AS tmb,
+                   ((nad * (tqad + gad * (load_ * load_
+                                          + hiad * hiad))
+                     - (tsad + gad * (load_ + hiad))
+                       * (tsad + gad * (load_ + hiad)))
+                    / (nad * (nad - 1.0)))
+                   * (nad - 1.0) / (ha * (ha - 1.0)) AS da,
+                   ((nbd * (tqbd + gbd * (lobd * lobd
+                                          + hibd * hibd))
+                     - (tsbd + gbd * (lobd + hibd))
+                       * (tsbd + gbd * (lobd + hibd)))
+                    / (nbd * (nbd - 1.0)))
+                   * (nbd - 1.0) / (hb * (hb - 1.0)) AS db
+            FROM st
+        )
+        SELECT bucket, na AS n_a, nb AS n_b,
+               CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+                         AND ha >= 2.0 AND hb >= 2.0
+                    THEN ha END AS h_a,
+               CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+                         AND ha >= 2.0 AND hb >= 2.0
+                    THEN hb END AS h_b,
+               CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+                         AND ha >= 2.0 AND hb >= 2.0
+                    THEN tma END AS tmean_a,
+               CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+                         AND ha >= 2.0 AND hb >= 2.0
+                    THEN tmb END AS tmean_b,
+               CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+                         AND ha >= 2.0 AND hb >= 2.0
+                         AND da + db > 0.0
+                    THEN (tma - tmb) / sqrt(da + db) END AS t,
+               CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+                         AND ha >= 2.0 AND hb >= 2.0
+                         AND da + db > 0.0
+                    THEN ((da + db) * (da + db))
+                         / (da * da / (ha - 1.0)
+                            + db * db / (hb - 1.0)) END AS df_y
+        FROM w
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

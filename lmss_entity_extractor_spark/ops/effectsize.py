@@ -683,3 +683,114 @@ def meta_pool(
         (F.col("_swry") / F.col("_swr")).alias("effect_random"),
         F.sqrt(F.lit(1.0) / F.col("_swr")).alias("se_random"),
     )
+
+
+def mix_shift_decomposition(
+    df: DataFrame,
+    by: list[str],
+    segment_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    succ_col: str,
+    trial_col: str,
+    max_segments: int = 100_000,
+) -> DataFrame:
+    """``(by..., n_segments, rate_a, rate_b, delta, rate_effect,
+    mix_effect)`` — the Kitagawa/Oaxaca mix-shift decomposition
+    (L319): WHY did the aggregate rate move between two populations —
+    because per-segment rates changed, or because the traffic MIX
+    shifted toward different segments (the Simpson's-paradox
+    post-mortem, L141's audit quantified):
+
+        Δ = R_A − R_B = Σ_s w̄_s·(r_As − r_Bs)   [rate effect]
+                      + Σ_s r̄_s·(w_As − w_Bs)   [mix effect]
+
+    with w = segment trial share, r = segment rate, and bars the
+    two-population means — an exact algebraic identity (pinned by
+    test).  Segment cells are exact integer sums; the folds run over
+    the bounded sorted segment list (``max_segments`` refused
+    beyond).  Segments present on only ONE side are REFUSED loudly —
+    the midpoint convention is a modelling choice the caller must
+    make explicitly (coalesce segments first).
+
+    Scale shape: one combinable (keys, segment, group) cell agg + one
+    bounded fold — one scan of 100 TB.
+
+    No reference counterpart; metric-forensics analytics per SURVEY
+    §2.11.
+    """
+    flt = df.filter(
+        F.col(segment_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+        & F.col(succ_col).isNotNull()
+        & F.col(trial_col).isNotNull()
+    )
+    cells = flt.groupBy(
+        *by,
+        F.col(segment_col).alias("_seg"),
+        F.col(group_col).alias("_g"),
+    ).agg(
+        F.sum(succ_col).alias("_s"), F.sum(trial_col).alias("_t")
+    )
+    wide = cells.groupBy(*by, "_seg").agg(
+        F.sum(F.when(F.col("_g") == group_a, F.col("_s"))).alias("_sa"),
+        F.sum(F.when(F.col("_g") == group_a, F.col("_t"))).alias("_ta"),
+        F.sum(F.when(F.col("_g") == group_b, F.col("_s"))).alias("_sb"),
+        F.sum(F.when(F.col("_g") == group_b, F.col("_t"))).alias("_tb"),
+    )
+    n_onesided = wide.filter(
+        F.col("_ta").isNull() | F.col("_tb").isNull()
+    ).count()
+    if n_onesided:
+        raise ValueError(
+            f"mix_shift_decomposition: {n_onesided} segment(s) "
+            "present on only one side — coalesce segments first"
+        )
+    sizes = wide.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > max_segments).count()
+    if over:
+        raise ValueError(
+            "mix_shift_decomposition: a group exceeds "
+            f"max_segments={max_segments}"
+        )
+    packed = wide.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("_sa").alias("_tsa"),
+        F.sum("_ta").alias("_tta"),
+        F.sum("_sb").alias("_tsb"),
+        F.sum("_tb").alias("_ttb"),
+        F.sort_array(
+            F.collect_list(F.struct("_seg", "_sa", "_ta", "_sb", "_tb"))
+        ).alias("_lv"),
+    )
+    tta = F.col("_tta").cast("double")
+    ttb = F.col("_ttb").cast("double")
+
+    def _fold(term):
+        return F.aggregate(
+            F.col("_lv"), F.lit(0.0), lambda a, e: a + term(e)
+        )
+
+    ra = lambda e: e["_sa"].cast("double") / e["_ta"].cast("double")
+    rb = lambda e: e["_sb"].cast("double") / e["_tb"].cast("double")
+    wa = lambda e: e["_ta"].cast("double") / tta
+    wb = lambda e: e["_tb"].cast("double") / ttb
+    rate_eff = _fold(
+        lambda e: (wa(e) + wb(e)) / F.lit(2.0) * (ra(e) - rb(e))
+    )
+    mix_eff = _fold(
+        lambda e: (ra(e) + rb(e)) / F.lit(2.0) * (wa(e) - wb(e))
+    )
+    rate_a = F.col("_tsa").cast("double") / tta
+    rate_b = F.col("_tsb").cast("double") / ttb
+    ok = (F.col("_tta") > 0) & (F.col("_ttb") > 0)
+    return packed.select(
+        *by,
+        "n_segments",
+        F.when(ok, rate_a).alias("rate_a"),
+        F.when(ok, rate_b).alias("rate_b"),
+        F.when(ok, rate_a - rate_b).alias("delta"),
+        F.when(ok, rate_eff).alias("rate_effect"),
+        F.when(ok, mix_eff).alias("mix_effect"),
+    )

@@ -35,7 +35,7 @@ No reference counterpart; experiment analytics per SURVEY §2.11.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1457,4 +1457,130 @@ def jarque_bera(
         F.when(ok, skew).alias("skew"),
         F.when(ok, kurt).alias("ex_kurt"),
         F.when(ok, jb).alias("jb"),
+    )
+
+
+def yuen_ttest(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    value_col: str,
+    trim_pct: int = 20,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., n_a, n_b, h_a, h_b, tmean_a, tmean_b, t, df_y)`` —
+    Yuen's trimmed-mean t-test (L320, Yuen 1974): the robust Welch
+    (L139) — compare g%-trimmed means with winsorized variances, so a
+    handful of outliers cannot buy or kill significance:
+
+        g = ⌊n·trim/100⌋,  h = n − 2g
+        t = (x̄ₜ_A − x̄ₜ_B) / sqrt(d_A + d_B),
+        d = s²_w·(n−1) / (h·(h−1))
+
+    (s²_w = winsorized sample variance; Welch-Satterthwaite df over
+    the d's).  EXACT trick: the winsorized sums follow from the
+    TRIMMED sums in closed form — Σwₓ = Σ_mid x + g·(lo + hi),
+    Σwₓ² likewise — so ONE ranked pass per side suffices: positional
+    boundaries lo = x₍g+1₎, hi = x₍n−g₎ are order statistics, the
+    mid-range sums are exact decimals, and no second winsorize scan
+    ever runs.  Boundary ties are value-deterministic.  h < 2 either
+    side, or zero pooled d → NULL t.
+
+    Scale shape: one keyed window pass + two combinable aggs.
+
+    No reference counterpart; robust A/B analytics per SURVEY §2.11.
+    """
+    if not 0 < int(trim_pct) < 50:
+        raise ValueError("yuen_ttest: trim_pct must be in 1..49")
+    dec = f"decimal(18,{scale})"
+    d38 = f"decimal(38,{scale})"
+    flt = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    )
+    wt = Window.partitionBy(*by, group_col).orderBy(value_col)
+    wa_ = Window.partitionBy(*by, group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = flt.select(
+        *by,
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast(dec).cast(d38).alias("_x"),
+        F.row_number().over(wt).alias("_r"),
+        F.count(F.lit(1)).over(wa_).alias("_n"),
+    )
+    g = F.floor(F.col("_n") * F.lit(int(trim_pct)) / F.lit(100))
+    in_mid = (F.col("_r") > g) & (F.col("_r") <= F.col("_n") - g)
+    side = ranked.groupBy(*by, "_g").agg(
+        F.max("_n").alias("_nn"),
+        F.sum(F.when(in_mid, F.col("_x"))).alias("_ts"),
+        F.sum(F.when(in_mid, F.col("_x") * F.col("_x"))).alias("_tq"),
+        F.max(F.when(F.col("_r") == g + 1, F.col("_x"))).alias("_lo"),
+        F.max(
+            F.when(F.col("_r") == F.col("_n") - g, F.col("_x"))
+        ).alias("_hi"),
+    )
+
+    def sided(name):
+        pick = lambda c: F.max(
+            F.when(F.col("_g") == name, F.col(c))
+        )
+        return pick
+
+    pa, pb = sided(group_a), sided(group_b)
+    agg = side.groupBy(*by).agg(
+        pa("_nn").alias("_na"),
+        pa("_ts").alias("_tsa"),
+        pa("_tq").alias("_tqa"),
+        pa("_lo").alias("_loa"),
+        pa("_hi").alias("_hia"),
+        pb("_nn").alias("_nb"),
+        pb("_ts").alias("_tsb"),
+        pb("_tq").alias("_tqb"),
+        pb("_lo").alias("_lob"),
+        pb("_hi").alias("_hib"),
+    )
+
+    def stats(nn, ts, tq, lo, hi):
+        nd = F.col(nn).cast("double")
+        gg = F.floor(F.col(nn) * F.lit(int(trim_pct)) / F.lit(100))
+        gd = gg.cast("double")
+        hd = nd - F.lit(2.0) * gd
+        lod = F.col(lo).cast("double")
+        hid = F.col(hi).cast("double")
+        tsd = F.col(ts).cast("double")
+        tqd = F.col(tq).cast("double")
+        wsum = tsd + gd * (lod + hid)
+        wss = tqd + gd * (lod * lod + hid * hid)
+        s2w = (nd * wss - wsum * wsum) / (nd * (nd - F.lit(1.0)))
+        tmean = tsd / hd
+        d = s2w * (nd - F.lit(1.0)) / (hd * (hd - F.lit(1.0)))
+        return hd, tmean, d
+
+    ha, tma, da = stats("_na", "_tsa", "_tqa", "_loa", "_hia")
+    hb, tmb, db = stats("_nb", "_tsb", "_tqb", "_lob", "_hib")
+    pooled = da + db
+    t = (tma - tmb) / F.sqrt(pooled)
+    dfy = (pooled * pooled) / (
+        da * da / (ha - F.lit(1.0)) + db * db / (hb - F.lit(1.0))
+    )
+    ok = (
+        F.col("_na").isNotNull()
+        & F.col("_nb").isNotNull()
+        & (ha >= 2.0)
+        & (hb >= 2.0)
+    )
+    ok_t = ok & (pooled > 0.0)
+    return agg.select(
+        *by,
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.when(ok, ha).alias("h_a"),
+        F.when(ok, hb).alias("h_b"),
+        F.when(ok, tma).alias("tmean_a"),
+        F.when(ok, tmb).alias("tmean_b"),
+        F.when(ok_t, t).alias("t"),
+        F.when(ok_t, dfy).alias("df_y"),
     )
