@@ -7919,6 +7919,42 @@ def q_yuen(spark, sf_dir):
     )
 
 
+def q_ipf(spark, sf_dir):
+    """IPF raking (L321): calibrate the odd-customer (priority,
+    status) order grid to the even-customer margins — fixed
+    deterministic iterations folded in-array."""
+    from lmss_entity_extractor_spark.ops.raking import ipf_raking
+
+    o = _t(spark, sf_dir, "orders")
+    odd = o.filter(F.col("o_custkey") % 2 == 1)
+    even = o.filter(F.col("o_custkey") % 2 == 0)
+    cells = odd.groupBy(
+        F.col("o_orderpriority").alias("r"),
+        F.col("o_orderstatus").alias("c"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("w"))
+    rt = even.groupBy(F.col("o_orderpriority").alias("r")).agg(
+        F.count(F.lit(1)).cast("double").alias("target")
+    )
+    ct = even.groupBy(F.col("o_orderstatus").alias("c")).agg(
+        F.count(F.lit(1)).cast("double").alias("target")
+    )
+    return ipf_raking(cells, [], "r", "c", "w", rt, ct, iters=10)
+
+
+def q_kish(spark, sf_dir):
+    """Kish ESS (L322): how many unweighted customers the
+    balance-weighted sample is worth per segment — two exact sums,
+    two divisions."""
+    from lmss_entity_extractor_spark.ops.raking import kish_ess
+
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_mktsegment").alias("seg"), "c_acctbal")
+    )
+    return kish_ess(c, ["seg"], "c_acctbal")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -8027,6 +8063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did": q_did,
         "mix_shift": q_mix_shift,
         "yuen": q_yuen,
+        "ipf": q_ipf,
+        "kish": q_kish,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -20251,6 +20289,108 @@ def oracle_sql() -> dict[str, str]:
                          / (da * da / (ha - 1.0)
                             + db * db / (hb - 1.0)) END AS df_y
         FROM w
+    """
+    oracles["ipf"] = """
+        -- the iteration fold as WITH RECURSIVE carrying the cell
+        -- LIST; row/col scaling via in-list conditional sums
+        WITH RECURSIVE odd AS (
+            SELECT o_orderpriority AS r, o_orderstatus AS c,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM orders WHERE o_custkey % 2 = 1 GROUP BY 1, 2
+        ),
+        rt AS (
+            SELECT o_orderpriority AS r,
+                   CAST(count(*) AS DOUBLE) AS rt
+            FROM orders WHERE o_custkey % 2 = 0 GROUP BY 1
+        ),
+        ct AS (
+            SELECT o_orderstatus AS c,
+                   CAST(count(*) AS DOUBLE) AS ct
+            FROM orders WHERE o_custkey % 2 = 0 GROUP BY 1
+        ),
+        joined AS (
+            SELECT odd.r, odd.c, odd.w AS w0, rt.rt, ct.ct
+            FROM odd JOIN rt ON odd.r = rt.r
+                     JOIN ct ON odd.c = ct.c
+        ),
+        packed AS (
+            SELECT list_sort(list(struct_pack(
+                       r := r, c := c, w := w0,
+                       rt := rt, ct := ct))) AS lv
+            FROM joined
+        ),
+        rec AS (
+            SELECT 0 AS i, lv FROM packed
+            UNION ALL
+            SELECT i + 1,
+                   list_transform(rs, e -> struct_pack(
+                       r := e.r, c := e.c,
+                       w := e.w * e.ct / list_reduce(
+                           list_prepend(0.0,
+                               list_transform(rs, o ->
+                                   CASE WHEN o.c = e.c THEN o.w
+                                        ELSE 0.0 END)),
+                           (a, v) -> a + v),
+                       rt := e.rt, ct := e.ct))
+            FROM (
+                SELECT i, list_transform(lv, e -> struct_pack(
+                           r := e.r, c := e.c,
+                           w := e.w * e.rt / list_reduce(
+                               list_prepend(0.0,
+                                   list_transform(lv, o ->
+                                       CASE WHEN o.r = e.r
+                                            THEN o.w
+                                            ELSE 0.0 END)),
+                               (a, v) -> a + v),
+                           rt := e.rt, ct := e.ct)) AS rs
+                FROM rec WHERE i < 10
+            )
+        ),
+        finalgrid AS (SELECT lv AS fv FROM rec WHERE i = 10),
+        ex AS (
+            SELECT fv, unnest(fv) AS e FROM finalgrid
+        ),
+        outt AS (
+            SELECT e.r AS r, e.c AS c, e.w AS weight,
+                   abs(list_reduce(list_prepend(0.0,
+                       list_transform(fv, o ->
+                           CASE WHEN o.r = e.r THEN o.w
+                                ELSE 0.0 END)),
+                       (a, v) -> a + v) - e.rt) AS row_gap,
+                   abs(list_reduce(list_prepend(0.0,
+                       list_transform(fv, o ->
+                           CASE WHEN o.c = e.c THEN o.w
+                                ELSE 0.0 END)),
+                       (a, v) -> a + v) - e.ct) AS col_gap
+            FROM ex
+        )
+        SELECT outt.r, outt.c, joined.w0 AS seed,
+               outt.weight, outt.row_gap, outt.col_gap
+        FROM joined JOIN outt
+          ON joined.r = outt.r AND joined.c = outt.c
+    """
+    oracles["kish"] = """
+        -- two exact decimal sums; two divisions
+        WITH flt AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(CAST(c_acctbal AS DECIMAL(18,6))
+                        AS DECIMAL(38,6)) AS w
+            FROM customer WHERE c_acctbal > 0
+        ),
+        agg AS (
+            SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                   sum(w) AS s, sum(w * w) AS q
+            FROM flt GROUP BY 1
+        )
+        SELECT seg, n,
+               CASE WHEN CAST(q AS DOUBLE) > 0.0 THEN
+                   CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(q AS DOUBLE) END AS ess,
+               CASE WHEN CAST(q AS DOUBLE) > 0.0 THEN
+                   CAST(n AS DOUBLE)
+                   / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(q AS DOUBLE)) END AS deff
+        FROM agg
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees
