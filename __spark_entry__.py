@@ -7955,6 +7955,35 @@ def q_kish(spark, sf_dir):
     return kish_ess(c, ["seg"], "c_acctbal")
 
 
+def q_ht(spark, sf_dir):
+    """Horvitz-Thompson (L323): revenue total under a two-rate
+    stratified design per linestatus — exact per-π cells, bounded
+    fold."""
+    from lmss_entity_extractor_spark.ops.sampling import ht_estimator
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("st"),
+        F.col("l_extendedprice").alias("y"),
+        F.when(F.col("l_returnflag") == "R", F.lit(0.25))
+        .otherwise(F.lit(0.5))
+        .alias("pi"),
+    )
+    return ht_estimator(li, ["st"], "y", "pi")
+
+
+def q_p_chart(spark, sf_dir):
+    """p-chart (L324): is the daily error-event rate in control per
+    bucket — exact subgroup counts, 3-sigma binomial limits."""
+    from lmss_entity_extractor_spark.ops.sampling import p_chart
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("bucket"),
+        F.to_date("ts").alias("day"),
+        (F.col("event_type") == "error").cast("int").alias("def_"),
+    )
+    return p_chart(e, ["bucket"], "day", "def_")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -8065,6 +8094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yuen": q_yuen,
         "ipf": q_ipf,
         "kish": q_kish,
+        "ht": q_ht,
+        "p_chart": q_p_chart,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -20391,6 +20422,83 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
                       / CAST(q AS DOUBLE)) END AS deff
         FROM agg
+    """
+    oracles["ht"] = """
+        -- exact per-pi cells; bounded HT fold
+        WITH flt AS (
+            SELECT l_linestatus AS st,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        AS DECIMAL(38,2)) AS y,
+                   CASE WHEN l_returnflag = 'R' THEN 0.25
+                        ELSE 0.5 END AS pi
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+        ),
+        cells AS (
+            SELECT st, pi, CAST(count(*) AS BIGINT) AS c,
+                   sum(y) AS s, sum(y * y) AS q
+            FROM flt GROUP BY 1, 2
+        ),
+        packed AS (
+            SELECT st, CAST(sum(c) AS BIGINT) AS n,
+                   list_sort(list(struct_pack(
+                       pi := pi, s := s, q := q))) AS lv
+            FROM cells GROUP BY 1
+        )
+        SELECT st, n,
+               list_reduce(list_prepend(0.0,
+                   [CAST(e.s AS DOUBLE) / e.pi FOR e IN lv]),
+                   (a, v) -> a + v) AS total_ht,
+               list_reduce(list_prepend(0.0,
+                   [(1.0 - e.pi) * CAST(e.q AS DOUBLE)
+                    / (e.pi * e.pi) FOR e IN lv]),
+                   (a, v) -> a + v) AS var_ht
+        FROM packed
+    """
+    oracles["p_chart"] = """
+        -- exact subgroup counts; 3-sigma binomial limit trees
+        WITH flt AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                        END AS d
+            FROM events
+        ),
+        cells AS (
+            SELECT bucket, day,
+                   CAST(count(*) AS BIGINT) AS n_i,
+                   CAST(sum(d) AS BIGINT) AS x_i
+            FROM flt GROUP BY 1, 2
+        ),
+        centre AS (
+            SELECT bucket, CAST(sum(x_i) AS BIGINT) AS tx,
+                   CAST(sum(n_i) AS BIGINT) AS tn
+            FROM cells GROUP BY 1
+        ),
+        j AS (
+            SELECT cells.*, centre.tx, centre.tn,
+                   CAST(centre.tx AS DOUBLE)
+                       / CAST(centre.tn AS DOUBLE) AS pbar
+            FROM cells JOIN centre ON cells.bucket = centre.bucket
+        ),
+        t AS (
+            SELECT *,
+                   3.0 * sqrt(pbar * (1.0 - pbar)
+                              / CAST(n_i AS DOUBLE)) AS spread,
+                   CAST(x_i AS DOUBLE) / CAST(n_i AS DOUBLE) AS p_i
+            FROM j
+        )
+        SELECT bucket, day AS subgroup, n_i, x_i, p_i,
+               pbar AS p_bar,
+               CASE WHEN pbar > 0.0 AND pbar < 1.0
+                    THEN least(1.0, pbar + spread) END AS ucl,
+               CASE WHEN pbar > 0.0 AND pbar < 1.0
+                    THEN greatest(0.0, pbar - spread) END AS lcl,
+               CASE WHEN pbar > 0.0 AND pbar < 1.0
+                    THEN p_i > least(1.0, pbar + spread)
+                         OR p_i < greatest(0.0, pbar - spread)
+               END AS out_of_control
+        FROM t
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

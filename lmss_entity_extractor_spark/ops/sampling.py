@@ -97,3 +97,154 @@ def weighted_sample(
         .limit(k)
         .drop("__pri")
     )
+
+
+def ht_estimator(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    prob_col: str,
+    scale: int = 2,
+    max_probs: int = 10_000,
+) -> DataFrame:
+    """``(by..., n, total_ht, var_ht)`` — the Horvitz-Thompson
+    estimator (L323): the unbiased population total from a sample
+    with KNOWN inclusion probabilities π — the estimator that makes
+    deterministic weighted sampling (the L120-era A-ES machinery)
+    actually usable for totals, with the Poisson-sampling variance:
+
+        T̂ = Σ yᵢ/πᵢ,   V̂ = Σ (1−πᵢ)·(yᵢ/πᵢ)²
+
+    EXACTNESS: per-row y/π float sums would be order-sensitive, so
+    the op requires the DESIGN property that π takes boundedly many
+    distinct values (stratified/fixed-rate designs — refused beyond
+    ``max_probs`` distinct π per group): Σy and Σy² are exact
+    decimals PER π-CELL, and the estimator folds the bounded sorted
+    cell list with one fixed tree per cell.  π outside (0, 1]
+    refused.
+
+    Scale shape: one combinable (keys, π) cell agg + one bounded
+    fold — one scan of 100 TB.
+
+    No reference counterpart; survey-sampling analytics per SURVEY
+    §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(
+        F.col(value_col).isNotNull() & F.col(prob_col).isNotNull()
+    )
+    n_bad = flt.filter(
+        (F.col(prob_col) <= 0) | (F.col(prob_col) > 1)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"ht_estimator: {n_bad} inclusion prob(s) outside (0, 1]"
+        )
+    yd = F.col(value_col).cast(dec)
+    cells = flt.groupBy(
+        *by, F.col(prob_col).cast("double").alias("_pi")
+    ).agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum(yd).alias("_s"),
+        F.sum(yd * yd).alias("_q"),
+    )
+    sizes = cells.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > max_probs).count()
+    if over:
+        raise ValueError(
+            f"ht_estimator: a group exceeds max_probs={max_probs} "
+            "distinct inclusion probabilities — HT needs a bounded "
+            "design grid for order-pinned folds"
+        )
+    packed = cells.groupBy(*by).agg(
+        F.sum("_c").alias("n"),
+        F.sort_array(
+            F.collect_list(F.struct("_pi", "_s", "_q"))
+        ).alias("_lv"),
+    )
+    total = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda a, e: a + e["_s"].cast("double") / e["_pi"],
+    )
+    var = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda a, e: a
+        + (F.lit(1.0) - e["_pi"])
+        * e["_q"].cast("double")
+        / (e["_pi"] * e["_pi"]),
+    )
+    return packed.select(
+        *by,
+        "n",
+        total.alias("total_ht"),
+        var.alias("var_ht"),
+    )
+
+
+def p_chart(
+    df: DataFrame,
+    by: list[str],
+    subgroup_col: str,
+    defect_col: str,
+) -> DataFrame:
+    """``(by..., subgroup, n_i, x_i, p_i, p_bar, ucl, lcl,
+    out_of_control)`` — the p-chart (L324, Shewhart attribute
+    control chart): is a defect/error RATE in statistical control
+    across subgroups (days, batches, hosts), with per-subgroup 3σ
+    binomial limits that widen for small subgroups:
+
+        p̄ = Σx/Σn,   UCL/LCL_i = p̄ ± 3·sqrt(p̄(1−p̄)/nᵢ)
+        (LCL clamps at 0, UCL at 1)
+
+    Subgroup counts are exact integers from one combinable agg; the
+    centre line joins back broadcast (fit-small/apply-wide) and every
+    limit is one fixed tree.  Degenerate centre (p̄ = 0 or 1) → NULL
+    limits (no binomial spread to control against).
+
+    Scale shape: one combinable (keys, subgroup) agg + one broadcast
+    join — one scan of 100 TB.
+
+    No reference counterpart; monitoring analytics per SURVEY §2.11.
+    """
+    flt = df.filter(
+        F.col(subgroup_col).isNotNull() & F.col(defect_col).isNotNull()
+    )
+    dv = F.col(defect_col).cast("int")
+    cells = flt.groupBy(
+        *by, F.col(subgroup_col).alias("subgroup")
+    ).agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum(dv).alias("x_i"),
+    )
+    centre = cells.groupBy(*by).agg(
+        F.sum("x_i").alias("_tx"), F.sum("n_i").alias("_tn")
+    )
+    joined = (
+        cells.join(F.broadcast(centre), by)
+        if by
+        else cells.crossJoin(F.broadcast(centre))
+    )
+    pbar = F.col("_tx").cast("double") / F.col("_tn").cast("double")
+    ni = F.col("n_i").cast("double")
+    spread = F.lit(3.0) * F.sqrt(
+        pbar * (F.lit(1.0) - pbar) / ni
+    )
+    p_i = F.col("x_i").cast("double") / ni
+    ok = (pbar > 0.0) & (pbar < 1.0)
+    ucl = F.least(F.lit(1.0), pbar + spread)
+    lcl = F.greatest(F.lit(0.0), pbar - spread)
+    return joined.select(
+        *by,
+        "subgroup",
+        "n_i",
+        "x_i",
+        p_i.alias("p_i"),
+        pbar.alias("p_bar"),
+        F.when(ok, ucl).alias("ucl"),
+        F.when(ok, lcl).alias("lcl"),
+        F.when(ok, (p_i > ucl) | (p_i < lcl)).alias(
+            "out_of_control"
+        ),
+    )
