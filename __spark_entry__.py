@@ -7984,6 +7984,25 @@ def q_p_chart(spark, sf_dir):
     return p_chart(e, ["bucket"], "day", "def_")
 
 
+def q_imr(spark, sf_dir):
+    """I-MR chart (L325): individuals control limits for daily
+    revenue per bucket — MR-based sigma, exact signs for the
+    8-in-a-row rule."""
+    from lmss_entity_extractor_spark.ops.spc import imr_chart
+
+    return imr_chart(_daily_series(spark, sf_dir), ["bucket"], ["t"], "v")
+
+
+def q_ewma_chart(spark, sf_dir):
+    """EWMA chart (L326): small-shift detection on daily revenue per
+    bucket — list-appending z-path fold, warm-up-widening limits."""
+    from lmss_entity_extractor_spark.ops.spc import ewma_chart
+
+    return ewma_chart(
+        _daily_series(spark, sf_dir), ["bucket"], "t", "v", lam=0.2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -8096,6 +8115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kish": q_kish,
         "ht": q_ht,
         "p_chart": q_p_chart,
+        "imr": q_imr,
+        "ewma_chart": q_ewma_chart,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -20499,6 +20520,127 @@ def oracle_sql() -> dict[str, str]:
                          OR p_i < greatest(0.0, pbar - spread)
                END AS out_of_control
         FROM t
+    """
+    oracles["imr"] = """
+        -- MR-based sigma; exact sign window for the run rule
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DECIMAL(18,4)) AS DECIMAL(38,4)) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT bucket,
+                   CAST(row_number() OVER w_o AS BIGINT) AS t,
+                   x,
+                   x - lag(x, 1) OVER w_o AS dd
+            FROM daily
+            WINDOW w_o AS (PARTITION BY bucket ORDER BY d)
+        ),
+        stats AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS s, sum(abs(dd)) AS mr
+            FROM lagged GROUP BY 1
+        ),
+        j AS (
+            SELECT lagged.*, stats.n,
+                   CAST(stats.s AS DOUBLE)
+                       / CAST(stats.n AS DOUBLE) AS centre,
+                   CAST(stats.mr AS DOUBLE)
+                       / (CAST(stats.n AS DOUBLE) - 1.0)
+                       / 1.128 AS sigma
+            FROM lagged JOIN stats ON lagged.bucket = stats.bucket
+        ),
+        staged AS (
+            SELECT bucket, t, CAST(x AS DOUBLE) AS x, centre, n,
+                   CASE WHEN n >= 2 THEN centre + 3.0 * sigma
+                        END AS ucl,
+                   CASE WHEN n >= 2 THEN centre - 3.0 * sigma
+                        END AS lcl,
+                   CASE WHEN CAST(x AS DOUBLE) > centre THEN 1
+                        WHEN CAST(x AS DOUBLE) < centre THEN -1
+                        ELSE 0 END AS sg
+            FROM j
+        )
+        SELECT bucket, t, x, centre, ucl, lcl,
+               CASE WHEN ucl IS NOT NULL
+                    THEN x > ucl OR x < lcl END AS beyond,
+               (count(*) OVER w8 = 8
+                AND abs(sum(sg) OVER w8) = 8) AS run8
+        FROM staged
+        WINDOW w8 AS (PARTITION BY bucket ORDER BY t
+                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    """
+    oracles["ewma_chart"] = """
+        -- list-appending z-path fold (1-double-list elements);
+        -- warm-up-widening limit trees
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        pl AS (
+            SELECT bucket, list(x ORDER BY d) AS xs,
+                   CAST(len(list(x ORDER BY d)) AS INTEGER) AS n
+            FROM daily GROUP BY 1
+        ),
+        st AS (
+            SELECT bucket, xs, n,
+                   list_reduce(list_prepend(0.0, xs),
+                       (a, v) -> a + v)
+                       / CAST(n AS DOUBLE) AS centre,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(generate_series(2, n),
+                           i -> abs(xs[i] - xs[i - 1]))),
+                       (a, v) -> a + v)
+                       / (CAST(n AS DOUBLE) - 1.0) / 1.128 AS sigma
+            FROM pl
+        ),
+        zp AS (
+            SELECT bucket, xs, n, centre, sigma,
+                   list_reduce(
+                       list_prepend(CAST([] AS DOUBLE[]),
+                           list_transform(xs, x -> [x])),
+                       (acc, e) -> list_append(acc,
+                           0.2 * e[1] + (1.0 - 0.2)
+                           * (CASE WHEN len(acc) > 0
+                                   THEN acc[len(acc)]
+                                   ELSE centre END))) AS zs
+            FROM st
+        )
+        SELECT bucket, CAST(u.t AS BIGINT)
+                   + CAST(0 AS BIGINT) AS t,
+               xs[u.t] AS x, zs[u.t] AS z, centre,
+               CASE WHEN n >= 2 THEN
+                   centre + 3.0 * sigma
+                   * sqrt(0.2 / (2.0 - 0.2)
+                          * (1.0 - pow(1.0 - 0.2,
+                                       2.0 * CAST(u.t AS DOUBLE))))
+               END AS ucl,
+               CASE WHEN n >= 2 THEN
+                   centre - 3.0 * sigma
+                   * sqrt(0.2 / (2.0 - 0.2)
+                          * (1.0 - pow(1.0 - 0.2,
+                                       2.0 * CAST(u.t AS DOUBLE))))
+               END AS lcl,
+               CASE WHEN n >= 2 THEN
+                   zs[u.t] > centre + 3.0 * sigma
+                       * sqrt(0.2 / (2.0 - 0.2)
+                              * (1.0 - pow(1.0 - 0.2,
+                                  2.0 * CAST(u.t AS DOUBLE))))
+                   OR zs[u.t] < centre - 3.0 * sigma
+                       * sqrt(0.2 / (2.0 - 0.2)
+                              * (1.0 - pow(1.0 - 0.2,
+                                  2.0 * CAST(u.t AS DOUBLE))))
+               END AS beyond
+        FROM zp CROSS JOIN
+             (SELECT unnest(generate_series(1, 10000)) AS t) u
+        WHERE u.t <= n
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

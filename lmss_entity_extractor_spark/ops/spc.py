@@ -1,0 +1,227 @@
+"""Statistical process control charts (L325/L326): the individuals/
+moving-range chart — control limits for a metric observed one value
+at a time — and the EWMA control chart — the small-shift detector
+whose limits widen with the warm-up.  Together with the attribute
+p-chart (L324, `ops/sampling.py`) these are the three monitoring
+charts an SLO/quality pipeline actually runs.
+
+L325 — I-MR (Shewhart individuals): σ is estimated from the mean
+moving range (d₂ = 1.128 for n = 2), so one outlier cannot inflate
+its own limits the way a plain SD would:
+
+    MR̄ = Σ|xₜ − xₜ₋₁|/(n−1),   UCL/LCL = x̄ ± 3·MR̄/1.128
+
+plus the classic Western-Electric run rule: 8 consecutive points on
+the same side of the centre line (a window sum of exact ±1 signs).
+x̄ and MR̄ come from exact decimal sums and broadcast back
+(fit-small/apply-wide); every flag is exact.
+
+L326 — EWMA chart (Roberts 1959): zₜ = λxₜ + (1−λ)zₜ₋₁ from z₀ = x̄,
+with time-varying limits
+
+    x̄ ± 3·σ̂·sqrt(λ/(2−λ)·(1 − (1−λ)^{2t})),   σ̂ = MR̄/1.128
+
+— detects sustained small shifts the I-chart misses.  The recurrence
+is sequential, so the series packs (the L272 bounded discipline) and
+the z-path is a LIST-APPENDING fold, exploded back to rows with the
+per-t limit trees (pow is the libm reliance).
+
+Scale shape: L325 = one combinable agg + broadcast join + one keyed
+window pass.  L326 = one (keys) groupBy packing the bounded series +
+one in-array fold.
+
+No reference counterpart; monitoring analytics per SURVEY §2.11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_D2 = 1.128
+
+
+def imr_chart(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., t, x, centre, ucl, lcl, beyond, run8)`` — the
+    individuals chart rows; see module docstring."""
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"imr_chart: {n_null} NULL value(s) — impute first"
+        )
+    dec = f"decimal(18,{scale})"
+    d38 = f"decimal(38,{scale})"
+    xd = F.col(value_col).cast(dec).cast(d38)
+    wt = Window.partitionBy(*by).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    lagged = df.select(
+        *by,
+        F.row_number().over(wt).alias("t"),
+        xd.alias("_x"),
+        (xd - F.lag(xd, 1).over(wt)).alias("_d"),
+    )
+    stats = lagged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.abs(F.col("_d"))).alias("_mr"),
+    )
+    joined = (
+        lagged.join(F.broadcast(stats), by)
+        if by
+        else lagged.crossJoin(F.broadcast(stats))
+    )
+    nd = F.col("_n").cast("double")
+    centre = F.col("_s").cast("double") / nd
+    mrbar = F.col("_mr").cast("double") / (nd - F.lit(1.0))
+    sigma = mrbar / F.lit(_D2)
+    ucl = centre + F.lit(3.0) * sigma
+    lcl = centre - F.lit(3.0) * sigma
+    xdbl = F.col("_x").cast("double")
+    sign = (
+        F.when(xdbl > centre, F.lit(1))
+        .when(xdbl < centre, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    staged = joined.select(
+        *by,
+        "t",
+        xdbl.alias("x"),
+        centre.alias("centre"),
+        F.when(F.col("_n") >= 2, ucl).alias("ucl"),
+        F.when(F.col("_n") >= 2, lcl).alias("lcl"),
+        sign.alias("_sg"),
+    )
+    w8 = Window.partitionBy(*by).orderBy("t").rowsBetween(-7, 0)
+    runsum = F.sum("_sg").over(w8)
+    cnt8 = F.count(F.lit(1)).over(w8)
+    return staged.select(
+        *by,
+        "t",
+        "x",
+        "centre",
+        "ucl",
+        "lcl",
+        F.when(
+            F.col("ucl").isNotNull(),
+            (F.col("x") > F.col("ucl")) | (F.col("x") < F.col("lcl")),
+        ).alias("beyond"),
+        ((cnt8 == 8) & (F.abs(runsum) == 8)).alias("run8"),
+    )
+
+
+def ewma_chart(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    lam: float = 0.2,
+    max_len: int = 100_000,
+) -> DataFrame:
+    """``(by..., t, x, z, centre, ucl, lcl, beyond)`` — the EWMA
+    chart rows; see module docstring."""
+    if not (0.0 < lam <= 1.0):
+        raise ValueError("ewma_chart: need 0 < lam <= 1")
+    from .trend import _packed
+
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"ewma_chart: {n_null} NULL value(s) — impute first"
+        )
+    dups = (
+        df.groupBy(*by, order_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dups:
+        raise ValueError(f"ewma_chart: {dups} duplicate order key(s)")
+    packed = _packed(df, by, order_col, value_col, max_len)
+    xs = F.transform(F.col("_a"), lambda s: s["_x"])
+    n = F.size(xs)
+    nd = n.cast("double")
+    centre = F.aggregate(xs, F.lit(0.0), lambda a, x: a + x) / nd
+    mrbar = F.aggregate(
+        F.sequence(F.lit(2), n),
+        F.lit(0.0),
+        lambda a, i: a
+        + F.abs(
+            F.element_at(xs, i) - F.element_at(xs, i - 1)
+        ),
+    ) / (nd - F.lit(1.0))
+    s0 = packed.select(
+        *by,
+        xs.alias("_xs"),
+        n.alias("_n"),
+        centre.alias("centre"),
+        (mrbar / F.lit(_D2)).alias("_sigma"),
+    )
+    ll = F.lit(float(lam))
+    one = F.lit(1.0)
+    zpath = F.aggregate(
+        F.col("_xs"),
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                ll * x
+                + (one - ll)
+                * F.when(
+                    F.size(acc) > 0,
+                    F.element_at(acc, F.size(acc)),
+                ).otherwise(F.col("centre"))
+            ),
+        ),
+    )
+    s1 = s0.select(
+        *by,
+        "_xs",
+        "_n",
+        "centre",
+        "_sigma",
+        zpath.alias("_zs"),
+    )
+    ex = s1.select(
+        *by,
+        "_n",
+        "centre",
+        "_sigma",
+        F.posexplode(F.arrays_zip(F.col("_xs"), F.col("_zs"))).alias(
+            "_i", "_e"
+        ),
+    )
+    t = F.col("_i") + 1
+    td = t.cast("double")
+    width = (
+        F.lit(3.0)
+        * F.col("_sigma")
+        * F.sqrt(
+            ll
+            / (F.lit(2.0) - ll)
+            * (
+                one
+                - F.pow(one - ll, F.lit(2.0) * td)
+            )
+        )
+    )
+    z = F.col("_e")["_zs"]
+    ok = F.col("_n") >= 2
+    ucl = F.col("centre") + width
+    lcl = F.col("centre") - width
+    return ex.select(
+        *by,
+        t.alias("t"),
+        F.col("_e")["_xs"].alias("x"),
+        z.alias("z"),
+        "centre",
+        F.when(ok, ucl).alias("ucl"),
+        F.when(ok, lcl).alias("lcl"),
+        F.when(ok, (z > ucl) | (z < lcl)).alias("beyond"),
+    )
