@@ -8003,6 +8003,45 @@ def q_ewma_chart(spark, sf_dir):
     )
 
 
+def q_capability(spark, sf_dir):
+    """Process capability (L327): does mean-normalized daily revenue
+    fit the (0.5, 1.5) spec band per bucket — MR-based within sigma
+    vs overall sigma."""
+    from pyspark.sql import Window
+
+    from lmss_entity_extractor_spark.ops.spc import process_capability
+
+    daily = _daily_series(spark, sf_dir)
+    wb = Window.partitionBy("bucket")
+    ratio = F.col("v").cast("double") / (
+        F.sum("v").over(wb).cast("double")
+        / F.count(F.lit(1)).over(wb).cast("double")
+    )
+    # floor onto the 1e-4 grid: round-half cut points of a rational
+    # ratio can tie and engines disagree; floor never ties
+    norm = daily.select(
+        "bucket",
+        "t",
+        (F.floor(ratio * F.lit(10000.0)) / F.lit(10000.0)).alias("x"),
+    )
+    return process_capability(
+        norm, ["bucket"], ["t"], "x", lsl=0.5, usl=1.5
+    )
+
+
+def q_robust_shape(spark, sf_dir):
+    """Robust shape panel (L328): Bowley/Moors/QCV of positive
+    balances per segment — exact octile order statistics."""
+    from lmss_entity_extractor_spark.ops.spc import robust_shape
+
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_mktsegment").alias("seg"), "c_acctbal")
+    )
+    return robust_shape(c, ["seg"], "c_acctbal")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -8117,6 +8156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_chart": q_p_chart,
         "imr": q_imr,
         "ewma_chart": q_ewma_chart,
+        "capability": q_capability,
+        "robust_shape": q_robust_shape,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -20641,6 +20682,124 @@ def oracle_sql() -> dict[str, str]:
         FROM zp CROSS JOIN
              (SELECT unnest(generate_series(1, 10000)) AS t) u
         WHERE u.t <= n
+    """
+    oracles["capability"] = """
+        -- MR-based within sigma vs overall sigma; index trees
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(18,2))) AS v
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        norm AS (
+            SELECT bucket, d,
+                   CAST(floor((CAST(v AS DOUBLE)
+                        / (CAST(sum(v) OVER (PARTITION BY bucket)
+                                AS DOUBLE)
+                           / CAST(count(*) OVER
+                                  (PARTITION BY bucket)
+                                  AS DOUBLE))) * 10000.0) / 10000.0
+                        AS DECIMAL(18,4)) AS x
+            FROM daily
+        ),
+        lagged AS (
+            SELECT bucket, x,
+                   x - lag(x, 1) OVER
+                       (PARTITION BY bucket ORDER BY d) AS dd
+            FROM norm
+        ),
+        agg AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS s, sum(x * x) AS q,
+                   sum(abs(dd)) AS mr
+            FROM lagged GROUP BY 1
+        ),
+        t AS (
+            SELECT bucket, n,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(s AS DOUBLE) AS sd,
+                   CAST(q AS DOUBLE) AS qd,
+                   CAST(mr AS DOUBLE) AS mrd
+            FROM agg
+        ),
+        m AS (
+            SELECT bucket, n, sd / nd AS mean,
+                   sqrt((nd * qd - sd * sd)
+                        / (nd * (nd - 1.0))) AS sig_o,
+                   mrd / (nd - 1.0) / 1.128 AS sig_w
+            FROM t
+        )
+        SELECT bucket, n, mean,
+               CASE WHEN n >= 2 AND sig_w > 0.0
+                    THEN sig_w END AS sigma_within,
+               CASE WHEN n >= 2 AND sig_o > 0.0
+                    THEN sig_o END AS sigma_overall,
+               CASE WHEN n >= 2 AND sig_w > 0.0
+                    THEN (1.5 - 0.5) / (6.0 * sig_w) END AS cp,
+               CASE WHEN n >= 2 AND sig_w > 0.0
+                    THEN least(1.5 - mean, mean - 0.5)
+                         / (3.0 * sig_w) END AS cpk,
+               CASE WHEN n >= 2 AND sig_o > 0.0
+                    THEN (1.5 - 0.5) / (6.0 * sig_o) END AS pp,
+               CASE WHEN n >= 2 AND sig_o > 0.0
+                    THEN least(1.5 - mean, mean - 0.5)
+                         / (3.0 * sig_o) END AS ppk
+        FROM m
+    """
+    oracles["robust_shape"] = """
+        -- exact octile order statistics; fixed shape trees
+        WITH base AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(c_acctbal AS DECIMAL(18,4)) AS x
+            FROM customer WHERE c_acctbal > 0
+        ),
+        ranked AS (
+            SELECT seg, x,
+                   CAST(row_number() OVER w_o AS BIGINT) AS r,
+                   CAST(count(*) OVER w_a AS BIGINT) AS n
+            FROM base
+            WINDOW w_o AS (PARTITION BY seg ORDER BY x),
+                   w_a AS (PARTITION BY seg)
+        ),
+        agg AS (
+            SELECT seg, CAST(max(n) AS BIGINT) AS n,
+                   max(CASE WHEN r = greatest(1, (n * 1) // 8)
+                       THEN x END) AS e1,
+                   max(CASE WHEN r = greatest(1, (n * 2) // 8)
+                       THEN x END) AS e2,
+                   max(CASE WHEN r = greatest(1, (n * 3) // 8)
+                       THEN x END) AS e3,
+                   max(CASE WHEN r = greatest(1, (n * 4) // 8)
+                       THEN x END) AS e4,
+                   max(CASE WHEN r = greatest(1, (n * 5) // 8)
+                       THEN x END) AS e5,
+                   max(CASE WHEN r = greatest(1, (n * 6) // 8)
+                       THEN x END) AS e6,
+                   max(CASE WHEN r = greatest(1, (n * 7) // 8)
+                       THEN x END) AS e7
+            FROM ranked GROUP BY 1
+        ),
+        d AS (
+            SELECT seg, n,
+                   CAST(e1 AS DOUBLE) AS e1,
+                   CAST(e2 AS DOUBLE) AS q1,
+                   CAST(e3 AS DOUBLE) AS e3,
+                   CAST(e4 AS DOUBLE) AS q2,
+                   CAST(e5 AS DOUBLE) AS e5,
+                   CAST(e6 AS DOUBLE) AS q3,
+                   CAST(e7 AS DOUBLE) AS e7
+            FROM agg
+        )
+        SELECT seg, n, q1, q2, q3,
+               CASE WHEN q3 - q1 > 0.0 THEN
+                   (q3 + q1 - 2.0 * q2) / (q3 - q1) END AS bowley,
+               CASE WHEN q3 - q1 > 0.0 THEN
+                   ((e7 - e5) + (e3 - e1)) / (q3 - q1)
+               END AS moors,
+               CASE WHEN q3 + q1 > 0.0 THEN
+                   (q3 - q1) / (q3 + q1) END AS qcv
+        FROM d
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

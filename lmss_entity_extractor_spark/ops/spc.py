@@ -225,3 +225,160 @@ def ewma_chart(
         F.when(ok, lcl).alias("lcl"),
         F.when(ok, (z > ucl) | (z < lcl)).alias("beyond"),
     )
+
+
+def process_capability(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+    lsl: float,
+    usl: float,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., n, mean, sigma_within, sigma_overall, cp, cpk, pp,
+    ppk)`` — process capability indices (L327): can the process FIT
+    inside the spec limits — Cp/Cpk use the SHORT-TERM (within,
+    moving-range) sigma, Pp/Ppk the overall sigma, and the gap
+    between them is the drift the control charts (L324-L326) hunt:
+
+        Cp  = (USL − LSL)/(6σ_w),  Cpk = min(USL − x̄, x̄ − LSL)/(3σ_w)
+        σ_w = MR̄/1.128;   Pp/Ppk likewise with the sample SD
+
+    Exact decimal sums for x̄/SD; MR̄ from one keyed window pass;
+    every index is a fixed IEEE tree.  LSL ≥ USL refused; n < 2 or a
+    zero sigma → NULL for its indices.
+
+    Scale shape: one keyed window pass + one combinable agg.
+
+    No reference counterpart; monitoring analytics per SURVEY §2.11.
+    """
+    if not lsl < usl:
+        raise ValueError("process_capability: need lsl < usl")
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"process_capability: {n_null} NULL value(s)"
+        )
+    dec = f"decimal(18,{scale})"
+    # products must multiply at (18,s): a (38,s) upcast makes Spark
+    # cap the product scale below 2s and ROUND — no longer exact
+    xd = F.col(value_col).cast(dec)
+    wt = Window.partitionBy(*by).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    lagged = df.select(
+        *by,
+        xd.alias("_x"),
+        (xd - F.lag(xd, 1).over(wt)).alias("_d"),
+    )
+    agg = lagged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_q"),
+        F.sum(F.abs(F.col("_d"))).alias("_mr"),
+    )
+    nd = F.col("n").cast("double")
+    sd_ = F.col("_s").cast("double")
+    qd = F.col("_q").cast("double")
+    mean = sd_ / nd
+    var = (nd * qd - sd_ * sd_) / (nd * (nd - F.lit(1.0)))
+    sig_o = F.sqrt(var)
+    sig_w = (
+        F.col("_mr").cast("double") / (nd - F.lit(1.0)) / F.lit(_D2)
+    )
+    u = F.lit(float(usl))
+    l_ = F.lit(float(lsl))
+    span = u - l_
+
+    def caps(sig):
+        cp = span / (F.lit(6.0) * sig)
+        cpk = F.least(u - mean, mean - l_) / (F.lit(3.0) * sig)
+        return cp, cpk
+
+    cp, cpk = caps(sig_w)
+    pp, ppk = caps(sig_o)
+    ok = F.col("n") >= 2
+    ok_w = ok & (sig_w > 0.0)
+    ok_o = ok & (sig_o > 0.0)
+    return agg.select(
+        *by,
+        "n",
+        mean.alias("mean"),
+        F.when(ok_w, sig_w).alias("sigma_within"),
+        F.when(ok_o, sig_o).alias("sigma_overall"),
+        F.when(ok_w, cp).alias("cp"),
+        F.when(ok_w, cpk).alias("cpk"),
+        F.when(ok_o, pp).alias("pp"),
+        F.when(ok_o, ppk).alias("ppk"),
+    )
+
+
+def robust_shape(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., n, q1, q2, q3, bowley, moors, qcv)`` — the robust
+    (quantile-based) distribution-shape panel (L328): skewness and
+    tail weight that a single outlier cannot move — the order-stat
+    twins of the moment-based L266 panel:
+
+        Bowley = (Q3 + Q1 − 2·Q2)/(Q3 − Q1)
+        Moors  = ((E7 − E5) + (E3 − E1))/(Q3 − Q1)     (octiles)
+        QCV    = (Q3 − Q1)/(Q3 + Q1)
+
+    Octiles are exact DISCRETE order statistics at positions
+    max(1, ⌊i·n/8⌋) — the L162 floored-index convention, tie-safe by
+    value.  Zero IQR → NULL Bowley/Moors; Q3 + Q1 ≤ 0 → NULL QCV.
+
+    Scale shape: one keyed window sort + one positional filter +
+    conditional max pivots.
+
+    No reference counterpart; robust-statistics analytics per SURVEY
+    §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(F.col(value_col).isNotNull())
+    wt = Window.partitionBy(*by).orderBy(value_col)
+    wa = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = flt.select(
+        *by,
+        F.col(value_col).cast(dec).alias("_x"),
+        F.row_number().over(wt).alias("_r"),
+        F.count(F.lit(1)).over(wa).alias("_n"),
+    )
+
+    def pos(i):
+        return F.greatest(
+            F.lit(1), F.floor(F.col("_n") * F.lit(i) / F.lit(8))
+        )
+
+    agg = ranked.groupBy(*by).agg(
+        F.max("_n").alias("n"),
+        *[
+            F.max(
+                F.when(F.col("_r") == pos(i), F.col("_x"))
+            ).alias(f"_e{i}")
+            for i in range(1, 8)
+        ],
+    )
+    e = {i: F.col(f"_e{i}").cast("double") for i in range(1, 8)}
+    q1, q2, q3 = e[2], e[4], e[6]
+    iqr = q3 - q1
+    bowley = (q3 + q1 - F.lit(2.0) * q2) / iqr
+    moors = ((e[7] - e[5]) + (e[3] - e[1])) / iqr
+    qcv = iqr / (q3 + q1)
+    return agg.select(
+        *by,
+        "n",
+        q1.alias("q1"),
+        q2.alias("q2"),
+        q3.alias("q3"),
+        F.when(iqr > 0.0, bowley).alias("bowley"),
+        F.when(iqr > 0.0, moors).alias("moors"),
+        F.when(q3 + q1 > 0.0, qcv).alias("qcv"),
+    )
