@@ -19963,10 +19963,8 @@ def oracle_sql() -> dict[str, str]:
         -- five exact decimal sums; one fixed CCC tree
         WITH pp AS (
             SELECT l_returnflag AS flag,
-                   CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-                        AS DECIMAL(38,4)) AS x,
-                   CAST(CAST(l_quantity * 1050 AS DECIMAL(18,4))
-                        AS DECIMAL(38,4)) AS y
+                   CAST(l_extendedprice AS DECIMAL(18,4)) AS x,
+                   CAST(l_quantity * 1050 AS DECIMAL(18,4)) AS y
             FROM lineitem
             WHERE l_extendedprice IS NOT NULL
               AND l_quantity IS NOT NULL
@@ -19974,8 +19972,9 @@ def oracle_sql() -> dict[str, str]:
         agg AS (
             SELECT flag, CAST(count(*) AS BIGINT) AS n,
                    sum(x) AS sx, sum(y) AS sy,
-                   sum(x * x) AS sxx, sum(y * y) AS syy,
-                   sum(x * y) AS sxy
+                   sum(x * CAST(x AS DECIMAL(20,4))) AS sxx,
+                   sum(y * CAST(y AS DECIMAL(20,4))) AS syy,
+                   sum(x * CAST(y AS DECIMAL(20,4))) AS sxy
             FROM pp GROUP BY 1
         ),
         t AS (
@@ -20018,16 +20017,16 @@ def oracle_sql() -> dict[str, str]:
         WITH pp AS (
             SELECT l_returnflag AS flag,
                    CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-                        AS DECIMAL(38,4))
-                   - CAST(CAST(l_quantity * 1050 AS DECIMAL(18,4))
-                          AS DECIMAL(38,4)) AS d
+                        - CAST(l_quantity * 1050 AS DECIMAL(18,4))
+                        AS DECIMAL(18,4)) AS d
             FROM lineitem
             WHERE l_extendedprice IS NOT NULL
               AND l_quantity IS NOT NULL
         ),
         agg AS (
             SELECT flag, CAST(count(*) AS BIGINT) AS n,
-                   sum(d) AS s, sum(d * d) AS q
+                   sum(d) AS s,
+                   sum(d * CAST(d AS DECIMAL(20,4))) AS q
             FROM pp GROUP BY 1
         ),
         t AS (
@@ -20074,10 +20073,8 @@ def oracle_sql() -> dict[str, str]:
         -- the L315 five-sum frame; one closed-form Deming tree
         WITH pp AS (
             SELECT l_returnflag AS flag,
-                   CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-                        AS DECIMAL(38,4)) AS x,
-                   CAST(CAST(l_quantity * 1050 AS DECIMAL(18,4))
-                        AS DECIMAL(38,4)) AS y
+                   CAST(l_extendedprice AS DECIMAL(18,4)) AS x,
+                   CAST(l_quantity * 1050 AS DECIMAL(18,4)) AS y
             FROM lineitem
             WHERE l_extendedprice IS NOT NULL
               AND l_quantity IS NOT NULL
@@ -20085,8 +20082,9 @@ def oracle_sql() -> dict[str, str]:
         agg AS (
             SELECT flag, CAST(count(*) AS BIGINT) AS n,
                    sum(x) AS sx, sum(y) AS sy,
-                   sum(x * x) AS sxx, sum(y * y) AS syy,
-                   sum(x * y) AS sxy
+                   sum(x * CAST(x AS DECIMAL(20,4))) AS sxx,
+                   sum(y * CAST(y AS DECIMAL(20,4))) AS syy,
+                   sum(x * CAST(y AS DECIMAL(20,4))) AS sxy
             FROM pp GROUP BY 1
         ),
         t AS (

@@ -1374,13 +1374,13 @@ def bland_altman(
     No reference counterpart; agreement analytics per SURVEY §2.11.
     """
     dec = f"decimal(18,{scale})"
-    d38 = f"decimal(38,{scale})"
     flt = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     )
-    d = F.col(x_col).cast(dec).cast(d38) - F.col(y_col).cast(dec).cast(
-        d38
-    )
+    # re-cast the difference to (18,s) so d*d multiplies at (37,2s)
+    # EXACTLY — a wider operand makes Spark cap the product scale and
+    # round (ANSI fails loudly if a difference ever overflows 18,s)
+    d = (F.col(x_col).cast(dec) - F.col(y_col).cast(dec)).cast(dec)
     base = flt.select(*by, d.alias("_d"))
     agg = base.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),

@@ -344,9 +344,10 @@ def deming_regression(
     if not lam > 0:
         raise ValueError("deming_regression: lam must be > 0")
     dec = f"decimal(18,{scale})"
-    d38 = f"decimal(38,{scale})"
-    xd = F.col(x_col).cast(dec).cast(d38)
-    yd = F.col(y_col).cast(dec).cast(d38)
+    # products multiply at (18,s) -> (37,2s) EXACTLY; a (38,s) upcast
+    # would make Spark cap the product scale and round
+    xd = F.col(x_col).cast(dec)
+    yd = F.col(y_col).cast(dec)
     agg = (
         df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .groupBy(*by)
