@@ -20275,8 +20275,7 @@ def oracle_sql() -> dict[str, str]:
         -- positional trim boundaries; closed-form winsorized sums
         WITH flt AS (
             SELECT user_id % 2 AS bucket, event_type AS g,
-                   CAST(CAST(value AS DECIMAL(18,4))
-                        AS DECIMAL(38,4)) AS x
+                   CAST(value AS DECIMAL(18,4)) AS x
             FROM events
             WHERE value IS NOT NULL
               AND event_type IN ('click', 'view')
@@ -20296,7 +20295,8 @@ def oracle_sql() -> dict[str, str]:
                         THEN x END) AS ts,
                    sum(CASE WHEN r > (n * 20) // 100
                              AND r <= n - (n * 20) // 100
-                        THEN x * x END) AS tq,
+                        THEN x * CAST(x AS DECIMAL(20,4))
+                        END) AS tq,
                    max(CASE WHEN r = (n * 20) // 100 + 1
                         THEN x END) AS lo,
                    max(CASE WHEN r = n - (n * 20) // 100

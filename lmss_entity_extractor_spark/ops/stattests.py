@@ -1495,7 +1495,6 @@ def yuen_ttest(
     if not 0 < int(trim_pct) < 50:
         raise ValueError("yuen_ttest: trim_pct must be in 1..49")
     dec = f"decimal(18,{scale})"
-    d38 = f"decimal(38,{scale})"
     flt = df.filter(
         F.col(value_col).isNotNull()
         & F.col(group_col).isin([group_a, group_b])
@@ -1504,10 +1503,12 @@ def yuen_ttest(
     wa_ = Window.partitionBy(*by, group_col).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # (18,s) so the x*x products stay exact (a (38,s) upcast caps
+    # the product scale and rounds)
     ranked = flt.select(
         *by,
         F.col(group_col).alias("_g"),
-        F.col(value_col).cast(dec).cast(d38).alias("_x"),
+        F.col(value_col).cast(dec).alias("_x"),
         F.row_number().over(wt).alias("_r"),
         F.count(F.lit(1)).over(wa_).alias("_n"),
     )
