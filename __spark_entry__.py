@@ -8042,6 +8042,44 @@ def q_robust_shape(spark, sf_dir):
     return robust_shape(c, ["seg"], "c_acctbal")
 
 
+def q_dsr(spark, sf_dir):
+    """Direct standardization (L329): odd/even-customer fill rates
+    under the pooled priority mix — exact cells, bounded weight
+    folds."""
+    from lmss_entity_extractor_spark.ops.effectsize import (
+        direct_standardization,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("s"),
+        (F.col("o_custkey") % 2).alias("grp"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("x"),
+        F.lit(1).cast("long").alias("t"),
+    )
+    return direct_standardization(o, [], "s", "grp", "x", "t")
+
+
+def q_mtbf(spark, sf_dir):
+    """MTBF/MTTR/availability (L330): the event stream read as a
+    health-probe log per bucket (error = down) — exact microsecond
+    segments, one division per mean."""
+    from lmss_entity_extractor_spark.ops.timeseries import mtbf_mttr
+
+    probes = (
+        _t(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 2).alias("bucket"), "ts")
+        .agg(
+            F.when(
+                F.max((F.col("event_type") == "error").cast("int")) == 1,
+                F.lit("down"),
+            )
+            .otherwise(F.lit("up"))
+            .alias("state")
+        )
+    )
+    return mtbf_mttr(probes, ["bucket"], "ts", "state", "up")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -8158,6 +8196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_chart": q_ewma_chart,
         "capability": q_capability,
         "robust_shape": q_robust_shape,
+        "dsr": q_dsr,
+        "mtbf": q_mtbf,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -20798,6 +20838,130 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN q3 + q1 > 0.0 THEN
                    (q3 - q1) / (q3 + q1) END AS qcv
         FROM d
+    """
+    oracles["dsr"] = """
+        -- exact cells; pooled-weight folds with coverage check
+        WITH cells AS (
+            SELECT o_orderpriority AS s,
+                   o_custkey % 2 AS grp,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1
+                            ELSE 0 END) AS BIGINT) AS x,
+                   CAST(count(*) AS BIGINT) AS t
+            FROM orders GROUP BY 1, 2
+        ),
+        strata AS (
+            SELECT s, CAST(sum(t) AS BIGINT) AS st
+            FROM cells GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(st) AS BIGINT) AS tt FROM strata),
+        wtd AS (
+            SELECT cells.*, strata.st, tot.tt
+            FROM cells JOIN strata ON cells.s = strata.s
+            CROSS JOIN tot
+        ),
+        packed AS (
+            SELECT grp AS "group",
+                   CAST(sum(t) AS BIGINT) AS n_trials,
+                   CAST(sum(x) AS BIGINT) AS nx,
+                   list_sort(list(struct_pack(
+                       s := s, x := x, t := t, st := st,
+                       tt := tt))) AS lv
+            FROM wtd GROUP BY 1
+        ),
+        f AS (
+            SELECT "group", n_trials, nx,
+                   list_reduce(list_prepend(0.0,
+                       [(CAST(e.st AS DOUBLE)
+                         / CAST(e.tt AS DOUBLE))
+                        * (CAST(e.x AS DOUBLE)
+                           / CAST(e.t AS DOUBLE)) FOR e IN lv]),
+                       (a, v) -> a + v) AS std,
+                   list_reduce(list_prepend(0.0,
+                       [CAST(e.st AS DOUBLE)
+                        / CAST(e.tt AS DOUBLE) FOR e IN lv]),
+                       (a, v) -> a + v) AS covered
+            FROM packed
+        )
+        SELECT "group", n_trials,
+               CASE WHEN n_trials > 0 THEN
+                   CAST(nx AS DOUBLE) / CAST(n_trials AS DOUBLE)
+               END AS crude_rate,
+               CASE WHEN abs(covered - 1.0) < 1e-12
+                    THEN std END AS std_rate
+        FROM f
+    """
+    oracles["mtbf"] = """
+        -- exact microsecond segments; one division per mean
+        WITH probes AS (
+            SELECT user_id % 2 AS bucket, ts,
+                   CASE WHEN max(CASE WHEN event_type = 'error'
+                                 THEN 1 ELSE 0 END) = 1
+                        THEN 'down' ELSE 'up' END AS state
+            FROM events GROUP BY 1, 2
+        ),
+        tagged AS (
+            SELECT bucket, epoch_us(ts) AS t,
+                   CASE WHEN state = 'up' THEN 1 ELSE 0 END AS u
+            FROM probes
+        ),
+        marked AS (
+            SELECT * FROM (
+                SELECT bucket, t, u,
+                       lag(u, 1) OVER w AS pu,
+                       max(t) OVER (PARTITION BY bucket) AS mx
+                FROM tagged
+                WINDOW w AS (PARTITION BY bucket ORDER BY t)
+            ) WHERE pu IS NULL OR u <> pu
+        ),
+        seg AS (
+            SELECT bucket, t, u, pu,
+                   COALESCE(lead(t, 1) OVER
+                       (PARTITION BY bucket ORDER BY t), mx)
+                       AS tend
+            FROM marked
+        ),
+        fails AS (
+            SELECT bucket, t AS fail_t,
+                   t - lag(t, 1) OVER
+                       (PARTITION BY bucket ORDER BY t) AS tbf
+            FROM seg WHERE u = 0 AND pu IS NOT NULL
+        ),
+        fagg AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_failures,
+                   sum(tbf) AS tbf_sum,
+                   CAST(count(tbf) AS BIGINT) AS tbf_n
+            FROM fails GROUP BY 1
+        ),
+        closed AS (
+            SELECT bucket, u, tend - t AS dur
+            FROM seg WHERE tend > t
+        ),
+        cagg AS (
+            SELECT bucket,
+                   sum(CASE WHEN u = 0 THEN dur END) AS down,
+                   CAST(count(CASE WHEN u = 0 THEN 1 END)
+                        AS BIGINT) AS ndown,
+                   sum(dur) AS total
+            FROM closed GROUP BY 1
+        ),
+        nev AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_events
+            FROM probes GROUP BY 1
+        )
+        SELECT nev.bucket, n_events,
+               COALESCE(n_failures, 0) AS n_failures,
+               CASE WHEN tbf_n >= 1 THEN
+                   CAST(tbf_sum AS DOUBLE)
+                   / CAST(tbf_n AS DOUBLE) / 1e6 END AS mtbf_s,
+               CASE WHEN ndown >= 1 THEN
+                   CAST(down AS DOUBLE)
+                   / CAST(ndown AS DOUBLE) / 1e6 END AS mttr_s,
+               CASE WHEN total IS NOT NULL AND total > 0 THEN
+                   CAST(total - COALESCE(down, 0) AS DOUBLE)
+                   / CAST(total AS DOUBLE) END AS availability
+        FROM nev
+        LEFT JOIN fagg ON nev.bucket = fagg.bucket
+        LEFT JOIN cagg ON nev.bucket = cagg.bucket
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

@@ -794,3 +794,96 @@ def mix_shift_decomposition(
         F.when(ok, rate_eff).alias("rate_effect"),
         F.when(ok, mix_eff).alias("mix_effect"),
     )
+
+
+def direct_standardization(
+    df: DataFrame,
+    by: list[str],
+    stratum_col: str,
+    group_col: str,
+    succ_col: str,
+    trial_col: str,
+    max_strata: int = 100_000,
+) -> DataFrame:
+    """``(by..., group, n_trials, crude_rate, std_rate)`` — directly
+    standardized rates (L329): compare group rates AS IF every group
+    had the POOLED stratum mix — the apples-to-apples rate the crude
+    rate is not when groups differ in composition (the estimator
+    companion to the L319 decomposition, which explains the gap this
+    one removes):
+
+        std_rate_g = Σ_s W_s·r_gs,   W_s = pooled stratum share
+
+    Cells are exact integer sums; the per-group fold runs over the
+    bounded sorted stratum list (refused beyond ``max_strata``).
+    A stratum a group never saw contributes its weight at rate NULL →
+    the group's std_rate is NULL (the honest answer — refusing to
+    invent a rate; restrict strata first if that bites).
+
+    Scale shape: one combinable (keys, stratum, group) cell agg + one
+    bounded fold per group — one scan of 100 TB.
+
+    No reference counterpart; metric-forensics analytics per SURVEY
+    §2.11.
+    """
+    flt = df.filter(
+        F.col(stratum_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(succ_col).isNotNull()
+        & F.col(trial_col).isNotNull()
+    )
+    cells = flt.groupBy(
+        *by,
+        F.col(stratum_col).alias("_s"),
+        F.col(group_col).alias("group"),
+    ).agg(
+        F.sum(succ_col).alias("_x"), F.sum(trial_col).alias("_t")
+    )
+    strata = cells.groupBy(*by, "_s").agg(
+        F.sum("_t").alias("_st")
+    )
+    tot = strata.groupBy(*by).agg(F.sum("_st").alias("_tt"))
+    sizes = strata.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > max_strata).count()
+    if over:
+        raise ValueError(
+            f"direct_standardization: a group exceeds "
+            f"max_strata={max_strata}"
+        )
+    wtd = cells.join(strata, [*by, "_s"])
+    wtd = (
+        wtd.join(tot, by) if by else wtd.crossJoin(tot)
+    )
+    packed = wtd.groupBy(*by, "group").agg(
+        F.sum("_t").alias("n_trials"),
+        F.sum("_x").alias("_nx"),
+        F.sort_array(
+            F.collect_list(F.struct("_s", "_x", "_t", "_st", "_tt"))
+        ).alias("_lv"),
+    )
+    crude = F.col("_nx").cast("double") / F.col("n_trials").cast(
+        "double"
+    )
+    std = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda a, e: a
+        + (e["_st"].cast("double") / e["_tt"].cast("double"))
+        * (e["_x"].cast("double") / e["_t"].cast("double")),
+    )
+    # a group missing some stratum: its fold covers only seen strata;
+    # detect by comparing covered weight to 1
+    covered = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda a, e: a
+        + e["_st"].cast("double") / e["_tt"].cast("double"),
+    )
+    full = F.abs(covered - F.lit(1.0)) < F.lit(1e-12)
+    return packed.select(
+        *by,
+        "group",
+        "n_trials",
+        F.when(F.col("n_trials") > 0, crude).alias("crude_rate"),
+        F.when(full, std).alias("std_rate"),
+    )

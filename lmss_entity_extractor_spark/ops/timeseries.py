@@ -1654,3 +1654,132 @@ def max_drawdown(
             F.col("_dd").cast("double") / peak_d,
         ).alias("mdd_rel"),
     )
+
+
+def mtbf_mttr(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str,
+    state_col: str,
+    up_value,
+) -> DataFrame:
+    """``(by..., n_events, n_failures, mtbf_s, mttr_s,
+    availability)`` — reliability summary from a state-change log
+    (L330): mean time between failures, mean time to repair, and
+    availability — the three SRE numbers a status-event stream
+    actually answers:
+
+        failure  = an up→down transition;  repair = down→up
+        MTBF = mean gap between consecutive failure STARTS
+        MTTR = mean closed down-segment duration
+        availability = up time / observed time  (closed segments)
+
+    Timestamps quantize to EXACT integer microseconds (the L182
+    discipline), segment durations are exact integer differences, and
+    each mean is ONE division.  The trailing segment closes at the
+    LAST OBSERVED event (observation ends there; nothing beyond is
+    imputed).  NULL states/timestamps refused; groups with < 2
+    failures → NULL mtbf; with no closed down segment → NULL mttr.
+
+    Scale shape: two keyed window passes (change-point filter, then
+    lead pairing) + one combinable agg.
+
+    No reference counterpart; reliability analytics per SURVEY §2.11.
+    """
+    n_null = df.filter(
+        F.col(ts_col).isNull() | F.col(state_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(f"mtbf_mttr: {n_null} NULL row(s)")
+    dups = (
+        df.groupBy(*by, ts_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dups:
+        raise ValueError(
+            f"mtbf_mttr: {dups} duplicate timestamp(s) — the state "
+            "sequence is ambiguous under ties; dedup first"
+        )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    up = (F.col(state_col) == F.lit(up_value)).cast("int")
+    wt = Window.partitionBy(*by).orderBy("_t")
+    wall = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tagged = df.select(*by, us.alias("_t"), up.alias("_u"))
+    marked = tagged.select(
+        *by,
+        "_t",
+        "_u",
+        F.lag("_u", 1).over(wt).alias("_pu"),
+        F.max("_t").over(wall).alias("_mx"),
+    ).filter(
+        F.col("_pu").isNull() | (F.col("_u") != F.col("_pu"))
+    )
+    wc = Window.partitionBy(*by).orderBy("_t")
+    seg = marked.select(
+        *by,
+        "_t",
+        "_u",
+        F.coalesce(
+            F.lead("_t", 1).over(wc), F.col("_mx")
+        ).alias("_tend"),
+        F.when(
+            (F.col("_u") == 0) & (F.col("_pu").isNotNull()),
+            F.col("_t"),
+        ).alias("_fail_t"),
+    )
+    # consecutive failure starts: window over the failure subset
+    fails = seg.filter(F.col("_fail_t").isNotNull()).select(
+        *by,
+        "_fail_t",
+        (
+            F.col("_fail_t")
+            - F.lag("_fail_t", 1).over(
+                Window.partitionBy(*by).orderBy("_fail_t")
+            )
+        ).alias("_tbf"),
+    )
+    fagg = fails.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_failures"),
+        F.sum("_tbf").alias("_tbf_sum"),
+        F.count("_tbf").alias("_tbf_n"),
+    )
+    closed = seg.filter(F.col("_tend") > F.col("_t")).select(
+        *by,
+        "_u",
+        (F.col("_tend") - F.col("_t")).alias("_dur"),
+    )
+    cagg = closed.groupBy(*by).agg(
+        F.sum(F.when(F.col("_u") == 0, F.col("_dur"))).alias(
+            "_down"
+        ),
+        F.count(
+            F.when(F.col("_u") == 0, F.lit(1))
+        ).alias("_ndown"),
+        F.sum("_dur").alias("_total"),
+    )
+    nev = df.groupBy(*by).agg(F.count(F.lit(1)).alias("n_events"))
+    j = nev.join(fagg, by, "left").join(cagg, by, "left")
+    mtbf = F.col("_tbf_sum").cast("double") / F.col("_tbf_n").cast(
+        "double"
+    ) / F.lit(1e6)
+    mttr = F.col("_down").cast("double") / F.col("_ndown").cast(
+        "double"
+    ) / F.lit(1e6)
+    avail = (
+        F.col("_total") - F.coalesce(F.col("_down"), F.lit(0))
+    ).cast("double") / F.col("_total").cast("double")
+    return j.select(
+        *by,
+        "n_events",
+        F.coalesce(F.col("n_failures"), F.lit(0)).alias("n_failures"),
+        F.when(F.col("_tbf_n") >= 1, mtbf).alias("mtbf_s"),
+        F.when(F.col("_ndown") >= 1, mttr).alias("mttr_s"),
+        F.when(
+            F.col("_total").isNotNull() & (F.col("_total") > 0),
+            avail,
+        ).alias("availability"),
+    )
