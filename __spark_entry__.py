@@ -8080,6 +8080,31 @@ def q_mtbf(spark, sf_dir):
     return mtbf_mttr(probes, ["bucket"], "ts", "state", "up")
 
 
+def q_median_ci(spark, sf_dir):
+    """Median CI (L331): distribution-free balance-median bounds per
+    segment — order-statistic ranks, zero resampling."""
+    from lmss_entity_extractor_spark.ops.rankeval import median_ci
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"), "c_acctbal"
+    )
+    return median_ci(c, ["seg"], "c_acctbal")
+
+
+def q_xi(spark, sf_dir):
+    """Chatterjee's ξ (L332): does quantity functionally determine
+    price per returnflag — exact range-framed rank counts, one
+    division."""
+    from lmss_entity_extractor_spark.ops.rankeval import chatterjee_xi
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return chatterjee_xi(li, ["flag"], "l_quantity", "l_extendedprice")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -8198,6 +8223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_shape": q_robust_shape,
         "dsr": q_dsr,
         "mtbf": q_mtbf,
+        "median_ci": q_median_ci,
+        "xi": q_xi,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -20962,6 +20989,102 @@ def oracle_sql() -> dict[str, str]:
         FROM nev
         LEFT JOIN fagg ON nev.bucket = fagg.bucket
         LEFT JOIN cagg ON nev.bucket = cagg.bucket
+    """
+    oracles["median_ci"] = """
+        -- order-statistic rank bounds; positional pivots
+        WITH flt AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(c_acctbal AS DECIMAL(18,4)) AS x
+            FROM customer WHERE c_acctbal IS NOT NULL
+        ),
+        ranked AS (
+            SELECT seg, x,
+                   CAST(row_number() OVER w_o AS BIGINT) AS r,
+                   CAST(count(*) OVER w_a AS BIGINT) AS n
+            FROM flt
+            WINDOW w_o AS (PARTITION BY seg ORDER BY x),
+                   w_a AS (PARTITION BY seg)
+        ),
+        agg AS (
+            SELECT seg, CAST(max(n) AS BIGINT) AS n,
+                   max(CASE WHEN r = greatest(1,
+                       CAST(floor((CAST(n AS DOUBLE)
+                            - 1.96 * sqrt(CAST(n AS DOUBLE)))
+                            / 2.0) AS BIGINT)) THEN x END) AS xl,
+                   max(CASE WHEN r = least(n,
+                       CAST(ceil(1.0 + (CAST(n AS DOUBLE)
+                            + 1.96 * sqrt(CAST(n AS DOUBLE)))
+                            / 2.0) AS BIGINT)) THEN x END) AS xh,
+                   max(CASE WHEN r = CAST(floor((n + 1) / 2)
+                       AS BIGINT) THEN x END) AS ml,
+                   max(CASE WHEN r = CAST(floor(n / 2) + 1
+                       AS BIGINT) THEN x END) AS mh,
+                   max(greatest(1,
+                       CAST(floor((CAST(n AS DOUBLE)
+                            - 1.96 * sqrt(CAST(n AS DOUBLE)))
+                            / 2.0) AS BIGINT))) AS lo_rank,
+                   max(least(n,
+                       CAST(ceil(1.0 + (CAST(n AS DOUBLE)
+                            + 1.96 * sqrt(CAST(n AS DOUBLE)))
+                            / 2.0) AS BIGINT))) AS hi_rank
+            FROM ranked GROUP BY 1
+        )
+        SELECT seg, n,
+               CASE WHEN n % 2 = 1 THEN CAST(mh AS DOUBLE)
+                    ELSE (CAST(ml AS DOUBLE) + CAST(mh AS DOUBLE))
+                         / 2.0 END AS median,
+               CASE WHEN n >= 2 THEN CAST(xl AS DOUBLE)
+                    END AS ci_lo,
+               CASE WHEN n >= 2 THEN CAST(xh AS DOUBLE)
+                    END AS ci_hi,
+               CASE WHEN n >= 2 THEN lo_rank END AS lo_rank,
+               CASE WHEN n >= 2 THEN hi_rank END AS hi_rank
+        FROM agg
+    """
+    oracles["xi"] = """
+        -- exact range-framed rank counts; one division
+        WITH flt AS (
+            SELECT l_returnflag AS flag,
+                   l_quantity AS xv, l_extendedprice AS yv
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL
+              AND l_extendedprice IS NOT NULL
+        ),
+        ranked AS (
+            SELECT flag, xv, yv,
+                   CAST(count(*) OVER w_r AS BIGINT) AS r,
+                   CAST(count(*) OVER w_l AS BIGINT) AS l,
+                   CAST(count(*) OVER w_a AS BIGINT) AS n
+            FROM flt
+            WINDOW w_r AS (PARTITION BY flag ORDER BY yv
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW),
+                   w_l AS (PARTITION BY flag ORDER BY yv DESC
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW),
+                   w_a AS (PARTITION BY flag)
+        ),
+        led AS (
+            SELECT flag, n, r, l,
+                   lead(r, 1) OVER
+                       (PARTITION BY flag ORDER BY xv, yv) AS rn
+            FROM ranked
+        ),
+        agg AS (
+            SELECT flag, n,
+                   sum(CASE WHEN rn IS NOT NULL THEN
+                       CAST(abs(rn - r) AS HUGEINT) END) AS num,
+                   sum(CAST(l AS HUGEINT)
+                       * CAST(n - l AS HUGEINT)) AS den
+            FROM led GROUP BY 1, 2
+        )
+        SELECT flag, n,
+               CASE WHEN den > 0 THEN
+                   1.0 - CAST(n AS DOUBLE)
+                         * CAST(num AS DOUBLE)
+                         / (2.0 * CAST(den AS DOUBLE))
+               END AS xi
+        FROM agg
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

@@ -2131,3 +2131,170 @@ def pr_auc(
         "k_thresholds",
         F.when(ok, ap).alias("ap"),
     )
+
+
+def median_ci(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    z: float = 1.96,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., n, median, ci_lo, ci_hi, lo_rank, hi_rank)`` — the
+    distribution-free median confidence interval (L331): order-
+    statistic bounds from the binomial rank argument (normal
+    approximation) — no distributional assumption, no resampling:
+
+        L = ⌊(n − z·√n)/2⌋,  U = ⌈1 + (n + z·√n)/2⌉  (clamped to
+        [1, n]);  CI = (x₍L₎, x₍U₎)
+
+    The median is the exact order statistic (the L162 floored-index
+    convention, even counts average the two middle values); the
+    bound ranks are one fixed tree each and the lookups are
+    positional.  n < 2 → NULL interval.
+
+    Scale shape: one keyed window sort + positional filters.
+
+    No reference counterpart; robust-statistics analytics per SURVEY
+    §2.11.
+    """
+    if not z > 0:
+        raise ValueError("median_ci: z must be > 0")
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(F.col(value_col).isNotNull())
+    wt = Window.partitionBy(*by).orderBy(value_col)
+    wa = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = flt.select(
+        *by,
+        F.col(value_col).cast(dec).alias("_x"),
+        F.row_number().over(wt).alias("_r"),
+        F.count(F.lit(1)).over(wa).alias("_n"),
+    )
+    nd = F.col("_n").cast("double")
+    zl = F.lit(float(z))
+    lo = F.greatest(
+        F.lit(1),
+        F.floor((nd - zl * F.sqrt(nd)) / F.lit(2.0)).cast("long"),
+    )
+    hi = F.least(
+        F.col("_n"),
+        F.ceil(
+            F.lit(1.0) + (nd + zl * F.sqrt(nd)) / F.lit(2.0)
+        ).cast("long"),
+    )
+    mid_lo = F.floor((F.col("_n") + 1) / 2).cast("long")
+    mid_hi = (F.floor(F.col("_n") / 2) + 1).cast("long")
+    agg = ranked.groupBy(*by).agg(
+        F.max("_n").alias("n"),
+        F.max(F.when(F.col("_r") == lo, F.col("_x"))).alias("_xl"),
+        F.max(F.when(F.col("_r") == hi, F.col("_x"))).alias("_xh"),
+        F.max(F.when(F.col("_r") == mid_lo, F.col("_x"))).alias(
+            "_ml"
+        ),
+        F.max(F.when(F.col("_r") == mid_hi, F.col("_x"))).alias(
+            "_mh"
+        ),
+        F.max(lo).alias("lo_rank"),
+        F.max(hi).alias("hi_rank"),
+    )
+    med = F.when(
+        F.col("n") % 2 == 1, F.col("_mh").cast("double")
+    ).otherwise(
+        (F.col("_ml").cast("double") + F.col("_mh").cast("double"))
+        / F.lit(2.0)
+    )
+    ok = F.col("n") >= 2
+    return agg.select(
+        *by,
+        "n",
+        med.alias("median"),
+        F.when(ok, F.col("_xl").cast("double")).alias("ci_lo"),
+        F.when(ok, F.col("_xh").cast("double")).alias("ci_hi"),
+        F.when(ok, F.col("lo_rank")).alias("lo_rank"),
+        F.when(ok, F.col("hi_rank")).alias("hi_rank"),
+    )
+
+
+def chatterjee_xi(
+    df: DataFrame,
+    by: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """``(by..., n, xi)`` — Chatterjee's ξ correlation (L332,
+    Chatterjee 2020): detects ANY functional dependence of y on x —
+    ξ → 1 iff y is a measurable function of x, 0 under independence;
+    unlike symmetric dCor (L301) it is DIRECTIONAL (y|x), the right
+    shape for "is this feature predictive".  Ties-robust form:
+
+        ξ = 1 − n·Σᵢ|r_{i+1} − r_i| / (2·Σᵢ l_i·(n − l_i))
+
+    with rows in x-order (ties in x broken by y — a DETERMINISTIC
+    stand-in for Chatterjee's random tie-break, documented),
+    rᵢ = #{y_j ≤ yᵢ}, lᵢ = #{y_j ≥ yᵢ} — all exact integer counts
+    from RANGE-framed windows; the two sums are plain combinable
+    integer sums and ξ is one division.  Degenerate (constant y) →
+    NULL.
+
+    Scale shape: two value-ordered window passes + one x-ordered
+    window pass + one combinable agg — keyed exchanges only.
+
+    No reference counterpart; dependence analytics per SURVEY §2.11.
+    """
+    d0 = "decimal(38,0)"
+    flt = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+    wyr = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(y_col))
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wyl = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(y_col).desc())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wa = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = flt.select(
+        *by,
+        F.col(x_col).alias("_xv"),
+        F.col(y_col).alias("_yv"),
+        F.count(F.lit(1)).over(wyr).alias("_r"),
+        F.count(F.lit(1)).over(wyl).alias("_l"),
+        F.count(F.lit(1)).over(wa).alias("_n"),
+    )
+    wx = Window.partitionBy(*by).orderBy("_xv", "_yv")
+    led = ranked.select(
+        *by,
+        "_n",
+        "_r",
+        "_l",
+        F.lead("_r", 1).over(wx).alias("_rn"),
+    )
+    agg = led.groupBy(*by, "_n").agg(
+        F.sum(
+            F.when(
+                F.col("_rn").isNotNull(),
+                F.abs(F.col("_rn") - F.col("_r")).cast(d0),
+            )
+        ).alias("_num"),
+        F.sum(
+            F.col("_l").cast(d0)
+            * (F.col("_n") - F.col("_l")).cast(d0)
+        ).alias("_den"),
+    )
+    nd = F.col("_n").cast("double")
+    xi = F.lit(1.0) - nd * F.col("_num").cast("double") / (
+        F.lit(2.0) * F.col("_den").cast("double")
+    )
+    ok = F.col("_den") > F.lit(0).cast(d0)
+    return agg.select(
+        *by,
+        F.col("_n").alias("n"),
+        F.when(ok, xi).alias("xi"),
+    )
