@@ -8105,6 +8105,35 @@ def q_xi(spark, sf_dir):
     return chatterjee_xi(li, ["flag"], "l_quantity", "l_extendedprice")
 
 
+def q_holt_winters(spark, sf_dir):
+    """Holt-Winters additive (L333): weekly-seasonal daily revenue
+    forecast per bucket — (level, trend, seasonal-array) struct fold."""
+    from lmss_entity_extractor_spark.ops.timeseries import (
+        holt_winters_additive,
+    )
+
+    return holt_winters_additive(
+        _daily_series(spark, sf_dir), ["bucket"], "t", "v",
+        period=7, alpha=0.3, beta=0.1, gamma=0.2,
+    )
+
+
+def q_gwet(spark, sf_dir):
+    """Gwet's AC1 (L334): does a crude status-derived label agree
+    with the return flag per part bucket — exact cells, one bounded
+    marginal fold."""
+    from lmss_entity_extractor_spark.ops.evalmetrics import gwet_ac1
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 2).alias("bucket"),
+        F.col("l_returnflag").alias("ra"),
+        F.when(F.col("l_linestatus") == "F", F.lit("A"))
+        .otherwise(F.lit("N"))
+        .alias("rb"),
+    )
+    return gwet_ac1(li, ["bucket"], "ra", "rb")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -8225,6 +8254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mtbf": q_mtbf,
         "median_ci": q_median_ci,
         "xi": q_xi,
+        "holt_winters": q_holt_winters,
+        "gwet": q_gwet,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -21085,6 +21116,117 @@ def oracle_sql() -> dict[str, str]:
                          / (2.0 * CAST(den AS DOUBLE))
                END AS xi
         FROM agg
+    """
+    oracles["holt_winters"] = """
+        -- the triple-smoothing fold as WITH RECURSIVE carrying the
+        -- seasonal LIST; slot rewrite via an index-free transform
+        WITH RECURSIVE daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        pl AS (
+            SELECT bucket, list(x ORDER BY d) AS xs,
+                   CAST(len(list(x ORDER BY d)) AS INTEGER) AS n
+            FROM daily GROUP BY 1
+        ),
+        st AS (
+            SELECT bucket, xs, n,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(generate_series(1, 7),
+                           i -> xs[i])), (a, v) -> a + v)
+                       / 7.0 AS m1,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(generate_series(8, 14),
+                           i -> xs[i])), (a, v) -> a + v)
+                       / 7.0 AS m2
+            FROM pl
+        ),
+        rec AS (
+            SELECT bucket, xs, n, 7 AS t,
+                   m1 AS l, (m2 - m1) / 7.0 AS b,
+                   list_transform(generate_series(1, 7),
+                       i -> xs[i] - m1) AS s
+            FROM st
+            UNION ALL
+            SELECT bucket, xs, n, t + 1,
+                   lnew AS l,
+                   0.1 * (lnew - l) + (1.0 - 0.1) * b AS b,
+                   list_transform(generate_series(1, 7), j ->
+                       CASE WHEN j = ph + 1 THEN
+                           0.2 * (xv - lnew) + (1.0 - 0.2)
+                               * s[ph + 1]
+                       ELSE s[j] END) AS s
+            FROM (
+                SELECT r.*,
+                       (r.t) % 7 AS ph,
+                       r.xs[r.t + 1] AS xv,
+                       0.3 * (r.xs[r.t + 1]
+                              - r.s[(r.t) % 7 + 1])
+                       + (1.0 - 0.3) * (r.l + r.b) AS lnew
+                FROM rec r WHERE r.t < n
+            )
+        )
+        SELECT bucket, n,
+               CASE WHEN n >= 14 THEN l END AS level,
+               CASE WHEN n >= 14 THEN b END AS trend,
+               CASE WHEN n >= 14 THEN
+                   l + b + s[(n % 7) + 1] END AS forecast
+        FROM rec WHERE t = n
+    """
+    oracles["gwet"] = """
+        -- exact agreement + marginal cells; one bounded fold
+        WITH base AS (
+            SELECT l_partkey % 2 AS bucket,
+                   l_returnflag AS ra,
+                   CASE WHEN l_linestatus = 'F' THEN 'A'
+                        ELSE 'N' END AS rb
+            FROM lineitem
+            WHERE l_returnflag IS NOT NULL
+        ),
+        pa AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS agree
+            FROM base GROUP BY 1
+        ),
+        cats AS (
+            SELECT bucket, c, CAST(count(*) AS BIGINT) AS m
+            FROM (SELECT bucket, ra AS c FROM base
+                  UNION ALL SELECT bucket, rb AS c FROM base)
+            GROUP BY 1, 2
+        ),
+        packed AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS q,
+                   list_sort(list(struct_pack(c := c, m := m)))
+                       AS lv
+            FROM cats GROUP BY 1
+        ),
+        j AS (
+            SELECT pa.bucket, pa.n, pa.agree, packed.q, packed.lv
+            FROM pa JOIN packed ON pa.bucket = packed.bucket
+        ),
+        f AS (
+            SELECT bucket, n, q,
+                   CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS pav,
+                   list_reduce(list_prepend(0.0,
+                       [(CAST(e.m AS DOUBLE)
+                         / (2.0 * CAST(n AS DOUBLE)))
+                        * (1.0 - CAST(e.m AS DOUBLE)
+                                 / (2.0 * CAST(n AS DOUBLE)))
+                        FOR e IN lv]),
+                       (a, v) -> a + v)
+                       / (CAST(q AS DOUBLE) - 1.0) AS pe
+            FROM j
+        )
+        SELECT bucket, n, pav AS p_a,
+               CASE WHEN q >= 2 AND n >= 1 THEN pe END AS p_e,
+               CASE WHEN q >= 2 AND n >= 1 AND pe <> 1.0 THEN
+                   (pav - pe) / (1.0 - pe) END AS ac1
+        FROM f
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

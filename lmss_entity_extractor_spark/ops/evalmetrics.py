@@ -1426,3 +1426,85 @@ def bland_altman(
             F.col("_in").cast("double") / F.col("n").cast("double"),
         ).alias("coverage"),
     )
+
+
+def gwet_ac1(
+    df: DataFrame,
+    by: list[str],
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """``(by..., n, p_a, p_e, ac1)`` — Gwet's AC1 agreement
+    coefficient (L334, Gwet 2008): chance-corrected two-rater
+    agreement that does NOT collapse under prevalence skew the way
+    Cohen's κ (L185) does (the "high agreement, κ ≈ 0" paradox when
+    one label dominates — exactly the regime of labeling-pipeline
+    QC):
+
+        p_a = observed agreement
+        p_e = Σ_q π_q·(1 − π_q)/(Q − 1),  π_q = mean marginal share
+        AC1 = (p_a − p_e)/(1 − p_e)
+
+    Agreement and marginal counts are exact integers; p_e folds over
+    the bounded sorted category list (the L140 discipline); AC1 is
+    one fixed tree.  Q < 2 or p_e = 1 → NULL.
+
+    Scale shape: one combinable agg for p_a + one (keys, category)
+    cell agg + one bounded fold.
+
+    No reference counterpart; annotation-QC analytics per SURVEY
+    §2.11.
+    """
+    flt = df.filter(
+        F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+    )
+    base = flt.select(
+        *by,
+        F.col(rater_a_col).alias("_ra"),
+        F.col(rater_b_col).alias("_rb"),
+    )
+    pa_agg = base.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("_ra") == F.col("_rb")).cast("long")
+        ).alias("_agree"),
+    )
+    cats = (
+        base.select(*by, F.col("_ra").alias("_c"))
+        .unionAll(base.select(*by, F.col("_rb").alias("_c")))
+        .groupBy(*by, "_c")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    packed = cats.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("_q"),
+        F.sort_array(F.collect_list(F.struct("_c", "_m"))).alias(
+            "_lv"
+        ),
+    )
+    j = (
+        pa_agg.join(packed, by)
+        if by
+        else pa_agg.crossJoin(packed)
+    )
+    nd = F.col("n").cast("double")
+    # pi_q = (count over both raters)/(2n); p_e folds the bounded list
+    pe = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda a, e: a
+        + (e["_m"].cast("double") / (F.lit(2.0) * nd))
+        * (
+            F.lit(1.0)
+            - e["_m"].cast("double") / (F.lit(2.0) * nd)
+        ),
+    ) / (F.col("_q").cast("double") - F.lit(1.0))
+    pa = F.col("_agree").cast("double") / nd
+    ac1 = (pa - pe) / (F.lit(1.0) - pe)
+    ok = (F.col("_q") >= 2) & (F.col("n") >= 1)
+    return j.select(
+        *by,
+        "n",
+        pa.alias("p_a"),
+        F.when(ok, pe).alias("p_e"),
+        F.when(ok & (pe != 1.0), ac1).alias("ac1"),
+    )

@@ -1783,3 +1783,158 @@ def mtbf_mttr(
             avail,
         ).alias("availability"),
     )
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    period: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    max_len: int = 100_000,
+) -> DataFrame:
+    """``(by..., n, level, trend, forecast)`` — additive Holt-Winters
+    triple exponential smoothing (L333): Holt (L272) plus a seasonal
+    state, the workhorse for trending-AND-cyclic operational series:
+
+        lₜ = α·(xₜ − s_{t−p}) + (1−α)·(lₜ₋₁ + bₜ₋₁)
+        bₜ = β·(lₜ − lₜ₋₁) + (1−β)·bₜ₋₁
+        sₜ = γ·(xₜ − lₜ) + (1−γ)·s_{t−p}
+        forecast(+1) = l + b + s_{+1 phase}
+
+    initialized classically from the first two seasons (l₀ = season-1
+    mean, b₀ = mean season-over-season step, s₀ᵢ = xᵢ − l₀) and
+    folded over t = p+1..n with a (level, trend, seasonal-ARRAY)
+    struct accumulator — the seasonal slot for the current phase is
+    rewritten via an indexed transform each step, everything else is
+    the L272 fold discipline.  Series shorter than 2·period → NULL
+    (the classical init needs two full seasons); duplicate order keys
+    and NULLs refused.
+
+    Scale shape: one (keys) groupBy packing the bounded series + one
+    in-array fold.
+
+    No reference counterpart; forecasting analytics per SURVEY §2.11.
+    """
+    if period < 2:
+        raise ValueError("holt_winters_additive: period must be >= 2")
+    for nm, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not (0.0 < v <= 1.0):
+            raise ValueError(
+                f"holt_winters_additive: need 0 < {nm} <= 1"
+            )
+    from .trend import _packed
+
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"holt_winters_additive: {n_null} NULL value(s)"
+        )
+    dups = (
+        df.groupBy(*by, order_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dups:
+        raise ValueError(
+            f"holt_winters_additive: {dups} duplicate order key(s)"
+        )
+    packed = _packed(df, by, order_col, value_col, max_len)
+    xs = F.transform(F.col("_a"), lambda s: s["_x"])
+    staged = packed.select(*by, xs.alias("_xs"))
+    n = F.size(F.col("_xs"))
+    p = F.lit(int(period))
+    pd_ = F.lit(float(period))
+    al, be, ga = (
+        F.lit(float(alpha)),
+        F.lit(float(beta)),
+        F.lit(float(gamma)),
+    )
+    one = F.lit(1.0)
+    def at_safe(i):
+        # ANSI element_at throws out-of-bounds; short groups (below
+        # the 2-season init) must flow to NULL instead, so gate every
+        # access on the actual size (lazy CASE)
+        return F.when(
+            (i >= 1) & (i <= n), F.element_at(F.col("_xs"), i)
+        ).otherwise(F.lit(0.0))
+
+    m1 = (
+        F.aggregate(
+            F.sequence(F.lit(1), p),
+            F.lit(0.0),
+            lambda a, i: a + at_safe(i),
+        )
+        / pd_
+    )
+    m2 = (
+        F.aggregate(
+            F.sequence(p + 1, F.lit(2) * p),
+            F.lit(0.0),
+            lambda a, i: a + at_safe(i),
+        )
+        / pd_
+    )
+    s1 = staged.select(
+        *by,
+        "_xs",
+        n.alias("n"),
+        m1.alias("_m1"),
+        ((m2 - m1) / pd_).alias("_b0"),
+    )
+    nloc = F.size("_xs")
+
+    def xs_safe(i):
+        return F.when(
+            (i >= 1) & (i <= nloc), F.element_at(F.col("_xs"), i)
+        ).otherwise(F.lit(0.0))
+
+    init = F.struct(
+        F.col("_m1").alias("l"),
+        F.col("_b0").alias("b"),
+        F.transform(
+            F.sequence(F.lit(1), p),
+            lambda i: xs_safe(i) - F.col("_m1"),
+        ).alias("s"),
+    )
+
+    def step(acc, t):
+        phase0 = (t - 1) % p  # 0-based slot into the seasonal array
+        s_old = F.element_at(acc["s"], phase0 + 1)
+        x = xs_safe(t)
+        lnew = al * (x - s_old) + (one - al) * (acc["l"] + acc["b"])
+        bnew = be * (lnew - acc["l"]) + (one - be) * acc["b"]
+        snew = ga * (x - lnew) + (one - ga) * s_old
+        return F.struct(
+            lnew.alias("l"),
+            bnew.alias("b"),
+            F.transform(
+                acc["s"],
+                lambda v, i0: F.when(i0 == phase0, snew).otherwise(v),
+            ).alias("s"),
+        )
+
+    # Spark's sequence(a, b) DESCENDS when a > b: short groups must
+    # fold over an empty range, not a reversed one
+    fold_range = F.when(
+        nloc >= p + 1, F.sequence(p + 1, nloc)
+    ).otherwise(F.array().cast("array<int>"))
+    acc = F.aggregate(fold_range, init, step)
+    next_phase0 = nloc % p
+    fc = (
+        acc["l"]
+        + acc["b"]
+        + F.element_at(acc["s"], next_phase0 + 1)
+    )
+    ok = F.col("n") >= 2 * period
+    return s1.select(
+        *by,
+        "n",
+        F.when(ok, acc["l"]).alias("level"),
+        F.when(ok, acc["b"]).alias("trend"),
+        F.when(ok, fc).alias("forecast"),
+    )
