@@ -8134,6 +8134,60 @@ def q_gwet(spark, sf_dir):
     return gwet_ac1(li, ["bucket"], "ra", "rb")
 
 
+def q_mahalanobis(spark, sf_dir):
+    """Mahalanobis 2D (L335): jointly-odd (quantity, price) lines per
+    returnflag on a deterministic slice — closed-form 2x2 inverse,
+    fit broadcast back."""
+    from lmss_entity_extractor_spark.ops.anomaly import mahalanobis_2d
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias(
+                "lid"
+            ),
+            "l_quantity",
+            "l_extendedprice",
+        )
+    )
+    return mahalanobis_2d(
+        li, ["flag"], "lid", "l_quantity", "l_extendedprice"
+    )
+
+
+def q_twoway(spark, sf_dir):
+    """Balanced two-way ANOVA (L336): row-number-minted 2x2 factors
+    over order revenue — exact cell sums, bounded margin folds."""
+    from pyspark.sql import Window
+
+    from lmss_entity_extractor_spark.ops.stattests import (
+        twoway_anova_balanced,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    rn = F.row_number().over(Window.orderBy("o_orderkey"))
+    nn = F.count(F.lit(1)).over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    tagged = o.select(
+        "o_totalprice",
+        rn.alias("_rn"),
+        nn.alias("_nn"),
+    ).filter(F.col("_rn") <= (F.col("_nn") - F.col("_nn") % 4))
+    fac = tagged.select(
+        (F.col("_rn") % 2).alias("fa"),
+        (F.floor(F.col("_rn") / 2) % 2).alias("fb"),
+        "o_totalprice",
+    )
+    return twoway_anova_balanced(fac, [], "fa", "fb", "o_totalprice")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -8256,6 +8310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xi": q_xi,
         "holt_winters": q_holt_winters,
         "gwet": q_gwet,
+        "mahalanobis": q_mahalanobis,
+        "twoway": q_twoway,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -21227,6 +21283,184 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN q >= 2 AND n >= 1 AND pe <> 1.0 THEN
                    (pav - pe) / (1.0 - pe) END AS ac1
         FROM f
+    """
+    oracles["mahalanobis"] = """
+        -- exact sums; closed-form 2x2 inverse; per-row md2 trees
+        WITH flt AS (
+            SELECT l_returnflag AS flag,
+                   l_orderkey * 10 + l_linenumber AS lid,
+                   l_quantity, l_extendedprice,
+                   CAST(l_quantity AS DECIMAL(18,4)) AS xq,
+                   CAST(l_extendedprice AS DECIMAL(18,4)) AS yq
+            FROM lineitem
+            WHERE l_orderkey % 50 = 0
+              AND l_quantity IS NOT NULL
+              AND l_extendedprice IS NOT NULL
+        ),
+        stats AS (
+            SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                   sum(xq) AS sx, sum(yq) AS sy,
+                   sum(xq * CAST(xq AS DECIMAL(20,4))) AS sxx,
+                   sum(yq * CAST(yq AS DECIMAL(20,4))) AS syy,
+                   sum(xq * CAST(yq AS DECIMAL(20,4))) AS sxy
+            FROM flt GROUP BY 1
+        ),
+        j AS (
+            SELECT flt.flag, flt.lid, flt.l_quantity,
+                   flt.l_extendedprice,
+                   stats.n,
+                   CAST(stats.n AS DOUBLE) AS nd,
+                   CAST(stats.sx AS DOUBLE) AS sxd,
+                   CAST(stats.sy AS DOUBLE) AS syd,
+                   CAST(stats.sxx AS DOUBLE) AS sxxd,
+                   CAST(stats.syy AS DOUBLE) AS syyd,
+                   CAST(stats.sxy AS DOUBLE) AS sxyd
+            FROM flt JOIN stats ON flt.flag = stats.flag
+        ),
+        m AS (
+            SELECT *,
+                   (nd * sxxd - sxd * sxd)
+                       / (nd * (nd - 1.0)) AS vx,
+                   (nd * syyd - syd * syd)
+                       / (nd * (nd - 1.0)) AS vy,
+                   (nd * sxyd - sxd * syd)
+                       / (nd * (nd - 1.0)) AS cv,
+                   CAST(l_quantity AS DOUBLE) - sxd / nd AS dx,
+                   CAST(l_extendedprice AS DOUBLE) - syd / nd
+                       AS dy
+            FROM j
+        ),
+        f AS (
+            SELECT flag, lid, l_quantity, l_extendedprice, n,
+                   vx * vy - cv * cv AS det,
+                   vy * dx * dx - 2.0 * cv * dx * dy
+                       + vx * dy * dy AS numer
+            FROM m
+        )
+        SELECT flag, lid AS id,
+               l_quantity AS x, l_extendedprice AS y,
+               CASE WHEN n >= 3 AND det > 0.0
+                    THEN numer / det END AS md2,
+               CASE WHEN n >= 3 AND det > 0.0
+                    THEN numer / det > 9.21 END AS is_outlier
+        FROM f
+    """
+    oracles["twoway"] = """
+        -- exact cell sums; bounded margin folds; identity SS_E
+        WITH o AS (
+            SELECT o_totalprice,
+                   CAST(row_number() OVER (ORDER BY o_orderkey)
+                        AS BIGINT) AS rn,
+                   CAST(count(*) OVER () AS BIGINT) AS nn
+            FROM orders
+        ),
+        fac AS (
+            SELECT rn % 2 AS fa,
+                   CAST(floor(rn / 2) AS BIGINT) % 2 AS fb,
+                   CAST(o_totalprice AS DECIMAL(18,4)) AS x
+            FROM o WHERE rn <= nn - nn % 4
+        ),
+        cells AS (
+            SELECT fa, fb, CAST(count(*) AS BIGINT) AS m,
+                   sum(x) AS s,
+                   sum(x * CAST(x AS DECIMAL(20,4))) AS q
+            FROM fac GROUP BY 1, 2
+        ),
+        packed AS (
+            SELECT CAST(max(m) AS BIGINT) AS m,
+                   CAST(count(DISTINCT fa) AS BIGINT) AS r,
+                   CAST(count(DISTINCT fb) AS BIGINT) AS c,
+                   sum(s) AS ts, sum(q) AS tq,
+                   CAST(sum(m) AS BIGINT) AS n,
+                   list_sort(list(struct_pack(
+                       a := fa, b := fb,
+                       s := CAST(s AS DOUBLE)))) AS lv
+            FROM cells
+        ),
+        t AS (
+            SELECT *, CAST(m AS DOUBLE) AS md,
+                   CAST(r AS DOUBLE) AS rd,
+                   CAST(c AS DOUBLE) AS cd,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(ts AS DOUBLE) / CAST(n AS DOUBLE) AS gbar
+            FROM packed
+        ),
+        ss AS (
+            SELECT *,
+                   list_reduce(list_prepend(0.0,
+                       [(list_reduce(list_prepend(0.0,
+                             [CASE WHEN o.a = e.a THEN o.s
+                                   ELSE 0.0 END FOR o IN lv]),
+                             (x1, v) -> x1 + v) / (md * cd) - gbar)
+                        * (list_reduce(list_prepend(0.0,
+                             [CASE WHEN o.a = e.a THEN o.s
+                                   ELSE 0.0 END FOR o IN lv]),
+                             (x1, v) -> x1 + v) / (md * cd) - gbar)
+                        FOR e IN lv]),
+                       (x1, v) -> x1 + v) / cd * (md * cd) AS ssa,
+                   list_reduce(list_prepend(0.0,
+                       [(list_reduce(list_prepend(0.0,
+                             [CASE WHEN o.b = e.b THEN o.s
+                                   ELSE 0.0 END FOR o IN lv]),
+                             (x1, v) -> x1 + v) / (md * rd) - gbar)
+                        * (list_reduce(list_prepend(0.0,
+                             [CASE WHEN o.b = e.b THEN o.s
+                                   ELSE 0.0 END FOR o IN lv]),
+                             (x1, v) -> x1 + v) / (md * rd) - gbar)
+                        FOR e IN lv]),
+                       (x1, v) -> x1 + v) / rd * (md * rd) AS ssb,
+                   list_reduce(list_prepend(0.0,
+                       [(e.s / md
+                         - list_reduce(list_prepend(0.0,
+                               [CASE WHEN o.a = e.a THEN o.s
+                                     ELSE 0.0 END FOR o IN lv]),
+                               (x1, v) -> x1 + v) / (md * cd)
+                         - list_reduce(list_prepend(0.0,
+                               [CASE WHEN o.b = e.b THEN o.s
+                                     ELSE 0.0 END FOR o IN lv]),
+                               (x1, v) -> x1 + v) / (md * rd)
+                         + gbar)
+                        * (e.s / md
+                           - list_reduce(list_prepend(0.0,
+                                 [CASE WHEN o.a = e.a THEN o.s
+                                       ELSE 0.0 END FOR o IN lv]),
+                                 (x1, v) -> x1 + v) / (md * cd)
+                           - list_reduce(list_prepend(0.0,
+                                 [CASE WHEN o.b = e.b THEN o.s
+                                       ELSE 0.0 END FOR o IN lv]),
+                                 (x1, v) -> x1 + v) / (md * rd)
+                           + gbar)
+                        FOR e IN lv]),
+                       (x1, v) -> x1 + v) * md AS ssab,
+                   CAST(tq AS DOUBLE) - nd * gbar * gbar
+                   - list_reduce(list_prepend(0.0,
+                       [(e.s / md - gbar) * (e.s / md - gbar)
+                        FOR e IN lv]),
+                       (x1, v) -> x1 + v) * md AS sse
+            FROM t
+        )
+        SELECT n, r, c, m,
+               CASE WHEN m >= 2 AND r >= 2 AND c >= 2
+                         AND sse > 0.0 THEN
+                   ssa / (rd - 1.0)
+                   / (sse / (nd - rd * cd)) END AS f_a,
+               CASE WHEN m >= 2 AND r >= 2 AND c >= 2
+                         AND sse > 0.0 THEN
+                   ssb / (cd - 1.0)
+                   / (sse / (nd - rd * cd)) END AS f_b,
+               CASE WHEN m >= 2 AND r >= 2 AND c >= 2
+                         AND sse > 0.0 THEN
+                   ssab / ((rd - 1.0) * (cd - 1.0))
+                   / (sse / (nd - rd * cd)) END AS f_ab,
+               CASE WHEN m >= 2 AND r >= 2 AND c >= 2
+                    THEN rd - 1.0 END AS df_a,
+               CASE WHEN m >= 2 AND r >= 2 AND c >= 2
+                    THEN cd - 1.0 END AS df_b,
+               CASE WHEN m >= 2 AND r >= 2 AND c >= 2
+                    THEN (rd - 1.0) * (cd - 1.0) END AS df_ab,
+               CASE WHEN m >= 2 AND r >= 2 AND c >= 2
+                    THEN nd - rd * cd END AS df_e
+        FROM ss
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

@@ -1585,3 +1585,184 @@ def yuen_ttest(
         F.when(ok_t, t).alias("t"),
         F.when(ok_t, dfy).alias("df_y"),
     )
+
+
+def twoway_anova_balanced(
+    df: DataFrame,
+    by: list[str],
+    factor_a_col: str,
+    factor_b_col: str,
+    value_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., n, r, c, m, f_a, f_b, f_ab, df_a, df_b, df_ab,
+    df_e)`` — BALANCED two-way ANOVA with interaction (L336): do two
+    factors move the metric, and do they INTERACT (the effect of one
+    depends on the other) — the design the one-way test (L201-era
+    ``oneway_anova``) cannot see:
+
+        SS_A = m·c·Σ(ȳ_a − ȳ)²,  SS_B = m·r·Σ(ȳ_b − ȳ)²
+        SS_AB = m·Σ(ȳ_ab − ȳ_a − ȳ_b + ȳ)²,  SS_E = Σ(y − ȳ_ab)²
+        F = MS_effect / MS_E
+
+    The closed-form partition REQUIRES equal cell sizes m — unequal
+    cells are REFUSED loudly (unbalanced designs need the regression
+    route).  Cell/margin sums are exact decimals; every SS folds over
+    the bounded sorted cell grid (the L140 discipline); SS_E comes
+    from the exact identity SS_E = SS_total − m·Σ(ȳ_ab − ȳ)².
+    m < 2 (no residual df) or zero SS_E → NULL F's.
+
+    Scale shape: one combinable (keys, a, b) cell agg + bounded folds.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(
+        F.col(factor_a_col).isNotNull()
+        & F.col(factor_b_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    xd = F.col(value_col).cast(dec)
+    cells = flt.groupBy(
+        *by,
+        F.col(factor_a_col).alias("_a"),
+        F.col(factor_b_col).alias("_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum(xd).alias("_s"),
+        F.sum(xd * xd).alias("_q"),
+    )
+    unbalanced = (
+        cells.groupBy(*by)
+        .agg((F.max("_m") != F.min("_m")).alias("_u"))
+        .filter(F.col("_u"))
+        .count()
+    )
+    if unbalanced:
+        raise ValueError(
+            "twoway_anova_balanced: unequal cell sizes — the "
+            "closed-form partition needs a balanced design; use the "
+            "regression route for unbalanced data"
+        )
+    packed = cells.groupBy(*by).agg(
+        F.max("_m").alias("m"),
+        F.countDistinct("_a").alias("r"),
+        F.countDistinct("_b").alias("c"),
+        F.sum("_s").alias("_ts"),
+        F.sum("_q").alias("_tq"),
+        F.sum("_m").alias("n"),
+        F.sort_array(
+            F.collect_list(F.struct("_a", "_b", "_s"))
+        ).alias("_lv"),
+    )
+    md = F.col("m").cast("double")
+    rd = F.col("r").cast("double")
+    cd = F.col("c").cast("double")
+    nd = F.col("n").cast("double")
+    gbar = F.col("_ts").cast("double") / nd
+
+    def asum(e):  # row-margin sum for e's a level
+        return F.aggregate(
+            F.col("_lv"),
+            F.lit(0.0),
+            lambda a2, o: a2
+            + F.when(
+                o["_a"] == e["_a"], o["_s"].cast("double")
+            ).otherwise(F.lit(0.0)),
+        )
+
+    def bsum(e):
+        return F.aggregate(
+            F.col("_lv"),
+            F.lit(0.0),
+            lambda a2, o: a2
+            + F.when(
+                o["_b"] == e["_b"], o["_s"].cast("double")
+            ).otherwise(F.lit(0.0)),
+        )
+
+    # SS_A over distinct a levels: fold cells but divide by c (each
+    # a level appears in c cells)
+    ss_a = (
+        F.aggregate(
+            F.col("_lv"),
+            F.lit(0.0),
+            lambda a2, e: a2
+            + (asum(e) / (md * cd) - gbar)
+            * (asum(e) / (md * cd) - gbar),
+        )
+        / cd
+        * (md * cd)
+    )
+    ss_b = (
+        F.aggregate(
+            F.col("_lv"),
+            F.lit(0.0),
+            lambda a2, e: a2
+            + (bsum(e) / (md * rd) - gbar)
+            * (bsum(e) / (md * rd) - gbar),
+        )
+        / rd
+        * (md * rd)
+    )
+    ss_cells = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda a2, e: a2
+        + (e["_s"].cast("double") / md - gbar)
+        * (e["_s"].cast("double") / md - gbar),
+    ) * md
+    ss_ab_terms = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda a2, e: a2
+        + (
+            e["_s"].cast("double") / md
+            - asum(e) / (md * cd)
+            - bsum(e) / (md * rd)
+            + gbar
+        )
+        * (
+            e["_s"].cast("double") / md
+            - asum(e) / (md * cd)
+            - bsum(e) / (md * rd)
+            + gbar
+        ),
+    ) * md
+    ss_tot = F.col("_tq").cast("double") - nd * gbar * gbar
+    s1 = packed.select(
+        *by,
+        "n",
+        "r",
+        "c",
+        "m",
+        ss_a.alias("_ssa"),
+        ss_b.alias("_ssb"),
+        ss_ab_terms.alias("_ssab"),
+        (ss_tot - ss_cells).alias("_sse"),
+    )
+    df_a = (F.col("r") - 1).cast("double")
+    df_b = (F.col("c") - 1).cast("double")
+    df_ab = df_a * df_b
+    df_e = (
+        F.col("n") - F.col("r") * F.col("c")
+    ).cast("double")
+    mse = F.col("_sse") / df_e
+    ok = (F.col("m") >= 2) & (F.col("r") >= 2) & (
+        F.col("c") >= 2
+    )
+    ok_f = ok & (F.col("_sse") > 0.0)
+    return s1.select(
+        *by,
+        "n",
+        "r",
+        "c",
+        "m",
+        F.when(ok_f, F.col("_ssa") / df_a / mse).alias("f_a"),
+        F.when(ok_f, F.col("_ssb") / df_b / mse).alias("f_b"),
+        F.when(ok_f, F.col("_ssab") / df_ab / mse).alias("f_ab"),
+        F.when(ok, df_a).alias("df_a"),
+        F.when(ok, df_b).alias("df_b"),
+        F.when(ok, df_ab).alias("df_ab"),
+        F.when(ok, df_e).alias("df_e"),
+    )
