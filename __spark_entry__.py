@@ -8188,6 +8188,40 @@ def q_twoway(spark, sf_dir):
     return twoway_anova_balanced(fac, [], "fa", "fb", "o_totalprice")
 
 
+def q_rfm(spark, sf_dir):
+    """RFM scoring (L337): purchase recency/frequency/monetary
+    quintiles per user — deterministic id-tiebroken rank bins."""
+    from lmss_entity_extractor_spark.ops.cohort import rfm_scores
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .select("user_id", "ts", "value")
+    )
+    return rfm_scores(e, [], "user_id", "ts", "value")
+
+
+def q_wcorr(spark, sf_dir):
+    """Winsorized correlation (L338): robust quantity-price
+    dependence per returnflag — clamped exact decimals, one Pearson
+    tree."""
+    from lmss_entity_extractor_spark.ops.correlation import (
+        winsorized_corr,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return winsorized_corr(
+        li, ["flag"], "l_quantity", "l_extendedprice", trim_pct=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -8312,6 +8346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gwet": q_gwet,
         "mahalanobis": q_mahalanobis,
         "twoway": q_twoway,
+        "rfm": q_rfm,
+        "wcorr": q_wcorr,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "substr_spans": q_substr_spans,
@@ -21461,6 +21497,126 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN m >= 2 AND r >= 2 AND c >= 2
                     THEN nd - rd * cd END AS df_e
         FROM ss
+    """
+    oracles["rfm"] = """
+        -- deterministic id-tiebroken rank bins (ceil(5*rn/n))
+        WITH per_id AS (
+            SELECT user_id AS id,
+                   max(CAST(date_trunc('day', ts) AS DATE))
+                       AS last_d,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   sum(CAST(value AS DECIMAL(18,2))) AS mon
+            FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+            GROUP BY 1
+        ),
+        staged AS (
+            SELECT id,
+                   CAST(max(last_d) OVER () - last_d AS BIGINT)
+                       AS recency_days,
+                   frequency,
+                   CAST(mon AS DOUBLE) AS monetary,
+                   mon,
+                   CAST(count(*) OVER () AS BIGINT) AS n
+            FROM per_id
+        ),
+        scored AS (
+            SELECT id, recency_days, frequency, monetary,
+                   CAST(ceil(5 * row_number() OVER
+                       (ORDER BY recency_days DESC, id ASC)
+                       / CAST(n AS DOUBLE)) AS INTEGER) AS r_score,
+                   CAST(ceil(5 * row_number() OVER
+                       (ORDER BY frequency ASC, id ASC)
+                       / CAST(n AS DOUBLE)) AS INTEGER) AS f_score,
+                   CAST(ceil(5 * row_number() OVER
+                       (ORDER BY mon ASC, id ASC)
+                       / CAST(n AS DOUBLE)) AS INTEGER) AS m_score
+            FROM staged
+        )
+        SELECT id, recency_days, frequency, monetary,
+               r_score, f_score, m_score,
+               CAST(r_score AS VARCHAR)
+                   || CAST(f_score AS VARCHAR)
+                   || CAST(m_score AS VARCHAR) AS rfm
+        FROM scored
+    """
+    oracles["wcorr"] = """
+        -- positional clamp bounds; exact clamped sums; one tree
+        WITH flt AS (
+            SELECT l_returnflag AS flag,
+                   CAST(l_quantity AS DECIMAL(18,4)) AS x,
+                   CAST(l_extendedprice AS DECIMAL(18,4)) AS y
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL
+              AND l_extendedprice IS NOT NULL
+        ),
+        bx AS (
+            SELECT flag,
+                   max(CASE WHEN r = greatest((n * 10) // 100, 1)
+                       THEN v END) AS lo_x,
+                   max(CASE WHEN r = least(n - (n * 10) // 100 + 1,
+                                           n)
+                       THEN v END) AS hi_x
+            FROM (SELECT flag, x AS v,
+                         CAST(row_number() OVER
+                             (PARTITION BY flag ORDER BY x)
+                             AS BIGINT) AS r,
+                         CAST(count(*) OVER (PARTITION BY flag)
+                             AS BIGINT) AS n
+                  FROM flt)
+            GROUP BY 1
+        ),
+        byy AS (
+            SELECT flag,
+                   max(CASE WHEN r = greatest((n * 10) // 100, 1)
+                       THEN v END) AS lo_y,
+                   max(CASE WHEN r = least(n - (n * 10) // 100 + 1,
+                                           n)
+                       THEN v END) AS hi_y
+            FROM (SELECT flag, y AS v,
+                         CAST(row_number() OVER
+                             (PARTITION BY flag ORDER BY y)
+                             AS BIGINT) AS r,
+                         CAST(count(*) OVER (PARTITION BY flag)
+                             AS BIGINT) AS n
+                  FROM flt)
+            GROUP BY 1
+        ),
+        clamped AS (
+            SELECT flt.flag,
+                   least(greatest(flt.x, bx.lo_x), bx.hi_x) AS wx,
+                   least(greatest(flt.y, byy.lo_y), byy.hi_y) AS wy
+            FROM flt
+            JOIN bx ON flt.flag = bx.flag
+            JOIN byy ON flt.flag = byy.flag
+        ),
+        agg AS (
+            SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                   sum(wx) AS sx, sum(wy) AS sy,
+                   sum(wx * CAST(wx AS DECIMAL(20,4))) AS sxx,
+                   sum(wy * CAST(wy AS DECIMAL(20,4))) AS syy,
+                   sum(wx * CAST(wy AS DECIMAL(20,4))) AS sxy
+            FROM clamped GROUP BY 1
+        ),
+        t AS (
+            SELECT flag, n,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(sx AS DOUBLE) AS sxd,
+                   CAST(sy AS DOUBLE) AS syd,
+                   CAST(sxx AS DOUBLE) AS sxxd,
+                   CAST(syy AS DOUBLE) AS syyd,
+                   CAST(sxy AS DOUBLE) AS sxyd
+            FROM agg
+        )
+        SELECT flag, n,
+               CASE WHEN n >= 2
+                         AND nd * sxxd - sxd * sxd > 0.0
+                         AND nd * syyd - syd * syd > 0.0
+                    THEN (nd * sxyd - sxd * syd)
+                         / sqrt((nd * sxxd - sxd * sxd)
+                                * (nd * syyd - syd * syd))
+               END AS r_winsor
+        FROM t
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

@@ -165,3 +165,93 @@ def funnel(
         "steps_completed",
         F.coalesce(F.col("n_users"), F.lit(0)).cast("long").alias("n_users"),
     )
+
+
+def rfm_scores(
+    df: DataFrame,
+    by: list[str],
+    id_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_bins: int = 5,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., id, recency_days, frequency, monetary, r_score,
+    f_score, m_score, rfm)`` — RFM quintile scoring (L337): the
+    classic customer-value segmentation — how RECENTLY, how OFTEN,
+    how MUCH — as deterministic rank bins:
+
+        score = ⌈bins·rank/n⌉, ranks ordered worst→best with the id
+        as the tiebreak (ntile's arbitrary tie placement would make
+        boundary customers flip between runs — refused by design)
+
+    Recency is measured against the LATEST event in the data (a
+    deterministic reference, not wall-clock "now"); frequency and
+    monetary are exact counts/decimal sums.  ``rfm`` concatenates the
+    three digits ("555" = best).
+
+    Scale shape: one combinable (keys, id) agg + three keyed window
+    passes over the per-id table (already aggregate-sized).
+
+    No reference counterpart; customer analytics per SURVEY §2.11.
+    """
+    if n_bins < 2:
+        raise ValueError("rfm_scores: n_bins must be >= 2")
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(
+        F.col(id_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(amount_col).isNotNull()
+    )
+    per_id = flt.groupBy(*by, F.col(id_col).alias("id")).agg(
+        F.max(F.to_date(ts_col)).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(amount_col).cast(dec)).alias("_mon"),
+    )
+    wa = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = per_id.select(
+        *by,
+        "id",
+        F.datediff(F.max("_last").over(wa), F.col("_last")).alias(
+            "recency_days"
+        ),
+        "frequency",
+        F.col("_mon").cast("double").alias("monetary"),
+        F.col("_mon").alias("_mond"),
+        F.count(F.lit(1)).over(wa).alias("_n"),
+    )
+    bins = F.lit(int(n_bins))
+
+    def score(order_cols):
+        w = Window.partitionBy(*by).orderBy(*order_cols)
+        rn = F.row_number().over(w)
+        return F.ceil(bins * rn / F.col("_n")).cast("int")
+
+    out = staged.select(
+        *by,
+        "id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score([F.desc("recency_days"), F.asc("id")]).alias("r_score"),
+        score([F.asc("frequency"), F.asc("id")]).alias("f_score"),
+        score([F.asc("_mond"), F.asc("id")]).alias("m_score"),
+    )
+    return out.select(
+        *by,
+        "id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm"),
+    )

@@ -559,3 +559,105 @@ def distance_correlation(
         *by, "n", "dcov2", "dvar_x", "dvar_y",
         F.when(ok, dcor).alias("dcor"),
     )
+
+
+def winsorized_corr(
+    df: DataFrame,
+    by: list[str],
+    x_col: str,
+    y_col: str,
+    trim_pct: int = 10,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., n, r_winsor)`` — winsorized Pearson correlation
+    (L338): the robust-dependence middle ground — Pearson (L141) that
+    a few outliers cannot buy, without discarding the metric scale
+    the way ranks (L142) or ordinal patterns (L332) do:
+
+        clamp each margin at its g-th / (n−g+1)-th order statistics
+        (g = ⌊n·trim/100⌋, the L320 positional discipline), then
+        Pearson on the clamped EXACT decimals
+
+    Boundaries come from one ranked pass per margin (boundary ties
+    value-deterministic), broadcast back (fit-small/apply-wide);
+    clamped sums multiply at (18,s) — exact.  Zero clamped variance
+    on either margin → NULL.
+
+    Scale shape: two keyed window passes + one broadcast join + one
+    combinable agg — three narrow scans.
+
+    No reference counterpart; dependence analytics per SURVEY §2.11.
+    """
+    if not 0 < int(trim_pct) < 50:
+        raise ValueError("winsorized_corr: trim_pct must be in 1..49")
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+
+    def bounds(col, tag):
+        w = Window.partitionBy(*by).orderBy(col)
+        wa = Window.partitionBy(*by).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        ranked = flt.select(
+            *by,
+            F.col(col).cast(dec).alias("_v"),
+            F.row_number().over(w).alias("_r"),
+            F.count(F.lit(1)).over(wa).alias("_n"),
+        )
+        g = F.floor(
+            F.col("_n") * F.lit(int(trim_pct)) / F.lit(100)
+        )
+        return ranked.groupBy(*by).agg(
+            F.max(
+                F.when(F.col("_r") == F.greatest(g, F.lit(1)), F.col("_v"))
+            ).alias(f"_lo_{tag}"),
+            F.max(
+                F.when(
+                    F.col("_r")
+                    == F.least(F.col("_n") - g + 1, F.col("_n")),
+                    F.col("_v"),
+                )
+            ).alias(f"_hi_{tag}"),
+        )
+
+    bx = bounds(x_col, "x")
+    by_ = bounds(y_col, "y")
+    bboth = bx.join(by_, by) if by else bx.crossJoin(by_)
+    joined = (
+        flt.join(F.broadcast(bboth), by)
+        if by
+        else flt.crossJoin(F.broadcast(bboth))
+    )
+    wx = F.least(
+        F.greatest(F.col(x_col).cast(dec), F.col("_lo_x")),
+        F.col("_hi_x"),
+    )
+    wy = F.least(
+        F.greatest(F.col(y_col).cast(dec), F.col("_lo_y")),
+        F.col("_hi_y"),
+    )
+    agg = joined.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(wx).alias("_sx"),
+        F.sum(wy).alias("_sy"),
+        F.sum(wx * wx).alias("_sxx"),
+        F.sum(wy * wy).alias("_syy"),
+        F.sum(wx * wy).alias("_sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    num = nd * sxy - sx * sy
+    dx = nd * sxx - sx * sx
+    dy = nd * syy - sy * sy
+    ok = (F.col("n") >= 2) & (dx > 0.0) & (dy > 0.0)
+    return agg.select(
+        *by,
+        "n",
+        F.when(ok, num / F.sqrt(dx * dy)).alias("r_winsor"),
+    )
