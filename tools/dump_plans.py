@@ -78,6 +78,12 @@ SHOWCASE = [
     ("hill", "only k+1 rows per key survive the descending row_number filter — the 100 TB scan feeds a KB-sized tail fold"),
     ("var_es", "VaR and ES from the same single descending window: the k-th order statistic row already carries the exact tail cumsum"),
     ("seasonal_mk", "the phase split SHRINKS each pair lattice 7x; combined S is a plain integer sum, combined Var an order-pinned 7-element fold"),
+    ("holt_winters", "three smoothing states fold in ONE pass: the seasonal array rides inside the struct accumulator and only its current phase slot is rewritten per step"),
+    ("ipf", "the whole iterative-proportional-fitting loop is a fold over a literal iteration sequence — the cell grid never leaves the row"),
+    ("xi", "Chatterjee's xi from two RANGE-framed count windows + one lead — the O(n log n) sort-based estimator, no pair lattice"),
+    ("mtbf", "state-change filter then lead-pairing: two keyed window passes turn an event log into exact-microsecond reliability segments"),
+    ("twoway", "the factorial ANOVA never joins margins: row/column sums are re-derived INSIDE the bounded cell-list folds"),
+    ("wcorr", "clamp bounds are two order statistics broadcast back — winsorizing 100 TB costs one extra narrow scan, not a sort of the data"),
 ]
 
 
