@@ -8222,6 +8222,28 @@ def q_wcorr(spark, sf_dir):
     )
 
 
+def q_kpss(spark, sf_dir):
+    """KPSS level stationarity (L339): is daily revenue level-stationary
+    — denominator-cleared exact partial-sum/autocovariance sums, one
+    Bartlett long-run-variance tree."""
+    from lmss_entity_extractor_spark.ops.timeseries import kpss_level
+
+    return kpss_level(
+        _daily_series(spark, sf_dir), ["bucket"], ["t"], "v", lags=4
+    )
+
+
+def q_varratio(spark, sf_dir):
+    """Lo-MacKinlay variance ratio (L340): does daily-revenue variance
+    grow linearly with a 4-day horizon — one rolling exact-decimal
+    window, expanded mean corrections, one z tree."""
+    from lmss_entity_extractor_spark.ops.timeseries import variance_ratio
+
+    return variance_ratio(
+        _daily_series(spark, sf_dir), ["bucket"], ["t"], "v", q=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -8229,6 +8251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the round-1-green remainder.
     return {
         # oracles never yet driver-checked (added r2/r3/r4)
+        "kpss": q_kpss,
+        "varratio": q_varratio,
         "ndcg": q_ndcg,
         "pettitt": q_pettitt,
         "sign_test": q_sign_test,
@@ -21617,6 +21641,143 @@ def oracle_sql() -> dict[str, str]:
                                 * (nd * syyd - syd * syd))
                END AS r_winsor
         FROM t
+    """
+    oracles["kpss"] = """
+        -- denominator-cleared KPSS: exact prefix/lag sums, one tree
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        rows_ AS (
+            SELECT bucket, x,
+                   CAST(sum(x) OVER (PARTITION BY bucket ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS DECIMAL(18,2)) AS c,
+                   CAST(row_number() OVER
+                        (PARTITION BY bucket ORDER BY d)
+                        AS DECIMAL(10,0)) AS t,
+                   lag(x, 1) OVER
+                       (PARTITION BY bucket ORDER BY d) AS xl1,
+                   lag(x, 2) OVER
+                       (PARTITION BY bucket ORDER BY d) AS xl2,
+                   lag(x, 3) OVER
+                       (PARTITION BY bucket ORDER BY d) AS xl3,
+                   lag(x, 4) OVER
+                       (PARTITION BY bucket ORDER BY d) AS xl4
+            FROM daily
+        ),
+        agg AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS s, sum(x * x) AS q,
+                   sum(c * c) AS u, sum(t * c) AS v,
+                   sum(x * xl1) AS a1, sum(x + xl1) AS b1,
+                   sum(x * xl2) AS a2, sum(x + xl2) AS b2,
+                   sum(x * xl3) AS a3, sum(x + xl3) AS b3,
+                   sum(x * xl4) AS a4, sum(x + xl4) AS b4
+            FROM rows_ GROUP BY 1
+        ),
+        dd AS (
+            SELECT bucket, n,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(s AS DOUBLE) AS sd,
+                   CAST(q AS DOUBLE) AS qd,
+                   CAST(u AS DOUBLE) AS ud,
+                   CAST(v AS DOUBLE) AS vd,
+                   coalesce(CAST(a1 AS DOUBLE), 0.0) AS a1,
+                   coalesce(CAST(b1 AS DOUBLE), 0.0) AS b1,
+                   coalesce(CAST(a2 AS DOUBLE), 0.0) AS a2,
+                   coalesce(CAST(b2 AS DOUBLE), 0.0) AS b2,
+                   coalesce(CAST(a3 AS DOUBLE), 0.0) AS a3,
+                   coalesce(CAST(b3 AS DOUBLE), 0.0) AS b3,
+                   coalesce(CAST(a4 AS DOUBLE), 0.0) AS a4,
+                   coalesce(CAST(b4 AS DOUBLE), 0.0) AS b4
+            FROM agg
+        ),
+        t2 AS (
+            SELECT *,
+                   nd * (nd + 1.0) * (2.0 * nd + 1.0) / 6.0 AS wsq,
+                   nd * nd * qd - nd * sd * sd
+                   + 1.6 * (nd * nd * a1 - nd * sd * b1
+                            + (nd - 1.0) * sd * sd)
+                   + 1.2 * (nd * nd * a2 - nd * sd * b2
+                            + (nd - 2.0) * sd * sd)
+                   + 0.8 * (nd * nd * a3 - nd * sd * b3
+                            + (nd - 3.0) * sd * sd)
+                   + 0.3999999999999999
+                     * (nd * nd * a4 - nd * sd * b4
+                        + (nd - 4.0) * sd * sd) AS lrvn
+            FROM dd
+        ),
+        t3 AS (
+            SELECT *,
+                   nd * nd * ud - 2.0 * nd * sd * vd
+                   + sd * sd * wsq AS sp2
+            FROM t2
+        )
+        SELECT bucket, n,
+               CASE WHEN n >= 6 AND lrvn > 0.0
+                    THEN lrvn / (nd * nd * nd) END AS lrv,
+               CASE WHEN n >= 6 AND lrvn > 0.0
+                    THEN sp2 / (nd * lrvn) END AS eta_kpss
+        FROM t3
+    """
+    oracles["varratio"] = """
+        -- rolling exact q-sums; expanded mean corrections; one z tree
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        rows_ AS (
+            SELECT bucket, x,
+                   CAST(sum(x) OVER (PARTITION BY bucket ORDER BY d
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                        AS DECIMAL(18,2)) AS w,
+                   row_number() OVER
+                       (PARTITION BY bucket ORDER BY d) AS t
+            FROM daily
+        ),
+        agg AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS s, sum(x * x) AS qq,
+                   sum(CASE WHEN t >= 4 THEN w END) AS sw,
+                   sum(CASE WHEN t >= 4 THEN w * w END) AS sww
+            FROM rows_ GROUP BY 1
+        ),
+        dd AS (
+            SELECT bucket, n,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(s AS DOUBLE) AS sd,
+                   CAST(qq AS DOUBLE) AS sq,
+                   coalesce(CAST(sw AS DOUBLE), 0.0) AS sw,
+                   coalesce(CAST(sww AS DOUBLE), 0.0) AS sww
+            FROM agg
+        ),
+        t2 AS (
+            SELECT *, sd / nd AS mu,
+                   nd - 4.0 + 1.0 AS m,
+                   (sq - sd * sd / nd) / nd AS var1
+            FROM dd
+        ),
+        t3 AS (
+            SELECT *,
+                   (sww - 2.0 * 4.0 * mu * sw
+                    + m * 4.0 * 4.0 * mu * mu) / (nd * 4.0)
+                   / var1 AS vr
+            FROM t2
+        )
+        SELECT bucket, n,
+               CASE WHEN n >= 6 AND var1 > 0.0 THEN vr END AS vr,
+               CASE WHEN n >= 6 AND var1 > 0.0
+                    THEN sqrt(nd) * (vr - 1.0) / sqrt(3.5) END AS z_vr
+        FROM t3
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

@@ -1938,3 +1938,191 @@ def holt_winters_additive(
         F.when(ok, acc["b"]).alias("trend"),
         F.when(ok, fc).alias("forecast"),
     )
+
+
+def kpss_level(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+    lags: int = 4,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, lrv, eta_kpss)`` — the KPSS level-stationarity
+    test (L339): the mirror image of Dickey-Fuller (L287) — H0 is
+    STATIONARY here, so running both corners a series (DF rejects +
+    KPSS accepts → stationary; DF accepts + KPSS rejects → unit
+    root; both reject → neither model fits):
+
+        e_t = x_t − x̄,   S_t = Σ_{i≤t} e_i,
+        η = (1/n²)·Σ_t S_t²  /  σ̂²_lrv
+
+    with the Bartlett long-run variance σ̂²_lrv = γ̂₀ + 2·Σ_{j≤l}
+    (1 − j/(l+1))·γ̂ⱼ (compare η against 0.463 at 5% / 0.739 at 1%,
+    level case).  Nothing here ever divides row-side: with the
+    denominator cleared, d_t = n·x_t − Σx and P_t = n·C_t − t·Σx
+    (C_t the exact prefix sum) are exact decimals, and the three
+    statistic pieces expand into order-insensitive exact sums —
+
+        Σ d_t·d_{t−j} = n²·Σx_t x_{t−j} − nS·Σ(x_t+x_{t−j}) + (n−j)S²
+        Σ P_t²        = n²·ΣC_t² − 2nS·Σ t·C_t + S²·n(n+1)(2n+1)/6
+
+    — so the whole test is one keyed window pass (prefix sum, row
+    number, ``lags`` lag columns) + one combinable agg + one fixed
+    IEEE tree.  η = ΣP² / (n·(D₀ + 2Σwⱼ Dⱼ)).  Exactness bound:
+    prefix sums and lag products square at (18,s) — |C_t| must stay
+    below 10^(16−s) (loudly larger than any per-key series this
+    engine aggregates).  NULLs refused; n < lags+2 or zero long-run
+    variance → NULL η.
+
+    Scale shape: one keyed window pass + one combinable agg — the
+    dickey_fuller shuffle shape exactly.
+
+    No reference counterpart; forecasting analytics per SURVEY §2.11.
+    """
+    if not 0 <= int(lags) <= 20:
+        raise ValueError("kpss_level: lags must be in 0..20")
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"kpss_level: {n_null} NULL value(s) — impute first"
+        )
+    lags = int(lags)
+    dec = f"decimal(18,{scale})"
+    wt = Window.partitionBy(*by).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    wc = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    xd = F.col(value_col).cast(dec)
+    rows = df.select(
+        *by,
+        xd.alias("_x"),
+        F.sum(xd).over(wc).cast(dec).alias("_c"),
+        F.row_number().over(wt).cast("decimal(10,0)").alias("_t"),
+        *[
+            F.lag(xd, j).over(wt).alias(f"_xl{j}")
+            for j in range(1, lags + 1)
+        ],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_q"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_u"),
+        F.sum(F.col("_t") * F.col("_c")).alias("_v"),
+    ]
+    for j in range(1, lags + 1):
+        xl = F.col(f"_xl{j}")
+        aggs.append(F.sum(F.col("_x") * xl).alias(f"_a{j}"))
+        aggs.append(F.sum(F.col("_x") + xl).alias(f"_b{j}"))
+    agg = rows.groupBy(*by).agg(*aggs)
+    nd = F.col("n").cast("double")
+    s = F.col("_s").cast("double")
+    q = F.col("_q").cast("double")
+    u = F.col("_u").cast("double")
+    v = F.col("_v").cast("double")
+    w_sq = nd * (nd + F.lit(1.0)) * (
+        F.lit(2.0) * nd + F.lit(1.0)
+    ) / F.lit(6.0)
+    sp2 = nd * nd * u - F.lit(2.0) * nd * s * v + s * s * w_sq
+    d0 = nd * nd * q - nd * s * s
+    lrv_num = d0
+    for j in range(1, lags + 1):
+        aj = F.coalesce(F.col(f"_a{j}").cast("double"), F.lit(0.0))
+        bj = F.coalesce(F.col(f"_b{j}").cast("double"), F.lit(0.0))
+        dj = nd * nd * aj - nd * s * bj + (nd - F.lit(float(j))) * s * s
+        wj = 1.0 - j / (lags + 1.0)
+        lrv_num = lrv_num + F.lit(2.0 * wj) * dj
+    lrv = lrv_num / (nd * nd * nd)
+    ok = (F.col("n") >= lags + 2) & (lrv_num > 0.0)
+    return agg.select(
+        *by,
+        "n",
+        F.when(ok, lrv).alias("lrv"),
+        F.when(ok, sp2 / (nd * lrv_num)).alias("eta_kpss"),
+    )
+
+
+def variance_ratio(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+    q: int = 4,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, vr, z_vr)`` — the Lo-MacKinlay variance-ratio
+    test (L340): does variance grow LINEARLY with the horizon, the
+    defining fingerprint of a random walk (VR(q)≈1) vs mean
+    reversion (VR<1) or trending/momentum (VR>1) — the standard
+    "is this series predictable at horizon q" screen on returns:
+
+        σ̂²(1) = (1/n)·Σ(r_t − μ̂)²
+        σ̂²(q) = (1/(n·q))·Σ_{t≥q}(r_t + … + r_{t−q+1} − q·μ̂)²
+        VR = σ̂²(q)/σ̂²(1),
+        z = √n·(VR−1)/√(2(2q−1)(q−1)/(3q))   (homoskedastic form)
+
+    The overlapping q-sums W_t come from ONE rolling window of exact
+    decimals (order-insensitive), and the mean corrections expand —
+    Σ(W−qμ)² = ΣW² − 2qμ·ΣW + m·q²μ² with m = n−q+1 — so the test
+    is one keyed window pass + one combinable agg + one fixed IEEE
+    tree (the L287 discipline).  Same (18,s) squaring bound as
+    kpss_level.  NULLs refused; q < 2, n < q+2, or zero one-period
+    variance → NULL.
+
+    Scale shape: one keyed window pass + one combinable agg.
+
+    No reference counterpart; forecasting analytics per SURVEY §2.11.
+    """
+    if int(q) < 2:
+        raise ValueError("variance_ratio: q must be >= 2")
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"variance_ratio: {n_null} NULL value(s) — impute first"
+        )
+    q = int(q)
+    dec = f"decimal(18,{scale})"
+    wt = Window.partitionBy(*by).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    wq = wt.rowsBetween(-(q - 1), Window.currentRow)
+    xd = F.col(value_col).cast(dec)
+    rows = df.select(
+        *by,
+        xd.alias("_x"),
+        F.sum(xd).over(wq).cast(dec).alias("_w"),
+        F.row_number().over(wt).alias("_t"),
+    )
+    full = F.col("_t") >= q
+    agg = rows.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_qq"),
+        F.sum(F.when(full, F.col("_w"))).alias("_sw"),
+        F.sum(F.when(full, F.col("_w") * F.col("_w"))).alias("_sww"),
+    )
+    nd = F.col("n").cast("double")
+    s = F.col("_s").cast("double")
+    sq = F.col("_qq").cast("double")
+    sw = F.coalesce(F.col("_sw").cast("double"), F.lit(0.0))
+    sww = F.coalesce(F.col("_sww").cast("double"), F.lit(0.0))
+    qd = F.lit(float(q))
+    mu = s / nd
+    m = nd - qd + F.lit(1.0)
+    var1 = (sq - s * s / nd) / nd
+    num = sww - F.lit(2.0) * qd * mu * sw + m * qd * qd * mu * mu
+    varq = num / (nd * qd)
+    vr = varq / var1
+    z_den = F.sqrt(
+        F.lit(2.0 * (2.0 * q - 1.0) * (q - 1.0) / (3.0 * q))
+    )
+    ok = (F.col("n") >= q + 2) & (var1 > 0.0)
+    return agg.select(
+        *by,
+        "n",
+        F.when(ok, vr).alias("vr"),
+        F.when(ok, F.sqrt(nd) * (vr - F.lit(1.0)) / z_den).alias(
+            "z_vr"
+        ),
+    )
