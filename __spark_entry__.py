@@ -8244,6 +8244,43 @@ def q_varratio(spark, sf_dir):
     )
 
 
+def _daily_diff(spark, sf_dir):
+    """Day-over-day exact-decimal revenue changes per bucket — the
+    return series for the L341/L342 performance family."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy("t")
+    return (
+        _daily_series(spark, sf_dir)
+        .select(
+            "bucket",
+            "t",
+            (F.col("v") - F.lag("v", 1).over(w)).alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+    )
+
+
+def q_risk_panel(spark, sf_dir):
+    """Risk-adjusted performance panel (L341): Sharpe/Sortino/Calmar of
+    day-over-day revenue changes — exact sums + prefix-max drawdown,
+    one tree per ratio."""
+    from lmss_entity_extractor_spark.ops.timeseries import risk_panel
+
+    return risk_panel(
+        _daily_diff(spark, sf_dir), ["bucket"], ["t"], "r", periods=252
+    )
+
+
+def q_omega(spark, sf_dir):
+    """Omega ratio (L342): probability-weighted gain/loss of daily
+    revenue changes around zero — two exact partial sums, one
+    division."""
+    from lmss_entity_extractor_spark.ops.timeseries import omega_ratio
+
+    return omega_ratio(_daily_diff(spark, sf_dir), ["bucket"], "r")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -8253,6 +8290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracles never yet driver-checked (added r2/r3/r4)
         "kpss": q_kpss,
         "varratio": q_varratio,
+        "risk_panel": q_risk_panel,
+        "omega": q_omega,
         "ndcg": q_ndcg,
         "pettitt": q_pettitt,
         "sign_test": q_sign_test,
@@ -21778,6 +21817,110 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n >= 6 AND var1 > 0.0
                     THEN sqrt(nd) * (vr - 1.0) / sqrt(3.5) END AS z_vr
         FROM t3
+    """
+    oracles["risk_panel"] = """
+        -- exact return sums + prefix-max drawdown; one tree per ratio
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS v
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        rets AS (
+            SELECT bucket, d,
+                   CAST(v - lag(v, 1) OVER
+                       (PARTITION BY bucket ORDER BY d)
+                       AS DECIMAL(18,2)) AS x
+            FROM daily
+        ),
+        flt AS (SELECT * FROM rets WHERE x IS NOT NULL),
+        staged AS (
+            SELECT bucket, x,
+                   CAST(least(x - CAST(0.0 AS DECIMAL(18,2)),
+                              CAST(0 AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS dn,
+                   CAST(sum(x) OVER (PARTITION BY bucket ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS DECIMAL(18,2)) AS c,
+                   d
+            FROM flt
+        ),
+        peaked AS (
+            SELECT bucket, x, dn, c,
+                   max(c) OVER (PARTITION BY bucket ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS peak
+            FROM staged
+        ),
+        agg AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS s, sum(x * x) AS q,
+                   sum(dn * dn) AS d2,
+                   max(peak - c) AS mdd
+            FROM peaked GROUP BY 1
+        ),
+        dd AS (
+            SELECT bucket, n, d2 AS d2dec, mdd AS mdddec,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(s AS DOUBLE) AS sd,
+                   CAST(q AS DOUBLE) AS qd,
+                   CAST(d2 AS DOUBLE) AS d2d,
+                   CAST(mdd AS DOUBLE) AS mddd
+            FROM agg
+        ),
+        t2 AS (
+            SELECT *, sd / nd AS mu,
+                   (qd - sd * sd / nd) / (nd - 1.0) AS sdsq
+            FROM dd
+        )
+        SELECT bucket, n,
+               CASE WHEN n >= 2 AND sdsq > 0.0
+                    THEN sqrt(252.0) * mu / sqrt(sdsq) END AS sharpe,
+               CASE WHEN n >= 2 AND d2d > 0.0
+                    THEN sqrt(252.0) * mu / sqrt(d2d / nd)
+               END AS sortino,
+               mddd AS mdd,
+               CASE WHEN n >= 2 AND mddd > 0.0
+                    THEN mu * 252.0 / mddd END AS calmar
+        FROM t2
+    """
+    oracles["omega"] = """
+        -- two exact partial sums; one division
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS v
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        rets AS (
+            SELECT bucket,
+                   CAST(v - lag(v, 1) OVER
+                       (PARTITION BY bucket ORDER BY d)
+                       AS DECIMAL(18,2)) AS x
+            FROM daily
+        ),
+        flt AS (SELECT * FROM rets WHERE x IS NOT NULL),
+        agg AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN x > CAST(0.0 AS DECIMAL(18,2))
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_above,
+                   sum(greatest(x - CAST(0.0 AS DECIMAL(18,2)),
+                                CAST(0 AS DECIMAL(18,2)))) AS up,
+                   sum(greatest(CAST(0.0 AS DECIMAL(18,2)) - x,
+                                CAST(0 AS DECIMAL(18,2)))) AS dn
+            FROM flt GROUP BY 1
+        )
+        SELECT bucket, n, n_above,
+               CAST(up AS DOUBLE) AS upside,
+               CAST(dn AS DOUBLE) AS downside,
+               CASE WHEN dn > 0 THEN CAST(up AS DOUBLE)
+                                     / CAST(dn AS DOUBLE) END AS omega
+        FROM agg
     """
     oracles["chi2_residuals"] = """
         -- the L140 cell/margin pipeline; per-cell fixed trees

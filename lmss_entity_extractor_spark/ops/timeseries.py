@@ -2126,3 +2126,145 @@ def variance_ratio(
             "z_vr"
         ),
     )
+
+
+def risk_panel(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+    periods: int = 252,
+    mar: float = 0.0,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, sharpe, sortino, mdd, calmar)`` — the
+    risk-adjusted performance panel (L341) over a per-period RETURN
+    series (additive/log convention): the three ratios every
+    portfolio/strategy/SLO-burn dashboard puts side by side, because
+    each divides the same mean by a DIFFERENT pain measure:
+
+        Sharpe  = √periods · μ̂ / s        (s = sample sd, n−1)
+        Sortino = √periods · μ̂ / d        (d = √(Σ min(r−MAR,0)²/n),
+                                            population downside dev)
+        Calmar  = periods · μ̂ / MDD       (MDD of the CUMULATIVE
+                                            return curve, L314 form)
+
+    Σr, Σr², Σmin(r−MAR,0)² are exact decimals (MAR must be
+    representable at ``scale`` — it subtracts BEFORE the clamp), the
+    cumulative curve and its running peak are exact prefix windows,
+    and each ratio is one fixed IEEE tree.  NULLs refused; n < 2 or
+    zero sd / downside / drawdown → NULL for that ratio only (a
+    never-losing series has a Sharpe but no Sortino — by design).
+
+    Scale shape: one keyed window pass + one combinable agg.
+
+    No reference counterpart; monitoring analytics per SURVEY §2.11.
+    """
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"risk_panel: {n_null} NULL value(s) — impute first"
+        )
+    dec = f"decimal(18,{scale})"
+    xd = F.col(value_col).cast(dec)
+    mard = F.lit(mar).cast(dec)
+    wt = Window.partitionBy(*by).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    wc = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = df.select(
+        *by,
+        *order_cols,
+        xd.alias("_x"),
+        F.least(xd - mard, F.lit(0).cast(dec)).cast(dec).alias("_dn"),
+        F.sum(xd).over(wc).cast(dec).alias("_c"),
+    )
+    staged = staged.select(
+        *by, "_x", "_dn", "_c",
+        F.max("_c").over(wc).alias("_peak"),
+    )
+    agg = staged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_q"),
+        F.sum(F.col("_dn") * F.col("_dn")).alias("_d2"),
+        F.max(F.col("_peak") - F.col("_c")).alias("_mdd"),
+    )
+    nd = F.col("n").cast("double")
+    s = F.col("_s").cast("double")
+    q = F.col("_q").cast("double")
+    d2 = F.col("_d2").cast("double")
+    mddd = F.col("_mdd").cast("double")
+    mu = s / nd
+    sd_sq = (q - s * s / nd) / (nd - F.lit(1.0))
+    ddev = F.sqrt(d2 / nd)
+    sqp = F.sqrt(F.lit(float(periods)))
+    return agg.select(
+        *by,
+        "n",
+        F.when(
+            (F.col("n") >= 2) & (sd_sq > 0.0),
+            sqp * mu / F.sqrt(sd_sq),
+        ).alias("sharpe"),
+        F.when((F.col("n") >= 2) & (d2 > 0), sqp * mu / ddev).alias(
+            "sortino"
+        ),
+        mddd.alias("mdd"),
+        F.when(
+            (F.col("n") >= 2) & (F.col("_mdd") > 0),
+            mu * F.lit(float(periods)) / mddd,
+        ).alias("calmar"),
+    )
+
+
+def omega_ratio(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    threshold: float = 0.0,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, n_above, upside, downside, omega)`` — the Omega
+    ratio (L342): the WHOLE-distribution gain/loss measure —
+    probability-weighted upside over downside around a threshold θ,
+    using every moment at once where Sharpe uses two:
+
+        Ω(θ) = Σ (r−θ)⁺ / Σ (θ−r)⁺
+
+    Both partial sums are exact decimals (θ must be representable at
+    ``scale``), so Ω is ONE division — and at θ=0 it doubles as the
+    profit factor.  NULLs refused; zero downside → NULL (a
+    never-losing series has no finite Ω).
+
+    Scale shape: one combinable agg — no window, no shuffle beyond
+    the groupBy.
+
+    No reference counterpart; monitoring analytics per SURVEY §2.11.
+    """
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"omega_ratio: {n_null} NULL value(s) — impute first"
+        )
+    dec = f"decimal(18,{scale})"
+    xd = F.col(value_col).cast(dec)
+    thd = F.lit(threshold).cast(dec)
+    zero = F.lit(0).cast(dec)
+    agg = df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col(value_col).cast(dec) > thd).cast("long")).alias(
+            "n_above"
+        ),
+        F.sum(F.greatest(xd - thd, zero)).alias("_up"),
+        F.sum(F.greatest(thd - xd, zero)).alias("_dn"),
+    )
+    up = F.col("_up").cast("double")
+    dn = F.col("_dn").cast("double")
+    return agg.select(
+        *by,
+        "n",
+        "n_above",
+        up.alias("upside"),
+        dn.alias("downside"),
+        F.when(F.col("_dn") > 0, up / dn).alias("omega"),
+    )
