@@ -8281,6 +8281,32 @@ def q_omega(spark, sf_dir):
     return omega_ratio(_daily_diff(spark, sf_dir), ["bucket"], "r")
 
 
+def q_fk_orphans(spark, sf_dir):
+    """FK orphan audit (L343): orders whose customer is missing from a
+    deliberately-holed customer dimension — one anti join + a bounded
+    lexical key sample."""
+    from lmss_entity_extractor_spark.ops.integrity import fk_orphans
+
+    holed = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 != 0
+    )
+    return fk_orphans(
+        _t(spark, sf_dir, "orders"), holed, ["o_custkey"], ["c_custkey"],
+        sample=5,
+    )
+
+
+def q_fd_audit(spark, sf_dir):
+    """FD-violation audit (L344): which customers place orders under
+    more than one priority (o_custkey → o_orderpriority fails) — two
+    cascaded NULL-safe groupBys."""
+    from lmss_entity_extractor_spark.ops.integrity import fd_violations
+
+    return fd_violations(
+        _t(spark, sf_dir, "orders"), ["o_custkey"], ["o_orderpriority"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -8292,6 +8318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "varratio": q_varratio,
         "risk_panel": q_risk_panel,
         "omega": q_omega,
+        "fk_orphans_audit": q_fk_orphans,
+        "fd_audit": q_fd_audit,
         "ndcg": q_ndcg,
         "pettitt": q_pettitt,
         "sign_test": q_sign_test,
@@ -21817,6 +21845,48 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n >= 6 AND var1 > 0.0
                     THEN sqrt(nd) * (vr - 1.0) / sqrt(3.5) END AS z_vr
         FROM t3
+    """
+    oracles["fk_orphans_audit"] = """
+        -- anti join + bounded lexical key sample
+        WITH holed AS (
+            SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0
+        ),
+        nonnull AS (
+            SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL
+        ),
+        orphans AS (
+            SELECT o_custkey FROM nonnull
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM holed)
+        ),
+        samp AS (
+            SELECT list(k ORDER BY k) AS sample_keys
+            FROM (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k
+                  FROM orphans ORDER BY k LIMIT 5)
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_child,
+               (SELECT CAST(count(*) AS BIGINT) FROM nonnull)
+                   AS n_fk_nonnull,
+               (SELECT CAST(count(*) AS BIGINT) FROM orphans)
+                   AS n_orphan_rows,
+               (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+                FROM orphans) AS n_orphan_keys,
+               CASE WHEN (SELECT count(*) FROM nonnull) > 0 THEN
+                   CAST((SELECT count(*) FROM orphans) AS DOUBLE)
+                   / CAST((SELECT count(*) FROM nonnull) AS DOUBLE)
+               END AS orphan_rate,
+               coalesce((SELECT sample_keys FROM samp),
+                        []::VARCHAR[]) AS sample_keys
+    """
+    oracles["fd_audit"] = """
+        -- two cascaded NULL-safe groupings; violating groups only
+        WITH pairs AS (
+            SELECT o_custkey, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT o_custkey, CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_dep
+        FROM pairs GROUP BY 1 HAVING count(*) > 1
     """
     oracles["risk_panel"] = """
         -- exact return sums + prefix-max drawdown; one tree per ratio
