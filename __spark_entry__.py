@@ -8307,6 +8307,38 @@ def q_fd_audit(spark, sf_dir):
     )
 
 
+def q_seq_audit(spark, sf_dir):
+    """Sequence-integrity audit (L345): are line numbers a clean
+    1,2,… run per order after a deliberate hole at 3 — exact
+    dupe/gap counts, one combinable agg."""
+    from lmss_entity_extractor_spark.ops.integrity import sequence_audit
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_linenumber") != 3) & (F.col("l_orderkey") % 10 == 0)
+    )
+    return sequence_audit(li, ["l_orderkey"], "l_linenumber", base=1)
+
+
+def q_qnorm(spark, sf_dir):
+    """Quantile normalization (L346): force both buckets' first-28-day
+    revenue series onto the mean order-statistic curve — rank window +
+    exact rank sums, one division."""
+    from pyspark.sql import Window
+
+    from lmss_entity_extractor_spark.ops.scaling import (
+        quantile_normalize,
+    )
+
+    w = Window.partitionBy("bucket").orderBy("t")
+    trimmed = (
+        _daily_series(spark, sf_dir)
+        .select("bucket", "t", "v", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") <= 28)
+        .drop("_rn")
+    )
+    return quantile_normalize(trimmed, ["bucket"], ["t"], "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -8320,6 +8352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "omega": q_omega,
         "fk_orphans_audit": q_fk_orphans,
         "fd_audit": q_fd_audit,
+        "seq_audit": q_seq_audit,
+        "qnorm": q_qnorm,
         "ndcg": q_ndcg,
         "pettitt": q_pettitt,
         "sign_test": q_sign_test,
@@ -21845,6 +21879,61 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n >= 6 AND var1 > 0.0
                     THEN sqrt(nd) * (vr - 1.0) / sqrt(3.5) END AS z_vr
         FROM t3
+    """
+    oracles["seq_audit"] = """
+        -- exact dupe/gap counts from one grouping
+        WITH holed AS (
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE l_linenumber <> 3 AND l_orderkey % 10 = 0
+        ),
+        agg AS (
+            SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT l_linenumber) AS BIGINT) AS nd,
+                   CAST(min(l_linenumber) AS BIGINT) AS min_idx,
+                   CAST(max(l_linenumber) AS BIGINT) AS max_idx
+            FROM holed GROUP BY 1
+        )
+        SELECT l_orderkey, n, min_idx, max_idx,
+               n - nd AS n_dupes,
+               max_idx - min_idx + 1 - nd AS n_gaps,
+               (min_idx = 1 AND n - nd = 0
+                AND max_idx - min_idx + 1 - nd = 0) AS contiguous
+        FROM agg
+    """
+    oracles["qnorm"] = """
+        -- rank window + exact rank sums; one division
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS v
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT bucket,
+                   CAST(date_diff('day', DATE '1970-01-01', d)
+                        AS INTEGER) AS t,
+                   v,
+                   row_number() OVER
+                       (PARTITION BY bucket ORDER BY d) AS rn
+            FROM daily
+        ),
+        trimmed AS (SELECT bucket, t, v FROM idx WHERE rn <= 28),
+        ranked AS (
+            SELECT bucket, t, v,
+                   row_number() OVER
+                       (PARTITION BY bucket ORDER BY v, t) AS r
+            FROM trimmed
+        ),
+        ref AS (
+            SELECT r, sum(v) AS s, CAST(count(*) AS BIGINT) AS g
+            FROM ranked GROUP BY 1
+        )
+        SELECT ranked.bucket, ranked.t,
+               CAST(ranked.v AS DOUBLE) AS value,
+               CAST(ref.s AS DOUBLE) / CAST(ref.g AS DOUBLE) AS qnorm
+        FROM ranked JOIN ref ON ranked.r = ref.r
     """
     oracles["fk_orphans_audit"] = """
         -- anti join + bounded lexical key sample

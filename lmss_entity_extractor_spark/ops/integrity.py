@@ -137,3 +137,56 @@ def fd_violations(
         F.count(F.lit(1)).alias("n_dep"),
     )
     return per_det.filter(F.col("n_dep") > 1)
+
+
+def sequence_audit(
+    df: DataFrame,
+    by: list[str],
+    idx_col: str,
+    base: int = 0,
+) -> DataFrame:
+    """``(by..., n, min_idx, max_idx, n_dupes, n_gaps, contiguous)``
+    — per-key sequence-integrity audit (L345): is an index column a
+    clean ``base, base+1, …`` run — the invariant every ordered
+    ingest (conversation turn_idx, changelog LSN, page number) is
+    supposed to hold and silently breaks under retries, loss, or
+    reordering:
+
+        n_dupes = n − n_distinct          (repeated indices)
+        n_gaps  = (max−min+1) − n_distinct (missing indices in-range)
+        contiguous = min==base ∧ n_dupes==0 ∧ n_gaps==0
+
+    Exact integer arithmetic over one combinable agg (count-distinct
+    is the only shuffle-widening piece, and it is exact — no sketch).
+    NULL indices refused loudly: an ordering column with NULLs has no
+    defined audit.
+    """
+    n_null = df.filter(F.col(idx_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"sequence_audit: {n_null} NULL index value(s) — an "
+            "ordering column must be NULL-free"
+        )
+    agg = df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(idx_col)).alias("_nd"),
+        F.min(idx_col).cast("long").alias("min_idx"),
+        F.max(idx_col).cast("long").alias("max_idx"),
+    )
+    n_dupes = F.col("n") - F.col("_nd")
+    n_gaps = (
+        F.col("max_idx") - F.col("min_idx") + F.lit(1) - F.col("_nd")
+    )
+    return agg.select(
+        *by,
+        "n",
+        "min_idx",
+        "max_idx",
+        n_dupes.alias("n_dupes"),
+        n_gaps.alias("n_gaps"),
+        (
+            (F.col("min_idx") == F.lit(int(base)))
+            & (n_dupes == 0)
+            & (n_gaps == 0)
+        ).alias("contiguous"),
+    )

@@ -110,3 +110,75 @@ def winsorize(
             f"w_{c}", F.least(F.greatest(F.col(c), lo_b), hi_b)
         )
     return out.drop(*[f"_{p}_{c}" for c in columns for p in ("lo", "hi")])
+
+
+def quantile_normalize(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., order_cols..., value, qnorm)`` — cross-group quantile
+    normalization (L346): force every group onto the SAME distribution
+    (the mean order-statistic curve), the microarray/batch-effect
+    remover — after it, rank r in any group has the identical value,
+    so group comparisons see shape, never level or spread:
+
+        rank within group by (value, order_cols…)   [deterministic]
+        reference(r) = mean over groups of the r-th order statistic
+        qnorm(row)   = reference(rank(row))
+
+    Groups MUST be equal-sized (refused loudly otherwise — unequal
+    sizes need rank interpolation, a different contract).  The
+    reference is Σ(values at rank r)/G — exact decimal sum, ONE
+    division; the rank join back is an equi-join on (rank), broadcast
+    when the series is short.
+
+    Scale shape: one keyed window + one rank groupBy + one equi-join.
+
+    No reference counterpart; ML feature preparation per SURVEY §2.11.
+    """
+    from pyspark.sql import Window
+
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"quantile_normalize: {n_null} NULL value(s) — impute first"
+        )
+    sizes = [
+        r[0]
+        for r in df.groupBy(*by)
+        .count()
+        .select("count")
+        .distinct()
+        .collect()
+    ]
+    if len(sizes) > 1:
+        raise ValueError(
+            "quantile_normalize: groups must be equal-sized, got sizes "
+            f"{sorted(sizes)} — trim or interpolate first"
+        )
+    dec = f"decimal(18,{scale})"
+    wt = Window.partitionBy(*by).orderBy(
+        F.col(value_col), *[F.col(c) for c in order_cols]
+    )
+    ranked = df.select(
+        *by,
+        *order_cols,
+        F.col(value_col).cast(dec).alias("_v"),
+        F.row_number().over(wt).alias("_r"),
+    )
+    ref = ranked.groupBy("_r").agg(
+        F.sum("_v").alias("_s"),
+        F.count(F.lit(1)).alias("_g"),
+    )
+    out = ranked.join(F.broadcast(ref), "_r")
+    return out.select(
+        *by,
+        *order_cols,
+        F.col("_v").cast("double").alias("value"),
+        (
+            F.col("_s").cast("double") / F.col("_g").cast("double")
+        ).alias("qnorm"),
+    )
