@@ -8339,6 +8339,39 @@ def q_qnorm(spark, sf_dir):
     return quantile_normalize(trimmed, ["bucket"], ["t"], "v")
 
 
+def q_kalman(spark, sf_dir):
+    """Kalman local-level (L347): adaptive-gain level tracking of
+    daily revenue — an (a, P, K) struct fold, four IEEE ops per
+    step."""
+    from lmss_entity_extractor_spark.ops.timeseries import kalman_level
+
+    return kalman_level(
+        _daily_series(spark, sf_dir), ["bucket"], "t", "v",
+        q_var=1000.0, r_var=5000.0, p0=1e6,
+    )
+
+
+def q_engle_granger(spark, sf_dir):
+    """Engle-Granger (L348): do daily revenue and daily event counts
+    share one trend per bucket — OLS + no-constant DF on residuals,
+    all from 13 exact lagged cross-sums."""
+    from lmss_entity_extractor_spark.ops.timeseries import engle_granger
+
+    d = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            (F.col("user_id") % 2).alias("bucket"),
+            F.unix_date(F.to_date("ts")).alias("t"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return engle_granger(d, ["bucket"], ["t"], "rev", "cnt")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered by driver-verification priority (the driver may sample a
     # prefix of the contract): entries whose oracles have never been
@@ -8354,6 +8387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_audit": q_fd_audit,
         "seq_audit": q_seq_audit,
         "qnorm": q_qnorm,
+        "kalman": q_kalman,
+        "engle_granger": q_engle_granger,
         "ndcg": q_ndcg,
         "pettitt": q_pettitt,
         "sign_test": q_sign_test,
@@ -21879,6 +21914,149 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n >= 6 AND var1 > 0.0
                     THEN sqrt(nd) * (vr - 1.0) / sqrt(3.5) END AS z_vr
         FROM t3
+    """
+    oracles["kalman"] = """
+        -- the (a, P, K) fold as WITH RECURSIVE; same four IEEE ops
+        WITH RECURSIVE daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        pl AS (
+            SELECT bucket, list(x ORDER BY d) AS xs,
+                   CAST(len(list(x ORDER BY d)) AS INTEGER) AS n
+            FROM daily GROUP BY 1
+        ),
+        rec AS (
+            SELECT bucket, xs, n, 1 AS t,
+                   xs[1] AS a, CAST(1000000.0 AS DOUBLE) AS p,
+                   CAST(NULL AS DOUBLE) AS k
+            FROM pl
+            UNION ALL
+            SELECT bucket, xs, n, t + 1,
+                   a + kk * (xs[t + 1] - a) AS a,
+                   (1.0 - kk) * (p + 1000.0) AS p,
+                   kk AS k
+            FROM (
+                SELECT r.*,
+                       (r.p + 1000.0)
+                       / ((r.p + 1000.0) + 5000.0) AS kk
+                FROM rec r WHERE r.t < n
+            )
+        )
+        SELECT bucket, n, a AS level, p AS p_var, k AS k_last
+        FROM rec WHERE t = n
+    """
+    oracles["engle_granger"] = """
+        -- 13 exact lagged cross-sums; polynomial-in-(alpha,beta) trees
+        WITH daily AS (
+            SELECT user_id % 2 AS bucket,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS y,
+                   CAST(count(*) AS DECIMAL(18,2)) AS x
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT bucket, y, x,
+                   lag(y, 1) OVER
+                       (PARTITION BY bucket ORDER BY d) AS yp,
+                   lag(x, 1) OVER
+                       (PARTITION BY bucket ORDER BY d) AS xp
+            FROM daily
+        ),
+        diffs AS (
+            SELECT bucket, y, x, yp, xp,
+                   CAST(y - yp AS DECIMAL(18,2)) AS dy,
+                   CAST(x - xp AS DECIMAL(18,2)) AS dx
+            FROM lagged
+        ),
+        agg AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy,
+                   sum(yp) AS syp, sum(xp) AS sxp,
+                   sum(yp * yp) AS sypp, sum(xp * xp) AS sxpp,
+                   sum(xp * yp) AS sxyp,
+                   sum(dy * dy) AS sdy2, sum(dx * dx) AS sdx2,
+                   sum(dx * dy) AS sdxy,
+                   sum(dy) AS sdy, sum(dx) AS sdx,
+                   sum(yp * dy) AS sypdy, sum(yp * dx) AS sypdx,
+                   sum(xp * dy) AS sxpdy, sum(xp * dx) AS sxpdx
+            FROM diffs GROUP BY 1
+        ),
+        dd AS (
+            SELECT bucket, n, CAST(n AS DOUBLE) AS nd,
+                   coalesce(CAST(sx AS DOUBLE), 0.0) AS sx,
+                   coalesce(CAST(sy AS DOUBLE), 0.0) AS sy,
+                   coalesce(CAST(sxx AS DOUBLE), 0.0) AS sxx,
+                   coalesce(CAST(sxy AS DOUBLE), 0.0) AS sxy,
+                   coalesce(CAST(syp AS DOUBLE), 0.0) AS syp,
+                   coalesce(CAST(sxp AS DOUBLE), 0.0) AS sxp,
+                   coalesce(CAST(sypp AS DOUBLE), 0.0) AS sypp,
+                   coalesce(CAST(sxpp AS DOUBLE), 0.0) AS sxpp,
+                   coalesce(CAST(sxyp AS DOUBLE), 0.0) AS sxyp,
+                   coalesce(CAST(sdy2 AS DOUBLE), 0.0) AS sdy2,
+                   coalesce(CAST(sdx2 AS DOUBLE), 0.0) AS sdx2,
+                   coalesce(CAST(sdxy AS DOUBLE), 0.0) AS sdxy,
+                   coalesce(CAST(sdy AS DOUBLE), 0.0) AS sdy,
+                   coalesce(CAST(sdx AS DOUBLE), 0.0) AS sdx,
+                   coalesce(CAST(sypdy AS DOUBLE), 0.0) AS sypdy,
+                   coalesce(CAST(sypdx AS DOUBLE), 0.0) AS sypdx,
+                   coalesce(CAST(sxpdy AS DOUBLE), 0.0) AS sxpdy,
+                   coalesce(CAST(sxpdx AS DOUBLE), 0.0) AS sxpdx
+            FROM agg
+        ),
+        t1 AS (
+            SELECT *, nd * sxx - sx * sx AS varx, nd - 1.0 AS m
+            FROM dd
+        ),
+        t2 AS (
+            SELECT *,
+                   CASE WHEN varx > 0.0 THEN
+                       (nd * sxy - sx * sy) / varx END AS b
+            FROM t1
+        ),
+        t3 AS (
+            SELECT *, (sy - b * sx) / nd AS a FROM t2
+        ),
+        t4 AS (
+            SELECT *,
+                   sypp - 2.0 * a * syp - 2.0 * b * sxyp
+                        + a * a * m + 2.0 * a * b * sxp
+                        + b * b * sxpp AS upp,
+                   sypdy - b * sypdx - a * sdy + a * b * sdx
+                         - b * sxpdy + b * b * sxpdx AS updu,
+                   sdy2 - 2.0 * b * sdxy + b * b * sdx2 AS du2
+            FROM t3
+        ),
+        t5 AS (
+            SELECT *,
+                   CASE WHEN upp > 0.0 THEN updu / upp END AS rho
+            FROM t4
+        ),
+        t6 AS (
+            SELECT *, du2 - rho * updu AS sse FROM t5
+        ),
+        t7 AS (
+            SELECT *,
+                   CASE WHEN upp > 0.0 AND m > 1.0 AND sse > 0.0
+                        THEN sqrt(sse / (m - 1.0) / upp) END AS se
+            FROM t6
+        )
+        SELECT bucket, n,
+               CASE WHEN n >= 4 AND varx > 0.0 THEN a END AS alpha,
+               CASE WHEN n >= 4 AND varx > 0.0 THEN b END AS beta,
+               CASE WHEN n >= 4 AND varx > 0.0 AND upp > 0.0
+                    THEN rho END AS rho,
+               CASE WHEN n >= 4 AND varx > 0.0 AND upp > 0.0
+                         AND sse > 0.0
+                    THEN rho / se END AS t_eg
+        FROM t7
     """
     oracles["seq_audit"] = """
         -- exact dupe/gap counts from one grouping

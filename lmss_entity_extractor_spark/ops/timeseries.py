@@ -2268,3 +2268,217 @@ def omega_ratio(
         dn.alias("downside"),
         F.when(F.col("_dn") > 0, up / dn).alias("omega"),
     )
+
+
+def kalman_level(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    q_var: float,
+    r_var: float,
+    p0: float = 1e6,
+    max_len: int = 100_000,
+) -> DataFrame:
+    """``(by..., n, level, p_var, k_last)`` — the local-level Kalman
+    filter (L347): the optimal online "true level under noise"
+    tracker, the state-space generalization of EWMA whose gain ADAPTS
+    — large while uncertain, settling to the steady-state signal/noise
+    balance — instead of being a fixed α:
+
+        predict:  P⁻ = P + q
+        gain:     K  = P⁻ / (P⁻ + r)
+        update:   a += K·(xₜ − a),   P = (1−K)·P⁻
+
+    initialized diffusely (a₁ = x₁, P₁ = p0) and folded over
+    t = 2..n with an (a, P, K) struct accumulator — every step the
+    same four IEEE ops in both engines, so the filter is
+    value-oracle-able with no rounding grid.  Emits the final state:
+    the filtered level, its variance, and the last gain (the
+    steady-state gain for any series long enough to converge).
+    NULLs and duplicate order keys refused; q, r must be > 0.
+
+    Scale shape: one (keys) groupBy packing the bounded series + one
+    in-array fold (the L272/L333 discipline).
+
+    No reference counterpart; forecasting analytics per SURVEY §2.11.
+    """
+    if not (float(q_var) > 0.0 and float(r_var) > 0.0):
+        raise ValueError("kalman_level: q_var and r_var must be > 0")
+    if float(p0) < 0.0:
+        raise ValueError("kalman_level: p0 must be >= 0")
+    from .trend import _packed
+
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(f"kalman_level: {n_null} NULL value(s)")
+    dups = (
+        df.groupBy(*by, order_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dups:
+        raise ValueError(
+            f"kalman_level: {dups} duplicate order key(s)"
+        )
+    packed = _packed(df, by, order_col, value_col, max_len)
+    xs = F.transform(F.col("_a"), lambda s: s["_x"])
+    staged = packed.select(*by, xs.alias("_xs"))
+    n = F.size(F.col("_xs"))
+    qv = F.lit(float(q_var))
+    rv = F.lit(float(r_var))
+    init = F.struct(
+        F.element_at(F.col("_xs"), 1).alias("a"),
+        F.lit(float(p0)).alias("p"),
+        F.lit(None).cast("double").alias("k"),
+    )
+
+    def step(acc, t):
+        x = F.element_at(F.col("_xs"), t)
+        ppred = acc["p"] + qv
+        k = ppred / (ppred + rv)
+        anew = acc["a"] + k * (x - acc["a"])
+        pnew = (F.lit(1.0) - k) * ppred
+        return F.struct(
+            anew.alias("a"), pnew.alias("p"), k.alias("k")
+        )
+
+    fold_range = F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    acc = F.aggregate(fold_range, init, step)
+    return staged.select(
+        *by,
+        n.alias("n"),
+        acc["a"].alias("level"),
+        acc["p"].alias("p_var"),
+        acc["k"].alias("k_last"),
+    )
+
+
+def engle_granger(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    y_col: str,
+    x_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, alpha, beta, rho, t_eg)`` — the Engle-Granger
+    two-step cointegration test (L348): do two trending series share
+    ONE common trend (pairs trading, replica-lag vs load, any
+    "these two metrics should move together" claim):
+
+        step 1:  y = α + β·x + u          (OLS, L135 exact sums)
+        step 2:  Δuₜ = ρ·uₜ₋₁ + εₜ        (no-constant DF on the
+                                            residuals; t_EG = ρ/se —
+                                            compare vs ≈ −3.34 at 5%)
+
+    The residuals are never materialized: since Δu = Δy − β·Δx (α
+    cancels) and uₜ₋₁ = yₜ₋₁ − α − β·xₜ₋₁, every step-2 sum expands
+    into a polynomial in (α, β) whose coefficients are EXACT decimal
+    lagged cross-sums — Σuₚ², ΣuₚΔu, ΣΔu² each one fixed IEEE tree
+    over the same 13-sum aggregation, so the whole two-step test is
+    ONE keyed window pass + ONE combinable agg.  SSE via the
+    no-constant identity ΣΔu² − ρ·ΣuₚΔu.  NULLs refused; n < 4,
+    zero x-variance, or zero residual energy → NULL.
+
+    Scale shape: one keyed window pass + one combinable agg — the
+    dickey_fuller shuffle shape, with the OLS riding along free.
+
+    No reference counterpart; forecasting analytics per SURVEY §2.11.
+    """
+    n_null = df.filter(
+        F.col(y_col).isNull() | F.col(x_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"engle_granger: {n_null} NULL value(s) — impute first"
+        )
+    dec = f"decimal(18,{scale})"
+    wt = Window.partitionBy(*by).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    yd = F.col(y_col).cast(dec)
+    xd = F.col(x_col).cast(dec)
+    rows = df.select(
+        *by,
+        yd.alias("_y"),
+        xd.alias("_x"),
+        F.lag(yd, 1).over(wt).alias("_yp"),
+        F.lag(xd, 1).over(wt).alias("_xp"),
+    )
+    dy = (F.col("_y") - F.col("_yp")).cast(dec)
+    dx = (F.col("_x") - F.col("_xp")).cast(dec)
+    has_lag = F.col("_yp").isNotNull()
+    agg = rows.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.when(has_lag, F.col("_yp"))).alias("_syp"),
+        F.sum(F.when(has_lag, F.col("_xp"))).alias("_sxp"),
+        F.sum(F.when(has_lag, F.col("_yp") * F.col("_yp"))).alias("_sypp"),
+        F.sum(F.when(has_lag, F.col("_xp") * F.col("_xp"))).alias("_sxpp"),
+        F.sum(F.when(has_lag, F.col("_xp") * F.col("_yp"))).alias("_sxyp"),
+        F.sum(F.when(has_lag, dy * dy)).alias("_sdy2"),
+        F.sum(F.when(has_lag, dx * dx)).alias("_sdx2"),
+        F.sum(F.when(has_lag, dx * dy)).alias("_sdxy"),
+        F.sum(F.when(has_lag, dy)).alias("_sdy"),
+        F.sum(F.when(has_lag, dx)).alias("_sdx"),
+        F.sum(F.when(has_lag, F.col("_yp") * dy)).alias("_sypdy"),
+        F.sum(F.when(has_lag, F.col("_yp") * dx)).alias("_sypdx"),
+        F.sum(F.when(has_lag, F.col("_xp") * dy)).alias("_sxpdy"),
+        F.sum(F.when(has_lag, F.col("_xp") * dx)).alias("_sxpdx"),
+    )
+    nd = F.col("n").cast("double")
+
+    def d(c):
+        return F.coalesce(F.col(c).cast("double"), F.lit(0.0))
+
+    sx, sy, sxx, sxy = d("_sx"), d("_sy"), d("_sxx"), d("_sxy")
+    syp, sxp = d("_syp"), d("_sxp")
+    sypp, sxpp, sxyp = d("_sypp"), d("_sxpp"), d("_sxyp")
+    sdy2, sdx2, sdxy = d("_sdy2"), d("_sdx2"), d("_sdxy")
+    sdy, sdx = d("_sdy"), d("_sdx")
+    sypdy, sypdx = d("_sypdy"), d("_sypdx")
+    sxpdy, sxpdx = d("_sxpdy"), d("_sxpdx")
+    varx = nd * sxx - sx * sx
+    b = F.when(varx > 0.0, (nd * sxy - sx * sy) / varx)
+    a = (sy - b * sx) / nd
+    m = nd - F.lit(1.0)
+    upp = (
+        sypp
+        - F.lit(2.0) * a * syp
+        - F.lit(2.0) * b * sxyp
+        + a * a * m
+        + F.lit(2.0) * a * b * sxp
+        + b * b * sxpp
+    )
+    updu = (
+        sypdy
+        - b * sypdx
+        - a * sdy
+        + a * b * sdx
+        - b * sxpdy
+        + b * b * sxpdx
+    )
+    du2 = sdy2 - F.lit(2.0) * b * sdxy + b * b * sdx2
+    rho = F.when(upp > 0.0, updu / upp)
+    sse = du2 - rho * updu
+    se = F.when(
+        (upp > 0.0) & (m > 1.0) & (sse > 0.0),
+        F.sqrt(sse / (m - F.lit(1.0)) / upp),
+    )
+    ok = (F.col("n") >= 4) & (varx > 0.0)
+    ok2 = ok & (upp > 0.0) & (sse > 0.0)
+    return agg.select(
+        *by,
+        "n",
+        F.when(ok, a).alias("alpha"),
+        F.when(ok, b).alias("beta"),
+        F.when(ok & (upp > 0.0), rho).alias("rho"),
+        F.when(ok2, rho / se).alias("t_eg"),
+    )
