@@ -186,3 +186,138 @@ def readability(
         F.when(n_words > 0, flesch).alias("flesch"),
         F.when(n_words > 0, fk).alias("fk_grade"),
     )
+
+
+def readability_extended(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_words, n_sentences, n_letters, n_alnum, n_poly, ari,
+    coleman_liau, smog) — the character/polysyllable readability
+    family (L349), complementing L175's syllable-rate pair: ARI and
+    Coleman-Liau grade from CHARACTER counts (what OCR'd or
+    tokenizer-mangled text distorts least) and SMOG from the
+    polysyllable density (the medical-literature standard):
+
+        ARI  = 4.71·(alnum/words) + 0.5·(words/sentences) − 21.43
+        CLI  = 0.0588·(100·letters/words) − 0.296·(100·sentences/words)
+               − 15.8
+        SMOG = 1.043·√(poly · 30/sentences) + 3.1291
+
+    Counting conventions are EXACTLY L175's (letter-bearing whitespace
+    tokens; terminator-run sentences with a floor of 1; vowel-group
+    syllables) plus: letters = [A-Za-z] occurrences, alnum =
+    [A-Za-z0-9] occurrences, poly = words with ≥ 3 vowel groups.
+    Fixed IEEE trees over exact integer counts; wordless text → NULL
+    scores.
+
+    Scale: one narrow projection; 100 TB scanned once, zero shuffle.
+
+    No reference counterpart; text-curation analytics per SURVEY §2.11.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lower = F.lower(t)
+    n_words = F.size(
+        F.filter(
+            F.split(F.trim(t), r"\s+"),
+            lambda w: w.rlike("[A-Za-z]"),
+        )
+    )
+    n_sent_raw = F.size(
+        F.filter(
+            F.split(t, r"[.!?]+"),
+            lambda s: s.rlike("[A-Za-z0-9]"),
+        )
+    )
+    n_sentences = F.when(n_words > 0, F.greatest(n_sent_raw, F.lit(1)))
+    n_letters = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    n_alnum = F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
+    wordlike = F.filter(
+        F.split(F.trim(lower), r"\s+"), lambda w: w.rlike("[a-z]")
+    )
+    n_poly = F.size(
+        F.filter(
+            wordlike,
+            lambda w: F.size(
+                F.filter(
+                    F.split(w, "[^aeiouy]+"), lambda s: s != F.lit("")
+                )
+            )
+            >= 3,
+        )
+    )
+    wd = n_words.cast("double")
+    sd = n_sentences.cast("double")
+    ld = n_letters.cast("double")
+    cd = n_alnum.cast("double")
+    pd_ = n_poly.cast("double")
+    ari = (
+        F.lit(4.71) * (cd / wd)
+        + F.lit(0.5) * (wd / sd)
+        - F.lit(21.43)
+    )
+    cli = (
+        F.lit(0.0588) * (F.lit(100.0) * ld / wd)
+        - F.lit(0.296) * (F.lit(100.0) * sd / wd)
+        - F.lit(15.8)
+    )
+    smog = F.lit(1.043) * F.sqrt(pd_ * (F.lit(30.0) / sd)) + F.lit(
+        3.1291
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.coalesce(n_sentences, F.lit(0)).alias("n_sentences"),
+        n_letters.alias("n_letters"),
+        n_alnum.alias("n_alnum"),
+        n_poly.alias("n_poly"),
+        F.when(n_words > 0, ari).alias("ari"),
+        F.when(n_words > 0, cli).alias("coleman_liau"),
+        F.when(n_words > 0, smog).alias("smog"),
+    )
+
+
+def lexical_diversity(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_tokens, n_types, ttr, rttr, cttr, herdan_c) — per-doc
+    lexical diversity panel (L350): vocabulary richness, the text
+    twin of L257's category diversity and the classic repetition
+    screen (templated/spun text scores low):
+
+        TTR = V/N,  RTTR = V/√N,  CTTR = V/√(2N),
+        Herdan's C = ln V / ln N   (length-corrected)
+
+    Token convention (pinned): lowercase letter-bearing whitespace
+    tokens with every non-[a-z] character stripped; V counts DISTINCT
+    normalized tokens — computed per row with array ops (NO shuffle,
+    no groupBy; the distinct lives inside the row).  N = 0 → NULL
+    panel; Herdan additionally needs N ≥ 2 (ln 1 divides).
+
+    Scale: one narrow projection; 100 TB scanned once, zero shuffle.
+
+    No reference counterpart; text-curation analytics per SURVEY §2.11.
+    """
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.filter(
+        F.transform(
+            F.filter(
+                F.split(F.trim(t), r"\s+"),
+                lambda w: w.rlike("[a-z]"),
+            ),
+            lambda w: F.regexp_replace(w, "[^a-z]", ""),
+        ),
+        lambda w: w != F.lit(""),
+    )
+    n_tok = F.size(toks)
+    n_typ = F.size(F.array_distinct(toks))
+    nd = n_tok.cast("double")
+    vd = n_typ.cast("double")
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_typ.alias("n_types"),
+        F.when(n_tok > 0, vd / nd).alias("ttr"),
+        F.when(n_tok > 0, vd / F.sqrt(nd)).alias("rttr"),
+        F.when(n_tok > 0, vd / F.sqrt(F.lit(2.0) * nd)).alias("cttr"),
+        F.when(n_tok >= 2, F.log(vd) / F.log(nd)).alias("herdan_c"),
+    )
