@@ -1766,3 +1766,209 @@ def twoway_anova_balanced(
         F.when(ok, df_ab).alias("df_ab"),
         F.when(ok, df_e).alias("df_e"),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    by: list[str],
+    arm_col: str,
+    expected: dict[str, float],
+) -> DataFrame:
+    """``(by..., n, chi2, dof)`` — sample-ratio-mismatch check (L351):
+    the chi-square goodness-of-fit of observed arm counts against the
+    PLANNED allocation — the first gate every experiment readout must
+    pass, because a skewed split means assignment itself is broken
+    and every downstream metric is poisoned:
+
+        χ² = Σ_a (O_a − n·w_a)² / (n·w_a),   dof = |arms| − 1
+
+    (compare vs 3.841 at 5% for a 50/50 split; SRM practice uses a
+    much stricter 0.001 gate ⇒ 10.83).  Arm counts are exact
+    conditional sums pivoted in ONE combinable agg; the fold over
+    arms runs in sorted-arm order with literal weights — one fixed
+    IEEE tree.  Weights must be positive and sum to 1 (1e-9); arms
+    OBSERVED but not planned are refused loudly (they are the bug,
+    not a zero-weight cell).
+
+    Scale shape: one combinable agg — one scan, no window.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    if not expected:
+        raise ValueError("srm_check: expected must be non-empty")
+    if any(w <= 0.0 for w in expected.values()):
+        raise ValueError("srm_check: weights must be > 0")
+    tot = sum(expected.values())
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(
+            f"srm_check: weights must sum to 1, got {tot!r}"
+        )
+    arms = sorted(expected)
+    unknown = (
+        df.select(F.col(arm_col).alias("_a"))
+        .filter(~F.col("_a").isin(arms) | F.col("_a").isNull())
+        .distinct()
+        .limit(10)
+        .collect()
+    )
+    if unknown:
+        raise ValueError(
+            "srm_check: observed arm(s) not in the planned allocation: "
+            f"{sorted(str(r['_a']) for r in unknown)} — fix assignment "
+            "or the expected map"
+        )
+    agg = df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(F.col(arm_col) == a, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"_o{i}")
+            for i, a in enumerate(arms)
+        ],
+    )
+    nd = F.col("n").cast("double")
+    chi2 = None
+    for i, a in enumerate(arms):
+        od = F.col(f"_o{i}").cast("double")
+        e = nd * F.lit(float(expected[a]))
+        d = od - e
+        term = d * d / e
+        chi2 = term if chi2 is None else chi2 + term
+    return agg.select(
+        *by,
+        "n",
+        F.when(F.col("n") > 0, chi2).alias("chi2"),
+        F.lit(len(arms) - 1).alias("dof"),
+    )
+
+
+def dagostino_k2(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, z_skew, z_kurt, k2)`` — D'Agostino-Pearson K²
+    omnibus normality test (L352): the small-sample-honest companion
+    to Jarque-Bera (L266) — JB compares g₁/g₂ against their
+    ASYMPTOTIC variances (badly anti-conservative under n ≈ 100),
+    while K² normalizes each through its exact finite-n sampling
+    law (D'Agostino 1970 skewness transform; Anscombe-Glynn 1983
+    kurtosis transform):
+
+        Z₁ = δ·asinh(Y/α)            (Y = scaled g₁)
+        Z₂ = cube-root Wilson-Hilferty of b₂
+        K² = Z₁² + Z₂²               (χ² df 2;  5% ⇒ 5.991)
+
+    Power sums ride the L266 exact integer micro-unit trick
+    (DECIMAL(38,0), order-insensitive, combinable); every transform
+    constant is an n-polynomial — one fixed IEEE tree per group.
+    n < 8 (the transforms' validity floor) or zero variance → NULL.
+
+    Scale shape: ONE combinable aggregation — one scan of 100 TB.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    q = (
+        (F.col(value_col).cast(dec) * F.lit(10**scale))
+        .cast("decimal(38,0)")
+    )
+    agg = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*by, q.alias("_q"))
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_q").alias("_s1"),
+            F.sum(F.col("_q") * F.col("_q")).alias("_s2"),
+            F.sum(F.col("_q") * F.col("_q") * F.col("_q")).alias("_s3"),
+            F.sum(
+                F.col("_q") * F.col("_q") * F.col("_q") * F.col("_q")
+            ).alias("_s4"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mq = F.col("_s1").cast("double") / nd
+    r2 = F.col("_s2").cast("double") / nd
+    r3 = F.col("_s3").cast("double") / nd
+    r4 = F.col("_s4").cast("double") / nd
+    m2 = r2 - mq * mq
+    m3 = r3 - F.lit(3.0) * mq * r2 + F.lit(2.0) * mq * mq * mq
+    m4 = (
+        r4
+        - F.lit(4.0) * mq * r3
+        + F.lit(6.0) * mq * mq * r2
+        - F.lit(3.0) * mq * mq * mq * mq
+    )
+    g1 = m3 / (m2 * F.sqrt(m2))
+    b2 = m4 / (m2 * m2)
+    one, two, three = F.lit(1.0), F.lit(2.0), F.lit(3.0)
+    # --- D'Agostino (1970) skewness transform ---
+    y = g1 * F.sqrt(
+        (nd + one) * (nd + three) / (F.lit(6.0) * (nd - two))
+    )
+    beta2 = (
+        three
+        * (nd * nd + F.lit(27.0) * nd - F.lit(70.0))
+        * (nd + one)
+        * (nd + three)
+        / (
+            (nd - two)
+            * (nd + F.lit(5.0))
+            * (nd + F.lit(7.0))
+            * (nd + F.lit(9.0))
+        )
+    )
+    w2 = F.sqrt(two * (beta2 - one)) - one
+    delta = one / F.sqrt(F.log(F.sqrt(w2)))
+    alpha = F.sqrt(two / (w2 - one))
+    z1 = delta * F.log(
+        y / alpha + F.sqrt((y / alpha) * (y / alpha) + one)
+    )
+    # --- Anscombe-Glynn (1983) kurtosis transform ---
+    eb2 = three * (nd - one) / (nd + one)
+    vb2 = (
+        F.lit(24.0)
+        * nd
+        * (nd - two)
+        * (nd - three)
+        / (
+            (nd + one)
+            * (nd + one)
+            * (nd + three)
+            * (nd + F.lit(5.0))
+        )
+    )
+    x = (b2 - eb2) / F.sqrt(vb2)
+    sqbeta1 = (
+        F.lit(6.0)
+        * (nd * nd - F.lit(5.0) * nd + two)
+        / ((nd + F.lit(7.0)) * (nd + F.lit(9.0)))
+        * F.sqrt(
+            F.lit(6.0)
+            * (nd + three)
+            * (nd + F.lit(5.0))
+            / (nd * (nd - two) * (nd - three))
+        )
+    )
+    a = F.lit(6.0) + F.lit(8.0) / sqbeta1 * (
+        two / sqbeta1 + F.sqrt(one + F.lit(4.0) / (sqbeta1 * sqbeta1))
+    )
+    z2 = (
+        (one - two / (F.lit(9.0) * a))
+        - F.cbrt(
+            (one - two / a)
+            / (one + x * F.sqrt(two / (a - F.lit(4.0))))
+        )
+    ) / F.sqrt(two / (F.lit(9.0) * a))
+    ok = (F.col("n") >= 8) & (m2 > 0.0)
+    return agg.select(
+        *by,
+        "n",
+        F.when(ok, z1).alias("z_skew"),
+        F.when(ok, z2).alias("z_kurt"),
+        F.when(ok, z1 * z1 + z2 * z2).alias("k2"),
+    )
