@@ -485,3 +485,138 @@ def did_estimator(
         F.when(big_enough & (sev > 0.0), se).alias("se"),
         F.when(big_enough & (sev > 0.0), did / se).alias("t"),
     )
+
+
+def passing_bablok(
+    df: DataFrame,
+    by: list[str],
+    x_col: str,
+    y_col: str,
+    max_len: int = 1000,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., n, n_slopes, slope, intercept)`` — Passing-Bablok
+    regression (L354): the nonparametric member of the
+    method-comparison trio (L316 Bland-Altman, L317 Deming) — no
+    error-variance ratio to assume, outlier-proof, scale-invariant:
+
+        S_ij = (y_j − y_i)/(x_j − x_i) over all i < j,
+               excluding x_i = x_j and S = −1 exactly;
+        K = #{S < −1};  slope = K-SHIFTED median of sorted S
+            (odd N: element (N+1)/2 + K;  even N: √(S_{N/2+K} ·
+             S_{N/2+1+K}) — NULL if that product ≤ 0);
+        intercept = median of (y_i − slope·x_i)   (lower/upper-middle
+            AVERAGE on even counts — pinned convention)
+
+    Pair slopes come from the bounded in-row pair lattice (the
+    L162/L225 discipline: > ``max_len`` rows per key REFUSED loudly —
+    method-comparison designs are hundreds of specimens, not 10⁹);
+    (x, y) quantize to DECIMAL(18, scale) so ties and the S = −1 /
+    S < −1 classifications are EXACT decimal comparisons, and every
+    median pick is a floored-index order statistic.  NULLs refused.
+
+    Scale shape: one keyed collect (bounded by contract) → in-row
+    lattice → two order-statistic picks.
+
+    No reference counterpart; method-comparison analytics per SURVEY
+    §2.11 (Passing & Bablok 1983).
+    """
+    n_null = df.filter(
+        F.col(x_col).isNull() | F.col(y_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"passing_bablok: {n_null} NULL value(s) — impute first"
+        )
+    dec = f"decimal(18,{scale})"
+    base = df.select(
+        *by,
+        F.col(x_col).cast(dec).alias("_x"),
+        F.col(y_col).cast(dec).alias("_y"),
+    )
+    sizes = base.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > max_len).count()
+    if over:
+        raise ValueError(
+            f"passing_bablok: at least one group exceeds max_len="
+            f"{max_len} — sample first (the estimator is pairwise; "
+            "an unbounded group is quadratic by definition)"
+        )
+    packed = base.groupBy(*by).agg(
+        F.sort_array(F.collect_list(F.struct("_x", "_y"))).alias("_a")
+    )
+    e1 = packed.select(*by, "_a", F.posexplode("_a").alias("_i", "_p"))
+    e2 = e1.select(
+        *by, "_a", "_i", "_p", F.posexplode("_a").alias("_j", "_q")
+    )
+    pairs = e2.filter(
+        (F.col("_i") < F.col("_j"))
+        & (F.col("_q._x") != F.col("_p._x"))
+    )
+    num = (F.col("_q._y") - F.col("_p._y")).cast("double")
+    den = (F.col("_q._x") - F.col("_p._x")).cast("double")
+    slope = num / den
+    # S = -1 exact in decimals: dy == -dx
+    not_minus1 = (
+        F.col("_q._y") - F.col("_p._y")
+        != -(F.col("_q._x") - F.col("_p._x"))
+    )
+    valid = pairs.filter(not_minus1).select(*by, slope.alias("_s"))
+    slopes = valid.groupBy(*by).agg(
+        F.sort_array(F.collect_list("_s")).alias("_ss"),
+        F.sum((F.col("_s") < F.lit(-1.0)).cast("long")).alias("_k"),
+    )
+    nn = F.size("_ss")
+    kk = F.col("_k")
+    odd_pick = F.element_at(
+        "_ss", (F.floor((nn + 1) / 2) + kk).cast("int")
+    )
+    ev_lo = F.element_at("_ss", (F.floor(nn / 2) + kk).cast("int"))
+    ev_hi = F.element_at(
+        "_ss", (F.floor(nn / 2) + 1 + kk).cast("int")
+    )
+    b = F.when(nn % 2 == 1, odd_pick).otherwise(
+        F.when(ev_lo * ev_hi > 0.0, F.sqrt(ev_lo * ev_hi))
+    )
+    # guard the shifted index staying in range (pathological K)
+    b = F.when(
+        (nn > 0)
+        & (F.floor(nn / 2) + kk >= F.when(nn % 2 == 1, 0).otherwise(1))
+        & (
+            F.when(
+                nn % 2 == 1, F.floor((nn + 1) / 2) + kk
+            ).otherwise(F.floor(nn / 2) + 1 + kk)
+            <= nn
+        ),
+        b,
+    )
+    slope_df = slopes.select(
+        *by, nn.alias("n_slopes"), b.alias("slope")
+    )
+    with_b = base.join(F.broadcast(slope_df), by).select(
+        *by,
+        (
+            F.col("_y").cast("double")
+            - F.col("slope") * F.col("_x").cast("double")
+        ).alias("_r"),
+    )
+    resid = with_b.groupBy(*by).agg(
+        F.sort_array(F.collect_list("_r")).alias("_rs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    m = F.size("_rs")
+    r_hi = F.element_at("_rs", (F.floor(m / 2) + 1).cast("int"))
+    r_lo = F.element_at("_rs", F.floor((m + 1) / 2).cast("int"))
+    a = F.when(m % 2 == 1, r_hi).otherwise(
+        (r_lo + r_hi) / F.lit(2.0)
+    )
+    out = slope_df.join(resid.select(*by, "n", a.alias("_amed")), by)
+    return out.select(
+        *by,
+        "n",
+        "n_slopes",
+        "slope",
+        F.when(F.col("slope").isNotNull(), F.col("_amed")).alias(
+            "intercept"
+        ),
+    )

@@ -2482,3 +2482,78 @@ def engle_granger(
         F.when(ok & (upp > 0.0), rho).alias("rho"),
         F.when(ok2, rho / se).alias("t_eg"),
     )
+
+
+def ar1_fit(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n_pairs, phi, intercept, mu_lr, half_life)`` — AR(1)
+    fit panel (L353): the one-number memory model — persistence φ,
+    the long-run mean the series reverts TO, and the half-life it
+    reverts WITH (the number capacity planning and pairs-trading
+    actually use):
+
+        xₜ = c + φ·xₜ₋₁ + εₜ      (OLS over the lag pairs)
+        μ_LR = c/(1−φ)             (|φ| < 1, else NULL)
+        t½  = −ln 2 / ln φ         (0 < φ < 1, else NULL — an
+                                    oscillating or explosive series
+                                    has no reversion half-life)
+
+    The five OLS sufficient sums are exact decimals from ONE lag
+    window (the L287 discipline); φ/c/μ/t½ are one fixed IEEE tree.
+    NULLs refused; n_pairs < 3 or zero lag-variance → NULL panel.
+
+    Scale shape: one keyed window pass + one combinable agg.
+
+    No reference counterpart; forecasting analytics per SURVEY §2.11.
+    """
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"ar1_fit: {n_null} NULL value(s) — impute first"
+        )
+    dec = f"decimal(18,{scale})"
+    wt = Window.partitionBy(*by).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    xd = F.col(value_col).cast(dec)
+    lagged = df.select(
+        *by,
+        xd.alias("_y"),
+        F.lag(xd, 1).over(wt).alias("_xp"),
+    ).filter(F.col("_xp").isNotNull())
+    agg = lagged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("_xp").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_xp") * F.col("_xp")).alias("_sxx"),
+        F.sum(F.col("_xp") * F.col("_y")).alias("_sxy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    varn = nd * sxx - sx * sx
+    phi = F.when(varn > 0.0, (nd * sxy - sx * sy) / varn)
+    c = (sy - phi * sx) / nd
+    ok = (F.col("n_pairs") >= 3) & (varn > 0.0)
+    mu = F.when(
+        ok & (phi < 1.0) & (phi > -1.0), c / (F.lit(1.0) - phi)
+    )
+    hl = F.when(
+        ok & (phi > 0.0) & (phi < 1.0),
+        -F.log(F.lit(2.0)) / F.log(phi),
+    )
+    return agg.select(
+        *by,
+        "n_pairs",
+        F.when(ok, phi).alias("phi"),
+        F.when(ok, c).alias("intercept"),
+        mu.alias("mu_lr"),
+        hl.alias("half_life"),
+    )
