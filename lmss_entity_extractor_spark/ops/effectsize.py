@@ -887,3 +887,78 @@ def direct_standardization(
         F.when(F.col("n_trials") > 0, crude).alias("crude_rate"),
         F.when(full, std).alias("std_rate"),
     )
+
+
+def pvalue_adjust(
+    df: DataFrame,
+    test_col: str,
+    p_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """``(by..., test, p, rank, m, p_bonferroni, p_holm,
+    p_hochberg)`` — the family-wise-error adjustment panel (L355),
+    the FWER companions to L211's FDR: what a p-value must become
+    when it is one of m looks, under the three standard step rules:
+
+        Bonferroni:  min(1, m·p)
+        Holm (step-down):   min(1, cummax_{j≤i} (m−j+1)·p₍ⱼ₎)
+        Hochberg (step-up): min(1, cummin_{j≥i} (m−j+1)·p₍ⱼ₎)
+
+    (ranks by p ascending, ties broken by test id — deterministic;
+    the R ``p.adjust`` conventions exactly).  Every raw term is ONE
+    per-row IEEE multiply, and the running envelopes are MAX/MIN
+    windows — order-statistic aggregations with no accumulation
+    error, so the whole panel is bit-identical across engines.  The
+    input is a RESULTS table (one row per hypothesis — bounded by
+    construction).  p outside [0,1] refused loudly.
+
+    Scale shape: one bounded ordering window per family.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    by = list(by or [])
+    flt = df.filter(F.col(p_col).isNotNull())
+    n_bad = flt.filter(
+        (F.col(p_col) < 0) | (F.col(p_col) > 1)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"pvalue_adjust: {n_bad} p-value(s) outside [0,1] — fix "
+            "the upstream test"
+        )
+    w = Window.partitionBy(*by).orderBy(
+        F.col(p_col).asc(), F.col(test_col).asc()
+    )
+    tot = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = flt.select(
+        *by,
+        F.col(test_col).alias("test"),
+        F.col(p_col).cast("double").alias("p"),
+        F.row_number().over(w).alias("rank"),
+        F.count(F.lit(1)).over(tot).alias("m"),
+    )
+    raw = (
+        (F.col("m") - F.col("rank") + F.lit(1)).cast("double")
+        * F.col("p")
+    )
+    staged = ranked.select(*by, "test", "p", "rank", "m", raw.alias("_raw"))
+    w_up = Window.partitionBy(*by).orderBy(F.col("rank").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_down = Window.partitionBy(*by).orderBy(
+        F.col("rank").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    one = F.lit(1.0)
+    md = F.col("m").cast("double")
+    return staged.select(
+        *by,
+        "test",
+        "p",
+        "rank",
+        "m",
+        F.least(one, md * F.col("p")).alias("p_bonferroni"),
+        F.least(one, F.max("_raw").over(w_up)).alias("p_holm"),
+        F.least(one, F.min("_raw").over(w_down)).alias("p_hochberg"),
+    )

@@ -582,3 +582,92 @@ def records_test(
             / F.sqrt(F.col("_var")),
         ).alias("z"),
     )
+
+
+def siegel_slope(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    max_len: int = _MAX_LEN_DEFAULT,
+) -> DataFrame:
+    """``(by..., n, slope, intercept)`` — Siegel's repeated-median
+    regression (L356): the 50%-breakdown big sibling of Theil-Sen
+    (L162, ~29%) — HALF the points can be garbage and the line still
+    stands, the strongest simple robust trend there is:
+
+        slope = med_i ( med_{j≠i} (x_j − x_i)/(t_j − t_i) )
+        intercept = med_i ( x_i − slope·t_i )
+
+    Every median uses the L162 pinned convention (floored-index
+    order statistics; even counts average the two middles in DOUBLE).
+    The inner medians ride the SAME bounded in-row pair lattice as
+    L161/L162 (> ``max_len`` rows per key refused loudly), expanded
+    in BOTH directions so each point sees all its partners.  Points
+    sharing a t with every partner have no defined inner median and
+    are dropped from the outer one (documented; equal-t pairs are
+    excluded as in L162).
+
+    Scale shape: one keyed collect (bounded) → in-row lattice → two
+    nested order-statistic picks.
+
+    No reference counterpart; robust-trend analytics per SURVEY §2.11
+    (Siegel 1982).
+    """
+    packed = _packed(df, by, order_col, value_col, max_len)
+    e1 = packed.select(*by, "_a", F.posexplode("_a").alias("_i", "_p"))
+    e2 = e1.select(
+        *by, "_i", "_p", F.posexplode("_a").alias("_j", "_q")
+    )
+    pairs = e2.filter(
+        (F.col("_i") != F.col("_j"))
+        & (F.col("_q._t") != F.col("_p._t"))
+    )
+    slope = (F.col("_q._x") - F.col("_p._x")) / (
+        F.col("_q._t") - F.col("_p._t")
+    )
+    inner = pairs.groupBy(*by, "_i").agg(
+        F.sort_array(F.collect_list(slope)).alias("_s"),
+        F.first("_p").alias("_pt"),
+    )
+
+    def _med(arr):
+        k = F.size(arr)
+        hi = F.element_at(arr, (F.floor(k / 2) + 1).cast("int"))
+        lo = F.element_at(arr, F.floor((k + 1) / 2).cast("int"))
+        return F.when(k % 2 == 1, hi).otherwise(
+            (lo + hi) / F.lit(2.0)
+        )
+
+    med_i = inner.select(
+        *by, "_pt", _med(F.col("_s")).alias("_mi")
+    )
+    outer = med_i.groupBy(*by).agg(
+        F.sort_array(F.collect_list("_mi")).alias("_ms"),
+        F.count(F.lit(1)).alias("_nm"),
+    )
+    b_df = outer.select(
+        *by, _med(F.col("_ms")).alias("slope")
+    )
+    resid = (
+        med_i.join(F.broadcast(b_df), by)
+        .select(
+            *by,
+            (
+                F.col("_pt._x") - F.col("slope") * F.col("_pt._t")
+            ).alias("_r"),
+        )
+        .groupBy(*by)
+        .agg(
+            F.sort_array(F.collect_list("_r")).alias("_rs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return b_df.join(resid, by).select(
+        *by,
+        "n",
+        "slope",
+        F.when(
+            F.col("slope").isNotNull(), _med(F.col("_rs"))
+        ).alias("intercept"),
+    )
