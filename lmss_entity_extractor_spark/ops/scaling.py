@@ -182,3 +182,138 @@ def quantile_normalize(
             F.col("_s").cast("double") / F.col("_g").cast("double")
         ).alias("qnorm"),
     )
+
+
+def boxcox_grid(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    scale: int = 2,
+    max_distinct: int = 10_000,
+) -> DataFrame:
+    """``(by..., n, ll_m1, ll_m05, ll_0, ll_05, ll_1, lambda_best)``
+    — Box-Cox profile log-likelihood over the canonical λ grid
+    {−1, −½, 0, ½, 1} (L357): WHICH power transform makes a positive
+    metric most normal — reciprocal, inverse-root, log, root, or
+    leave-it-alone — the pre-modeling decision L266/L352 only
+    diagnose:
+
+        y(λ) = (xᵏ−1)/λ   (λ≠0),   y(0) = ln x
+        LL(λ) = −(n/2)·ln σ̂²_{y(λ)} + (λ−1)·Σ ln x
+
+    Exactness at the fold boundary: values quantize to
+    DECIMAL(18, scale) and collapse to (value, count) cells, so the
+    double accumulations run over ONE deterministic sorted cell list
+    per key — identical fold order in both engines (the L333
+    discipline), with the grid's powers expressed via sqrt/division
+    only (no libm pow).  Keys with more than ``max_distinct`` cells
+    are REFUSED loudly (bin first — a profile likelihood over 10⁹
+    distinct doubles is a different algorithm).  NULLs and
+    non-positive values refused (Box-Cox is undefined there);
+    zero-variance keys → NULL panel.  Ties in LL resolve to the
+    SMALLEST λ (simplest transform wins).
+
+    Scale shape: one cell groupBy + one keyed collect (bounded) +
+    one in-array fold.
+
+    No reference counterpart; ML feature preparation per SURVEY §2.11.
+    """
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"boxcox_grid: {n_null} NULL value(s) — impute first"
+        )
+    n_bad = df.filter(F.col(value_col) <= 0).count()
+    if n_bad:
+        raise ValueError(
+            f"boxcox_grid: {n_bad} non-positive value(s) — Box-Cox "
+            "needs x > 0 (shift or drop first)"
+        )
+    dec = f"decimal(18,{scale})"
+    cells = (
+        df.select(*by, F.col(value_col).cast(dec).alias("_v"))
+        .groupBy(*by, "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    over = (
+        cells.groupBy(*by)
+        .count()
+        .filter(F.col("count") > max_distinct)
+        .count()
+    )
+    if over:
+        raise ValueError(
+            f"boxcox_grid: at least one key exceeds max_distinct="
+            f"{max_distinct} cells — bin/round first"
+        )
+    packed = cells.groupBy(*by).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_v"), F.col("_c")))
+        ).alias("_a"),
+        F.sum("_c").alias("n"),
+    )
+    zero = F.lit(0.0)
+    fields = [
+        "sy_m1", "syy_m1", "sy_mh", "syy_mh", "sy_0", "syy_0",
+        "sy_h", "syy_h", "sy_1", "syy_1", "slog",
+    ]
+    init = F.struct(*[zero.alias(f) for f in fields])
+
+    def step(acc, el):
+        v = el["_v"].cast("double")
+        c = el["_c"].cast("double")
+        one = F.lit(1.0)
+        y_m1 = (one / v - one) / F.lit(-1.0)
+        y_mh = (one / F.sqrt(v) - one) / F.lit(-0.5)
+        y_0 = F.log(v)
+        y_h = (F.sqrt(v) - one) / F.lit(0.5)
+        y_1 = v - one
+        ys = [y_m1, y_mh, y_0, y_h, y_1]
+        parts = []
+        for i, y in enumerate(ys):
+            parts.append(
+                (acc[fields[2 * i]] + c * y).alias(fields[2 * i])
+            )
+            parts.append(
+                (acc[fields[2 * i + 1]] + c * (y * y)).alias(
+                    fields[2 * i + 1]
+                )
+            )
+        parts.append((acc["slog"] + c * F.log(v)).alias("slog"))
+        return F.struct(*parts)
+
+    acc = F.aggregate(F.col("_a"), init, step)
+    staged = packed.select(*by, "n", acc.alias("_f"))
+    nd = F.col("n").cast("double")
+    lambdas = [-1.0, -0.5, 0.0, 0.5, 1.0]
+    names = ["ll_m1", "ll_m05", "ll_0", "ll_05", "ll_1"]
+    m2s, lls = [], []
+    for i, lam in enumerate(lambdas):
+        sy = F.col("_f")[fields[2 * i]]
+        syy = F.col("_f")[fields[2 * i + 1]]
+        m2 = syy / nd - (sy / nd) * (sy / nd)
+        m2s.append(m2)
+        lls.append(
+            -(nd / F.lit(2.0)) * F.log(m2)
+            + F.lit(lam - 1.0) * F.col("_f")["slog"]
+        )
+    ok = F.col("n") >= 2
+    for m2 in m2s:
+        ok = ok & (m2 > 0.0)
+    s2 = staged.select(
+        *by, "n", ok.alias("_ok"),
+        *[ll.alias(nm) for ll, nm in zip(lls, names)],
+    )
+    best = F.greatest(*[F.col(nm) for nm in names])
+    lam_best = F.when(F.col(names[0]) == best, F.lit(-1.0))
+    for nm, lam in zip(names[1:], lambdas[1:]):
+        lam_best = lam_best.when(F.col(nm) == best, F.lit(lam))
+    return s2.select(
+        *by,
+        "n",
+        *[
+            F.when(F.col("_ok"), F.col(nm)).alias(nm)
+            for nm in names
+        ],
+        F.when(F.col("_ok"), lam_best).alias("lambda_best"),
+    )

@@ -8,7 +8,7 @@ oracle form (__spark_entry__.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # minimal per-language stopword probes for the n-gram language heuristic
@@ -320,4 +320,83 @@ def lexical_diversity(
         F.when(n_tok > 0, vd / F.sqrt(nd)).alias("rttr"),
         F.when(n_tok > 0, vd / F.sqrt(F.lit(2.0) * nd)).alias("cttr"),
         F.when(n_tok >= 2, F.log(vd) / F.log(nd)).alias("herdan_c"),
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """(id, term, tf, df, tfidf, rnk) — corpus TF-IDF top-k terms per
+    document (L358): the classic "what is this document about"
+    keyword extractor, the corpus-aware upgrade of the reference's
+    single-doc degenerate form (SURVEY §2.6 T2 — there IDF collapses
+    to 1; here the corpus supplies it):
+
+        tfidf(t, d) = tf(t,d) · ln(N / df(t))
+
+    with N = documents containing ≥ 1 token.  tf and df are EXACT
+    integers (explode + two groupBys; df via one distinct), the score
+    is ONE multiply of an exact count by one ln of an exact ratio,
+    and top-k picks by (score DESC, term ASC) — fully deterministic.
+    Token convention = L350's (lowercase, strip non-[a-z]).
+
+    Scale shape: one explode + two combinable groupBys + a broadcast
+    df join (vocabulary-bounded) + one per-doc top-k window.
+
+    No reference counterpart beyond the degenerate single-doc form
+    (`app/entity_extraction.py:128`); corpus analytics per SURVEY
+    §2.11.
+    """
+    if int(k) < 1:
+        raise ValueError("tfidf_topk: k must be >= 1")
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.filter(
+        F.transform(
+            F.filter(
+                F.split(F.trim(t), r"\s+"),
+                lambda w: w.rlike("[a-z]"),
+            ),
+            lambda w: F.regexp_replace(w, "[^a-z]", ""),
+        ),
+        lambda w: w != F.lit(""),
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("_id"), F.explode(toks).alias("term")
+    )
+    tf = exploded.groupBy("_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = (
+        exploded.dropDuplicates(["_id", "term"])
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = exploded.select("_id").distinct().count()
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "_id",
+        "term",
+        "tf",
+        "df",
+        (
+            F.col("tf").cast("double")
+            * F.log(
+                F.lit(float(n_docs)) / F.col("df").cast("double")
+            )
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.select(
+            "*", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= int(k))
+        .select(
+            F.col("_id").alias(id_col), "term", "tf", "df", "tfidf",
+            "rnk",
+        )
     )
