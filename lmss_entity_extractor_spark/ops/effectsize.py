@@ -962,3 +962,74 @@ def pvalue_adjust(
         F.least(one, F.max("_raw").over(w_up)).alias("p_holm"),
         F.least(one, F.min("_raw").over(w_down)).alias("p_hochberg"),
     )
+
+
+def poisson_rate_ci(
+    df: DataFrame,
+    by: list[str],
+    events_col: str,
+    exposure_col: str,
+    z: float = 1.96,
+    scale: int = 4,
+) -> DataFrame:
+    """``(by..., events, exposure, rate, rate_lo, rate_hi)`` — Poisson
+    rate with Byar's confidence interval (L360): incidents per
+    exposure (errors per machine-hour, infections per person-year)
+    with the approximation that stays honest at SMALL counts where
+    the Wald ±z√(X)/T interval collapses:
+
+        lo = X·(1 − 1/(9X) − z/(3√X))³ / T
+        hi = (X+1)·(1 − 1/(9(X+1)) + z/(3√(X+1)))³ / T
+
+    (Byar's cube-root normal approximation — within ~1% of exact
+    Poisson limits even at X = 2; X = 0 pins lo = 0.)  Event and
+    exposure totals are exact (integer counts; DECIMAL(18, scale)
+    exposures); the interval is one fixed IEEE tree with cubes spelled
+    d·d·d (no libm pow).  Negative events/exposures refused; zero
+    total exposure → NULL panel.
+
+    Scale shape: one combinable agg — one scan, no window.
+
+    No reference counterpart; the count-data companion to L185's
+    Wilson interval per SURVEY §2.11.
+    """
+    n_null = df.filter(
+        F.col(events_col).isNull() | F.col(exposure_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"poisson_rate_ci: {n_null} NULL value(s) — impute first"
+        )
+    n_neg = df.filter(
+        (F.col(events_col) < 0) | (F.col(exposure_col) < 0)
+    ).count()
+    if n_neg:
+        raise ValueError(
+            f"poisson_rate_ci: {n_neg} negative value(s)"
+        )
+    dec = f"decimal(18,{scale})"
+    agg = df.groupBy(*by).agg(
+        F.sum(F.col(events_col).cast("long")).alias("events"),
+        F.sum(F.col(exposure_col).cast(dec)).alias("_t"),
+    )
+    xd = F.col("events").cast("double")
+    td = F.col("_t").cast("double")
+    zl = F.lit(float(z))
+    one, nine, three = F.lit(1.0), F.lit(9.0), F.lit(3.0)
+    xp = xd + one
+    lo_core = one - one / (nine * xd) - zl / (three * F.sqrt(xd))
+    hi_core = one - one / (nine * xp) + zl / (three * F.sqrt(xp))
+    lo = F.when(F.col("events") > 0,
+                xd * (lo_core * lo_core * lo_core) / td).otherwise(
+        F.lit(0.0)
+    )
+    hi = xp * (hi_core * hi_core * hi_core) / td
+    ok = F.col("_t") > 0
+    return agg.select(
+        *by,
+        "events",
+        td.alias("exposure"),
+        F.when(ok, xd / td).alias("rate"),
+        F.when(ok, lo).alias("rate_lo"),
+        F.when(ok, hi).alias("rate_hi"),
+    )

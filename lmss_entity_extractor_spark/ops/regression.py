@@ -620,3 +620,93 @@ def passing_bablok(
             "intercept"
         ),
     )
+
+
+def wls_regression(
+    df: DataFrame,
+    by: list[str],
+    x_col: str,
+    y_col: str,
+    w_col: str,
+    scale: int = 2,
+    w_scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, w_total, slope, intercept, r2)`` — weighted least
+    squares (L359): the L135 OLS family when observations carry
+    frequency or precision weights (pre-aggregated rows, inverse-
+    variance meta-points, sampling weights):
+
+        b = (W·Σwxy − Σwx·Σwy) / (W·Σwx² − (Σwx)²)
+        a = (Σwy − b·Σwx)/W
+        r² = (W·Σwxy − Σwx·Σwy)² / ((W·Σwx²−(Σwx)²)(W·Σwy²−(Σwy)²))
+
+    Exactness: x, y, w quantize to integer micro-units (the L266
+    trick — x·10^scale, w·10^w_scale as DECIMAL(38,0)), so every
+    weighted cross-sum is an exact integer; the unit factors cancel
+    in b and r², and the intercept divides back out once.  ANSI
+    overflow on the (38,0) products fails LOUDLY (never wraps) —
+    |q| ≤ 10⁹ supports ~10¹⁹-magnitude sums.  NULLs refused;
+    negative weights refused; n < 2 or zero weighted x-variance →
+    NULL.
+
+    Scale shape: one combinable agg — one scan, no window.
+
+    No reference counterpart; analytics extension per SURVEY §2.11.
+    """
+    n_null = df.filter(
+        F.col(x_col).isNull()
+        | F.col(y_col).isNull()
+        | F.col(w_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"wls_regression: {n_null} NULL value(s) — impute first"
+        )
+    n_neg = df.filter(F.col(w_col) < 0).count()
+    if n_neg:
+        raise ValueError(
+            f"wls_regression: {n_neg} negative weight(s)"
+        )
+    big = "decimal(38,0)"
+
+    def q(col, s):
+        return (
+            F.col(col).cast(f"decimal(18,{s})") * F.lit(10**s)
+        ).cast(big)
+
+    qx, qy, qw = q(x_col, scale), q(y_col, scale), q(w_col, w_scale)
+    staged = df.select(
+        *by, qx.alias("_x"), qy.alias("_y"), qw.alias("_w")
+    )
+    agg = staged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_w").alias("_sw"),
+        F.sum(F.col("_w") * F.col("_x")).alias("_swx"),
+        F.sum(F.col("_w") * F.col("_y")).alias("_swy"),
+        F.sum(F.col("_w") * F.col("_x") * F.col("_x")).alias("_swxx"),
+        F.sum(F.col("_w") * F.col("_x") * F.col("_y")).alias("_swxy"),
+        F.sum(F.col("_w") * F.col("_y") * F.col("_y")).alias("_swyy"),
+    )
+    wd = F.col("_sw").cast("double")
+    swx = F.col("_swx").cast("double")
+    swy = F.col("_swy").cast("double")
+    swxx = F.col("_swxx").cast("double")
+    swxy = F.col("_swxy").cast("double")
+    swyy = F.col("_swyy").cast("double")
+    num = wd * swxy - swx * swy
+    dx = wd * swxx - swx * swx
+    dy = wd * swyy - swy * swy
+    b = F.when(dx > 0.0, num / dx)
+    a = (swy - b * swx) / wd / F.lit(float(10**scale))
+    r2 = F.when(
+        (dx > 0.0) & (dy > 0.0), num * num / (dx * dy)
+    )
+    ok = (F.col("n") >= 2) & (F.col("_sw") > 0)
+    return agg.select(
+        *by,
+        "n",
+        (wd / F.lit(float(10**w_scale))).alias("w_total"),
+        F.when(ok, b).alias("slope"),
+        F.when(ok & b.isNotNull(), a).alias("intercept"),
+        F.when(ok, r2).alias("r2"),
+    )
