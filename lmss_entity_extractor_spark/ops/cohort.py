@@ -255,3 +255,65 @@ def rfm_scores(
             F.col("m_score").cast("string"),
         ).alias("rfm"),
     )
+
+
+def weekday_profile(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., dow, n, mean, idx)`` — day-of-week profile (L361):
+    the seasonality fingerprint every operational dashboard opens
+    with — mean metric per weekday and its INDEX against the overall
+    mean (idx 1.3 = "Mondays run 30% hot"), the multiplicative
+    factors a weekday-naive forecast divides out:
+
+        mean(dow) = Σ_dow x / n_dow,   idx = mean(dow) / mean(all)
+
+    Sums are exact decimals; each output is at most two IEEE
+    divisions in a pinned order.  dow follows Spark's ``dayofweek``
+    convention (1 = Sunday … 7 = Saturday).  NULL values or
+    timestamps refused; a zero overall mean → NULL idx (a ratio
+    against nothing).
+
+    Scale shape: one combinable agg + one broadcast totals join.
+
+    No reference counterpart; seasonal analytics per SURVEY §2.11.
+    """
+    n_null = df.filter(
+        F.col(value_col).isNull() | F.col(ts_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"weekday_profile: {n_null} NULL value(s) — impute first"
+        )
+    dec = f"decimal(18,{scale})"
+    staged = df.select(
+        *by,
+        F.dayofweek(F.col(ts_col)).alias("dow"),
+        F.col(value_col).cast(dec).alias("_x"),
+    )
+    per_dow = staged.groupBy(*by, "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_s"),
+    )
+    totals = staged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("_nt"),
+        F.sum("_x").alias("_st"),
+    )
+    joined = (
+        per_dow.join(F.broadcast(totals), by)
+        if by
+        else per_dow.crossJoin(F.broadcast(totals))
+    )
+    mean = F.col("_s").cast("double") / F.col("n").cast("double")
+    overall = F.col("_st").cast("double") / F.col("_nt").cast("double")
+    return joined.select(
+        *by,
+        "dow",
+        "n",
+        mean.alias("mean"),
+        F.when(overall != 0.0, mean / overall).alias("idx"),
+    )

@@ -43,7 +43,7 @@ No reference counterpart; pattern-mining analytics per SURVEY §2.11.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -200,3 +200,107 @@ def association_rules(
         ).alias("lift"),
     )
     return out.filter(F.col("confidence") >= F.lit(float(min_confidence)))
+
+
+def item_cosine(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 5,
+    min_co: int = 1,
+) -> DataFrame:
+    """``(item, neighbor, co, n_item, n_neighbor, cosine, rnk)`` —
+    item-item cosine similarity over baskets (L362): the
+    "customers-also-bought" recommender primitive — co-occurrence
+    counts normalized by each item's basket count:
+
+        cosine(i, j) = co(i,j) / √(n_i · n_j)
+
+    Presence-based (a basket counts an item once — deduped first);
+    co-counts come from ONE within-basket self-join of the deduped
+    pairs (i < j, then symmetrized), so the shuffle is bounded by
+    basket width, never all-pairs over the catalog; counts are exact
+    integers and each cosine is one division by one sqrt of an exact
+    product.  Top-``k`` neighbors per item pick by (cosine DESC,
+    neighbor ASC) — deterministic.  ``min_co`` prunes noise pairs
+    before ranking.  NULL items/baskets refused.
+
+    Scale shape: one dedup groupBy + one keyed self-join (basket-
+    bounded) + one combinable co-count agg + broadcast item counts +
+    one per-item top-k window.
+
+    No reference counterpart; recommender analytics per SURVEY §2.11
+    (composes with L134's association rules — lift ranks by
+    surprise, cosine by strength).
+    """
+    if int(k) < 1:
+        raise ValueError("item_cosine: k must be >= 1")
+    if int(min_co) < 1:
+        raise ValueError("item_cosine: min_co must be >= 1")
+    n_null = df.filter(
+        F.col(basket_col).isNull() | F.col(item_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"item_cosine: {n_null} NULL basket/item value(s)"
+        )
+    pres = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).dropDuplicates()
+    n_item = pres.groupBy(F.col("_i").alias("item")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    left = pres.select("_b", F.col("_i").alias("_ia"))
+    right = pres.select("_b", F.col("_i").alias("_ib"))
+    co = (
+        left.join(right, "_b")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .groupBy("_ia", "_ib")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= int(min_co))
+    )
+    sym = co.select(
+        F.col("_ia").alias("item"),
+        F.col("_ib").alias("neighbor"),
+        "co",
+    ).union(
+        co.select(
+            F.col("_ib").alias("item"),
+            F.col("_ia").alias("neighbor"),
+            "co",
+        )
+    )
+    scored = (
+        sym.join(F.broadcast(n_item), "item")
+        .join(
+            F.broadcast(
+                n_item.select(
+                    F.col("item").alias("neighbor"),
+                    F.col("n_item").alias("n_neighbor"),
+                )
+            ),
+            "neighbor",
+        )
+        .select(
+            "item",
+            "neighbor",
+            "co",
+            "n_item",
+            "n_neighbor",
+            (
+                F.col("co").cast("double")
+                / F.sqrt(
+                    (F.col("n_item") * F.col("n_neighbor")).cast(
+                        "double"
+                    )
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cosine"), F.asc("neighbor")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= int(k))
+    )
