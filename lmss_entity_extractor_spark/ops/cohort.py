@@ -317,3 +317,210 @@ def weekday_profile(
         mean.alias("mean"),
         F.when(overall != 0.0, mean / overall).alias("idx"),
     )
+
+
+def multitouch_attribution(
+    df: DataFrame,
+    conv_col: str,
+    order_cols: list[str],
+    channel_col: str,
+    model: str = "linear",
+    max_path: int = 100,
+) -> DataFrame:
+    """``(channel, n_touches, credit)`` — multi-touch attribution
+    (L363): distribute each conversion's single unit of credit across
+    the channels that touched it, under the four standard positional
+    models (the upgrades of L123's last-touch):
+
+        linear    1/n each
+        first     all to the first touch
+        last      all to the last touch
+        u_shaped  0.4 first + 0.4 last + 0.2/(n−2) middles
+                  (n=1 → 1;  n=2 → 0.5/0.5)
+
+    Exactness: touches collapse to (channel, n, pos-class) CELLS with
+    exact integer counts, and each channel's credit folds over its
+    OWN sorted cell list — deterministic order, bounded by
+    ``max_path`` (longer journeys refused loudly: a 10⁴-touch "path"
+    is a tracking bug, not a journey).  Per-cell weights are fixed
+    IEEE trees in n.  NULL channels/conversions refused.
+
+    Scale shape: one rank window per conversion + one cell groupBy +
+    one bounded per-channel fold.
+
+    No reference counterpart; marketing analytics per SURVEY §2.11.
+    """
+    if model not in ("linear", "first", "last", "u_shaped"):
+        raise ValueError(
+            f"multitouch_attribution: unknown model {model!r}"
+        )
+    n_null = df.filter(
+        F.col(conv_col).isNull() | F.col(channel_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"multitouch_attribution: {n_null} NULL value(s)"
+        )
+    wt = Window.partitionBy(conv_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    wa = Window.partitionBy(conv_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = df.select(
+        F.col(channel_col).alias("channel"),
+        F.row_number().over(wt).alias("_pos"),
+        F.count(F.lit(1)).over(wa).alias("_n"),
+    )
+    over = ranked.filter(F.col("_n") > max_path).count()
+    if over:
+        raise ValueError(
+            f"multitouch_attribution: {over} touch row(s) in paths "
+            f"longer than max_path={max_path} — fix tracking or bound "
+            "the journey window"
+        )
+    # position class: 1 = first, 2 = middle, 3 = last; n=1 -> class 0
+    cls = (
+        F.when(F.col("_n") == 1, F.lit(0))
+        .when(F.col("_pos") == 1, F.lit(1))
+        .when(F.col("_pos") == F.col("_n"), F.lit(3))
+        .otherwise(F.lit(2))
+    )
+    cells = ranked.groupBy(
+        "channel", F.col("_n").alias("_nn"), cls.alias("_cls")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    packed = cells.groupBy("channel").agg(
+        F.sort_array(
+            F.collect_list(F.struct("_nn", "_cls", "_c"))
+        ).alias("_a"),
+        F.sum("_c").alias("n_touches"),
+    )
+    zero = F.lit(0.0)
+
+    def weight(el):
+        nd = el["_nn"].cast("double")
+        c = el["_cls"]
+        one, half = F.lit(1.0), F.lit(0.5)
+        if model == "linear":
+            return one / nd
+        if model == "first":
+            return (
+                F.when(c == 0, one)
+                .when(c == 1, one)
+                .otherwise(zero)
+            )
+        if model == "last":
+            return (
+                F.when(c == 0, one)
+                .when(c == 3, one)
+                .otherwise(zero)
+            )
+        # u_shaped
+        return (
+            F.when(c == 0, one)
+            .when(
+                (c == 1) | (c == 3),
+                F.when(el["_nn"] == 2, half).otherwise(F.lit(0.4)),
+            )
+            .otherwise(F.lit(0.2) / (nd - F.lit(2.0)))
+        )
+
+    def step(acc, el):
+        return acc + el["_c"].cast("double") * weight(el)
+
+    credit = F.aggregate(F.col("_a"), zero, step)
+    return packed.select(
+        "channel", "n_touches", credit.alias("credit")
+    )
+
+
+def qini_deciles(
+    df: DataFrame,
+    by: list[str],
+    id_col: str,
+    score_col: str,
+    treated_col: str,
+    converted_col: str,
+) -> DataFrame:
+    """``(by..., decile, nt, nc, yt, yc, uplift, qini)`` — Qini /
+    uplift deciles (L364): does a targeting model rank persuadable
+    units first — the experiment-grade upgrade of L207's gains table
+    (which a response model can ace while targeting sure things):
+
+        rank by score DESC (id tiebreak), decile = ⌈10·rank/n⌉
+        uplift_k = Yt/Nt − Yc/Nc           (within-decile, cumulative)
+        qini_k   = Yt − Yc·(Nt/Nc)          (cumulative, in units)
+
+    Every count is an exact cumulative integer (one rank window + one
+    decile groupBy + one ordered cumsum window over ≤10 rows per
+    key); each output is one fixed IEEE tree.  Deciles with no
+    control (or no treated) units so far → NULL uplift/qini.
+    treated/converted must be 0/1; NULLs refused.
+
+    Scale shape: one rank window + one 10-row-per-key window.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    n_null = df.filter(
+        F.col(score_col).isNull()
+        | F.col(treated_col).isNull()
+        | F.col(converted_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(f"qini_deciles: {n_null} NULL value(s)")
+    n_bad = df.filter(
+        ~F.col(treated_col).cast("int").isin(0, 1)
+        | ~F.col(converted_col).cast("int").isin(0, 1)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"qini_deciles: {n_bad} non-0/1 treated/converted value(s)"
+        )
+    wt = Window.partitionBy(*by).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    wa = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = df.select(
+        *by,
+        F.col(treated_col).cast("long").alias("_t"),
+        F.col(converted_col).cast("long").alias("_y"),
+        F.row_number().over(wt).alias("_r"),
+        F.count(F.lit(1)).over(wa).alias("_n"),
+    )
+    decile = F.ceil(
+        F.col("_r") * F.lit(10) / F.col("_n")
+    ).cast("int")
+    per = ranked.groupBy(*by, decile.alias("decile")).agg(
+        F.sum("_t").alias("_dt"),
+        F.sum(F.lit(1) - F.col("_t")).alias("_dc"),
+        F.sum(F.col("_t") * F.col("_y")).alias("_dyt"),
+        F.sum((F.lit(1) - F.col("_t")) * F.col("_y")).alias("_dyc"),
+    )
+    wc = Window.partitionBy(*by).orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        *by,
+        "decile",
+        F.sum("_dt").over(wc).alias("nt"),
+        F.sum("_dc").over(wc).alias("nc"),
+        F.sum("_dyt").over(wc).alias("yt"),
+        F.sum("_dyc").over(wc).alias("yc"),
+    )
+    ntd = F.col("nt").cast("double")
+    ncd = F.col("nc").cast("double")
+    ytd = F.col("yt").cast("double")
+    ycd = F.col("yc").cast("double")
+    ok = (F.col("nt") > 0) & (F.col("nc") > 0)
+    return cum.select(
+        *by,
+        "decile",
+        "nt",
+        "nc",
+        "yt",
+        "yc",
+        F.when(ok, ytd / ntd - ycd / ncd).alias("uplift"),
+        F.when(ok, ytd - ycd * (ntd / ncd)).alias("qini"),
+    )
