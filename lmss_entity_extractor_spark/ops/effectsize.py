@@ -1033,3 +1033,96 @@ def poisson_rate_ci(
         F.when(ok, lo).alias("rate_lo"),
         F.when(ok, hi).alias("rate_hi"),
     )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    sample_a: str,
+    sample_b: str,
+    value_col: str,
+) -> DataFrame:
+    """``(by..., n_a, n_b, gt_pairs, lt_pairs, tie_pairs, delta,
+    a_measure)`` — Cliff's delta + Vargha-Delaney A (L366): the
+    ordinal effect sizes that answer "how OFTEN is a draw from A
+    bigger than a draw from B" — the robust companion to Cohen's d
+    (L186, which assumes interval scale and is wrecked by outliers)
+    and the size half of the Brunner-Munzel test (L268):
+
+        delta = (#{a>b} - #{a<b}) / (n_a*n_b)      in [-1, 1]
+        A     = (#{a>b} + #{a=b}/2) / (n_a*n_b)    in [0, 1]
+                (A = (delta+1)/2; both published for convention-free
+                 reading: |delta| 0.147/0.33/0.474 small/medium/large)
+
+    The n_a*n_b pair space is never materialized: values collapse to
+    per-value cells (ca, cb) and #{a>b} = SUM ca * cum_cb_below from
+    ONE ascending-value window — every pair count an exact
+    DECIMAL(38,0) integer (order-insensitive sums, no fold needed),
+    then one division each.  Empty sides yield NULL delta/A.
+
+    Scale shape: one (keys, value) groupBy + one window over the
+    bounded value grid + one combinable agg — one scan of 100 TB.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    d0 = "decimal(38,0)"
+    flt = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([sample_a, sample_b])
+    )
+    cells = flt.groupBy(*by, F.col(value_col).alias("_v")).agg(
+        F.sum(
+            F.when(F.col(group_col) == sample_a, 1).otherwise(0)
+        ).alias("_ca"),
+        F.sum(
+            F.when(F.col(group_col) == sample_b, 1).otherwise(0)
+        ).alias("_cb"),
+    )
+    wv = Window.partitionBy(*by).orderBy("_v")
+    wall = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    st = cells.select(
+        *by,
+        "_ca",
+        "_cb",
+        F.coalesce(
+            F.sum("_cb").over(
+                wv.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("_blt"),
+        F.sum("_cb").over(wall).alias("_ball"),
+        F.sum("_cb").over(
+            wv.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_ble"),
+    )
+    ca_d = F.col("_ca").cast(d0)
+    agg = st.groupBy(*by).agg(
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+        F.sum(ca_d * F.col("_blt").cast(d0)).cast(d0).alias("gt_pairs"),
+        F.sum(
+            ca_d * (F.col("_ball") - F.col("_ble")).cast(d0)
+        ).cast(d0).alias("lt_pairs"),
+        F.sum(ca_d * F.col("_cb").cast(d0)).cast(d0).alias("tie_pairs"),
+    )
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    gtd = F.col("gt_pairs").cast("double")
+    ltd = F.col("lt_pairs").cast("double")
+    tied = F.col("tie_pairs").cast("double")
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        *by,
+        "n_a",
+        "n_b",
+        "gt_pairs",
+        "lt_pairs",
+        "tie_pairs",
+        F.when(ok, (gtd - ltd) / (nad * nbd)).alias("delta"),
+        F.when(ok, (gtd + tied / F.lit(2.0)) / (nad * nbd)).alias(
+            "a_measure"
+        ),
+    )

@@ -1972,3 +1972,159 @@ def dagostino_k2(
         F.when(ok, z2).alias("z_kurt"),
         F.when(ok, z1 * z1 + z2 * z2).alias("k2"),
     )
+
+
+# ln(1 + 1e-7): the R fisher.test tolerance for "PMF(k) <= PMF(obs)",
+# pinned as a literal so both engines add the same double.
+_FISHER_LN_TOL = 9.999999505838704e-08
+
+
+def fisher_exact(
+    df: DataFrame,
+    by: list[str],
+    x_col: str,
+    y_col: str,
+    max_support: int = 20_000,
+) -> DataFrame:
+    """``(by..., a, b, c, d, odds_ratio, p_two)`` — Fisher's exact
+    test (L365) on the 2x2 table of two binary columns per key: the
+    small-cell companion L140's chi-squared approximation cannot
+    serve (any expected cell < 5 and the asymptotics are off — the
+    regime of rare-event audits and sliced experiment readouts):
+
+        a = #(x=1,y=1)  b = #(x=1,y=0)  c = #(0,1)  d = #(0,0)
+        P(k) = C(r1,k)*C(r2,c1-k) / C(n,c1)   (hypergeometric, fixed
+                                               margins r1, r2, c1)
+        p_two = sum of P(k) over k with P(k) <= P(a)*(1+1e-7)
+
+    Factorials overflow anything exact, so the PMF support is walked
+    in LOG space: lw(kmin) = 0 and lw(k) = lw(k-1) + ln of ONE
+    division of two double products — a deterministic left fold in
+    ascending-k order (the L333 fold discipline), then numerator and
+    denominator are folds of exp(lw - lw_max) in the SAME order, so
+    the whole p-value is one pinned IEEE tree per key (the oracle
+    walks the identical recurrence via recursive CTE + ORDER BY k
+    list folds).  Degenerate margins (zero row/column) collapse the
+    support to one point and p_two = 1 by construction.  The sample
+    odds ratio a*d/(b*c) is NULL when b*c = 0 (infinite/undefined).
+
+    Support width min(r1,c1) - max(0,c1-r2) + 1 is bounded by the
+    smaller margin; beyond ``max_support`` the walk is refused loudly
+    — at that size chi-squared (L140) is the right tool, and the
+    refusal names it.  x/y must be 0/1; NULLs refused.
+
+    Scale shape: one combinable agg (four conditional sums) + a
+    bounded per-key fold — one scan of 100 TB, no window, no join.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    n_null = df.filter(
+        F.col(x_col).isNull() | F.col(y_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(f"fisher_exact: {n_null} NULL value(s) in x/y")
+    n_bad = df.filter(
+        ~F.col(x_col).cast("int").isin(0, 1)
+        | ~F.col(y_col).cast("int").isin(0, 1)
+    ).count()
+    if n_bad:
+        raise ValueError(f"fisher_exact: {n_bad} non-0/1 x/y value(s)")
+
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    one = F.lit(1).cast("long")
+    agg = df.groupBy(*by).agg(
+        F.sum(x * y).alias("a"),
+        F.sum(x * (one - y)).alias("b"),
+        F.sum((one - x) * y).alias("c"),
+        F.sum((one - x) * (one - y)).alias("d"),
+    )
+    r1 = F.col("a") + F.col("b")
+    r2 = F.col("c") + F.col("d")
+    c1 = F.col("a") + F.col("c")
+    staged = agg.select(
+        *by,
+        "a",
+        "b",
+        "c",
+        "d",
+        F.greatest(F.lit(0).cast("long"), c1 - r2).alias("_kmin"),
+        F.least(r1, c1).alias("_kmax"),
+        r1.alias("_r1"),
+        r2.alias("_r2"),
+        c1.alias("_c1"),
+    )
+    wide = (
+        staged.filter(
+            F.col("_kmax") - F.col("_kmin") + 1 > max_support
+        )
+        .limit(5)
+        .collect()
+    )
+    if wide:
+        raise ValueError(
+            "fisher_exact: hypergeometric support width exceeds "
+            f"max_support={max_support} — at this cell size the exact "
+            "walk buys nothing; use chi_squared (L140)"
+        )
+
+    ks = F.when(
+        F.col("_kmax") > F.col("_kmin"),
+        F.sequence(F.col("_kmin") + 1, F.col("_kmax")),
+    ).otherwise(F.array().cast("array<long>"))
+
+    def _step(acc, k):
+        num = (F.col("_r1") - k + 1).cast("double") * (
+            F.col("_c1") - k + 1
+        ).cast("double")
+        den = k.cast("double") * (
+            F.col("_r2") - F.col("_c1") + k
+        ).cast("double")
+        return F.concat(
+            acc,
+            F.array(F.element_at(acc, F.size(acc)) + F.log(num / den)),
+        )
+
+    lws = F.aggregate(ks, F.array(F.lit(0.0)), _step)
+    s1 = staged.select(
+        *by, "a", "b", "c", "d", "_kmin", lws.alias("_lws")
+    )
+    lobs = F.element_at(
+        F.col("_lws"), (F.col("a") - F.col("_kmin") + 1).cast("int")
+    )
+    s2 = s1.select(
+        *by,
+        "a",
+        "b",
+        "c",
+        "d",
+        "_lws",
+        F.array_max(F.col("_lws")).alias("_lmax"),
+        (lobs + F.lit(_FISHER_LN_TOL)).alias("_lcut"),
+    )
+    denom = F.aggregate(
+        F.col("_lws"),
+        F.lit(0.0),
+        lambda acc, lw: acc + F.exp(lw - F.col("_lmax")),
+    )
+    numer = F.aggregate(
+        F.col("_lws"),
+        F.lit(0.0),
+        lambda acc, lw: acc
+        + F.when(
+            lw <= F.col("_lcut"), F.exp(lw - F.col("_lmax"))
+        ).otherwise(F.lit(0.0)),
+    )
+    ad = F.col("a").cast("double") * F.col("d").cast("double")
+    bc = F.col("b").cast("double") * F.col("c").cast("double")
+    return s2.select(
+        *by,
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when((F.col("b") > 0) & (F.col("c") > 0), ad / bc).alias(
+            "odds_ratio"
+        ),
+        F.least(numer / denom, F.lit(1.0)).alias("p_two"),
+    )

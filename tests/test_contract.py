@@ -126,3 +126,25 @@ def test_no_duplicate_definitions_in_entry_module():
     names = [n.name for n in tree.body if isinstance(n, ast.FunctionDef)]
     dupes = [k for k, v in collections.Counter(names).items() if v > 1]
     assert not dupes, f"duplicate top-level defs shadow each other: {dupes}"
+
+    # dict-literal keys inside queries() and repeated oracles["k"]
+    # assignments shadow just as silently — count every string key.
+    keys = collections.Counter()
+    for fn in tree.body:
+        if not (isinstance(fn, ast.FunctionDef) and fn.name in ("queries", "oracle_sql")):
+            continue
+        for node in ast.walk(fn):
+            if isinstance(node, ast.Dict):
+                for k in node.keys:
+                    if isinstance(k, ast.Constant) and isinstance(k.value, str):
+                        keys[(fn.name, k.value)] += 1
+            if (
+                isinstance(node, ast.Assign)
+                and len(node.targets) == 1
+                and isinstance(node.targets[0], ast.Subscript)
+                and isinstance(node.targets[0].slice, ast.Constant)
+                and isinstance(node.targets[0].slice.value, str)
+            ):
+                keys[(fn.name, node.targets[0].slice.value)] += 1
+    key_dupes = [k for k, v in keys.items() if v > 1]
+    assert not key_dupes, f"duplicate contract keys shadow each other: {key_dupes}"
