@@ -2128,3 +2128,228 @@ def fisher_exact(
         ),
         F.least(numer / denom, F.lit(1.0)).alias("p_two"),
     )
+
+
+def welch_anova(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., k, n, f, df2)`` — Welch's heteroskedastic one-way
+    ANOVA (L367): the k-group mean comparison that does NOT assume
+    equal variances — the k-sample generalization of L139's Welch t
+    and the test to reach for when L193 (Brown-Forsythe) says the
+    spreads differ, where the classic L215 F is anticonservative:
+
+        w_j = n_j/s_j²,  x̄w = Σw_j·m_j / Σw_j
+        A   = Σ w_j(m_j − x̄w)²
+        B   = Σ (1 − w_j/W)²/(n_j − 1)
+        F*  = (A/(k−1)) / (1 + 2(k−2)/(k²−1)·B),  df2 = (k²−1)/(3B)
+
+    (Welch 1951).  Per level the exact DECIMAL sufficient statistics
+    (n_j, Σv, Σv²) aggregate combinably; W, Σw·m, A and B are the
+    repo's sorted-level ordered folds — each term a fixed IEEE tree,
+    bit-identical, ungridded.  k < 2, any n_j < 2, or any s_j² ≤ 0
+    → NULL f/df2 (weights undefined).  df1 = k−1 is implied by k.
+
+    Scale shape: ONE combinable groupBy; folds over k-length arrays.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    vd = F.col(value_col).cast(dec)
+    per = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .groupBy(*by, F.col(group_col).alias("_g"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(vd).alias("_s"),
+            F.sum(vd * vd).alias("_q"),
+        )
+    )
+    arr = per.groupBy(*by).agg(
+        F.sum("_n").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_g").alias("g"),
+                    F.col("_n").cast("double").alias("njd"),
+                    F.col("_s").cast("double").alias("sd"),
+                    F.col("_q").cast("double").alias("qd"),
+                )
+            )
+        ).alias("_lv"),
+    )
+
+    def _var(v):
+        return (v["qd"] - v["sd"] * v["sd"] / v["njd"]) / (
+            v["njd"] - F.lit(1.0)
+        )
+
+    def _w(v):
+        return v["njd"] / _var(v)
+
+    big_w = F.aggregate(
+        F.col("_lv"), F.lit(0.0), lambda acc, v: acc + _w(v)
+    )
+    swm = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, v: acc + _w(v) * (v["sd"] / v["njd"]),
+    )
+    ok = (
+        (F.col("k") >= 2)
+        & (
+            F.array_min(
+                F.transform(F.col("_lv"), lambda v: v["njd"])
+            )
+            >= 2.0
+        )
+        & (
+            F.array_min(F.transform(F.col("_lv"), _var)) > 0.0
+        )
+    )
+    s1 = arr.select(
+        *by,
+        "k",
+        "n",
+        "_lv",
+        F.when(ok, big_w).alias("_W"),
+        F.when(ok, swm).alias("_swm"),
+    )
+    xw = F.col("_swm") / F.col("_W")
+    s2 = s1.select(*by, "k", "n", "_lv", "_W", xw.alias("_xw"))
+    a_stat = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, v: acc
+        + _w(v)
+        * (v["sd"] / v["njd"] - F.col("_xw"))
+        * (v["sd"] / v["njd"] - F.col("_xw")),
+    )
+    b_stat = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, v: acc
+        + (F.lit(1.0) - _w(v) / F.col("_W"))
+        * (F.lit(1.0) - _w(v) / F.col("_W"))
+        / (v["njd"] - F.lit(1.0)),
+    )
+    s3 = s2.select(
+        *by,
+        "k",
+        "n",
+        F.when(F.col("_xw").isNotNull(), a_stat).alias("_A"),
+        F.when(F.col("_xw").isNotNull(), b_stat).alias("_B"),
+    )
+    kd = F.col("k").cast("double")
+    f = (F.col("_A") / (kd - F.lit(1.0))) / (
+        F.lit(1.0)
+        + F.lit(2.0) * (kd - F.lit(2.0)) / (kd * kd - F.lit(1.0))
+        * F.col("_B")
+    )
+    df2 = (kd * kd - F.lit(1.0)) / (F.lit(3.0) * F.col("_B"))
+    return s3.select(*by, "k", "n", f.alias("f"), df2.alias("df2"))
+
+
+def games_howell(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., g_a, g_b, n_a, n_b, mean_a, mean_b, t, df_gh, q)`` —
+    Games-Howell post-hoc pairs (L368): WHICH means differ after
+    L367's Welch ANOVA rejects — the unequal-variance upgrade of
+    Tukey-Kramer (L256, which pools a single MSW and is wrecked by
+    heteroskedastic groups):
+
+        se²  = s_a²/n_a + s_b²/n_b
+        t    = (m_a − m_b)/√se²
+        df   = se⁴ / ((s_a²/n_a)²/(n_a−1) + (s_b²/n_b)²/(n_b−1))
+        q    = √2·t      (compare |q| to the studentized-range
+                          critical value at (k, df); p-values are
+                          deliberately not emitted — L139 discipline)
+
+    Per-level exact DECIMAL sufficient statistics; each pair is one
+    fixed IEEE tree; pairs emitted once with g_a < g_b.  Either side
+    with n < 2 or s² ≤ 0 → NULL t/df_gh/q.
+
+    Scale shape: one combinable (keys, level) groupBy + a bounded
+    k×k pair join — the L256 shape with per-side variances.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    xd = F.col(value_col).cast(dec)
+    per = flt.groupBy(*by, F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_nj"),
+        F.sum(xd).alias("_s"),
+        F.sum(xd * xd).alias("_q"),
+    )
+    a = per.select(
+        *by,
+        F.col("_g").alias("g_a"),
+        F.col("_nj").alias("n_a"),
+        F.col("_s").alias("_sa"),
+        F.col("_q").alias("_qa"),
+    )
+    b = per.select(
+        *by,
+        F.col("_g").alias("g_b"),
+        F.col("_nj").alias("n_b"),
+        F.col("_s").alias("_sb"),
+        F.col("_q").alias("_qb"),
+    )
+    pairs = (a.join(b, [*by]) if by else a.crossJoin(b)).filter(
+        F.col("g_a") < F.col("g_b")
+    )
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    sa = F.col("_sa").cast("double")
+    sb = F.col("_sb").cast("double")
+    qa = F.col("_qa").cast("double")
+    qb = F.col("_qb").cast("double")
+    ma = sa / nad
+    mb = sb / nbd
+    va = (qa - sa * sa / nad) / (nad - F.lit(1.0))
+    vb = (qb - sb * sb / nbd) / (nbd - F.lit(1.0))
+    sea = va / nad
+    seb = vb / nbd
+    se2 = sea + seb
+    t = (ma - mb) / F.sqrt(se2)
+    df_gh = (
+        se2
+        * se2
+        / (
+            sea * sea / (nad - F.lit(1.0))
+            + seb * seb / (nbd - F.lit(1.0))
+        )
+    )
+    ok = (
+        (F.col("n_a") >= 2)
+        & (F.col("n_b") >= 2)
+        & (va > 0.0)
+        & (vb > 0.0)
+    )
+    return pairs.select(
+        *by,
+        "g_a",
+        "g_b",
+        "n_a",
+        "n_b",
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        F.when(ok, t).alias("t"),
+        F.when(ok, df_gh).alias("df_gh"),
+        F.when(ok, F.sqrt(F.lit(2.0)) * t).alias("q"),
+    )
