@@ -235,3 +235,224 @@ def morans_i(
             F.col("n") > 1, F.lit(-1.0) / (nd - F.lit(1.0))
         ).alias("e_i"),
     )
+
+
+def geary_c(
+    df: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    value_col: str,
+    cell_deg: float = 1.0,
+    scale: int = 4,
+) -> DataFrame:
+    """One row ``(n, n_pairs, w, c_geary, e_c)`` — Geary's C (L369)
+    under the binary 3×3-grid-neighbor weights: the LOCAL-difference
+    companion to Moran's I (L253) — I correlates deviations from the
+    global mean (one hot region far from the mean dominates), C sums
+    squared neighbor DIFFERENCES, so it reacts to local roughness I
+    smooths over.  Run both: I≈E[I] with C<1 means locally smooth
+    but globally unremarkable; the reverse means global trend with
+    local noise.
+
+        C = ((n−1)/(2W)) · Σ_{i,j} w_ij(xᵢ−xⱼ)² / Σᵢ(xᵢ−x̄)²
+
+    The numerator is shift-invariant, so it needs NO centring at
+    all: Σ(xₐ−x_b)² accumulates as exact decimals straight off the
+    pair list.  The denominator reuses L253's floored-mean trick
+    (D₂ − n·δ², δ = (S − n·m₀)/n the only division).  W = 2·n_pairs;
+    E[C] = 1.  Duplicate ids refused; constant values or no pairs →
+    NULL c_geary.
+
+    Scale shape: the L212 grid join + one values join + combinable
+    aggs — no n² anything.
+
+    No reference counterpart; spatial analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(12,{scale})"
+    flt = df.filter(
+        F.col(id_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    n_dup = (
+        flt.groupBy(F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"geary_c: {n_dup} duplicate id(s) — weights would double"
+        )
+    vals = flt.select(
+        F.col(id_col).alias("_vid"), F.col(value_col).cast(dec).alias("_x")
+    )
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_x").alias("_s")
+    )
+    m0 = F.floor(F.col("_s") / F.col("n")).cast(dec)
+    stats = stats.select("n", "_s", m0.alias("_m0"))
+    centred = vals.crossJoin(F.broadcast(stats)).select(
+        "_vid", (F.col("_x") - F.col("_m0")).alias("_d")
+    )
+    d2 = centred.agg(F.sum(F.col("_d") * F.col("_d")).alias("_d2"))
+    pairs = grid_neighbor_pairs(flt, id_col, lat_col, lon_col, cell_deg)
+    pa = centred.select(F.col("_vid").alias("a"), F.col("_d").alias("_da"))
+    pb = centred.select(F.col("_vid").alias("b"), F.col("_d").alias("_db"))
+    psums = (
+        pairs.join(pa, "a")
+        .join(pb, "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (F.col("_da") - F.col("_db"))
+                * (F.col("_da") - F.col("_db"))
+            ).alias("_sp"),
+        )
+    )
+    j = stats.crossJoin(F.broadcast(d2)).crossJoin(F.broadcast(psums))
+    nd = F.col("n").cast("double")
+    delta = (
+        F.col("_s") - F.col("n") * F.col("_m0")
+    ).cast("double") / nd
+    npd = F.coalesce(F.col("n_pairs"), F.lit(0)).cast("double")
+    spd = F.coalesce(F.col("_sp").cast("double"), F.lit(0.0))
+    den = F.col("_d2").cast("double") - nd * (delta * delta)
+    w = F.lit(2.0) * npd
+    c = (((nd - F.lit(1.0)) / (F.lit(2.0) * w)) * (F.lit(2.0) * spd)) / den
+    ok = (npd > 0.0) & (den > 0.0)
+    return j.select(
+        "n",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+        w.alias("w"),
+        F.when(ok, c).alias("c_geary"),
+        F.when(F.col("n") > 1, F.lit(1.0)).alias("e_c"),
+    )
+
+
+def getis_gi_star(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    value_col: str,
+    cell_deg: float = 1.0,
+    scale: int = 4,
+) -> DataFrame:
+    """``(cx, cy, x_cell, w_i, gi_star)`` — Getis-Ord Gi* hot-spot
+    z-scores (L370) over grid cells: WHERE is the clustering the
+    global statistics (L253 Moran / L369 Geary) only attest exists —
+    each cell's 3×3-neighborhood (self included, hence the star) sum
+    compared against what a random scatter of the cell values would
+    give:
+
+        Gi* = (Σ_j w_ij·xⱼ − x̄·Wᵢ)
+              / (S·sqrt((n·Wᵢ − Wᵢ²)/(n−1)))
+
+    with x the per-cell value sums, n the number of OCCUPIED cells,
+    Wᵢ the count of occupied neighbor cells (empty cells are not
+    invented), x̄ and S = sqrt(Σx²/n − x̄²) the global cell moments.
+    |Gi*| ≳ 1.96 flags hot (positive) / cold (negative) spots.  Cell
+    sums and the global moments are exact decimals; every z is one
+    fixed IEEE tree.  Wᵢ = n (degenerate grid) or S = 0 → NULL.
+    Longitude wraps at the antimeridian exactly as in L212 when
+    cell_deg tiles 360.
+
+    Scale shape: one groupBy to cells, a bounded ×9 explode on the
+    CELL table (already tiny), one equi-join, one broadcast of the
+    1-row moments — no window, no n² anything.
+
+    No reference counterpart; spatial analytics per SURVEY §2.11.
+    """
+    if cell_deg <= 0:
+        raise ValueError("getis_gi_star: cell_deg must be > 0")
+    dec = f"decimal(12,{scale})"
+    flt = df.filter(
+        F.col(lat_col).isNotNull()
+        & F.col(lon_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    n_bad = flt.filter(
+        (F.col(lat_col) < -90)
+        | (F.col(lat_col) > 90)
+        | (F.col(lon_col) < -180)
+        | (F.col(lon_col) > 180)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"getis_gi_star: {n_bad} row(s) outside lat/lon bounds"
+        )
+    ring = 360.0 / cell_deg
+    wraps = float(ring).is_integer()
+    cy_raw = F.floor(F.col(lon_col) / cell_deg).cast("long")
+    cy = F.pmod(cy_raw, F.lit(int(ring))) if wraps else cy_raw
+    cells = flt.select(
+        F.floor(F.col(lat_col) / cell_deg).cast("long").alias("cx"),
+        cy.alias("cy"),
+        F.col(value_col).cast(dec).alias("_x"),
+    ).groupBy("cx", "cy").agg(F.sum("_x").alias("_xc"))
+    # cell sums re-narrow to (18,scale) before squaring: a (22,s)
+    # product would exceed precision 38 and Spark silently rounds the
+    # scale down (the 8fe91f8 pitfall); the narrow cast is ANSI-loud.
+    d18 = f"decimal(18,{scale})"
+    stats = cells.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_xc").alias("_sx"),
+        F.sum(
+            F.col("_xc").cast(d18) * F.col("_xc").cast(d18)
+        ).alias("_sxx"),
+    )
+    probes = (
+        cells.withColumn(
+            "_dx", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+        )
+        .withColumn(
+            "_dy", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+        )
+        .select(
+            F.col("cx").alias("_hx"),
+            F.col("cy").alias("_hy"),
+            (F.col("cx") + F.col("_dx")).alias("_jx"),
+            (
+                F.pmod(F.col("cy") + F.col("_dy"), F.lit(int(ring)))
+                if wraps
+                else (F.col("cy") + F.col("_dy"))
+            ).alias("_jy"),
+        )
+    )
+    nbr = probes.join(
+        cells.select(
+            F.col("cx").alias("_jx"),
+            F.col("cy").alias("_jy"),
+            F.col("_xc").alias("_xn"),
+        ),
+        ["_jx", "_jy"],
+    ).groupBy("_hx", "_hy").agg(
+        F.count(F.lit(1)).alias("w_i"),
+        F.sum("_xn").alias("_nsum"),
+    )
+    out = (
+        cells.join(
+            nbr,
+            (F.col("cx") == F.col("_hx")) & (F.col("cy") == F.col("_hy")),
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+    nd = F.col("_n").cast("double")
+    xbar = F.col("_sx").cast("double") / nd
+    s = F.sqrt(F.col("_sxx").cast("double") / nd - xbar * xbar)
+    wid = F.col("w_i").cast("double")
+    gi = (F.col("_nsum").cast("double") - xbar * wid) / (
+        s * F.sqrt((nd * wid - wid * wid) / (nd - F.lit(1.0)))
+    )
+    ok = (
+        (F.col("_n") >= 2)
+        & ~F.isnan(s)
+        & (s > 0.0)
+        & (F.col("w_i") < F.col("_n"))
+    )
+    return out.select(
+        "cx",
+        "cy",
+        F.col("_xc").alias("x_cell"),
+        "w_i",
+        F.when(ok, gi).alias("gi_star"),
+    )
