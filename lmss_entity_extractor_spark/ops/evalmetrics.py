@@ -1508,3 +1508,113 @@ def gwet_ac1(
         F.when(ok, pe).alias("p_e"),
         F.when(ok & (pe != 1.0), ac1).alias("ac1"),
     )
+
+
+def expected_reciprocal_rank(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    grade_col: str,
+    g_max: int = 4,
+    max_rank: int | None = None,
+) -> DataFrame:
+    """``(by..., n, err)`` — Expected Reciprocal Rank (L372; Chapelle
+    2009): the CASCADE-model ranking metric — the user scans down the
+    list and stops at the first satisfying result — which is the
+    behavioral story NDCG's independent-position discounts (L221)
+    cannot tell: a perfect result at rank 1 makes everything below it
+    nearly worthless in ERR, while NDCG still credits it.
+
+        R_g = (2^g − 1)/2^g_max          (satisfaction probability)
+        ERR = Σ_r (1/r)·R_r·Π_{i<r}(1 − R_i)
+
+    The satisfaction table is computed ONCE in Python and embedded as
+    double literals (exact dyadic rationals — the L221 discipline);
+    the running stop-probability and the ERR sum ride ONE ordered
+    struct fold over the per-key ranking, truncated to ``max_rank``
+    AFTER the deterministic sort.  Duplicate order keys are refused
+    (fold order would be nondeterministic), as are NULL grades or
+    grades outside [0, g_max].
+
+    Scale shape: one groupBy packing each ranking + a bounded in-row
+    fold — rankings parallelize across the cluster.
+
+    No reference counterpart; retrieval evaluation per SURVEY §2.11.
+    """
+    if not 1 <= g_max <= 30:
+        raise ValueError("expected_reciprocal_rank: g_max must be in [1, 30]")
+    if max_rank is not None and max_rank < 1:
+        raise ValueError("expected_reciprocal_rank: max_rank must be >= 1")
+    rs = [float(2**g - 1) / float(2**g_max) for g in range(g_max + 1)]
+    oms = [1.0 - r for r in rs]
+
+    null_pred = F.col(grade_col).isNull()
+    for c in order_cols:
+        null_pred = null_pred | F.col(c).isNull()
+    n_null = df.filter(null_pred).count()
+    if n_null:
+        raise ValueError(
+            f"expected_reciprocal_rank: {n_null} NULL value(s)"
+        )
+    n_bad = df.filter(
+        (F.col(grade_col).cast("long") < 0)
+        | (F.col(grade_col).cast("long") > g_max)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"expected_reciprocal_rank: {n_bad} grade(s) outside "
+            f"[0, {g_max}]"
+        )
+    n_dup = (
+        df.groupBy(*by, *order_cols)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"expected_reciprocal_rank: {n_dup} duplicate order "
+            "key(s) — the ranking would be nondeterministic"
+        )
+
+    packed = df.groupBy(*by).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    *[F.col(c) for c in order_cols],
+                    F.col(grade_col).cast("int").alias("_g"),
+                )
+            )
+        ).alias("_items")
+    )
+    items = (
+        F.slice(F.col("_items"), 1, max_rank)
+        if max_rank is not None
+        else F.col("_items")
+    )
+    r_tab = F.array(*[F.lit(v) for v in rs])
+    om_tab = F.array(*[F.lit(v) for v in oms])
+    init = F.struct(
+        F.lit(1.0).alias("p"),
+        F.lit(0.0).alias("err"),
+        F.lit(0).cast("long").alias("r"),
+    )
+
+    def _step(acc, it):
+        rr = F.element_at(r_tab, it["_g"] + 1)
+        om = F.element_at(om_tab, it["_g"] + 1)
+        rd = (acc["r"] + F.lit(1).cast("long")).cast("double")
+        return F.struct(
+            (acc["p"] * om).alias("p"),
+            (acc["err"] + acc["p"] * rr / rd).alias("err"),
+            (acc["r"] + F.lit(1).cast("long")).alias("r"),
+        )
+
+    folded = packed.select(
+        *by,
+        F.size(items).alias("n"),
+        F.aggregate(items, init, _step).alias("_acc"),
+    )
+    return folded.select(
+        *by, "n", F.col("_acc")["err"].alias("err")
+    )

@@ -1,0 +1,193 @@
+"""Sequential pairwise rating (L371): Elo ratings over an ordered
+game log — the leaderboard primitive for head-to-head outcomes
+(model A vs model B judgments, agent battles, matchmaking):
+
+    E_a = 1/(1 + 10^((r_b − r_a)/400))
+    r_a += K·(s − E_a),  r_b −= K·(s − E_a)     (s ∈ {1, ½, 0})
+
+Elo is PATH-DEPENDENT — each update reads the ratings the previous
+games left — so the rating pool is inherently a sequential fold, not
+a combinable aggregation.  The repo's shape for that is the L333/L347
+struct fold: per pool the game log collapses to ONE sorted array and
+the ratings table is the accumulator — an array of (player, rating,
+n_games) structs, each step rewriting exactly two slots (the
+Holt-Winters seasonal-slot discipline).  10^x is spelled
+exp(x·ln10) with ln10 pinned as a literal so both engines build the
+same tree.
+
+Bounds are the contract, loudly enforced: a pool is a LEADERBOARD
+(players ≤ max_players, games ≤ max_games) — a pool too big to fold
+in a row is an upstream modeling problem (shard by league/time), not
+something to silently subsample.  Duplicate order keys are refused
+(the fold order would be nondeterministic), as are self-games and
+scores outside {0, ½, 1}.
+
+Scale shape: one groupBy to pack each pool + one bounded in-row
+fold; pools parallelize across the cluster — 100 TB of game logs is
+many pools, not one giant one.
+
+No reference counterpart; ranking analytics per SURVEY §2.11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LN10 = 2.302585092994046
+
+
+def elo_ratings(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    player_a_col: str,
+    player_b_col: str,
+    score_col: str,
+    k_factor: float = 32.0,
+    initial: float = 1500.0,
+    max_players: int = 1000,
+    max_games: int = 100_000,
+) -> DataFrame:
+    """``(by..., player, rating, n_games)`` — final Elo ratings after
+    folding the pool's games in ``order_cols`` order.  ``score_col``
+    is from player_a's side: 1 win, 0 loss, 0.5 draw."""
+    cols = [player_a_col, player_b_col, score_col, *order_cols]
+    null_pred = None
+    for c in cols:
+        p = F.col(c).isNull()
+        null_pred = p if null_pred is None else (null_pred | p)
+    n_null = df.filter(null_pred).count()
+    if n_null:
+        raise ValueError(f"elo_ratings: {n_null} NULL value(s)")
+    n_bad = df.filter(
+        ~F.col(score_col).cast("double").isin(0.0, 0.5, 1.0)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"elo_ratings: {n_bad} score(s) outside {{0, 0.5, 1}}"
+        )
+    n_self = df.filter(
+        F.col(player_a_col) == F.col(player_b_col)
+    ).count()
+    if n_self:
+        raise ValueError(f"elo_ratings: {n_self} self-game(s)")
+    n_duporder = (
+        df.groupBy(*by, *order_cols)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .count()
+    )
+    if n_duporder:
+        raise ValueError(
+            f"elo_ratings: {n_duporder} duplicate order key(s) — the "
+            "fold order would be nondeterministic"
+        )
+
+    g = df.select(
+        *by,
+        *order_cols,
+        F.col(player_a_col).cast("string").alias("_a"),
+        F.col(player_b_col).cast("string").alias("_b"),
+        F.col(score_col).cast("double").alias("_s"),
+    )
+    over_games = (
+        g.groupBy(*by)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > max_games)
+        .count()
+    )
+    if over_games:
+        raise ValueError(
+            f"elo_ratings: a pool exceeds max_games={max_games} — "
+            "shard the pool (league/season), don't subsample silently"
+        )
+    players = (
+        g.select(*by, F.col("_a").alias("_p"))
+        .unionByName(g.select(*by, F.col("_b").alias("_p")))
+        .distinct()
+    )
+    over_players = (
+        players.groupBy(*by)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > max_players)
+        .count()
+    )
+    if over_players:
+        raise ValueError(
+            f"elo_ratings: a pool exceeds max_players={max_players}"
+        )
+    roster = players.groupBy(*by).agg(
+        F.transform(
+            F.sort_array(F.collect_list("_p")),
+            lambda p: F.struct(
+                p.alias("p"),
+                F.lit(float(initial)).alias("r"),
+                F.lit(0).cast("long").alias("n"),
+            ),
+        ).alias("_roster")
+    )
+    games = g.groupBy(*by).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    *[F.col(c) for c in order_cols],
+                    F.col("_a"),
+                    F.col("_b"),
+                    F.col("_s"),
+                )
+            )
+        ).alias("_games")
+    )
+    packed = (
+        roster.join(games, by) if by else roster.crossJoin(games)
+    )
+
+    kf = F.lit(float(k_factor))
+
+    def _step(acc, gm):
+        ra = F.element_at(
+            F.filter(acc, lambda e: e["p"] == gm["_a"]), 1
+        )["r"]
+        rb = F.element_at(
+            F.filter(acc, lambda e: e["p"] == gm["_b"]), 1
+        )["r"]
+        ea = F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp((rb - ra) / F.lit(400.0) * F.lit(LN10))
+        )
+        d = kf * (gm["_s"] - ea)
+        return F.transform(
+            acc,
+            lambda e: F.when(
+                e["p"] == gm["_a"],
+                F.struct(
+                    e["p"].alias("p"),
+                    (e["r"] + d).alias("r"),
+                    (e["n"] + F.lit(1).cast("long")).alias("n"),
+                ),
+            )
+            .when(
+                e["p"] == gm["_b"],
+                F.struct(
+                    e["p"].alias("p"),
+                    (e["r"] - d).alias("r"),
+                    (e["n"] + F.lit(1).cast("long")).alias("n"),
+                ),
+            )
+            .otherwise(e),
+        )
+
+    folded = packed.select(
+        *by,
+        F.aggregate(F.col("_games"), F.col("_roster"), _step).alias(
+            "_final"
+        ),
+    )
+    ex = folded.select(*by, F.explode(F.col("_final")).alias("_e"))
+    return ex.select(
+        *by,
+        F.col("_e")["p"].alias("player"),
+        F.col("_e")["r"].alias("rating"),
+        F.col("_e")["n"].alias("n_games"),
+    )
