@@ -710,3 +710,269 @@ def wls_regression(
         F.when(ok & b.isNotNull(), a).alias("intercept"),
         F.when(ok, r2).alias("r2"),
     )
+
+
+def chow_test(
+    df: DataFrame,
+    by: list[str],
+    x: str,
+    y: str,
+    regime_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., k, n, n_a, n_b, ssr_pooled, ssr_split, f_chow, df2)``
+    — Chow structural-break test (L373): did the SAME line generate
+    both regimes, or does the relationship shift at a KNOWN break —
+    the regression-level counterpart of the mean-level changepoint
+    family (L144 Pettitt finds an unknown break in a LEVEL; this
+    tests a known break in a SLOPE+INTERCEPT):
+
+        SSR(fit) = (Syy − Sxy²/Sxx)/n-form tree per fit
+        F = ((SSR_p − (SSR₁+SSR₂))/2) / ((SSR₁+SSR₂)/(n−4))
+
+    (Chow 1960, k = 2 parameters).  Per regime the exact DECIMAL
+    sufficient statistics (n, Σx, Σy, Σx², Σxy, Σy²) aggregate
+    combinably; the pooled statistics are DECIMAL sums of the regime
+    sums (exact, order-free), so the pooled fit is bit-identical to a
+    direct one-pass fit.  Each SSR and the F are ONE fixed IEEE tree.
+    Exactly two regimes required — k ≠ 2, either n_j < 3, zero
+    x-variance in any fit, or SSR₁+SSR₂ ≤ 0 → NULL f_chow/df2 (the
+    break is undefined, not zero).  df1 = 2 is implied.
+
+    Scale shape: one combinable (keys, regime) groupBy + one k-length
+    fold per key — the L367 shape; a 100 TB fact table is scanned
+    once and only 6·k-wide rows cross the cluster.
+
+    No reference counterpart; regression diagnostics per SURVEY §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    xd = F.col(x).cast(dec)
+    yd = F.col(y).cast(dec)
+    per = (
+        df.filter(
+            F.col(x).isNotNull()
+            & F.col(y).isNotNull()
+            & F.col(regime_col).isNotNull()
+        )
+        .groupBy(*by, F.col(regime_col).alias("_g"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(xd).alias("_sx"),
+            F.sum(yd).alias("_sy"),
+            F.sum(xd * xd).alias("_sxx"),
+            F.sum(xd * yd).alias("_sxy"),
+            F.sum(yd * yd).alias("_syy"),
+        )
+    )
+    arr = per.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_n").alias("n"),
+        F.sum("_sx").cast("double").alias("_psx"),
+        F.sum("_sy").cast("double").alias("_psy"),
+        F.sum("_sxx").cast("double").alias("_psxx"),
+        F.sum("_sxy").cast("double").alias("_psxy"),
+        F.sum("_syy").cast("double").alias("_psyy"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_g").cast("string").alias("g"),
+                    F.col("_n").cast("double").alias("njd"),
+                    F.col("_sx").cast("double").alias("sxd"),
+                    F.col("_sy").cast("double").alias("syd"),
+                    F.col("_sxx").cast("double").alias("sxxd"),
+                    F.col("_sxy").cast("double").alias("sxyd"),
+                    F.col("_syy").cast("double").alias("syyd"),
+                )
+            )
+        ).alias("_lv"),
+    )
+
+    def _ssr(nd, sxd, syd, sxxd, sxyd, syyd):
+        cov_n = nd * sxyd - sxd * syd
+        varx_n = nd * sxxd - sxd * sxd
+        vary_n = nd * syyd - syd * syd
+        return (vary_n - cov_n * cov_n / varx_n) / nd
+
+    def _ssr_v(v):
+        return _ssr(
+            v["njd"], v["sxd"], v["syd"], v["sxxd"], v["sxyd"], v["syyd"]
+        )
+
+    def _varx_n(v):
+        return v["njd"] * v["sxxd"] - v["sxd"] * v["sxd"]
+
+    nd = F.col("n").cast("double")
+    ra = F.try_element_at(F.col("_lv"), F.lit(1))
+    rb = F.try_element_at(F.col("_lv"), F.lit(2))
+    ssr_p = _ssr(
+        nd,
+        F.col("_psx"),
+        F.col("_psy"),
+        F.col("_psxx"),
+        F.col("_psxy"),
+        F.col("_psyy"),
+    )
+    ssr_u = _ssr_v(ra) + _ssr_v(rb)
+    pooled_varx_n = nd * F.col("_psxx") - F.col("_psx") * F.col("_psx")
+    ok = (
+        (F.col("k") == 2)
+        & (ra["njd"] >= 3.0)
+        & (rb["njd"] >= 3.0)
+        & (_varx_n(ra) > 0.0)
+        & (_varx_n(rb) > 0.0)
+        & (pooled_varx_n > 0.0)
+    )
+    s1 = arr.select(
+        *by,
+        "k",
+        "n",
+        F.when(F.col("k") == 2, ra["njd"].cast("bigint")).alias("n_a"),
+        F.when(F.col("k") == 2, rb["njd"].cast("bigint")).alias("n_b"),
+        F.when(ok, ssr_p).alias("ssr_pooled"),
+        F.when(ok, ssr_u).alias("ssr_split"),
+        nd.alias("_nd"),
+    )
+    f_chow = (
+        (F.col("ssr_pooled") - F.col("ssr_split")) / F.lit(2.0)
+    ) / (F.col("ssr_split") / (F.col("_nd") - F.lit(4.0)))
+    return s1.select(
+        *by,
+        "k",
+        "n",
+        "n_a",
+        "n_b",
+        "ssr_pooled",
+        "ssr_split",
+        F.when(F.col("ssr_split") > 0.0, f_chow).alias("f_chow"),
+        F.when(
+            F.col("ssr_split") > 0.0, F.col("_nd") - F.lit(4.0)
+        ).alias("df2"),
+    )
+
+
+def goldfeld_quandt(
+    df: DataFrame,
+    by: list[str],
+    x: str,
+    y: str,
+    tiebreak: list[str],
+    split_num: int = 3,
+    split_den: int = 8,
+    scale: int = 2,
+) -> DataFrame:
+    """``(by..., n, m, ssr_low, ssr_high, f_gq, df_side)`` —
+    Goldfeld-Quandt heteroskedasticity test (L374): does the residual
+    VARIANCE grow with the regressor — the ordered-split companion to
+    L270 (Breusch-Pagan regresses squared residuals on x; this fits
+    the two x-extreme thirds separately and compares their SSRs):
+
+        rank rows by (x, tiebreak);  m = ⌊n·split⌋ per tail
+        F = (SSR_high/(m−2)) / (SSR_low/(m−2))
+
+    (Goldfeld & Quandt 1965; default split 3/8 drops the middle
+    quarter).  ``m`` is exact integer arithmetic ``(n·num) div den``;
+    each tail folds exact DECIMAL sufficient statistics; each SSR is
+    the L373 fixed tree.  ``(x, tiebreak)`` must be a total order per
+    key — a tied rank would make the tail membership partition-order
+    dependent, so ties are the CALLER's contract (pass a unique id).
+    m < 3, zero x-variance in either tail, or SSR_low ≤ 0 → NULL
+    f_gq (the ratio is undefined, not zero).
+
+    Scale shape: ONE keyed window exchange (rank + count share the
+    partitioning) + one combinable (keys, side) groupBy; the middle
+    band never re-crosses the cluster.
+
+    No reference counterpart; regression diagnostics per SURVEY §2.11.
+    """
+    from pyspark.sql import Window
+
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
+    w = Window.partitionBy(*by).orderBy(x, *tiebreak)
+    wc = Window.partitionBy(*by)
+    ranked = flt.select(
+        *by,
+        F.col(x).alias("_x"),
+        F.col(y).alias("_y"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wc).alias("_cnt"),
+    )
+    m = F.expr(f"(_cnt * {int(split_num)}) div {int(split_den)}")
+    sided = ranked.select(
+        *by,
+        "_x",
+        "_y",
+        "_cnt",
+        F.when(F.col("_rn") <= m, F.lit("a_low"))
+        .when(F.col("_rn") > F.col("_cnt") - m, F.lit("b_high"))
+        .alias("_side"),
+    ).filter(F.col("_side").isNotNull())
+    xd = F.col("_x").cast(dec)
+    yd = F.col("_y").cast(dec)
+    per = sided.groupBy(*by, "_side").agg(
+        F.max("_cnt").alias("_n_all"),
+        F.count(F.lit(1)).alias("_m"),
+        F.sum(xd).alias("_sx"),
+        F.sum(yd).alias("_sy"),
+        F.sum(xd * xd).alias("_sxx"),
+        F.sum(xd * yd).alias("_sxy"),
+        F.sum(yd * yd).alias("_syy"),
+    )
+    arr = per.groupBy(*by).agg(
+        F.max("_n_all").alias("n"),
+        F.min("_m").alias("m"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_side").alias("g"),
+                    F.col("_m").cast("double").alias("njd"),
+                    F.col("_sx").cast("double").alias("sxd"),
+                    F.col("_sy").cast("double").alias("syd"),
+                    F.col("_sxx").cast("double").alias("sxxd"),
+                    F.col("_sxy").cast("double").alias("sxyd"),
+                    F.col("_syy").cast("double").alias("syyd"),
+                )
+            )
+        ).alias("_lv"),
+    )
+
+    def _ssr_v(v):
+        cov_n = v["njd"] * v["sxyd"] - v["sxd"] * v["syd"]
+        varx_n = v["njd"] * v["sxxd"] - v["sxd"] * v["sxd"]
+        vary_n = v["njd"] * v["syyd"] - v["syd"] * v["syd"]
+        return (vary_n - cov_n * cov_n / varx_n) / v["njd"]
+
+    def _varx_n(v):
+        return v["njd"] * v["sxxd"] - v["sxd"] * v["sxd"]
+
+    lo = F.try_element_at(F.col("_lv"), F.lit(1))
+    hi = F.try_element_at(F.col("_lv"), F.lit(2))
+    md = F.col("m").cast("double")
+    ok = (
+        (F.size(F.col("_lv")) == 2)
+        & (F.col("m") >= 3)
+        & (_varx_n(lo) > 0.0)
+        & (_varx_n(hi) > 0.0)
+    )
+    s1 = arr.select(
+        *by,
+        "n",
+        "m",
+        F.when(ok, _ssr_v(lo)).alias("ssr_low"),
+        F.when(ok, _ssr_v(hi)).alias("ssr_high"),
+        md.alias("_md"),
+    )
+    f_gq = (F.col("ssr_high") / (F.col("_md") - F.lit(2.0))) / (
+        F.col("ssr_low") / (F.col("_md") - F.lit(2.0))
+    )
+    return s1.select(
+        *by,
+        "n",
+        "m",
+        "ssr_low",
+        "ssr_high",
+        F.when(F.col("ssr_low") > 0.0, f_gq).alias("f_gq"),
+        F.when(
+            F.col("ssr_low") > 0.0, F.col("_md") - F.lit(2.0)
+        ).alias("df_side"),
+    )
