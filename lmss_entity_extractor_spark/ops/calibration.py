@@ -487,3 +487,124 @@ def var_backtest(
         F.when(ok_ind, lr_ind).alias("lr_ind"),
         F.when(ok_pof & ok_ind, lr_pof + lr_ind).alias("lr_cc"),
     )
+
+
+def hosmer_lemeshow(
+    df: DataFrame,
+    by: list[str],
+    prob_col: str,
+    label_col: str,
+    order_cols: list[str],
+    g: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit test (L375): ``(by..., n,
+    g_bins, hl_stat, df)`` — the decile-of-risk calibration GOF that
+    turns the L166 reliability table into a single tested number: bin
+    rows into ``g`` equal-count groups of ascending predicted
+    probability and compare observed vs expected event counts,
+
+        HL = Σ_b (O_b − E_b)² / (E_b·(1 − E_b/n_b)),   df = g_occ − 2
+
+    (Hosmer & Lemeshow 1980).  Under a well-calibrated model HL ~
+    χ²(df); a large HL says the probabilities are mis-scaled even if
+    the ranking (L146 AUC) is fine.
+
+    Determinism contract: probabilities quantize to
+    ``DECIMAL(12, scale)`` (the L166 contract — out-of-range REFUSED),
+    so per-bin Σp and Σy are EXACT and order-insensitive; binning is
+    by ``row_number() OVER (ORDER BY p, order_cols...)`` with
+    ``bin = ((rn−1)·g) div n`` — exact integer arithmetic over a
+    caller-guaranteed total order (``order_cols`` must break all
+    ties, the L374 contract; equal-count-by-construction sidesteps
+    ntile's arbitrary tie placement, refused in L337).  The χ² fold
+    runs in ascending-bin order over the bounded bin array, so every
+    engine adds the same IEEE terms in the same order.
+
+    NULL ``hl_stat``/``df`` when undefined: fewer than 3 occupied
+    bins (df ≤ 0), or any bin with E_b ≤ 0 or E_b ≥ n_b (an all-zero
+    or all-one expected bin makes the term's variance denominator
+    vanish — the test is undefined there, not infinite).
+
+    Scale shape: ONE keyed window exchange (the rank), then a
+    combinable (by, bin) groupBy, then a ≤g-length in-row fold —
+    100 TB is scanned once and the wide rows are g structs."""
+    if not 3 <= g <= 1000:
+        raise ValueError("hosmer_lemeshow: g must be in [3, 1000]")
+    if not order_cols:
+        raise ValueError(
+            "hosmer_lemeshow: order_cols must name tie-breaking "
+            "columns — a total order is the determinism contract"
+        )
+    dec = f"decimal(12,{scale})"
+    flt = df.filter(
+        F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        *by,
+        *order_cols,
+        F.col(prob_col).cast(dec).alias("_p"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    n_bad = flt.filter(
+        (F.col("_p") < 0) | (F.col("_p") > 1) | ~F.col("_y").isin([0, 1])
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"hosmer_lemeshow: {n_bad} row(s) with probability outside "
+            "[0,1] or non-binary label — fix the score pipeline"
+        )
+    w_ord = Window.partitionBy(*by).orderBy("_p", *order_cols)
+    w_all = Window.partitionBy(*by)
+    binned = flt.select(
+        *by,
+        "_p",
+        "_y",
+        (
+            (F.row_number().over(w_ord) - F.lit(1)).cast("long")
+            * F.lit(g)
+        ).alias("_rg"),
+        F.count(F.lit(1)).over(w_all).alias("_cnt"),
+    ).select(
+        *by,
+        "_p",
+        "_y",
+        F.expr("_rg div _cnt").alias("_bin"),
+    )
+    per = binned.groupBy(*by, "_bin").agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.sum("_y").alias("_o1"),
+        F.sum("_p").alias("_e1"),
+    )
+    arr = per.groupBy(*by).agg(
+        F.sum("_nb").alias("n"),
+        F.count(F.lit(1)).alias("g_bins"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_bin").alias("b"),
+                    F.col("_nb").cast("double").alias("nbd"),
+                    F.col("_o1").cast("double").alias("o1d"),
+                    F.col("_e1").cast("double").alias("e1d"),
+                )
+            )
+        ).alias("_lv"),
+    )
+    ok = (F.col("g_bins") >= 3) & F.forall(
+        F.col("_lv"),
+        lambda v: (v["e1d"] > F.lit(0.0)) & (v["e1d"] < v["nbd"]),
+    )
+    hl = F.aggregate(
+        F.col("_lv"),
+        F.lit(0.0),
+        lambda acc, v: acc
+        + (v["o1d"] - v["e1d"])
+        * (v["o1d"] - v["e1d"])
+        / (v["e1d"] * (F.lit(1.0) - v["e1d"] / v["nbd"])),
+    )
+    return arr.select(
+        *by,
+        "n",
+        "g_bins",
+        F.when(ok, hl).alias("hl_stat"),
+        F.when(ok, (F.col("g_bins") - F.lit(2)).cast("long")).alias("df"),
+    )

@@ -1618,3 +1618,116 @@ def expected_reciprocal_rank(
     return folded.select(
         *by, "n", F.col("_acc")["err"].alias("err")
     )
+
+
+def binary_confusion_panel(
+    df: DataFrame,
+    by: list[str],
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Binary confusion panel (L376): ``(by..., n, tp, fp, fn, tn,
+    accuracy, tpr, tnr, ppv, npv, balanced_accuracy, mcc,
+    fowlkes_mallows, informedness, markedness)`` — the single-number
+    scoreboard for a hard 0/1 classifier that the per-class L165
+    report and threshold-free L146 AUC don't give: MCC (the
+    prevalence-robust ±1 correlation of predictions with truth),
+    balanced accuracy (mean of the two recalls — honest on skewed
+    classes where plain accuracy lies), Fowlkes-Mallows √(PPV·TPR),
+    and the Youden/markedness decompositions MCC² = inf·mark.
+
+    Exactness: the four cells are exact longs from ONE combinable
+    conditional-count aggregation; the MCC numerator tp·tn − fp·fn is
+    exact DECIMAL (19,0)-operand products per the 8fe91f8 width
+    discipline; the denominator marginals are exact longs whose
+    double products flow through one fixed IEEE tree
+    √((tp+fp)·(tp+fn) · ((tn+fp)·(tn+fn))) — bit-identical on any
+    engine and partitioning.  Non-binary labels/predictions are
+    REFUSED loudly (a silent cast would score garbage); NULL rows on
+    either side are excluded.  NULL semantics: mcc/fowlkes/etc are
+    NULL (not 0) when a marginal is empty — an all-positive predictor
+    has no defined correlation with truth.
+
+    Scale shape: one map-side-combinable groupBy over four
+    conditional counts; 100 TB scanned once, no wide rows, no second
+    exchange."""
+    flt = df.filter(
+        F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(
+        *by,
+        F.col(label_col).cast("int").alias("_y"),
+        F.col(pred_col).cast("int").alias("_c"),
+    )
+    n_bad = flt.filter(
+        ~F.col("_y").isin([0, 1]) | ~F.col("_c").isin([0, 1])
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"binary_confusion_panel: {n_bad} row(s) with non-binary "
+            "label or prediction — encode to 0/1 first"
+        )
+    cell = lambda y, c: F.sum(  # noqa: E731
+        ((F.col("_y") == y) & (F.col("_c") == c)).cast("long")
+    )
+    agg = flt.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        cell(1, 1).alias("tp"),
+        cell(0, 1).alias("fp"),
+        cell(1, 0).alias("fn"),
+        cell(0, 0).alias("tn"),
+    )
+    tp, fp = F.col("tp"), F.col("fp")
+    fn, tn = F.col("fn"), F.col("tn")
+    tpd, fpd = tp.cast("double"), fp.cast("double")
+    fnd, tnd = fn.cast("double"), tn.cast("double")
+    nd = F.col("n").cast("double")
+    pos, neg = tp + fn, tn + fp
+    ppos, pneg = tp + fp, tn + fn
+    tpr = F.when(pos > 0, tpd / pos.cast("double"))
+    tnr = F.when(neg > 0, tnd / neg.cast("double"))
+    ppv = F.when(ppos > 0, tpd / ppos.cast("double"))
+    npv = F.when(pneg > 0, tnd / pneg.cast("double"))
+    d19 = "decimal(19,0)"
+    mcc_num = (
+        tp.cast(d19) * tn.cast(d19) - fp.cast(d19) * fn.cast(d19)
+    ).cast("double")
+    mcc_den = F.sqrt(
+        (ppos.cast("double") * pos.cast("double"))
+        * (neg.cast("double") * pneg.cast("double"))
+    )
+    all_m = (pos > 0) & (neg > 0) & (ppos > 0) & (pneg > 0)
+    return agg.select(
+        *by,
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        ((tpd + tnd) / nd).alias("accuracy"),
+        tpr.alias("tpr"),
+        tnr.alias("tnr"),
+        ppv.alias("ppv"),
+        npv.alias("npv"),
+        F.when(
+            (pos > 0) & (neg > 0),
+            (tpd / pos.cast("double") + tnd / neg.cast("double"))
+            / F.lit(2.0),
+        ).alias("balanced_accuracy"),
+        F.when(all_m, mcc_num / mcc_den).alias("mcc"),
+        F.when(
+            (ppos > 0) & (pos > 0),
+            F.sqrt(
+                (tpd / ppos.cast("double")) * (tpd / pos.cast("double"))
+            ),
+        ).alias("fowlkes_mallows"),
+        F.when(
+            (pos > 0) & (neg > 0),
+            tpd / pos.cast("double") + tnd / neg.cast("double") - F.lit(1.0),
+        ).alias("informedness"),
+        F.when(
+            (ppos > 0) & (pneg > 0),
+            tpd / ppos.cast("double")
+            + tnd / pneg.cast("double")
+            - F.lit(1.0),
+        ).alias("markedness"),
+    )
