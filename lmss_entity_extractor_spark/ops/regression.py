@@ -976,3 +976,218 @@ def goldfeld_quandt(
             F.col("ssr_low") > 0.0, F.col("_md") - F.lit(2.0)
         ).alias("df_side"),
     )
+
+
+def rdd_sharp(
+    df: DataFrame,
+    by: list[str],
+    x_col: str,
+    y_col: str,
+    cutoff: str,
+    bandwidth: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Sharp regression discontinuity (L377): ``(by..., n_below,
+    n_above, slope_below, slope_above, limit_below, limit_above,
+    tau)`` — the jump-at-a-threshold causal design (treatment assigned
+    by x ≥ cutoff: did crossing the line CAUSE a level shift in y):
+    fit a separate local line on each side of the cutoff within the
+    bandwidth window and read off the two intercepts AT the cutoff,
+
+        τ = lim_{x↓c} ŷ − lim_{x↑c} ŷ = a_above − a_below
+
+    (Thistlethwaite & Campbell 1960; the local-linear form of
+    Imbens & Lemieux 2008 §4 with a uniform kernel — the kernel is a
+    window, not a weight, so every retained row counts fully and the
+    sums stay EXACT).  ``cutoff``/``bandwidth`` are decimal STRINGS
+    (the L168 conformal contract — a float threshold would make
+    window membership engine-dependent); the centered running
+    variable x−c is an exact DECIMAL difference, the window is
+    −h ≤ x−c ≤ h inclusive, and the above side is x−c ≥ 0 (treatment
+    at the cutoff itself, the sharp-design convention).  Each side's
+    fit is the L135 exact-decimal sufficient-statistic OLS; τ is one
+    fixed IEEE tree.  A side with n < 2 or zero x-variance yields
+    NULL fits (and NULL τ) — a one-point side has no limit.
+
+    Scale shape: the window filter pushes to the scan (100 TB prunes
+    to the bandwidth slice), then ONE combinable aggregation with
+    per-side conditional sums — the L318 cell shape, no second
+    exchange.
+
+    No reference counterpart; causal analytics per SURVEY §2.11."""
+    import decimal
+
+    try:
+        c_val = decimal.Decimal(cutoff)
+        h_val = decimal.Decimal(bandwidth)
+    except decimal.InvalidOperation as exc:
+        raise ValueError(
+            "rdd_sharp: cutoff/bandwidth must be decimal strings"
+        ) from exc
+    if h_val <= 0:
+        raise ValueError("rdd_sharp: bandwidth must be > 0")
+    dec = f"decimal(18,{scale})"
+    c = F.lit(cutoff).cast(dec)
+    h = F.lit(bandwidth).cast(dec)
+    xc = F.col(x_col).cast(dec) - c
+    flt = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(
+            *by,
+            xc.alias("_xc"),
+            F.col(y_col).cast(dec).alias("_y"),
+        )
+        .filter((F.col("_xc") >= -h) & (F.col("_xc") <= h))
+    )
+    above = F.col("_xc") >= 0
+
+    def _side(tag, cond):
+        p = f"_{tag}"
+        return [
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(
+                f"{p}n"
+            ),
+            F.sum(F.when(cond, F.col("_xc"))).alias(f"{p}sx"),
+            F.sum(F.when(cond, F.col("_y"))).alias(f"{p}sy"),
+            F.sum(F.when(cond, F.col("_xc") * F.col("_xc"))).alias(
+                f"{p}sxx"
+            ),
+            F.sum(F.when(cond, F.col("_xc") * F.col("_y"))).alias(
+                f"{p}sxy"
+            ),
+        ]
+
+    agg = flt.groupBy(*by).agg(
+        *_side("b", ~above), *_side("a", above)
+    )
+
+    def _fit(tag):
+        p = f"_{tag}"
+        n = F.col(f"{p}n").cast("double")
+        sx = F.col(f"{p}sx").cast("double")
+        sy = F.col(f"{p}sy").cast("double")
+        sxx = F.col(f"{p}sxx").cast("double")
+        sxy = F.col(f"{p}sxy").cast("double")
+        varx_n = n * sxx - sx * sx
+        ok = (F.col(f"{p}n") >= 2) & (varx_n > F.lit(0.0))
+        slope = F.when(ok, (n * sxy - sx * sy) / varx_n)
+        limit = F.when(
+            ok, (sy - ((n * sxy - sx * sy) / varx_n) * sx) / n
+        )
+        return slope, limit
+
+    slope_b, lim_b = _fit("b")
+    slope_a, lim_a = _fit("a")
+    return agg.select(
+        *by,
+        F.col("_bn").alias("n_below"),
+        F.col("_an").alias("n_above"),
+        slope_b.alias("slope_below"),
+        slope_a.alias("slope_above"),
+        lim_b.alias("limit_below"),
+        lim_a.alias("limit_above"),
+        (lim_a - lim_b).alias("tau"),
+    )
+
+
+def event_study(
+    df: DataFrame,
+    by: list[str],
+    rel_col: str,
+    value_col: str,
+    base_period: int = -1,
+    scale: int = 4,
+) -> DataFrame:
+    """Event-study panel (L378): ``(by..., rel_period, n, mean,
+    effect, se, t)`` — the dynamic generalization of the L318 2×2:
+    instead of one pre/post contrast, the outcome mean at EVERY
+    event-relative period is contrasted against the ``base_period``
+    (conventionally −1, the last untreated period), tracing out
+    pre-trends (the design's falsification check — nonzero effects
+    BEFORE the event indict the identification) and the post-event
+    dynamic path:
+
+        effect_r = m̄_r − m̄_base
+        se_r     = √(s²_r/n_r + s²_base/n_base)      (Welch-style)
+
+    ``rel_col`` is the caller-computed integer event-relative index.
+    Per-period sufficient statistics are exact decimals from ONE
+    combinable aggregation; the baseline row is broadcast back onto
+    the panel (fit-small/apply-small, the L318 discipline), so every
+    effect/se/t is one fixed IEEE tree.  The base period's own row
+    carries effect = 0 with NULL se/t (self-contrast has no
+    sampling distribution); keys with NO base-period rows yield NULL
+    effects throughout (the contrast is undefined, loudly visible);
+    se is NULL when either side has n < 2.
+
+    Scale shape: one combinable (by, rel) groupBy + a broadcast
+    equi-join of the per-key baseline row; 100 TB scanned once.
+
+    No reference counterpart; causal analytics per SURVEY §2.11."""
+    from pyspark.sql.functions import broadcast
+
+    dec = f"decimal(18,{scale})"
+    vd = F.col(value_col).cast(dec)
+    flt = df.filter(
+        F.col(rel_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    per = flt.groupBy(
+        *by, F.col(rel_col).cast("long").alias("rel_period")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vd).alias("_s"),
+        F.sum(vd * vd).alias("_q"),
+    )
+    base = per.filter(F.col("rel_period") == base_period).select(
+        *[F.col(c).alias(f"_b_{c}") for c in by],
+        F.col("n").alias("_bn"),
+        F.col("_s").alias("_bs"),
+        F.col("_q").alias("_bq"),
+    )
+    if by:
+        cond = None
+        for c in by:
+            term = F.col(c).eqNullSafe(F.col(f"_b_{c}"))
+            cond = term if cond is None else (cond & term)
+        joined = per.join(broadcast(base), cond, "left")
+    else:
+        joined = per.join(broadcast(base), F.lit(True), "left")
+
+    def _mean(s, n):
+        return s.cast("double") / n.cast("double")
+
+    def _var(s, q, n):
+        nd = n.cast("double")
+        return (q.cast("double") - s.cast("double") * s.cast("double") / nd) / (
+            nd - F.lit(1.0)
+        )
+
+    m = _mean(F.col("_s"), F.col("n"))
+    mb = _mean(F.col("_bs"), F.col("_bn"))
+    is_base = F.col("rel_period") == base_period
+    has_base = F.col("_bn").isNotNull()
+    eff = F.when(is_base & has_base, F.lit(0.0)).otherwise(
+        F.when(has_base, m - mb)
+    )
+    v = _var(F.col("_s"), F.col("_q"), F.col("n"))
+    vb = _var(F.col("_bs"), F.col("_bq"), F.col("_bn"))
+    se_ok = (
+        has_base
+        & ~is_base
+        & (F.col("n") >= 2)
+        & (F.col("_bn") >= 2)
+    )
+    se_raw = F.sqrt(
+        v / F.col("n").cast("double")
+        + vb / F.col("_bn").cast("double")
+    )
+    se = F.when(se_ok & (se_raw > F.lit(0.0)), se_raw)
+    return joined.select(
+        *by,
+        "rel_period",
+        "n",
+        m.alias("mean"),
+        eff.alias("effect"),
+        se.alias("se"),
+        F.when(se.isNotNull(), eff / se).alias("t"),
+    )
