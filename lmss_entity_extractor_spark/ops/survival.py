@@ -587,3 +587,256 @@ def kaplan_meier_ci(
             "ci_hi"
         ),
     )
+
+
+def life_table(
+    df: DataFrame,
+    by: list[str],
+    duration_col: str,
+    event_col: str,
+    width: int,
+    max_points: int = 1000,
+) -> DataFrame:
+    """Actuarial life table (L379): ``(by..., interval, t_start,
+    t_end, n_enter, d, c, n_eff, q, surv)`` — the fixed-interval
+    sibling of the L159 KM curve (the insurance/demography estimator;
+    also the right tool when durations are only known to interval
+    precision): durations bucket to ``interval = t div width`` exact
+    integer intervals, censored subjects count HALF in the interval
+    they leave (the actuarial adjustment — censoring is assumed
+    uniform within the interval),
+
+        n_eff = n_enter − c/2,   q = d/n_eff,
+        surv(k) = Π_{j ≤ k} (1 − d_j/n_eff_j)
+
+    with ``surv`` the probability of surviving BEYOND interval k's
+    end.  Risk sets are exact integer window cumsums; the product is
+    a 1.0-prepended ascending-interval prefix fold (the L159 fold
+    discipline), each factor one IEEE tree.  ``q`` is NULL when
+    n_eff ≤ 0 (an all-censored interval's conditional risk is
+    undefined; its fold factor is exactly 1.0 since d = 0 there).
+    Intervals with no observations don't emit rows (they carry q = 0
+    and factor 1 — absent by construction, documented here).
+    Grids beyond ``max_points`` intervals per group are REFUSED.
+
+    Scale shape: one combinable (by, interval) groupBy → bounded
+    per-group grid; the fold work is grid-sized (≤10⁶ steps at the
+    cap).  100 TB scanned once.
+
+    No reference counterpart; survival analytics per SURVEY §2.11
+    (composes with L159/L160/L227/L242)."""
+    if width < 1:
+        raise ValueError("life_table: width must be >= 1")
+    flt = df.filter(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    )
+    ev = F.col(event_col).cast("int")
+    pts = flt.groupBy(
+        *by,
+        F.expr(f"CAST({duration_col} AS BIGINT) div {int(width)}").alias(
+            "interval"
+        ),
+    ).agg(
+        F.sum(ev).alias("d"),
+        F.sum(F.lit(1) - ev).alias("c"),
+    )
+    n_pts = pts.groupBy(*by).count()
+    too_big = n_pts.filter(F.col("count") > max_points).count()
+    if too_big:
+        raise ValueError(
+            f"life_table grid exceeds max_points={max_points} intervals "
+            "in at least one group — widen the interval width; an "
+            "unbounded grid breaks the ordered-fold determinism contract"
+        )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("interval")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = Window.partitionBy(*by)
+    risk = pts.withColumn(
+        "n_enter",
+        F.sum(F.col("d") + F.col("c")).over(tot)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0)),
+    )
+    packed = risk.groupBy(*by).agg(
+        F.sort_array(
+            F.collect_list(F.struct("interval", "d", "c", "n_enter"))
+        ).alias("_a")
+    )
+    rows = packed.select(*by, "_a", F.explode("_a").alias("_s"))
+
+    def _neff(x):
+        return x["n_enter"].cast("double") - x["c"].cast("double") / F.lit(
+            2.0
+        )
+
+    surv = F.aggregate(
+        F.filter("_a", lambda x: x["interval"] <= F.col("_s.interval")),
+        F.lit(1.0),
+        lambda acc, x: acc
+        * F.when(
+            _neff(x) > F.lit(0.0),
+            F.lit(1.0) - x["d"].cast("double") / _neff(x),
+        ).otherwise(F.lit(1.0)),
+    )
+    s = F.col("_s")
+    n_eff = _neff(s)
+    return rows.select(
+        *by,
+        s["interval"].alias("interval"),
+        (s["interval"] * F.lit(int(width))).alias("t_start"),
+        ((s["interval"] + F.lit(1)) * F.lit(int(width))).alias("t_end"),
+        s["n_enter"].alias("n_enter"),
+        s["d"].alias("d"),
+        s["c"].alias("c"),
+        n_eff.alias("n_eff"),
+        F.when(
+            n_eff > F.lit(0.0), s["d"].cast("double") / n_eff
+        ).alias("q"),
+        surv.alias("surv"),
+    )
+
+
+def weighted_logrank(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    duration_col: str,
+    event_col: str,
+    weight: str = "gehan",
+    max_points: int = 1000,
+) -> DataFrame:
+    """Weighted two-sample log-rank family (L380): one row ``(n_a,
+    n_b, o1, z, v, chi2, weight)`` — the L160 log-rank weights every
+    event time equally, which makes it blind to EARLY separation that
+    later converges (treatment effects that wear off); the weighted
+    family fixes which part of the curve the test listens to:
+
+        weight='gehan'        w_t = n_t        (early times, exact ints
+                                                — Gehan-Breslow)
+        weight='tarone_ware'  w_t = √n_t       (the compromise)
+        weight='peto'         w_t = S̃(t) = Π_{u≤t}(1 − d_u/(n_u+1))
+                              (early-weighted but robust to censoring
+                               imbalance — Peto-Peto per Kalbfleisch &
+                               Prentice 1980 §4.2, S̃ INCLUDING t,
+                               the convention pinned by test)
+        weight='logrank'      w_t = 1          (reduces to L160,
+                                                equality pinned by test)
+
+        Z = Σ_t w_t·(d₁ − d·n₁/n),   V = Σ_t w_t²·v_t,
+        χ² = Z²/V
+
+    The grid, risk sets, and per-t O−E / hypergeometric-V terms are
+    the exact L160 machinery; the weighted sums run as ONE ascending-t
+    sequential struct fold whose accumulator carries (z, v, S̃) — the
+    Peto survivor estimate updates inside the fold (the L371 slot
+    discipline), so all four modes share one pinned IEEE evaluation
+    order.  chi2 is NULL when V = 0.
+
+    Scale shape: identical to L160 — one combinable grid groupBy, a
+    bounded fold.  100 TB scanned once.
+
+    No reference counterpart; survival analytics per SURVEY §2.11."""
+    if weight not in ("gehan", "tarone_ware", "peto", "logrank"):
+        raise ValueError(
+            f"weighted_logrank: unknown weight {weight!r} — one of "
+            "gehan/tarone_ware/peto/logrank"
+        )
+    flt = df.filter(F.col(group_col).isin([group_a, group_b]))
+    tagged = flt.select(
+        (F.col(group_col) == group_a).cast("int").alias("_ga"),
+        F.col(duration_col).alias("_t"),
+        F.col(event_col).alias("_e"),
+    )
+    ev = F.col("_e").cast("int")
+    pts = tagged.filter(
+        F.col("_t").isNotNull() & F.col("_e").isNotNull()
+    ).groupBy(F.col("_t").cast("long").alias("t")).agg(
+        F.sum(ev * F.col("_ga")).alias("d1"),
+        F.sum(ev * (F.lit(1) - F.col("_ga"))).alias("d2"),
+        F.sum((F.lit(1) - ev) * F.col("_ga")).alias("c1"),
+        F.sum((F.lit(1) - ev) * (F.lit(1) - F.col("_ga"))).alias("c2"),
+    )
+    n_pts = pts.count()
+    if n_pts > max_points:
+        raise ValueError(
+            f"weighted_logrank grid has {n_pts} distinct durations > "
+            f"max_points={max_points} — bucket durations first"
+        )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    out1 = F.col("d1") + F.col("c1")
+    out2 = F.col("d2") + F.col("c2")
+    risk = pts.withColumn(
+        "n1",
+        F.sum(out1).over(tot) - F.coalesce(F.sum(out1).over(w), F.lit(0)),
+    ).withColumn(
+        "n2",
+        F.sum(out2).over(tot) - F.coalesce(F.sum(out2).over(w), F.lit(0)),
+    )
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    dd = (F.col("d1") + F.col("d2")).cast("double")
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    oe_term = F.col("d1").cast("double") - dd * n1d / nd
+    v_term = F.when(
+        (F.col("n1") + F.col("n2")) > 1,
+        dd * (n1d / nd) * (n2d / nd) * ((nd - dd) / (nd - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("t"),
+                nd.alias("nt"),
+                dd.alias("dt"),
+                oe_term.alias("oe"),
+                v_term.alias("vt"),
+            )
+        )
+    )
+
+    def _w(x, acc):
+        if weight == "gehan":
+            return x["nt"]
+        if weight == "tarone_ware":
+            return F.sqrt(x["nt"])
+        if weight == "peto":
+            return acc["s"] * (
+                F.lit(1.0) - x["dt"] / (x["nt"] + F.lit(1.0))
+            )
+        return F.lit(1.0)
+
+    def _step(acc, x):
+        wt = _w(x, acc)
+        return F.struct(
+            (acc["z"] + wt * x["oe"]).alias("z"),
+            (acc["v"] + wt * wt * x["vt"]).alias("v"),
+            (
+                acc["s"]
+                * (F.lit(1.0) - x["dt"] / (x["nt"] + F.lit(1.0)))
+            ).alias("s"),
+        )
+
+    init = F.struct(
+        F.lit(0.0).alias("z"), F.lit(0.0).alias("v"), F.lit(1.0).alias("s")
+    )
+    stats = risk.agg(
+        F.sum(out1).alias("n_a"),
+        F.sum(out2).alias("n_b"),
+        F.sum("d1").alias("o1"),
+        F.aggregate(arr, init, _step).alias("_acc"),
+    )
+    return stats.select(
+        "n_a",
+        "n_b",
+        "o1",
+        F.col("_acc")["z"].alias("z"),
+        F.col("_acc")["v"].alias("v"),
+        F.when(
+            F.col("_acc")["v"] > 0.0,
+            (F.col("_acc")["z"] * F.col("_acc")["z"]) / F.col("_acc")["v"],
+        ).alias("chi2"),
+        F.lit(weight).alias("weight"),
+    )
