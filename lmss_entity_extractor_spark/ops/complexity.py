@@ -436,3 +436,196 @@ def sample_entropy(
             ),
         ).alias("sampen"),
     )
+
+
+def hjorth_parameters(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """Hjorth parameters (L381): ``(by..., n, activity, mobility,
+    complexity)`` — the classic three-number time-domain signal
+    summary (Hjorth 1970, the EEG standard; the cheap screening
+    companion to the L299/L313 entropy family):
+
+        activity   = Var(x)                      (the power)
+        mobility   = √(Var(Δx)/Var(x))           (the mean frequency)
+        complexity = √(Var(Δ²x)/Var(Δx)) / mobility
+                                                 (bandwidth vs a pure
+                                                  sine, which scores 1)
+
+    Variances are POPULATION variances (pinned — Hjorth's original
+    moment definition), each from exact DECIMAL sufficient statistics
+    over the respective series (x on n points, Δx on n−1, Δ²x on
+    n−2): differences of DECIMAL(18,scale) values are exact, re-cast
+    to (18,scale) before squaring per the 8fe91f8 product-width
+    discipline, so every sum is order-insensitive and each parameter
+    is one fixed IEEE tree.  ``order_col`` must totally order each
+    series (the L374 contract — ties would make Δx partition-
+    dependent).  NULL mobility when n < 2 or Var(x) = 0 (a constant
+    signal has no frequency); NULL complexity when n < 3 or
+    Var(Δx) = 0.
+
+    Scale shape: ONE keyed window pass (two lags ride the same sort)
+    + one combinable aggregation; 100 TB scanned once, no wide rows.
+
+    No reference counterpart; series analytics per SURVEY §2.11."""
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    xd = F.col(value_col).cast(dec)
+    # both lags ride one window sort; Δ²x spelled x − 2·x₋₁ + x₋₂ so it
+    # exists from the third point on without a second window pass
+    base = flt.select(*by, F.col(order_col).alias("_o"), xd.alias("_x"))
+    w2 = Window.partitionBy(*by).orderBy("_o")
+    diffed = base.select(
+        *by,
+        "_x",
+        (F.col("_x") - F.lag("_x", 1).over(w2)).cast(dec).alias("_dx"),
+        (
+            F.col("_x")
+            - F.lit(2) * F.lag("_x", 1).over(w2)
+            + F.lag("_x", 2).over(w2)
+        )
+        .cast(dec)
+        .alias("_ddx"),
+    )
+    agg = diffed.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.count("_dx").alias("_n1"),
+        F.sum("_dx").alias("_sdx"),
+        F.sum(F.col("_dx") * F.col("_dx")).alias("_sdxx"),
+        F.count("_ddx").alias("_n2"),
+        F.sum("_ddx").alias("_sddx"),
+        F.sum(F.col("_ddx") * F.col("_ddx")).alias("_sddxx"),
+    )
+
+    def _pvar(n, s, q):
+        nd = n.cast("double")
+        return (nd * q.cast("double") - s.cast("double") * s.cast("double")) / (
+            nd * nd
+        )
+
+    act = _pvar(F.col("n"), F.col("_sx"), F.col("_sxx"))
+    vdx = _pvar(F.col("_n1"), F.col("_sdx"), F.col("_sdxx"))
+    vddx = _pvar(F.col("_n2"), F.col("_sddx"), F.col("_sddxx"))
+    mob_ok = (F.col("n") >= 2) & (act > F.lit(0.0))
+    cpx_ok = mob_ok & (F.col("n") >= 3) & (vdx > F.lit(0.0))
+    return agg.select(
+        *by,
+        "n",
+        act.alias("activity"),
+        F.when(mob_ok, F.sqrt(vdx / act)).alias("mobility"),
+        F.when(cpx_ok, F.sqrt(vddx / vdx) / F.sqrt(vdx / act)).alias(
+            "complexity"
+        ),
+    )
+
+
+def lz_complexity(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    symbol_col: str,
+    max_len: int = 2048,
+) -> DataFrame:
+    """Lempel-Ziv (LZ76) complexity (L382): ``(by..., n, k, c_lz,
+    c_norm)`` — how many distinct phrases an exhaustive left-to-right
+    parse of the symbol sequence needs: the compressibility-based
+    complexity score (Lempel & Ziv 1976; the standard EEG/ECG and
+    repetitive-text diagnostic, the value-free companion to L299's
+    ordinal and L313's amplitude entropies).  Parsing convention
+    (pinned, the simple exhaustive variant): grow the current phrase
+    one symbol at a time; if the grown phrase occurs in the text seen
+    so far MINUS its final symbol, keep growing, else close the
+    phrase (c += 1) and start a new one; a non-empty trailing phrase
+    counts.  Random sequences approach c ≈ n/log_k(n), so
+
+        c_norm = c·ln(n) / (n·ln(k))    → ~1 for noise, →0 for
+                                          highly repetitive input
+
+    (NULL when the alphabet has k < 2 symbols).  Symbols must be
+    SINGLE characters (REFUSED otherwise — multi-char symbols would
+    let phrase boundaries fall inside a symbol; SAX-symbolize L192
+    first), ``order_col`` integer and unique per key (the L374
+    contract), series beyond ``max_len`` REFUSED (the parse is one
+    sequential fold — the L180 bounded-series discipline).
+
+    Scale shape: one combinable collect per key over the bounded
+    series, then a per-key in-row fold; 100 TB of keys parallelize
+    across the cluster while each key's parse stays sequential by
+    mathematical necessity (each step reads the text the previous
+    steps built).
+
+    No reference counterpart; series analytics per SURVEY §2.11."""
+    flt = df.filter(
+        F.col(order_col).isNotNull() & F.col(symbol_col).isNotNull()
+    ).select(
+        *by,
+        F.col(order_col).cast("long").alias("_o"),
+        F.col(symbol_col).cast("string").alias("_s"),
+    )
+    n_bad = flt.filter(F.length("_s") != 1).count()
+    if n_bad:
+        raise ValueError(
+            f"lz_complexity: {n_bad} symbol(s) are not single "
+            "characters — symbolize first (e.g. L192 SAX)"
+        )
+    sizes = flt.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > max_len).count()
+    if over:
+        raise ValueError(
+            f"lz_complexity: a series exceeds max_len={max_len} — "
+            "the parse is a sequential fold; chunk or sample first"
+        )
+    packed = flt.groupBy(*by).agg(
+        F.sort_array(F.collect_list(F.struct("_o", "_s"))).alias("_a")
+    )
+    init = F.struct(
+        F.lit("").alias("pre"),
+        F.lit("").alias("cur"),
+        F.lit(0).alias("c"),
+    )
+
+    def _step(acc, x):
+        cur2 = F.concat(acc["cur"], x["_s"])
+        t = F.concat(acc["pre"], cur2)
+        body = F.substring(t, 1, F.length(t) - F.lit(1))
+        hit = F.contains(body, cur2)
+        return F.struct(
+            F.when(hit, acc["pre"]).otherwise(t).alias("pre"),
+            F.when(hit, cur2).otherwise(F.lit("")).alias("cur"),
+            F.when(hit, acc["c"]).otherwise(acc["c"] + F.lit(1)).alias(
+                "c"
+            ),
+        )
+
+    folded = packed.select(
+        *by,
+        F.size("_a").cast("long").alias("n"),
+        F.size(
+            F.array_distinct(F.transform("_a", lambda x: x["_s"]))
+        ).cast("long").alias("k"),
+        F.aggregate(F.col("_a"), init, _step).alias("_acc"),
+    )
+    c_total = (
+        F.col("_acc")["c"]
+        + F.when(F.col("_acc")["cur"] != "", F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    return folded.select(
+        *by,
+        "n",
+        "k",
+        c_total.alias("c_lz"),
+        F.when(
+            (F.col("k") >= 2) & (F.col("n") >= 2),
+            c_total.cast("double") * F.log(nd) / (nd * F.log(kd)),
+        ).alias("c_norm"),
+    )
