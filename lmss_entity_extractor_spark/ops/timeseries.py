@@ -2557,3 +2557,170 @@ def ar1_fit(
         mu.alias("mu_lr"),
         hl.alias("half_life"),
     )
+
+
+def capm_panel(
+    df: DataFrame,
+    by: list[str],
+    asset_col: str,
+    market_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """CAPM / benchmark-relative panel (L383): ``(by..., n, beta,
+    alpha, r2, tracking_error, information_ratio)`` — the
+    active-management scoreboard the absolute-risk L341 panel can't
+    give: regress each key's per-period return on the benchmark's,
+
+        beta  = Cov(a,m)/Var(m)         (market sensitivity)
+        alpha = ā − beta·m̄              (excess per period, Jensen)
+        TE    = sample std of (a − m)   (how far from the benchmark)
+        IR    = mean(a − m) / TE        (is the deviation paying)
+
+    Rows carry BOTH returns (the caller aligns periods — an as-of or
+    equi-join upstream; misaligned rows are NULL-dropped here).  All
+    five sufficient statistics are exact DECIMAL sums; the diff sums
+    need no extra pass (Σd = Σa − Σm and Σd² = Σa² − 2Σam + Σm² are
+    exact decimal identities, computed so).  Values are per-period —
+    annualization is a caller-side multiply, pinned out of the op.
+    NULL beta/alpha/r2 when n < 2 or Var(m) = 0 (a flat benchmark
+    has no beta); NULL r2 additionally when Var(a) = 0; NULL IR when
+    TE = 0 (a perfect tracker's IR is undefined, not infinite).
+
+    Scale shape: ONE map-side-combinable groupBy over five sums —
+    the L135 shape; 100 TB scanned once.
+
+    No reference counterpart; finance analytics per SURVEY §2.11
+    (composes with L341 risk_panel and L314/L384 drawdown ops)."""
+    dec = f"decimal(18,{scale})"
+    ad = F.col(asset_col).cast(dec)
+    md = F.col(market_col).cast(dec)
+    agg = (
+        df.filter(
+            F.col(asset_col).isNotNull() & F.col(market_col).isNotNull()
+        )
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(ad).alias("_sa"),
+            F.sum(md).alias("_sm"),
+            F.sum(ad * ad).alias("_saa"),
+            F.sum(md * md).alias("_smm"),
+            F.sum(ad * md).alias("_sam"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sa = F.col("_sa").cast("double")
+    sm = F.col("_sm").cast("double")
+    saa = F.col("_saa").cast("double")
+    smm = F.col("_smm").cast("double")
+    sam = F.col("_sam").cast("double")
+    cov_n = nd * sam - sa * sm
+    varm_n = nd * smm - sm * sm
+    vara_n = nd * saa - sa * sa
+    fit_ok = (F.col("n") >= 2) & (varm_n > F.lit(0.0))
+    beta = F.when(fit_ok, cov_n / varm_n)
+    alpha = F.when(fit_ok, (sa - (cov_n / varm_n) * sm) / nd)
+    r2 = F.when(
+        fit_ok & (vara_n > F.lit(0.0)),
+        (cov_n * cov_n) / (varm_n * vara_n),
+    )
+    # diff sums as exact-decimal identities, then the sample variance
+    sd_ = (F.col("_sa") - F.col("_sm")).cast("double")
+    sdd = (
+        F.col("_saa") - F.lit(2) * F.col("_sam") + F.col("_smm")
+    ).cast("double")
+    te_var = (nd * sdd - sd_ * sd_) / (nd * (nd - F.lit(1.0)))
+    te = F.when((F.col("n") >= 2) & (te_var > F.lit(0.0)), F.sqrt(te_var))
+    return agg.select(
+        *by,
+        "n",
+        beta.alias("beta"),
+        alpha.alias("alpha"),
+        r2.alias("r2"),
+        te.alias("tracking_error"),
+        F.when(te.isNotNull(), (sd_ / nd) / te).alias(
+            "information_ratio"
+        ),
+    )
+
+
+def ulcer_index(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+    scale: int = 2,
+    max_len: int = 100_000,
+) -> DataFrame:
+    """Ulcer index panel (L384): ``(by..., n, ulcer_index,
+    pain_index, max_dd_pct)`` — drawdown-shaped risk (Martin & McCann
+    1989): where L341's Sortino penalizes downside VOLATILITY and
+    L314 reports only the single worst fall, the ulcer index
+    penalizes DEPTH × DURATION of all underwater stretches:
+
+        d_t        = 100·(x_t − peak_t)/peak_t      (≤ 0, in %)
+        ulcer      = √(Σ d_t²/n)
+        pain_index = Σ(−d_t)/n                      (mean % underwater)
+        max_dd_pct = −min_t d_t
+
+    The running peak is one prefix-max window over exact decimals
+    (the L314 discipline), so each d_t is one fixed IEEE tree; the
+    d² and |d| sums are float sums and therefore fold in ascending
+    ``order_cols`` order over the collected series — BOUNDED by
+    ``max_len`` (REFUSED beyond; the L180 contract) so the pinned
+    order is a real guarantee, not a hope.  ``max_dd_pct`` needs no
+    fold (min is order-insensitive).  Non-positive values REFUSED
+    (a % drawdown below a 0 peak is undefined — scale the curve
+    first).
+
+    Scale shape: one keyed window pass + one bounded collect-fold
+    per key; keys parallelize across the cluster.
+
+    No reference counterpart; finance analytics per SURVEY §2.11."""
+    n_bad = df.filter(
+        F.col(value_col).isNull() | (F.col(value_col) <= 0)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"ulcer_index: {n_bad} NULL or non-positive value(s) — "
+            "percentage drawdowns need a positive curve"
+        )
+    sizes = df.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > max_len).count()
+    if over:
+        raise ValueError(
+            f"ulcer_index: a series exceeds max_len={max_len} — the "
+            "float sums fold in pinned order; bucket or split first"
+        )
+    dec = f"decimal(18,{scale})"
+    xd = F.col(value_col).cast(dec)
+    wt = Window.partitionBy(*by).orderBy(*[F.col(c) for c in order_cols])
+    wp = wt.rowsBetween(Window.unboundedPreceding, 0)
+    staged = df.select(
+        *by,
+        F.row_number().over(wt).alias("_t"),
+        (
+            F.lit(100.0)
+            * (xd.cast("double") - F.max(xd).over(wp).cast("double"))
+            / F.max(xd).over(wp).cast("double")
+        ).alias("_d"),
+    )
+    arr = F.sort_array(F.collect_list(F.struct("_t", "_d")))
+    agg = staged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_d").alias("_mind"),
+        F.aggregate(
+            arr, F.lit(0.0), lambda a, x: a + x["_d"] * x["_d"]
+        ).alias("_ss"),
+        F.aggregate(arr, F.lit(0.0), lambda a, x: a - x["_d"]).alias(
+            "_sa"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        *by,
+        "n",
+        F.sqrt(F.col("_ss") / nd).alias("ulcer_index"),
+        (F.col("_sa") / nd).alias("pain_index"),
+        (-F.col("_mind")).alias("max_dd_pct"),
+    )
