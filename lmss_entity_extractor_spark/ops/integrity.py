@@ -190,3 +190,170 @@ def sequence_audit(
             & (n_gaps == 0)
         ).alias("contiguous"),
     )
+
+
+def inclusion_audit(
+    left: DataFrame,
+    right: DataFrame,
+    pairs: list[tuple[str, str]],
+    max_pairs: int = 64,
+) -> DataFrame:
+    """Inclusion-dependency audit (L385): ``(lhs_col, rhs_col, n_lhs,
+    n_missing, containment, holds, sample_missing)`` — for each
+    candidate (lhs ⊆ rhs) column pair, does every distinct non-NULL
+    value of ``left.lhs`` appear in ``right.rhs``?  The schema-
+    discovery primitive behind "which column is secretly a foreign
+    key" (Bauckmann et al., SPIDER) — where L343 AUDITS a declared FK,
+    this DISCOVERS candidates by measuring containment:
+
+        containment = (n_lhs − n_missing) / n_lhs
+        holds       = (n_missing = 0)
+
+    NULLs are exempt on both sides (SQL IND semantics, as in L343).
+    ``sample_missing`` is the lexically-smallest missing value as a
+    string — a deterministic, collectible witness (the L343 sample
+    discipline).  Column pairs must be same-typed (engine-dependent
+    implicit coercions are REFUSED — cast explicitly upstream);
+    ``pairs`` is bounded by ``max_pairs`` (each pair costs a distinct
+    + an anti join — a bounded audit, not an unbounded n² sweep).
+
+    Scale shape: per pair, distinct-shrink BOTH sides first (the
+    anti join runs on the distinct value sets, which are the small
+    relations), then one anti join; pairs are independent jobs.
+
+    No reference counterpart; data-quality analytics per SURVEY §2.11
+    (composes with L343 fk_orphans and L103 profile_table)."""
+    if not pairs:
+        raise ValueError("inclusion_audit: pairs must be non-empty")
+    if len(pairs) > max_pairs:
+        raise ValueError(
+            f"inclusion_audit: {len(pairs)} pairs > max_pairs="
+            f"{max_pairs} — audit in bounded batches"
+        )
+    ltypes = dict(left.dtypes)
+    rtypes = dict(right.dtypes)
+    out = None
+    for lhs, rhs in pairs:
+        if ltypes[lhs] != rtypes[rhs]:
+            raise ValueError(
+                f"inclusion_audit: {lhs} ({ltypes[lhs]}) and {rhs} "
+                f"({rtypes[rhs]}) differ in type — cast explicitly "
+                "(implicit coercion is engine-dependent)"
+            )
+        dl = (
+            left.filter(F.col(lhs).isNotNull())
+            .select(F.col(lhs).alias("_v"))
+            .distinct()
+        )
+        dr = (
+            right.filter(F.col(rhs).isNotNull())
+            .select(F.col(rhs).alias("_v"))
+            .distinct()
+        )
+        missing = dl.join(dr, "_v", "left_anti")
+        a = dl.agg(F.count(F.lit(1)).alias("n_lhs"))
+        b = missing.agg(
+            F.count(F.lit(1)).alias("n_missing"),
+            F.min(F.col("_v").cast("string")).alias("sample_missing"),
+        )
+        row = a.crossJoin(b).select(
+            F.lit(lhs).alias("lhs_col"),
+            F.lit(rhs).alias("rhs_col"),
+            F.col("n_lhs"),
+            F.col("n_missing"),
+            F.when(
+                F.col("n_lhs") > 0,
+                (F.col("n_lhs") - F.col("n_missing")).cast("double")
+                / F.col("n_lhs").cast("double"),
+            ).alias("containment"),
+            (F.col("n_missing") == 0).alias("holds"),
+            F.col("sample_missing"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def candidate_keys(
+    df: DataFrame,
+    candidates: list[list[str]],
+    max_candidates: int = 64,
+) -> DataFrame:
+    """Candidate-key audit (L386): ``(key_cols, n_rows, n_null_rows,
+    n_distinct, n_dup_groups, max_group_rows, uniqueness, is_key)`` —
+    for each candidate column COMBINATION, is it a key?  The combo-
+    level question L103's per-column distinct counts can't answer
+    (two 99%-unique columns may or may not be unique together), and
+    the discovery complement of L344's FD check:
+
+        uniqueness = n_distinct / (n_rows − n_null_rows)
+        is_key     = no NULLs anywhere AND every group has one row
+
+    SQL key semantics: a row with ANY NULL in the combo disqualifies
+    it as a key row (counted in ``n_null_rows``, excluded from the
+    uniqueness ratio — NULLs can't be PRIMARY KEY values).  All
+    counts are exact; ``uniqueness`` is one division (NULL when no
+    non-NULL rows).  ``candidates`` is bounded by ``max_candidates``
+    (each costs one keyed shuffle — a bounded audit, not the 2^k
+    lattice sweep; callers walk the lattice level by level).
+
+    Scale shape: per candidate, ONE combinable groupBy on the combo
+    followed by a tiny aggregate-of-groups; candidates are
+    independent jobs over one cached scan.
+
+    No reference counterpart; data-quality analytics per SURVEY
+    §2.11."""
+    if not candidates:
+        raise ValueError("candidate_keys: candidates must be non-empty")
+    if len(candidates) > max_candidates:
+        raise ValueError(
+            f"candidate_keys: {len(candidates)} candidates > "
+            f"max_candidates={max_candidates} — audit level by level"
+        )
+    out = None
+    for combo in candidates:
+        if not combo:
+            raise ValueError("candidate_keys: empty column combo")
+        has_null = None
+        for c in combo:
+            t = F.col(c).isNull()
+            has_null = t if has_null is None else (has_null | t)
+        grouped = df.groupBy(*combo).agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.max(has_null.cast("int")).alias("_isnull"),
+        )
+        nn = F.col("_isnull") == 0
+        row = grouped.agg(
+            F.sum("_cnt").alias("n_rows"),
+            F.sum(F.when(~nn, F.col("_cnt")).otherwise(F.lit(0))).alias(
+                "n_null_rows"
+            ),
+            F.sum(F.when(nn, F.lit(1)).otherwise(F.lit(0))).alias(
+                "n_distinct"
+            ),
+            F.sum(
+                F.when(nn & (F.col("_cnt") >= 2), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_dup_groups"),
+            F.max(F.when(nn, F.col("_cnt"))).alias("max_group_rows"),
+        ).select(
+            F.lit(",".join(combo)).alias("key_cols"),
+            "n_rows",
+            "n_null_rows",
+            "n_distinct",
+            "n_dup_groups",
+            "max_group_rows",
+            F.when(
+                (F.col("n_rows") - F.col("n_null_rows")) > 0,
+                F.col("n_distinct").cast("double")
+                / (F.col("n_rows") - F.col("n_null_rows")).cast(
+                    "double"
+                ),
+            ).alias("uniqueness"),
+            (
+                (F.col("n_null_rows") == 0)
+                & (F.col("n_distinct") == F.col("n_rows"))
+            ).alias("is_key"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
