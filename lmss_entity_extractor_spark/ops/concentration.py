@@ -730,3 +730,89 @@ def gini_jackknife(
             F.sqrt((nd - F.lit(1.0)) / nd * ssq),
         ).alias("se_jack"),
     )
+
+
+def abc_classification(
+    df: DataFrame,
+    by: list[str],
+    item_cols: list[str],
+    value_col: str,
+    a_share: str = "0.80",
+    b_share: str = "0.95",
+    scale: int = 2,
+) -> DataFrame:
+    """ABC / Pareto classification (L387): ``(by..., item_cols...,
+    value, rank, cum_value, cum_share, abc_class)`` — rank items by
+    value within each group and classify them A/B/C by cumulative
+    value share (inventory analysis, revenue concentration — the
+    actionable per-item companion to the scalar Gini L150).
+
+    Convention (pinned): items sort by (value DESC, item_cols ASC) —
+    a total order whenever item_cols are distinct per group (equal
+    full rows may swap ranks, but then the output multiset is
+    unchanged).  An item's class is decided by the cumulative share
+    STRICTLY BEFORE it (prev = cum − value):
+
+        prev < a_share·total  → A     (the first item is always A)
+        prev < b_share·total  → B
+        else                  → C
+
+    so the item that CROSSES a boundary still belongs to the richer
+    class.  The boundary comparison runs ENTIRELY in decimal —
+    thresholds are decimal STRINGS multiplied exactly into the total
+    (the L173 discipline), so class membership cannot knife-edge on
+    an IEEE cumulative share across engines.  ``cum_share`` is the
+    one IEEE division per row.  Negative values are REFUSED (shares
+    would be non-monotone); zero total → NULL share and class.
+
+    Scale shape: one keyed exchange (window sort on the group), a
+    window cumulative sum riding the same sort, one tiny grouped
+    total joined back via the window's partition — a 100 TB fact
+    table is shuffled once by group.
+
+    No reference counterpart; analytics per SURVEY §2.11."""
+    from decimal import Decimal
+
+    ta, tb = Decimal(a_share), Decimal(b_share)
+    if not (Decimal(0) < ta <= tb < Decimal(1)):
+        raise ValueError(
+            f"abc_classification: need 0 < a_share <= b_share < 1, "
+            f"got {a_share!r}, {b_share!r}"
+        )
+    dec = f"decimal(18,{scale})"
+    x = F.col(value_col).cast(dec)
+    flt = df.filter(F.col(value_col).isNotNull()).select(
+        *by, *item_cols, x.alias("_x")
+    )
+    n_neg = flt.filter(F.col("_x") < 0).count()
+    if n_neg:
+        raise ValueError(
+            f"abc_classification: {n_neg} negative value(s) in "
+            f"{value_col!r} — cumulative share would be non-monotone"
+        )
+    order = [F.col("_x").desc()] + [F.col(c).asc() for c in item_cols]
+    w = Window.partitionBy(*by).orderBy(*order)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy(*by)
+    cum = F.sum("_x").over(wc)
+    total = F.sum("_x").over(wt)
+    prev = cum - F.col("_x")
+    # decimal(5,4) × decimal(28,s): exact product, exact compare
+    lim_a = F.lit(str(ta)).cast("decimal(5,4)") * total
+    lim_b = F.lit(str(tb)).cast("decimal(5,4)") * total
+    return flt.select(
+        *by,
+        *item_cols,
+        F.col("_x").alias("value"),
+        F.row_number().over(w).alias("rank"),
+        cum.alias("cum_value"),
+        F.when(
+            total != F.lit(0).cast(dec),
+            cum.cast("double") / total.cast("double"),
+        ).alias("cum_share"),
+        F.when(total == F.lit(0).cast(dec), F.lit(None).cast("string"))
+        .when(prev < lim_a, F.lit("A"))
+        .when(prev < lim_b, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )

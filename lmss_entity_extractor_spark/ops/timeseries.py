@@ -2724,3 +2724,92 @@ def ulcer_index(
         (F.col("_sa") / nd).alias("pain_index"),
         (-F.col("_mind")).alias("max_dd_pct"),
     )
+
+
+def count_dispersion(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Count-dispersion panel (L388): ``(by..., n_events, n_buckets,
+    n_active_buckets, mean_per_bucket, fano, burstiness)`` — is an
+    event stream Poisson-regular, clumped, or over-dispersed?  Events
+    are counted into fixed ``bucket_seconds`` buckets on the exact
+    integer MICROsecond grid (the L182 discipline) and the panel
+    summarizes the per-bucket count distribution over the OBSERVED
+    span (min..max bucket inclusive — interior empty buckets count as
+    zeros without ever being materialized; lead/tail emptiness is
+    unknowable and excluded, documented):
+
+        fano       = Var(c)/Mean(c) = (n·Σc² − (Σc)²) / (n·Σc)
+        burstiness = (σ−μ)/(σ+μ)    = (√D − Σc) / (√D + Σc)
+
+    with D = n·Σc² − (Σc)² — population variance, and the 1/n factors
+    cancelled ALGEBRAICALLY before any IEEE op, so fano is one
+    division over exact integers and burstiness one sqrt + one
+    division (Poisson → fano ≈ 1, B ≈ 0⁻; periodic → fano → 0,
+    B → −1; clumped → fano ≫ 1, B → 1).  A single-bucket group gets
+    fano 0 / burstiness −1 (zero variance, by the math — documented).
+    NULL timestamps and pre-epoch (negative-µs) timestamps are
+    REFUSED loudly (truncation direction differs across engines
+    below zero; a timeless event is a data bug here).
+
+    Scale shape: one combinable groupBy onto (by, bucket) then one
+    combinable groupBy onto (by) — two map-side-combinable exchanges,
+    no window, no sort; exact DECIMAL(38,0) squares, ANSI-loud on
+    overflow.
+
+    No reference counterpart; analytics per SURVEY §2.11 (completes
+    the L151 ACF / L132 Markov "stream regularity" family)."""
+    if bucket_seconds <= 0:
+        raise ValueError("count_dispersion: bucket_seconds must be > 0")
+    n_null = df.filter(F.col(ts_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"count_dispersion: {n_null} NULL timestamp(s) in "
+            f"{ts_col!r} — drop or repair first"
+        )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(*by, us.alias("_us"))
+    n_neg = base.filter(F.col("_us") < 0).count()
+    if n_neg:
+        raise ValueError(
+            f"count_dispersion: {n_neg} pre-epoch timestamp(s) in "
+            f"{ts_col!r} — integer bucket truncation is not floor "
+            "below zero"
+        )
+    w_us = bucket_seconds * 1_000_000
+    counts = base.select(
+        *by, F.expr(f"_us DIV {w_us}").alias("_b")
+    ).groupBy(*by, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    agg = counts.groupBy(*by).agg(
+        F.sum("_c").alias("_s"),
+        F.sum(
+            F.col("_c").cast("decimal(18,0)")
+            * F.col("_c").cast("decimal(18,0)")
+        ).alias("_q"),
+        F.count(F.lit(1)).alias("n_active_buckets"),
+        F.min("_b").alias("_bmin"),
+        F.max("_b").alias("_bmax"),
+    )
+    n = F.col("_bmax") - F.col("_bmin") + F.lit(1)
+    nd = n.cast("decimal(19,0)")
+    s_dec = F.col("_s").cast("decimal(19,0)")
+    d = nd.cast("decimal(38,0)") * F.col("_q").cast("decimal(38,0)") - (
+        s_dec.cast("decimal(38,0)") * s_dec.cast("decimal(38,0)")
+    )
+    sqrt_d = F.sqrt(d.cast("double"))
+    s_dbl = F.col("_s").cast("double")
+    return agg.select(
+        *by,
+        F.col("_s").alias("n_events"),
+        n.alias("n_buckets"),
+        "n_active_buckets",
+        (s_dbl / n.cast("double")).alias("mean_per_bucket"),
+        (
+            d.cast("double")
+            / (nd * s_dec).cast("double")
+        ).alias("fano"),
+        ((sqrt_d - s_dbl) / (sqrt_d + s_dbl)).alias("burstiness"),
+    )
