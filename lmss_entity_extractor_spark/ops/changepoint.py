@@ -284,3 +284,120 @@ def cusum_squares(
             * F.col("_ad")
         ).alias("stat"),
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    delta: float = 0.0,
+    lam: float = 50.0,
+    max_len: int = 10_000,
+) -> DataFrame:
+    """Page-Hinkley sequential drift detector (L394): ``(by..., n,
+    mean, ph_inc, t_inc, detect_inc, ph_dec, t_dec, detect_dec)`` —
+    the STREAMING member of the changepoint family (CUSUM L154 needs
+    a known target mean, Pettitt L222 scans retrospectively; Page-
+    Hinkley tracks deviation from the RUNNING mean and alarms the
+    moment it drifts — the online-ML drift test, Page 1954 / Hinkley
+    1971, the Gama-ML convention):
+
+        x̄ₜ = x̄ₜ₋₁ + (xₜ − x̄ₜ₋₁)/t          (incremental mean)
+        mₜ = mₜ₋₁ + (xₜ − x̄ₜ − δ)            (increase side)
+        PHₜ = mₜ − min_{s≤t} mₛ ;  alarm when PHₜ > λ
+
+    and symmetrically m′ₜ += (x̄ₜ − xₜ − δ) for decreases.  m₀ =
+    min₀ = 0 (pinned convention — the running minimum includes the
+    empty prefix).  The whole scan is ONE sequential struct fold per
+    key carrying (mean, m, min, ph, t_alarm) for both sides — the
+    L347/L371 accumulator discipline — over the max_len-bounded
+    sorted series (the L180 contract); ``t_inc``/``t_dec`` are the
+    FIRST alarm indices (1-based, NULL when never), ``ph_*`` the
+    maximum excursions.  δ ≥ 0 desensitizes, λ > 0 is the alarm
+    bar; both are pinned literals so the IEEE tree is identical
+    across engines.  NULLs and duplicate order keys REFUSED (fold
+    order would be nondeterministic).
+
+    Scale shape: one (keys) groupBy packing the bounded series + one
+    in-array fold; keys parallelize — 100 TB of telemetry is many
+    monitored series, never one giant one.
+
+    No reference counterpart; analytics per SURVEY §2.11."""
+    if float(lam) <= 0.0:
+        raise ValueError("page_hinkley: lam must be > 0")
+    if float(delta) < 0.0:
+        raise ValueError("page_hinkley: delta must be >= 0")
+    from .trend import _packed
+
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(f"page_hinkley: {n_null} NULL value(s)")
+    dups = (
+        df.groupBy(*by, order_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dups:
+        raise ValueError(f"page_hinkley: {dups} duplicate order key(s)")
+    packed = _packed(df, by, order_col, value_col, max_len)
+    xs = F.transform(F.col("_a"), lambda s: s["_x"])
+    staged = packed.select(*by, xs.alias("_xs"))
+    n = F.size(F.col("_xs"))
+    dl = F.lit(float(delta))
+    lm = F.lit(float(lam))
+    init = F.struct(
+        F.lit(0.0).alias("mean"),
+        F.lit(0.0).alias("mi"),
+        F.lit(0.0).alias("mni"),
+        F.lit(0.0).alias("pi"),
+        F.lit(None).cast("bigint").alias("ti"),
+        F.lit(0.0).alias("md"),
+        F.lit(0.0).alias("mnd"),
+        F.lit(0.0).alias("pd"),
+        F.lit(None).cast("bigint").alias("td"),
+    )
+
+    def step(acc, t):
+        x = F.element_at(F.col("_xs"), t)
+        td_ = t.cast("double")
+        mean2 = acc["mean"] + (x - acc["mean"]) / td_
+        mi2 = acc["mi"] + (x - mean2 - dl)
+        mni2 = F.least(acc["mni"], mi2)
+        ei = mi2 - mni2
+        pi2 = F.greatest(acc["pi"], ei)
+        ti2 = F.when(
+            acc["ti"].isNull() & (ei > lm), t.cast("bigint")
+        ).otherwise(acc["ti"])
+        md2 = acc["md"] + (mean2 - x - dl)
+        mnd2 = F.least(acc["mnd"], md2)
+        ed = md2 - mnd2
+        pd2 = F.greatest(acc["pd"], ed)
+        td2 = F.when(
+            acc["td"].isNull() & (ed > lm), t.cast("bigint")
+        ).otherwise(acc["td"])
+        return F.struct(
+            mean2.alias("mean"),
+            mi2.alias("mi"),
+            mni2.alias("mni"),
+            pi2.alias("pi"),
+            ti2.alias("ti"),
+            md2.alias("md"),
+            mnd2.alias("mnd"),
+            pd2.alias("pd"),
+            td2.alias("td"),
+        )
+
+    acc = F.aggregate(F.sequence(F.lit(1), n), init, step)
+    return staged.select(
+        *by,
+        n.alias("n"),
+        acc["mean"].alias("mean"),
+        acc["pi"].alias("ph_inc"),
+        acc["ti"].alias("t_inc"),
+        acc["ti"].isNotNull().alias("detect_inc"),
+        acc["pd"].alias("ph_dec"),
+        acc["td"].alias("t_dec"),
+        acc["td"].isNotNull().alias("detect_dec"),
+    )

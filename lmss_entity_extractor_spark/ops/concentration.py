@@ -816,3 +816,98 @@ def abc_classification(
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+def newey_west(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+    max_lag: int,
+    scale: int = 2,
+) -> DataFrame:
+    """Newey-West HAC mean inference (L393): ``(by..., n, mean,
+    var_iid, se_iid, lrv, se_hac)`` — the autocorrelation-robust
+    standard error of a per-key mean (Newey & West 1987, Bartlett
+    kernel).  The iid se of a telemetry/financial mean is a LIE under
+    serial dependence; the long-run variance repairs it:
+
+        LRV = γ₀ + 2·Σ_{h=1..L} (1 − h/(L+1))·γ_h
+        se_hac = √(LRV/n)        vs        se_iid = √(s²/n)
+
+    Rides the L151 exact machinery VERBATIM: centred values
+    cₜ = n·xₜ − S (exact decimal), so γ_h = G_h/n³ with
+    G_h = Σ cₜcₜ₋ₕ an exact decimal sum — every lag from ONE keyed
+    window sort, LRV as one fixed IEEE tree with the Bartlett weights
+    as pinned literals folded in ascending-h order.  NULL values are
+    REFUSED (they would shift the lag lattice — the L151 rule);
+    n < max_lag+2 → NULL lrv/se_hac (the kernel needs every lag
+    populated twice); n < 2 → NULL var_iid/se_iid.  A negative LRV
+    estimate (possible for finite samples despite Bartlett's psd
+    guarantee being asymptotic in tandem with truncation) is clamped
+    via √max(0, ·) with the clamp documented — se 0, not NaN.
+
+    Scale shape: identical to L151 — one combinable (n, S) agg, one
+    broadcast join back, ONE keyed window computing all L lags in a
+    single sort, one combinable agg.
+
+    No reference counterpart; analytics per SURVEY §2.11 (completes
+    L151 ACF → L353 AR(1) → L393 robust-inference chain)."""
+    if max_lag < 1:
+        raise ValueError("newey_west: max_lag must be >= 1")
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"newey_west: {n_null} NULL value(s) in {value_col!r} — "
+            "drop or impute first; silently skipping rows would "
+            "shift lags"
+        )
+    dec = f"decimal(18,{scale})"
+    base = df.select(
+        *by,
+        *[c for c in order_cols if c not in by],
+        F.col(value_col).cast(dec).alias("_x"),
+    )
+    stats = base.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_x").alias("_s")
+    )
+    joined = base.join(F.broadcast(stats), by)
+    c = (
+        F.col("_n").cast(_DEC) * F.col("_x").cast(_DEC)
+        - F.col("_s").cast(_DEC)
+    ).alias("_c")
+    w = Window.partitionBy(*by).orderBy(*[F.col(c_) for c_ in order_cols])
+    centred = joined.select(*by, "_n", "_s", *order_cols, c)
+    lag_cols = [
+        F.lag("_c", h).over(w).alias(f"_l{h}")
+        for h in range(1, max_lag + 1)
+    ]
+    lagged = centred.select(*by, "_n", "_s", "_c", *lag_cols)
+    aggs = [F.sum(F.col("_c") * F.col("_c")).alias("_g0")] + [
+        F.sum(F.col("_c") * F.col(f"_l{h}")).alias(f"_g{h}")
+        for h in range(1, max_lag + 1)
+    ]
+    per_key = lagged.groupBy(*by, "_n", "_s").agg(*aggs)
+    nd = F.col("_n").cast("double")
+    g0 = F.col("_g0").cast("double")
+    bart = None
+    for h in range(1, max_lag + 1):
+        term = F.lit(1.0 - h / (max_lag + 1.0)) * F.col(f"_g{h}").cast(
+            "double"
+        )
+        bart = term if bart is None else bart + term
+    lrv = (g0 + F.lit(2.0) * bart) / (nd * nd * nd)
+    var_iid = g0 / (nd * nd * (nd - F.lit(1.0)))
+    ok_hac = F.col("_n") >= max_lag + 2
+    ok_iid = F.col("_n") >= 2
+    return per_key.select(
+        *by,
+        F.col("_n").alias("n"),
+        (F.col("_s").cast("double") / nd).alias("mean"),
+        F.when(ok_iid, var_iid).alias("var_iid"),
+        F.when(ok_iid, F.sqrt(var_iid / nd)).alias("se_iid"),
+        F.when(ok_hac, lrv).alias("lrv"),
+        F.when(
+            ok_hac, F.sqrt(F.greatest(F.lit(0.0), lrv) / nd)
+        ).alias("se_hac"),
+    )
