@@ -368,3 +368,96 @@ def theils_u(
             "u_xy"
         ),
     )
+
+
+def overlap_panel(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    sample_a: str,
+    sample_b: str,
+    value_col: str,
+) -> DataFrame:
+    """Categorical overlap panel (L398): ``(by..., n_a, n_b, tv,
+    intersection, bray_curtis)`` — the EXACT-arithmetic members
+    completing the two-sample divergence family (PSI L131 and JSD
+    L153 need logs, Hellinger L248 needs square roots — their sums
+    ride bounded folds; these three are pure integer identities):
+
+        TV           = Σ_v |a_v·N_b − b_v·N_a| / (2·N_a·N_b)
+        intersection = Σ_v min(a_v·N_b, b_v·N_a) / (N_a·N_b)
+        Bray-Curtis  = (N_a + N_b − 2·Σ_v min(a_v, b_v)) / (N_a + N_b)
+
+    Every numerator term is an exact DECIMAL integer on the common
+    denominator, so each statistic is ONE IEEE division —
+    bit-identical, ungridded, and (unlike the L248 fold) the cell sum
+    is ORDER-FREE and map-side combinable: no bounded-category
+    contract, the value domain can be billions of cells.  The
+    identity intersection = 1 − TV (probability vectors) is pinned by
+    test, both conventions emitted because both are quoted in
+    practice (drift dashboards vs histogram-matching literature);
+    Bray-Curtis is the ecology/composition standard on RAW counts
+    (size-sensitive — documented difference from the normalized two).
+    Empty side → NULL tv/intersection; both empty → NULL all.
+
+    Scale shape: one (keys, value, group) cell groupBy, one tiny
+    totals agg joined back by key, one combinable agg — two keyed
+    exchanges, no window, no collect.
+
+    No reference counterpart; drift analytics per SURVEY §2.11."""
+    flt = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([sample_a, sample_b])
+    )
+    pts = flt.groupBy(
+        *by, F.col(value_col).alias("_v"), F.col(group_col).alias("_g")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    vals = pts.groupBy(*by, "_v").agg(
+        F.sum(
+            F.when(F.col("_g") == sample_a, F.col("_c")).otherwise(0)
+        ).alias("_a"),
+        F.sum(
+            F.when(F.col("_g") == sample_b, F.col("_c")).otherwise(0)
+        ).alias("_b"),
+    )
+    totals = vals.groupBy(*by).agg(
+        F.sum("_a").alias("n_a"), F.sum("_b").alias("n_b")
+    )
+    joined = (
+        vals.join(totals, list(by))
+        if by
+        else vals.crossJoin(F.broadcast(totals))
+    )
+    dec = "decimal(19,0)"
+    a, b = F.col("_a").cast(dec), F.col("_b").cast(dec)
+    na, nb = F.col("n_a").cast(dec), F.col("n_b").cast(dec)
+    agg = joined.groupBy(*by, "n_a", "n_b").agg(
+        F.sum(F.abs(a * nb - b * na)).alias("_tvn"),
+        F.sum(F.least(a * nb, b * na)).alias("_inn"),
+        F.sum(F.least(F.col("_a"), F.col("_b"))).alias("_minn"),
+    )
+    na2, nb2 = F.col("n_a").cast(dec), F.col("n_b").cast(dec)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    some = (F.col("n_a") + F.col("n_b")) > 0
+    return agg.select(
+        *by,
+        "n_a",
+        "n_b",
+        F.when(
+            ok,
+            F.col("_tvn").cast("double")
+            / (F.lit(2).cast(dec) * na2 * nb2).cast("double"),
+        ).alias("tv"),
+        F.when(
+            ok,
+            F.col("_inn").cast("double") / (na2 * nb2).cast("double"),
+        ).alias("intersection"),
+        F.when(
+            some,
+            (
+                F.col("n_a") + F.col("n_b")
+                - F.lit(2) * F.col("_minn")
+            ).cast("double")
+            / (F.col("n_a") + F.col("n_b")).cast("double"),
+        ).alias("bray_curtis"),
+    )

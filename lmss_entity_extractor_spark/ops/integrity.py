@@ -357,3 +357,125 @@ def candidate_keys(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def checksum_audit(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    scheme: str = "luhn",
+    sample: int = 5,
+) -> DataFrame:
+    """Checksum-validation audit (L397): ``(by..., n, n_null,
+    n_malformed, n_valid, n_invalid, valid_rate, sample_invalid)`` —
+    do identifier columns carry their own integrity proof?  Card
+    numbers, IMEIs, national IDs (Luhn mod-10) and ISO 7064
+    MOD 97-10 reference numbers validate algorithmically; a rising
+    invalid rate is a pipeline-corruption alarm no FK join (L343)
+    can see.  Schemes (pinned):
+
+      ``luhn``   — after stripping spaces and dashes the value must
+                   be all digits, length ≥ 2 (else MALFORMED); from
+                   the RIGHT, every second digit doubles with digit
+                   sum (2d − 9 when 2d > 9); valid ⇔ total % 10 = 0.
+      ``mod97``  — digits-only, length ≥ 3; the running fold
+                   acc = (acc·10 + d) mod 97 over the string left to
+                   right; valid ⇔ acc = 1 (ISO 7064 MOD 97-10 pure
+                   form; IBAN's letter substitution is upstream
+                   normalization, documented out of scope).
+
+    Both checks run INSIDE the row as a bounded fold over the
+    character positions (JVM higher-order functions, no UDF, zero
+    shuffle before one combinable agg).  NULLs count separately
+    (``n_null``); ``valid_rate`` = n_valid/(n_valid+n_invalid) — the
+    one IEEE division, NULL when no well-formed rows.
+    ``sample_invalid`` is the ``sample`` lexically-smallest invalid
+    values (the L343 bounded witness discipline; malformed included).
+
+    Scale shape: one narrow projection + one combinable groupBy.
+
+    No reference counterpart; data-quality analytics per SURVEY
+    §2.11 (completes L343/L344/L345/L385/L386)."""
+    if scheme not in ("luhn", "mod97"):
+        raise ValueError(f"checksum_audit: unknown scheme {scheme!r}")
+    if sample < 0:
+        raise ValueError("checksum_audit: sample must be >= 0")
+    raw = F.col(value_col).cast("string")
+    s = F.regexp_replace(raw, r"[ -]", "")
+    n_ = F.length(s)
+    min_len = 2 if scheme == "luhn" else 3
+    well = raw.isNotNull() & s.rlike(r"^[0-9]+$") & (n_ >= min_len)
+    # per-position digit: ascii(substr) - 48, folded over 1..len
+    if scheme == "luhn":
+        total = F.aggregate(
+            F.sequence(F.lit(1), n_),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                ((n_ - i + 1) % 2) == 0,
+                F.when(
+                    (F.ascii(F.substring(s, i, 1)) - 48) * 2 > 9,
+                    (F.ascii(F.substring(s, i, 1)) - 48) * 2 - 9,
+                ).otherwise((F.ascii(F.substring(s, i, 1)) - 48) * 2),
+            ).otherwise(F.ascii(F.substring(s, i, 1)) - 48),
+        )
+        valid = well & ((total % 10) == 0)
+    else:
+        acc97 = F.aggregate(
+            F.sequence(F.lit(1), n_),
+            F.lit(0),
+            lambda acc, i: (
+                acc * 10 + (F.ascii(F.substring(s, i, 1)) - 48)
+            ) % 97,
+        )
+        valid = well & (acc97 == 1)
+    staged = df.select(
+        *by,
+        raw.alias("_raw"),
+        well.alias("_well"),
+        F.when(raw.isNotNull() & ~well, True)
+        .otherwise(False)
+        .alias("_malformed"),
+        F.coalesce(valid, F.lit(False)).alias("_valid"),
+    )
+    agg = staged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_raw").isNull(), 1).otherwise(0)).alias(
+            "n_null"
+        ),
+        F.sum(F.when(F.col("_malformed"), 1).otherwise(0)).alias(
+            "n_malformed"
+        ),
+        F.sum(
+            F.when(F.col("_well") & F.col("_valid"), 1).otherwise(0)
+        ).alias("n_valid"),
+        F.sum(
+            F.when(F.col("_well") & ~F.col("_valid"), 1).otherwise(0)
+        ).alias("n_invalid"),
+        F.slice(
+            F.array_sort(
+                F.collect_set(
+                    F.when(
+                        F.col("_raw").isNotNull() & ~F.col("_valid"),
+                        F.col("_raw"),
+                    )
+                )
+            ),
+            1,
+            sample,
+        ).alias("sample_invalid"),
+    )
+    return agg.select(
+        *by,
+        "n",
+        "n_null",
+        "n_malformed",
+        "n_valid",
+        "n_invalid",
+        F.when(
+            (F.col("n_valid") + F.col("n_invalid")) > 0,
+            F.col("n_valid").cast("double")
+            / (F.col("n_valid") + F.col("n_invalid")).cast("double"),
+        ).alias("valid_rate"),
+        "sample_invalid",
+    )
