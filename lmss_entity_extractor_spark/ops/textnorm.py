@@ -79,3 +79,83 @@ def strip_accents(col: Column | str) -> Column:
         return s.map(one)
 
     return _strip(F.col(col) if isinstance(col, str) else col)
+
+
+def common_affix_audit(
+    df: DataFrame,
+    by: list[str],
+    text_col: str,
+    max_probe: int = 256,
+) -> DataFrame:
+    """Common-affix template audit (L400): ``(by..., n, prefix_len,
+    prefix, suffix_len, suffix)`` — do all texts in a group share a
+    boilerplate prefix/suffix (prompt templates, scraped-page chrome,
+    injected headers)?  The detector behind template stripping, next
+    to line-level boilerplate removal (L38, frequency-based; this is
+    EXACT set-level structure).
+
+    Uses the classic order-statistic identity: the longest common
+    prefix of a SET of strings equals the LCP of its lexicographic
+    MINIMUM and MAXIMUM alone — so the whole group collapses to two
+    ``min``/``max`` aggregations (combinable, one exchange) and ONE
+    bounded in-row character fold comparing them; suffixes ride the
+    same identity on the reversed strings.  No sort, no collect, no
+    pairwise anything — 100 TB of documents is one combinable agg.
+
+    The per-row compare fold is bounded by ``max_probe`` characters —
+    a reported affix longer than ``max_probe`` is reported AT
+    ``max_probe`` (truncation is explicit in the contract: this is a
+    template DETECTOR, not a lossless extractor).  NULL texts are
+    REFUSED (a missing document is a bug, not an empty template);
+    single-text groups report the (truncated) text itself as both
+    affixes — the degenerate case, documented.
+
+    No reference counterpart; text-curation analytics per SURVEY
+    §2.11."""
+    if max_probe < 1:
+        raise ValueError("common_affix_audit: max_probe must be >= 1")
+    n_null = df.filter(F.col(text_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"common_affix_audit: {n_null} NULL text(s) — a missing "
+            "document is a bug, not an empty template"
+        )
+    t = F.col(text_col)
+    agg = df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(t).alias("_lo"),
+        F.max(t).alias("_hi"),
+        F.min(F.reverse(t)).alias("_rlo"),
+        F.max(F.reverse(t)).alias("_rhi"),
+    )
+
+    def lcp_len(a, b):
+        bound = F.least(
+            F.least(F.length(a), F.length(b)), F.lit(max_probe)
+        )
+        # fold: count the run of equal leading chars; -1 marks a
+        # mismatch already seen (the run is over)
+        run = F.aggregate(
+            F.when(bound >= 1, F.sequence(F.lit(1), bound)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            F.lit(0),
+            lambda acc, i: F.when(acc < 0, acc).otherwise(
+                F.when(
+                    a.substr(i, F.lit(1)) == b.substr(i, F.lit(1)),
+                    acc + 1,
+                ).otherwise(-acc - 1)
+            ),
+        )
+        return F.when(run < 0, -run - 1).otherwise(run)
+
+    plen = lcp_len(F.col("_lo"), F.col("_hi"))
+    slen = lcp_len(F.col("_rlo"), F.col("_rhi"))
+    return agg.select(
+        *by,
+        "n",
+        plen.alias("prefix_len"),
+        F.col("_lo").substr(F.lit(1), plen).alias("prefix"),
+        slen.alias("suffix_len"),
+        F.reverse(F.col("_rlo").substr(F.lit(1), slen)).alias("suffix"),
+    )
