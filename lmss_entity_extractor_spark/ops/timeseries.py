@@ -2813,3 +2813,173 @@ def count_dispersion(
         ).alias("fano"),
         ((sqrt_d - s_dbl) / (sqrt_d + s_dbl)).alias("burstiness"),
     )
+
+
+def crps_ensemble(
+    df: DataFrame,
+    by: list[str],
+    case_col: str,
+    member_col: str,
+    obs_col: str,
+    scale: int = 2,
+    max_members: int = 1024,
+) -> DataFrame:
+    """CRPS for ensemble forecasts (L401): ``(by..., n_cases,
+    m_min, m_max, mean_crps, mean_mae)`` — the PROBABILISTIC forecast
+    score completing the point-forecast family (MAE/RMSE/WAPE/MASE
+    L206, pinball L286 scores one quantile; CRPS scores the whole
+    predictive distribution, Gneiting & Raftery 2007 sample form):
+
+        CRPS = (1/m)Σᵢ|xᵢ−y| − (1/2m²)ΣᵢΣⱼ|xᵢ−xⱼ|
+
+    per case (ensemble members xᵢ, observation y).  The double sum
+    collapses by the sorted-rank identity Σᵢ<ⱼ(xⱼ−xᵢ) =
+    Σᵢ(2i−1−m)·xᵢ — so the whole statistic is TWO exact decimal sums
+    per case (one rank window; ties are safe — tied values get
+    interchangeable weights whose total is order-free) and ONE
+    division: crps_case = (m·A − B)/m² with A = Σ|x−y|, B the rank
+    sum, all exact.  NO pair lattice, NO collect — fully relational,
+    a 100 TB ensemble table takes one window + two combinable aggs.
+
+    The group mean over cases is the macro convention: per-case
+    scores are quantized half-up onto the 1e-9 grid and summed as
+    exact decimals (ragged ensemble sizes make a common denominator
+    impossible — the grid IS the contract, the L390 discipline).
+    ``mean_mae`` (= mean A/m, the implied deterministic-forecast
+    score; CRPS ≤ MAE always) rides along for the sharpness gap.
+
+    Refusals: NULL members/observations; an observation that VARIES
+    within a case (a broken join, not an ensemble); ensembles wider
+    than ``max_members``.
+
+    No reference counterpart; forecast-eval analytics per SURVEY
+    §2.11."""
+    dec = f"decimal(18,{scale})"
+    n_null = df.filter(
+        F.col(member_col).isNull() | F.col(obs_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"crps_ensemble: {n_null} NULL member/observation row(s)"
+        )
+    base = df.select(
+        *by,
+        F.col(case_col).alias("_case"),
+        F.col(member_col).cast(dec).alias("_x"),
+        F.col(obs_col).cast(dec).alias("_y"),
+    )
+    chk = base.groupBy(*by, "_case").agg(
+        F.countDistinct("_y").alias("_ny"),
+        F.count(F.lit(1)).alias("_m"),
+    )
+    multi = chk.filter(F.col("_ny") > 1).count()
+    if multi:
+        raise ValueError(
+            f"crps_ensemble: {multi} case(s) with a non-constant "
+            "observation — that is a broken join, not an ensemble"
+        )
+    wide = chk.filter(F.col("_m") > max_members).count()
+    if wide:
+        raise ValueError(
+            f"crps_ensemble: {wide} case(s) wider than max_members="
+            f"{max_members}"
+        )
+    w = Window.partitionBy(*by, "_case").orderBy("_x")
+    wd = "decimal(38,6)"
+    ranked = base.withColumn("_i", F.row_number().over(w)).withColumn(
+        "_mc", F.count(F.lit(1)).over(Window.partitionBy(*by, "_case"))
+    )
+    per_case = ranked.groupBy(*by, "_case").agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum(F.abs(F.col("_x") - F.col("_y"))).alias("_a"),
+        F.sum(
+            (F.lit(2) * F.col("_i") - F.lit(1) - F.col("_mc")).cast(wd)
+            * F.col("_x").cast(wd)
+        ).alias("_b"),
+    )
+    md = F.col("_m").cast("double")
+    crps = (
+        (F.col("_m").cast(wd) * F.col("_a").cast(wd)).cast("double")
+        - F.col("_b").cast("double")
+    ) / (md * md)
+    mae = F.col("_a").cast("double") / md
+    q = lambda t: F.floor(t * F.lit(1e9) + F.lit(0.5)).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    agg = per_case.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_cases"),
+        F.min("_m").alias("m_min"),
+        F.max("_m").alias("m_max"),
+        F.sum(q(crps)).alias("_qc"),
+        F.sum(q(mae)).alias("_qm"),
+    )
+    nd = F.col("n_cases").cast("double")
+    return agg.select(
+        *by,
+        "n_cases",
+        "m_min",
+        "m_max",
+        (F.col("_qc").cast("double") / F.lit(1e9) / nd).alias(
+            "mean_crps"
+        ),
+        (F.col("_qm").cast("double") / F.lit(1e9) / nd).alias(
+            "mean_mae"
+        ),
+    )
+
+
+def diebold_mariano(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    loss_a: str,
+    loss_b: str,
+    max_lag: int,
+    scale: int = 4,
+) -> DataFrame:
+    """Diebold-Mariano forecast-comparison test (L402): ``(by..., n,
+    mean_d, se_hac, dm)`` — is forecast A genuinely better than B, or
+    is the loss gap serial-correlation noise?  (Diebold & Mariano
+    1995: the loss differential dₜ = L_Aₜ − L_Bₜ of competing
+    forecasts is itself autocorrelated — h-step-ahead errors overlap
+    — so the mean difference must be studentized by the LONG-RUN
+    variance, not the iid se.)
+
+    A pure composition: dₜ is the EXACT decimal difference of the two
+    loss columns, pushed through the L393 Newey-West machinery
+    verbatim (exact centred sums, Bartlett weights as pinned
+    literals), and DM = mean(d)/se_hac(d) — one extra division.
+    Identical forecasts (zero long-run variance) → NULL dm, not 0/0
+    (the L383 discipline).  The loss function (absolute, squared,
+    pinball...) is the CALLER's upstream column choice — the test is
+    loss-agnostic by construction.  NULL losses refused (lag
+    lattice); n < max_lag+2 → NULL se/dm.
+
+    No reference counterpart; forecast-eval analytics per SURVEY
+    §2.11 (composes L393; completes L206/L286/L401)."""
+    from .concentration import newey_west
+
+    dec = f"decimal(18,{scale})"
+    n_null = df.filter(
+        F.col(loss_a).isNull() | F.col(loss_b).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"diebold_mariano: {n_null} NULL loss row(s) — drop or "
+            "impute first; silently skipping rows would shift lags"
+        )
+    base = df.select(
+        *by,
+        *[c for c in order_cols if c not in by],
+        (F.col(loss_a).cast(dec) - F.col(loss_b).cast(dec)).alias("_d"),
+    )
+    nw = newey_west(base, by, order_cols, "_d", max_lag, scale=scale)
+    return nw.select(
+        *by,
+        "n",
+        F.col("mean").alias("mean_d"),
+        "se_hac",
+        F.when(
+            F.col("se_hac") > 0, F.col("mean") / F.col("se_hac")
+        ).alias("dm"),
+    )
