@@ -247,3 +247,91 @@ def conductance(
             min_vol > 0, cut0.cast("double") / min_vol.cast("double")
         ).alias("phi"),
     )
+
+
+def attribute_assortativity(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    attr_col: str = "attr",
+) -> DataFrame:
+    """Categorical attribute assortativity (L406): one row ``(m,
+    n_classes, r)`` — do nodes link to SAME-class nodes (Newman 2003
+    discrete mixing-matrix coefficient), the categorical sibling of
+    degree assortativity (L149) and the normalized counterpart of
+    modularity's quality view (L148 scores a PARTITION; r scores an
+    ATTRIBUTE against the random-mixing baseline, −1..1):
+
+        r = (M·Σᵢmᵢᵢ − Σᵢaᵢ·bᵢ) / (M² − Σᵢaᵢ·bᵢ)
+
+    over BOTH orientations of every edge (M = 2m directed ends; the
+    L149 convention, which makes the mixing matrix symmetric so
+    aᵢ = bᵢ), with mᵢᵢ the same-class end counts and aᵢ the class
+    margins — ALL exact DECIMAL integers from two keyed joins
+    against the node-sized attribute map plus combinable aggs, ONE
+    final division, bit-identical ungridded.  Self-loops contribute
+    two same-class ends (multigraph convention, pinned by test —
+    the L148 discipline).  Endpoints MISSING from the attribute map
+    are REFUSED loudly (a silent inner-join drop would bias r — the
+    L148 rule); perfectly assortative → r = 1 exactly; single-class
+    graphs → NULL (denominator 0: no mixing to measure).
+
+    No reference counterpart; graph analytics per SURVEY §2.11."""
+    attrs = nodes.select(
+        F.col(node_col).alias("_n"), F.col(attr_col).alias("_c")
+    )
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    both = e.unionAll(
+        e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+    )
+    n_ends = both.count()
+    paired = (
+        both.join(
+            attrs.select(
+                F.col("_n").alias("_nu"), F.col("_c").alias("_cu")
+            ),
+            F.col("_u") == F.col("_nu"),
+        )
+        .join(
+            attrs.select(
+                F.col("_n").alias("_nv"), F.col("_c").alias("_cv")
+            ),
+            F.col("_v") == F.col("_nv"),
+        )
+        .select("_cu", "_cv")
+    )
+    n_paired = paired.count()
+    if n_paired != n_ends:
+        raise ValueError(
+            f"attribute_assortativity: {n_ends - n_paired} edge "
+            "end(s) missing from the attribute map — a silent drop "
+            "would bias r; complete the map first"
+        )
+    margins = paired.groupBy(F.col("_cu").alias("_c")).agg(
+        F.count(F.lit(1)).alias("_a")
+    )
+    s = paired.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("M"),
+        F.sum(
+            F.when(F.col("_cu") == F.col("_cv"), 1).otherwise(0)
+        ).cast(_DEC).alias("_tr"),
+    )
+    ab = margins.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.col("_a").cast(_DEC) * F.col("_a").cast(_DEC)).alias(
+            "_sab"
+        ),
+    )
+    row = s.crossJoin(ab)
+    num = F.col("M") * F.col("_tr") - F.col("_sab")
+    den = F.col("M") * F.col("M") - F.col("_sab")
+    return row.select(
+        (F.col("M") / F.lit(2).cast(_DEC)).cast("long").alias("m"),
+        F.col("n_classes"),
+        F.when(
+            den != F.lit(0).cast(_DEC),
+            num.cast("double") / den.cast("double"),
+        ).alias("r"),
+    )

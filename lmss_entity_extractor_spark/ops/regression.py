@@ -1191,3 +1191,91 @@ def event_study(
         se.alias("se"),
         F.when(se.isNotNull(), eff / se).alias("t"),
     )
+
+
+def iv_wald(
+    df: DataFrame,
+    group_cols: list[str],
+    y: str,
+    x: str,
+    z: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Instrumental-variables / Wald estimator (L405):
+    ``(group_cols..., n, beta_iv, alpha_iv, first_stage_slope,
+    first_stage_f, reduced_form_slope)`` — the missing member of the
+    causal family (DiD L318 needs parallel trends, RDD L377 a
+    threshold, event-study L378 clean event timing; IV handles
+    endogenous x when an instrument z moves x but touches y ONLY
+    through x):
+
+        β_IV = Cov(z,y) / Cov(z,x)          (single-instrument 2SLS
+        α_IV = ȳ − β_IV·x̄                    = the Wald/ratio form)
+
+    computed from six exact DECIMAL sufficient statistics (the L135
+    discipline — one combinable agg, bit-identical sums), every
+    output one fixed IEEE tree.  The first stage is reported next to
+    the estimate because an IV without it is malpractice:
+    ``first_stage_slope`` = Cov(z,x)/Var(z) and ``first_stage_f`` =
+    (n−2)·R₁²/(1−R₁²) with R₁² = Cov(z,x)²/(Var(z)·Var(x)) — the
+    weak-instrument number (F < 10 folklore) made visible, plus the
+    reduced form Cov(z,y)/Var(z) so β_IV = reduced/first is
+    inspectable.  Cov(z,x) = 0 (irrelevant instrument) → NULL β/α —
+    the estimator is UNDEFINED there, not infinite.  NULL rows are
+    excluded (REGR_* semantics); n < 3 → NULL F.
+
+    No reference counterpart; causal analytics per SURVEY §2.11."""
+    dec = f"decimal(18,{scale})"
+    yd = F.col(y).cast(dec)
+    xd = F.col(x).cast(dec)
+    zd = F.col(z).cast(dec)
+    stats = (
+        df.filter(
+            F.col(y).isNotNull()
+            & F.col(x).isNotNull()
+            & F.col(z).isNotNull()
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(yd).alias("_sy"),
+            F.sum(xd).alias("_sx"),
+            F.sum(zd).alias("_sz"),
+            F.sum(zd * yd).alias("_szy"),
+            F.sum(zd * xd).alias("_szx"),
+            F.sum(zd * zd).alias("_szz"),
+            F.sum(xd * xd).alias("_sxx"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sy = F.col("_sy").cast("double")
+    sx = F.col("_sx").cast("double")
+    sz = F.col("_sz").cast("double")
+    szy = F.col("_szy").cast("double")
+    szx = F.col("_szx").cast("double")
+    szz = F.col("_szz").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    czy = n * szy - sz * sy
+    czx = n * szx - sz * sx
+    vz = n * szz - sz * sz
+    vx = n * sxx - sx * sx
+    beta = F.when(czx != F.lit(0.0), czy / czx)
+    alpha = F.when(
+        czx != F.lit(0.0), (sy - (czy / czx) * sx) / n
+    )
+    fs_slope = F.when(vz != F.lit(0.0), czx / vz)
+    denom_f = vz * vx - czx * czx
+    fs_f = F.when(
+        (F.col("n") >= 3) & (vz != F.lit(0.0)) & (denom_f > F.lit(0.0)),
+        (n - F.lit(2.0)) * (czx * czx) / denom_f,
+    )
+    rf_slope = F.when(vz != F.lit(0.0), czy / vz)
+    return stats.select(
+        *group_cols,
+        "n",
+        beta.alias("beta_iv"),
+        alpha.alias("alpha_iv"),
+        fs_slope.alias("first_stage_slope"),
+        fs_f.alias("first_stage_f"),
+        rf_slope.alias("reduced_form_slope"),
+    )
