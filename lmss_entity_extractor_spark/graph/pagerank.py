@@ -237,3 +237,90 @@ def pagerank_weighted(
             .localCheckpoint()
         )
     return state.select("node", "rank")
+
+
+def katz_centrality(
+    edges: DataFrame,
+    n_iters: int = 8,
+    alpha: str = "0.05",
+    beta: str = "1",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Katz centrality (L409): ``(node, katz)`` — attenuated path
+    counting (Katz 1953), the influence measure completing the
+    centrality family (PageRank L28 normalizes by out-degree — a hub
+    donating to millions passes little to each; Katz counts ALL
+    inbound walks damped by length, so prolific sources still
+    matter; HITS L63 is the bipartite view):
+
+        x ← β·1 + α·Aᵀx        (synchronous, x₀ = β·1)
+
+    After K fixed iterations this IS the truncated Katz sum
+    Σ_{k≤K} αᵏ·(Aᵀ)ᵏ·β1 — well-defined for ANY α (for convergence to
+    the classical fixpoint the caller keeps α < 1/λ_max; the
+    truncated-sum semantics are the contract, documented — no float
+    stopping rule, the L28 discipline).  Parallel edges each
+    contribute a walk (multigraph convention); self-loops allowed.
+
+    Unlike L28/L63 (float inflows, floor-1e6-gridded contract), the
+    whole recurrence runs in EXACT DECIMAL: α and β are decimal
+    STRINGS, each iteration deepens the true scale by α's scale, and
+    the state rides a DECIMAL(20,16) container — so the inflow sums
+    are ORDER-FREE and the result is bit-identical ungridded.  That
+    bounds the contract loudly: n_iters · scale(α) ≤ 16 and node
+    values < 10⁴ (ANSI overflow is loud, not silent).  ``katz`` is
+    emitted as the one terminal double cast.
+
+    Scale shape: identical to L28 — one keyed join + one combinable
+    sum per iteration over co-partitioned state.
+
+    No reference counterpart; graph analytics per SURVEY §2.11."""
+    from decimal import Decimal
+
+    if n_iters < 1:
+        raise ValueError("katz_centrality: n_iters must be >= 1")
+    a_dec = Decimal(alpha)
+    a_scale = max(0, -a_dec.as_tuple().exponent)
+    if n_iters * a_scale > 16:
+        raise ValueError(
+            "katz_centrality: n_iters * scale(alpha) ="
+            f" {n_iters * a_scale} > 16 — the exact-decimal "
+            "recurrence would overflow its scale; coarsen alpha or "
+            "lower n_iters"
+        )
+    cont = "decimal(20,16)"
+    a_lit = F.lit(str(a_dec)).cast(f"decimal({max(a_scale + 2, 3)},{max(a_scale, 1)})")
+    b_lit = F.lit(str(Decimal(beta))).cast(cont)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = edges.select(
+        F.col(src).alias("_u"), F.col(dst).alias("node")
+    ).localCheckpoint()
+    state = nodes.select("node", b_lit.alias("katz"))
+    for _ in range(n_iters):
+        inflow = (
+            e.join(
+                state.select(
+                    F.col("node").alias("_u"), F.col("katz").alias("_k")
+                ),
+                "_u",
+            )
+            .groupBy("node")
+            .agg(F.sum("_k").alias("_inflow"))
+        )
+        state = nodes.join(inflow, "node", "left").select(
+            "node",
+            (
+                b_lit
+                + a_lit
+                * F.coalesce(F.col("_inflow"), F.lit(0).cast(cont))
+            )
+            .cast(cont)
+            .alias("katz"),
+        )
+    return state.select("node", F.col("katz").cast("double").alias("katz"))

@@ -382,3 +382,94 @@ def robust_shape(
         F.when(iqr > 0.0, moors).alias("moors"),
         F.when(q3 + q1 > 0.0, qcv).alias("qcv"),
     )
+
+
+def qn_sn_scale(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    max_len: int = 2000,
+    scale: int = 4,
+) -> DataFrame:
+    """Qn/Sn robust scale (L410): ``(by..., n, sn, qn)`` — the
+    Rousseeuw-Croux 1993 scale estimators completing the robust
+    family (MAD needs a location and tops out at 37% Gaussian
+    efficiency; Sn/Qn are location-FREE pairwise-difference scales
+    with 50% breakdown and 58%/82% efficiency):
+
+        Sn = 1.1926 · med_i ( med_{j≠i} |xᵢ − xⱼ| )
+        Qn = 2.2219 · { |xᵢ − xⱼ| : i < j }₍ₖ₎,  k = C(h,2),
+                                                  h = ⌊n/2⌋ + 1
+
+    Absolute differences are EXACT decimals over the bounded in-row
+    pair lattice (the L161/L225/L356 ``max_len`` contract — the
+    statistics are pairwise by definition); every median uses the
+    L162 pinned convention (floored-index order statistics, even
+    counts averaged in DOUBLE), the Qn pick is one exact order
+    statistic, and the consistency constants are pinned literals in
+    the ASYMPTOTIC form (no finite-sample correction factors —
+    documented; engines agree by construction).  n < 2 → NULL both.
+    NULLs ignored.
+
+    Scale shape: one keyed collect (bounded) → in-row lattice → two
+    nested order-statistic picks; groups parallelize.
+
+    No reference counterpart; robust analytics per SURVEY §2.11."""
+    dec = f"decimal(18,{scale})"
+    flt = df.filter(F.col(value_col).isNotNull()).select(
+        *by, F.col(value_col).cast(dec).alias("_x")
+    )
+    sizes = flt.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > max_len).count()
+    if over:
+        raise ValueError(
+            f"qn_sn_scale: a group exceeds max_len={max_len} — the "
+            "statistics are pairwise; sample first"
+        )
+    packed = flt.groupBy(*by).agg(
+        F.sort_array(F.collect_list("_x")).alias("_a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    e1 = packed.select(
+        *by, "n", F.posexplode("_a").alias("_i", "_p")
+    )
+    e2 = e1.join(
+        packed.select(*by, F.posexplode("_a").alias("_j", "_q")),
+        list(by),
+    )
+
+    def _med(arr):
+        k = F.size(arr)
+        hi = F.element_at(arr, (F.floor(k / 2) + 1).cast("int"))
+        lo = F.element_at(arr, F.floor((k + 1) / 2).cast("int"))
+        return F.when(k % 2 == 1, hi).otherwise((lo + hi) / F.lit(2.0))
+
+    diff = F.abs(F.col("_p") - F.col("_q")).cast("double")
+    inner = (
+        e2.filter(F.col("_i") != F.col("_j"))
+        .groupBy(*by, "n", "_i")
+        .agg(F.sort_array(F.collect_list(diff)).alias("_d"))
+        .select(*by, "n", _med(F.col("_d")).alias("_mi"))
+    )
+    sn_df = inner.groupBy(*by, "n").agg(
+        F.sort_array(F.collect_list("_mi")).alias("_ms")
+    )
+    qn_df = (
+        e2.filter(F.col("_i") < F.col("_j"))
+        .groupBy(*by, "n")
+        .agg(F.sort_array(F.collect_list(diff)).alias("_ds"))
+    )
+    h = F.floor(F.col("n") / 2) + 1
+    kq = (h * (h - 1) / 2).cast("int")
+    joined = sn_df.join(qn_df, [*by, "n"], "full_outer")
+    return joined.select(
+        *by,
+        "n",
+        F.when(
+            F.col("n") >= 2, F.lit(1.1926) * _med(F.col("_ms"))
+        ).alias("sn"),
+        F.when(
+            F.col("n") >= 2,
+            F.lit(2.2219) * F.element_at(F.col("_ds"), kq),
+        ).alias("qn"),
+    )
