@@ -71,3 +71,85 @@ def dag_levels(
         "graph has a cycle (use graph/scc.py strongly_connected to find "
         "it) or a path longer than the bound"
     )
+
+
+def critical_path(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    scale: int = 2,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Weighted critical path / CPM early start (L411): ``(node, es,
+    critical_len)`` — the WEIGHTED sibling of L99's dag_levels
+    (level = hop count; es = longest WEIGHTED path from any source),
+    the project-/pipeline-scheduling primitive: es(n) is the earliest
+    time task n can start when every edge carries its predecessor's
+    duration, and ``critical_len`` (the global max, repeated per row)
+    is the whole schedule's length — the critical-path bound.
+
+    Same synchronous max-relaxation as L99 (one equi-join + one
+    combinable max per round, localCheckpoint, LOUD non-convergence =
+    the cycle detector), but the relaxed quantity is an EXACT
+    DECIMAL(18, scale) sum of durations — max over exact decimals is
+    ORDER-FREE, so the fixpoint is bit-identical and ungridded.
+    Negative durations are REFUSED (CPM durations; max-relaxation
+    semantics would silently become shortest-path-ish).
+
+    No reference counterpart; scheduling analytics per SURVEY §2.11.
+    """
+    dec = f"decimal(18,{scale})"
+    e = (
+        edges.filter(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            & F.col(weight).isNotNull()
+        )
+        .select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.col(weight).cast(dec).alias("w"),
+        )
+        .localCheckpoint()
+    )
+    n_neg = e.filter(F.col("w") < 0).count()
+    if n_neg:
+        raise ValueError(
+            f"critical_path: {n_neg} negative duration(s) — CPM "
+            "early-start is defined for non-negative durations"
+        )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v")))
+        .distinct()
+    )
+    es = nodes.select(
+        "node", F.lit(0).cast(dec).alias("es")
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        relaxed = (
+            e.join(es.withColumnRenamed("node", "u"), "u")
+            .select(
+                F.col("v").alias("node"),
+                (F.col("es") + F.col("w")).cast(dec).alias("es"),
+            )
+            .unionByName(es)
+            .groupBy("node")
+            .agg(F.max("es").alias("es"))
+            .localCheckpoint()
+        )
+        changed = (
+            relaxed.join(es.withColumnRenamed("es", "_old"), "node")
+            .filter(F.col("es") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        es = relaxed
+        if changed == 0:
+            top = es.agg(F.max("es").alias("critical_len"))
+            return es.crossJoin(F.broadcast(top))
+    raise RuntimeError(
+        f"critical_path did not stabilize within {max_rounds} rounds "
+        "— the graph has a cycle or a path longer than the bound"
+    )

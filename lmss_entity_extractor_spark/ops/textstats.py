@@ -400,3 +400,132 @@ def tfidf_topk(
             "rnk",
         )
     )
+
+
+def burrows_delta(
+    df: DataFrame,
+    by: list[str],
+    id_col: str,
+    text_col: str,
+    top_k: int = 30,
+) -> DataFrame:
+    """Burrows' Delta stylometric deviation (L412): ``(by..., doc,
+    n_tokens, k_eff, delta)`` — HOW FAR does each document's
+    function-word profile sit from its group's norm (Burrows 2002,
+    the authorship-attribution standard; here the per-document
+    style-outlier score for corpus curation — machine text, pasted
+    boilerplate, and off-register documents surface at high delta):
+
+        f_dw = count(w in d)/len(d)   over the group's top-k words
+        z_dw = (f_dw − μ_w)/σ_w       (population σ across the docs)
+        delta_d = (1/k_eff)·Σ_w |z_dw|
+
+    Pinned machinery: lowercase whitespace tokenization (the L389
+    contract; compose L89 upstream), top-k words by total count with
+    the (count DESC, word ASC) deterministic tiebreak, MISSING
+    (doc, word) cells materialized as true zeros via the bounded
+    docs×k lattice, and — because per-document frequencies are
+    rationals with different denominators — every f_dw and every
+    |z_dw| is quantized half-up onto the 1e-9 grid before its EXACT
+    decimal sum (the L390 macro discipline: float sums over docs or
+    words are order-dependent at scale; the grid IS the contract).
+    Zero-variance words (same frequency in every document) carry no
+    style signal and contribute 0 with ``k_eff`` reporting the words
+    that counted; k_eff = 0 → NULL delta.  NULL ids/texts refused.
+
+    Scale shape: one token explode + combinable counts, one bounded
+    top-k window, one docs×k lattice join (k bounded), two combinable
+    aggs — no collect, no pairwise-document anything.
+
+    No reference counterpart; text-curation analytics per SURVEY
+    §2.11."""
+    if top_k < 1:
+        raise ValueError("burrows_delta: top_k must be >= 1")
+    n_null = df.filter(
+        F.col(id_col).isNull() | F.col(text_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"burrows_delta: {n_null} NULL id/text row(s)"
+        )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = df.select(*by, F.col(id_col).alias("_doc"), toks.alias("_t"))
+    lens = base.select(
+        *by, "_doc", F.size("_t").alias("_len")
+    )
+    words = base.select(
+        *by, "_doc", F.explode("_t").alias("_w")
+    )
+    tf = words.groupBy(*by, "_doc", "_w").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    totals = tf.groupBy(*by, "_w").agg(F.sum("_c").alias("_tot"))
+    w_top = Window.partitionBy(*by).orderBy(
+        F.col("_tot").desc(), F.col("_w").asc()
+    )
+    topk = (
+        totals.withColumn("_r", F.row_number().over(w_top))
+        .filter(F.col("_r") <= top_k)
+        .select(*by, "_w")
+    )
+    lattice = lens.join(topk, list(by))
+    cells = lattice.join(tf, [*by, "_doc", "_w"], "left").select(
+        *by,
+        "_doc",
+        "_w",
+        "_len",
+        F.coalesce(F.col("_c"), F.lit(0)).alias("_c"),
+    )
+    dec = "decimal(38,0)"
+    q = lambda t: F.floor(t * F.lit(1e9) + F.lit(0.5)).cast(dec)  # noqa: E731
+    f_dw = F.col("_c").cast("double") / F.col("_len").cast("double")
+    scored = cells.select(
+        *by, "_doc", "_w", "_len", q(f_dw).alias("_qf")
+    )
+    stats = scored.groupBy(*by, "_w").agg(
+        F.count(F.lit(1)).alias("_nd"),
+        F.sum("_qf").alias("_s"),
+        F.sum(F.col("_qf") * F.col("_qf")).alias("_ss"),
+    )
+    nd = F.col("_nd").cast("double")
+    mu = F.col("_s").cast("double") / nd / F.lit(1e9)
+    var = (
+        nd * F.col("_ss").cast("double")
+        - F.col("_s").cast("double") * F.col("_s").cast("double")
+    ) / (nd * nd) / F.lit(1e18)
+    wstats = stats.select(
+        *by, "_w", mu.alias("_mu"), F.sqrt(var).alias("_sd")
+    )
+    joined = scored.join(wstats, [*by, "_w"])
+    z = (
+        F.col("_qf").cast("double") / F.lit(1e9) - F.col("_mu")
+    ) / F.col("_sd")
+    per_cell = joined.select(
+        *by,
+        "_doc",
+        "_len",
+        F.when(F.col("_sd") > 0, q(F.abs(z))).otherwise(
+            F.lit(0).cast(dec)
+        ).alias("_qz"),
+        F.when(F.col("_sd") > 0, 1).otherwise(0).alias("_eff"),
+    )
+    agg = per_cell.groupBy(*by, F.col("_doc").alias("doc")).agg(
+        F.max("_len").alias("n_tokens"),
+        F.sum("_eff").alias("k_eff"),
+        F.sum("_qz").alias("_sz"),
+    )
+    return agg.select(
+        *by,
+        "doc",
+        "n_tokens",
+        "k_eff",
+        F.when(
+            F.col("k_eff") > 0,
+            F.col("_sz").cast("double")
+            / F.lit(1e9)
+            / F.col("k_eff").cast("double"),
+        ).alias("delta"),
+    )
