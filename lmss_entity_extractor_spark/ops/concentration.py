@@ -911,3 +911,76 @@ def newey_west(
             ok_hac, F.sqrt(F.greatest(F.lit(0.0), lrv) / nd)
         ).alias("se_hac"),
     )
+
+
+def count_model_panel(
+    df: DataFrame,
+    by: list[str],
+    count_col: str,
+) -> DataFrame:
+    """Count-model diagnostics (L414): ``(by..., n, mean, var, nb_r,
+    nb_p, p0_obs, p0_poisson, zi_chi2)`` — the MODEL layer over the
+    L262 dispersion screen: once VMR says "overdispersed", which law
+    fits?  Negative-binomial method-of-moments
+
+        r = m²/(s² − m),   p = m/s²        (defined only when
+                                            s² > m, else NULL —
+                                            equi/underdispersed)
+
+    with sample variance s² (n−1, pinned) from exact integer sums
+    (n·Σx² − (Σx)² over DECIMAL(38,0)), and the van-den-Broek score
+    test for ZERO inflation against Poisson(m):
+
+        zi_chi2 = (n₀ − n·e^{−m})² / (n·e^{−m}(1 − e^{−m}) − n·m·e^{−2m})
+
+    — exact integer zero counts, the two e^{−m} calls the only
+    transcendentals (single final terms, the L50 caveat); a
+    non-positive test denominator → NULL (degenerate design).
+    Negative counts REFUSED; NULLs ignored; n < 2 → NULL var and
+    everything downstream.
+
+    Scale shape: ONE combinable groupBy — counts, sums, squares,
+    zeros in a single pass.
+
+    No reference counterpart; analytics per SURVEY §2.11 (composes
+    with L262 dispersion_index and L360 Poisson rate CIs)."""
+    flt = df.filter(F.col(count_col).isNotNull()).select(
+        *by, F.col(count_col).cast("long").alias("_x")
+    )
+    n_neg = flt.filter(F.col("_x") < 0).count()
+    if n_neg:
+        raise ValueError(
+            f"count_model_panel: {n_neg} negative count(s)"
+        )
+    dec = "decimal(38,0)"
+    agg = flt.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_x").cast(dec)).alias("_s"),
+        F.sum(
+            F.col("_x").cast("decimal(19,0)")
+            * F.col("_x").cast("decimal(19,0)")
+        ).alias("_ss"),
+        F.sum(F.when(F.col("_x") == 0, 1).otherwise(0)).alias("_n0"),
+    )
+    nd = F.col("n").cast("double")
+    sd_ = F.col("_s").cast("double")
+    ssd = F.col("_ss").cast("double")
+    m = sd_ / nd
+    var = (nd * ssd - sd_ * sd_) / (nd * (nd - F.lit(1.0)))
+    over = var > m
+    em = F.exp(-m)
+    n0d = F.col("_n0").cast("double")
+    zi_num = (n0d - nd * em) * (n0d - nd * em)
+    zi_den = nd * em * (F.lit(1.0) - em) - nd * m * em * em
+    ok2 = F.col("n") >= 2
+    return agg.select(
+        *by,
+        "n",
+        m.alias("mean"),
+        F.when(ok2, var).alias("var"),
+        F.when(ok2 & over, (m * m) / (var - m)).alias("nb_r"),
+        F.when(ok2 & over, m / var).alias("nb_p"),
+        (n0d / nd).alias("p0_obs"),
+        em.alias("p0_poisson"),
+        F.when(ok2 & (zi_den > 0), zi_num / zi_den).alias("zi_chi2"),
+    )

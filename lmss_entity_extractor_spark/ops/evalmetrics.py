@@ -1731,3 +1731,98 @@ def binary_confusion_panel(
             - F.lit(1.0),
         ).alias("markedness"),
     )
+
+
+def off_policy_eval(
+    df: DataFrame,
+    by: list[str],
+    prob_col: str,
+    match_col: str,
+    reward_col: str,
+    clip: float = 10.0,
+    min_prob: float = 1e-4,
+    max_abs_reward: float = 1e4,
+) -> DataFrame:
+    """Off-policy evaluation panel (L413): ``(by..., n, n_match,
+    mean_logged_reward, ips, ips_clipped, snips, ess)`` — what WOULD
+    the new policy have earned on the logged traffic (Horvitz-
+    Thompson importance weighting over bandit logs — the
+    counterfactual scoreboard for ranking/prompt/policy changes
+    evaluated without an A/B):
+
+        w        = match ? 1/p : 0      (p = logging propensity,
+                                         match = target picks the
+                                         same action)
+        IPS      = (1/n)·Σ w·r
+        IPS_clip = (1/n)·Σ min(w, clip)·r
+        SNIPS    = Σ w·r / Σ w          (self-normalized; NULL when
+                                         the policies never agree)
+        ESS      = (Σw)²/Σw²            (how many effective samples
+                                         the estimate really has)
+
+    Per-row terms are IEEE products, so each (w·r, w, w², clipped
+    forms) is quantized half-up onto the 1e-9 grid and summed as
+    EXACT decimals (the L390 discipline — a float sum over 10¹²
+    logged events is order-dependent; the grid IS the contract).
+    The grid bounds the domain loudly: propensities below
+    ``min_prob`` are REFUSED (the positivity floor every serious
+    OPE pipeline enforces anyway — a 10⁻⁶ propensity makes the
+    estimator useless variance) as are |rewards| above
+    ``max_abs_reward`` and p outside (0, 1].
+
+    Scale shape: one narrow projection + ONE combinable groupBy.
+
+    No reference counterpart; policy-eval analytics per SURVEY §2.11
+    (Horvitz-Thompson L323 is the survey twin; this is the bandit
+    form with clipping/self-normalization/ESS)."""
+    if clip <= 0:
+        raise ValueError("off_policy_eval: clip must be > 0")
+    bad = df.filter(
+        F.col(prob_col).isNull()
+        | (F.col(prob_col) < min_prob)
+        | (F.col(prob_col) > 1.0)
+        | F.col(match_col).isNull()
+        | F.col(reward_col).isNull()
+        | (F.abs(F.col(reward_col)) > max_abs_reward)
+    ).count()
+    if bad:
+        raise ValueError(
+            f"off_policy_eval: {bad} row(s) with NULLs, propensity "
+            f"outside [{min_prob}, 1], or |reward| > {max_abs_reward}"
+            " — enforce the positivity floor and reward bounds "
+            "upstream"
+        )
+    w = F.when(
+        F.col(match_col).cast("boolean"),
+        F.lit(1.0) / F.col(prob_col).cast("double"),
+    ).otherwise(F.lit(0.0))
+    wc = F.least(w, F.lit(float(clip)))
+    r = F.col(reward_col).cast("double")
+    dec = "decimal(38,0)"
+    q = lambda t: F.floor(t * F.lit(1e9) + F.lit(0.5)).cast(dec)  # noqa: E731
+    agg = df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col(match_col).cast("boolean"), 1).otherwise(0)
+        ).alias("n_match"),
+        F.sum(q(r)).alias("_qr"),
+        F.sum(q(w * r)).alias("_qwr"),
+        F.sum(q(wc * r)).alias("_qwcr"),
+        F.sum(q(w)).alias("_qw"),
+        F.sum(q(w * w)).alias("_qww"),
+    )
+    nd = F.col("n").cast("double")
+    un = lambda c: F.col(c).cast("double") / F.lit(1e9)  # noqa: E731
+    sw = un("_qw")
+    return agg.select(
+        *by,
+        "n",
+        "n_match",
+        (un("_qr") / nd).alias("mean_logged_reward"),
+        (un("_qwr") / nd).alias("ips"),
+        (un("_qwcr") / nd).alias("ips_clipped"),
+        F.when(F.col("_qw") > 0, un("_qwr") / sw).alias("snips"),
+        F.when(
+            F.col("_qww") > 0, (sw * sw) / un("_qww")
+        ).alias("ess"),
+    )
