@@ -2983,3 +2983,214 @@ def diebold_mariano(
             F.col("se_hac") > 0, F.col("mean") / F.col("se_hac")
         ).alias("dm"),
     )
+
+
+def detect_peaks(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    value_col: str,
+    scale: int = 2,
+    max_len: int = 10_000,
+) -> DataFrame:
+    """Peak detection with prominence (L415): one row per peak
+    ``(by..., t, v, prominence)`` — the telemetry/spectrum question
+    "where are the spikes and HOW BIG are they really" (a peak on a
+    rising baseline is small; prominence measures it against its own
+    saddles, the topographic convention scipy popularized):
+
+        peak: v[i] strictly greater than BOTH neighbors (plateaus
+        are not peaks — pinned; collapse duplicates upstream)
+        prominence(i) = v[i] − max(base_l, base_r), where base_side
+        is the MINIMUM between the peak and the nearest strictly
+        higher sample on that side (or the series end if none)
+
+    Values ride EXACT DECIMAL(18, scale) — every min/max/subtract in
+    the prominence walk is exact, so peaks and prominences are
+    bit-identical ungridded.  The walk is an in-row bounded fold per
+    peak (O(n) per peak against the ``max_len`` contract).  NULLs
+    and duplicate order keys REFUSED (neighbor semantics would be
+    nondeterministic).  Endpoints are never peaks.
+
+    Scale shape: one keyed collect (bounded) + in-row folds; series
+    parallelize.
+
+    No reference counterpart; analytics per SURVEY §2.11 (completes
+    the L314 drawdown / L279 turning-points family — turning points
+    COUNT direction changes; this localizes and sizes them)."""
+    dec = f"decimal(18,{scale})"
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(f"detect_peaks: {n_null} NULL value(s)")
+    dups = (
+        df.groupBy(*by, order_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dups:
+        raise ValueError(
+            f"detect_peaks: {dups} duplicate order key(s)"
+        )
+    base = df.select(
+        *by,
+        F.col(order_col).cast("double").alias("_t"),
+        F.col(value_col).cast(dec).alias("_x"),
+    )
+    sizes = base.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > max_len).count()
+    if over:
+        raise ValueError(
+            f"detect_peaks: a series exceeds max_len={max_len} — "
+            "resample first"
+        )
+    packed = base.groupBy(*by).agg(
+        F.sort_array(F.collect_list(F.struct("_t", "_x"))).alias("_a")
+    )
+    n = F.size("_a")
+    v = lambda i: F.element_at(F.col("_a"), i)["_x"]  # noqa: E731
+    t = lambda i: F.element_at(F.col("_a"), i)["_t"]  # noqa: E731
+
+    def running_min(seq_from, seq_to):
+        return F.aggregate(
+            F.sequence(seq_from, seq_to),
+            F.lit(None).cast(dec),
+            lambda acc, j: F.when(acc.isNull(), v(j)).otherwise(
+                F.least(acc, v(j))
+            ),
+        )
+
+    def peak_struct(i):
+        jl = F.aggregate(
+            F.sequence(F.lit(1), i - 1),
+            F.lit(0),
+            lambda acc, j: F.when(v(j) > v(i), F.greatest(acc, j)).otherwise(
+                acc
+            ),
+        )
+        jr = F.aggregate(
+            F.sequence(i + 1, n),
+            n + 1,
+            lambda acc, j: F.when(v(j) > v(i), F.least(acc, j)).otherwise(
+                acc
+            ),
+        )
+        base_l = running_min(jl + 1, i - 1)
+        base_r = running_min(i + 1, jr - 1)
+        prom = v(i) - F.greatest(base_l, base_r)
+        return F.struct(
+            t(i).alias("t"), v(i).alias("v"), prom.alias("prominence")
+        )
+
+    cand = F.filter(
+        F.when(n >= 3, F.sequence(F.lit(2), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: (v(i) > v(i - 1)) & (v(i) > v(i + 1)),
+    )
+    peaks = packed.select(
+        *by,
+        F.explode(F.transform(cand, peak_struct)).alias("_p"),
+    )
+    return peaks.select(
+        *by,
+        F.col("_p")["t"].alias("t"),
+        F.col("_p")["v"].alias("v"),
+        F.col("_p")["prominence"].alias("prominence"),
+    )
+
+
+def streak_panel(
+    df: DataFrame,
+    by: list[str],
+    order_cols: list[str],
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Streak panel (L416): ``(by..., n, max_inc_run, max_dec_run,
+    max_flat_run, tail_inc_run)`` — longest CONSECUTIVE runs per key
+    (growth streaks, losing streaks, stuck-sensor plateaus, plus the
+    live streak at the series end): run lengths in ROWS, so a
+    monotone stretch of k steps scores k+1; a 1-row series scores 1
+    everywhere.  The L219 runs TEST counts sign runs for randomness;
+    this panel measures the runs themselves — the dashboard number.
+
+    Pure islands arithmetic: one keyed window sort, strict
+    comparisons on EXACT DECIMAL(18, scale) values (float noise is
+    the caller's upstream rounding decision, documented), break
+    flags, running break counts as island ids, and exact integer
+    island lengths — relational end to end, bit-identical, no
+    collect, no fold.  NULL values and duplicate order keys REFUSED
+    (the lag lattice).
+
+    No reference counterpart; analytics per SURVEY §2.11."""
+    dec = f"decimal(18,{scale})"
+    n_null = df.filter(F.col(value_col).isNull()).count()
+    if n_null:
+        raise ValueError(f"streak_panel: {n_null} NULL value(s)")
+    dups = (
+        df.groupBy(*by, *order_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dups:
+        raise ValueError(f"streak_panel: {dups} duplicate order key(s)")
+    w = Window.partitionBy(*by).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x = F.col(value_col).cast(dec)
+    base = df.select(*by, *order_cols, x.alias("_x"))
+    prev = F.lag("_x").over(w)
+    flags = base.select(
+        *by,
+        *order_cols,
+        "_x",
+        F.when(prev.isNull() | ~(F.col("_x") > prev), 1)
+        .otherwise(0)
+        .alias("_bi"),
+        F.when(prev.isNull() | ~(F.col("_x") < prev), 1)
+        .otherwise(0)
+        .alias("_bd"),
+        F.when(prev.isNull() | ~(F.col("_x") == prev), 1)
+        .otherwise(0)
+        .alias("_bf"),
+    )
+    ids = flags.select(
+        *by,
+        F.sum("_bi").over(wc).alias("_gi"),
+        F.sum("_bd").over(wc).alias("_gd"),
+        F.sum("_bf").over(wc).alias("_gf"),
+    )
+    inc = (
+        ids.groupBy(*by, "_gi")
+        .agg(F.count(F.lit(1)).alias("_l"))
+        .groupBy(*by)
+        .agg(
+            F.max("_l").alias("max_inc_run"),
+            F.max_by("_l", "_gi").alias("tail_inc_run"),
+            F.sum("_l").alias("n"),
+        )
+    )
+    dec_ = (
+        ids.groupBy(*by, "_gd")
+        .agg(F.count(F.lit(1)).alias("_l"))
+        .groupBy(*by)
+        .agg(F.max("_l").alias("max_dec_run"))
+    )
+    flat = (
+        ids.groupBy(*by, "_gf")
+        .agg(F.count(F.lit(1)).alias("_l"))
+        .groupBy(*by)
+        .agg(F.max("_l").alias("max_flat_run"))
+    )
+    out = inc.join(dec_, list(by)).join(flat, list(by))
+    return out.select(
+        *by,
+        "n",
+        "max_inc_run",
+        "max_dec_run",
+        "max_flat_run",
+        "tail_inc_run",
+    )
