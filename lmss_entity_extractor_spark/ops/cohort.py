@@ -524,3 +524,287 @@ def qini_deciles(
         F.when(ok, ytd / ntd - ycd / ncd).alias("uplift"),
         F.when(ok, ytd - ycd * (ntd / ncd)).alias("qini"),
     )
+
+
+def markov_attribution(
+    df: DataFrame,
+    by: list[str],
+    journey_col: str,
+    order_col: str,
+    channel_col: str,
+    converted_col: str,
+    n_steps: int = 32,
+    max_channels: int = 32,
+    max_journey: int = 256,
+) -> DataFrame:
+    """Markov removal-effect attribution (L418): ``(by..., channel,
+    n_touches, base_p, removed_p, removal_effect, share)`` — the
+    DATA-DRIVEN attribution model completing last-touch (L123,
+    positional fiat) and multi-touch (L363, positional split): build
+    the first-order journey chain START → channels → {CONV, NULL},
+    and credit each channel by how much conversion DIES when it is
+    removed (Anderl et al. 2014):
+
+        base_p     = P(reach CONV from START)
+        removed_p  = P(... with channel c's edges redirected to NULL)
+        removal_effect = 1 − removed_p/base_p   (clamped ≥ 0)
+        share      = removal_effect / Σ removal_effects
+
+    Transition counts are exact integers (duplicate consecutive
+    channels collapse is the CALLER's modeling choice — documented);
+    probabilities are one division each; absorption runs as a FIXED
+    ``n_steps`` truncated propagation (v ← P·v with CONV = 1 — the
+    L28 no-float-stopping discipline, geometric convergence), one
+    in-row fold per removal over the (ia, ib)-indexed transition
+    array (the L407 machinery: O(1) lookups, pinned fold orders).
+    Pools are bounded loudly (``max_channels``, ``max_journey``
+    steps per journey); a journey's ``converted_col`` must be
+    constant within the journey (a broken join, refused).  Zero
+    base_p → NULL everything (no conversions to attribute).
+
+    Scale shape: one keyed window building consecutive pairs, one
+    combinable transition-count agg, then per-(by) bounded in-row
+    folds — one fold per channel, channels ≤ max_channels.
+
+    No reference counterpart; marketing analytics per SURVEY §2.11."""
+    if n_steps < 1:
+        raise ValueError("markov_attribution: n_steps must be >= 1")
+    flt = df.filter(
+        F.col(journey_col).isNotNull()
+        & F.col(order_col).isNotNull()
+        & F.col(channel_col).isNotNull()
+        & F.col(converted_col).isNotNull()
+    )
+    chk = flt.groupBy(*by, journey_col).agg(
+        F.countDistinct(converted_col).alias("_nc"),
+        F.count(F.lit(1)).alias("_len"),
+    )
+    bad = chk.filter(F.col("_nc") > 1).count()
+    if bad:
+        raise ValueError(
+            f"markov_attribution: {bad} journey(s) with a "
+            "non-constant conversion flag — that is a broken join"
+        )
+    over = chk.filter(F.col("_len") > max_journey).count()
+    if over:
+        raise ValueError(
+            f"markov_attribution: {over} journey(s) longer than "
+            f"max_journey={max_journey}"
+        )
+    dup = (
+        flt.groupBy(*by, journey_col, order_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"markov_attribution: {dup} duplicate (journey, order) "
+            "key(s) — the chain order would be nondeterministic; "
+            "collapse or re-key upstream"
+        )
+    w = Window.partitionBy(*by, journey_col).orderBy(order_col)
+    seq = flt.select(
+        *by,
+        F.col(journey_col).alias("_j"),
+        F.col(channel_col).cast("string").alias("_c"),
+        F.col(converted_col).cast("boolean").alias("_conv"),
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(*by, journey_col)
+        ).alias("_len"),
+    )
+    w2 = Window.partitionBy(*by, "_j").orderBy("_r")
+    nxt = F.lead("_c").over(w2)
+    edges = seq.select(
+        *by,
+        F.when(F.col("_r") == 1, F.lit("__START__"))
+        .otherwise(F.lit(None))
+        .alias("_pre"),
+        "_c",
+        "_r",
+        "_len",
+        "_conv",
+        nxt.alias("_nxt"),
+    )
+    trans = (
+        edges.select(
+            *by,
+            F.lit("__START__").alias("_src"),
+            F.col("_c").alias("_dst"),
+        ).filter(F.col("_r") == 1)
+        .unionByName(
+            edges.filter(F.col("_nxt").isNotNull()).select(
+                *by,
+                F.col("_c").alias("_src"),
+                F.col("_nxt").alias("_dst"),
+            )
+        )
+        .unionByName(
+            edges.filter(F.col("_nxt").isNull()).select(
+                *by,
+                F.col("_c").alias("_src"),
+                F.when(F.col("_conv"), F.lit("__CONV__"))
+                .otherwise(F.lit("__NULL__"))
+                .alias("_dst"),
+            )
+        )
+        .groupBy(*by, "_src", "_dst")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    touches = (
+        seq.groupBy(*by, F.col("_c").alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_touches"))
+    )
+    n_ch = touches.groupBy(*by).agg(F.count(F.lit(1)).alias("_k"))
+    wide = n_ch.filter(F.col("_k") > max_channels).count()
+    if wide:
+        raise ValueError(
+            f"markov_attribution: a pool exceeds max_channels="
+            f"{max_channels}"
+        )
+    # pack: states = sorted channels + the 3 specials; transitions as
+    # (ia, ib, p) with p = n / rowsum(src)
+    rowsums = trans.groupBy(*by, "_src").agg(
+        F.sum("_n").alias("_rs")
+    )
+    pt = trans.join(rowsums, [*by, "_src"]).select(
+        *by,
+        "_src",
+        "_dst",
+        (F.col("_n").cast("double") / F.col("_rs").cast("double")).alias(
+            "_p"
+        ),
+    )
+    states = (
+        pt.select(*by, F.col("_src").alias("_s"))
+        .unionByName(pt.select(*by, F.col("_dst").alias("_s")))
+        .distinct()
+        .groupBy(*by)
+        .agg(F.sort_array(F.collect_list("_s")).alias("_states"))
+    )
+    packed = pt.groupBy(*by).agg(
+        F.sort_array(
+            F.collect_list(F.struct("_src", "_dst", "_p"))
+        ).alias("_tr")
+    )
+    joined = (
+        packed.join(states, list(by))
+        if by
+        else packed.crossJoin(states)
+    )
+    names = F.col("_states")
+    tidx = F.transform(
+        F.col("_tr"),
+        lambda t: F.struct(
+            F.array_position(names, t["_src"]).alias("ia"),
+            F.array_position(names, t["_dst"]).alias("ib"),
+            t["_p"].alias("p"),
+        ),
+    )
+    staged = joined.select(
+        *by, F.col("_states").alias("_st"), tidx.alias("_ti")
+    )
+
+    conv_i = F.array_position(F.col("_st"), "__CONV__")
+    start_i = F.array_position(F.col("_st"), "__START__")
+
+    def absorb(removed_idx):
+        """P(absorb at CONV from START) after n_steps, with the
+        removed channel's outgoing AND incoming edges nulled."""
+        rm = removed_idx if removed_idx is not None else F.lit(-1)
+        has_rm = F.lit(removed_idx is not None)
+        init = F.transform(
+            F.col("_st"),
+            lambda s: F.when(s == "__CONV__", F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+
+        def step(v, _i):
+            return F.transform(
+                F.col("_st"),
+                lambda s, idx: F.when(
+                    s == "__CONV__", F.lit(1.0)
+                )
+                .when(
+                    (s == "__NULL__") | (has_rm & (idx + 1 == rm)),
+                    F.lit(0.0),
+                )
+                .otherwise(
+                    F.aggregate(
+                        F.col("_ti"),
+                        F.lit(0.0),
+                        lambda acc, t: acc
+                        + F.when(
+                            (t["ia"] == idx + 1)
+                            & ~(has_rm & (t["ib"] == rm)),
+                            t["p"]
+                            * F.element_at(v, t["ib"].cast("int")),
+                        ).otherwise(F.lit(0.0)),
+                    )
+                ),
+            )
+
+        final = F.aggregate(
+            F.sequence(F.lit(1), F.lit(int(n_steps))), init, step
+        )
+        return F.element_at(final, start_i.cast("int"))
+
+    base = staged.select(*by, "_st", "_ti", absorb(None).alias("_bp"))
+    ex = base.select(
+        *by,
+        "_bp",
+        "_st",
+        "_ti",
+        F.posexplode("_st").alias("_i0", "channel"),
+    ).filter(
+        ~F.col("channel").isin("__START__", "__CONV__", "__NULL__")
+    )
+    rem = ex.select(
+        *by,
+        "channel",
+        "_bp",
+        absorb(F.col("_i0") + 1).alias("_rp"),
+    )
+    eff = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.col("_rp") / F.col("_bp")
+    )
+    scored = rem.select(
+        *by,
+        "channel",
+        "_bp",
+        "_rp",
+        F.when(F.col("_bp") > 0, eff).alias("_eff"),
+    )
+    w_tot = Window.partitionBy(*by)
+    # the share denominator is a float sum over channels — grid each
+    # effect onto 1e-9 nano-units so the sum is exact and order-free
+    # (the L390 discipline)
+    tot = (
+        F.sum(
+            F.floor(F.col("_eff") * F.lit(1e9) + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        )
+        .over(w_tot)
+        .cast("double")
+        / F.lit(1e9)
+    )
+    out = scored.select(
+        *by,
+        "channel",
+        F.col("_bp").alias("base_p"),
+        F.col("_rp").alias("removed_p"),
+        F.col("_eff").alias("removal_effect"),
+        F.when(tot > 0, F.col("_eff") / tot).alias("share"),
+    )
+    return out.join(touches, [*by, "channel"]).select(
+        *by,
+        "channel",
+        "n_touches",
+        "base_p",
+        "removed_p",
+        "removal_effect",
+        "share",
+    )

@@ -1826,3 +1826,106 @@ def off_policy_eval(
             F.col("_qww") > 0, (sw * sw) / un("_qww")
         ).alias("ess"),
     )
+
+
+def fairness_audit(
+    df: DataFrame,
+    by: list[str],
+    group_col: str,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Group-fairness audit (L417): one row per protected group
+    ``(by..., group, n, pos_rate, tpr, fpr, precision, dp_gap,
+    eo_tpr_gap, eo_fpr_gap, disparate_impact)`` — the bias scoreboard
+    for binary decisions (moderation actions, quality filters, loan-
+    style accept/reject) next to the accuracy scoreboard (L165/L376
+    ask "is it right"; this asks "is it right EQUALLY"):
+
+      per group (exact integer confusion cells, one division each):
+        pos_rate  = P(pred=1)            tpr = P(pred=1 | label=1)
+        fpr       = P(pred=1 | label=0)  precision = P(label=1|pred=1)
+      per (by) panel (repeated on every row so each group reads
+      against its context):
+        dp_gap            = max pos_rate − min pos_rate
+        eo_tpr_gap        = max tpr − min tpr     (equalized odds,
+        eo_fpr_gap        = max fpr − min fpr      the two halves)
+        disparate_impact  = min pos_rate / max pos_rate (the 80%-rule
+                            ratio; NULL when no group selects anyone)
+
+    Groups where a rate is undefined (no positives / no negatives /
+    no selections) carry NULL for that rate and are EXCLUDED from its
+    gap extremes (documented — a group with no labeled positives
+    cannot evidence a TPR gap).  Labels/predictions are validated as
+    strictly binary (the L191 loud-refusal discipline); NULL group
+    values refused.
+
+    Scale shape: one combinable cell groupBy + one tiny window over
+    the group panel.
+
+    No reference counterpart; eval analytics per SURVEY §2.11."""
+    from .validate import assert_binary
+
+    assert_binary(df, label_col, "fairness_audit")
+    assert_binary(df, pred_col, "fairness_audit")
+    n_null = df.filter(F.col(group_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"fairness_audit: {n_null} NULL group value(s)"
+        )
+    y = F.col(label_col).cast("int")
+    p = F.col(pred_col).cast("int")
+    cells = df.groupBy(*by, F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(p).alias("_np"),
+        F.sum(y).alias("_ny"),
+        F.sum(F.when((y == 1) & (p == 1), 1).otherwise(0)).alias("_tp"),
+        F.sum(F.when((y == 0) & (p == 1), 1).otherwise(0)).alias("_fp"),
+    )
+    nd = F.col("n").cast("double")
+    pos_rate = F.col("_np").cast("double") / nd
+    tpr = F.when(
+        F.col("_ny") > 0,
+        F.col("_tp").cast("double") / F.col("_ny").cast("double"),
+    )
+    fpr = F.when(
+        (F.col("n") - F.col("_ny")) > 0,
+        F.col("_fp").cast("double")
+        / (F.col("n") - F.col("_ny")).cast("double"),
+    )
+    prec = F.when(
+        F.col("_np") > 0,
+        F.col("_tp").cast("double") / F.col("_np").cast("double"),
+    )
+    rated = cells.select(
+        *by,
+        "group",
+        "n",
+        pos_rate.alias("pos_rate"),
+        tpr.alias("tpr"),
+        fpr.alias("fpr"),
+        prec.alias("precision"),
+    )
+    w = Window.partitionBy(*by)
+    return rated.select(
+        *by,
+        "group",
+        "n",
+        "pos_rate",
+        "tpr",
+        "fpr",
+        "precision",
+        (
+            F.max("pos_rate").over(w) - F.min("pos_rate").over(w)
+        ).alias("dp_gap"),
+        (F.max("tpr").over(w) - F.min("tpr").over(w)).alias(
+            "eo_tpr_gap"
+        ),
+        (F.max("fpr").over(w) - F.min("fpr").over(w)).alias(
+            "eo_fpr_gap"
+        ),
+        F.when(
+            F.max("pos_rate").over(w) > 0,
+            F.min("pos_rate").over(w) / F.max("pos_rate").over(w),
+        ).alias("disparate_impact"),
+    )
