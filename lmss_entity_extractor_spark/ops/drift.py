@@ -109,3 +109,91 @@ def psi_drift(
         total.alias("psi_total"),
         verdict.alias("verdict"),
     )
+
+
+def term_burst(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str,
+    term_col: str,
+    split_ts: str,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Emerging-term burst screen (L420): ``(by..., term, n_recent,
+    n_baseline, rate_recent, rate_baseline, lift, log2_fc, rank)`` —
+    WHICH terms are surging: the term-level member of the drift
+    family (PSI L131 and JSD L153 give one corpus-drift number; the
+    burst screen names the terms driving it — topic emergence,
+    prompt-injection phrases, spam campaigns):
+
+        rate = (c + ½)/(N + ½)   per window (Haldane-style smoothing
+                                  — dyadic, exact in doubles, keeps
+                                  never-seen-before terms finite)
+        lift = rate_recent / rate_baseline,  log2_fc = log2(lift)
+
+    The split point is a timestamp STRING pinned into the plan (no
+    wall-clock "now" — deterministic forever); occurrence and window
+    totals are exact integers; lift is one fixed tree per term, so
+    ranking by (lift DESC, term ASC) cannot knife-edge (identical
+    doubles both engines; log2 is a per-ROW output transcendental —
+    ulps absorbed by the 9-digit compare, never summed).  Terms
+    below ``min_count`` total occurrences are dropped (exact integer
+    filter); NULL terms/timestamps refused.
+
+    Scale shape: one combinable (keys, term, window) groupBy + one
+    tiny totals join + one bounded top-k window.
+
+    No reference counterpart; drift analytics per SURVEY §2.11."""
+    if top_k < 1 or min_count < 1:
+        raise ValueError(
+            "term_burst: top_k and min_count must be >= 1"
+        )
+    n_null = df.filter(
+        F.col(ts_col).isNull() | F.col(term_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(f"term_burst: {n_null} NULL term/ts row(s)")
+    recent = F.col(ts_col).cast("timestamp") >= F.lit(split_ts).cast(
+        "timestamp"
+    )
+    cells = df.groupBy(*by, F.col(term_col).alias("term")).agg(
+        F.sum(F.when(recent, 1).otherwise(0)).alias("n_recent"),
+        F.sum(F.when(~recent, 1).otherwise(0)).alias("n_baseline"),
+    )
+    totals = cells.groupBy(*by).agg(
+        F.sum("n_recent").alias("_nr"),
+        F.sum("n_baseline").alias("_nb"),
+    )
+    joined = (
+        cells.join(totals, list(by))
+        if by
+        else cells.crossJoin(F.broadcast(totals))
+    )
+    rr = (F.col("n_recent").cast("double") + F.lit(0.5)) / (
+        F.col("_nr").cast("double") + F.lit(0.5)
+    )
+    rb = (F.col("n_baseline").cast("double") + F.lit(0.5)) / (
+        F.col("_nb").cast("double") + F.lit(0.5)
+    )
+    lift = rr / rb
+    flt = joined.filter(
+        (F.col("n_recent") + F.col("n_baseline")) >= min_count
+    )
+    scored = flt.select(
+        *by,
+        "term",
+        "n_recent",
+        "n_baseline",
+        rr.alias("rate_recent"),
+        rb.alias("rate_baseline"),
+        lift.alias("lift"),
+        F.log2(lift).alias("log2_fc"),
+    )
+    w = Window.partitionBy(*by).orderBy(
+        F.col("lift").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )

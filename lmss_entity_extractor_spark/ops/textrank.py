@@ -30,7 +30,7 @@ family (SURVEY §2.11).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..graph.pagerank import pagerank
 
@@ -105,4 +105,117 @@ def textrank_keywords(
         )
         .orderBy(F.col("rank6").desc(), F.col("word").asc())
         .limit(k)
+    )
+
+
+def rake_keywords(
+    df: DataFrame,
+    by: list[str],
+    text_col: str,
+    stopwords: list[str],
+    top_k: int = 10,
+    max_phrase: int = 4,
+) -> DataFrame:
+    """RAKE keyword extraction (L419): ``(by..., phrase, n_words,
+    score, rank)`` — Rapid Automatic Keyword Extraction (Rose et al.
+    2010), the degree/frequency member of the keyword family
+    (TextRank L118 walks a co-occurrence graph, TF-IDF L358 weighs
+    corpus rarity; RAKE scores stopword-delimited PHRASES — the
+    multi-word terms the other two fragment):
+
+        candidate phrases = maximal stopword/punctuation-free token
+        runs (pinned normalization: lowercase, leading/trailing
+        non-alphanumerics stripped; empty tokens delimit); runs
+        longer than ``max_phrase`` are DISCARDED (documented — they
+        are boilerplate, not keywords)
+        word scores: deg(w)/freq(w) over the candidate set, exact
+        integer degree (Σ phrase length over phrases containing w)
+        and frequency
+        phrase score = Σ word scores, folded in phrase-word order
+        (pinned — identical IEEE sum both engines)
+
+    Top-k distinct phrases per group by (score DESC, phrase ASC) —
+    scores are identical doubles cross-engine (exact-integer ratios
+    summed in pinned order), so the ranking cannot knife-edge.  The
+    stopword list is a CALLER parameter pinned into the plan as a
+    literal array (language lists are a modeling choice, not an
+    engine default); empty list refused.
+
+    Scale shape: one phrase explode + one word explode + two
+    combinable aggs + one broadcast-back join + one bounded top-k
+    window.
+
+    No reference counterpart; text analytics per SURVEY §2.11."""
+    if not stopwords:
+        raise ValueError("rake_keywords: stopwords must be non-empty")
+    if not (1 <= max_phrase <= 8):
+        raise ValueError("rake_keywords: max_phrase must be in 1..8")
+    if top_k < 1:
+        raise ValueError("rake_keywords: top_k must be >= 1")
+    sw = F.array(*[F.lit(w.lower()) for w in sorted(set(stopwords))])
+    norm = F.transform(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: F.regexp_replace(
+            F.regexp_replace(t, r"^[^a-z0-9]+", ""), r"[^a-z0-9]+$", ""
+        ),
+    )
+    # delimiter-preserving split: mark stopwords/empties as '\x00'
+    marked = F.transform(
+        norm,
+        lambda t: F.when(
+            (t == "") | F.array_contains(sw, t), F.lit("\x00")
+        ).otherwise(t),
+    )
+    joined = F.array_join(marked, " ")
+    phrases = F.filter(
+        F.transform(
+            F.split(joined, "\x00"),
+            lambda p: F.trim(p),
+        ),
+        lambda p: p != "",
+    )
+    ph = df.select(*by, F.explode(phrases).alias("phrase")).withColumn(
+        "_words", F.split(F.col("phrase"), " ")
+    ).withColumn("n_words", F.size("_words")).filter(
+        F.col("n_words") <= max_phrase
+    )
+    words = ph.select(
+        *by, "n_words", F.explode("_words").alias("_w")
+    )
+    wstats = words.groupBy(*by, "_w").agg(
+        F.count(F.lit(1)).alias("_freq"),
+        F.sum("n_words").alias("_deg"),
+    )
+    scored_words = wstats.select(
+        *by,
+        "_w",
+        (
+            F.col("_deg").cast("double") / F.col("_freq").cast("double")
+        ).alias("_ws"),
+    )
+    ph_types = ph.select(*by, "phrase", "n_words").distinct()
+    pw = ph_types.select(
+        *by, "phrase", "n_words", F.posexplode(
+            F.split(F.col("phrase"), " ")
+        ).alias("_i", "_w")
+    ).join(scored_words, [*by, "_w"])
+    pscore = pw.groupBy(*by, "phrase", "n_words").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_i", "_ws"))
+                ),
+                lambda s: s["_ws"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("score")
+    )
+    w_rank = Window.partitionBy(*by).orderBy(
+        F.col("score").desc(), F.col("phrase").asc()
+    )
+    return (
+        pscore.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= top_k)
+        .select(*by, "phrase", "n_words", "score", "rank")
     )
