@@ -608,3 +608,90 @@ def hosmer_lemeshow(
         F.when(ok, hl).alias("hl_stat"),
         F.when(ok, (F.col("g_bins") - F.lit(2)).cast("long")).alias("df"),
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score (L424): one row ``(n,
+    n_bins, base_rate, reliability, resolution, uncertainty,
+    brier)`` — WHY is the Brier score what it is (L166 reports the
+    score and the reliability table; Murphy 1973 splits the score
+    into its causes):
+
+        REL = (1/N)·Σ_k n_k·(p_k − ō_k)²   (miscalibration — bad)
+        RES = (1/N)·Σ_k n_k·(ō_k − ō)²     (discrimination — good)
+        UNC = ō·(1 − ō)                     (irreducible)
+        Brier = REL − RES + UNC             (the identity, emitted
+                                             from the decomposition
+                                             and pinned against the
+                                             L166 direct score by
+                                             test)
+
+    The bin grid IS the probability's contract quantization
+    (DECIMAL(12, scale) — the L166 convention), so p_k is exact, the
+    per-bin counts n_k and Σy are exact integers, and the only IEEE
+    work is the per-bin fixed trees folded over the BOUNDED sorted
+    bin list (≤ 10^scale + 1 bins — the L140 float discipline).
+    Out-of-range probabilities / non-binary labels REFUSED (the
+    calibration-family rule); empty input → empty frame.
+
+    No reference counterpart; calibration analytics per SURVEY §2.11.
+    """
+    base = _prepared(df, prob_col, label_col, scale)
+    bins = base.groupBy("_p").agg(
+        F.count(F.lit(1)).alias("_nk"),
+        F.sum("_y").alias("_sy"),
+    )
+    agg = bins.agg(
+        F.sum("_nk").alias("n"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("_sy").alias("_ny"),
+        F.sort_array(
+            F.collect_list(F.struct("_p", "_nk", "_sy"))
+        ).alias("_lv"),
+    )
+    nd = F.col("n").cast("double")
+    obar = F.col("_ny").cast("double") / nd
+    rel = (
+        F.aggregate(
+            F.col("_lv"),
+            F.lit(0.0),
+            lambda a, b: a
+            + b["_nk"].cast("double")
+            * (
+                b["_p"].cast("double")
+                - b["_sy"].cast("double") / b["_nk"].cast("double")
+            )
+            * (
+                b["_p"].cast("double")
+                - b["_sy"].cast("double") / b["_nk"].cast("double")
+            ),
+        )
+        / nd
+    )
+    res = (
+        F.aggregate(
+            F.col("_lv"),
+            F.lit(0.0),
+            lambda a, b: a
+            + b["_nk"].cast("double")
+            * (b["_sy"].cast("double") / b["_nk"].cast("double") - obar)
+            * (b["_sy"].cast("double") / b["_nk"].cast("double") - obar),
+        )
+        / nd
+    )
+    unc = obar * (F.lit(1.0) - obar)
+    ok = F.col("n") > 0
+    return agg.select(
+        "n",
+        "n_bins",
+        F.when(ok, obar).alias("base_rate"),
+        F.when(ok, rel).alias("reliability"),
+        F.when(ok, res).alias("resolution"),
+        F.when(ok, unc).alias("uncertainty"),
+        F.when(ok, rel - res + unc).alias("brier"),
+    )

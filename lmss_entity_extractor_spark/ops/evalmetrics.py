@@ -1929,3 +1929,109 @@ def fairness_audit(
             F.min("pos_rate").over(w) / F.max("pos_rate").over(w),
         ).alias("disparate_impact"),
     )
+
+
+def threshold_curve(
+    df: DataFrame,
+    by: list[str],
+    score_col: str,
+    label_col: str,
+    thresholds: list[str],
+    scale: int = 4,
+) -> DataFrame:
+    """Threshold calibration curve (L423): one row per pinned
+    threshold ``(by..., threshold, tp, fp, fn, tn, precision,
+    recall, f1, accuracy)`` — the operating-point table behind every
+    dedup/filter/classifier cutoff decision (ROC-AUC L146 and PR-AUC
+    L306 integrate over ALL thresholds; shipping needs the table at
+    the candidate cutoffs):
+
+    Thresholds are decimal STRINGS and scores are contract-quantized
+    to DECIMAL(18, scale) (the L166/L173 discipline), so ``score ≥
+    t`` is an EXACT decimal comparison — membership cannot
+    knife-edge on an IEEE representation across engines.  Confusion
+    cells are exact integers from ONE combinable aggregation over
+    all thresholds at once (one scan, no per-threshold pass); each
+    rate is one division, NULL when undefined.  Labels validated
+    strictly binary (L191); thresholds must be distinct; ≤ 64
+    thresholds (bounded panel).
+
+    No reference counterpart; eval analytics per SURVEY §2.11."""
+    from decimal import Decimal
+
+    from .validate import assert_binary
+
+    if not thresholds:
+        raise ValueError("threshold_curve: thresholds must be non-empty")
+    if len(thresholds) > 64:
+        raise ValueError("threshold_curve: more than 64 thresholds")
+    decs = [Decimal(t) for t in thresholds]
+    if len(set(decs)) != len(decs):
+        raise ValueError("threshold_curve: duplicate thresholds")
+    assert_binary(df, label_col, "threshold_curve")
+    n_null = df.filter(F.col(score_col).isNull()).count()
+    if n_null:
+        raise ValueError(f"threshold_curve: {n_null} NULL score(s)")
+    dec = f"decimal(18,{scale})"
+    s = F.col(score_col).cast(dec)
+    y = F.col(label_col).cast("int")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, t in enumerate(decs):
+        tl = F.lit(str(t)).cast(dec)
+        pred = s >= tl
+        aggs.append(
+            F.sum(F.when(pred & (y == 1), 1).otherwise(0)).alias(
+                f"_tp{i}"
+            )
+        )
+        aggs.append(
+            F.sum(F.when(pred & (y == 0), 1).otherwise(0)).alias(
+                f"_fp{i}"
+            )
+        )
+        aggs.append(F.sum(y).alias(f"_pos{i}"))
+    agg = df.groupBy(*by).agg(*aggs)
+    rows = []
+    for i, t in enumerate(decs):
+        tp = F.col(f"_tp{i}")
+        fp = F.col(f"_fp{i}")
+        fn = F.col(f"_pos{i}") - tp
+        tn = F.col("_n") - tp - fp - fn
+        rows.append(
+            F.struct(
+                F.lit(str(t)).cast(dec).alias("threshold"),
+                tp.alias("tp"),
+                fp.alias("fp"),
+                fn.alias("fn"),
+                tn.alias("tn"),
+            )
+        )
+    ex = agg.select(*by, F.explode(F.array(*rows)).alias("_r"))
+    tp = F.col("_r")["tp"]
+    fp = F.col("_r")["fp"]
+    fn = F.col("_r")["fn"]
+    tn = F.col("_r")["tn"]
+    prec = F.when(
+        (tp + fp) > 0, tp.cast("double") / (tp + fp).cast("double")
+    )
+    rec = F.when(
+        (tp + fn) > 0, tp.cast("double") / (tp + fn).cast("double")
+    )
+    f1 = F.when(
+        prec.isNull() | rec.isNull(), F.lit(None).cast("double")
+    ).when(
+        (prec + rec) > 0, F.lit(2.0) * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    acc = (tp + tn).cast("double") / (tp + fp + fn + tn).cast("double")
+    return ex.select(
+        *by,
+        F.col("_r")["threshold"].alias("threshold"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        tn.alias("tn"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+        acc.alias("accuracy"),
+    )
