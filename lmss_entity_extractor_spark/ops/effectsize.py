@@ -1126,3 +1126,148 @@ def cliffs_delta(
             "a_measure"
         ),
     )
+
+
+def risk_decision_panel(
+    df: DataFrame,
+    by: list[str],
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Epidemiological decision panel (L425): ``(by..., n, p_exposed,
+    p_unexposed, rr, rd, nnt, paf, e_value)`` — the DECISION layer
+    over the L216 association scoreboard (RR/OR say how strong; this
+    panel says what it would take and what it would buy):
+
+        NNT  = 1/|RD|                 (how many treated per outcome
+                                       changed; NULL at RD = 0)
+        PAF  = (p − p₀)/p             (Levin population attributable
+                                       fraction; NULL at p = 0)
+        E-value = RR* + √(RR*·(RR*−1)), RR* = max(RR, 1/RR)
+                                      (VanderWeele-Ding 2017: the
+                                       confounding strength needed
+                                       to explain the association
+                                       away; RR < 1 inverted first —
+                                       the published convention)
+
+    All from the exact integer 2×2 cells in ONE combinable agg; each
+    output one fixed IEEE tree with NULL-when-undefined (zero
+    margins, RR undefined, RR* < 1 impossible by construction).
+    Exposure/outcome validated strictly binary (the L191 rule).
+
+    No reference counterpart; causal analytics per SURVEY §2.11
+    (completes L216 → L239 → L405)."""
+    from .validate import assert_binary
+
+    assert_binary(df, exposure_col, "risk_decision_panel")
+    assert_binary(df, outcome_col, "risk_decision_panel")
+    e = F.col(exposure_col).cast("int")
+    y = F.col(outcome_col).cast("int")
+    agg = df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((e == 1) & (y == 1), 1).otherwise(0)).alias("_a"),
+        F.sum(F.when((e == 1) & (y == 0), 1).otherwise(0)).alias("_b"),
+        F.sum(F.when((e == 0) & (y == 1), 1).otherwise(0)).alias("_c"),
+        F.sum(F.when((e == 0) & (y == 0), 1).otherwise(0)).alias("_d"),
+    )
+    n1 = F.col("_a") + F.col("_b")
+    n0 = F.col("_c") + F.col("_d")
+    p1 = F.when(n1 > 0, F.col("_a").cast("double") / n1.cast("double"))
+    p0 = F.when(n0 > 0, F.col("_c").cast("double") / n0.cast("double"))
+    p = (F.col("_a") + F.col("_c")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    rr = F.when(p0 > 0, p1 / p0)
+    rd = p1 - p0
+    nnt = F.when(
+        rd.isNotNull() & (F.abs(rd) > 0), F.lit(1.0) / F.abs(rd)
+    )
+    paf = F.when(p > 0, (p - p0) / p)
+    rr_star = F.when(rr >= 1, rr).otherwise(F.lit(1.0) / rr)
+    evalue = F.when(
+        rr.isNotNull(),
+        rr_star + F.sqrt(rr_star * (rr_star - F.lit(1.0))),
+    )
+    return agg.select(
+        *by,
+        "n",
+        p1.alias("p_exposed"),
+        p0.alias("p_unexposed"),
+        rr.alias("rr"),
+        rd.alias("rd"),
+        nnt.alias("nnt"),
+        paf.alias("paf"),
+        evalue.alias("e_value"),
+    )
+
+
+def mde_continuous(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+    target_rel_effect: str = "0.02",
+    scale: int = 2,
+) -> DataFrame:
+    """Continuous MDE / power panel (L426): ``(by..., n, mean, sd,
+    mde_abs, mde_rel, n_per_arm_target)`` — the continuous-outcome
+    twin of the proportion MDE (L209), for revenue/latency/length
+    metrics:
+
+        mde_abs = (z_{α/2} + z_β)·s·√(2/n)   (per-arm n = current
+                                              group size — the
+                                              "split this traffic in
+                                              two" planning frame)
+        n_per_arm_target = ⌈2·((z_{α/2}+z_β)·s / (Δ_rel·mean))²⌉
+
+    z quantiles embedded as double LITERALS on both sides (α = 0.05
+    two-sided, power = 0.80 — the L209 no-cross-engine-erfinv rule);
+    the sample sd comes from exact decimal sums (n·Σx² − (Σx)²);
+    ``target_rel_effect`` is a decimal STRING pinned into the plan.
+    Zero variance or zero mean → NULL for the affected outputs;
+    n < 2 → NULL everything past the mean.
+
+    No reference counterpart; experiment analytics per SURVEY §2.11.
+    """
+    from decimal import Decimal
+
+    tre = float(Decimal(target_rel_effect))
+    if tre <= 0:
+        raise ValueError(
+            "mde_continuous: target_rel_effect must be > 0"
+        )
+    dec = f"decimal(18,{scale})"
+    x = F.col(value_col).cast(dec)
+    agg = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("_s"),
+            F.sum(x * x).alias("_ss"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sd_ = F.col("_s").cast("double")
+    ssd = F.col("_ss").cast("double")
+    mean = sd_ / nd
+    var = (nd * ssd - sd_ * sd_) / (nd * (nd - F.lit(1.0)))
+    s = F.sqrt(var)
+    zsum = F.lit(_Z_ALPHA_005 + _Z_POWER_080)
+    mde_abs = zsum * s * F.sqrt(F.lit(2.0) / nd)
+    ok = (F.col("n") >= 2) & (var > 0)
+    n_target = F.ceil(
+        F.lit(2.0)
+        * (zsum * s / (F.lit(tre) * mean))
+        * (zsum * s / (F.lit(tre) * mean))
+    )
+    return agg.select(
+        *by,
+        "n",
+        mean.alias("mean"),
+        F.when(ok, s).alias("sd"),
+        F.when(ok, mde_abs).alias("mde_abs"),
+        F.when(ok & (mean != 0), mde_abs / mean).alias("mde_rel"),
+        F.when(ok & (mean != 0), n_target).alias(
+            "n_per_arm_target"
+        ),
+    )
