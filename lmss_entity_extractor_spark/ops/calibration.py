@@ -695,3 +695,148 @@ def brier_decomposition(
         F.when(ok, unc).alias("uncertainty"),
         F.when(ok, rel - res + unc).alias("brier"),
     )
+
+
+def temperature_grid(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    temperatures: list[str],
+    scale: int = 4,
+) -> DataFrame:
+    """Temperature-scaling grid selection (L427): one row per
+    candidate ``(temperature, n, nll, is_best)`` — the post-hoc
+    calibration knob (Guo et al. 2017) fitted the engine's way: NO
+    iterative optimizer, a PINNED grid of candidate temperatures
+    scored exactly and an argmin the driver can value-check:
+
+        p_T = σ(logit(p)/T)         per row, a fixed IEEE tree
+        NLL(T) = −Σ [y·ln p_T + (1−y)·ln(1−p_T)]
+
+    Per-row log-likelihood terms are quantized half-up onto the 1e-9
+    grid and summed as EXACT decimals per temperature (the L390
+    discipline), so the argmin comparison runs on exact decimal
+    sums — ``is_best`` cannot knife-edge across engines (ties break
+    to the SMALLEST temperature, pinned).  Temperatures are decimal
+    STRINGS (≤ 32, positive, distinct); probabilities in {0, 1}
+    exactly are REFUSED (infinite logit — a saturated upstream score
+    pipeline is a bug this operator must not paper over).
+
+    Scale shape: one narrow projection + ONE combinable aggregation
+    computing every temperature's sum in a single scan.
+
+    No reference counterpart; calibration analytics per SURVEY §2.11
+    (composes with isotonic L196, ECE L203, Murphy L424)."""
+    from decimal import Decimal
+
+    if not temperatures:
+        raise ValueError(
+            "temperature_grid: temperatures must be non-empty"
+        )
+    if len(temperatures) > 32:
+        raise ValueError("temperature_grid: more than 32 candidates")
+    decs = [Decimal(t) for t in temperatures]
+    if len(set(decs)) != len(decs):
+        raise ValueError("temperature_grid: duplicate temperatures")
+    if any(t <= 0 for t in decs):
+        raise ValueError("temperature_grid: temperatures must be > 0")
+    base = _prepared(df, prob_col, label_col, scale)
+    n_sat = base.filter(
+        (F.col("_p") <= 0) | (F.col("_p") >= 1)
+    ).count()
+    if n_sat:
+        raise ValueError(
+            f"temperature_grid: {n_sat} saturated probability(ies) "
+            "(exactly 0 or 1) — logit is infinite; fix the score "
+            "pipeline"
+        )
+    pd_ = F.col("_p").cast("double")
+    logit = F.log(pd_ / (F.lit(1.0) - pd_))
+    y = F.col("_y").cast("double")
+    dec = "decimal(38,0)"
+    q = lambda t: F.floor(t * F.lit(1e9) + F.lit(0.5)).cast(dec)  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, t in enumerate(decs):
+        z = logit / F.lit(float(t))
+        pt = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        ll = y * F.log(pt) + (F.lit(1.0) - y) * F.log(
+            F.lit(1.0) - pt
+        )
+        aggs.append(F.sum(q(ll)).alias(f"_q{i}"))
+    agg = base.agg(*aggs)
+    best = None
+    for i in range(len(decs)):
+        c = F.col(f"_q{i}")
+        best = c if best is None else F.greatest(best, c)
+    # ties break to the SMALLEST temperature: only the first (in
+    # ascending-temperature order) index achieving the max is best
+    order = sorted(range(len(decs)), key=lambda i: decs[i])
+    rows = []
+    for rank, i in enumerate(order):
+        flag = F.col(f"_q{i}") == best
+        for j in order[:rank]:
+            flag = flag & (F.col(f"_q{j}") != best)
+        rows.append(
+            F.struct(
+                F.lit(str(decs[i])).alias("temperature"),
+                F.col(f"_q{i}").alias("_qs"),
+                flag.alias("_best_flag"),
+            )
+        )
+    ex = agg.select("n", F.explode(F.array(*rows)).alias("_r"))
+    return ex.select(
+        F.col("_r")["temperature"].alias("temperature"),
+        "n",
+        (
+            -(F.col("_r")["_qs"].cast("double") / F.lit(1e9))
+        ).alias("nll"),
+        F.col("_r")["_best_flag"].alias("is_best"),
+    )
+
+
+def spiegelhalter_z(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """Spiegelhalter's Z calibration test (L428): one row ``(n, z)``
+    — the hypothesis TEST the calibration family lacked (L166/L203/
+    L424 measure miscalibration; Spiegelhalter 1986 tests it, used
+    across clinical-model validation):
+
+        Z = Σ (y−p)(1−2p) / √( Σ (1−2p)²·p·(1−p) )
+
+    With probabilities contract-quantized to DECIMAL(12, scale) (the
+    L166 convention) EVERY term is exact decimal arithmetic — both
+    sums are order-free exact decimals and Z is one division and one
+    sqrt: bit-identical, UNGRIDDED, no fold bounds, nothing
+    collected.  A degenerate denominator (all p ∈ {0, 1}ish mass —
+    zero variance) → NULL.  Out-of-range p / non-binary y refused
+    (the calibration-family rule).
+
+    No reference counterpart; calibration analytics per SURVEY §2.11.
+    """
+    base = _prepared(df, prob_col, label_col, scale)
+    # NARROW containers: decimal products widen by summed scales, so
+    # starting narrow keeps every product's full true scale within
+    # precision 38 (a wide starting cast would force scale rounding)
+    p = F.col("_p").cast(f"decimal(6,{scale})")
+    yv = F.col("_y").cast("decimal(2,0)")
+    one = F.lit(1).cast("decimal(2,0)")
+    two = F.lit(2).cast("decimal(2,0)")
+    num_t = (yv - p) * (one - two * p)
+    den_t = (one - two * p) * (one - two * p) * p * (one - p)
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(num_t).alias("_num"),
+        F.sum(den_t).alias("_den"),
+    )
+    return agg.select(
+        "n",
+        F.when(
+            F.col("_den") > 0,
+            F.col("_num").cast("double")
+            / F.sqrt(F.col("_den").cast("double")),
+        ).alias("z"),
+    )
