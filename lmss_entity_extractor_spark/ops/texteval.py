@@ -252,3 +252,229 @@ def rouge_n(
         macro("_qr").alias("macro_r"),
         macro("_qf").alias("macro_f1"),
     )
+
+
+def _chars(col):
+    return F.filter(
+        F.split(F.regexp_replace(col, r"\s+", ""), ""),
+        lambda x: x != F.lit(""),
+    )
+
+
+def _char_grams(chars, n: int):
+    if n == 1:
+        return chars
+    return F.when(
+        F.size(chars) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(chars) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(chars, i, n), ""),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def chrf(
+    df: DataFrame,
+    by: list[str],
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 6,
+    beta: float = 2.0,
+    max_tokens: int = 512,
+) -> DataFrame:
+    """chrF (L431): ``(by..., n_pairs, n_orders_eff, chr_p, chr_r,
+    chrf)`` — the CHARACTER-n-gram F-score (Popović 2015), the third
+    member of the generation-eval family (BLEU L389 is word-precision
+    + BP, ROUGE L390 word-recall; chrF is robust to morphology and
+    tokenization because it never tokenizes beyond characters):
+
+        whitespace removed entirely (the sacrebleu convention,
+        pinned), char n-grams for n = 1..max_n, corpus-level clipped
+        P_n and R_n per order (exact integer sums — the L389
+        machinery at char level), F_n = (1+β²)PR/(β²P+R), and chrF =
+        the arithmetic mean of F_n over the orders where both sides
+        HAVE n-grams (``n_orders_eff``; an undefined order is
+        excluded, not zero-filled — documented); all orders undefined
+        → NULL.
+
+    The order-mean folds over ≤ max_n terms in ascending-n order
+    (fixed tree); β is a pinned literal.  NULL sides refused;
+    ``max_tokens`` caps the per-row work (the L389 contract — here
+    it bounds characters at 8×max_tokens).
+
+    No reference counterpart; generation-eval analytics per SURVEY
+    §2.11."""
+    if not (1 <= max_n <= 8):
+        raise ValueError("chrf: max_n must be in 1..8")
+    if beta <= 0:
+        raise ValueError("chrf: beta must be > 0")
+    n_null = df.filter(
+        F.col(cand_col).isNull() | F.col(ref_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(f"chrf: {n_null} NULL candidate/reference")
+    max_chars = 8 * max_tokens
+    base = df.withColumn("_cc", _chars(F.col(cand_col))).withColumn(
+        "_rc", _chars(F.col(ref_col))
+    )
+    n_long = base.filter(
+        (F.size("_cc") > max_chars) | (F.size("_rc") > max_chars)
+    ).count()
+    if n_long:
+        raise ValueError(
+            f"chrf: {n_long} pair(s) exceed {max_chars} characters — "
+            "truncate upstream"
+        )
+    proj = []
+    for n in range(1, max_n + 1):
+        cg, rg = _char_grams(F.col("_cc"), n), _char_grams(
+            F.col("_rc"), n
+        )
+        proj.append(_clipped(cg, rg).alias(f"_m{n}"))
+        proj.append(F.size(cg).alias(f"_tc{n}"))
+        proj.append(F.size(rg).alias(f"_tr{n}"))
+    rows = base.select(*by, *proj)
+    aggs = [F.count(F.lit(1)).alias("n_pairs")]
+    for n in range(1, max_n + 1):
+        aggs.append(F.sum(f"_m{n}").alias(f"_sm{n}"))
+        aggs.append(F.sum(f"_tc{n}").alias(f"_stc{n}"))
+        aggs.append(F.sum(f"_tr{n}").alias(f"_str{n}"))
+    agg = rows.groupBy(*by).agg(*aggs)
+    b2 = F.lit(float(beta) * float(beta))
+    eff = None
+    sp = sr = sf = None
+    for n in range(1, max_n + 1):
+        ok = (F.col(f"_stc{n}") > 0) & (F.col(f"_str{n}") > 0)
+        p = F.col(f"_sm{n}").cast("double") / F.col(
+            f"_stc{n}"
+        ).cast("double")
+        r = F.col(f"_sm{n}").cast("double") / F.col(
+            f"_str{n}"
+        ).cast("double")
+        f_n = F.when(
+            (p + r) > 0,
+            (F.lit(1.0) + b2) * p * r / (b2 * p + r),
+        ).otherwise(F.lit(0.0))
+        e = F.when(ok, 1).otherwise(0)
+        tp = F.when(ok, p).otherwise(F.lit(0.0))
+        tr_ = F.when(ok, r).otherwise(F.lit(0.0))
+        tf = F.when(ok, f_n).otherwise(F.lit(0.0))
+        eff = e if eff is None else eff + e
+        sp = tp if sp is None else sp + tp
+        sr = tr_ if sr is None else sr + tr_
+        sf = tf if sf is None else sf + tf
+    effd = eff.cast("double")
+    return agg.select(
+        *by,
+        "n_pairs",
+        eff.alias("n_orders_eff"),
+        F.when(eff > 0, sp / effd).alias("chr_p"),
+        F.when(eff > 0, sr / effd).alias("chr_r"),
+        F.when(eff > 0, sf / effd).alias("chrf"),
+    )
+
+
+def wer_cer(
+    df: DataFrame,
+    by: list[str],
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_tokens: int = 256,
+) -> DataFrame:
+    """Word/character error rate (L432): one row per pair ``(by...,
+    id, ref_tokens, word_dist, wer, ref_chars, char_dist, cer)`` —
+    the transcription/generation EXACTNESS scoreboard (BLEU/ROUGE/
+    chrF score overlap; WER/CER charge every insertion, deletion,
+    and substitution — the ASR/OCR standard, and the right metric
+    for verbatim tasks):
+
+        word_dist = Levenshtein over TOKEN sequences — computed as a
+        bounded in-row DP fold (outer fold over candidate tokens
+        carrying the previous DP row, inner fold building the next
+        row cell by cell — the L382 sequential-fold discipline,
+        O(|c|·|r|) against the loud ``max_tokens`` cap)
+        char_dist = the JVM ``levenshtein`` builtin over the
+        whitespace-stripped strings (and the DP fold is pinned equal
+        to the builtin on character input by test)
+        wer = word_dist/ref_tokens,  cer = char_dist/ref_chars
+        (NULL when the reference side is empty — a rate over nothing)
+
+    Pinned lowercase-whitespace tokenization (the L389 contract).
+    NULL sides refused.  Scale shape: zero-shuffle per-row compute;
+    the oracle cross-checks with an INDEPENDENT algorithm (DuckDB's
+    native levenshtein over a token→codepoint encoding).
+
+    No reference counterpart; eval analytics per SURVEY §2.11."""
+    n_null = df.filter(
+        F.col(cand_col).isNull()
+        | F.col(ref_col).isNull()
+        | F.col(id_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(f"wer_cer: {n_null} NULL row(s)")
+    base = df.withColumn(
+        "_ct", _tokens(F.lower(F.col(cand_col)))
+    ).withColumn("_rt", _tokens(F.lower(F.col(ref_col))))
+    n_long = base.filter(
+        (F.size("_ct") > max_tokens) | (F.size("_rt") > max_tokens)
+    ).count()
+    if n_long:
+        raise ValueError(
+            f"wer_cer: {n_long} pair(s) exceed max_tokens="
+            f"{max_tokens} — the DP is quadratic; truncate upstream"
+        )
+    c, r = F.col("_ct"), F.col("_rt")
+    nr = F.size(r)
+    init = F.sequence(F.lit(0), nr)
+
+    def outer(prev, i):
+        ci = F.element_at(c, i)
+
+        def inner(acc2, j):
+            cost = F.when(
+                ci == F.element_at(r, j), F.lit(0)
+            ).otherwise(F.lit(1))
+            last = F.element_at(acc2, -1)
+            cell = F.least(
+                F.element_at(prev, j + 1) + F.lit(1),
+                last + F.lit(1),
+                F.element_at(prev, j) + cost,
+            )
+            return F.concat(acc2, F.array(cell))
+
+        return F.aggregate(
+            F.when(nr >= 1, F.sequence(F.lit(1), nr)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            F.array(i),
+            inner,
+        )
+
+    final_row = F.aggregate(
+        F.when(F.size(c) >= 1, F.sequence(F.lit(1), F.size(c))).otherwise(
+            F.array().cast("array<int>")
+        ),
+        init,
+        outer,
+    )
+    word_dist = F.element_at(final_row, nr + 1)
+    cand_str = F.regexp_replace(F.lower(F.col(cand_col)), r"\s+", "")
+    ref_str = F.regexp_replace(F.lower(F.col(ref_col)), r"\s+", "")
+    char_dist = F.levenshtein(cand_str, ref_str)
+    ref_chars = F.length(ref_str)
+    return base.select(
+        *by,
+        F.col(id_col).alias("id"),
+        nr.alias("ref_tokens"),
+        word_dist.alias("word_dist"),
+        F.when(
+            nr > 0, word_dist.cast("double") / nr.cast("double")
+        ).alias("wer"),
+        ref_chars.alias("ref_chars"),
+        char_dist.alias("char_dist"),
+        F.when(
+            ref_chars > 0,
+            char_dist.cast("double") / ref_chars.cast("double"),
+        ).alias("cer"),
+    )
