@@ -2207,3 +2207,191 @@ def rater_severity(
         bias.alias("bias"),
         mad.alias("mean_abs_dev"),
     ).withColumn("rank", F.row_number().over(w))
+
+
+def span_eval(
+    pred: DataFrame,
+    gold: DataFrame,
+    by: list[str],
+    key_cols: list[str],
+    type_col: str,
+) -> DataFrame:
+    """Span-level NER/extraction eval (L433): one row per entity type
+    ``(by..., type, n_pred, n_gold, tp, precision, recall, f1)`` plus
+    an ``__ALL__`` micro row — the seqeval/CoNLL convention made
+    relational (a span counts only on EXACT boundary-and-type match;
+    partial overlaps are misses).  This is the same contract the
+    repo's reference-parity gate enforces on the KG pipeline
+    (BENCH/PARITY.md), generalized into a reusable operator for any
+    span table:
+
+        tp per type = |pred ∩ gold| on the (key..., type) identity —
+        one inner join on exact keys; duplicates collapse first
+        (a span predicted twice is one prediction — documented)
+
+    Counts exact integers, one division per rate, F1 the fixed tree,
+    NULL-when-undefined; the micro ``__ALL__`` row sums the per-type
+    cells (type-blind tp would over-credit boundary matches with the
+    WRONG type — the classic seqeval gotcha, pinned by test).  NULL
+    keys/types refused.
+
+    Scale shape: two distinct-collapses + one equi-join + combinable
+    aggs.
+
+    No reference counterpart (generalizes the repo's own parity
+    harness); eval analytics per SURVEY §2.11."""
+    for d, nm in ((pred, "pred"), (gold, "gold")):
+        bad = F.col(type_col).isNull()
+        for c in key_cols:
+            bad = bad | F.col(c).isNull()
+        n_null = d.filter(bad).count()
+        if n_null:
+            raise ValueError(
+                f"span_eval: {n_null} NULL key/type row(s) in {nm}"
+            )
+    p = pred.select(
+        *by, *key_cols, F.col(type_col).alias("_t")
+    ).distinct()
+    g = gold.select(
+        *by, *key_cols, F.col(type_col).alias("_t")
+    ).distinct()
+    tp = (
+        p.join(g, [*by, *key_cols, "_t"])
+        .groupBy(*by, "_t")
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    np_ = p.groupBy(*by, "_t").agg(F.count(F.lit(1)).alias("n_pred"))
+    ng = g.groupBy(*by, "_t").agg(F.count(F.lit(1)).alias("n_gold"))
+    cells = (
+        np_.join(ng, [*by, "_t"], "full_outer")
+        .join(tp, [*by, "_t"], "left")
+        .select(
+            *by,
+            F.col("_t").alias("type"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+            F.coalesce(F.col("n_gold"), F.lit(0)).alias("n_gold"),
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+        )
+    )
+    micro = cells.groupBy(*by).agg(
+        F.lit("__ALL__").alias("type"),
+        F.sum("n_pred").alias("n_pred"),
+        F.sum("n_gold").alias("n_gold"),
+        F.sum("tp").alias("tp"),
+    ).select(*by, "type", "n_pred", "n_gold", "tp")
+    allrows = cells.unionByName(micro)
+    prec = F.when(
+        F.col("n_pred") > 0,
+        F.col("tp").cast("double") / F.col("n_pred").cast("double"),
+    )
+    rec = F.when(
+        F.col("n_gold") > 0,
+        F.col("tp").cast("double") / F.col("n_gold").cast("double"),
+    )
+    f1 = F.when(
+        prec.isNull() | rec.isNull(), F.lit(None).cast("double")
+    ).when((prec + rec) > 0, F.lit(2.0) * prec * rec / (prec + rec)).otherwise(
+        F.lit(0.0)
+    )
+    return allrows.select(
+        *by,
+        "type",
+        "n_pred",
+        "n_gold",
+        "tp",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+    )
+
+
+def prediction_churn(
+    df: DataFrame,
+    by: list[str],
+    old_col: str,
+    new_col: str,
+) -> DataFrame:
+    """Prediction-churn panel (L434): one row per (old, new) class
+    pair ``(by..., old_label, new_label, n, frac, churn_rate,
+    net_drift_old, net_drift_new)`` — the model-ROLLOUT safety
+    scoreboard (accuracy deltas hide it: two models can match a gold
+    set equally while disagreeing on a third of traffic; churn is
+    what users and downstream caches feel):
+
+        flip matrix: exact counts per (old, new) label pair, frac =
+        n/total; churn_rate = Σ off-diagonal / total (repeated per
+        row); net_drift_* = (new-model volume − old-model volume)
+        of that row's labels — which classes GREW (repeated per row
+        so every pair reads in context)
+
+    All exact integer counts from ONE combinable groupBy + two tiny
+    margin joins; one division each.  NULL predictions refused (a
+    missing prediction is an availability incident, not a class).
+
+    No reference counterpart; eval analytics per SURVEY §2.11."""
+    n_null = df.filter(
+        F.col(old_col).isNull() | F.col(new_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"prediction_churn: {n_null} NULL prediction(s)"
+        )
+    cells = df.groupBy(
+        *by,
+        F.col(old_col).cast("string").alias("old_label"),
+        F.col(new_col).cast("string").alias("new_label"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(*by)
+    total = F.sum("n").over(w)
+    churn = F.sum(
+        F.when(F.col("old_label") != F.col("new_label"), F.col("n")).otherwise(
+            0
+        )
+    ).over(w)
+    old_m = cells.groupBy(*by, F.col("old_label").alias("_l")).agg(
+        F.sum("n").alias("_old_n")
+    )
+    new_m = cells.groupBy(*by, F.col("new_label").alias("_l")).agg(
+        F.sum("n").alias("_new_n")
+    )
+    margins = old_m.join(new_m, [*by, "_l"], "full_outer").select(
+        *by,
+        "_l",
+        (
+            F.coalesce(F.col("_new_n"), F.lit(0))
+            - F.coalesce(F.col("_old_n"), F.lit(0))
+        ).alias("_drift"),
+    )
+    staged = cells.select(
+        *by,
+        "old_label",
+        "new_label",
+        "n",
+        (F.col("n").cast("double") / total.cast("double")).alias(
+            "frac"
+        ),
+        (churn.cast("double") / total.cast("double")).alias(
+            "churn_rate"
+        ),
+    )
+    out = staged.join(
+        margins.withColumnRenamed("_l", "old_label").withColumnRenamed(
+            "_drift", "net_drift_old"
+        ),
+        [*by, "old_label"],
+    ).join(
+        margins.withColumnRenamed("_l", "new_label").withColumnRenamed(
+            "_drift", "net_drift_new"
+        ),
+        [*by, "new_label"],
+    )
+    return out.select(
+        *by,
+        "old_label",
+        "new_label",
+        "n",
+        "frac",
+        "churn_rate",
+        "net_drift_old",
+        "net_drift_new",
+    )
