@@ -456,3 +456,232 @@ def getis_gi_star(
         "w_i",
         F.when(ok, gi).alias("gi_star"),
     )
+
+
+def point_in_polygon(
+    points: DataFrame,
+    polygons: list[dict],
+    x_col: str,
+    y_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Point-in-polygon tagging (L435): input columns preserved plus
+    ``(polygon, on_boundary)`` — geofencing/region assignment (which
+    sales region, which service area, which census zone), the
+    membership primitive the grid family (L212/L213) deliberately
+    skips.
+
+    ``polygons`` is a bounded BROADCAST list of ``{"name": str,
+    "vertices": [(x, y), ...]}`` dicts (simple polygons, ≥ 3
+    vertices, ≤ 64 each, ≤ 64 polygons — region tables are small by
+    nature; vertices are pinned as decimal literals at ``scale``).
+    The even-odd ray-casting test is evaluated WITHOUT divisions:
+    for the horizontal ray from (px, py), edge (a, b) crosses iff
+    (ay > py) ≠ (by > py) and the exact-decimal cross product
+    (bx−ax)·(py−ay) − (by−ay)·(px−ax) has the correct sign relative
+    to the edge's direction — EXACT integer-scaled arithmetic, so
+    membership cannot knife-edge on an IEEE intersection-x.  Points
+    exactly ON an edge or vertex set ``on_boundary`` true and count
+    as INSIDE (pinned convention).  First matching polygon in list
+    order wins (pinned — callers order by precedence); no match →
+    NULL polygon.  NULL coordinates refused.
+
+    Scale shape: per-row bounded fold over the broadcast vertex
+    lists — zero shuffle, embarrassingly parallel at 100 TB.
+
+    No reference counterpart; spatial analytics per SURVEY §2.11."""
+    from decimal import Decimal
+
+    if not polygons or len(polygons) > 64:
+        raise ValueError(
+            "point_in_polygon: need 1..64 polygons"
+        )
+    for pg in polygons:
+        if len(pg["vertices"]) < 3 or len(pg["vertices"]) > 64:
+            raise ValueError(
+                f"point_in_polygon: polygon {pg['name']!r} needs "
+                "3..64 vertices"
+            )
+    n_null = points.filter(
+        F.col(x_col).isNull() | F.col(y_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(
+            f"point_in_polygon: {n_null} NULL coordinate row(s)"
+        )
+    dec = f"decimal(18,{scale})"
+    px = F.col(x_col).cast(dec)
+    py = F.col(y_col).cast(dec)
+    q = Decimal(1).scaleb(-scale)
+
+    def lit(v):
+        return F.lit(str(Decimal(str(v)).quantize(q))).cast(dec)
+
+    def poly_exprs(pg):
+        vs = pg["vertices"]
+        inside = F.lit(False)
+        on_edge = F.lit(False)
+        for i in range(len(vs)):
+            ax, ay = vs[i]
+            bx, by = vs[(i + 1) % len(vs)]
+            axl, ayl, bxl, byl = lit(ax), lit(ay), lit(bx), lit(by)
+            cross = (bxl - axl) * (py - ayl) - (byl - ayl) * (
+                px - axl
+            )
+            within_y = ((ayl > py) & (byl <= py)) | (
+                (byl > py) & (ayl <= py)
+            )
+            crosses = within_y & F.when(
+                byl > ayl, cross > 0
+            ).otherwise(cross < 0)
+            inside = inside != crosses
+            colinear = cross == 0
+            in_box = (
+                (px >= F.least(axl, bxl))
+                & (px <= F.greatest(axl, bxl))
+                & (py >= F.least(ayl, byl))
+                & (py <= F.greatest(ayl, byl))
+            )
+            on_edge = on_edge | (colinear & in_box)
+        return inside | on_edge, on_edge
+
+    name_expr = F.lit(None).cast("string")
+    bound_expr = F.lit(None).cast("boolean")
+    for pg in reversed(polygons):
+        member, edge = poly_exprs(pg)
+        name_expr = F.when(member, F.lit(pg["name"])).otherwise(
+            name_expr
+        )
+        bound_expr = F.when(member, edge).otherwise(bound_expr)
+    return points.select(
+        "*", name_expr.alias("polygon"), bound_expr.alias("on_boundary")
+    )
+
+
+def polygon_metrics(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    scale: int = 6,
+    max_vertices: int = 10_000,
+) -> DataFrame:
+    """Polygon metrics via the shoelace formula (L436): ``(by..., n,
+    area2, area, cx, cy, perimeter)`` — exact-decimal area and
+    centroid of per-key vertex rings (service-area sizing, zone
+    comparison; the measurement companion to L435's membership):
+
+        2A = Σ (xᵢ·yᵢ₊₁ − xᵢ₊₁·yᵢ)       (signed; ring closes
+                                            last→first)
+        C = (1/(6A))·Σ (vᵢ + vᵢ₊₁)·(xᵢ·yᵢ₊₁ − xᵢ₊₁·yᵢ)
+
+    The doubled signed area ``area2`` is an EXACT decimal sum (the
+    order-free headline number — its sign is the ring orientation);
+    ``area`` = |area2|/2 and the centroid are fixed trees with ONE
+    division each; the perimeter's per-edge square roots fold over
+    the bounded sorted ring (max_vertices REFUSED — the L180
+    contract).  Rings need ≥ 3 vertices (fewer → NULL everything but
+    n); zero area (degenerate ring) → NULL centroid.  Duplicate
+    order keys refused (ring order would be nondeterministic).
+
+    No reference counterpart; spatial analytics per SURVEY §2.11."""
+    dec = f"decimal(18,{scale})"
+    n_null = df.filter(
+        F.col(x_col).isNull()
+        | F.col(y_col).isNull()
+        | F.col(order_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(f"polygon_metrics: {n_null} NULL row(s)")
+    dups = (
+        df.groupBy(*by, order_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dups:
+        raise ValueError(
+            f"polygon_metrics: {dups} duplicate ring order key(s)"
+        )
+    base = df.select(
+        *by,
+        F.col(order_col).cast("double").alias("_o"),
+        F.col(x_col).cast(dec).alias("_x"),
+        F.col(y_col).cast(dec).alias("_y"),
+    )
+    sizes = base.groupBy(*by).count()
+    over = sizes.filter(F.col("count") > max_vertices).count()
+    if over:
+        raise ValueError(
+            f"polygon_metrics: a ring exceeds max_vertices="
+            f"{max_vertices}"
+        )
+    packed = base.groupBy(*by).agg(
+        F.sort_array(
+            F.collect_list(F.struct("_o", "_x", "_y"))
+        ).alias("_a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n = F.size("_a")
+    vx = lambda i: F.element_at(F.col("_a"), i)["_x"]  # noqa: E731
+    vy = lambda i: F.element_at(F.col("_a"), i)["_y"]  # noqa: E731
+    nxt = lambda i: F.when(i == n, F.lit(1)).otherwise(i + 1)  # noqa: E731
+    zero = F.lit(0).cast("decimal(38,12)")
+    wd = "decimal(38,12)"
+    area2 = F.aggregate(
+        F.sequence(F.lit(1), n),
+        zero,
+        lambda acc, i: (
+            acc + (vx(i) * vy(nxt(i)) - vx(nxt(i)) * vy(i)).cast(wd)
+        ).cast(wd),
+    )
+    cx_num = F.aggregate(
+        F.sequence(F.lit(1), n),
+        zero,
+        lambda acc, i: (
+            acc
+            + (
+                (vx(i) + vx(nxt(i)))
+                * (vx(i) * vy(nxt(i)) - vx(nxt(i)) * vy(i))
+            ).cast(wd)
+        ).cast(wd),
+    )
+    cy_num = F.aggregate(
+        F.sequence(F.lit(1), n),
+        zero,
+        lambda acc, i: (
+            acc
+            + (
+                (vy(i) + vy(nxt(i)))
+                * (vx(i) * vy(nxt(i)) - vx(nxt(i)) * vy(i))
+            ).cast(wd)
+        ).cast(wd),
+    )
+    per = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.sqrt(
+            (
+                (vx(nxt(i)) - vx(i)) * (vx(nxt(i)) - vx(i))
+                + (vy(nxt(i)) - vy(i)) * (vy(nxt(i)) - vy(i))
+            ).cast("double")
+        ),
+    )
+    a2d = area2.cast("double")
+    ok = F.col("n") >= 3
+    nonzero = ok & (area2 != zero)
+    return packed.select(
+        *by,
+        "n",
+        F.when(ok, a2d).alias("area2"),
+        F.when(ok, F.abs(a2d) / F.lit(2.0)).alias("area"),
+        F.when(
+            nonzero, cx_num.cast("double") / (F.lit(3.0) * a2d)
+        ).alias("cx"),
+        F.when(
+            nonzero, cy_num.cast("double") / (F.lit(3.0) * a2d)
+        ).alias("cy"),
+        F.when(ok, per).alias("perimeter"),
+    )
