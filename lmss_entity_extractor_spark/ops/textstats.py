@@ -529,3 +529,149 @@ def burrows_delta(
             / F.col("k_eff").cast("double"),
         ).alias("delta"),
     )
+
+
+def lexicon_scan(
+    df: DataFrame,
+    by: list[str],
+    id_col: str,
+    text_col: str,
+    lexicon: list[str],
+    case_insensitive: bool = True,
+) -> DataFrame:
+    """Lexicon scan panel (L437): ``(by..., doc, n_chars, total_hits,
+    n_patterns_hit, hits_per_kchar, first_pattern, flagged)`` —
+    policy-phrase screening (safety wordlists, PII trigger phrases,
+    brand terms) as EXACT arithmetic: each pattern's occurrence count
+    is (len(t) − len(replace(t, p)))/len(p) — an exact integer from
+    two JVM length calls, counting NON-overlapping occurrences (the
+    replace semantics, documented), substring matching (compose word
+    boundaries into the patterns if needed).  The lexicon is a
+    bounded broadcast literal (1..64 non-empty patterns, pinned into
+    the plan — the L435 discipline); ``first_pattern`` is the
+    lexicographically SMALLEST hit (deterministic witness, the L343
+    rule), ``hits_per_kchar`` the one division.  Case folding pinned
+    by the flag (both sides lowered).  NULL ids/texts refused.
+
+    Scale shape: per-row bounded JVM string ops — zero shuffle.
+
+    No reference counterpart; curation analytics per SURVEY §2.11."""
+    if not lexicon or len(lexicon) > 64:
+        raise ValueError("lexicon_scan: need 1..64 patterns")
+    if any(not p for p in lexicon):
+        raise ValueError("lexicon_scan: empty pattern")
+    pats = sorted(
+        {p.lower() for p in lexicon}
+        if case_insensitive
+        else set(lexicon)
+    )
+    n_null = df.filter(
+        F.col(id_col).isNull() | F.col(text_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(f"lexicon_scan: {n_null} NULL row(s)")
+    t = (
+        F.lower(F.col(text_col))
+        if case_insensitive
+        else F.col(text_col)
+    )
+    counts = [
+        (
+            (F.length(t) - F.length(F.replace(t, F.lit(p))))
+            / F.lit(len(p))
+        ).cast("int")
+        for p in pats
+    ]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    npat = sum(
+        [F.when(c > 0, 1).otherwise(0) for c in counts], F.lit(0)
+    )
+    first = F.lit(None).cast("string")
+    for p, c in reversed(list(zip(pats, counts))):
+        first = F.when(c > 0, F.lit(p)).otherwise(first)
+    n_chars = F.length(F.col(text_col))
+    return df.select(
+        *by,
+        F.col(id_col).alias("doc"),
+        n_chars.alias("n_chars"),
+        total.alias("total_hits"),
+        npat.alias("n_patterns_hit"),
+        F.when(
+            n_chars > 0,
+            total.cast("double") * F.lit(1000.0)
+            / n_chars.cast("double"),
+        ).alias("hits_per_kchar"),
+        first.alias("first_pattern"),
+        (total > 0).alias("flagged"),
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    by: list[str],
+    id_col: str,
+    text_col: str,
+    max_chars: int = 20_000,
+) -> DataFrame:
+    """Character-entropy panel (L438): ``(by..., doc, n_chars,
+    n_distinct_chars, entropy_bits, est_ratio)`` — the cheap
+    compressibility/gibberish screen beside LZ76 (L382 is a
+    sequential bounded fold measuring STRUCTURE; the zeroth-order
+    Shannon bound is embarrassingly parallel and catches encoding
+    anomalies, key-mash, and base64 blobs by their flat character
+    distributions):
+
+        H = −Σ_c (n_c/n)·log₂(n_c/n)   bits per character
+        est_ratio = H/8                 (the order-0 compression
+                                         bound as a fraction of raw
+                                         bytes for 8-bit text)
+
+    Counts are exact integers (per-row fold over the doc's DISTINCT
+    characters in sorted order — pinned; O(distinct·len) against the
+    loud ``max_chars`` cap); the entropy tree is a per-DOC output
+    (never summed across docs — per-row transcendental ulps are
+    absorbed by the 9-digit compare, the L420 rule).  Empty texts →
+    NULL entropy.  NULL ids/texts refused.
+
+    No reference counterpart; curation analytics per SURVEY §2.11."""
+    n_null = df.filter(
+        F.col(id_col).isNull() | F.col(text_col).isNull()
+    ).count()
+    if n_null:
+        raise ValueError(f"char_entropy: {n_null} NULL row(s)")
+    over = df.filter(F.length(F.col(text_col)) > max_chars).count()
+    if over:
+        raise ValueError(
+            f"char_entropy: {over} doc(s) exceed max_chars="
+            f"{max_chars} — the distinct-char fold is quadratic-ish; "
+            "truncate upstream"
+        )
+    chars = F.filter(
+        F.split(F.col(text_col), ""), lambda x: x != F.lit("")
+    )
+    distinct = F.array_sort(F.array_distinct(chars))
+    n = F.size(chars)
+    nd = n.cast("double")
+    h = F.aggregate(
+        distinct,
+        F.lit(0.0),
+        lambda acc, ch: acc
+        - (
+            F.size(F.filter(chars, lambda x: x == ch)).cast("double")
+            / nd
+        )
+        * F.log2(
+            F.size(F.filter(chars, lambda x: x == ch)).cast("double")
+            / nd
+        ),
+    )
+    return df.select(
+        *by,
+        F.col(id_col).alias("doc"),
+        n.alias("n_chars"),
+        F.size(distinct).alias("n_distinct_chars"),
+        F.when(n > 0, h).alias("entropy_bits"),
+        F.when(n > 0, h / F.lit(8.0)).alias("est_ratio"),
+    )
