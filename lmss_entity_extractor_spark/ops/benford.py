@@ -84,3 +84,158 @@ def benford_digits(
         dev.alias("abs_dev"),
         chi2_term.alias("chi2_term"),
     )
+
+
+# second-digit Benford probabilities: sum_k log10(1 + 1/(10k + d)),
+# k = 1..9 — pinned double literals (the repr of the python sum; the
+# oracle spells the identical values)
+_BENFORD2 = (
+    0.11967926859688073,
+    0.1138901034075564,
+    0.10882149900550823,
+    0.10432956023095939,
+    0.10030820226757937,
+    0.09667723580232243,
+    0.09337473578303615,
+    0.09035198926960332,
+    0.08757005357886138,
+    0.08499735205769224,
+)
+
+
+def digit_forensics(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Digit-forensics panel (L439): ``(by..., n, n2, chi2_second,
+    chi2_last, max_dev_last)`` — the fabrication screens BEYOND the
+    first-digit Benford test (L144): fabricated numbers drift toward
+    uniform FIRST digits but cluster on favorite SECOND digits, and
+    invented integers heap on round LAST digits (Nigrini's forensic
+    accounting standards):
+
+        chi2_second: observed second-digit counts vs the Benford
+        second-digit law (probabilities as pinned double literals —
+        Σ_k log10(1+1/(10k+d)); values need ≥ 2 significant digits,
+        counted in ``n2``)
+        chi2_last: last-digit counts vs UNIFORM(1/10) — the last
+        digit of genuine multi-digit measurements is uniform
+        max_dev_last: the largest |observed − expected|/n share
+        deviation, naming the heaped digit's size
+
+    Digits are extracted from the EXACT decimal string of the
+    absolute integer part (the L144 discipline — no float log10
+    wobble): second digit = 2nd char when length ≥ 2; last digit =
+    final char.  Counts exact integers; each χ² a fixed tree folded
+    over the pinned 0..9 digit order.  Values with |x| < 10 are
+    excluded from the second-digit test; zeros excluded from the
+    last-digit test (trailing zeros of round amounts are the SIGNAL
+    here, so they stay — only exact zero rows drop, documented);
+    NULLs ignored; n2 = 0 → NULL chi2_second.
+
+    No reference counterpart; forensic analytics per SURVEY §2.11."""
+    # integer part via explicit floor(abs(.)) — a decimal cast would
+    # ROUND, and Spark rounds half-up while DuckDB rounds half-even
+    x = F.floor(F.abs(F.col(value_col))).cast("long")
+    s = x.cast("string")
+    flt = df.filter(F.col(value_col).isNotNull()).select(
+        *by, s.alias("_s"), x.alias("_x")
+    )
+    second = F.when(
+        F.length("_s") >= 2, F.substring("_s", 2, 1).cast("int")
+    )
+    last = F.when(F.col("_x") > 0, F.substring("_s", -1, 1).cast("int"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for d in range(10):
+        aggs.append(
+            F.sum(F.when(second == d, 1).otherwise(0)).alias(f"_s{d}")
+        )
+        aggs.append(
+            F.sum(F.when(last == d, 1).otherwise(0)).alias(f"_l{d}")
+        )
+    agg = flt.groupBy(*by).agg(*aggs)
+    n2 = None
+    nl = None
+    for d in range(10):
+        n2 = F.col(f"_s{d}") if n2 is None else n2 + F.col(f"_s{d}")
+        nl = F.col(f"_l{d}") if nl is None else nl + F.col(f"_l{d}")
+    n2d = n2.cast("double")
+    nld = nl.cast("double")
+    chi2_s = None
+    for d in range(10):
+        e = F.lit(_BENFORD2[d]) * n2d
+        t = (F.col(f"_s{d}").cast("double") - e) * (
+            F.col(f"_s{d}").cast("double") - e
+        ) / e
+        chi2_s = t if chi2_s is None else chi2_s + t
+    chi2_l = None
+    maxdev = None
+    for d in range(10):
+        e = nld / F.lit(10.0)
+        t = (F.col(f"_l{d}").cast("double") - e) * (
+            F.col(f"_l{d}").cast("double") - e
+        ) / e
+        chi2_l = t if chi2_l is None else chi2_l + t
+        dev = F.abs(F.col(f"_l{d}").cast("double") / nld - F.lit(0.1))
+        maxdev = dev if maxdev is None else F.greatest(maxdev, dev)
+    return agg.select(
+        *by,
+        "n",
+        n2.alias("n2"),
+        F.when(n2 > 0, chi2_s).alias("chi2_second"),
+        F.when(nl > 0, chi2_l).alias("chi2_last"),
+        F.when(nl > 0, maxdev).alias("max_dev_last"),
+    )
+
+
+def heaping_panel(
+    df: DataFrame,
+    by: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Round-number heaping panel (L440): ``(by..., n, share_mult5,
+    share_mult10, share_mult100, excess5, excess10, excess100)`` —
+    the heaping detector completing the L439 digit screens: human-
+    entered and negotiated quantities pile on round numbers
+    (self-reported ages, haggled prices, estimated durations), and
+    the EXCESS over the uniform-residue expectation (1/5, 1/10,
+    1/100) measures it:
+
+        share_multK = #(x mod K = 0)/n,  excessK = share − 1/K
+
+    Multiplicity via EXACT integer modulus on the absolute integer
+    part (the L439 digit discipline); counts exact, one division per
+    share, excesses fixed trees.  NULLs ignored; n = 0 groups
+    absent.  A genuinely continuous quantity shows excess ≈ 0; heaped
+    data shows the ladder excess100 < excess10 < excess5 breaking.
+
+    No reference counterpart; forensic analytics per SURVEY §2.11."""
+    x = F.floor(F.abs(F.col(value_col))).cast("long")
+    flt = df.filter(F.col(value_col).isNotNull()).select(
+        *by, x.alias("_x")
+    )
+    agg = flt.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_x") % 5 == 0, 1).otherwise(0)).alias("_m5"),
+        F.sum(F.when(F.col("_x") % 10 == 0, 1).otherwise(0)).alias(
+            "_m10"
+        ),
+        F.sum(F.when(F.col("_x") % 100 == 0, 1).otherwise(0)).alias(
+            "_m100"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    s5 = F.col("_m5").cast("double") / nd
+    s10 = F.col("_m10").cast("double") / nd
+    s100 = F.col("_m100").cast("double") / nd
+    return agg.select(
+        *by,
+        "n",
+        s5.alias("share_mult5"),
+        s10.alias("share_mult10"),
+        s100.alias("share_mult100"),
+        (s5 - F.lit(0.2)).alias("excess5"),
+        (s10 - F.lit(0.1)).alias("excess10"),
+        (s100 - F.lit(0.01)).alias("excess100"),
+    )
