@@ -3194,3 +3194,157 @@ def streak_panel(
         "max_flat_run",
         "tail_inc_run",
     )
+
+
+def freshness_panel(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str,
+    stale_after_s: int = 3600,
+) -> DataFrame:
+    """Partition-freshness panel (L441): ``(by..., n, max_ts, lag_s,
+    stale)`` — which feeds/partitions have stopped arriving: per key,
+    the newest event and its lag behind the DATASET's newest event
+    (the deterministic watermark — never wall-clock "now", the L337
+    recency discipline), with ``stale`` decided by an EXACT integer
+    microsecond comparison against the pinned threshold (no IEEE
+    knife-edge at the boundary).  ``lag_s`` is the one division
+    (µs/1e6).  NULL timestamps refused.
+
+    Scale shape: one combinable per-key max + one 1-row global max
+    broadcast back.
+
+    No reference counterpart; pipeline-health analytics per SURVEY
+    §2.11."""
+    if stale_after_s < 0:
+        raise ValueError("freshness_panel: stale_after_s must be >= 0")
+    n_null = df.filter(F.col(ts_col).isNull()).count()
+    if n_null:
+        raise ValueError(f"freshness_panel: {n_null} NULL timestamp(s)")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(*by, us.alias("_us"), F.col(ts_col).alias("_ts"))
+    per = base.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("_us").alias("_mx"),
+        F.max("_ts").alias("max_ts"),
+    )
+    wm = per.agg(F.max("_mx").alias("_wm"))
+    out = per.crossJoin(F.broadcast(wm))
+    lag_us = F.col("_wm") - F.col("_mx")
+    return out.select(
+        *by,
+        "n",
+        "max_ts",
+        (lag_us.cast("double") / F.lit(1e6)).alias("lag_s"),
+        (lag_us > F.lit(int(stale_after_s) * 1_000_000)).alias(
+            "stale"
+        ),
+    )
+
+
+def volume_anomaly(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str,
+    bucket_seconds: int = 86_400,
+    max_buckets: int = 5_000,
+) -> DataFrame:
+    """Volume-anomaly panel (L442): one row per (key, bucket)
+    ``(by..., bucket_start, n, median_n, mad_n, robust_z)`` — did a
+    feed's volume spike or collapse: per-bucket exact counts on the
+    µs grid (the L388 bucket discipline, interior empty buckets
+    counted as ZEROS — a silent day is the anomaly you most need to
+    see), scored against the key's own MEDIAN and MAD with the
+    pinned floored-index median convention over the bounded sorted
+    count list (``max_buckets`` REFUSED loudly):
+
+        robust_z = (n − median) / (1.4826·MAD)
+
+    (the L137 robust screen applied to the volume series itself;
+    1.4826 a pinned literal; MAD = 0 — perfectly constant volume —
+    → NULL z, documented).  NULL and pre-epoch timestamps refused
+    (the L388 rule).
+
+    No reference counterpart; pipeline-health analytics per SURVEY
+    §2.11."""
+    if bucket_seconds <= 0:
+        raise ValueError("volume_anomaly: bucket_seconds must be > 0")
+    n_null = df.filter(F.col(ts_col).isNull()).count()
+    if n_null:
+        raise ValueError(f"volume_anomaly: {n_null} NULL timestamp(s)")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(*by, us.alias("_us"))
+    n_neg = base.filter(F.col("_us") < 0).count()
+    if n_neg:
+        raise ValueError(
+            f"volume_anomaly: {n_neg} pre-epoch timestamp(s)"
+        )
+    w_us = bucket_seconds * 1_000_000
+    counts = base.select(
+        *by, F.expr(f"_us DIV {w_us}").alias("_b")
+    ).groupBy(*by, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    spans = counts.groupBy(*by).agg(
+        F.min("_b").alias("_bmin"), F.max("_b").alias("_bmax")
+    )
+    n_span = (F.col("_bmax") - F.col("_bmin") + 1).cast("int")
+    over = spans.filter(n_span > max_buckets).count()
+    if over:
+        raise ValueError(
+            f"volume_anomaly: a key spans more than max_buckets="
+            f"{max_buckets} buckets — widen bucket_seconds"
+        )
+    grid = spans.select(
+        *by,
+        F.explode(
+            F.sequence(F.col("_bmin"), F.col("_bmax"))
+        ).alias("_b"),
+    )
+    full = grid.join(counts, [*by, "_b"], "left").select(
+        *by, "_b", F.coalesce(F.col("_c"), F.lit(0)).alias("_c")
+    )
+    packed = full.groupBy(*by).agg(
+        F.sort_array(F.collect_list("_c")).alias("_cs")
+    )
+
+    def _med(arr):
+        k = F.size(arr)
+        hi = F.element_at(arr, (F.floor(k / 2) + 1).cast("int"))
+        lo = F.element_at(arr, F.floor((k + 1) / 2).cast("int"))
+        return F.when(k % 2 == 1, hi.cast("double")).otherwise(
+            (lo + hi).cast("double") / F.lit(2.0)
+        )
+
+    med = _med(F.col("_cs"))
+    devs = F.sort_array(
+        F.transform(
+            F.col("_cs"), lambda c: F.abs(c.cast("double") - med)
+        )
+    )
+
+    def _medd(arr):
+        k = F.size(arr)
+        hi = F.element_at(arr, (F.floor(k / 2) + 1).cast("int"))
+        lo = F.element_at(arr, F.floor((k + 1) / 2).cast("int"))
+        return F.when(k % 2 == 1, hi).otherwise(
+            (lo + hi) / F.lit(2.0)
+        )
+
+    stats = packed.select(
+        *by, med.alias("median_n"), _medd(devs).alias("mad_n")
+    )
+    joined = full.join(stats, list(by)) if by else full.crossJoin(
+        F.broadcast(stats)
+    )
+    z = (F.col("_c").cast("double") - F.col("median_n")) / (
+        F.lit(1.4826) * F.col("mad_n")
+    )
+    return joined.select(
+        *by,
+        F.timestamp_micros(F.col("_b") * F.lit(w_us)).alias(
+            "bucket_start"
+        ),
+        F.col("_c").alias("n"),
+        "median_n",
+        "mad_n",
+        F.when(F.col("mad_n") > 0, z).alias("robust_z"),
+    )
