@@ -2298,3 +2298,187 @@ def chatterjee_xi(
         F.col("_n").alias("n"),
         F.when(ok, xi).alias("xi"),
     )
+
+
+def rrf_fusion(
+    df: DataFrame,
+    by: list[str],
+    system_col: str,
+    doc_col: str,
+    rank_col: str,
+    systems: list[str],
+    k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (L443): ``(by..., doc, n_systems, score,
+    rank)`` — THE standard hybrid-retrieval merger (Cormack et al.
+    2009; how BM25 L22 and ANN L7-L9 lists become one ranking —
+    including this repo's own hybrid-search story):
+
+        score(d) = Σ_systems 1/(k + rank_s(d))
+
+    The system list is a bounded pinned parameter (1..16, the fused
+    run names — an unknown system in the data is REFUSED, a missing
+    (system, doc) contributes nothing), so the per-doc sum is a FIXED
+    tree folded in the pinned system-list order — identical doubles
+    both engines, and the (score DESC, doc ASC) final ranking cannot
+    knife-edge.  Duplicate (system, doc) rows are REFUSED (two ranks
+    from one run is a bug); ranks must be ≥ 1.  ``top_n`` bounds the
+    fused output per key.
+
+    Scale shape: one pivot-style conditional agg per (keys, doc) +
+    one top-n window.
+
+    No reference counterpart (generalizes the L365-adjacent hybrid
+    blend in `search.py`); retrieval analytics per SURVEY §2.11."""
+    if not systems or len(systems) > 16:
+        raise ValueError("rrf_fusion: need 1..16 systems")
+    if len(set(systems)) != len(systems):
+        raise ValueError("rrf_fusion: duplicate system names")
+    if k < 0 or top_n < 1:
+        raise ValueError("rrf_fusion: k must be >= 0, top_n >= 1")
+    bad = df.filter(
+        F.col(system_col).isNull()
+        | F.col(doc_col).isNull()
+        | F.col(rank_col).isNull()
+        | (F.col(rank_col) < 1)
+    ).count()
+    if bad:
+        raise ValueError(
+            f"rrf_fusion: {bad} NULL/invalid-rank row(s)"
+        )
+    unknown = df.filter(~F.col(system_col).isin(systems)).count()
+    if unknown:
+        raise ValueError(
+            f"rrf_fusion: {unknown} row(s) from systems outside the "
+            "pinned list"
+        )
+    dup = (
+        df.groupBy(*by, system_col, doc_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"rrf_fusion: {dup} duplicate (system, doc) row(s)"
+        )
+    aggs = [F.count(F.lit(1)).alias("n_systems")]
+    for i, s in enumerate(systems):
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col(system_col) == s, F.col(rank_col)
+                )
+            ).alias(f"_r{i}")
+        )
+    cells = df.groupBy(*by, F.col(doc_col).alias("doc")).agg(*aggs)
+    score = None
+    for i, s in enumerate(systems):
+        term = F.when(
+            F.col(f"_r{i}").isNotNull(),
+            F.lit(1.0)
+            / (F.lit(float(k)) + F.col(f"_r{i}").cast("double")),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    w = Window.partitionBy(*by).orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    )
+    return (
+        cells.select(*by, "doc", "n_systems", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
+def rank_biased_precision(
+    df: DataFrame,
+    by: list[str],
+    rank_col: str,
+    rel_col: str,
+    p: str = "0.8",
+    max_depth: int = 1000,
+) -> DataFrame:
+    """Rank-biased precision (L444): ``(by..., depth, rbp,
+    residual)`` — the PERSISTENCE-model ranking metric completing the
+    retrieval scoreboard (P@k L164 is a cliff at k, NDCG L221 and ERR
+    L372 model graded gain; RBP models a user who continues down the
+    list with probability p — Moffat & Zobel 2008 — and uniquely
+    reports its own UNCERTAINTY from the unjudged tail):
+
+        RBP = (1−p)·Σ_d p^{d−1}·rel_d
+        residual = p^{depth}        (the score still reachable below
+                                     the evaluated depth)
+
+    ``p`` is a decimal STRING pinned into the plan; the geometric
+    weights fold over the judged ranks in ASCENDING-rank order
+    (bounded by ``max_depth``, refused beyond) with p^{d−1} spelled
+    exp((d−1)·ln p) — one pinned tree per term, both engines.
+    Binary relevance validated (the L191 rule); duplicate ranks
+    refused; per-query rows on purpose (means are the caller's).
+
+    No reference counterpart; retrieval analytics per SURVEY §2.11."""
+    from decimal import Decimal
+
+    from .validate import assert_binary
+
+    pv = Decimal(p)
+    if not (Decimal(0) < pv < Decimal(1)):
+        raise ValueError("rank_biased_precision: p must be in (0,1)")
+    assert_binary(df, rel_col, "rank_biased_precision")
+    bad = df.filter(
+        F.col(rank_col).isNull() | (F.col(rank_col) < 1)
+    ).count()
+    if bad:
+        raise ValueError(
+            f"rank_biased_precision: {bad} NULL/invalid rank(s)"
+        )
+    dup = (
+        df.groupBy(*by, rank_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"rank_biased_precision: {dup} duplicate rank(s)"
+        )
+    deep = df.filter(F.col(rank_col) > max_depth).count()
+    if deep:
+        raise ValueError(
+            f"rank_biased_precision: {deep} row(s) deeper than "
+            f"max_depth={max_depth}"
+        )
+    pd_ = float(pv)
+    packed = df.groupBy(*by).agg(
+        F.max(F.col(rank_col)).alias("depth"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(rank_col).cast("long").alias("d"),
+                    F.col(rel_col).cast("int").alias("r"),
+                )
+            )
+        ).alias("_a"),
+    )
+    lnp = F.lit(float(pv))
+    term_sum = F.aggregate(
+        F.col("_a"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + F.when(
+            e["r"] == 1,
+            F.exp(
+                (e["d"] - F.lit(1)).cast("double")
+                * F.log(lnp)
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+    rbp = (F.lit(1.0) - lnp) * term_sum
+    residual = F.exp(F.col("depth").cast("double") * F.log(lnp))
+    return packed.select(
+        *by,
+        "depth",
+        rbp.alias("rbp"),
+        residual.alias("residual"),
+    )
