@@ -19,7 +19,9 @@ deterministic cross-engine even at exact quotient collisions (two
 parties with equal votes, or 2:1 vote ratios under D'Hondt).
 
 Zero-vote parties get zero seats without generating quotients;
-negative votes are REFUSED.  ``total_seats`` is bounded by
+negative votes are REFUSED, as are duplicate (group, party) rows
+(each would spawn its own divisor ladder and double-weight the
+party — pre-aggregate votes first).  ``total_seats`` is bounded by
 ``max_seats`` (the quotient explode is |parties|·S — REFUSED loudly
 beyond).  Output carries votes and exact seat counts per party
 (parties with zero seats INCLUDED — an allocation table with missing
@@ -58,11 +60,28 @@ def highest_averages(
         F.col(party_col).alias("party"),
         F.col(votes_col).alias("votes"),
     )
-    n_neg = base.filter(F.col("votes") < 0).count()
-    if n_neg:
-        raise ValueError(
-            f"highest_averages: {n_neg} negative vote count(s)"
+    from .validate import validation_enabled
+
+    if validation_enabled():
+        n_neg = base.filter(F.col("votes") < 0).count()
+        if n_neg:
+            raise ValueError(
+                f"highest_averages: {n_neg} negative vote count(s)"
+            )
+        # duplicate (by, party) rows would each spawn a full divisor
+        # ladder, silently double-weighting that party — refuse loudly
+        # like the sibling duplicate guards (rrf_fusion, quade_test)
+        dup = (
+            base.groupBy(*by, "party")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
+        if dup:
+            raise ValueError(
+                f"highest_averages: {dup} duplicate (group, party) "
+                "row(s) — pre-aggregate votes per party first"
+            )
     pos = base.filter(F.col("votes") > 0)
     idx = F.explode(
         F.sequence(F.lit(1), F.lit(int(total_seats)))

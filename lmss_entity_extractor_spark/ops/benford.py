@@ -129,10 +129,11 @@ def digit_forensics(
     wobble): second digit = 2nd char when length ≥ 2; last digit =
     final char.  Counts exact integers; each χ² a fixed tree folded
     over the pinned 0..9 digit order.  Values with |x| < 10 are
-    excluded from the second-digit test; zeros excluded from the
-    last-digit test (trailing zeros of round amounts are the SIGNAL
-    here, so they stay — only exact zero rows drop, documented);
-    NULLs ignored; n2 = 0 → NULL chi2_second.
+    excluded from BOTH tests — the single-digit "last" digit is the
+    first digit, which follows Benford rather than uniform, so
+    including 1..9 would false-flag genuine small-integer-rich data
+    (trailing zeros of round multi-digit amounts stay — they ARE the
+    signal); NULLs ignored; n2 = 0 → NULL chi2_second.
 
     No reference counterpart; forensic analytics per SURVEY §2.11."""
     # integer part via explicit floor(abs(.)) — a decimal cast would
@@ -145,7 +146,13 @@ def digit_forensics(
     second = F.when(
         F.length("_s") >= 2, F.substring("_s", 2, 1).cast("int")
     )
-    last = F.when(F.col("_x") > 0, F.substring("_s", -1, 1).cast("int"))
+    # last-digit uniformity holds for MULTI-digit measurements only: for
+    # 1..9 the "last" digit IS the first digit (Benford-distributed), so
+    # genuine small-integer-rich data would false-flag — gate on |x| ≥ 10
+    # exactly like the second-digit test (r4 ADVICE)
+    last = F.when(
+        F.length("_s") >= 2, F.substring("_s", -1, 1).cast("int")
+    )
     aggs = [F.count(F.lit(1)).alias("n")]
     for d in range(10):
         aggs.append(
@@ -194,48 +201,61 @@ def heaping_panel(
     by: list[str],
     value_col: str,
 ) -> DataFrame:
-    """Round-number heaping panel (L440): ``(by..., n, share_mult5,
-    share_mult10, share_mult100, excess5, excess10, excess100)`` —
-    the heaping detector completing the L439 digit screens: human-
-    entered and negotiated quantities pile on round numbers
-    (self-reported ages, haggled prices, estimated durations), and
-    the EXCESS over the uniform-residue expectation (1/5, 1/10,
-    1/100) measures it:
+    """Round-number heaping panel (L440): ``(by..., n, n_subunit,
+    share_mult5, share_mult10, share_mult100, excess5, excess10,
+    excess100)`` — the heaping detector completing the L439 digit
+    screens: human-entered and negotiated quantities pile on round
+    numbers (self-reported ages, haggled prices, estimated
+    durations), and the EXCESS over the uniform-residue expectation
+    (1/5, 1/10, 1/100) measures it:
 
-        share_multK = #(x mod K = 0)/n,  excessK = share − 1/K
+        share_multK = #(x mod K = 0)/n_int,  excessK = share − 1/K
 
     Multiplicity via EXACT integer modulus on the absolute integer
-    part (the L439 digit discipline); counts exact, one division per
-    share, excesses fixed trees.  NULLs ignored; n = 0 groups
-    absent.  A genuinely continuous quantity shows excess ≈ 0; heaped
-    data shows the ladder excess100 < excess10 < excess5 breaking.
+    part (the L439 digit discipline).  Sub-unit values (|x| < 1)
+    floor to 0 and 0 mod K = 0 for every K — a column of rates or
+    probabilities would report maximal heaping, the opposite of
+    truth — so they are EXCLUDED from the tallies and reported in
+    ``n_subunit`` instead; a group that is entirely sub-unit gets
+    NULL shares (the screen is inapplicable, and says so) (r4
+    ADVICE).  Counts exact, one division per share, excesses fixed
+    trees.  NULLs ignored; n = 0 groups absent.  A genuinely
+    continuous quantity ≥ 1 shows excess ≈ 0; heaped data shows the
+    ladder excess100 < excess10 < excess5 breaking.
 
     No reference counterpart; forensic analytics per SURVEY §2.11."""
     x = F.floor(F.abs(F.col(value_col))).cast("long")
     flt = df.filter(F.col(value_col).isNotNull()).select(
         *by, x.alias("_x")
     )
+    m = F.col("_x") >= 1
     agg = flt.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("_x") % 5 == 0, 1).otherwise(0)).alias("_m5"),
-        F.sum(F.when(F.col("_x") % 10 == 0, 1).otherwise(0)).alias(
-            "_m10"
+        F.sum(F.when(~m, 1).otherwise(0)).alias("n_subunit"),
+        F.sum(F.when(m, 1).otherwise(0)).alias("_ni"),
+        F.sum(F.when(m & (F.col("_x") % 5 == 0), 1).otherwise(0)).alias(
+            "_m5"
         ),
-        F.sum(F.when(F.col("_x") % 100 == 0, 1).otherwise(0)).alias(
-            "_m100"
-        ),
+        F.sum(
+            F.when(m & (F.col("_x") % 10 == 0), 1).otherwise(0)
+        ).alias("_m10"),
+        F.sum(
+            F.when(m & (F.col("_x") % 100 == 0), 1).otherwise(0)
+        ).alias("_m100"),
     )
-    nd = F.col("n").cast("double")
+    nd = F.col("_ni").cast("double")
     s5 = F.col("_m5").cast("double") / nd
     s10 = F.col("_m10").cast("double") / nd
     s100 = F.col("_m100").cast("double") / nd
+    ok = F.col("_ni") > 0
     return agg.select(
         *by,
         "n",
-        s5.alias("share_mult5"),
-        s10.alias("share_mult10"),
-        s100.alias("share_mult100"),
-        (s5 - F.lit(0.2)).alias("excess5"),
-        (s10 - F.lit(0.1)).alias("excess10"),
-        (s100 - F.lit(0.01)).alias("excess100"),
+        "n_subunit",
+        F.when(ok, s5).alias("share_mult5"),
+        F.when(ok, s10).alias("share_mult10"),
+        F.when(ok, s100).alias("share_mult100"),
+        F.when(ok, s5 - F.lit(0.2)).alias("excess5"),
+        F.when(ok, s10 - F.lit(0.1)).alias("excess10"),
+        F.when(ok, s100 - F.lit(0.01)).alias("excess100"),
     )

@@ -2337,32 +2337,35 @@ def rrf_fusion(
         raise ValueError("rrf_fusion: duplicate system names")
     if k < 0 or top_n < 1:
         raise ValueError("rrf_fusion: k must be >= 0, top_n >= 1")
-    bad = df.filter(
-        F.col(system_col).isNull()
-        | F.col(doc_col).isNull()
-        | F.col(rank_col).isNull()
-        | (F.col(rank_col) < 1)
-    ).count()
-    if bad:
-        raise ValueError(
-            f"rrf_fusion: {bad} NULL/invalid-rank row(s)"
+    from .validate import validation_enabled
+
+    if validation_enabled():
+        bad = df.filter(
+            F.col(system_col).isNull()
+            | F.col(doc_col).isNull()
+            | F.col(rank_col).isNull()
+            | (F.col(rank_col) < 1)
+        ).count()
+        if bad:
+            raise ValueError(
+                f"rrf_fusion: {bad} NULL/invalid-rank row(s)"
+            )
+        unknown = df.filter(~F.col(system_col).isin(systems)).count()
+        if unknown:
+            raise ValueError(
+                f"rrf_fusion: {unknown} row(s) from systems outside the "
+                "pinned list"
+            )
+        dup = (
+            df.groupBy(*by, system_col, doc_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
-    unknown = df.filter(~F.col(system_col).isin(systems)).count()
-    if unknown:
-        raise ValueError(
-            f"rrf_fusion: {unknown} row(s) from systems outside the "
-            "pinned list"
-        )
-    dup = (
-        df.groupBy(*by, system_col, doc_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dup:
-        raise ValueError(
-            f"rrf_fusion: {dup} duplicate (system, doc) row(s)"
-        )
+        if dup:
+            raise ValueError(
+                f"rrf_fusion: {dup} duplicate (system, doc) row(s)"
+            )
     aggs = [F.count(F.lit(1)).alias("n_systems")]
     for i, s in enumerate(systems):
         aggs.append(
@@ -2407,8 +2410,16 @@ def rank_biased_precision(
     reports its own UNCERTAINTY from the unjudged tail):
 
         RBP = (1−p)·Σ_d p^{d−1}·rel_d
-        residual = p^{depth}        (the score still reachable below
-                                     the evaluated depth)
+        residual = 1 − (1−p)·Σ_{judged d} p^{d−1}
+                 = p^{depth} + (1−p)·Σ_{unjudged d ≤ depth} p^{d−1}
+
+    i.e. the score still reachable from EVERY unjudged position: the
+    tail below the evaluated depth PLUS any rank gaps inside
+    1..depth (judged-only input need not be contiguous — gaps are
+    unjudged documents, and scoring them as rel = 0 without charging
+    the residual would understate the Moffat-Zobel uncertainty
+    bound; r4 ADVICE).  rbp + residual ≤ 1 always, with equality
+    when every judged document is relevant.
 
     ``p`` is a decimal STRING pinned into the plan; the geometric
     weights fold over the judged ranks in ASCENDING-rank order
@@ -2420,35 +2431,36 @@ def rank_biased_precision(
     No reference counterpart; retrieval analytics per SURVEY §2.11."""
     from decimal import Decimal
 
-    from .validate import assert_binary
+    from .validate import assert_binary, validation_enabled
 
     pv = Decimal(p)
     if not (Decimal(0) < pv < Decimal(1)):
         raise ValueError("rank_biased_precision: p must be in (0,1)")
     assert_binary(df, rel_col, "rank_biased_precision")
-    bad = df.filter(
-        F.col(rank_col).isNull() | (F.col(rank_col) < 1)
-    ).count()
-    if bad:
-        raise ValueError(
-            f"rank_biased_precision: {bad} NULL/invalid rank(s)"
+    if validation_enabled():
+        bad = df.filter(
+            F.col(rank_col).isNull() | (F.col(rank_col) < 1)
+        ).count()
+        if bad:
+            raise ValueError(
+                f"rank_biased_precision: {bad} NULL/invalid rank(s)"
+            )
+        dup = (
+            df.groupBy(*by, rank_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
-    dup = (
-        df.groupBy(*by, rank_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dup:
-        raise ValueError(
-            f"rank_biased_precision: {dup} duplicate rank(s)"
-        )
-    deep = df.filter(F.col(rank_col) > max_depth).count()
-    if deep:
-        raise ValueError(
-            f"rank_biased_precision: {deep} row(s) deeper than "
-            f"max_depth={max_depth}"
-        )
+        if dup:
+            raise ValueError(
+                f"rank_biased_precision: {dup} duplicate rank(s)"
+            )
+        deep = df.filter(F.col(rank_col) > max_depth).count()
+        if deep:
+            raise ValueError(
+                f"rank_biased_precision: {deep} row(s) deeper than "
+                f"max_depth={max_depth}"
+            )
     pd_ = float(pv)
     packed = df.groupBy(*by).agg(
         F.max(F.col(rank_col)).alias("depth"),
@@ -2475,7 +2487,15 @@ def rank_biased_precision(
         ).otherwise(F.lit(0.0)),
     )
     rbp = (F.lit(1.0) - lnp) * term_sum
-    residual = F.exp(F.col("depth").cast("double") * F.log(lnp))
+    # residual over ALL unjudged positions — the same ascending-rank
+    # fold without the rel gate, subtracted from the total mass 1
+    wsum = F.aggregate(
+        F.col("_a"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + F.exp((e["d"] - F.lit(1)).cast("double") * F.log(lnp)),
+    )
+    residual = F.lit(1.0) - (F.lit(1.0) - lnp) * wsum
     return packed.select(
         *by,
         "depth",

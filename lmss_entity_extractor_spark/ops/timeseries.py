@@ -3018,32 +3018,36 @@ def detect_peaks(
     No reference counterpart; analytics per SURVEY §2.11 (completes
     the L314 drawdown / L279 turning-points family — turning points
     COUNT direction changes; this localizes and sizes them)."""
+    from .validate import validation_enabled
+
     dec = f"decimal(18,{scale})"
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(f"detect_peaks: {n_null} NULL value(s)")
-    dups = (
-        df.groupBy(*by, order_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dups:
-        raise ValueError(
-            f"detect_peaks: {dups} duplicate order key(s)"
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(f"detect_peaks: {n_null} NULL value(s)")
+        dups = (
+            df.groupBy(*by, order_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
+        if dups:
+            raise ValueError(
+                f"detect_peaks: {dups} duplicate order key(s)"
+            )
     base = df.select(
         *by,
         F.col(order_col).cast("double").alias("_t"),
         F.col(value_col).cast(dec).alias("_x"),
     )
-    sizes = base.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_len).count()
-    if over:
-        raise ValueError(
-            f"detect_peaks: a series exceeds max_len={max_len} — "
-            "resample first"
-        )
+    if validation_enabled():
+        sizes = base.groupBy(*by).count()
+        over = sizes.filter(F.col("count") > max_len).count()
+        if over:
+            raise ValueError(
+                f"detect_peaks: a series exceeds max_len={max_len} — "
+                "resample first"
+            )
     packed = base.groupBy(*by).agg(
         F.sort_array(F.collect_list(F.struct("_t", "_x"))).alias("_a")
     )

@@ -67,6 +67,15 @@ class TestHighestAverages:
                 _votes(spark, [("A", -1)]), ["el"], "party", "votes", 2
             )
 
+    def test_duplicate_party_refused(self, spark):
+        # each duplicate row would spawn its own divisor ladder and
+        # silently double-weight the party (r4 ADVICE)
+        with pytest.raises(ValueError, match="duplicate"):
+            highest_averages(
+                _votes(spark, [("A", 10), ("A", 10), ("B", 5)]),
+                ["el"], "party", "votes", 3,
+            )
+
     def test_bad_method_and_seats(self, spark):
         df = _votes(spark, [("A", 1)])
         with pytest.raises(ValueError, match="method"):

@@ -23,7 +23,7 @@ class TestDigitForensics:
         r = digit_forensics(_df(spark, vals), ["k"], "v").collect()[0]
         ints = [int(abs(v)) for v in vals]
         seconds = [int(str(x)[1]) for x in ints if x >= 10]
-        lasts = [int(str(x)[-1]) for x in ints if x > 0]
+        lasts = [int(str(x)[-1]) for x in ints if x >= 10]
         n2, nl = len(seconds), len(lasts)
         chi2s = sum(
             (seconds.count(d) - _BENFORD2[d] * n2) ** 2
@@ -59,6 +59,21 @@ class TestDigitForensics:
         r = digit_forensics(_df(spark, [0, 0, 0]), ["k"], "v").collect()[0]
         assert r["chi2_last"] is None
 
+    def test_single_digits_excluded_from_last(self, spark):
+        # for 1..9 the "last" digit IS the first digit (Benford-like,
+        # not uniform) — small-integer-rich genuine data must not
+        # false-flag the uniformity screen (r4 ADVICE)
+        r = digit_forensics(
+            _df(spark, [1, 2, 3, 11, 12]), ["k"], "v"
+        ).collect()[0]
+        lasts = [1, 2]  # only 11, 12 qualify
+        nl = len(lasts)
+        chi2l = sum(
+            (lasts.count(d) - nl / 10) ** 2 / (nl / 10)
+            for d in range(10)
+        )
+        assert r["chi2_last"] == pytest.approx(chi2l, rel=1e-9)
+
 
 class TestHeapingPanel:
     def test_hand_computed(self, spark):
@@ -82,3 +97,22 @@ class TestHeapingPanel:
         ).collect()[0]
         assert r["share_mult10"] == pytest.approx(1.0)
         assert r["excess10"] == pytest.approx(0.9)
+
+    def test_subunit_values_excluded(self, spark):
+        # rates/probabilities floor to 0 and 0 mod K = 0 — without the
+        # gate a continuous sub-unit column reads as maximally heaped
+        # (r4 ADVICE); they are counted in n_subunit, not the shares
+        r = heaping_panel(
+            _df(spark, [0.3, 0.7, 5.0]), ["k"], "v"
+        ).collect()[0]
+        assert r["n"] == 3
+        assert r["n_subunit"] == 2
+        assert r["share_mult5"] == pytest.approx(1.0)
+
+    def test_all_subunit_group_inapplicable(self, spark):
+        r = heaping_panel(
+            _df(spark, [0.1, 0.5, 0.9]), ["k"], "v"
+        ).collect()[0]
+        assert r["n_subunit"] == 3
+        assert r["share_mult5"] is None
+        assert r["excess100"] is None

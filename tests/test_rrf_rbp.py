@@ -91,6 +91,25 @@ class TestRbp:
         assert r["rbp"] == pytest.approx(1.0 - 0.5 ** 30, rel=1e-9)
         assert r["rbp"] + r["residual"] <= 1.0 + 1e-12
 
+    def test_rank_gaps_charge_residual(self, spark):
+        # judged ranks {1, 3} at p=0.5: the unjudged rank 2 contributes
+        # (1-p)·p to the residual alongside the p^3 tail — scoring it
+        # rel=0 for free would understate the Moffat-Zobel uncertainty
+        # bound (r4 ADVICE)
+        df = spark.createDataFrame(
+            [("q", 1, 1), ("q", 3, 0)], "q string, rank int, rel int"
+        )
+        r = rank_biased_precision(
+            df, ["q"], "rank", "rel", p="0.5"
+        ).collect()[0]
+        assert r["rbp"] == pytest.approx(0.5)
+        assert r["residual"] == pytest.approx(0.5 ** 3 + 0.5 * 0.5)
+        assert r["rbp"] + r["residual"] <= 1.0 + 1e-12
+
+    def test_residual_upper_bound_tight_when_all_relevant(self, spark):
+        r = self._run(spark, [1, 1, 1], p="0.5")
+        assert r["rbp"] + r["residual"] == pytest.approx(1.0)
+
     def test_refusals(self, spark):
         with pytest.raises(ValueError, match="p must"):
             self._run(spark, [1], p="1.0")

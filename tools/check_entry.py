@@ -55,12 +55,36 @@ ODD_ORACLE_DTYPES = frozenset(
     )
 )
 
+# r5 extension (the class behind all 6 round-4 driver reds): any nested or
+# decimal dtype on EITHER side.  Spark DecimalType reaches pandas as
+# object-dtype Decimal while DuckDB DECIMAL reaches .df() as float64 —
+# equal values, different hash; array/map/struct crash the driver's pandas
+# canonicalization ("unhashable type: 'list'").  Contract queries must
+# cast decimals to DOUBLE and serialize nested types to strings on BOTH
+# sides (see __spark_entry__._contract_out).
+ODD_ORACLE_PREFIXES = ("DECIMAL", "STRUCT", "MAP", "UNION")
+
 
 def odd_oracle_dtypes(rel):
     """(column, dtype) pairs in a DuckDB relation whose dtype can never
     hash-match a Spark result under the driver's arrow compare."""
+    out = []
+    for c, t in zip(rel.columns, rel.types):
+        s = str(t)
+        if s in ODD_ORACLE_DTYPES or s.startswith(ODD_ORACLE_PREFIXES) or s.endswith("[]"):
+            out.append((c, s))
+    return out
+
+
+def odd_spark_dtypes(df):
+    """(column, dtype) pairs in a Spark result the driver's pandas
+    canonicalization renders as unhashable objects or object-Decimals."""
+    from pyspark.sql import types as T
+
     return [
-        (c, str(t)) for c, t in zip(rel.columns, rel.types) if str(t) in ODD_ORACLE_DTYPES
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.DecimalType, T.ArrayType, T.MapType, T.StructType))
     ]
 
 
@@ -98,10 +122,18 @@ def main():
         try:
             df = fn(spark, sf_dir)
             spark_cols = df.columns
+            odd_s = odd_spark_dtypes(df)
             spark_rows = [tuple(r) for r in df.collect()]
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            continue
+        if odd_s:
+            failures.append(name)
+            print(
+                f"FAIL  {name}: spark output dtype(s) the driver hash can't "
+                f"survive: {odd_s} — cast decimal to double / serialize nested"
+            )
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(spark_rows)} rows (rows-only, no oracle)")
