@@ -46,6 +46,52 @@ def transcript_rows_from_documents(sf_dir: str | Path, convs: int = 64) -> list[
     ]
 
 
+def curated_transcript_rows(sf_dir: str | Path, convs: int = 64) -> list[tuple[str, int, str]]:
+    """DuckDB twin of the curation front-end of q_kg_curated_scoreboard:
+    the same transcripts derivation, the deterministic duplicate seeding
+    (every 17th doc re-keyed into a 'dup-' conversation), the L14-style
+    quality gate at 0.6 (identical floor-truncated score tree to the
+    proven quality_stats oracle), and the fingerprint keep-first dedup.
+    Returns the surviving (conv_id, turn_idx, text) rows the loop oracle
+    then extracts/links — so the FIXTURE freezes only the non-relational
+    extraction stage while the curation funnel stays SQL-checked."""
+    import duckdb
+
+    con = duckdb.connect()
+    sql = f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               'conv-' || lpad(CAST(doc_id % {convs} AS VARCHAR), 6, '0') AS conv_id,
+               CAST(doc_id // {convs} AS INTEGER) AS turn_idx
+        FROM read_parquet('{Path(sf_dir)}/documents.parquet')
+    ),
+    seeded AS (
+        SELECT conv_id, turn_idx, text FROM base
+        UNION ALL
+        SELECT 'dup-' || conv_id, turn_idx, text FROM base WHERE doc_id % 17 = 0
+    ),
+    scored AS (
+        SELECT *, floor((least(len(string_split_regex(trim(text), '\\s+')) / 64.0, 1.0) * 0.4
+               + len(list_distinct(string_split_regex(trim(text), '\\s+'))) * 1.0
+                 / len(string_split_regex(trim(text), '\\s+')) * 0.4
+               + (1.0 - least(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 4.0
+                              / greatest(length(text), 1), 1.0)) * 0.2) * 10000) / 10000 AS score
+        FROM seeded
+    ),
+    gated AS (SELECT * FROM scored WHERE score >= 0.6),
+    kept AS (
+        SELECT conv_id, turn_idx, text,
+               row_number() OVER (
+                   PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                   ORDER BY conv_id, turn_idx) AS rn
+        FROM gated
+    )
+    SELECT conv_id, turn_idx, text FROM kept WHERE rn = 1
+    ORDER BY conv_id, turn_idx
+    """
+    return [(c, t, x) for c, t, x in con.execute(sql).fetchall()]
+
+
 HYBRID_QUERY = "patent litigation counsel"  # pinned to q_hybrid_search
 from __spark_entry__ import CHANGELOG_CUT  # noqa: E402  (one constant, no drift)
 
@@ -145,6 +191,9 @@ def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
 
     mtype_counts = oracle_mention_type_counts(rows, artifacts)
     edge_counts = oracle_edge_counts(rows, artifacts)  # API profile (0.7/0.9)
+    # composed curation demo (q_kg_curated_scoreboard): loop oracle over
+    # the SQL-curated survivors — quality gate + dedup stay SQL-side
+    curated_counts = oracle_edge_counts(curated_transcript_rows(sf_dir), artifacts)
     hybrid_terms = compute_hybrid_terms(artifacts)
     # changelog fixtures: canonical edge ROWS for the doc_id < CHANGELOG_CUT
     # prefix (v1) and the full table (v2) — DuckDB diffs them to oracle the
@@ -228,6 +277,13 @@ def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
                 "pred": pa.array([p for p, _, _ in edge_counts], pa.string()),
                 "n_edges": pa.array([e for _, e, _ in edge_counts], pa.int64()),
                 "n_provenances": pa.array([n for _, _, n in edge_counts], pa.int64()),
+            }
+        ),
+        "kg_curated_counts": pa.table(
+            {
+                "pred": pa.array([p for p, _, _ in curated_counts], pa.string()),
+                "n_edges": pa.array([e for _, e, _ in curated_counts], pa.int64()),
+                "n_provenances": pa.array([n for _, _, n in curated_counts], pa.int64()),
             }
         ),
     }
