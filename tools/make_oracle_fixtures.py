@@ -192,8 +192,9 @@ def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
     mtype_counts = oracle_mention_type_counts(rows, artifacts)
     edge_counts = oracle_edge_counts(rows, artifacts)  # API profile (0.7/0.9)
     # composed curation demo (q_kg_curated_scoreboard): loop oracle over
-    # the SQL-curated survivors — quality gate + dedup stay SQL-side
-    curated_counts = oracle_edge_counts(curated_transcript_rows(sf_dir), artifacts)
+    # the SQL-curated survivors — quality gate + dedup stay SQL-side and
+    # DuckDB re-derives counts + SHACL tallies from the frozen edge ROWS
+    curated_edges = oracle_edge_rows(curated_transcript_rows(sf_dir), artifacts)
     hybrid_terms = compute_hybrid_terms(artifacts)
     # changelog fixtures: canonical edge ROWS for the doc_id < CHANGELOG_CUT
     # prefix (v1) and the full table (v2) — DuckDB diffs them to oracle the
@@ -279,13 +280,7 @@ def compute_fixture_tables(sf_dir: str | Path) -> dict[str, "object"]:
                 "n_provenances": pa.array([n for _, _, n in edge_counts], pa.int64()),
             }
         ),
-        "kg_curated_counts": pa.table(
-            {
-                "pred": pa.array([p for p, _, _ in curated_counts], pa.string()),
-                "n_edges": pa.array([e for _, e, _ in curated_counts], pa.int64()),
-                "n_provenances": pa.array([n for _, _, n in curated_counts], pa.int64()),
-            }
-        ),
+        "kg_curated_edges": _edges_table(curated_edges),
     }
 
 
