@@ -87,7 +87,11 @@ def dsir_logweights(
              - (ln(q_cnt+alpha) - ln(q_tot+alpha*m)), missing buckets
     count 0; log_weight = sum over the doc's buckets of c_b * lambda_b,
     folded in bucket order (array_sort + aggregate — addend order
-    pinned).  A doc with no grams scores 0.0.  The count tables are <= m
+    pinned), then snapped to the 1e-9 grid (floor(x·1e9 + 0.5)/1e9 —
+    the bigram_lm logp discipline): the JVM and C libm disagree by 1
+    ulp on some ln inputs, and the cancelling fold amplifies that past
+    any exact-compare tolerance (r5 strict sweep).  A doc with no
+    grams scores 0.0.  The count tables are <= m
     rows: both joins broadcast, and the totals ride in as 1-row
     broadcast cross joins so the whole program stays lazy (no driver
     collect between training and scoring)."""
@@ -123,10 +127,11 @@ def dsir_logweights(
             lambda acc, x: acc + x["cb"] * x["lam"],
         ).alias("log_weight"),
     )
+    grid = F.floor(F.col("log_weight") * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
     return ids.join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-        F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        F.coalesce(grid, F.lit(0.0)).alias("log_weight"),
     )
 
 

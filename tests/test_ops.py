@@ -2,6 +2,8 @@
 search, text stats, multimodal plumbing — on the driver-provided
 sf0.001 tables plus crafted frames."""
 
+import math
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -1839,6 +1841,9 @@ class TestDSIR:
         tgt_texts = [r.text for r in target.orderBy("doc_id").collect()]
         for r in raw.collect():
             want = self._np_logweight(r.text, tgt_texts, raw_texts, m=64)
+            # the op snaps to the 1e-9 grid (libm ln wobble) — grid the
+            # twin identically before the exact-ish compare
+            want = math.floor(want * 1e9 + 0.5) / 1e9
             assert out[r.doc_id].log_weight == pytest.approx(want, rel=1e-12, abs=1e-12)
         # empty doc: no grams, weight exactly 0
         assert out[5].n_grams == 0 and out[5].log_weight == 0.0

@@ -84,7 +84,10 @@ def odd_spark_dtypes(df):
     return [
         (f.name, f.dataType.simpleString())
         for f in df.schema.fields
-        if isinstance(f.dataType, (T.DecimalType, T.ArrayType, T.MapType, T.StructType))
+        if isinstance(
+            f.dataType,
+            (T.DecimalType, T.ArrayType, T.MapType, T.StructType, T.DateType),
+        )
     ]
 
 
