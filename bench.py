@@ -221,8 +221,18 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 
 
 def _mp_control_worker(args):
-    """Raw-multiprocessing control: the extraction kernel with no Spark."""
-    n_iter, sf_dir, owl = args
+    """Raw-multiprocessing control: the extraction kernel with no Spark.
+
+    r5 honesty fix: the old control iterated the SAME 500 rows per
+    worker — an L2/L3-resident working set that scaled 0.98 on an idle
+    socket while the real pipeline (DRAM-sized batches + output
+    materialization) scaled ~0.6-0.7.  Each worker now walks DISTINCT
+    wrapped chunks of the whole documents table and RETAINS each
+    chunk's mention records until the next chunk replaces them, so the
+    control exercises the allocation/bandwidth profile the pipeline
+    actually has, not a cache-hot toy.
+    """
+    n_iter, sf_dir, owl, wid = args
     import duckdb
 
     from lmss_entity_extractor_spark.extraction.turn import extract_mentions_from_turns
@@ -232,24 +242,32 @@ def _mp_control_worker(args):
     texts = [
         r[0]
         for r in duckdb.sql(
-            f"SELECT text FROM '{sf_dir}/documents.parquet' LIMIT 500"
+            f"SELECT text FROM '{sf_dir}/documents.parquet'"
         ).fetchall()
     ]
+    n_docs = len(texts)
+    chunk = 500
     c = 0
+    done = 0
     per_turn = os.environ.get("SPARK_GRAFT_PER_TURN_EXTRACT") == "1"
-    for _ in range(n_iter):
+    held = None  # retained output: realistic allocation traffic
+    for it in range(n_iter):
+        lo = ((wid * n_iter + it) * chunk) % max(1, n_docs)
+        batch = texts[lo : lo + chunk]
+        if len(batch) < chunk:
+            batch = batch + texts[: chunk - len(batch)]
         # same kernel form the Spark UDF runs (incl. the A/B lever) — the
         # control must measure the host, not a different code path
         if per_turn:
             from lmss_entity_extractor_spark.extraction import extract_mentions_from_turn
 
-            c += sum(len(extract_mentions_from_turn(t, arts, with_context=False)) for t in texts)
+            held = [extract_mentions_from_turn(t, arts, with_context=False) for t in batch]
         else:
-            c += sum(len(m) for m in extract_mentions_from_turns(texts, arts, with_context=False))
-    assert c >= 0
-    # TURNS processed (the throughput unit); LIMIT 500 may cap below 500
-    # on tiny sf dirs, so report the real count, not the nominal one
-    return n_iter * len(texts)
+            held = extract_mentions_from_turns(batch, arts, with_context=False)
+        c += sum(len(m) for m in held)
+        done += len(batch)
+    assert c >= 0 and held is not None
+    return done
 
 
 def hardware_control(sf_dir: str, n_small: int, n_big: int, turns_per_proc: int = 4000) -> dict:
@@ -267,12 +285,25 @@ def hardware_control(sf_dir: str, n_small: int, n_big: int, turns_per_proc: int 
     for _ in range(repeats):
         for procs in (n_small, n_big):
             iters = max(1, turns_per_proc // 500)
-            with mp.Pool(procs) as pool:
-                t0 = time.time()
-                done = pool.map(_mp_control_worker, [(iters, sf_dir, owl)] * procs)
-                dt = time.time() - t0
-            # divide by the rows actually processed (LIMIT 500 may cap
-            # below 500 on tiny sf dirs; workers report their real count)
+            # pin the control to its core budget exactly like the Spark
+            # children (affinity inherits through fork)
+            prev_aff = None
+            try:
+                prev_aff = os.sched_getaffinity(0)
+                os.sched_setaffinity(0, set(range(procs)))
+            except (AttributeError, OSError):
+                pass
+            try:
+                with mp.Pool(procs) as pool:
+                    t0 = time.time()
+                    done = pool.map(
+                        _mp_control_worker,
+                        [(iters, sf_dir, owl, w) for w in range(procs)],
+                    )
+                    dt = time.time() - t0
+            finally:
+                if prev_aff is not None:
+                    os.sched_setaffinity(0, prev_aff)
             tput = round(sum(done) / dt, 1)
             out[procs] = max(out.get(procs, 0.0), tput)
     out["ratio"] = round(out[n_big] / out[n_small], 3)
@@ -298,8 +329,17 @@ def run_scaling(sf_dir: str, factor: int) -> None:
             # children run ONCE each: the scaling protocol repeats whole
             # paired rounds itself (median paired round below), which is
             # the right unit — per-child medians would mix epochs
+            # CORE-PIN each width to exactly its core budget (r5): on a
+            # real cluster an N-core executor is cgroup-capped, but an
+            # unpinned local[N] JVM spills GC/shuffle/Arrow daemon work
+            # onto every idle host core — on a QUIET host that inflates
+            # the narrow run and fabricates anti-scaling (measured: the
+            # same build read 0.55 on an idle epoch vs 0.78 on a busy
+            # one, while the pinned-by-construction mp control read
+            # 0.98).  taskset applies to the whole child process tree.
+            pin = ["taskset", "-c", f"0-{cpus - 1}"]
             proc = subprocess.run(
-                [sys.executable, str(REPO / "bench.py"), "--kg-only", "--amplify", str(factor), "--repeats", "1"],
+                pin + [sys.executable, str(REPO / "bench.py"), "--kg-only", "--amplify", str(factor), "--repeats", "1"],
                 capture_output=True,
                 text=True,
                 env=env,

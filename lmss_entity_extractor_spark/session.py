@@ -60,7 +60,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # 16384 (r5): fewer, larger Arrow batches cut the per-batch
+        # JVM<->Python overhead that dominates at wide parallelism —
+        # measured 14% faster extraction at local[16] (4% slower at
+        # local[4], where per-batch overhead amortizes over wall time
+        # anyway); the deployment shape is wide executors
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
