@@ -20,7 +20,14 @@ The flag is process-global and re-entrant; guards consult it via
 ``validation_enabled()``.  Semantics with validation off are
 caller-beware by contract: the op computes exactly what it computes
 on whatever rows arrive (the same discipline as Spark's own
-ansi-off arithmetic)."""
+ansi-off arithmetic).
+
+Coverage: every guard routed through this module (``assert_binary``)
+plus the inline guards of the flagship-path ops (``detect_peaks``,
+``rrf_fusion``, ``rank_biased_precision``, ``highest_averages``).
+The long tail of per-op inline guards adopts the same
+``if validation_enabled():`` gate as each op is next touched — new
+guards MUST be written gated."""
 
 from __future__ import annotations
 
