@@ -27,6 +27,7 @@ from pathlib import Path
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 # fuzzywuzzy's full_process: non-alphanumeric -> space, lower, strip.
 _NON_WORD_RE = re.compile(r"\W+", re.UNICODE)
+_WS_SEARCH = re.compile(r"\s").search
 
 _STOPWORDS_PATH = Path(__file__).resolve().parent.parent / "fixtures" / "stopwords.txt"
 
@@ -83,6 +84,11 @@ def strip_leading_stopwords(text: str, stopwords: frozenset[str] = STOPWORDS) ->
     advances by len(word)+1 per dropped word; a phrase made entirely of
     stop words is returned unchanged with offset 0.
     """
+    if _WS_SEARCH(text) is None:
+        # single-token phrase (the common case — every KEYWORD span):
+        # both branches of the loop below return (text, 0) verbatim —
+        # " ".join([text]) == text whether or not it is a stop word
+        return text, 0
     words = text.split()
     offset = 0
     for k, w in enumerate(words):
