@@ -238,6 +238,7 @@ def fuzzy_window_spans_batch(
     artifacts: OntologyArtifacts,
     threshold: float = FUZZY_JACCARD_THRESHOLD,
     max_window: int = FUZZY_MAX_WINDOW,
+    _pres: list | None = None,
 ) -> list[list[Span]]:
     """``fuzzy_window_spans`` over a whole Arrow batch of turns at once.
 
@@ -255,12 +256,17 @@ def fuzzy_window_spans_batch(
     S = len(surf_sizes)
     results: list[list[Span]] = [[] for _ in texts]
     per_turn = []  # (turn_index, toks, tok_lower, tok_stop)
-    for ti, text in enumerate(texts):
-        toks = tokenize_with_offsets(text)
-        if not toks:
-            continue
-        tok_lower = [t[0].lower() for t in toks]
-        per_turn.append((ti, toks, tok_lower, [t in STOPWORDS for t in tok_lower]))
+    if _pres is None:
+        for ti, text in enumerate(texts):
+            toks = tokenize_with_offsets(text)
+            if not toks:
+                continue
+            tok_lower = [t[0].lower() for t in toks]
+            per_turn.append((ti, toks, tok_lower, [t in STOPWORDS for t in tok_lower]))
+    else:  # caller (generate_candidates_batch) hands down its token pre-pass
+        for ti, pre in enumerate(_pres):
+            if pre[0]:
+                per_turn.append((ti, *pre))
 
     # chunk turns under the cell budget (a single huge turn falls back to
     # the per-turn path, which has its own large-input fallback)
@@ -286,35 +292,83 @@ def fuzzy_window_spans_batch(
 
 
 def _fuzzy_chunk(texts, chunk, artifacts, threshold, max_window, results) -> None:
+    """Chunk body of the batched fuzzy channel.  Two refinements over the
+    dense prefix-sum form (bit-identical results, pinned by tests):
+
+    * window similarities are computed ONLY at positions the per-turn
+      scan can query — non-stop start AND end token, both in the same
+      turn, char width >= 3 — via one boolean mask per window size
+      (roughly half of all flat positions are stop-started or straddle a
+      turn boundary, and their (rows x S) divide+max was pure waste);
+    * the scan's inner "best (sim, n) per start" loop is vectorized:
+      processing n ascending with a ``sim >= best`` update reproduces
+      the lexicographic (sim, n) > best tie rule exactly, so the
+      per-turn walk below only jumps starts and slices text.
+    """
     import numpy as np
 
     surf_sizes = artifacts.label_tri_sizes
     S = len(surf_sizes)
     flat_lower: list[str] = []
     offsets: list[int] = []
-    for _, _, tok_lower, _ in chunk:
+    stops: list[bool] = []
+    t_ids: list[int] = []
+    c_starts: list[int] = []
+    c_ends: list[int] = []
+    for t_i, (_, toks, tok_lower, tok_stop) in enumerate(chunk):
         offsets.append(len(flat_lower))
         flat_lower.extend(tok_lower)
+        stops.extend(tok_stop)
+        t_ids.extend([t_i] * len(toks))
+        c_starts.extend(t[1] for t in toks)
+        c_ends.extend(t[2] for t in toks)
     ct = len(flat_lower)
     T, z = _tally_rows(artifacts, flat_lower)
     P = np.zeros((ct + 1, S), np.int32)
     np.cumsum(T, axis=0, out=P[1:])
     Z = np.concatenate(([0], np.cumsum(z)))
-    sims = []
+    nonstop = ~np.asarray(stops, bool)
+    tid = np.asarray(t_ids, np.int32)
+    cs = np.asarray(c_starts, np.int64)
+    ce = np.asarray(c_ends, np.int64)
+    best_sim = np.full(ct, -1.0)
+    best_n = np.zeros(ct, np.int64)
     for n in range(1, max_window + 1):
         if n > ct:
             break
-        C = P[n:] - P[:-n]
-        W = (Z[n:] - Z[:-n]).astype(np.float64)
-        denom = np.maximum(W[:, None] + surf_sizes[None, :] - C, 1.0)
-        sim_n = np.where(W > 0, np.max(C / denom, axis=1) if S else 0.0, -1.0)
-        sims.append(sim_n.tolist())
-
+        m = ct - n + 1
+        valid = nonstop[:m] & nonstop[n - 1 :] & (ce[n - 1 :] - cs[:m] >= 3)
+        if n > 1:
+            valid &= tid[:m] == tid[n - 1 :]
+        idx = np.nonzero(valid)[0]
+        if idx.size == 0:
+            continue
+        C = P[idx + n] - P[idx]
+        W = (Z[idx + n] - Z[idx]).astype(np.float64)
+        if S:
+            denom = np.maximum(W[:, None] + surf_sizes[None, :] - C, 1.0)
+            sim = np.where(W > 0, np.max(C / denom, axis=1), -1.0)
+        else:
+            sim = np.where(W > 0, 0.0, -1.0)
+        upd = sim >= best_sim[idx]
+        ii = idx[upd]
+        best_sim[ii] = sim[upd]
+        best_n[ii] = n
+    bs = best_sim.tolist()
+    bn = best_n.tolist()
     for (ti, toks, _, tok_stop), g0 in zip(chunk, offsets):
-        def window_sim(i: int, n: int, _g0=g0) -> float:
-            return sims[n - 1][_g0 + i]
-
-        _scan_windows(texts[ti], toks, tok_stop, window_sim, threshold, max_window, results[ti])
+        out = results[ti]
+        text = texts[ti]
+        n_toks = len(toks)
+        i = 0
+        while i < n_toks:
+            if tok_stop[i] or bs[g0 + i] < threshold:
+                i += 1
+            else:
+                n = bn[g0 + i]
+                start, end = toks[i][1], toks[i + n - 1][2]
+                out.append((text[start:end], start, end, FUZZY_TYPE))
+                i += n
 
 
 def _tally_rows(artifacts: OntologyArtifacts, tokens: list[str]):
@@ -444,6 +498,33 @@ def keyword_spans(text: str, top_k: int = TOP_K_KEYWORDS) -> list[Span]:
     return out
 
 
+def _keyword_spans_from_tokens(
+    toks: list[tuple[str, int, int]], tok_lower: list[str], top_k: int = TOP_K_KEYWORDS
+) -> list[Span]:
+    """``keyword_spans`` for ASCII text, reusing the fuzzy channel's
+    token pre-pass instead of re-tokenizing the lowered text.  For ASCII
+    input the two derivations are identical: ``str.lower`` is
+    length-preserving and ``\\w`` membership is case-insensitive, so the
+    maximal ``\\w+`` runs of the original text ARE the ``\\b\\w\\w+\\b``
+    tokens of the lowered text (same offsets), filtered to length >= 2."""
+    positions: dict[str, list[tuple[int, int]]] = {}
+    for tok, t3 in zip(tok_lower, toks):
+        if len(tok) > 1 and tok not in STOPWORDS:
+            ps = positions.get(tok)
+            if ps is None:
+                positions[tok] = [(t3[1], t3[2])]
+            else:
+                ps.append((t3[1], t3[2]))
+    if not positions:
+        return []
+    top = sorted(positions.items(), key=lambda kv: (-len(kv[1]), kv[0]))[:top_k]
+    out: list[Span] = []
+    for kw, spans_kw in top:
+        for s, e in spans_kw:
+            out.append((kw, s, e, KEYWORD_TYPE))
+    return out
+
+
 def generate_candidates(text: str, artifacts: OntologyArtifacts) -> list[Span]:
     """All candidate spans in the reference's channel order."""
     return (
@@ -454,12 +535,24 @@ def generate_candidates(text: str, artifacts: OntologyArtifacts) -> list[Span]:
 
 
 def generate_candidates_batch(texts: list[str], artifacts: OntologyArtifacts) -> list[list[Span]]:
-    """``generate_candidates`` for a whole Arrow batch: the fuzzy channel
-    runs cross-turn batched (the kernel's dominant cost), dictionary and
-    keyword channels stay per-turn (regex-bound, already cheap).  Channel
+    """``generate_candidates`` for a whole Arrow batch: one token
+    pre-pass per turn feeds BOTH the cross-turn batched fuzzy channel
+    (the kernel's dominant cost) and, for ASCII turns, the keyword
+    channel (``_keyword_spans_from_tokens`` — the lowered-text re-scan
+    is redundant there); the dictionary channel stays per-turn.  Channel
     order per turn is identical to the per-turn form."""
-    fuzzy = fuzzy_window_spans_batch(texts, artifacts)
+    pres = []
+    for text in texts:
+        toks = tokenize_with_offsets(text)
+        if toks:
+            tok_lower = [t[0].lower() for t in toks]
+            pres.append((toks, tok_lower, [t in STOPWORDS for t in tok_lower]))
+        else:
+            pres.append(((), (), ()))
+    fuzzy = fuzzy_window_spans_batch(texts, artifacts, _pres=pres)
     return [
-        dictionary_spans(t, artifacts) + fz + keyword_spans(t)
-        for t, fz in zip(texts, fuzzy)
+        dictionary_spans(t, artifacts)
+        + fz
+        + (_keyword_spans_from_tokens(pre[0], pre[1]) if t.isascii() else keyword_spans(t))
+        for t, fz, pre in zip(texts, fuzzy, pres)
     ]

@@ -73,7 +73,7 @@ def full_process(s: str) -> str:
 
 def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
     """``\\w+`` tokens with (token, start, end) char offsets into *text*."""
-    return [(m.group(0), m.start(), m.end()) for m in _WORD_RE.finditer(text)]
+    return [(m.group(0),) + m.span() for m in _WORD_RE.finditer(text)]
 
 
 def strip_leading_stopwords(text: str, stopwords: frozenset[str] = STOPWORDS) -> tuple[str, int]:
