@@ -71,12 +71,30 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("_nmin"))
         )
+        stepped = labels.join(neigh_min, "node", "left").select(
+            "node",
+            F.least(F.col("component"), F.col("_nmin")).alias("component"),
+            F.col("component").alias("_prev"),
+        )
+        # path halving (pointer jumping): also adopt the label OF the
+        # label node — label(v) is always a node id inside v's component
+        # and labels only ever decrease, so the fixpoint (every label =
+        # component minimum) is unchanged while long chains now collapse
+        # in O(log diameter) rounds instead of diameter rounds (a 21-hop
+        # chain in the sf1.0 near-dup graph took 22 rounds of pure
+        # propagation at ~0.4s of fixed per-round cost each)
         merged = (
-            labels.join(neigh_min, "node", "left")
+            stepped.join(
+                stepped.select(
+                    F.col("node").alias("component"), F.col("component").alias("_jmp")
+                ),
+                "component",
+                "left",
+            )
             .select(
                 "node",
-                F.least(F.col("component"), F.col("_nmin")).alias("component"),
-                (F.least(F.col("component"), F.col("_nmin")) != F.col("component")).alias("_chg"),
+                F.least(F.col("component"), F.col("_jmp")).alias("component"),
+                (F.least(F.col("component"), F.col("_jmp")) != F.col("_prev")).alias("_chg"),
             )
             .localCheckpoint()  # flatten lineage; also materializes for the action below
         )

@@ -134,14 +134,19 @@ def minhash_lsh_pairs(
     ``num_hashes/bands`` rows; docs sharing any band signature become a
     candidate pair.  Returns distinct (doc_a, doc_b).
 
-    Scale shape: the (doc, h_idx) min-aggregation is map-side combinable
-    (partial min before the shuffle), so the shuffle carries only
-    docs x num_hashes rows regardless of corpus token count; the band
-    self-join is keyed on the 64-bit hash of the band signature, not the
-    signature string.  (A per-row ``array_min(transform(...))`` variant
-    avoids the shuffle entirely but runs ~2x slower end-to-end: nested
-    higher-order functions evaluate interpreted, outside whole-stage
-    codegen — measured, not guessed.)"""
+    Scale shape (r6 rework, same pairs to the row): the per-shingle
+    hash family materializes as ``num_hashes`` COLUMNS, so one
+    map-side-combinable ``groupBy(doc)`` of column-wise mins replaces
+    the 8x row explode + two stacked aggregations (min over 8x rows,
+    then collect_list/sort per band) of the row form — the shuffle
+    carries one row per doc regardless of corpus token count, and the
+    band signatures are pure projections of the minhash columns (the
+    sort order of the ``"i:minhash"`` fragments inside a band is a
+    query-build-time constant: h_idx rendered as a string).  The band
+    table is then hash-partitioned on the join key so the self-join's
+    two sides are IDENTICAL exchanges over one subtree — ReuseExchange
+    computes the corpus scan + md5 work once, where the alias'd
+    broadcast self-join of the row form ran the whole subtree twice."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
 
@@ -153,33 +158,42 @@ def minhash_lsh_pairs(
 
     hashed = sh.select(
         "doc",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.struct(
-                    i.alias("h_idx"),
-                    F.md5(F.concat(i.cast("string"), F.lit(":"), F.col("shingle"))).alias("h_val"),
-                ),
-            )
-        ).alias("h"),
-    ).select("doc", F.col("h.h_idx").alias("h_idx"), F.col("h.h_val").alias("h_val"))
-
-    sig = hashed.groupBy("doc", "h_idx").agg(F.min("h_val").alias("minhash"))
-    band_sig = (
-        sig.withColumn("band", (F.col("h_idx") / rows_per_band).cast("int"))
-        .groupBy("doc", "band")
-        .agg(
-            F.xxhash64(
-                F.concat_ws(
-                    "|",
-                    F.array_sort(
-                        F.collect_list(F.concat_ws(":", F.col("h_idx"), F.col("minhash")))
-                    ),
-                )
-            ).alias("bs_h")
-        )
+        *[
+            F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
     )
+    sig = hashed.groupBy("doc").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    # per band: xxhash64 of the "|"-joined "h_idx:minhash" fragments in
+    # the exact order array_sort put them (fragments differ at the
+    # h_idx-as-string prefix, so their sort order is known statically)
+    def _band_hash(b: int):
+        idxs = sorted(range(b * rows_per_band, (b + 1) * rows_per_band), key=str)
+        frags: list = []
+        for k, i in enumerate(idxs):
+            if k:
+                frags.append(F.lit("|"))
+            frags.append(F.lit(f"{i}:"))
+            frags.append(F.col(f"m{i}"))
+        return F.xxhash64(F.concat(*frags))
 
+    band_sig = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _band_hash(b).alias("bs_h"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bs_h").alias("bs_h"))
+
+    # identical exchanges on both sides of the self-join => the planner's
+    # ReuseExchange evaluates the signature subtree once
+    band_sig = band_sig.repartition("band", "bs_h")
     a = band_sig.alias("a")
     b = band_sig.alias("b")
     return (

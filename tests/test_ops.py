@@ -439,11 +439,11 @@ class TestRangeAndComponents:
         assert got == {1: 1, 2: 1, 3: 1, 5: 1}
 
     def test_star_long_chain_converges_in_log_rounds(self, spark):
-        """VERDICT r2 item 8: a 256-hop chain needs 256 propagation rounds
-        (propagation raises at max_iter=25) but the large-star/small-star
-        variant must finish in O(log d) rounds with identical labels."""
-        import pytest
-
+        """VERDICT r2 item 8 / r6 halving: a 256-hop chain used to need
+        256 pure-propagation rounds (raising at max_iter=25); with path
+        halving the propagation variant now collapses it within the same
+        25-round budget, and the large-star/small-star variant still
+        finishes in O(log d) rounds — all with identical labels."""
         from lmss_entity_extractor_spark.ops.components import (
             connected_components,
             connected_components_star,
@@ -451,8 +451,10 @@ class TestRangeAndComponents:
 
         n = 256
         df = spark.createDataFrame([(i, i + 1) for i in range(n)], "src long, dst long")
-        with pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(df, max_iter=25)
+        got_prop = {
+            r.node: r.component for r in connected_components(df, max_iter=25).collect()
+        }
+        assert got_prop == {i: 0 for i in range(n + 1)}
 
         stats = {}
         got = {
