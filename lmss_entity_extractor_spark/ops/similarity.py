@@ -14,6 +14,11 @@ from pyspark.sql import functions as F
 
 
 def dot_expr(a: Column, b: Column) -> Column:
+    # column-vs-column dots stay as the HOF fold: an unrolled 64-term
+    # getItem chain measured SLOWER here (3.19s vs 2.49s at sf1.0
+    # knn_bruteforce — the ~400-node expression defeats codegen), unlike
+    # the literal-vector case in _dot_sql below where constant folding
+    # makes unrolling a 1.6x win
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -202,16 +207,31 @@ def _qcol(name: str) -> str:
 
 
 def _dot_sql(vec_name: str, cvec: list[float]) -> str:
-    """dot_expr as generated SQL — identical zip_with/left-fold
-    arithmetic, but ONE F.expr parse instead of thousands of py4j Column
-    constructions (profiled: expression BUILD, not execution, dominated
-    the literal-heavy IVF/PQ operators at ~5s per plan)."""
+    """dot_expr against a literal vector as generated SQL — identical
+    zip_with/left-fold arithmetic, but ONE F.expr parse instead of
+    thousands of py4j Column constructions (profiled: expression BUILD,
+    not execution, dominated the literal-heavy IVF/PQ operators at ~5s
+    per plan).
+
+    r6: rows whose array length equals the literal's take an UNROLLED
+    left-associated sum (``0D + v[0]*c0 + v[1]*c1 + ...``) — the same
+    IEEE additions in the same order as the fold, but whole-stage
+    codegen-able where ``aggregate``/``zip_with`` lambdas evaluate
+    interpreted per element.  Other lengths (never produced by the
+    trained-codebook callers, but part of the fold's contract via
+    zip_with null-padding) keep the fold verbatim via CASE."""
+    q = _qcol(vec_name)
     arr = ", ".join(_dlit(x) for x in cvec)
-    return (
-        f"aggregate(zip_with({_qcol(vec_name)}, array({arr}), "
+    fold = (
+        f"aggregate(zip_with({q}, array({arr}), "
         "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "0D, (acc, v) -> acc + v)"
     )
+    terms = " + ".join(
+        f"(CAST({q}[{i}] AS DOUBLE) * {_dlit(x)})" for i, x in enumerate(cvec)
+    )
+    unrolled = f"(0D + {terms})" if terms else "0D"
+    return f"(CASE WHEN size({q}) = {len(cvec)} THEN {unrolled} ELSE {fold} END)"
 
 
 def _ivf_struct_entries_sql(vec_name: str, centroids) -> str:
