@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def highest_averages(
@@ -71,17 +72,18 @@ def highest_averages(
         # duplicate (by, party) rows would each spawn a full divisor
         # ladder, silently double-weighting that party — refuse loudly
         # like the sibling duplicate guards (rrf_fusion, quade_test)
-        dup = (
-            base.groupBy(*by, "party")
-            .count()
-            .filter(F.col("count") > 1)
-            .count()
-        )
-        if dup:
-            raise ValueError(
-                f"highest_averages: {dup} duplicate (group, party) "
-                "row(s) — pre-aggregate votes per party first"
+        if validation_enabled():
+            dup = (
+                base.groupBy(*by, "party")
+                .count()
+                .filter(F.col("count") > 1)
+                .count()
             )
+            if dup:
+                raise ValueError(
+                    f"highest_averages: {dup} duplicate (group, party) "
+                    "row(s) — pre-aggregate votes per party first"
+                )
     pos = base.filter(F.col("votes") > 0)
     idx = F.explode(
         F.sequence(F.lit(1), F.lit(int(total_seats)))

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def _prepared(df, prob_col, label_col, scale):
@@ -33,15 +34,16 @@ def _prepared(df, prob_col, label_col, scale):
     flt = df.filter(F.col(prob_col).isNotNull() & F.col(label_col).isNotNull())
     p = F.col(prob_col).cast(dec)
     out = flt.select(p.alias("_p"), F.col(label_col).cast("int").alias("_y"))
-    n_bad = out.filter(
-        (F.col("_p") < 0) | (F.col("_p") > 1) | ~F.col("_y").isin([0, 1])
-    ).count()
-    if n_bad:
-        raise ValueError(
-            f"calibration: {n_bad} row(s) with probability outside [0,1] "
-            "or non-binary label — fix the score pipeline; clamping "
-            "silently would hide it"
-        )
+    if validation_enabled():
+        n_bad = out.filter(
+            (F.col("_p") < 0) | (F.col("_p") > 1) | ~F.col("_y").isin([0, 1])
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"calibration: {n_bad} row(s) with probability outside [0,1] "
+                "or non-binary label — fix the score pipeline; clamping "
+                "silently would hide it"
+            )
     return out
 
 
@@ -408,13 +410,14 @@ def var_backtest(
     """
     if not (0.0 < p < 1.0):
         raise ValueError("var_backtest: need 0 < p < 1")
-    n_null = df.filter(
-        F.col(value_col).isNull() | F.col(var_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"var_backtest: {n_null} NULL value(s) — impute first"
-        )
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(value_col).isNull() | F.col(var_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(
+                f"var_backtest: {n_null} NULL value(s) — impute first"
+            )
     wt = Window.partitionBy(*by).orderBy(
         *[F.col(c) for c in order_cols]
     )
@@ -545,14 +548,15 @@ def hosmer_lemeshow(
         F.col(prob_col).cast(dec).alias("_p"),
         F.col(label_col).cast("int").alias("_y"),
     )
-    n_bad = flt.filter(
-        (F.col("_p") < 0) | (F.col("_p") > 1) | ~F.col("_y").isin([0, 1])
-    ).count()
-    if n_bad:
-        raise ValueError(
-            f"hosmer_lemeshow: {n_bad} row(s) with probability outside "
-            "[0,1] or non-binary label — fix the score pipeline"
-        )
+    if validation_enabled():
+        n_bad = flt.filter(
+            (F.col("_p") < 0) | (F.col("_p") > 1) | ~F.col("_y").isin([0, 1])
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"hosmer_lemeshow: {n_bad} row(s) with probability outside "
+                "[0,1] or non-binary label — fix the score pipeline"
+            )
     w_ord = Window.partitionBy(*by).orderBy("_p", *order_cols)
     w_all = Window.partitionBy(*by)
     binned = flt.select(
@@ -741,15 +745,16 @@ def temperature_grid(
     if any(t <= 0 for t in decs):
         raise ValueError("temperature_grid: temperatures must be > 0")
     base = _prepared(df, prob_col, label_col, scale)
-    n_sat = base.filter(
-        (F.col("_p") <= 0) | (F.col("_p") >= 1)
-    ).count()
-    if n_sat:
-        raise ValueError(
-            f"temperature_grid: {n_sat} saturated probability(ies) "
-            "(exactly 0 or 1) — logit is infinite; fix the score "
-            "pipeline"
-        )
+    if validation_enabled():
+        n_sat = base.filter(
+            (F.col("_p") <= 0) | (F.col("_p") >= 1)
+        ).count()
+        if n_sat:
+            raise ValueError(
+                f"temperature_grid: {n_sat} saturated probability(ies) "
+                "(exactly 0 or 1) — logit is infinite; fix the score "
+                "pipeline"
+            )
     pd_ = F.col("_p").cast("double")
     logit = F.log(pd_ / (F.lit(1.0) - pd_))
     y = F.col("_y").cast("double")

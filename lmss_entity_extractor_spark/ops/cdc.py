@@ -35,6 +35,7 @@ customer and checks the folded snapshot row-for-row.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from .validate import validation_enabled
 
 _OPS = ("I", "U", "D")
 
@@ -64,30 +65,32 @@ def apply_changelog(
         if c not in changes.columns:
             raise ValueError(f"tiebreak column {c!r} not in changes")
 
-    bad_ops = (
-        changes.select(op_col)
-        .filter(~F.col(op_col).isin(*_OPS))
-        .limit(5)
-        .collect()
-    )
-    if bad_ops:
-        raise ValueError(
-            f"op column must be one of {_OPS}, found {[r[op_col] for r in bad_ops]}"
-        )
-
-    if not tiebreak_cols:
-        ties = (
-            changes.groupBy(*key_cols, order_col)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > 1)
+    if validation_enabled():
+        bad_ops = (
+            changes.select(op_col)
+            .filter(~F.col(op_col).isin(*_OPS))
             .limit(5)
             .collect()
         )
-        if ties:
+        if bad_ops:
             raise ValueError(
-                "tied (key, order) changes (pass tiebreak_cols for a total "
-                f"order): {[tuple(r[c] for c in key_cols + [order_col]) for r in ties]}"
+                f"op column must be one of {_OPS}, found {[r[op_col] for r in bad_ops]}"
             )
+
+    if not tiebreak_cols:
+        if validation_enabled():
+            ties = (
+                changes.groupBy(*key_cols, order_col)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(5)
+                .collect()
+            )
+            if ties:
+                raise ValueError(
+                    "tied (key, order) changes (pass tiebreak_cols for a total "
+                    f"order): {[tuple(r[c] for c in key_cols + [order_col]) for r in ties]}"
+                )
 
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(order_col).desc(),

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def cusum(
@@ -47,12 +48,13 @@ def cusum(
     / ``slack`` / ``threshold`` are decimal strings (e.g. ``"50.00"``)
     so the arithmetic stays exact; values must be exactly
     representable at DECIMAL(18, scale)."""
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"cusum: {n_null} NULL value(s) in {value_col!r} — drop or "
-            "impute first; skipping rows would shift the prefix sums"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"cusum: {n_null} NULL value(s) in {value_col!r} — drop or "
+                "impute first; skipping rows would shift the prefix sums"
+            )
     dec = f"decimal(18,{scale})"
     wide = "decimal(30,%d)" % scale
     x = F.col(value_col).cast(dec)
@@ -147,12 +149,13 @@ def pettitt(
     base = df.select(
         *by, F.col(order_col).alias("_t"), F.col(value_col).alias("_x")
     )
-    n_null = base.filter(F.col("_t").isNull() | F.col("_x").isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"pettitt: {n_null} NULL order/value row(s) — drop or impute "
-            "first; skipping rows would shift the ranks and prefix sums"
-        )
+    if validation_enabled():
+        n_null = base.filter(F.col("_t").isNull() | F.col("_x").isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"pettitt: {n_null} NULL order/value row(s) — drop or impute "
+                "first; skipping rows would shift the ranks and prefix sums"
+            )
     pv = base.groupBy(*by, "_x").agg(F.count(F.lit(1)).alias("_cv"))
     wv = (
         Window.partitionBy(*by)
@@ -237,11 +240,12 @@ def cusum_squares(
 
     No reference counterpart; monitoring analytics per SURVEY §2.11.
     """
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"cusum_squares: {n_null} NULL value(s) — impute first"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"cusum_squares: {n_null} NULL value(s) — impute first"
+            )
     dec = f"decimal(18,{scale})"
     d0 = "decimal(38,0)"
     q = (F.col(value_col).cast(dec) * F.lit(10**scale)).cast(d0)
@@ -330,17 +334,19 @@ def page_hinkley(
         raise ValueError("page_hinkley: delta must be >= 0")
     from .trend import _packed
 
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(f"page_hinkley: {n_null} NULL value(s)")
-    dups = (
-        df.groupBy(*by, order_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dups:
-        raise ValueError(f"page_hinkley: {dups} duplicate order key(s)")
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(f"page_hinkley: {n_null} NULL value(s)")
+    if validation_enabled():
+        dups = (
+            df.groupBy(*by, order_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        if dups:
+            raise ValueError(f"page_hinkley: {dups} duplicate order key(s)")
     packed = _packed(df, by, order_col, value_col, max_len)
     xs = F.transform(F.col("_a"), lambda s: s["_x"])
     staged = packed.select(*by, xs.alias("_xs"))

@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import _dlit, _dot_sql
+from .validate import validation_enabled
 
 _DEC = "decimal(38,0)"
 
@@ -150,12 +151,13 @@ def _moment_sums(df, cluster_col, vec_col, quant):
         F.col(cluster_col).alias("_g"),
         F.posexplode(vec_col).alias("_d", "_v"),
     )
-    n_bad = ex.filter(F.col("_v").isNull()).count()
-    if n_bad:
-        raise ValueError(
-            f"clustereval: {n_bad} NULL vector component(s) — counts "
-            "and sums would silently diverge; impute or drop first"
-        )
+    if validation_enabled():
+        n_bad = ex.filter(F.col("_v").isNull()).count()
+        if n_bad:
+            raise ValueError(
+                f"clustereval: {n_bad} NULL vector component(s) — counts "
+                "and sums would silently diverge; impute or drop first"
+            )
     u = F.floor(F.col("_v") * F.lit(float(quant))).cast(dec)
     per = ex.groupBy("_g", "_d").agg(
         F.count(F.lit(1)).alias("_nj"),

@@ -37,6 +37,7 @@ beyond-reference training-pipeline mandate (SURVEY §2.11).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from .validate import validation_enabled
 
 
 def cohort_retention(
@@ -282,13 +283,14 @@ def weekday_profile(
 
     No reference counterpart; seasonal analytics per SURVEY §2.11.
     """
-    n_null = df.filter(
-        F.col(value_col).isNull() | F.col(ts_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"weekday_profile: {n_null} NULL value(s) — impute first"
-        )
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(value_col).isNull() | F.col(ts_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(
+                f"weekday_profile: {n_null} NULL value(s) — impute first"
+            )
     dec = f"decimal(18,{scale})"
     staged = df.select(
         *by,
@@ -354,13 +356,14 @@ def multitouch_attribution(
         raise ValueError(
             f"multitouch_attribution: unknown model {model!r}"
         )
-    n_null = df.filter(
-        F.col(conv_col).isNull() | F.col(channel_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"multitouch_attribution: {n_null} NULL value(s)"
-        )
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(conv_col).isNull() | F.col(channel_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(
+                f"multitouch_attribution: {n_null} NULL value(s)"
+            )
     wt = Window.partitionBy(conv_col).orderBy(
         *[F.col(c) for c in order_cols]
     )
@@ -372,13 +375,14 @@ def multitouch_attribution(
         F.row_number().over(wt).alias("_pos"),
         F.count(F.lit(1)).over(wa).alias("_n"),
     )
-    over = ranked.filter(F.col("_n") > max_path).count()
-    if over:
-        raise ValueError(
-            f"multitouch_attribution: {over} touch row(s) in paths "
-            f"longer than max_path={max_path} — fix tracking or bound "
-            "the journey window"
-        )
+    if validation_enabled():
+        over = ranked.filter(F.col("_n") > max_path).count()
+        if over:
+            raise ValueError(
+                f"multitouch_attribution: {over} touch row(s) in paths "
+                f"longer than max_path={max_path} — fix tracking or bound "
+                "the journey window"
+            )
     # position class: 1 = first, 2 = middle, 3 = last; n=1 -> class 0
     cls = (
         F.when(F.col("_n") == 1, F.lit(0))
@@ -461,21 +465,23 @@ def qini_deciles(
 
     No reference counterpart; experiment analytics per SURVEY §2.11.
     """
-    n_null = df.filter(
-        F.col(score_col).isNull()
-        | F.col(treated_col).isNull()
-        | F.col(converted_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(f"qini_deciles: {n_null} NULL value(s)")
-    n_bad = df.filter(
-        ~F.col(treated_col).cast("int").isin(0, 1)
-        | ~F.col(converted_col).cast("int").isin(0, 1)
-    ).count()
-    if n_bad:
-        raise ValueError(
-            f"qini_deciles: {n_bad} non-0/1 treated/converted value(s)"
-        )
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(score_col).isNull()
+            | F.col(treated_col).isNull()
+            | F.col(converted_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(f"qini_deciles: {n_null} NULL value(s)")
+    if validation_enabled():
+        n_bad = df.filter(
+            ~F.col(treated_col).cast("int").isin(0, 1)
+            | ~F.col(converted_col).cast("int").isin(0, 1)
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"qini_deciles: {n_bad} non-0/1 treated/converted value(s)"
+            )
     wt = Window.partitionBy(*by).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
@@ -579,30 +585,33 @@ def markov_attribution(
         F.countDistinct(converted_col).alias("_nc"),
         F.count(F.lit(1)).alias("_len"),
     )
-    bad = chk.filter(F.col("_nc") > 1).count()
-    if bad:
-        raise ValueError(
-            f"markov_attribution: {bad} journey(s) with a "
-            "non-constant conversion flag — that is a broken join"
+    if validation_enabled():
+        bad = chk.filter(F.col("_nc") > 1).count()
+        if bad:
+            raise ValueError(
+                f"markov_attribution: {bad} journey(s) with a "
+                "non-constant conversion flag — that is a broken join"
+            )
+    if validation_enabled():
+        over = chk.filter(F.col("_len") > max_journey).count()
+        if over:
+            raise ValueError(
+                f"markov_attribution: {over} journey(s) longer than "
+                f"max_journey={max_journey}"
+            )
+    if validation_enabled():
+        dup = (
+            flt.groupBy(*by, journey_col, order_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
-    over = chk.filter(F.col("_len") > max_journey).count()
-    if over:
-        raise ValueError(
-            f"markov_attribution: {over} journey(s) longer than "
-            f"max_journey={max_journey}"
-        )
-    dup = (
-        flt.groupBy(*by, journey_col, order_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dup:
-        raise ValueError(
-            f"markov_attribution: {dup} duplicate (journey, order) "
-            "key(s) — the chain order would be nondeterministic; "
-            "collapse or re-key upstream"
-        )
+        if dup:
+            raise ValueError(
+                f"markov_attribution: {dup} duplicate (journey, order) "
+                "key(s) — the chain order would be nondeterministic; "
+                "collapse or re-key upstream"
+            )
     w = Window.partitionBy(*by, journey_col).orderBy(order_col)
     seq = flt.select(
         *by,
@@ -657,12 +666,13 @@ def markov_attribution(
         .agg(F.count(F.lit(1)).alias("n_touches"))
     )
     n_ch = touches.groupBy(*by).agg(F.count(F.lit(1)).alias("_k"))
-    wide = n_ch.filter(F.col("_k") > max_channels).count()
-    if wide:
-        raise ValueError(
-            f"markov_attribution: a pool exceeds max_channels="
-            f"{max_channels}"
-        )
+    if validation_enabled():
+        wide = n_ch.filter(F.col("_k") > max_channels).count()
+        if wide:
+            raise ValueError(
+                f"markov_attribution: a pool exceeds max_channels="
+                f"{max_channels}"
+            )
     # pack: states = sorted channels + the 3 specials; transitions as
     # (ia, ib, p) with p = n / rowsum(src)
     rowsums = trans.groupBy(*by, "_src").agg(

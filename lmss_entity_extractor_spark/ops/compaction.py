@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def compaction_plan(
@@ -36,14 +37,15 @@ def compaction_plan(
     negative sizes are refused (a silent 0 would hide manifest rot)."""
     if target_bytes < 1:
         raise ValueError("compaction_plan: target_bytes must be >= 1")
-    n_bad = files.filter(
-        F.col(size_col).isNull() | (F.col(size_col) < 0)
-    ).count()
-    if n_bad:
-        raise ValueError(
-            f"compaction_plan: {n_bad} NULL/negative size(s) in "
-            f"{size_col!r} — fix the manifest"
-        )
+    if validation_enabled():
+        n_bad = files.filter(
+            F.col(size_col).isNull() | (F.col(size_col) < 0)
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"compaction_plan: {n_bad} NULL/negative size(s) in "
+                f"{size_col!r} — fix the manifest"
+            )
     w = (
         Window.orderBy(F.col(size_col).desc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def rs_analysis(
@@ -53,19 +54,21 @@ def rs_analysis(
         raise ValueError("rs_analysis: block sizes must all be >= 4")
     from .trend import _packed
 
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"rs_analysis: {n_null} NULL value(s) — impute first"
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"rs_analysis: {n_null} NULL value(s) — impute first"
+            )
+    if validation_enabled():
+        dups = (
+            df.groupBy(*by, order_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
-    dups = (
-        df.groupBy(*by, order_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dups:
-        raise ValueError(f"rs_analysis: {dups} duplicate order key(s)")
+        if dups:
+            raise ValueError(f"rs_analysis: {dups} duplicate order key(s)")
     packed = _packed(df, by, order_col, value_col, max_len)
     xs = F.transform(F.col("_a"), lambda s: s["_x"])
     staged = packed.select(*by, xs.alias("_xs"))
@@ -148,11 +151,12 @@ def permutation_entropy(
 ) -> DataFrame:
     """``(by..., n_windows, k_patterns, h, h_norm)`` — dim-3 ordinal
     pattern entropy; see module docstring."""
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"permutation_entropy: {n_null} NULL value(s)"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"permutation_entropy: {n_null} NULL value(s)"
+            )
     wt = Window.partitionBy(*by).orderBy(
         *[F.col(c) for c in order_cols]
     )
@@ -247,12 +251,13 @@ def dtw_distance(
         & F.col(series_col).isin([series_a, series_b])
     )
     sizes = flt.groupBy(*by, series_col).count()
-    over = sizes.filter(F.col("count") > max_len).count()
-    if over:
-        raise ValueError(
-            f"dtw_distance: a series exceeds max_len={max_len} — the "
-            "DP is O(n*m); resample first"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_len).count()
+        if over:
+            raise ValueError(
+                f"dtw_distance: a series exceeds max_len={max_len} — the "
+                "DP is O(n*m); resample first"
+            )
     xd = F.col(value_col).cast("double")
     od = F.col(order_col).cast("double")
     packed = flt.groupBy(*by).agg(
@@ -361,21 +366,23 @@ def sample_entropy(
         raise ValueError("sample_entropy: r must be > 0")
     from .trend import _packed
 
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"sample_entropy: {n_null} NULL value(s) — impute first"
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"sample_entropy: {n_null} NULL value(s) — impute first"
+            )
+    if validation_enabled():
+        dups = (
+            df.groupBy(*by, order_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
-    dups = (
-        df.groupBy(*by, order_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dups:
-        raise ValueError(
-            f"sample_entropy: {dups} duplicate order key(s)"
-        )
+        if dups:
+            raise ValueError(
+                f"sample_entropy: {dups} duplicate order key(s)"
+            )
     packed = _packed(df, by, order_col, value_col, max_len)
     xs = F.transform(F.col("_a"), lambda s: s["_x"])
     staged = packed.select(*by, xs.alias("_xs"))
@@ -570,19 +577,21 @@ def lz_complexity(
         F.col(order_col).cast("long").alias("_o"),
         F.col(symbol_col).cast("string").alias("_s"),
     )
-    n_bad = flt.filter(F.length("_s") != 1).count()
-    if n_bad:
-        raise ValueError(
-            f"lz_complexity: {n_bad} symbol(s) are not single "
-            "characters — symbolize first (e.g. L192 SAX)"
-        )
+    if validation_enabled():
+        n_bad = flt.filter(F.length("_s") != 1).count()
+        if n_bad:
+            raise ValueError(
+                f"lz_complexity: {n_bad} symbol(s) are not single "
+                "characters — symbolize first (e.g. L192 SAX)"
+            )
     sizes = flt.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_len).count()
-    if over:
-        raise ValueError(
-            f"lz_complexity: a series exceeds max_len={max_len} — "
-            "the parse is a sequential fold; chunk or sample first"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_len).count()
+        if over:
+            raise ValueError(
+                f"lz_complexity: a series exceeds max_len={max_len} — "
+                "the parse is a sequential fold; chunk or sample first"
+            )
     packed = flt.groupBy(*by).agg(
         F.sort_array(F.collect_list(F.struct("_o", "_s"))).alias("_a")
     )

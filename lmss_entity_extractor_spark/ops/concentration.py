@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 _DEC = "decimal(38,6)"
 
@@ -57,12 +58,13 @@ def gini(
     dec = f"decimal(18,{scale})"
     x = F.col(value_col).cast(dec)
     flt = df.filter(F.col(value_col).isNotNull()).select(*by, x.alias("_x"))
-    n_neg = flt.filter(F.col("_x") < 0).count()
-    if n_neg:
-        raise ValueError(
-            f"gini: {n_neg} negative value(s) in {value_col!r} — the "
-            "Gini coefficient is undefined for negative values"
-        )
+    if validation_enabled():
+        n_neg = flt.filter(F.col("_x") < 0).count()
+        if n_neg:
+            raise ValueError(
+                f"gini: {n_neg} negative value(s) in {value_col!r} — the "
+                "Gini coefficient is undefined for negative values"
+            )
     w = Window.partitionBy(*by).orderBy("_x")
     ranked = flt.withColumn("_i", F.row_number().over(w))
     agg = ranked.groupBy(*by).agg(
@@ -98,12 +100,13 @@ def acf(
     key, mean-centred via cₜ = n·xₜ − S so every sum is exact.  NULL
     values are refused (they would silently shift the lag lattice);
     series shorter than lag+1, or zero variance, yield NULL r."""
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"acf: {n_null} NULL value(s) in {value_col!r} — drop or "
-            "impute first; silently skipping rows would shift lags"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"acf: {n_null} NULL value(s) in {value_col!r} — drop or "
+                "impute first; silently skipping rows would shift lags"
+            )
     dec = f"decimal(18,{scale})"
     base = df.select(
         *by, *[c for c in order_cols if c not in by], F.col(value_col).cast(dec).alias("_x")
@@ -170,14 +173,15 @@ def ccf(
     numerator and the √(ΣcX²·ΣcY²) denominator — computed as
     sqrt·sqrt to stay in the decimal-exact range), one sqrt pair and
     one division per lag.  NULLs refused."""
-    n_null = df.filter(
-        F.col(x_col).isNull() | F.col(y_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"ccf: {n_null} NULL value(s) in {x_col!r}/{y_col!r} — drop "
-            "or impute first; silently skipping rows would shift lags"
-        )
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(x_col).isNull() | F.col(y_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(
+                f"ccf: {n_null} NULL value(s) in {x_col!r}/{y_col!r} — drop "
+                "or impute first; silently skipping rows would shift lags"
+            )
     dec = f"decimal(18,{scale})"
     base = df.select(
         *by,
@@ -389,11 +393,12 @@ def dispersion_index(
     No reference counterpart; composition analytics per SURVEY §2.11.
     """
     flt = df.filter(F.col(count_col).isNotNull())
-    n_neg = flt.filter(F.col(count_col) < 0).count()
-    if n_neg:
-        raise ValueError(
-            f"dispersion_index: {n_neg} negative count(s)"
-        )
+    if validation_enabled():
+        n_neg = flt.filter(F.col(count_col) < 0).count()
+        if n_neg:
+            raise ValueError(
+                f"dispersion_index: {n_neg} negative count(s)"
+            )
     xd = F.col(count_col).cast("decimal(20,0)")
     agg = flt.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),
@@ -443,9 +448,10 @@ def hoover_index(
     dec = f"decimal(18,{scale})"
     wide = f"decimal(38,{scale})"
     flt = df.filter(F.col(value_col).isNotNull())
-    n_neg = flt.filter(F.col(value_col) < 0).count()
-    if n_neg:
-        raise ValueError(f"hoover_index: {n_neg} negative value(s)")
+    if validation_enabled():
+        n_neg = flt.filter(F.col(value_col) < 0).count()
+        if n_neg:
+            raise ValueError(f"hoover_index: {n_neg} negative value(s)")
     base = flt.select(*by, F.col(value_col).cast(dec).alias("_x"))
     stats = base.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"), F.sum("_x").alias("_s")
@@ -504,11 +510,12 @@ def inequality_indices(
     """
     dec = f"decimal(18,{scale})"
     flt = df.filter(F.col(value_col).isNotNull())
-    n_bad = flt.filter(F.col(value_col) <= 0).count()
-    if n_bad:
-        raise ValueError(
-            f"inequality_indices: {n_bad} nonpositive value(s)"
-        )
+    if validation_enabled():
+        n_bad = flt.filter(F.col(value_col) <= 0).count()
+        if n_bad:
+            raise ValueError(
+                f"inequality_indices: {n_bad} nonpositive value(s)"
+            )
     cells = flt.groupBy(
         *by, F.col(value_col).cast(dec).alias("_v")
     ).agg(F.count(F.lit(1)).alias("_c"))
@@ -576,9 +583,10 @@ def lorenz_points(
         raise ValueError("lorenz_points: n_points must be >= 1")
     dec = f"decimal(18,{scale})"
     flt = df.filter(F.col(value_col).isNotNull())
-    n_neg = flt.filter(F.col(value_col) < 0).count()
-    if n_neg:
-        raise ValueError(f"lorenz_points: {n_neg} negative value(s)")
+    if validation_enabled():
+        n_neg = flt.filter(F.col(value_col) < 0).count()
+        if n_neg:
+            raise ValueError(f"lorenz_points: {n_neg} negative value(s)")
     base = flt.select(*by, F.col(value_col).cast(dec).alias("_x"))
     w = Window.partitionBy(*by).orderBy("_x")
     wp = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -655,15 +663,17 @@ def gini_jackknife(
     dec = f"decimal(18,{scale})"
     d38 = f"decimal(38,{scale})"
     flt = df.filter(F.col(value_col).isNotNull())
-    n_neg = flt.filter(F.col(value_col) < 0).count()
-    if n_neg:
-        raise ValueError(f"gini_jackknife: {n_neg} negative value(s)")
+    if validation_enabled():
+        n_neg = flt.filter(F.col(value_col) < 0).count()
+        if n_neg:
+            raise ValueError(f"gini_jackknife: {n_neg} negative value(s)")
     sizes = flt.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_len).count()
-    if over:
-        raise ValueError(
-            f"gini_jackknife: a group exceeds max_len={max_len}"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_len).count()
+        if over:
+            raise ValueError(
+                f"gini_jackknife: a group exceeds max_len={max_len}"
+            )
     base = flt.select(*by, F.col(value_col).cast(dec).alias("_x"))
     w = Window.partitionBy(*by).orderBy("_x")
     wp = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -784,12 +794,13 @@ def abc_classification(
     flt = df.filter(F.col(value_col).isNotNull()).select(
         *by, *item_cols, x.alias("_x")
     )
-    n_neg = flt.filter(F.col("_x") < 0).count()
-    if n_neg:
-        raise ValueError(
-            f"abc_classification: {n_neg} negative value(s) in "
-            f"{value_col!r} — cumulative share would be non-monotone"
-        )
+    if validation_enabled():
+        n_neg = flt.filter(F.col("_x") < 0).count()
+        if n_neg:
+            raise ValueError(
+                f"abc_classification: {n_neg} negative value(s) in "
+                f"{value_col!r} — cumulative share would be non-monotone"
+            )
     order = [F.col("_x").desc()] + [F.col(c).asc() for c in item_cols]
     w = Window.partitionBy(*by).orderBy(*order)
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -855,13 +866,14 @@ def newey_west(
     L151 ACF → L353 AR(1) → L393 robust-inference chain)."""
     if max_lag < 1:
         raise ValueError("newey_west: max_lag must be >= 1")
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"newey_west: {n_null} NULL value(s) in {value_col!r} — "
-            "drop or impute first; silently skipping rows would "
-            "shift lags"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"newey_west: {n_null} NULL value(s) in {value_col!r} — "
+                "drop or impute first; silently skipping rows would "
+                "shift lags"
+            )
     dec = f"decimal(18,{scale})"
     base = df.select(
         *by,
@@ -947,11 +959,12 @@ def count_model_panel(
     flt = df.filter(F.col(count_col).isNotNull()).select(
         *by, F.col(count_col).cast("long").alias("_x")
     )
-    n_neg = flt.filter(F.col("_x") < 0).count()
-    if n_neg:
-        raise ValueError(
-            f"count_model_panel: {n_neg} negative count(s)"
-        )
+    if validation_enabled():
+        n_neg = flt.filter(F.col("_x") < 0).count()
+        if n_neg:
+            raise ValueError(
+                f"count_model_panel: {n_neg} negative count(s)"
+            )
     dec = "decimal(38,0)"
     agg = flt.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def _tokens(text_col: str):
@@ -76,12 +77,13 @@ def heaps_fit(
     ``id_col`` order.  β is the Heaps exponent, K = exp(log_k).
     More than ``max_points`` documents is REFUSED (deterministically
     sample documents first — the fit stabilizes long before 10⁴)."""
-    n_docs = docs.count()
-    if n_docs > max_points:
-        raise ValueError(
-            f"heaps_fit: {n_docs} documents > max_points={max_points} — "
-            "hash-sample documents first (ops.textprep.stratified_sample)"
-        )
+    if validation_enabled():
+        n_docs = docs.count()
+        if n_docs > max_points:
+            raise ValueError(
+                f"heaps_fit: {n_docs} documents > max_points={max_points} — "
+                "hash-sample documents first (ops.textprep.stratified_sample)"
+            )
     toks = docs.select(
         F.col(id_col).alias("_d"), F.explode(_tokens(text_col)).alias("_t")
     )

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def _pearson_from_decimal(stats_row_df: DataFrame, pairs) -> DataFrame:
@@ -460,11 +461,12 @@ def distance_correlation(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     )
     sizes = flt.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_len).count()
-    if over:
-        raise ValueError(
-            f"distance_correlation: a group exceeds max_len={max_len}"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_len).count()
+        if over:
+            raise ValueError(
+                f"distance_correlation: a group exceeds max_len={max_len}"
+            )
     packed = flt.groupBy(*by).agg(
         F.sort_array(
             F.collect_list(

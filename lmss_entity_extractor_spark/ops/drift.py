@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .binning import bin_expr, fit_equidepth_bins
+from .validate import validation_enabled
 
 
 def _bucket_shares(df: DataFrame, bucket, name: str) -> DataFrame:
@@ -149,11 +150,12 @@ def term_burst(
         raise ValueError(
             "term_burst: top_k and min_count must be >= 1"
         )
-    n_null = df.filter(
-        F.col(ts_col).isNull() | F.col(term_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(f"term_burst: {n_null} NULL term/ts row(s)")
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(ts_col).isNull() | F.col(term_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(f"term_burst: {n_null} NULL term/ts row(s)")
     recent = F.col(ts_col).cast("timestamp") >= F.lit(split_ts).cast(
         "timestamp"
     )

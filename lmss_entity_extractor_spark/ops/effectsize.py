@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 Z95 = "1.959963984540054"
 
@@ -326,6 +327,7 @@ def bh_fdr(
     test_col: str,
     p_col: str,
     q: str = "0.05",
+    max_tests: int = 10_000_000,
 ) -> DataFrame:
     """``(test, p, rank, m, threshold, discovery)`` — the
     Benjamini-Hochberg step-up procedure over a table of test
@@ -337,10 +339,14 @@ def bh_fdr(
     ``q`` is a decimal STRING; each row's threshold k·q/m is ONE IEEE
     division of the exact decimal k·q by the exact integer m, and the
     p ≤ threshold comparison runs on identical doubles in both
-    engines — bit-identical flags.  The input is a RESULTS table
-    (one row per hypothesis — bounded by construction), so the single
-    ordering window is bounded, not fact-scale.  Out-of-range q or
-    p-values are refused loudly."""
+    engines — bit-identical flags.  The input is a RESULTS table (one
+    row per hypothesis), but nothing structurally bounds it, and the
+    step-up rank sweep is one global ordering window — so more than
+    ``max_tests`` hypotheses are refused loudly (r5 VERDICT item 7;
+    the survival.py max_points discipline) instead of silently
+    funnelling a fact-scale table through one task.  Out-of-range q or
+    p-values are refused loudly; both input checks ride ONE validation
+    scan."""
     import decimal
 
     try:
@@ -356,14 +362,22 @@ def bh_fdr(
             "silently would test a different FDR than requested"
         )
     flt = df.filter(F.col(p_col).isNotNull())
-    n_bad = flt.filter(
-        (F.col(p_col) < 0) | (F.col(p_col) > 1)
-    ).count()
-    if n_bad:
-        raise ValueError(
-            f"bh_fdr: {n_bad} p-value(s) outside [0,1] — fix the "
-            "upstream test"
-        )
+    if validation_enabled():
+        chk = flt.agg(
+            F.sum(((F.col(p_col) < 0) | (F.col(p_col) > 1)).cast("long")).alias("n_bad"),
+            F.count(F.lit(1)).alias("m"),
+        ).collect()[0]
+        if chk["n_bad"]:
+            raise ValueError(
+                f"bh_fdr: {chk['n_bad']} p-value(s) outside [0,1] — fix the "
+                "upstream test"
+            )
+        if chk["m"] > max_tests:
+            raise ValueError(
+                f"bh_fdr: {chk['m']} hypotheses exceed max_tests="
+                f"{max_tests} — the rank sweep is one global window; "
+                "raise the cap deliberately or shard the test table"
+            )
     w = Window.orderBy(F.col(p_col).asc(), F.col(test_col).asc())
     tot = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -599,15 +613,17 @@ def meta_pool(
     flt = df.filter(
         F.col(effect_col).isNotNull() & F.col(se_col).isNotNull()
     )
-    bad = flt.filter(F.col(se_col) <= 0).count()
-    if bad:
-        raise ValueError(f"meta_pool: {bad} nonpositive SE(s)")
+    if validation_enabled():
+        bad = flt.filter(F.col(se_col) <= 0).count()
+        if bad:
+            raise ValueError(f"meta_pool: {bad} nonpositive SE(s)")
     sizes = flt.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_groups).count()
-    if over:
-        raise ValueError(
-            f"meta_pool: a group exceeds max_groups={max_groups}"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_groups).count()
+        if over:
+            raise ValueError(
+                f"meta_pool: a group exceeds max_groups={max_groups}"
+            )
     packed = flt.groupBy(*by).agg(
         F.count(F.lit(1)).alias("k"),
         F.sort_array(
@@ -739,21 +755,23 @@ def mix_shift_decomposition(
         F.sum(F.when(F.col("_g") == group_b, F.col("_s"))).alias("_sb"),
         F.sum(F.when(F.col("_g") == group_b, F.col("_t"))).alias("_tb"),
     )
-    n_onesided = wide.filter(
-        F.col("_ta").isNull() | F.col("_tb").isNull()
-    ).count()
-    if n_onesided:
-        raise ValueError(
-            f"mix_shift_decomposition: {n_onesided} segment(s) "
-            "present on only one side — coalesce segments first"
-        )
+    if validation_enabled():
+        n_onesided = wide.filter(
+            F.col("_ta").isNull() | F.col("_tb").isNull()
+        ).count()
+        if n_onesided:
+            raise ValueError(
+                f"mix_shift_decomposition: {n_onesided} segment(s) "
+                "present on only one side — coalesce segments first"
+            )
     sizes = wide.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_segments).count()
-    if over:
-        raise ValueError(
-            "mix_shift_decomposition: a group exceeds "
-            f"max_segments={max_segments}"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_segments).count()
+        if over:
+            raise ValueError(
+                "mix_shift_decomposition: a group exceeds "
+                f"max_segments={max_segments}"
+            )
     packed = wide.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum("_sa").alias("_tsa"),
@@ -844,12 +862,13 @@ def direct_standardization(
     )
     tot = strata.groupBy(*by).agg(F.sum("_st").alias("_tt"))
     sizes = strata.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_strata).count()
-    if over:
-        raise ValueError(
-            f"direct_standardization: a group exceeds "
-            f"max_strata={max_strata}"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_strata).count()
+        if over:
+            raise ValueError(
+                f"direct_standardization: a group exceeds "
+                f"max_strata={max_strata}"
+            )
     wtd = cells.join(strata, [*by, "_s"])
     wtd = (
         wtd.join(tot, by) if by else wtd.crossJoin(tot)
@@ -918,14 +937,15 @@ def pvalue_adjust(
     """
     by = list(by or [])
     flt = df.filter(F.col(p_col).isNotNull())
-    n_bad = flt.filter(
-        (F.col(p_col) < 0) | (F.col(p_col) > 1)
-    ).count()
-    if n_bad:
-        raise ValueError(
-            f"pvalue_adjust: {n_bad} p-value(s) outside [0,1] — fix "
-            "the upstream test"
-        )
+    if validation_enabled():
+        n_bad = flt.filter(
+            (F.col(p_col) < 0) | (F.col(p_col) > 1)
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"pvalue_adjust: {n_bad} p-value(s) outside [0,1] — fix "
+                "the upstream test"
+            )
     w = Window.partitionBy(*by).orderBy(
         F.col(p_col).asc(), F.col(test_col).asc()
     )
@@ -993,20 +1013,22 @@ def poisson_rate_ci(
     No reference counterpart; the count-data companion to L185's
     Wilson interval per SURVEY §2.11.
     """
-    n_null = df.filter(
-        F.col(events_col).isNull() | F.col(exposure_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"poisson_rate_ci: {n_null} NULL value(s) — impute first"
-        )
-    n_neg = df.filter(
-        (F.col(events_col) < 0) | (F.col(exposure_col) < 0)
-    ).count()
-    if n_neg:
-        raise ValueError(
-            f"poisson_rate_ci: {n_neg} negative value(s)"
-        )
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(events_col).isNull() | F.col(exposure_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(
+                f"poisson_rate_ci: {n_null} NULL value(s) — impute first"
+            )
+    if validation_enabled():
+        n_neg = df.filter(
+            (F.col(events_col) < 0) | (F.col(exposure_col) < 0)
+        ).count()
+        if n_neg:
+            raise ValueError(
+                f"poisson_rate_ci: {n_neg} negative value(s)"
+            )
     dec = f"decimal(18,{scale})"
     agg = df.groupBy(*by).agg(
         F.sum(F.col(events_col).cast("long")).alias("events"),

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def target_encode_loo(
@@ -105,11 +106,12 @@ def best_split(
     flt = df.filter(
         F.col(feature_col).isNotNull() & F.col(target_col).isNotNull()
     )
-    n_bad = flt.filter(~F.col(target_col).isin([0, 1])).count()
-    if n_bad:
-        raise ValueError(
-            f"best_split: {n_bad} non-binary value(s) in {target_col!r}"
-        )
+    if validation_enabled():
+        n_bad = flt.filter(~F.col(target_col).isin([0, 1])).count()
+        if n_bad:
+            raise ValueError(
+                f"best_split: {n_bad} non-binary value(s) in {target_col!r}"
+            )
     per = flt.groupBy(*by, F.col(feature_col).alias("_v")).agg(
         F.count(F.lit(1)).alias("_nv"),
         F.sum(F.col(target_col).cast("long")).alias("_pv"),
@@ -207,20 +209,22 @@ def eb_beta_binomial(
     cells = flt.groupBy(*by, F.col(key_col).alias("key")).agg(
         F.sum(succ_col).alias("s"), F.sum(trial_col).alias("t")
     )
-    bad = cells.filter(
-        (F.col("t") <= 0) | (F.col("s") < 0) | (F.col("s") > F.col("t"))
-    ).count()
-    if bad:
-        raise ValueError(
-            f"eb_beta_binomial: {bad} key(s) with t<=0 or s outside "
-            "[0, t]"
-        )
+    if validation_enabled():
+        bad = cells.filter(
+            (F.col("t") <= 0) | (F.col("s") < 0) | (F.col("s") > F.col("t"))
+        ).count()
+        if bad:
+            raise ValueError(
+                f"eb_beta_binomial: {bad} key(s) with t<=0 or s outside "
+                "[0, t]"
+            )
     sizes = cells.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_keys).count()
-    if over:
-        raise ValueError(
-            f"eb_beta_binomial: a group exceeds max_keys={max_keys}"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_keys).count()
+        if over:
+            raise ValueError(
+                f"eb_beta_binomial: a group exceeds max_keys={max_keys}"
+            )
     packed = cells.groupBy(*by).agg(
         F.count(F.lit(1)).alias("k"),
         F.sort_array(F.collect_list(F.struct("key", "s", "t"))).alias(

@@ -24,6 +24,7 @@ import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def retrieval_metrics(
@@ -662,16 +663,17 @@ def ndcg(
         F.col(item_col).alias("_i"),
         F.col(rank_col).alias("_r"),
     )
-    n_dup = (
-        p.groupBy("_q", "_r")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > 1)
-        .count()
-    )
-    if n_dup:
-        raise ValueError(
-            f"ndcg: {n_dup} duplicate (query, rank) pair(s) at depth <= {k}"
+    if validation_enabled():
+        n_dup = (
+            p.groupBy("_q", "_r")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .count()
         )
+        if n_dup:
+            raise ValueError(
+                f"ndcg: {n_dup} duplicate (query, rank) pair(s) at depth <= {k}"
+            )
     t = truth.select(
         F.col(query_col).alias("_q"),
         F.col(item_col).alias("_i"),
@@ -680,20 +682,22 @@ def ndcg(
     bad = F.col("_g").isNull() | (F.col("_g") < 0)
     if gain == "exp":
         bad = bad | (F.col("_g") > 62)
-    n_bad = t.filter(bad).count()
-    if n_bad:
-        raise ValueError(f"ndcg: {n_bad} NULL/negative/oversized grade(s)")
-    n_dup_t = (
-        t.groupBy("_q", "_i")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > 1)
-        .count()
-    )
-    if n_dup_t:
-        raise ValueError(
-            f"ndcg: {n_dup_t} duplicate (query, item) truth pair(s) — "
-            "they would inflate n_rel and the ideal ranking"
+    if validation_enabled():
+        n_bad = t.filter(bad).count()
+        if n_bad:
+            raise ValueError(f"ndcg: {n_bad} NULL/negative/oversized grade(s)")
+    if validation_enabled():
+        n_dup_t = (
+            t.groupBy("_q", "_i")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .count()
         )
+        if n_dup_t:
+            raise ValueError(
+                f"ndcg: {n_dup_t} duplicate (query, item) truth pair(s) — "
+                "they would inflate n_rel and the ideal ranking"
+            )
 
     def _gain(g):
         if gain == "exp":
@@ -787,17 +791,18 @@ def average_precision(
         F.col(item_col).alias("_i"),
         F.col(rank_col).alias("_r"),
     )
-    n_dup = (
-        p.groupBy("_q", "_r")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > 1)
-        .count()
-    )
-    if n_dup:
-        raise ValueError(
-            f"average_precision: {n_dup} duplicate (query, rank) "
-            f"pair(s) at depth <= {k}"
+    if validation_enabled():
+        n_dup = (
+            p.groupBy("_q", "_r")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .count()
         )
+        if n_dup:
+            raise ValueError(
+                f"average_precision: {n_dup} duplicate (query, rank) "
+                f"pair(s) at depth <= {k}"
+            )
     t = truth.select(
         F.col(query_col).alias("_q"), F.col(item_col).alias("_i")
     ).distinct()
@@ -1551,31 +1556,34 @@ def expected_reciprocal_rank(
     null_pred = F.col(grade_col).isNull()
     for c in order_cols:
         null_pred = null_pred | F.col(c).isNull()
-    n_null = df.filter(null_pred).count()
-    if n_null:
-        raise ValueError(
-            f"expected_reciprocal_rank: {n_null} NULL value(s)"
+    if validation_enabled():
+        n_null = df.filter(null_pred).count()
+        if n_null:
+            raise ValueError(
+                f"expected_reciprocal_rank: {n_null} NULL value(s)"
+            )
+    if validation_enabled():
+        n_bad = df.filter(
+            (F.col(grade_col).cast("long") < 0)
+            | (F.col(grade_col).cast("long") > g_max)
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"expected_reciprocal_rank: {n_bad} grade(s) outside "
+                f"[0, {g_max}]"
+            )
+    if validation_enabled():
+        n_dup = (
+            df.groupBy(*by, *order_cols)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .count()
         )
-    n_bad = df.filter(
-        (F.col(grade_col).cast("long") < 0)
-        | (F.col(grade_col).cast("long") > g_max)
-    ).count()
-    if n_bad:
-        raise ValueError(
-            f"expected_reciprocal_rank: {n_bad} grade(s) outside "
-            f"[0, {g_max}]"
-        )
-    n_dup = (
-        df.groupBy(*by, *order_cols)
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > 1)
-        .count()
-    )
-    if n_dup:
-        raise ValueError(
-            f"expected_reciprocal_rank: {n_dup} duplicate order "
-            "key(s) — the ranking would be nondeterministic"
-        )
+        if n_dup:
+            raise ValueError(
+                f"expected_reciprocal_rank: {n_dup} duplicate order "
+                "key(s) — the ranking would be nondeterministic"
+            )
 
     packed = df.groupBy(*by).agg(
         F.sort_array(
@@ -1658,14 +1666,15 @@ def binary_confusion_panel(
         F.col(label_col).cast("int").alias("_y"),
         F.col(pred_col).cast("int").alias("_c"),
     )
-    n_bad = flt.filter(
-        ~F.col("_y").isin([0, 1]) | ~F.col("_c").isin([0, 1])
-    ).count()
-    if n_bad:
-        raise ValueError(
-            f"binary_confusion_panel: {n_bad} row(s) with non-binary "
-            "label or prediction — encode to 0/1 first"
-        )
+    if validation_enabled():
+        n_bad = flt.filter(
+            ~F.col("_y").isin([0, 1]) | ~F.col("_c").isin([0, 1])
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"binary_confusion_panel: {n_bad} row(s) with non-binary "
+                "label or prediction — encode to 0/1 first"
+            )
     cell = lambda y, c: F.sum(  # noqa: E731
         ((F.col("_y") == y) & (F.col("_c") == c)).cast("long")
     )
@@ -1777,21 +1786,22 @@ def off_policy_eval(
     form with clipping/self-normalization/ESS)."""
     if clip <= 0:
         raise ValueError("off_policy_eval: clip must be > 0")
-    bad = df.filter(
-        F.col(prob_col).isNull()
-        | (F.col(prob_col) < min_prob)
-        | (F.col(prob_col) > 1.0)
-        | F.col(match_col).isNull()
-        | F.col(reward_col).isNull()
-        | (F.abs(F.col(reward_col)) > max_abs_reward)
-    ).count()
-    if bad:
-        raise ValueError(
-            f"off_policy_eval: {bad} row(s) with NULLs, propensity "
-            f"outside [{min_prob}, 1], or |reward| > {max_abs_reward}"
-            " — enforce the positivity floor and reward bounds "
-            "upstream"
-        )
+    if validation_enabled():
+        bad = df.filter(
+            F.col(prob_col).isNull()
+            | (F.col(prob_col) < min_prob)
+            | (F.col(prob_col) > 1.0)
+            | F.col(match_col).isNull()
+            | F.col(reward_col).isNull()
+            | (F.abs(F.col(reward_col)) > max_abs_reward)
+        ).count()
+        if bad:
+            raise ValueError(
+                f"off_policy_eval: {bad} row(s) with NULLs, propensity "
+                f"outside [{min_prob}, 1], or |reward| > {max_abs_reward}"
+                " — enforce the positivity floor and reward bounds "
+                "upstream"
+            )
     w = F.when(
         F.col(match_col).cast("boolean"),
         F.lit(1.0) / F.col(prob_col).cast("double"),
@@ -1868,11 +1878,12 @@ def fairness_audit(
 
     assert_binary(df, label_col, "fairness_audit")
     assert_binary(df, pred_col, "fairness_audit")
-    n_null = df.filter(F.col(group_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"fairness_audit: {n_null} NULL group value(s)"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(group_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"fairness_audit: {n_null} NULL group value(s)"
+            )
     y = F.col(label_col).cast("int")
     p = F.col(pred_col).cast("int")
     cells = df.groupBy(*by, F.col(group_col).alias("group")).agg(
@@ -1969,9 +1980,10 @@ def threshold_curve(
     if len(set(decs)) != len(decs):
         raise ValueError("threshold_curve: duplicate thresholds")
     assert_binary(df, label_col, "threshold_curve")
-    n_null = df.filter(F.col(score_col).isNull()).count()
-    if n_null:
-        raise ValueError(f"threshold_curve: {n_null} NULL score(s)")
+    if validation_enabled():
+        n_null = df.filter(F.col(score_col).isNull()).count()
+        if n_null:
+            raise ValueError(f"threshold_curve: {n_null} NULL score(s)")
     dec = f"decimal(18,{scale})"
     s = F.col(score_col).cast(dec)
     y = F.col(label_col).cast("int")
@@ -2069,13 +2081,14 @@ def krippendorff_interval(
     once.
 
     No reference counterpart; agreement analytics per SURVEY §2.11."""
-    n_null = df.filter(
-        F.col(unit_col).isNull() | F.col(value_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"krippendorff_interval: {n_null} NULL unit/value row(s)"
-        )
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(unit_col).isNull() | F.col(value_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(
+                f"krippendorff_interval: {n_null} NULL unit/value row(s)"
+            )
     dec = f"decimal(18,{scale})"
     x = F.col(value_col).cast(dec)
     units = df.groupBy(*by, F.col(unit_col).alias("_u")).agg(
@@ -2153,23 +2166,25 @@ def rater_severity(
     ratings + one (keys, rater) combinable agg + one tiny window.
 
     No reference counterpart; eval analytics per SURVEY §2.11."""
-    n_null = df.filter(
-        F.col(rater_col).isNull()
-        | F.col(item_col).isNull()
-        | F.col(value_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(f"rater_severity: {n_null} NULL row(s)")
-    dup = (
-        df.groupBy(*by, rater_col, item_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dup:
-        raise ValueError(
-            f"rater_severity: {dup} duplicate (rater, item) pair(s)"
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(rater_col).isNull()
+            | F.col(item_col).isNull()
+            | F.col(value_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(f"rater_severity: {n_null} NULL row(s)")
+    if validation_enabled():
+        dup = (
+            df.groupBy(*by, rater_col, item_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
+        if dup:
+            raise ValueError(
+                f"rater_severity: {dup} duplicate (rater, item) pair(s)"
+            )
     dec = f"decimal(18,{scale})"
     base = df.select(
         *by,
@@ -2244,11 +2259,12 @@ def span_eval(
         bad = F.col(type_col).isNull()
         for c in key_cols:
             bad = bad | F.col(c).isNull()
-        n_null = d.filter(bad).count()
-        if n_null:
-            raise ValueError(
-                f"span_eval: {n_null} NULL key/type row(s) in {nm}"
-            )
+        if validation_enabled():
+            n_null = d.filter(bad).count()
+            if n_null:
+                raise ValueError(
+                    f"span_eval: {n_null} NULL key/type row(s) in {nm}"
+                )
     p = pred.select(
         *by, *key_cols, F.col(type_col).alias("_t")
     ).distinct()
@@ -2329,13 +2345,14 @@ def prediction_churn(
     missing prediction is an availability incident, not a class).
 
     No reference counterpart; eval analytics per SURVEY §2.11."""
-    n_null = df.filter(
-        F.col(old_col).isNull() | F.col(new_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"prediction_churn: {n_null} NULL prediction(s)"
-        )
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(old_col).isNull() | F.col(new_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(
+                f"prediction_churn: {n_null} NULL prediction(s)"
+            )
     cells = df.groupBy(
         *by,
         F.col(old_col).cast("string").alias("old_label"),

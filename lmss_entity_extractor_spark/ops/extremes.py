@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 _EULER = 0.5772156649015329
 _SQRT6_OVER_PI = 0.7796968012336793  # sqrt(6)/pi to double precision
@@ -115,13 +116,14 @@ def hill_estimator(
         F.col(value_col).cast("double").alias("_x"),
         F.row_number().over(wd).alias("_r"),
     ).filter(F.col("_r") <= k + 1)
-    n_bad = top.filter(F.col("_x") <= 0).count()
-    if n_bad:
-        raise ValueError(
-            f"hill_estimator: {n_bad} nonpositive value(s) inside "
-            "the top-(k+1) set — the Hill tail model needs positive "
-            "values; shift or filter first"
-        )
+    if validation_enabled():
+        n_bad = top.filter(F.col("_x") <= 0).count()
+        if n_bad:
+            raise ValueError(
+                f"hill_estimator: {n_bad} nonpositive value(s) inside "
+                "the top-(k+1) set — the Hill tail model needs positive "
+                "values; shift or filter first"
+            )
     packed = top.groupBy(*by).agg(
         F.count(F.lit(1)).alias("_m"),
         F.min(F.when(F.col("_r") == k + 1, F.col("_x"))).alias(

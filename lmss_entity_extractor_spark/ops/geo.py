@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 EARTH_RADIUS_KM = 6371.0088
 
@@ -69,16 +70,17 @@ def grid_neighbor_pairs(
         & F.col(lat_col).isNotNull()
         & F.col(lon_col).isNotNull()
     )
-    n_bad = flt.filter(
-        (F.col(lat_col) < -90)
-        | (F.col(lat_col) > 90)
-        | (F.col(lon_col) < -180)
-        | (F.col(lon_col) > 180)
-    ).count()
-    if n_bad:
-        raise ValueError(
-            f"grid_neighbor_pairs: {n_bad} row(s) outside lat/lon bounds"
-        )
+    if validation_enabled():
+        n_bad = flt.filter(
+            (F.col(lat_col) < -90)
+            | (F.col(lat_col) > 90)
+            | (F.col(lon_col) < -180)
+            | (F.col(lon_col) > 180)
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"grid_neighbor_pairs: {n_bad} row(s) outside lat/lon bounds"
+            )
     # longitude wraps at the antimeridian: when the cell size tiles
     # 360 exactly, longitude cells are taken MODULO the ring size, so
     # points straddling +/-180 (including the same location written
@@ -170,16 +172,17 @@ def morans_i(
     flt = df.filter(
         F.col(id_col).isNotNull() & F.col(value_col).isNotNull()
     )
-    n_dup = (
-        flt.groupBy(F.col(id_col))
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > 1)
-        .count()
-    )
-    if n_dup:
-        raise ValueError(
-            f"morans_i: {n_dup} duplicate id(s) — weights would double"
+    if validation_enabled():
+        n_dup = (
+            flt.groupBy(F.col(id_col))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .count()
         )
+        if n_dup:
+            raise ValueError(
+                f"morans_i: {n_dup} duplicate id(s) — weights would double"
+            )
     vals = flt.select(
         F.col(id_col).alias("_vid"), F.col(value_col).cast(dec).alias("_x")
     )
@@ -273,16 +276,17 @@ def geary_c(
     flt = df.filter(
         F.col(id_col).isNotNull() & F.col(value_col).isNotNull()
     )
-    n_dup = (
-        flt.groupBy(F.col(id_col))
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > 1)
-        .count()
-    )
-    if n_dup:
-        raise ValueError(
-            f"geary_c: {n_dup} duplicate id(s) — weights would double"
+    if validation_enabled():
+        n_dup = (
+            flt.groupBy(F.col(id_col))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .count()
         )
+        if n_dup:
+            raise ValueError(
+                f"geary_c: {n_dup} duplicate id(s) — weights would double"
+            )
     vals = flt.select(
         F.col(id_col).alias("_vid"), F.col(value_col).cast(dec).alias("_x")
     )
@@ -370,16 +374,17 @@ def getis_gi_star(
         & F.col(lon_col).isNotNull()
         & F.col(value_col).isNotNull()
     )
-    n_bad = flt.filter(
-        (F.col(lat_col) < -90)
-        | (F.col(lat_col) > 90)
-        | (F.col(lon_col) < -180)
-        | (F.col(lon_col) > 180)
-    ).count()
-    if n_bad:
-        raise ValueError(
-            f"getis_gi_star: {n_bad} row(s) outside lat/lon bounds"
-        )
+    if validation_enabled():
+        n_bad = flt.filter(
+            (F.col(lat_col) < -90)
+            | (F.col(lat_col) > 90)
+            | (F.col(lon_col) < -180)
+            | (F.col(lon_col) > 180)
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"getis_gi_star: {n_bad} row(s) outside lat/lon bounds"
+            )
     ring = 360.0 / cell_deg
     wraps = float(ring).is_integer()
     cy_raw = F.floor(F.col(lon_col) / cell_deg).cast("long")
@@ -502,13 +507,14 @@ def point_in_polygon(
                 f"point_in_polygon: polygon {pg['name']!r} needs "
                 "3..64 vertices"
             )
-    n_null = points.filter(
-        F.col(x_col).isNull() | F.col(y_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"point_in_polygon: {n_null} NULL coordinate row(s)"
-        )
+    if validation_enabled():
+        n_null = points.filter(
+            F.col(x_col).isNull() | F.col(y_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(
+                f"point_in_polygon: {n_null} NULL coordinate row(s)"
+            )
     dec = f"decimal(18,{scale})"
     px = F.col(x_col).cast(dec)
     py = F.col(y_col).cast(dec)
@@ -587,23 +593,25 @@ def polygon_metrics(
 
     No reference counterpart; spatial analytics per SURVEY §2.11."""
     dec = f"decimal(18,{scale})"
-    n_null = df.filter(
-        F.col(x_col).isNull()
-        | F.col(y_col).isNull()
-        | F.col(order_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(f"polygon_metrics: {n_null} NULL row(s)")
-    dups = (
-        df.groupBy(*by, order_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dups:
-        raise ValueError(
-            f"polygon_metrics: {dups} duplicate ring order key(s)"
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(x_col).isNull()
+            | F.col(y_col).isNull()
+            | F.col(order_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(f"polygon_metrics: {n_null} NULL row(s)")
+    if validation_enabled():
+        dups = (
+            df.groupBy(*by, order_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
+        if dups:
+            raise ValueError(
+                f"polygon_metrics: {dups} duplicate ring order key(s)"
+            )
     base = df.select(
         *by,
         F.col(order_col).cast("double").alias("_o"),
@@ -611,12 +619,13 @@ def polygon_metrics(
         F.col(y_col).cast(dec).alias("_y"),
     )
     sizes = base.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_vertices).count()
-    if over:
-        raise ValueError(
-            f"polygon_metrics: a ring exceeds max_vertices="
-            f"{max_vertices}"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_vertices).count()
+        if over:
+            raise ValueError(
+                f"polygon_metrics: a ring exceeds max_vertices="
+                f"{max_vertices}"
+            )
     packed = base.groupBy(*by).agg(
         F.sort_array(
             F.collect_list(F.struct("_o", "_x", "_y"))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def fk_orphans(
@@ -161,12 +162,13 @@ def sequence_audit(
     NULL indices refused loudly: an ordering column with NULLs has no
     defined audit.
     """
-    n_null = df.filter(F.col(idx_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"sequence_audit: {n_null} NULL index value(s) — an "
-            "ordering column must be NULL-free"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(idx_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"sequence_audit: {n_null} NULL index value(s) — an "
+                "ordering column must be NULL-free"
+            )
     agg = df.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col(idx_col)).alias("_nd"),

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def keyed_baskets(
@@ -60,13 +61,14 @@ def keyed_baskets(
         .groupBy(F.col(key).alias("key"))
         .agg(F.array_sort(F.collect_set(F.col(item))).alias("items"))
     ).localCheckpoint()
-    hot = baskets.filter(F.size("items") > max_basket).limit(5).collect()
-    if hot:
-        ks = [r["key"] for r in hot]
-        raise ValueError(
-            f"basket wider than max_basket={max_basket} for keys "
-            f"(showing <=5): {ks} — cap upstream or raise the limit"
-        )
+    if validation_enabled():
+        hot = baskets.filter(F.size("items") > max_basket).limit(5).collect()
+        if hot:
+            ks = [r["key"] for r in hot]
+            raise ValueError(
+                f"basket wider than max_basket={max_basket} for keys "
+                f"(showing <=5): {ks} — cap upstream or raise the limit"
+            )
     return baskets
 
 
@@ -237,13 +239,14 @@ def item_cosine(
         raise ValueError("item_cosine: k must be >= 1")
     if int(min_co) < 1:
         raise ValueError("item_cosine: min_co must be >= 1")
-    n_null = df.filter(
-        F.col(basket_col).isNull() | F.col(item_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"item_cosine: {n_null} NULL basket/item value(s)"
-        )
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(basket_col).isNull() | F.col(item_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(
+                f"item_cosine: {n_null} NULL basket/item value(s)"
+            )
     pres = df.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
     ).dropDuplicates()

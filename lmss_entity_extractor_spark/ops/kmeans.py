@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import _dlit, _dot_sql, collect_training_sample
+from .validate import validation_enabled
 
 
 def train_kmeans_local(X, k: int = 8, n_iters: int = 5):
@@ -141,29 +142,32 @@ def geometric_median(
     No reference counterpart; robust analytics per SURVEY §2.11."""
     if iters < 1:
         raise ValueError("geometric_median: iters must be >= 1")
-    n_null = df.filter(F.col(vec_col).isNull()).count()
-    if n_null:
-        raise ValueError(f"geometric_median: {n_null} NULL vector(s)")
+    if validation_enabled():
+        n_null = df.filter(F.col(vec_col).isNull()).count()
+        if n_null:
+            raise ValueError(f"geometric_median: {n_null} NULL vector(s)")
     base = df.select(
         *by,
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
             "_v"
         ),
     )
-    n_dims = base.select(F.size("_v").alias("_d")).distinct().count()
-    if n_dims > 1:
-        raise ValueError(
-            "geometric_median: ragged vector dimensions — normalize "
-            "upstream"
-        )
+    if validation_enabled():
+        n_dims = base.select(F.size("_v").alias("_d")).distinct().count()
+        if n_dims > 1:
+            raise ValueError(
+                "geometric_median: ragged vector dimensions — normalize "
+                "upstream"
+            )
     sizes = base.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_points).count()
-    if over:
-        raise ValueError(
-            f"geometric_median: a group exceeds max_points="
-            f"{max_points} — hash-sample upstream (the median "
-            "stabilizes long before 10^4 points)"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_points).count()
+        if over:
+            raise ValueError(
+                f"geometric_median: a group exceeds max_points="
+                f"{max_points} — hash-sample upstream (the median "
+                "stabilizes long before 10^4 points)"
+            )
     packed = base.groupBy(*by).agg(
         F.sort_array(F.collect_list("_v")).alias("_pts"),
         F.count(F.lit(1)).alias("n"),

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lmss_entity_extractor_spark.ops.dedup import _clean_tokens
+from .validate import validation_enabled
 
 
 def train_unigram_lm(
@@ -182,11 +183,12 @@ def bigram_lm_score(
     No reference counterpart; curation analytics per SURVEY §2.11."""
     if k <= 0:
         raise ValueError("bigram_lm_score: k must be > 0")
-    n_null = df.filter(
-        F.col(id_col).isNull() | F.col(text_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(f"bigram_lm_score: {n_null} NULL row(s)")
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(id_col).isNull() | F.col(text_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(f"bigram_lm_score: {n_null} NULL row(s)")
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"),
         lambda x: x != F.lit(""),

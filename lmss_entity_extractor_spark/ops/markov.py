@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def markov_transitions(
@@ -111,18 +112,19 @@ def stationary_distribution(
             f"sources (showing <=20): {names} — drop the absorbing tail or "
             "close the chain before calling stationary_distribution"
         )
-    bad_rows = (
-        t.groupBy("src")
-        .agg(F.sum("prob").alias("s"))
-        .filter(F.abs(F.col("s") - 1.0) > 1e-9)
-        .limit(5)
-        .collect()
-    )
-    if bad_rows:
-        raise ValueError(
-            "not row-stochastic: "
-            + ", ".join(f"{r['src']}: sum={r['s']!r}" for r in bad_rows)
+    if validation_enabled():
+        bad_rows = (
+            t.groupBy("src")
+            .agg(F.sum("prob").alias("s"))
+            .filter(F.abs(F.col("s") - 1.0) > 1e-9)
+            .limit(5)
+            .collect()
         )
+        if bad_rows:
+            raise ValueError(
+                "not row-stochastic: "
+                + ", ".join(f"{r['src']}: sum={r['s']!r}" for r in bad_rows)
+            )
 
     states = t.select(F.col("src").alias("state")).distinct().localCheckpoint()
     n = states.count()

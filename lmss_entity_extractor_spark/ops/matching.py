@@ -47,6 +47,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def stable_matching(
@@ -142,12 +143,13 @@ def auction_clearing(
         F.col(price_col).cast(dec).alias("price"),
         F.col(qty_col).cast("bigint").alias("qty"),
     )
-    n_bad = base.filter(F.col("qty") <= 0).count()
-    if n_bad:
-        raise ValueError(
-            f"auction_clearing: {n_bad} bid(s) with non-positive "
-            "quantity"
-        )
+    if validation_enabled():
+        n_bad = base.filter(F.col("qty") <= 0).count()
+        if n_bad:
+            raise ValueError(
+                f"auction_clearing: {n_bad} bid(s) with non-positive "
+                "quantity"
+            )
     w = Window.partitionBy(*by).orderBy(
         F.col("price").desc(), F.col("bidder").asc()
     )

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def erlang_panel(
@@ -37,24 +38,26 @@ def erlang_panel(
 ) -> DataFrame:
     """Input columns preserved plus ``(blocking, delay_prob,
     utilization)`` — see module docstring."""
-    bad = df.filter(
-        F.col(load_col).isNull()
-        | (F.col(load_col) <= 0)
-        | F.col(servers_col).isNull()
-        | (F.col(servers_col) < 1)
-    ).count()
-    if bad:
-        raise ValueError(
-            f"erlang_panel: {bad} row(s) with NULL/non-positive "
-            f"{load_col!r} or invalid {servers_col!r}"
-        )
-    wide = df.filter(F.col(servers_col) > max_servers).count()
-    if wide:
-        raise ValueError(
-            f"erlang_panel: {wide} row(s) with {servers_col!r} > "
-            f"max_servers={max_servers} — the per-row fold is O(s); "
-            "raise the cap deliberately"
-        )
+    if validation_enabled():
+        bad = df.filter(
+            F.col(load_col).isNull()
+            | (F.col(load_col) <= 0)
+            | F.col(servers_col).isNull()
+            | (F.col(servers_col) < 1)
+        ).count()
+        if bad:
+            raise ValueError(
+                f"erlang_panel: {bad} row(s) with NULL/non-positive "
+                f"{load_col!r} or invalid {servers_col!r}"
+            )
+    if validation_enabled():
+        wide = df.filter(F.col(servers_col) > max_servers).count()
+        if wide:
+            raise ValueError(
+                f"erlang_panel: {wide} row(s) with {servers_col!r} > "
+                f"max_servers={max_servers} — the per-row fold is O(s); "
+                "raise the cap deliberately"
+            )
     a = F.col(load_col).cast("double")
     s = F.col(servers_col).cast("int")
     sd = F.col(servers_col).cast("double")

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def ipf_raking(
@@ -61,15 +62,17 @@ def ipf_raking(
         & F.col(col_col).isNotNull()
         & F.col(seed_col).isNotNull()
     )
-    n_bad = flt.filter(F.col(seed_col) < 0).count()
-    if n_bad:
-        raise ValueError(f"ipf_raking: {n_bad} negative seed(s)")
+    if validation_enabled():
+        n_bad = flt.filter(F.col(seed_col) < 0).count()
+        if n_bad:
+            raise ValueError(f"ipf_raking: {n_bad} negative seed(s)")
     sizes = flt.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_cells).count()
-    if over:
-        raise ValueError(
-            f"ipf_raking: a group exceeds max_cells={max_cells}"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_cells).count()
+        if over:
+            raise ValueError(
+                f"ipf_raking: a group exceeds max_cells={max_cells}"
+            )
     rt = row_targets.select(
         *by,
         F.col(row_col).alias("_r"),
@@ -87,17 +90,18 @@ def ipf_raking(
         F.col(seed_col).cast("double").alias("_w0"),
     )
     joined = base.join(rt, [*by, "_r"]).join(ct, [*by, "_c"])
-    infeasible = (
-        joined.groupBy(*by, "_r", "_rt")
-        .agg(F.sum("_w0").alias("_rowsum"))
-        .filter((F.col("_rowsum") <= 0) & (F.col("_rt") > 0))
-        .count()
-    )
-    if infeasible:
-        raise ValueError(
-            f"ipf_raking: {infeasible} row(s) with zero seed mass "
-            "but a nonzero target — infeasible; fix the seed"
+    if validation_enabled():
+        infeasible = (
+            joined.groupBy(*by, "_r", "_rt")
+            .agg(F.sum("_w0").alias("_rowsum"))
+            .filter((F.col("_rowsum") <= 0) & (F.col("_rt") > 0))
+            .count()
         )
+        if infeasible:
+            raise ValueError(
+                f"ipf_raking: {infeasible} row(s) with zero seed mass "
+                "but a nonzero target — infeasible; fix the seed"
+            )
     packed = joined.groupBy(*by).agg(
         F.sort_array(
             F.collect_list(
@@ -220,9 +224,10 @@ def kish_ess(
     refused; zero weight mass → NULL."""
     dec = f"decimal(18,{scale})"
     flt = df.filter(F.col(weight_col).isNotNull())
-    n_bad = flt.filter(F.col(weight_col) <= 0).count()
-    if n_bad:
-        raise ValueError(f"kish_ess: {n_bad} nonpositive weight(s)")
+    if validation_enabled():
+        n_bad = flt.filter(F.col(weight_col) <= 0).count()
+        if n_bad:
+            raise ValueError(f"kish_ess: {n_bad} nonpositive weight(s)")
     wd = F.col(weight_col).cast(dec)
     agg = flt.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 _DEC = "decimal(38,0)"
 
@@ -165,12 +166,13 @@ def weighted_quantiles(
     flt = df.filter(
         F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
     ).select(*by, F.col(value_col).alias("_v"), F.col(weight_col).cast(dec).alias("_w"))
-    n_neg = flt.filter(F.col("_w") < 0).count()
-    if n_neg:
-        raise ValueError(
-            f"weighted_quantiles: {n_neg} negative weight(s) in "
-            f"{weight_col!r} — weights must be non-negative"
-        )
+    if validation_enabled():
+        n_neg = flt.filter(F.col("_w") < 0).count()
+        if n_neg:
+            raise ValueError(
+                f"weighted_quantiles: {n_neg} negative weight(s) in "
+                f"{weight_col!r} — weights must be non-negative"
+            )
     w = (
         Window.partitionBy(*by)
         .orderBy("_v")
@@ -892,14 +894,15 @@ def ks_uniform(
     base = df.filter(F.col(value_col).isNotNull()).select(
         *by, F.col(value_col).cast(dec).alias("_x")
     )
-    n_out = base.filter(
-        (F.col("_x") < lo_l) | (F.col("_x") > hi_l)
-    ).count()
-    if n_out:
-        raise ValueError(
-            f"ks_uniform: {n_out} value(s) outside [{lo}, {hi}] — the "
-            "uniform reference CDF is undefined there"
-        )
+    if validation_enabled():
+        n_out = base.filter(
+            (F.col("_x") < lo_l) | (F.col("_x") > hi_l)
+        ).count()
+        if n_out:
+            raise ValueError(
+                f"ks_uniform: {n_out} value(s) outside [{lo}, {hi}] — the "
+                "uniform reference CDF is undefined there"
+            )
     pv = base.groupBy(*by, "_x").agg(F.count(F.lit(1)).alias("_l"))
     wk = Window.partitionBy(*by).orderBy("_x")
     wkp = wk.rowsBetween(Window.unboundedPreceding, 0)
@@ -1576,16 +1579,17 @@ def quade_test(
         & F.col(block_col).isNotNull()
         & F.col(treat_col).isNotNull()
     )
-    dup = (
-        flt.groupBy(*by, block_col, treat_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dup:
-        raise ValueError(
-            f"quade_test: {dup} duplicate (block, treatment) cell(s)"
+    if validation_enabled():
+        dup = (
+            flt.groupBy(*by, block_col, treat_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
+        if dup:
+            raise ValueError(
+                f"quade_test: {dup} duplicate (block, treatment) cell(s)"
+            )
     k_per_group = flt.groupBy(*by).agg(
         F.countDistinct(treat_col).alias("_k")
     )
@@ -1597,13 +1601,14 @@ def quade_test(
         if by
         else blk_counts.crossJoin(k_per_group)
     )
-    incomplete = joined_counts.filter(
-        F.col("_bk") != F.col("_k")
-    ).count()
-    if incomplete:
-        raise ValueError(
-            f"quade_test: {incomplete} incomplete block(s)"
-        )
+    if validation_enabled():
+        incomplete = joined_counts.filter(
+            F.col("_bk") != F.col("_k")
+        ).count()
+        if incomplete:
+            raise ValueError(
+                f"quade_test: {incomplete} incomplete block(s)"
+            )
     wb = Window.partitionBy(*by, block_col).orderBy(value_col)
     we = Window.partitionBy(*by, block_col, value_col)
     ranked = flt.select(
@@ -1701,11 +1706,12 @@ def bartels_rank_test(
 
     No reference counterpart; monitoring analytics per SURVEY §2.11.
     """
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"bartels_rank_test: {n_null} NULL value(s) — impute first"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"bartels_rank_test: {n_null} NULL value(s) — impute first"
+            )
     d0 = "decimal(38,0)"
     wv = Window.partitionBy(*by).orderBy(value_col)
     we = Window.partitionBy(*by, value_col)
@@ -1802,12 +1808,13 @@ def energy_distance(
         & F.col(group_col).isin([sample_a, sample_b])
     )
     sizes = flt.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > 2 * max_len).count()
-    if over:
-        raise ValueError(
-            f"energy_distance: a group exceeds 2*max_len={2*max_len}"
-            " — the statistic is pairwise; sample first"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > 2 * max_len).count()
+        if over:
+            raise ValueError(
+                f"energy_distance: a group exceeds 2*max_len={2*max_len}"
+                " — the statistic is pairwise; sample first"
+            )
     xd = F.col(value_col).cast(dec)
     packed = flt.groupBy(*by).agg(
         F.sort_array(
@@ -2074,12 +2081,13 @@ def pr_auc(
         F.sum(F.lit(1) - lab).alias("_n"),
     )
     sizes = cells.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_points).count()
-    if over:
-        raise ValueError(
-            f"pr_auc: a score grid exceeds max_points={max_points} — "
-            "quantize scores first"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_points).count()
+        if over:
+            raise ValueError(
+                f"pr_auc: a score grid exceeds max_points={max_points} — "
+                "quantize scores first"
+            )
     wd = Window.partitionBy(*by).orderBy(F.desc("_t"))
     wdp = wd.rowsBetween(Window.unboundedPreceding, 0)
     pre = cells.select(
@@ -2350,22 +2358,24 @@ def rrf_fusion(
             raise ValueError(
                 f"rrf_fusion: {bad} NULL/invalid-rank row(s)"
             )
-        unknown = df.filter(~F.col(system_col).isin(systems)).count()
-        if unknown:
-            raise ValueError(
-                f"rrf_fusion: {unknown} row(s) from systems outside the "
-                "pinned list"
+        if validation_enabled():
+            unknown = df.filter(~F.col(system_col).isin(systems)).count()
+            if unknown:
+                raise ValueError(
+                    f"rrf_fusion: {unknown} row(s) from systems outside the "
+                    "pinned list"
+                )
+        if validation_enabled():
+            dup = (
+                df.groupBy(*by, system_col, doc_col)
+                .count()
+                .filter(F.col("count") > 1)
+                .count()
             )
-        dup = (
-            df.groupBy(*by, system_col, doc_col)
-            .count()
-            .filter(F.col("count") > 1)
-            .count()
-        )
-        if dup:
-            raise ValueError(
-                f"rrf_fusion: {dup} duplicate (system, doc) row(s)"
-            )
+            if dup:
+                raise ValueError(
+                    f"rrf_fusion: {dup} duplicate (system, doc) row(s)"
+                )
     aggs = [F.count(F.lit(1)).alias("n_systems")]
     for i, s in enumerate(systems):
         aggs.append(
@@ -2450,22 +2460,24 @@ def rank_biased_precision(
             raise ValueError(
                 f"rank_biased_precision: {bad} NULL/invalid rank(s)"
             )
-        dup = (
-            df.groupBy(*by, rank_col)
-            .count()
-            .filter(F.col("count") > 1)
-            .count()
-        )
-        if dup:
-            raise ValueError(
-                f"rank_biased_precision: {dup} duplicate rank(s)"
+        if validation_enabled():
+            dup = (
+                df.groupBy(*by, rank_col)
+                .count()
+                .filter(F.col("count") > 1)
+                .count()
             )
-        deep = df.filter(F.col(rank_col) > max_depth).count()
-        if deep:
-            raise ValueError(
-                f"rank_biased_precision: {deep} row(s) deeper than "
-                f"max_depth={max_depth}"
-            )
+            if dup:
+                raise ValueError(
+                    f"rank_biased_precision: {dup} duplicate rank(s)"
+                )
+        if validation_enabled():
+            deep = df.filter(F.col(rank_col) > max_depth).count()
+            if deep:
+                raise ValueError(
+                    f"rank_biased_precision: {deep} row(s) deeper than "
+                    f"max_depth={max_depth}"
+                )
     pd_ = float(pv)
     packed = df.groupBy(*by).agg(
         F.max(F.col(rank_col)).alias("depth"),

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 LN10 = 2.302585092994046
 
@@ -57,32 +58,36 @@ def elo_ratings(
     for c in cols:
         p = F.col(c).isNull()
         null_pred = p if null_pred is None else (null_pred | p)
-    n_null = df.filter(null_pred).count()
-    if n_null:
-        raise ValueError(f"elo_ratings: {n_null} NULL value(s)")
-    n_bad = df.filter(
-        ~F.col(score_col).cast("double").isin(0.0, 0.5, 1.0)
-    ).count()
-    if n_bad:
-        raise ValueError(
-            f"elo_ratings: {n_bad} score(s) outside {{0, 0.5, 1}}"
+    if validation_enabled():
+        n_null = df.filter(null_pred).count()
+        if n_null:
+            raise ValueError(f"elo_ratings: {n_null} NULL value(s)")
+    if validation_enabled():
+        n_bad = df.filter(
+            ~F.col(score_col).cast("double").isin(0.0, 0.5, 1.0)
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"elo_ratings: {n_bad} score(s) outside {{0, 0.5, 1}}"
+            )
+    if validation_enabled():
+        n_self = df.filter(
+            F.col(player_a_col) == F.col(player_b_col)
+        ).count()
+        if n_self:
+            raise ValueError(f"elo_ratings: {n_self} self-game(s)")
+    if validation_enabled():
+        n_duporder = (
+            df.groupBy(*by, *order_cols)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .count()
         )
-    n_self = df.filter(
-        F.col(player_a_col) == F.col(player_b_col)
-    ).count()
-    if n_self:
-        raise ValueError(f"elo_ratings: {n_self} self-game(s)")
-    n_duporder = (
-        df.groupBy(*by, *order_cols)
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > 1)
-        .count()
-    )
-    if n_duporder:
-        raise ValueError(
-            f"elo_ratings: {n_duporder} duplicate order key(s) — the "
-            "fold order would be nondeterministic"
-        )
+        if n_duporder:
+            raise ValueError(
+                f"elo_ratings: {n_duporder} duplicate order key(s) — the "
+                "fold order would be nondeterministic"
+            )
 
     g = df.select(
         *by,
@@ -91,32 +96,34 @@ def elo_ratings(
         F.col(player_b_col).cast("string").alias("_b"),
         F.col(score_col).cast("double").alias("_s"),
     )
-    over_games = (
-        g.groupBy(*by)
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > max_games)
-        .count()
-    )
-    if over_games:
-        raise ValueError(
-            f"elo_ratings: a pool exceeds max_games={max_games} — "
-            "shard the pool (league/season), don't subsample silently"
+    if validation_enabled():
+        over_games = (
+            g.groupBy(*by)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > max_games)
+            .count()
         )
+        if over_games:
+            raise ValueError(
+                f"elo_ratings: a pool exceeds max_games={max_games} — "
+                "shard the pool (league/season), don't subsample silently"
+            )
     players = (
         g.select(*by, F.col("_a").alias("_p"))
         .unionByName(g.select(*by, F.col("_b").alias("_p")))
         .distinct()
     )
-    over_players = (
-        players.groupBy(*by)
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > max_players)
-        .count()
-    )
-    if over_players:
-        raise ValueError(
-            f"elo_ratings: a pool exceeds max_players={max_players}"
+    if validation_enabled():
+        over_players = (
+            players.groupBy(*by)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > max_players)
+            .count()
         )
+        if over_players:
+            raise ValueError(
+                f"elo_ratings: a pool exceeds max_players={max_players}"
+            )
     roster = players.groupBy(*by).agg(
         F.transform(
             F.sort_array(F.collect_list("_p")),
@@ -241,11 +248,12 @@ def bradley_terry(
         & F.col(wins_a_col).isNotNull()
         & F.col(wins_b_col).isNotNull()
     )
-    n_self = flt.filter(
-        F.col(player_a_col) == F.col(player_b_col)
-    ).count()
-    if n_self:
-        raise ValueError(f"bradley_terry: {n_self} self-pair row(s)")
+    if validation_enabled():
+        n_self = flt.filter(
+            F.col(player_a_col) == F.col(player_b_col)
+        ).count()
+        if n_self:
+            raise ValueError(f"bradley_terry: {n_self} self-pair row(s)")
     lo = F.least(
         F.col(player_a_col).cast("string"),
         F.col(player_b_col).cast("string"),
@@ -272,16 +280,17 @@ def bradley_terry(
         .groupBy(*by, "_a", "_b")
         .agg(F.sum("_wa").alias("_wa"), F.sum("_wb").alias("_wb"))
     )
-    over_pairs = (
-        pairs.groupBy(*by)
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > max_pairs)
-        .count()
-    )
-    if over_pairs:
-        raise ValueError(
-            f"bradley_terry: a pool exceeds max_pairs={max_pairs}"
+    if validation_enabled():
+        over_pairs = (
+            pairs.groupBy(*by)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > max_pairs)
+            .count()
         )
+        if over_pairs:
+            raise ValueError(
+                f"bradley_terry: a pool exceeds max_pairs={max_pairs}"
+            )
     per_player = (
         pairs.select(
             *by,
@@ -300,25 +309,27 @@ def bradley_terry(
         .groupBy(*by, "_p")
         .agg(F.sum("_w").alias("_w"), F.sum("_l").alias("_l"))
     )
-    bad = per_player.filter(
-        (F.col("_w") <= 0) | (F.col("_l") <= 0)
-    ).count()
-    if bad:
-        raise ValueError(
-            f"bradley_terry: {bad} player(s) with zero wins or zero "
-            "losses — the BT MLE does not exist (Ford 1957); merge "
-            "or drop them upstream"
+    if validation_enabled():
+        bad = per_player.filter(
+            (F.col("_w") <= 0) | (F.col("_l") <= 0)
+        ).count()
+        if bad:
+            raise ValueError(
+                f"bradley_terry: {bad} player(s) with zero wins or zero "
+                "losses — the BT MLE does not exist (Ford 1957); merge "
+                "or drop them upstream"
+            )
+    if validation_enabled():
+        over_players = (
+            per_player.groupBy(*by)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > max_players)
+            .count()
         )
-    over_players = (
-        per_player.groupBy(*by)
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > max_players)
-        .count()
-    )
-    if over_players:
-        raise ValueError(
-            f"bradley_terry: a pool exceeds max_players={max_players}"
-        )
+        if over_players:
+            raise ValueError(
+                f"bradley_terry: a pool exceeds max_players={max_players}"
+            )
     roster = per_player.groupBy(*by).agg(
         F.sort_array(
             F.collect_list(F.struct("_p", "_w", "_l"))

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def grouped_linreg(
@@ -521,13 +522,14 @@ def passing_bablok(
     No reference counterpart; method-comparison analytics per SURVEY
     §2.11 (Passing & Bablok 1983).
     """
-    n_null = df.filter(
-        F.col(x_col).isNull() | F.col(y_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"passing_bablok: {n_null} NULL value(s) — impute first"
-        )
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(x_col).isNull() | F.col(y_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(
+                f"passing_bablok: {n_null} NULL value(s) — impute first"
+            )
     dec = f"decimal(18,{scale})"
     base = df.select(
         *by,
@@ -535,13 +537,14 @@ def passing_bablok(
         F.col(y_col).cast(dec).alias("_y"),
     )
     sizes = base.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_len).count()
-    if over:
-        raise ValueError(
-            f"passing_bablok: at least one group exceeds max_len="
-            f"{max_len} — sample first (the estimator is pairwise; "
-            "an unbounded group is quadratic by definition)"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_len).count()
+        if over:
+            raise ValueError(
+                f"passing_bablok: at least one group exceeds max_len="
+                f"{max_len} — sample first (the estimator is pairwise; "
+                "an unbounded group is quadratic by definition)"
+            )
     packed = base.groupBy(*by).agg(
         F.sort_array(F.collect_list(F.struct("_x", "_y"))).alias("_a")
     )
@@ -653,20 +656,22 @@ def wls_regression(
 
     No reference counterpart; analytics extension per SURVEY §2.11.
     """
-    n_null = df.filter(
-        F.col(x_col).isNull()
-        | F.col(y_col).isNull()
-        | F.col(w_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"wls_regression: {n_null} NULL value(s) — impute first"
-        )
-    n_neg = df.filter(F.col(w_col) < 0).count()
-    if n_neg:
-        raise ValueError(
-            f"wls_regression: {n_neg} negative weight(s)"
-        )
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(x_col).isNull()
+            | F.col(y_col).isNull()
+            | F.col(w_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(
+                f"wls_regression: {n_null} NULL value(s) — impute first"
+            )
+    if validation_enabled():
+        n_neg = df.filter(F.col(w_col) < 0).count()
+        if n_neg:
+            raise ValueError(
+                f"wls_regression: {n_neg} negative weight(s)"
+            )
     big = "decimal(38,0)"
 
     def q(col, s):

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def weibull_fit(
@@ -47,21 +48,23 @@ def weibull_fit(
     flt = df.filter(F.col(value_col).isNotNull()).select(
         *by, F.col(value_col).cast("double").alias("_t")
     )
-    n_bad = flt.filter(F.col("_t") <= 0).count()
-    if n_bad:
-        raise ValueError(
-            f"weibull_fit: {n_bad} non-positive lifetime(s) in "
-            f"{value_col!r} — ln is undefined; a zero lifetime is a "
-            "data bug"
-        )
+    if validation_enabled():
+        n_bad = flt.filter(F.col("_t") <= 0).count()
+        if n_bad:
+            raise ValueError(
+                f"weibull_fit: {n_bad} non-positive lifetime(s) in "
+                f"{value_col!r} — ln is undefined; a zero lifetime is a "
+                "data bug"
+            )
     sizes = flt.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_len).count()
-    if over:
-        raise ValueError(
-            f"weibull_fit: at least one group exceeds max_len="
-            f"{max_len} — sample or shard first (the fit stabilizes "
-            "long before 10^4 points)"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_len).count()
+        if over:
+            raise ValueError(
+                f"weibull_fit: at least one group exceeds max_len="
+                f"{max_len} — sample or shard first (the fit stabilizes "
+                "long before 10^4 points)"
+            )
     packed = flt.groupBy(*by).agg(
         F.sort_array(F.collect_list("_t")).alias("_xs")
     )

@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .textprep import knuth_hash
+from .validate import validation_enabled
 
 
 def sample_priority(key_col: str, weight_col: str):
@@ -133,13 +134,14 @@ def ht_estimator(
     flt = df.filter(
         F.col(value_col).isNotNull() & F.col(prob_col).isNotNull()
     )
-    n_bad = flt.filter(
-        (F.col(prob_col) <= 0) | (F.col(prob_col) > 1)
-    ).count()
-    if n_bad:
-        raise ValueError(
-            f"ht_estimator: {n_bad} inclusion prob(s) outside (0, 1]"
-        )
+    if validation_enabled():
+        n_bad = flt.filter(
+            (F.col(prob_col) <= 0) | (F.col(prob_col) > 1)
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"ht_estimator: {n_bad} inclusion prob(s) outside (0, 1]"
+            )
     yd = F.col(value_col).cast(dec)
     cells = flt.groupBy(
         *by, F.col(prob_col).cast("double").alias("_pi")
@@ -149,13 +151,14 @@ def ht_estimator(
         F.sum(yd * yd).alias("_q"),
     )
     sizes = cells.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_probs).count()
-    if over:
-        raise ValueError(
-            f"ht_estimator: a group exceeds max_probs={max_probs} "
-            "distinct inclusion probabilities — HT needs a bounded "
-            "design grid for order-pinned folds"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_probs).count()
+        if over:
+            raise ValueError(
+                f"ht_estimator: a group exceeds max_probs={max_probs} "
+                "distinct inclusion probabilities — HT needs a bounded "
+                "design grid for order-pinned folds"
+            )
     packed = cells.groupBy(*by).agg(
         F.sum("_c").alias("n"),
         F.sort_array(

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def _notnull_stats(df: DataFrame, aggs) -> DataFrame:
@@ -141,24 +142,26 @@ def quantile_normalize(
     """
     from pyspark.sql import Window
 
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"quantile_normalize: {n_null} NULL value(s) — impute first"
-        )
-    sizes = [
-        r[0]
-        for r in df.groupBy(*by)
-        .count()
-        .select("count")
-        .distinct()
-        .collect()
-    ]
-    if len(sizes) > 1:
-        raise ValueError(
-            "quantile_normalize: groups must be equal-sized, got sizes "
-            f"{sorted(sizes)} — trim or interpolate first"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"quantile_normalize: {n_null} NULL value(s) — impute first"
+            )
+    if validation_enabled():
+        sizes = [
+            r[0]
+            for r in df.groupBy(*by)
+            .count()
+            .select("count")
+            .distinct()
+            .collect()
+        ]
+        if len(sizes) > 1:
+            raise ValueError(
+                "quantile_normalize: groups must be equal-sized, got sizes "
+                f"{sorted(sizes)} — trim or interpolate first"
+            )
     dec = f"decimal(18,{scale})"
     wt = Window.partitionBy(*by).orderBy(
         F.col(value_col), *[F.col(c) for c in order_cols]
@@ -218,34 +221,37 @@ def boxcox_grid(
 
     No reference counterpart; ML feature preparation per SURVEY §2.11.
     """
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"boxcox_grid: {n_null} NULL value(s) — impute first"
-        )
-    n_bad = df.filter(F.col(value_col) <= 0).count()
-    if n_bad:
-        raise ValueError(
-            f"boxcox_grid: {n_bad} non-positive value(s) — Box-Cox "
-            "needs x > 0 (shift or drop first)"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"boxcox_grid: {n_null} NULL value(s) — impute first"
+            )
+    if validation_enabled():
+        n_bad = df.filter(F.col(value_col) <= 0).count()
+        if n_bad:
+            raise ValueError(
+                f"boxcox_grid: {n_bad} non-positive value(s) — Box-Cox "
+                "needs x > 0 (shift or drop first)"
+            )
     dec = f"decimal(18,{scale})"
     cells = (
         df.select(*by, F.col(value_col).cast(dec).alias("_v"))
         .groupBy(*by, "_v")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    over = (
-        cells.groupBy(*by)
-        .count()
-        .filter(F.col("count") > max_distinct)
-        .count()
-    )
-    if over:
-        raise ValueError(
-            f"boxcox_grid: at least one key exceeds max_distinct="
-            f"{max_distinct} cells — bin/round first"
+    if validation_enabled():
+        over = (
+            cells.groupBy(*by)
+            .count()
+            .filter(F.col("count") > max_distinct)
+            .count()
         )
+        if over:
+            raise ValueError(
+                f"boxcox_grid: at least one key exceeds max_distinct="
+                f"{max_distinct} cells — bin/round first"
+            )
     packed = cells.groupBy(*by).agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("_v"), F.col("_c")))

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def seasonal_decompose(
@@ -53,13 +54,14 @@ def seasonal_decompose(
     (they would shear the positional lattice)."""
     if period < 2:
         raise ValueError("seasonal_decompose: period must be >= 2")
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"seasonal_decompose: {n_null} NULL value(s) in {value_col!r}"
-            " — gap-fill first (ops.timeseries.resample_gap_fill); a "
-            "skipped row shears the positional phase lattice"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"seasonal_decompose: {n_null} NULL value(s) in {value_col!r}"
+                " — gap-fill first (ops.timeseries.resample_gap_fill); a "
+                "skipped row shears the positional phase lattice"
+            )
     dec = f"decimal(18,{scale})"
     p = period
     base = df.select(
@@ -195,11 +197,12 @@ def seasonal_strength(
     d = seasonal_decompose(df, by, order_col, value_col, period, scale)
     flt = d.filter(F.col("remainder").isNotNull())
     sizes = flt.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_len).count()
-    if over:
-        raise ValueError(
-            f"seasonal_strength: a series exceeds max_len={max_len}"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_len).count()
+        if over:
+            raise ValueError(
+                f"seasonal_strength: a series exceeds max_len={max_len}"
+            )
     packed = flt.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n_used"),
         F.sort_array(

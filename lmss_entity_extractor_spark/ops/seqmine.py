@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .validate import validation_enabled
+
 
 def _contains_pattern(seq, pat):
     """Greedy-fold subsequence containment: JVM-only expression."""
@@ -79,13 +81,14 @@ def keyed_sequences(
             ).alias("seq")
         )
     ).localCheckpoint()
-    hot = seqs.filter(F.size("seq") > max_seq_len).limit(5).collect()
-    if hot:
-        ks = [r["key"] for r in hot]
-        raise ValueError(
-            f"sequence longer than max_seq_len={max_seq_len} for keys "
-            f"(showing <=5): {ks} — cap the window upstream or raise the limit"
-        )
+    if validation_enabled():
+        hot = seqs.filter(F.size("seq") > max_seq_len).limit(5).collect()
+        if hot:
+            ks = [r["key"] for r in hot]
+            raise ValueError(
+                f"sequence longer than max_seq_len={max_seq_len} for keys "
+                f"(showing <=5): {ks} — cap the window upstream or raise the limit"
+            )
     return seqs
 
 

@@ -33,6 +33,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
+from .validate import validation_enabled
 
 _DEFAULT_MERGE_CAP = 200_000
 
@@ -111,13 +112,14 @@ def skyline(
                 yield out
 
     local = work.mapInPandas(kernel_iter, schema)
-    n_candidates = local.localCheckpoint(eager=True).count()
-    if n_candidates > merge_cap:
-        raise ValueError(
-            f"skyline merge phase would see {n_candidates} local-skyline "
-            f"candidates (> merge_cap={merge_cap}) — anti-correlated "
-            "criteria; raise merge_cap or reduce criteria"
-        )
+    if validation_enabled():
+        n_candidates = local.localCheckpoint(eager=True).count()
+        if n_candidates > merge_cap:
+            raise ValueError(
+                f"skyline merge phase would see {n_candidates} local-skyline "
+                f"candidates (> merge_cap={merge_cap}) — anti-correlated "
+                "criteria; raise merge_cap or reduce criteria"
+            )
     merged = local.groupBy(F.lit("all")).applyInPandas(
         lambda pdf: kernel(pdf), schema
     )

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 _D2 = 1.128
 
@@ -50,11 +51,12 @@ def imr_chart(
 ) -> DataFrame:
     """``(by..., t, x, centre, ucl, lcl, beyond, run8)`` — the
     individuals chart rows; see module docstring."""
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"imr_chart: {n_null} NULL value(s) — impute first"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"imr_chart: {n_null} NULL value(s) — impute first"
+            )
     dec = f"decimal(18,{scale})"
     d38 = f"decimal(38,{scale})"
     xd = F.col(value_col).cast(dec).cast(d38)
@@ -130,19 +132,21 @@ def ewma_chart(
         raise ValueError("ewma_chart: need 0 < lam <= 1")
     from .trend import _packed
 
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"ewma_chart: {n_null} NULL value(s) — impute first"
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"ewma_chart: {n_null} NULL value(s) — impute first"
+            )
+    if validation_enabled():
+        dups = (
+            df.groupBy(*by, order_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
-    dups = (
-        df.groupBy(*by, order_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dups:
-        raise ValueError(f"ewma_chart: {dups} duplicate order key(s)")
+        if dups:
+            raise ValueError(f"ewma_chart: {dups} duplicate order key(s)")
     packed = _packed(df, by, order_col, value_col, max_len)
     xs = F.transform(F.col("_a"), lambda s: s["_x"])
     n = F.size(xs)
@@ -255,11 +259,12 @@ def process_capability(
     """
     if not lsl < usl:
         raise ValueError("process_capability: need lsl < usl")
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"process_capability: {n_null} NULL value(s)"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"process_capability: {n_null} NULL value(s)"
+            )
     dec = f"decimal(18,{scale})"
     # products must multiply at (18,s): a (38,s) upcast makes Spark
     # cap the product scale below 2s and ROUND — no longer exact
@@ -420,12 +425,13 @@ def qn_sn_scale(
         *by, F.col(value_col).cast(dec).alias("_x")
     )
     sizes = flt.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_len).count()
-    if over:
-        raise ValueError(
-            f"qn_sn_scale: a group exceeds max_len={max_len} — the "
-            "statistics are pairwise; sample first"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_len).count()
+        if over:
+            raise ValueError(
+                f"qn_sn_scale: a group exceeds max_len={max_len} — the "
+                "statistics are pairwise; sample first"
+            )
     packed = flt.groupBy(*by).agg(
         F.sort_array(F.collect_list("_x")).alias("_a"),
         F.count(F.lit(1)).alias("n"),

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def welch_ttest(
@@ -716,12 +717,13 @@ def cochran_armitage(
     flt = df.filter(
         F.col(score_col).isNotNull() & F.col(success_col).isNotNull()
     )
-    n_bad = flt.filter(~F.col(success_col).isin([0, 1])).count()
-    if n_bad:
-        raise ValueError(
-            f"cochran_armitage: {n_bad} non-binary value(s) in "
-            f"{success_col!r} — the test is defined on 0/1 outcomes"
-        )
+    if validation_enabled():
+        n_bad = flt.filter(~F.col(success_col).isin([0, 1])).count()
+        if n_bad:
+            raise ValueError(
+                f"cochran_armitage: {n_bad} non-binary value(s) in "
+                f"{success_col!r} — the test is defined on 0/1 outcomes"
+            )
     per = flt.groupBy(*by, score_col).agg(
         F.count(F.lit(1)).alias("_nj"),
         F.sum(F.col(success_col).cast("long")).alias("_aj"),
@@ -893,13 +895,14 @@ def mantel_haenszel(
         & F.col(exposure_col).isNotNull()
         & F.col(outcome_col).isNotNull()
     )
-    n_bad = flt.filter(
-        ~F.col(exposure_col).isin([0, 1]) | ~F.col(outcome_col).isin([0, 1])
-    ).count()
-    if n_bad:
-        raise ValueError(
-            f"mantel_haenszel: {n_bad} non-binary exposure/outcome row(s)"
-        )
+    if validation_enabled():
+        n_bad = flt.filter(
+            ~F.col(exposure_col).isin([0, 1]) | ~F.col(outcome_col).isin([0, 1])
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"mantel_haenszel: {n_bad} non-binary exposure/outcome row(s)"
+            )
     per = flt.groupBy(F.col(strata_col).alias("_s")).agg(
         F.sum(((e == 1) & (y == 1)).cast("long")).alias("_a"),
         F.sum(((e == 1) & (y == 0)).cast("long")).alias("_b"),
@@ -1011,13 +1014,14 @@ def poisson_rate_test(
         & F.col(event_col).isNotNull()
         & F.col(exposure_col).isNotNull()
     )
-    n_neg = flt.filter(
-        (F.col(exposure_col) < 0) | (F.col(event_col) < 0)
-    ).count()
-    if n_neg:
-        raise ValueError(
-            f"poisson_rate_test: {n_neg} negative event/exposure row(s)"
-        )
+    if validation_enabled():
+        n_neg = flt.filter(
+            (F.col(exposure_col) < 0) | (F.col(event_col) < 0)
+        ).count()
+        if n_neg:
+            raise ValueError(
+                f"poisson_rate_test: {n_neg} negative event/exposure row(s)"
+            )
     is_a = F.col(group_col) == sample_a
     agg = flt.groupBy(*by).agg(
         F.sum(F.when(is_a, F.col(event_col).cast("long")).otherwise(0)).alias(
@@ -1174,12 +1178,13 @@ def icc_oneway(
         F.sum(xd * xd).alias("_sxx"),
     )
     sizes = per.groupBy(*by).agg(F.count(F.lit(1)).alias("_ju"))
-    over = sizes.filter(F.col("_ju") > max_units).count()
-    if over:
-        raise ValueError(
-            f"icc_oneway: a group exceeds max_units={max_units} — the "
-            "per-unit fold must stay bounded; bucket units first"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("_ju") > max_units).count()
+        if over:
+            raise ValueError(
+                f"icc_oneway: a group exceeds max_units={max_units} — the "
+                "per-unit fold must stay bounded; bucket units first"
+            )
     arr = per.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n_units"),
         F.sum("_nj").alias("n"),
@@ -1632,18 +1637,19 @@ def twoway_anova_balanced(
         F.sum(xd).alias("_s"),
         F.sum(xd * xd).alias("_q"),
     )
-    unbalanced = (
-        cells.groupBy(*by)
-        .agg((F.max("_m") != F.min("_m")).alias("_u"))
-        .filter(F.col("_u"))
-        .count()
-    )
-    if unbalanced:
-        raise ValueError(
-            "twoway_anova_balanced: unequal cell sizes — the "
-            "closed-form partition needs a balanced design; use the "
-            "regression route for unbalanced data"
+    if validation_enabled():
+        unbalanced = (
+            cells.groupBy(*by)
+            .agg((F.max("_m") != F.min("_m")).alias("_u"))
+            .filter(F.col("_u"))
+            .count()
         )
+        if unbalanced:
+            raise ValueError(
+                "twoway_anova_balanced: unequal cell sizes — the "
+                "closed-form partition needs a balanced design; use the "
+                "regression route for unbalanced data"
+            )
     packed = cells.groupBy(*by).agg(
         F.max("_m").alias("m"),
         F.countDistinct("_a").alias("r"),
@@ -1804,19 +1810,20 @@ def srm_check(
             f"srm_check: weights must sum to 1, got {tot!r}"
         )
     arms = sorted(expected)
-    unknown = (
-        df.select(F.col(arm_col).alias("_a"))
-        .filter(~F.col("_a").isin(arms) | F.col("_a").isNull())
-        .distinct()
-        .limit(10)
-        .collect()
-    )
-    if unknown:
-        raise ValueError(
-            "srm_check: observed arm(s) not in the planned allocation: "
-            f"{sorted(str(r['_a']) for r in unknown)} — fix assignment "
-            "or the expected map"
+    if validation_enabled():
+        unknown = (
+            df.select(F.col(arm_col).alias("_a"))
+            .filter(~F.col("_a").isin(arms) | F.col("_a").isNull())
+            .distinct()
+            .limit(10)
+            .collect()
         )
+        if unknown:
+            raise ValueError(
+                "srm_check: observed arm(s) not in the planned allocation: "
+                f"{sorted(str(r['_a']) for r in unknown)} — fix assignment "
+                "or the expected map"
+            )
     agg = df.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),
         *[
@@ -2018,17 +2025,19 @@ def fisher_exact(
 
     No reference counterpart; experiment analytics per SURVEY §2.11.
     """
-    n_null = df.filter(
-        F.col(x_col).isNull() | F.col(y_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(f"fisher_exact: {n_null} NULL value(s) in x/y")
-    n_bad = df.filter(
-        ~F.col(x_col).cast("int").isin(0, 1)
-        | ~F.col(y_col).cast("int").isin(0, 1)
-    ).count()
-    if n_bad:
-        raise ValueError(f"fisher_exact: {n_bad} non-0/1 x/y value(s)")
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(x_col).isNull() | F.col(y_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(f"fisher_exact: {n_null} NULL value(s) in x/y")
+    if validation_enabled():
+        n_bad = df.filter(
+            ~F.col(x_col).cast("int").isin(0, 1)
+            | ~F.col(y_col).cast("int").isin(0, 1)
+        ).count()
+        if n_bad:
+            raise ValueError(f"fisher_exact: {n_bad} non-0/1 x/y value(s)")
 
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast("long")
@@ -2054,19 +2063,20 @@ def fisher_exact(
         r2.alias("_r2"),
         c1.alias("_c1"),
     )
-    wide = (
-        staged.filter(
-            F.col("_kmax") - F.col("_kmin") + 1 > max_support
+    if validation_enabled():
+        wide = (
+            staged.filter(
+                F.col("_kmax") - F.col("_kmin") + 1 > max_support
+            )
+            .limit(5)
+            .collect()
         )
-        .limit(5)
-        .collect()
-    )
-    if wide:
-        raise ValueError(
-            "fisher_exact: hypergeometric support width exceeds "
-            f"max_support={max_support} — at this cell size the exact "
-            "walk buys nothing; use chi_squared (L140)"
-        )
+        if wide:
+            raise ValueError(
+                "fisher_exact: hypergeometric support width exceeds "
+                f"max_support={max_support} — at this cell size the exact "
+                "walk buys nothing; use chi_squared (L140)"
+            )
 
     ks = F.when(
         F.col("_kmax") > F.col("_kmin"),

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def _grid(df, by, duration_col, event_col, max_points):
@@ -47,14 +48,15 @@ def _grid(df, by, duration_col, event_col, max_points):
         F.sum(F.lit(1) - ev).alias("c"),
     )
     n_pts = pts.groupBy(*by).count()
-    too_big = n_pts.filter(F.col("count") > max_points).count()
-    if too_big:
-        raise ValueError(
-            f"survival grid exceeds max_points={max_points} distinct "
-            "durations in at least one group — bucket durations to a "
-            "coarser grid (days/weeks) first; an unbounded grid breaks "
-            "the ordered-fold determinism contract"
-        )
+    if validation_enabled():
+        too_big = n_pts.filter(F.col("count") > max_points).count()
+        if too_big:
+            raise ValueError(
+                f"survival grid exceeds max_points={max_points} distinct "
+                "durations in at least one group — bucket durations to a "
+                "coarser grid (days/weeks) first; an unbounded grid breaks "
+                "the ordered-fold determinism contract"
+            )
     w = (
         Window.partitionBy(*by)
         .orderBy("t")
@@ -131,12 +133,13 @@ def logrank_test(
         F.sum((F.lit(1) - ev) * F.col("_ga")).alias("c1"),
         F.sum((F.lit(1) - ev) * (F.lit(1) - F.col("_ga"))).alias("c2"),
     )
-    n_pts = pts.count()
-    if n_pts > max_points:
-        raise ValueError(
-            f"logrank grid has {n_pts} distinct durations > "
-            f"max_points={max_points} — bucket durations first"
-        )
+    if validation_enabled():
+        n_pts = pts.count()
+        if n_pts > max_points:
+            raise ValueError(
+                f"logrank grid has {n_pts} distinct durations > "
+                f"max_points={max_points} — bucket durations first"
+            )
     w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     tot = Window.partitionBy()
     out1 = F.col("d1") + F.col("c1")
@@ -270,12 +273,13 @@ def cumulative_incidence(
     flt = df.filter(
         F.col(duration_col).isNotNull() & F.col(cause_col).isNotNull()
     )
-    n_neg = flt.filter(F.col(cause_col) < 0).count()
-    if n_neg:
-        raise ValueError(
-            f"cumulative_incidence: {n_neg} negative cause code(s) — "
-            "0 = censored, >= 1 = failure cause"
-        )
+    if validation_enabled():
+        n_neg = flt.filter(F.col(cause_col) < 0).count()
+        if n_neg:
+            raise ValueError(
+                f"cumulative_incidence: {n_neg} negative cause code(s) — "
+                "0 = censored, >= 1 = failure cause"
+            )
     ev = (F.col(cause_col) > 0).cast("int")
     pts = flt.groupBy(
         *by, F.col(duration_col).cast("long").alias("t")
@@ -284,12 +288,13 @@ def cumulative_incidence(
         F.sum(F.lit(1) - ev).alias("c"),
     )
     n_pts = pts.groupBy(*by).count()
-    too_big = n_pts.filter(F.col("count") > max_points).count()
-    if too_big:
-        raise ValueError(
-            f"cumulative_incidence: grid exceeds max_points="
-            f"{max_points} distinct durations — bucket durations first"
-        )
+    if validation_enabled():
+        too_big = n_pts.filter(F.col("count") > max_points).count()
+        if too_big:
+            raise ValueError(
+                f"cumulative_incidence: grid exceeds max_points="
+                f"{max_points} distinct durations — bucket durations first"
+            )
     w = (
         Window.partitionBy(*by)
         .orderBy("t")
@@ -387,9 +392,10 @@ def rmst(
     """
     if not tau > 0:
         raise ValueError("rmst: tau must be > 0")
-    n_neg = df.filter(F.col(duration_col) < 0).count()
-    if n_neg:
-        raise ValueError(f"rmst: {n_neg} negative duration(s)")
+    if validation_enabled():
+        n_neg = df.filter(F.col(duration_col) < 0).count()
+        if n_neg:
+            raise ValueError(f"rmst: {n_neg} negative duration(s)")
     grid = _grid(df, by, duration_col, event_col, max_points)
     packed = grid.groupBy(*by).agg(
         F.max("n").alias("n"),
@@ -467,12 +473,13 @@ def harrell_c(
         & F.col(risk_col).isNotNull()
     )
     sizes = flt.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_len).count()
-    if over:
-        raise ValueError(
-            f"harrell_c: a group exceeds max_len={max_len} — C is "
-            "pairwise; score a bounded sample per group"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_len).count()
+        if over:
+            raise ValueError(
+                f"harrell_c: a group exceeds max_len={max_len} — C is "
+                "pairwise; score a bounded sample per group"
+            )
     packed = flt.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),
         F.collect_list(
@@ -641,13 +648,14 @@ def life_table(
         F.sum(F.lit(1) - ev).alias("c"),
     )
     n_pts = pts.groupBy(*by).count()
-    too_big = n_pts.filter(F.col("count") > max_points).count()
-    if too_big:
-        raise ValueError(
-            f"life_table grid exceeds max_points={max_points} intervals "
-            "in at least one group — widen the interval width; an "
-            "unbounded grid breaks the ordered-fold determinism contract"
-        )
+    if validation_enabled():
+        too_big = n_pts.filter(F.col("count") > max_points).count()
+        if too_big:
+            raise ValueError(
+                f"life_table grid exceeds max_points={max_points} intervals "
+                "in at least one group — widen the interval width; an "
+                "unbounded grid breaks the ordered-fold determinism contract"
+            )
     w = (
         Window.partitionBy(*by)
         .orderBy("interval")
@@ -759,12 +767,13 @@ def weighted_logrank(
         F.sum((F.lit(1) - ev) * F.col("_ga")).alias("c1"),
         F.sum((F.lit(1) - ev) * (F.lit(1) - F.col("_ga"))).alias("c2"),
     )
-    n_pts = pts.count()
-    if n_pts > max_points:
-        raise ValueError(
-            f"weighted_logrank grid has {n_pts} distinct durations > "
-            f"max_points={max_points} — bucket durations first"
-        )
+    if validation_enabled():
+        n_pts = pts.count()
+        if n_pts > max_points:
+            raise ValueError(
+                f"weighted_logrank grid has {n_pts} distinct durations > "
+                f"max_points={max_points} — bucket durations first"
+            )
     w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     tot = Window.partitionBy()
     out1 = F.col("d1") + F.col("c1")

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 _DEC = "decimal(38,0)"
 
@@ -81,26 +82,28 @@ def _clipped(cg, rg):
 def _validated(
     df: DataFrame, cand_col: str, ref_col: str, max_tokens: int, op: str
 ) -> DataFrame:
-    n_null = df.filter(
-        F.col(cand_col).isNull() | F.col(ref_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"{op}: {n_null} pair(s) with a NULL candidate or "
-            "reference — a missing eval side is a bug, not a zero"
-        )
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(cand_col).isNull() | F.col(ref_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(
+                f"{op}: {n_null} pair(s) with a NULL candidate or "
+                "reference — a missing eval side is a bug, not a zero"
+            )
     base = df.withColumn("_ct", _tokens(F.col(cand_col))).withColumn(
         "_rt", _tokens(F.col(ref_col))
     )
-    n_long = base.filter(
-        (F.size("_ct") > max_tokens) | (F.size("_rt") > max_tokens)
-    ).count()
-    if n_long:
-        raise ValueError(
-            f"{op}: {n_long} pair(s) exceed max_tokens={max_tokens} — "
-            "per-row gram matching is O(L^2); raise the cap "
-            "deliberately or truncate upstream"
-        )
+    if validation_enabled():
+        n_long = base.filter(
+            (F.size("_ct") > max_tokens) | (F.size("_rt") > max_tokens)
+        ).count()
+        if n_long:
+            raise ValueError(
+                f"{op}: {n_long} pair(s) exceed max_tokens={max_tokens} — "
+                "per-row gram matching is O(L^2); raise the cap "
+                "deliberately or truncate upstream"
+            )
     return base
 
 
@@ -308,23 +311,25 @@ def chrf(
         raise ValueError("chrf: max_n must be in 1..8")
     if beta <= 0:
         raise ValueError("chrf: beta must be > 0")
-    n_null = df.filter(
-        F.col(cand_col).isNull() | F.col(ref_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(f"chrf: {n_null} NULL candidate/reference")
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(cand_col).isNull() | F.col(ref_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(f"chrf: {n_null} NULL candidate/reference")
     max_chars = 8 * max_tokens
     base = df.withColumn("_cc", _chars(F.col(cand_col))).withColumn(
         "_rc", _chars(F.col(ref_col))
     )
-    n_long = base.filter(
-        (F.size("_cc") > max_chars) | (F.size("_rc") > max_chars)
-    ).count()
-    if n_long:
-        raise ValueError(
-            f"chrf: {n_long} pair(s) exceed {max_chars} characters — "
-            "truncate upstream"
-        )
+    if validation_enabled():
+        n_long = base.filter(
+            (F.size("_cc") > max_chars) | (F.size("_rc") > max_chars)
+        ).count()
+        if n_long:
+            raise ValueError(
+                f"chrf: {n_long} pair(s) exceed {max_chars} characters — "
+                "truncate upstream"
+            )
     proj = []
     for n in range(1, max_n + 1):
         cg, rg = _char_grams(F.col("_cc"), n), _char_grams(
@@ -406,24 +411,26 @@ def wer_cer(
     native levenshtein over a token→codepoint encoding).
 
     No reference counterpart; eval analytics per SURVEY §2.11."""
-    n_null = df.filter(
-        F.col(cand_col).isNull()
-        | F.col(ref_col).isNull()
-        | F.col(id_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(f"wer_cer: {n_null} NULL row(s)")
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(cand_col).isNull()
+            | F.col(ref_col).isNull()
+            | F.col(id_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(f"wer_cer: {n_null} NULL row(s)")
     base = df.withColumn(
         "_ct", _tokens(F.lower(F.col(cand_col)))
     ).withColumn("_rt", _tokens(F.lower(F.col(ref_col))))
-    n_long = base.filter(
-        (F.size("_ct") > max_tokens) | (F.size("_rt") > max_tokens)
-    ).count()
-    if n_long:
-        raise ValueError(
-            f"wer_cer: {n_long} pair(s) exceed max_tokens="
-            f"{max_tokens} — the DP is quadratic; truncate upstream"
-        )
+    if validation_enabled():
+        n_long = base.filter(
+            (F.size("_ct") > max_tokens) | (F.size("_rt") > max_tokens)
+        ).count()
+        if n_long:
+            raise ValueError(
+                f"wer_cer: {n_long} pair(s) exceed max_tokens="
+                f"{max_tokens} — the DP is quadratic; truncate upstream"
+            )
     c, r = F.col("_ct"), F.col("_rt")
     nr = F.size(r)
     init = F.sequence(F.lit(0), nr)

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from .validate import validation_enabled
 
 #  a tag must OPEN with a letter or '/' — a bare '<' followed by space
 #  (prose like "a < b") is not a tag and must survive
@@ -114,12 +115,13 @@ def common_affix_audit(
     §2.11."""
     if max_probe < 1:
         raise ValueError("common_affix_audit: max_probe must be >= 1")
-    n_null = df.filter(F.col(text_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"common_affix_audit: {n_null} NULL text(s) — a missing "
-            "document is a bug, not an empty template"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(text_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"common_affix_audit: {n_null} NULL text(s) — a missing "
+                "document is a bug, not an empty template"
+            )
     t = F.col(text_col)
     agg = df.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 # minimal per-language stopword probes for the n-gram language heuristic
 LANG_PROBES = {
@@ -452,13 +453,14 @@ def burrows_delta(
     §2.11."""
     if top_k < 1:
         raise ValueError("burrows_delta: top_k must be >= 1")
-    n_null = df.filter(
-        F.col(id_col).isNull() | F.col(text_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"burrows_delta: {n_null} NULL id/text row(s)"
-        )
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(id_col).isNull() | F.col(text_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(
+                f"burrows_delta: {n_null} NULL id/text row(s)"
+            )
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"),
         lambda x: x != F.lit(""),
@@ -576,11 +578,12 @@ def lexicon_scan(
         if case_insensitive
         else set(lexicon)
     )
-    n_null = df.filter(
-        F.col(id_col).isNull() | F.col(text_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(f"lexicon_scan: {n_null} NULL row(s)")
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(id_col).isNull() | F.col(text_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(f"lexicon_scan: {n_null} NULL row(s)")
     t = (
         F.lower(F.col(text_col))
         if case_insensitive
@@ -647,18 +650,20 @@ def char_entropy(
     NULL entropy.  NULL ids/texts refused.
 
     No reference counterpart; curation analytics per SURVEY §2.11."""
-    n_null = df.filter(
-        F.col(id_col).isNull() | F.col(text_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(f"char_entropy: {n_null} NULL row(s)")
-    over = df.filter(F.length(F.col(text_col)) > max_chars).count()
-    if over:
-        raise ValueError(
-            f"char_entropy: {over} doc(s) exceed max_chars="
-            f"{max_chars} — the distinct-char fold is quadratic-ish; "
-            "truncate upstream"
-        )
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(id_col).isNull() | F.col(text_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(f"char_entropy: {n_null} NULL row(s)")
+    if validation_enabled():
+        over = df.filter(F.length(F.col(text_col)) > max_chars).count()
+        if over:
+            raise ValueError(
+                f"char_entropy: {over} doc(s) exceed max_chars="
+                f"{max_chars} — the distinct-char fold is quadratic-ish; "
+                "truncate upstream"
+            )
     chars = F.filter(
         F.split(F.col(text_col), ""), lambda x: x != F.lit("")
     )

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 
 def ewma(
@@ -212,14 +213,15 @@ def time_weighted_avg(
     combinable agg; ties in ts are refused (holding order undefined).
     """
     flt = df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
-    n_dup = (
-        flt.groupBy(*by, ts_col).count().filter(F.col("count") > 1).count()
-    )
-    if n_dup:
-        raise ValueError(
-            f"time_weighted_avg: {n_dup} duplicate timestamp(s) within a "
-            "key — the holding order is undefined; dedup or bucket first"
+    if validation_enabled():
+        n_dup = (
+            flt.groupBy(*by, ts_col).count().filter(F.col("count") > 1).count()
         )
+        if n_dup:
+            raise ValueError(
+                f"time_weighted_avg: {n_dup} duplicate timestamp(s) within a "
+                "key — the holding order is undefined; dedup or bucket first"
+            )
     dec = f"decimal(18,{scale})"
     staged = flt.select(
         *by,
@@ -274,17 +276,18 @@ def ohlc_bars(
         t.alias("_t"),
         F.col(value_col).alias("_v"),
     )
-    n_dup = (
-        base.groupBy(*by, "bucket_start", "_t")
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if n_dup:
-        raise ValueError(
-            f"ohlc_bars: {n_dup} duplicate timestamp(s) within a bar — "
-            "open/close would be nondeterministic; dedup first"
+    if validation_enabled():
+        n_dup = (
+            base.groupBy(*by, "bucket_start", "_t")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
+        if n_dup:
+            raise ValueError(
+                f"ohlc_bars: {n_dup} duplicate timestamp(s) within a bar — "
+                "open/close would be nondeterministic; dedup first"
+            )
     return base.groupBy(*by, "bucket_start").agg(
         F.min_by("_v", "_t").alias("open"),
         F.max("_v").alias("high"),
@@ -332,14 +335,15 @@ def forecast_accuracy(
         & F.col(actual_col).isNotNull()
         & F.col(pred_col).isNotNull()
     )
-    n_dup = (
-        flt.groupBy(*by, order_col).count().filter(F.col("count") > 1).count()
-    )
-    if n_dup:
-        raise ValueError(
-            f"forecast_accuracy: {n_dup} duplicate order key(s) within a "
-            "series — the seasonal-naive lag is undefined; dedup first"
+    if validation_enabled():
+        n_dup = (
+            flt.groupBy(*by, order_col).count().filter(F.col("count") > 1).count()
         )
+        if n_dup:
+            raise ValueError(
+                f"forecast_accuracy: {n_dup} duplicate order key(s) within a "
+                "series — the seasonal-naive lag is undefined; dedup first"
+            )
     y = F.col(actual_col).cast(dec)
     p = F.col(pred_col).cast(dec)
     w = Window.partitionBy(*by).orderBy(order_col)
@@ -410,14 +414,15 @@ def rolling_slope(
     flt = df.filter(
         F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
     )
-    n_dup = (
-        flt.groupBy(*by, order_col).count().filter(F.col("count") > 1).count()
-    )
-    if n_dup:
-        raise ValueError(
-            f"rolling_slope: {n_dup} duplicate order key(s) within a "
-            "series — frame membership is undefined; dedup first"
+    if validation_enabled():
+        n_dup = (
+            flt.groupBy(*by, order_col).count().filter(F.col("count") > 1).count()
         )
+        if n_dup:
+            raise ValueError(
+                f"rolling_slope: {n_dup} duplicate order key(s) within a "
+                "series — frame membership is undefined; dedup first"
+            )
     xd = F.col(order_col).cast(dec)
     yd = F.col(value_col).cast(dec)
     w = (
@@ -472,14 +477,15 @@ def durbin_watson(
     flt = df.filter(
         F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
     )
-    n_dup = (
-        flt.groupBy(*by, order_col).count().filter(F.col("count") > 1).count()
-    )
-    if n_dup:
-        raise ValueError(
-            f"durbin_watson: {n_dup} duplicate order key(s) within a "
-            "series — the lag is undefined; dedup first"
+    if validation_enabled():
+        n_dup = (
+            flt.groupBy(*by, order_col).count().filter(F.col("count") > 1).count()
         )
+        if n_dup:
+            raise ValueError(
+                f"durbin_watson: {n_dup} duplicate order key(s) within a "
+                "series — the lag is undefined; dedup first"
+            )
     vd = F.col(value_col).cast(dec)
     w = Window.partitionBy(*by).orderBy(order_col)
     staged = flt.select(
@@ -597,12 +603,13 @@ def sax_symbolize(
     null_cond = F.col("_x").isNull()
     for c in order_cols:
         null_cond = null_cond | F.col(c).isNull()
-    n_null = base.filter(null_cond).count()
-    if n_null:
-        raise ValueError(
-            f"sax_symbolize: {n_null} NULL order/value row(s) — drop or "
-            "impute first; skipping rows would shift every segment"
-        )
+    if validation_enabled():
+        n_null = base.filter(null_cond).count()
+        if n_null:
+            raise ValueError(
+                f"sax_symbolize: {n_null} NULL order/value row(s) — drop or "
+                "impute first; skipping rows would shift every segment"
+            )
     wk = Window.partitionBy(*by).orderBy(*[F.col(c) for c in order_cols])
     wka = Window.partitionBy(*by).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -669,12 +676,13 @@ def interevent_stats(
     No reference counterpart; stream-diagnostics analytics per SURVEY
     §2.11.
     """
-    n_null = df.filter(F.col(ts_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"interevent_stats: {n_null} NULL timestamp(s) — drop "
-            "explicitly first; a skipped row silently merges two gaps"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(ts_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"interevent_stats: {n_null} NULL timestamp(s) — drop "
+                "explicitly first; a skipped row silently merges two gaps"
+            )
     # NTZ -> TZ cast is value-preserving under the pinned UTC session
     # tz (the L182 discipline); unix_micros needs the TZ flavor
     us = F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us")
@@ -754,17 +762,18 @@ def holt_linear(
     flt = df.filter(
         F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
     )
-    dups = (
-        flt.groupBy(*by, order_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dups:
-        raise ValueError(
-            f"holt_linear: {dups} duplicate order key(s) — the "
-            "recurrence needs a total order; pre-aggregate first"
+    if validation_enabled():
+        dups = (
+            flt.groupBy(*by, order_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
+        if dups:
+            raise ValueError(
+                f"holt_linear: {dups} duplicate order key(s) — the "
+                "recurrence needs a total order; pre-aggregate first"
+            )
     packed = _packed(flt, by, order_col, value_col, max_len)
     xs = F.transform(F.col("_a"), lambda s: s["_x"])
     n = F.size(xs)
@@ -929,21 +938,23 @@ def periodogram(
         raise ValueError("periodogram: periods must all be >= 2")
     from .trend import _packed
 
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"periodogram: {n_null} NULL value(s) — impute first"
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"periodogram: {n_null} NULL value(s) — impute first"
+            )
+    if validation_enabled():
+        dups = (
+            df.groupBy(*by, order_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
-    dups = (
-        df.groupBy(*by, order_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dups:
-        raise ValueError(
-            f"periodogram: {dups} duplicate order key(s)"
-        )
+        if dups:
+            raise ValueError(
+                f"periodogram: {dups} duplicate order key(s)"
+            )
     packed = _packed(df, by, order_col, value_col, max_len)
     xs = F.transform(F.col("_a"), lambda s: s["_x"])
     staged = packed.select(*by, xs.alias("_xs"))
@@ -1021,17 +1032,19 @@ def croston(
     flt = df.filter(
         F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
     )
-    n_neg = flt.filter(F.col(value_col) < 0).count()
-    if n_neg:
-        raise ValueError(f"croston: {n_neg} negative demand(s)")
-    dups = (
-        flt.groupBy(*by, order_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dups:
-        raise ValueError(f"croston: {dups} duplicate order key(s)")
+    if validation_enabled():
+        n_neg = flt.filter(F.col(value_col) < 0).count()
+        if n_neg:
+            raise ValueError(f"croston: {n_neg} negative demand(s)")
+    if validation_enabled():
+        dups = (
+            flt.groupBy(*by, order_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        if dups:
+            raise ValueError(f"croston: {dups} duplicate order key(s)")
     packed = _packed(flt, by, order_col, value_col, max_len)
     indexed = F.transform(
         F.col("_a"),
@@ -1111,21 +1124,23 @@ def theta_forecast(
         raise ValueError("theta_forecast: need 0 < alpha <= 1")
     from .trend import _packed
 
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"theta_forecast: {n_null} NULL value(s) — impute first"
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"theta_forecast: {n_null} NULL value(s) — impute first"
+            )
+    if validation_enabled():
+        dups = (
+            df.groupBy(*by, order_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
-    dups = (
-        df.groupBy(*by, order_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dups:
-        raise ValueError(
-            f"theta_forecast: {dups} duplicate order key(s)"
-        )
+        if dups:
+            raise ValueError(
+                f"theta_forecast: {dups} duplicate order key(s)"
+            )
     packed = _packed(df, by, order_col, value_col, max_len)
     xs = F.transform(F.col("_a"), lambda s: s["_x"])
     staged = packed.select(*by, xs.alias("_xs"))
@@ -1215,21 +1230,23 @@ def spectral_entropy(
     """
     from .trend import _packed
 
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"spectral_entropy: {n_null} NULL value(s) — impute first"
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"spectral_entropy: {n_null} NULL value(s) — impute first"
+            )
+    if validation_enabled():
+        dups = (
+            df.groupBy(*by, order_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
-    dups = (
-        df.groupBy(*by, order_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dups:
-        raise ValueError(
-            f"spectral_entropy: {dups} duplicate order key(s)"
-        )
+        if dups:
+            raise ValueError(
+                f"spectral_entropy: {dups} duplicate order key(s)"
+            )
     packed = _packed(df, by, order_col, value_col, max_len)
     xs = F.transform(F.col("_a"), lambda s: s["_x"])
     staged = packed.select(*by, xs.alias("_xs"))
@@ -1317,11 +1334,12 @@ def dickey_fuller(
 
     No reference counterpart; forecasting analytics per SURVEY §2.11.
     """
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"dickey_fuller: {n_null} NULL value(s) — impute first"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"dickey_fuller: {n_null} NULL value(s) — impute first"
+            )
     dec = f"decimal(18,{scale})"
     wt = Window.partitionBy(*by).orderBy(
         *[F.col(c) for c in order_cols]
@@ -1412,13 +1430,14 @@ def granger_1lag(
 
     No reference counterpart; forecasting analytics per SURVEY §2.11.
     """
-    n_null = df.filter(
-        F.col(y_col).isNull() | F.col(x_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"granger_1lag: {n_null} NULL value(s) — impute first"
-        )
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(y_col).isNull() | F.col(x_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(
+                f"granger_1lag: {n_null} NULL value(s) — impute first"
+            )
     dec = f"decimal(18,{scale})"
     wt = Window.partitionBy(*by).orderBy(
         *[F.col(c) for c in order_cols]
@@ -1531,11 +1550,12 @@ def arch_lm(
 
     No reference counterpart; forecasting analytics per SURVEY §2.11.
     """
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"arch_lm: {n_null} NULL value(s) — impute first"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"arch_lm: {n_null} NULL value(s) — impute first"
+            )
     dec = f"decimal(18,{scale})"
     d0 = "decimal(38,0)"
     xq = (F.col(value_col).cast(dec) * F.lit(10**scale)).cast(d0)
@@ -1610,11 +1630,12 @@ def max_drawdown(
 
     No reference counterpart; monitoring analytics per SURVEY §2.11.
     """
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"max_drawdown: {n_null} NULL value(s) — impute first"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"max_drawdown: {n_null} NULL value(s) — impute first"
+            )
     dec = f"decimal(18,{scale})"
     xd = F.col(value_col).cast(dec)
     wt = Window.partitionBy(*by).orderBy(
@@ -1686,22 +1707,24 @@ def mtbf_mttr(
 
     No reference counterpart; reliability analytics per SURVEY §2.11.
     """
-    n_null = df.filter(
-        F.col(ts_col).isNull() | F.col(state_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(f"mtbf_mttr: {n_null} NULL row(s)")
-    dups = (
-        df.groupBy(*by, ts_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dups:
-        raise ValueError(
-            f"mtbf_mttr: {dups} duplicate timestamp(s) — the state "
-            "sequence is ambiguous under ties; dedup first"
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(ts_col).isNull() | F.col(state_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(f"mtbf_mttr: {n_null} NULL row(s)")
+    if validation_enabled():
+        dups = (
+            df.groupBy(*by, ts_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
+        if dups:
+            raise ValueError(
+                f"mtbf_mttr: {dups} duplicate timestamp(s) — the state "
+                "sequence is ambiguous under ties; dedup first"
+            )
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     up = (F.col(state_col) == F.lit(up_value)).cast("int")
     wt = Window.partitionBy(*by).orderBy("_t")
@@ -1828,21 +1851,23 @@ def holt_winters_additive(
             )
     from .trend import _packed
 
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"holt_winters_additive: {n_null} NULL value(s)"
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"holt_winters_additive: {n_null} NULL value(s)"
+            )
+    if validation_enabled():
+        dups = (
+            df.groupBy(*by, order_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
-    dups = (
-        df.groupBy(*by, order_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dups:
-        raise ValueError(
-            f"holt_winters_additive: {dups} duplicate order key(s)"
-        )
+        if dups:
+            raise ValueError(
+                f"holt_winters_additive: {dups} duplicate order key(s)"
+            )
     packed = _packed(df, by, order_col, value_col, max_len)
     xs = F.transform(F.col("_a"), lambda s: s["_x"])
     staged = packed.select(*by, xs.alias("_xs"))
@@ -1982,11 +2007,12 @@ def kpss_level(
     """
     if not 0 <= int(lags) <= 20:
         raise ValueError("kpss_level: lags must be in 0..20")
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"kpss_level: {n_null} NULL value(s) — impute first"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"kpss_level: {n_null} NULL value(s) — impute first"
+            )
     lags = int(lags)
     dec = f"decimal(18,{scale})"
     wt = Window.partitionBy(*by).orderBy(
@@ -2076,11 +2102,12 @@ def variance_ratio(
     """
     if int(q) < 2:
         raise ValueError("variance_ratio: q must be >= 2")
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"variance_ratio: {n_null} NULL value(s) — impute first"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"variance_ratio: {n_null} NULL value(s) — impute first"
+            )
     q = int(q)
     dec = f"decimal(18,{scale})"
     wt = Window.partitionBy(*by).orderBy(
@@ -2160,11 +2187,12 @@ def risk_panel(
 
     No reference counterpart; monitoring analytics per SURVEY §2.11.
     """
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"risk_panel: {n_null} NULL value(s) — impute first"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"risk_panel: {n_null} NULL value(s) — impute first"
+            )
     dec = f"decimal(18,{scale})"
     xd = F.col(value_col).cast(dec)
     mard = F.lit(mar).cast(dec)
@@ -2241,11 +2269,12 @@ def omega_ratio(
 
     No reference counterpart; monitoring analytics per SURVEY §2.11.
     """
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"omega_ratio: {n_null} NULL value(s) — impute first"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"omega_ratio: {n_null} NULL value(s) — impute first"
+            )
     dec = f"decimal(18,{scale})"
     xd = F.col(value_col).cast(dec)
     thd = F.lit(threshold).cast(dec)
@@ -2309,19 +2338,21 @@ def kalman_level(
         raise ValueError("kalman_level: p0 must be >= 0")
     from .trend import _packed
 
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(f"kalman_level: {n_null} NULL value(s)")
-    dups = (
-        df.groupBy(*by, order_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dups:
-        raise ValueError(
-            f"kalman_level: {dups} duplicate order key(s)"
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(f"kalman_level: {n_null} NULL value(s)")
+    if validation_enabled():
+        dups = (
+            df.groupBy(*by, order_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
         )
+        if dups:
+            raise ValueError(
+                f"kalman_level: {dups} duplicate order key(s)"
+            )
     packed = _packed(df, by, order_col, value_col, max_len)
     xs = F.transform(F.col("_a"), lambda s: s["_x"])
     staged = packed.select(*by, xs.alias("_xs"))
@@ -2389,13 +2420,14 @@ def engle_granger(
 
     No reference counterpart; forecasting analytics per SURVEY §2.11.
     """
-    n_null = df.filter(
-        F.col(y_col).isNull() | F.col(x_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"engle_granger: {n_null} NULL value(s) — impute first"
-        )
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(y_col).isNull() | F.col(x_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(
+                f"engle_granger: {n_null} NULL value(s) — impute first"
+            )
     dec = f"decimal(18,{scale})"
     wt = Window.partitionBy(*by).orderBy(
         *[F.col(c) for c in order_cols]
@@ -2511,11 +2543,12 @@ def ar1_fit(
 
     No reference counterpart; forecasting analytics per SURVEY §2.11.
     """
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"ar1_fit: {n_null} NULL value(s) — impute first"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"ar1_fit: {n_null} NULL value(s) — impute first"
+            )
     dec = f"decimal(18,{scale})"
     wt = Window.partitionBy(*by).orderBy(
         *[F.col(c) for c in order_cols]
@@ -2677,21 +2710,23 @@ def ulcer_index(
     per key; keys parallelize across the cluster.
 
     No reference counterpart; finance analytics per SURVEY §2.11."""
-    n_bad = df.filter(
-        F.col(value_col).isNull() | (F.col(value_col) <= 0)
-    ).count()
-    if n_bad:
-        raise ValueError(
-            f"ulcer_index: {n_bad} NULL or non-positive value(s) — "
-            "percentage drawdowns need a positive curve"
-        )
+    if validation_enabled():
+        n_bad = df.filter(
+            F.col(value_col).isNull() | (F.col(value_col) <= 0)
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"ulcer_index: {n_bad} NULL or non-positive value(s) — "
+                "percentage drawdowns need a positive curve"
+            )
     sizes = df.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_len).count()
-    if over:
-        raise ValueError(
-            f"ulcer_index: a series exceeds max_len={max_len} — the "
-            "float sums fold in pinned order; bucket or split first"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_len).count()
+        if over:
+            raise ValueError(
+                f"ulcer_index: a series exceeds max_len={max_len} — the "
+                "float sums fold in pinned order; bucket or split first"
+            )
     dec = f"decimal(18,{scale})"
     xd = F.col(value_col).cast(dec)
     wt = Window.partitionBy(*by).orderBy(*[F.col(c) for c in order_cols])
@@ -2764,21 +2799,23 @@ def count_dispersion(
     the L151 ACF / L132 Markov "stream regularity" family)."""
     if bucket_seconds <= 0:
         raise ValueError("count_dispersion: bucket_seconds must be > 0")
-    n_null = df.filter(F.col(ts_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"count_dispersion: {n_null} NULL timestamp(s) in "
-            f"{ts_col!r} — drop or repair first"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(ts_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"count_dispersion: {n_null} NULL timestamp(s) in "
+                f"{ts_col!r} — drop or repair first"
+            )
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     base = df.select(*by, us.alias("_us"))
-    n_neg = base.filter(F.col("_us") < 0).count()
-    if n_neg:
-        raise ValueError(
-            f"count_dispersion: {n_neg} pre-epoch timestamp(s) in "
-            f"{ts_col!r} — integer bucket truncation is not floor "
-            "below zero"
-        )
+    if validation_enabled():
+        n_neg = base.filter(F.col("_us") < 0).count()
+        if n_neg:
+            raise ValueError(
+                f"count_dispersion: {n_neg} pre-epoch timestamp(s) in "
+                f"{ts_col!r} — integer bucket truncation is not floor "
+                "below zero"
+            )
     w_us = bucket_seconds * 1_000_000
     counts = base.select(
         *by, F.expr(f"_us DIV {w_us}").alias("_b")
@@ -2855,13 +2892,14 @@ def crps_ensemble(
     No reference counterpart; forecast-eval analytics per SURVEY
     §2.11."""
     dec = f"decimal(18,{scale})"
-    n_null = df.filter(
-        F.col(member_col).isNull() | F.col(obs_col).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"crps_ensemble: {n_null} NULL member/observation row(s)"
-        )
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(member_col).isNull() | F.col(obs_col).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(
+                f"crps_ensemble: {n_null} NULL member/observation row(s)"
+            )
     base = df.select(
         *by,
         F.col(case_col).alias("_case"),
@@ -2872,18 +2910,20 @@ def crps_ensemble(
         F.countDistinct("_y").alias("_ny"),
         F.count(F.lit(1)).alias("_m"),
     )
-    multi = chk.filter(F.col("_ny") > 1).count()
-    if multi:
-        raise ValueError(
-            f"crps_ensemble: {multi} case(s) with a non-constant "
-            "observation — that is a broken join, not an ensemble"
-        )
-    wide = chk.filter(F.col("_m") > max_members).count()
-    if wide:
-        raise ValueError(
-            f"crps_ensemble: {wide} case(s) wider than max_members="
-            f"{max_members}"
-        )
+    if validation_enabled():
+        multi = chk.filter(F.col("_ny") > 1).count()
+        if multi:
+            raise ValueError(
+                f"crps_ensemble: {multi} case(s) with a non-constant "
+                "observation — that is a broken join, not an ensemble"
+            )
+    if validation_enabled():
+        wide = chk.filter(F.col("_m") > max_members).count()
+        if wide:
+            raise ValueError(
+                f"crps_ensemble: {wide} case(s) wider than max_members="
+                f"{max_members}"
+            )
     w = Window.partitionBy(*by, "_case").orderBy("_x")
     wd = "decimal(38,6)"
     ranked = base.withColumn("_i", F.row_number().over(w)).withColumn(
@@ -2960,14 +3000,15 @@ def diebold_mariano(
     from .concentration import newey_west
 
     dec = f"decimal(18,{scale})"
-    n_null = df.filter(
-        F.col(loss_a).isNull() | F.col(loss_b).isNull()
-    ).count()
-    if n_null:
-        raise ValueError(
-            f"diebold_mariano: {n_null} NULL loss row(s) — drop or "
-            "impute first; silently skipping rows would shift lags"
-        )
+    if validation_enabled():
+        n_null = df.filter(
+            F.col(loss_a).isNull() | F.col(loss_b).isNull()
+        ).count()
+        if n_null:
+            raise ValueError(
+                f"diebold_mariano: {n_null} NULL loss row(s) — drop or "
+                "impute first; silently skipping rows would shift lags"
+            )
     base = df.select(
         *by,
         *[c for c in order_cols if c not in by],
@@ -3025,16 +3066,17 @@ def detect_peaks(
         n_null = df.filter(F.col(value_col).isNull()).count()
         if n_null:
             raise ValueError(f"detect_peaks: {n_null} NULL value(s)")
-        dups = (
-            df.groupBy(*by, order_col)
-            .count()
-            .filter(F.col("count") > 1)
-            .count()
-        )
-        if dups:
-            raise ValueError(
-                f"detect_peaks: {dups} duplicate order key(s)"
+        if validation_enabled():
+            dups = (
+                df.groupBy(*by, order_col)
+                .count()
+                .filter(F.col("count") > 1)
+                .count()
             )
+            if dups:
+                raise ValueError(
+                    f"detect_peaks: {dups} duplicate order key(s)"
+                )
     base = df.select(
         *by,
         F.col(order_col).cast("double").alias("_t"),
@@ -3042,12 +3084,13 @@ def detect_peaks(
     )
     if validation_enabled():
         sizes = base.groupBy(*by).count()
-        over = sizes.filter(F.col("count") > max_len).count()
-        if over:
-            raise ValueError(
-                f"detect_peaks: a series exceeds max_len={max_len} — "
-                "resample first"
-            )
+        if validation_enabled():
+            over = sizes.filter(F.col("count") > max_len).count()
+            if over:
+                raise ValueError(
+                    f"detect_peaks: a series exceeds max_len={max_len} — "
+                    "resample first"
+                )
     packed = base.groupBy(*by).agg(
         F.sort_array(F.collect_list(F.struct("_t", "_x"))).alias("_a")
     )
@@ -3129,17 +3172,19 @@ def streak_panel(
 
     No reference counterpart; analytics per SURVEY §2.11."""
     dec = f"decimal(18,{scale})"
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(f"streak_panel: {n_null} NULL value(s)")
-    dups = (
-        df.groupBy(*by, *order_cols)
-        .count()
-        .filter(F.col("count") > 1)
-        .count()
-    )
-    if dups:
-        raise ValueError(f"streak_panel: {dups} duplicate order key(s)")
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(f"streak_panel: {n_null} NULL value(s)")
+    if validation_enabled():
+        dups = (
+            df.groupBy(*by, *order_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        if dups:
+            raise ValueError(f"streak_panel: {dups} duplicate order key(s)")
     w = Window.partitionBy(*by).orderBy(
         *[F.col(c) for c in order_cols]
     )
@@ -3222,9 +3267,10 @@ def freshness_panel(
     §2.11."""
     if stale_after_s < 0:
         raise ValueError("freshness_panel: stale_after_s must be >= 0")
-    n_null = df.filter(F.col(ts_col).isNull()).count()
-    if n_null:
-        raise ValueError(f"freshness_panel: {n_null} NULL timestamp(s)")
+    if validation_enabled():
+        n_null = df.filter(F.col(ts_col).isNull()).count()
+        if n_null:
+            raise ValueError(f"freshness_panel: {n_null} NULL timestamp(s)")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     base = df.select(*by, us.alias("_us"), F.col(ts_col).alias("_ts"))
     per = base.groupBy(*by).agg(
@@ -3273,16 +3319,18 @@ def volume_anomaly(
     §2.11."""
     if bucket_seconds <= 0:
         raise ValueError("volume_anomaly: bucket_seconds must be > 0")
-    n_null = df.filter(F.col(ts_col).isNull()).count()
-    if n_null:
-        raise ValueError(f"volume_anomaly: {n_null} NULL timestamp(s)")
+    if validation_enabled():
+        n_null = df.filter(F.col(ts_col).isNull()).count()
+        if n_null:
+            raise ValueError(f"volume_anomaly: {n_null} NULL timestamp(s)")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     base = df.select(*by, us.alias("_us"))
-    n_neg = base.filter(F.col("_us") < 0).count()
-    if n_neg:
-        raise ValueError(
-            f"volume_anomaly: {n_neg} pre-epoch timestamp(s)"
-        )
+    if validation_enabled():
+        n_neg = base.filter(F.col("_us") < 0).count()
+        if n_neg:
+            raise ValueError(
+                f"volume_anomaly: {n_neg} pre-epoch timestamp(s)"
+            )
     w_us = bucket_seconds * 1_000_000
     counts = base.select(
         *by, F.expr(f"_us DIV {w_us}").alias("_b")
@@ -3291,12 +3339,13 @@ def volume_anomaly(
         F.min("_b").alias("_bmin"), F.max("_b").alias("_bmax")
     )
     n_span = (F.col("_bmax") - F.col("_bmin") + 1).cast("int")
-    over = spans.filter(n_span > max_buckets).count()
-    if over:
-        raise ValueError(
-            f"volume_anomaly: a key spans more than max_buckets="
-            f"{max_buckets} buckets — widen bucket_seconds"
-        )
+    if validation_enabled():
+        over = spans.filter(n_span > max_buckets).count()
+        if over:
+            raise ValueError(
+                f"volume_anomaly: a key spans more than max_buckets="
+                f"{max_buckets} buckets — widen bucket_seconds"
+            )
     grid = spans.select(
         *by,
         F.explode(

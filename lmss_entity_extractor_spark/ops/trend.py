@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 _MAX_LEN_DEFAULT = 1000
 
@@ -50,13 +51,14 @@ def _packed(df, by, order_col, value_col, max_len):
         F.col(value_col).cast("double").alias("_x"),
     )
     sizes = base.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_len).count()
-    if over:
-        raise ValueError(
-            f"trend: at least one series exceeds max_len={max_len} — "
-            "resample/bucket first (the statistics are pairwise; an "
-            "unbounded series is quadratic by definition)"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_len).count()
+        if over:
+            raise ValueError(
+                f"trend: at least one series exceeds max_len={max_len} — "
+                "resample/bucket first (the statistics are pairwise; an "
+                "unbounded series is quadratic by definition)"
+            )
     arr = F.sort_array(F.collect_list(F.struct("_t", "_x"))).alias("_a")
     return base.groupBy(*by).agg(arr)
 
@@ -184,13 +186,14 @@ def hodges_lehmann(
     flt = df.filter(F.col(value_col).isNotNull())
     base = flt.select(*by, F.col(value_col).cast(dec).alias("_x"))
     sizes = base.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_len).count()
-    if over:
-        raise ValueError(
-            f"hodges_lehmann: at least one series exceeds max_len="
-            f"{max_len} — resample/bucket first (the estimator is "
-            "pairwise; an unbounded series is quadratic by definition)"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_len).count()
+        if over:
+            raise ValueError(
+                f"hodges_lehmann: at least one series exceeds max_len="
+                f"{max_len} — resample/bucket first (the estimator is "
+                "pairwise; an unbounded series is quadratic by definition)"
+            )
     packed = base.groupBy(*by).agg(
         F.sort_array(F.collect_list("_x")).alias("_a"),
         F.count(F.lit(1)).alias("n"),
@@ -245,11 +248,12 @@ def cox_stuart(
 
     No reference counterpart; trend analytics per SURVEY §2.11.
     """
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"cox_stuart: {n_null} NULL value(s) — impute first"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"cox_stuart: {n_null} NULL value(s) — impute first"
+            )
     w = Window.partitionBy(*by).orderBy(
         *[F.col(c) for c in order_cols]
     )
@@ -323,11 +327,12 @@ def turning_points(
 
     No reference counterpart; monitoring analytics per SURVEY §2.11.
     """
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"turning_points: {n_null} NULL value(s) — impute first"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"turning_points: {n_null} NULL value(s) — impute first"
+            )
     wt = Window.partitionBy(*by).orderBy(
         *[F.col(c) for c in order_cols]
     )
@@ -337,15 +342,16 @@ def turning_points(
         F.lag(value_col, 1).over(wt).alias("_pr"),
         F.lead(value_col, 1).over(wt).alias("_nx"),
     )
-    n_tied = lagged.filter(
-        F.col("_nx").isNotNull() & (F.col("_x") == F.col("_nx"))
-    ).count()
-    if n_tied:
-        raise ValueError(
-            f"turning_points: {n_tied} adjacent tie(s) — the null "
-            "moments assume a continuous series; jitter or aggregate "
-            "first"
-        )
+    if validation_enabled():
+        n_tied = lagged.filter(
+            F.col("_nx").isNotNull() & (F.col("_x") == F.col("_nx"))
+        ).count()
+        if n_tied:
+            raise ValueError(
+                f"turning_points: {n_tied} adjacent tie(s) — the null "
+                "moments assume a continuous series; jitter or aggregate "
+                "first"
+            )
     is_turn = (
         F.col("_pr").isNotNull()
         & F.col("_nx").isNotNull()
@@ -530,17 +536,19 @@ def records_test(
 
     No reference counterpart; monitoring analytics per SURVEY §2.11.
     """
-    n_null = df.filter(F.col(value_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"records_test: {n_null} NULL value(s) — impute first"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(value_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"records_test: {n_null} NULL value(s) — impute first"
+            )
     sizes = df.groupBy(*by).count()
-    over = sizes.filter(F.col("count") > max_len).count()
-    if over:
-        raise ValueError(
-            f"records_test: a series exceeds max_len={max_len}"
-        )
+    if validation_enabled():
+        over = sizes.filter(F.col("count") > max_len).count()
+        if over:
+            raise ValueError(
+                f"records_test: a series exceeds max_len={max_len}"
+            )
     wt = Window.partitionBy(*by).orderBy(
         *[F.col(c) for c in order_cols]
     )

@@ -23,6 +23,7 @@ form for a user's keyed table).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from .validate import validation_enabled
 
 
 def merge_upsert(
@@ -68,15 +69,16 @@ def merge_upsert(
 def assert_unique_keys(df: DataFrame, key_cols: list[str]) -> None:
     """Loud pre-flight for no-``order_col`` merges: raise if any key
     repeats (one bounded collect of offending keys, capped at 5)."""
-    dups = (
-        df.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .limit(5)
-        .collect()
-    )
-    if dups:
-        raise ValueError(
-            f"duplicate update keys (pass order_col to resolve): "
-            f"{[tuple(r[c] for c in key_cols) for r in dups]}"
+    if validation_enabled():
+        dups = (
+            df.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(5)
+            .collect()
         )
+        if dups:
+            raise ValueError(
+                f"duplicate update keys (pass order_col to resolve): "
+                f"{[tuple(r[c] for c in key_cols) for r in dups]}"
+            )

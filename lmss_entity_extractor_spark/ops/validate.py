@@ -16,18 +16,21 @@ scan once and disables the guards for the rest of the pipeline:
     with skip_validation():
         detect_peaks(df, ...); streak_panel(df, ...)
 
-The flag is process-global and re-entrant; guards consult it via
-``validation_enabled()``.  Semantics with validation off are
+The flag is process-global (a counter under a lock, NOT
+thread-local: ops submitted from a driver-side ThreadPoolExecutor
+inside a ``skip_validation()`` block — the concurrent-jobs pattern —
+must see the gate too; ADVICE r5) and re-entrant; guards consult it
+via ``validation_enabled()``.  Semantics with validation off are
 caller-beware by contract: the op computes exactly what it computes
 on whatever rows arrive (the same discipline as Spark's own
 ansi-off arithmetic).
 
-Coverage: every guard routed through this module (``assert_binary``)
-plus the inline guards of the flagship-path ops (``detect_peaks``,
-``rrf_fusion``, ``rank_biased_precision``, ``highest_averages``).
-The long tail of per-op inline guards adopts the same
-``if validation_enabled():`` gate as each op is next touched — new
-guards MUST be written gated."""
+Coverage (r6): the guard scans across ``ops/`` are gated — every
+eager refusal action (``.count()``/``.first()``/``limit(n)``
+pre-flight whose only purpose is input validation) sits behind
+``if validation_enabled():``; ``tests/test_validation_gate.py``
+drives a representative op panel under the knob and asserts zero
+pre-flight jobs run.  New guards MUST be written gated."""
 
 from __future__ import annotations
 
@@ -37,22 +40,28 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_state = threading.local()
+_lock = threading.Lock()
+_depth = 0
 
 
 def validation_enabled() -> bool:
-    """True unless inside a ``skip_validation()`` block (per thread)."""
-    return getattr(_state, "depth", 0) == 0
+    """True unless any thread is inside a ``skip_validation()`` block."""
+    return _depth == 0
 
 
 @contextmanager
 def skip_validation():
-    """Disable eager validation scans for the enclosed op calls."""
-    _state.depth = getattr(_state, "depth", 0) + 1
+    """Disable eager validation scans for the enclosed op calls
+    (process-wide, including Spark jobs submitted from other driver
+    threads while the block is open)."""
+    global _depth
+    with _lock:
+        _depth += 1
     try:
         yield
     finally:
-        _state.depth -= 1
+        with _lock:
+            _depth -= 1
 
 
 def assert_binary(df: DataFrame, col: str, opname: str) -> None:

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from .validate import validation_enabled
 
 _DEC = "decimal(38,0)"
 
@@ -131,18 +132,19 @@ def copeland_pairwise(
     is_condorcet)`` — Copeland scores + Condorcet winner flag from
     the pairwise majority matrix (see module docstring)."""
     cell = _cells(df, by, voter_col, item_col, value_col)
-    wide = (
-        cell.groupBy(*by, "_voter")
-        .agg(F.count(F.lit(1)).alias("_vc"))
-        .filter(F.col("_vc") > max_ballot)
-        .count()
-    )
-    if wide:
-        raise ValueError(
-            f"copeland_pairwise: {wide} ballot(s) wider than "
-            f"max_ballot={max_ballot} — the pair self-join is "
-            "quadratic in ballot width; raise the cap deliberately"
+    if validation_enabled():
+        wide = (
+            cell.groupBy(*by, "_voter")
+            .agg(F.count(F.lit(1)).alias("_vc"))
+            .filter(F.col("_vc") > max_ballot)
+            .count()
         )
+        if wide:
+            raise ValueError(
+                f"copeland_pairwise: {wide} ballot(s) wider than "
+                f"max_ballot={max_ballot} — the pair self-join is "
+                "quadratic in ballot width; raise the cap deliberately"
+            )
     a = cell.select(*by, "_voter", F.col("_item").alias("_ia"), F.col("_v").alias("_va"))
     b = cell.select(*by, "_voter", F.col("_item").alias("_ib"), F.col("_v").alias("_vb"))
     pairs = (

@@ -39,6 +39,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from .validate import validation_enabled
 
 _MANIFEST = "zonemap.json"
 
@@ -52,12 +53,13 @@ def write_with_zonemap(
         raise ValueError(f"n_files must be >= 1, got {n_files}")
     if zone_col not in df.columns:
         raise ValueError(f"column {zone_col!r} not in DataFrame")
-    n_null = df.filter(F.col(zone_col).isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"{n_null} rows have NULL {zone_col!r} — zone pruning is "
-            "range logic and NULL has no range; filter or backfill first"
-        )
+    if validation_enabled():
+        n_null = df.filter(F.col(zone_col).isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"{n_null} rows have NULL {zone_col!r} — zone pruning is "
+                "range logic and NULL has no range; filter or backfill first"
+            )
     (
         df.repartitionByRange(n_files, F.col(zone_col))
         .sortWithinPartitions(zone_col)

@@ -484,6 +484,25 @@ class TestRobustBinaryValidator:
         r = mcnemar(df, ["g"], "x", "y").collect()[0]
         assert r["b"] == 1 and r["c"] == 1
 
+    def test_bh_fdr_max_tests_refused(self, spark):
+        """r6 guard: the step-up rank sweep is one global window, so an
+        unbounded hypothesis table is refused, not serialized; the
+        check rides the existing validation scan and honors the
+        skip_validation() knob."""
+        import pytest
+
+        from lmss_entity_extractor_spark.ops.effectsize import bh_fdr
+        from lmss_entity_extractor_spark.ops.validate import skip_validation
+
+        df = spark.createDataFrame(
+            [(f"t{i}", 0.01 * (i + 1)) for i in range(10)], "test string, p double"
+        )
+        with pytest.raises(ValueError, match="max_tests"):
+            bh_fdr(df, "test", "p", max_tests=5)
+        assert bh_fdr(df, "test", "p", max_tests=10).count() == 10
+        with skip_validation():  # caller-beware: no pre-flight scan at all
+            assert bh_fdr(df, "test", "p", max_tests=5).count() == 10
+
     def test_bh_fdr_overlong_q_refused(self, spark):
         import pytest
 

@@ -103,3 +103,19 @@ class TestNegativeSamples:
             negative_samples(graph, corrupt="predicate")
         with pytest.raises(ValueError, match="at least 2"):
             negative_samples(_triples(spark, [("a", "p", "a")]))
+
+    def test_rank_parallelism_independent(self, spark, graph):
+        """r6: the entity-pool dense rank is built with the dictenc
+        range-exchange pattern (no single-partition global window);
+        negatives must be byte-identical at any shuffle width because
+        the global (md5, ent) order is slice order x in-slice order."""
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "3")
+            a = sorted(_rows(negative_samples(graph, k=3, corrupt="both", seed=7)))
+            spark.conf.set(key, "17")
+            b = sorted(_rows(negative_samples(graph, k=3, corrupt="both", seed=7)))
+        finally:
+            spark.conf.set(key, prev)
+        assert a == b and a
