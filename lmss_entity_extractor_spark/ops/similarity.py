@@ -215,11 +215,18 @@ def _dot_sql(vec_name: str, cvec: list[float]) -> str:
 
     r6: rows whose array length equals the literal's take an UNROLLED
     left-associated sum (``0D + v[0]*c0 + v[1]*c1 + ...``) — the same
-    IEEE additions in the same order as the fold, but whole-stage
-    codegen-able where ``aggregate``/``zip_with`` lambdas evaluate
-    interpreted per element.  Other lengths (never produced by the
-    trained-codebook callers, but part of the fold's contract via
-    zip_with null-padding) keep the fold verbatim via CASE."""
+    IEEE additions in the same order as the fold, evaluated without the
+    per-element lambda dispatch that makes ``aggregate``/``zip_with``
+    slow; other lengths keep the fold verbatim via CASE.  Measured
+    three ways at local[32] (sf0.1 cell assignment, warm medians):
+    fold-only 0.25 s/1.14 s (sf0.1/sf1.0), this CASE+fold form
+    0.73 s/0.73 s, and a CASE whose else branch is a NULL literal
+    (provably equal to the fold on every mismatched length — pinned by
+    TestDotSqlEquivalence) 1.47 s: SHRINKING the expression made it
+    eligible for whole-stage codegen and the ~4000-node compile became
+    a larger fixed cost than interpreted execution ever was.  The fold
+    branch is therefore ALSO the codegen-suppressor that keeps the
+    unrolled branch interpreted-but-fast at every scale."""
     q = _qcol(vec_name)
     arr = ", ".join(_dlit(x) for x in cvec)
     fold = (

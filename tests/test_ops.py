@@ -2495,3 +2495,53 @@ class TestCooccurrence:
             cooccurrence_edges(obs, "g", "item", min_count=0)
         with _pytest.raises(ValueError):
             cooccurrence_edges(obs.filter("g < 0"), "g", "item")
+
+
+class TestDotSqlEquivalence:
+    def test_case_null_matches_fold_on_every_length_class(self, spark):
+        """r6: _dot_sql's else branch is a NULL literal — exactly the
+        fold's value for ANY length mismatch (zip_with null-pads, the
+        null product poisons the left fold), while matching lengths take
+        the unrolled sum with identical left-associated IEEE additions.
+        Pinned over matching/short/long/empty/null arrays, null
+        elements, signed zeros, NaN and Inf."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from lmss_entity_extractor_spark.ops.similarity import _dlit, _dot_sql, _qcol
+
+        cvec = [0.5, -1.25, 3.0]
+
+        def fold_sql(vec, cv):
+            arr = ", ".join(_dlit(x) for x in cv)
+            return (
+                f"aggregate(zip_with({_qcol(vec)}, array({arr}), "
+                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "0D, (acc, v) -> acc + v)"
+            )
+
+        rows = [
+            ([1.0, 2.0, 3.0],),
+            ([1.0, 2.0],),
+            ([1.0, 2.0, 3.0, 4.0],),
+            ([],),
+            (None,),
+            ([None, 2.0, 3.0],),
+            ([0.0, -0.0, 5.5],),
+            ([float("nan"), 1.0, 2.0],),
+            ([float("inf"), 1.0, 2.0],),
+        ]
+        df = spark.createDataFrame(rows, "v array<double>")
+        got = df.select(
+            F.expr(fold_sql("v", cvec)).alias("fold"),
+            F.expr(_dot_sql("v", cvec)).alias("case_null"),
+        ).collect()
+        for r in got:
+            a, b = r["fold"], r["case_null"]
+            if a is None or b is None:
+                assert a is None and b is None
+            elif math.isnan(a) or math.isnan(b):
+                assert math.isnan(a) and math.isnan(b)
+            else:
+                assert a == b
