@@ -241,9 +241,24 @@ def _dot_sql(vec_name: str, cvec: list[float]) -> str:
     return f"(CASE WHEN size({q}) = {len(cvec)} THEN {unrolled} ELSE {fold} END)"
 
 
-def _ivf_struct_entries_sql(vec_name: str, centroids) -> str:
+def _dot_fold_sql(vec_name: str, cvec: list[float]) -> str:
+    """The plain zip_with/aggregate fold against a literal vector — the
+    round-5 form, value-identical to :func:`_dot_sql` (whose unrolled
+    branch reproduces the fold's additions exactly).  Used where the
+    input frame is SMALL by contract (query-side probes): there the
+    CASE+unrolled form's per-plan fixed cost is pure loss."""
+    arr = ", ".join(_dlit(x) for x in cvec)
+    return (
+        f"aggregate(zip_with({_qcol(vec_name)}, array({arr}), "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+
+
+def _ivf_struct_entries_sql(vec_name: str, centroids, dot=None) -> str:
+    dot = dot or _dot_sql
     return ", ".join(
-        f"named_struct('d', {_dot_sql(vec_name, cvec)}, 'nid', {-cid})"
+        f"named_struct('d', {dot(vec_name, cvec)}, 'nid', {-cid})"
         for cid, cvec in centroids
     )
 
@@ -268,11 +283,16 @@ def ivf_probe_cells_expr(
     vec_name: str, centroids: list[tuple[int, list[float]]], nprobe: int
 ) -> Column:
     """The ``nprobe`` nearest centroid ids (desc similarity, asc id
-    tiebreak) as an array column — the query-side multi-cell probe."""
+    tiebreak) as an array column — the query-side multi-cell probe.
+
+    Query frames are small by contract, so the dots use the plain fold
+    (:func:`_dot_fold_sql`): the CASE+unrolled form saves per-row time
+    the probe side never spends and costs per-plan analysis time it
+    always pays.  Values are identical either way."""
     # d desc, then -id desc = id asc
     return F.expr(
         "transform(slice(reverse(array_sort(array("
-        f"{_ivf_struct_entries_sql(vec_name, centroids)}"
+        f"{_ivf_struct_entries_sql(vec_name, centroids, dot=_dot_fold_sql)}"
         f"))), 1, {int(nprobe)}), s -> -s.nid)"
     )
 
