@@ -2433,8 +2433,13 @@ def rank_biased_precision(
     1 − (1−p)·Σ_judged form loses ~11 digits to cancellation when
     rbp ≈ 1 (measured: a 1-ulp fold difference became 1e-11 in the
     residual), while each telescoped term is exactly 0.0 for
-    contiguous ranks on both engines.  rbp + residual ≤ 1 always,
-    with equality when every judged document is relevant.
+    contiguous ranks on both engines.  rbp + residual ≤ 1 for
+    VALIDATED input (equality when every judged document is
+    relevant); with validation disabled (``skip_validation()``)
+    duplicate ranks make the fold's prev == d and ranks beyond
+    ``max_depth`` go unchecked, so negative telescoped terms can
+    silently break the invariant — caller-beware, like every gated
+    guard (ADVICE r5).
 
     ``p`` is a decimal STRING pinned into the plan; the geometric
     weights fold over the judged ranks in ASCENDING-rank order
