@@ -86,7 +86,10 @@ def _closure_loop(
             extended.join(closure, ["desc_iri", "anc_iri"], "left_anti")
             .groupBy("desc_iri", "anc_iri")
             .agg(F.min("depth").alias("depth"))
-            .localCheckpoint(eager=True)
+            # lazy checkpoint: the count below computes every partition,
+            # materializing the checkpoint in the SAME job (r6 — the
+            # eager+count form ran two jobs per round for the same answer)
+            .localCheckpoint(eager=False)
         )
         n_new = new_pairs.count()
         if n_new == 0:

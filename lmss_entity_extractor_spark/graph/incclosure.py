@@ -92,10 +92,12 @@ def _insert_loop(
     acc = closure.select(
         "desc_iri", "anc_iri", F.col("depth").cast("int").alias("depth")
     ).localCheckpoint(eager=True)
-    frontier = _improving(delta, acc).localCheckpoint(eager=True)
+    # lazy checkpoint: the emptiness count below computes every
+    # partition, materializing the checkpoint in the same job (r6)
+    frontier = _improving(delta, acc).localCheckpoint(eager=False)
 
     for _ in range(max_rounds):
-        if frontier.limit(1).count() == 0:
+        if frontier.count() == 0:
             return (
                 acc.groupBy("desc_iri", "anc_iri")
                 .agg(F.min("depth").cast("int").alias("depth"))
@@ -124,7 +126,7 @@ def _insert_loop(
             .groupBy("desc_iri", "anc_iri")
             .agg(F.min("depth").alias("depth"))
         )
-        frontier = _improving(cand, acc).localCheckpoint(eager=True)
+        frontier = _improving(cand, acc).localCheckpoint(eager=False)
 
     raise RuntimeError(
         f"closure_insert did not converge within {max_rounds} rounds — "
